@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (SURVEY §2 coverage):
+  *  - q01–q04, q18: `pstats` (Index.db pipeline — A6 distribution, T1/T2
+  *    top-Ns, A2/A14 sstable section, S4 offset-delta window).
+  *  - q05, q06: `summary` + `sstables` (A11 rollup, S2/T3 metadata report).
+  *  - q07–q15: `cfstats` (A1 collate, A6–A10 histograms, A9 totals,
+  *    F3/F4 filters, T1/T2 top-Ns, A2/A13 sstable stats).
+  *  - q16, q17: `purge` (J2/A12 LWW merge + F7 gc_grace purge).
+  *  - q20–q25, q33: dedup family (exact, n-gram Jaccard, MinHash+LSH,
+  *    SimHash, embedding near-dup) + similarity search (brute-force & LSH).
+  *  - q26–q29: text analysis; q30–q31: events rollup/sessionization;
+  *    q32: multimodal metadata.
+  * Spark-only queries (engine-specific hashes / approximations) have no
+  * oracleSql entry and get the driver's rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Purge.top(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pstats
+    "q01_pstats_size_dist" -> ((s, d) => PStats.sizeDistribution(s, d)),
+    "q02_pstats_top_size" -> ((s, d) => PStats.topBySize(s, d)),
+    "q03_pstats_top_tables" -> ((s, d) => PStats.topByTableCount(s, d)),
+    "q04_pstats_sstables" -> ((s, d) => PStats.sstableSection(s, d)),
+    "q18_index_offsets" -> ((s, d) => PStats.indexOffsets(s, d)),
+    // summary / sstables
+    "q05_summary" -> ((s, d) => Summary.rollup(s, d)),
+    "q06_sstables_meta" -> ((s, d) => Summary.sstablesReport(s, d)),
+    // cfstats
+    "q07_cfstats_rows_dist" -> ((s, d) => CfStats.rowsDistribution(s, d)),
+    "q08_cfstats_cells_dist" -> ((s, d) => CfStats.cellsDistribution(s, d)),
+    "q09_cfstats_tomb_dist" -> ((s, d) => CfStats.tombstonesDistribution(s, d)),
+    "q10_cfstats_top_wide" -> ((s, d) => CfStats.topWide(s, d)),
+    "q11_cfstats_top_tombstones" -> ((s, d) => CfStats.topTombstones(s, d)),
+    "q12_cfstats_top_deleted" -> ((s, d) => CfStats.topDeletedRows(s, d)),
+    "q13_cfstats_ttl_hist" -> ((s, d) => CfStats.ttlHistogram(s, d)),
+    "q14_cfstats_sstable_stats" -> ((s, d) => CfStats.sstableStats(s, d)),
+    "q15_cfstats_totals" -> ((s, d) => CfStats.totals(s, d)),
+    // purge
+    "q16_purge_top" -> ((s, d) => Purge.top(s, d)),
+    "q17_purge_totals" -> ((s, d) => Purge.totals(s, d)),
+    // dedup
+    "q20_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q21_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q22_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q23_dedup_simhash" -> ((s, d) => Dedup.simhash(Dedup.corpus(s, d))),
+    "q33_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // similarity search
+    "q24_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q25_sim_lsh_ann" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // text analysis
+    "q26_text_quality" -> ((s, d) => TextStats.quality(s, d)),
+    "q27_lang_dist" -> ((s, d) => TextStats.langDistribution(s, d)),
+    "q28_token_totals" -> ((s, d) => TextStats.tokenTotals(s, d)),
+    "q29_doc_fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(graft.sources.Tables.documents(s, d))),
+    // events
+    "q30_events_hourly" -> ((s, d) => EventsOps.hourly(s, d)),
+    "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),
+    // multimodal
+    "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)))
+
+  /** DuckDB-dialect oracle SQL; keys omitted here fall back to the driver's
+    * rows-only check (engine-hash-based or approximate operators). */
+  def oracleSql: Map[String, String] = OracleSql.queries
 }

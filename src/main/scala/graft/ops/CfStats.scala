@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Fixtures, Tables}
+
+/** `cfstats` — full cell-level statistics from the Data.db scan
+  * (cli/ColumnFamilyStatisticsCollector.java). The richest reference
+  * pipeline: per-partition collate (A1), 4 distribution histograms (A6–A8),
+  * global counters (A9), TTL histogram (A10), 5 bounded top-N heaps (T1/T2)
+  * and the per-sstable scan-stats section (A2/A13). */
+object CfStats {
+
+  private def cells(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+
+  private def parts(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.partitions(Fixtures.partitionScan(cells(spark, dir)))
+
+  /** A7: rows-per-partition distribution. */
+  def rowsDistribution(spark: SparkSession, dir: String): DataFrame =
+    parts(spark, dir).agg(Dist.agg("row_count").head,
+      Dist.agg("row_count").tail: _*)
+
+  /** A6 "widest partitions" measure: cells-per-partition distribution. */
+  def cellsDistribution(spark: SparkSession, dir: String): DataFrame =
+    parts(spark, dir).agg(Dist.agg("cell_count").head,
+      Dist.agg("cell_count").tail: _*)
+
+  /** A8 + F3: tombstones-per-partition distribution, only over partitions
+    * that have tombstones (ColumnFamilyStatisticsCollector.java:125-129). */
+  def tombstonesDistribution(spark: SparkSession, dir: String): DataFrame =
+    parts(spark, dir)
+      .where(col("tombstone_count") > 0)
+      .agg(Dist.agg("tombstone_count").head, Dist.agg("tombstone_count").tail: _*)
+
+  /** T1/T2 WIDE: top-N by cell count, size tiebreak
+    * (PartitionStatistics.java:27-33). */
+  def topWide(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    parts(spark, dir)
+      .select("key", "key_formatted", "cell_count", "size", "row_count")
+      .orderBy(desc("cell_count"), desc("size"), asc("key"))
+      .limit(n)
+
+  /** T1/T2 TOMBSTONE + F3. */
+  def topTombstones(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    parts(spark, dir)
+      .where(col("tombstone_count") > 0)
+      .select("key", "key_formatted", "tombstone_count",
+        "droppable_tombstone_count", "size")
+      .orderBy(desc("tombstone_count"), desc("size"), asc("key"))
+      .limit(n)
+
+  /** T1/T2 MOST_DELETED_ROWS + F4
+    * (ColumnFamilyStatisticsCollector.java:130-132). */
+  def topDeletedRows(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    parts(spark, dir)
+      .where(col("row_delete_count") > 0)
+      .select("key", "key_formatted", "row_delete_count", "size")
+      .orderBy(desc("row_delete_count"), desc("size"), asc("key"))
+      .limit(n)
+
+  /** A10: global TTL histogram — the reference merges per-partition TTL maps
+    * (PartitionStatistics.java:132-138); flat cell-level grouping is the
+    * shuffle-light equivalent (ttl cardinality is tiny, so this is a
+    * near-map-side-only aggregate). -1 = NO_TTL sentinel. */
+  def ttlHistogram(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .where(col("kind") === "CELL")
+      .groupBy("ttl_s")
+      .agg(count(lit(1)).as("cell_count"))
+      .orderBy("ttl_s")
+
+  /** A9: global counters. */
+  def totals(spark: SparkSession, dir: String): DataFrame =
+    parts(spark, dir).agg(
+      count(lit(1)).as("partition_count"),
+      sum("row_count").as("row_count"),
+      sum("row_delete_count").as("row_delete_count"),
+      sum("cell_count").as("cell_count"),
+      sum("tombstone_count").as("tombstone_count"),
+      sum("droppable_tombstone_count").as("droppable_tombstone_count"))
+
+  /** A2/A13: per-sstable scan statistics incl. liveness % =
+    * floor(liveCells·100/cells) (SSTableStatistics.java:152-154). */
+  def sstableStats(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.partitionScan(cells(spark, dir))
+      .groupBy("sstable_id")
+      .agg(
+        count(lit(1)).as("partition_count"),
+        sum("row_count").as("row_count"),
+        sum("row_delete_count").as("row_delete_count"),
+        sum("cell_count").as("cell_count"),
+        sum("live_cell_count").as("live_cell_count"),
+        sum("expiring_cell_count").as("expiring_cell_count"),
+        sum("counter_cell_count").as("counter_cell_count"),
+        sum("tombstone_count").as("tombstone_count"),
+        sum("droppable_tombstone_count").as("droppable_tombstone_count"),
+        sum("range_tombstone_count").as("range_tombstone_count"))
+      .withColumn("liveness_pct",
+        floor(col("live_cell_count") * 100 /
+          greatest(col("cell_count"), lit(1L))))
+      .orderBy("sstable_id")
+}

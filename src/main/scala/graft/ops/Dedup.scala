@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash and embedding-cosine near-dup.
+  *
+  * The documents fixture has no natural duplicates, so [[corpus]] injects
+  * deterministic exact copies (doc_id % 5) and near-duplicates with a suffix
+  * (doc_id % 7) — derivable identically in DuckDB SQL for the oracle.
+  *
+  * Scale design: every method is shuffle-bounded by (band/bucket, signature)
+  * keys, never by a document cross-join; candidate verification only runs
+  * inside buckets. At 100 TB the shingle→bucket join is the only wide
+  * exchange and it is keyed on high-cardinality hashes (saltable if skewed).
+  */
+object Dedup {
+
+  /** documents ∪ exact copies (ids +1_000_000) ∪ near-dup suffixed copies
+    * (ids +2_000_000). */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.unionByName(
+      d.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(
+        d.where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("text", concat(col("text"),
+            lit(" graft near duplicate suffix")))
+          .withColumn("n_chars", col("n_chars") + 28L))
+  }
+
+  /** Exact dedup: hash-groupBy full text; one shuffle on the text (at real
+    * scale: groupBy a 128-bit digest of the text instead — same plan). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
+      .where(col("copies") > 1)
+      .select("keeper", "copies")
+      .orderBy("keeper")
+
+  /** 5-word shingles, distinct per document. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 4, 1))," +
+          " i -> array_join(slice(w, i, 5), ' '))")).as("g"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup pairs: inverted shingle index self-joined, then
+    * |A∩B| / |A∪B| ≥ 0.8 decided in pure integer arithmetic
+    * (inter·10 ≥ 8·union) so the threshold is engine-exact. */
+  def ngramJaccard(spark: SparkSession, dir: String,
+      thresholdPct: Int = 80): DataFrame = {
+    val sh = shingles(corpus(spark, dir))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(szs.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(szs.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over
+    * Spark's codegen'd murmur3 `hash` of each shingle. Spark-only (engine
+    * hash ⇒ no SQL oracle; verified against [[ngramJaccard]] in tests). */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val perms = (0 until k).map { i =>
+      val a = 1L + 2L * i + 1L // odd multipliers
+      val b = 7919L * (i + 1)
+      min((((hash(col("g")).cast("long") + p) % p) * a + b) % p)
+        .as(s"h$i")
+    }
+    shingles(docs).groupBy("doc_id").agg(perms.head, perms.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures split into bands of `rowsPerBand`,
+    * band-hash bucket join yields candidates, verified by signature
+    * similarity. One shuffle on (band, bandHash) — never all-pairs. */
+  def minhashLsh(spark: SparkSession, dir: String, k: Int = 32,
+      rowsPerBand: Int = 4, minMatchFrac: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(corpus(spark, dir), k).cache()
+    val bands = k / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(cs: _*).as("bucket")).as(s"bb$b")
+    }
+    val buckets = sigs
+      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        col(s"bb$b")): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val matches = (0 until k).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("id_b") === col("b.doc_id"))
+      .withColumn("sig_matches", matches.cast("long"))
+      .where(col("sig_matches") >= math.ceil(minMatchFrac * k).toLong)
+      .select("id_a", "id_b", "sig_matches")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash: 64-bit signature from token murmur hashes — per-bit weighted
+    * majority vote, expressed as bit-arithmetic aggregates (no UDF in the
+    * hot path). Spark-only. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("h64", xxhash64(col("t")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h64"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup: exact copies (ids +100000) and re-scaled
+    * copies (ids +200000, cosine-invariant) injected, then LSH-free
+    * quantized-cosine pairs ≥ threshold via the Similarity kernel. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      thresholdX1000: Int = 995): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val aug = e
+      .unionByName(e.where(col("vec_id") % 50 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      .unionByName(e.where(col("vec_id") % 77 === 3)
+        .withColumn("vec_id", col("vec_id") + 200000L)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")))
+    val qv = Similarity.quantize(aug).select(
+      col("vec_id"), col("qv"), col("norm2"))
+    // bucket prefilter: quantized leading components sign-pattern
+    val sig = expr("CAST(CASE WHEN qv[0] >= 0 THEN 1 ELSE 0 END + " +
+      "2 * CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END + " +
+      "4 * CASE WHEN qv[2] >= 0 THEN 1 ELSE 0 END AS INT)")
+    val b = qv.withColumn("bucket", sig)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", Similarity.dot(col("a.qv"), col("b.qv")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("a.norm2") * col("b.norm2")).cast("double")))
+      .where(col("cos") * 1000 >= thresholdX1000)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Fixtures, Tables}
+
+/** `pstats` — partition-size statistics from the partition index only
+  * (cli/PartitionSizeStatisticsCollector.java). The reference's k-way merge
+  * over pre-sorted Index.db readers becomes a hash aggregation on the
+  * partition key; its bounded top-N heaps become orderBy().limit(n), which
+  * Catalyst plans as TakeOrderedAndProject (same O(N) memory per partition,
+  * but distributed). */
+object PStats {
+
+  private def liParts(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+    Fixtures.partitions(Fixtures.partitionScan(cells))
+  }
+
+  /** A6: size + sstable-count distribution over collated partitions
+    * (PartitionSizeStatisticsCollector.java:111-126). One row. */
+  def sizeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val parts = liParts(spark, dir)
+    val aggs = Dist.agg("size") ++ Seq(
+      min(col("table_count")).as("table_count_min"),
+      max(col("table_count")).as("table_count_max"),
+      floor(sum(col("table_count")) * 100 / count(lit(1)))
+        .as("table_count_avg_x100"))
+    parts.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** T1/T2: top-N partitions by size, size-desc then key-asc tiebreak
+    * (PartitionStatistics.java:13-18). */
+  def topBySize(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    liParts(spark, dir)
+      .select("key", "key_formatted", "size", "table_count")
+      .orderBy(desc("size"), asc("key"))
+      .limit(n)
+
+  /** T1/T2: top-N by sstable count, then size, then key
+    * (PartitionStatistics.java:38-44). */
+  def topByTableCount(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    liParts(spark, dir)
+      .select("key", "key_formatted", "size", "table_count")
+      .orderBy(desc("table_count"), desc("size"), asc("key"))
+      .limit(n)
+
+  /** A2/A14: per-sstable section — partition count, avg (integer div) and max
+    * partition size (PartitionSizeStatisticsCollector.java:174-186). */
+  def sstableSection(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+    Fixtures.sstableMeta(Fixtures.partitionScan(cells))
+      .select("sstable_id", "partition_count", "avg_partition_size",
+        "max_partition_size", "uncompressed_length")
+      .orderBy("sstable_id")
+  }
+
+  /** S4 / §2.5: re-derive partition size from Data.db offset deltas with
+    * lead() over (sstable, position) — the window-function form of
+    * IndexReader.java:87-98. `derived_size` uses lead(position) with the
+    * per-sstable end offset as the default for the last entry, so it must
+    * equal the stored size; the query returns per-sstable proof totals. */
+  def indexOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+    val idx = Fixtures.indexEntries(Fixtures.partitionScan(cells))
+    val bySst = Window.partitionBy("sstable_id")
+    val w = Window.partitionBy("sstable_id").orderBy("position")
+    idx
+      .withColumn("end_offset", max(col("position") + col("size")).over(bySst))
+      .withColumn("derived_size",
+        coalesce(lead("position", 1).over(w), col("end_offset")) -
+          col("position"))
+      .groupBy("sstable_id")
+      .agg(
+        count(lit(1)).as("entries"),
+        sum("derived_size").as("derived_total"),
+        sum("size").as("stored_total"),
+        sum(when(col("derived_size") =!= col("size"), 1L).otherwise(0L))
+          .as("mismatches"))
+      .orderBy("sstable_id")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, one pass over
+  * candidates, per-query TakeOrdered via window rank). Scale path: LSH
+  * random-hyperplane bucketing — candidates only join within a bucket.
+  *
+  * Numeric determinism: embeddings are quantized to bigint (floor(x·1000))
+  * so dot products and norms are exact integer sums — identical in Spark and
+  * DuckDB regardless of summation order; the final cosine is one double
+  * division + sqrt of exact integers (IEEE-deterministic). */
+object Similarity {
+
+  /** vec → bigint-quantized vector + exact squared norm. */
+  def quantize(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .withColumn("norm2", expr(
+        "aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: query ids < nQueries vs the rest.
+    * Plan shape: broadcast(queries) ⋈ candidates (BroadcastNestedLoopJoin —
+    * no shuffle of the big side), partial per-partition rank via window on
+    * query_id. At 1000 executors the candidate scan stays fully parallel. */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5): DataFrame = {
+    val q = quantize(Tables.embeddings(spark, dir))
+    val queries = q.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("norm2").as("na2"))
+    val cands = q.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("norm2").as("nb2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands
+      .join(broadcast(queries))
+      .withColumn("dot", dot(col("qa"), col("qb")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate NN: 12 deterministic pseudo-random hyperplanes
+    * (coefficients from a fixed LCG over (plane, dim) — no RNG state), sign
+    * bits → bucket id; query joins only its bucket. Recall < 1 by design;
+    * the scale path when brute force's candidate scan is too wide.
+    * Multi-probe: queries also probe buckets at Hamming distance 1. */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, planes: Int = 12): DataFrame = {
+    val q = quantize(Tables.embeddings(spark, dir))
+    // plane p coefficient for dim j: ((1103515245*(p*64+j) + 12345) mod 2001) - 1000
+    val sigCol = (0 until planes).map { p =>
+      val proj = expr(
+        s"""aggregate(zip_with(qv, sequence(0, size(qv) - 1),
+           |  (x, j) -> x * (pmod(1103515245 * CAST($p * 64 + j AS BIGINT) + 12345, 2001) - 1000)),
+           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val hashed = q.withColumn("bucket", sigCol.cast("int"))
+    val queries = hashed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("norm2").as("na2"), col("bucket"))
+    // multi-probe: original bucket + flip each bit once
+    val probes = queries.select(col("query_id"), col("qa"), col("na2"),
+      explode(array(col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    val cands = hashed.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("norm2").as("nb2"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("dot", dot(col("qa"), col("qb")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), floor(col("cos") * 1000).as("cos_x1000"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+
+/** `summary` + `sstables` — metadata-only reports (cli/SummaryCollector.java,
+  * cli/SSTableMetadataCollector.java). Zero data-file reads in the reference;
+  * here a single pass over the derived sstable_meta view. */
+object Summary {
+
+  private def meta(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.sstableMeta(
+      Fixtures.partitionScan(Fixtures.allCells(spark, dir)))
+
+  /** A11: per-(keyspace, table) rollup — sstable count, disk/uncompressed
+    * totals, repaired count/length/max(repairedAt), repair % as
+    * floor(repairedLen·100/dataSize) (SummaryCollector.java:41-68). F5
+    * repaired-predicate becomes conditional aggregation. */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    meta(spark, dir)
+      .groupBy("keyspace", "tbl")
+      .agg(
+        count(lit(1)).as("sstable_count"),
+        sum("disk_length").as("disk_length"),
+        sum("uncompressed_length").as("uncompressed_length"),
+        sum(when(col("is_repaired"), 1L).otherwise(0L)).as("repaired_count"),
+        sum(when(col("is_repaired"), col("uncompressed_length")).otherwise(0L))
+          .as("repaired_length"),
+        max(when(col("is_repaired"), col("repaired_at_ms")))
+          .as("max_repaired_at_ms"))
+      .withColumn("repair_pct",
+        floor(col("repaired_length") * 100 / col("uncompressed_length")))
+      .orderBy("keyspace", "tbl")
+
+  /** S2/T3: one row per SSTable from metadata only
+    * (SSTableMetadataCollector.java:39-91), generation-id sort order. */
+  def sstablesReport(spark: SparkSession, dir: String): DataFrame =
+    meta(spark, dir)
+      .where(col("tbl") === "lineitem")
+      .select(
+        col("sstable_id"), col("level"), col("is_repaired"),
+        col("compaction_strategy"),
+        col("min_timestamp_us"), col("max_timestamp_us"),
+        (col("max_timestamp_us") - col("min_timestamp_us")).as("duration_us"),
+        col("repaired_at_ms"),
+        col("partition_count"), col("cell_count"),
+        col("uncompressed_length"), col("disk_length"),
+        col("max_partition_size"), col("avg_partition_size"))
+      .orderBy("sstable_id")
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis over the documents table: quality scoring, language/source
+  * distribution, token counting, document fingerprinting. All per-document
+  * work is narrow (no shuffle); the rollups shuffle only tiny group keys. */
+object TextStats {
+
+  private def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("token_count", size(split(col("text"), " ")).cast("long"))
+
+  /** Per-document quality metrics. All outputs integer-exact:
+    * avg token length ×100 by integer division, counts via
+    * length-difference tricks (cross-engine deterministic, no regex). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables.documents(spark, dir))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("len_chars"),
+        col("token_count"),
+        floor((col("len_chars") - (col("token_count") - 1)) * 100 /
+          col("token_count")).as("avg_token_len_x100"),
+        (col("len_chars") -
+          length(replace(col("text"), lit("."), lit(""))))
+          .cast("long").as("period_count"),
+        floor((col("len_chars") -
+          length(replace(col("text"), lit(" the "), lit("")))) / 5)
+          .as("the_count"),
+        (col("token_count") < 20).as("is_short"))
+      .orderBy("doc_id")
+
+  /** Language-ID n-gram heuristic: score text against per-language marker
+    * words by occurrence counting; emit argmax language + confidence. The
+    * documents table carries a ground-truth `lang` for evaluation. */
+  def langId(docs: DataFrame): DataFrame = {
+    val markers = Map(
+      "en" -> Seq(" the ", " and ", " of "),
+      "de" -> Seq(" der ", " und ", " die "),
+      "fr" -> Seq(" le ", " et ", " les "))
+    val scores = markers.map { case (lang, ws) =>
+      ws.map(w => (length(col("text")) -
+        length(replace(col("text"), lit(w), lit("")))) / w.length)
+        .reduce(_ + _).cast("long").as(s"score_$lang")
+    }.toSeq
+    val scored = docs.select(col("doc_id") +: col("lang").as("true_lang") +:
+      scores: _*)
+    val best = markers.keys.toSeq.sorted
+      .foldLeft((lit("und"), lit(0L))) { case ((bl, bs), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+      }
+    scored.select(col("doc_id"), col("true_lang"),
+      best._1.as("pred_lang"), best._2.as("pred_score"))
+  }
+
+  /** Language × source distribution rollup. */
+  def langDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_chars").as("total_chars"),
+        floor(sum("n_chars") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** Token totals per source (whitespace tokenization). */
+  def tokenTotals(spark: SparkSession, dir: String): DataFrame =
+    withTokens(Tables.documents(spark, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("token_count").as("total_tokens"),
+        floor(sum("token_count") / count(lit(1))).as("tokens_per_doc"))
+      .orderBy("source")
+
+  /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars
+    * of long tokens — a deterministic proxy for subword tokenizers. */
+  def subwordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("tokens"),
+        sum(greatest(ceil(length(col("t")) / 4), lit(1L)))
+          .as("subword_units"))
+
+  /** Document fingerprint: order-independent 64-bit rolling-hash combination
+    * of token xxhash64s (position-weighted mod-prime polynomial). Spark-only
+    * (engine hash). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val p = 1000000007L
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .withColumn("h", pmod(xxhash64(col("t")), lit(p)))
+      .withColumn("weighted", pmod(col("h") * (col("pos") + 1), lit(p)))
+      .groupBy("doc_id")
+      .agg(pmod(sum("weighted"), lit(p)).as("fingerprint"),
+        count(lit(1)).as("tokens"))
+      .orderBy("doc_id")
+  }
+}

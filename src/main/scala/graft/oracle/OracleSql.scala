@@ -1,0 +1,395 @@
+package graft.oracle
+
+import graft.ops.Dist
+
+/** DuckDB-dialect SQL equivalents of every oracle-checked query. The driver
+  * executes these over the same parquet tables (registered by base name) and
+  * hash-compares against the Spark results, so every expression here must be
+  * engine-exact: integer arithmetic, explicit floor() before narrowing
+  * (DuckDB CAST rounds; Spark CAST truncates), explicit CAST(... AS BIGINT)
+  * on aggregates (DuckDB SUM yields HUGEINT), no engine hash functions, no
+  * float accumulation. Mirrors graft.sources.Fixtures / graft.ops.* 1:1. */
+object OracleSql {
+
+  val GcBeforeS = 2500L * 86400L
+
+  private val liDay =
+    "CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)"
+  private val oDay =
+    "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+
+  /** Mirror of Fixtures.lineitemCells + ordersCells + partitionScan +
+    * partitions + sstableMeta as one CTE prefix. */
+  val fixtures: String = s"""
+licells AS (
+  SELECT 'ks1' AS keyspace, 'lineitem' AS tbl,
+    'sst-' || (l_suppkey % 6) AS sstable_id,
+    l_orderkey AS key,
+    'key-' || l_orderkey AS key_formatted,
+    CAST(l_linenumber % 3 AS BIGINT) AS clustering,
+    CASE WHEN l_returnflag = 'R' AND l_linenumber = 7
+         THEN 'range:' || (l_linenumber % 3)
+         ELSE 'c' || (l_partkey % 2) END AS column_name,
+    CASE WHEN l_returnflag = 'R' AND l_linenumber = 7
+         THEN 'RANGE_TOMBSTONE_MARKER' ELSE 'CELL' END AS kind,
+    $liDay * 86400000000 + l_orderkey * 10 + l_linenumber AS timestamp_us,
+    CASE WHEN l_discount >= 0.06
+         THEN CAST(floor(l_tax * 100) AS BIGINT) * 86400
+         ELSE CAST(-1 AS BIGINT) END AS ttl_s,
+    CASE WHEN l_returnflag = 'R' THEN $liDay * 86400
+         ELSE CAST(2147483647 AS BIGINT) END AS local_deletion_time_s,
+    (l_returnflag = 'R') AS is_tombstone,
+    (l_discount >= 0.06 AND l_returnflag <> 'R') AS is_expiring,
+    (l_partkey % 97 = 0 AND l_returnflag <> 'R') AS is_counter,
+    (l_returnflag <> 'R') AS is_live,
+    CAST(floor(l_extendedprice) AS BIGINT) % 10000 + 64 AS size_bytes
+  FROM lineitem
+),
+ocells AS (
+  SELECT 'ks1' AS keyspace, 'orders' AS tbl,
+    'osst-' || (o_orderkey % 4) AS sstable_id,
+    o_custkey AS key,
+    'key-' || o_custkey AS key_formatted,
+    o_orderkey AS clustering,
+    'total' AS column_name,
+    'CELL' AS kind,
+    $oDay * 86400000000 + o_orderkey AS timestamp_us,
+    CAST(-1 AS BIGINT) AS ttl_s,
+    CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0 THEN $oDay * 86400
+         ELSE CAST(2147483647 AS BIGINT) END AS local_deletion_time_s,
+    (o_orderstatus = 'F' AND o_orderkey % 5 = 0) AS is_tombstone,
+    FALSE AS is_expiring,
+    FALSE AS is_counter,
+    NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0) AS is_live,
+    CAST(floor(o_totalprice) AS BIGINT) % 8000 + 32 AS size_bytes
+  FROM orders
+),
+cells AS (SELECT * FROM licells UNION ALL SELECT * FROM ocells),
+pscan AS (
+  SELECT keyspace, tbl, sstable_id, key, key_formatted,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(COUNT(DISTINCT clustering) AS BIGINT) AS row_count,
+    CAST(COUNT(DISTINCT CASE WHEN is_tombstone THEN clustering END) AS BIGINT) AS row_delete_count,
+    CAST(COUNT(CASE WHEN kind = 'CELL' THEN 1 END) AS BIGINT) AS cell_count,
+    CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstone_count,
+    CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS THEN 1 ELSE 0 END) AS BIGINT) AS droppable_tombstone_count,
+    CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS range_tombstone_count,
+    CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live_cell_count,
+    CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring_cell_count,
+    CAST(SUM(CASE WHEN is_counter THEN 1 ELSE 0 END) AS BIGINT) AS counter_cell_count,
+    CAST(MIN(timestamp_us) AS BIGINT) AS min_timestamp_us,
+    CAST(MAX(timestamp_us) AS BIGINT) AS max_timestamp_us
+  FROM cells GROUP BY 1, 2, 3, 4, 5
+),
+parts AS (
+  SELECT keyspace, tbl, key, key_formatted,
+    CAST(COUNT(*) AS BIGINT) AS table_count,
+    CAST(SUM(size) AS BIGINT) AS size,
+    CAST(SUM(row_count) AS BIGINT) AS row_count,
+    CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
+    CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+    CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
+    CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
+  FROM pscan GROUP BY 1, 2, 3, 4
+),
+liparts AS (SELECT * FROM parts WHERE tbl = 'lineitem'),
+lipscan AS (SELECT * FROM pscan WHERE tbl = 'lineitem'),
+meta AS (
+  SELECT keyspace, tbl, sstable_id,
+    CAST(COUNT(*) AS BIGINT) AS partition_count,
+    CAST(SUM(size) AS BIGINT) AS uncompressed_length,
+    CAST(MAX(size) AS BIGINT) AS max_partition_size,
+    CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+    CAST(MIN(min_timestamp_us) AS BIGINT) AS min_timestamp_us,
+    CAST(MAX(max_timestamp_us) AS BIGINT) AS max_timestamp_us,
+    CAST(floor(SUM(size) * 3 / 5) AS BIGINT) AS disk_length,
+    CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size,
+    CAST(right(sstable_id, 1) AS INT) AS level,
+    (CAST(right(sstable_id, 1) AS INT) % 2 = 0) AS is_repaired,
+    CASE WHEN CAST(right(sstable_id, 1) AS INT) % 2 = 0
+         THEN CAST(floor(MAX(max_timestamp_us) / 1000) AS BIGINT) END AS repaired_at_ms,
+    CASE WHEN CAST(right(sstable_id, 1) AS INT) % 3 = 0 THEN 'STCS'
+         WHEN CAST(right(sstable_id, 1) AS INT) % 3 = 1 THEN 'LCS'
+         ELSE 'TWCS' END AS compaction_strategy
+  FROM pscan GROUP BY 1, 2, 3
+)"""
+
+  /** Mirror of Dedup.corpus. */
+  val corpus: String = """
+corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' graft near duplicate suffix',
+         lang, source, n_chars + 28
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+  /** Mirror of Dedup.shingles over corpus (DuckDB list slices are 1-based
+    * inclusive; range() is upper-exclusive, hence the +-1 offsets vs the
+    * Spark sequence/slice form — both yield i in 1..max(len-4, 1)). */
+  val shingles: String = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(w) - 3, 2))) AS t(i)
+)"""
+
+  /** Mirror of Similarity.quantize. */
+  val quantized: String = """
+qe AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+  FROM qe
+)"""
+
+  val queries: Map[String, String] = Map(
+    "q01_pstats_size_dist" -> s"""WITH $fixtures
+SELECT ${Dist.sql("size")},
+    CAST(MIN(table_count) AS BIGINT) AS table_count_min,
+    CAST(MAX(table_count) AS BIGINT) AS table_count_max,
+    CAST(floor(SUM(table_count) * 100 / COUNT(*)) AS BIGINT) AS table_count_avg_x100
+FROM liparts""",
+
+    "q02_pstats_top_size" -> s"""WITH $fixtures
+SELECT key, key_formatted, size, table_count FROM liparts
+ORDER BY size DESC, key LIMIT 10""",
+
+    "q03_pstats_top_tables" -> s"""WITH $fixtures
+SELECT key, key_formatted, size, table_count FROM liparts
+ORDER BY table_count DESC, size DESC, key LIMIT 10""",
+
+    "q04_pstats_sstables" -> s"""WITH $fixtures
+SELECT sstable_id, partition_count, avg_partition_size, max_partition_size,
+       uncompressed_length
+FROM meta WHERE tbl = 'lineitem' ORDER BY sstable_id""",
+
+    "q05_summary" -> s"""WITH $fixtures
+SELECT keyspace, tbl,
+  CAST(COUNT(*) AS BIGINT) AS sstable_count,
+  CAST(SUM(disk_length) AS BIGINT) AS disk_length,
+  CAST(SUM(uncompressed_length) AS BIGINT) AS uncompressed_length,
+  CAST(SUM(CASE WHEN is_repaired THEN 1 ELSE 0 END) AS BIGINT) AS repaired_count,
+  CAST(SUM(CASE WHEN is_repaired THEN uncompressed_length ELSE 0 END) AS BIGINT) AS repaired_length,
+  CAST(MAX(CASE WHEN is_repaired THEN repaired_at_ms END) AS BIGINT) AS max_repaired_at_ms,
+  CAST(floor(SUM(CASE WHEN is_repaired THEN uncompressed_length ELSE 0 END) * 100
+       / SUM(uncompressed_length)) AS BIGINT) AS repair_pct
+FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q06_sstables_meta" -> s"""WITH $fixtures
+SELECT sstable_id, level, is_repaired, compaction_strategy,
+  min_timestamp_us, max_timestamp_us,
+  max_timestamp_us - min_timestamp_us AS duration_us,
+  repaired_at_ms, partition_count, cell_count,
+  uncompressed_length, disk_length, max_partition_size, avg_partition_size
+FROM meta WHERE tbl = 'lineitem' ORDER BY sstable_id""",
+
+    "q07_cfstats_rows_dist" -> s"""WITH $fixtures
+SELECT ${Dist.sql("row_count")} FROM liparts""",
+
+    "q08_cfstats_cells_dist" -> s"""WITH $fixtures
+SELECT ${Dist.sql("cell_count")} FROM liparts""",
+
+    "q09_cfstats_tomb_dist" -> s"""WITH $fixtures
+SELECT ${Dist.sql("tombstone_count")} FROM liparts WHERE tombstone_count > 0""",
+
+    "q10_cfstats_top_wide" -> s"""WITH $fixtures
+SELECT key, key_formatted, cell_count, size, row_count FROM liparts
+ORDER BY cell_count DESC, size DESC, key LIMIT 10""",
+
+    "q11_cfstats_top_tombstones" -> s"""WITH $fixtures
+SELECT key, key_formatted, tombstone_count, droppable_tombstone_count, size
+FROM liparts WHERE tombstone_count > 0
+ORDER BY tombstone_count DESC, size DESC, key LIMIT 10""",
+
+    "q12_cfstats_top_deleted" -> s"""WITH $fixtures
+SELECT key, key_formatted, row_delete_count, size
+FROM liparts WHERE row_delete_count > 0
+ORDER BY row_delete_count DESC, size DESC, key LIMIT 10""",
+
+    "q13_cfstats_ttl_hist" -> s"""WITH $fixtures
+SELECT ttl_s, CAST(COUNT(*) AS BIGINT) AS cell_count
+FROM licells WHERE kind = 'CELL' GROUP BY ttl_s ORDER BY ttl_s""",
+
+    "q14_cfstats_sstable_stats" -> s"""WITH $fixtures
+SELECT sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(row_count) AS BIGINT) AS row_count,
+  CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
+  CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+  CAST(SUM(live_cell_count) AS BIGINT) AS live_cell_count,
+  CAST(SUM(expiring_cell_count) AS BIGINT) AS expiring_cell_count,
+  CAST(SUM(counter_cell_count) AS BIGINT) AS counter_cell_count,
+  CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
+  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count,
+  CAST(SUM(range_tombstone_count) AS BIGINT) AS range_tombstone_count,
+  CAST(floor(SUM(live_cell_count) * 100 / greatest(SUM(cell_count), 1)) AS BIGINT) AS liveness_pct
+FROM lipscan GROUP BY 1 ORDER BY 1""",
+
+    "q15_cfstats_totals" -> s"""WITH $fixtures
+SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(row_count) AS BIGINT) AS row_count,
+  CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
+  CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+  CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
+  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
+FROM liparts""",
+
+    "q16_purge_top" -> s"""WITH $fixtures,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM licells
+),
+purge AS (
+  SELECT key, key_formatted,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, key_formatted, table_count, size,
+       size - merged_size AS reclaimable
+FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
+
+    "q17_purge_totals" -> s"""WITH $fixtures,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM licells
+),
+purge AS (
+  SELECT key,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(CASE WHEN size > merged_size THEN 1 ELSE 0 END) AS BIGINT) AS partitions_with_reclaimable,
+  CAST(SUM(size) AS BIGINT) AS total_size,
+  CAST(SUM(size - merged_size) AS BIGINT) AS total_reclaimable
+FROM purge""",
+
+    "q18_index_offsets" -> s"""WITH $fixtures,
+idx AS (
+  SELECT sstable_id, key, size,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+),
+derived AS (
+  SELECT sstable_id, size,
+    COALESCE(lead(position) OVER (PARTITION BY sstable_id ORDER BY position),
+      MAX(position + size) OVER (PARTITION BY sstable_id)) - position AS derived_size
+  FROM idx
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
+  CAST(SUM(derived_size) AS BIGINT) AS derived_total,
+  CAST(SUM(size) AS BIGINT) AS stored_total,
+  CAST(SUM(CASE WHEN derived_size <> size THEN 1 ELSE 0 END) AS BIGINT) AS mismatches
+FROM derived GROUP BY 1 ORDER BY 1""",
+
+    "q20_dedup_exact" -> s"""WITH $corpus
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS copies
+FROM corpus GROUP BY text HAVING COUNT(*) > 1 ORDER BY keeper""",
+
+    "q21_dedup_ngram" -> s"""WITH $corpus, $shingles,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1)
+SELECT p.id_a, p.id_b,
+  CAST(floor(p.inter * 1000 / (sa.sz + sb.sz - p.inter)) AS BIGINT) AS jaccard_x1000
+FROM pairs p
+JOIN szs sa ON p.id_a = sa.doc_id
+JOIN szs sb ON p.id_b = sb.doc_id
+WHERE p.inter * 100 >= 80 * (sa.sz + sb.sz - p.inter)
+ORDER BY 1, 2""",
+
+    "q24_sim_topk" -> s"""WITH $quantized,
+q AS (SELECT vec_id AS query_id, qv AS qa, norm2 AS na2 FROM qn WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2 FROM qn WHERE vec_id >= 8),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS DOUBLE)
+      / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos
+  FROM q, c
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q26_text_quality" -> """SELECT doc_id, n_chars,
+  CAST(length(text) AS BIGINT) AS len_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+  CAST(floor((length(text) - (len(string_split(text, ' ')) - 1)) * 100
+       / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_x100,
+  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS period_count,
+  CAST(floor((length(text) - length(replace(text, ' the ', ''))) / 5) AS BIGINT) AS the_count,
+  (len(string_split(text, ' ')) < 20) AS is_short
+FROM documents ORDER BY doc_id""",
+
+    "q27_lang_dist" -> """SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(floor(SUM(n_chars) / COUNT(*)) AS BIGINT) AS avg_chars
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q28_token_totals" -> """WITH t AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+  CAST(floor(SUM(token_count) / COUNT(*)) AS BIGINT) AS tokens_per_doc
+FROM t GROUP BY 1 ORDER BY 1""",
+
+    "q30_events_hourly" -> """SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_x100,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q31_events_sessions" -> """WITH lagd AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marks AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS s
+  FROM lagd
+)
+SELECT user_id, CAST(SUM(s) AS BIGINT) AS sessions,
+  CAST(COUNT(*) AS BIGINT) AS events
+FROM marks GROUP BY 1 ORDER BY 1""",
+
+    "q32_multimodal_meta" -> """SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(ascii(text) AS BIGINT) AS first_byte,
+  CAST(floor(strlen(text) / 256) + 1 AS BIGINT) AS frames_stub
+FROM documents ORDER BY doc_id"""
+  )
+}

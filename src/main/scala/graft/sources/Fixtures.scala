@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived SSTable-analytics views (FIXTURES.md family A), built
+  * deterministically from the driver parquet tables so the DuckDB oracle can
+  * recompute every aggregate from the same inputs.
+  *
+  * Models the reference's data hierarchy (SURVEY.md §1): cell events
+  * (cassandra/DataReader.java:46-123), per-(sstable,partition) scan rows,
+  * partition-index entries (cassandra/IndexReader.java:77-113) and SSTable
+  * metadata (SSTableMetadata.java:47-84).
+  *
+  * Cross-engine determinism rules (Spark vs DuckDB must agree bit-for-bit):
+  *  - integer arithmetic only in derived values; `floor(...)` before any
+  *    double->long narrowing (DuckDB CAST rounds, Spark CAST truncates);
+  *  - timestamps reduced to whole days since 1992-01-01 (DuckDB `epoch()`
+  *    returns DOUBLE, so epoch seconds are never used);
+  *  - no engine-specific hash functions in oracle-checked outputs.
+  */
+object Fixtures {
+
+  /** gc_grace cutoff in "seconds" (fixture time): tombstones written before
+    * day 2500 are droppable — mirrors `gcBefore = now - gc_grace_seconds`
+    * (ColumnFamilyBackend.java:149, PurgeStatisticBackend.java:47) with a
+    * deterministic constant instead of wall-clock now. */
+  val GcBeforeS: Long = 2500L * 86400L
+
+  val EpochDay = "1992-01-01"
+
+  private def dayOf(c: Column): Column =
+    datediff(to_date(c), to_date(lit(EpochDay))).cast("long")
+
+  /** One row per cell / range-tombstone-marker event, derived from lineitem.
+    * Partition key = l_orderkey; cells of one partition spread over 6
+    * sstables by l_suppkey so keys overlap sstables (exercises the collate
+    * path, PartitionReader.java:64-68). */
+  def lineitemCells(lineitem: DataFrame): DataFrame = {
+    val day = dayOf(col("l_shipdate"))
+    val isTomb = col("l_returnflag") === "R"
+    val isMarker = isTomb && col("l_linenumber") === 7
+    val ttl = when(col("l_discount") >= 0.06,
+      floor(col("l_tax") * 100).cast("long") * 86400L).otherwise(-1L)
+    lineitem.select(
+      lit("ks1").as("keyspace"),
+      lit("lineitem").as("tbl"),
+      concat(lit("sst-"), col("l_suppkey") % 6).as("sstable_id"),
+      col("l_orderkey").as("key"),
+      concat(lit("key-"), col("l_orderkey")).as("key_formatted"),
+      // linenumber folded mod 3 so the same (key, clustering, column) cell
+      // exists in several sstables — exercises LWW shadowing in purge (J2).
+      (col("l_linenumber") % 3).cast("long").as("clustering"),
+      when(isMarker, concat(lit("range:"), col("l_linenumber") % 3))
+        .otherwise(concat(lit("c"), col("l_partkey") % 2)).as("column_name"),
+      when(isMarker, "RANGE_TOMBSTONE_MARKER").otherwise("CELL").as("kind"),
+      (day * 86400000000L + col("l_orderkey") * 10 + col("l_linenumber"))
+        .as("timestamp_us"),
+      ttl.as("ttl_s"),
+      when(isTomb, day * 86400L).otherwise(2147483647L)
+        .as("local_deletion_time_s"),
+      isTomb.as("is_tombstone"),
+      (ttl =!= -1L && !isTomb).as("is_expiring"),
+      (col("l_partkey") % 97 === 0 && !isTomb).as("is_counter"),
+      (!isTomb).as("is_live"),
+      (floor(col("l_extendedprice")).cast("long") % 10000L + 64L)
+        .as("size_bytes"))
+  }
+
+  /** Second column family (ks1.orders) so the summary rollup
+    * (SummaryCollector.java:41-68) has >1 group. */
+  def ordersCells(orders: DataFrame): DataFrame = {
+    val day = dayOf(col("o_orderdate"))
+    val isTomb = col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0
+    orders.select(
+      lit("ks1").as("keyspace"),
+      lit("orders").as("tbl"),
+      concat(lit("osst-"), col("o_orderkey") % 4).as("sstable_id"),
+      col("o_custkey").as("key"),
+      concat(lit("key-"), col("o_custkey")).as("key_formatted"),
+      col("o_orderkey").as("clustering"),
+      lit("total").as("column_name"),
+      lit("CELL").as("kind"),
+      (day * 86400000000L + col("o_orderkey")).as("timestamp_us"),
+      lit(-1L).as("ttl_s"),
+      when(isTomb, day * 86400L).otherwise(2147483647L)
+        .as("local_deletion_time_s"),
+      isTomb.as("is_tombstone"),
+      lit(false).as("is_expiring"),
+      lit(false).as("is_counter"),
+      (!isTomb).as("is_live"),
+      (floor(col("o_totalprice")).cast("long") % 8000L + 32L)
+        .as("size_bytes"))
+  }
+
+  def allCells(spark: SparkSession, dir: String): DataFrame =
+    lineitemCells(Tables.lineitem(spark, dir))
+      .unionByName(ordersCells(Tables.orders(spark, dir)))
+
+  def cells(spark: SparkSession, dir: String): DataFrame =
+    lineitemCells(Tables.lineitem(spark, dir))
+
+  /** One row per (sstable, partition) — the pre-collate granularity the
+    * reference accumulates during its Data.db scan (DataReader.java:53-121).
+    * Partial aggregation happens map-side (HashAggregate partial) before the
+    * shuffle on the group keys — the distributed analog of the reference's
+    * per-sstable accumulators. */
+  def partitionScan(cells: DataFrame): DataFrame =
+    cells
+      .groupBy(col("keyspace"), col("tbl"), col("sstable_id"), col("key"),
+        col("key_formatted"))
+      .agg(
+        sum("size_bytes").as("size"),
+        countDistinct("clustering").as("row_count"),
+        countDistinct(when(col("is_tombstone"), col("clustering")))
+          .as("row_delete_count"),
+        count(when(col("kind") === "CELL", 1)).as("cell_count"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstone_count"),
+        sum(when(col("is_tombstone") &&
+          col("local_deletion_time_s") < GcBeforeS, 1L).otherwise(0L))
+          .as("droppable_tombstone_count"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
+          .as("range_tombstone_count"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live_cell_count"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L))
+          .as("expiring_cell_count"),
+        sum(when(col("is_counter"), 1L).otherwise(0L))
+          .as("counter_cell_count"),
+        min("timestamp_us").as("min_timestamp_us"),
+        max("timestamp_us").as("max_timestamp_us"))
+
+  /** Cross-sstable collate by exact partition key — the reference's k-way
+    * sorted merge (PartitionReader.java:55-71, PartitionStatistics.java:118-130)
+    * becomes a hash aggregation: sortedness is an input property Spark does
+    * not need, and the shuffle Exchange sits exactly where the reference's
+    * single-thread merge loop sat. */
+  def partitions(pscan: DataFrame): DataFrame =
+    pscan
+      .groupBy("keyspace", "tbl", "key", "key_formatted")
+      .agg(
+        count("*").as("table_count"),
+        sum("size").as("size"),
+        sum("row_count").as("row_count"),
+        sum("row_delete_count").as("row_delete_count"),
+        sum("cell_count").as("cell_count"),
+        sum("tombstone_count").as("tombstone_count"),
+        sum("droppable_tombstone_count").as("droppable_tombstone_count"))
+
+  /** Partition-index entries (IndexReader.java:77-113): per-(sstable, key)
+    * size plus the Data.db `position` offset, reconstructed as a running sum
+    * so `lead(position) - position` re-derives size (SURVEY §2.5). */
+  def indexEntries(pscan: DataFrame): DataFrame = {
+    val w = Window.partitionBy("sstable_id").orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pscan
+      .where(col("tbl") === "lineitem")
+      .select(col("sstable_id"), col("key"), col("key_formatted"), col("size"))
+      .withColumn("position", coalesce(sum("size").over(w), lit(0L)))
+  }
+
+  /** SSTable metadata (SSTableMetadata.java:47-84, filled at
+    * CassandraBackend.java:89-123), derived per sstable from the scan rows.
+    * level / repaired / strategy are deterministic functions of the sstable
+    * id so every report branch is exercised. */
+  def sstableMeta(pscan: DataFrame): DataFrame =
+    pscan
+      .groupBy("keyspace", "tbl", "sstable_id")
+      .agg(
+        count("*").as("partition_count"),
+        sum("size").as("uncompressed_length"),
+        max("size").as("max_partition_size"),
+        sum("cell_count").as("cell_count"),
+        min("min_timestamp_us").as("min_timestamp_us"),
+        max("max_timestamp_us").as("max_timestamp_us"))
+      .withColumn("disk_length", floor(col("uncompressed_length") * 3 / 5))
+      .withColumn("avg_partition_size",
+        floor(col("uncompressed_length") / col("partition_count")))
+      .withColumn("level", expr("CAST(right(sstable_id, 1) AS INT)"))
+      .withColumn("is_repaired", col("level") % 2 === 0)
+      .withColumn("repaired_at_ms",
+        when(col("is_repaired"), floor(col("max_timestamp_us") / 1000))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("compaction_strategy",
+        when(col("level") % 3 === 0, "STCS")
+          .when(col("level") % 3 === 1, "LCS")
+          .otherwise("TWCS"))
+}

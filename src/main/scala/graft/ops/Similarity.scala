@@ -57,19 +57,21 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate NN: 12 deterministic pseudo-random hyperplanes
-    * (coefficients from a fixed LCG over (plane, dim) — no RNG state), sign
-    * bits → bucket id; query joins only its bucket. Recall < 1 by design;
-    * the scale path when brute force's candidate scan is too wide.
+  /** LSH-bucketed approximate NN: deterministic pseudo-random hyperplanes
+    * (coefficients from xxhash64 of (plane, dim) — seeded, no RNG state),
+    * sign bits → bucket id; query joins only its bucket. Recall < 1 by
+    * design; the scale path when brute force's candidate scan is too wide.
     * Multi-probe: queries also probe buckets at Hamming distance 1. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, planes: Int = 12): DataFrame = {
+      k: Int = 5, planes: Int = 8): DataFrame = {
     val q = quantize(Tables.embeddings(spark, dir))
-    // plane p coefficient for dim j: ((1103515245*(p*64+j) + 12345) mod 2001) - 1000
+    // plane p coefficient for dim j: (xxhash64("p:j") mod 2001) - 1000
+    // (an LCG over p*64+j is an arithmetic progression mod 2001 — planes
+    // come out correlated and buckets are useless; a hash mixes properly)
     val sigCol = (0 until planes).map { p =>
       val proj = expr(
         s"""aggregate(zip_with(qv, sequence(0, size(qv) - 1),
-           |  (x, j) -> x * (pmod(1103515245 * CAST($p * 64 + j AS BIGINT) + 12345, 2001) - 1000)),
+           |  (x, j) -> x * (pmod(xxhash64(concat('$p', ':', CAST(j AS STRING))), 2001) - 1000)),
            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))

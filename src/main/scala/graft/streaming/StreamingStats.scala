@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY §7 M6c): cfstats-style rolling
+  * counters and windowed rollups over the events stream. The reference is
+  * batch-only; this is the capability add for continuous ingest — same
+  * aggregation expressions as graft.ops.EventsOps so batch results oracle
+  * the streaming ones.
+  */
+object StreamingStats {
+
+  /** Tumbling 1-hour windowed rollup with a 2-hour watermark for late data.
+    * Works on any DataFrame with (ts: timestamp, event_type, value) — batch
+    * or streaming source alike (unified Dataset API). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_x100"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("events"), col("value_x100"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("events"))
+
+  case class SessionUpdate(user_id: Long, events: Long, closed: Boolean)
+
+  /** Custom session state via mapGroupsWithState: per-user running event
+    * count with a 30-minute processing-time session timeout. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            SessionUpdate(user, n, closed = true)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            state.setTimeoutDuration("30 minutes")
+            SessionUpdate(user, n, closed = false)
+          }
+        })
+      .toDF()
+  }
+
+  /** File-source streaming entry: `eventsDir` is a directory into which
+    * event parquet files arrive (FileStreamSource's contract). */
+  def fromEventsDir(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    val ts =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts")
+    hourlyCounts(raw.withColumn("ts", ts))
+  }
+
+  /** Run hourlyCounts over `dir`/events.parquet to a memory sink until all
+    * available data is processed (test/demo harness): stages the file into
+    * a temp ingest directory, the shape a streaming deployment reads. */
+  def runOnce(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ingest = Files.createTempDirectory("graft-stream-")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      ingest.resolve("events.parquet"))
+    // Complete mode: a single AvailableNow batch never advances the
+    // watermark past its own data, so Append would emit nothing here.
+    val q = fromEventsDir(spark, ingest.toString).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Specs for the LLM-data-pipeline extension operators. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("exact dedup finds exactly the injected doc_id % 5 copies") {
+    val rows = Dedup.exact(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // every duplicate group stems from an injected copy: copies == 2 and the
+    // keeper is the original doc_id (min of {id, id + 1000000})
+    rows.foreach { r =>
+      assert(r.getAs[Long]("copies") == 2L)
+      assert(r.getAs[Long]("keeper") < 1000000L)
+      assert(r.getAs[Long]("keeper") % 5 == 0)
+    }
+  }
+
+  test("ngram jaccard pairs: exact copies score 1000, near-dups >= 800") {
+    val rows = Dedup.ngramJaccard(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // restrict to (original, exact copy) — an id_a in the 1M range is
+    // itself an injected copy whose +1M counterpart is the suffixed near-dup
+    val exactPairs = rows.filter(r =>
+      r.getAs[Long]("id_a") < 1000000L &&
+        r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach(r => assert(r.getAs[Long]("jaccard_x1000") == 1000L))
+    rows.foreach(r => assert(r.getAs[Long]("jaccard_x1000") >= 800L))
+  }
+
+  test("minhash LSH recovers the exact-duplicate pairs") {
+    val lsh = Dedup.minhashLsh(spark, Sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.exact(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("keeper"),
+        r.getAs[Long]("keeper") + 1000000L)).toSet
+    // identical docs have identical signatures -> always same buckets
+    assert(truth.subsetOf(lsh))
+  }
+
+  test("simhash: identical docs share identical signatures") {
+    val corpus = Dedup.corpus(spark, Sf0001)
+    val sig = Dedup.simhash(corpus)
+    val joined = sig.as("a").join(sig.as("b"),
+      col("a.doc_id") + 1000000L === col("b.doc_id") &&
+        col("a.doc_id") < 1000000L)
+    val diff = joined.where(col("a.simhash") =!= col("b.simhash"))
+    assert(diff.count() == 0)
+  }
+
+  test("brute-force topk: ranks are 1..5 per query, neighbors distinct") {
+    val rows = Similarity.bruteForceTopK(spark, Sf0001).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L))
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+    }
+  }
+
+  test("LSH ANN hits overlap brute-force top-5 (recall sanity)") {
+    val bf = Similarity.bruteForceTopK(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ann = Similarity.lshTopK(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(ann.nonEmpty)
+    // approximate: we only require non-trivial overlap with the truth
+    assert((ann intersect bf).nonEmpty)
+  }
+
+  test("embedding near-dup finds the injected exact/scaled copies") {
+    val rows = Dedup.embeddingNearDup(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      b == a + 100000L || b == a + 200000L || b >= 100000L
+    })
+  }
+
+  test("text quality: token and char counts are consistent") {
+    val rows = TextStats.quality(spark, Sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("len_chars") == r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("token_count") > 0)
+    }
+  }
+
+  test("langId predicts en for english marker docs") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "der hund und die katze und der baum", "de"))).toDF("doc_id", "text", "lang")
+    val out = TextStats.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+    val a = TextStats.fingerprint(docs).collect().map(_.toSeq)
+    val b = TextStats.fingerprint(docs).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("multimodal: features flow through mapPartitions stub decoder") {
+    val feats = Multimodal.extractFeatures(spark, Sf0001).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.width >= 16 && f.height >= 16)
+      assert(f.frames >= 1)
+      if (f.media_type != "video") assert(f.frames == 1)
+    }
+  }
+
+  test("streaming hourly counts match the batch rollup") {
+    val streamed = graft.streaming.StreamingStats
+      .runOnce(spark, Sf0001, "stream_hourly")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("events"), col("value_x100"))
+    val batch = EventsOps.hourly(spark, Sf0001)
+      .select("hour", "event_type", "events", "value_x100")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}

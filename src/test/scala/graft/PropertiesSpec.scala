@@ -1,0 +1,112 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.PurgeAggregator
+import graft.agg.PurgeAggregator.{Buf, Cell, Winner}
+
+/** ScalaCheck properties (SURVEY §5.2): collate is a commutative semigroup
+  * (merge order must not matter, mirroring PartitionStatistics.java:118-130),
+  * top-N ≡ sort+limit, TTL-map merge ≡ multiset union, purge invariants. */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Deterministic property loop (scalatestplus-scalacheck is not in the
+    * offline dependency set, so drive Gen directly with fixed seeds). */
+  private def checkProp[T](gen: Gen[T], trials: Int = 200)(f: T => Boolean): Unit =
+    (0 until trials).foreach { i =>
+      val v = gen.pureApply(Gen.Parameters.default, Seed(42L + i))
+      assert(f(v), s"property failed for: $v")
+    }
+
+  private val genCell: Gen[Cell] = for {
+    key <- Gen.choose(0L, 5L)
+    clustering <- Gen.choose(0L, 3L)
+    col <- Gen.oneOf("c0", "c1")
+    sst <- Gen.oneOf("sst-0", "sst-1", "sst-2")
+    ts <- Gen.choose(0L, 100L)
+    ldt <- Gen.choose(0L, 100L)
+    tomb <- Gen.oneOf(true, false)
+    size <- Gen.choose(1L, 1000L)
+  } yield Cell(key, s"key-$key", clustering, col, sst, ts, ldt, tomb, size)
+
+  private def agg = new PurgeAggregator.Agg(50L)
+
+  test("purge buffer merge is associative and commutative in effect") {
+    checkProp(Gen.listOfN(12, genCell)) { cells =>
+      val a = agg
+      // fold in given order vs reversed order vs split-merge
+      val inOrder = cells.foldLeft(a.zero)(a.reduce)
+      val reversed = cells.reverse.foldLeft(a.zero)(a.reduce)
+      val (l, r) = cells.splitAt(cells.length / 2)
+      val split = a.merge(
+        l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))
+      a.finish(inOrder) == a.finish(reversed) &&
+        a.finish(inOrder) == a.finish(split)
+    }
+  }
+
+  test("purge invariants: 0 <= reclaimable <= size; infinite gc_grace " +
+    "means tombstones are never purged") {
+    checkProp(Gen.listOfN(10, genCell)) { cells =>
+      val a = agg
+      val r = a.finish(cells.foldLeft(a.zero)(a.reduce))
+      val neverPurge = new PurgeAggregator.Agg(Long.MinValue)
+      val r2 = neverPurge.finish(cells.foldLeft(neverPurge.zero)(neverPurge.reduce))
+      r.reclaimable >= 0 && r.reclaimable <= r.size &&
+        r2.reclaimable >= 0 && r2.reclaimable >= {
+          // without gc purging, reclaimable comes only from shadowing
+          0L
+        } && r2.merged_size >= r.merged_size
+    }
+  }
+
+  test("collate (fieldwise sum + tableCount) is order-independent") {
+    case class P(size: Long, rows: Long, cells: Long, ttl: Map[Long, Long])
+    def collate(a: P, b: P): P = P(a.size + b.size, a.rows + b.rows,
+      a.cells + b.cells,
+      (a.ttl.keySet ++ b.ttl.keySet).map(k =>
+        k -> (a.ttl.getOrElse(k, 0L) + b.ttl.getOrElse(k, 0L))).toMap)
+    val genP = for {
+      s <- Gen.choose(0L, 100L); r <- Gen.choose(0L, 10L)
+      c <- Gen.choose(0L, 50L)
+      ttl <- Gen.mapOf(Gen.zip(Gen.choose(-1L, 5L), Gen.choose(1L, 9L)))
+    } yield P(s, r, c, ttl)
+    checkProp(Gen.nonEmptyListOf(genP)) { ps =>
+      val f = ps.reduce(collate)
+      val g = ps.reverse.reduce(collate)
+      f == g
+    }
+  }
+
+  test("bounded top-N heap semantics == sort + limit") {
+    checkProp(Gen.listOf(Gen.choose(-1000L, 1000L))) { xs =>
+      val n = 10
+      // reference uses MinMaxPriorityQueue.maximumSize(n); model it
+      val heap = xs.foldLeft(List.empty[Long]) { (acc, x) =>
+        (x :: acc).sorted(Ordering[Long].reverse).take(n)
+      }
+      heap == xs.sorted(Ordering[Long].reverse).take(n)
+    }
+  }
+
+  test("winner ordering (beats) is a strict total order on distinct cells") {
+    val genW = for {
+      ts <- Gen.choose(0L, 3L); sst <- Gen.oneOf("a", "b")
+      sz <- Gen.choose(1L, 3L); t <- Gen.oneOf(true, false)
+      ldt <- Gen.choose(0L, 2L)
+    } yield Winner(ts, sst, sz, t, ldt)
+    // antisymmetry via reduce: winner of (x then y) == winner of (y then x)
+    checkProp(Gen.zip(genW, genW)) { case (x, y) =>
+      val a = agg
+      val cx = Cell(1, "k", 0, "c0", x.sstable_id, x.timestamp_us,
+        x.local_deletion_time_s, x.is_tombstone, x.size_bytes)
+      val cy = Cell(1, "k", 0, "c0", y.sstable_id, y.timestamp_us,
+        y.local_deletion_time_s, y.is_tombstone, y.size_bytes)
+      val xy = a.finish(List(cx, cy).foldLeft(a.zero)(a.reduce))
+      val yx = a.finish(List(cy, cx).foldLeft(a.zero)(a.reduce))
+      xy == yx
+    }
+  }
+}

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * shuffled bytes are reconciled buffers, not raw cells. */
 object PurgeAggregator {
 
-  case class Cell(key: Long, key_formatted: String, clustering: Long,
+  case class Cell(key: Long, clustering: Long,
       column_name: String, sstable_id: String, timestamp_us: Long,
       local_deletion_time_s: Long, is_tombstone: Boolean, size_bytes: Long)
 
@@ -85,13 +85,14 @@ object PurgeAggregator {
     val spark = cells.sparkSession
     import spark.implicits._
     cells
-      .select("key", "key_formatted", "clustering", "column_name",
+      .select("key", "clustering", "column_name",
         "sstable_id", "timestamp_us", "local_deletion_time_s",
         "is_tombstone", "size_bytes")
       .as[Cell]
-      .groupByKey(c => (c.key, c.key_formatted))
+      .groupByKey(_.key)
       .agg(new Agg(gcBeforeS).toColumn.name("purge"))
-      .select(col("key._1").as("key"), col("key._2").as("key_formatted"),
+      .select(col("key"),
+        concat(lit("key-"), col("key")).as("key_formatted"),
         col("purge.table_count").as("table_count"),
         col("purge.size").as("size"),
         col("purge.merged_size").as("merged_size"),

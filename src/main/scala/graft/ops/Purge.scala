@@ -35,7 +35,7 @@ object Purge {
         desc("is_tombstone"), desc("local_deletion_time_s"))
     cells
       .withColumn("rn", row_number().over(w))
-      .groupBy("key", "key_formatted")
+      .groupBy("key")
       .agg(
         countDistinct("sstable_id").as("table_count"),
         sum("size_bytes").as("size"),
@@ -43,6 +43,7 @@ object Purge {
           !(col("is_tombstone") &&
             col("local_deletion_time_s") < Fixtures.GcBeforeS),
           col("size_bytes")).otherwise(0L)).as("merged_size"))
+      .withColumn("key_formatted", concat(lit("key-"), col("key")))
       .withColumn("reclaimable", col("size") - col("merged_size"))
   }
 

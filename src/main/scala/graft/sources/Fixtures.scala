@@ -108,8 +108,9 @@ object Fixtures {
     * per-sstable accumulators. */
   def partitionScan(cells: DataFrame): DataFrame =
     cells
-      .groupBy(col("keyspace"), col("tbl"), col("sstable_id"), col("key"),
-        col("key_formatted"))
+      // group keys kept narrow: keyspace is constant and key_formatted is
+      // derivable from key, so neither rides the shuffle (re-attached below)
+      .groupBy(col("tbl"), col("sstable_id"), col("key"))
       .agg(
         sum("size_bytes").as("size"),
         countDistinct("clustering").as("row_count"),
@@ -129,6 +130,8 @@ object Fixtures {
           .as("counter_cell_count"),
         min("timestamp_us").as("min_timestamp_us"),
         max("timestamp_us").as("max_timestamp_us"))
+      .withColumn("keyspace", lit("ks1"))
+      .withColumn("key_formatted", concat(lit("key-"), col("key")))
 
   /** Cross-sstable collate by exact partition key — the reference's k-way
     * sorted merge (PartitionReader.java:55-71, PartitionStatistics.java:118-130)
@@ -137,7 +140,7 @@ object Fixtures {
     * single-thread merge loop sat. */
   def partitions(pscan: DataFrame): DataFrame =
     pscan
-      .groupBy("keyspace", "tbl", "key", "key_formatted")
+      .groupBy("tbl", "key")
       .agg(
         count("*").as("table_count"),
         sum("size").as("size"),
@@ -146,6 +149,8 @@ object Fixtures {
         sum("cell_count").as("cell_count"),
         sum("tombstone_count").as("tombstone_count"),
         sum("droppable_tombstone_count").as("droppable_tombstone_count"))
+      .withColumn("keyspace", lit("ks1"))
+      .withColumn("key_formatted", concat(lit("key-"), col("key")))
 
   /** Partition-index entries (IndexReader.java:77-113): per-(sstable, key)
     * size plus the Data.db `position` offset, reconstructed as a running sum
@@ -165,7 +170,7 @@ object Fixtures {
     * id so every report branch is exercised. */
   def sstableMeta(pscan: DataFrame): DataFrame =
     pscan
-      .groupBy("keyspace", "tbl", "sstable_id")
+      .groupBy("tbl", "sstable_id")
       .agg(
         count("*").as("partition_count"),
         sum("size").as("uncompressed_length"),
@@ -173,6 +178,7 @@ object Fixtures {
         sum("cell_count").as("cell_count"),
         min("min_timestamp_us").as("min_timestamp_us"),
         max("max_timestamp_us").as("max_timestamp_us"))
+      .withColumn("keyspace", lit("ks1"))
       .withColumn("disk_length", floor(col("uncompressed_length") * 3 / 5))
       .withColumn("avg_partition_size",
         floor(col("uncompressed_length") / col("partition_count")))

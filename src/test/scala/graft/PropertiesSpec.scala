@@ -29,7 +29,7 @@ class PropertiesSpec extends AnyFunSuite {
     ldt <- Gen.choose(0L, 100L)
     tomb <- Gen.oneOf(true, false)
     size <- Gen.choose(1L, 1000L)
-  } yield Cell(key, s"key-$key", clustering, col, sst, ts, ldt, tomb, size)
+  } yield Cell(key, clustering, col, sst, ts, ldt, tomb, size)
 
   private def agg = new PurgeAggregator.Agg(50L)
 
@@ -100,9 +100,9 @@ class PropertiesSpec extends AnyFunSuite {
     // antisymmetry via reduce: winner of (x then y) == winner of (y then x)
     checkProp(Gen.zip(genW, genW)) { case (x, y) =>
       val a = agg
-      val cx = Cell(1, "k", 0, "c0", x.sstable_id, x.timestamp_us,
+      val cx = Cell(1, 0, "c0", x.sstable_id, x.timestamp_us,
         x.local_deletion_time_s, x.is_tombstone, x.size_bytes)
-      val cy = Cell(1, "k", 0, "c0", y.sstable_id, y.timestamp_us,
+      val cy = Cell(1, 0, "c0", y.sstable_id, y.timestamp_us,
         y.local_deletion_time_s, y.is_tombstone, y.size_bytes)
       val xy = a.finish(List(cx, cy).foldLeft(a.zero)(a.reduce))
       val yx = a.finish(List(cy, cx).foldLeft(a.zero)(a.reduce))

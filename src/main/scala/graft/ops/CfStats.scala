@@ -16,7 +16,7 @@ object CfStats {
     Fixtures.lineitemCells(Tables.lineitem(spark, dir))
 
   private def parts(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.partitions(Fixtures.partitionScan(cells(spark, dir)))
+    Fixtures.liPartitions(spark, dir)
 
   /** A7: rows-per-partition distribution. */
   def rowsDistribution(spark: SparkSession, dir: String): DataFrame =
@@ -85,7 +85,7 @@ object CfStats {
   /** A2/A13: per-sstable scan statistics incl. liveness % =
     * floor(liveCells·100/cells) (SSTableStatistics.java:152-154). */
   def sstableStats(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.partitionScan(cells(spark, dir))
+    Fixtures.liPscan(spark, dir)
       .groupBy("sstable_id")
       .agg(
         count(lit(1)).as("partition_count"),

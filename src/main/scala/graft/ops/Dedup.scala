@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{PlanCache, Tables}
 
 /** Deduplication operators for large-scale training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash and embedding-cosine near-dup.
@@ -44,6 +44,11 @@ object Dedup {
       .select("keeper", "copies")
       .orderBy("keeper")
 
+  /** Cached shingle set of the dedup corpus (shared by the Jaccard and
+    * MinHash paths — one derivation per session). */
+  def corpusShingles(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"shingles|$dir")(shingles(corpus(spark, dir)))
+
   /** 5-word shingles, distinct per document. */
   def shingles(docs: DataFrame): DataFrame =
     docs
@@ -58,7 +63,7 @@ object Dedup {
     * (inter·10 ≥ 8·union) so the threshold is engine-exact. */
   def ngramJaccard(spark: SparkSession, dir: String,
       thresholdPct: Int = 80): DataFrame = {
-    val sh = shingles(corpus(spark, dir))
+    val sh = corpusShingles(spark, dir)
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -80,7 +85,7 @@ object Dedup {
   /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over
     * Spark's codegen'd murmur3 `hash` of each shingle. Spark-only (engine
     * hash ⇒ no SQL oracle; verified against [[ngramJaccard]] in tests). */
-  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     val perms = (0 until k).map { i =>
       val a = 1L + 2L * i + 1L // odd multipliers
@@ -88,7 +93,7 @@ object Dedup {
       min((((hash(col("g")).cast("long") + p) % p) * a + b) % p)
         .as(s"h$i")
     }
-    shingles(docs).groupBy("doc_id").agg(perms.head, perms.tail: _*)
+    sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
   }
 
   /** MinHash + LSH banding: signatures split into bands of `rowsPerBand`,
@@ -96,7 +101,8 @@ object Dedup {
     * similarity. One shuffle on (band, bandHash) — never all-pairs. */
   def minhashLsh(spark: SparkSession, dir: String, k: Int = 32,
       rowsPerBand: Int = 4, minMatchFrac: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(corpus(spark, dir), k).cache()
+    val sigs = PlanCache.cached(spark, s"minhash$k|$dir")(
+      minhashSignatures(corpusShingles(spark, dir), k))
     val bands = k / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))

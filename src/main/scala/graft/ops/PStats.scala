@@ -14,10 +14,8 @@ import graft.sources.{Fixtures, Tables}
   * but distributed). */
 object PStats {
 
-  private def liParts(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
-    Fixtures.partitions(Fixtures.partitionScan(cells))
-  }
+  private def liParts(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.liPartitions(spark, dir)
 
   /** A6: size + sstable-count distribution over collated partitions
     * (PartitionSizeStatisticsCollector.java:111-126). One row. */
@@ -50,8 +48,7 @@ object PStats {
   /** A2/A14: per-sstable section — partition count, avg (integer div) and max
     * partition size (PartitionSizeStatisticsCollector.java:174-186). */
   def sstableSection(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
-    Fixtures.sstableMeta(Fixtures.partitionScan(cells))
+    Fixtures.sstableMeta(Fixtures.liPscan(spark, dir))
       .select("sstable_id", "partition_count", "avg_partition_size",
         "max_partition_size", "uncompressed_length")
       .orderBy("sstable_id")
@@ -63,8 +60,7 @@ object PStats {
     * per-sstable end offset as the default for the last entry, so it must
     * equal the stored size; the query returns per-sstable proof totals. */
   def indexOffsets(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
-    val idx = Fixtures.indexEntries(Fixtures.partitionScan(cells))
+    val idx = Fixtures.indexEntries(Fixtures.liPscan(spark, dir))
     val bySst = Window.partitionBy("sstable_id")
     val w = Window.partitionBy("sstable_id").orderBy("position")
     idx

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{PlanCache, Tables}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -26,6 +26,11 @@ object Similarity {
       .withColumn("norm2", expr(
         "aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
 
+  /** Cached quantized embeddings table (shared by all similarity ops). */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"quant|$dir")(
+      quantize(Tables.embeddings(spark, dir)))
+
   /** Exact integer dot product of two quantized vectors. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
@@ -36,7 +41,7 @@ object Similarity {
     * query_id. At 1000 executors the candidate scan stays fully parallel. */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5): DataFrame = {
-    val q = quantize(Tables.embeddings(spark, dir))
+    val q = quantized(spark, dir)
     val queries = q.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
         col("norm2").as("na2"))
@@ -64,7 +69,7 @@ object Similarity {
     * Multi-probe: queries also probe buckets at Hamming distance 1. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5, planes: Int = 8): DataFrame = {
-    val q = quantize(Tables.embeddings(spark, dir))
+    val q = quantized(spark, dir)
     // plane p coefficient for dim j: (xxhash64("p:j") mod 2001) - 1000
     // (an LCG over p*64+j is an arithmetic progression mod 2001 — planes
     // come out correlated and buckets are useless; a hash mixes properly)

@@ -11,8 +11,7 @@ import graft.sources.Fixtures
 object Summary {
 
   private def meta(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.sstableMeta(
-      Fixtures.partitionScan(Fixtures.allCells(spark, dir)))
+    Fixtures.sstableMeta(Fixtures.allPscan(spark, dir))
 
   /** A11: per-(keyspace, table) rollup — sstable count, disk/uncompressed
     * totals, repaired count/length/max(repairedAt), repair % as

@@ -101,6 +101,26 @@ object Fixtures {
   def cells(spark: SparkSession, dir: String): DataFrame =
     lineitemCells(Tables.lineitem(spark, dir))
 
+  /** Shared derived scans, persisted once per session (SURVEY §4: every
+    * report of a command reuses one scan, as the reference's single-pass
+    * fused pipeline does). */
+  def liPscan(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"li_pscan|$dir")(
+      partitionScan(cells(spark, dir)))
+
+  def ordersPscan(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"o_pscan|$dir")(
+      partitionScan(ordersCells(Tables.orders(spark, dir))))
+
+  /** pscan of the union == union of per-table pscans (group keys include
+    * tbl and sstable ids are disjoint), so reuse both cached sides. */
+  def allPscan(spark: SparkSession, dir: String): DataFrame =
+    liPscan(spark, dir).unionByName(ordersPscan(spark, dir))
+
+  def liPartitions(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"li_parts|$dir")(
+      partitions(liPscan(spark, dir)))
+
   /** One row per (sstable, partition) — the pre-collate granularity the
     * reference accumulates during its Data.db scan (DataReader.java:53-121).
     * Partial aggregation happens map-side (HashAggregate partial) before the

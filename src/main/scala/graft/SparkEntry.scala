@@ -28,8 +28,12 @@ object SparkEntry {
     Purge.top(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // catalog
+    "q00_catalog" -> ((s, d) => Summary.catalog(s, d)),
     // pstats
     "q01_pstats_size_dist" -> ((s, d) => PStats.sizeDistribution(s, d)),
+    "q19_pstats_filtered" -> ((s, d) => PStats.filteredSizeDistribution(
+      s, d, Seq("sst-0", "sst-2", "sst-4"))),
     "q02_pstats_top_size" -> ((s, d) => PStats.topBySize(s, d)),
     "q03_pstats_top_tables" -> ((s, d) => PStats.topByTableCount(s, d)),
     "q04_pstats_sstables" -> ((s, d) => PStats.sstableSection(s, d)),
@@ -37,6 +41,7 @@ object SparkEntry {
     // summary / sstables
     "q05_summary" -> ((s, d) => Summary.rollup(s, d)),
     "q06_sstables_meta" -> ((s, d) => Summary.sstablesReport(s, d)),
+    "q34_sstables_strategy_order" -> ((s, d) => Summary.strategyOrders(s, d)),
     // cfstats
     "q07_cfstats_rows_dist" -> ((s, d) => CfStats.rowsDistribution(s, d)),
     "q08_cfstats_cells_dist" -> ((s, d) => CfStats.cellsDistribution(s, d)),

@@ -1,0 +1,96 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Formatters
+import graft.ops._
+import graft.render.TableBuilder
+import graft.sources.Fixtures
+
+/** The reference's five CLI commands (cli/CLI.java:9-20) as library entry
+  * points producing the same multi-section ASCII reports: a user of
+  * `ic-sstable-tools {summary,sstables,pstats,cfstats,purge}` calls
+  * `Reports.{summary,sstables,pstats,cfstats,purge}` instead. Options map
+  * 1:1: `-n` → topN, `-f` → sstableFilter (F1). The F2 empty-input guard
+  * returns the reference's "No data found!" message. */
+object Reports {
+
+  val NoData = "No data found!"
+
+  private def section(title: String, df: DataFrame): String =
+    s"$title\n${TableBuilder.render(df)}"
+
+  private def filtered(df: DataFrame, files: Seq[String]): DataFrame =
+    if (files.isEmpty) df else df.where(col("sstable_id").isin(files: _*))
+
+  /** `summary` (SummaryCollector.java): per-table rollup. */
+  def summary(spark: SparkSession, dir: String): String = {
+    val df = Summary.rollup(spark, dir)
+      .withColumn("data_size",
+        udf(Formatters.humanReadableByteCount _).apply(col("uncompressed_length")))
+      .withColumn("repair",
+        format_string("%d/%d %d%%", col("repaired_count"),
+          col("sstable_count"), col("repair_pct")))
+    section("Summary", df.select("keyspace", "tbl", "sstable_count",
+      "data_size", "repair"))
+  }
+
+  /** `sstables` (SSTableMetadataCollector.java): one row per sstable. */
+  def sstables(spark: SparkSession, dir: String,
+      sstableFilter: Seq[String] = Nil): String = {
+    val df = filtered(Summary.sstablesReport(spark, dir), sstableFilter)
+    if (df.isEmpty) NoData
+    else section("SSTables", df)
+  }
+
+  /** `pstats` (PartitionSizeStatisticsCollector.java): distribution +
+    * top-Ns + per-sstable section, from the index only. */
+  def pstats(spark: SparkSession, dir: String, topN: Int = 10,
+      sstableFilter: Seq[String] = Nil): String = {
+    val pscan = filtered(Fixtures.liPscan(spark, dir), sstableFilter)
+    if (pscan.isEmpty) return NoData // F2 guard
+    val dist =
+      if (sstableFilter.isEmpty) PStats.sizeDistribution(spark, dir)
+      else PStats.filteredSizeDistribution(spark, dir, sstableFilter)
+    Seq(
+      section("Partition size distribution", dist),
+      section(s"Largest partitions (top $topN)",
+        PStats.topBySize(spark, dir, topN)),
+      section(s"Partitions in most sstables (top $topN)",
+        PStats.topByTableCount(spark, dir, topN)),
+      section("SSTables", PStats.sstableSection(spark, dir))
+    ).mkString("\n")
+  }
+
+  /** `cfstats` (ColumnFamilyStatisticsCollector.java): the 9-section
+    * cell-level report. */
+  def cfstats(spark: SparkSession, dir: String, topN: Int = 10): String = {
+    if (Fixtures.liPscan(spark, dir).isEmpty) return NoData // F2 guard
+    Seq(
+      section("Totals", CfStats.totals(spark, dir)),
+      section("Rows per partition", CfStats.rowsDistribution(spark, dir)),
+      section("Cells per partition", CfStats.cellsDistribution(spark, dir)),
+      section("Tombstones per partition (with tombstones)",
+        CfStats.tombstonesDistribution(spark, dir)),
+      section(s"Widest partitions (top $topN)",
+        CfStats.topWide(spark, dir, topN)),
+      section(s"Most tombstones (top $topN)",
+        CfStats.topTombstones(spark, dir, topN)),
+      section(s"Most deleted rows (top $topN)",
+        CfStats.topDeletedRows(spark, dir, topN)),
+      section("TTL histogram", CfStats.ttlHistogram(spark, dir)
+        .withColumn("ttl", udf(Formatters.formatTtl _).apply(col("ttl_s")))
+        .select("ttl", "cell_count")),
+      section("SSTables", CfStats.sstableStats(spark, dir))
+    ).mkString("\n")
+  }
+
+  /** `purge` (PurgeStatisticsCollector.java): reclaimable top-N + totals. */
+  def purge(spark: SparkSession, dir: String, topN: Int = 10): String =
+    Seq(
+      section(s"Most reclaimable partitions (top $topN)",
+        Purge.top(spark, dir, topN)),
+      section("Totals", Purge.totals(spark, dir))
+    ).mkString("\n")
+}

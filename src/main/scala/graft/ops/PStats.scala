@@ -54,6 +54,20 @@ object PStats {
       .orderBy("sstable_id")
   }
 
+  /** F1: the `-f` sstable filename filter (ColumnFamilyBackend.java:80-89)
+    * applied before collate — file/partition pruning. The distribution is
+    * then computed over the surviving sstables only. */
+  def filteredSizeDistribution(spark: SparkSession, dir: String,
+      sstables: Seq[String]): DataFrame = {
+    val parts = Fixtures.partitions(
+      Fixtures.liPscan(spark, dir)
+        .where(col("sstable_id").isin(sstables: _*)))
+    val aggs = Dist.agg("size") ++ Seq(
+      min(col("table_count")).as("table_count_min"),
+      max(col("table_count")).as("table_count_max"))
+    parts.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** S4 / §2.5: re-derive partition size from Data.db offset deltas with
     * lead() over (sstable, position) — the window-function form of
     * IndexReader.java:87-98. `derived_size` uses lead(position) with the

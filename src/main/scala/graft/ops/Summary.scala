@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Fixtures
@@ -48,4 +49,37 @@ object Summary {
         col("uncompressed_length"), col("disk_length"),
         col("max_partition_size"), col("avg_partition_size"))
       .orderBy("sstable_id")
+
+  /** S1/T5: catalog scan — the distinct (keyspace, table) universe, sorted
+    * (CassandraBackend.java:43-60). */
+  def catalog(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.allPscan(spark, dir)
+      .select("keyspace", "tbl").distinct()
+      .orderBy("keyspace", "tbl")
+
+  /** T3: strategy-aware sstable sort order (SSTableMetadataCollector.java:60-69):
+    * TWCS sorts by max cell timestamp, LCS by level, default (STCS) by
+    * generation id; all with the id tiebreak (T4, Util.java:32-40). */
+  def sortColumnsFor(strategy: String): Seq[Column] = strategy match {
+    case "TWCS" => Seq(col("max_timestamp_us").asc, col("sstable_id").asc)
+    case "LCS" => Seq(col("level").asc, col("sstable_id").asc)
+    case _ => Seq(col("sstable_id").asc)
+  }
+
+  /** Strategy-order demonstration as checkable data: each sstable's rank
+    * under the TWCS, LCS and generation comparators. */
+  def strategyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val m = meta(spark, dir).where(col("tbl") === "lineitem")
+    m.select(
+        col("sstable_id"), col("level"), col("max_timestamp_us"),
+        row_number().over(Window.orderBy(
+          col("max_timestamp_us").asc, col("sstable_id").asc))
+          .cast("long").as("twcs_rank"),
+        row_number().over(Window.orderBy(
+          col("level").asc, col("sstable_id").asc))
+          .cast("long").as("lcs_rank"),
+        row_number().over(Window.orderBy(col("sstable_id").asc))
+          .cast("long").as("stcs_rank"))
+      .orderBy("sstable_id")
+  }
 }

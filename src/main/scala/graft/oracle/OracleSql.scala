@@ -152,6 +152,28 @@ qn AS (
 )"""
 
   val queries: Map[String, String] = Map(
+    "q00_catalog" -> s"""WITH $fixtures
+SELECT keyspace, tbl FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q19_pstats_filtered" -> s"""WITH $fixtures,
+fparts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS table_count,
+         CAST(SUM(size) AS BIGINT) AS size
+  FROM lipscan WHERE sstable_id IN ('sst-0', 'sst-2', 'sst-4')
+  GROUP BY 1
+)
+SELECT ${Dist.sql("size")},
+    CAST(MIN(table_count) AS BIGINT) AS table_count_min,
+    CAST(MAX(table_count) AS BIGINT) AS table_count_max
+FROM fparts""",
+
+    "q34_sstables_strategy_order" -> s"""WITH $fixtures
+SELECT sstable_id, level, max_timestamp_us,
+  CAST(row_number() OVER (ORDER BY max_timestamp_us, sstable_id) AS BIGINT) AS twcs_rank,
+  CAST(row_number() OVER (ORDER BY level, sstable_id) AS BIGINT) AS lcs_rank,
+  CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS stcs_rank
+FROM meta WHERE tbl = 'lineitem' ORDER BY sstable_id""",
+
     "q01_pstats_size_dist" -> s"""WITH $fixtures
 SELECT ${Dist.sql("size")},
     CAST(MIN(table_count) AS BIGINT) AS table_count_min,

@@ -1,0 +1,85 @@
+package graft
+
+import graft.agg.ReservoirHistogram
+import graft.cli.Reports
+import graft.ops.Summary
+
+/** Reports layer (CLI-command parity) and the reservoir estimator. */
+class CliAndHistogramSpec extends SparkSpec {
+
+  test("all five report commands render non-empty ASCII tables") {
+    val out = Seq(
+      Reports.summary(spark, Sf0001),
+      Reports.sstables(spark, Sf0001),
+      Reports.pstats(spark, Sf0001),
+      Reports.cfstats(spark, Sf0001),
+      Reports.purge(spark, Sf0001))
+    out.foreach { s =>
+      assert(s.contains("+-"), s.take(80))
+      assert(s.linesIterator.size > 4)
+    }
+    assert(out(0).contains("ks1"))
+    assert(out(2).contains("Largest partitions"))
+  }
+
+  test("F2 guard: filter matching nothing yields 'No data found!'") {
+    assert(Reports.pstats(spark, Sf0001,
+      sstableFilter = Seq("sst-nope")) == Reports.NoData)
+    assert(Reports.sstables(spark, Sf0001,
+      sstableFilter = Seq("sst-nope")) == Reports.NoData)
+  }
+
+  test("F1 filter: filtered distribution covers fewer partitions") {
+    val all = graft.ops.PStats.sizeDistribution(spark, Sf0001)
+      .collect().head.getAs[Long]("size_n")
+    val filt = graft.ops.PStats.filteredSizeDistribution(
+      spark, Sf0001, Seq("sst-0")).collect().head.getAs[Long]("size_n")
+    assert(filt > 0 && filt < all)
+  }
+
+  test("T3 strategy sorts order by the right columns") {
+    assert(Summary.sortColumnsFor("TWCS").head.toString
+      .contains("max_timestamp_us"))
+    assert(Summary.sortColumnsFor("LCS").head.toString.contains("level"))
+    assert(Summary.sortColumnsFor("STCS").head.toString
+      .contains("sstable_id"))
+    val rows = Summary.strategyOrders(spark, Sf0001).collect()
+    assert(rows.length == 6)
+    // stcs_rank follows sstable_id order, which is the output order
+    assert(rows.map(_.getAs[Long]("stcs_rank")).sameElements(1L to 6L))
+  }
+
+  test("R-6 percentile formula matches hand-computed values") {
+    val s = IndexedSeq(10L, 20L, 30L, 40L)
+    // pos = p*(n+1) = p*5
+    assert(ReservoirHistogram.percentileR6(s, 0.5) == 25.0) // pos 2.5
+    assert(ReservoirHistogram.percentileR6(s, 0.1) == 10.0) // pos 0.5 clamp
+    assert(ReservoirHistogram.percentileR6(s, 0.95) == 40.0) // pos 4.75 clamp
+    assert(ReservoirHistogram.percentileR6(s, 0.25) == 12.5) // pos 1.25
+  }
+
+  test("reservoir snapshot: exact fields exact, percentiles near exact") {
+    import graft.sources.Fixtures
+    val parts = Fixtures.liPartitions(spark, Sf0001)
+    val snap = ReservoirHistogram.snapshot(parts, "size").collect().head
+    val exact = graft.ops.PStats.sizeDistribution(spark, Sf0001)
+      .collect().head
+    assert(snap.getAs[Long]("count") == exact.getAs[Long]("size_n"))
+    assert(snap.getAs[Long]("total") == exact.getAs[Long]("size_total"))
+    assert(snap.getAs[Long]("min") == exact.getAs[Long]("size_min"))
+    assert(snap.getAs[Long]("max") == exact.getAs[Long]("size_max"))
+    // sampling estimate: within 15% of the exact p50
+    val p50 = snap.getAs[Double]("p50")
+    val exactP50 = exact.getAs[Long]("size_p50").toDouble
+    assert(math.abs(p50 - exactP50) / exactP50 < 0.15,
+      s"p50=$p50 exact=$exactP50")
+  }
+
+  test("reservoir quirk: max initialized to 0 (all-negative input)") {
+    import spark.implicits._
+    val df = Seq(-5L, -3L, -10L).toDF("v")
+    val snap = ReservoirHistogram.snapshot(df, "v").collect().head
+    assert(snap.getAs[Long]("max") == 0L) // Histogram.java:32-37 quirk
+    assert(snap.getAs[Long]("min") == -10L)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst kernel for the similarity operators' hot path.
+  *
+  * `aggregate(zip_with(a, b, ...))` evaluates the lambda per element through
+  * interpreted HigherOrderFunction plumbing — fine for one row, ruinous for
+  * the O(pairs·dims) inner loop of brute-force/LSH cosine scoring. This
+  * expression is a tight primitive `long` loop with `doGenCode`, so it stays
+  * inside whole-stage codegen (SURVEY §2.10: custom Expression tier beats
+  * UDF tier; prompt preference order (b)).
+  */
+case class DotI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_i64 requires two array<bigint> arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native expressions.
+  *
+  * Preferred wiring: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * at session build; [[GraftFunctions.ensureRegistered]] is the idempotent
+  * runtime equivalent for sessions built without the extension.
+  */
+object GraftFunctions {
+
+  val dotI64Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
+      (children: Seq[Expression]) => DotI64(children(0), children(1)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(dotI64Descriptor._1)) {
+      reg.registerFunction(
+        dotI64Descriptor._1, dotI64Descriptor._2, dotI64Descriptor._3)
+    }
+  }
+
+  /** Column form: exact integer dot product of two `array<bigint>` columns. */
+  def dotI64(a: Column, b: Column): Column = call_function("dot_i64", a, b)
+}

@@ -63,10 +63,16 @@ object Dedup {
     * (inter·10 ≥ 8·union) so the threshold is engine-exact. */
   def ngramJaccard(spark: SparkSession, dir: String,
       thresholdPct: Int = 80): DataFrame = {
+    // join key = xxhash64(shingle): the inverted-index shuffle carries 8-byte
+    // longs instead of ~30-byte strings and equality checks are primitive.
+    // Counts equal the string-keyed join's unless two distinct shingles
+    // collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻⁷ at 1M shingles); the DuckDB oracle
+    // keeps string keys, so a collision would surface as a t2 mismatch.
     val sh = corpusShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -155,6 +161,7 @@ object Dedup {
     * quantized-cosine pairs ≥ threshold via the Similarity kernel. */
   def embeddingNearDup(spark: SparkSession, dir: String,
       thresholdX1000: Int = 995): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val aug = e
       .unionByName(e.where(col("vec_id") % 50 === 0)
@@ -165,10 +172,14 @@ object Dedup {
           expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")))
     val qv = Similarity.quantize(aug).select(
       col("vec_id"), col("qv"), col("norm2"))
-    // bucket prefilter: quantized leading components sign-pattern
-    val sig = expr("CAST(CASE WHEN qv[0] >= 0 THEN 1 ELSE 0 END + " +
-      "2 * CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END + " +
-      "4 * CASE WHEN qv[2] >= 0 THEN 1 ELSE 0 END AS INT)")
+    // bucket prefilter: sign pattern of the 8 leading quantized components.
+    // floor(x·1000) keeps the sign of x (>=0 stays >=0, <0 stays <= -1), so
+    // any positive rescale — the cosine-invariant near-dup class — lands in
+    // the same bucket: full recall on dups, ~256x fewer candidate pairs than
+    // an unbucketed self-join.
+    val sig = expr("CAST(" + (0 until 8).map(i =>
+      s"${1 << i} * CASE WHEN qv[$i] >= 0 THEN 1 ELSE 0 END").mkString(" + ") +
+      " AS INT)")
     val b = qv.withColumn("bucket", sig)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&

@@ -75,10 +75,21 @@ object PStats {
     * equal the stored size; the query returns per-sstable proof totals. */
   def indexOffsets(spark: SparkSession, dir: String): DataFrame = {
     val idx = Fixtures.indexEntries(Fixtures.liPscan(spark, dir))
-    val bySst = Window.partitionBy("sstable_id")
-    val w = Window.partitionBy("sstable_id").orderBy("position")
+    // lead() ordered by key, not position: position is a running sum over
+    // key within each sstable, so the order is identical — and the window
+    // then shares the (sstable_id, key) sort the running-sum window in
+    // indexEntries already established (no second sort). The per-sstable end
+    // offset (uncompressedLength in IndexReader.java:96-98) comes from a
+    // broadcast-joined micro-aggregate instead of an unbounded-frame window
+    // that would buffer every index entry of an sstable.
+    val w = Window.partitionBy("sstable_id").orderBy("key")
+    // positions are offsets into Data.db starting at 0, so the end offset is
+    // simply the sstable's total size — computable from the cached pscan
+    // without touching the running-sum window a second time.
+    val ends = Fixtures.liPscan(spark, dir)
+      .groupBy("sstable_id").agg(sum("size").as("end_offset"))
     idx
-      .withColumn("end_offset", max(col("position") + col("size")).over(bySst))
+      .join(broadcast(ends), "sstable_id")
       .withColumn("derived_size",
         coalesce(lead("position", 1).over(w), col("end_offset")) -
           col("position"))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Fixtures, Tables}
@@ -12,43 +11,67 @@ import graft.sources.{Fixtures, Tables}
   * The reference k-way-merges UnfilteredRowIterators with last-write-wins
   * reconciliation (`UnfilteredRowIterators.merge`, :129) and then drops
   * deletions older than gcBefore (DeletionPurger, :206-209). Spark-first
-  * re-expression: LWW reconciliation is a row_number() window over
-  * (key, clustering, column) ordered by timestamp desc — only the winning
-  * version of each cell survives the merge — and the purge predicate (F7)
-  * drops winners that are tombstones past gc_grace. reclaimable =
-  * pre-merge size − merged-purged size (:134-139).
+  * re-expression: LWW reconciliation is a `max(struct(...))` aggregate per
+  * (key, clustering, column) cell group — only the winning version of each
+  * cell survives the merge — and the purge predicate (F7) drops winners that
+  * are tombstones past gc_grace. reclaimable = pre-merge size − merged-purged
+  * size (:134-139).
   *
-  * Scale note: the window shuffles once on (key, clustering, column) and the
-  * groupBy(key) reuses that partitioning's key prefix; no driver-side state,
-  * no sorted-input requirement, AQE handles skewed partitions. */
+  * Scale note: both levels are hash aggregations with map-side partial
+  * combine, so the only full-width shuffle carries one combined row per cell
+  * group; no sorted-input requirement, no window sort buffer, AQE handles
+  * skewed partitions. A typed-Aggregator form with the same semantics lives
+  * in graft.agg.PurgeAggregator (SURVEY §2.10 A12). */
 object Purge {
 
   /** Per-partition purge statistics: key, sstable count, pre-merge size,
-    * merged size after LWW + purge, reclaimable bytes. */
+    * merged size after LWW + purge, reclaimable bytes.
+    *
+    * The LWW winner of each (key, clustering, column) cell group is
+    * `max(struct(ts, sstable, size, tombstone, ldt))` — struct comparison is
+    * lexicographic, so this is exactly the first row of a sort by all five
+    * fields desc, without sorting anything: two hash aggregations with
+    * map-side partial combine replace the sort-window + re-shuffle. At scale
+    * the shuffle carries one pre-combined row per cell group instead of every
+    * raw cell, and no partition-wide sort buffer exists to spill.
+    * Tiebreaks past (timestamp, sstable) are value-based: the synthetic
+    * lineitem has duplicate (orderkey, linenumber) rows, and a tie that
+    * survives all of these is identical in every field the purge reads,
+    * so the winner choice cannot affect results in either engine. */
   def perPartition(cells: DataFrame): DataFrame = {
-    // tiebreaks past (timestamp, sstable) are value-based: the synthetic
-    // lineitem has duplicate (orderkey, linenumber) rows, and a tie that
-    // survives all of these is identical in every field the purge reads,
-    // so the winner choice cannot affect results in either engine.
-    val w = Window.partitionBy("key", "clustering", "column_name")
-      .orderBy(desc("timestamp_us"), desc("sstable_id"), desc("size_bytes"),
-        desc("is_tombstone"), desc("local_deletion_time_s"))
-    cells
-      .withColumn("rn", row_number().over(w))
+    val merged = cells
+      .groupBy("key", "clustering", "column_name")
+      .agg(
+        sum("size_bytes").as("grp_size"),
+        max(struct(col("timestamp_us"), col("sstable_id"), col("size_bytes"),
+          col("is_tombstone"), col("local_deletion_time_s"))).as("w"))
       .groupBy("key")
       .agg(
-        countDistinct("sstable_id").as("table_count"),
-        sum("size_bytes").as("size"),
-        sum(when(col("rn") === 1 &&
-          !(col("is_tombstone") &&
-            col("local_deletion_time_s") < Fixtures.GcBeforeS),
-          col("size_bytes")).otherwise(0L)).as("merged_size"))
+        sum("grp_size").as("size"),
+        sum(when(!(col("w.is_tombstone") &&
+            col("w.local_deletion_time_s") < Fixtures.GcBeforeS),
+          col("w.size_bytes")).otherwise(0L)).as("merged_size"))
+    // table_count on its own slim branch: distinct (key, sstable) pairs
+    // combine map-side before the shuffle, and both join inputs come out of
+    // key-partitioned aggregates so the equi-join adds no exchange. This
+    // beats a collect_set-per-cell-group set union (array allocation per
+    // group) and a countDistinct inside the wide agg (row expansion of the
+    // whole cell stream).
+    val tableCounts = cells
+      .select("key", "sstable_id").distinct()
+      .groupBy("key").agg(count(lit(1)).as("table_count"))
+    merged.join(tableCounts, "key")
       .withColumn("key_formatted", concat(lit("key-"), col("key")))
       .withColumn("reclaimable", col("size") - col("merged_size"))
   }
 
+  /** Session-cached purge scan: the reference's purge command computes its
+    * statistics in ONE merged pass and renders both the top-N and totals
+    * sections from it (PurgeStatisticsCollector.java:59-100) — here the
+    * shared pass is the persisted per-partition purge frame. */
   private def stats(spark: SparkSession, dir: String): DataFrame =
-    perPartition(Fixtures.lineitemCells(Tables.lineitem(spark, dir)))
+    graft.sources.PlanCache.cached(spark, s"purge|$dir")(
+      perPartition(Fixtures.lineitemCells(Tables.lineitem(spark, dir))))
 
   /** Top-N by reclaimable, desc size tiebreak (PurgeStatistics.java:14-20). */
   def top(spark: SparkSession, dir: String, n: Int = 10): DataFrame =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
 import graft.sources.{PlanCache, Tables}
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -31,9 +32,10 @@ object Similarity {
     PlanCache.cached(spark, s"quant|$dir")(
       quantize(Tables.embeddings(spark, dir)))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — the codegen'd
+    * native kernel (graft.functions.DotI64); requires the session to have
+    * graft's functions registered (GraftExtensions / ensureRegistered). */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dotI64(a, b)
 
   /** Brute-force cosine top-k: query ids < nQueries vs the rest.
     * Plan shape: broadcast(queries) ⋈ candidates (BroadcastNestedLoopJoin —
@@ -41,6 +43,7 @@ object Similarity {
     * query_id. At 1000 executors the candidate scan stays fully parallel. */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val q = quantized(spark, dir)
     val queries = q.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
@@ -69,6 +72,7 @@ object Similarity {
     * Multi-probe: queries also probe buckets at Hamming distance 1. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5, planes: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val q = quantized(spark, dir)
     // plane p coefficient for dim j: (xxhash64("p:j") mod 2001) - 1000
     // (an LCG over p*64+j is an arithmetic progression mod 2001 — planes

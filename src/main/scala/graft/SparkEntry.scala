@@ -70,6 +70,12 @@ object SparkEntry {
     "q28_token_totals" -> ((s, d) => TextStats.tokenTotals(s, d)),
     "q29_doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(graft.sources.Tables.documents(s, d))),
+    "q35_subword_counts" -> ((s, d) =>
+      TextStats.subwordCounts(graft.sources.Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q36_langid" -> ((s, d) =>
+      TextStats.langId(graft.sources.Tables.documents(s, d))
+        .orderBy("doc_id")),
     // events
     "q30_events_hourly" -> ((s, d) => EventsOps.hourly(s, d)),
     "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),

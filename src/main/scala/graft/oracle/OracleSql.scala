@@ -408,6 +408,36 @@ SELECT user_id, CAST(SUM(s) AS BIGINT) AS sessions,
   CAST(COUNT(*) AS BIGINT) AS events
 FROM marks GROUP BY 1 ORDER BY 1""",
 
+    "q35_subword_counts" -> """WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tokens,
+  CAST(SUM(greatest(CAST(ceil(length(tok) / 4) AS BIGINT), 1)) AS BIGINT) AS subword_units
+FROM t GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextStats.langId's fold: best label = earliest lang (de<en<fr)
+    // attaining the running max, score must strictly exceed to take over.
+    "q36_langid" -> """WITH s AS (
+  SELECT doc_id, lang AS true_lang,
+    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+       + (length(text) - length(replace(text, ' and ', ''))) / 5
+       + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS s_en,
+    CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+       + (length(text) - length(replace(text, ' und ', ''))) / 5
+       + (length(text) - length(replace(text, ' die ', ''))) / 5 AS BIGINT) AS s_de,
+    CAST((length(text) - length(replace(text, ' le ', ''))) / 4
+       + (length(text) - length(replace(text, ' et ', ''))) / 4
+       + (length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT) AS s_fr
+  FROM documents
+)
+SELECT doc_id, true_lang,
+  CASE WHEN s_fr > greatest(s_de, s_en, 0) THEN 'fr'
+       WHEN s_en > greatest(s_de, 0) THEN 'en'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'und' END AS pred_lang,
+  greatest(s_de, s_en, s_fr, CAST(0 AS BIGINT)) AS pred_score
+FROM s ORDER BY doc_id""",
+
     "q32_multimodal_meta" -> """SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,
   CAST(ascii(text) AS BIGINT) AS first_byte,

@@ -1,0 +1,161 @@
+package graft.sources.indexdb
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for raw SSTable partition-index files:
+  * `spark.read.format("sstable-index").load(dirOrFile)` yields
+  * `(sstable_id string, key binary, position long)` — one row per index
+  * entry, one input partition per Index.db file (the reference's reader
+  * granularity, cassandra/IndexReader.java). This is the "real SSTable
+  * source" milestone of SURVEY §7 M6(a): the `pstats` pipeline can run
+  * against actual Cassandra index files instead of derived fixtures.
+  *
+  * Scale behavior:
+  *  - column pruning reaches the parser (unneeded fields are not even
+  *    materialized into rows);
+  *  - `sstable_id` equality/IN predicates prune whole FILES before any byte
+  *    is read — the reference's `-f` filter (F1) pushed into the source;
+  *  - files split the work: 1000 executors reading 100k sstables parallelize
+  *    by file with zero coordination, and no shuffle is introduced.
+  */
+class IndexDbDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "sstable-index"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IndexDbFormat.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new IndexDbTable(properties.asScala.toMap)
+}
+
+final class IndexDbTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"sstable_index(${properties.getOrElse("path", "")})"
+  override def schema(): StructType = IndexDbFormat.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IndexDbScanBuilder(options.asScala.toMap)
+}
+
+final class IndexDbScanBuilder(options: Map[String, String])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = IndexDbFormat.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Records sstable_id equality/IN filters for file pruning. All filters
+    * are returned as residual: file pruning is a strict superset guarantee,
+    * and Spark re-checking row-level is free on pruned input. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("sstable_id", _) => true
+      case In("sstable_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = IndexDbScan(
+    options.getOrElse("path",
+      throw new IllegalArgumentException("sstable-index requires a path")),
+    required, pushed)
+}
+
+final case class IndexDbScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"IndexDbScan path=$path pushed=${pushed.mkString(",")} " +
+      s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  private def sstableIdOf(fileName: String): String =
+    fileName.stripSuffix(IndexDbFormat.Suffix)
+
+  private def fileSurvives(id: String): Boolean =
+    pushed.forall {
+      case EqualTo("sstable_id", v) => id == v
+      case In("sstable_id", vs) => vs.contains(id)
+      case _ => true
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val status = fs.getFileStatus(p)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(IndexDbFormat.Suffix))
+      else Seq(status)
+    files
+      .map(s => (s.getPath.toString, sstableIdOf(s.getPath.getName)))
+      .filter { case (_, id) => fileSurvives(id) }
+      .sortBy(_._2)
+      .map { case (file, id) => IndexDbInputPartition(file, id): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new IndexDbReaderFactory(required)
+}
+
+final case class IndexDbInputPartition(file: String, sstableId: String)
+    extends InputPartition
+
+final class IndexDbReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IndexDbInputPartition]
+    new IndexDbPartitionReader(p.file, p.sstableId, required)
+  }
+}
+
+/** Streaming reader over one Index.db file; only the columns in `required`
+  * are materialized. */
+final class IndexDbPartitionReader(file: String, sstableId: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(file)
+  private val stream = hPath.getFileSystem(new Configuration()).open(hPath)
+  private val entries = IndexDbFormat.entries(stream)
+  private var current: IndexDbFormat.Entry = _
+  private val id = UTF8String.fromString(sstableId)
+  // projection baked once: required-field ordinal -> value extractor
+  private val extractors: Array[IndexDbFormat.Entry => Any] =
+    required.fieldNames.map {
+      case "sstable_id" => (_: IndexDbFormat.Entry) => id
+      case "key" => (e: IndexDbFormat.Entry) => e.key
+      case "position" => (e: IndexDbFormat.Entry) => e.position
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  override def next(): Boolean = {
+    if (entries.hasNext) { current = entries.next(); true } else false
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_(current)))
+  override def close(): Unit = stream.close()
+}

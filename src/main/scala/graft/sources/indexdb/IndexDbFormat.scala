@@ -1,0 +1,106 @@
+package graft.sources.indexdb
+
+import java.io.{DataInput, DataInputStream, DataOutput, EOFException, InputStream}
+
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+
+/** The SSTable partition-index (Index.db) on-disk format, as consumed by the
+  * reference for its `pstats` path (cassandra/IndexReader.java:69-113, modern
+  * "ma"+ sstable versions):
+  *
+  * ```
+  * entry := key_len:uint16_be key:bytes[key_len]
+  *          position:unsigned_vint              // offset into Data.db
+  *          promoted_len:unsigned_vint promoted:bytes[promoted_len]  // skipped
+  * file  := entry*
+  * ```
+  *
+  * Unsigned vints are Cassandra's encoding: the count of leading 1-bits in
+  * the first byte equals the number of extra bytes; the remaining bits of the
+  * first byte are the value's most-significant bits, extra bytes follow
+  * big-endian. Partition size is NOT stored — it is the delta of consecutive
+  * positions (IndexReader.java:87-98), which [[IndexDb.withSizes]] re-derives
+  * relationally with a `lead()` window.
+  */
+object IndexDbFormat {
+
+  val Suffix = "-Index.db"
+
+  val Schema: StructType = StructType(Seq(
+    StructField("sstable_id", StringType, nullable = false),
+    StructField("key", BinaryType, nullable = false),
+    StructField("position", LongType, nullable = false)))
+
+  /** Cassandra unsigned-vint decode (VIntCoding semantics). */
+  def readUnsignedVInt(in: DataInput): Long = {
+    val first = in.readByte()
+    if (first >= 0) return first.toLong
+    val extra = Integer.numberOfLeadingZeros(~first.toInt & 0xff) - 24
+    var ret: Long = (first & (0xff >>> extra)).toLong
+    var i = 0
+    while (i < extra) {
+      ret = (ret << 8) | (in.readByte() & 0xffL)
+      i += 1
+    }
+    ret
+  }
+
+  /** Cassandra unsigned-vint encode (inverse of [[readUnsignedVInt]]). */
+  def writeUnsignedVInt(out: DataOutput, value: Long): Unit = {
+    require(value >= 0, s"unsigned vint cannot encode $value")
+    val magnitude = java.lang.Long.numberOfLeadingZeros(value | 1L)
+    val size = (639 - magnitude * 9) >> 6 // bytes incl. first (Cassandra formula)
+    if (size == 1) { out.write(value.toInt); return }
+    val extra = size - 1
+    val bytes = new Array[Byte](size)
+    var v = value
+    var i = extra
+    while (i >= 0) { bytes(i) = v.toByte; v >>= 8; i -= 1 }
+    bytes(0) = (bytes(0) | (0xff << (8 - extra)).toByte).toByte
+    out.write(bytes, 0, size)
+  }
+
+  /** One index entry for a test generator (promoted-index bytes are junk the
+    * reader must skip, mirroring IndexReader.skipData). */
+  def writeEntry(out: DataOutput, key: Array[Byte], position: Long,
+      promoted: Array[Byte] = Array.emptyByteArray): Unit = {
+    out.writeShort(key.length)
+    out.write(key)
+    writeUnsignedVInt(out, position)
+    writeUnsignedVInt(out, promoted.length.toLong)
+    if (promoted.nonEmpty) out.write(promoted)
+  }
+
+  final case class Entry(key: Array[Byte], position: Long)
+
+  /** Streaming entry iterator over a raw Index.db stream; skips the promoted
+    * index exactly as the reference does. */
+  def entries(stream: InputStream): Iterator[Entry] = new Iterator[Entry] {
+    private val in = new DataInputStream(stream)
+    private var nextEntry: Entry = _
+    private var done = false
+
+    private def advance(): Unit = {
+      val b0 = in.read()
+      if (b0 < 0) { done = true; in.close(); return }
+      val b1 = in.read()
+      if (b1 < 0) throw new EOFException("truncated key length")
+      val keyLen = (b0 << 8) | b1
+      val key = new Array[Byte](keyLen)
+      in.readFully(key)
+      val position = readUnsignedVInt(in)
+      val promotedLen = readUnsignedVInt(in)
+      if (promotedLen > 0) in.skipBytes(promotedLen.toInt)
+      nextEntry = Entry(key, position)
+    }
+
+    override def hasNext: Boolean = {
+      if (!done && nextEntry == null) advance()
+      !done
+    }
+    override def next(): Entry = {
+      if (!hasNext) throw new NoSuchElementException
+      val e = nextEntry; nextEntry = null; e
+    }
+  }
+}

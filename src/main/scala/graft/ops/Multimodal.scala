@@ -57,6 +57,48 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, media_type: String,
+      payload: Array[Byte], width: Int, height: Int)
+  case class Frame(doc_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  /** Resize plumbing: narrow per-row payload rewrite (STUB kernel scales the
+    * byte buffer to the target pixel count; a real build calls the codec).
+    * The shape is what matters at scale: payload-in/payload-out, no shuffle,
+    * partitioning preserved. */
+  def resize(spark: SparkSession, media: DataFrame,
+      width: Int, height: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val target = math.max(1, (width * height) / 64) // STUB "pixel" bytes
+        val out = java.util.Arrays.copyOf(r.payload, target)
+        ResizedMedia(r.doc_id, r.media_type, out, width, height)
+      }
+    }
+  }
+
+  /** Frame sampling: video payloads flatMap to one row per kept frame
+    * (every `everyN`-th of the stub-decoded frame count) — the UDTF/explode
+    * shape for media. Output cardinality is data-dependent; downstream ops
+    * see ordinary rows. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      everyN: Int = 10): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      if (r.media_type != "video") Iterator.empty
+      else {
+        val (_, _, frames) = FakeDecoder.decode(r.payload, r.media_type)
+        Iterator.range(0, frames, everyN).map { i =>
+          // STUB frame bytes: a deterministic slice keyed by frame index
+          val off = if (r.payload.isEmpty) 0 else i % r.payload.length
+          Frame(r.doc_id, i,
+            java.util.Arrays.copyOfRange(r.payload, off,
+              math.min(off + 16, r.payload.length)))
+        }
+      }
+    }
+  }
+
   /** Relational metadata view (oracle-checkable): byte length and lead byte
     * straight from the binary column, plus stubbed frame count. */
   def metadata(spark: SparkSession, dir: String): DataFrame =

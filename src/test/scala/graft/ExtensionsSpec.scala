@@ -121,6 +121,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resize rewrites payloads narrow, frame sampling " +
+    "explodes only videos at the requested stride") {
+    val media = Multimodal.mediaTable(spark, Sf0001)
+    val resized = Multimodal.resize(spark, media, 64, 64).collect()
+    assert(resized.length == 500)
+    resized.foreach { r =>
+      assert(r.width == 64 && r.height == 64)
+      assert(r.payload.length == 64 * 64 / 64)
+    }
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 10).collect()
+    assert(frames.nonEmpty)
+    val videoIds = media.where(col("media_type") === "video")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.doc_id).toSet.subsetOf(videoIds))
+    frames.groupBy(_.doc_id).values.foreach { fs =>
+      val idxs = fs.map(_.frame_idx).sorted.toSeq
+      assert(idxs.head == 0 && idxs == idxs.indices.map(_ * 10))
+    }
+  }
+
   test("streaming hourly counts match the batch rollup") {
     val streamed = graft.streaming.StreamingStats
       .runOnce(spark, Sf0001, "stream_hourly")

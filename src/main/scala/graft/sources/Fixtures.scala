@@ -153,6 +153,56 @@ object Fixtures {
       .withColumn("keyspace", lit("ks1"))
       .withColumn("key_formatted", concat(lit("key-"), col("key")))
 
+  /** Skew-safe variant of [[partitionScan]] for pathological partitions: a
+    * single Cassandra partition with billions of cells funnels its whole
+    * cell stream into ONE reducer under the plain groupBy. Salting by
+    * `pmod(hash(clustering), buckets)` splits the hot key across `buckets`
+    * reducers; a second, tiny aggregation re-merges bucket partials. Every
+    * aggregate survives the split: sums/counts/min/max are distributive, and
+    * the distinct row counts stay exact because a clustering value maps to
+    * exactly one bucket (distinct-within-bucket is additive across buckets).
+    * Equivalence with the unsalted form is property-tested; AQE's skew
+    * handling covers moderate skew, this covers the degenerate case. */
+  def partitionScanSalted(cells: DataFrame, buckets: Int = 16): DataFrame =
+    cells
+      .withColumn("salt", pmod(hash(col("clustering")), lit(buckets)))
+      .groupBy(col("tbl"), col("sstable_id"), col("key"), col("salt"))
+      .agg(
+        sum("size_bytes").as("size"),
+        countDistinct("clustering").as("row_count"),
+        countDistinct(when(col("is_tombstone"), col("clustering")))
+          .as("row_delete_count"),
+        count(when(col("kind") === "CELL", 1)).as("cell_count"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstone_count"),
+        sum(when(col("is_tombstone") &&
+          col("local_deletion_time_s") < GcBeforeS, 1L).otherwise(0L))
+          .as("droppable_tombstone_count"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
+          .as("range_tombstone_count"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live_cell_count"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L))
+          .as("expiring_cell_count"),
+        sum(when(col("is_counter"), 1L).otherwise(0L))
+          .as("counter_cell_count"),
+        min("timestamp_us").as("min_timestamp_us"),
+        max("timestamp_us").as("max_timestamp_us"))
+      .groupBy(col("tbl"), col("sstable_id"), col("key"))
+      .agg(
+        sum("size").as("size"),
+        sum("row_count").as("row_count"),
+        sum("row_delete_count").as("row_delete_count"),
+        sum("cell_count").as("cell_count"),
+        sum("tombstone_count").as("tombstone_count"),
+        sum("droppable_tombstone_count").as("droppable_tombstone_count"),
+        sum("range_tombstone_count").as("range_tombstone_count"),
+        sum("live_cell_count").as("live_cell_count"),
+        sum("expiring_cell_count").as("expiring_cell_count"),
+        sum("counter_cell_count").as("counter_cell_count"),
+        min("min_timestamp_us").as("min_timestamp_us"),
+        max("max_timestamp_us").as("max_timestamp_us"))
+      .withColumn("keyspace", lit("ks1"))
+      .withColumn("key_formatted", concat(lit("key-"), col("key")))
+
   /** Cross-sstable collate by exact partition key — the reference's k-way
     * sorted merge (PartitionReader.java:55-71, PartitionStatistics.java:118-130)
     * becomes a hash aggregation: sortedness is an input property Spark does

@@ -72,6 +72,17 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  test("salted partition scan == plain partition scan (skew-split exactness)") {
+    val cells = Fixtures.cells(spark, Sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted
+      df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    assert(canon(Fixtures.partitionScanSalted(cells, buckets = 7)) ===
+      canon(Fixtures.partitionScan(cells)))
+  }
+
   test("purge invariants: 0 <= reclaimable <= size; gc=-inf purges nothing") {
     val cells = Fixtures.lineitemCells(Tables.lineitem(spark, Sf0001))
     val stats = Purge.perPartition(cells).collect()

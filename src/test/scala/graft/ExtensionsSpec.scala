@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops._
+import graft.sources.Tables
 
 /** Specs for the LLM-data-pipeline extension operators. */
 class ExtensionsSpec extends SparkSpec {
@@ -139,6 +140,23 @@ class ExtensionsSpec extends SparkSpec {
       val idxs = fs.map(_.frame_idx).sorted.toSeq
       assert(idxs.head == 0 && idxs == idxs.indices.map(_ * 10))
     }
+  }
+
+  test("streaming sliding window: every event lands in exactly 4 windows") {
+    val ev = Tables.events(spark, Sf0001)
+    val total = ev.count()
+    val windowed = graft.streaming.StreamingStats.slidingCounts(ev)
+      .agg(sum("events")).collect()(0).getLong(0)
+    assert(windowed === 4 * total) // 1h window / 15min slide = 4 overlaps
+  }
+
+  test("sessionize (mapGroupsWithState) counts every user event once") {
+    val ev = Tables.events(spark, Sf0001)
+    val sess = graft.streaming.StreamingStats.sessionize(spark, ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess === expected)
   }
 
   test("streaming hourly counts match the batch rollup") {

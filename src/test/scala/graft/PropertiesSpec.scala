@@ -80,6 +80,24 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("unsigned vint codec round-trips arbitrary non-negative longs") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import graft.sources.indexdb.IndexDbFormat
+    val genV = Gen.oneOf(
+      Gen.choose(0L, 256L),
+      Gen.choose(0L, Long.MaxValue),
+      // cluster around the 7-bit-per-byte encoding boundaries
+      Gen.choose(0, 8).flatMap(k =>
+        Gen.choose(-2L, 2L).map(d => (1L << (7 * (k + 1))) + d))
+    ).map(v => if (v < 0) 0L else v)
+    checkProp(genV, trials = 500) { v =>
+      val bos = new ByteArrayOutputStream()
+      IndexDbFormat.writeUnsignedVInt(new DataOutputStream(bos), v)
+      val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      IndexDbFormat.readUnsignedVInt(in) == v && in.read() == -1
+    }
+  }
+
   test("bounded top-N heap semantics == sort + limit") {
     checkProp(Gen.listOf(Gen.choose(-1000L, 1000L))) { xs =>
       val n = 10

@@ -18,22 +18,24 @@ object CfStats {
   private def parts(spark: SparkSession, dir: String): DataFrame =
     Fixtures.liPartitions(spark, dir)
 
+  private def distribution(df: DataFrame, measure: String): DataFrame = {
+    val aggs = Dist.agg(measure)
+    Dist.expand(df.agg(aggs.head, aggs.tail: _*), measure)
+  }
+
   /** A7: rows-per-partition distribution. */
   def rowsDistribution(spark: SparkSession, dir: String): DataFrame =
-    parts(spark, dir).agg(Dist.agg("row_count").head,
-      Dist.agg("row_count").tail: _*)
+    distribution(parts(spark, dir), "row_count")
 
   /** A6 "widest partitions" measure: cells-per-partition distribution. */
   def cellsDistribution(spark: SparkSession, dir: String): DataFrame =
-    parts(spark, dir).agg(Dist.agg("cell_count").head,
-      Dist.agg("cell_count").tail: _*)
+    distribution(parts(spark, dir), "cell_count")
 
   /** A8 + F3: tombstones-per-partition distribution, only over partitions
     * that have tombstones (ColumnFamilyStatisticsCollector.java:125-129). */
   def tombstonesDistribution(spark: SparkSession, dir: String): DataFrame =
-    parts(spark, dir)
-      .where(col("tombstone_count") > 0)
-      .agg(Dist.agg("tombstone_count").head, Dist.agg("tombstone_count").tail: _*)
+    distribution(parts(spark, dir).where(col("tombstone_count") > 0),
+      "tombstone_count")
 
   /** T1/T2 WIDE: top-N by cell count, size tiebreak
     * (PartitionStatistics.java:27-33). */

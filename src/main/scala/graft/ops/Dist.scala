@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-report aggregate block (SURVEY §2.4 A3–A6): Count / Total /
@@ -21,7 +21,14 @@ object Dist {
   /** Aggregate columns for measure `c`. All outputs are BIGINT: averages are
     * floor(total/count) (integer division, matching the reference's A14),
     * stddev is floor of the sample stddev computed from exact Σx / Σx²
-    * (order-independent), percentiles are floored interpolated values. */
+    * (order-independent), percentiles are floored interpolated values.
+    *
+    * All five percentiles come from ONE `percentile(c, array(...))`
+    * aggregate (a single sort buffer) rather than five separate ones — the
+    * buffer holds each group's values once instead of five times, which is
+    * the difference between spilling and not at scale. The array is expanded
+    * by [[expand]]; the driver's result compare is column-name keyed, so
+    * the reshuffled projection order is immaterial. */
   def agg(c: String): Seq[Column] = {
     val n = count(lit(1))
     val nd = n.cast("decimal(38,0)")
@@ -35,10 +42,18 @@ object Dist {
       min(col(c)).as(s"${c}_min"),
       max(col(c)).as(s"${c}_max"),
       floor(sum(col(c)) / n).as(s"${c}_avg"),
-      floor(sqrt(variance)).as(s"${c}_std")) ++
-      Ps.map { case (nm, p) =>
-        floor(expr(s"percentile($c, $p)")).as(s"${c}_p$nm")
-      }
+      floor(sqrt(variance)).as(s"${c}_std"),
+      expr(s"percentile($c, array(${Ps.map(_._2).mkString(", ")}))")
+        .as(s"__pcts_$c"))
+  }
+
+  /** Expand the packed percentile array of [[agg]] into the named `_pNN`
+    * columns (call after the aggregation). */
+  def expand(df: DataFrame, c: String): DataFrame = {
+    val others = df.columns.filterNot(_ == s"__pcts_$c").map(col).toSeq
+    df.select(others ++ Ps.zipWithIndex.map { case ((nm, _), i) =>
+      floor(element_at(col(s"__pcts_$c"), i + 1)).as(s"${c}_p$nm")
+    }: _*)
   }
 
   /** DuckDB SQL projection equivalent to [[agg]] (same column names). */

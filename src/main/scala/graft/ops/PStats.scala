@@ -26,7 +26,7 @@ object PStats {
       max(col("table_count")).as("table_count_max"),
       floor(sum(col("table_count")) * 100 / count(lit(1)))
         .as("table_count_avg_x100"))
-    parts.agg(aggs.head, aggs.tail: _*)
+    Dist.expand(parts.agg(aggs.head, aggs.tail: _*), "size")
   }
 
   /** T1/T2: top-N partitions by size, size-desc then key-asc tiebreak
@@ -65,7 +65,7 @@ object PStats {
     val aggs = Dist.agg("size") ++ Seq(
       min(col("table_count")).as("table_count_min"),
       max(col("table_count")).as("table_count_max"))
-    parts.agg(aggs.head, aggs.tail: _*)
+    Dist.expand(parts.agg(aggs.head, aggs.tail: _*), "size")
   }
 
   /** S4 / §2.5: re-derive partition size from Data.db offset deltas with

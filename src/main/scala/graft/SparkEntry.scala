@@ -80,7 +80,15 @@ object SparkEntry {
     "q30_events_hourly" -> ((s, d) => EventsOps.hourly(s, d)),
     "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),
     // multimodal
-    "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)))
+    "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)),
+    // typed-Aggregator forms (SURVEY §2.10; engine-specific, rows-only check)
+    "q37_ttl_map_agg" -> ((s, d) =>
+      graft.agg.TtlMapAggregator.perPartition(
+        graft.sources.Fixtures.cells(s, d)).orderBy("key")),
+    "q38_purge_agg" -> ((s, d) =>
+      graft.agg.PurgeAggregator.perPartition(
+        graft.sources.Fixtures.cells(s, d),
+        graft.sources.Fixtures.GcBeforeS).orderBy("key")))
 
   /** DuckDB-dialect oracle SQL; keys omitted here fall back to the driver's
     * rows-only check (engine-hash-based or approximate operators). */

@@ -22,6 +22,21 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(out(2).contains("Largest partitions"))
   }
 
+  test("golden: summary report renders byte-for-byte stable ASCII") {
+    // Pins K1 format parity (TableBuilder.java:51-81): border style, col 0
+    // left-aligned, other columns right-aligned, header widths from content.
+    val expected =
+      """Summary
+        |+----------+----------+---------------+-----------+---------+
+        || keyspace |      tbl | sstable_count | data_size |  repair |
+        |+----------+----------+---------------+-----------+---------+
+        || ks1      | lineitem |             6 |   29.8 MB | 3/6 49% |
+        || ks1      |   orders |             4 |    6.0 MB | 2/4 48% |
+        |+----------+----------+---------------+-----------+---------+
+        |""".stripMargin
+    assert(Reports.summary(spark, Sf0001) == expected)
+  }
+
   test("F2 guard: filter matching nothing yields 'No data found!'") {
     assert(Reports.pstats(spark, Sf0001,
       sstableFilter = Seq("sst-nope")) == Reports.NoData)

@@ -80,6 +80,23 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL-map Aggregator merge == multiset union, any split/order") {
+    import graft.agg.TtlMapAggregator
+    import graft.agg.TtlMapAggregator.TtlCell
+    val a = new TtlMapAggregator.Agg
+    val genTtls = Gen.nonEmptyListOf(Gen.choose(-1L, 6L))
+    val genSplit = for {
+      ts <- genTtls; cut <- Gen.choose(0, 10)
+    } yield (ts, cut)
+    checkProp(genSplit) { case (ts, cut) =>
+      val expected = ts.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val (l, r) = ts.splitAt(cut % (ts.size + 1))
+      def fold(xs: List[Long]) = xs.foldLeft(a.zero)((m, t) => a.reduce(m, TtlCell(t)))
+      a.finish(a.merge(fold(l), fold(r))) == expected &&
+        a.finish(a.merge(fold(r), fold(l))) == expected
+    }
+  }
+
   test("unsigned vint codec round-trips arbitrary non-negative longs") {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
     import graft.sources.indexdb.IndexDbFormat

@@ -38,7 +38,13 @@ object Bench {
     // expressions themselves (a global agg's row count needs no aggregates),
     // which would time a hollowed-out plan. The noop writer consumes every
     // output column, so each number is the full query's cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // q37/q38 are typed-Aggregator DEMONSTRATION forms of operators whose
+    // production (relational) forms are benched as q13/q16/q17 — they stay
+    // in the correctness surface (Verify runs them) but are not headline
+    // queries: a user runs one form, not both.
+    val headline = SparkEntry.queries.view
+      .filterKeys(k => k != "q37_ttl_map_agg" && k != "q38_purge_agg")
+    val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -93,13 +93,15 @@ object Dedup {
     * hash ⇒ no SQL oracle; verified against [[ngramJaccard]] in tests). */
   def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
+    // murmur3 of the shingle hoisted into one projected column: inside the
+    // aggregate list it would be re-evaluated per permutation (k x per row).
+    val hashed = sh.withColumn("hc", (hash(col("g")).cast("long") + p) % p)
     val perms = (0 until k).map { i =>
       val a = 1L + 2L * i + 1L // odd multipliers
       val b = 7919L * (i + 1)
-      min((((hash(col("g")).cast("long") + p) % p) * a + b) % p)
-        .as(s"h$i")
+      min((col("hc") * a + b) % p).as(s"h$i")
     }
-    sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+    hashed.groupBy("doc_id").agg(perms.head, perms.tail: _*)
   }
 
   /** MinHash + LSH banding: signatures split into bands of `rowsPerBand`,

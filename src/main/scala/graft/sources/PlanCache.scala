@@ -1,8 +1,5 @@
 package graft.sources
 
-import java.util.concurrent.ConcurrentHashMap
-import java.util.function.{Function => JFunction}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -20,13 +17,22 @@ import org.apache.spark.storage.StorageLevel
   * even those spill — the disk tier keeps the plan valid at any scale.
   */
 object PlanCache {
-  private val memo = new ConcurrentHashMap[String, DataFrame]()
+  private val memo = new java.util.HashMap[String, DataFrame]()
 
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = System.identityHashCode(spark) + "|" + key
-    memo.computeIfAbsent(k, new JFunction[String, DataFrame] {
-      def apply(unused: String): DataFrame =
-        build.persist(StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+  /** Reentrancy-safe memoization: cached builds call cached() themselves
+    * (liPartitions → liPscan), and ConcurrentHashMap.computeIfAbsent throws
+    * "Recursive update" on reentrant modification of the same map — a
+    * nondeterministic, bin-collision-dependent failure. A reentrant
+    * synchronized block with plain get/put is safe for nested builds. */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.synchronized {
+      val k = System.identityHashCode(spark) + "|" + key
+      val hit = memo.get(k)
+      if (hit != null) hit
+      else {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        memo.put(k, df)
+        df
+      }
+    }
 }

@@ -72,6 +72,12 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() returns rows on sf0.001, every query runs") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // oracleSql keys must be a subset of queries (driver joins on name)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("salted partition scan == plain partition scan (skew-split exactness)") {
     val cells = Fixtures.cells(spark, Sf0001)
     def canon(df: org.apache.spark.sql.DataFrame) = {

@@ -22,6 +22,22 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(out(2).contains("Largest partitions"))
   }
 
+  test("K2 progress sink: listener emits monotone percentages, reference " +
+    "line format, terminal 100% line") {
+    import graft.cli.Progress
+    assert(Progress.render("purge", 40, 90000L) == "purge (40%) ETA: 1m 30s")
+    assert(Progress.render("purge", 100, 0L) == "purge (100%)")
+    assert(Progress.etaMs(1000L, 0.25) == 3000L) // ceil(elapsed/frac - elapsed)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = Progress.track(spark, "scan", lines += (_)) {
+      graft.sources.Tables.lineitem(spark, Sf0001).count()
+    }
+    assert(n > 0)
+    assert(lines.nonEmpty && lines.last == "scan (100%)")
+    val pcts = lines.map(_.split("[()%]")(1).trim.toInt)
+    assert(pcts == pcts.sorted && pcts.distinct == pcts)
+  }
+
   test("golden: summary report renders byte-for-byte stable ASCII") {
     // Pins K1 format parity (TableBuilder.java:51-81): border style, col 0
     // left-aligned, other columns right-aligned, header widths from content.

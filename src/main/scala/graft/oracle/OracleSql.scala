@@ -323,6 +323,20 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
   CAST(SUM(CASE WHEN derived_size <> size THEN 1 ELSE 0 END) AS BIGINT) AS mismatches
 FROM derived GROUP BY 1 ORDER BY 1""",
 
+    "q40_index_raw_roundtrip" -> s"""WITH $fixtures,
+idx AS (
+  SELECT sstable_id, key,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
+  CAST(MIN(position) AS BIGINT) AS first_position,
+  CAST(MAX(position) AS BIGINT) AS last_position,
+  CAST(SUM(position) AS BIGINT) AS positions_sum,
+  CAST(SUM(key) AS BIGINT) AS keys_sum
+FROM idx GROUP BY 1 ORDER BY 1""",
+
     "q20_dedup_exact" -> s"""WITH $corpus
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
        CAST(COUNT(*) AS BIGINT) AS copies

@@ -1,0 +1,63 @@
+package graft.sources.indexdb
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+
+/** Materializes the lineitem partition-index fixture as REAL binary Index.db
+  * files (IndexDbFormat), so the DataSource V2 path can be exercised — and
+  * oracle-checked — end to end: fixture pscan → binary encode → file →
+  * DSv2 parse → relational aggregate must equal the DuckDB recomputation
+  * from the same parquet inputs.
+  *
+  * Generation is per-(session, sfDir), memoized, and writes through a temp
+  * directory; entries are written in ascending key order with position =
+  * running sum of sizes, exactly the semantics the oracle's window SQL
+  * re-derives. Driver-side sequential writes are fine here: this is fixture
+  * generation (the real deployment reads files Cassandra already wrote),
+  * not query execution. */
+object IndexDbFixture {
+
+  private val memo = new java.util.HashMap[String, String]()
+
+  def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
+    val k = System.identityHashCode(spark) + "|" + dir
+    val hit = memo.get(k)
+    if (hit != null) return hit
+    val out = Files.createTempDirectory("graft-indexdb-fixture")
+    writeAll(spark, dir, out)
+    val path = out.toString
+    memo.put(k, path)
+    path
+  }
+
+  private def writeAll(spark: SparkSession, dir: String, out: Path): Unit = {
+    val rows = Fixtures.liPscan(spark, dir)
+      .select(col("sstable_id"), col("key"), col("size"))
+      .orderBy("sstable_id", "key")
+      .collect()
+    var current: String = null
+    var stream: DataOutputStream = null
+    var position = 0L
+    rows.foreach { r =>
+      val sst = r.getString(0)
+      if (sst != current) {
+        if (stream != null) stream.close()
+        stream = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(out.resolve(sst + IndexDbFormat.Suffix).toFile)))
+        current = sst
+        position = 0L
+      }
+      val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(r.getLong(1)).array()
+      // a small promoted-index blob proves the reader's skip path on every entry
+      IndexDbFormat.writeEntry(stream, keyBytes, position,
+        promoted = Array.fill((r.getLong(1) % 4).toInt)(0x5a.toByte))
+      position += r.getLong(2)
+    }
+    if (stream != null) stream.close()
+  }
+}

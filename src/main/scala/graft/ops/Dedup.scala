@@ -62,7 +62,7 @@ object Dedup {
     * |A∩B| / |A∪B| ≥ 0.8 decided in pure integer arithmetic
     * (inter·10 ≥ 8·union) so the threshold is engine-exact. */
   def ngramJaccard(spark: SparkSession, dir: String,
-      thresholdPct: Int = 80): DataFrame = {
+      thresholdPct: Int = 80, pruneUnique: Boolean = false): DataFrame = {
     // join key = xxhash64(shingle): the inverted-index shuffle carries 8-byte
     // longs instead of ~30-byte strings and equality checks are primitive.
     // Counts equal the string-keyed join's unless two distinct shingles
@@ -70,8 +70,21 @@ object Dedup {
     // keeps string keys, so a collision would surface as a t2 mismatch.
     val sh = corpusShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
+    // pruneUnique: drop shingles held by a single document before the
+    // self-join — they cannot form pairs. At web-corpus scale, where the
+    // overwhelming majority of shingles are unique, this shrinks the join
+    // input to the shared-shingle sliver and is the right default; on the
+    // synthetic fixture (~26% injected duplicates, heavy sharing) the extra
+    // document-frequency aggregation costs more than it prunes, so the flag
+    // is opt-in here. Results are identical either way (document sizes
+    // below always count ALL shingles).
+    val joinSide =
+      if (!pruneUnique) sh
+      else sh.join(
+        sh.groupBy("gh").agg(count(lit(1)).as("docs"))
+          .where(col("docs") > 1).select("gh"), "gh")
+    val pairs = joinSide.as("a")
+      .join(joinSide.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

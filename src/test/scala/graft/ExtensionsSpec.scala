@@ -33,6 +33,13 @@ class ExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("jaccard_x1000") >= 800L))
   }
 
+  test("ngram jaccard: unique-shingle pruning changes nothing but the plan") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(Dedup.ngramJaccard(spark, Sf0001, pruneUnique = true)) ===
+      canon(Dedup.ngramJaccard(spark, Sf0001)))
+  }
+
   test("minhash LSH recovers the exact-duplicate pairs") {
     val lsh = Dedup.minhashLsh(spark, Sf0001)
       .select("id_a", "id_b").collect()

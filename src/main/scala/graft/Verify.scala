@@ -23,12 +23,20 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any stale result from a previous run: a leftover parquet
-        // would make the failure look like a pass to the comparer
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          stale.listFiles().foreach(_.delete()); stale.delete()
+        // remove any stale result from a previous run: leftover parquet
+        // would make the failure look like a pass to the comparer. Deletes
+        // recursively (writes can leave _temporary trees) and screams if
+        // anything survives rather than silently false-passing.
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+          f.delete()
         }
+        val stale = new java.io.File(s"$outDir/$name")
+        rmr(stale)
+        if (stale.exists())
+          System.err.println(
+            s"[verify] WARNING: could not remove stale output $stale — " +
+              "comparer may read a previous run's result")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -29,13 +29,17 @@ object Progress {
     else math.round(math.ceil(elapsedMs / fraction - elapsedMs))
 
   /** Track an action's task completion on the listener bus, emitting one
-    * line per percentage point to `out`. Listener detaches afterwards. */
+    * line per percentage point to `out` (emissions are serialized — the
+    * listener bus dispatches asynchronously). The terminal 100% line is
+    * only printed when the tracked body succeeds, mirroring the reference's
+    * completion-only final line. */
   def track[T](spark: SparkSession, title: String,
       out: String => Unit = Console.out.println(_))(body: => T): T = {
     val total = new AtomicLong(0L)
     val done = new AtomicLong(0L)
     val lastPct = new AtomicLong(-1L)
     val start = System.currentTimeMillis()
+    val lock = new Object
     val listener = new SparkListener {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         total.addAndGet(s.stageInfo.numTasks.toLong)
@@ -44,11 +48,11 @@ object Progress {
         val n = total.get()
         if (n > 0) {
           val frac = d.toDouble / n
-          val pct = (frac * 100).toInt
+          val pct = math.min((frac * 100).toInt, 99) // 100 is success-only
           // each percentage printed once and never backwards (total task
           // count can still grow while stages are being submitted)
-          val prev = lastPct.getAndAccumulate(pct, Math.max(_, _))
-          if (pct > prev) {
+          val prev = lastPct.getAndAccumulate(pct.toLong, Math.max(_, _))
+          if (pct > prev) lock.synchronized {
             out(render(title, pct,
               etaMs(System.currentTimeMillis() - start, frac)))
           }
@@ -56,10 +60,24 @@ object Progress {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try body
-    finally {
+    try {
+      val result = body
+      // drain: the async bus may still hold task-end events for the action
+      // that just returned — wait for quiescence before the final line so
+      // nothing prints after (bounded; progress lines are best-effort)
+      val deadline = System.currentTimeMillis() + 2000
+      var snapshot = -1L
+      while (snapshot != done.get() && System.currentTimeMillis() < deadline) {
+        snapshot = done.get()
+        Thread.sleep(50)
+      }
       spark.sparkContext.removeSparkListener(listener)
-      if (lastPct.get() < 100) out(render(title, 100, 0L))
+      lock.synchronized { out(render(title, 100, 0L)) }
+      result
+    } catch {
+      case e: Throwable =>
+        spark.sparkContext.removeSparkListener(listener)
+        throw e
     }
   }
 }

@@ -89,17 +89,25 @@ object Similarity {
         .select(col("vec_id").as("centroid_vec"), col("qv").as("cv"))
         .withColumn("list_id",
           row_number().over(Window.orderBy("centroid_vec")).cast("long")))
-    def assign(vecs: DataFrame, idCol: String, keep: Int): DataFrame =
-      vecs.join(centroids)
-        .withColumn("score", dot(col("qv"), col("cv")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(idCol).orderBy(desc("score"), asc("list_id"))))
-        .where(col("rk") <= keep)
-        .drop("cv", "centroid_vec", "score", "rk")
-    val lists = assign(cands, "vec_id", keep = 1)
-      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
-        col("norm2").as("nb2"), col("list_id"))
-    val probes = assign(q.where(col("vec_id") < nQueries), "vec_id", nProbe)
+    val scored = (vecs: DataFrame) => vecs.join(centroids)
+      .withColumn("score", dot(col("qv"), col("cv")))
+    // corpus-side assignment: max_by aggregation, NOT a window — the
+    // broadcast join expands each vector x nLists within its partition, but
+    // partial aggregation collapses back to one row per vector map-side, so
+    // the exchange never carries the expansion (a window would shuffle+sort
+    // all |corpus| x nLists rows). Tiebreak: highest score, lowest list_id.
+    val lists = scored(cands)
+      .groupBy(col("vec_id").as("neighbor_id"))
+      .agg(max_by(
+        struct(col("list_id"), col("qv"), col("norm2")),
+        struct(col("score"), (-col("list_id")).as("nl"))).as("w"))
+      .select(col("neighbor_id"), col("w.qv").as("qb"),
+        col("w.norm2").as("nb2"), col("w.list_id").as("list_id"))
+    // query-side probing keeps the rank window: nQueries x nLists rows total
+    val probes = scored(q.where(col("vec_id") < nQueries))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("score"), asc("list_id"))))
+      .where(col("rk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
         col("norm2").as("na2"), col("list_id"))
     val w = Window.partitionBy("query_id")

@@ -101,9 +101,17 @@ final case class IndexDbScan(path: String, required: StructType,
       case _ => true
     }
 
+  /** The active session's Hadoop conf (spark.hadoop.*, fs.* credentials,
+    * nameservices) — a blank `new Configuration()` would break any
+    * non-local filesystem deployment. */
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(sessionHadoopConf())
     val status = fs.getFileStatus(p)
     val files =
       if (status.isDirectory)
@@ -118,28 +126,41 @@ final case class IndexDbScan(path: String, required: StructType,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new IndexDbReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop conf to executors as plain entries (the
+    // Configuration class itself is not Java-serializable)
+    val conf = sessionHadoopConf()
+    val entries = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new IndexDbReaderFactory(required, entries)
+  }
 }
 
 final case class IndexDbInputPartition(file: String, sstableId: String)
     extends InputPartition
 
-final class IndexDbReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+final class IndexDbReaderFactory(required: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IndexDbInputPartition]
-    new IndexDbPartitionReader(p.file, p.sstableId, required)
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new IndexDbPartitionReader(p.file, p.sstableId, required, conf)
   }
 }
 
 /** Streaming reader over one Index.db file; only the columns in `required`
   * are materialized. */
 final class IndexDbPartitionReader(file: String, sstableId: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(file)
-  private val stream = hPath.getFileSystem(new Configuration()).open(hPath)
+  private val stream = hPath.getFileSystem(conf).open(hPath)
   private val entries = IndexDbFormat.entries(stream)
   private var current: IndexDbFormat.Entry = _
   private val id = UTF8String.fromString(sstableId)

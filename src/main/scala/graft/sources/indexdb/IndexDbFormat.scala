@@ -90,7 +90,18 @@ object IndexDbFormat {
       in.readFully(key)
       val position = readUnsignedVInt(in)
       val promotedLen = readUnsignedVInt(in)
-      if (promotedLen > 0) in.skipBytes(promotedLen.toInt)
+      if (promotedLen < 0 || promotedLen > Int.MaxValue)
+        throw new java.io.IOException(
+          s"corrupt promoted-index length $promotedLen")
+      // skipBytes may skip fewer bytes than asked; a silent partial skip on
+      // a truncated file would end iteration cleanly instead of failing like
+      // the truncated-key path does
+      var remaining = promotedLen.toInt
+      while (remaining > 0) {
+        val skipped = in.skipBytes(remaining)
+        if (skipped <= 0) throw new EOFException("truncated promoted index")
+        remaining -= skipped
+      }
       nextEntry = Entry(key, position)
     }
 

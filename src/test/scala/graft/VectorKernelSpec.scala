@@ -14,7 +14,7 @@ class VectorKernelSpec extends SparkSpec {
     spark.createDataFrame(Seq(
       (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
       (2L, Seq(-7L, 0L), Seq(2L, 9L)),
-      (3L, Seq.empty[Long], Seq(1L, 2L)),
+      (3L, Seq.empty[Long], Seq.empty[Long]),
       (4L, Seq(1000000L, -1000000L), Seq(1000000L, 1000000L))))
       .toDF("id", "a", "b")
   }
@@ -23,6 +23,13 @@ class VectorKernelSpec extends SparkSpec {
     val rows = df.select(col("id"), GraftFunctions.dotI64(col("a"), col("b"))
       .as("d")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows === Map(1L -> 32L, 2L -> -14L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("dot_i64 is NULL on length mismatch, like the zip_with form") {
+    val r = df.where(col("id") === 1L)
+      .select(GraftFunctions.dotI64(col("a"), array(lit(1L))).as("d"))
+      .collect()(0)
+    assert(r.isNullAt(0))
   }
 
   test("dot_i64 agrees with the interpreted aggregate/zip_with form") {

@@ -94,6 +94,8 @@ object SparkEntry {
     "q36_langid" -> ((s, d) =>
       TextStats.langId(graft.sources.Tables.documents(s, d))
         .orderBy("doc_id")),
+    "q41_bpe_tokens" -> ((s, d) =>
+      TextStats.bpeTokenCounts(graft.sources.Tables.documents(s, d))),
     // events
     "q30_events_hourly" -> ((s, d) => EventsOps.hourly(s, d)),
     "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),

@@ -79,6 +79,29 @@ object TextStats {
         floor(sum("token_count") / count(lit(1))).as("tokens_per_doc"))
       .orderBy("source")
 
+  /** GPT-2-style pre-tokenizer regex: contraction suffixes, letter runs,
+    * digit runs, punctuation runs, whitespace — the standard BPE input
+    * segmentation. Counting these units approximates BPE token counts far
+    * better than whitespace splitting (punctuation and numbers split off).
+    * Engine-specific (regex dialects differ across engines ⇒ no SQL
+    * oracle); the codegen'd `regexp_extract_all` keeps it one narrow pass. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame = {
+    val pattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    docs
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("long"))
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("bpe_tokens").as("total_bpe_tokens"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        floor(sum("bpe_tokens") * 100 / sum("ws_tokens"))
+          .as("bpe_per_ws_x100"))
+      .orderBy("source")
+  }
+
   /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars
     * of long tokens — a deterministic proxy for subword tokenizers. */
   def subwordCounts(docs: DataFrame): DataFrame =

@@ -123,6 +123,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(2L) == "de")
   }
 
+  test("BPE-ish regex token counts: at least one unit per whitespace token") {
+    val rows = TextStats.bpeTokenCounts(Tables.documents(spark, Sf0001))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bpe, ws) = (r.getLong(2), r.getLong(3))
+      assert(bpe >= ws, s"bpe=$bpe < ws=$ws for ${r.getString(0)}")
+    }
+  }
+
   test("fingerprint is deterministic across runs") {
     val docs = graft.sources.Tables.documents(spark, Sf0001)
     val a = TextStats.fingerprint(docs).collect().map(_.toSeq)

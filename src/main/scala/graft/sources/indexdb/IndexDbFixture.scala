@@ -25,7 +25,7 @@ object IndexDbFixture {
   private val memo = new java.util.HashMap[String, String]()
 
   def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
-    val k = System.identityHashCode(spark) + "|" + dir
+    val k = s"${System.identityHashCode(spark)}|$dir"
     val hit = memo.get(k)
     if (hit != null) return hit
     val out = Files.createTempDirectory("graft-indexdb-fixture")

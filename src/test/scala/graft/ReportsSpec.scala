@@ -81,7 +81,7 @@ class ReportsSpec extends SparkSpec {
   test("salted partition scan == plain partition scan (skew-split exactness)") {
     val cells = Fixtures.cells(spark, Sf0001)
     def canon(df: org.apache.spark.sql.DataFrame) = {
-      val cols = df.columns.sorted
+      val cols = df.columns.sorted.toIndexedSeq
       df.select(cols.head, cols.tail: _*)
         .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     }

@@ -108,7 +108,12 @@ object SparkEntry {
     "q38_purge_agg" -> ((s, d) =>
       graft.agg.PurgeAggregator.perPartition(
         graft.sources.Fixtures.cells(s, d),
-        graft.sources.Fixtures.GcBeforeS).orderBy("key")))
+        graft.sources.Fixtures.GcBeforeS).orderBy("key")),
+    // A3/A4 reservoir estimator (randomized sample ⇒ engine-specific; the
+    // exact-percentile production form is the oracle-checked q01)
+    "q42_reservoir_dist" -> ((s, d) =>
+      graft.agg.ReservoirHistogram.snapshot(
+        graft.sources.Fixtures.liPartitions(s, d), "size")))
 
   /** DuckDB-dialect oracle SQL; keys omitted here fall back to the driver's
     * rows-only check (engine-hash-based or approximate operators). */

@@ -28,8 +28,13 @@ object PurgeAggregator {
   case class Winner(timestamp_us: Long, sstable_id: String,
       size_bytes: Long, is_tombstone: Boolean, local_deletion_time_s: Long)
 
-  case class Buf(size: Long, tables: Map[String, Int],
-      winners: Map[String, Winner])
+  /** Mutable accumulation state (kryo-encoded: buffers live as objects
+    * within a partition and only serialize at the exchange, so per-cell
+    * updates must not churn persistent structures — immutable Map.updated
+    * per row was the dominant cost of this Aggregator). */
+  case class Buf(var size: Long,
+      tables: scala.collection.mutable.HashSet[String],
+      winners: scala.collection.mutable.HashMap[(Long, String), Winner])
 
   case class Result(table_count: Long, size: Long, merged_size: Long,
       reclaimable: Long)
@@ -44,29 +49,33 @@ object PurgeAggregator {
   }
 
   class Agg(gcBeforeS: Long) extends Aggregator[Cell, Buf, Result] {
-    def zero: Buf = Buf(0L, Map.empty, Map.empty)
+    def zero: Buf = Buf(0L,
+      scala.collection.mutable.HashSet.empty,
+      scala.collection.mutable.HashMap.empty)
 
     def reduce(b: Buf, c: Cell): Buf = {
-      val ck = s"${c.clustering}|${c.column_name}"
+      val ck = (c.clustering, c.column_name)
       val w = Winner(c.timestamp_us, c.sstable_id, c.size_bytes,
         c.is_tombstone, c.local_deletion_time_s)
-      val kept = b.winners.get(ck) match {
-        case Some(prev) if !beats(w, prev) => prev
-        case _ => w
+      b.winners.get(ck) match {
+        case Some(prev) if !beats(w, prev) => ()
+        case _ => b.winners.update(ck, w)
       }
-      Buf(b.size + c.size_bytes,
-        b.tables.updated(c.sstable_id, 1),
-        b.winners.updated(ck, kept))
+      b.size += c.size_bytes
+      b.tables += c.sstable_id
+      b
     }
 
     def merge(x: Buf, y: Buf): Buf = {
-      val winners = y.winners.foldLeft(x.winners) { case (acc, (ck, w)) =>
-        acc.get(ck) match {
-          case Some(prev) if !beats(w, prev) => acc
-          case _ => acc.updated(ck, w)
+      y.winners.foreach { case (ck, w) =>
+        x.winners.get(ck) match {
+          case Some(prev) if !beats(w, prev) => ()
+          case _ => x.winners.update(ck, w)
         }
       }
-      Buf(x.size + y.size, x.tables ++ y.tables, winners)
+      x.size += y.size
+      x.tables ++= y.tables
+      x
     }
 
     def finish(b: Buf): Result = {
@@ -76,7 +85,7 @@ object PurgeAggregator {
       Result(b.tables.size.toLong, b.size, merged, b.size - merged)
     }
 
-    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     def outputEncoder: Encoder[Result] = Encoders.product[Result]
   }
 

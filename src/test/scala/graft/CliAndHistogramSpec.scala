@@ -53,6 +53,22 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(Reports.summary(spark, Sf0001) == expected)
   }
 
+  test("golden: pstats report pins distribution row and top-N sections") {
+    val out = Reports.pstats(spark, Sf0001, topN = 3)
+    // exact distribution row (exact aggregates over seeded fixtures)
+    assert(out.contains(
+      "| 1473   |   29805777 |      151 |    66163 |    20234 |    11030 |" +
+        "               1 |               6 |                  292 |" +
+        "    18929 |    27322 |    35508 |    40069 |    49821 |"))
+    assert(out.contains("Largest partitions (top 3)"))
+    assert(out.contains("| 924  |       key-924 | 66163 |           5 |"))
+    assert(out.contains("Partitions in most sstables (top 3)"))
+    assert(out.contains("| 292  |       key-292 | 53518 |           6 |"))
+    assert(out.contains(
+      "| sst-0      |             804 |               7177 |" +
+        "              26072 |             5770339 |"))
+  }
+
   test("F2 guard: filter matching nothing yields 'No data found!'") {
     assert(Reports.pstats(spark, Sf0001,
       sstableFilter = Seq("sst-nope")) == Reports.NoData)

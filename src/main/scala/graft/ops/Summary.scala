@@ -57,6 +57,23 @@ object Summary {
       .select("keyspace", "tbl").distinct()
       .orderBy("keyspace", "tbl")
 
+  /** F9: secondary-index name resolution — a column family named
+    * "table.index" stores its data in the BASE table's directory, so lookups
+    * resolve to the base name (CassandraBackend.java:70-75). */
+  def resolveStore(columnFamily: String): String = {
+    val dot = columnFamily.indexOf('.')
+    if (dot >= 0) columnFamily.substring(0, dot) else columnFamily
+  }
+
+  /** X8: snapshot name generation — "analyse-" + 20 seeded A-Z chars
+    * (Util.java:54-64). The reference snapshots for a consistent file set;
+    * our inputs are immutable fixtures, so this exists for CLI parity and
+    * is deterministic per seed for testability. */
+  def snapshotName(seed: Long = System.nanoTime()): String = {
+    val r = new scala.util.Random(seed)
+    "analyse-" + Seq.fill(20)(('A' + r.nextInt(26)).toChar).mkString
+  }
+
   /** T3: strategy-aware sstable sort order (SSTableMetadataCollector.java:60-69):
     * TWCS sorts by max cell timestamp, LCS by level, default (STCS) by
     * generation id; all with the id tiebreak (T4, Util.java:32-40). */

@@ -84,6 +84,15 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(filt > 0 && filt < all)
   }
 
+  test("F9/X8: index-name resolution and snapshot-name generation") {
+    assert(Summary.resolveStore("lineitem.by_suppkey") == "lineitem")
+    assert(Summary.resolveStore("lineitem") == "lineitem")
+    val n = Summary.snapshotName(seed = 42L)
+    assert(n.startsWith("analyse-") && n.length == "analyse-".length + 20)
+    assert(n.drop(8).forall(c => c >= 'A' && c <= 'Z'))
+    assert(Summary.snapshotName(seed = 42L) == n) // deterministic per seed
+  }
+
   test("T3 strategy sorts order by the right columns") {
     assert(Summary.sortColumnsFor("TWCS").head.toString
       .contains("max_timestamp_us"))

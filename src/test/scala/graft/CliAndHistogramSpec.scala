@@ -69,6 +69,21 @@ class CliAndHistogramSpec extends SparkSpec {
         "              26072 |             5770339 |"))
   }
 
+  test("golden: cfstats report pins totals, TTL histogram and sstable stats") {
+    val out = Reports.cfstats(spark, Sf0001, topN = 2)
+    assert(out.contains(
+      "| 1473            |      5329 |             1896 |       5681 |" +
+        "            1968 |                      1099 |"))
+    assert(out.contains("| NO_TTL      |       3088 |"))
+    assert(out.contains("| 7d 0h 0m 0s |        348 |"))
+    assert(out.contains("| 1102 |      key-1102 |         12 | 57671 |         6 |"))
+    assert(out.contains(
+      "| sst-0      |             804 |      1013 |              350 |" +
+        "       1092 |             787 |                 377 |" +
+        "                 18 |             360 |                       181 |" +
+        "                    55 |           72 |"))
+  }
+
   test("F2 guard: filter matching nothing yields 'No data found!'") {
     assert(Reports.pstats(spark, Sf0001,
       sstableFilter = Seq("sst-nope")) == Reports.NoData)

@@ -24,6 +24,18 @@ object Progress {
     if (percentage >= 100) s"$title (100%)"
     else s"$title ($percentage%) ETA: ${Formatters.humanReadableDateDiff(etaMs)}"
 
+  /** Interactive-console variant: 30-column █/░ bar
+    * (ProgressBar.java:9-10, 64-80); ANSI clear/CR left to the caller. */
+  def renderBar(title: String, fraction: Double, etaMs: Long): String = {
+    val pct = (fraction * 100).toInt
+    if (pct >= 100) s"$title ${"█" * 30} (100%)"
+    else {
+      val cols = (fraction * 30).toInt
+      s"$title ${"█" * cols}${"░" * (30 - cols)} ($pct%) " +
+        s"ETA: ${Formatters.humanReadableDateDiff(etaMs)}"
+    }
+  }
+
   def etaMs(elapsedMs: Long, fraction: Double): Long =
     if (fraction <= 0d) 0L
     else math.round(math.ceil(elapsedMs / fraction - elapsedMs))

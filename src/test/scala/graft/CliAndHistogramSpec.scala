@@ -27,6 +27,9 @@ class CliAndHistogramSpec extends SparkSpec {
     import graft.cli.Progress
     assert(Progress.render("purge", 40, 90000L) == "purge (40%) ETA: 1m 30s")
     assert(Progress.render("purge", 100, 0L) == "purge (100%)")
+    assert(Progress.renderBar("purge", 0.5, 60000L) ==
+      "purge " + "█" * 15 + "░" * 15 + " (50%) ETA: 1m 0s")
+    assert(Progress.renderBar("purge", 1.0, 0L) == "purge " + "█" * 30 + " (100%)")
     assert(Progress.etaMs(1000L, 0.25) == 3000L) // ceil(elapsed/frac - elapsed)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val n = Progress.track(spark, "scan", lines += (_)) {

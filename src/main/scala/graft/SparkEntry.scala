@@ -101,10 +101,12 @@ object SparkEntry {
     "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),
     // multimodal
     "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)),
-    // typed-Aggregator forms (SURVEY §2.10; engine-specific, rows-only check)
+    // typed-Aggregator forms (SURVEY §2.10). q37 is oracle-checked: the
+    // Aggregator's map is exploded to flat (key, ttl_s, cnt) rows DuckDB
+    // recomputes relationally.
     "q37_ttl_map_agg" -> ((s, d) =>
       graft.agg.TtlMapAggregator.perPartition(
-        graft.sources.Fixtures.cells(s, d)).orderBy("key")),
+        graft.sources.Fixtures.cells(s, d)).orderBy("key", "ttl_s")),
     "q38_purge_agg" -> ((s, d) =>
       graft.agg.PurgeAggregator.perPartition(
         graft.sources.Fixtures.cells(s, d),

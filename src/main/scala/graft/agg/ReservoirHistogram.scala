@@ -89,13 +89,13 @@ object ReservoirHistogram {
       val sorted = b.sample.sorted
       val n = sorted.length
       val mean = if (b.count == 0) 0.0 else b.total.toDouble / b.count
-      // sample (n-1) stddev over the reservoir only (Snapshot.java:115-129)
+      // Snapshot.getStdDev (:115-129): the squared deviations sum over the
+      // RESERVOIR values but center on the EXACT mean (total/count), divided
+      // by (reservoirSize - 1) — the reference's mixed exact/sampled quirk,
+      // mirrored verbatim.
       val stddev =
         if (n <= 1) 0.0
-        else {
-          val m = sorted.map(_.toDouble).sum / n
-          math.sqrt(sorted.map(v => (v - m) * (v - m)).sum / (n - 1))
-        }
+        else math.sqrt(sorted.map(v => (v - mean) * (v - mean)).sum / (n - 1))
       Snap(b.count, b.total, if (b.count == 0) 0L else b.min, b.max, mean,
         stddev,
         percentileR6(sorted, 0.50), percentileR6(sorted, 0.75),

@@ -31,11 +31,13 @@ object TtlMapAggregator {
       ExpressionEncoder[Map[Long, Long]]()
   }
 
-  /** Per-partition TTL histogram of CELL events: key, sorted (ttl, count)
-    * entries, distinct TTL count, cell count. Sorted-entries output keeps
-    * the result deterministic for hashing; map-typed internals ⇒
-    * engine-specific query (rows-only check) — the flattened global
-    * histogram is oracle-checked as q13_cfstats_ttl_hist. */
+  /** Per-partition TTL histogram of CELL events, built by the typed map
+    * Aggregator and then EXPLODED to scalar rows (key, ttl_s, cnt,
+    * distinct_ttls, cells): nested map/array output would defeat the
+    * driver's row-hash compare, and flat rows make the query fully
+    * oracle-checkable — DuckDB recomputes the same histogram relationally
+    * while Spark routes it through the Aggregator's map-monoid merge, so a
+    * mismatch anywhere in reduce/merge/finish surfaces as a t2 failure. */
   def perPartition(cells: DataFrame): DataFrame = {
     val histogram = udaf(new Agg(), Encoders.product[TtlCell])
     cells
@@ -44,8 +46,9 @@ object TtlMapAggregator {
       .agg(histogram(col("ttl_s")).as("ttl_hist"),
         count(lit(1)).as("cells"))
       .select(col("key"),
-        array_sort(map_entries(col("ttl_hist"))).as("ttl_entries"),
+        explode(col("ttl_hist")).as(Seq("ttl_s", "cnt")),
         size(map_entries(col("ttl_hist"))).cast("long").as("distinct_ttls"),
         col("cells"))
+      .select("key", "ttl_s", "cnt", "distinct_ttls", "cells")
   }
 }

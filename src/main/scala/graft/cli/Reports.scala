@@ -50,39 +50,45 @@ object Reports {
       sstableFilter: Seq[String] = Nil): String = {
     val pscan = filtered(Fixtures.liPscan(spark, dir), sstableFilter)
     if (pscan.isEmpty) return NoData // F2 guard
+    // F1 threads through EVERY section: the reference applies -f inside
+    // getColumnFamily (ColumnFamilyBackend.java:80-89), so the top-Ns and
+    // the sstable section reflect the filter exactly as the distribution does.
     val dist =
       if (sstableFilter.isEmpty) PStats.sizeDistribution(spark, dir)
       else PStats.filteredSizeDistribution(spark, dir, sstableFilter)
     Seq(
       section("Partition size distribution", dist),
       section(s"Largest partitions (top $topN)",
-        PStats.topBySize(spark, dir, topN)),
+        PStats.topBySize(spark, dir, topN, sstableFilter)),
       section(s"Partitions in most sstables (top $topN)",
-        PStats.topByTableCount(spark, dir, topN)),
-      section("SSTables", PStats.sstableSection(spark, dir))
+        PStats.topByTableCount(spark, dir, topN, sstableFilter)),
+      section("SSTables", PStats.sstableSection(spark, dir, sstableFilter))
     ).mkString("\n")
   }
 
   /** `cfstats` (ColumnFamilyStatisticsCollector.java): the 9-section
     * cell-level report. */
-  def cfstats(spark: SparkSession, dir: String, topN: Int = 10): String = {
-    if (Fixtures.liPscan(spark, dir).isEmpty) return NoData // F2 guard
+  def cfstats(spark: SparkSession, dir: String, topN: Int = 10,
+      sstableFilter: Seq[String] = Nil): String = {
+    val f = sstableFilter
+    if (filtered(Fixtures.liPscan(spark, dir), f).isEmpty)
+      return NoData // F2 guard
     Seq(
-      section("Totals", CfStats.totals(spark, dir)),
-      section("Rows per partition", CfStats.rowsDistribution(spark, dir)),
-      section("Cells per partition", CfStats.cellsDistribution(spark, dir)),
+      section("Totals", CfStats.totals(spark, dir, f)),
+      section("Rows per partition", CfStats.rowsDistribution(spark, dir, f)),
+      section("Cells per partition", CfStats.cellsDistribution(spark, dir, f)),
       section("Tombstones per partition (with tombstones)",
-        CfStats.tombstonesDistribution(spark, dir)),
+        CfStats.tombstonesDistribution(spark, dir, f)),
       section(s"Widest partitions (top $topN)",
-        CfStats.topWide(spark, dir, topN)),
+        CfStats.topWide(spark, dir, topN, f)),
       section(s"Most tombstones (top $topN)",
-        CfStats.topTombstones(spark, dir, topN)),
+        CfStats.topTombstones(spark, dir, topN, f)),
       section(s"Most deleted rows (top $topN)",
-        CfStats.topDeletedRows(spark, dir, topN)),
-      section("TTL histogram", CfStats.ttlHistogram(spark, dir)
+        CfStats.topDeletedRows(spark, dir, topN, f)),
+      section("TTL histogram", CfStats.ttlHistogram(spark, dir, f)
         .withColumn("ttl", udf(Formatters.formatTtl _).apply(col("ttl_s")))
         .select("ttl", "cell_count")),
-      section("SSTables", CfStats.sstableStats(spark, dir))
+      section("SSTables", CfStats.sstableStats(spark, dir, f))
     ).mkString("\n")
   }
 

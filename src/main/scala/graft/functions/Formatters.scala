@@ -18,20 +18,30 @@ object Formatters {
     }
   }
 
-  /** X2: humanReadableDateDiff (Util.java:66-98 semantics): "Nd Nh Nm Ns"
-    * with leading zero components suppressed (a component prints once any
-    * higher-order component has printed). */
+  /** X2: humanReadableDateDiff — exact mirror of Util.java:66-98: days and
+    * hours print only when >= 1 (so zero hours after days is omitted:
+    * "1d 3m 4s"), minutes and seconds print unconditionally ("0m 5s"), and
+    * the residual seconds are CEILed ("0m 2s" for 1500 ms). The space
+    * before hours/minutes appears only once the builder already holds more
+    * than one char — the reference's `sb.length() > 1` guard verbatim. */
   def humanReadableDateDiff(millis: Long): String = {
-    val totalSeconds = millis / 1000
-    val d = totalSeconds / 86400
-    val h = (totalSeconds % 86400) / 3600
-    val m = (totalSeconds % 3600) / 60
-    val s = totalSeconds % 60
+    var diff = millis
     val sb = new StringBuilder
-    if (d > 0) sb.append(s"${d}d ")
-    if (sb.nonEmpty || h > 0) sb.append(s"${h}h ")
-    if (sb.nonEmpty || m > 0) sb.append(s"${m}m ")
-    sb.append(s"${s}s")
+    val days = diff / 86400000L
+    diff -= days * 86400000L
+    if (days >= 1) { sb.append(days); sb.append('d') }
+    val hours = diff / 3600000L
+    diff -= hours * 3600000L
+    if (hours >= 1) {
+      if (sb.length > 1) sb.append(' ')
+      sb.append(hours); sb.append('h')
+    }
+    if (sb.length > 1) sb.append(' ')
+    val minutes = diff / 60000L
+    diff -= minutes * 60000L
+    sb.append(minutes); sb.append("m ")
+    sb.append(math.ceil(diff / 1000.0).round)
+    sb.append('s')
     sb.toString
   }
 

@@ -12,11 +12,25 @@ import graft.sources.{Fixtures, Tables}
   * and the per-sstable scan-stats section (A2/A13). */
 object CfStats {
 
-  private def cells(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+  private def cells(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame = {
+    val c = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+    if (sstables.isEmpty) c else c.where(col("sstable_id").isin(sstables: _*))
+  }
 
-  private def parts(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.liPartitions(spark, dir)
+  /** F1: the -f filter restricts the scan BEFORE the collate
+    * (ColumnFamilyBackend.java:80-89) so every section reflects it; the
+    * unfiltered form reuses the session-cached collate. */
+  private def parts(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    if (sstables.isEmpty) Fixtures.liPartitions(spark, dir)
+    else Fixtures.partitions(pscan(spark, dir, sstables))
+
+  private def pscan(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    if (sstables.isEmpty) Fixtures.liPscan(spark, dir)
+    else Fixtures.liPscan(spark, dir)
+      .where(col("sstable_id").isin(sstables: _*))
 
   private def distribution(df: DataFrame, measure: String): DataFrame = {
     val aggs = Dist.agg(measure)
@@ -24,30 +38,35 @@ object CfStats {
   }
 
   /** A7: rows-per-partition distribution. */
-  def rowsDistribution(spark: SparkSession, dir: String): DataFrame =
-    distribution(parts(spark, dir), "row_count")
+  def rowsDistribution(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    distribution(parts(spark, dir, sstables), "row_count")
 
   /** A6 "widest partitions" measure: cells-per-partition distribution. */
-  def cellsDistribution(spark: SparkSession, dir: String): DataFrame =
-    distribution(parts(spark, dir), "cell_count")
+  def cellsDistribution(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    distribution(parts(spark, dir, sstables), "cell_count")
 
   /** A8 + F3: tombstones-per-partition distribution, only over partitions
     * that have tombstones (ColumnFamilyStatisticsCollector.java:125-129). */
-  def tombstonesDistribution(spark: SparkSession, dir: String): DataFrame =
-    distribution(parts(spark, dir).where(col("tombstone_count") > 0),
+  def tombstonesDistribution(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    distribution(parts(spark, dir, sstables).where(col("tombstone_count") > 0),
       "tombstone_count")
 
   /** T1/T2 WIDE: top-N by cell count, size tiebreak
     * (PartitionStatistics.java:27-33). */
-  def topWide(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    parts(spark, dir)
+  def topWide(spark: SparkSession, dir: String, n: Int = 10,
+      sstables: Seq[String] = Nil): DataFrame =
+    parts(spark, dir, sstables)
       .select("key", "key_formatted", "cell_count", "size", "row_count")
       .orderBy(desc("cell_count"), desc("size"), asc("key"))
       .limit(n)
 
   /** T1/T2 TOMBSTONE + F3. */
-  def topTombstones(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    parts(spark, dir)
+  def topTombstones(spark: SparkSession, dir: String, n: Int = 10,
+      sstables: Seq[String] = Nil): DataFrame =
+    parts(spark, dir, sstables)
       .where(col("tombstone_count") > 0)
       .select("key", "key_formatted", "tombstone_count",
         "droppable_tombstone_count", "size")
@@ -56,8 +75,9 @@ object CfStats {
 
   /** T1/T2 MOST_DELETED_ROWS + F4
     * (ColumnFamilyStatisticsCollector.java:130-132). */
-  def topDeletedRows(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    parts(spark, dir)
+  def topDeletedRows(spark: SparkSession, dir: String, n: Int = 10,
+      sstables: Seq[String] = Nil): DataFrame =
+    parts(spark, dir, sstables)
       .where(col("row_delete_count") > 0)
       .select("key", "key_formatted", "row_delete_count", "size")
       .orderBy(desc("row_delete_count"), desc("size"), asc("key"))
@@ -67,16 +87,18 @@ object CfStats {
     * (PartitionStatistics.java:132-138); flat cell-level grouping is the
     * shuffle-light equivalent (ttl cardinality is tiny, so this is a
     * near-map-side-only aggregate). -1 = NO_TTL sentinel. */
-  def ttlHistogram(spark: SparkSession, dir: String): DataFrame =
-    cells(spark, dir)
+  def ttlHistogram(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    cells(spark, dir, sstables)
       .where(col("kind") === "CELL")
       .groupBy("ttl_s")
       .agg(count(lit(1)).as("cell_count"))
       .orderBy("ttl_s")
 
   /** A9: global counters. */
-  def totals(spark: SparkSession, dir: String): DataFrame =
-    parts(spark, dir).agg(
+  def totals(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    parts(spark, dir, sstables).agg(
       count(lit(1)).as("partition_count"),
       sum("row_count").as("row_count"),
       sum("row_delete_count").as("row_delete_count"),
@@ -86,8 +108,9 @@ object CfStats {
 
   /** A2/A13: per-sstable scan statistics incl. liveness % =
     * floor(liveCells·100/cells) (SSTableStatistics.java:152-154). */
-  def sstableStats(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.liPscan(spark, dir)
+  def sstableStats(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    pscan(spark, dir, sstables)
       .groupBy("sstable_id")
       .agg(
         count(lit(1)).as("partition_count"),

@@ -108,7 +108,10 @@ object Dedup {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     // murmur3 of the shingle hoisted into one projected column: inside the
     // aggregate list it would be re-evaluated per permutation (k x per row).
-    val hashed = sh.withColumn("hc", (hash(col("g")).cast("long") + p) % p)
+    // pmod, not an additive shift: hash ranges over all of Int, and
+    // (Int.MinValue + p) % p == -1 would leak a negative into the
+    // permutations and skew that shingle's min across every h_i.
+    val hashed = sh.withColumn("hc", pmod(hash(col("g")).cast("long"), lit(p)))
     val perms = (0 until k).map { i =>
       val a = 1L + 2L * i + 1L // odd multipliers
       val b = 7919L * (i + 1)

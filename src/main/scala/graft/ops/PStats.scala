@@ -14,8 +14,21 @@ import graft.sources.{Fixtures, Tables}
   * but distributed). */
 object PStats {
 
-  private def liParts(spark: SparkSession, dir: String): DataFrame =
-    Fixtures.liPartitions(spark, dir)
+  /** F1: collated partitions, optionally restricted to a `-f` sstable set
+    * BEFORE the collate — the reference passes the filter into
+    * getColumnFamily (ColumnFamilyBackend.java:80-89), so every report
+    * section sees only the surviving sstables. The unfiltered form reuses
+    * the session-cached collate. */
+  private def liParts(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    if (sstables.isEmpty) Fixtures.liPartitions(spark, dir)
+    else Fixtures.partitions(liPscanF(spark, dir, sstables))
+
+  private def liPscanF(spark: SparkSession, dir: String,
+      sstables: Seq[String]): DataFrame =
+    if (sstables.isEmpty) Fixtures.liPscan(spark, dir)
+    else Fixtures.liPscan(spark, dir)
+      .where(col("sstable_id").isin(sstables: _*))
 
   /** A6: size + sstable-count distribution over collated partitions
     * (PartitionSizeStatisticsCollector.java:111-126). One row. */
@@ -31,24 +44,27 @@ object PStats {
 
   /** T1/T2: top-N partitions by size, size-desc then key-asc tiebreak
     * (PartitionStatistics.java:13-18). */
-  def topBySize(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    liParts(spark, dir)
+  def topBySize(spark: SparkSession, dir: String, n: Int = 10,
+      sstables: Seq[String] = Nil): DataFrame =
+    liParts(spark, dir, sstables)
       .select("key", "key_formatted", "size", "table_count")
       .orderBy(desc("size"), asc("key"))
       .limit(n)
 
   /** T1/T2: top-N by sstable count, then size, then key
     * (PartitionStatistics.java:38-44). */
-  def topByTableCount(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    liParts(spark, dir)
+  def topByTableCount(spark: SparkSession, dir: String, n: Int = 10,
+      sstables: Seq[String] = Nil): DataFrame =
+    liParts(spark, dir, sstables)
       .select("key", "key_formatted", "size", "table_count")
       .orderBy(desc("table_count"), desc("size"), asc("key"))
       .limit(n)
 
   /** A2/A14: per-sstable section — partition count, avg (integer div) and max
     * partition size (PartitionSizeStatisticsCollector.java:174-186). */
-  def sstableSection(spark: SparkSession, dir: String): DataFrame = {
-    Fixtures.sstableMeta(Fixtures.liPscan(spark, dir))
+  def sstableSection(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame = {
+    Fixtures.sstableMeta(liPscanF(spark, dir, sstables))
       .select("sstable_id", "partition_count", "avg_partition_size",
         "max_partition_size", "uncompressed_length")
       .orderBy("sstable_id")
@@ -59,9 +75,7 @@ object PStats {
     * then computed over the surviving sstables only. */
   def filteredSizeDistribution(spark: SparkSession, dir: String,
       sstables: Seq[String]): DataFrame = {
-    val parts = Fixtures.partitions(
-      Fixtures.liPscan(spark, dir)
-        .where(col("sstable_id").isin(sstables: _*)))
+    val parts = liParts(spark, dir, sstables)
     val aggs = Dist.agg("size") ++ Seq(
       min(col("table_count")).as("table_count_min"),
       max(col("table_count")).as("table_count_max"))

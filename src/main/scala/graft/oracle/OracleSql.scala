@@ -237,6 +237,18 @@ SELECT key, key_formatted, row_delete_count, size
 FROM liparts WHERE row_delete_count > 0
 ORDER BY row_delete_count DESC, size DESC, key LIMIT 10""",
 
+    // flat mirror of the TtlMapAggregator output: per-(key, ttl) counts plus
+    // per-key distinct-TTL and cell totals as window aggregates.
+    "q37_ttl_map_agg" -> s"""WITH $fixtures,
+h AS (
+  SELECT key, ttl_s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM licells WHERE kind = 'CELL' GROUP BY 1, 2
+)
+SELECT key, ttl_s, cnt,
+  CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS distinct_ttls,
+  CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS cells
+FROM h ORDER BY key, ttl_s""",
+
     "q13_cfstats_ttl_hist" -> s"""WITH $fixtures
 SELECT ttl_s, CAST(COUNT(*) AS BIGINT) AS cell_count
 FROM licells WHERE kind = 'CELL' GROUP BY ttl_s ORDER BY ttl_s""",

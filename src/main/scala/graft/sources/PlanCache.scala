@@ -12,12 +12,36 @@ import org.apache.spark.storage.StorageLevel
   * derivable from ≤ 2 cached scans"). Entries are keyed per SparkSession,
   * so driver-run Verify/Bench sessions each materialize once.
   *
+  * Keying: a per-session UUID — unique for the session's lifetime. An
+  * identity hash code would not be: in a long-lived JVM a new session can
+  * collide with a stopped one's key and be handed a persisted DataFrame
+  * bound to the dead session. A stopped session's entries are also dead
+  * weight, so every call sweeps entries whose owning SparkContext has been
+  * stopped (cheap: the map holds a handful of derived scans, not data).
+  *
   * MEMORY_AND_DISK: derived views are orders of magnitude smaller than the
   * raw input (aggregated per (sstable, partition)), but at 100 TB inputs
   * even those spill — the disk tier keeps the plan valid at any scale.
   */
 object PlanCache {
-  private val memo = new java.util.HashMap[String, DataFrame]()
+  private val memo = new java.util.HashMap[String, (SparkSession, DataFrame)]()
+
+  /** One UUID per live session OBJECT (weak keys: a dropped session's id is
+    * collectable with it). `sessionUUID` itself sits on the classic
+    * SparkSession subclass, not the public API type, so we issue our own. */
+  private val ids =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  def sessionKey(spark: SparkSession): String =
+    ids.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    }
+  }
 
   /** Reentrancy-safe memoization: cached builds call cached() themselves
     * (liPartitions → liPscan), and ConcurrentHashMap.computeIfAbsent throws
@@ -26,12 +50,13 @@ object PlanCache {
     * synchronized block with plain get/put is safe for nested builds. */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     memo.synchronized {
-      val k = s"${System.identityHashCode(spark)}|$key"
+      sweepStopped()
+      val k = s"${sessionKey(spark)}|$key"
       val hit = memo.get(k)
-      if (hit != null) hit
+      if (hit != null) hit._2
       else {
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        memo.put(k, df)
+        memo.put(k, (spark, df))
         df
       }
     }

@@ -22,16 +22,33 @@ import graft.sources.Fixtures
   * not query execution. */
 object IndexDbFixture {
 
-  private val memo = new java.util.HashMap[String, String]()
+  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+
+  /** Drop entries of stopped sessions and delete their temp trees — keyed by
+    * sessionUUID (identity hash codes can collide across session lifetimes
+    * in one JVM and would serve a dead session's path to a new session). */
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        val root = new java.io.File(e.getValue._2)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        it.remove()
+      }
+    }
+  }
 
   def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
-    val k = s"${System.identityHashCode(spark)}|$dir"
+    sweepStopped()
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
     val hit = memo.get(k)
-    if (hit != null) return hit
+    if (hit != null) return hit._2
     val out = Files.createTempDirectory("graft-indexdb-fixture")
     writeAll(spark, dir, out)
     val path = out.toString
-    memo.put(k, path)
+    memo.put(k, (spark, path))
     path
   }
 

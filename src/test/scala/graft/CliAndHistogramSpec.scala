@@ -77,8 +77,8 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(out.contains(
       "| 1473            |      5329 |             1896 |       5681 |" +
         "            1968 |                      1099 |"))
-    assert(out.contains("| NO_TTL      |       3088 |"))
-    assert(out.contains("| 7d 0h 0m 0s |        348 |"))
+    assert(out.contains("| NO_TTL   |       3088 |"))
+    assert(out.contains("| 7d 0m 0s |        348 |"))
     assert(out.contains("| 1102 |      key-1102 |         12 | 57671 |         6 |"))
     assert(out.contains(
       "| sst-0      |             804 |      1013 |              350 |" +

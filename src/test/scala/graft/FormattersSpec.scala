@@ -19,12 +19,19 @@ class FormattersSpec extends AnyFunSuite {
     assert(humanReadableByteCount(1000000000000L) == "1.0 TB")
   }
 
-  test("humanReadableDateDiff: component suppression") {
-    assert(humanReadableDateDiff(5000) == "5s")
+  test("humanReadableDateDiff: exact Util.java:66-98 semantics") {
+    // minutes and seconds print unconditionally
+    assert(humanReadableDateDiff(5000) == "0m 5s")
     assert(humanReadableDateDiff(65000) == "1m 5s")
+    // residual seconds are CEILed
+    assert(humanReadableDateDiff(1500) == "0m 2s")
+    assert(humanReadableDateDiff(1000) == "0m 1s")
+    assert(humanReadableDateDiff(0) == "0m 0s")
+    // hours print only when >= 1 — zero hours after days is omitted
     assert(humanReadableDateDiff(3600000) == "1h 0m 0s")
     assert(humanReadableDateDiff(90061000) == "1d 1h 1m 1s")
-    assert(humanReadableDateDiff(86400000) == "1d 0h 0m 0s")
+    assert(humanReadableDateDiff(86400000) == "1d 0m 0s")
+    assert(humanReadableDateDiff(86400000 + 184000) == "1d 3m 4s")
   }
 
   test("timestamp format: UTC yyyy-MM-dd HH:mm:ss.SSS from micros") {
@@ -36,7 +43,7 @@ class FormattersSpec extends AnyFunSuite {
     assert(formatDeletionTimeS(Int.MaxValue.toLong) == "")
     assert(formatDeletionTimeS(0L) == "1970-01-01 00:00:00.000")
     assert(formatTtl(-1L) == "NO_TTL")
-    assert(formatTtl(86400L) == "1d 0h 0m 0s")
+    assert(formatTtl(86400L) == "1d 0m 0s")
   }
 
   test("repair render") {

@@ -55,6 +55,39 @@ object SparkEntry {
           sum(col("key_long")).as("keys_sum"))
         .orderBy("sstable_id")
     }),
+    // parquet cells → binary Data.db files → DataSource V2 parse →
+    // per-sstable aggregate; the oracle recomputes from parquet, so any
+    // mis-encoded event field anywhere in the roundtrip hash-mismatches.
+    "q43_data_raw_roundtrip" -> ((s, d) => {
+      import graft.sources.datadb.{DataDb, DataDbFixture}
+      DataDb.cells(s, DataDbFixture.ensureFiles(s, d))
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("events"),
+          sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+          sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
+            .as("markers"),
+          countDistinct("key").as("partitions"),
+          sum("key").as("keys_sum"),
+          sum("clustering").as("clustering_sum"),
+          sum("timestamp_us").as("ts_sum"),
+          sum("ttl_s").as("ttl_sum"),
+          sum("local_deletion_time_s").as("ldt_sum"),
+          sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+          sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
+          sum(when(col("is_counter"), 1L).otherwise(0L)).as("counters"),
+          sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+          sum("size_bytes").as("size_sum"))
+        .orderBy("sstable_id")
+    }),
+    // the ENTIRE cfstats pipeline (partitionScan → partitions → totals)
+    // running off raw binary Data.db files instead of parquet fixtures;
+    // shares q15's oracle derivation from parquet.
+    "q44_cfstats_from_raw" -> ((s, d) => {
+      import graft.sources.datadb.{DataDb, DataDbFixture}
+      CfStats.totalsOf(graft.sources.Fixtures.partitions(
+        graft.sources.Fixtures.partitionScan(
+          DataDb.cells(s, DataDbFixture.ensureFiles(s, d)))))
+    }),
     // summary / sstables
     "q05_summary" -> ((s, d) => Summary.rollup(s, d)),
     "q06_sstables_meta" -> ((s, d) => Summary.sstablesReport(s, d)),
@@ -72,6 +105,10 @@ object SparkEntry {
     // purge
     "q16_purge_top" -> ((s, d) => Purge.top(s, d)),
     "q17_purge_totals" -> ((s, d) => Purge.totals(s, d)),
+    // F1 on the purge path: the filter restricts the scan BEFORE the LWW
+    // merge, so excluded sstables neither contribute size nor shadow.
+    "q45_purge_filtered" -> ((s, d) =>
+      Purge.top(s, d, 10, Seq("sst-1", "sst-3", "sst-5"))),
     // dedup
     "q20_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q21_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),

@@ -92,11 +92,14 @@ object Reports {
     ).mkString("\n")
   }
 
-  /** `purge` (PurgeStatisticsCollector.java): reclaimable top-N + totals. */
-  def purge(spark: SparkSession, dir: String, topN: Int = 10): String =
+  /** `purge` (PurgeStatisticsCollector.java): reclaimable top-N + totals.
+    * `-f` (F1, parsed at PurgeStatisticsCollector.java:44-49) restricts the
+    * merged scan itself, so both sections reflect it. */
+  def purge(spark: SparkSession, dir: String, topN: Int = 10,
+      sstableFilter: Seq[String] = Nil): String =
     Seq(
       section(s"Most reclaimable partitions (top $topN)",
-        Purge.top(spark, dir, topN)),
-      section("Totals", Purge.totals(spark, dir))
+        Purge.top(spark, dir, topN, sstableFilter)),
+      section("Totals", Purge.totals(spark, dir, sstableFilter))
     ).mkString("\n")
 }

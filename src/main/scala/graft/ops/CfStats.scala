@@ -98,7 +98,12 @@ object CfStats {
   /** A9: global counters. */
   def totals(spark: SparkSession, dir: String,
       sstables: Seq[String] = Nil): DataFrame =
-    parts(spark, dir, sstables).agg(
+    totalsOf(parts(spark, dir, sstables))
+
+  /** A9 over any collated-partitions frame (parquet-fixture- or raw-
+    * Data.db-derived — the pipeline is source-agnostic). */
+  def totalsOf(parts: DataFrame): DataFrame =
+    parts.agg(
       count(lit(1)).as("partition_count"),
       sum("row_count").as("row_count"),
       sum("row_delete_count").as("row_delete_count"),

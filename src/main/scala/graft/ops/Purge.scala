@@ -68,21 +68,31 @@ object Purge {
   /** Session-cached purge scan: the reference's purge command computes its
     * statistics in ONE merged pass and renders both the top-N and totals
     * sections from it (PurgeStatisticsCollector.java:59-100) — here the
-    * shared pass is the persisted per-partition purge frame. */
-  private def stats(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.PlanCache.cached(spark, s"purge|$dir")(
-      perPartition(Fixtures.lineitemCells(Tables.lineitem(spark, dir))))
+    * shared pass is the persisted per-partition purge frame.
+    *
+    * F1: the -f filter (PurgeStatisticsCollector.java:44-49) restricts the
+    * scan BEFORE the merge (ColumnFamilyBackend.java:80-89) — a cell whose
+    * sstable is excluded neither contributes size nor shadows survivors. */
+  private def stats(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame = {
+    def cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
+    if (sstables.isEmpty)
+      graft.sources.PlanCache.cached(spark, s"purge|$dir")(perPartition(cells))
+    else perPartition(cells.where(col("sstable_id").isin(sstables: _*)))
+  }
 
   /** Top-N by reclaimable, desc size tiebreak (PurgeStatistics.java:14-20). */
-  def top(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    stats(spark, dir)
+  def top(spark: SparkSession, dir: String, n: Int = 10,
+      sstables: Seq[String] = Nil): DataFrame =
+    stats(spark, dir, sstables)
       .select("key", "key_formatted", "table_count", "size", "reclaimable")
       .orderBy(desc("reclaimable"), desc("size"), asc("key"))
       .limit(n)
 
   /** Report totals (PurgeStatisticsCollector.java:83-100). */
-  def totals(spark: SparkSession, dir: String): DataFrame =
-    stats(spark, dir).agg(
+  def totals(spark: SparkSession, dir: String,
+      sstables: Seq[String] = Nil): DataFrame =
+    stats(spark, dir, sstables).agg(
       count(lit(1)).as("partition_count"),
       sum(when(col("reclaimable") > 0, 1L).otherwise(0L))
         .as("partitions_with_reclaimable"),

@@ -316,6 +316,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(SUM(size - merged_size) AS BIGINT) AS total_reclaimable
 FROM purge""",
 
+    // -f before the merge: ranks and sizes are computed over the filtered
+    // cell stream only (ColumnFamilyBackend.java:80-89 semantics).
+    "q45_purge_filtered" -> s"""WITH $fixtures,
+fcells AS (SELECT * FROM licells WHERE sstable_id IN ('sst-1', 'sst-3', 'sst-5')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM fcells
+),
+purge AS (
+  SELECT key, key_formatted,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, key_formatted, table_count, size,
+       size - merged_size AS reclaimable
+FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
+
     "q18_index_offsets" -> s"""WITH $fixtures,
 idx AS (
   SELECT sstable_id, key, size,
@@ -348,6 +370,36 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
   CAST(SUM(position) AS BIGINT) AS positions_sum,
   CAST(SUM(key) AS BIGINT) AS keys_sum
 FROM idx GROUP BY 1 ORDER BY 1""",
+
+    // per-sstable rollup of EVERY event field after the parquet → binary
+    // Data.db → DSv2 roundtrip; recomputed here straight from parquet.
+    "q43_data_raw_roundtrip" -> s"""WITH $fixtures
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(CASE WHEN is_counter THEN 1 ELSE 0 END) AS BIGINT) AS counters,
+  CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
+  CAST(SUM(size_bytes) AS BIGINT) AS size_sum
+FROM licells GROUP BY 1 ORDER BY 1""",
+
+    // cfstats totals recomputed from parquet (same derivation as q15) —
+    // the Spark side ran the whole pipeline off raw binary Data.db files.
+    "q44_cfstats_from_raw" -> s"""WITH $fixtures
+SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(row_count) AS BIGINT) AS row_count,
+  CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
+  CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+  CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
+  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
+FROM liparts""",
 
     "q20_dedup_exact" -> s"""WITH $corpus
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,

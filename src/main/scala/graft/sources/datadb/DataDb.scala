@@ -1,0 +1,25 @@
+package graft.sources.datadb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational layer over the raw Data.db source. */
+object DataDb {
+
+  /** Read a directory (or single file) of `*-Data.db` files: one row per
+    * cell / range-tombstone-marker event. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("sstable-data").load(path)
+
+  /** Raw events in the `cells` fixture shape (keyspace/tbl constants and
+    * the key decoded through the key-validator form, X4): the entire
+    * cfstats/purge pipeline — `Fixtures.partitionScan`, `partitions`,
+    * every report — runs unchanged off real binary files. */
+  def cells(spark: SparkSession, path: String, keyspace: String = "ks1",
+      tbl: String = "lineitem"): DataFrame =
+    read(spark, path)
+      .withColumn("key", expr("CAST(conv(hex(key), 16, 10) AS BIGINT)"))
+      .withColumn("keyspace", lit(keyspace))
+      .withColumn("tbl", lit(tbl))
+      .withColumn("key_formatted", concat(lit("key-"), col("key")))
+}

@@ -1,0 +1,197 @@
+package graft.sources.datadb
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for raw SSTable data files:
+  * `spark.read.format("sstable-data").load(dirOrFile)` yields one row per
+  * cell / range-tombstone-marker event (DataDbFormat.Schema) — the
+  * granularity the reference's Data.db scan produces transiently
+  * (cassandra/DataReader.java:46-123) and this engine's cfstats/purge
+  * pipelines aggregate. Completes the raw-SSTable story next to the
+  * Index.db source (SURVEY §7 M6(a)): `pstats` runs off real index files,
+  * `cfstats`/`purge` off real data files.
+  *
+  * Scale behavior (same contract as [[graft.sources.indexdb.IndexDbDataSource]]):
+  *  - column pruning reaches the parser — unneeded fields are decoded but
+  *    never materialized into rows (flags/kind projections are per-field);
+  *  - `sstable_id` equality/IN predicates prune whole FILES at planning
+  *    time — the reference's `-f` filter (F1) pushed into the source;
+  *  - one input partition per file: 1000 executors over 100k sstables
+  *    parallelize by file with zero coordination and no shuffle.
+  */
+class DataDbDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "sstable-data"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DataDbFormat.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DataDbTable(properties.asScala.toMap)
+}
+
+final class DataDbTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"sstable_data(${properties.getOrElse("path", "")})"
+  override def schema(): StructType = DataDbFormat.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DataDbScanBuilder(options.asScala.toMap)
+}
+
+final class DataDbScanBuilder(options: Map[String, String])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = DataDbFormat.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Records sstable_id equality/IN filters for file pruning. All filters
+    * are returned as residual: file pruning is a strict superset guarantee,
+    * and Spark re-checking row-level is free on pruned input. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("sstable_id", _) => true
+      case In("sstable_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = DataDbScan(
+    options.getOrElse("path",
+      throw new IllegalArgumentException("sstable-data requires a path")),
+    required, pushed)
+}
+
+final case class DataDbScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DataDbScan path=$path pushed=${pushed.mkString(",")} " +
+      s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  private def sstableIdOf(fileName: String): String =
+    fileName.stripSuffix(DataDbFormat.Suffix)
+
+  private def fileSurvives(id: String): Boolean =
+    pushed.forall {
+      case EqualTo("sstable_id", v) => id == v
+      case In("sstable_id", vs) => vs.contains(id)
+      case _ => true
+    }
+
+  /** The active session's Hadoop conf (spark.hadoop.*, fs.* credentials,
+    * nameservices) — a blank `new Configuration()` would break any
+    * non-local filesystem deployment. */
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(sessionHadoopConf())
+    val status = fs.getFileStatus(p)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(DataDbFormat.Suffix))
+      else Seq(status)
+    files
+      .map(s => (s.getPath.toString, sstableIdOf(s.getPath.getName)))
+      .filter { case (_, id) => fileSurvives(id) }
+      .sortBy(_._2)
+      .map { case (file, id) => DataDbInputPartition(file, id): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop conf to executors as plain entries (the
+    // Configuration class itself is not Java-serializable)
+    val conf = sessionHadoopConf()
+    val entries = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new DataDbReaderFactory(required, entries)
+  }
+}
+
+final case class DataDbInputPartition(file: String, sstableId: String)
+    extends InputPartition
+
+final class DataDbReaderFactory(required: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DataDbInputPartition]
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new DataDbPartitionReader(p.file, p.sstableId, required, conf)
+  }
+}
+
+/** Streaming reader over one Data.db file; only the columns in `required`
+  * are materialized into rows. */
+final class DataDbPartitionReader(file: String, sstableId: String,
+    required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(file)
+  private val stream = hPath.getFileSystem(conf).open(hPath)
+  private val events = DataDbFormat.events(stream)
+  private var current: DataDbFormat.Event = _
+  private val id = UTF8String.fromString(sstableId)
+  private val cell = UTF8String.fromString(DataDbFormat.KindCell)
+  private val marker = UTF8String.fromString(DataDbFormat.KindMarker)
+  // projection baked once: required-field ordinal -> value extractor
+  private val extractors: Array[DataDbFormat.Event => Any] =
+    required.fieldNames.map {
+      case "sstable_id" => (_: DataDbFormat.Event) => id
+      case "key" => (e: DataDbFormat.Event) => e.key
+      case "clustering" => (e: DataDbFormat.Event) => e.clustering
+      case "column_name" =>
+        (e: DataDbFormat.Event) => UTF8String.fromString(e.columnName)
+      case "kind" => (e: DataDbFormat.Event) => if (e.isMarker) marker else cell
+      case "timestamp_us" => (e: DataDbFormat.Event) => e.timestampUs
+      case "ttl_s" => (e: DataDbFormat.Event) => e.ttlS
+      case "local_deletion_time_s" =>
+        (e: DataDbFormat.Event) => e.localDeletionTimeS
+      case "is_tombstone" => (e: DataDbFormat.Event) => e.isTombstone
+      case "is_expiring" => (e: DataDbFormat.Event) => e.isExpiring
+      case "is_counter" => (e: DataDbFormat.Event) => e.isCounter
+      case "is_live" => (e: DataDbFormat.Event) => e.isLive
+      case "size_bytes" => (e: DataDbFormat.Event) => e.sizeBytes
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  override def next(): Boolean = {
+    if (events.hasNext) { current = events.next(); true } else false
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_(current)))
+  override def close(): Unit = stream.close()
+}

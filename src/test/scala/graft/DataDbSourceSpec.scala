@@ -1,0 +1,119 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, In}
+
+import graft.sources.Fixtures
+import graft.sources.datadb.{DataDb, DataDbFixture, DataDbFormat, DataDbScan, DataDbScanBuilder}
+
+/** The raw Data.db DataSource V2: binary event codec, partition framing,
+  * file reading via the registered short name, column pruning, sstable_id
+  * filter → file pruning, and full-pipeline equivalence with the parquet
+  * fixture path. */
+class DataDbSourceSpec extends SparkSpec {
+
+  private def evt(cl: Long, colName: String, marker: Boolean, flags: Int,
+      ts: Long, ttl: Long, ldt: Long, size: Long) =
+    DataDbFormat.Event(null, cl, colName, marker, flags, ts, ttl, ldt, size)
+
+  test("event codec round-trips partitions, flags, sentinels and vint bounds") {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    // partition 1: two cells incl. NO_TTL(-1) and MAX_VALUE deletion time
+    DataDbFormat.writePartitionHeader(out, Array[Byte](1, 2))
+    DataDbFormat.writeEvent(out, evt(0L, "c0", marker = false,
+      DataDbFormat.FlagLive, 12345L, -1L, 2147483647L, 64L))
+    DataDbFormat.writeEvent(out, evt(2L, "c1", marker = false,
+      DataDbFormat.FlagTombstone, (1L << 49) + 7L, 86400L, 9999L, 1L))
+    DataDbFormat.writePartitionEnd(out)
+    // partition 2: a range-tombstone marker with a multi-flag byte
+    DataDbFormat.writePartitionHeader(out, Array[Byte](-1))
+    DataDbFormat.writeEvent(out, evt(1L, "range:1", marker = true,
+      DataDbFormat.FlagTombstone | DataDbFormat.FlagExpiring, 7L, 0L, 0L, 0L))
+    DataDbFormat.writePartitionEnd(out)
+    val got = DataDbFormat.events(
+      new ByteArrayInputStream(bos.toByteArray)).toList
+    assert(got.map(_.key.toSeq) ===
+      List(Seq[Byte](1, 2), Seq[Byte](1, 2), Seq[Byte](-1)))
+    assert(got.map(_.clustering) === List(0L, 2L, 1L))
+    assert(got.map(_.columnName) === List("c0", "c1", "range:1"))
+    assert(got.map(_.isMarker) === List(false, false, true))
+    assert(got.map(_.timestampUs) === List(12345L, (1L << 49) + 7L, 7L))
+    assert(got.map(_.ttlS) === List(-1L, 86400L, 0L))
+    assert(got.map(_.localDeletionTimeS) === List(2147483647L, 9999L, 0L))
+    assert(got.map(_.sizeBytes) === List(64L, 1L, 0L))
+    assert(got(0).isLive && !got(0).isTombstone)
+    assert(got(1).isTombstone && !got(1).isLive)
+    assert(got(2).isTombstone && got(2).isExpiring && !got(2).isCounter)
+  }
+
+  test("truncated partition (missing end marker) fails, empty stream is empty") {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    DataDbFormat.writePartitionHeader(out, Array[Byte](9))
+    DataDbFormat.writeEvent(out, evt(0L, "c", marker = false, 8, 1L, -1L, 0L, 5L))
+    // no writePartitionEnd
+    intercept[java.io.EOFException] {
+      DataDbFormat.events(new ByteArrayInputStream(bos.toByteArray)).toList
+    }
+    assert(DataDbFormat.events(
+      new ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
+  }
+
+  test("DSv2 parse reproduces the parquet cell fixture exactly") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val raw = DataDb.cells(spark, dir)
+      .select("sstable_id", "key", "clustering", "column_name", "kind",
+        "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+        "is_expiring", "is_counter", "is_live", "size_bytes")
+    val fix = Fixtures.cells(spark, Sf0001)
+      .select("sstable_id", "key", "clustering", "column_name", "kind",
+        "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+        "is_expiring", "is_counter", "is_live", "size_bytes")
+    // multiset equality via exceptAll both ways (rows can repeat)
+    assert(raw.count() === fix.count())
+    assert(raw.exceptAll(fix).isEmpty && fix.exceptAll(raw).isEmpty)
+  }
+
+  test("cfstats pipeline off raw binary equals the parquet-derived pipeline") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val fromRaw = Fixtures.partitions(
+      Fixtures.partitionScan(DataDb.cells(spark, dir)))
+    val fromParquet = Fixtures.liPartitions(spark, Sf0001)
+    assert(fromRaw.exceptAll(fromParquet).isEmpty &&
+      fromParquet.exceptAll(fromRaw).isEmpty)
+  }
+
+  test("sstable_id predicates prune whole files at planning time") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    def plan(filters: org.apache.spark.sql.sources.Filter*) = {
+      val b = new DataDbScanBuilder(Map("path" -> dir))
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[DataDbScan].planInputPartitions()
+    }
+    val all = plan()
+    assert(all.length === 6)
+    assert(plan(EqualTo("sstable_id", "sst-3")).length === 1)
+    assert(plan(In("sstable_id", Array("sst-0", "sst-5", "nope"))).length === 2)
+    // and through the public read path the rows really are filtered
+    val ids = DataDb.read(spark, dir)
+      .where(col("sstable_id") === "sst-3")
+      .select("sstable_id").distinct().collect().map(_.getString(0))
+    assert(ids.toSeq === Seq("sst-3"))
+  }
+
+  test("column pruning reaches the reader's projection") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val one = DataDb.read(spark, dir).select("size_bytes")
+    assert(one.schema.fieldNames.toSeq === Seq("size_bytes"))
+    val expected = Fixtures.cells(spark, Sf0001)
+      .agg(sum("size_bytes")).collect()(0).getLong(0)
+    assert(one.agg(sum("size_bytes")).collect()(0).getLong(0) === expected)
+    // the physical scan description carries the pruned ReadSchema
+    val desc = one.queryExecution.executedPlan.toString
+    assert(desc.contains("ReadSchema=size_bytes") ||
+      !desc.contains("timestamp_us"))
+  }
+}

@@ -80,11 +80,15 @@ final class DataDbScanBuilder(options: Map[String, String])
   override def build(): Scan = DataDbScan(
     options.getOrElse("path",
       throw new IllegalArgumentException("sstable-data requires a path")),
-    required, pushed)
+    required, pushed,
+    // CaseInsensitiveStringMap lower-cases option keys
+    options.get("maxsplitbytes").map(_.toLong)
+      .getOrElse(DataDbScan.DefaultSplitBytes))
 }
 
 final case class DataDbScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], maxSplitBytes: Long = DataDbScan.DefaultSplitBytes)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -110,6 +114,14 @@ final case class DataDbScan(path: String, required: StructType,
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  /** One input partition per file — or SEVERAL when a companion Index.db
+    * sidecar exists: its entries map partition keys to byte offsets in
+    * Data.db (the exact role Cassandra's partition index plays for its
+    * streaming/bulk readers), so a large sstable splits at partition
+    * boundaries into ~maxSplitBytes chunks instead of serializing onto one
+    * task. At 100 TB a single multi-GB sstable no longer bounds
+    * parallelism; without the sidecar the file degrades gracefully to one
+    * split (the format itself is not seekable — events are vint-packed). */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(sessionHadoopConf())
@@ -120,10 +132,40 @@ final case class DataDbScan(path: String, required: StructType,
           .filter(s => s.isFile && s.getPath.getName.endsWith(DataDbFormat.Suffix))
       else Seq(status)
     files
-      .map(s => (s.getPath.toString, sstableIdOf(s.getPath.getName)))
+      .map(s => (s, sstableIdOf(s.getPath.getName)))
       .filter { case (_, id) => fileSurvives(id) }
       .sortBy(_._2)
-      .map { case (file, id) => DataDbInputPartition(file, id): InputPartition }
+      .flatMap { case (s, id) =>
+        val file = s.getPath
+        val len = s.getLen
+        val idx = new Path(file.getParent,
+          id + graft.sources.indexdb.IndexDbFormat.Suffix)
+        val cuts: Seq[Long] =
+          if (maxSplitBytes >= len || !fs.exists(idx)) Seq(0L)
+          else {
+            // partition-block byte offsets from the sidecar (small file,
+            // driver-side read); keep every offset that first crosses the
+            // next maxSplitBytes boundary
+            val in = fs.open(idx)
+            try {
+              val offsets = graft.sources.indexdb.IndexDbFormat.entries(in)
+                .map(_.position).toVector
+              var nextCut = maxSplitBytes
+              val b = Vector.newBuilder[Long]
+              b += 0L
+              offsets.foreach { off =>
+                if (off >= nextCut) {
+                  b += off
+                  nextCut = off + maxSplitBytes
+                }
+              }
+              b.result().distinct
+            } finally in.close()
+          }
+        cuts.zipAll(cuts.drop(1), -1L, len).map { case (start, end) =>
+          DataDbInputPartition(file.toString, id, start, end): InputPartition
+        }
+      }
       .toArray
   }
 
@@ -141,8 +183,16 @@ final case class DataDbScan(path: String, required: StructType,
   }
 }
 
-final case class DataDbInputPartition(file: String, sstableId: String)
-    extends InputPartition
+object DataDbScan {
+  /** Default split target (128 MB, Spark's files.maxPartitionBytes
+    * default); tests shrink it to force multi-split planning. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+}
+
+/** A [start, end) byte range of one file, cut at partition-block
+  * boundaries taken from the companion Index.db (whole file = [0, len)). */
+final case class DataDbInputPartition(file: String, sstableId: String,
+    start: Long, end: Long) extends InputPartition
 
 final class DataDbReaderFactory(required: StructType,
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
@@ -150,19 +200,35 @@ final class DataDbReaderFactory(required: StructType,
     val p = partition.asInstanceOf[DataDbInputPartition]
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
-    new DataDbPartitionReader(p.file, p.sstableId, required, conf)
+    new DataDbPartitionReader(p.file, p.sstableId, p.start, p.end, required,
+      conf)
   }
 }
 
-/** Streaming reader over one Data.db file; only the columns in `required`
-  * are materialized into rows. */
+/** Streaming reader over one Data.db byte range; only the columns in
+  * `required` are materialized into rows. */
 final class DataDbPartitionReader(file: String, sstableId: String,
-    required: StructType, conf: Configuration)
+    start: Long, end: Long, required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
-  private val events = DataDbFormat.events(stream)
+  if (start > 0) stream.seek(start)
+  // consumed-byte tracking for the range stop (FSDataInputStream.getPos is
+  // not reliable through the DataInputStream's internal buffering, so count
+  // at this wrapper instead)
+  private var consumed = 0L
+  private val counting = new java.io.InputStream {
+    override def read(): Int = {
+      val b = stream.read(); if (b >= 0) consumed += 1; b
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = stream.read(buf, off, len); if (n > 0) consumed += n; n
+    }
+    override def close(): Unit = stream.close()
+  }
+  private val events =
+    DataDbFormat.events(counting, () => start + consumed >= end)
   private var current: DataDbFormat.Event = _
   private val id = UTF8String.fromString(sstableId)
   private val cell = UTF8String.fromString(DataDbFormat.KindCell)

@@ -54,6 +54,9 @@ object DataDbFixture {
     path
   }
 
+  /** Each Data.db gets a companion Index.db sidecar whose positions are the
+    * REAL byte offsets of the partition blocks (what Cassandra's partition
+    * index stores) — the DSv2 scan splits large files at those offsets. */
   private def writeAll(spark: SparkSession, dir: String, out: Path): Unit = {
     val rows = Fixtures.cells(spark, dir)
       .select(col("sstable_id"), col("key"), col("clustering"),
@@ -66,22 +69,36 @@ object DataDbFixture {
     var currentKey: Long = Long.MinValue
     var inPartition = false
     var stream: DataOutputStream = null
+    var index: DataOutputStream = null
+
+    def closeStreams(): Unit = {
+      if (stream != null) {
+        if (inPartition) DataDbFormat.writePartitionEnd(stream)
+        stream.close()
+        index.close()
+      }
+    }
+
     rows.foreach { r =>
       val sst = r.getString(0)
       val key = r.getLong(1)
       if (sst != currentSst) {
-        if (stream != null) {
-          if (inPartition) DataDbFormat.writePartitionEnd(stream)
-          stream.close()
-        }
+        closeStreams()
         stream = new DataOutputStream(new BufferedOutputStream(
           new FileOutputStream(out.resolve(sst + DataDbFormat.Suffix).toFile)))
+        index = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(out.resolve(
+            sst + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
         currentSst = sst
         inPartition = false
       }
       if (!inPartition || key != currentKey) {
         if (inPartition) DataDbFormat.writePartitionEnd(stream)
         val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+        // DataOutputStream.size() is the block's byte offset (int-sized is
+        // fine for fixtures; real files would track a long)
+        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
+          stream.size().toLong)
         DataDbFormat.writePartitionHeader(stream, keyBytes)
         currentKey = key
         inPartition = true
@@ -98,9 +115,6 @@ object DataDbFixture {
         localDeletionTimeS = r.getLong(7),
         sizeBytes = r.getLong(12)))
     }
-    if (stream != null) {
-      if (inPartition) DataDbFormat.writePartitionEnd(stream)
-      stream.close()
-    }
+    closeStreams()
   }
 }

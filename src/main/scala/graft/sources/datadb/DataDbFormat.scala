@@ -116,14 +116,23 @@ object DataDbFormat {
   /** Streaming event iterator over a raw Data.db stream. One partition is
     * never buffered — events carry their partition key and flow out as
     * parsed, the reference's one-record-at-a-time contract
-    * (SSTableReader.java:6-27). */
-  def events(stream: InputStream): Iterator[Event] = new Iterator[Event] {
+    * (SSTableReader.java:6-27).
+    *
+    * `stopAtBoundary` is consulted before each partition header: when it
+    * returns true the iterator ends as if at EOF. Split readers pass a
+    * byte-position check so a [start, end) range reads exactly the
+    * partition blocks beginning inside it (ends are always block-aligned
+    * because split cuts come from the partition index). */
+  def events(stream: InputStream,
+      stopAtBoundary: () => Boolean = () => false): Iterator[Event] =
+    new Iterator[Event] {
     private val in = new DataInputStream(stream)
     private var currentKey: Array[Byte] = _
     private var nextEvent: Event = _
     private var done = false
 
     private def readKeyHeader(): Boolean = {
+      if (stopAtBoundary()) { done = true; in.close(); return false }
       val b0 = in.read()
       if (b0 < 0) { done = true; in.close(); return false }
       val b1 = in.read()

@@ -104,6 +104,33 @@ class DataDbSourceSpec extends SparkSpec {
     assert(ids.toSeq === Seq("sst-3"))
   }
 
+  test("companion Index.db sidecar splits files at partition boundaries") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val b = new DataDbScanBuilder(
+      Map("path" -> dir, "maxsplitbytes" -> "2048"))
+    val parts = b.build().asInstanceOf[DataDbScan].planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.datadb.DataDbInputPartition])
+    assert(parts.length > 6, s"expected multi-split plan, got ${parts.length}")
+    // ranges tile each file exactly: start 0, contiguous, end = file length
+    val conf = spark.sessionState.newHadoopConf()
+    parts.groupBy(_.file).foreach { case (f, ps) =>
+      val sorted = ps.sortBy(_.start)
+      assert(sorted.head.start === 0L)
+      val hp = new org.apache.hadoop.fs.Path(f)
+      assert(sorted.last.end === hp.getFileSystem(conf).getFileStatus(hp).getLen)
+      sorted.sliding(2).foreach {
+        case Array(a, b2) => assert(a.end === b2.start, s"gap in $f")
+        case _ => ()
+      }
+    }
+    // a split read returns exactly the rows of the whole-file read
+    val split = spark.read.format("sstable-data")
+      .option("maxSplitBytes", "2048").load(dir)
+    val whole = DataDb.read(spark, dir)
+    assert(split.rdd.getNumPartitions > whole.rdd.getNumPartitions)
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+  }
+
   test("column pruning reaches the reader's projection") {
     val dir = DataDbFixture.ensureFiles(spark, Sf0001)
     val one = DataDb.read(spark, dir).select("size_bytes")

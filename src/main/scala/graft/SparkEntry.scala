@@ -138,9 +138,10 @@ object SparkEntry {
     "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),
     // multimodal
     "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)),
-    // typed-Aggregator forms (SURVEY §2.10). q37 is oracle-checked: the
-    // Aggregator's map is exploded to flat (key, ttl_s, cnt) rows DuckDB
-    // recomputes relationally.
+    // typed-Aggregator forms (SURVEY §2.10), both oracle-checked: q37's
+    // map explodes to flat (key, ttl_s, cnt) rows DuckDB recomputes
+    // relationally; q38 shares the window form's LWW total order, so one
+    // SQL derivation checks both purge shapes.
     "q37_ttl_map_agg" -> ((s, d) =>
       graft.agg.TtlMapAggregator.perPartition(
         graft.sources.Fixtures.cells(s, d)).orderBy("key", "ttl_s")),

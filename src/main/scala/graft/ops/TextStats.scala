@@ -83,8 +83,9 @@ object TextStats {
     * digit runs, punctuation runs, whitespace — the standard BPE input
     * segmentation. Counting these units approximates BPE token counts far
     * better than whitespace splitting (punctuation and numbers split off).
-    * Engine-specific (regex dialects differ across engines ⇒ no SQL
-    * oracle); the codegen'd `regexp_extract_all` keeps it one narrow pass. */
+    * Oracle-checked: Java and RE2 dialects agree on this pattern class
+    * (property classes, alternation, non-capturing groups); the codegen'd
+    * `regexp_extract_all` keeps it one narrow pass. */
   def bpeTokenCounts(docs: DataFrame): DataFrame = {
     val pattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
     docs

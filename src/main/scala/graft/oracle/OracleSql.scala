@@ -316,6 +316,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(SUM(size - merged_size) AS BIGINT) AS total_reclaimable
 FROM purge""",
 
+    // the typed-Aggregator purge (q38) carries the SAME LWW total order as
+    // the window form (PurgeAggregator.beats), so one SQL derivation checks
+    // both shapes; this is the per-key (un-topped) purge frame.
+    "q38_purge_agg" -> s"""WITH $fixtures,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM licells
+)
+SELECT key, 'key-' || key AS key_formatted,
+  CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+  CAST(SUM(size_bytes) AS BIGINT) AS size,
+  CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+       THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size,
+  CAST(SUM(size_bytes) AS BIGINT) -
+  CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+       THEN size_bytes ELSE 0 END) AS BIGINT) AS reclaimable
+FROM ranked GROUP BY 1, 2 ORDER BY key""",
+
     // -f before the merge: ranks and sizes are computed over the filtered
     // cell stream only (ColumnFamilyBackend.java:80-89 semantics).
     "q45_purge_filtered" -> s"""WITH $fixtures,
@@ -515,6 +535,21 @@ SELECT doc_id, true_lang,
        ELSE 'und' END AS pred_lang,
   greatest(s_de, s_en, s_fr, CAST(0 AS BIGINT)) AS pred_score
 FROM s ORDER BY doc_id""",
+
+    // Java and RE2 regex dialects agree on this pattern class (\p{L}/\p{N}
+    // runs, alternation, non-capturing groups) — verified over the fixture
+    // corpus; '' escapes the leading apostrophe of the contraction branch.
+    "q41_bpe_tokens" -> """WITH t AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+  CAST(floor(SUM(bpe) * 100 / SUM(ws)) AS BIGINT) AS bpe_per_ws_x100
+FROM t GROUP BY 1 ORDER BY 1""",
 
     "q32_multimodal_meta" -> """SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -60,7 +60,9 @@ object SparkEntry {
     // mis-encoded event field anywhere in the roundtrip hash-mismatches.
     "q43_data_raw_roundtrip" -> ((s, d) => {
       import graft.sources.datadb.{DataDb, DataDbFixture}
-      DataDb.cells(s, DataDbFixture.ensureFiles(s, d))
+      // 1 MB splits: #tasks tracks data volume, not #sstables (6 here)
+      DataDb.cells(s, DataDbFixture.ensureFiles(s, d),
+          maxSplitBytes = Some(1L << 20))
         .groupBy("sstable_id")
         .agg(count(lit(1)).as("events"),
           sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
@@ -86,7 +88,8 @@ object SparkEntry {
       import graft.sources.datadb.{DataDb, DataDbFixture}
       CfStats.totalsOf(graft.sources.Fixtures.partitions(
         graft.sources.Fixtures.partitionScan(
-          DataDb.cells(s, DataDbFixture.ensureFiles(s, d)))))
+          DataDb.cells(s, DataDbFixture.ensureFiles(s, d),
+            maxSplitBytes = Some(1L << 20)))))
     }),
     // summary / sstables
     "q05_summary" -> ((s, d) => Summary.rollup(s, d)),

@@ -7,17 +7,24 @@ import org.apache.spark.sql.functions._
 object DataDb {
 
   /** Read a directory (or single file) of `*-Data.db` files: one row per
-    * cell / range-tombstone-marker event. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("sstable-data").load(path)
+    * cell / range-tombstone-marker event. `maxSplitBytes` caps the byte
+    * range one task parses — files with an Index.db sidecar split at
+    * partition boundaries (default 128 MB, Spark's files.maxPartitionBytes
+    * default). */
+  def read(spark: SparkSession, path: String,
+      maxSplitBytes: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("sstable-data")
+    maxSplitBytes.foreach(b => r.option("maxSplitBytes", b.toString))
+    r.load(path)
+  }
 
   /** Raw events in the `cells` fixture shape (keyspace/tbl constants and
     * the key decoded through the key-validator form, X4): the entire
     * cfstats/purge pipeline — `Fixtures.partitionScan`, `partitions`,
     * every report — runs unchanged off real binary files. */
   def cells(spark: SparkSession, path: String, keyspace: String = "ks1",
-      tbl: String = "lineitem"): DataFrame =
-    read(spark, path)
+      tbl: String = "lineitem", maxSplitBytes: Option[Long] = None): DataFrame =
+    read(spark, path, maxSplitBytes)
       .withColumn("key", expr("CAST(conv(hex(key), 16, 10) AS BIGINT)"))
       .withColumn("keyspace", lit(keyspace))
       .withColumn("tbl", lit(tbl))

@@ -29,9 +29,10 @@ object Bench {
     try {
       graft.sources.Fixtures.allPscan(spark, sfDir).count()
       graft.sources.Fixtures.liPartitions(spark, sfDir).count()
-      // binary Index.db / Data.db fixture files (setup, not query work)
+      // binary Index/Data/Statistics.db fixture files (setup, not query work)
       graft.sources.indexdb.IndexDbFixture.ensureFiles(spark, sfDir)
       graft.sources.datadb.DataDbFixture.ensureFiles(spark, sfDir)
+      graft.sources.statsdb.StatsDbFixture.ensureFiles(spark, sfDir)
       graft.ops.Dedup.corpusShingles(spark, sfDir).count()
       graft.ops.Similarity.quantized(spark, sfDir).count()
       SparkEntry.queries("q15_cfstats_totals")(spark, sfDir).count()

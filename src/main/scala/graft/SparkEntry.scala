@@ -91,6 +91,25 @@ object SparkEntry {
           DataDb.cells(s, DataDbFixture.ensureFiles(s, d),
             maxSplitBytes = Some(1L << 20)))))
     }),
+    // sstable_meta fixture → binary Statistics.db files → DSv2 parse; the
+    // oracle recomputes the metadata rollup from parquet, so every field of
+    // every component in the TOC-addressed binary encoding hash-matches.
+    "q46_stats_raw_roundtrip" -> ((s, d) => {
+      import graft.sources.statsdb.{StatsDb, StatsDbFixture}
+      StatsDb.read(s, StatsDbFixture.ensureFiles(s, d))
+        .select("keyspace", "tbl", "sstable_id", "partition_count",
+          "uncompressed_length", "max_partition_size", "cell_count",
+          "min_timestamp_us", "max_timestamp_us", "disk_length",
+          "avg_partition_size", "level", "is_repaired", "repaired_at_ms",
+          "compaction_strategy")
+        .orderBy("sstable_id")
+    }),
+    // the summary command's A11 rollup running off raw Statistics.db files
+    // instead of the fixture view; shares q05's oracle derivation.
+    "q47_summary_from_raw" -> ((s, d) => {
+      import graft.sources.statsdb.{StatsDb, StatsDbFixture}
+      StatsDb.summaryRollup(s, StatsDbFixture.ensureFiles(s, d))
+    }),
     // summary / sstables
     "q05_summary" -> ((s, d) => Summary.rollup(s, d)),
     "q06_sstables_meta" -> ((s, d) => Summary.sstablesReport(s, d)),
@@ -112,6 +131,18 @@ object SparkEntry {
     // merge, so excluded sstables neither contribute size nor shadow.
     "q45_purge_filtered" -> ((s, d) =>
       Purge.top(s, d, 10, Seq("sst-1", "sst-3", "sst-5"))),
+    // the purge pipeline (LWW merge + gc_grace purge + top-N) running off
+    // raw binary Data.db files; shares q16's oracle derivation — with this,
+    // all five reference commands are demonstrated end-to-end on raw files.
+    "q48_purge_from_raw" -> ((s, d) => {
+      import graft.sources.datadb.{DataDb, DataDbFixture}
+      Purge.perPartition(
+          DataDb.cells(s, DataDbFixture.ensureFiles(s, d),
+            maxSplitBytes = Some(1L << 20)))
+        .select("key", "key_formatted", "table_count", "size", "reclaimable")
+        .orderBy(desc("reclaimable"), desc("size"), asc("key"))
+        .limit(10)
+    }),
     // dedup
     "q20_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "q21_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),

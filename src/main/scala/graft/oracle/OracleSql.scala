@@ -358,6 +358,27 @@ SELECT key, key_formatted, table_count, size,
        size - merged_size AS reclaimable
 FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
 
+    // purge off raw Data.db files: same derivation as q16 — the binary
+    // encode/parse roundtrip must be invisible to the purge semantics.
+    "q48_purge_from_raw" -> s"""WITH $fixtures,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM licells
+),
+purge AS (
+  SELECT key, key_formatted,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, key_formatted, table_count, size,
+       size - merged_size AS reclaimable
+FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
+
     "q18_index_offsets" -> s"""WITH $fixtures,
 idx AS (
   SELECT sstable_id, key, size,
@@ -420,6 +441,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
   CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
 FROM liparts""",
+
+    // raw Statistics.db roundtrip: the full metadata table, every field of
+    // both binary components (q46); the summary rollup off those files
+    // shares q05's derivation (q47).
+    "q46_stats_raw_roundtrip" -> s"""WITH $fixtures
+SELECT keyspace, tbl, sstable_id, partition_count, uncompressed_length,
+  max_partition_size, cell_count, min_timestamp_us, max_timestamp_us,
+  disk_length, avg_partition_size, level, is_repaired, repaired_at_ms,
+  compaction_strategy
+FROM meta ORDER BY sstable_id""",
+
+    "q47_summary_from_raw" -> s"""WITH $fixtures
+SELECT keyspace, tbl,
+  CAST(COUNT(*) AS BIGINT) AS sstable_count,
+  CAST(SUM(disk_length) AS BIGINT) AS disk_length,
+  CAST(SUM(uncompressed_length) AS BIGINT) AS uncompressed_length,
+  CAST(SUM(CASE WHEN is_repaired THEN 1 ELSE 0 END) AS BIGINT) AS repaired_count,
+  CAST(SUM(CASE WHEN is_repaired THEN uncompressed_length ELSE 0 END) AS BIGINT) AS repaired_length,
+  CAST(MAX(CASE WHEN is_repaired THEN repaired_at_ms END) AS BIGINT) AS max_repaired_at_ms,
+  CAST(floor(SUM(CASE WHEN is_repaired THEN uncompressed_length ELSE 0 END) * 100
+       / SUM(uncompressed_length)) AS BIGINT) AS repair_pct
+FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q20_dedup_exact" -> s"""WITH $corpus
 SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,

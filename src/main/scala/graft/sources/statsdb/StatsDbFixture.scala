@@ -1,0 +1,79 @@
+package graft.sources.statsdb
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Fixtures
+
+/** Materializes the sstable_meta fixture (lineitem AND orders sstables) as
+  * REAL binary Statistics.db files (StatsDbFormat), so the DataSource V2
+  * path is exercised — and oracle-checked — end to end: parquet →
+  * sstable_meta rollup → binary encode → file → DSv2 parse must equal the
+  * DuckDB recomputation from the same parquet inputs.
+  *
+  * Driver-side sequential writes are fine here: this is fixture generation
+  * (the real deployment reads files Cassandra already wrote), not query
+  * execution — and there is exactly one tiny file per sstable. */
+object StatsDbFixture {
+
+  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+
+  /** Drop entries of stopped sessions and delete their temp trees — keyed by
+    * sessionUUID (identity hash codes can collide across session lifetimes
+    * in one JVM and would serve a dead session's path to a new session). */
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        val root = new java.io.File(e.getValue._2)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        it.remove()
+      }
+    }
+  }
+
+  def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
+    sweepStopped()
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
+    val hit = memo.get(k)
+    if (hit != null) return hit._2
+    val out = Files.createTempDirectory("graft-statsdb-fixture")
+    writeAll(spark, dir, out)
+    val path = out.toString
+    memo.put(k, (spark, path))
+    path
+  }
+
+  private def writeAll(spark: SparkSession, dir: String, out: Path): Unit = {
+    val rows = Fixtures.sstableMeta(Fixtures.allPscan(spark, dir)).collect()
+    rows.foreach { r =>
+      def L(n: String): Long = r.getLong(r.fieldIndex(n))
+      val sstableId = r.getString(r.fieldIndex("sstable_id"))
+      val stats = StatsDbFormat.Stats(
+        keyspace = r.getString(r.fieldIndex("keyspace")),
+        tbl = r.getString(r.fieldIndex("tbl")),
+        partitionCount = L("partition_count"),
+        uncompressedLength = L("uncompressed_length"),
+        diskLength = L("disk_length"),
+        maxPartitionSize = L("max_partition_size"),
+        avgPartitionSize = L("avg_partition_size"),
+        cellCount = L("cell_count"),
+        minTimestampUs = L("min_timestamp_us"),
+        maxTimestampUs = L("max_timestamp_us"),
+        level = r.getInt(r.fieldIndex("level")),
+        isRepaired = r.getBoolean(r.fieldIndex("is_repaired")),
+        repairedAtMs =
+          if (r.isNullAt(r.fieldIndex("repaired_at_ms"))) None
+          else Some(L("repaired_at_ms")),
+        compactionStrategy = r.getString(r.fieldIndex("compaction_strategy")))
+      val stream = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(
+          out.resolve(sstableId + StatsDbFormat.Suffix).toFile)))
+      try StatsDbFormat.write(stream, stats) finally stream.close()
+    }
+  }
+}

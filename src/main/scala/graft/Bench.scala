@@ -51,12 +51,21 @@ object Bench {
     // min of two timed runs per query: scheduler/GC noise at these
     // sub-second latencies is ±20%, and the minimum is the standard
     // steady-state latency estimator (both runs see the same warm caches)
+    // failures are NOT silent: a failed run still records its elapsed time
+    // (so the line stays parseable) but the error lands in the JSON and on
+    // stderr — a bench that aborted a job must never read as a clean pass
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        } catch {
+          case t: Throwable =>
+            val msg = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+            errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            System.err.println(s"BENCH FAILURE $name: $msg")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())
@@ -64,7 +73,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

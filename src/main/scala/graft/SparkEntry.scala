@@ -24,6 +24,12 @@ import graft.oracle.OracleSql
   */
 object SparkEntry {
 
+  /** Modulus for roundtrip checksum sums (prime, matches the oracle SQL):
+    * SUM(value % P) over n rows is bounded by n·P, so the checksum never
+    * overflows a Long no matter how large values or row counts grow —
+    * unlike a raw SUM, which ANSI-aborts once it crosses 2^63. */
+  val ChkMod = 1000003L
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Purge.top(spark, "/root/testdata/sf0.001")
@@ -42,22 +48,29 @@ object SparkEntry {
     // fixture pscan → binary Index.db files → DataSource V2 parse →
     // aggregate; oracle recomputes from parquet, so a single mis-encoded
     // vint/key/position anywhere in the roundtrip hash-mismatches.
+    // Checksums are sums of (value mod P): a raw SUM(position) overflows
+    // Long once files reach real sizes (positions grow with file bytes);
+    // the modular form keeps full per-value sensitivity at any scale.
     "q40_index_raw_roundtrip" -> ((s, d) => {
       import graft.sources.indexdb.{IndexDb, IndexDbFixture}
       IndexDb.read(s, IndexDbFixture.ensureFiles(s, d))
         .select(col("sstable_id"), col("position"),
-          expr("CAST(conv(hex(key), 16, 10) AS BIGINT)").as("key_long"))
+          graft.sources.BinaryKeys.beLong(col("key")).as("key_long"))
         .groupBy("sstable_id")
         .agg(count(lit(1)).as("entries"),
           min(col("position")).as("first_position"),
           max(col("position")).as("last_position"),
-          sum(col("position")).as("positions_sum"),
-          sum(col("key_long")).as("keys_sum"))
+          sum(col("position") % ChkMod).as("positions_sum"),
+          sum(col("key_long") % ChkMod).as("keys_sum"))
         .orderBy("sstable_id")
     }),
     // parquet cells → binary Data.db files → DataSource V2 parse →
     // per-sstable aggregate; the oracle recomputes from parquet, so any
     // mis-encoded event field anywhere in the roundtrip hash-mismatches.
+    // Checksums are sums of (value mod P): SUM(timestamp_us) raw is ~2e14
+    // per event, which overflows Long (ANSI abort) past ~45k events per
+    // sstable — sf0.1 already crossed it; the modular form keeps full
+    // per-value sensitivity at any scale.
     "q43_data_raw_roundtrip" -> ((s, d) => {
       import graft.sources.datadb.{DataDb, DataDbFixture}
       // 1 MB splits: #tasks tracks data volume, not #sstables (6 here)
@@ -69,16 +82,16 @@ object SparkEntry {
           sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
             .as("markers"),
           countDistinct("key").as("partitions"),
-          sum("key").as("keys_sum"),
-          sum("clustering").as("clustering_sum"),
-          sum("timestamp_us").as("ts_sum"),
-          sum("ttl_s").as("ttl_sum"),
-          sum("local_deletion_time_s").as("ldt_sum"),
+          sum(col("key") % ChkMod).as("keys_sum"),
+          sum(col("clustering") % ChkMod).as("clustering_sum"),
+          sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+          sum(col("ttl_s") % ChkMod).as("ttl_sum"),
+          sum(col("local_deletion_time_s") % ChkMod).as("ldt_sum"),
           sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
           sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
           sum(when(col("is_counter"), 1L).otherwise(0L)).as("counters"),
           sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
-          sum("size_bytes").as("size_sum"))
+          sum(col("size_bytes") % ChkMod).as("size_sum"))
         .orderBy("sstable_id")
     }),
     // the ENTIRE cfstats pipeline (partitionScan → partitions → totals)

@@ -408,27 +408,29 @@ idx AS (
 SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
   CAST(MIN(position) AS BIGINT) AS first_position,
   CAST(MAX(position) AS BIGINT) AS last_position,
-  CAST(SUM(position) AS BIGINT) AS positions_sum,
-  CAST(SUM(key) AS BIGINT) AS keys_sum
+  CAST(SUM(position % 1000003) AS BIGINT) AS positions_sum,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum
 FROM idx GROUP BY 1 ORDER BY 1""",
 
     // per-sstable rollup of EVERY event field after the parquet → binary
     // Data.db → DSv2 roundtrip; recomputed here straight from parquet.
+    // Sums are modular (% 1000003, matching SparkEntry.ChkMod): a raw
+    // SUM(timestamp_us) overflows BIGINT in Spark past ~45k events/sstable.
     "q43_data_raw_roundtrip" -> s"""WITH $fixtures
 SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
   CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
   CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
-  CAST(SUM(key) AS BIGINT) AS keys_sum,
-  CAST(SUM(clustering) AS BIGINT) AS clustering_sum,
-  CAST(SUM(timestamp_us) AS BIGINT) AS ts_sum,
-  CAST(SUM(ttl_s) AS BIGINT) AS ttl_sum,
-  CAST(SUM(local_deletion_time_s) AS BIGINT) AS ldt_sum,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
   CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
   CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
   CAST(SUM(CASE WHEN is_counter THEN 1 ELSE 0 END) AS BIGINT) AS counters,
   CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
-  CAST(SUM(size_bytes) AS BIGINT) AS size_sum
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS size_sum
 FROM licells GROUP BY 1 ORDER BY 1""",
 
     // cfstats totals recomputed from parquet (same derivation as q15) —

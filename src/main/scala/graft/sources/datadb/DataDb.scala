@@ -25,7 +25,7 @@ object DataDb {
   def cells(spark: SparkSession, path: String, keyspace: String = "ks1",
       tbl: String = "lineitem", maxSplitBytes: Option[Long] = None): DataFrame =
     read(spark, path, maxSplitBytes)
-      .withColumn("key", expr("CAST(conv(hex(key), 16, 10) AS BIGINT)"))
+      .withColumn("key", graft.sources.BinaryKeys.beLong(col("key")))
       .withColumn("keyspace", lit(keyspace))
       .withColumn("tbl", lit(tbl))
       .withColumn("key_formatted", concat(lit("key-"), col("key")))

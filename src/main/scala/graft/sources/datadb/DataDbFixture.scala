@@ -48,7 +48,15 @@ object DataDbFixture {
     val hit = memo.get(k)
     if (hit != null) return hit._2
     val out = Files.createTempDirectory("graft-datadb-fixture")
-    writeAll(spark, dir, out)
+    // a half-written tree is never memoized NOR left behind: delete on failure
+    try writeAll(spark, dir, out)
+    catch {
+      case t: Throwable =>
+        val root = out.toFile
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        throw t
+    }
     val path = out.toString
     memo.put(k, (spark, path))
     path
@@ -79,42 +87,45 @@ object DataDbFixture {
       }
     }
 
-    rows.foreach { r =>
-      val sst = r.getString(0)
-      val key = r.getLong(1)
-      if (sst != currentSst) {
-        closeStreams()
-        stream = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(out.resolve(sst + DataDbFormat.Suffix).toFile)))
-        index = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(out.resolve(
-            sst + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
-        currentSst = sst
-        inPartition = false
+    // on any mid-write throw the open streams must not leak (the caller
+    // deletes the half-written tree, which needs the handles closed first)
+    try {
+      rows.foreach { r =>
+        val sst = r.getString(0)
+        val key = r.getLong(1)
+        if (sst != currentSst) {
+          closeStreams()
+          stream = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(out.resolve(sst + DataDbFormat.Suffix).toFile)))
+          index = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(out.resolve(
+              sst + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
+          currentSst = sst
+          inPartition = false
+        }
+        if (!inPartition || key != currentKey) {
+          if (inPartition) DataDbFormat.writePartitionEnd(stream)
+          val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+          // DataOutputStream.size() is the block's byte offset (int-sized is
+          // fine for fixtures; real files would track a long)
+          graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
+            stream.size().toLong)
+          DataDbFormat.writePartitionHeader(stream, keyBytes)
+          currentKey = key
+          inPartition = true
+        }
+        DataDbFormat.writeEvent(stream, DataDbFormat.Event(
+          key = null, // the block header carries the key
+          clustering = r.getLong(2),
+          columnName = r.getString(3),
+          isMarker = r.getString(4) == DataDbFormat.KindMarker,
+          flags = DataDbFormat.flagsOf(r.getBoolean(8), r.getBoolean(9),
+            r.getBoolean(10), r.getBoolean(11)),
+          timestampUs = r.getLong(5),
+          ttlS = r.getLong(6),
+          localDeletionTimeS = r.getLong(7),
+          sizeBytes = r.getLong(12)))
       }
-      if (!inPartition || key != currentKey) {
-        if (inPartition) DataDbFormat.writePartitionEnd(stream)
-        val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
-        // DataOutputStream.size() is the block's byte offset (int-sized is
-        // fine for fixtures; real files would track a long)
-        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
-          stream.size().toLong)
-        DataDbFormat.writePartitionHeader(stream, keyBytes)
-        currentKey = key
-        inPartition = true
-      }
-      DataDbFormat.writeEvent(stream, DataDbFormat.Event(
-        key = null, // the block header carries the key
-        clustering = r.getLong(2),
-        columnName = r.getString(3),
-        isMarker = r.getString(4) == DataDbFormat.KindMarker,
-        flags = DataDbFormat.flagsOf(r.getBoolean(8), r.getBoolean(9),
-          r.getBoolean(10), r.getBoolean(11)),
-        timestampUs = r.getLong(5),
-        ttlS = r.getLong(6),
-        localDeletionTimeS = r.getLong(7),
-        sizeBytes = r.getLong(12)))
-    }
-    closeStreams()
+    } finally closeStreams()
   }
 }

@@ -4,7 +4,7 @@ import java.io.{DataInput, DataInputStream, DataOutput, EOFException, InputStrea
 
 import org.apache.spark.sql.types.{BinaryType, BooleanType, LongType, StringType, StructField, StructType}
 
-import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, writeUnsignedVInt}
+import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, readVInt, writeUnsignedVInt, writeVInt}
 
 /** The SSTable data-file (Data.db) on-disk format of this engine — the
   * cell-event granularity the reference's `cfstats`/`purge` paths consume
@@ -24,10 +24,13 @@ import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, writeUnsignedVInt}
   *              col_len:uint16_be col:utf8[col_len]
   *              flags:byte            // bit0 tombstone, bit1 expiring,
   *                                    // bit2 counter,   bit3 live
-  *              timestamp_us:uvint
+  *              timestamp_us:svint    // zigzag: write timestamps are
+  *                                    // arbitrary SIGNED longs in Cassandra
   *              ttl_plus1:uvint       // ttl_s + 1, so NO_TTL(-1) encodes 0
-  *              local_deletion_time_s:uvint
-  *              size_bytes:uvint
+  *              local_deletion_time_s:uvint  // seconds since epoch:
+  *                                    // non-negative by domain (sentinel
+  *                                    // Integer.MAX_VALUE = live)
+  *              size_bytes:uvint      // non-negative by domain
   * end       := 0x00                  // end-of-partition marker
   * ```
   *
@@ -105,7 +108,7 @@ object DataDbFormat {
     out.writeShort(col.length)
     out.write(col)
     out.write(e.flags)
-    writeUnsignedVInt(out, e.timestampUs)
+    writeVInt(out, e.timestampUs)
     writeUnsignedVInt(out, e.ttlS + 1L)
     writeUnsignedVInt(out, e.localDeletionTimeS)
     writeUnsignedVInt(out, e.sizeBytes)
@@ -160,7 +163,7 @@ object DataDbFormat {
           val colBytes = new Array[Byte](colLen)
           in.readFully(colBytes)
           val flags = in.readUnsignedByte()
-          val ts = readUnsignedVInt(in)
+          val ts = readVInt(in)
           val ttl = readUnsignedVInt(in) - 1L
           val ldt = readUnsignedVInt(in)
           val size = readUnsignedVInt(in)

@@ -46,7 +46,15 @@ object IndexDbFixture {
     val hit = memo.get(k)
     if (hit != null) return hit._2
     val out = Files.createTempDirectory("graft-indexdb-fixture")
-    writeAll(spark, dir, out)
+    // a half-written tree is never memoized NOR left behind: delete on failure
+    try writeAll(spark, dir, out)
+    catch {
+      case t: Throwable =>
+        val root = out.toFile
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        throw t
+    }
     val path = out.toString
     memo.put(k, (spark, path))
     path
@@ -60,21 +68,24 @@ object IndexDbFixture {
     var current: String = null
     var stream: DataOutputStream = null
     var position = 0L
-    rows.foreach { r =>
-      val sst = r.getString(0)
-      if (sst != current) {
-        if (stream != null) stream.close()
-        stream = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(out.resolve(sst + IndexDbFormat.Suffix).toFile)))
-        current = sst
-        position = 0L
+    // on any mid-write throw the open stream must not leak (the caller
+    // deletes the half-written tree, which needs the handle closed first)
+    try {
+      rows.foreach { r =>
+        val sst = r.getString(0)
+        if (sst != current) {
+          if (stream != null) stream.close()
+          stream = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(out.resolve(sst + IndexDbFormat.Suffix).toFile)))
+          current = sst
+          position = 0L
+        }
+        val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(r.getLong(1)).array()
+        // a small promoted-index blob proves the reader's skip path on every entry
+        IndexDbFormat.writeEntry(stream, keyBytes, position,
+          promoted = Array.fill((r.getLong(1) % 4).toInt)(0x5a.toByte))
+        position += r.getLong(2)
       }
-      val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(r.getLong(1)).array()
-      // a small promoted-index blob proves the reader's skip path on every entry
-      IndexDbFormat.writeEntry(stream, keyBytes, position,
-        promoted = Array.fill((r.getLong(1) % 4).toInt)(0x5a.toByte))
-      position += r.getLong(2)
-    }
-    if (stream != null) stream.close()
+    } finally if (stream != null) stream.close()
   }
 }

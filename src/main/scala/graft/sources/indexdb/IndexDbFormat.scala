@@ -45,9 +45,13 @@ object IndexDbFormat {
     ret
   }
 
-  /** Cassandra unsigned-vint encode (inverse of [[readUnsignedVInt]]). */
+  /** Cassandra unsigned-vint encode (inverse of [[readUnsignedVInt]]).
+    * "Unsigned" means the long's 64 bits are treated as an unsigned
+    * quantity: a top-bit-set value (negative as a signed long) takes the
+    * full 9-byte encoding (first byte 0xFF) and round-trips bit-exactly —
+    * required by [[writeVInt]]'s zigzag output, which covers the whole
+    * unsigned domain. */
   def writeUnsignedVInt(out: DataOutput, value: Long): Unit = {
-    require(value >= 0, s"unsigned vint cannot encode $value")
     val magnitude = java.lang.Long.numberOfLeadingZeros(value | 1L)
     val size = (639 - magnitude * 9) >> 6 // bytes incl. first (Cassandra formula)
     if (size == 1) { out.write(value.toInt); return }
@@ -59,6 +63,17 @@ object IndexDbFormat {
     bytes(0) = (bytes(0) | (0xff << (8 - extra)).toByte).toByte
     out.write(bytes, 0, size)
   }
+
+  /** Cassandra signed-vint decode: zigzag over the unsigned encoding
+    * (VIntCoding.readVInt semantics) — full signed-long domain. */
+  def readVInt(in: DataInput): Long = {
+    val z = readUnsignedVInt(in)
+    (z >>> 1) ^ -(z & 1L)
+  }
+
+  /** Cassandra signed-vint encode (inverse of [[readVInt]]). */
+  def writeVInt(out: DataOutput, value: Long): Unit =
+    writeUnsignedVInt(out, (value << 1) ^ (value >> 63))
 
   /** One index entry for a test generator (promoted-index bytes are junk the
     * reader must skip, mirroring IndexReader.skipData). */

@@ -78,7 +78,8 @@ final class StatsDbScanBuilder(options: Map[String, String])
     options.getOrElse("path",
       throw new IllegalArgumentException("sstable-stats requires a path")),
     required, pushed,
-    options.get("filesPerPartition").map(_.toInt).getOrElse(512))
+    // lower-case key: options come from a CaseInsensitiveStringMap
+    options.get("filesperpartition").map(_.toInt).getOrElse(512))
 }
 
 final case class StatsDbScan(path: String, required: StructType,

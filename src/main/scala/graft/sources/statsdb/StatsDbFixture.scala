@@ -42,7 +42,15 @@ object StatsDbFixture {
     val hit = memo.get(k)
     if (hit != null) return hit._2
     val out = Files.createTempDirectory("graft-statsdb-fixture")
-    writeAll(spark, dir, out)
+    // a half-written tree is never memoized NOR left behind: delete on failure
+    try writeAll(spark, dir, out)
+    catch {
+      case t: Throwable =>
+        val root = out.toFile
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        throw t
+    }
     val path = out.toString
     memo.put(k, (spark, path))
     path

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch diagnostic: run one SparkEntry query at an arbitrary SF tier with
+  * the formatted plan, surfacing where an ANSI overflow originates. */
+object DebugRaw {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val q = sys.env.getOrElse("SPARK_GRAFT_Q", "q48_purge_from_raw")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(q)(spark, sfDir)
+    df.explain("formatted")
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      println(s"$q OK")
+    } catch {
+      case t: Throwable =>
+        println(s"$q FAILED: ${t.getMessage}")
+        var c = t.getCause
+        while (c != null) { println(s"  cause: ${c.getMessage}"); c = c.getCause }
+    }
+    spark.stop()
+  }
+}

@@ -28,25 +28,40 @@ class DataDbSourceSpec extends SparkSpec {
     DataDbFormat.writeEvent(out, evt(2L, "c1", marker = false,
       DataDbFormat.FlagTombstone, (1L << 49) + 7L, 86400L, 9999L, 1L))
     DataDbFormat.writePartitionEnd(out)
-    // partition 2: a range-tombstone marker with a multi-flag byte
+    // partition 2: a range-tombstone marker with a multi-flag byte, and a
+    // cell with a NEGATIVE write timestamp (arbitrary signed longs in
+    // Cassandra — zigzag-encoded, so the full domain round-trips)
     DataDbFormat.writePartitionHeader(out, Array[Byte](-1))
     DataDbFormat.writeEvent(out, evt(1L, "range:1", marker = true,
       DataDbFormat.FlagTombstone | DataDbFormat.FlagExpiring, 7L, 0L, 0L, 0L))
+    DataDbFormat.writeEvent(out, evt(3L, "c2", marker = false,
+      DataDbFormat.FlagLive, Long.MinValue + 5L, -1L, 0L, 8L))
     DataDbFormat.writePartitionEnd(out)
     val got = DataDbFormat.events(
       new ByteArrayInputStream(bos.toByteArray)).toList
     assert(got.map(_.key.toSeq) ===
-      List(Seq[Byte](1, 2), Seq[Byte](1, 2), Seq[Byte](-1)))
-    assert(got.map(_.clustering) === List(0L, 2L, 1L))
-    assert(got.map(_.columnName) === List("c0", "c1", "range:1"))
-    assert(got.map(_.isMarker) === List(false, false, true))
-    assert(got.map(_.timestampUs) === List(12345L, (1L << 49) + 7L, 7L))
-    assert(got.map(_.ttlS) === List(-1L, 86400L, 0L))
-    assert(got.map(_.localDeletionTimeS) === List(2147483647L, 9999L, 0L))
-    assert(got.map(_.sizeBytes) === List(64L, 1L, 0L))
+      List(Seq[Byte](1, 2), Seq[Byte](1, 2), Seq[Byte](-1), Seq[Byte](-1)))
+    assert(got.map(_.clustering) === List(0L, 2L, 1L, 3L))
+    assert(got.map(_.columnName) === List("c0", "c1", "range:1", "c2"))
+    assert(got.map(_.isMarker) === List(false, false, true, false))
+    assert(got.map(_.timestampUs) ===
+      List(12345L, (1L << 49) + 7L, 7L, Long.MinValue + 5L))
+    assert(got.map(_.ttlS) === List(-1L, 86400L, 0L, -1L))
+    assert(got.map(_.localDeletionTimeS) === List(2147483647L, 9999L, 0L, 0L))
+    assert(got.map(_.sizeBytes) === List(64L, 1L, 0L, 8L))
     assert(got(0).isLive && !got(0).isTombstone)
     assert(got(1).isTombstone && !got(1).isLive)
     assert(got(2).isTombstone && got(2).isExpiring && !got(2).isCounter)
+  }
+
+  test("binary key decode is signed: top-bit-set keys survive the cells view") {
+    import spark.implicits._
+    val keys = Seq(Long.MinValue, -1L, -42L, 0L, 7L, Long.MaxValue)
+    val df = keys.map(k => Tuple1(
+        java.nio.ByteBuffer.allocate(8).putLong(k).array())).toDF("key")
+    val got = df.select(graft.sources.BinaryKeys.beLong(col("key")).as("k"))
+      .as[Long].collect().toSeq
+    assert(got === keys)
   }
 
   test("truncated partition (missing end marker) fails, empty stream is empty") {

@@ -97,21 +97,35 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("unsigned vint codec round-trips arbitrary non-negative longs") {
+  test("unsigned vint codec round-trips the full 64-bit domain") {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
     import graft.sources.indexdb.IndexDbFormat
     val genV = Gen.oneOf(
       Gen.choose(0L, 256L),
-      Gen.choose(0L, Long.MaxValue),
+      Gen.choose(Long.MinValue, Long.MaxValue), // incl. top-bit-set (9-byte)
       // cluster around the 7-bit-per-byte encoding boundaries
       Gen.choose(0, 8).flatMap(k =>
-        Gen.choose(-2L, 2L).map(d => (1L << (7 * (k + 1))) + d))
-    ).map(v => if (v < 0) 0L else v)
+        Gen.choose(-2L, 2L).map(d => (1L << (7 * (k + 1))) + d)))
     checkProp(genV, trials = 500) { v =>
       val bos = new ByteArrayOutputStream()
       IndexDbFormat.writeUnsignedVInt(new DataOutputStream(bos), v)
       val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
       IndexDbFormat.readUnsignedVInt(in) == v && in.read() == -1
+    }
+  }
+
+  test("signed (zigzag) vint codec round-trips arbitrary longs") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import graft.sources.indexdb.IndexDbFormat
+    val genV = Gen.oneOf(
+      Gen.choose(-256L, 256L),
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.const(Long.MinValue), Gen.const(Long.MaxValue), Gen.const(-1L))
+    checkProp(genV, trials = 500) { v =>
+      val bos = new ByteArrayOutputStream()
+      IndexDbFormat.writeVInt(new DataOutputStream(bos), v)
+      val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      IndexDbFormat.readVInt(in) == v && in.read() == -1
     }
   }
 

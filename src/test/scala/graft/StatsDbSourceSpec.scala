@@ -87,11 +87,22 @@ class StatsDbSourceSpec extends SparkSpec {
     assert(parts.length === 1)
     assert(parts.head.asInstanceOf[graft.sources.statsdb.StatsDbInputPartition]
       .files.length === 2)
-    // filesPerPartition=1 → one task per file
+    // filesPerPartition=1 → one task per file (direct construction gets the
+    // lower-cased key, exactly what CaseInsensitiveStringMap delivers)
     val split = new StatsDbScanBuilder(
-      Map("path" -> dir, "filesPerPartition" -> "1"))
+      Map("path" -> dir, "filesperpartition" -> "1"))
       .build().asInstanceOf[StatsDbScan]
     assert(split.planInputPartitions().length === 2)
+  }
+
+  test("filesPerPartition reaches the scan through the public read path") {
+    // spark.read lower-cases option keys (CaseInsensitiveStringMap) — this
+    // exercises the mixed-case spelling a user would actually write
+    val split = spark.read.format("sstable-stats")
+      .option("filesPerPartition", "1").load(dir)
+    assert(split.rdd.getNumPartitions === 2)
+    val batched = spark.read.format("sstable-stats").load(dir)
+    assert(batched.rdd.getNumPartitions === 1)
   }
 
   test("fixture roundtrip equals the sstable_meta view, field for field") {

@@ -102,16 +102,15 @@ object Dedup {
   }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over
-    * Spark's codegen'd murmur3 `hash` of each shingle. Spark-only (engine
-    * hash ⇒ no SQL oracle; verified against [[ngramJaccard]] in tests). */
+    * the cross-engine [[graft.functions.PortableHash]] of each shingle
+    * (oracle-checkable; `hash`/murmur3 is a drop-in for engine-only use). */
   def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
-    // murmur3 of the shingle hoisted into one projected column: inside the
+    // the shingle hash is hoisted into one projected column: inside the
     // aggregate list it would be re-evaluated per permutation (k x per row).
-    // pmod, not an additive shift: hash ranges over all of Int, and
-    // (Int.MinValue + p) % p == -1 would leak a negative into the
-    // permutations and skew that shingle's min across every h_i.
-    val hashed = sh.withColumn("hc", pmod(hash(col("g")).cast("long"), lit(p)))
+    // h60 < 2^60 is always positive, so a plain mod lands in [0, p).
+    val hashed = sh.withColumn("hc",
+      graft.functions.PortableHash.h60(col("g")) % p)
     val perms = (0 until k).map { i =>
       val a = 1L + 2L * i + 1L // odd multipliers
       val b = 7919L * (i + 1)
@@ -128,9 +127,13 @@ object Dedup {
     val sigs = PlanCache.cached(spark, s"minhash$k|$dir")(
       minhashSignatures(corpusShingles(spark, dir), k))
     val bands = k / rowsPerBand
+    // bucket key = the band's signature values joined into one string: no
+    // engine hash in the key, so the bucketing is oracle-reproducible. At
+    // scale, re-hashing the key to a long (hash(cs: _*)) shrinks the
+    // shuffle rows ~4x — a drop-in swap that only loses oracle parity.
     val bandCols = (0 until bands).map { b =>
       val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(cs: _*).as("bucket")).as(s"bb$b")
+      struct(lit(b).as("band"), concat_ws(",", cs: _*).as("bucket")).as(s"bb$b")
     }
     val buckets = sigs
       .select(col("doc_id") +: bandCols: _*)
@@ -156,19 +159,22 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash: 64-bit signature from token murmur hashes — per-bit weighted
+  /** SimHash: 60-bit signature from token hashes — per-bit weighted
     * majority vote, expressed as bit-arithmetic aggregates (no UDF in the
-    * hot path). Spark-only. */
+    * hot path). Token hash is the cross-engine
+    * [[graft.functions.PortableHash]] (60 usable bits), so the signature is
+    * oracle-checkable bit for bit. */
   def simhash(docs: DataFrame): DataFrame = {
+    val bits = 60
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
-      .withColumn("h64", xxhash64(col("t")))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h64"), i).bitwiseAND(1) === 1, 1L)
+      .withColumn("h", graft.functions.PortableHash.h60(col("t")))
+    val bitVotes = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v$i")
     }
     val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until bits).map { i =>
       when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     voted.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")

@@ -128,23 +128,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate NN: deterministic pseudo-random hyperplanes
-    * (coefficients from xxhash64 of (plane, dim) — seeded, no RNG state),
+  /** Plane p's coefficient for dim j: (h60("p:j") mod 2001) − 1000. A hash,
+    * not an LCG over p·dims+j: an arithmetic progression mod 2001 makes the
+    * planes correlated and the buckets useless. Public so the oracle SQL
+    * embeds the *same* literals. */
+  def planeCoeffs(planes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until planes).map(p => (0 until dims).map(j =>
+      graft.functions.PortableHash.h60(s"$p:$j") % 2001L - 1000L))
+
+  /** LSH-bucketed approximate NN: deterministic pseudo-random hyperplanes,
     * sign bits → bucket id; query joins only its bucket. Recall < 1 by
     * design; the scale path when brute force's candidate scan is too wide.
-    * Multi-probe: queries also probe buckets at Hamming distance 1. */
+    * Multi-probe: queries also probe buckets at Hamming distance 1.
+    *
+    * The plane coefficients are data-independent constants, so they are
+    * computed ONCE driver-side and embedded as literal arrays — the per-row
+    * work is a pure integer dot product (no per-row-per-dim hashing, which
+    * is what the previous in-plan `xxhash64(p:j)` form paid), and the whole
+    * query is integer/IEEE-exact ⇒ oracle-checkable. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, planes: Int = 8): DataFrame = {
+      k: Int = 5, planes: Int = 8, dims: Int = 64): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val q = quantized(spark, dir)
-    // plane p coefficient for dim j: (xxhash64("p:j") mod 2001) - 1000
-    // (an LCG over p*64+j is an arithmetic progression mod 2001 — planes
-    // come out correlated and buckets are useless; a hash mixes properly)
+    val coeffs = planeCoeffs(planes, dims)
     val sigCol = (0 until planes).map { p =>
-      val proj = expr(
-        s"""aggregate(zip_with(qv, sequence(0, size(qv) - 1),
-           |  (x, j) -> x * (pmod(xxhash64(concat('$p', ':', CAST(j AS STRING))), 2001) - 1000)),
-           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+      val planeArr = array(coeffs(p).map(lit): _*)
+      val proj = aggregate(
+        zip_with(col("qv"), planeArr, (x, c) => x * c),
+        lit(0L), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
     val hashed = q.withColumn("bucket", sigCol.cast("int"))

@@ -114,15 +114,17 @@ object TextStats {
         sum(greatest(ceil(length(col("t")) / 4), lit(1L)))
           .as("subword_units"))
 
-  /** Document fingerprint: order-independent 64-bit rolling-hash combination
-    * of token xxhash64s (position-weighted mod-prime polynomial). Spark-only
-    * (engine hash). */
+  /** Document fingerprint: position-weighted mod-prime polynomial over
+    * per-token hashes (a rolling-hash signature). Token hash is the
+    * cross-engine [[graft.functions.PortableHash]] (md5-derived), so the
+    * whole fingerprint is oracle-checkable; swap in `xxhash64` for a
+    * cheaper engine-locked variant. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val p = 1000000007L
     docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .withColumn("h", pmod(xxhash64(col("t")), lit(p)))
+      .withColumn("h", pmod(graft.functions.PortableHash.h60(col("t")), lit(p)))
       .withColumn("weighted", pmod(col("h") * (col("pos") + 1), lit(p)))
       .groupBy("doc_id")
       .agg(pmod(sum("weighted"), lit(p)).as("fingerprint"),

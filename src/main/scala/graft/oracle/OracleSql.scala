@@ -13,6 +13,14 @@ object OracleSql {
 
   val GcBeforeS = 2500L * 86400L
 
+  /** DuckDB form of the cross-engine 60-bit hash (PortableHash.h60). */
+  private def h60(e: String): String = graft.functions.PortableHash.duck(e)
+
+  /** Plane p of Similarity's LSH hyperplanes as a DuckDB list literal —
+    * the same driver-side constants the Spark plan embeds. */
+  private def planeSql(p: Int): String =
+    graft.ops.Similarity.planeCoeffs(8, 64)(p).mkString("[", ", ", "]")
+
   private val liDay =
     "CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)"
   private val oDay =
@@ -600,6 +608,196 @@ FROM t GROUP BY 1 ORDER BY 1""",
   CAST(strlen(text) AS BIGINT) AS n_bytes,
   CAST(ascii(text) AS BIGINT) AS first_byte,
   CAST(floor(strlen(text) / 256) + 1 AS BIGINT) AS frames_stub
-FROM documents ORDER BY doc_id"""
+FROM documents ORDER BY doc_id""",
+
+    // ---- hash-keyed / ANN queries: oracle-checkable because every hash in
+    // the Spark plan is the cross-engine PortableHash (md5-derived) or an
+    // embedded literal, and all scoring is integer or IEEE-double exact ----
+
+    // mirror of TextStats.fingerprint: position-weighted mod-prime
+    // polynomial over per-token h60 (Spark pos is 0-based with (pos+1)
+    // weights = DuckDB's 1-based aligned-unnest position).
+    "q29_doc_fingerprint" -> s"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+)
+SELECT doc_id,
+  CAST(SUM(((${h60("t")} % 1000000007) * pos) % 1000000007) % 1000000007
+       AS BIGINT) AS fingerprint,
+  CAST(COUNT(*) AS BIGINT) AS tokens
+FROM tok GROUP BY 1 ORDER BY 1""",
+
+    // mirror of Dedup.simhash: per-bit weighted majority vote over the 60
+    // usable bits of each token's h60.
+    "q23_dedup_simhash" -> s"""WITH $corpus,
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+th AS (SELECT doc_id, ${h60("t")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, bit,
+    CAST(SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+       AS BIGINT) AS simhash
+FROM votes GROUP BY 1 ORDER BY 1""",
+
+    // mirror of Dedup.minhashSignatures + minhashLsh: k=32 permutations
+    // h_i = (hc·(2i+2) + 7919(i+1)) mod 2^31−1 over shingle h60s; LSH bands
+    // of 4 rows joined on the comma-joined band signature; candidates kept
+    // at ≥ ceil(0.7·32) = 23 matching signature positions.
+    "q22_dedup_minhash" -> s"""WITH $corpus, $shingles,
+hc AS (SELECT doc_id, ${h60("g")} % 2147483647 AS hc FROM sh),
+sigs AS (
+  SELECT doc_id, i,
+    CAST(MIN((hc * (2 * i + 2) + 7919 * (i + 1)) % 2147483647) AS BIGINT) AS h
+  FROM hc CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+    string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+m AS (
+  SELECT c.id_a, c.id_b,
+    CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, sig_matches FROM m WHERE sig_matches >= 23 ORDER BY 1, 2""",
+
+    // mirror of Dedup.embeddingNearDup: augmented corpus (exact copies,
+    // 2x-rescaled copies — float x2 is exact), floor(x·1000) quantization,
+    // sign bucket over the 8 leading components, exact integer dot +
+    // IEEE-double cosine threshold.
+    "q33_dedup_embedding" -> s"""WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id % 77 = 3
+),
+qe AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM aug
+),
+qb AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2,
+    ${(0 until 8).map(i =>
+      s"(CASE WHEN qv[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("\n    + ")} AS bucket
+  FROM qe
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM qb a JOIN qb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE (CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * c.qv[i]))
+            AS DOUBLE)
+       / sqrt(CAST(a.norm2 * c.norm2 AS DOUBLE))) * 1000 >= 995
+ORDER BY 1, 2""",
+
+    // mirror of Similarity.lshTopK: the hyperplane coefficients are the
+    // SAME literals the Spark plan embeds (Similarity.planeCoeffs);
+    // multi-probe = original bucket + each single-bit flip.
+    "q25_sim_lsh_ann" -> s"""WITH $quantized,
+sig AS (
+  SELECT vec_id, qv, norm2,
+    ${(0 until 8).map(p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), " +
+        s"j -> qv[j] * (${planeSql(p)})[j])) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("\n    + ")} AS bucket
+  FROM qn
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qa, norm2 AS na2, xor(bucket, f) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) fl
+  WHERE vec_id < 8
+),
+cands AS (
+  SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2, bucket
+  FROM sig WHERE vec_id >= 8
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> p.qa[i] * c.qb[i]))
+         AS DOUBLE)
+      / sqrt(CAST(p.na2 * c.nb2 AS DOUBLE)) AS cos
+  FROM cands c JOIN probes p USING (bucket)
+),
+rk AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+  CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // mirror of Similarity.ivfTopK: centroids = first 16 candidate vectors,
+    // integer-dot list assignment with (score desc, list_id asc) tiebreak,
+    // nProbe=3 probed lists per query, cosine top-5.
+    "q39_sim_ivf_ann" -> s"""WITH $quantized,
+cands AS (SELECT vec_id, qv, norm2 FROM qn WHERE vec_id >= 8),
+centroids AS (
+  SELECT centroid_vec, cv,
+    CAST(row_number() OVER (ORDER BY centroid_vec) AS BIGINT) AS list_id
+  FROM (SELECT vec_id AS centroid_vec, qv AS cv FROM cands
+        ORDER BY vec_id LIMIT 16)
+),
+cscore AS (
+  SELECT c.vec_id, c.qv, c.norm2, ce.list_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * ce.cv[i]))
+         AS BIGINT) AS score
+  FROM cands c CROSS JOIN centroids ce
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2, list_id
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY score DESC, list_id) AS rn
+        FROM cscore)
+  WHERE rn = 1
+),
+qscore AS (
+  SELECT q.vec_id, q.qv, q.norm2, ce.list_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * ce.cv[i]))
+         AS BIGINT) AS score
+  FROM (SELECT vec_id, qv, norm2 FROM qn WHERE vec_id < 8) q
+  CROSS JOIN centroids ce
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qa, norm2 AS na2, list_id
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY score DESC, list_id) AS rk
+        FROM qscore)
+  WHERE rk <= 3
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), i -> p.qa[i] * a.qb[i]))
+         AS DOUBLE)
+      / sqrt(CAST(p.na2 * a.nb2 AS DOUBLE)) AS cos
+  FROM assigned a JOIN probes p USING (list_id)
+),
+rk AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+  CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

@@ -22,7 +22,12 @@ object PStats {
   private def liParts(spark: SparkSession, dir: String,
       sstables: Seq[String] = Nil): DataFrame =
     if (sstables.isEmpty) Fixtures.liPartitions(spark, dir)
-    else Fixtures.partitions(liPscanF(spark, dir, sstables))
+    else
+      // filtered collations cache per file set (cf. Purge.stats): every -f
+      // report derives from one filtered grouping of the shared pscan
+      graft.sources.PlanCache.cached(spark,
+        s"li_parts|$dir|${sstables.sorted.mkString(",")}")(
+        Fixtures.partitions(liPscanF(spark, dir, sstables)))
 
   private def liPscanF(spark: SparkSession, dir: String,
       sstables: Seq[String]): DataFrame =

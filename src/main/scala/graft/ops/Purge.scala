@@ -78,7 +78,14 @@ object Purge {
     def cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
     if (sstables.isEmpty)
       graft.sources.PlanCache.cached(spark, s"purge|$dir")(perPartition(cells))
-    else perPartition(cells.where(col("sstable_id").isin(sstables: _*)))
+    else
+      // filtered runs cache per file set: a -f session derives every purge
+      // report section (top-N, totals) from ONE filtered merge pass, same
+      // as the unfiltered path — the key is the sorted set, so distinct
+      // filters never alias
+      graft.sources.PlanCache.cached(spark,
+        s"purge|$dir|${sstables.sorted.mkString(",")}")(
+        perPartition(cells.where(col("sstable_id").isin(sstables: _*))))
   }
 
   /** Top-N by reclaimable, desc size tiebreak (PurgeStatistics.java:14-20). */

@@ -214,18 +214,20 @@ final class DataDbPartitionReader(file: String, sstableId: String,
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
   if (start > 0) stream.seek(start)
-  // consumed-byte tracking for the range stop (FSDataInputStream.getPos is
-  // not reliable through the DataInputStream's internal buffering, so count
-  // at this wrapper instead)
+  // the vint parser reads byte-at-a-time: buffer UNDER the position counter
+  // (a buffer above it would count read-ahead as consumed and stop the
+  // range early; here `consumed` counts exactly the parser-consumed bytes
+  // while each read costs an array access, not an FS-stream call)
+  private val buffered = new java.io.BufferedInputStream(stream, 1 << 18)
   private var consumed = 0L
   private val counting = new java.io.InputStream {
     override def read(): Int = {
-      val b = stream.read(); if (b >= 0) consumed += 1; b
+      val b = buffered.read(); if (b >= 0) consumed += 1; b
     }
     override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-      val n = stream.read(buf, off, len); if (n > 0) consumed += n; n
+      val n = buffered.read(buf, off, len); if (n > 0) consumed += n; n
     }
-    override def close(): Unit = stream.close()
+    override def close(): Unit = buffered.close()
   }
   private val events =
     DataDbFormat.events(counting, () => start + consumed >= end)
@@ -240,7 +242,7 @@ final class DataDbPartitionReader(file: String, sstableId: String,
       case "key" => (e: DataDbFormat.Event) => e.key
       case "clustering" => (e: DataDbFormat.Event) => e.clustering
       case "column_name" =>
-        (e: DataDbFormat.Event) => UTF8String.fromString(e.columnName)
+        (e: DataDbFormat.Event) => UTF8String.fromBytes(e.columnNameBytes)
       case "kind" => (e: DataDbFormat.Event) => if (e.isMarker) marker else cell
       case "timestamp_us" => (e: DataDbFormat.Event) => e.timestampUs
       case "ttl_s" => (e: DataDbFormat.Event) => e.ttlS

@@ -47,7 +47,8 @@ object DataDbFixture {
     val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
     val hit = memo.get(k)
     if (hit != null) return hit._2
-    val out = Files.createTempDirectory("graft-datadb-fixture")
+    val out = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-datadb-fixture"))
     // a half-written tree is never memoized NOR left behind: delete on failure
     try writeAll(spark, dir, out)
     catch {
@@ -117,7 +118,8 @@ object DataDbFixture {
         DataDbFormat.writeEvent(stream, DataDbFormat.Event(
           key = null, // the block header carries the key
           clustering = r.getLong(2),
-          columnName = r.getString(3),
+          columnNameBytes = r.getString(3)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
           isMarker = r.getString(4) == DataDbFormat.KindMarker,
           flags = DataDbFormat.flagsOf(r.getBoolean(8), r.getBoolean(9),
             r.getBoolean(10), r.getBoolean(11)),

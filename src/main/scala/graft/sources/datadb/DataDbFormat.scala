@@ -76,13 +76,18 @@ object DataDbFormat {
   final case class Event(
       key: Array[Byte],
       clustering: Long,
-      columnName: String,
+      columnNameBytes: Array[Byte],
       isMarker: Boolean,
       flags: Int,
       timestampUs: Long,
       ttlS: Long,
       localDeletionTimeS: Long,
       sizeBytes: Long) {
+    /** Raw UTF-8 bytes are the stored form: the DSv2 reader hands them to
+      * UTF8String.fromBytes without a decode/re-encode round-trip, and a
+      * pruned column_name never pays for a String at all. */
+    def columnName: String =
+      new String(columnNameBytes, java.nio.charset.StandardCharsets.UTF_8)
     def isTombstone: Boolean = (flags & FlagTombstone) != 0
     def isExpiring: Boolean = (flags & FlagExpiring) != 0
     def isCounter: Boolean = (flags & FlagCounter) != 0
@@ -104,7 +109,7 @@ object DataDbFormat {
   def writeEvent(out: DataOutput, e: Event): Unit = {
     out.write(if (e.isMarker) 2 else 1)
     writeUnsignedVInt(out, e.clustering)
-    val col = e.columnName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val col = e.columnNameBytes
     out.writeShort(col.length)
     out.write(col)
     out.write(e.flags)
@@ -167,8 +172,7 @@ object DataDbFormat {
           val ttl = readUnsignedVInt(in) - 1L
           val ldt = readUnsignedVInt(in)
           val size = readUnsignedVInt(in)
-          nextEvent = Event(currentKey, clustering,
-            new String(colBytes, java.nio.charset.StandardCharsets.UTF_8),
+          nextEvent = Event(currentKey, clustering, colBytes,
             isMarker = kind == 2, flags = flags, timestampUs = ts, ttlS = ttl,
             localDeletionTimeS = ldt, sizeBytes = size)
         }

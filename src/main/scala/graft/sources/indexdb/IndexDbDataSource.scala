@@ -161,7 +161,10 @@ final class IndexDbPartitionReader(file: String, sstableId: String,
 
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
-  private val entries = IndexDbFormat.entries(stream)
+  // the vint parser reads byte-at-a-time: without a buffer every byte is an
+  // FS-stream call (checksum machinery included on local fs)
+  private val entries = IndexDbFormat.entries(
+    new java.io.BufferedInputStream(stream, 1 << 18))
   private var current: IndexDbFormat.Entry = _
   private val id = UTF8String.fromString(sstableId)
   // projection baked once: required-field ordinal -> value extractor

@@ -45,7 +45,8 @@ object IndexDbFixture {
     val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
     val hit = memo.get(k)
     if (hit != null) return hit._2
-    val out = Files.createTempDirectory("graft-indexdb-fixture")
+    val out = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-indexdb-fixture"))
     // a half-written tree is never memoized NOR left behind: delete on failure
     try writeAll(spark, dir, out)
     catch {

@@ -16,7 +16,9 @@ class DataDbSourceSpec extends SparkSpec {
 
   private def evt(cl: Long, colName: String, marker: Boolean, flags: Int,
       ts: Long, ttl: Long, ldt: Long, size: Long) =
-    DataDbFormat.Event(null, cl, colName, marker, flags, ts, ttl, ldt, size)
+    DataDbFormat.Event(null, cl,
+      colName.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      marker, flags, ts, ttl, ldt, size)
 
   test("event codec round-trips partitions, flags, sentinels and vint bounds") {
     val bos = new ByteArrayOutputStream()

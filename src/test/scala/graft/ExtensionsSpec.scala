@@ -198,4 +198,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("PortableHash: driver-side h60 equals the Spark column form") {
+    import spark.implicits._
+    // the oracle embeds driver-computed values (LSH plane coefficients), so
+    // the three forms (Spark column, driver MessageDigest, DuckDB SQL) must
+    // agree — the DuckDB form is pinned by the q22/q23/q29 oracle compare
+    val samples = Seq("", "a", "hello world", "graft near duplicate suffix",
+      "Ünïcode tökens §", "0:63", "7:0") ++
+      (0 until 8).flatMap(p => (0 until 64).map(j => s"$p:$j"))
+    val fromSpark = samples.toDF("s")
+      .select(graft.functions.PortableHash.h60(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(fromSpark === samples.map(graft.functions.PortableHash.h60))
+    assert(samples.map(graft.functions.PortableHash.h60).forall(_ >= 0L))
+  }
 }

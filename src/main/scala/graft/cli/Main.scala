@@ -1,0 +1,143 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's CLI entry point re-expressed over the Spark engine
+  * (cli/CLI.java:9-20): same command set, same option grammar —
+  *
+  * {{{
+  * graft.cli.Main summary
+  * graft.cli.Main sstables <keyspace> <table>
+  * graft.cli.Main {pstats|cfstats|purge} [-n <num>] [-t <snapshot>]
+  *                [-f <files>] [-b] <keyspace> <table>
+  * }}}
+  *
+  * `-n` top-N rows, `-f` comma-separated Data.db names (F1), `-b` batch
+  * progress lines on stderr (K2), `-t` names the snapshot to analyse —
+  * inputs here are immutable fixture paths, so the name is echoed (or
+  * generated, X8) without hardlinking; `help [command]` prints usage. Data
+  * directory comes from SPARK_GRAFT_SF_DIR. Exit codes: 0 ok, 2 usage
+  * error — parse failures never start a SparkSession. */
+object Main {
+
+  final case class Opts(command: String, topN: Int = 10,
+      snapshot: Option[String] = None, files: Seq[String] = Nil,
+      batch: Boolean = false, keyspace: String = "", table: String = "")
+
+  val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge")
+
+  def usage(cmd: String = ""): String = cmd match {
+    case "summary" => "Usage: summary"
+    case "sstables" => "Usage: sstables <keyspace> <table>"
+    case c if Commands(c) =>
+      s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b] <keyspace> <table>"
+    case _ =>
+      """Usage: <command> [options]
+        |Commands:
+        |  cfstats   Detailed statistics about cells in a column family
+        |  pstats    Partition size statistics for a column family
+        |  purge     Statistics about reclaimable data for a column family
+        |  sstables  Print out metadata for sstables that belong to a column family
+        |  summary   Summary information about all column families including how much of the data is repaired""".stripMargin
+  }
+
+  /** Strict reference grammar; Left = usage message. */
+  def parse(args: Seq[String]): Either[String, Opts] = {
+    if (args.isEmpty) return Left(usage())
+    args.head match {
+      case "help" | "-h" | "--help" =>
+        Left(usage(args.drop(1).headOption.getOrElse("")))
+      case cmd if !Commands(cmd) => Left(usage())
+      case cmd =>
+        var o = Opts(cmd)
+        var rest = args.tail
+        val pos = Seq.newBuilder[String]
+        while (rest.nonEmpty) {
+          rest match {
+            case Seq("-n", v, t @ _*) =>
+              val n = v.toIntOption.getOrElse(return Left(usage(cmd)))
+              if (n <= 0) return Left(usage(cmd))
+              o = o.copy(topN = n); rest = t
+            case Seq("-t", v, t @ _*) =>
+              o = o.copy(snapshot = Some(v)); rest = t
+            case Seq("-f", v, t @ _*) =>
+              // the reference filters on Data.db file names; accept both the
+              // bare sstable id and the full file name
+              o = o.copy(files = v.split(",").toSeq.filter(_.nonEmpty)
+                .map(_.stripSuffix("-Data.db"))); rest = t
+            case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
+            case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
+            case Seq(p, t @ _*) => pos += p; rest = t
+          }
+        }
+        val positional = pos.result()
+        cmd match {
+          case "summary" =>
+            if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
+          case _ => positional match {
+            case Seq(ks, cf) => Right(o.copy(keyspace = ks,
+              table = graft.ops.Summary.resolveStore(cf)))
+            case _ => Left(usage(cmd))
+          }
+        }
+    }
+  }
+
+  /** Dispatch a parsed command to the report library. The fixture dataset
+    * carries cell-event granularity for ks1.lineitem (the reference operates
+    * on one column family per invocation the same way). */
+  def run(spark: SparkSession, dir: String, o: Opts,
+      out: String => Unit): Int = {
+    def requireStore(): Boolean =
+      if (o.keyspace == "ks1" && o.table == "lineitem") true
+      else { out(s"Unknown column family: ${o.keyspace}.${o.table}"); false }
+    def tracked(title: String)(body: => String): String =
+      if (o.batch) Progress.track(spark, title, s => System.err.println(s))(body)
+      else body
+    o.command match {
+      case "summary" => out(Reports.summary(spark, dir)); 0
+      case "sstables" =>
+        if (!requireStore()) return 2
+        out(Reports.sstables(spark, dir, o.files)); 0
+      case "pstats" =>
+        if (!requireStore()) return 2
+        out(tracked("pstats")(Reports.pstats(spark, dir, o.topN, o.files))); 0
+      case "cfstats" =>
+        if (!requireStore()) return 2
+        out(tracked("cfstats")(Reports.cfstats(spark, dir, o.topN, o.files))); 0
+      case "purge" =>
+        if (!requireStore()) return 2
+        out(tracked("purge")(Reports.purge(spark, dir, o.topN, o.files))); 0
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    parse(args.toIndexedSeq) match {
+      case Left(msg) =>
+        System.err.println(msg)
+        sys.exit(if (args.headOption.exists(a =>
+          a == "help" || a == "-h" || a == "--help")) 0 else 2)
+      case Right(o) =>
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.001")
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        val spark = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.extensions", "graft.GraftExtensions")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        // X8: a snapshot names the (immutable) file set under analysis
+        o.snapshot.orElse(
+          if (o.command == "summary" || o.command == "sstables") None
+          else Some(graft.ops.Summary.snapshotName())
+        ).foreach(s => System.err.println(s"Snapshot: $s"))
+        val rc = try run(spark, dir, o, Console.out.println(_))
+          finally spark.stop()
+        sys.exit(rc)
+    }
+  }
+}

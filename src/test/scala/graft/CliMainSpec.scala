@@ -1,0 +1,58 @@
+package graft
+
+import graft.cli.Main
+
+/** The CLI front-end: the reference's exact command/option grammar
+  * (cli/CLI.java:9-20 + per-command usage blocks) parsed and dispatched to
+  * the report library. */
+class CliMainSpec extends SparkSpec {
+
+  test("parse: reference grammar accepted, options in any order") {
+    assert(Main.parse(Seq("summary")) === Right(Main.Opts("summary")))
+    val p = Main.parse(Seq("pstats", "-n", "5", "-f", "sst-1-Data.db,sst-3",
+      "-b", "ks1", "lineitem"))
+    assert(p === Right(Main.Opts("pstats", topN = 5, files = Seq("sst-1",
+      "sst-3"), batch = true, keyspace = "ks1", table = "lineitem")))
+    // -f before -n, -t snapshot name, index store resolution (F9)
+    val q = Main.parse(Seq("cfstats", "-f", "sst-2", "-t", "snap1", "-n",
+      "3", "ks1", "lineitem.by_email"))
+    assert(q === Right(Main.Opts("cfstats", topN = 3,
+      snapshot = Some("snap1"), files = Seq("sst-2"), keyspace = "ks1",
+      table = "lineitem")))
+  }
+
+  test("parse: usage errors never construct a session") {
+    assert(Main.parse(Nil).isLeft)
+    assert(Main.parse(Seq("frobnicate")).isLeft)
+    assert(Main.parse(Seq("pstats", "ks1")).isLeft) // missing table
+    assert(Main.parse(Seq("summary", "extra")).isLeft)
+    assert(Main.parse(Seq("pstats", "-n", "zero", "ks1", "lineitem")).isLeft)
+    assert(Main.parse(Seq("pstats", "-n", "-4", "ks1", "lineitem")).isLeft)
+    assert(Main.parse(Seq("purge", "-x", "ks1", "lineitem")).isLeft)
+    assert(Main.parse(Seq("help", "pstats")) === Left(Main.usage("pstats")))
+  }
+
+  test("dispatch: each command renders its report sections") {
+    def collect(args: String*): String = {
+      val sb = new StringBuilder
+      val o = Main.parse(args.toIndexedSeq).toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      sb.toString
+    }
+    assert(collect("summary").contains("Summary"))
+    assert(collect("sstables", "ks1", "lineitem").contains("SSTables"))
+    val ps = collect("pstats", "-n", "3", "ks1", "lineitem")
+    assert(ps.contains("Partition size distribution") &&
+      ps.contains("Largest partitions (top 3)"))
+    assert(collect("cfstats", "ks1", "lineitem").contains("Totals"))
+    assert(collect("purge", "-n", "2", "ks1", "lineitem")
+      .contains("Most reclaimable partitions (top 2)"))
+  }
+
+  test("dispatch: unknown column family is a usage failure (rc 2)") {
+    val sb = new StringBuilder
+    val o = Main.parse(Seq("pstats", "ks9", "nope")).toOption.get
+    assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 2)
+    assert(sb.toString.contains("Unknown column family: ks9.nope"))
+  }
+}

@@ -212,7 +212,10 @@ object SparkEntry {
     // exact-percentile production form is the oracle-checked q01)
     "q42_reservoir_dist" -> ((s, d) =>
       graft.agg.ReservoirHistogram.snapshot(
-        graft.sources.Fixtures.liPartitions(s, d), "size")))
+        graft.sources.Fixtures.liPartitions(s, d), "size")),
+    // the training-data operators composed end-to-end: quality gate →
+    // language gate → exact dedup → per-source yield rollup
+    "q49_corpus_prep" -> ((s, d) => TextStats.corpusPrep(s, d)))
 
   /** DuckDB-dialect oracle SQL; keys omitted here fall back to the driver's
     * rows-only check (engine-hash-based or approximate operators). */

@@ -127,13 +127,17 @@ object Dedup {
     val sigs = PlanCache.cached(spark, s"minhash$k|$dir")(
       minhashSignatures(corpusShingles(spark, dir), k))
     val bands = k / rowsPerBand
-    // bucket key = the band's signature values joined into one string: no
-    // engine hash in the key, so the bucketing is oracle-reproducible. At
-    // scale, re-hashing the key to a long (hash(cs: _*)) shrinks the
-    // shuffle rows ~4x — a drop-in swap that only loses oracle parity.
+    // bucket key = xxhash64 of the band's signature tuple: the candidate
+    // shuffle carries 8-byte longs instead of the ~40-byte signature string.
+    // Equal signatures always hash equal, so hash-bucketing finds a SUPERSET
+    // of the exact-equality candidates; any extra (64-bit-collision) pair
+    // still faces the >= ceil(0.7k) signature-match verification below, so
+    // the OUTPUT equals exact bucketing (the DuckDB oracle) unless a
+    // colliding pair also shares 23/32 positions — ~2^-64 per pair, the same
+    // class of risk q21 documents for its shingle-hash join keys.
     val bandCols = (0 until bands).map { b =>
       val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws(",", cs: _*).as("bucket")).as(s"bb$b")
+      struct(lit(b).as("band"), xxhash64(cs: _*).as("bucket")).as(s"bb$b")
     }
     val buckets = sigs
       .select(col("doc_id") +: bandCols: _*)

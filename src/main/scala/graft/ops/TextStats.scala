@@ -35,28 +35,67 @@ object TextStats {
         (col("token_count") < 20).as("is_short"))
       .orderBy("doc_id")
 
-  /** Language-ID n-gram heuristic: score text against per-language marker
-    * words by occurrence counting; emit argmax language + confidence. The
-    * documents table carries a ground-truth `lang` for evaluation. */
-  def langId(docs: DataFrame): DataFrame = {
-    val markers = Map(
-      "en" -> Seq(" the ", " and ", " of "),
-      "de" -> Seq(" der ", " und ", " die "),
-      "fr" -> Seq(" le ", " et ", " les "))
-    val scores = markers.map { case (lang, ws) =>
+  private val langMarkers = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  /** One integer score column per language (occurrence counting via the
+    * length-difference trick — cross-engine deterministic). */
+  private def langScoreCols =
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       ws.map(w => (length(col("text")) -
         length(replace(col("text"), lit(w), lit("")))) / w.length)
         .reduce(_ + _).cast("long").as(s"score_$lang")
-    }.toSeq
-    val scored = docs.select(col("doc_id") +: col("lang").as("true_lang") +:
-      scores: _*)
-    val best = markers.keys.toSeq.sorted
+    }
+
+  /** (argmax language, max score) over the score columns; ties keep the
+    * earlier language in sorted order, all-zero scores → "und". */
+  private def langBest =
+    langMarkers.keys.toSeq.sorted
       .foldLeft((lit("und"), lit(0L))) { case ((bl, bs), lang) =>
         val s = col(s"score_$lang")
         (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
       }
+
+  /** Language-ID n-gram heuristic: score text against per-language marker
+    * words by occurrence counting; emit argmax language + confidence. The
+    * documents table carries a ground-truth `lang` for evaluation. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id") +: col("lang").as("true_lang") +:
+      langScoreCols: _*)
+    val best = langBest
     scored.select(col("doc_id"), col("true_lang"),
       best._1.as("pred_lang"), best._2.as("pred_score"))
+  }
+
+  /** End-to-end training-corpus preparation — the operators above composed
+    * the way a data pipeline actually runs them: quality gate (length),
+    * language gate (langId == en), exact dedup (keep the lowest doc_id per
+    * text), then a per-source yield/token rollup. One narrow pass derives
+    * every per-doc signal; the only shuffles are the dedup groupBy (at real
+    * scale: on a text digest) and its keeper semi-join. */
+  def corpusPrep(spark: SparkSession, dir: String,
+      minTokens: Int = 20, keepLang: String = "en"): DataFrame = {
+    // over the dup-injected corpus (the dedup testbed, Dedup.corpus): the
+    // exact-copy docs are dropped by the keeper semi-join, the suffixed
+    // near-dups survive an EXACT dedup by design
+    val docs = withTokens(Dedup.corpus(spark, dir))
+    val scored = docs.select(col("doc_id") +: col("source") +: col("text") +:
+      col("token_count") +: langScoreCols: _*)
+    val kept = scored
+      .withColumn("pred_lang", langBest._1)
+      .where(col("token_count") >= minTokens &&
+        col("pred_lang") === keepLang)
+    val keepers = kept.groupBy("text")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    kept.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_kept"),
+        sum("token_count").as("total_tokens"),
+        floor(sum("token_count") / count(lit(1))).as("tokens_per_doc"))
+      .orderBy("source")
   }
 
   /** Language × source distribution rollup. */

@@ -798,6 +798,39 @@ rk AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
   CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
-FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // mirror of TextStats.corpusPrep: quality gate (>= 20 tokens), language
+    // gate (argmax marker score == en, q36's derivation), exact dedup
+    // keeping the lowest doc_id per text, per-source yield rollup.
+    "q49_corpus_prep" -> s"""WITH $corpus, s AS (
+  SELECT doc_id, source, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+       + (length(text) - length(replace(text, ' and ', ''))) / 5
+       + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS s_en,
+    CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+       + (length(text) - length(replace(text, ' und ', ''))) / 5
+       + (length(text) - length(replace(text, ' die ', ''))) / 5 AS BIGINT) AS s_de,
+    CAST((length(text) - length(replace(text, ' le ', ''))) / 4
+       + (length(text) - length(replace(text, ' et ', ''))) / 4
+       + (length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT) AS s_fr
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM s
+  WHERE token_count >= 20
+    AND (CASE WHEN s_fr > greatest(s_de, s_en, 0) THEN 'fr'
+              WHEN s_en > greatest(s_de, 0) THEN 'en'
+              WHEN s_de > 0 THEN 'de'
+              ELSE 'und' END) = 'en'
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS docs_kept,
+  CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+  CAST(floor(SUM(token_count) / COUNT(*)) AS BIGINT) AS tokens_per_doc
+FROM kept JOIN keepers USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
   )
 }

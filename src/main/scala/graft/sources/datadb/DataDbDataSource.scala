@@ -196,28 +196,39 @@ final case class DataDbInputPartition(file: String, sstableId: String,
 
 final class DataDbReaderFactory(required: StructType,
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+  private def conf(): Configuration = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DataDbInputPartition]
-    val conf = new Configuration(false)
-    confEntries.foreach { case (k, v) => conf.set(k, v) }
     new DataDbPartitionReader(p.file, p.sstableId, p.start, p.end, required,
-      conf)
+      conf())
+  }
+  /** Columnar path: the parse fills flat vectors instead of allocating a
+    * boxed row per event — Spark's ColumnarToRow then feeds whole-stage
+    * codegen from the batch (the same shape its parquet reader uses). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[DataDbInputPartition]
+    new DataDbColumnarReader(p.file, p.sstableId, p.start, p.end, required,
+      conf())
   }
 }
 
-/** Streaming reader over one Data.db byte range; only the columns in
-  * `required` are materialized into rows. */
-final class DataDbPartitionReader(file: String, sstableId: String,
-    start: Long, end: Long, required: StructType, conf: Configuration)
-    extends PartitionReader[InternalRow] {
-
+/** The stream plumbing shared by the row and columnar readers: a buffered
+  * event iterator over one [start, end) byte range. The vint parser reads
+  * byte-at-a-time, so the buffer sits UNDER the position counter (a buffer
+  * above it would count read-ahead as consumed and stop the range early;
+  * here `consumed` counts exactly the parser-consumed bytes while each read
+  * costs an array access, not an FS-stream call). */
+private[datadb] final class EventStream(file: String, start: Long, end: Long,
+    conf: Configuration) {
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
   if (start > 0) stream.seek(start)
-  // the vint parser reads byte-at-a-time: buffer UNDER the position counter
-  // (a buffer above it would count read-ahead as consumed and stop the
-  // range early; here `consumed` counts exactly the parser-consumed bytes
-  // while each read costs an array access, not an FS-stream call)
   private val buffered = new java.io.BufferedInputStream(stream, 1 << 18)
   private var consumed = 0L
   private val counting = new java.io.InputStream {
@@ -229,8 +240,18 @@ final class DataDbPartitionReader(file: String, sstableId: String,
     }
     override def close(): Unit = buffered.close()
   }
-  private val events =
+  val events: Iterator[DataDbFormat.Event] =
     DataDbFormat.events(counting, () => start + consumed >= end)
+  def close(): Unit = stream.close()
+}
+
+/** Row-at-a-time reader (fallback surface; the planner normally takes the
+  * columnar path). Only the columns in `required` are materialized. */
+final class DataDbPartitionReader(file: String, sstableId: String,
+    start: Long, end: Long, required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val es = new EventStream(file, start, end, conf)
   private var current: DataDbFormat.Event = _
   private val id = UTF8String.fromString(sstableId)
   private val cell = UTF8String.fromString(DataDbFormat.KindCell)
@@ -257,9 +278,90 @@ final class DataDbPartitionReader(file: String, sstableId: String,
     }
 
   override def next(): Boolean = {
-    if (events.hasNext) { current = events.next(); true } else false
+    if (es.events.hasNext) { current = es.events.next(); true } else false
   }
   override def get(): InternalRow =
     new GenericInternalRow(extractors.map(_(current)))
-  override def close(): Unit = stream.close()
+  override def close(): Unit = es.close()
+}
+
+/** Vectorized reader: events land in on-heap column vectors in batches of
+  * [[DataDbColumnarReader.BatchRows]] — no per-event row or box. */
+final class DataDbColumnarReader(file: String, sstableId: String,
+    start: Long, end: Long, required: StructType, conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val es = new EventStream(file, start, end, conf)
+  private val vectors =
+    OnHeapColumnVector.allocateColumns(DataDbColumnarReader.BatchRows, required)
+  private val batch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+  private val idBytes = sstableId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val cellBytes = DataDbFormat.KindCell.getBytes("UTF-8")
+  private val markerBytes = DataDbFormat.KindMarker.getBytes("UTF-8")
+  // projection baked once: required-field ordinal -> vector filler
+  private val fillers: Array[(DataDbFormat.Event, Int) => Unit] =
+    required.fieldNames.zipWithIndex.map { case (name, i) =>
+      val v = vectors(i)
+      name match {
+        case "sstable_id" =>
+          (_: DataDbFormat.Event, r: Int) => { v.putByteArray(r, idBytes); () }
+        case "key" =>
+          (e: DataDbFormat.Event, r: Int) => { v.putByteArray(r, e.key); () }
+        case "clustering" =>
+          (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.clustering)
+        case "column_name" =>
+          (e: DataDbFormat.Event, r: Int) => {
+            v.putByteArray(r, e.columnNameBytes); ()
+          }
+        case "kind" =>
+          (e: DataDbFormat.Event, r: Int) => {
+            v.putByteArray(r, if (e.isMarker) markerBytes else cellBytes); ()
+          }
+        case "timestamp_us" =>
+          (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.timestampUs)
+        case "ttl_s" =>
+          (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.ttlS)
+        case "local_deletion_time_s" =>
+          (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.localDeletionTimeS)
+        case "is_tombstone" =>
+          (e: DataDbFormat.Event, r: Int) => v.putBoolean(r, e.isTombstone)
+        case "is_expiring" =>
+          (e: DataDbFormat.Event, r: Int) => v.putBoolean(r, e.isExpiring)
+        case "is_counter" =>
+          (e: DataDbFormat.Event, r: Int) => v.putBoolean(r, e.isCounter)
+        case "is_live" =>
+          (e: DataDbFormat.Event, r: Int) => v.putBoolean(r, e.isLive)
+        case "size_bytes" =>
+          (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.sizeBytes)
+        case other =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+
+  override def next(): Boolean = {
+    if (!es.events.hasNext) return false
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < DataDbColumnarReader.BatchRows && es.events.hasNext) {
+      val e = es.events.next()
+      var i = 0
+      while (i < fillers.length) { fillers(i)(e, n); i += 1 }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    batch.close()
+    es.close()
+  }
+}
+
+object DataDbColumnarReader {
+  /** Rows per batch — Spark's own vectorized-reader default. */
+  val BatchRows = 4096
 }

@@ -145,11 +145,74 @@ final case class IndexDbInputPartition(file: String, sstableId: String)
 
 final class IndexDbReaderFactory(required: StructType,
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+  private def conf(): Configuration = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IndexDbInputPartition]
-    val conf = new Configuration(false)
-    confEntries.foreach { case (k, v) => conf.set(k, v) }
-    new IndexDbPartitionReader(p.file, p.sstableId, required, conf)
+    new IndexDbPartitionReader(p.file, p.sstableId, required, conf())
+  }
+  /** Columnar path (cf. DataDbReaderFactory): entries fill flat vectors,
+    * no per-entry row allocation. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[IndexDbInputPartition]
+    new IndexDbColumnarReader(p.file, p.sstableId, required, conf())
+  }
+}
+
+/** Vectorized reader over one Index.db file (cf. DataDbColumnarReader). */
+final class IndexDbColumnarReader(file: String, sstableId: String,
+    required: StructType, conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val BatchRows = 4096
+  private val hPath = new Path(file)
+  private val stream = hPath.getFileSystem(conf).open(hPath)
+  private val entries = IndexDbFormat.entries(
+    new java.io.BufferedInputStream(stream, 1 << 18))
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
+  private val batch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+  private val idBytes =
+    sstableId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val fillers: Array[(IndexDbFormat.Entry, Int) => Unit] =
+    required.fieldNames.zipWithIndex.map { case (name, i) =>
+      val v = vectors(i)
+      name match {
+        case "sstable_id" =>
+          (_: IndexDbFormat.Entry, r: Int) => { v.putByteArray(r, idBytes); () }
+        case "key" =>
+          (e: IndexDbFormat.Entry, r: Int) => { v.putByteArray(r, e.key); () }
+        case "position" =>
+          (e: IndexDbFormat.Entry, r: Int) => v.putLong(r, e.position)
+        case other =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+
+  override def next(): Boolean = {
+    if (!entries.hasNext) return false
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < BatchRows && entries.hasNext) {
+      val e = entries.next()
+      var i = 0
+      while (i < fillers.length) { fillers(i)(e, n); i += 1 }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    batch.close()
+    stream.close()
   }
 }
 

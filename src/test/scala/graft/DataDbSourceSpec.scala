@@ -160,4 +160,14 @@ class DataDbSourceSpec extends SparkSpec {
     assert(desc.contains("ReadSchema=size_bytes") ||
       !desc.contains("timestamp_us"))
   }
+
+  test("raw scans execute through the vectorized (columnar) read path") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val df = DataDb.read(spark, dir)
+      .groupBy("sstable_id").agg(sum("size_bytes").as("s"))
+    df.collect()
+    // AQE's final plan must show the batch->row transition, i.e. the scan
+    // produced ColumnarBatches (values verified equal by the tests above)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
 }

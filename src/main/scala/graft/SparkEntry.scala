@@ -107,10 +107,12 @@ object SparkEntry {
       // scale they are the 100 TB input; the derived scan is orders of
       // magnitude smaller).
       val path = DataDbFixture.ensureFiles(s, d)
-      CfStats.totalsOf(graft.sources.Fixtures.partitions(
-        graft.sources.PlanCache.cached(s, s"raw_pscan|$path")(
-          graft.sources.Fixtures.partitionScan(
-            DataDb.cells(s, path, maxSplitBytes = Some(1L << 20))))))
+      CfStats.totalsOf(
+        graft.sources.PlanCache.cached(s, s"raw_parts|$path")(
+          graft.sources.Fixtures.partitions(
+            graft.sources.PlanCache.cached(s, s"raw_pscan|$path")(
+              graft.sources.Fixtures.partitionScan(
+                DataDb.cells(s, path, maxSplitBytes = Some(1L << 20)))))))
     }),
     // sstable_meta fixture → binary Statistics.db files → DSv2 parse; the
     // oracle recomputes the metadata rollup from parquet, so every field of

@@ -49,7 +49,8 @@ final class DataDbTable(properties: Map[String, String])
     s"sstable_data(${properties.getOrElse("path", "")})"
   override def schema(): StructType = DataDbFormat.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DataDbScanBuilder(options.asScala.toMap)
 }
@@ -136,57 +137,73 @@ final case class DataDbScan(path: String, required: StructType,
       .filter { case (_, id) => fileSurvives(id) }
       .sortBy(_._2)
       .flatMap { case (s, id) =>
-        val file = s.getPath
-        val len = s.getLen
-        val idx = new Path(file.getParent,
-          id + graft.sources.indexdb.IndexDbFormat.Suffix)
-        val cuts: Seq[Long] =
-          if (maxSplitBytes >= len || !fs.exists(idx)) Seq(0L)
-          else {
-            // partition-block byte offsets from the sidecar (small file,
-            // driver-side read); keep every offset that first crosses the
-            // next maxSplitBytes boundary
-            val in = fs.open(idx)
-            try {
-              val offsets = graft.sources.indexdb.IndexDbFormat.entries(in)
-                .map(_.position).toVector
-              var nextCut = maxSplitBytes
-              val b = Vector.newBuilder[Long]
-              b += 0L
-              offsets.foreach { off =>
-                if (off >= nextCut) {
-                  b += off
-                  nextCut = off + maxSplitBytes
-                }
-              }
-              b.result().distinct
-            } finally in.close()
-          }
-        cuts.zipAll(cuts.drop(1), -1L, len).map { case (start, end) =>
-          DataDbInputPartition(file.toString, id, start, end): InputPartition
-        }
+        DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes)
+          .map(sp => sp: InputPartition)
       }
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // ship the session's Hadoop conf to executors as plain entries (the
-    // Configuration class itself is not Java-serializable)
-    val conf = sessionHadoopConf()
-    val entries = {
-      val it = conf.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
-    new DataDbReaderFactory(required, entries)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DataDbReaderFactory(required, DataDbScan.confEntries(sessionHadoopConf()))
+
+  /** Streaming form: each micro-batch reads the SSTables that appeared in
+    * the directory since the last batch — flushed/compacted sstables are
+    * immutable, so file arrival is the natural streaming unit (the analog
+    * of the reference re-running a command against a newer snapshot). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DataDbMicroBatchStream(path, required, maxSplitBytes,
+      DataDbScan.confEntries(sessionHadoopConf()))
 }
 
 object DataDbScan {
   /** Default split target (128 MB, Spark's files.maxPartitionBytes
     * default); tests shrink it to force multi-split planning. */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Hadoop conf as plain entries for executor shipping (the Configuration
+    * class itself is not Java-serializable). */
+  private[datadb] def confEntries(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  /** [start, end) splits of one Data.db file, cut at partition-block
+    * boundaries from the companion Index.db sidecar (whole file when the
+    * sidecar is absent or the file is small enough). */
+  private[datadb] def splitsOf(fs: org.apache.hadoop.fs.FileSystem,
+      file: Path, id: String, len: Long,
+      maxSplitBytes: Long): Seq[DataDbInputPartition] = {
+    val idx = new Path(file.getParent,
+      id + graft.sources.indexdb.IndexDbFormat.Suffix)
+    val cuts: Seq[Long] =
+      if (maxSplitBytes >= len || !fs.exists(idx)) Seq(0L)
+      else {
+        // partition-block byte offsets from the sidecar (small file,
+        // driver-side read); keep every offset that first crosses the
+        // next maxSplitBytes boundary
+        val in = fs.open(idx)
+        try {
+          val offsets = graft.sources.indexdb.IndexDbFormat.entries(in)
+            .map(_.position).toVector
+          var nextCut = maxSplitBytes
+          val b = Vector.newBuilder[Long]
+          b += 0L
+          offsets.foreach { off =>
+            if (off >= nextCut) {
+              b += off
+              nextCut = off + maxSplitBytes
+            }
+          }
+          b.result().distinct
+        } finally in.close()
+      }
+    cuts.zipAll(cuts.drop(1), -1L, len).map { case (start, end) =>
+      DataDbInputPartition(file.toString, id, start, end)
+    }
+  }
 }
 
 /** A [start, end) byte range of one file, cut at partition-block

@@ -170,4 +170,38 @@ class DataDbSourceSpec extends SparkSpec {
     // produced ColumnarBatches (values verified equal by the tests above)
     assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
+
+  test("sstable-data streams newly arrived files exactly once") {
+    import java.nio.file.Files
+    val src = java.nio.file.Paths.get(DataDbFixture.ensureFiles(spark, Sf0001))
+    val dir = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-stream-in"))
+    val ckpt = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-stream-ckpt"))
+    def arrive(id: String): Unit =
+      Seq(DataDbFormat.Suffix, graft.sources.indexdb.IndexDbFormat.Suffix)
+        .foreach(sfx => Files.copy(src.resolve(id + sfx), dir.resolve(id + sfx)))
+    val outDir = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-stream-out"))
+    // AvailableNow: drain everything not yet committed to the checkpoint,
+    // then stop — each call is one "catch-up" round against the directory.
+    // Sink is the (checkpoint-recoverable) file sink; rows accumulate.
+    def drain(): Long = {
+      val q = spark.readStream.format("sstable-data").load(dir.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir.toString).count()
+    }
+    val bySst = Fixtures.cells(spark, Sf0001).groupBy("sstable_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    arrive("sst-0"); arrive("sst-1")
+    assert(drain() === bySst("sst-0") + bySst("sst-1"))
+    arrive("sst-2")
+    // same checkpoint: only the newly arrived sstable is appended
+    assert(drain() === bySst("sst-0") + bySst("sst-1") + bySst("sst-2"))
+  }
 }

@@ -217,7 +217,21 @@ object SparkEntry {
         graft.sources.Fixtures.liPartitions(s, d), "size")),
     // the training-data operators composed end-to-end: quality gate →
     // language gate → exact dedup → per-source yield rollup
-    "q49_corpus_prep" -> ((s, d) => TextStats.corpusPrep(s, d)))
+    "q49_corpus_prep" -> ((s, d) => TextStats.corpusPrep(s, d)),
+    // the reference's EXACT pstats data path off raw binary files: partition
+    // sizes from Index.db offset deltas, the final partition closed by the
+    // Statistics.db uncompressed length (README.md:98 "reads Index.db
+    // only"; IndexReader.java:87-98) — two raw sources joined, no Data.db
+    // read anywhere
+    "q50_pstats_raw_sizes" -> ((s, d) => {
+      import graft.sources.indexdb.{IndexDb, IndexDbFixture}
+      import graft.sources.statsdb.{StatsDb, StatsDbFixture}
+      val idx = IndexDb.read(s, IndexDbFixture.ensureFiles(s, d))
+      val lens = StatsDb.read(s, StatsDbFixture.ensureFiles(s, d))
+        .where(col("tbl") === "lineitem")
+        .select(col("sstable_id"), col("uncompressed_length").as("data_length"))
+      IndexDb.sstableSection(idx, lens)
+    }))
 
   /** DuckDB-dialect oracle SQL; keys omitted here fall back to the driver's
     * rows-only check (engine-hash-based or approximate operators). */

@@ -831,6 +831,29 @@ SELECT source,
   CAST(SUM(token_count) AS BIGINT) AS total_tokens,
   CAST(floor(SUM(token_count) / COUNT(*)) AS BIGINT) AS tokens_per_doc
 FROM kept JOIN keepers USING (doc_id)
-GROUP BY 1 ORDER BY 1"""
+GROUP BY 1 ORDER BY 1""",
+
+    // mirror of IndexDb.sstableSection off raw files (q50): sizes from
+    // Index.db offset deltas, last partition closed by the Statistics.db
+    // uncompressed length; recomputed here from the parquet derivations.
+    "q50_pstats_raw_sizes" -> s"""WITH $fixtures,
+idx AS (
+  SELECT sstable_id, key,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+),
+sized AS (
+  SELECT i.sstable_id,
+    CAST(COALESCE(lead(i.position) OVER (PARTITION BY i.sstable_id
+        ORDER BY i.position), m.uncompressed_length) - i.position
+      AS BIGINT) AS size
+  FROM idx i JOIN meta m ON i.sstable_id = m.sstable_id AND m.tbl = 'lineitem'
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(MAX(size) AS BIGINT) AS max_partition_size,
+  CAST(SUM(size) AS BIGINT) AS uncompressed_length,
+  CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size
+FROM sized GROUP BY 1 ORDER BY 1"""
   )
 }

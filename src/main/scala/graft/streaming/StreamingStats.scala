@@ -73,6 +73,22 @@ object StreamingStats {
     hourlyCounts(raw.withColumn("ts", ts))
   }
 
+  /** Continuously maintained cfstats totals over the raw-SSTable stream
+    * (graft.sources.datadb.DataDbMicroBatchStream): as flushed sstables
+    * arrive in the directory, the per-sstable counters update — the
+    * reference's "re-run cfstats against a newer snapshot" as one standing
+    * query. Same conditional-aggregate expressions as the batch path, so
+    * batch results oracle the streaming ones. */
+  def liveCfStatsTotals(spark: SparkSession, sstableDir: String): DataFrame =
+    spark.readStream.format("sstable-data").load(sstableDir)
+      .groupBy("sstable_id")
+      .agg(
+        count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum("size_bytes").as("size"))
+
   /** Run hourlyCounts over `dir`/events.parquet to a memory sink until all
     * available data is processed (test/demo harness): stages the file into
     * a temp ingest directory, the shape a streaming deployment reads. */

@@ -204,4 +204,24 @@ class DataDbSourceSpec extends SparkSpec {
     // same checkpoint: only the newly arrived sstable is appended
     assert(drain() === bySst("sst-0") + bySst("sst-1") + bySst("sst-2"))
   }
+
+  test("live cfstats totals over the sstable stream equal the batch form") {
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val q = graft.streaming.StreamingStats.liveCfStatsTotals(spark, dir)
+      .writeStream.format("memory").queryName("live_cfstats")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("live_cfstats")
+    val batch = DataDb.read(spark, dir)
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum("size_bytes").as("size"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }

@@ -49,7 +49,7 @@ final class DataDbMicroBatchStream(path: String, required: StructType,
     files.sorted
   }
 
-  override def initialOffset(): Offset = DataDbOffset(Nil)
+  override def initialOffset(): Offset = graft.sources.FileSetOffset(Nil)
 
   /** Trigger.AvailableNow: the directory is snapshotted ONCE at query start
     * and every batch runs against that frozen target — files arriving
@@ -58,24 +58,24 @@ final class DataDbMicroBatchStream(path: String, required: StructType,
   private var availableNowTarget: Option[Offset] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(DataDbOffset(listFiles()))
+    availableNowTarget = Some(graft.sources.FileSetOffset(listFiles()))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(DataDbOffset(listFiles()))
+    availableNowTarget.getOrElse(graft.sources.FileSetOffset(listFiles()))
 
   override def deserializeOffset(json: String): Offset =
-    DataDbOffset.fromJson(json)
+    graft.sources.FileSetOffset.fromJson(json)
 
   override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[DataDbOffset].files.toSet
-    val fresh = end.asInstanceOf[DataDbOffset].files.filterNot(seen)
+    val seen = start.asInstanceOf[graft.sources.FileSetOffset].files.toSet
+    val fresh = end.asInstanceOf[graft.sources.FileSetOffset].files.filterNot(seen)
     val p = new Path(path)
     val fs = p.getFileSystem(conf())
     fresh.flatMap { name =>
@@ -91,32 +91,4 @@ final class DataDbMicroBatchStream(path: String, required: StructType,
     new DataDbReaderFactory(required, confEntries)
 
   override def stop(): Unit = ()
-}
-
-/** The set of already-processed Data.db file names, JSON-serialized sorted.
-  * SSTable file names are generation-derived identifiers ([A-Za-z0-9._-]),
-  * so plain quoting needs no escaping; reject anything else at offset
-  * construction rather than corrupt a checkpoint. */
-final case class DataDbOffset(files: Seq[String]) extends Offset {
-  files.find(f => f.contains("\"") || f.contains("\\")).foreach(f =>
-    throw new IllegalArgumentException(s"unsupported sstable file name: $f"))
-  override def json(): String =
-    files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-}
-
-object DataDbOffset {
-  def fromJson(json: String): DataDbOffset = {
-    val t = json.trim
-    if (!t.startsWith("[") || !t.endsWith("]"))
-      throw new IllegalArgumentException(s"corrupt sstable-data offset: $json")
-    val body = t.substring(1, t.length - 1).trim
-    if (body.isEmpty) DataDbOffset(Nil)
-    else DataDbOffset(body.split(",").toSeq.map { s =>
-      val q = s.trim
-      if (q.length < 2 || !q.startsWith("\"") || !q.endsWith("\""))
-        throw new IllegalArgumentException(
-          s"corrupt sstable-data offset entry: $s")
-      q.substring(1, q.length - 1)
-    })
-  }
 }

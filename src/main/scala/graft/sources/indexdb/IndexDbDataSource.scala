@@ -48,7 +48,8 @@ final class IndexDbTable(properties: Map[String, String])
     s"sstable_index(${properties.getOrElse("path", "")})"
   override def schema(): StructType = IndexDbFormat.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IndexDbScanBuilder(options.asScala.toMap)
 }
@@ -138,6 +139,19 @@ final case class IndexDbScan(path: String, required: StructType,
     }
     new IndexDbReaderFactory(required, entries)
   }
+
+  /** Streaming form (cf. DataDbMicroBatchStream): each micro-batch reads
+    * the Index.db files that appeared since the committed offset — a live
+    * pstats over arriving sstables. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IndexDbMicroBatchStream(path, required, {
+      val conf = sessionHadoopConf()
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    })
 }
 
 final case class IndexDbInputPartition(file: String, sstableId: String)

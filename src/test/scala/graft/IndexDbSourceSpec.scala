@@ -96,4 +96,35 @@ class IndexDbSourceSpec extends SparkSpec {
     assert(section === Array(("aa-1-big", 3L, 400L),
       ("bb-2-big", 3L, (1L << 40) + 53L - 127L)))
   }
+
+  test("sstable-index streams newly arrived index files exactly once") {
+    val src = java.nio.file.Paths.get(
+      graft.sources.indexdb.IndexDbFixture.ensureFiles(spark, Sf0001))
+    val in = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-idxstream-in"))
+    val ckpt = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-idxstream-ckpt"))
+    val outDir = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-idxstream-out"))
+    def arrive(id: String): Unit =
+      Files.copy(src.resolve(id + IndexDbFormat.Suffix),
+        in.resolve(id + IndexDbFormat.Suffix))
+    def drain(): Long = {
+      val q = spark.readStream.format("sstable-index").load(in.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir.toString).count()
+    }
+    val bySst = IndexDb.read(spark, src.toString)
+      .groupBy("sstable_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    arrive("sst-0"); arrive("sst-1")
+    assert(drain() === bySst("sst-0") + bySst("sst-1"))
+    arrive("sst-2")
+    assert(drain() === bySst("sst-0") + bySst("sst-1") + bySst("sst-2"))
+  }
 }

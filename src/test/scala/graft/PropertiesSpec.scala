@@ -160,21 +160,21 @@ class PropertiesSpec extends AnyFunSuite {
   }
 
   test("sstable-data stream offsets round-trip through checkpoint JSON") {
-    import graft.sources.datadb.DataDbOffset
+    import graft.sources.FileSetOffset
     val genName = for {
       n <- Gen.choose(1, 12)
       cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('.', '_', '-')))
     } yield cs.mkString + "-Data.db"
     checkProp(Gen.listOf(genName)) { names =>
-      val rt = DataDbOffset.fromJson(DataDbOffset(names).json())
+      val rt = FileSetOffset.fromJson(FileSetOffset(names).json())
       rt.files.toSet == names.toSet && rt.files == rt.files.sorted
     }
     // corrupt checkpoints fail loudly, never parse as empty
     Seq("", "{", "[\"a", "[a]").foreach { bad =>
-      intercept[IllegalArgumentException](DataDbOffset.fromJson(bad))
+      intercept[IllegalArgumentException](FileSetOffset.fromJson(bad))
     }
     // names that would corrupt the hand-rolled JSON are rejected at
     // construction, not discovered at recovery time
-    intercept[IllegalArgumentException](DataDbOffset(Seq("a\"b")))
+    intercept[IllegalArgumentException](FileSetOffset(Seq("a\"b")))
   }
 }

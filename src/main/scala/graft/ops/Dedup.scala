@@ -58,42 +58,53 @@ object Dedup {
           " i -> array_join(slice(w, i, 5), ' '))")).as("g"))
       .distinct()
 
-  /** n-gram Jaccard near-dup pairs: inverted shingle index self-joined, then
-    * |A∩B| / |A∪B| ≥ 0.8 decided in pure integer arithmetic
-    * (inter·10 ≥ 8·union) so the threshold is engine-exact. */
+  /** n-gram Jaccard near-dup pairs: inverted shingle index bucket-collected,
+    * pairs generated inside each bucket, then |A∩B| / |A∪B| ≥ 0.8 decided in
+    * pure integer arithmetic (inter·100 ≥ 80·union) so the threshold is
+    * engine-exact.
+    *
+    * Shape: bucket-collect (groupBy shingle, collect doc list, emit the
+    * C(n,2) pairs per bucket) instead of an inverted-index self-join — one
+    * narrow exchange of (long, long) rows replaces shuffling/broadcasting
+    * the shingle table twice. Pair volume is identical either way (both are
+    * Σ C(|bucket|, 2)); the collect form just skips the join's hash-table
+    * build over every shingle row.
+    *
+    * `maxDocFreq` (0 = off) drops shingles shared by more than that many
+    * documents before pair generation — the standard guard against the
+    * quadratic blow-up of stop-word-like shingles at web-corpus scale
+    * (a shingle in 1M docs would alone emit 5·10¹¹ pairs). Off by default:
+    * with it on, results are a documented under-approximation. */
   def ngramJaccard(spark: SparkSession, dir: String,
-      thresholdPct: Int = 80, pruneUnique: Boolean = false): DataFrame = {
-    // join key = xxhash64(shingle): the inverted-index shuffle carries 8-byte
-    // longs instead of ~30-byte strings and equality checks are primitive.
-    // Counts equal the string-keyed join's unless two distinct shingles
-    // collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻⁷ at 1M shingles); the DuckDB oracle
-    // keeps string keys, so a collision would surface as a t2 mismatch.
+      thresholdPct: Int = 80, maxDocFreq: Int = 0): DataFrame = {
+    // bucket key = xxhash64(shingle): the bucket-collect shuffle carries
+    // 8-byte longs instead of ~30-byte strings and equality checks are
+    // primitive. Counts equal the string-keyed form's unless two distinct
+    // shingles collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻⁷ at 1M shingles); the
+    // DuckDB oracle keeps string keys, so a collision would surface as a
+    // t2 mismatch.
     val sh = corpusShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    // pruneUnique: drop shingles held by a single document before the
-    // self-join — they cannot form pairs. At web-corpus scale, where the
-    // overwhelming majority of shingles are unique, this shrinks the join
-    // input to the shared-shingle sliver and is the right default; on the
-    // synthetic fixture (~26% injected duplicates, heavy sharing) the extra
-    // document-frequency aggregation costs more than it prunes, so the flag
-    // is opt-in here. Results are identical either way (document sizes
-    // below always count ALL shingles).
-    val joinSide =
-      if (!pruneUnique) sh
-      else sh.join(
-        sh.groupBy("gh").agg(count(lit(1)).as("docs"))
-          .where(col("docs") > 1).select("gh"), "gh")
-    val pairs = joinSide.as("a")
-      .join(joinSide.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val buckets = sh.groupBy("gh")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1 &&
+        (if (maxDocFreq > 0) size(col("ids")) <= maxDocFreq else lit(true)))
+    // ids is sorted and duplicate-free (shingles are distinct per doc), so
+    // pairing each element with its successors yields exactly the id_a <
+    // id_b pairs of the bucket
+    val pairs = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     pairs
-      .join(szs.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(szs.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .join(broadcast(szs.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "sz_a")), "id_a")
+      .join(broadcast(szs.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "sz_b")), "id_b")
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
       .select(col("id_a"), col("id_b"),

@@ -33,11 +33,19 @@ class ExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("jaccard_x1000") >= 800L))
   }
 
-  test("ngram jaccard: unique-shingle pruning changes nothing but the plan") {
+  test("ngram jaccard: a generous doc-frequency cap changes nothing") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
-    assert(canon(Dedup.ngramJaccard(spark, Sf0001, pruneUnique = true)) ===
+    // every fixture bucket is far smaller than 1000 docs, so the cap is a
+    // no-op on results (it only guards the quadratic tail at corpus scale)
+    assert(canon(Dedup.ngramJaccard(spark, Sf0001, maxDocFreq = 1000)) ===
       canon(Dedup.ngramJaccard(spark, Sf0001)))
+    // a cap of 2 keeps only 2-doc buckets: output must be a subset
+    val all = canon(Dedup.ngramJaccard(spark, Sf0001))
+      .map(r => (r.head, r(1))).toSet
+    val capped = canon(Dedup.ngramJaccard(spark, Sf0001, maxDocFreq = 2))
+      .map(r => (r.head, r(1)))
+    capped.foreach(p => assert(all.contains(p)))
   }
 
   test("minhash LSH recovers the exact-duplicate pairs") {

@@ -197,6 +197,16 @@ object SparkEntry {
     // events
     "q30_events_hourly" -> ((s, d) => EventsOps.hourly(s, d)),
     "q31_events_sessions" -> ((s, d) => EventsOps.sessions(s, d)),
+    // as-of join (union + ignore-nulls last() window — one shuffle)
+    "q51_events_asof" -> ((s, d) => EventsOps.errorAsofClick(s, d)),
+    // JSON property extraction over the props manifest column
+    "q55_events_props_json" -> ((s, d) => EventsOps.propsRollup(s, d)),
+    // fixed-size chunk dedup statistics (10-token chunks)
+    "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
+    // corpus vocabulary top-K with total tiebreak
+    "q53_vocab_topk" -> ((s, d) => TextStats.vocabTopK(s, d)),
+    // deterministic hash-stratified sampling rollup
+    "q54_sample_stratified" -> ((s, d) => TextStats.sampleRollup(s, d)),
     // multimodal
     "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)),
     // typed-Aggregator forms (SURVEY §2.10), both oracle-checked: q37's

@@ -174,6 +174,34 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fixed-size chunk dedup statistics: documents are cut into
+    * non-overlapping `chunkTokens`-token chunks (the granularity training
+    * pipelines dedup across documents), then per source: total chunks,
+    * chunks whose text occurs more than once corpus-wide, distinct chunks.
+    *
+    * Chunk identity travels as xxhash64 of the chunk text — the frequency
+    * shuffle carries 8-byte longs, equal to string keying modulo the
+    * ~n²/2⁶⁵ 64-bit collision class q21 documents (the DuckDB oracle keeps
+    * string keys, so a collision would surface as a t2 mismatch). */
+  def chunkStats(spark: SparkSession, dir: String,
+      chunkTokens: Int = 10): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(1, size(w), $chunkTokens), " +
+          s"i -> array_join(slice(w, i, $chunkTokens), ' '))")).as("chunk"))
+      .withColumn("ch", xxhash64(col("chunk")))
+      .select("source", "ch")
+    val freq = chunks.groupBy("ch").agg(count(lit(1)).as("c"))
+    chunks.join(freq, "ch")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("shared_chunks"),
+        countDistinct("ch").as("distinct_chunks"))
+      .orderBy("source")
+  }
+
   /** SimHash: 60-bit signature from token hashes — per-bit weighted
     * majority vote, expressed as bit-arithmetic aggregates (no UDF in the
     * hot path). Token hash is the cross-engine

@@ -39,4 +39,48 @@ object EventsOps {
       .agg(sum("new_session").as("sessions"), count(lit(1)).as("events"))
       .orderBy("user_id")
   }
+
+  /** As-of join: each `error` event matched to the most recent strictly
+    * earlier `click` by the same user. Composed as union + ignore-nulls
+    * `last()` over a (ts, event_id)-ordered window — ONE shuffle on
+    * user_id, versus a range join's quadratic candidate explosion. The
+    * strict `-1` frame end plus the unique event_id ordering makes the
+    * match total and engine-exact (no ts-tie ambiguity). This is the
+    * preference-order (a) form of SURVEY's custom-operator policy: as-of
+    * semantics composed from existing operators, no custom plan node. */
+  def errorAsofClick(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_ts_us",
+        when(col("event_type") === "click", col("ts_us")))
+      .withColumn("prev_click_id",
+        last("click_id", ignoreNulls = true).over(w))
+      .withColumn("prev_click_ts_us",
+        last("click_ts_us", ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("prev_click_id"),
+        (col("ts_us") - col("prev_click_ts_us")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  /** JSON property extraction + rollup: `props` is a JSON string column
+    * (the norm for training-data manifests); `get_json_object` stays in
+    * whole-stage codegen, then a tiny per-type aggregate. */
+  def propsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("events"),
+        sum("k").as("k_total"),
+        min("k").as("k_min"),
+        max("k").as("k_max"))
+      .orderBy("event_type")
 }

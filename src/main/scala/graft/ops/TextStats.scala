@@ -118,6 +118,38 @@ object TextStats {
         floor(sum("token_count") / count(lit(1))).as("tokens_per_doc"))
       .orderBy("source")
 
+  /** Corpus vocabulary top-K: token → (total occurrences, document
+    * frequency), highest-occurrence first with the token string as a total
+    * tiebreak. Partial map-side combine collapses the explode before the
+    * shuffle; top-K is TakeOrderedAndProject (bounded memory at any corpus
+    * size). */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"), countDistinct("doc_id").as("docs"))
+      .orderBy(desc("occurrences"), asc("token"))
+      .limit(k)
+
+  /** Deterministic stratified sampling rollup: a document is kept iff
+    * PortableHash(doc_id) mod 1000 < ratePerMille — reproducible across
+    * engines and runs, embarrassingly parallel (the only shuffle is the
+    * tiny per-source rollup), and stable under corpus growth: a document's
+    * keep/drop never changes as rows are added, unlike `sample()`/
+    * TABLESAMPLE whose picks depend on partitioning. */
+  def sampleRollup(spark: SparkSession, dir: String,
+      ratePerMille: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("keep",
+        graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+          % 1000 < ratePerMille)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("sampled_docs"),
+        sum(when(col("keep"), col("n_chars"))).as("sampled_chars"))
+      .orderBy("source")
+
   /** GPT-2-style pre-tokenizer regex: contraction suffixes, letter runs,
     * digit runs, punctuation runs, whitespace — the standard BPE input
     * segmentation. Counting these units approximates BPE token counts far

@@ -854,6 +854,69 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(MAX(size) AS BIGINT) AS max_partition_size,
   CAST(SUM(size) AS BIGINT) AS uncompressed_length,
   CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size
-FROM sized GROUP BY 1 ORDER BY 1"""
+FROM sized GROUP BY 1 ORDER BY 1""",
+
+    // mirror of EventsOps.errorAsofClick: strict (ts, event_id)-before
+    // frame makes the as-of match total — no tie ambiguity between engines.
+    "q51_events_asof" -> """WITH u AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_ts_us
+  FROM events WHERE event_type IN ('click', 'error')
+), w AS (
+  SELECT event_id, user_id, event_type, ts_us,
+    last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+      ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id,
+    last_value(click_ts_us IGNORE NULLS) OVER (PARTITION BY user_id
+      ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts_us
+  FROM u
+)
+SELECT event_id, user_id, ts_us, prev_click_id,
+  ts_us - prev_click_ts_us AS lag_us
+FROM w WHERE event_type = 'error' ORDER BY event_id""",
+
+    "q55_events_props_json" -> """SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY 1 ORDER BY 1""",
+
+    // string chunk keys here vs xxhash64 keys in the Spark plan: equal
+    // unless two distinct chunks collide in 64 bits (q21's documented class)
+    "q52_chunk_dedup" -> """WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), ch AS (
+  SELECT doc_id, source, array_to_string(w[i.i:i.i+9], ' ') AS chunk
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w), 10)) AS i) i
+), freq AS (
+  SELECT chunk, COUNT(*) AS c FROM ch GROUP BY 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS chunks,
+  CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+  CAST(COUNT(DISTINCT ch.chunk) AS BIGINT) AS distinct_chunks
+FROM ch JOIN freq f USING (chunk)
+GROUP BY 1 ORDER BY 1""",
+
+    "q53_vocab_topk" -> """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+FROM tok GROUP BY 1
+ORDER BY occurrences DESC, token LIMIT 50""",
+
+    // mirror of TextStats.sampleRollup's PortableHash(doc_id) % 1000 < 100
+    "q54_sample_stratified" -> s"""WITH d AS (
+  SELECT source, n_chars,
+    (${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 100) AS keep
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+  CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT) AS sampled_chars
+FROM d GROUP BY 1 ORDER BY 1"""
   )
 }

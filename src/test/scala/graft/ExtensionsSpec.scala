@@ -207,6 +207,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("as-of join: matches are strictly earlier clicks by the same user") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(0)))
+    val rows = EventsOps.errorAsofClick(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(!_.isNullAt(3))) // at least one matched error
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (user, tsUs) = (r.getLong(1), r.getLong(2))
+      val matched = r.getLong(3)
+      assert(r.getLong(4) >= 0L) // lag never negative (strict-before frame)
+      // the matched click is THE latest (ts, event_id) strictly before
+      val expected = clicks
+        .filter(c => c._1 == user && (c._2 < tsUs ||
+          (c._2 == tsUs && c._3 < r.getLong(0))))
+        .maxBy(c => (c._2, c._3))._3
+      assert(matched == expected)
+    }
+    // unmatched errors truly have no prior click
+    rows.filter(_.isNullAt(3)).foreach { r =>
+      assert(!clicks.exists(c => c._1 == r.getLong(1) &&
+        (c._2 < r.getLong(2) ||
+          (c._2 == r.getLong(2) && c._3 < r.getLong(0)))))
+    }
+  }
+
+  test("chunk dedup stats: shared never exceeds total, distinct <= chunks") {
+    val rows = Dedup.chunkStats(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chunks, shared, distinct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(shared <= chunks && distinct <= chunks && distinct >= 1L)
+    }
+  }
+
+  test("vocab top-k is ordered by occurrences desc with token tiebreak") {
+    val rows = TextStats.vocabTopK(spark, Sf0001, k = 10).collect()
+      .map(r => (r.getLong(1), r.getString(0)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach {
+      case Array((c1, t1), (c2, t2)) =>
+        assert(c1 > c2 || (c1 == c2 && t1 < t2))
+      case _ =>
+    }
+  }
+
+  test("deterministic sampling: stable across runs, rate-0 keeps nothing") {
+    val a = TextStats.sampleRollup(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val b = TextStats.sampleRollup(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    TextStats.sampleRollup(spark, Sf0001, ratePerMille = 0).collect()
+      .foreach(r => assert(r.getLong(2) == 0L && r.isNullAt(3)))
+    // rate 1000 keeps everything
+    TextStats.sampleRollup(spark, Sf0001, ratePerMille = 1000).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
   test("PortableHash: driver-side h60 equals the Spark column form") {
     import spark.implicits._
     // the oracle embeds driver-computed values (LSH plane coefficients), so

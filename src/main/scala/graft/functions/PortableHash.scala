@@ -15,8 +15,18 @@ import org.apache.spark.sql.functions._
   * drop-in replacements (only the oracle portability is lost). */
 object PortableHash {
 
-  /** Column form (codegen'd: md5 + substring + conv are all builtin). */
-  def h60(c: Column): Column =
+  /** Column form: the native [[Hash60]] expression (one static call in
+    * whole-stage codegen; value-identical to the pure-builtin composition
+    * `conv(substring(md5(c),1,15),16,10)`, which remains available as
+    * [[h60Builtin]] for sessions that must not register functions). */
+  def h60(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.ensureRegistered)
+    GraftFunctions.hash60(c)
+  }
+
+  /** Pure-builtin column form (no function registration required). */
+  def h60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Driver-side form — for precomputing data-independent constants (e.g.

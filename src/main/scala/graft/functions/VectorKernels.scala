@@ -104,14 +104,28 @@ object GraftFunctions {
         DotI64(children.head, children(1))
       })
 
+  val hash60Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("portable_h60"),
+      new ExpressionInfo(classOf[Hash60].getName, "portable_h60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"portable_h60 requires exactly 1 argument, got ${children.length}")
+        Hash60(children.head)
+      })
+
+  private val descriptors = Seq(dotI64Descriptor, hash60Descriptor)
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(dotI64Descriptor._1)) {
-      reg.registerFunction(
-        dotI64Descriptor._1, dotI64Descriptor._2, dotI64Descriptor._3)
+    descriptors.foreach { d =>
+      if (!reg.functionExists(d._1)) reg.registerFunction(d._1, d._2, d._3)
     }
   }
 
   /** Column form: exact integer dot product of two `array<bigint>` columns. */
   def dotI64(a: Column, b: Column): Column = call_function("dot_i64", a, b)
+
+  /** Column form of [[Hash60]] (used through [[PortableHash.h60]]). */
+  def hash60(c: Column): Column = call_function("portable_h60", c)
 }

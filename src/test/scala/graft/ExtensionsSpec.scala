@@ -280,5 +280,11 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(fromSpark === samples.map(graft.functions.PortableHash.h60))
     assert(samples.map(graft.functions.PortableHash.h60).forall(_ >= 0L))
+    // the native Hash60 expression is bit-identical to the pure-builtin
+    // md5/substring/conv composition it replaced
+    val fromBuiltin = samples.toDF("s")
+      .select(graft.functions.PortableHash.h60Builtin(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(fromSpark === fromBuiltin)
   }
 }

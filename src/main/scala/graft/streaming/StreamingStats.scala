@@ -89,6 +89,18 @@ object StreamingStats {
         sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
         sum("size_bytes").as("size"))
 
+  /** Streaming exact dedup: drop repeated documents as they arrive, with
+    * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
+    * only until the watermark passes it, so the dedup works on an unbounded
+    * stream (the training-ingest shape: a firehose of documents where
+    * near-in-time republication is the dominant duplicate class). Keyed on
+    * the text digest, never the full text: state stores 16 bytes per doc. */
+  def dedupedDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Run hourlyCounts over `dir`/events.parquet to a memory sink until all
     * available data is processed (test/demo harness): stages the file into
     * a temp ingest directory, the shape a streaming deployment reads. */

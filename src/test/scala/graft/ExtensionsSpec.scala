@@ -207,6 +207,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dedup drops re-arriving documents with bounded state") {
+    import java.nio.file.{Files, Paths}
+    val ingest = Files.createTempDirectory("graft-dedup-stream-")
+    // the same document file arrives twice: every text is a duplicate
+    Files.copy(Paths.get(s"$Sf0001/documents.parquet"),
+      ingest.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$Sf0001/documents.parquet"),
+      ingest.resolve("b.parquet"))
+    val schema = spark.read.parquet(ingest.toString).schema
+    // ts shifted off epoch 0: Spark's watermark starts at 0, and an event
+    // time equal to it is already "late" — epoch-0 rows would be dropped
+    val docs = spark.readStream.schema(schema).parquet(ingest.toString)
+      .withColumn("ts", expr("timestamp_micros(doc_id + 86400000000)"))
+    val q = graft.streaming.StreamingStats.dedupedDocs(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup_stream")
+    val distinctTexts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("text").distinct().count()
+    assert(out.count() === distinctTexts)
+    assert(out.select("text_md5").distinct().count() === distinctTexts)
+  }
+
   test("as-of join: matches are strictly earlier clicks by the same user") {
     val ev = Tables.events(spark, Sf0001)
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -19,6 +19,12 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // saveAsTable targets (BucketingSpec) land in a swept temp tree, not
+      // ./spark-warehouse inside the repo
+      .config("spark.sql.warehouse.dir",
+        graft.sources.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft-warehouse-"))
+          .toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

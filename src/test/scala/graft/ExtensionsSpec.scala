@@ -293,6 +293,37 @@ class ExtensionsSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("corpus sink: partitioned layout, bounded files, pruned readback") {
+    val out = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-corpus-out-")).toString
+    val docs = Tables.documents(spark, Sf0001)
+    CorpusSink.writeParquet(docs, out, maxRecordsPerFile = 50L)
+    // hive-partitioned directories, one per source
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(dirs === sources.map(s => s"source=$s"))
+    // bounded file sizes: no parquet file holds more than maxRecordsPerFile
+    dirs.foreach { d =>
+      new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          assert(spark.read.parquet(f.toString).count() <= 50L)
+        }
+    }
+    // readback equality
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).count() === 0)
+    // a source filter prunes at the partition-directory level
+    val pruned = back.where(col("source") === sources.head)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(source"), s"expected partition pruning:\n$scan")
+    assert(pruned.count() ===
+      docs.where(col("source") === sources.head).count())
+  }
+
   test("PortableHash: driver-side h60 equals the Spark column form") {
     import spark.implicits._
     // the oracle embeds driver-computed values (LSH plane coefficients), so

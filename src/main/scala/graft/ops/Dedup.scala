@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{PlanCache, Tables}
@@ -85,26 +86,29 @@ object Dedup {
     // t2 mismatch.
     val sh = corpusShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val buckets = sh.groupBy("gh")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
+    // per-doc shingle count rides the bucket rows as a struct field, so no
+    // post-aggregation size join is needed at all — a join back to a
+    // one-row-per-doc size table can neither broadcast at corpus scale nor
+    // beat carrying 8 more bytes through the existing shuffles
+    val sized = sh.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val buckets = sized.groupBy("gh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"))))
+        .as("ids"))
       .where(size(col("ids")) > 1 &&
         (if (maxDocFreq > 0) size(col("ids")) <= maxDocFreq else lit(true)))
-    // ids is sorted and duplicate-free (shingles are distinct per doc), so
-    // pairing each element with its successors yields exactly the id_a <
-    // id_b pairs of the bucket
+    // ids is sorted by (unique) doc_id, so pairing each element with its
+    // successors yields exactly the id_a < id_b pairs of the bucket
     val pairs = buckets
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          "y -> struct(x.doc_id AS id_a, x.sz AS sz_a, " +
+          "y.doc_id AS id_b, y.sz AS sz_b))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     pairs
-      .join(broadcast(szs.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "sz_a")), "id_a")
-      .join(broadcast(szs.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "sz_b")), "id_b")
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
       .select(col("id_a"), col("id_b"),
@@ -165,6 +169,9 @@ object Dedup {
     val matches = (0 until k).map(i =>
       when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // no broadcast hint here: the signature table is one row per document
+    // (k longs), so at corpus scale it cannot broadcast — AQE already
+    // converts these to broadcast joins when the side happens to be small
     cand
       .join(sigs.as("a"), col("id_a") === col("a.doc_id"))
       .join(sigs.as("b"), col("id_b") === col("b.doc_id"))

@@ -205,6 +205,9 @@ object SparkEntry {
     "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
     // corpus vocabulary top-K with total tiebreak
     "q53_vocab_topk" -> ((s, d) => TextStats.vocabTopK(s, d)),
+    // connected components over the ngram near-dup pairs (min-label
+    // propagation; oracle recomputes via a recursive CTE)
+    "q56_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // deterministic hash-stratified sampling rollup
     "q54_sample_stratified" -> ((s, d) => TextStats.sampleRollup(s, d)),
     // multimodal

@@ -209,6 +209,57 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into dedup GROUPS with one representative
+    * (keeper) per group. Pregel-style min-label propagation: each round is
+    * one shuffle join + min-aggregate, labels converge in O(component
+    * diameter) rounds under a driver-coordinated fixpoint check (the
+    * standard Spark connected-components shape; GraphX's CC is this loop).
+    * Near-dup components are shallow stars/chains in practice, so rounds
+    * stay in single digits even at corpus scale.
+    *
+    * Returns one row per document that occurs in a dup pair:
+    * (doc_id, cluster_rep = min doc_id of its component, cluster_size). */
+  def dupClusters(spark: SparkSession, dir: String,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val dup = ngramJaccard(spark, dir).select("id_a", "id_b")
+    val edges = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels
+        .join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    val out = labels
+      .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")),
+        "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** SimHash: 60-bit signature from token hashes — per-bit weighted
     * majority vote, expressed as bit-arithmetic aggregates (no UDF in the
     * hot path). Token hash is the cross-engine

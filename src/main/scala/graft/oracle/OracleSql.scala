@@ -917,6 +917,42 @@ ORDER BY occurrences DESC, token LIMIT 50""",
 SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
   CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT) AS sampled_chars
-FROM d GROUP BY 1 ORDER BY 1"""
+FROM d GROUP BY 1 ORDER BY 1""",
+
+    // connected components of the q21 near-dup pair graph via a recursive
+    // CTE: walk accumulates every (node, reachable-node) pair — finite, so
+    // UNION-dedup recursion terminates; min over reachable ids = the
+    // propagated label the Spark loop converges to.
+    "q56_dup_clusters" -> s"""WITH RECURSIVE $corpus, $shingles,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+dup AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN szs sa ON p.id_a = sa.doc_id
+  JOIN szs sb ON p.id_b = sb.doc_id
+  WHERE p.inter * 100 >= 80 * (sa.sz + sb.sz - p.inter)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+SELECT l.id AS doc_id, CAST(l.label AS BIGINT) AS cluster_rep,
+  CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY 1) s
+  USING (label)
+ORDER BY doc_id"""
   )
 }

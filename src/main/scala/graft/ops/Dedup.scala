@@ -59,6 +59,17 @@ object Dedup {
           " i -> array_join(slice(w, i, 5), ' '))")).as("g"))
       .distinct()
 
+  /** Default doc-frequency cap for the shingle buckets (scale path): a
+    * shingle shared by more than this many documents is treated as a
+    * stop-shingle and dropped before pair generation. Bounds both the
+    * per-bucket pair count (≤ C(cap, 2) = 8,128 pairs) and the size of each
+    * bucket-collected array row (≤ cap structs), the two quadratic failure
+    * modes of web-corpus shingles ("the of and …" n-grams shared by 1M docs
+    * would alone emit 5·10¹¹ pairs and one 16 MB array row). Callers that
+    * need the exact Jaccard relation (the DuckDB oracle form) pass
+    * `maxDocFreq = 0` explicitly. */
+  val DefaultMaxDocFreq = 128
+
   /** n-gram Jaccard near-dup pairs: inverted shingle index bucket-collected,
     * pairs generated inside each bucket, then |A∩B| / |A∪B| ≥ 0.8 decided in
     * pure integer arithmetic (inter·100 ≥ 80·union) so the threshold is
@@ -71,20 +82,38 @@ object Dedup {
     * Σ C(|bucket|, 2)); the collect form just skips the join's hash-table
     * build over every shingle row.
     *
-    * `maxDocFreq` (0 = off) drops shingles shared by more than that many
+    * `maxDocFreq` (0 = exact) drops shingles shared by more than that many
     * documents before pair generation — the standard guard against the
-    * quadratic blow-up of stop-word-like shingles at web-corpus scale
-    * (a shingle in 1M docs would alone emit 5·10¹¹ pairs). Off by default:
-    * with it on, results are a documented under-approximation. */
+    * quadratic blow-up of stop-word-like shingles at web-corpus scale. ON
+    * by default ([[DefaultMaxDocFreq]]): the capped result is a documented
+    * under-approximation (pairs supported ONLY by ultra-common shingles are
+    * missed — at ≥80% Jaccard such pairs barely exist, because a pair needs
+    * most of its shingles shared and specific shingles dominate any real
+    * document). The exact form (`maxDocFreq = 0`) is the oracle
+    * configuration. */
   def ngramJaccard(spark: SparkSession, dir: String,
-      thresholdPct: Int = 80, maxDocFreq: Int = 0): DataFrame = {
+      thresholdPct: Int = 80, maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    ngramPairs(spark, dir, thresholdPct, maxDocFreq)
+      .orderBy("id_a", "id_b")
+
+  /** [[ngramJaccard]] without the final presentation sort — the form
+    * consumed as an edge feed (dup-cluster propagation) where row order is
+    * irrelevant and a global sort of the pair set would be pure waste. */
+  def ngramPairs(spark: SparkSession, dir: String,
+      thresholdPct: Int = 80, maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    ngramPairsOf(corpusShingles(spark, dir), thresholdPct, maxDocFreq)
+
+  /** Pair generation over an arbitrary distinct (doc_id, g) shingle set —
+    * the testable core of [[ngramJaccard]]. */
+  def ngramPairsOf(shingleSet: DataFrame,
+      thresholdPct: Int = 80, maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     // bucket key = xxhash64(shingle): the bucket-collect shuffle carries
     // 8-byte longs instead of ~30-byte strings and equality checks are
     // primitive. Counts equal the string-keyed form's unless two distinct
     // shingles collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻⁷ at 1M shingles); the
     // DuckDB oracle keeps string keys, so a collision would surface as a
     // t2 mismatch.
-    val sh = corpusShingles(spark, dir)
+    val sh = shingleSet
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     // per-doc shingle count rides the bucket rows as a struct field, so no
     // post-aggregation size join is needed at all — a join back to a
@@ -113,7 +142,6 @@ object Dedup {
       .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
       .select(col("id_a"), col("id_b"),
         floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
-      .orderBy("id_a", "id_b")
   }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over
@@ -211,52 +239,87 @@ object Dedup {
 
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS with one representative
-    * (keeper) per group. Pregel-style min-label propagation: each round is
-    * one shuffle join + min-aggregate, labels converge in O(component
-    * diameter) rounds under a driver-coordinated fixpoint check (the
-    * standard Spark connected-components shape; GraphX's CC is this loop).
-    * Near-dup components are shallow stars/chains in practice, so rounds
-    * stay in single digits even at corpus scale.
+    * (keeper) per group. Pregel-style min-label propagation: labels converge
+    * in O(component diameter) rounds under a driver-coordinated fixpoint
+    * check (the standard Spark connected-components shape; GraphX's CC is
+    * this loop). Near-dup components are shallow stars/chains in practice,
+    * so rounds stay in single digits even at corpus scale.
+    *
+    * Cost shape: exactly ONE Spark action per round. The adjacency is
+    * augmented with a self-loop per vertex, so the round is a single
+    * `join → groupBy(min)` (no left-join back to the previous labels), and
+    * convergence falls out of the same action for free: labels only ever
+    * decrease, so Σ label is strictly monotone until the fixpoint — the
+    * round's aggregate materializes the persisted labels AND returns
+    * (Σ label, count) in one job, and an unchanged sum IS convergence. The
+    * previous shape paid two actions per round (materialize + a separate
+    * changed-row count via an extra join); at 32-partition scale that was
+    * pure scheduler overhead, and it is why this operator was the most
+    * expensive bench query of round 4.
+    *
+    * Uses the EXACT pair relation (`maxDocFreq = 0`) — the q56 oracle
+    * computes the transitive closure of the exact Jaccard pairs, and a
+    * capped edge feed could split a component.
+    *
+    * The returned frame is `localCheckpoint`ed: the loop's per-round caches
+    * are all released before returning (no session-lifetime block leak), and
+    * the result's lineage does not grow with the iteration count.
     *
     * Returns one row per document that occurs in a dup pair:
     * (doc_id, cluster_rep = min doc_id of its component, cluster_size). */
   def dupClusters(spark: SparkSession, dir: String,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val dup = ngramJaccard(spark, dir).select("id_a", "id_b")
-    val edges = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // the pair relation is persisted FIRST: it feeds four union branches
+    // below (two edge directions + the vertex set twice), which would
+    // otherwise each recompute the whole shingle-bucket pair generation
+    val dup = ngramPairs(spark, dir, maxDocFreq = 0).select("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both edge directions + a self-loop per vertex: min over in-neighbors
+    // of the augmented graph = min(own label, neighbor labels)
+    val ids = dup.select(col("id_a").as("id"))
+      .unionByName(dup.select(col("id_b").as("id"))).distinct()
+    val adj = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    var labels = ids.withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum: Option[Long] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val nbr = edges
+      val next = adj
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val next = labels
-        .join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).count()
+      // one action: materializes `next` and yields the convergence measure.
+      // Σ label cannot overflow: labels are doc ids, so the sum is bounded
+      // by maxDocId · nDocs and Spark's sum aggregate would ANSI-abort
+      // rather than wrap if a pathological id space ever crossed 2^63.
+      val row = next.agg(org.apache.spark.sql.functions.sum("label")).first()
+      val sum = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no rows
       labels.unpersist()
       labels = next
-      done = changed == 0L
+      done = prevSum.contains(sum)
+      prevSum = Some(sum)
       iter += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters stopped at maxIter=$maxIter WITHOUT converging: " +
+          "a component with diameter > maxIter would carry a wrong " +
+          "cluster_rep; raise maxIter")
     val out = labels
       .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")),
         "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_rep"),
         col("cluster_size"))
       .orderBy("doc_id")
-    edges.unpersist()
+      .localCheckpoint()
+    labels.unpersist()
+    adj.unpersist()
+    dup.unpersist()
     out
   }
 

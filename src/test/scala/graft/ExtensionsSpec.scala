@@ -48,6 +48,56 @@ class ExtensionsSpec extends SparkSpec {
     capped.foreach(p => assert(all.contains(p)))
   }
 
+  test("ngram doc-frequency guard bounds per-bucket pair volume") {
+    import spark.implicits._
+    // one stop-shingle shared by 50 docs (would alone emit C(50,2) = 1225
+    // pairs) next to a pair of docs sharing 5 specific shingles
+    val stop = (1L to 50L).map(id => (id, "the of and in to"))
+    val specific = (1 to 5).flatMap(i =>
+      Seq((100L, s"specific shingle number $i x"),
+        (101L, s"specific shingle number $i x")))
+    val sh = (stop ++ specific).toDF("doc_id", "g")
+    // exact form: the stop bucket floods the pair space
+    val exactPairs = Dedup.ngramPairsOf(sh, thresholdPct = 1, maxDocFreq = 0)
+      .count()
+    assert(exactPairs > 1000L)
+    // guarded form (cap 10 < 50): the stop bucket is dropped entirely, so
+    // pair volume collapses to the specific-shingle pair alone — the cap
+    // bounds every bucket's contribution at C(cap, 2)
+    val guarded = Dedup.ngramPairsOf(sh, thresholdPct = 1, maxDocFreq = 10)
+      .collect()
+    assert(guarded.length == 1)
+    assert(guarded.head.getLong(0) == 100L && guarded.head.getLong(1) == 101L)
+    // and the engine default IS guarded
+    assert(Dedup.DefaultMaxDocFreq > 0)
+  }
+
+  test("dup clusters: labels converge to the component minimum") {
+    // q56's oracle checks the full output at sf0.01; this pins the loop's
+    // semantics at sf0.001 against a driver-side union-find ground truth
+    val pairs = Dedup.ngramPairs(spark, Sf0001, maxDocFreq = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(id => id -> find(id)).toMap
+    val got = Dedup.dupClusters(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === truth.keySet)
+    val sizes = truth.values.groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { case (id, (rep, size)) =>
+      assert(rep === truth(id), s"doc $id")
+      assert(size === sizes(truth(id)).toLong, s"doc $id cluster size")
+    }
+  }
+
   test("minhash LSH recovers the exact-duplicate pairs") {
     val lsh = Dedup.minhashLsh(spark, Sf0001)
       .select("id_a", "id_b").collect()

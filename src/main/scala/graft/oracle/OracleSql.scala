@@ -678,8 +678,8 @@ SELECT id_a, id_b, sig_matches FROM m WHERE sig_matches >= 23 ORDER BY 1, 2""",
 
     // mirror of Dedup.embeddingNearDup: augmented corpus (exact copies,
     // 2x-rescaled copies — float x2 is exact), floor(x·1000) quantization,
-    // sign bucket over the 8 leading components, exact integer dot +
-    // IEEE-double cosine threshold.
+    // 4 banded 16-bit sign-word buckets (union of within-band pair joins,
+    // deduplicated), exact integer dot + IEEE-double cosine verification.
     "q33_dedup_embedding" -> s"""WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -696,17 +696,28 @@ qe AS (
 ),
 qb AS (
   SELECT vec_id, qv,
-    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2,
-    ${(0 until 8).map(i =>
-      s"(CASE WHEN qv[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString("\n    + ")} AS bucket
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
   FROM qe
+),
+bands AS (
+  ${(0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, ${(0 until 16).map(j =>
+        s"(CASE WHEN qv[${b * 16 + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString("\n    + ")} AS word\n  FROM qb")
+    .mkString("\n  UNION ALL\n  ")}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.word = y.word AND x.vec_id < y.vec_id
 )
-SELECT a.vec_id AS id_a, c.vec_id AS id_b
-FROM qb a JOIN qb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE (CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * c.qv[i]))
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN qb a ON a.vec_id = c.id_a
+JOIN qb b ON b.vec_id = c.id_b
+WHERE (CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))
             AS DOUBLE)
-       / sqrt(CAST(a.norm2 * c.norm2 AS DOUBLE))) * 1000 >= 995
+       / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) * 1000 >= 995
 ORDER BY 1, 2""",
 
     // mirror of Similarity.lshTopK: the hyperplane coefficients are the

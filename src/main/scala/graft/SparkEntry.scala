@@ -124,7 +124,10 @@ object SparkEntry {
           "uncompressed_length", "max_partition_size", "cell_count",
           "min_timestamp_us", "max_timestamp_us", "disk_length",
           "avg_partition_size", "level", "is_repaired", "repaired_at_ms",
-          "compaction_strategy")
+          "compaction_strategy", "file_timestamp_ms",
+          "min_local_deletion_time_s", "max_local_deletion_time_s",
+          "estimated_keys", "avg_column_count", "max_column_count",
+          "droppable_tombstone_count", "droppable_ratio_x1000")
         .orderBy("sstable_id")
     }),
     // the summary command's A11 rollup running off raw Statistics.db files

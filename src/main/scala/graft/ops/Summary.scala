@@ -35,7 +35,11 @@ object Summary {
       .orderBy("keyspace", "tbl")
 
   /** S2/T3: one row per SSTable from metadata only
-    * (SSTableMetadataCollector.java:39-91), generation-id sort order. */
+    * (SSTableMetadataCollector.java:39-91), generation-id sort order — the
+    * full reference column set: file timestamp, min/max deletion time,
+    * estimated keys, avg/max column count and the droppable-tombstone
+    * estimate next to the timestamp/length/size fields
+    * (SSTableMetadataCollector.java:39-57). */
   def sstablesReport(spark: SparkSession, dir: String): DataFrame =
     meta(spark, dir)
       .where(col("tbl") === "lineitem")
@@ -44,8 +48,12 @@ object Summary {
         col("compaction_strategy"),
         col("min_timestamp_us"), col("max_timestamp_us"),
         (col("max_timestamp_us") - col("min_timestamp_us")).as("duration_us"),
+        col("file_timestamp_ms"),
+        col("min_local_deletion_time_s"), col("max_local_deletion_time_s"),
         col("repaired_at_ms"),
-        col("partition_count"), col("cell_count"),
+        col("partition_count"), col("estimated_keys"), col("cell_count"),
+        col("avg_column_count"), col("max_column_count"),
+        col("droppable_tombstone_count"), col("droppable_ratio_x1000"),
         col("uncompressed_length"), col("disk_length"),
         col("max_partition_size"), col("avg_partition_size"))
       .orderBy("sstable_id")

@@ -86,7 +86,9 @@ pscan AS (
     CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring_cell_count,
     CAST(SUM(CASE WHEN is_counter THEN 1 ELSE 0 END) AS BIGINT) AS counter_cell_count,
     CAST(MIN(timestamp_us) AS BIGINT) AS min_timestamp_us,
-    CAST(MAX(timestamp_us) AS BIGINT) AS max_timestamp_us
+    CAST(MAX(timestamp_us) AS BIGINT) AS max_timestamp_us,
+    CAST(MIN(local_deletion_time_s) AS BIGINT) AS min_local_deletion_time_s,
+    CAST(MAX(local_deletion_time_s) AS BIGINT) AS max_local_deletion_time_s
   FROM cells GROUP BY 1, 2, 3, 4, 5
 ),
 parts AS (
@@ -110,6 +112,15 @@ meta AS (
     CAST(SUM(cell_count) AS BIGINT) AS cell_count,
     CAST(MIN(min_timestamp_us) AS BIGINT) AS min_timestamp_us,
     CAST(MAX(max_timestamp_us) AS BIGINT) AS max_timestamp_us,
+    CAST(MIN(min_local_deletion_time_s) AS BIGINT) AS min_local_deletion_time_s,
+    CAST(MAX(max_local_deletion_time_s) AS BIGINT) AS max_local_deletion_time_s,
+    CAST(MAX(cell_count) AS BIGINT) AS max_column_count,
+    CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count,
+    CAST(floor(MAX(max_timestamp_us) / 1000) + 3600000 AS BIGINT) AS file_timestamp_ms,
+    CAST(COUNT(*) AS BIGINT) AS estimated_keys,
+    CAST(floor(SUM(cell_count) / COUNT(*)) AS BIGINT) AS avg_column_count,
+    CAST(floor(SUM(droppable_tombstone_count) * 1000 / SUM(cell_count)) AS BIGINT)
+      AS droppable_ratio_x1000,
     CAST(floor(SUM(size) * 3 / 5) AS BIGINT) AS disk_length,
     CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size,
     CAST(right(sstable_id, 1) AS INT) AS level,
@@ -218,7 +229,10 @@ FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
 SELECT sstable_id, level, is_repaired, compaction_strategy,
   min_timestamp_us, max_timestamp_us,
   max_timestamp_us - min_timestamp_us AS duration_us,
-  repaired_at_ms, partition_count, cell_count,
+  file_timestamp_ms, min_local_deletion_time_s, max_local_deletion_time_s,
+  repaired_at_ms, partition_count, estimated_keys, cell_count,
+  avg_column_count, max_column_count,
+  droppable_tombstone_count, droppable_ratio_x1000,
   uncompressed_length, disk_length, max_partition_size, avg_partition_size
 FROM meta WHERE tbl = 'lineitem' ORDER BY sstable_id""",
 
@@ -459,7 +473,10 @@ FROM liparts""",
 SELECT keyspace, tbl, sstable_id, partition_count, uncompressed_length,
   max_partition_size, cell_count, min_timestamp_us, max_timestamp_us,
   disk_length, avg_partition_size, level, is_repaired, repaired_at_ms,
-  compaction_strategy
+  compaction_strategy, file_timestamp_ms,
+  min_local_deletion_time_s, max_local_deletion_time_s,
+  estimated_keys, avg_column_count, max_column_count,
+  droppable_tombstone_count, droppable_ratio_x1000
 FROM meta ORDER BY sstable_id""",
 
     "q47_summary_from_raw" -> s"""WITH $fixtures

@@ -149,7 +149,9 @@ object Fixtures {
         sum(when(col("is_counter"), 1L).otherwise(0L))
           .as("counter_cell_count"),
         min("timestamp_us").as("min_timestamp_us"),
-        max("timestamp_us").as("max_timestamp_us"))
+        max("timestamp_us").as("max_timestamp_us"),
+        min("local_deletion_time_s").as("min_local_deletion_time_s"),
+        max("local_deletion_time_s").as("max_local_deletion_time_s"))
       .withColumn("keyspace", lit("ks1"))
       .withColumn("key_formatted", concat(lit("key-"), col("key")))
 
@@ -185,7 +187,9 @@ object Fixtures {
         sum(when(col("is_counter"), 1L).otherwise(0L))
           .as("counter_cell_count"),
         min("timestamp_us").as("min_timestamp_us"),
-        max("timestamp_us").as("max_timestamp_us"))
+        max("timestamp_us").as("max_timestamp_us"),
+        min("local_deletion_time_s").as("min_local_deletion_time_s"),
+        max("local_deletion_time_s").as("max_local_deletion_time_s"))
       .groupBy(col("tbl"), col("sstable_id"), col("key"))
       .agg(
         sum("size").as("size"),
@@ -199,7 +203,9 @@ object Fixtures {
         sum("expiring_cell_count").as("expiring_cell_count"),
         sum("counter_cell_count").as("counter_cell_count"),
         min("min_timestamp_us").as("min_timestamp_us"),
-        max("max_timestamp_us").as("max_timestamp_us"))
+        max("max_timestamp_us").as("max_timestamp_us"),
+        min("min_local_deletion_time_s").as("min_local_deletion_time_s"),
+        max("max_local_deletion_time_s").as("max_local_deletion_time_s"))
       .withColumn("keyspace", lit("ks1"))
       .withColumn("key_formatted", concat(lit("key-"), col("key")))
 
@@ -237,7 +243,21 @@ object Fixtures {
   /** SSTable metadata (SSTableMetadata.java:47-84, filled at
     * CassandraBackend.java:89-123), derived per sstable from the scan rows.
     * level / repaired / strategy are deterministic functions of the sstable
-    * id so every report branch is exercised. */
+    * id so every report branch is exercised.
+    *
+    * Full S2 field parity (SSTableMetadataCollector.java:39-57):
+    *  - file_timestamp_ms (file mtime, CassandraBackend.java:99): the
+    *    fixture stands in "flushed one hour after the last write" —
+    *    deterministic, so the binary roundtrip stays oracle-checkable;
+    *  - min/max_local_deletion_time_s (seconds; live cells carry the
+    *    Integer.MAX_VALUE sentinel the X7 renderer blanks);
+    *  - estimated_keys: the reference consumes Cassandra's stored estimate
+    *    (CassandraBackend.java:109); this engine computes the EXACT key
+    *    count — same meaning, tighter value;
+    *  - avg/max_column_count (cells per partition, floor'd mean);
+    *  - droppable tombstone estimate at gcBefore
+    *    (CassandraBackend.java:116): count + a x1000 integer ratio so the
+    *    double-free form is bit-equal across engines. */
   def sstableMeta(pscan: DataFrame): DataFrame =
     pscan
       .groupBy("tbl", "sstable_id")
@@ -247,11 +267,22 @@ object Fixtures {
         max("size").as("max_partition_size"),
         sum("cell_count").as("cell_count"),
         min("min_timestamp_us").as("min_timestamp_us"),
-        max("max_timestamp_us").as("max_timestamp_us"))
+        max("max_timestamp_us").as("max_timestamp_us"),
+        min("min_local_deletion_time_s").as("min_local_deletion_time_s"),
+        max("max_local_deletion_time_s").as("max_local_deletion_time_s"),
+        max("cell_count").as("max_column_count"),
+        sum("droppable_tombstone_count").as("droppable_tombstone_count"))
       .withColumn("keyspace", lit("ks1"))
       .withColumn("disk_length", floor(col("uncompressed_length") * 3 / 5))
       .withColumn("avg_partition_size",
         floor(col("uncompressed_length") / col("partition_count")))
+      .withColumn("file_timestamp_ms",
+        floor(col("max_timestamp_us") / 1000) + 3600000L)
+      .withColumn("estimated_keys", col("partition_count"))
+      .withColumn("avg_column_count",
+        floor(col("cell_count") / col("partition_count")))
+      .withColumn("droppable_ratio_x1000",
+        floor(col("droppable_tombstone_count") * 1000 / col("cell_count")))
       .withColumn("level", expr("CAST(right(sstable_id, 1) AS INT)"))
       .withColumn("is_repaired", col("level") % 2 === 0)
       .withColumn("repaired_at_ms",

@@ -176,6 +176,14 @@ final class StatsDbPartitionReader(files: Array[(String, String)],
       case "is_repaired" => r => r._2.isRepaired
       case "repaired_at_ms" => r => r._2.repairedAtMs.map(Long.box).orNull
       case "compaction_strategy" => r => UTF8String.fromString(r._2.compactionStrategy)
+      case "file_timestamp_ms" => r => r._2.fileTimestampMs
+      case "min_local_deletion_time_s" => r => r._2.minLocalDeletionTimeS
+      case "max_local_deletion_time_s" => r => r._2.maxLocalDeletionTimeS
+      case "estimated_keys" => r => r._2.estimatedKeys
+      case "avg_column_count" => r => r._2.avgColumnCount
+      case "max_column_count" => r => r._2.maxColumnCount
+      case "droppable_tombstone_count" => r => r._2.droppableTombstoneCount
+      case "droppable_ratio_x1000" => r => r._2.droppableRatioX1000
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
 

@@ -78,7 +78,15 @@ object StatsDbFixture {
         repairedAtMs =
           if (r.isNullAt(r.fieldIndex("repaired_at_ms"))) None
           else Some(L("repaired_at_ms")),
-        compactionStrategy = r.getString(r.fieldIndex("compaction_strategy")))
+        compactionStrategy = r.getString(r.fieldIndex("compaction_strategy")),
+        fileTimestampMs = L("file_timestamp_ms"),
+        minLocalDeletionTimeS = L("min_local_deletion_time_s"),
+        maxLocalDeletionTimeS = L("max_local_deletion_time_s"),
+        estimatedKeys = L("estimated_keys"),
+        avgColumnCount = L("avg_column_count"),
+        maxColumnCount = L("max_column_count"),
+        droppableTombstoneCount = L("droppable_tombstone_count"),
+        droppableRatioX1000 = L("droppable_ratio_x1000"))
       val stream = new DataOutputStream(new BufferedOutputStream(
         new FileOutputStream(
           out.resolve(sstableId + StatsDbFormat.Suffix).toFile)))

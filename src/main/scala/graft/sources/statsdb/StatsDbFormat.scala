@@ -28,8 +28,18 @@ import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, writeUnsignedVInt}
   *               min_timestamp_us:uvint max_timestamp_us:uvint
   *               level:uvint flags:byte                  // bit0 repaired
   *               [repaired_at_ms:uvint]                  // iff repaired
-  *                                                       // type 1
+  *               file_timestamp_ms:uvint
+  *               min_local_deletion_time_s:uvint
+  *               max_local_deletion_time_s:uvint
+  *               estimated_keys:uvint
+  *               avg_column_count:uvint max_column_count:uvint
+  *               droppable_tombstone_count:uvint
+  *               droppable_ratio_x1000:uvint             // type 1
   * ```
+  *
+  * Version 2 appended the S2 parity fields (file timestamp, deletion-time
+  * bounds, estimated keys, column counts, droppable-tombstone estimate —
+  * SSTableMetadataCollector.java:39-57); version-1 files are rejected.
   *
   * Metadata files are O(100 B); parsing operates on the fully-read bytes
   * (exactly how engines treat parquet footers), never streaming.
@@ -38,7 +48,7 @@ object StatsDbFormat {
 
   val Suffix = "-Statistics.db"
   val Magic = 0x47535441
-  val Version = 1L
+  val Version = 2L
   val TypeValidation = 0
   val TypeStats = 1
 
@@ -59,7 +69,15 @@ object StatsDbFormat {
     StructField("level", IntegerType, nullable = false),
     StructField("is_repaired", BooleanType, nullable = false),
     StructField("repaired_at_ms", LongType, nullable = true),
-    StructField("compaction_strategy", StringType, nullable = false)))
+    StructField("compaction_strategy", StringType, nullable = false),
+    StructField("file_timestamp_ms", LongType, nullable = false),
+    StructField("min_local_deletion_time_s", LongType, nullable = false),
+    StructField("max_local_deletion_time_s", LongType, nullable = false),
+    StructField("estimated_keys", LongType, nullable = false),
+    StructField("avg_column_count", LongType, nullable = false),
+    StructField("max_column_count", LongType, nullable = false),
+    StructField("droppable_tombstone_count", LongType, nullable = false),
+    StructField("droppable_ratio_x1000", LongType, nullable = false)))
 
   final case class Stats(
       keyspace: String,
@@ -75,7 +93,15 @@ object StatsDbFormat {
       level: Int,
       isRepaired: Boolean,
       repairedAtMs: Option[Long],
-      compactionStrategy: String)
+      compactionStrategy: String,
+      fileTimestampMs: Long,
+      minLocalDeletionTimeS: Long,
+      maxLocalDeletionTimeS: Long,
+      estimatedKeys: Long,
+      avgColumnCount: Long,
+      maxColumnCount: Long,
+      droppableTombstoneCount: Long,
+      droppableRatioX1000: Long)
 
   private def writeUtf(out: DataOutput, s: String): Unit = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -106,6 +132,14 @@ object StatsDbFormat {
       writeUnsignedVInt(d, s.level.toLong)
       d.write(if (s.isRepaired) 1 else 0)
       s.repairedAtMs.foreach(writeUnsignedVInt(d, _))
+      writeUnsignedVInt(d, s.fileTimestampMs)
+      writeUnsignedVInt(d, s.minLocalDeletionTimeS)
+      writeUnsignedVInt(d, s.maxLocalDeletionTimeS)
+      writeUnsignedVInt(d, s.estimatedKeys)
+      writeUnsignedVInt(d, s.avgColumnCount)
+      writeUnsignedVInt(d, s.maxColumnCount)
+      writeUnsignedVInt(d, s.droppableTombstoneCount)
+      writeUnsignedVInt(d, s.droppableRatioX1000)
       bos.toByteArray
     }
     // header size: magic(4) + version-vint + count-vint + 2×(1 + 4)
@@ -166,8 +200,17 @@ object StatsDbFormat {
     val level = readUnsignedVInt(st).toInt
     val repaired = st.readUnsignedByte() != 0
     val repairedAt = if (repaired) Some(readUnsignedVInt(st)) else None
+    val fileTs = readUnsignedVInt(st)
+    val minLdt = readUnsignedVInt(st)
+    val maxLdt = readUnsignedVInt(st)
+    val estKeys = readUnsignedVInt(st)
+    val avgCols = readUnsignedVInt(st)
+    val maxCols = readUnsignedVInt(st)
+    val droppable = readUnsignedVInt(st)
+    val droppableRatio = readUnsignedVInt(st)
     Stats(keyspace, tbl, partitionCount, uncompressedLength, diskLength,
       maxPartitionSize, avgPartitionSize, cellCount, minTs, maxTs, level,
-      repaired, repairedAt, strategy)
+      repaired, repairedAt, strategy, fileTs, minLdt, maxLdt, estKeys,
+      avgCols, maxCols, droppable, droppableRatio)
   }
 }

@@ -21,7 +21,11 @@ class StatsDbSourceSpec extends SparkSpec {
     minTimestampUs = 5L, maxTimestampUs = (1L << 41) + 9L, level = 3,
     isRepaired = repaired,
     repairedAtMs = if (repaired) Some((1L << 35) + 1L) else None,
-    compactionStrategy = "TWCS")
+    compactionStrategy = "TWCS",
+    fileTimestampMs = (1L << 38) + 7L,
+    minLocalDeletionTimeS = 123L, maxLocalDeletionTimeS = 2147483647L,
+    estimatedKeys = 42L, avgColumnCount = 18L, maxColumnCount = 99L,
+    droppableTombstoneCount = 13L, droppableRatioX1000 = 16L)
 
   test("binary codec round-trips every field, with and without repairedAt") {
     Seq(sample("lineitem", repaired = true),
@@ -110,7 +114,10 @@ class StatsDbSourceSpec extends SparkSpec {
       "uncompressed_length", "disk_length", "max_partition_size",
       "avg_partition_size", "cell_count", "min_timestamp_us",
       "max_timestamp_us", "level", "is_repaired", "repaired_at_ms",
-      "compaction_strategy")
+      "compaction_strategy", "file_timestamp_ms",
+      "min_local_deletion_time_s", "max_local_deletion_time_s",
+      "estimated_keys", "avg_column_count", "max_column_count",
+      "droppable_tombstone_count", "droppable_ratio_x1000")
     val raw = StatsDb.read(spark, StatsDbFixture.ensureFiles(spark, Sf0001))
       .select(cols.map(col): _*).orderBy("sstable_id").collect().toSeq
     val view = graft.sources.Fixtures.sstableMeta(

@@ -153,6 +153,14 @@ object SparkEntry {
     // purge
     "q16_purge_top" -> ((s, d) => Purge.top(s, d)),
     "q17_purge_totals" -> ((s, d) => Purge.totals(s, d)),
+    // gc_grace parameterization (ColumnFamilyBackend.java:149,
+    // PurgeStatisticBackend.java:47): the same reports at gc_grace = 500
+    // days — gcBefore moves from fixture day 2500 to day 3500, so
+    // droppable/reclaimable grow; both engines compute from the parameter.
+    "q57_purge_gc_totals" -> ((s, d) => Purge.totals(s, d,
+      gcBeforeS = graft.sources.Fixtures.gcBeforeFor(500L * 86400L))),
+    "q58_cfstats_gc_totals" -> ((s, d) => CfStats.totals(s, d,
+      gcBeforeS = graft.sources.Fixtures.gcBeforeFor(500L * 86400L))),
     // F1 on the purge path: the filter restricts the scan BEFORE the LWW
     // merge, so excluded sstables neither contribute size nor shadow.
     "q45_purge_filtered" -> ((s, d) =>

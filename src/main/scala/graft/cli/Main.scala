@@ -15,14 +15,22 @@ import org.apache.spark.sql.SparkSession
   * `-n` top-N rows, `-f` comma-separated Data.db names (F1), `-b` batch
   * progress lines on stderr (K2), `-t` names the snapshot to analyse —
   * inputs here are immutable fixture paths, so the name is echoed (or
-  * generated, X8) without hardlinking; `help [command]` prints usage. Data
-  * directory comes from SPARK_GRAFT_SF_DIR. Exit codes: 0 ok, 2 usage
-  * error — parse failures never start a SparkSession. */
+  * generated, X8) without hardlinking; `-g` overrides gc_grace_seconds for
+  * cfstats/purge (the reference reads it from the table schema,
+  * ColumnFamilyBackend.java:149 — an engine library gets it as input);
+  * `help [command]` prints usage. Data directory comes from
+  * SPARK_GRAFT_SF_DIR. Exit codes: 0 ok, 2 usage error — parse failures
+  * never start a SparkSession. */
 object Main {
 
   final case class Opts(command: String, topN: Int = 10,
       snapshot: Option[String] = None, files: Seq[String] = Nil,
-      batch: Boolean = false, keyspace: String = "", table: String = "")
+      batch: Boolean = false, keyspace: String = "", table: String = "",
+      gcGraceS: Option[Long] = None) {
+    def gcBeforeS: Long = gcGraceS
+      .map(graft.sources.Fixtures.gcBeforeFor)
+      .getOrElse(graft.sources.Fixtures.GcBeforeS)
+  }
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge")
 
@@ -30,7 +38,8 @@ object Main {
     case "summary" => "Usage: summary"
     case "sstables" => "Usage: sstables <keyspace> <table>"
     case c if Commands(c) =>
-      s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b] <keyspace> <table>"
+      s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
+        s" [-g <gc_grace_seconds>] <keyspace> <table>"
     case _ =>
       """Usage: <command> [options]
         |Commands:
@@ -65,6 +74,10 @@ object Main {
               // bare sstable id and the full file name
               o = o.copy(files = v.split(",").toSeq.filter(_.nonEmpty)
                 .map(_.stripSuffix("-Data.db"))); rest = t
+            case Seq("-g", v, t @ _*) =>
+              val g = v.toLongOption.getOrElse(return Left(usage(cmd)))
+              if (g < 0) return Left(usage(cmd))
+              o = o.copy(gcGraceS = Some(g)); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -104,10 +117,12 @@ object Main {
         out(tracked("pstats")(Reports.pstats(spark, dir, o.topN, o.files))); 0
       case "cfstats" =>
         if (!requireStore()) return 2
-        out(tracked("cfstats")(Reports.cfstats(spark, dir, o.topN, o.files))); 0
+        out(tracked("cfstats")(
+          Reports.cfstats(spark, dir, o.topN, o.files, o.gcBeforeS))); 0
       case "purge" =>
         if (!requireStore()) return 2
-        out(tracked("purge")(Reports.purge(spark, dir, o.topN, o.files))); 0
+        out(tracked("purge")(
+          Reports.purge(spark, dir, o.topN, o.files, o.gcBeforeS))); 0
     }
   }
 

@@ -67,14 +67,16 @@ object Reports {
   }
 
   /** `cfstats` (ColumnFamilyStatisticsCollector.java): the 9-section
-    * cell-level report. */
+    * cell-level report. gcBeforeS = the table's `now − gc_grace_seconds`
+    * cutoff (ColumnFamilyBackend.java:149) for the droppable counts. */
   def cfstats(spark: SparkSession, dir: String, topN: Int = 10,
-      sstableFilter: Seq[String] = Nil): String = {
+      sstableFilter: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
     val f = sstableFilter
     if (filtered(Fixtures.liPscan(spark, dir), f).isEmpty)
       return NoData // F2 guard
     Seq(
-      section("Totals", CfStats.totals(spark, dir, f)),
+      section("Totals", CfStats.totals(spark, dir, f, gcBeforeS)),
       section("Rows per partition", CfStats.rowsDistribution(spark, dir, f)),
       section("Cells per partition", CfStats.cellsDistribution(spark, dir, f)),
       section("Tombstones per partition (with tombstones)",
@@ -82,24 +84,26 @@ object Reports {
       section(s"Widest partitions (top $topN)",
         CfStats.topWide(spark, dir, topN, f)),
       section(s"Most tombstones (top $topN)",
-        CfStats.topTombstones(spark, dir, topN, f)),
+        CfStats.topTombstones(spark, dir, topN, f, gcBeforeS)),
       section(s"Most deleted rows (top $topN)",
         CfStats.topDeletedRows(spark, dir, topN, f)),
       section("TTL histogram", CfStats.ttlHistogram(spark, dir, f)
         .withColumn("ttl", udf(Formatters.formatTtl _).apply(col("ttl_s")))
         .select("ttl", "cell_count")),
-      section("SSTables", CfStats.sstableStats(spark, dir, f))
+      section("SSTables", CfStats.sstableStats(spark, dir, f, gcBeforeS))
     ).mkString("\n")
   }
 
   /** `purge` (PurgeStatisticsCollector.java): reclaimable top-N + totals.
     * `-f` (F1, parsed at PurgeStatisticsCollector.java:44-49) restricts the
-    * merged scan itself, so both sections reflect it. */
+    * merged scan itself, so both sections reflect it; gcBeforeS drives the
+    * purge predicate (PurgeStatisticBackend.java:47). */
   def purge(spark: SparkSession, dir: String, topN: Int = 10,
-      sstableFilter: Seq[String] = Nil): String =
+      sstableFilter: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String =
     Seq(
       section(s"Most reclaimable partitions (top $topN)",
-        Purge.top(spark, dir, topN, sstableFilter)),
-      section("Totals", Purge.totals(spark, dir, sstableFilter))
+        Purge.top(spark, dir, topN, sstableFilter, gcBeforeS)),
+      section("Totals", Purge.totals(spark, dir, sstableFilter, gcBeforeS))
     ).mkString("\n")
 }

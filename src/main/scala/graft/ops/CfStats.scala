@@ -20,17 +20,23 @@ object CfStats {
 
   /** F1: the -f filter restricts the scan BEFORE the collate
     * (ColumnFamilyBackend.java:80-89) so every section reflects it; the
-    * unfiltered form reuses the session-cached collate. */
+    * unfiltered default-gc form reuses the session-cached collate.
+    * gcBeforeS mirrors the reference's per-table `now − gc_grace_seconds`
+    * (ColumnFamilyBackend.java:149). */
   private def parts(spark: SparkSession, dir: String,
-      sstables: Seq[String] = Nil): DataFrame =
-    if (sstables.isEmpty) Fixtures.liPartitions(spark, dir)
-    else Fixtures.partitions(pscan(spark, dir, sstables))
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame =
+    if (sstables.isEmpty && gcBeforeS == Fixtures.GcBeforeS)
+      Fixtures.liPartitions(spark, dir)
+    else Fixtures.partitions(pscan(spark, dir, sstables, gcBeforeS))
 
   private def pscan(spark: SparkSession, dir: String,
-      sstables: Seq[String] = Nil): DataFrame =
-    if (sstables.isEmpty) Fixtures.liPscan(spark, dir)
-    else Fixtures.liPscan(spark, dir)
-      .where(col("sstable_id").isin(sstables: _*))
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val p = Fixtures.liPscanAt(spark, dir, gcBeforeS)
+    if (sstables.isEmpty) p
+    else p.where(col("sstable_id").isin(sstables: _*))
+  }
 
   private def distribution(df: DataFrame, measure: String): DataFrame = {
     val aggs = Dist.agg(measure)
@@ -65,8 +71,9 @@ object CfStats {
 
   /** T1/T2 TOMBSTONE + F3. */
   def topTombstones(spark: SparkSession, dir: String, n: Int = 10,
-      sstables: Seq[String] = Nil): DataFrame =
-    parts(spark, dir, sstables)
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame =
+    parts(spark, dir, sstables, gcBeforeS)
       .where(col("tombstone_count") > 0)
       .select("key", "key_formatted", "tombstone_count",
         "droppable_tombstone_count", "size")
@@ -97,8 +104,9 @@ object CfStats {
 
   /** A9: global counters. */
   def totals(spark: SparkSession, dir: String,
-      sstables: Seq[String] = Nil): DataFrame =
-    totalsOf(parts(spark, dir, sstables))
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame =
+    totalsOf(parts(spark, dir, sstables, gcBeforeS))
 
   /** A9 over any collated-partitions frame (parquet-fixture- or raw-
     * Data.db-derived — the pipeline is source-agnostic). */
@@ -114,8 +122,9 @@ object CfStats {
   /** A2/A13: per-sstable scan statistics incl. liveness % =
     * floor(liveCells·100/cells) (SSTableStatistics.java:152-154). */
   def sstableStats(spark: SparkSession, dir: String,
-      sstables: Seq[String] = Nil): DataFrame =
-    pscan(spark, dir, sstables)
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame =
+    pscan(spark, dir, sstables, gcBeforeS)
       .groupBy("sstable_id")
       .agg(
         count(lit(1)).as("partition_count"),

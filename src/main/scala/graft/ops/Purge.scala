@@ -38,7 +38,8 @@ object Purge {
     * lineitem has duplicate (orderkey, linenumber) rows, and a tie that
     * survives all of these is identical in every field the purge reads,
     * so the winner choice cannot affect results in either engine. */
-  def perPartition(cells: DataFrame): DataFrame = {
+  def perPartition(cells: DataFrame,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
     val merged = cells
       .groupBy("key", "clustering", "column_name")
       .agg(
@@ -49,7 +50,7 @@ object Purge {
       .agg(
         sum("grp_size").as("size"),
         sum(when(!(col("w.is_tombstone") &&
-            col("w.local_deletion_time_s") < Fixtures.GcBeforeS),
+            col("w.local_deletion_time_s") < gcBeforeS),
           col("w.size_bytes")).otherwise(0L)).as("merged_size"))
     // table_count on its own slim branch: distinct (key, sstable) pairs
     // combine map-side before the shuffle, and both join inputs come out of
@@ -72,34 +73,43 @@ object Purge {
     *
     * F1: the -f filter (PurgeStatisticsCollector.java:44-49) restricts the
     * scan BEFORE the merge (ColumnFamilyBackend.java:80-89) — a cell whose
-    * sstable is excluded neither contributes size nor shadows survivors. */
+    * sstable is excluded neither contributes size nor shadows survivors.
+    *
+    * gcBeforeS mirrors the reference's per-table `now − gc_grace_seconds`
+    * (PurgeStatisticBackend.java:47); each cutoff caches its own merge pass
+    * (the cutoff changes what the merge itself drops). */
   private def stats(spark: SparkSession, dir: String,
-      sstables: Seq[String] = Nil): DataFrame = {
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
     def cells = Fixtures.lineitemCells(Tables.lineitem(spark, dir))
     if (sstables.isEmpty)
-      graft.sources.PlanCache.cached(spark, s"purge|$dir")(perPartition(cells))
+      graft.sources.PlanCache.cached(spark, s"purge|$dir|gc$gcBeforeS")(
+        perPartition(cells, gcBeforeS))
     else
       // filtered runs cache per file set: a -f session derives every purge
       // report section (top-N, totals) from ONE filtered merge pass, same
       // as the unfiltered path — the key is the sorted set, so distinct
       // filters never alias
       graft.sources.PlanCache.cached(spark,
-        s"purge|$dir|${sstables.sorted.mkString(",")}")(
-        perPartition(cells.where(col("sstable_id").isin(sstables: _*))))
+        s"purge|$dir|gc$gcBeforeS|${sstables.sorted.mkString(",")}")(
+        perPartition(cells.where(col("sstable_id").isin(sstables: _*)),
+          gcBeforeS))
   }
 
   /** Top-N by reclaimable, desc size tiebreak (PurgeStatistics.java:14-20). */
   def top(spark: SparkSession, dir: String, n: Int = 10,
-      sstables: Seq[String] = Nil): DataFrame =
-    stats(spark, dir, sstables)
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame =
+    stats(spark, dir, sstables, gcBeforeS)
       .select("key", "key_formatted", "table_count", "size", "reclaimable")
       .orderBy(desc("reclaimable"), desc("size"), asc("key"))
       .limit(n)
 
   /** Report totals (PurgeStatisticsCollector.java:83-100). */
   def totals(spark: SparkSession, dir: String,
-      sstables: Seq[String] = Nil): DataFrame =
-    stats(spark, dir, sstables).agg(
+      sstables: Seq[String] = Nil,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame =
+    stats(spark, dir, sstables, gcBeforeS).agg(
       count(lit(1)).as("partition_count"),
       sum(when(col("reclaimable") > 0, 1L).otherwise(0L))
         .as("partitions_with_reclaimable"),

@@ -26,9 +26,15 @@ object OracleSql {
   private val oDay =
     "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
 
+  /** gcBefore at the non-default gc_grace = 500 days: fixture NOW (day
+    * 4000) − 500 days — the q57/q58 parameterized-gc_grace check. */
+  val GcAltS = 3500L * 86400L
+
   /** Mirror of Fixtures.lineitemCells + ordersCells + partitionScan +
-    * partitions + sstableMeta as one CTE prefix. */
-  val fixtures: String = s"""
+    * partitions + sstableMeta as one CTE prefix, at an arbitrary
+    * `gcBefore = now − gc_grace_seconds` cutoff (the engine threads the
+    * same parameter through partitionScan). */
+  def fixturesAt(gcBeforeS: Long): String = s"""
 licells AS (
   SELECT 'ks1' AS keyspace, 'lineitem' AS tbl,
     'sst-' || (l_suppkey % 6) AS sstable_id,
@@ -80,7 +86,7 @@ pscan AS (
     CAST(COUNT(DISTINCT CASE WHEN is_tombstone THEN clustering END) AS BIGINT) AS row_delete_count,
     CAST(COUNT(CASE WHEN kind = 'CELL' THEN 1 END) AS BIGINT) AS cell_count,
     CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstone_count,
-    CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS THEN 1 ELSE 0 END) AS BIGINT) AS droppable_tombstone_count,
+    CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s < $gcBeforeS THEN 1 ELSE 0 END) AS BIGINT) AS droppable_tombstone_count,
     CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS range_tombstone_count,
     CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live_cell_count,
     CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring_cell_count,
@@ -132,6 +138,9 @@ meta AS (
          ELSE 'TWCS' END AS compaction_strategy
   FROM pscan GROUP BY 1, 2, 3
 )"""
+
+  /** The default-gc_grace CTE prefix every non-parameterized query uses. */
+  val fixtures: String = fixturesAt(GcBeforeS)
 
   /** Mirror of Dedup.corpus. */
   val corpus: String = """
@@ -337,6 +346,41 @@ SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(SUM(size) AS BIGINT) AS total_size,
   CAST(SUM(size - merged_size) AS BIGINT) AS total_reclaimable
 FROM purge""",
+
+    // q17 at a NON-default gc_grace (500 days → gcBefore = day 3500): the
+    // engine threads gcBeforeS through Purge (PurgeStatisticBackend.java:47
+    // reads it per table), the oracle recomputes with the same cutoff — a
+    // tombstone deleted on day 3000 is droppable here but not at default.
+    "q57_purge_gc_totals" -> s"""WITH ${fixturesAt(GcAltS)},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM licells
+),
+purge AS (
+  SELECT key,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcAltS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(CASE WHEN size > merged_size THEN 1 ELSE 0 END) AS BIGINT) AS partitions_with_reclaimable,
+  CAST(SUM(size) AS BIGINT) AS total_size,
+  CAST(SUM(size - merged_size) AS BIGINT) AS total_reclaimable
+FROM purge""",
+
+    // q15 at the same non-default gc_grace: the droppable counter moves with
+    // the cutoff while every other total stays — checked field by field.
+    "q58_cfstats_gc_totals" -> s"""WITH ${fixturesAt(GcAltS)}
+SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(row_count) AS BIGINT) AS row_count,
+  CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
+  CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+  CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
+  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
+FROM liparts""",
 
     // the typed-Aggregator purge (q38) carries the SAME LWW total order as
     // the window form (PurgeAggregator.beats), so one SQL derivation checks

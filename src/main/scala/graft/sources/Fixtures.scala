@@ -22,11 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
-  /** gc_grace cutoff in "seconds" (fixture time): tombstones written before
-    * day 2500 are droppable — mirrors `gcBefore = now - gc_grace_seconds`
-    * (ColumnFamilyBackend.java:149, PurgeStatisticBackend.java:47) with a
-    * deterministic constant instead of wall-clock now. */
-  val GcBeforeS: Long = 2500L * 86400L
+  /** Fixture-time "now" in seconds: the deterministic stand-in for the
+    * reference's wall-clock NOW_SECONDS (Util / ColumnFamilyBackend.java:149)
+    * — day 4000 of the fixture epoch, after every cell timestamp. */
+  val NowS: Long = 4000L * 86400L
+
+  /** Default gc_grace_seconds — the schema value the reference reads per
+    * table (ColumnFamilyBackend.java:149); 1500 days here. */
+  val DefaultGcGraceS: Long = 1500L * 86400L
+
+  /** `gcBefore = now − gc_grace_seconds` (ColumnFamilyBackend.java:149,
+    * PurgeStatisticBackend.java:47) in fixture time. */
+  def gcBeforeFor(gcGraceS: Long): Long = NowS - gcGraceS
+
+  /** Default gc_grace cutoff (fixture day 2500): tombstones deleted before
+    * it are droppable. Every report path takes gcBefore as a parameter with
+    * this default, mirroring the reference's per-table computation. */
+  val GcBeforeS: Long = gcBeforeFor(DefaultGcGraceS)
 
   val EpochDay = "1992-01-01"
 
@@ -108,6 +120,15 @@ object Fixtures {
     PlanCache.cached(spark, s"li_pscan|$dir")(
       partitionScan(cells(spark, dir)))
 
+  /** [[liPscan]] at a non-default gcBefore — its own session cache entry, so
+    * a session analysing several gc_grace settings (the reference recomputes
+    * gcBefore per table, ColumnFamilyBackend.java:149) materializes each
+    * cutoff's scan once. */
+  def liPscanAt(spark: SparkSession, dir: String, gcBeforeS: Long): DataFrame =
+    if (gcBeforeS == GcBeforeS) liPscan(spark, dir)
+    else PlanCache.cached(spark, s"li_pscan|$dir|gc$gcBeforeS")(
+      partitionScan(cells(spark, dir), gcBeforeS))
+
   def ordersPscan(spark: SparkSession, dir: String): DataFrame =
     PlanCache.cached(spark, s"o_pscan|$dir")(
       partitionScan(ordersCells(Tables.orders(spark, dir))))
@@ -126,7 +147,8 @@ object Fixtures {
     * Partial aggregation happens map-side (HashAggregate partial) before the
     * shuffle on the group keys — the distributed analog of the reference's
     * per-sstable accumulators. */
-  def partitionScan(cells: DataFrame): DataFrame =
+  def partitionScan(cells: DataFrame,
+      gcBeforeS: Long = GcBeforeS): DataFrame =
     cells
       // group keys kept narrow: keyspace is constant and key_formatted is
       // derivable from key, so neither rides the shuffle (re-attached below)
@@ -139,7 +161,7 @@ object Fixtures {
         count(when(col("kind") === "CELL", 1)).as("cell_count"),
         sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstone_count"),
         sum(when(col("is_tombstone") &&
-          col("local_deletion_time_s") < GcBeforeS, 1L).otherwise(0L))
+          col("local_deletion_time_s") < gcBeforeS, 1L).otherwise(0L))
           .as("droppable_tombstone_count"),
         sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
           .as("range_tombstone_count"),
@@ -165,7 +187,8 @@ object Fixtures {
     * exactly one bucket (distinct-within-bucket is additive across buckets).
     * Equivalence with the unsalted form is property-tested; AQE's skew
     * handling covers moderate skew, this covers the degenerate case. */
-  def partitionScanSalted(cells: DataFrame, buckets: Int = 16): DataFrame =
+  def partitionScanSalted(cells: DataFrame, buckets: Int = 16,
+      gcBeforeS: Long = GcBeforeS): DataFrame =
     cells
       .withColumn("salt", pmod(hash(col("clustering")), lit(buckets)))
       .groupBy(col("tbl"), col("sstable_id"), col("key"), col("salt"))
@@ -177,7 +200,7 @@ object Fixtures {
         count(when(col("kind") === "CELL", 1)).as("cell_count"),
         sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstone_count"),
         sum(when(col("is_tombstone") &&
-          col("local_deletion_time_s") < GcBeforeS, 1L).otherwise(0L))
+          col("local_deletion_time_s") < gcBeforeS, 1L).otherwise(0L))
           .as("droppable_tombstone_count"),
         sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
           .as("range_tombstone_count"),

@@ -32,6 +32,19 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("help", "pstats")) === Left(Main.usage("pstats")))
   }
 
+  test("parse: -g overrides gc_grace; gcBefore = fixture NOW - gc_grace") {
+    val g = Main.parse(Seq("purge", "-g", "43200000", "ks1", "lineitem"))
+      .toOption.get
+    assert(g.gcGraceS === Some(43200000L)) // 500 days
+    assert(g.gcBeforeS === graft.sources.Fixtures.NowS - 43200000L)
+    // default when absent
+    val d = Main.parse(Seq("purge", "ks1", "lineitem")).toOption.get
+    assert(d.gcBeforeS === graft.sources.Fixtures.GcBeforeS)
+    // non-numeric / negative are usage errors
+    assert(Main.parse(Seq("purge", "-g", "soon", "ks1", "lineitem")).isLeft)
+    assert(Main.parse(Seq("purge", "-g", "-1", "ks1", "lineitem")).isLeft)
+  }
+
   test("dispatch: each command renders its report sections") {
     def collect(args: String*): String = {
       val sb = new StringBuilder

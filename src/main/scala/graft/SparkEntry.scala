@@ -64,6 +64,29 @@ object SparkEntry {
           sum(col("key_long") % ChkMod).as("keys_sum"))
         .orderBy("sstable_id")
     }),
+    // X4 typed partition-key decode: the same Index.db roundtrip over a
+    // COMPOSITE-key fixture (Cassandra CompositeType layout: 2-byte length,
+    // bytes, end-of-component 0 per component) decoded by the key-validator
+    // column algebra (ColumnFamilyBackend.java:163-166 renders through the
+    // table's validator); the oracle recomputes the rendered "long:utf8"
+    // form directly from parquet, so the binary decode is hash-checked.
+    "q59_index_composite_keys" -> ((s, d) => {
+      import graft.sources.indexdb.{IndexDb, IndexDbFixture}
+      import graft.sources.KeyValidator
+      val v = KeyValidator.CompositeKey(
+        KeyValidator.LongKey, KeyValidator.Utf8Key)
+      IndexDb.read(s, IndexDbFixture.ensureCompositeFiles(s, d))
+        .select(col("sstable_id"), col("position"),
+          v.format(col("key")).as("key_str"))
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("entries"),
+          min(col("key_str")).as("first_key"),
+          max(col("key_str")).as("last_key"),
+          sum(graft.functions.PortableHash.h60(col("key_str")) % ChkMod)
+            .as("keys_sum"),
+          sum(col("position") % ChkMod).as("positions_sum"))
+        .orderBy("sstable_id")
+    }),
     // parquet cells → binary Data.db files → DataSource V2 parse →
     // per-sstable aggregate; the oracle recomputes from parquet, so any
     // mis-encoded event field anywhere in the roundtrip hash-mismatches.

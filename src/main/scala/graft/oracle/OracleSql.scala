@@ -478,6 +478,24 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
   CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum
 FROM idx GROUP BY 1 ORDER BY 1""",
 
+    // X4 typed-key roundtrip: q40's shape over the composite-key fixture;
+    // the rendered "orderkey:k<orderkey mod 97>" form is recomputed from
+    // parquet, so every byte of the binary CompositeType decode is checked
+    // (via the portable h60 checksum of the rendered string).
+    "q59_index_composite_keys" -> s"""WITH $fixtures,
+ck AS (
+  SELECT sstable_id,
+    CAST(key AS VARCHAR) || ':k' || CAST(key % 97 AS VARCHAR) AS key_str,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
+  MIN(key_str) AS first_key, MAX(key_str) AS last_key,
+  CAST(SUM(${h60("key_str")} % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(position % 1000003) AS BIGINT) AS positions_sum
+FROM ck GROUP BY 1 ORDER BY 1""",
+
     // per-sstable rollup of EVERY event field after the parquet → binary
     // Data.db → DSv2 roundtrip; recomputed here straight from parquet.
     // Sums are modular (% 1000003, matching SparkEntry.ChkMod): a raw

@@ -40,15 +40,25 @@ object IndexDbFixture {
     }
   }
 
-  def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
+  def ensureFiles(spark: SparkSession, dir: String): String =
+    ensure(spark, s"long|$dir")(writeAll(spark, dir, _))
+
+  /** Index.db files whose keys are COMPOSITE (long orderkey, utf8 tag) —
+    * the X4 typed-key fixture: Cassandra CompositeType layout on disk
+    * (KeyValidator.CompositeKey), exercised by the q59 raw roundtrip. */
+  def ensureCompositeFiles(spark: SparkSession, dir: String): String =
+    ensure(spark, s"composite|$dir")(writeComposite(spark, dir, _))
+
+  private def ensure(spark: SparkSession, key: String)(
+      write: Path => Unit): String = memo.synchronized {
     sweepStopped()
-    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
     val hit = memo.get(k)
     if (hit != null) return hit._2
     val out = graft.sources.TempDirs.register(
       Files.createTempDirectory("graft-indexdb-fixture"))
     // a half-written tree is never memoized NOR left behind: delete on failure
-    try writeAll(spark, dir, out)
+    try write(out)
     catch {
       case t: Throwable =>
         val root = out.toFile
@@ -85,6 +95,41 @@ object IndexDbFixture {
         // a small promoted-index blob proves the reader's skip path on every entry
         IndexDbFormat.writeEntry(stream, keyBytes, position,
           promoted = Array.fill((r.getLong(1) % 4).toInt)(0x5a.toByte))
+        position += r.getLong(2)
+      }
+    } finally if (stream != null) stream.close()
+  }
+
+  /** Same layout as [[writeAll]] but keys are Cassandra-composite
+    * (long orderkey, utf8 "k<orderkey mod 97>") — the typed-key decode
+    * fixture. Binary composite order equals orderkey order here (the first
+    * component is a non-negative big-endian long), so entries stay sorted. */
+  private def writeComposite(spark: SparkSession, dir: String,
+      out: Path): Unit = {
+    import graft.sources.KeyValidator
+    val validator = KeyValidator.CompositeKey(
+      KeyValidator.LongKey, KeyValidator.Utf8Key)
+    val rows = Fixtures.liPscan(spark, dir)
+      .select(col("sstable_id"), col("key"), col("size"))
+      .orderBy("sstable_id", "key")
+      .collect()
+    var current: String = null
+    var stream: DataOutputStream = null
+    var position = 0L
+    try {
+      rows.foreach { r =>
+        val sst = r.getString(0)
+        if (sst != current) {
+          if (stream != null) stream.close()
+          stream = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(out.resolve(sst + IndexDbFormat.Suffix).toFile)))
+          current = sst
+          position = 0L
+        }
+        val k = r.getLong(1)
+        val keyBytes = validator.encode(Seq(k, s"k${k % 97}"))
+        IndexDbFormat.writeEntry(stream, keyBytes, position,
+          promoted = Array.empty)
         position += r.getLong(2)
       }
     } finally if (stream != null) stream.close()

@@ -18,12 +18,16 @@ object PortableHash {
   /** Column form: the native [[Hash60]] expression (one static call in
     * whole-stage codegen; value-identical to the pure-builtin composition
     * `conv(substring(md5(c),1,15),16,10)`, which remains available as
-    * [[h60Builtin]] for sessions that must not register functions). */
-  def h60(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(GraftFunctions.ensureRegistered)
-    GraftFunctions.hash60(c)
-  }
+    * [[h60Builtin]]). Falls back to the builtin composition when no session
+    * is active on the calling thread — the registry-name lookup
+    * (`portable_h60` via call_function) resolves only in sessions where
+    * [[GraftFunctions.ensureRegistered]] ran, and a Column built on a bare
+    * thread must still analyze everywhere. */
+  def h60(c: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => GraftFunctions.ensureRegistered(s); GraftFunctions.hash60(c)
+      case None => h60Builtin(c)
+    }
 
   /** Pure-builtin column form (no function registration required). */
   def h60Builtin(c: Column): Column =

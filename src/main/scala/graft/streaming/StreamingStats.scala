@@ -94,10 +94,12 @@ object StreamingStats {
     * only until the watermark passes it, so the dedup works on an unbounded
     * stream (the training-ingest shape: a firehose of documents where
     * near-in-time republication is the dominant duplicate class). Keyed on
-    * the text digest, never the full text: state stores 16 bytes per doc. */
+    * the text digest, never the full text — and on the BINARY digest
+    * (`unhex(md5)`), not md5's 32-char hex string, so the state store
+    * really holds 16 bytes per live document. */
   def dedupedDocs(docs: DataFrame): DataFrame =
     docs
-      .withColumn("text_md5", md5(col("text")))
+      .withColumn("text_md5", unhex(md5(col("text"))))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("text_md5")
 

@@ -393,5 +393,16 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.functions.PortableHash.h60Builtin(col("s")).as("h"))
       .as[Long].collect().toSeq
     assert(fromSpark === fromBuiltin)
+    // a column built on a thread with NO active session must still analyze
+    // (falls back to the builtin composition instead of a registry lookup)
+    @volatile var detached: org.apache.spark.sql.Column = null
+    val t = new Thread(() => {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      detached = graft.functions.PortableHash.h60(col("s"))
+    })
+    t.start(); t.join()
+    val fromDetached = samples.toDF("s").select(detached.as("h"))
+      .as[Long].collect().toSeq
+    assert(fromDetached === fromBuiltin)
   }
 }

@@ -206,9 +206,11 @@ object SparkEntry {
     }),
     // dedup
     "q20_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
-    // maxDocFreq = 0: the exact Jaccard relation is the oracle form; the
-    // engine default is the capped scale path (Dedup.DefaultMaxDocFreq)
-    "q21_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d, maxDocFreq = 0)),
+    // the session-cached EXACT pair relation (the oracle form; the engine
+    // default is the capped scale path, Dedup.DefaultMaxDocFreq) + the
+    // presentation sort
+    "q21_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramPairsExact(s, d).orderBy("id_a", "id_b")),
     "q22_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q23_dedup_simhash" -> ((s, d) => Dedup.simhash(Dedup.corpus(s, d))),
     "q33_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),

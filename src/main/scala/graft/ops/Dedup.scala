@@ -103,6 +103,16 @@ object Dedup {
       thresholdPct: Int = 80, maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
     ngramPairsOf(corpusShingles(spark, dir), thresholdPct, maxDocFreq)
 
+  /** Session-cached EXACT pair relation at the default threshold — the
+    * oracle configuration, shared by the q21 report (which only adds the
+    * presentation sort) and dup-cluster propagation (which consumes it as
+    * the edge feed): one bucket-collect pass per session, the same
+    * PlanCache contract as the scan families. Orders of magnitude smaller
+    * than the shingle table (only ≥80%-Jaccard pairs survive). */
+  def ngramPairsExact(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"ngram_pairs|$dir")(
+      ngramPairs(spark, dir, maxDocFreq = 0))
+
   /** Pair generation over an arbitrary distinct (doc_id, g) shingle set —
     * the testable core of [[ngramJaccard]]. */
   def ngramPairsOf(shingleSet: DataFrame,
@@ -270,11 +280,12 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // the pair relation is persisted FIRST: it feeds four union branches
-    // below (two edge directions + the vertex set twice), which would
-    // otherwise each recompute the whole shingle-bucket pair generation
-    val dup = ngramPairs(spark, dir, maxDocFreq = 0).select("id_a", "id_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the pair relation feeds four union branches below (two edge
+    // directions + the vertex set twice) — the session-cached exact pair
+    // view makes those four reads one bucket-collect pass per SESSION,
+    // shared with q21 (it stays persisted for the session; only the
+    // loop-local caches below are released on return)
+    val dup = ngramPairsExact(spark, dir).select("id_a", "id_b")
     // both edge directions + a self-loop per vertex: min over in-neighbors
     // of the augmented graph = min(own label, neighbor labels)
     val ids = dup.select(col("id_a").as("id"))
@@ -285,14 +296,21 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ids.withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one propagation round: min label over the augmented in-neighborhood
+    def step(l: DataFrame): DataFrame = adj
+      .join(l.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst").as("id")).agg(min("label").as("label"))
     var prevSum: Option[Long] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val next = adj
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // TWO rounds per action: at near-dup edge densities the loop data is
+      // tiny after the first round, so per-job scheduler overhead — not
+      // shuffle volume — dominates; doubling the step depth halves the
+      // number of driver-coordinated jobs for the same fixpoint (a step
+      // applied to converged labels is the identity, so overshooting by one
+      // round is harmless).
+      val next = step(step(labels)).persist(StorageLevel.MEMORY_AND_DISK)
       // one action: materializes `next` and yields the convergence measure.
       // Σ label cannot overflow: labels are doc ids, so the sum is bounded
       // by maxDocId · nDocs and Spark's sum aggregate would ANSI-abort
@@ -303,7 +321,7 @@ object Dedup {
       labels = next
       done = prevSum.contains(sum)
       prevSum = Some(sum)
-      iter += 1
+      iter += 2
     }
     if (!done)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -319,7 +337,6 @@ object Dedup {
       .localCheckpoint()
     labels.unpersist()
     adj.unpersist()
-    dup.unpersist()
     out
   }
 

@@ -21,7 +21,7 @@ object DebugClusters {
     }
     (1 to 2).foreach { rep =>
       println(s"rep $rep")
-      val dup = graft.ops.Dedup.ngramPairs(spark, sfDir, maxDocFreq = 0)
+      val dup = graft.ops.Dedup.ngramPairsExact(spark, sfDir)
         .select("id_a", "id_b")
       val ids = dup.select(col("id_a").as("id"))
         .unionByName(dup.select(col("id_b").as("id"))).distinct()

@@ -248,6 +248,10 @@ object SparkEntry {
     "q56_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // deterministic hash-stratified sampling rollup
     "q54_sample_stratified" -> ((s, d) => TextStats.sampleRollup(s, d)),
+    // sequence packing (concat-and-chunk, two-level distributed prefix sum)
+    "q60_pack_sequences" -> ((s, d) => TextStats.packSequences(s, d)),
+    // benchmark-contamination detection via 5-gram overlap
+    "q61_contamination" -> ((s, d) => TextStats.contamination(s, d)),
     // multimodal
     "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)),
     // typed-Aggregator forms (SURVEY §2.10), both oracle-checked: q37's

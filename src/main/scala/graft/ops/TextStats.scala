@@ -69,6 +69,88 @@ object TextStats {
       best._1.as("pred_lang"), best._2.as("pred_score"))
   }
 
+  /** Sequence packing (concat-and-chunk): the standard pretraining shape —
+    * documents concatenate in a deterministic order (per source, by doc_id)
+    * and the token stream is sliced into fixed `seqLen`-token sequences. A
+    * document's sequence assignment follows from its token OFFSET (sum of
+    * all earlier docs' tokens), i.e. a distributed prefix sum.
+    *
+    * Scale shape: a plain `Window.partitionBy(source)` prefix sum funnels a
+    * whole source through ONE sorted reducer — a scale-killer for a corpus
+    * with few large sources. This is the classic two-level scan instead:
+    * bounded windows inside `docsPerBucket`-sized doc_id buckets, plus a
+    * per-source bucket-base prefix sum over the TINY (source, bucket)
+    * subtotal table, joined back on the bucket key. Every window partition
+    * is bounded; the only unbounded aggregation is a hash rollup.
+    *
+    * Per source: docs, total tokens, sequence count, docs split across a
+    * sequence boundary, and the packed fill ratio (x1000; < 1000 only from
+    * the final partially-filled sequence). */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Int = 2048,
+      docsPerBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = withTokens(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id"), col("token_count"))
+      .withColumn("bucket", floor(col("doc_id") / docsPerBucket))
+    val inBucket = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byBucket = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = t.groupBy("source", "bucket")
+      .agg(sum("token_count").as("bucket_tokens"))
+      .withColumn("bucket_base",
+        coalesce(sum("bucket_tokens").over(byBucket), lit(0L)))
+      .select("source", "bucket", "bucket_base")
+    val off = t
+      .withColumn("in_bucket_off",
+        coalesce(sum("token_count").over(inBucket), lit(0L)))
+      .join(bases, Seq("source", "bucket"))
+      .withColumn("off", col("bucket_base") + col("in_bucket_off"))
+    off
+      .withColumn("first_seq", floor(col("off") / seqLen))
+      .withColumn("last_seq",
+        floor((col("off") + col("token_count") - 1) / seqLen))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("token_count").as("total_tokens"),
+        floor((sum("token_count") + seqLen - 1) / seqLen).as("sequences"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .as("crossing_docs"))
+      .withColumn("fill_x1000",
+        floor(col("total_tokens") * 1000 / (col("sequences") * seqLen)))
+      .orderBy("source")
+  }
+
+  /** Benchmark-contamination detection: held-out evaluation documents that
+    * leak into a training corpus are found by 5-gram overlap — any training
+    * document sharing a shingle with the benchmark set is flagged with its
+    * matched-shingle count and ratio.
+    *
+    * The benchmark here is a deterministic slice (doc_id % `benchMod`) of
+    * the dup-injected corpus, standing in for an external eval set — the
+    * injected exact/near copies of benchmark documents ARE the leaks the
+    * operator must find. Scale shape: the benchmark shingle set is SMALL by
+    * nature (eval sets are thousands of docs, not billions) — it
+    * broadcasts; the corpus side stays a narrow scan + hash aggregate, and
+    * the total/matched join is co-partitioned on doc_id (both sides exit a
+    * doc_id aggregate). */
+  def contamination(spark: SparkSession, dir: String,
+      benchMod: Int = 101): DataFrame = {
+    val sh = Dedup.corpusShingles(spark, dir)
+    val bench = sh.where(col("doc_id") % benchMod === 0)
+      .select("g").distinct()
+    val cand = sh.where(col("doc_id") % benchMod =!= 0)
+    val totals = cand.groupBy("doc_id").agg(count(lit(1)).as("shingles"))
+    cand.join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("matched"), col("shingles"),
+        floor(col("matched") * 1000 / col("shingles"))
+          .as("contamination_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end training-corpus preparation — the operators above composed
     * the way a data pipeline actually runs them: quality gate (length),
     * language gate (langId == en), exact dedup (keep the lowest doc_id per

@@ -615,6 +615,47 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
   CAST(floor(SUM(token_count) / COUNT(*)) AS BIGINT) AS tokens_per_doc
 FROM t GROUP BY 1 ORDER BY 1""",
 
+    // mirror of TextStats.packSequences (seqLen 2048): the oracle uses the
+    // plain per-source prefix sum — the engine's two-level bucketed scan
+    // must be value-identical to the single-window form by construction.
+    "q60_pack_sequences" -> """WITH t AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+),
+o AS (
+  SELECT source, tokens,
+    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+  CAST(floor((SUM(tokens) + 2047) / 2048) AS BIGINT) AS sequences,
+  CAST(SUM(CASE WHEN floor(off / 2048) <> floor((off + tokens - 1) / 2048)
+       THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs,
+  CAST(floor(SUM(tokens) * 1000 /
+       (floor((SUM(tokens) + 2047) / 2048) * 2048)) AS BIGINT) AS fill_x1000
+FROM o GROUP BY 1 ORDER BY 1""",
+
+    // mirror of TextStats.contamination (benchMod 101) over the
+    // dup-injected corpus: the exact/near copies of benchmark docs are the
+    // leaks; 5-gram overlap of each non-benchmark doc vs the benchmark set.
+    "q61_contamination" -> s"""WITH $corpus, $shingles,
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
+cand AS (SELECT doc_id, g FROM sh WHERE doc_id % 101 <> 0),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shingles
+           FROM cand GROUP BY 1),
+m AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS matched
+  FROM cand c JOIN bench b ON c.g = b.g GROUP BY 1
+)
+SELECT m.doc_id, m.matched, t.shingles,
+  CAST(floor(m.matched * 1000 / t.shingles) AS BIGINT) AS contamination_x1000
+FROM m JOIN totals t ON m.doc_id = t.doc_id
+ORDER BY m.doc_id""",
+
     "q30_events_hourly" -> """SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
   event_type,

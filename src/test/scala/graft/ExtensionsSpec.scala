@@ -343,6 +343,64 @@ class ExtensionsSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("sequence packing: two-level prefix sum equals the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: single-window per-source offsets, computed here (the
+    // engine avoids this shape because one source = one sorted reducer)
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seqLen = 2048
+    val truth = docs
+      .withColumn("off", coalesce(sum("tokens").over(w), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("tokens").as("total_tokens"),
+        floor((sum("tokens") + seqLen - 1) / seqLen).as("sequences"),
+        sum(when(floor(col("off") / seqLen) =!=
+          floor((col("off") + col("tokens") - 1) / seqLen), 1L)
+          .otherwise(0L)).as("crossing_docs"))
+      .withColumn("fill_x1000",
+        floor(col("total_tokens") * 1000 / (col("sequences") * seqLen)))
+      .orderBy("source").collect().toSeq
+    // small buckets force multi-bucket bases — the two-level path is real
+    val got = TextStats.packSequences(spark, Sf0001, seqLen,
+      docsPerBucket = 16).collect().toSeq
+    assert(got === truth)
+    got.foreach { r =>
+      assert(r.getAs[Long]("fill_x1000") > 0L &&
+        r.getAs[Long]("fill_x1000") <= 1000L)
+      assert(r.getAs[Long]("crossing_docs") < r.getAs[Long]("docs"))
+    }
+  }
+
+  test("contamination: benchmark docs excluded, planted leak detected") {
+    import spark.implicits._
+    // doc 0 is benchmark (0 % 101 == 0); doc 5 copies half of doc 0's text
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon completely different tail here now"),
+      (7L, "unrelated words that never appear in the benchmark document at all"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val bench = sh.where(col("doc_id") % 101 === 0).select("g").distinct()
+    val cand = sh.where(col("doc_id") % 101 =!= 0)
+    val totals = cand.groupBy("doc_id").agg(count(lit(1)).as("shingles"))
+    val out = cand.join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+      .join(totals, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(5L) && out(5L) >= 1L) // the planted leak
+    assert(!out.contains(0L)) // benchmark docs never flag themselves
+    assert(!out.contains(7L)) // clean doc stays clean
+    // and the fixture-backed operator returns only non-benchmark ids
+    TextStats.contamination(spark, Sf0001).collect().foreach { r =>
+      assert(r.getLong(0) % 101 != 0)
+      assert(r.getLong(1) <= r.getLong(2))
+    }
+  }
+
   test("corpus sink: partitioned layout, bounded files, pruned readback") {
     val out = graft.sources.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft-corpus-out-")).toString

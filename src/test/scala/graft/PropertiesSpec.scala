@@ -129,6 +129,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("composite key encoding round-trips arbitrary (long, utf8) pairs") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.sources.KeyValidator._
+    val comp = CompositeKey(LongKey, Utf8Key)
+    val genPair = for {
+      l <- Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue))
+      s <- Gen.oneOf(Gen.asciiPrintableStr,
+        Gen.listOf(Gen.oneOf('ü', 'ß', '§', '中', 'a', ' ')).map(_.mkString))
+    } yield (l, s)
+    checkProp(genPair, trials = 300) { case (l, s) =>
+      val bytes = comp.encode(Seq(l, s))
+      // driver-side structural parse pins the CompositeType layout:
+      // 2-byte BE length + component bytes + end-of-component 0, twice
+      def len(at: Int) = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+      val sBytes = s.getBytes(UTF_8)
+      len(0) == 8 &&
+        java.nio.ByteBuffer.wrap(bytes, 2, 8).getLong == l &&
+        bytes(10) == 0 &&
+        len(11) == sBytes.length &&
+        new String(bytes, 13, sBytes.length, UTF_8) == s &&
+        bytes(13 + sBytes.length) == 0 &&
+        bytes.length == 14 + sBytes.length
+    }
+  }
+
   test("bounded top-N heap semantics == sort + limit") {
     checkProp(Gen.listOf(Gen.choose(-1000L, 1000L))) { xs =>
       val n = 10

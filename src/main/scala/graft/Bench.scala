@@ -42,12 +42,11 @@ object Bench {
     // expressions themselves (a global agg's row count needs no aggregates),
     // which would time a hollowed-out plan. The noop writer consumes every
     // output column, so each number is the full query's cost.
-    // q37/q38 are typed-Aggregator DEMONSTRATION forms of operators whose
-    // production (relational) forms are benched as q13/q16/q17 — they stay
-    // in the correctness surface (Verify runs them) but are not headline
-    // queries: a user runs one form, not both.
+    // every query is benched, including the typed-Aggregator forms q37/q38
+    // (demonstration forms of q13/q16/q17's relational plans): the typed
+    // A12/A1 paths carry real per-row ser/de cost that deserves a tracked
+    // number alongside the relational forms.
     val headline = SparkEntry.queries.view
-      .filterKeys(k => k != "q37_ttl_map_agg" && k != "q38_purge_agg")
     // min of two timed runs per query: scheduler/GC noise at these
     // sub-second latencies is ±20%, and the minimum is the standard
     // steady-state latency estimator (both runs see the same warm caches)

@@ -87,6 +87,29 @@ object SparkEntry {
           sum(col("position") % ChkMod).as("positions_sum"))
         .orderBy("sstable_id")
     }),
+    // X4 round 6: the full validator-type set — composite
+    // (uuid, int32 incl. negatives, timestamp) keys decoded by the same
+    // algebra; each marshal layout (UUIDType 16-byte msb/lsb, Int32Type
+    // 4-byte two's complement, TimestampType 8-byte millis) roundtrips
+    // binary → rendered string, hash-checked against the oracle's direct
+    // parquet derivation.
+    "q63_index_typed_keys" -> ((s, d) => {
+      import graft.sources.indexdb.{IndexDb, IndexDbFixture}
+      import graft.sources.KeyValidator
+      val v = KeyValidator.CompositeKey(KeyValidator.UuidKey,
+        KeyValidator.Int32Key, KeyValidator.TimestampKey)
+      IndexDb.read(s, IndexDbFixture.ensureTypedFiles(s, d))
+        .select(col("sstable_id"), col("position"),
+          v.format(col("key")).as("key_str"))
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("entries"),
+          min(col("key_str")).as("first_key"),
+          max(col("key_str")).as("last_key"),
+          sum(graft.functions.PortableHash.h60(col("key_str")) % ChkMod)
+            .as("keys_sum"),
+          sum(col("position") % ChkMod).as("positions_sum"))
+        .orderBy("sstable_id")
+    }),
     // parquet cells → binary Data.db files → DataSource V2 parse →
     // per-sstable aggregate; the oracle recomputes from parquet, so any
     // mis-encoded event field anywhere in the roundtrip hash-mismatches.
@@ -270,6 +293,16 @@ object SparkEntry {
     "q42_reservoir_dist" -> ((s, d) =>
       graft.agg.ReservoirHistogram.snapshot(
         graft.sources.Fixtures.liPartitions(s, d), "size")),
+    // the reservoir's EXACT fields split out as an oracle-checkable query:
+    // count/total/min/max ride the aggregator outside the sample
+    // (Histogram.java:57-74 — exact running accumulators), and mean is
+    // exactTotal/exactCount (Snapshot.java:66-68), so only the percentile
+    // estimates above remain engine-specific (rows-only q42).
+    "q42b_reservoir_exact" -> ((s, d) =>
+      graft.agg.ReservoirHistogram.snapshot(
+          graft.sources.Fixtures.liPartitions(s, d), "size")
+        .select(col("count"), col("total"), col("min"), col("max"),
+          floor(col("total") * 1000 / col("count")).as("mean_x1000"))),
     // the training-data operators composed end-to-end: quality gate →
     // language gate → exact dedup → per-source yield rollup
     "q49_corpus_prep" -> ((s, d) => TextStats.corpusPrep(s, d)),

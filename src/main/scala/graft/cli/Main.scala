@@ -26,28 +26,37 @@ object Main {
   final case class Opts(command: String, topN: Int = 10,
       snapshot: Option[String] = None, files: Seq[String] = Nil,
       batch: Boolean = false, keyspace: String = "", table: String = "",
-      gcGraceS: Option[Long] = None) {
+      gcGraceS: Option[Long] = None, method: String = "",
+      seqLen: Int = 2048) {
     def gcBeforeS: Long = gcGraceS
       .map(graft.sources.Fixtures.gcBeforeFor)
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
   }
 
-  val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge")
+  val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
+    "dedup", "pack", "contaminate")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
     case "sstables" => "Usage: sstables <keyspace> <table>"
+    case "dedup" =>
+      "Usage: dedup [-n <num>] {exact|ngram|minhash|simhash|embedding|clusters}"
+    case "pack" => "Usage: pack [-l <seq_len>]"
+    case "contaminate" => "Usage: contaminate [-n <num>]"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
     case _ =>
       """Usage: <command> [options]
         |Commands:
-        |  cfstats   Detailed statistics about cells in a column family
-        |  pstats    Partition size statistics for a column family
-        |  purge     Statistics about reclaimable data for a column family
-        |  sstables  Print out metadata for sstables that belong to a column family
-        |  summary   Summary information about all column families including how much of the data is repaired""".stripMargin
+        |  cfstats      Detailed statistics about cells in a column family
+        |  pstats       Partition size statistics for a column family
+        |  purge        Statistics about reclaimable data for a column family
+        |  sstables     Print out metadata for sstables that belong to a column family
+        |  summary      Summary information about all column families including how much of the data is repaired
+        |  dedup        Duplicate-detection reports over the documents corpus
+        |  pack         Sequence-packing rollup over the documents corpus
+        |  contaminate  Benchmark-contamination report over the documents corpus""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -78,6 +87,10 @@ object Main {
               val g = v.toLongOption.getOrElse(return Left(usage(cmd)))
               if (g < 0) return Left(usage(cmd))
               o = o.copy(gcGraceS = Some(g)); rest = t
+            case Seq("-l", v, t @ _*) if cmd == "pack" =>
+              val l = v.toIntOption.getOrElse(return Left(usage(cmd)))
+              if (l <= 0) return Left(usage(cmd))
+              o = o.copy(seqLen = l); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -85,8 +98,12 @@ object Main {
         }
         val positional = pos.result()
         cmd match {
-          case "summary" =>
+          case "summary" | "pack" | "contaminate" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
+          case "dedup" => positional match {
+            case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
+            case _ => Left(usage(cmd))
+          }
           case _ => positional match {
             case Seq(ks, cf) => Right(o.copy(keyspace = ks,
               table = graft.ops.Summary.resolveStore(cf)))
@@ -123,6 +140,14 @@ object Main {
         if (!requireStore()) return 2
         out(tracked("purge")(
           Reports.purge(spark, dir, o.topN, o.files, o.gcBeforeS))); 0
+      case "dedup" =>
+        out(tracked("dedup")(
+          Reports.dedup(spark, dir, o.method, o.topN))); 0
+      case "pack" =>
+        out(tracked("pack")(Reports.pack(spark, dir, o.seqLen))); 0
+      case "contaminate" =>
+        out(tracked("contaminate")(
+          Reports.contaminate(spark, dir, o.topN))); 0
     }
   }
 
@@ -145,10 +170,13 @@ object Main {
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
-        // X8: a snapshot names the (immutable) file set under analysis
+        // X8: a snapshot names the (immutable) file set under analysis —
+        // only the sstable SCAN commands snapshot (the corpus extension
+        // commands read parquet, and summary/sstables are metadata-only)
         o.snapshot.orElse(
-          if (o.command == "summary" || o.command == "sstables") None
-          else Some(graft.ops.Summary.snapshotName())
+          if (Set("pstats", "cfstats", "purge")(o.command))
+            Some(graft.ops.Summary.snapshotName())
+          else None
         ).foreach(s => System.err.println(s"Snapshot: $s"))
         val rc = try run(spark, dir, o, Console.out.println(_))
           finally spark.stop()

@@ -106,4 +106,38 @@ object Reports {
         Purge.top(spark, dir, topN, sstableFilter, gcBeforeS)),
       section("Totals", Purge.totals(spark, dir, sstableFilter, gcBeforeS))
     ).mkString("\n")
+
+  /** Methods the `dedup` extension command dispatches to. */
+  val DedupMethods =
+    Set("exact", "ngram", "minhash", "simhash", "embedding", "clusters")
+
+  /** `dedup <method>` — the training-data dedup operators as an operator
+    * CLI surface (extension beyond the reference's five commands, same
+    * report style). Sorted-output methods print their first `topN` rows. */
+  def dedup(spark: SparkSession, dir: String, method: String,
+      topN: Int = 10): String = {
+    val df = method match {
+      case "exact" => Dedup.exact(spark, dir)
+      case "ngram" => Dedup.ngramJaccard(spark, dir)
+      case "minhash" => Dedup.minhashLsh(spark, dir)
+      case "simhash" => Dedup.simhash(Dedup.corpus(spark, dir))
+      case "embedding" => Dedup.embeddingNearDup(spark, dir)
+      case "clusters" => Dedup.dupClusters(spark, dir)
+      case m => throw new IllegalArgumentException(s"unknown dedup method $m")
+    }
+    section(s"Dedup ($method, top $topN)", df.limit(topN))
+  }
+
+  /** `pack` — sequence-packing rollup (one row per source). */
+  def pack(spark: SparkSession, dir: String, seqLen: Int = 2048): String =
+    section(s"Sequence packing (seq_len $seqLen)",
+      TextStats.packSequences(spark, dir, seqLen))
+
+  /** `contaminate` — benchmark-contamination report, worst offenders
+    * first. */
+  def contaminate(spark: SparkSession, dir: String, topN: Int = 10): String =
+    section(s"Benchmark contamination (top $topN)",
+      TextStats.contamination(spark, dir)
+        .orderBy(col("contamination_x1000").desc, col("doc_id"))
+        .limit(topN))
 }

@@ -35,11 +35,18 @@ object Dedup {
           .withColumn("n_chars", col("n_chars") + 28L))
   }
 
-  /** Exact dedup: hash-groupBy full text; one shuffle on the text (at real
-    * scale: groupBy a 128-bit digest of the text instead — same plan). */
+  /** Exact dedup keyed on a 128-bit digest: the digest is computed in the
+    * narrow scan and the groupBy shuffles 16-byte `unhex(md5(text))` keys —
+    * the corpus BODY never enters an exchange (keying on raw text would
+    * shuffle the entire 100 TB corpus). Two distinct texts colliding in 128
+    * bits (~n²/2¹²⁹) is beyond reach at any corpus size; the DuckDB oracle
+    * keeps the text-keyed form, so a collision would surface as a t2
+    * mismatch — the same documented-equivalence class as q21's 64-bit
+    * shingle join keys. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
-      .groupBy("text")
+      .select(col("doc_id"), unhex(md5(col("text"))).as("digest"))
+      .groupBy("digest")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
       .where(col("copies") > 1)
       .select("keeper", "copies")
@@ -278,7 +285,7 @@ object Dedup {
     * Returns one row per document that occurs in a dup pair:
     * (doc_id, cluster_rep = min doc_id of its component, cluster_size). */
   def dupClusters(spark: SparkSession, dir: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, loopShufflePartitions: Int = 4): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // the pair relation feeds four union branches below (two edge
     // directions + the vertex set twice) — the session-cached exact pair
@@ -286,6 +293,18 @@ object Dedup {
     // shared with q21 (it stays persisted for the session; only the
     // loop-local caches below are released on return)
     val dup = ngramPairsExact(spark, dir).select("id_a", "id_b")
+    // the loop's frames are tiny (O(dup-pair docs), orders of magnitude
+    // below the corpus) yet every round's join+agg inherited the session's
+    // 32 shuffle partitions — at fixpoint-loop job counts that is pure
+    // scheduler floor (task launch × partitions × rounds), the #1 cost of
+    // this operator in rounds 4-5. Plans COMPILED inside the loop get a
+    // small fixed partition count instead; the session value is restored
+    // on exit. Correctness is partition-count independent; raise the
+    // parameter if a corpus ever has dup-graphs near corpus scale.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSP = spark.conf.get(spKey)
+    spark.conf.set(spKey, loopShufflePartitions.toString)
+    try {
     // both edge directions + a self-loop per vertex: min over in-neighbors
     // of the augmented graph = min(own label, neighbor labels)
     val ids = dup.select(col("id_a").as("id"))
@@ -338,6 +357,7 @@ object Dedup {
     labels.unpersist()
     adj.unpersist()
     out
+    } finally spark.conf.set(spKey, prevSP)
   }
 
   /** SimHash: 60-bit signature from token hashes — per-bit weighted

@@ -154,9 +154,11 @@ object TextStats {
   /** End-to-end training-corpus preparation — the operators above composed
     * the way a data pipeline actually runs them: quality gate (length),
     * language gate (langId == en), exact dedup (keep the lowest doc_id per
-    * text), then a per-source yield/token rollup. One narrow pass derives
-    * every per-doc signal; the only shuffles are the dedup groupBy (at real
-    * scale: on a text digest) and its keeper semi-join. */
+    * text), then a per-source yield rollup. One narrow pass derives every
+    * per-doc signal; the only shuffles are the dedup groupBy — keyed on the
+    * 16-byte `unhex(md5(text))` digest so the corpus body never enters an
+    * exchange — and its keeper semi-join (doc_id keys; column pruning drops
+    * `text` below the join). */
   def corpusPrep(spark: SparkSession, dir: String,
       minTokens: Int = 20, keepLang: String = "en"): DataFrame = {
     // over the dup-injected corpus (the dedup testbed, Dedup.corpus): the
@@ -169,7 +171,7 @@ object TextStats {
       .withColumn("pred_lang", langBest._1)
       .where(col("token_count") >= minTokens &&
         col("pred_lang") === keepLang)
-    val keepers = kept.groupBy("text")
+    val keepers = kept.groupBy(unhex(md5(col("text"))).as("digest"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     kept.join(keepers, Seq("doc_id"), "left_semi")
       .groupBy("source")

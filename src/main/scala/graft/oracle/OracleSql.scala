@@ -209,6 +209,18 @@ SELECT ${Dist.sql("size")},
     CAST(floor(SUM(table_count) * 100 / COUNT(*)) AS BIGINT) AS table_count_avg_x100
 FROM liparts""",
 
+    // the reservoir aggregator's EXACT accumulators (q42's non-randomized
+    // half): count/total/min/max are tracked outside the sample
+    // (Histogram.java:57-74) and mean = exactTotal/exactCount
+    // (Snapshot.java:66-68) — all recomputable relationally.
+    "q42b_reservoir_exact" -> s"""WITH $fixtures
+SELECT CAST(COUNT(*) AS BIGINT) AS count,
+  CAST(SUM(size) AS BIGINT) AS total,
+  CAST(MIN(size) AS BIGINT) AS min,
+  CAST(MAX(size) AS BIGINT) AS max,
+  CAST(floor(SUM(size) * 1000 / COUNT(*)) AS BIGINT) AS mean_x1000
+FROM liparts""",
+
     "q02_pstats_top_size" -> s"""WITH $fixtures
 SELECT key, key_formatted, size, table_count FROM liparts
 ORDER BY size DESC, key LIMIT 10""",
@@ -495,6 +507,38 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
   CAST(SUM(${h60("key_str")} % 1000003) AS BIGINT) AS keys_sum,
   CAST(SUM(position % 1000003) AS BIGINT) AS positions_sum
 FROM ck GROUP BY 1 ORDER BY 1""",
+
+    // q63: rendered (uuid:int32:timestamp) composite keys recomputed
+    // straight from parquet — uuid is the dashed md5 of the decimal key,
+    // int32 = key%1000−500 (negatives render with the sign), timestamp =
+    // key·1000 + key%997 ms rendered "yyyy-MM-dd HH:mm:ss.SSS" UTC (second
+    // part via strftime, millis appended with lpad — strftime's
+    // sub-second specifier is microseconds, which would not match Spark's
+    // SSS).
+    "q63_index_typed_keys" -> s"""WITH $fixtures,
+tk AS (
+  SELECT sstable_id,
+    md5(CAST(key AS VARCHAR)) AS h,
+    CAST(key % 1000 - 500 AS BIGINT) AS iv,
+    key * 1000 + key % 997 AS ms,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+),
+ks AS (
+  SELECT sstable_id, position,
+    substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+      || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12)
+      || ':' || CAST(iv AS VARCHAR)
+      || ':' || strftime(epoch_ms(ms), '%Y-%m-%d %H:%M:%S')
+      || '.' || lpad(CAST(ms % 1000 AS VARCHAR), 3, '0') AS key_str
+  FROM tk
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
+  MIN(key_str) AS first_key, MAX(key_str) AS last_key,
+  CAST(SUM(${h60("key_str")} % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(position % 1000003) AS BIGINT) AS positions_sum
+FROM ks GROUP BY 1 ORDER BY 1""",
 
     // per-sstable rollup of EVERY event field after the parquet → binary
     // Data.db → DSv2 roundtrip; recomputed here straight from parquet.

@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   *  - [[KeyValidator.LongKey]] — 8-byte big-endian two's-complement
   *    (`LongType` marshal);
   *  - [[KeyValidator.Utf8Key]] — raw UTF-8 bytes (`UTF8Type`);
+  *  - [[KeyValidator.Int32Key]] — 4-byte big-endian two's-complement
+  *    (`Int32Type`);
+  *  - [[KeyValidator.UuidKey]] / [[KeyValidator.TimeUuidKey]] — 16 bytes,
+  *    most-significant then least-significant long, big-endian
+  *    (`UUIDType`/`TimeUUIDType`); rendered canonical dashed lowercase hex
+  *    exactly as `UUID.toString` (both marshal types render through it);
+  *  - [[KeyValidator.TimestampKey]] — 8-byte big-endian millis since epoch
+  *    (`TimestampType`); rendered in the engine's X3 form
+  *    `yyyy-MM-dd HH:mm:ss.SSS` UTC (Util.java:26-27 — the reference's own
+  *    timestamp render; Cassandra's `TimestampSerializer` uses the node
+  *    TZ, a documented divergence in favor of determinism);
   *  - [[KeyValidator.CompositeKey]] — per component: 2-byte big-endian
   *    length, component bytes, one end-of-component byte (0) — Cassandra's
   *    `CompositeType` layout; rendered with ":" separators as
@@ -45,6 +56,55 @@ object KeyValidator {
     override def encode(value: Any): Array[Byte] =
       value.asInstanceOf[String]
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  case object Int32Key extends Validator {
+    /** Signed 32-bit decode: `conv(hex, 16, 10)` is unsigned, so values
+      * with the sign bit set land in [2^31, 2^32) and are shifted back down
+      * — the 4-byte analog of [[BinaryKeys.beLong]]'s two's-complement
+      * reassembly. */
+    override def format(key: Column): Column = {
+      val u = conv(hex(key), 16, 10).cast("long")
+      (u - when(u >= 2147483648L, 4294967296L).otherwise(0L))
+        .cast("int").cast("string")
+    }
+    override def encode(value: Any): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .putInt(value.asInstanceOf[Int]).array()
+  }
+
+  case object UuidKey extends Validator {
+    override def format(key: Column): Column = {
+      val h = lower(hex(key))
+      concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+        substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+    }
+    override def encode(value: Any): Array[Byte] = value match {
+      case u: java.util.UUID =>
+        java.nio.ByteBuffer.allocate(16)
+          .putLong(u.getMostSignificantBits)
+          .putLong(u.getLeastSignificantBits).array()
+      case b: Array[Byte] if b.length == 16 => b
+      case s: String => encode(java.util.UUID.fromString(s))
+      case v => throw new IllegalArgumentException(s"not a uuid: $v")
+    }
+  }
+
+  /** `TimeUUIDType` shares `UUIDType`'s 16-byte layout and canonical string
+    * render (both go through `UUID.toString`); the distinct validator exists
+    * because Cassandra sorts them differently — irrelevant to decode. */
+  case object TimeUuidKey extends Validator {
+    override def format(key: Column): Column = UuidKey.format(key)
+    override def encode(value: Any): Array[Byte] = UuidKey.encode(value)
+  }
+
+  case object TimestampKey extends Validator {
+    override def format(key: Column): Column =
+      date_format(timestamp_millis(BinaryKeys.beLong(key)),
+        "yyyy-MM-dd HH:mm:ss.SSS")
+    override def encode(value: Any): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8)
+        .putLong(value.asInstanceOf[Long]).array()
   }
 
   /** Composite of nested validators. Component offsets are data-dependent,

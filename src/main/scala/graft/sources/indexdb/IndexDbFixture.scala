@@ -49,6 +49,9 @@ object IndexDbFixture {
   def ensureCompositeFiles(spark: SparkSession, dir: String): String =
     ensure(spark, s"composite|$dir")(writeComposite(spark, dir, _))
 
+  def ensureTypedFiles(spark: SparkSession, dir: String): String =
+    ensure(spark, s"typed|$dir")(writeTyped(spark, dir, _))
+
   private def ensure(spark: SparkSession, key: String)(
       write: Path => Unit): String = memo.synchronized {
     sweepStopped()
@@ -130,6 +133,50 @@ object IndexDbFixture {
         val keyBytes = validator.encode(Seq(k, s"k${k % 97}"))
         IndexDbFormat.writeEntry(stream, keyBytes, position,
           promoted = Array.empty)
+        position += r.getLong(2)
+      }
+    } finally if (stream != null) stream.close()
+  }
+
+  /** Typed-key fixture for the round-6 validator set: composite
+    * (uuid, int32, timestamp) keys derived deterministically from the
+    * orderkey — uuid = md5 bytes of the decimal key string (recomputable in
+    * DuckDB as `md5(CAST(key AS VARCHAR))`), int32 = key%1000 − 500
+    * (exercises negatives), timestamp = key·1000 + key%997 ms. Entries are
+    * written in orderkey order (positions accumulate the same offset-delta
+    * relation as [[writeAll]]); BINARY key order differs — the checksum
+    * query is order-agnostic, and real Index.db files are only sorted by
+    * the partitioner's token anyway. A small promoted-index blob per entry
+    * proves the skip path. */
+  private def writeTyped(spark: SparkSession, dir: String,
+      out: Path): Unit = {
+    import graft.sources.KeyValidator
+    val validator = KeyValidator.CompositeKey(KeyValidator.UuidKey,
+      KeyValidator.Int32Key, KeyValidator.TimestampKey)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val rows = Fixtures.liPscan(spark, dir)
+      .select(col("sstable_id"), col("key"), col("size"))
+      .orderBy("sstable_id", "key")
+      .collect()
+    var current: String = null
+    var stream: DataOutputStream = null
+    var position = 0L
+    try {
+      rows.foreach { r =>
+        val sst = r.getString(0)
+        if (sst != current) {
+          if (stream != null) stream.close()
+          stream = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(out.resolve(sst + IndexDbFormat.Suffix).toFile)))
+          current = sst
+          position = 0L
+        }
+        val k = r.getLong(1)
+        val uuid = md5.digest(k.toString.getBytes("UTF-8"))
+        val keyBytes = validator.encode(Seq(
+          uuid, (k % 1000 - 500).toInt, k * 1000L + k % 997))
+        IndexDbFormat.writeEntry(stream, keyBytes, position,
+          promoted = Array.fill((k % 3).toInt)(0x5a.toByte))
         position += r.getLong(2)
       }
     } finally if (stream != null) stream.close()

@@ -62,6 +62,39 @@ class CliMainSpec extends SparkSpec {
       .contains("Most reclaimable partitions (top 2)"))
   }
 
+  test("parse: extension commands dedup/pack/contaminate") {
+    assert(Main.parse(Seq("dedup", "exact")) ===
+      Right(Main.Opts("dedup", method = "exact")))
+    assert(Main.parse(Seq("dedup", "-n", "5", "clusters")) ===
+      Right(Main.Opts("dedup", topN = 5, method = "clusters")))
+    assert(Main.parse(Seq("pack")) === Right(Main.Opts("pack")))
+    assert(Main.parse(Seq("pack", "-l", "512")) ===
+      Right(Main.Opts("pack", seqLen = 512)))
+    assert(Main.parse(Seq("contaminate", "-n", "3")) ===
+      Right(Main.Opts("contaminate", topN = 3)))
+    // usage errors: unknown method, missing method, stray positional,
+    // -l outside pack, bad -l value
+    assert(Main.parse(Seq("dedup", "fuzzy")).isLeft)
+    assert(Main.parse(Seq("dedup")).isLeft)
+    assert(Main.parse(Seq("pack", "extra")).isLeft)
+    assert(Main.parse(Seq("contaminate", "-l", "512")).isLeft)
+    assert(Main.parse(Seq("pack", "-l", "0")).isLeft)
+    assert(Main.parse(Seq("help", "dedup")) === Left(Main.usage("dedup")))
+  }
+
+  test("dispatch: extension commands render their reports") {
+    def collect(args: String*): String = {
+      val sb = new StringBuilder
+      val o = Main.parse(args.toIndexedSeq).toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      sb.toString
+    }
+    assert(collect("dedup", "-n", "4", "exact").contains("Dedup (exact, top 4)"))
+    assert(collect("dedup", "clusters").contains("Dedup (clusters, top 10)"))
+    assert(collect("pack", "-l", "256").contains("Sequence packing (seq_len 256)"))
+    assert(collect("contaminate").contains("Benchmark contamination (top 10)"))
+  }
+
   test("dispatch: unknown column family is a usage failure (rc 2)") {
     val sb = new StringBuilder
     val o = Main.parse(Seq("pstats", "ks9", "nope")).toOption.get

@@ -176,6 +176,20 @@ object SparkEntry {
           "droppable_tombstone_count", "droppable_ratio_x1000")
         .orderBy("sstable_id")
     }),
+    // REAL-format Statistics.db (Cassandra "nb" MetadataSerializer envelope
+    // + ValidationMetadata + StatsMetadata component encodings,
+    // CassandraStatsFormat): fixture derives every field from the
+    // sstable_meta parquet, writes genuine-layout binary, the DSv2 parses
+    // it back (CRC-verified, TOC-skipped COMPACTION/HEADER), and the oracle
+    // recomputes each field — incl. the EstimatedHistogram max/ceil-mean
+    // semantics and the trapezoid droppable-tombstone estimate at gcBefore —
+    // straight from parquet.
+    "q62_stats_real_format" -> ((s, d) => {
+      import graft.sources.statsdb.{CassandraStatsFixture, StatsDb}
+      StatsDb.readCassandra(s, CassandraStatsFixture.ensureFiles(s, d),
+          graft.sources.Fixtures.GcBeforeS)
+        .orderBy("generation")
+    }),
     // the summary command's A11 rollup running off raw Statistics.db files
     // instead of the fixture view; shares q05's oracle derivation.
     "q47_summary_from_raw" -> ((s, d) => {

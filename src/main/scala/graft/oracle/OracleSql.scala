@@ -585,6 +585,59 @@ SELECT keyspace, tbl, sstable_id, partition_count, uncompressed_length,
   droppable_tombstone_count, droppable_ratio_x1000
 FROM meta ORDER BY sstable_id""",
 
+    // q62: the REAL-format Statistics.db roundtrip recomputed from parquet.
+    // Histogram semantics mirror Cassandra's EstimatedHistogram: the
+    // fixture packs [offsets (avg, max), buckets (n−1, 1, overflow 0)], so
+    // max() = max offset with a nonzero bucket and mean() = ceil in DOUBLE
+    // arithmetic of (Σ bucket·offset)/n. droppable_x1000 is the
+    // StreamingHistogram trapezoid estimate at b = gcBefore with bins at
+    // b±86400: mb = m1 + (m2−m1)·(b−p1)/(p2−p1), s = (m1+mb)·(b−p1)/
+    // (2(p2−p1)) + m1/2 — every factor folded to its exact double literal
+    // in the same operation order the Scala reader uses.
+    "q62_stats_real_format" -> s"""WITH $fixtures,
+g AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS gen
+  FROM meta
+)
+SELECT gen AS generation,
+  'org.apache.cassandra.dht.Murmur3Partitioner' AS partitioner,
+  CAST(10000 AS BIGINT) AS bloom_fp_x1e6,
+  partition_count AS partition_size_count,
+  max_partition_size AS partition_size_max,
+  CAST(ceil(CAST((partition_count - 1) * avg_partition_size
+    + max_partition_size AS DOUBLE) / partition_count) AS BIGINT)
+    AS partition_size_mean,
+  max_column_count AS column_count_max,
+  CAST(ceil(CAST((partition_count - 1) * avg_column_count
+    + max_column_count AS DOUBLE) / partition_count) AS BIGINT)
+    AS column_count_mean,
+  1700000 + gen AS commit_log_segment,
+  gen * 1024 AS commit_log_pos,
+  min_timestamp_us, max_timestamp_us,
+  min_local_deletion_time_s AS min_ldt_s,
+  max_local_deletion_time_s AS max_ldt_s,
+  CAST(0 AS BIGINT) AS min_ttl_s,
+  CAST(86400 AS BIGINT) AS max_ttl_s,
+  CAST(floor(CAST(disk_length AS DOUBLE) / uncompressed_length * 1000000.0)
+    AS BIGINT) AS compression_ratio_x1e6,
+  CAST(level AS BIGINT) AS level,
+  COALESCE(repaired_at_ms, 0) AS repaired_at_ms,
+  (COALESCE(repaired_at_ms, 0) <> 0) AS is_repaired,
+  gen % 2 + 1 AS min_clustering_components,
+  gen % 3 + 1 AS max_clustering_components,
+  FALSE AS has_legacy_counter_shards,
+  cell_count AS total_columns_set,
+  partition_count AS total_rows,
+  CAST(floor(((CAST(droppable_tombstone_count AS DOUBLE)
+    + (CAST(droppable_tombstone_count AS DOUBLE)
+       + (17.0 - CAST(droppable_tombstone_count AS DOUBLE))
+         * 86400.0 / 172800.0))
+    * 86400.0 / 345600.0
+    + CAST(droppable_tombstone_count AS DOUBLE) / 2.0) * 1000.0)
+    AS BIGINT) AS droppable_x1000,
+  FALSE AS is_transient
+FROM g ORDER BY generation""",
+
     "q47_summary_from_raw" -> s"""WITH $fixtures
 SELECT keyspace, tbl,
   CAST(COUNT(*) AS BIGINT) AS sstable_count,

@@ -1,0 +1,395 @@
+package graft.sources.statsdb
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.types._
+
+/** The REAL Cassandra Statistics.db component encodings — the first
+  * real-on-disk-format beachhead (README divergence list → roadmap): a
+  * Statistics.db written by Cassandra 4.0+ ("nb" big format, which
+  * Cassandra 5 still reads and upgrade-carries) parses through this module
+  * without any engine-private framing.
+  *
+  * Everything here mirrors the PUBLIC Apache Cassandra source (cited per
+  * structure); the reference consumes exactly these components through the
+  * embedded library at CassandraBackend.java:89-123:
+  *
+  *  - Envelope (`io.sstable.metadata.MetadataSerializer`): component count
+  *    (int) + CRC32; table-of-contents of (type ordinal int, offset int)
+  *    pairs + CRC32 continuing over count+TOC; then each component's bytes
+  *    followed by the CRC32 of those bytes. Readers locate components by
+  *    TOC offset and skip types they don't consume (COMPACTION's HLL blob,
+  *    HEADER) without parsing them.
+  *  - `ValidationMetadata`: partitioner class name (modified-UTF) + bloom
+  *    filter FP chance (double).
+  *  - `StatsMetadata` ("nb" field order): partition-size
+  *    EstimatedHistogram, cell-per-partition EstimatedHistogram, commit-log
+  *    upper bound, min/max cell timestamp (µs, long), min/max
+  *    localDeletionTime (s, int), min/max TTL (s, int), compression ratio
+  *    (double), tombstone-drop-time TombstoneHistogram, sstable level
+  *    (int), repairedAt (ms, long; 0 = unrepaired), min/max clustering
+  *    values (int count + short-length-prefixed blobs each), legacy counter
+  *    shards flag, totalColumnsSet (long), totalRows (long), commit-log
+  *    lower bound, commit-log intervals (int count + position pairs),
+  *    pending-repair flag byte (+16-byte TimeUUID when set), isTransient
+  *    flag.
+  *  - `EstimatedHistogram.serializer`: size int, then size × (offset long,
+  *    bucket long) where entry 0 and 1 both carry offsets[0] (buckets
+  *    length = offsets length + 1; the last bucket is overflow).
+  *    `max()` = highest offset with a nonzero bucket (Long.MaxValue if the
+  *    overflow bucket is nonzero); `mean()` = ceil(Σ bucket·offset / Σ
+  *    bucket) in double arithmetic — both reproduced bit-for-bit.
+  *  - `TombstoneHistogram` (the legacy StreamingHistogram wire format kept
+  *    by 4.x): maxBinSize int (0 on disk), size int, then size × (point
+  *    double, value long). `sum(b)` is the Ben-Haim/Tom-Tov estimate: full
+  *    value sum when b is past every bin, else trapezoid interpolation
+  *    between the straddling bins + half the lower bin + all earlier bins —
+  *    the estimate behind `SSTableReader.getDroppableTombstonesBefore`.
+  *
+  * Limits, stated honestly: this is written from the published source of
+  * the serializers (no Cassandra runs in this sandbox to cross-write
+  * fixtures), targets the "nb" gate set (commitLogLowerBound,
+  * commitLogIntervals, pendingRepair, isTransient — NOT 4.1's
+  * originatingHostId or 5.0 "oa"'s key-range fields), and the engine still
+  * maps histogram-derived values where the reference reads them from other
+  * sstable components (estimatedKeys' index summary, file lengths).
+  */
+object CassandraStatsFormat {
+
+  /** `MetadataType` ordinals (io.sstable.metadata.MetadataType). */
+  val TypeValidation = 0
+  val TypeCompaction = 1
+  val TypeStats = 2
+  val TypeHeader = 3
+
+  val Suffix = "-Statistics.db"
+
+  final case class EstimatedHistogram(offsets: Array[Long],
+      buckets: Array[Long]) {
+    require(buckets.length == offsets.length + 1,
+      s"buckets ${buckets.length} != offsets ${offsets.length} + 1")
+    def count: Long = buckets.sum
+    /** EstimatedHistogram.max(): Long.MaxValue on overflow, else the offset
+      * of the highest nonzero bucket, 0 when empty. */
+    def max: Long = {
+      if (buckets.last > 0) return Long.MaxValue
+      var i = buckets.length - 2
+      while (i >= 0) {
+        if (buckets(i) > 0) return offsets(i)
+        i -= 1
+      }
+      0L
+    }
+    /** EstimatedHistogram.mean(): ceil(Σ bucket·offset / n) in DOUBLE
+      * arithmetic (the published implementation casts before dividing). */
+    def mean: Long = {
+      var elements = 0L
+      var sum = 0L
+      var i = 0
+      while (i < buckets.length - 1) {
+        elements += buckets(i)
+        sum += buckets(i) * offsets(i)
+        i += 1
+      }
+      if (elements == 0) 0L
+      else math.ceil(sum.toDouble / elements).toLong
+    }
+  }
+
+  /** Sorted-by-point histogram bins (point = deletion time seconds). */
+  final case class TombstoneHistogram(points: Array[Double],
+      values: Array[Long]) {
+    /** StreamingHistogram.sum(b): estimated count of points < b. */
+    def sum(b: Double): Double = {
+      val n = points.length
+      if (n == 0) return 0.0
+      if (b >= points(n - 1)) return values.sum.toDouble
+      // index of the first point > b
+      var hi = 0
+      while (hi < n && points(hi) <= b) hi += 1
+      if (hi == 0) return 0.0 // b below every bin
+      val p1 = points(hi - 1); val m1 = values(hi - 1).toDouble
+      val p2 = points(hi); val m2 = values(hi).toDouble
+      val mb = m1 + (m2 - m1) * (b - p1) / (p2 - p1)
+      var s = (m1 + mb) * (b - p1) / (2 * (p2 - p1))
+      s += m1 / 2.0
+      var i = 0
+      while (i < hi - 1) { s += values(i); i += 1 }
+      s
+    }
+  }
+
+  final case class CommitLogPosition(segmentId: Long, position: Int)
+
+  final case class Validation(partitioner: String, bloomFpChance: Double)
+
+  final case class Stats(
+      partitionSize: EstimatedHistogram,
+      columnCount: EstimatedHistogram,
+      commitLogUpper: CommitLogPosition,
+      minTimestampUs: Long,
+      maxTimestampUs: Long,
+      minLocalDeletionTimeS: Int,
+      maxLocalDeletionTimeS: Int,
+      minTtlS: Int,
+      maxTtlS: Int,
+      compressionRatio: Double,
+      tombstones: TombstoneHistogram,
+      level: Int,
+      repairedAtMs: Long,
+      minClustering: Seq[Array[Byte]],
+      maxClustering: Seq[Array[Byte]],
+      hasLegacyCounterShards: Boolean,
+      totalColumnsSet: Long,
+      totalRows: Long,
+      commitLogLower: CommitLogPosition,
+      commitLogIntervals: Seq[(CommitLogPosition, CommitLogPosition)],
+      pendingRepair: Option[(Long, Long)],
+      isTransient: Boolean)
+
+  final case class File(validation: Validation, stats: Stats)
+
+  // ---------------------------------------------------------------- write
+
+  private def crcInt(crc: CRC32, v: Int): Unit = {
+    crc.update((v >>> 24) & 0xff); crc.update((v >>> 16) & 0xff)
+    crc.update((v >>> 8) & 0xff); crc.update(v & 0xff)
+  }
+
+  private def histBytes(h: EstimatedHistogram): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+    d.writeInt(h.buckets.length)
+    var i = 0
+    while (i < h.buckets.length) {
+      d.writeLong(h.offsets(if (i == 0) 0 else i - 1))
+      d.writeLong(h.buckets(i))
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  private def clpWrite(d: DataOutputStream, p: CommitLogPosition): Unit = {
+    d.writeLong(p.segmentId); d.writeInt(p.position)
+  }
+
+  private def validationBytes(v: Validation): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+    d.writeUTF(v.partitioner)
+    d.writeDouble(v.bloomFpChance)
+    bos.toByteArray
+  }
+
+  private def statsBytes(s: Stats): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+    d.write(histBytes(s.partitionSize))
+    d.write(histBytes(s.columnCount))
+    clpWrite(d, s.commitLogUpper)
+    d.writeLong(s.minTimestampUs); d.writeLong(s.maxTimestampUs)
+    d.writeInt(s.minLocalDeletionTimeS); d.writeInt(s.maxLocalDeletionTimeS)
+    d.writeInt(s.minTtlS); d.writeInt(s.maxTtlS)
+    d.writeDouble(s.compressionRatio)
+    d.writeInt(0) // legacy maxBinSize slot of the streaming-histogram format
+    d.writeInt(s.tombstones.points.length)
+    s.tombstones.points.indices.foreach { i =>
+      d.writeDouble(s.tombstones.points(i)); d.writeLong(s.tombstones.values(i))
+    }
+    d.writeInt(s.level)
+    d.writeLong(s.repairedAtMs)
+    d.writeInt(s.minClustering.length)
+    s.minClustering.foreach { b => d.writeShort(b.length); d.write(b) }
+    d.writeInt(s.maxClustering.length)
+    s.maxClustering.foreach { b => d.writeShort(b.length); d.write(b) }
+    d.writeBoolean(s.hasLegacyCounterShards)
+    d.writeLong(s.totalColumnsSet)
+    d.writeLong(s.totalRows)
+    clpWrite(d, s.commitLogLower)
+    d.writeInt(s.commitLogIntervals.length)
+    s.commitLogIntervals.foreach { case (lo, hi) =>
+      clpWrite(d, lo); clpWrite(d, hi)
+    }
+    s.pendingRepair match {
+      case Some((msb, lsb)) =>
+        d.writeByte(1); d.writeLong(msb); d.writeLong(lsb)
+      case None => d.writeByte(0)
+    }
+    d.writeBoolean(s.isTransient)
+    bos.toByteArray
+  }
+
+  /** Serializes a full Statistics.db: VALIDATION + COMPACTION (opaque HLL
+    * blob) + STATS + HEADER (opaque), MetadataSerializer envelope with
+    * checksums. The opaque components carry deterministic filler — readers
+    * must skip them via the TOC, exactly as this module's parser does. */
+  def write(out: java.io.DataOutput, f: File): Unit = {
+    val compaction = {
+      // CompactionMetadata: int length + HyperLogLogPlus bytes (opaque here)
+      val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+      val blob = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+      d.writeInt(blob.length); d.write(blob)
+      bos.toByteArray
+    }
+    val header = Array.tabulate(24)(i => (i * 5 + 1).toByte)
+    val comps = Seq(
+      TypeValidation -> validationBytes(f.validation),
+      TypeCompaction -> compaction,
+      TypeStats -> statsBytes(f.stats),
+      TypeHeader -> header)
+    val crc = new CRC32()
+    out.writeInt(comps.length)
+    crcInt(crc, comps.length)
+    out.writeInt(crc.getValue.toInt)
+    var pos = 4 + 4 + 8 * comps.length + 4
+    comps.foreach { case (tpe, bytes) =>
+      out.writeInt(tpe); crcInt(crc, tpe)
+      out.writeInt(pos); crcInt(crc, pos)
+      pos += bytes.length + 4
+    }
+    out.writeInt(crc.getValue.toInt)
+    comps.foreach { case (_, bytes) =>
+      out.write(bytes)
+      val c = new CRC32(); c.update(bytes)
+      out.writeInt(c.getValue.toInt)
+    }
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  private def readHist(d: DataInputStream): EstimatedHistogram = {
+    val size = d.readInt()
+    if (size < 1 || size > (1 << 20))
+      throw new java.io.IOException(s"implausible histogram size $size")
+    val offsets = new Array[Long](size - 1)
+    val buckets = new Array[Long](size)
+    var i = 0
+    while (i < size) {
+      val off = d.readLong()
+      offsets(if (i == 0) 0 else i - 1) = off
+      buckets(i) = d.readLong()
+      i += 1
+    }
+    EstimatedHistogram(offsets, buckets)
+  }
+
+  private def readClp(d: DataInputStream): CommitLogPosition =
+    CommitLogPosition(d.readLong(), d.readInt())
+
+  private def readBlobs(d: DataInputStream): Seq[Array[Byte]] = {
+    val n = d.readInt()
+    if (n < 0 || n > 4096)
+      throw new java.io.IOException(s"implausible clustering count $n")
+    (0 until n).map { _ =>
+      val len = d.readUnsignedShort()
+      val b = new Array[Byte](len); d.readFully(b); b
+    }
+  }
+
+  private def parseStats(d: DataInputStream): Stats = {
+    val pSize = readHist(d)
+    val cCount = readHist(d)
+    val clUpper = readClp(d)
+    val minTs = d.readLong(); val maxTs = d.readLong()
+    val minLdt = d.readInt(); val maxLdt = d.readInt()
+    val minTtl = d.readInt(); val maxTtl = d.readInt()
+    val ratio = d.readDouble()
+    d.readInt() // legacy maxBinSize
+    val bins = d.readInt()
+    if (bins < 0 || bins > (1 << 20))
+      throw new java.io.IOException(s"implausible tombstone bins $bins")
+    val pts = new Array[Double](bins); val vals = new Array[Long](bins)
+    var i = 0
+    while (i < bins) { pts(i) = d.readDouble(); vals(i) = d.readLong(); i += 1 }
+    val level = d.readInt()
+    val repairedAt = d.readLong()
+    val minC = readBlobs(d)
+    val maxC = readBlobs(d)
+    val legacyShards = d.readBoolean()
+    val totalCols = d.readLong()
+    val totalRows = d.readLong()
+    val clLower = readClp(d)
+    val nIntervals = d.readInt()
+    if (nIntervals < 0 || nIntervals > (1 << 20))
+      throw new java.io.IOException(s"implausible interval count $nIntervals")
+    val intervals = (0 until nIntervals).map(_ => (readClp(d), readClp(d)))
+    val pending =
+      if (d.readByte() != 0) Some((d.readLong(), d.readLong())) else None
+    val isTransient = d.readBoolean()
+    Stats(pSize, cCount, clUpper, minTs, maxTs, minLdt, maxLdt, minTtl,
+      maxTtl, ratio, TombstoneHistogram(pts, vals), level, repairedAt, minC,
+      maxC, legacyShards, totalCols, totalRows, clLower, intervals, pending,
+      isTransient)
+  }
+
+  /** Parses a whole real-format Statistics.db: envelope checksums verified
+    * (count, TOC, per-component), components located by TOC, unconsumed
+    * types skipped without parsing. */
+  def parse(bytes: Array[Byte]): File = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val crc = new CRC32()
+    val count = d.readInt()
+    crcInt(crc, count)
+    if (d.readInt() != crc.getValue.toInt)
+      throw new java.io.IOException("Statistics.db count checksum mismatch")
+    if (count < 1 || count > 16)
+      throw new java.io.IOException(s"implausible component count $count")
+    val toc = (0 until count).map { _ =>
+      val tpe = d.readInt(); crcInt(crc, tpe)
+      val off = d.readInt(); crcInt(crc, off)
+      (tpe, off)
+    }
+    if (d.readInt() != crc.getValue.toInt)
+      throw new java.io.IOException("Statistics.db TOC checksum mismatch")
+    // component i's byte range ends 4 bytes (its CRC) before the next offset
+    def sliceFor(tpe: Int): DataInputStream = {
+      val idx = toc.indexWhere(_._1 == tpe)
+      if (idx < 0)
+        throw new java.io.IOException(s"missing metadata component $tpe")
+      val start = toc(idx)._2
+      val end = if (idx + 1 < count) toc(idx + 1)._2 - 4 else bytes.length - 4
+      if (start < 0 || end < start || end + 4 > bytes.length)
+        throw new java.io.IOException(s"corrupt TOC offsets for $tpe")
+      val c = new CRC32(); c.update(bytes, start, end - start)
+      val stored = java.nio.ByteBuffer.wrap(bytes, end, 4).getInt
+      if (stored != c.getValue.toInt)
+        throw new java.io.IOException(s"component $tpe checksum mismatch")
+      new DataInputStream(
+        new java.io.ByteArrayInputStream(bytes, start, end - start))
+    }
+    val v = sliceFor(TypeValidation)
+    val validation = Validation(v.readUTF(), v.readDouble())
+    val stats = parseStats(sliceFor(TypeStats))
+    File(validation, stats)
+  }
+
+  /** One row per real-format Statistics.db file, every consumed field
+    * exposed; doubles surface as ×10⁶/×10³ floors so downstream checks are
+    * integer-exact. */
+  val Schema: StructType = StructType(Seq(
+    StructField("generation", LongType, nullable = false),
+    StructField("partitioner", StringType, nullable = false),
+    StructField("bloom_fp_x1e6", LongType, nullable = false),
+    StructField("partition_size_count", LongType, nullable = false),
+    StructField("partition_size_max", LongType, nullable = false),
+    StructField("partition_size_mean", LongType, nullable = false),
+    StructField("column_count_max", LongType, nullable = false),
+    StructField("column_count_mean", LongType, nullable = false),
+    StructField("commit_log_segment", LongType, nullable = false),
+    StructField("commit_log_pos", LongType, nullable = false),
+    StructField("min_timestamp_us", LongType, nullable = false),
+    StructField("max_timestamp_us", LongType, nullable = false),
+    StructField("min_ldt_s", LongType, nullable = false),
+    StructField("max_ldt_s", LongType, nullable = false),
+    StructField("min_ttl_s", LongType, nullable = false),
+    StructField("max_ttl_s", LongType, nullable = false),
+    StructField("compression_ratio_x1e6", LongType, nullable = false),
+    StructField("level", LongType, nullable = false),
+    StructField("repaired_at_ms", LongType, nullable = false),
+    StructField("is_repaired", BooleanType, nullable = false),
+    StructField("min_clustering_components", LongType, nullable = false),
+    StructField("max_clustering_components", LongType, nullable = false),
+    StructField("has_legacy_counter_shards", BooleanType, nullable = false),
+    StructField("total_columns_set", LongType, nullable = false),
+    StructField("total_rows", LongType, nullable = false),
+    StructField("droppable_x1000", LongType, nullable = false),
+    StructField("is_transient", BooleanType, nullable = false)))
+}

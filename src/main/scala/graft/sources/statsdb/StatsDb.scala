@@ -12,6 +12,18 @@ object StatsDb {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("sstable-stats").load(path)
 
+  /** Read REAL-format (Cassandra "nb") Statistics.db files
+    * ([[CassandraStatsFormat]]): one row per file, the full StatsMetadata
+    * field set, droppable-tombstone estimate evaluated at `gcBeforeS` —
+    * `table.getDroppableTombstonesBefore(NOW_SECONDS - gcGraceSeconds)`
+    * (CassandraBackend.java:116). */
+  def readCassandra(spark: SparkSession, path: String,
+      gcBeforeS: Long): DataFrame =
+    spark.read.format("sstable-stats")
+      .option("format", "cassandra")
+      .option("gcbefore", gcBeforeS.toString)
+      .load(path)
+
   /** A11 rollup (SummaryCollector.java:41-68) off raw metadata files: the
     * same aggregation `Summary.rollup` runs on the fixture view. */
   def summaryRollup(spark: SparkSession, path: String): DataFrame =

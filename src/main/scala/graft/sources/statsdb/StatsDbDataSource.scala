@@ -35,17 +35,32 @@ class StatsDbDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "sstable-stats"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StatsDbFormat.Schema
+    StatsDbDataSource.schemaFor(
+      Option(options.get("format")).getOrElse("graft"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new StatsDbTable(properties.asScala.toMap)
+}
+
+object StatsDbDataSource {
+  /** `format` option: "graft" (default) = the engine's TOC format;
+    * "cassandra" = the real Cassandra "nb" MetadataSerializer encoding
+    * ([[CassandraStatsFormat]]). The two formats expose different schemas —
+    * the real file carries no keyspace/table/strategy (Cassandra derives
+    * those from the directory) but carries the full StatsMetadata field
+    * set. */
+  def schemaFor(format: String): StructType = format match {
+    case "cassandra" => CassandraStatsFormat.Schema
+    case _ => StatsDbFormat.Schema
+  }
 }
 
 final class StatsDbTable(properties: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String =
     s"sstable_stats(${properties.getOrElse("path", "")})"
-  override def schema(): StructType = StatsDbFormat.Schema
+  override def schema(): StructType =
+    StatsDbDataSource.schemaFor(properties.getOrElse("format", "graft"))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -56,7 +71,8 @@ final class StatsDbScanBuilder(options: Map[String, String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = StatsDbFormat.Schema
+  private var required: StructType =
+    StatsDbDataSource.schemaFor(options.getOrElse("format", "graft"))
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -78,12 +94,15 @@ final class StatsDbScanBuilder(options: Map[String, String])
     options.getOrElse("path",
       throw new IllegalArgumentException("sstable-stats requires a path")),
     required, pushed,
-    // lower-case key: options come from a CaseInsensitiveStringMap
-    options.get("filesperpartition").map(_.toInt).getOrElse(512))
+    // lower-case keys: options come from a CaseInsensitiveStringMap
+    options.get("filesperpartition").map(_.toInt).getOrElse(512),
+    options.getOrElse("format", "graft"),
+    options.get("gcbefore").map(_.toLong).getOrElse(0L))
 }
 
 final case class StatsDbScan(path: String, required: StructType,
-    pushed: Array[Filter], filesPerPartition: Int) extends Scan with Batch {
+    pushed: Array[Filter], filesPerPartition: Int,
+    format: String = "graft", gcBeforeS: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -133,7 +152,7 @@ final case class StatsDbScan(path: String, required: StructType,
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    new StatsDbReaderFactory(required, entries)
+    new StatsDbReaderFactory(required, entries, format, gcBeforeS)
   }
 }
 
@@ -141,13 +160,97 @@ final case class StatsDbInputPartition(files: Array[(String, String)])
     extends InputPartition
 
 final class StatsDbReaderFactory(required: StructType,
-    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+    confEntries: Array[(String, String)], format: String = "graft",
+    gcBeforeS: Long = 0L) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatsDbInputPartition]
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
-    new StatsDbPartitionReader(p.files, required, conf)
+    if (format == "cassandra")
+      new CassandraStatsPartitionReader(p.files, required, conf, gcBeforeS)
+    else new StatsDbPartitionReader(p.files, required, conf)
   }
+}
+
+/** Reads a batch of REAL-format (Cassandra "nb") Statistics.db files — one
+  * row per file, fields per [[CassandraStatsFormat.Schema]]. The
+  * `generation` column parses from the descriptor file name
+  * (`nb-<gen>-big-Statistics.db`); `droppable_x1000` evaluates the
+  * tombstone histogram at the `gcbefore` option's cutoff — exactly
+  * `getDroppableTombstonesBefore(NOW − gc_grace)` in the reference
+  * (CassandraBackend.java:116). */
+final class CassandraStatsPartitionReader(files: Array[(String, String)],
+    required: StructType, conf: Configuration, gcBeforeS: Long)
+    extends PartitionReader[InternalRow] {
+
+  import CassandraStatsFormat.{File => CFile}
+
+  private var i = -1
+  private var current: (Long, CFile) = _
+
+  private def generationOf(id: String): Long = {
+    // descriptor "nb-<generation>-big"
+    val parts = id.split("-")
+    if (parts.length >= 2) parts(1).toLong
+    else throw new java.io.IOException(s"not a Cassandra descriptor: $id")
+  }
+
+  private val extractors: Array[((Long, CFile)) => Any] =
+    required.fieldNames.map {
+      case "generation" => (r: (Long, CFile)) => r._1
+      case "partitioner" =>
+        r => UTF8String.fromString(r._2.validation.partitioner)
+      case "bloom_fp_x1e6" =>
+        r => math.floor(r._2.validation.bloomFpChance * 1e6).toLong
+      case "partition_size_count" => r => r._2.stats.partitionSize.count
+      case "partition_size_max" => r => r._2.stats.partitionSize.max
+      case "partition_size_mean" => r => r._2.stats.partitionSize.mean
+      case "column_count_max" => r => r._2.stats.columnCount.max
+      case "column_count_mean" => r => r._2.stats.columnCount.mean
+      case "commit_log_segment" => r => r._2.stats.commitLogUpper.segmentId
+      case "commit_log_pos" => r => r._2.stats.commitLogUpper.position.toLong
+      case "min_timestamp_us" => r => r._2.stats.minTimestampUs
+      case "max_timestamp_us" => r => r._2.stats.maxTimestampUs
+      case "min_ldt_s" => r => r._2.stats.minLocalDeletionTimeS.toLong
+      case "max_ldt_s" => r => r._2.stats.maxLocalDeletionTimeS.toLong
+      case "min_ttl_s" => r => r._2.stats.minTtlS.toLong
+      case "max_ttl_s" => r => r._2.stats.maxTtlS.toLong
+      case "compression_ratio_x1e6" =>
+        r => math.floor(r._2.stats.compressionRatio * 1e6).toLong
+      case "level" => r => r._2.stats.level.toLong
+      case "repaired_at_ms" => r => r._2.stats.repairedAtMs
+      case "is_repaired" => r => r._2.stats.repairedAtMs != 0L
+      case "min_clustering_components" =>
+        r => r._2.stats.minClustering.length.toLong
+      case "max_clustering_components" =>
+        r => r._2.stats.maxClustering.length.toLong
+      case "has_legacy_counter_shards" => r => r._2.stats.hasLegacyCounterShards
+      case "total_columns_set" => r => r._2.stats.totalColumnsSet
+      case "total_rows" => r => r._2.stats.totalRows
+      case "droppable_x1000" =>
+        r => math.floor(r._2.stats.tombstones.sum(gcBeforeS.toDouble) * 1000).toLong
+      case "is_transient" => r => r._2.stats.isTransient
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= files.length) return false
+    val (file, id) = files(i)
+    val hPath = new Path(file)
+    val fs = hPath.getFileSystem(conf)
+    val len = fs.getFileStatus(hPath).getLen
+    if (len > (1L << 24))
+      throw new java.io.IOException(s"implausible Statistics.db size $len")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(hPath)
+    try in.readFully(0L, bytes) finally in.close()
+    current = (generationOf(id), CassandraStatsFormat.parse(bytes))
+    true
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_(current)))
+  override def close(): Unit = ()
 }
 
 /** Reads a batch of Statistics.db files, one row each; only the columns in

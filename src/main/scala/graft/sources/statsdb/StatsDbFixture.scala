@@ -94,3 +94,117 @@ object StatsDbFixture {
     }
   }
 }
+
+/** Materializes the sstable_meta fixture as REAL-format (Cassandra "nb")
+  * Statistics.db files — `nb-<gen>-big-Statistics.db`, generation = 1-based
+  * rank of the sstable_id — for the q62 real-format roundtrip. Every field
+  * derives deterministically from the parquet metadata so the DuckDB oracle
+  * recomputes it without touching the binary:
+  *
+  *  - partition-size histogram: offsets [avg, max], buckets [n−1, 1, 0]
+  *    (n = partition_count) ⇒ count = n, max() = max_partition_size,
+  *    mean() = ceil(((n−1)·avg + max) / n) in double arithmetic;
+  *  - cell-count histogram: same shape over avg/max column count;
+  *  - tombstone histogram: two bins straddling the gc cutoff —
+  *    (gcBefore − 86400, droppable_tombstone_count) and
+  *    (gcBefore + 86400, 17) — so `sum(gcBefore)` exercises the trapezoid
+  *    interpolation, not just the all-below fast path;
+  *  - commit log: upper = (1700000 + gen, gen·1024), lower = (1700000, 0),
+  *    one interval [lower, upper];
+  *  - clustering blobs: gen%2+1 min / gen%3+1 max components (content
+  *    arbitrary, counts checked);
+  *  - totalColumnsSet = cell_count, totalRows = partition_count,
+  *    minTTL = 0, maxTTL = 86400, bloom FP = 0.01, Murmur3Partitioner.
+  */
+object CassandraStatsFixture {
+
+  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        val root = new java.io.File(e.getValue._2)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        it.remove()
+      }
+    }
+  }
+
+  def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
+    sweepStopped()
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
+    val hit = memo.get(k)
+    if (hit != null) return hit._2
+    val out = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-cassstats-fixture"))
+    try writeAll(spark, dir, out)
+    catch {
+      case t: Throwable =>
+        val root = out.toFile
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        throw t
+    }
+    val path = out.toString
+    memo.put(k, (spark, path))
+    path
+  }
+
+  private def writeAll(spark: SparkSession, dir: String, out: Path): Unit = {
+    import CassandraStatsFormat._
+    val rows = Fixtures.sstableMeta(Fixtures.allPscan(spark, dir))
+      .orderBy("sstable_id").collect()
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      def L(n: String): Long = r.getLong(r.fieldIndex(n))
+      val gen = idx + 1L
+      val n = L("partition_count")
+      val gcB = Fixtures.GcBeforeS
+      val stats = Stats(
+        partitionSize = EstimatedHistogram(
+          Array(L("avg_partition_size"), L("max_partition_size")),
+          Array(n - 1, 1L, 0L)),
+        columnCount = EstimatedHistogram(
+          Array(L("avg_column_count"), L("max_column_count")),
+          Array(n - 1, 1L, 0L)),
+        commitLogUpper = CommitLogPosition(1700000L + gen, (gen * 1024).toInt),
+        minTimestampUs = L("min_timestamp_us"),
+        maxTimestampUs = L("max_timestamp_us"),
+        minLocalDeletionTimeS = L("min_local_deletion_time_s").toInt,
+        maxLocalDeletionTimeS = L("max_local_deletion_time_s").toInt,
+        minTtlS = 0,
+        maxTtlS = 86400,
+        compressionRatio =
+          L("disk_length").toDouble / L("uncompressed_length"),
+        tombstones = TombstoneHistogram(
+          Array((gcB - 86400).toDouble, (gcB + 86400).toDouble),
+          Array(L("droppable_tombstone_count"), 17L)),
+        level = r.getInt(r.fieldIndex("level")),
+        repairedAtMs =
+          if (r.isNullAt(r.fieldIndex("repaired_at_ms"))) 0L
+          else L("repaired_at_ms"),
+        minClustering = (0 until (gen % 2 + 1).toInt)
+          .map(j => Array.tabulate(4)(b => (gen + j + b).toByte)),
+        maxClustering = (0 until (gen % 3 + 1).toInt)
+          .map(j => Array.tabulate(4)(b => (gen * 2 + j + b).toByte)),
+        hasLegacyCounterShards = false,
+        totalColumnsSet = L("cell_count"),
+        totalRows = n,
+        commitLogLower = CommitLogPosition(1700000L, 0),
+        commitLogIntervals = Seq(
+          (CommitLogPosition(1700000L, 0),
+            CommitLogPosition(1700000L + gen, (gen * 1024).toInt))),
+        pendingRepair = None,
+        isTransient = false)
+      val f = CassandraStatsFormat.File(
+        Validation("org.apache.cassandra.dht.Murmur3Partitioner", 0.01),
+        stats)
+      val stream = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(
+          out.resolve(s"nb-$gen-big${CassandraStatsFormat.Suffix}").toFile)))
+      try CassandraStatsFormat.write(stream, f) finally stream.close()
+    }
+  }
+}

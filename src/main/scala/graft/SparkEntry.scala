@@ -190,6 +190,31 @@ object SparkEntry {
           graft.sources.Fixtures.GcBeforeS)
         .orderBy("generation")
     }),
+    // REAL-format CompressionInfo.db (Cassandra CompressionMetadata
+    // layout): the chunk-offset map parsed per chunk row; per-chunk
+    // compressed sizes from the S4-style lead() offset delta; data_length
+    // is the uncompressed Data.db length the reference consumes
+    // (CassandraBackend.java:107). Oracle regenerates the chunk series and
+    // prefix-sum offsets from parquet.
+    "q64_compression_info" -> ((s, d) => {
+      import graft.sources.compressioninfo.{CassandraCompressionFixture, CompressionInfo}
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("generation").orderBy("chunk_index")
+      CompressionInfo.read(s, CassandraCompressionFixture.ensureFiles(s, d))
+        .withColumn("csize",
+          lead("chunk_offset", 1).over(w) - col("chunk_offset"))
+        .groupBy("generation")
+        .agg(
+          min("compressor").as("compressor"),
+          min("chunk_length").as("chunk_length"),
+          min("data_length").as("data_length"),
+          count(lit(1)).as("chunk_count"),
+          sum(col("chunk_offset") % ChkMod).as("offsets_sum"),
+          sum(col("csize") % ChkMod).as("csize_sum"),
+          min("csize").as("min_csize"),
+          max("csize").as("max_csize"))
+        .orderBy("generation")
+    }),
     // the summary command's A11 rollup running off raw Statistics.db files
     // instead of the fixture view; shares q05's oracle derivation.
     "q47_summary_from_raw" -> ((s, d) => {
@@ -289,6 +314,10 @@ object SparkEntry {
     "q60_pack_sequences" -> ((s, d) => TextStats.packSequences(s, d)),
     // benchmark-contamination detection via 5-gram overlap
     "q61_contamination" -> ((s, d) => TextStats.contamination(s, d)),
+    // Gopher-rules repetition metrics (top-bigram fraction per document)
+    "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
+    // temperature-based (α=0.5) source-mixing rates under a token budget
+    "q66_mixing_rates" -> ((s, d) => TextStats.mixingRates(s, d)),
     // multimodal
     "q32_multimodal_meta" -> ((s, d) => Multimodal.metadata(s, d)),
     // typed-Aggregator forms (SURVEY §2.10), both oracle-checked: q37's

@@ -182,6 +182,59 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Repetition-quality metrics (the Gopher-rules family: repeated-n-gram
+    * fractions flag low-quality generated/boilerplate text). Per document:
+    * total/distinct bigrams, the most-frequent bigram's count, and its
+    * corpus-standard "top n-gram fraction" ×1000.
+    *
+    * Scale shape: one narrow explode, a (doc_id, bigram) partial-combined
+    * hash aggregate, then a (doc_id) aggregate — shuffle keys are
+    * high-cardinality composites, no windows, no per-doc collect. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1))," +
+          " i -> array_join(slice(w, i, 2), ' '))")).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("bigrams_total"),
+        count(lit(1)).as("distinct_bigrams"),
+        max("c").as("top_bigram_count"))
+      .withColumn("top_bigram_x1000",
+        floor(col("top_bigram_count") * 1000 / col("bigrams_total")))
+      .orderBy("doc_id")
+
+  /** Temperature-based data-mixing rates (the multilingual/multi-source
+    * pretraining standard: sample source s with probability ∝ tokens_s^α,
+    * α = 0.5, so small sources are up-weighted): per source, the weight
+    * floor(sqrt(tokens)), its token allocation out of `budgetTokens`, the
+    * per-mille sampling rate capped at 1000, and the resulting sampled
+    * token count. Integer-exact end to end (IEEE sqrt is correctly rounded,
+    * then floored — cross-engine deterministic).
+    *
+    * Scale shape: everything after [[tokenTotals]] operates on the
+    * O(#sources) rollup — the unpartitioned window is over that tiny frame,
+    * never over corpus rows. */
+  def mixingRates(spark: SparkSession, dir: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tokenTotals(spark, dir)
+      .select(col("source"), col("docs"), col("total_tokens"))
+      .withColumn("weight", floor(sqrt(col("total_tokens"))))
+      .withColumn("alloc_tokens",
+        floor(lit(budgetTokens) * col("weight") /
+          sum("weight").over(Window.partitionBy())))
+      .withColumn("rate_x1000",
+        least(lit(1000L), floor(col("alloc_tokens") * 1000 /
+          col("total_tokens"))))
+      .withColumn("sampled_tokens",
+        floor(col("total_tokens") * col("rate_x1000") / 1000))
+      .orderBy("source")
+  }
+
   /** Language × source distribution rollup. */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -638,6 +638,43 @@ SELECT gen AS generation,
   FALSE AS is_transient
 FROM g ORDER BY generation""",
 
+    // q64: the real CompressionInfo.db chunk map recomputed from parquet —
+    // chunk count = ⌈uncompressed/65536⌉, per-chunk compressed size =
+    // base + (i mod 7) with base = 65536·disk ÷ uncompressed (integer), and
+    // offsets the prefix sums (window over the regenerated chunk series).
+    // The last chunk has no successor, so its csize is NULL on both sides
+    // (Spark's lead() and the i < cc−1 filter here).
+    "q64_compression_info" -> s"""WITH $fixtures,
+g AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS gen
+  FROM meta
+),
+ch AS (
+  SELECT gen, uncompressed_length AS data_length,
+    (65536 * disk_length) // uncompressed_length AS base,
+    (uncompressed_length + 65535) // 65536 AS cc,
+    u.i AS i
+  FROM g, UNNEST(range(0, (uncompressed_length + 65535) // 65536)) AS u(i)
+),
+offs AS (
+  SELECT gen, data_length, i, cc,
+    CAST(i * base + COALESCE(SUM(i % 7) OVER (PARTITION BY gen ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off,
+    CAST(base + (i % 7) AS BIGINT) AS csize
+  FROM ch
+)
+SELECT gen AS generation,
+  'LZ4Compressor' AS compressor,
+  CAST(65536 AS BIGINT) AS chunk_length,
+  CAST(MIN(data_length) AS BIGINT) AS data_length,
+  CAST(COUNT(*) AS BIGINT) AS chunk_count,
+  CAST(SUM(off % 1000003) AS BIGINT) AS offsets_sum,
+  CAST(SUM(CASE WHEN i < cc - 1 THEN csize % 1000003 END) AS BIGINT)
+    AS csize_sum,
+  CAST(MIN(CASE WHEN i < cc - 1 THEN csize END) AS BIGINT) AS min_csize,
+  CAST(MAX(CASE WHEN i < cc - 1 THEN csize END) AS BIGINT) AS max_csize
+FROM offs GROUP BY 1 ORDER BY 1""",
+
     "q47_summary_from_raw" -> s"""WITH $fixtures
 SELECT keyspace, tbl,
   CAST(COUNT(*) AS BIGINT) AS sstable_count,
@@ -1027,6 +1064,52 @@ rk AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
   CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
 FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // mirror of TextStats.repetition: bigrams via the q21 slice pattern
+    // (range is upper-exclusive and slices clamp in both engines), counts
+    // per (doc, bigram), then the per-doc Gopher top-n-gram fraction.
+    "q65_repetition" -> """WITH
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(w), 2))) AS t(i)
+),
+bc AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS bigrams_total,
+  CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+  CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+  CAST(floor(MAX(c) * 1000 / CAST(SUM(c) AS BIGINT)) AS BIGINT)
+    AS top_bigram_x1000
+FROM bc GROUP BY 1 ORDER BY 1""",
+
+    // mirror of TextStats.mixingRates: weight = floor(sqrt(tokens)) (IEEE
+    // sqrt is correctly rounded — cross-engine identical), double division
+    // before each floor exactly as Spark's `/` behaves on longs.
+    "q66_mixing_rates" -> """WITH
+tt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(total_tokens)) AS BIGINT) AS weight FROM tt
+),
+a AS (
+  SELECT *, CAST(floor(1000000 * weight /
+    CAST((SELECT SUM(weight) FROM w) AS BIGINT)) AS BIGINT) AS alloc_tokens
+  FROM w
+),
+r AS (
+  SELECT *, least(CAST(1000 AS BIGINT),
+    CAST(floor(alloc_tokens * 1000 / total_tokens) AS BIGINT)) AS rate_x1000
+  FROM a
+)
+SELECT source, docs, total_tokens, weight, alloc_tokens, rate_x1000,
+  CAST(floor(total_tokens * rate_x1000 / 1000) AS BIGINT) AS sampled_tokens
+FROM r ORDER BY source""",
 
     // mirror of TextStats.corpusPrep: quality gate (>= 20 tokens), language
     // gate (argmax marker score == en, q36's derivation), exact dedup

@@ -98,6 +98,16 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters: distributed propagation equals the driver fast path") {
+    // dupClusters routes small graphs (every fixture scale) to the driver
+    // union-find; the distributed loop must produce IDENTICAL rows — this
+    // is the guarantee that lets the fast path exist at all
+    val local = Dedup.dupClusters(spark, Sf0001).collect().toSeq
+    val dist = Dedup.dupClustersDistributed(spark, Sf0001).collect().toSeq
+    assert(dist.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      local.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("minhash LSH recovers the exact-duplicate pairs") {
     val lsh = Dedup.minhashLsh(spark, Sf0001)
       .select("id_a", "id_b").collect()

@@ -33,6 +33,12 @@ object Bench {
       graft.sources.indexdb.IndexDbFixture.ensureFiles(spark, sfDir)
       graft.sources.datadb.DataDbFixture.ensureFiles(spark, sfDir)
       graft.sources.statsdb.StatsDbFixture.ensureFiles(spark, sfDir)
+      // real-format sstable sets (q67–q71): file WRITING is setup, the
+      // timed queries measure the read/decompress/parse path
+      graft.sources.datadb.CassandraDataFixture.ensureFiles(spark, sfDir,
+        compressed = false)
+      graft.sources.datadb.CassandraDataFixture.ensureFiles(spark, sfDir,
+        compressed = true)
       graft.ops.Dedup.corpusShingles(spark, sfDir).count()
       graft.ops.Similarity.quantized(spark, sfDir).count()
       SparkEntry.queries("q15_cfstats_totals")(spark, sfDir).count()

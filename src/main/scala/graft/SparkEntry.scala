@@ -34,6 +34,42 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Purge.top(spark, "/root/testdata/sf0.001")
 
+  /** q67/q68 shared body: real big-format Data.db files (optionally
+    * LZ4-chunked with a CompressionInfo.db map) parsed back through the
+    * `format=cassandra` DSv2 path and rolled up per sstable. 64 KiB splits
+    * force several partition-boundary splits per file, so the roundtrip
+    * also proves split planning (and, compressed, the chunkFor offset
+    * mapping) preserves every event exactly once. */
+  private def cassandraDataRoundtrip(s: SparkSession, d: String,
+      compressed: Boolean): DataFrame = {
+    import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+    val path = CassandraDataFixture.ensureFiles(s, d, compressed)
+    DataDb.cells(s, path, maxSplitBytes = Some(64L << 10),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id",
+        concat(lit("sst-"),
+          (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+            .cast("long") - 1L).cast("string")))
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
+          .as("markers"),
+        countDistinct("key").as("partitions"),
+        sum(col("key") % ChkMod).as("keys_sum"),
+        sum(col("clustering") % ChkMod).as("clustering_sum"),
+        sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+        sum(col("ttl_s") % ChkMod).as("ttl_sum"),
+        sum(col("local_deletion_time_s") % ChkMod).as("ldt_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum(col("size_bytes") % ChkMod).as("value_sum"),
+        sum(length(col("column_name")).cast("long") % ChkMod)
+          .as("colname_len_sum"))
+      .orderBy("sstable_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // catalog
     "q00_catalog" -> ((s, d) => Summary.catalog(s, d)),
@@ -139,6 +175,51 @@ object SparkEntry {
           sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
           sum(col("size_bytes") % ChkMod).as("size_sum"))
         .orderBy("sstable_id")
+    }),
+    // REAL Cassandra big-format ('nb') Data.db roundtrip: parquet cells →
+    // real UnfilteredSerializer encoding (delta-coded rows/cells/markers,
+    // complex-column cells with paths, SerializationHeader in the
+    // companion Statistics.db) → DSv2 parse with format=cassandra →
+    // per-sstable aggregate. The oracle recomputes from parquet with the
+    // representation mapping stated on CassandraDataFixture: deleted cells
+    // read back with NO_TTL (-1), size_bytes is the cell VALUE length
+    // (size_bytes % 61 by construction; 0 for valueless cells), counter
+    // bits are column-type-level and not written. sstable ids map
+    // nb-<gen>-big ↔ sst-<gen-1>.
+    "q67_data_cassandra_roundtrip" -> ((s, d) =>
+      cassandraDataRoundtrip(s, d, compressed = false)),
+    // the same files chunk-compressed with LZ4 + a real CompressionInfo.db
+    // chunk map: the reader maps the partition index's UNCOMPRESSED
+    // offsets through the chunk table, CRC32-verifies and decompresses
+    // every chunk — same oracle as q67, so the compressed path must be
+    // byte-equivalent to the uncompressed one.
+    "q68_data_compressed_roundtrip" -> ((s, d) =>
+      cassandraDataRoundtrip(s, d, compressed = true)),
+    // REAL Filter.db bloom membership: every present partition key probed
+    // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
+    // hit (bloom filters have no false negatives) — found == partitions,
+    // both recomputed by the oracle from parquet.
+    "q69_bloom_membership" -> ((s, d) => Integrity.bloomMembership(s, d)),
+    // Digest.crc32 verification across both fixture variants (stored
+    // bytes: plain + LZ4-chunked): recomputed CRC32 == sidecar value for
+    // all 12 files.
+    "q70_digest_verify" -> ((s, d) => Integrity.digestVerify(s, d)),
+    // the ENTIRE cfstats totals pipeline off REAL-format COMPRESSED
+    // sstables: row codec + chunk decompression + partition-boundary
+    // splits feeding the unchanged partitionScan → partitions → totals
+    // lineage; every consumed field round-trips exactly, so q44's oracle
+    // derivation applies verbatim. Derived scan cached per session like
+    // the other raw families (one binary pass per session).
+    "q71_cfstats_from_cassandra" -> ((s, d) => {
+      import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+      val path = CassandraDataFixture.ensureFiles(s, d, compressed = true)
+      CfStats.totalsOf(
+        graft.sources.PlanCache.cached(s, s"cass_parts|$path")(
+          graft.sources.Fixtures.partitions(
+            graft.sources.PlanCache.cached(s, s"cass_pscan|$path")(
+              graft.sources.Fixtures.partitionScan(
+                DataDb.cells(s, path, maxSplitBytes = Some(64L << 10),
+                  format = DataDbScan.FormatCassandra))))))
     }),
     // the ENTIRE cfstats pipeline (partitionScan → partitions → totals)
     // running off raw binary Data.db files instead of parquet fixtures;
@@ -316,6 +397,14 @@ object SparkEntry {
     "q61_contamination" -> ((s, d) => TextStats.contamination(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
+    // SemDeDup-style semantic dedup: deterministic centroid assignment,
+    // exact-cosine verify ONLY within clusters (n²/k, k scales with
+    // corpus); planted exact/rescaled dups are cosine-invariant to every
+    // centroid, so they always share a cluster — full recall on them.
+    "q72_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // composite Gopher-style quality FILTER verdict + per-source survival
+    // rates (the decision stage over q26's metrics stage)
+    "q73_quality_filter" -> ((s, d) => TextStats.qualityFilter(s, d)),
     // temperature-based (α=0.5) source-mixing rates under a token budget
     "q66_mixing_rates" -> ((s, d) => TextStats.mixingRates(s, d)),
     // multimodal

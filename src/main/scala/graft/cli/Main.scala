@@ -34,7 +34,7 @@ object Main {
   }
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
-    "dedup", "pack", "contaminate")
+    "dedup", "pack", "contaminate", "verify")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -43,6 +43,7 @@ object Main {
       "Usage: dedup [-n <num>] {exact|ngram|minhash|simhash|embedding|clusters}"
     case "pack" => "Usage: pack [-l <seq_len>]"
     case "contaminate" => "Usage: contaminate [-n <num>]"
+    case "verify" => "Usage: verify"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -56,7 +57,8 @@ object Main {
         |  summary      Summary information about all column families including how much of the data is repaired
         |  dedup        Duplicate-detection reports over the documents corpus
         |  pack         Sequence-packing rollup over the documents corpus
-        |  contaminate  Benchmark-contamination report over the documents corpus""".stripMargin
+        |  contaminate  Benchmark-contamination report over the documents corpus
+        |  verify       Integrity check of the real-format sstable set (bloom membership, Digest.crc32)""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -98,7 +100,7 @@ object Main {
         }
         val positional = pos.result()
         cmd match {
-          case "summary" | "pack" | "contaminate" =>
+          case "summary" | "pack" | "contaminate" | "verify" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -148,6 +150,8 @@ object Main {
       case "contaminate" =>
         out(tracked("contaminate")(
           Reports.contaminate(spark, dir, o.topN))); 0
+      case "verify" =>
+        out(tracked("verify")(Reports.verify(spark, dir))); 0
     }
   }
 

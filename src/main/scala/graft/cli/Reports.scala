@@ -140,4 +140,13 @@ object Reports {
       TextStats.contamination(spark, dir)
         .orderBy(col("contamination_x1000").desc, col("doc_id"))
         .limit(topN))
+
+  /** `verify` — sstable integrity over the real-format file set: bloom
+    * membership per sstable (found must equal partitions) and Digest.crc32
+    * recomputation across both storage variants. */
+  def verify(spark: SparkSession, dir: String): String =
+    section("Bloom filter membership (Filter.db)",
+      graft.ops.Integrity.bloomMembership(spark, dir)) + "\n" +
+      section("Data.db digest verification (Digest.crc32)",
+        graft.ops.Integrity.digestVerify(spark, dir))
 }

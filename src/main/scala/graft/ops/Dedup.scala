@@ -462,19 +462,26 @@ object Dedup {
     * rescale) high-cosine pairs flip few signs, so ≥1 of 4 disjoint bands
     * still matches with high probability — recall degrades gracefully
     * exactly as in MinHash banding. */
-  def embeddingNearDup(spark: SparkSession, dir: String,
-      thresholdX1000: Int = 995, bands: Int = 4,
-      bitsPerBand: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
+  /** The embedding corpus with PLANTED near-dups — exact copies
+    * (ids +100000) and re-scaled copies (ids +200000, cosine-invariant) —
+    * shared by the banded-LSH (q33) and semantic-cluster (q72) dedup
+    * paths, so both are graded on known-dup recall. */
+  def augmentedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val aug = e
+    e
       .unionByName(e.where(col("vec_id") % 50 === 0)
         .withColumn("vec_id", col("vec_id") + 100000L))
       .unionByName(e.where(col("vec_id") % 77 === 3)
         .withColumn("vec_id", col("vec_id") + 200000L)
         .withColumn("embedding",
           expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")))
-    val qv = Similarity.quantize(aug).select(
+  }
+
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      thresholdX1000: Int = 995, bands: Int = 4,
+      bitsPerBand: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val qv = Similarity.quantize(augmentedEmbeddings(spark, dir)).select(
       col("vec_id"), col("qv"), col("norm2"))
     // exploded (vec_id, band, word) bucket rows: the candidate shuffle
     // carries 2 ints + a long per band, never the vectors themselves
@@ -506,6 +513,66 @@ object Dedup {
         sqrt((col("a.norm2") * col("b.norm2")).cast("double")))
       .where(col("cos") * 1000 >= thresholdX1000)
       .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SemDeDup-style semantic dedup (q72): cluster the corpus in embedding
+    * space, then verify exact cosine ONLY within clusters — the other
+    * classic near-dup scale path next to banded sign-LSH (q33).
+    *
+    * Clustering is one deterministic Lloyd assignment: seed centroids are
+    * the element-wise integer means of `vec_id % k` strata (floor of an
+    * exact-integer double division — bit-identical in DuckDB), and each
+    * vector joins the centroid maximizing dot/√(‖c‖²+1) (the +1 makes a
+    * degenerate all-zero centroid score 0 instead of NaN, whose ordering
+    * differs across engines; ties break on centroid id). Exact and
+    * positively-rescaled copies have identical cosines to every centroid,
+    * so planted dup pairs always share a cluster — full recall on the
+    * cosine-invariant dup class; generic near-threshold pairs can split
+    * across cluster boundaries, which is exactly SemDeDup's documented
+    * approximation.
+    *
+    * Plan at 100 TB: centroids are O(k·dim) and broadcast; assignment is
+    * one narrow pass; the verify self-join shuffles on cluster id, so the
+    * quadratic term is n²/k per cluster — k scales with corpus size to
+    * bound it (here k=16 at fixture scale). */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 16,
+      thresholdX1000: Int = 995): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val qv = Similarity.quantize(augmentedEmbeddings(spark, dir))
+      .select(col("vec_id"), col("qv"), col("norm2"))
+    val seeded = qv.withColumn("seed", col("vec_id") % k)
+    // element-wise integer centroid means, re-nested in position order
+    val cent = seeded
+      .select(col("seed"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("seed", "pos")
+      .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy("seed")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv)))," +
+        " s -> s.cv)").as("cv"))
+      .withColumn("cn2",
+        expr("aggregate(cv, CAST(0 AS BIGINT), (a, v) -> a + v * v)"))
+      .select(col("seed").as("cseed"), col("cv"), col("cn2"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cseed"))
+    val assigned = seeded
+      .crossJoin(broadcast(cent))
+      .withColumn("score", Similarity.dot(col("qv"), col("cv")).cast("double") /
+        sqrt((col("cn2") + 1L).cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cseed").as("cluster"), col("qv"),
+        col("norm2"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", Similarity.dot(col("a.qv"), col("b.qv")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("a.norm2") * col("b.norm2")).cast("double")))
+      .where(col("cos") * 1000 >= thresholdX1000)
+      .select(col("a.cluster").as("cluster"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        floor(col("cos") * 1000).cast("long").as("cos_x1000"))
       .orderBy("id_a", "id_b")
   }
 }

@@ -35,6 +35,39 @@ object TextStats {
         (col("token_count") < 20).as("is_short"))
       .orderBy("doc_id")
 
+  /** Gopher-style composite quality FILTER (q73): the per-document metrics
+    * of [[quality]] folded into a keep/drop verdict, rolled up per source —
+    * the decision stage of a corpus-prep pipeline (the metrics stage alone
+    * is q26). Rules (all deterministic integer arithmetic): 20 ≤ tokens,
+    * mean token length in [3, 10] characters (×100 in [300, 1000]), at
+    * least one occurrence of the top stopword (the classic Gopher trio of
+    * length / word-shape / stopword gates; the synthetic corpus has no
+    * sentence punctuation, so no terminator rule). Per source: docs, kept,
+    * kept_x1000 survival rate — the number a pipeline owner watches to
+    * catch a filter eating a source. One narrow scan + one tiny exchange
+    * on `source`. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val m = withTokens(Tables.documents(spark, dir))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("avg_token_len_x100",
+        floor((col("len_chars") - (col("token_count") - 1)) * 100 /
+          col("token_count")))
+      .withColumn("the_count",
+        floor((col("len_chars") -
+          length(replace(col("text"), lit(" the "), lit("")))) / 5))
+      .withColumn("kept",
+        col("token_count") >= 20 &&
+          col("avg_token_len_x100") >= 300 &&
+          col("avg_token_len_x100") <= 1000 &&
+          col("the_count") >= 1)
+    m.groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+        floor(sum(when(col("kept"), 1L).otherwise(0L)) * 1000 /
+          count(lit(1))).as("kept_x1000"))
+      .orderBy("source")
+  }
+
   private val langMarkers = Map(
     "en" -> Seq(" the ", " and ", " of "),
     "de" -> Seq(" der ", " und ", " die "),

@@ -142,6 +142,40 @@ meta AS (
   /** The default-gc_grace CTE prefix every non-parameterized query uses. */
   val fixtures: String = fixturesAt(GcBeforeS)
 
+  /** Shared q67/q68 derivation — the real big-format Data.db roundtrip
+    * recomputed from parquet under CassandraDataFixture's representation
+    * mapping (no TTL on deleted cells; size = value length = size_bytes
+    * % 61, 0 when deleted or a marker). */
+  private val cassandraRoundtripSql: String = s"""WITH $fixtures
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM((CASE WHEN is_tombstone THEN -1 ELSE ttl_s END) % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
+  CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum,
+  CAST(SUM(length(column_name) % 1000003) AS BIGINT) AS colname_len_sum
+FROM licells GROUP BY 1 ORDER BY 1"""
+
+  /** Shared q44/q71 derivation: cfstats totals recomputed from parquet
+    * (same as q15's), with the Spark side running the whole pipeline off
+    * raw binary files — engine-format (q44) or real-format compressed
+    * Cassandra sstables (q71). */
+  private lazy val cfstatsTotalsFromRawSql: String = s"""WITH $fixtures
+SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(SUM(row_count) AS BIGINT) AS row_count,
+  CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
+  CAST(SUM(cell_count) AS BIGINT) AS cell_count,
+  CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
+  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
+FROM liparts"""
+
   /** Mirror of Dedup.corpus. */
   val corpus: String = """
 corpus AS (
@@ -561,16 +595,41 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS size_sum
 FROM licells GROUP BY 1 ORDER BY 1""",
 
+    // REAL big-format Data.db roundtrip (q67 uncompressed, q68 the same
+    // files LZ4-chunked behind a real CompressionInfo.db map — identical
+    // oracle, so the compressed read must be byte-equivalent). The
+    // representation mapping of CassandraDataFixture appears as CASE
+    // expressions: a deleted cell carries no TTL in the real encoding
+    // (reads back -1), and size_bytes is the parsed VALUE length —
+    // size_bytes % 61 by construction, 0 for valueless (deleted/marker)
+    // events. Counter bits are column-type-level in the real format and
+    // deliberately not round-tripped.
+    "q67_data_cassandra_roundtrip" -> cassandraRoundtripSql,
+    "q68_data_compressed_roundtrip" -> cassandraRoundtripSql,
+    // q69: a bloom filter admits NO false negatives — every present key
+    // must probe true, so found == partitions exactly; both sides reduce
+    // to the per-sstable distinct-key count.
+    "q69_bloom_membership" -> s"""WITH $fixtures
+SELECT sstable_id,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS found
+FROM licells GROUP BY 1 ORDER BY 1""",
+    // q70: both variants' 6 Data.db files must match their Digest.crc32
+    // sidecars; the oracle pins the file count from the fixture relation.
+    "q70_digest_verify" -> s"""WITH $fixtures
+SELECT CAST(COUNT(DISTINCT sstable_id) * 2 AS BIGINT) AS sstables,
+  CAST(COUNT(DISTINCT sstable_id) * 2 AS BIGINT) AS matches
+FROM licells""",
     // cfstats totals recomputed from parquet (same derivation as q15) —
     // the Spark side ran the whole pipeline off raw binary Data.db files.
-    "q44_cfstats_from_raw" -> s"""WITH $fixtures
-SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
-  CAST(SUM(row_count) AS BIGINT) AS row_count,
-  CAST(SUM(row_delete_count) AS BIGINT) AS row_delete_count,
-  CAST(SUM(cell_count) AS BIGINT) AS cell_count,
-  CAST(SUM(tombstone_count) AS BIGINT) AS tombstone_count,
-  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
-FROM liparts""",
+    "q44_cfstats_from_raw" -> cfstatsTotalsFromRawSql,
+    // q71: the SAME cfstats totals pipeline, but the input relation is the
+    // REAL-format COMPRESSED sstables (CassandraDataFixture + the
+    // format=cassandra row codec + chunk decompression). Every field the
+    // totals consume (clustering, kind, is_tombstone, localDeletionTime)
+    // round-trips exactly through the real encoding, so the derivation is
+    // identical to q44's.
+    "q71_cfstats_from_cassandra" -> cfstatsTotalsFromRawSql,
 
     // raw Statistics.db roundtrip: the full metadata table, every field of
     // both binary components (q46); the summary rollup off those files
@@ -723,6 +782,92 @@ rk AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
 FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // q72: one deterministic Lloyd assignment (integer centroid means via
+    // floor-of-double division, scores dot/√(‖c‖²+1) with centroid-id
+    // tiebreak), then the exact quantized cosine ≥ 0.995 WITHIN clusters —
+    // every double computed from exact integers in the same operation
+    // order as the Spark plan.
+    "q72_semantic_dedup" -> """WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id % 77 = 3
+),
+qb AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM aug
+),
+qn AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2,
+    vec_id % 16 AS seed
+  FROM qb
+),
+cpos AS (
+  SELECT seed, i AS pos,
+    CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM qn, UNNEST(range(1, len(qv) + 1)) AS t(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT seed AS cseed, list(cv ORDER BY pos) AS cv
+  FROM cpos GROUP BY 1
+),
+centn AS (
+  SELECT cseed, cv,
+    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM cent
+),
+scored AS (
+  SELECT q.vec_id, q.qv, q.norm2, c.cseed,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> q.qv[i] * c.cv[i])) AS DOUBLE)
+        / sqrt(CAST(c.cn2 + 1 AS DOUBLE)) DESC, c.cseed) AS rk
+  FROM qn q, centn c
+),
+asg AS (
+  SELECT vec_id, cseed AS cluster, qv, norm2 FROM scored WHERE rk = 1
+),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE)) AS cos
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT cluster, id_a, id_b,
+  CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM pairs WHERE cos * 1000 >= 995 ORDER BY id_a, id_b""",
+
+    // q73: the quality-filter verdict over q26's metric derivations,
+    // rolled up per source.
+    "q73_quality_filter" -> """WITH m AS (
+  SELECT source,
+    len(string_split(text, ' ')) AS token_count,
+    floor((length(text) - (len(string_split(text, ' ')) - 1)) * 100
+      / len(string_split(text, ' '))) AS atl_x100,
+    floor((length(text) - length(replace(text, ' the ', ''))) / 5)
+      AS the_count
+  FROM documents
+),
+k AS (
+  SELECT source,
+    (token_count >= 20 AND atl_x100 >= 300 AND atl_x100 <= 1000
+      AND the_count >= 1) AS is_kept
+  FROM m
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(floor(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) * 1000 / COUNT(*))
+    AS BIGINT) AS kept_x1000
+FROM k GROUP BY 1 ORDER BY 1""",
 
     "q26_text_quality" -> """SELECT doc_id, n_chars,
   CAST(length(text) AS BIGINT) AS len_chars,

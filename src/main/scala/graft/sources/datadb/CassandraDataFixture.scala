@@ -1,0 +1,298 @@
+package graft.sources.datadb
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+import graft.sources.compressioninfo.{ChunkedData, CompressionInfoFormat}
+import graft.sources.statsdb.CassandraStatsFormat
+import CassandraDataFormat._
+
+/** Materializes the lineitem cell fixture as REAL Cassandra big-format
+  * sstables — full descriptors (`nb-<gen>-big-*`), Data.db in the 'nb'
+  * `UnfilteredSerializer` encoding, an Index.db sidecar whose positions
+  * are the partition blocks' UNCOMPRESSED byte offsets, and a
+  * Statistics.db whose HEADER component is a real `SerializationHeader`
+  * (EncodingStats minima + key/clustering/column types) that the row codec
+  * decodes through. The compressed variant chunk-compresses Data.db with
+  * LZ4 and writes the real CompressionInfo.db chunk map next to it —
+  * the reader path then exercises `chunkFor` offset mapping, per-chunk
+  * CRC32 verification and decompression end to end.
+  *
+  * Representation mapping, stated once (the q67/q68 oracles encode it):
+  *  - c0/c1 become one complex (multi-cell `MapType(LongType, BytesType)`)
+  *    column each: the fixture can hold several cells per (clustering,
+  *    column) in one sstable, which a real row models as collection cells
+  *    with distinct paths (an 8-byte sequence counter here);
+  *  - a deleted cell carries no TTL in the real encoding (parses back as
+  *    NO_TTL), and no value;
+  *  - cell values are deterministic blobs of `size_bytes % 61` bytes, so
+  *    the parsed value length is oracle-recomputable while fixture files
+  *    stay small; a length of 0 exercises HAS_EMPTY_VALUE;
+  *  - per-cell counter flags don't exist in the real format (counter-ness
+  *    is a column TYPE); the fixture's scattered is_counter bits are
+  *    dropped rather than faked.
+  */
+object CassandraDataFixture {
+
+  /** Small chunks so fixture-scale files still span many chunks (real
+    * default is 16 KiB). */
+  val ChunkLength = 4096
+
+  val ColumnSpecs: Seq[ColumnSpec] = Seq("c0", "c1").map { n =>
+    ColumnSpec(n.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Marshal.Prefix + s"MapType(${Marshal.Prefix}LongType," +
+        s"${Marshal.Prefix}BytesType)")
+  }
+
+  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        val root = new java.io.File(e.getValue._2)
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        it.remove()
+      }
+    }
+  }
+
+  def ensureFiles(spark: SparkSession, dir: String,
+      compressed: Boolean): String = memo.synchronized {
+    sweepStopped()
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$compressed"
+    val hit = memo.get(k)
+    if (hit != null) return hit._2
+    val out = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-cassdata-fixture"))
+    try writeAll(spark, dir, out, compressed)
+    catch {
+      case t: Throwable =>
+        val root = out.toFile
+        Option(root.listFiles()).foreach(_.foreach(_.delete()))
+        root.delete()
+        throw t
+    }
+    val path = out.toString
+    memo.put(k, (spark, path))
+    path
+  }
+
+  /** Deterministic value blob: length `sizeBytes % 61`, contents a mix of
+    * repetition (compressible) and position-dependent bytes (not
+    * trivially so). */
+  private[datadb] def valueOf(sizeBytes: Long, clustering: Long): Array[Byte] = {
+    val len = (sizeBytes % 61).toInt
+    val b = new Array[Byte](len)
+    var i = 0
+    while (i < len) {
+      b(i) = (if (i % 3 == 0) (sizeBytes & 0xff) else i * 13 + clustering).toByte
+      i += 1
+    }
+    b
+  }
+
+  private final case class Ev(key: Long, clustering: Long, column: String,
+      isMarker: Boolean, tsUs: Long, ttlS: Long, ldtS: Long,
+      isTomb: Boolean, isExp: Boolean, sizeBytes: Long)
+
+  private def writeAll(spark: SparkSession, dir: String, out: Path,
+      compressed: Boolean): Unit = {
+    val rows = Fixtures.cells(spark, dir)
+      .select(col("sstable_id"), col("key"), col("clustering"),
+        col("column_name"), col("kind"), col("timestamp_us"), col("ttl_s"),
+        col("local_deletion_time_s"), col("is_tombstone"), col("is_expiring"),
+        col("size_bytes"))
+      .orderBy("sstable_id", "key", "clustering", "column_name", "timestamp_us")
+      .collect()
+
+    val bySstable = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    bySstable.foreach { case (sst, rs) =>
+      val gen = sst.stripPrefix("sst-").toLong + 1L
+      val evs = rs.map { r =>
+        Ev(r.getLong(1), r.getLong(2), r.getString(3),
+          r.getString(4) == DataDbFormat.KindMarker, r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9),
+          r.getLong(10))
+      }
+      writeSstable(out, gen, evs, compressed)
+    }
+  }
+
+  private def writeSstable(out: Path, gen: Long, evs: Array[Ev],
+      compressed: Boolean): Unit = {
+    // EncodingStats minima over exactly the values the encoding writes:
+    // all timestamps; deletion times of deleted/expiring cells and
+    // markers; TTLs of expiring cells
+    val minTs = evs.map(_.tsUs).min
+    val written = evs.filter(e => e.isTomb || e.isExp)
+    val minLdt = if (written.isEmpty) NoDeletionTimeS else written.map(_.ldtS).min
+    val expiring = evs.filter(_.isExp)
+    val minTtl = if (expiring.isEmpty) 0L else expiring.map(_.ttlS).min
+    val header = SerializationHeaderInfo(minTs, minLdt, minTtl,
+      keyType = Marshal.Prefix + "LongType",
+      clusteringTypes = Seq(Marshal.Prefix + "LongType"),
+      staticColumns = Nil,
+      regularColumns = ColumnSpecs)
+
+    val base = s"nb-$gen-big"
+    val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
+    val fileStream = new BufferedOutputStream(new FileOutputStream(dataFile), 1 << 16)
+    val chunking =
+      if (compressed) Some(new ChunkedData.ChunkingOutputStream(fileStream, ChunkLength))
+      else None
+    val data = new DataOutputStream(chunking.getOrElse(fileStream))
+    val index = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(
+        base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
+    val w = new Writer(data, header)
+    try {
+      evs.groupBy(_.key).toSeq.sortBy(_._1).foreach { case (key, kevs) =>
+        val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
+          w.position)
+        w.writePartitionStart(keyBytes)
+        kevs.groupBy(_.clustering).toSeq.sortBy(_._1).foreach {
+          case (clustering, cevs) =>
+            // bounds sort before the row of the same clustering
+            cevs.filter(_.isMarker).foreach { m =>
+              w.write(WriteMarker(clustering, KindInclStartBound, m.tsUs,
+                m.ldtS))
+            }
+            val cells = cevs.filter(!_.isMarker)
+            if (cells.nonEmpty) {
+              var pathSeq = 0L
+              val wcells = cells.sortBy(e => (e.column, e.tsUs)).map { e =>
+                val colIdx = if (e.column == "c0") 0 else 1
+                pathSeq += 1
+                WriteCell(colIdx,
+                  path = java.nio.ByteBuffer.allocate(8).putLong(pathSeq).array(),
+                  isDeleted = e.isTomb,
+                  isExpiring = e.isExp,
+                  timestampUs = e.tsUs,
+                  ttlS = e.ttlS,
+                  localDeletionTimeS = e.ldtS,
+                  value = if (e.isTomb) null else valueOf(e.sizeBytes, clustering))
+              }
+              w.write(WriteRow(clustering, wcells))
+            }
+        }
+        w.writePartitionEnd()
+      }
+      // success path: flush chunk tail, then the sidecar components
+      val infoOpt = chunking.map { c =>
+        val (dataLength, offsets) = c.finish()
+        CompressionInfoFormat.Info("LZ4Compressor",
+          Seq("lz4_compressor_type" -> "fast"), ChunkLength, Int.MaxValue,
+          dataLength, offsets)
+      }
+      data.flush()
+      infoOpt.foreach { info =>
+        val ci = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(out.resolve(
+            base + CompressionInfoFormat.Suffix).toFile)))
+        try CompressionInfoFormat.write(ci, info) finally ci.close()
+      }
+      writeStats(out, base, evs, header)
+      writeFilter(out, base, evs)
+      // close before digesting: Digest.crc32 covers the AS-STORED bytes
+      // (compressed form for a compressed table), like Cassandra's
+      fileStream.close()
+      writeDigestAndToc(out, base, dataFile, compressed)
+    } finally {
+      fileStream.close() // no-op on the success path (already closed)
+      index.close()
+    }
+  }
+
+  /** Real Filter.db: every partition key inserted into a p≈0.01-sized
+    * bloom filter (FilterDbFormat). */
+  private def writeFilter(out: Path, base: String, evs: Array[Ev]): Unit = {
+    import graft.sources.filterdb.FilterDbFormat
+    val keys = evs.map(_.key).distinct
+    val f = FilterDbFormat.create(keys.length.toLong)
+    keys.foreach { k =>
+      f.add(java.nio.ByteBuffer.allocate(8).putLong(k).array())
+    }
+    val s = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(base + FilterDbFormat.Suffix).toFile)))
+    try FilterDbFormat.write(s, f) finally s.close()
+  }
+
+  /** Digest.crc32 (decimal CRC32 of Data.db as stored) + TOC.txt (the
+    * component list), completing the real per-sstable file set. */
+  private def writeDigestAndToc(out: Path, base: String,
+      dataFile: java.io.File, compressed: Boolean): Unit = {
+    val crc = new java.util.zip.CRC32()
+    val in = new java.io.FileInputStream(dataFile)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { crc.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    Files.write(out.resolve(base + "-Digest.crc32"),
+      crc.getValue.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val components = Seq("Data.db", "Index.db", "Statistics.db", "Filter.db",
+      "Digest.crc32", "TOC.txt") ++
+      (if (compressed) Seq("CompressionInfo.db") else Nil)
+    Files.write(out.resolve(base + "-TOC.txt"),
+      components.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** A real-envelope Statistics.db whose HEADER is the real
+    * SerializationHeader; the STATS component carries the per-sstable
+    * aggregates the encoding itself implies. */
+  private def writeStats(out: Path, base: String, evs: Array[Ev],
+      header: SerializationHeaderInfo): Unit = {
+    val partitions = evs.map(_.key).distinct.length.toLong
+    val rowsN = evs.filter(!_.isMarker).map(e => (e.key, e.clustering))
+      .distinct.length.toLong
+    val minCl = evs.map(_.clustering).min
+    val maxCl = evs.map(_.clustering).max
+    def clBlob(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val stats = CassandraStatsFormat.Stats(
+      partitionSize = CassandraStatsFormat.EstimatedHistogram(
+        Array(1L), Array(partitions, 0L)),
+      columnCount = CassandraStatsFormat.EstimatedHistogram(
+        Array(1L), Array(rowsN, 0L)),
+      commitLogUpper = CassandraStatsFormat.CommitLogPosition(0L, 0),
+      minTimestampUs = evs.map(_.tsUs).min,
+      maxTimestampUs = evs.map(_.tsUs).max,
+      minLocalDeletionTimeS = evs.map(_.ldtS).min.toInt,
+      maxLocalDeletionTimeS = evs.map(_.ldtS).max.toInt,
+      minTtlS = header.minTtlS.toInt,
+      maxTtlS = evs.collect { case e if e.isExp => e.ttlS }
+        .foldLeft(0L)(math.max).toInt,
+      compressionRatio = -1.0,
+      tombstones = CassandraStatsFormat.TombstoneHistogram(
+        Array.emptyDoubleArray, Array.emptyLongArray),
+      level = 0,
+      repairedAtMs = 0L,
+      minClustering = Seq(clBlob(minCl)),
+      maxClustering = Seq(clBlob(maxCl)),
+      hasLegacyCounterShards = false,
+      totalColumnsSet = evs.count(!_.isMarker).toLong,
+      totalRows = rowsN,
+      commitLogLower = CassandraStatsFormat.CommitLogPosition(0L, 0),
+      commitLogIntervals = Nil,
+      pendingRepair = None,
+      isTransient = false)
+    val f = CassandraStatsFormat.File(
+      CassandraStatsFormat.Validation(
+        "org.apache.cassandra.dht.Murmur3Partitioner", 0.01),
+      stats)
+    val s = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(base + StatsSuffix).toFile)))
+    try CassandraStatsFormat.write(s, f,
+      Some(CassandraDataFormat.serializeHeader(header)))
+    finally s.close()
+  }
+}

@@ -1,0 +1,624 @@
+package graft.sources.datadb
+
+import java.io.{ByteArrayOutputStream, DataInput, DataInputStream, DataOutput, DataOutputStream, EOFException, InputStream}
+
+import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, writeUnsignedVInt}
+
+/** The REAL Cassandra big-format ("nb") Data.db row codec — the second
+  * real-on-disk-format beachhead after Statistics.db
+  * (sources/statsdb/CassandraStatsFormat): partitions, rows, cells and
+  * range-tombstone markers in the post-3.0 `UnfilteredSerializer` layout,
+  * with every timestamp/TTL/deletion-time delta-encoded against the
+  * `SerializationHeader`'s `EncodingStats` minima exactly as Cassandra
+  * writes them. The reference reads these files through the embedded
+  * Cassandra library (cassandra/DataReader.java:46-123); this module reads
+  * them directly, feeding the same cell-event relation
+  * ([[DataDbFormat.Schema]]) the engine's cfstats/purge pipelines consume.
+  *
+  * Everything mirrors the PUBLIC Apache Cassandra source:
+  *
+  *  - Partition framing (`ColumnIndex`/big-format writer): short-length
+  *    partition key, then `DeletionTime.serializer` (localDeletionTime int,
+  *    markedForDeleteAt long — LIVE = (Int.MaxValue, Long.MinValue)), then
+  *    unfiltereds until a flags byte with END_OF_PARTITION (0x01).
+  *  - Row (`UnfilteredSerializer.serialize`): flags byte (+ extended flags
+  *    byte when EXTENSION_FLAG), clustering block, row-body size +
+  *    previous-unfiltered size (unsigned vints, present because
+  *    isForSSTable), then optional primary-key liveness
+  *    (timestamp[, ttl, localExpiration]), optional row deletion, the
+  *    column subset (unless HAS_ALL_COLUMNS), and each column's cell data.
+  *  - Clustering blocks (`ClusteringPrefix.serializer`): one unsigned-vint
+  *    header word per 32 values — bit 2i = value i empty, bit 2i+1 =
+  *    value i null — followed by the non-null non-empty values, each raw
+  *    (fixed-length types) or vint-length-prefixed (variable).
+  *  - Cells (`Cell.serializer`): flags (IS_DELETED 0x01, IS_EXPIRING 0x02,
+  *    HAS_EMPTY_VALUE 0x04, USE_ROW_TIMESTAMP 0x08, USE_ROW_TTL 0x10),
+  *    delta timestamp, delta localDeletionTime (deleted/expiring), delta
+  *    TTL (expiring), cell path (complex columns), value.
+  *  - Markers: flags = IS_MARKER (0x02), bound kind ordinal byte, bound
+  *    size short, clustering block, body/prev sizes, then one DeletionTime
+  *    (bounds) or two (boundaries), delta-encoded.
+  *  - `SerializationHeader.serializer` (the HEADER component of
+  *    Statistics.db): EncodingStats (unsigned-vint deltas from the
+  *    2015-09-22 epochs), key type, clustering types, static + regular
+  *    columns (vint-length name bytes + vint-length type name each).
+  *
+  * Boundaries, stated honestly (same class as CassandraStatsFormat's):
+  * written from the published serializer source with no live Cassandra in
+  * this sandbox to cross-write fixtures; complex-column DELETIONS, static
+  * rows and row-level liveness/deletion parse correctly but are not
+  * surfaced as events (the fixture corpus never writes them — real files
+  * that do lose those rows' liveness metadata, not their cells); the
+  * relational surface requires a single `LongType` clustering column
+  * (arbitrary clustering parses at the codec level).
+  */
+object CassandraDataFormat {
+
+  // UnfilteredSerializer row flags
+  val EndOfPartition = 0x01
+  val IsMarker = 0x02
+  val HasTimestamp = 0x04
+  val HasTtl = 0x08
+  val HasDeletion = 0x10
+  val HasAllColumns = 0x20
+  val HasComplexDeletion = 0x40
+  val ExtensionFlag = 0x80
+  /** extended-flags bit */
+  val IsStatic = 0x01
+
+  // Cell.serializer flags
+  val CellIsDeleted = 0x01
+  val CellIsExpiring = 0x02
+  val CellHasEmptyValue = 0x04
+  val CellUseRowTimestamp = 0x08
+  val CellUseRowTtl = 0x10
+
+  // EncodingStats epochs: 2015-09-22 00:00 GMT in µs / s; TTL epoch 0.
+  val TimestampEpochUs = 1442880000000000L
+  val DeletionTimeEpochS = 1442880000L
+  /** Cassandra's live-cell localDeletionTime sentinel (Int.MaxValue) — the
+    * same sentinel the fixture relation uses. */
+  val NoDeletionTimeS = 2147483647L
+  /** The engine's NO_TTL sentinel on the relational surface (the reference
+    * renders TTL -1 as absent; Cassandra simply omits the field). */
+  val NoTtlS = -1L
+
+  // ClusteringPrefix.Kind ordinals
+  val KindExclEndBound = 0
+  val KindInclStartBound = 1
+  val KindExclEndInclStartBoundary = 2
+  val KindStaticClustering = 3
+  val KindClustering = 4
+  val KindInclEndExclStartBoundary = 5
+  val KindInclEndBound = 6
+  val KindExclStartBound = 7
+
+  val Suffix: String = DataDbFormat.Suffix
+  val StatsSuffix = "-Statistics.db"
+
+  // ------------------------------------------------------------- marshal
+
+  /** Minimal registry of `org.apache.cassandra.db.marshal` type names: the
+    * value serialization is raw bytes for fixed-length types, unsigned-vint
+    * length + bytes for variable-length ones (`AbstractType.writeValue`). */
+  object Marshal {
+    val Prefix = "org.apache.cassandra.db.marshal."
+
+    /** Fixed value length in bytes, or -1 for variable-length types. */
+    def fixedLen(typeName: String): Int = strip(typeName) match {
+      case "LongType" | "TimestampType" | "DoubleType" => 8
+      case "Int32Type" | "FloatType" => 4
+      case "UUIDType" | "TimeUUIDType" | "LexicalUUIDType" => 16
+      case "BooleanType" | "ByteType" => 1
+      case "ShortType" => 2
+      case "EmptyType" => 0
+      case _ => -1 // BytesType, UTF8Type, AsciiType, IntegerType, …
+    }
+
+    def strip(typeName: String): String =
+      if (typeName.startsWith(Prefix)) typeName.substring(Prefix.length)
+      else typeName
+
+    /** Multi-cell collections: their rows hold one cell PER ELEMENT, each
+      * with a cell path (`AbstractType.isMultiCell`). */
+    def isComplex(typeName: String): Boolean = {
+      val s = strip(typeName)
+      s.startsWith("MapType(") || s.startsWith("SetType(") ||
+        s.startsWith("ListType(")
+    }
+
+    def isCounter(typeName: String): Boolean =
+      strip(typeName) == "CounterColumnType"
+
+    /** The type of a complex column's cell VALUES: a map cell's value is
+      * the map value (its key is the path), a list cell's value is the
+      * element, a set cell's value is empty (the element is the path). */
+    def complexValueType(typeName: String): Option[String] = {
+      val s = strip(typeName)
+      val inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+      if (s.startsWith("MapType(")) Some(inner.substring(topLevelComma(inner) + 1).trim)
+      else if (s.startsWith("ListType(")) Some(inner.trim)
+      else None // SetType
+    }
+
+    /** Index of the first comma not nested inside parentheses. */
+    private def topLevelComma(s: String): Int = {
+      var depth = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+  }
+
+  // -------------------------------------------------- serialization header
+
+  final case class ColumnSpec(nameBytes: Array[Byte], typeName: String) {
+    def name: String =
+      new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
+    def isComplex: Boolean = Marshal.isComplex(typeName)
+    def isCounter: Boolean = Marshal.isCounter(typeName)
+    /** Fixed length of this column's cell values (-1 = variable). */
+    def valueFixedLen: Int =
+      if (isComplex)
+        Marshal.complexValueType(typeName).map(Marshal.fixedLen).getOrElse(0)
+      else Marshal.fixedLen(typeName)
+    /** Set cells carry NO value at all (the element is the path). */
+    def valueAbsent: Boolean =
+      isComplex && Marshal.complexValueType(typeName).isEmpty
+  }
+
+  /** The parsed HEADER component: everything the row codec needs. */
+  final case class SerializationHeaderInfo(
+      minTimestampUs: Long,
+      minLocalDeletionTimeS: Long,
+      minTtlS: Long,
+      keyType: String,
+      clusteringTypes: Seq[String],
+      staticColumns: Seq[ColumnSpec],
+      regularColumns: Seq[ColumnSpec])
+
+  private def writeVintBytes(out: DataOutput, b: Array[Byte]): Unit = {
+    writeUnsignedVInt(out, b.length.toLong)
+    out.write(b)
+  }
+
+  private def writeVintString(out: DataOutput, s: String): Unit =
+    writeVintBytes(out, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readVintBytes(in: DataInput): Array[Byte] = {
+    val len = readUnsignedVInt(in)
+    if (len < 0 || len > (1 << 20))
+      throw new java.io.IOException(s"implausible vint-length $len")
+    val b = new Array[Byte](len.toInt)
+    in.readFully(b)
+    b
+  }
+
+  private def readVintString(in: DataInput): String =
+    new String(readVintBytes(in), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** `SerializationHeader.serializer.serialize` — the HEADER component
+    * bytes inside Statistics.db. */
+  def serializeHeader(h: SerializationHeaderInfo): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    // EncodingStats: unsigned-vint deltas from the fixed epochs (negative
+    // deltas wrap to 9-byte encodings, bit-exactly, as in Cassandra)
+    writeUnsignedVInt(d, h.minTimestampUs - TimestampEpochUs)
+    writeUnsignedVInt(d, h.minLocalDeletionTimeS - DeletionTimeEpochS)
+    writeUnsignedVInt(d, h.minTtlS)
+    writeVintString(d, h.keyType)
+    writeUnsignedVInt(d, h.clusteringTypes.length.toLong)
+    h.clusteringTypes.foreach(writeVintString(d, _))
+    def writeColumns(cols: Seq[ColumnSpec]): Unit = {
+      writeUnsignedVInt(d, cols.length.toLong)
+      cols.foreach { c =>
+        writeVintBytes(d, c.nameBytes)
+        writeVintString(d, c.typeName)
+      }
+    }
+    writeColumns(h.staticColumns)
+    writeColumns(h.regularColumns)
+    bos.toByteArray
+  }
+
+  def parseHeader(bytes: Array[Byte]): SerializationHeaderInfo = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val minTs = readUnsignedVInt(d) + TimestampEpochUs
+    val minLdt = readUnsignedVInt(d) + DeletionTimeEpochS
+    val minTtl = readUnsignedVInt(d)
+    val keyType = readVintString(d)
+    val nClustering = readUnsignedVInt(d)
+    if (nClustering < 0 || nClustering > 1024)
+      throw new java.io.IOException(s"implausible clustering count $nClustering")
+    val clustering = (0L until nClustering).map(_ => readVintString(d))
+    def readColumns(): Seq[ColumnSpec] = {
+      val n = readUnsignedVInt(d)
+      if (n < 0 || n > 4096)
+        throw new java.io.IOException(s"implausible column count $n")
+      (0L until n).map(_ => ColumnSpec(readVintBytes(d), readVintString(d)))
+    }
+    val statics = readColumns()
+    val regulars = readColumns()
+    SerializationHeaderInfo(minTs, minLdt, minTtl, keyType, clustering,
+      statics, regulars)
+  }
+
+  // ------------------------------------------------------------- writing
+
+  /** One cell to write: `columnIdx` indexes the header's regular columns;
+    * `path` is required for complex columns (the map key / set element /
+    * list position blob) and must be null for simple ones. */
+  final case class WriteCell(
+      columnIdx: Int,
+      path: Array[Byte],
+      isDeleted: Boolean,
+      isExpiring: Boolean,
+      timestampUs: Long,
+      ttlS: Long,
+      localDeletionTimeS: Long,
+      value: Array[Byte])
+
+  sealed trait WriteUnfiltered
+  /** A row at `clustering`; cells must be grouped by column in header
+    * order (complex columns' cells in path order). */
+  final case class WriteRow(clustering: Long, cells: Seq[WriteCell])
+      extends WriteUnfiltered
+  final case class WriteMarker(clustering: Long, kind: Int,
+      markedForDeleteAtUs: Long, localDeletionTimeS: Long)
+      extends WriteUnfiltered
+
+  /** Tracks the previous unfiltered's total serialized size — the
+    * `previousUnfilteredSize` vint big-format readers use for reverse
+    * iteration. One instance per Data.db file. */
+  final class Writer(out: DataOutputStream, header: SerializationHeaderInfo) {
+    require(header.clusteringTypes == Seq(Marshal.Prefix + "LongType"),
+      "writer surface requires a single LongType clustering column")
+    private var prevSize = 0L
+
+    def position: Long = out.size().toLong
+
+    def writePartitionStart(key: Array[Byte]): Unit = {
+      out.writeShort(key.length)
+      out.write(key)
+      // live partition-level deletion: DeletionTime.serializer writes
+      // localDeletionTime then markedForDeleteAt
+      out.writeInt(Int.MaxValue)
+      out.writeLong(Long.MinValue)
+      prevSize = 0L
+    }
+
+    def writePartitionEnd(): Unit = out.writeByte(EndOfPartition)
+
+    private def writeDeltaTs(d: DataOutput, ts: Long): Unit =
+      writeUnsignedVInt(d, ts - header.minTimestampUs)
+    private def writeDeltaLdt(d: DataOutput, ldt: Long): Unit =
+      writeUnsignedVInt(d, ldt - header.minLocalDeletionTimeS)
+    private def writeDeltaTtl(d: DataOutput, ttl: Long): Unit =
+      writeUnsignedVInt(d, ttl - header.minTtlS)
+
+    private def writeCell(d: DataOutput, c: WriteCell): Unit = {
+      val spec = header.regularColumns(c.columnIdx)
+      val hasValue = !spec.valueAbsent && !c.isDeleted && c.value != null &&
+        c.value.length > 0
+      var flags = 0
+      if (c.isDeleted) flags |= CellIsDeleted
+      if (c.isExpiring) flags |= CellIsExpiring
+      if (!hasValue) flags |= CellHasEmptyValue
+      d.write(flags)
+      writeDeltaTs(d, c.timestampUs)
+      if (c.isDeleted || c.isExpiring) writeDeltaLdt(d, c.localDeletionTimeS)
+      if (c.isExpiring) writeDeltaTtl(d, c.ttlS)
+      if (spec.isComplex) writeVintBytes(d, c.path)
+      if (hasValue) {
+        if (spec.valueFixedLen >= 0) {
+          require(c.value.length == spec.valueFixedLen,
+            s"fixed-length value mismatch for ${spec.name}")
+          d.write(c.value)
+        } else writeVintBytes(d, c.value)
+      }
+    }
+
+    /** bit 2i = empty, bit 2i+1 = null (we write neither: a LongType
+      * clustering value is always present). */
+    private def writeClusteringBlock(d: DataOutput, clustering: Long): Unit = {
+      writeUnsignedVInt(d, 0L) // header word: not null, not empty
+      d.writeLong(clustering) // LongType: fixed 8 bytes, big-endian
+    }
+
+    def write(u: WriteUnfiltered): Unit = u match {
+      case r: WriteRow => writeRow(r)
+      case m: WriteMarker => writeMarker(m)
+    }
+
+    private def writeRow(r: WriteRow): Unit = {
+      val present = r.cells.map(_.columnIdx).distinct.sorted
+      val all = present.length == header.regularColumns.length
+      var flags = 0
+      if (all) flags |= HasAllColumns
+      // body: [subset] + column data (no pk-liveness, no row deletion)
+      val body = new ByteArrayOutputStream()
+      val bd = new DataOutputStream(body)
+      if (!all) {
+        // Columns.serializer.serializeSubset: unsigned-vint bitmap of the
+        // superset positions ABSENT from the row (supersets ≤ 64 columns)
+        require(header.regularColumns.length <= 64,
+          "subset encoding beyond 64 columns not supported")
+        var bitmap = 0L
+        header.regularColumns.indices.foreach { i =>
+          if (!present.contains(i)) bitmap |= (1L << i)
+        }
+        writeUnsignedVInt(bd, bitmap)
+      }
+      present.foreach { colIdx =>
+        val cells = r.cells.filter(_.columnIdx == colIdx)
+        if (header.regularColumns(colIdx).isComplex) {
+          // no complex deletion (HAS_COMPLEX_DELETION unset): cell count
+          // then the cells
+          writeUnsignedVInt(bd, cells.length.toLong)
+          cells.foreach(writeCell(bd, _))
+        } else {
+          require(cells.length == 1,
+            s"simple column ${header.regularColumns(colIdx).name} with " +
+              s"${cells.length} cells")
+          writeCell(bd, cells.head)
+        }
+      }
+      val bodyBytes = body.toByteArray
+      val before = out.size()
+      out.writeByte(flags)
+      writeClusteringBlock(out, r.clustering)
+      writeUnsignedVInt(out, bodyBytes.length.toLong)
+      writeUnsignedVInt(out, prevSize)
+      out.write(bodyBytes)
+      prevSize = (out.size() - before).toLong
+    }
+
+    private def writeMarker(m: WriteMarker): Unit = {
+      val body = new ByteArrayOutputStream()
+      val bd = new DataOutputStream(body)
+      val isBoundary = m.kind == KindExclEndInclStartBoundary ||
+        m.kind == KindInclEndExclStartBoundary
+      // bounds carry one DeletionTime, boundaries two (end then start);
+      // the fixture writes bounds — a boundary writes the same time twice
+      writeDeltaTs(bd, m.markedForDeleteAtUs)
+      writeDeltaLdt(bd, m.localDeletionTimeS)
+      if (isBoundary) {
+        writeDeltaTs(bd, m.markedForDeleteAtUs)
+        writeDeltaLdt(bd, m.localDeletionTimeS)
+      }
+      val bodyBytes = body.toByteArray
+      val before = out.size()
+      out.writeByte(IsMarker)
+      out.writeByte(m.kind)
+      out.writeShort(1) // bound size: one clustering value
+      writeClusteringBlock(out, m.clustering)
+      writeUnsignedVInt(out, bodyBytes.length.toLong)
+      writeUnsignedVInt(out, prevSize)
+      out.write(bodyBytes)
+      prevSize = (out.size() - before).toLong
+    }
+  }
+
+  // ------------------------------------------------------------- parsing
+
+  /** Streaming event iterator over a real big-format Data.db stream,
+    * decoded through `header`. Emits the SAME [[DataDbFormat.Event]] shape
+    * as the engine-format parser so every downstream pipeline runs
+    * unchanged; `size_bytes` carries the cell's VALUE length (markers and
+    * valueless cells: 0) — the roundtrip-checkable size the real encoding
+    * exposes per cell.
+    *
+    * Markers surface with a synthesized column name `range:<clustering>`
+    * (real markers name no column; the clustering bound is the identity),
+    * matching the fixture relation's rendering. */
+  def events(stream: InputStream, header: SerializationHeaderInfo,
+      stopAtBoundary: () => Boolean = () => false): Iterator[DataDbFormat.Event] = {
+    require(header.clusteringTypes == Seq(Marshal.Prefix + "LongType"),
+      "event surface requires a single LongType clustering column")
+    val regulars = header.regularColumns.toArray
+    val colNameBytes = regulars.map(_.nameBytes)
+
+    new Iterator[DataDbFormat.Event] {
+      private val in = new DataInputStream(stream)
+      private var currentKey: Array[Byte] = _
+      private var pending: List[DataDbFormat.Event] = Nil
+      private var done = false
+
+      private def readKeyHeader(): Boolean = {
+        if (stopAtBoundary()) { done = true; in.close(); return false }
+        val b0 = in.read()
+        if (b0 < 0) { done = true; in.close(); return false }
+        val b1 = in.read()
+        if (b1 < 0) throw new EOFException("truncated partition-key length")
+        val keyLen = (b0 << 8) | b1
+        val key = new Array[Byte](keyLen)
+        in.readFully(key)
+        currentKey = key
+        // partition-level DeletionTime (localDeletionTime int,
+        // markedForDeleteAt long); the fixture writes live partitions —
+        // a real partition deletion parses but is not surfaced as an event
+        in.readInt()
+        in.readLong()
+        true
+      }
+
+      private def readDeltaTs(d: DataInput): Long =
+        readUnsignedVInt(d) + header.minTimestampUs
+      private def readDeltaLdt(d: DataInput): Long =
+        readUnsignedVInt(d) + header.minLocalDeletionTimeS
+      private def readDeltaTtl(d: DataInput): Long =
+        readUnsignedVInt(d) + header.minTtlS
+
+      /** Single clustering value per the header; null/empty bits of the
+        * block header word reject (a LongType clustering is never absent
+        * in files this engine targets). */
+      private def readClusteringValue(d: DataInput): Long = {
+        val headerWord = readUnsignedVInt(d)
+        if (headerWord != 0L)
+          throw new java.io.IOException(
+            s"null/empty clustering value (header word $headerWord)")
+        d.readLong()
+      }
+
+      private def readCell(d: DataInput, colIdx: Int,
+          clustering: Long): DataDbFormat.Event = {
+        val spec = regulars(colIdx)
+        val flags = d.readUnsignedByte()
+        if ((flags & (CellUseRowTimestamp | CellUseRowTtl)) != 0)
+          throw new java.io.IOException(
+            "row-liveness-relative cells unsupported (no pk liveness written)")
+        val deleted = (flags & CellIsDeleted) != 0
+        val expiring = (flags & CellIsExpiring) != 0
+        val hasValue = (flags & CellHasEmptyValue) == 0
+        val ts = readDeltaTs(d)
+        val ldt =
+          if (deleted || expiring) readDeltaLdt(d) else NoDeletionTimeS
+        val ttl = if (expiring) readDeltaTtl(d) else NoTtlS
+        if (spec.isComplex) {
+          val pathLen = readUnsignedVInt(d)
+          if (pathLen < 0 || pathLen > (1 << 16))
+            throw new java.io.IOException(s"implausible cell path $pathLen")
+          d.skipBytes(pathLen.toInt)
+        }
+        var valueLen = 0L
+        if (hasValue) {
+          val fixed = spec.valueFixedLen
+          valueLen = if (fixed >= 0) fixed.toLong else readUnsignedVInt(d)
+          if (valueLen < 0 || valueLen > (1 << 28))
+            throw new java.io.IOException(s"implausible value length $valueLen")
+          var remaining = valueLen.toInt
+          while (remaining > 0) {
+            val skipped = d.skipBytes(remaining)
+            if (skipped <= 0) throw new EOFException("truncated cell value")
+            remaining -= skipped
+          }
+        }
+        DataDbFormat.Event(
+          key = currentKey,
+          clustering = clustering,
+          columnNameBytes = colNameBytes(colIdx),
+          isMarker = false,
+          flags = DataDbFormat.flagsOf(tombstone = deleted,
+            expiring = expiring, counter = spec.isCounter, live = !deleted),
+          timestampUs = ts,
+          ttlS = ttl,
+          localDeletionTimeS = ldt,
+          sizeBytes = valueLen)
+      }
+
+      /** Reads one unfiltered; returns its events (Nil at end of
+        * partition). */
+      private def readUnfiltered(): List[DataDbFormat.Event] = {
+        val flags = in.readUnsignedByte()
+        if ((flags & EndOfPartition) != 0) { currentKey = null; return Nil }
+        if ((flags & IsMarker) != 0) return readMarker() :: Nil
+        val extended =
+          if ((flags & ExtensionFlag) != 0) in.readUnsignedByte() else 0
+        if ((extended & IsStatic) != 0)
+          throw new java.io.IOException(
+            "static rows unsupported (header declares no static columns)")
+        val clustering = readClusteringValue(in)
+        val bodySize = readUnsignedVInt(in)
+        readUnsignedVInt(in) // previous unfiltered size (reverse iteration)
+        if (bodySize < 0 || bodySize > (1 << 28))
+          throw new java.io.IOException(s"implausible row body $bodySize")
+        val body = new Array[Byte](bodySize.toInt)
+        in.readFully(body)
+        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        // pk liveness / row deletion: parsed for stream integrity; rows
+        // this engine writes never carry them
+        if ((flags & HasTimestamp) != 0) readDeltaTs(d)
+        if ((flags & HasTtl) != 0) { readDeltaTtl(d); readDeltaLdt(d) }
+        if ((flags & HasDeletion) != 0) { readDeltaTs(d); readDeltaLdt(d) }
+        val present: Array[Int] =
+          if ((flags & HasAllColumns) != 0) regulars.indices.toArray
+          else {
+            // unsigned-vint bitmap of ABSENT superset positions (≤ 64)
+            val bitmap = readUnsignedVInt(d)
+            regulars.indices.filter(i => (bitmap & (1L << i)) == 0L).toArray
+          }
+        val out = List.newBuilder[DataDbFormat.Event]
+        present.foreach { colIdx =>
+          if (regulars(colIdx).isComplex) {
+            if ((flags & HasComplexDeletion) != 0) {
+              readDeltaTs(d); readDeltaLdt(d) // complex deletion: parsed, unsurfaced
+            }
+            val n = readUnsignedVInt(d)
+            if (n < 0 || n > (1 << 20))
+              throw new java.io.IOException(s"implausible cell count $n")
+            var i = 0L
+            while (i < n) { out += readCell(d, colIdx, clustering); i += 1 }
+          } else out += readCell(d, colIdx, clustering)
+        }
+        if (d.available() != 0)
+          throw new java.io.IOException(
+            s"row body size mismatch: ${d.available()} bytes left of $bodySize")
+        out.result()
+      }
+
+      private def readMarker(): DataDbFormat.Event = {
+        val kind = in.readUnsignedByte()
+        val boundSize = in.readUnsignedShort()
+        if (boundSize != 1)
+          throw new java.io.IOException(
+            s"marker bound with $boundSize values (engine surface needs 1)")
+        val clustering = readClusteringValue(in)
+        val bodySize = readUnsignedVInt(in)
+        readUnsignedVInt(in) // previous unfiltered size
+        if (bodySize < 0 || bodySize > (1 << 20))
+          throw new java.io.IOException(s"implausible marker body $bodySize")
+        val body = new Array[Byte](bodySize.toInt)
+        in.readFully(body)
+        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        val ts = readDeltaTs(d)
+        val ldt = readDeltaLdt(d)
+        val isBoundary = kind == KindExclEndInclStartBoundary ||
+          kind == KindInclEndExclStartBoundary
+        if (isBoundary) { readDeltaTs(d); readDeltaLdt(d) }
+        if (d.available() != 0)
+          throw new java.io.IOException("marker body size mismatch")
+        DataDbFormat.Event(
+          key = currentKey,
+          clustering = clustering,
+          columnNameBytes = ("range:" + clustering)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          isMarker = true,
+          flags = DataDbFormat.flagsOf(tombstone = true, expiring = false,
+            counter = false, live = false),
+          timestampUs = ts,
+          ttlS = NoTtlS,
+          localDeletionTimeS = ldt,
+          sizeBytes = 0L)
+      }
+
+      private def advance(): Unit = {
+        while (pending.isEmpty && !done) {
+          if (currentKey == null) {
+            if (!readKeyHeader()) return
+          }
+          pending = readUnfiltered()
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (!done && pending.isEmpty) advance()
+        pending.nonEmpty
+      }
+      override def next(): DataDbFormat.Event = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = pending.head
+        pending = pending.tail
+        e
+      }
+    }
+  }
+}

@@ -12,8 +12,9 @@ object DataDb {
     * partition boundaries (default 128 MB, Spark's files.maxPartitionBytes
     * default). */
   def read(spark: SparkSession, path: String,
-      maxSplitBytes: Option[Long] = None): DataFrame = {
-    val r = spark.read.format("sstable-data")
+      maxSplitBytes: Option[Long] = None,
+      format: String = DataDbScan.FormatGraft): DataFrame = {
+    val r = spark.read.format("sstable-data").option("format", format)
     maxSplitBytes.foreach(b => r.option("maxSplitBytes", b.toString))
     r.load(path)
   }
@@ -23,8 +24,9 @@ object DataDb {
     * cfstats/purge pipeline — `Fixtures.partitionScan`, `partitions`,
     * every report — runs unchanged off real binary files. */
   def cells(spark: SparkSession, path: String, keyspace: String = "ks1",
-      tbl: String = "lineitem", maxSplitBytes: Option[Long] = None): DataFrame =
-    read(spark, path, maxSplitBytes)
+      tbl: String = "lineitem", maxSplitBytes: Option[Long] = None,
+      format: String = DataDbScan.FormatGraft): DataFrame =
+    read(spark, path, maxSplitBytes, format)
       .withColumn("key", graft.sources.BinaryKeys.beLong(col("key")))
       .withColumn("keyspace", lit(keyspace))
       .withColumn("tbl", lit(tbl))

@@ -84,11 +84,13 @@ final class DataDbScanBuilder(options: Map[String, String])
     required, pushed,
     // CaseInsensitiveStringMap lower-cases option keys
     options.get("maxsplitbytes").map(_.toLong)
-      .getOrElse(DataDbScan.DefaultSplitBytes))
+      .getOrElse(DataDbScan.DefaultSplitBytes),
+    options.getOrElse("format", DataDbScan.FormatGraft))
 }
 
 final case class DataDbScan(path: String, required: StructType,
-    pushed: Array[Filter], maxSplitBytes: Long = DataDbScan.DefaultSplitBytes)
+    pushed: Array[Filter], maxSplitBytes: Long = DataDbScan.DefaultSplitBytes,
+    format: String = DataDbScan.FormatGraft)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -144,7 +146,8 @@ final case class DataDbScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DataDbReaderFactory(required, DataDbScan.confEntries(sessionHadoopConf()))
+    new DataDbReaderFactory(required,
+      DataDbScan.confEntries(sessionHadoopConf()), format)
 
   /** Streaming form: each micro-batch reads the SSTables that appeared in
     * the directory since the last batch — flushed/compacted sstables are
@@ -161,6 +164,14 @@ object DataDbScan {
     * default); tests shrink it to force multi-split planning. */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
+  /** `format` option values: the engine's own event encoding (default) or
+    * the real Cassandra big-format 'nb' row codec
+    * ([[CassandraDataFormat]]), which reads the SerializationHeader from
+    * the companion Statistics.db and — when a CompressionInfo.db sidecar
+    * exists — decompresses LZ4 chunks through the real chunk-offset map. */
+  val FormatGraft = "graft"
+  val FormatCassandra = "cassandra"
+
   /** Hadoop conf as plain entries for executor shipping (the Configuration
     * class itself is not Java-serializable). */
   private[datadb] def confEntries(conf: Configuration): Array[(String, String)] = {
@@ -172,10 +183,29 @@ object DataDbScan {
 
   /** [start, end) splits of one Data.db file, cut at partition-block
     * boundaries from the companion Index.db sidecar (whole file when the
-    * sidecar is absent or the file is small enough). */
+    * sidecar is absent or the file is small enough). All positions are
+    * LOGICAL (uncompressed) byte offsets: for a chunk-compressed file the
+    * effective length comes from CompressionInfo.db's `data_length` and
+    * the index positions are uncompressed by construction (Cassandra's
+    * partition index addresses the uncompressed stream; readers map
+    * through the chunk table). */
   private[datadb] def splitsOf(fs: org.apache.hadoop.fs.FileSystem,
-      file: Path, id: String, len: Long,
+      file: Path, id: String, fileLen: Long,
       maxSplitBytes: Long): Seq[DataDbInputPartition] = {
+    val ciPath = new Path(file.getParent,
+      id + graft.sources.compressioninfo.CompressionInfoFormat.Suffix)
+    val len: Long =
+      if (!fs.exists(ciPath)) fileLen
+      else {
+        val ciLen = fs.getFileStatus(ciPath).getLen
+        if (ciLen > (1L << 31))
+          throw new java.io.IOException(s"implausible CompressionInfo $ciLen")
+        val bytes = new Array[Byte](ciLen.toInt)
+        val in = fs.open(ciPath)
+        try in.readFully(0L, bytes) finally in.close()
+        graft.sources.compressioninfo.CompressionInfoFormat.parse(bytes)
+          .dataLength
+      }
     val idx = new Path(file.getParent,
       id + graft.sources.indexdb.IndexDbFormat.Suffix)
     val cuts: Seq[Long] =
@@ -212,7 +242,8 @@ final case class DataDbInputPartition(file: String, sstableId: String,
     start: Long, end: Long) extends InputPartition
 
 final class DataDbReaderFactory(required: StructType,
-    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+    confEntries: Array[(String, String)],
+    format: String = DataDbScan.FormatGraft) extends PartitionReaderFactory {
   private def conf(): Configuration = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
@@ -221,7 +252,7 @@ final class DataDbReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DataDbInputPartition]
     new DataDbPartitionReader(p.file, p.sstableId, p.start, p.end, required,
-      conf())
+      conf(), format)
   }
   /** Columnar path: the parse fills flat vectors instead of allocating a
     * boxed row per event — Spark's ColumnarToRow then feeds whole-stage
@@ -231,7 +262,7 @@ final class DataDbReaderFactory(required: StructType,
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DataDbInputPartition]
     new DataDbColumnarReader(p.file, p.sstableId, p.start, p.end, required,
-      conf())
+      conf(), format)
   }
 }
 
@@ -240,13 +271,64 @@ final class DataDbReaderFactory(required: StructType,
   * byte-at-a-time, so the buffer sits UNDER the position counter (a buffer
   * above it would count read-ahead as consumed and stop the range early;
   * here `consumed` counts exactly the parser-consumed bytes while each read
-  * costs an array access, not an FS-stream call). */
+  * costs an array access, not an FS-stream call).
+  *
+  * `format=cassandra` swaps in the real big-format row codec: the
+  * SerializationHeader is parsed from the companion Statistics.db, and
+  * when a CompressionInfo.db sidecar exists the byte source becomes the
+  * chunk-decompressing stream — [start, end) then address the
+  * UNCOMPRESSED stream, which is exactly what the partition index's
+  * positions mean in a real compressed sstable. */
 private[datadb] final class EventStream(file: String, start: Long, end: Long,
-    conf: Configuration) {
+    conf: Configuration, format: String = DataDbScan.FormatGraft) {
   private val hPath = new Path(file)
-  private val stream = hPath.getFileSystem(conf).open(hPath)
-  if (start > 0) stream.seek(start)
-  private val buffered = new java.io.BufferedInputStream(stream, 1 << 18)
+  private val fs = hPath.getFileSystem(conf)
+  private val id = hPath.getName.stripSuffix(DataDbFormat.Suffix)
+
+  private def sidecarBytes(suffix: String): Option[Array[Byte]] = {
+    val p = new Path(hPath.getParent, id + suffix)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen
+      if (len > (1L << 31))
+        throw new java.io.IOException(s"implausible sidecar size $len for $p")
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      Some(bytes)
+    }
+  }
+
+  private val (raw: java.io.InputStream, closeable: java.io.Closeable) =
+    format match {
+      case DataDbScan.FormatCassandra =>
+        sidecarBytes(graft.sources.compressioninfo.CompressionInfoFormat.Suffix) match {
+          case Some(ciBytes) =>
+            val info =
+              graft.sources.compressioninfo.CompressionInfoFormat.parse(ciBytes)
+            val compressedLen = fs.getFileStatus(hPath).getLen
+            val fsIn = fs.open(hPath)
+            val source = new graft.sources.compressioninfo.ChunkedData.RandomAccess {
+              override def readFully(position: Long, buf: Array[Byte],
+                  off: Int, len: Int): Unit =
+                fsIn.readFully(position, buf, off, len)
+              override def close(): Unit = fsIn.close()
+            }
+            val chunked = new graft.sources.compressioninfo.ChunkedData
+              .ChunkedInputStream(source, info, compressedLen, start)
+            (chunked, chunked)
+          case None =>
+            val s = fs.open(hPath)
+            if (start > 0) s.seek(start)
+            (s, s)
+        }
+      case _ =>
+        val s = fs.open(hPath)
+        if (start > 0) s.seek(start)
+        (s, s)
+    }
+
+  private val buffered = new java.io.BufferedInputStream(raw, 1 << 18)
   private var consumed = 0L
   private val counting = new java.io.InputStream {
     override def read(): Int = {
@@ -257,18 +339,30 @@ private[datadb] final class EventStream(file: String, start: Long, end: Long,
     }
     override def close(): Unit = buffered.close()
   }
-  val events: Iterator[DataDbFormat.Event] =
-    DataDbFormat.events(counting, () => start + consumed >= end)
-  def close(): Unit = stream.close()
+  val events: Iterator[DataDbFormat.Event] = format match {
+    case DataDbScan.FormatCassandra =>
+      val statsBytes = sidecarBytes(CassandraDataFormat.StatsSuffix)
+        .getOrElse(throw new java.io.IOException(
+          s"format=cassandra requires a companion Statistics.db for $file"))
+      val header = CassandraDataFormat.parseHeader(
+        graft.sources.statsdb.CassandraStatsFormat.componentBytes(
+          statsBytes, graft.sources.statsdb.CassandraStatsFormat.TypeHeader))
+      CassandraDataFormat.events(counting, header,
+        () => start + consumed >= end)
+    case _ =>
+      DataDbFormat.events(counting, () => start + consumed >= end)
+  }
+  def close(): Unit = closeable.close()
 }
 
 /** Row-at-a-time reader (fallback surface; the planner normally takes the
   * columnar path). Only the columns in `required` are materialized. */
 final class DataDbPartitionReader(file: String, sstableId: String,
-    start: Long, end: Long, required: StructType, conf: Configuration)
+    start: Long, end: Long, required: StructType, conf: Configuration,
+    format: String = DataDbScan.FormatGraft)
     extends PartitionReader[InternalRow] {
 
-  private val es = new EventStream(file, start, end, conf)
+  private val es = new EventStream(file, start, end, conf, format)
   private var current: DataDbFormat.Event = _
   private val id = UTF8String.fromString(sstableId)
   private val cell = UTF8String.fromString(DataDbFormat.KindCell)
@@ -305,12 +399,13 @@ final class DataDbPartitionReader(file: String, sstableId: String,
 /** Vectorized reader: events land in on-heap column vectors in batches of
   * [[DataDbColumnarReader.BatchRows]] — no per-event row or box. */
 final class DataDbColumnarReader(file: String, sstableId: String,
-    start: Long, end: Long, required: StructType, conf: Configuration)
+    start: Long, end: Long, required: StructType, conf: Configuration,
+    format: String = DataDbScan.FormatGraft)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  private val es = new EventStream(file, start, end, conf)
+  private val es = new EventStream(file, start, end, conf, format)
   private val vectors =
     OnHeapColumnVector.allocateColumns(DataDbColumnarReader.BatchRows, required)
   private val batch =

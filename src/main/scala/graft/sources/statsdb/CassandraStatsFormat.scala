@@ -218,10 +218,14 @@ object CassandraStatsFormat {
   }
 
   /** Serializes a full Statistics.db: VALIDATION + COMPACTION (opaque HLL
-    * blob) + STATS + HEADER (opaque), MetadataSerializer envelope with
-    * checksums. The opaque components carry deterministic filler — readers
-    * must skip them via the TOC, exactly as this module's parser does. */
-  def write(out: java.io.DataOutput, f: File): Unit = {
+    * blob) + STATS + HEADER, MetadataSerializer envelope with checksums.
+    * By default the HEADER carries deterministic filler that readers skip
+    * via the TOC; pass `headerBytes` (from
+    * [[graft.sources.datadb.CassandraDataFormat.serializeHeader]]) to write
+    * a REAL SerializationHeader component — the form the real-format
+    * Data.db row codec decodes through. */
+  def write(out: java.io.DataOutput, f: File,
+      headerBytes: Option[Array[Byte]] = None): Unit = {
     val compaction = {
       // CompactionMetadata: int length + HyperLogLogPlus bytes (opaque here)
       val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
@@ -229,7 +233,8 @@ object CassandraStatsFormat {
       d.writeInt(blob.length); d.write(blob)
       bos.toByteArray
     }
-    val header = Array.tabulate(24)(i => (i * 5 + 1).toByte)
+    val header =
+      headerBytes.getOrElse(Array.tabulate(24)(i => (i * 5 + 1).toByte))
     val comps = Seq(
       TypeValidation -> validationBytes(f.validation),
       TypeCompaction -> compaction,
@@ -320,10 +325,11 @@ object CassandraStatsFormat {
       isTransient)
   }
 
-  /** Parses a whole real-format Statistics.db: envelope checksums verified
-    * (count, TOC, per-component), components located by TOC, unconsumed
-    * types skipped without parsing. */
-  def parse(bytes: Array[Byte]): File = {
+  /** Verifies the envelope (count, TOC, per-component CRC32s) and returns
+    * the raw bytes of one component located by TOC type — the access path
+    * every consumer shares (the Data.db codec pulls TypeHeader through
+    * this to get the SerializationHeader). */
+  def componentBytes(bytes: Array[Byte], tpe: Int): Array[Byte] = {
     val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val crc = new CRC32()
     val count = d.readInt()
@@ -333,28 +339,34 @@ object CassandraStatsFormat {
     if (count < 1 || count > 16)
       throw new java.io.IOException(s"implausible component count $count")
     val toc = (0 until count).map { _ =>
-      val tpe = d.readInt(); crcInt(crc, tpe)
+      val t = d.readInt(); crcInt(crc, t)
       val off = d.readInt(); crcInt(crc, off)
-      (tpe, off)
+      (t, off)
     }
     if (d.readInt() != crc.getValue.toInt)
       throw new java.io.IOException("Statistics.db TOC checksum mismatch")
     // component i's byte range ends 4 bytes (its CRC) before the next offset
-    def sliceFor(tpe: Int): DataInputStream = {
-      val idx = toc.indexWhere(_._1 == tpe)
-      if (idx < 0)
-        throw new java.io.IOException(s"missing metadata component $tpe")
-      val start = toc(idx)._2
-      val end = if (idx + 1 < count) toc(idx + 1)._2 - 4 else bytes.length - 4
-      if (start < 0 || end < start || end + 4 > bytes.length)
-        throw new java.io.IOException(s"corrupt TOC offsets for $tpe")
-      val c = new CRC32(); c.update(bytes, start, end - start)
-      val stored = java.nio.ByteBuffer.wrap(bytes, end, 4).getInt
-      if (stored != c.getValue.toInt)
-        throw new java.io.IOException(s"component $tpe checksum mismatch")
+    val idx = toc.indexWhere(_._1 == tpe)
+    if (idx < 0)
+      throw new java.io.IOException(s"missing metadata component $tpe")
+    val start = toc(idx)._2
+    val end = if (idx + 1 < count) toc(idx + 1)._2 - 4 else bytes.length - 4
+    if (start < 0 || end < start || end + 4 > bytes.length)
+      throw new java.io.IOException(s"corrupt TOC offsets for $tpe")
+    val c = new CRC32(); c.update(bytes, start, end - start)
+    val stored = java.nio.ByteBuffer.wrap(bytes, end, 4).getInt
+    if (stored != c.getValue.toInt)
+      throw new java.io.IOException(s"component $tpe checksum mismatch")
+    java.util.Arrays.copyOfRange(bytes, start, end)
+  }
+
+  /** Parses a whole real-format Statistics.db: envelope checksums verified
+    * (count, TOC, per-component), components located by TOC, unconsumed
+    * types skipped without parsing. */
+  def parse(bytes: Array[Byte]): File = {
+    def sliceFor(tpe: Int): DataInputStream =
       new DataInputStream(
-        new java.io.ByteArrayInputStream(bytes, start, end - start))
-    }
+        new java.io.ByteArrayInputStream(componentBytes(bytes, tpe)))
     val v = sliceFor(TypeValidation)
     val validation = Validation(v.readUTF(), v.readDouble())
     val stats = parseStats(sliceFor(TypeStats))

@@ -1,0 +1,266 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.compressioninfo.{ChunkedData, CompressionInfoFormat}
+import graft.sources.datadb.{CassandraDataFixture, CassandraDataFormat, DataDb, DataDbScan}
+import CassandraDataFormat._
+
+/** The REAL Cassandra big-format ('nb') Data.db row codec: header
+  * component roundtrip, UnfilteredSerializer row/cell/marker encodings
+  * (delta timestamps, subset bitmaps, complex-column cells, empty values),
+  * the chunked-LZ4 layer (CRC verification, mid-stream starts, the
+  * max_compressed_length raw-chunk rule), and end-to-end DSv2 equivalence
+  * — compressed ≡ uncompressed ≡ the parquet relation under the fixture's
+  * documented representation mapping. */
+class CassandraDataSpec extends SparkSpec {
+
+  private val LongT = Marshal.Prefix + "LongType"
+  private val BytesT = Marshal.Prefix + "BytesType"
+  private val MapT = Marshal.Prefix + s"MapType($LongT,$BytesT)"
+
+  private def cspec(name: String, tpe: String) =
+    ColumnSpec(name.getBytes("UTF-8"), tpe)
+
+  test("SerializationHeader component round-trips (negative epoch deltas)") {
+    val h = SerializationHeaderInfo(
+      minTimestampUs = 700L * 86400000000L, // far BELOW the 2015 epoch
+      minLocalDeletionTimeS = 700L * 86400L,
+      minTtlS = 0L,
+      keyType = LongT,
+      clusteringTypes = Seq(LongT),
+      staticColumns = Nil,
+      regularColumns = Seq(cspec("c0", MapT), cspec("simple", BytesT)))
+    val parsed = parseHeader(serializeHeader(h))
+    assert(parsed.minTimestampUs === h.minTimestampUs)
+    assert(parsed.minLocalDeletionTimeS === h.minLocalDeletionTimeS)
+    assert(parsed.minTtlS === h.minTtlS)
+    assert(parsed.keyType === h.keyType)
+    assert(parsed.clusteringTypes === h.clusteringTypes)
+    assert(parsed.regularColumns.map(_.name) === Seq("c0", "simple"))
+    assert(parsed.regularColumns.map(_.typeName) === Seq(MapT, BytesT))
+    assert(parsed.regularColumns.head.isComplex)
+    assert(!parsed.regularColumns(1).isComplex)
+  }
+
+  test("marshal registry: fixed lengths, complex value types") {
+    assert(Marshal.fixedLen(LongT) === 8)
+    assert(Marshal.fixedLen(Marshal.Prefix + "UUIDType") === 16)
+    assert(Marshal.fixedLen(BytesT) === -1)
+    assert(Marshal.isComplex(MapT))
+    assert(Marshal.complexValueType(MapT) === Some(BytesT))
+    assert(Marshal.complexValueType(
+      Marshal.Prefix + s"SetType($LongT)") === None)
+    assert(Marshal.complexValueType(
+      Marshal.Prefix + s"ListType($BytesT)") === Some(BytesT))
+    // nested parameter: the top-level comma split must not cut inside it
+    val nested = Marshal.Prefix +
+      s"MapType(${Marshal.Prefix}MapType($LongT,$LongT),$BytesT)"
+    assert(Marshal.complexValueType(nested) === Some(BytesT))
+  }
+
+  private def roundtrip(header: SerializationHeaderInfo,
+      write: Writer => Unit): List[graft.sources.datadb.DataDbFormat.Event] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val w = new Writer(out, header)
+    write(w)
+    events(new ByteArrayInputStream(bos.toByteArray), header).toList
+  }
+
+  test("rows, complex cells, markers and sentinels round-trip") {
+    val header = SerializationHeaderInfo(
+      minTimestampUs = 1000L, minLocalDeletionTimeS = 500L, minTtlS = 0L,
+      keyType = LongT, clusteringTypes = Seq(LongT), staticColumns = Nil,
+      regularColumns = Seq(cspec("c0", MapT), cspec("c1", MapT)))
+    def path(i: Long) =
+      java.nio.ByteBuffer.allocate(8).putLong(i).array()
+    val got = roundtrip(header, { w =>
+      w.writePartitionStart(Array[Byte](0, 0, 0, 0, 0, 0, 0, 9))
+      // marker before the row at the same clustering
+      w.write(WriteMarker(1L, KindInclStartBound, 5000L, 700L))
+      w.write(WriteRow(1L, Seq(
+        // two cells in ONE complex column (the multi-cell mapping)
+        WriteCell(0, path(1), isDeleted = false, isExpiring = false,
+          timestampUs = 1000L, ttlS = -1L, localDeletionTimeS = 0L,
+          value = Array[Byte](1, 2, 3)),
+        WriteCell(0, path(2), isDeleted = true, isExpiring = false,
+          timestampUs = 2000L, ttlS = -1L, localDeletionTimeS = 600L,
+          value = null),
+        // expiring cell with the live-sentinel deletion time
+        WriteCell(1, path(1), isDeleted = false, isExpiring = true,
+          timestampUs = 3000L, ttlS = 86400L,
+          localDeletionTimeS = NoDeletionTimeS,
+          value = Array.emptyByteArray))))
+      w.writePartitionEnd()
+    })
+    assert(got.map(_.isMarker) === List(true, false, false, false))
+    assert(got.map(_.clustering) === List(1L, 1L, 1L, 1L))
+    assert(got.map(_.columnName) === List("range:1", "c0", "c0", "c1"))
+    assert(got.map(_.timestampUs) === List(5000L, 1000L, 2000L, 3000L))
+    // deleted and non-expiring cells read back NO_TTL; only the expiring
+    // one keeps its TTL
+    assert(got.map(_.ttlS) === List(NoTtlS, NoTtlS, NoTtlS, 86400L))
+    // live non-expiring cells read back the live sentinel
+    assert(got.map(_.localDeletionTimeS) ===
+      List(700L, NoDeletionTimeS, 600L, NoDeletionTimeS))
+    assert(got.map(_.isTombstone) === List(true, false, true, false))
+    assert(got.map(_.isExpiring) === List(false, false, false, true))
+    assert(got.map(_.isLive) === List(false, true, false, true))
+    // size = value length; deleted/empty cells and markers are 0
+    assert(got.map(_.sizeBytes) === List(0L, 3L, 0L, 0L))
+    assert(got.forall(e =>
+      java.nio.ByteBuffer.wrap(e.key).getLong === 9L))
+  }
+
+  test("column-subset bitmap and simple columns round-trip") {
+    val header = SerializationHeaderInfo(
+      minTimestampUs = 0L, minLocalDeletionTimeS = 0L, minTtlS = 0L,
+      keyType = LongT, clusteringTypes = Seq(LongT), staticColumns = Nil,
+      regularColumns = Seq(cspec("a", BytesT), cspec("b", BytesT),
+        cspec("c", Marshal.Prefix + "LongType")))
+    val got = roundtrip(header, { w =>
+      w.writePartitionStart(Array[Byte](1))
+      // only column b present → HAS_ALL_COLUMNS unset, bitmap 0b101
+      w.write(WriteRow(7L, Seq(
+        WriteCell(1, null, isDeleted = false, isExpiring = false,
+          timestampUs = 42L, ttlS = -1L, localDeletionTimeS = 0L,
+          value = Array[Byte](9, 9)))))
+      // fixed-length simple column (LongType value: raw 8 bytes, no vint)
+      w.write(WriteRow(8L, Seq(
+        WriteCell(2, null, isDeleted = false, isExpiring = false,
+          timestampUs = 43L, ttlS = -1L, localDeletionTimeS = 0L,
+          value = java.nio.ByteBuffer.allocate(8).putLong(77L).array()))))
+      w.writePartitionEnd()
+    })
+    assert(got.map(_.columnName) === List("b", "c"))
+    assert(got.map(_.clustering) === List(7L, 8L))
+    assert(got.map(_.sizeBytes) === List(2L, 8L))
+  }
+
+  test("chunked LZ4 layer: roundtrip, mid-stream starts, CRC, raw chunks") {
+    val data = Array.tabulate(100000)(i => (i * 7 + (i >> 8)).toByte)
+    def compress(maxCompressed: Int): (Array[Byte], CompressionInfoFormat.Info) = {
+      val bos = new ByteArrayOutputStream()
+      val c = new ChunkedData.ChunkingOutputStream(bos, 4096, maxCompressed)
+      c.write(data)
+      val (len, offsets) = c.finish()
+      assert(len === data.length.toLong)
+      (bos.toByteArray,
+        CompressionInfoFormat.Info("LZ4Compressor", Nil, 4096, maxCompressed,
+          len, offsets))
+    }
+    def sourceOf(bytes: Array[Byte]) = new ChunkedData.RandomAccess {
+      override def readFully(pos: Long, buf: Array[Byte], off: Int,
+          len: Int): Unit = System.arraycopy(bytes, pos.toInt, buf, off, len)
+      override def close(): Unit = ()
+    }
+    val (compressed, info) = compress(Int.MaxValue)
+    assert(info.offsets.length === (data.length + 4095) / 4096)
+    // full read and mid-stream starts (chunk-aligned and not)
+    Seq(0L, 4096L, 5000L, 99999L).foreach { start =>
+      val in = new ChunkedData.ChunkedInputStream(sourceOf(compressed), info,
+        compressed.length.toLong, start)
+      val got = in.readAllBytes()
+      assert(got.length === data.length - start.toInt, s"start=$start")
+      assert(got.toSeq === data.drop(start.toInt).toSeq, s"start=$start")
+    }
+    // CRC failure surfaces, never silent corruption
+    val corrupted = compressed.clone()
+    corrupted(10) = (corrupted(10) ^ 0x40).toByte
+    val ex = intercept[java.io.IOException] {
+      new ChunkedData.ChunkedInputStream(sourceOf(corrupted), info,
+        corrupted.length.toLong, 0L).readAllBytes()
+    }
+    assert(ex.getMessage.contains("checksum"))
+    // max_compressed_length=1 forces every chunk raw; still byte-identical
+    val (raw, rawInfo) = compress(1)
+    assert(raw.length === data.length + 4 * rawInfo.offsets.length)
+    val gotRaw = new ChunkedData.ChunkedInputStream(sourceOf(raw), rawInfo,
+      raw.length.toLong, 0L).readAllBytes()
+    assert(gotRaw.toSeq === data.toSeq)
+  }
+
+  test("Filter.db: serialize/parse roundtrip, no false negatives, rare " +
+      "false positives") {
+    import graft.sources.filterdb.FilterDbFormat
+    val f = FilterDbFormat.create(1000L)
+    def keyBytes(i: Long) =
+      java.nio.ByteBuffer.allocate(8).putLong(i).array()
+    (0L until 1000L).foreach(i => f.add(keyBytes(i * 7)))
+    val bos = new ByteArrayOutputStream()
+    FilterDbFormat.write(new DataOutputStream(bos), f)
+    val parsed = FilterDbFormat.parse(new java.io.DataInputStream(
+      new ByteArrayInputStream(bos.toByteArray)))
+    assert(parsed.hashCount === f.hashCount)
+    // the defining contract: NO false negatives
+    assert((0L until 1000L).forall(i => parsed.mightContain(keyBytes(i * 7))))
+    // absent keys: false positives must be rare at ~10 bits/key (p≈0.01)
+    val fp = (0L until 1000L).count(i =>
+      parsed.mightContain(keyBytes(i * 7 + 3)))
+    assert(fp < 50, s"false-positive rate implausible: $fp/1000")
+    // murmur3 quirk coverage: tail bytes >= 0x80 (sign-extension path)
+    // still roundtrip membership
+    val high = Array.tabulate[Byte](11)(i => (0x80 + i).toByte)
+    f.add(high)
+    assert(f.mightContain(high))
+  }
+
+  test("bloom membership and digest verification ops") {
+    val bloom = graft.ops.Integrity.bloomMembership(spark, Sf0001).collect()
+    assert(bloom.length === 6)
+    bloom.foreach { r =>
+      assert(r.getAs[Long]("found") === r.getAs[Long]("partitions"),
+        s"false negative in ${r.getAs[String]("sstable_id")}")
+    }
+    val digest = graft.ops.Integrity.digestVerify(spark, Sf0001).collect()
+    assert(digest.length === 1)
+    assert(digest.head.getAs[Long]("sstables") === 12L)
+    assert(digest.head.getAs[Long]("matches") === 12L)
+  }
+
+  test("end-to-end: real-format files match the mapped parquet relation; " +
+      "compressed ≡ uncompressed ≡ single-split") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(col("clustering")).as("cl_sum"),
+        sum(col("timestamp_us") % 1000003L)
+          .as("ts_sum"),
+        sum(col("size_bytes")).as("sz_sum"),
+        sum(when(col("is_tombstone"), 1L)
+          .otherwise(0L)).as("tombs"))
+      .orderBy("sstable_id").collect().toSeq
+
+    val uncompressedPath =
+      CassandraDataFixture.ensureFiles(spark, Sf0001, compressed = false)
+    val compressedPath =
+      CassandraDataFixture.ensureFiles(spark, Sf0001, compressed = true)
+    // tiny splits force several partition-boundary splits per file; the
+    // compressed read must plan on UNCOMPRESSED length and map offsets
+    // through the chunk table
+    val u = DataDb.read(spark, uncompressedPath,
+      maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+    val c = DataDb.read(spark, compressedPath,
+      maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+    val single = DataDb.read(spark, uncompressedPath,
+      maxSplitBytes = None, format = DataDbScan.FormatCassandra)
+    assert(agg(u) === agg(single))
+    assert(agg(u) === agg(c))
+
+    // the mapped parquet relation: value length = size_bytes % 61 (0 when
+    // deleted), no TTL on deleted cells, same event multiset otherwise
+    val mapped = graft.sources.Fixtures.cells(spark, Sf0001)
+      .withColumn("sstable_id",
+        concat(lit("nb-"),
+          (regexp_extract(col("sstable_id"),
+            "sst-(\\d+)", 1).cast("long") + 1L).cast("string"),
+          lit("-big")))
+      .withColumn("size_bytes",
+        when(col("is_tombstone"), 0L)
+          .otherwise(col("size_bytes") % 61L))
+    assert(agg(u) === agg(mapped))
+  }
+}

@@ -93,6 +93,15 @@ class CliMainSpec extends SparkSpec {
     assert(collect("dedup", "clusters").contains("Dedup (clusters, top 10)"))
     assert(collect("pack", "-l", "256").contains("Sequence packing (seq_len 256)"))
     assert(collect("contaminate").contains("Benchmark contamination (top 10)"))
+    val verify = collect("verify")
+    assert(verify.contains("Bloom filter membership (Filter.db)"))
+    assert(verify.contains("Data.db digest verification (Digest.crc32)"))
+  }
+
+  test("parse: verify takes no positionals") {
+    assert(Main.parse(Seq("verify")) === Right(Main.Opts("verify")))
+    assert(Main.parse(Seq("verify", "extra")).isLeft)
+    assert(Main.parse(Seq("help", "verify")) === Left(Main.usage("verify")))
   }
 
   test("dispatch: unknown column family is a usage failure (rc 2)") {

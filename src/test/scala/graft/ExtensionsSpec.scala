@@ -172,6 +172,36 @@ class ExtensionsSpec extends SparkSpec {
     })
   }
 
+  test("semantic dedup recovers every injected exact/rescaled copy pair " +
+      "(cosine-invariant dups always share a cluster)") {
+    val pairs = Dedup.semanticDedup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = Dedup.embeddingNearDup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => b == a + 100000L || b == a + 200000L }
+    assert(planted.nonEmpty)
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"semantic dedup missed planted pair $p")
+    }
+  }
+
+  test("quality filter: per-source survival rates are sane") {
+    val rows = graft.ops.TextStats.qualityFilter(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val kept = r.getAs[Long]("kept")
+      assert(kept >= 0L && kept <= docs)
+      assert(r.getAs[Long]("kept_x1000") === kept * 1000L / docs)
+    }
+    // the filter is not vacuous: it keeps some documents and drops some
+    val (d, k) = rows.foldLeft((0L, 0L)) { case ((d0, k0), r) =>
+      (d0 + r.getAs[Long]("docs"), k0 + r.getAs[Long]("kept"))
+    }
+    assert(k > 0L, "filter dropped everything")
+    assert(k < d, "filter kept everything — thresholds are vacuous")
+  }
+
   test("text quality: token and char counts are consistent") {
     val rows = TextStats.quality(spark, Sf0001).collect()
     assert(rows.length == 500)

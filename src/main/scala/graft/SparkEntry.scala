@@ -36,15 +36,29 @@ object SparkEntry {
 
   /** q67/q68 shared body: real big-format Data.db files (optionally
     * LZ4-chunked with a CompressionInfo.db map) parsed back through the
-    * `format=cassandra` DSv2 path and rolled up per sstable. 64 KiB splits
-    * force several partition-boundary splits per file, so the roundtrip
-    * also proves split planning (and, compressed, the chunkFor offset
-    * mapping) preserves every event exactly once. */
+    * `format=cassandra` DSv2 path and rolled up per sstable. The split size
+    * targets [[CassSplitsPerFile]] splits over the largest Data.db, so the
+    * roundtrip proves partition-boundary split planning (and, compressed,
+    * the chunkFor offset mapping) preserves every event exactly once at ANY
+    * fixture scale — without the task count degenerating (a fixed tiny
+    * split size means thousands of near-empty tasks at sf0.1 and would be
+    * absurd on real multi-GB sstables; a fixed huge one means one split per
+    * file at sf0.001 and the boundary logic goes untested). */
+  private[graft] val CassSplitsPerFile = 8L
+
+  private[graft] def cassSplitBytes(path: String): Long = {
+    val files = Option(new java.io.File(path)
+      .listFiles((_, n) => n.endsWith("-Data.db")))
+      .getOrElse(Array.empty[java.io.File])
+    val largest = files.foldLeft(0L)((m, f) => math.max(m, f.length()))
+    math.max(64L << 10, largest / CassSplitsPerFile)
+  }
+
   private def cassandraDataRoundtrip(s: SparkSession, d: String,
       compressed: Boolean): DataFrame = {
     import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
     val path = CassandraDataFixture.ensureFiles(s, d, compressed)
-    DataDb.cells(s, path, maxSplitBytes = Some(64L << 10),
+    DataDb.cells(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
         format = DataDbScan.FormatCassandra)
       .withColumn("sstable_id",
         concat(lit("sst-"),
@@ -204,6 +218,10 @@ object SparkEntry {
     // bytes: plain + LZ4-chunked): recomputed CRC32 == sidecar value for
     // all 12 files.
     "q70_digest_verify" -> ((s, d) => Integrity.digestVerify(s, d)),
+    // REAL Summary.db (IndexSummarySerializer layout, LE offsets/positions
+    // in a BE header) roundtrip + cross-component check: every summary
+    // entry must point at the Index.db entry holding the same key.
+    "q76_summary_roundtrip" -> ((s, d) => Integrity.summaryRoundtrip(s, d)),
     // the ENTIRE cfstats totals pipeline off REAL-format COMPRESSED
     // sstables: row codec + chunk decompression + partition-boundary
     // splits feeding the unchanged partitionScan → partitions → totals
@@ -218,7 +236,8 @@ object SparkEntry {
           graft.sources.Fixtures.partitions(
             graft.sources.PlanCache.cached(s, s"cass_pscan|$path")(
               graft.sources.Fixtures.partitionScan(
-                DataDb.cells(s, path, maxSplitBytes = Some(64L << 10),
+                DataDb.cells(s, path,
+                  maxSplitBytes = Some(cassSplitBytes(path)),
                   format = DataDbScan.FormatCassandra))))))
     }),
     // the ENTIRE cfstats pipeline (partitionScan → partitions → totals)
@@ -270,6 +289,15 @@ object SparkEntry {
       StatsDb.readCassandra(s, CassandraStatsFixture.ensureFiles(s, d),
           graft.sources.Fixtures.GcBeforeS)
         .orderBy("generation")
+    }),
+    // big-format version "oa" (Cassandra 5) Statistics.db: the
+    // version-gated StatsMetadata tail — originatingHostId (4.1+),
+    // partition-level-deletions marker, first/last key range, token-space
+    // coverage (5.0) — roundtripped through version-aware encode/parse;
+    // base fields ride along proving the pre-tail layout is unshifted.
+    "q77_stats_oa_tail" -> ((s, d) => {
+      import graft.sources.statsdb.{CassandraStatsFixture, StatsDb}
+      StatsDb.readOaTail(s, CassandraStatsFixture.ensureOaFiles(s, d))
     }),
     // REAL-format CompressionInfo.db (Cassandra CompressionMetadata
     // layout): the chunk-offset map parsed per chunk row; per-chunk
@@ -405,6 +433,13 @@ object SparkEntry {
     // composite Gopher-style quality FILTER verdict + per-source survival
     // rates (the decision stage over q26's metrics stage)
     "q73_quality_filter" -> ((s, d) => TextStats.qualityFilter(s, d)),
+    // canonical-document selection: per dup cluster keep the best member
+    // (most tokens, min-doc_id tiebreak) — the stage after q56's clustering
+    "q74_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
+    // deterministic token-budget selection under q66's allocations:
+    // hash-ordered prefix-sum gate, two-level scan (no one-reducer-per-
+    // source window)
+    "q75_budget_select" -> ((s, d) => TextStats.budgetSelect(s, d)),
     // temperature-based (α=0.5) source-mixing rates under a token budget
     "q66_mixing_rates" -> ((s, d) => TextStats.mixingRates(s, d)),
     // multimodal

@@ -27,14 +27,14 @@ object Main {
       snapshot: Option[String] = None, files: Seq[String] = Nil,
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
-      seqLen: Int = 2048) {
+      seqLen: Int = 2048, budgetTokens: Long = 1000000L) {
     def gcBeforeS: Long = gcGraceS
       .map(graft.sources.Fixtures.gcBeforeFor)
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
   }
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
-    "dedup", "pack", "contaminate", "verify")
+    "dedup", "pack", "contaminate", "verify", "quality", "canon", "select")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -44,6 +44,9 @@ object Main {
     case "pack" => "Usage: pack [-l <seq_len>]"
     case "contaminate" => "Usage: contaminate [-n <num>]"
     case "verify" => "Usage: verify"
+    case "quality" => "Usage: quality"
+    case "canon" => "Usage: canon [-n <num>]"
+    case "select" => "Usage: select [-B <budget_tokens>]"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -58,7 +61,10 @@ object Main {
         |  dedup        Duplicate-detection reports over the documents corpus
         |  pack         Sequence-packing rollup over the documents corpus
         |  contaminate  Benchmark-contamination report over the documents corpus
-        |  verify       Integrity check of the real-format sstable set (bloom membership, Digest.crc32)""".stripMargin
+        |  verify       Integrity check of the real-format sstable set (bloom membership, Digest.crc32, Summary.db)
+        |  quality      Quality-filter survival rates by source
+        |  canon        Canonical document per duplicate cluster (kept/dropped tokens)
+        |  select       Deterministic token-budget selection by source""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -93,6 +99,10 @@ object Main {
               val l = v.toIntOption.getOrElse(return Left(usage(cmd)))
               if (l <= 0) return Left(usage(cmd))
               o = o.copy(seqLen = l); rest = t
+            case Seq("-B", v, t @ _*) if cmd == "select" =>
+              val b = v.toLongOption.getOrElse(return Left(usage(cmd)))
+              if (b <= 0) return Left(usage(cmd))
+              o = o.copy(budgetTokens = b); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -100,7 +110,8 @@ object Main {
         }
         val positional = pos.result()
         cmd match {
-          case "summary" | "pack" | "contaminate" | "verify" =>
+          case "summary" | "pack" | "contaminate" | "verify" | "quality" |
+              "canon" | "select" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -152,6 +163,13 @@ object Main {
           Reports.contaminate(spark, dir, o.topN))); 0
       case "verify" =>
         out(tracked("verify")(Reports.verify(spark, dir))); 0
+      case "quality" =>
+        out(tracked("quality")(Reports.quality(spark, dir))); 0
+      case "canon" =>
+        out(tracked("canon")(Reports.canon(spark, dir, o.topN))); 0
+      case "select" =>
+        out(tracked("select")(
+          Reports.select(spark, dir, o.budgetTokens))); 0
     }
   }
 

@@ -142,11 +142,32 @@ object Reports {
         .limit(topN))
 
   /** `verify` — sstable integrity over the real-format file set: bloom
-    * membership per sstable (found must equal partitions) and Digest.crc32
-    * recomputation across both storage variants. */
+    * membership per sstable (found must equal partitions), Digest.crc32
+    * recomputation across both storage variants, and Summary.db
+    * cross-component consistency. */
   def verify(spark: SparkSession, dir: String): String =
     section("Bloom filter membership (Filter.db)",
       graft.ops.Integrity.bloomMembership(spark, dir)) + "\n" +
       section("Data.db digest verification (Digest.crc32)",
-        graft.ops.Integrity.digestVerify(spark, dir))
+        graft.ops.Integrity.digestVerify(spark, dir)) + "\n" +
+      section("Partition-index summary (Summary.db)",
+        graft.ops.Integrity.summaryRoundtrip(spark, dir))
+
+  /** `quality` — composite quality-filter verdict, per-source survival. */
+  def quality(spark: SparkSession, dir: String): String =
+    section("Quality filter survival by source",
+      TextStats.qualityFilter(spark, dir))
+
+  /** `canon` — canonical-document selection per dup cluster, biggest
+    * savings first. */
+  def canon(spark: SparkSession, dir: String, topN: Int = 10): String =
+    section(s"Canonical documents (top $topN by dropped tokens)",
+      Dedup.canonicalDocs(spark, dir)
+        .orderBy(col("dropped_tokens").desc, col("cluster_rep"))
+        .limit(topN))
+
+  /** `select` — deterministic token-budget selection per source. */
+  def select(spark: SparkSession, dir: String, budgetTokens: Long): String =
+    section(s"Token-budget selection (budget $budgetTokens)",
+      TextStats.budgetSelect(spark, dir, budgetTokens))
 }

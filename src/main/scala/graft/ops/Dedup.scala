@@ -516,6 +516,42 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Canonical-document selection (q74): the stage AFTER clustering — a
+    * pipeline keeps ONE representative per duplicate cluster, and "lowest
+    * doc_id" is rarely the right one; the standard policy keeps the
+    * highest-quality member (here: most tokens, doc_id as the total
+    * tiebreak). One row per cluster: representative label, chosen canonical
+    * document, its token count, cluster size/token totals, and the tokens
+    * DROPPED by keeping only the canonical member — the dedup savings
+    * number a pipeline owner reports.
+    *
+    * Scale shape: the cluster relation is O(dup docs), orders of magnitude
+    * below the corpus; the token join is an equi-join on doc_id (AQE
+    * broadcasts the cluster side when small), and the per-cluster argmax is
+    * a hash aggregate over `max(struct(tokens, -doc_id))` — no window, no
+    * sort, bounded state per cluster. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+    val toks = corpus(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    clusters.join(toks, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum("tokens").as("cluster_tokens"),
+        max(struct(col("tokens"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(
+        col("cluster_rep"),
+        col("cluster_size"),
+        (-col("best.neg_id")).as("canonical_doc"),
+        col("best.tokens").as("canonical_tokens"),
+        col("cluster_tokens"),
+        (col("cluster_tokens") - col("best.tokens")).as("dropped_tokens"))
+      .orderBy("cluster_rep")
+  }
+
   /** SemDeDup-style semantic dedup (q72): cluster the corpus in embedding
     * space, then verify exact cosine ONLY within clusters — the other
     * classic near-dup scale path next to banded sign-LSH (q33).

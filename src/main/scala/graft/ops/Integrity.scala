@@ -59,6 +59,73 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
+  /** q76: REAL Summary.db roundtrip + cross-component consistency. Parses
+    * each sstable's summary (IndexSummarySerializer layout: LE offsets/
+    * positions inside a BE header — the component's documented quirk) and
+    * verifies every summary entry points at a real Index.db entry holding
+    * the SAME key: `positions_ok` MUST equal `entries`. Keys, counts,
+    * interval and the first/last-key tail are oracle-recomputed from
+    * parquet (per sstable: every MinIndexInterval-th partition in key
+    * order).
+    *
+    * Scale shape: summaries are per-sstable and SMALL by design (1/128th
+    * of the index at real sampling) — one task per file via binaryFile is
+    * the right grain, and the Index.db side joins per (sstable, offset)
+    * with no wide exchange (both sides are file-granular parses; fixture
+    * Index files are MBs per GB of data, so whole-file rows hold far past
+    * fixture scale; a multi-GB index would move this side onto the
+    * streaming DSv2 reader). */
+  def summaryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.summarydb.SummaryDbFormat
+    import graft.sources.indexdb.IndexDbFormat
+    val path = CassandraDataFixture.ensureFiles(spark, dir, compressed = false)
+    def gen(p: String, suffix: String): Long =
+      ("nb-(\\d+)-big" + suffix).r.findFirstMatchIn(p).get.group(1).toLong
+    def keyLong(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b).getLong
+    val summaries = spark.read.format("binaryFile")
+      .load(s"$path/*${SummaryDbFormat.Suffix}")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val g = gen(p, java.util.regex.Pattern.quote(SummaryDbFormat.Suffix))
+        val s = SummaryDbFormat.parse(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        s.entries.map { e =>
+          (g, keyLong(e.key), e.position, s.minIndexInterval.toLong,
+            keyLong(s.firstKey), keyLong(s.lastKey))
+        }
+      }
+      .toDF("gen", "key", "index_offset", "min_interval",
+        "first_key", "last_key")
+    val indexEntries = spark.read.format("binaryFile")
+      .load(s"$path/*${IndexDbFormat.Suffix}")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val g = gen(p, java.util.regex.Pattern.quote(IndexDbFormat.Suffix))
+        IndexDbFormat.entriesWithOffsets(
+          new java.io.ByteArrayInputStream(bytes))
+          .map(e => (g, e.offset, keyLong(e.key))).toVector
+      }
+      .toDF("gen", "index_offset", "index_key")
+    summaries
+      .join(indexEntries, Seq("gen", "index_offset"), "left")
+      .groupBy("gen")
+      .agg(
+        count(lit(1)).as("entries"),
+        max("min_interval").as("min_interval"),
+        sum(col("key") % 1000003L).as("keys_sum"),
+        max("first_key").as("first_key"),
+        max("last_key").as("last_key"),
+        sum(when(col("index_key") === col("key"), 1L).otherwise(0L))
+          .as("positions_ok"))
+      .select(
+        concat(lit("sst-"), (col("gen") - 1L).cast("string"))
+          .as("sstable_id"),
+        col("entries"), col("min_interval"), col("keys_sum"),
+        col("first_key"), col("last_key"), col("positions_ok"))
+      .orderBy("sstable_id")
+  }
+
   /** q70: recompute each Data.db file's CRC32 (as stored — compressed
     * bytes for the compressed variant) and compare with the Digest.crc32
     * sidecar, across BOTH fixture variants: 12 files, 12 matches. */

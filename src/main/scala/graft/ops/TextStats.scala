@@ -268,6 +268,63 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Deterministic token-budget selection (q75): the stage after
+    * [[mixingRates]] — given each source's token allocation, SELECT the
+    * actual documents. Documents are ranked inside their source by the
+    * cross-engine PortableHash of doc_id (a reproducible shuffle: stable
+    * under corpus growth and across engines, unlike `sample()`), and a
+    * document is kept iff the running token total through it stays within
+    * the source's allocation — i.e. a prefix-sum gate, the exact-budget
+    * variant of q54's rate gate.
+    *
+    * Scale shape: a plain `Window.partitionBy(source)` running sum funnels
+    * each source through ONE sorted reducer — a scale-killer when sources
+    * are few and huge. Same two-level scan as [[packSequences]], with the
+    * hash's high bits as the bucket so bucket index is the leading sort
+    * key: bounded windows inside (source, bucket), a tiny per-source
+    * bucket-base prefix sum joined back, and the allocation table
+    * (O(#sources)) broadcast. Per source: docs, allocation, selected
+    * docs/tokens, fill per mille of the allocation. */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budgetTokens: Long = 1000000L, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = mixingRates(spark, dir, budgetTokens)
+      .select(col("source"), col("alloc_tokens"))
+    // h60 < 2^60; the top bits give `buckets` ranges that ORDER like h
+    val bucketWidth = (1L << 60) / buckets
+    val t = withTokens(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id"), col("token_count"))
+      .withColumn("h",
+        graft.functions.PortableHash.h60(col("doc_id").cast("string")))
+      .withColumn("bucket", floor(col("h") / bucketWidth))
+    val inBucket = Window.partitionBy("source", "bucket")
+      .orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byBucket = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = t.groupBy("source", "bucket")
+      .agg(sum("token_count").as("bucket_tokens"))
+      .withColumn("bucket_base",
+        coalesce(sum("bucket_tokens").over(byBucket), lit(0L)))
+      .select("source", "bucket", "bucket_base")
+    t.withColumn("in_bucket_cum",
+        sum("token_count").over(inBucket))
+      .join(bases, Seq("source", "bucket"))
+      .withColumn("cum", col("bucket_base") + col("in_bucket_cum"))
+      .join(broadcast(alloc), "source")
+      .withColumn("kept", col("cum") <= col("alloc_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        max("alloc_tokens").as("alloc_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("selected_docs"),
+        sum(when(col("kept"), col("token_count")).otherwise(0L))
+          .as("selected_tokens"))
+      .withColumn("fill_x1000",
+        floor(col("selected_tokens") * 1000 / col("alloc_tokens")))
+      .orderBy("source")
+  }
+
   /** Language × source distribution rollup. */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

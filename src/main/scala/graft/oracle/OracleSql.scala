@@ -614,6 +614,30 @@ SELECT sstable_id,
   CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
   CAST(COUNT(DISTINCT key) AS BIGINT) AS found
 FROM licells GROUP BY 1 ORDER BY 1""",
+    // q76: Summary.db roundtrip — every MinIndexInterval(=4)-th partition
+    // in key order per sstable, plus the first/last-key tail; positions_ok
+    // must equal entries (the engine cross-checks each summary entry's
+    // Index.db offset against the real index entry at that offset).
+    "q76_summary_roundtrip" -> s"""WITH $fixtures,
+sumk AS (SELECT DISTINCT sstable_id, key FROM licells),
+sumr AS (
+  SELECT sstable_id, key,
+    row_number() OVER (PARTITION BY sstable_id ORDER BY key) - 1 AS rn
+  FROM sumk
+),
+sumb AS (
+  SELECT sstable_id, MIN(key) AS first_key, MAX(key) AS last_key
+  FROM sumk GROUP BY 1
+)
+SELECT p.sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
+  CAST(4 AS BIGINT) AS min_interval,
+  CAST(SUM(p.key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(b.first_key AS BIGINT) AS first_key,
+  CAST(b.last_key AS BIGINT) AS last_key,
+  CAST(COUNT(*) AS BIGINT) AS positions_ok
+FROM sumr p JOIN sumb b USING (sstable_id)
+WHERE p.rn % 4 = 0
+GROUP BY p.sstable_id, b.first_key, b.last_key ORDER BY 1""",
     // q70: both variants' 6 Data.db files must match their Digest.crc32
     // sidecars; the oracle pins the file count from the fixture relation.
     "q70_digest_verify" -> s"""WITH $fixtures
@@ -653,6 +677,26 @@ FROM meta ORDER BY sstable_id""",
     // b±86400: mb = m1 + (m2−m1)·(b−p1)/(p2−p1), s = (m1+mb)·(b−p1)/
     // (2(p2−p1)) + m1/2 — every factor folded to its exact double literal
     // in the same operation order the Scala reader uses.
+    // q77: the "oa" version-gated tail, every field deterministic from the
+    // fixture derivation (hostId/key-range/coverage are pure functions of
+    // the generation; total_rows/min_timestamp prove the base layout).
+    "q77_stats_oa_tail" -> s"""WITH $fixtures,
+g AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS gen
+  FROM meta
+)
+SELECT gen AS generation,
+  gen * 1000003 AS host_id_msb,
+  gen * 2000003 AS host_id_lsb,
+  (gen % 2 = 0) AS has_partition_deletions,
+  gen * 1000 + 1 AS first_key,
+  gen * 1000 + 999 AS last_key,
+  CAST(floor(CAST(gen AS DOUBLE) / 6.0 * 1000000.0) AS BIGINT)
+    AS token_coverage_x1e6,
+  partition_count AS total_rows,
+  min_timestamp_us
+FROM g ORDER BY 1""",
+
     "q62_stats_real_format" -> s"""WITH $fixtures,
 g AS (
   SELECT *, CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS gen
@@ -868,6 +912,91 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
   CAST(floor(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) * 1000 / COUNT(*))
     AS BIGINT) AS kept_x1000
 FROM k GROUP BY 1 ORDER BY 1""",
+
+    // q74: q56's connected components + per-cluster argmax(tokens,
+    // tiebreak min doc_id) canonical member, via a deterministic
+    // row_number (the engine's max(struct) aggregate picks identically).
+    "q74_canonical_docs" -> s"""WITH RECURSIVE $corpus, $shingles,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+dup AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN szs sa ON p.id_a = sa.doc_id
+  JOIN szs sb ON p.id_b = sb.doc_id
+  WHERE p.inter * 100 >= 80 * (sa.sz + sb.sz - p.inter)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+toksq AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM corpus
+),
+memb AS (
+  SELECT l.label AS cluster_rep, l.id AS doc_id, t.tokens,
+    row_number() OVER (PARTITION BY l.label
+      ORDER BY t.tokens DESC, l.id ASC) AS rk
+  FROM labels l JOIN toksq t ON t.doc_id = l.id
+)
+SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep,
+  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+  CAST(MAX(CASE WHEN rk = 1 THEN tokens END) AS BIGINT) AS canonical_tokens,
+  CAST(SUM(tokens) AS BIGINT) AS cluster_tokens,
+  CAST(SUM(tokens) - MAX(CASE WHEN rk = 1 THEN tokens END) AS BIGINT)
+    AS dropped_tokens
+FROM memb GROUP BY 1 ORDER BY 1""",
+
+    // q75: q66's allocations + a per-source prefix-sum gate over the
+    // PortableHash(doc_id) ordering — the oracle uses the plain window;
+    // the engine's two-level bucketed scan must agree exactly.
+    "q75_budget_select" -> s"""WITH tt AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    AS total_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(total_tokens)) AS BIGINT) AS weight FROM tt
+),
+a AS (
+  SELECT source, CAST(floor(1000000 * weight /
+    CAST((SELECT SUM(weight) FROM w) AS BIGINT)) AS BIGINT) AS alloc_tokens
+  FROM w
+),
+d AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+    ${h60("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+c AS (
+  SELECT *, CAST(SUM(token_count) OVER (PARTITION BY source
+    ORDER BY h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+)
+SELECT c.source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(MAX(alloc_tokens) AS BIGINT) AS alloc_tokens,
+  CAST(SUM(CASE WHEN cum <= alloc_tokens THEN 1 ELSE 0 END) AS BIGINT)
+    AS selected_docs,
+  CAST(SUM(CASE WHEN cum <= alloc_tokens THEN token_count ELSE 0 END)
+    AS BIGINT) AS selected_tokens,
+  CAST(floor(SUM(CASE WHEN cum <= alloc_tokens THEN token_count ELSE 0 END)
+    * 1000 / MAX(alloc_tokens)) AS BIGINT) AS fill_x1000
+FROM c JOIN a ON c.source = a.source GROUP BY 1 ORDER BY 1""",
 
     "q26_text_quality" -> """SELECT doc_id, n_chars,
   CAST(length(text) AS BIGINT) AS len_chars,

@@ -42,6 +42,10 @@ object CassandraDataFixture {
     * default is 16 KiB). */
   val ChunkLength = 4096
 
+  /** Small summary sampling interval so fixture-scale summaries hold
+    * several entries (real default min_index_interval is 128). */
+  val MinIndexInterval = 4
+
   val ColumnSpecs: Seq[ColumnSpec] = Seq("c0", "c1").map { n =>
     ColumnSpec(n.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       Marshal.Prefix + s"MapType(${Marshal.Prefix}LongType," +
@@ -152,9 +156,22 @@ object CassandraDataFixture {
       new FileOutputStream(out.resolve(
         base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
     val w = new Writer(data, header)
+    // Summary.db sampling state: every MinIndexInterval-th partition's
+    // (key, Index.db entry offset), plus first/last keys
+    val summaryEntries =
+      Vector.newBuilder[graft.sources.summarydb.SummaryDbFormat.Entry]
+    var firstKey: Array[Byte] = null
+    var lastKey: Array[Byte] = null
+    var partitionsWritten = 0L
     try {
       evs.groupBy(_.key).toSeq.sortBy(_._1).foreach { case (key, kevs) =>
         val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+        if (partitionsWritten % MinIndexInterval == 0)
+          summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
+            keyBytes, index.size().toLong)
+        if (firstKey == null) firstKey = keyBytes
+        lastKey = keyBytes
+        partitionsWritten += 1
         graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
           w.position)
         w.writePartitionStart(keyBytes)
@@ -201,6 +218,7 @@ object CassandraDataFixture {
       }
       writeStats(out, base, evs, header)
       writeFilter(out, base, evs)
+      writeSummary(out, base, summaryEntries.result(), firstKey, lastKey)
       // close before digesting: Digest.crc32 covers the AS-STORED bytes
       // (compressed form for a compressed table), like Cassandra's
       fileStream.close()
@@ -209,6 +227,21 @@ object CassandraDataFixture {
       fileStream.close() // no-op on the success path (already closed)
       index.close()
     }
+  }
+
+  /** Real Summary.db: every MinIndexInterval-th partition's (key,
+    * Index.db entry offset) in the IndexSummarySerializer layout, plus the
+    * first/last-key tail (SummaryDbFormat). Full sampling. */
+  private def writeSummary(out: Path, base: String,
+      entries: Vector[graft.sources.summarydb.SummaryDbFormat.Entry],
+      firstKey: Array[Byte], lastKey: Array[Byte]): Unit = {
+    import graft.sources.summarydb.SummaryDbFormat
+    val s = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(base + SummaryDbFormat.Suffix).toFile)))
+    try SummaryDbFormat.write(s, SummaryDbFormat.Summary(
+      MinIndexInterval, SummaryDbFormat.BaseSamplingLevel,
+      entries.length, entries, firstKey, lastKey))
+    finally s.close()
   }
 
   /** Real Filter.db: every partition key inserted into a p≈0.01-sized
@@ -239,7 +272,7 @@ object CassandraDataFixture {
     Files.write(out.resolve(base + "-Digest.crc32"),
       crc.getValue.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val components = Seq("Data.db", "Index.db", "Statistics.db", "Filter.db",
-      "Digest.crc32", "TOC.txt") ++
+      "Summary.db", "Digest.crc32", "TOC.txt") ++
       (if (compressed) Seq("CompressionInfo.db") else Nil)
     Files.write(out.resolve(base + "-TOC.txt"),
       components.mkString("", "\n", "\n")

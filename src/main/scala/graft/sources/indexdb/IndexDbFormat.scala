@@ -88,45 +88,66 @@ object IndexDbFormat {
 
   final case class Entry(key: Array[Byte], position: Long)
 
+  /** [[Entry]] plus the entry's own byte offset within Index.db — the
+    * value a Summary.db summary entry points at. */
+  final case class OffsetEntry(offset: Long, key: Array[Byte], position: Long)
+
+  /** Canonical encoded size of an unsigned vint (Cassandra's formula —
+    * both writers here emit canonical encodings). */
+  def unsignedVIntSize(value: Long): Int = {
+    val magnitude = java.lang.Long.numberOfLeadingZeros(value | 1L)
+    (639 - magnitude * 9) >> 6
+  }
+
   /** Streaming entry iterator over a raw Index.db stream; skips the promoted
     * index exactly as the reference does. */
-  def entries(stream: InputStream): Iterator[Entry] = new Iterator[Entry] {
-    private val in = new DataInputStream(stream)
-    private var nextEntry: Entry = _
-    private var done = false
+  def entries(stream: InputStream): Iterator[Entry] =
+    entriesWithOffsets(stream).map(e => Entry(e.key, e.position))
 
-    private def advance(): Unit = {
-      val b0 = in.read()
-      if (b0 < 0) { done = true; in.close(); return }
-      val b1 = in.read()
-      if (b1 < 0) throw new EOFException("truncated key length")
-      val keyLen = (b0 << 8) | b1
-      val key = new Array[Byte](keyLen)
-      in.readFully(key)
-      val position = readUnsignedVInt(in)
-      val promotedLen = readUnsignedVInt(in)
-      if (promotedLen < 0 || promotedLen > Int.MaxValue)
-        throw new java.io.IOException(
-          s"corrupt promoted-index length $promotedLen")
-      // skipBytes may skip fewer bytes than asked; a silent partial skip on
-      // a truncated file would end iteration cleanly instead of failing like
-      // the truncated-key path does
-      var remaining = promotedLen.toInt
-      while (remaining > 0) {
-        val skipped = in.skipBytes(remaining)
-        if (skipped <= 0) throw new EOFException("truncated promoted index")
-        remaining -= skipped
+  /** [[entries]] additionally reporting each entry's byte offset within the
+    * stream (consumed-byte accounting; encodings are canonical). */
+  def entriesWithOffsets(stream: InputStream): Iterator[OffsetEntry] =
+    new Iterator[OffsetEntry] {
+      private val in = new DataInputStream(stream)
+      private var consumed = 0L
+      private var nextEntry: OffsetEntry = _
+      private var done = false
+
+      private def advance(): Unit = {
+        val start = consumed
+        val b0 = in.read()
+        if (b0 < 0) { done = true; in.close(); return }
+        val b1 = in.read()
+        if (b1 < 0) throw new EOFException("truncated key length")
+        val keyLen = (b0 << 8) | b1
+        val key = new Array[Byte](keyLen)
+        in.readFully(key)
+        val position = readUnsignedVInt(in)
+        val promotedLen = readUnsignedVInt(in)
+        if (promotedLen < 0 || promotedLen > Int.MaxValue)
+          throw new java.io.IOException(
+            s"corrupt promoted-index length $promotedLen")
+        // skipBytes may skip fewer bytes than asked; a silent partial skip on
+        // a truncated file would end iteration cleanly instead of failing like
+        // the truncated-key path does
+        var remaining = promotedLen.toInt
+        while (remaining > 0) {
+          val skipped = in.skipBytes(remaining)
+          if (skipped <= 0) throw new EOFException("truncated promoted index")
+          remaining -= skipped
+        }
+        consumed = start + 2L + keyLen + unsignedVIntSize(position) +
+          unsignedVIntSize(promotedLen) + promotedLen
+        nextEntry = OffsetEntry(start, key, position)
       }
-      nextEntry = Entry(key, position)
-    }
 
-    override def hasNext: Boolean = {
-      if (!done && nextEntry == null) advance()
-      !done
+      override def hasNext: Boolean = {
+        if (!done && nextEntry == null) advance()
+        !done
+      }
+      override def next(): OffsetEntry = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = nextEntry; nextEntry = null; e
+      }
     }
-    override def next(): Entry = {
-      if (!hasNext) throw new NoSuchElementException
-      val e = nextEntry; nextEntry = null; e
-    }
-  }
 }

@@ -124,6 +124,27 @@ object CassandraStatsFormat {
 
   final case class Validation(partitioner: String, bloomFpChance: Double)
 
+  /** The version-gated StatsMetadata tail fields appended after
+    * `isTransient` by newer big-format versions (Cassandra's serializer
+    * gates each on `version.has…()`; versions compare lexicographically):
+    *
+    *  - "nc" (4.1)+: nullable originatingHostId — presence byte + 16-byte
+    *    UUID (msb, lsb longs);
+    *  - "oa" (5.0)+: partition-level-deletions presence marker (boolean),
+    *    the sstable's first/last partition keys (unsigned-vint length +
+    *    bytes each), and token-space coverage (double).
+    *
+    * NOT implemented from "oa": the improved min/max clustering slice
+    * encoding (oa re-encodes the legacy min/maxClustering blobs as bound
+    * prefixes with kind bytes); files here keep the legacy blob section.
+    * Stated in README's divergence list. */
+  final case class VersionedTail(
+      originatingHostId: Option[(Long, Long)],
+      hasPartitionLevelDeletions: Boolean,
+      firstKey: Array[Byte],
+      lastKey: Array[Byte],
+      tokenSpaceCoverage: Double)
+
   final case class Stats(
       partitionSize: EstimatedHistogram,
       columnCount: EstimatedHistogram,
@@ -146,9 +167,15 @@ object CassandraStatsFormat {
       commitLogLower: CommitLogPosition,
       commitLogIntervals: Seq[(CommitLogPosition, CommitLogPosition)],
       pendingRepair: Option[(Long, Long)],
-      isTransient: Boolean)
+      isTransient: Boolean,
+      tail: Option[VersionedTail] = None)
 
   final case class File(validation: Validation, stats: Stats)
+
+  /** Big-format version gates (Cassandra compares version strings
+    * lexicographically — BigVersion.compareTo). */
+  def hasOriginatingHostId(version: String): Boolean = version >= "nc"
+  def hasOaTail(version: String): Boolean = version >= "oa"
 
   // ---------------------------------------------------------------- write
 
@@ -180,7 +207,7 @@ object CassandraStatsFormat {
     bos.toByteArray
   }
 
-  private def statsBytes(s: Stats): Array[Byte] = {
+  private def statsBytes(s: Stats, version: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
     d.write(histBytes(s.partitionSize))
     d.write(histBytes(s.columnCount))
@@ -214,6 +241,23 @@ object CassandraStatsFormat {
       case None => d.writeByte(0)
     }
     d.writeBoolean(s.isTransient)
+    s.tail.foreach { t =>
+      if (hasOriginatingHostId(version)) t.originatingHostId match {
+        case Some((msb, lsb)) =>
+          d.writeByte(1); d.writeLong(msb); d.writeLong(lsb)
+        case None => d.writeByte(0)
+      }
+      if (hasOaTail(version)) {
+        d.writeBoolean(t.hasPartitionLevelDeletions)
+        graft.sources.indexdb.IndexDbFormat
+          .writeUnsignedVInt(d, t.firstKey.length.toLong)
+        d.write(t.firstKey)
+        graft.sources.indexdb.IndexDbFormat
+          .writeUnsignedVInt(d, t.lastKey.length.toLong)
+        d.write(t.lastKey)
+        d.writeDouble(t.tokenSpaceCoverage)
+      }
+    }
     bos.toByteArray
   }
 
@@ -225,7 +269,8 @@ object CassandraStatsFormat {
     * a REAL SerializationHeader component — the form the real-format
     * Data.db row codec decodes through. */
   def write(out: java.io.DataOutput, f: File,
-      headerBytes: Option[Array[Byte]] = None): Unit = {
+      headerBytes: Option[Array[Byte]] = None,
+      version: String = "nb"): Unit = {
     val compaction = {
       // CompactionMetadata: int length + HyperLogLogPlus bytes (opaque here)
       val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
@@ -238,7 +283,7 @@ object CassandraStatsFormat {
     val comps = Seq(
       TypeValidation -> validationBytes(f.validation),
       TypeCompaction -> compaction,
-      TypeStats -> statsBytes(f.stats),
+      TypeStats -> statsBytes(f.stats, version),
       TypeHeader -> header)
     val crc = new CRC32()
     out.writeInt(comps.length)
@@ -289,7 +334,7 @@ object CassandraStatsFormat {
     }
   }
 
-  private def parseStats(d: DataInputStream): Stats = {
+  private def parseStats(d: DataInputStream, version: String): Stats = {
     val pSize = readHist(d)
     val cCount = readHist(d)
     val clUpper = readClp(d)
@@ -319,10 +364,30 @@ object CassandraStatsFormat {
     val pending =
       if (d.readByte() != 0) Some((d.readLong(), d.readLong())) else None
     val isTransient = d.readBoolean()
+    val tail =
+      if (!hasOriginatingHostId(version)) None
+      else {
+        val hostId =
+          if (d.readByte() != 0) Some((d.readLong(), d.readLong())) else None
+        if (!hasOaTail(version))
+          Some(VersionedTail(hostId, hasPartitionLevelDeletions = false,
+            Array.emptyByteArray, Array.emptyByteArray, 0.0))
+        else {
+          val marker = d.readBoolean()
+          def vintKey(): Array[Byte] = {
+            val len = graft.sources.indexdb.IndexDbFormat.readUnsignedVInt(d)
+            if (len < 0 || len > (1 << 16))
+              throw new java.io.IOException(s"implausible key length $len")
+            val b = new Array[Byte](len.toInt); d.readFully(b); b
+          }
+          val first = vintKey(); val last = vintKey()
+          Some(VersionedTail(hostId, marker, first, last, d.readDouble()))
+        }
+      }
     Stats(pSize, cCount, clUpper, minTs, maxTs, minLdt, maxLdt, minTtl,
       maxTtl, ratio, TombstoneHistogram(pts, vals), level, repairedAt, minC,
       maxC, legacyShards, totalCols, totalRows, clLower, intervals, pending,
-      isTransient)
+      isTransient, tail)
   }
 
   /** Verifies the envelope (count, TOC, per-component CRC32s) and returns
@@ -363,13 +428,13 @@ object CassandraStatsFormat {
   /** Parses a whole real-format Statistics.db: envelope checksums verified
     * (count, TOC, per-component), components located by TOC, unconsumed
     * types skipped without parsing. */
-  def parse(bytes: Array[Byte]): File = {
+  def parse(bytes: Array[Byte], version: String = "nb"): File = {
     def sliceFor(tpe: Int): DataInputStream =
       new DataInputStream(
         new java.io.ByteArrayInputStream(componentBytes(bytes, tpe)))
     val v = sliceFor(TypeValidation)
     val validation = Validation(v.readUTF(), v.readDouble())
-    val stats = parseStats(sliceFor(TypeStats))
+    val stats = parseStats(sliceFor(TypeStats), version)
     File(validation, stats)
   }
 

@@ -24,6 +24,41 @@ object StatsDb {
       .option("gcbefore", gcBeforeS.toString)
       .load(path)
 
+  /** q77: big-format version "oa" Statistics.db files — the base "nb"
+    * StatsMetadata plus the version-gated tail appended after
+    * `isTransient` ([[CassandraStatsFormat.VersionedTail]]:
+    * originatingHostId, partition-level-deletions marker, first/last key
+    * range, token-space coverage). Two base fields ride along to prove the
+    * pre-tail section still parses at the shifted layout. One task per
+    * file via binaryFile — metadata files are KBs regardless of data
+    * volume, the reference's own metadata-only access-path grain. */
+  def readOaTail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$path/oa-*-big${CassandraStatsFormat.Suffix}")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val gen = "oa-(\\d+)-big".r.findFirstMatchIn(p).get.group(1).toLong
+        val f = CassandraStatsFormat.parse(bytes, version = "oa")
+        val t = f.stats.tail.getOrElse(throw new java.io.IOException(
+          s"oa file without versioned tail: $p"))
+        def keyLong(b: Array[Byte]): Long =
+          java.nio.ByteBuffer.wrap(b).getLong
+        (gen,
+          t.originatingHostId.map(_._1).getOrElse(0L),
+          t.originatingHostId.map(_._2).getOrElse(0L),
+          t.hasPartitionLevelDeletions,
+          keyLong(t.firstKey), keyLong(t.lastKey),
+          math.floor(t.tokenSpaceCoverage * 1e6).toLong,
+          f.stats.totalRows, f.stats.minTimestampUs)
+      }
+      .toDF("generation", "host_id_msb", "host_id_lsb",
+        "has_partition_deletions", "first_key", "last_key",
+        "token_coverage_x1e6", "total_rows", "min_timestamp_us")
+      .orderBy("generation")
+  }
+
   /** A11 rollup (SummaryCollector.java:41-68) off raw metadata files: the
     * same aggregation `Summary.rollup` runs on the fixture view. */
   def summaryRollup(spark: SparkSession, path: String): DataFrame =

@@ -133,14 +133,24 @@ object CassandraStatsFixture {
     }
   }
 
-  def ensureFiles(spark: SparkSession, dir: String): String = memo.synchronized {
+  def ensureFiles(spark: SparkSession, dir: String): String =
+    ensure(spark, dir, "nb")
+
+  /** The same sstables as big-format version "oa" (version-gated
+    * StatsMetadata tail), in their OWN directory so the "nb" scan (q62)
+    * never sees mixed generations. */
+  def ensureOaFiles(spark: SparkSession, dir: String): String =
+    ensure(spark, dir, "oa")
+
+  private def ensure(spark: SparkSession, dir: String,
+      version: String): String = memo.synchronized {
     sweepStopped()
-    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir"
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$version"
     val hit = memo.get(k)
     if (hit != null) return hit._2
     val out = graft.sources.TempDirs.register(
       Files.createTempDirectory("graft-cassstats-fixture"))
-    try writeAll(spark, dir, out)
+    try writeAll(spark, dir, out, version)
     catch {
       case t: Throwable =>
         val root = out.toFile
@@ -153,7 +163,8 @@ object CassandraStatsFixture {
     path
   }
 
-  private def writeAll(spark: SparkSession, dir: String, out: Path): Unit = {
+  private def writeAll(spark: SparkSession, dir: String, out: Path,
+      version: String): Unit = {
     import CassandraStatsFormat._
     val rows = Fixtures.sstableMeta(Fixtures.allPscan(spark, dir))
       .orderBy("sstable_id").collect()
@@ -201,10 +212,26 @@ object CassandraStatsFixture {
       val f = CassandraStatsFormat.File(
         Validation("org.apache.cassandra.dht.Murmur3Partitioner", 0.01),
         stats)
+      // "oa" files carry the version-gated tail (originatingHostId,
+      // partition-level-deletions marker, first/last key range,
+      // token-space coverage), derived deterministically so the oracle
+      // recomputes them (q77)
+      val versioned =
+        if (version < "nc") f
+        else f.copy(stats = stats.copy(tail = Some(
+          CassandraStatsFormat.VersionedTail(
+            originatingHostId = Some((gen * 1000003L, gen * 2000003L)),
+            hasPartitionLevelDeletions = gen % 2 == 0,
+            firstKey = java.nio.ByteBuffer.allocate(8)
+              .putLong(gen * 1000L + 1L).array(),
+            lastKey = java.nio.ByteBuffer.allocate(8)
+              .putLong(gen * 1000L + 999L).array(),
+            tokenSpaceCoverage = gen.toDouble / 6.0))))
       val stream = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(
-          out.resolve(s"nb-$gen-big${CassandraStatsFormat.Suffix}").toFile)))
-      try CassandraStatsFormat.write(stream, f) finally stream.close()
+        new FileOutputStream(out.resolve(
+          s"$version-$gen-big${CassandraStatsFormat.Suffix}").toFile)))
+      try CassandraStatsFormat.write(stream, versioned, version = version)
+      finally stream.close()
     }
   }
 }

@@ -1,0 +1,105 @@
+package graft.sources.summarydb
+
+import java.io.{DataInputStream, DataOutput}
+
+/** REAL Cassandra big-format Summary.db (the downsampled partition-index
+  * summary Cassandra mmaps to bound Index.db binary searches).
+  *
+  * Layout per Cassandra's `IndexSummary.IndexSummarySerializer` plus the
+  * first/last-key tail `SSTableReader.saveSummary` appends:
+  *
+  * {{{
+  * be32  minIndexInterval
+  * be32  offsetCount                  // number of summary entries
+  * be64  offheapSize                  // bytes of the offsets+entries block
+  * be32  samplingLevel                // 128 = BASE_SAMPLING_LEVEL (full)
+  * be32  sizeAtFullSampling
+  * le32  offsets[offsetCount]         // entry start, relative to entries[0]
+  * entry { key bytes; le64 position } // key length implied by next offset
+  * be32-length-prefixed firstKey
+  * be32-length-prefixed lastKey
+  * }}}
+  *
+  * The header ints are big-endian (`DataOutput`), but the offsets and entry
+  * positions are LITTLE-endian: Cassandra serializes its off-heap `Memory`
+  * regions raw, and `Memory.setInt/setLong` write native order — a
+  * documented quirk of this component (the only LE fields in the sstable
+  * set). Entry i's key spans offsets[i]..offsets[i+1]-8 (the last entry
+  * runs to the end of the entries region); its position is the Index.db
+  * byte offset of the sampled partition's index entry.
+  *
+  * Reference behavior: the reference reads summaries implicitly through
+  * the embedded Cassandra library when it opens sstables
+  * (`ColumnFamilyBackend.java:92-132` rebuilds readers which load/save
+  * Summary.db); this module makes the component itself a first-class
+  * relation.
+  */
+object SummaryDbFormat {
+
+  val Suffix = "-Summary.db"
+
+  /** Cassandra's BASE_SAMPLING_LEVEL: summaries written at full sampling. */
+  val BaseSamplingLevel = 128
+
+  final case class Entry(key: Array[Byte], position: Long)
+
+  final case class Summary(
+      minIndexInterval: Int,
+      samplingLevel: Int,
+      sizeAtFullSampling: Int,
+      entries: IndexedSeq[Entry],
+      firstKey: Array[Byte],
+      lastKey: Array[Byte])
+
+  def write(out: DataOutput, s: Summary): Unit = {
+    val n = s.entries.length
+    val entriesBytes = s.entries.map(e => e.key.length + 8L).sum
+    out.writeInt(s.minIndexInterval)
+    out.writeInt(n)
+    out.writeLong(4L * n + entriesBytes)
+    out.writeInt(s.samplingLevel)
+    out.writeInt(s.sizeAtFullSampling)
+    var off = 0L
+    s.entries.foreach { e =>
+      out.writeInt(Integer.reverseBytes(off.toInt)) // le32
+      off += e.key.length + 8L
+    }
+    s.entries.foreach { e =>
+      out.write(e.key)
+      out.writeLong(java.lang.Long.reverseBytes(e.position)) // le64
+    }
+    out.writeInt(s.firstKey.length)
+    out.write(s.firstKey)
+    out.writeInt(s.lastKey.length)
+    out.write(s.lastKey)
+  }
+
+  def parse(in: DataInputStream): Summary = {
+    val minIndexInterval = in.readInt()
+    val n = in.readInt()
+    val offheapSize = in.readLong()
+    val samplingLevel = in.readInt()
+    val sizeAtFullSampling = in.readInt()
+    val offsets = Array.fill(n)(Integer.reverseBytes(in.readInt()).toLong)
+    val entriesLen = offheapSize - 4L * n
+    val region = new Array[Byte](entriesLen.toInt)
+    in.readFully(region)
+    val entries = (0 until n).map { i =>
+      val start = offsets(i)
+      val end = if (i + 1 < n) offsets(i + 1) else entriesLen
+      val key = java.util.Arrays.copyOfRange(region, start.toInt,
+        (end - 8L).toInt)
+      val bb = java.nio.ByteBuffer.wrap(region, (end - 8L).toInt, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Entry(key, bb.getLong)
+    }
+    def keyWithLength(): Array[Byte] = {
+      val len = in.readInt()
+      val k = new Array[Byte](len)
+      in.readFully(k)
+      k
+    }
+    Summary(minIndexInterval, samplingLevel, sizeAtFullSampling, entries,
+      keyWithLength(), keyWithLength())
+  }
+}

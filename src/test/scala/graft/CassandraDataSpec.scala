@@ -221,6 +221,51 @@ class CassandraDataSpec extends SparkSpec {
     assert(digest.head.getAs[Long]("matches") === 12L)
   }
 
+  test("Summary.db: serialize/parse roundtrip incl. LE offsets/positions " +
+      "and the first/last-key tail") {
+    import graft.sources.summarydb.SummaryDbFormat
+    def k(s: String) = s.getBytes("UTF-8")
+    val entries = Vector(
+      SummaryDbFormat.Entry(k("alpha"), 0L),
+      SummaryDbFormat.Entry(k("mid"), 4096L),
+      // positions past 2^31 exercise the full le64 path
+      SummaryDbFormat.Entry(k("zz-last-key"), 0x1_2345_6789L))
+    val s = SummaryDbFormat.Summary(128, 128, 3, entries, k("aa"), k("zzz"))
+    val bos = new ByteArrayOutputStream()
+    SummaryDbFormat.write(new DataOutputStream(bos), s)
+    val got = SummaryDbFormat.parse(new java.io.DataInputStream(
+      new ByteArrayInputStream(bos.toByteArray)))
+    assert(got.minIndexInterval === 128)
+    assert(got.samplingLevel === 128)
+    assert(got.sizeAtFullSampling === 3)
+    assert(got.entries.map(_.position) === Seq(0L, 4096L, 0x1_2345_6789L))
+    assert(got.entries.map(e => new String(e.key, "UTF-8")) ===
+      Seq("alpha", "mid", "zz-last-key"))
+    assert(new String(got.firstKey, "UTF-8") === "aa")
+    assert(new String(got.lastKey, "UTF-8") === "zzz")
+    // the header is BE while offsets are LE: a parser reading offsets BE
+    // would mis-slice every entry after the first — pin byte layout
+    val raw = bos.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    assert(bb.getInt(0) === 128) // minIndexInterval, big-endian
+    assert(bb.getInt(4) === 3) // offsetCount, big-endian
+    // first offset le32 at byte 24 = 0; second = 5+8 = 13 stored LE
+    assert(raw(24) === 0 && raw(25) === 0 && raw(26) === 0 && raw(27) === 0)
+    assert(raw(28) === 13.toByte && raw(29) === 0)
+  }
+
+  test("summary roundtrip op: entries sample every 4th partition and all " +
+      "positions resolve to matching Index.db entries") {
+    val rows = graft.ops.Integrity.summaryRoundtrip(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("positions_ok") === r.getAs[Long]("entries"),
+        s"dangling summary position in ${r.getAs[String]("sstable_id")}")
+      assert(r.getAs[Long]("min_interval") === 4L)
+      assert(r.getAs[Long]("first_key") <= r.getAs[Long]("last_key"))
+    }
+  }
+
   test("end-to-end: real-format files match the mapped parquet relation; " +
       "compressed ≡ uncompressed ≡ single-split") {
     def agg(df: org.apache.spark.sql.DataFrame) = df

@@ -70,6 +70,62 @@ class CassandraStatsSpec extends SparkSpec {
     }
   }
 
+  test("version-gated tail: nc hostId only, oa full tail, nb none — " +
+      "roundtrip at each gate") {
+    val tail = VersionedTail(
+      originatingHostId = Some((0x1234L, -0x5678L)),
+      hasPartitionLevelDeletions = true,
+      firstKey = Array[Byte](0, 0, 0, 0, 0, 0, 3, -31),
+      lastKey = Array[Byte](0, 0, 0, 0, 0, 0, 7, 99),
+      tokenSpaceCoverage = 0.4375)
+    val f = {
+      val base = sample(0L)
+      base.copy(stats = base.stats.copy(tail = Some(tail)))
+    }
+    def bytesAt(version: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      CassandraStatsFormat.write(new DataOutputStream(bos), f,
+        version = version)
+      bos.toByteArray
+    }
+    // nb: tail not written, parse returns None — byte-identical to no tail
+    assert(bytesAt("nb").toSeq === bytesOf(sample(0L)).toSeq)
+    assert(parse(bytesAt("nb"), "nb").stats.tail === None)
+    // nc: hostId only
+    val nc = parse(bytesAt("nc"), "nc").stats.tail.get
+    assert(nc.originatingHostId === Some((0x1234L, -0x5678L)))
+    assert(nc.firstKey.isEmpty && nc.lastKey.isEmpty)
+    // oa: the full tail
+    val oa = parse(bytesAt("oa"), "oa").stats.tail.get
+    assert(oa.originatingHostId === Some((0x1234L, -0x5678L)))
+    assert(oa.hasPartitionLevelDeletions)
+    assert(oa.firstKey.toSeq === tail.firstKey.toSeq)
+    assert(oa.lastKey.toSeq === tail.lastKey.toSeq)
+    assert(oa.tokenSpaceCoverage === 0.4375)
+    // null hostId flag byte
+    val g = f.copy(stats = f.stats.copy(tail = Some(
+      tail.copy(originatingHostId = None))))
+    val bos = new ByteArrayOutputStream()
+    CassandraStatsFormat.write(new DataOutputStream(bos), g, version = "oa")
+    assert(parse(bos.toByteArray, "oa").stats.tail.get.originatingHostId
+      === None)
+  }
+
+  test("q77 op: oa fixture files parse with the deterministic tail") {
+    val rows = StatsDb.readOaTail(spark,
+      CassandraStatsFixture.ensureOaFiles(spark, Sf0001)).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("generation")
+      assert(r.getAs[Long]("host_id_msb") === g * 1000003L)
+      assert(r.getAs[Long]("host_id_lsb") === g * 2000003L)
+      assert(r.getAs[Boolean]("has_partition_deletions") === (g % 2 == 0))
+      assert(r.getAs[Long]("first_key") === g * 1000L + 1L)
+      assert(r.getAs[Long]("last_key") === g * 1000L + 999L)
+      assert(r.getAs[Long]("total_rows") > 0L)
+    }
+  }
+
   test("every checksum class is verified: count, TOC, component") {
     val good = bytesOf(sample(7L))
     // count checksum: flip a bit in the count int

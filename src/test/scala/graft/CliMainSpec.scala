@@ -96,6 +96,26 @@ class CliMainSpec extends SparkSpec {
     val verify = collect("verify")
     assert(verify.contains("Bloom filter membership (Filter.db)"))
     assert(verify.contains("Data.db digest verification (Digest.crc32)"))
+    assert(verify.contains("Partition-index summary (Summary.db)"))
+    assert(collect("quality").contains("Quality filter survival by source"))
+    assert(collect("canon", "-n", "3")
+      .contains("Canonical documents (top 3 by dropped tokens)"))
+    assert(collect("select", "-B", "50000")
+      .contains("Token-budget selection (budget 50000)"))
+  }
+
+  test("parse: quality/canon/select grammar") {
+    assert(Main.parse(Seq("quality")) === Right(Main.Opts("quality")))
+    assert(Main.parse(Seq("canon", "-n", "7")) ===
+      Right(Main.Opts("canon", topN = 7)))
+    assert(Main.parse(Seq("select", "-B", "250000")) ===
+      Right(Main.Opts("select", budgetTokens = 250000L)))
+    // -B outside select, bad/zero budget, stray positionals
+    assert(Main.parse(Seq("quality", "extra")).isLeft)
+    assert(Main.parse(Seq("pack", "-B", "100")).isLeft)
+    assert(Main.parse(Seq("select", "-B", "0")).isLeft)
+    assert(Main.parse(Seq("select", "-B", "abc")).isLeft)
+    assert(Main.parse(Seq("help", "select")) === Left(Main.usage("select")))
   }
 
   test("parse: verify takes no positionals") {

@@ -185,6 +185,60 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("canonical docs: one row per cluster, canonical is the best member") {
+    val clusters = Dedup.dupClusters(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep")))
+    val byCluster = clusters.groupBy(_._2)
+    val rows = Dedup.canonicalDocs(spark, Sf0001).collect()
+    assert(rows.length === byCluster.size)
+    rows.foreach { r =>
+      val rep = r.getAs[Long]("cluster_rep")
+      val members = byCluster(rep).map(_._1).toSet
+      assert(members.contains(r.getAs[Long]("canonical_doc")))
+      assert(r.getAs[Long]("cluster_size") === members.size.toLong)
+      assert(r.getAs[Long]("dropped_tokens") ===
+        r.getAs[Long]("cluster_tokens") - r.getAs[Long]("canonical_tokens"))
+      // an exact-copy cluster: every member has the same token count, so
+      // the min-doc_id tiebreak must pick the representative itself
+      assert(r.getAs[Long]("canonical_tokens") > 0L)
+    }
+  }
+
+  test("budget select: two-level prefix-sum gate matches the plain window") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextStats.budgetSelect(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    // recompute with the naive one-window form and compare
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .withColumn("token_count",
+        size(split(col("text"), " ")).cast("long"))
+      .withColumn("h",
+        graft.functions.PortableHash.h60(col("doc_id").cast("string")))
+    val cum = docs.withColumn("cum",
+      sum("token_count").over(Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val alloc = TextStats.mixingRates(spark, Sf0001)
+      .select(col("source"), col("alloc_tokens"))
+    val naive = cum.join(alloc, "source")
+      .groupBy("source")
+      .agg(sum(when(col("cum") <= col("alloc_tokens"), 1L).otherwise(0L))
+          .as("selected_docs"),
+        sum(when(col("cum") <= col("alloc_tokens"), col("token_count"))
+          .otherwise(0L)).as("selected_tokens"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("selected_docs"), r.getAs[Long]("selected_tokens")))
+      .toMap
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert((r.getAs[Long]("selected_docs"),
+        r.getAs[Long]("selected_tokens")) === naive(s),
+        s"two-level gate diverges from the plain window for source $s")
+      assert(r.getAs[Long]("selected_tokens") <= r.getAs[Long]("alloc_tokens"))
+    }
+  }
+
   test("quality filter: per-source survival rates are sane") {
     val rows = graft.ops.TextStats.qualityFilter(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -59,9 +59,28 @@ object Bench {
     // failures are NOT silent: a failed run still records its elapsed time
     // (so the line stays parseable) but the error lands in the JSON and on
     // stderr — a bench that aborted a job must never read as a clean pass
+    //
+    // CONTENTION DEFENSE: this box is a guest on an oversubscribed host —
+    // /proc/stat steal has been observed at 17–28% for minutes at a time,
+    // which inflated random disjoint query subsets 2–30× across otherwise
+    // identical runs (rounds 4, 5 and 6 all hit this). Each timing window
+    // therefore measures its own steal fraction; windows with > 3% steal
+    // retry (up to 3 extra attempts), the minimum still wins, and the
+    // per-query steal of the WINNING window is reported in the JSON
+    // ("steal_pct") so a contaminated number is self-documenting rather
+    // than silently wrong.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def cpuStat(): (Long, Long) = {
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val vals = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+        (if (vals.length > 7) vals(7) else 0L, vals.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    }
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val (st0, tot0) = cpuStat()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -71,18 +90,38 @@ object Bench {
             errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")
             System.err.println(s"BENCH FAILURE $name: $msg")
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (st1, tot1) = cpuStat()
+        val steal =
+          if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
+        (sec, steal)
       }
-      name -> math.min(once(), once())
+      // second run as always, then retries only while the best window was
+      // contended (steal can only inflate a window, so min-by-time is the
+      // steady-state estimate and each clean retry is a chance at truth)
+      var best = { val a = once(); val b = once(); if (b._1 < a._1) b else a }
+      var extra = 0
+      while (best._2 > 0.03 && extra < 3) {
+        extra += 1
+        val next = once()
+        if (next._1 < best._1) best = next
+      }
+      name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val steals = results.collect { case (k, v) if v._2 > 0.005 =>
+      "\"" + k + "\":" + f"${v._2 * 100}%.1f"
+    }
+    val stealJson =
+      if (steals.isEmpty) ""
+      else steals.mkString(""","steal_pct":{""", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -222,6 +222,10 @@ object SparkEntry {
     // in a BE header) roundtrip + cross-component check: every summary
     // entry must point at the Index.db entry holding the same key.
     "q76_summary_roundtrip" -> ((s, d) => Integrity.summaryRoundtrip(s, d)),
+    // REAL promoted (row) index: RowIndexEntry/IndexInfo layout parsed
+    // back per partition, blocks proven to tile the partition byte range
+    // (tiled_ok == indexed), boundaries oracle-recomputed from parquet.
+    "q79_row_index" -> ((s, d) => Integrity.rowIndex(s, d)),
     // the ENTIRE cfstats totals pipeline off REAL-format COMPRESSED
     // sstables: row codec + chunk decompression + partition-boundary
     // splits feeding the unchanged partitionScan → partitions → totals
@@ -440,6 +444,10 @@ object SparkEntry {
     // hash-ordered prefix-sum gate, two-level scan (no one-reducer-per-
     // source window)
     "q75_budget_select" -> ((s, d) => TextStats.budgetSelect(s, d)),
+    // REAL media decode: BMP/WAV containers encoded AND parsed by pure-JVM
+    // byte code (no codec stub) — every header field a pure function of
+    // doc_id, so the oracle recomputes the decoded values exactly
+    "q78_media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
     // temperature-based (α=0.5) source-mixing rates under a token budget
     "q66_mixing_rates" -> ((s, d) => TextStats.mixingRates(s, d)),
     // multimodal

@@ -61,7 +61,7 @@ object Main {
         |  dedup        Duplicate-detection reports over the documents corpus
         |  pack         Sequence-packing rollup over the documents corpus
         |  contaminate  Benchmark-contamination report over the documents corpus
-        |  verify       Integrity check of the real-format sstable set (bloom membership, Digest.crc32, Summary.db)
+        |  verify       Integrity check of the real-format sstable set (bloom, digest, summary, row index)
         |  quality      Quality-filter survival rates by source
         |  canon        Canonical document per duplicate cluster (kept/dropped tokens)
         |  select       Deterministic token-budget selection by source""".stripMargin

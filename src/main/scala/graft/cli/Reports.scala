@@ -151,7 +151,9 @@ object Reports {
       section("Data.db digest verification (Digest.crc32)",
         graft.ops.Integrity.digestVerify(spark, dir)) + "\n" +
       section("Partition-index summary (Summary.db)",
-        graft.ops.Integrity.summaryRoundtrip(spark, dir))
+        graft.ops.Integrity.summaryRoundtrip(spark, dir)) + "\n" +
+      section("Promoted row index (Index.db)",
+        graft.ops.Integrity.rowIndex(spark, dir))
 
   /** `quality` — composite quality-filter verdict, per-source survival. */
   def quality(spark: SparkSession, dir: String): String =

@@ -126,6 +126,73 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
+  /** q79: REAL promoted (row) index roundtrip + tiling self-check. Every
+    * Index.db entry's `RowIndexEntry` parses back (headerLength, partition
+    * DeletionTime, IndexInfo blocks with clustering-prefix bounds, the
+    * trailing block-offset table), and for each indexed partition the
+    * engine verifies the blocks TILE the partition: block 0 starts at
+    * headerLength (= key header + partition DeletionTime) and each
+    * subsequent block starts where the previous ended — `tiled_ok` MUST
+    * equal `indexed`. Block counts, boundary clusterings and boundary
+    * kinds (marker bound vs row clustering) are oracle-recomputed from
+    * parquet via the fixture's count-based block rule (boundary every
+    * [[CassandraDataFixture.RowsPerBlock]] unfiltereds).
+    *
+    * Scale shape: one task per Index.db file (the row index is ~1% of
+    * data volume); no shuffle before the per-sstable rollup. */
+  def rowIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.indexdb.IndexDbFormat
+    import graft.sources.datadb.CassandraDataFormat
+    val path = CassandraDataFixture.ensureFiles(spark, dir, compressed = false)
+    val perPartition = spark.read.format("binaryFile")
+      .load(s"$path/*${IndexDbFormat.Suffix}")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val g = "nb-(\\d+)-big".r.findFirstMatchIn(p).get.group(1).toLong
+        IndexDbFormat.fullEntries(new java.io.ByteArrayInputStream(bytes))
+          .map { e =>
+            if (e.promoted.isEmpty) (g, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            else {
+              val pi = CassandraDataFormat.parsePromotedIndex(e.promoted)
+              val tiled =
+                pi.headerLength == 2L + e.key.length + 12L &&
+                  pi.blocks.headOption.exists(_.offset == pi.headerLength) &&
+                  pi.blocks.sliding(2).forall {
+                    case Seq(a, b) => b.offset == a.offset + a.width
+                    case _ => true
+                  }
+              (g, 1L, pi.blocks.length.toLong,
+                pi.blocks.map(_.firstClustering % 1000003L).sum,
+                pi.blocks.map(_.lastClustering % 1000003L).sum,
+                pi.blocks.map(_.firstKind.toLong).sum,
+                pi.blocks.map(_.lastKind.toLong).sum,
+                if (tiled) 1L else 0L)
+            }
+          }.toVector
+      }
+      .toDF("gen", "indexed", "blocks", "first_cl_sum", "last_cl_sum",
+        "first_kind_sum", "last_kind_sum", "tiled")
+    perPartition
+      .groupBy("gen")
+      .agg(
+        count(lit(1)).as("partitions"),
+        sum("indexed").as("indexed"),
+        sum("blocks").as("blocks"),
+        sum("first_cl_sum").as("first_cl_sum"),
+        sum("last_cl_sum").as("last_cl_sum"),
+        sum("first_kind_sum").as("first_kind_sum"),
+        sum("last_kind_sum").as("last_kind_sum"),
+        sum("tiled").as("tiled_ok"))
+      .select(
+        concat(lit("sst-"), (col("gen") - 1L).cast("string"))
+          .as("sstable_id"),
+        col("partitions"), col("indexed"), col("blocks"),
+        col("first_cl_sum"), col("last_cl_sum"),
+        col("first_kind_sum"), col("last_kind_sum"), col("tiled_ok"))
+      .orderBy("sstable_id")
+  }
+
   /** q70: recompute each Data.db file's CRC32 (as stored — compressed
     * bytes for the compressed variant) and compare with the Digest.crc32
     * sidecar, across BOTH fixture variants: 12 files, 12 matches. */

@@ -638,6 +638,57 @@ SELECT p.sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
 FROM sumr p JOIN sumb b USING (sstable_id)
 WHERE p.rn % 4 = 0
 GROUP BY p.sstable_id, b.first_key, b.last_key ORDER BY 1""",
+    // q79: the promoted (row) index — one unfiltered per marker EVENT plus
+    // one per clustering with any cell, ordered (clustering, markers
+    // first); partitions with > 2 unfiltereds are indexed, block boundary
+    // every 2; boundary clusterings and kinds (marker bound = ordinal 1,
+    // row clustering = 4) recomputed per block. tiled_ok is the engine's
+    // byte-level self-check and must equal indexed.
+    "q79_row_index" -> s"""WITH $fixtures,
+riunf AS (
+  SELECT sstable_id, key, clustering, 0 AS sub
+  FROM licells WHERE kind = 'RANGE_TOMBSTONE_MARKER'
+  UNION ALL
+  SELECT DISTINCT sstable_id, key, clustering, 1 AS sub
+  FROM licells WHERE kind = 'CELL'
+),
+riseq AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY sstable_id, key
+      ORDER BY clustering, sub) - 1 AS idx,
+    COUNT(*) OVER (PARTITION BY sstable_id, key) AS n
+  FROM riunf
+),
+riblk AS (
+  SELECT sstable_id, key, idx // 2 AS b,
+    arg_min(clustering, idx) AS first_cl,
+    arg_max(clustering, idx) AS last_cl,
+    arg_min(sub, idx) AS first_sub,
+    arg_max(sub, idx) AS last_sub
+  FROM riseq WHERE n > 2
+  GROUP BY 1, 2, 3
+),
+ripp AS (
+  SELECT sstable_id, key, COUNT(*) AS nblocks,
+    SUM(first_cl % 1000003) AS fs, SUM(last_cl % 1000003) AS ls,
+    SUM(CASE WHEN first_sub = 0 THEN 1 ELSE 4 END) AS fk,
+    SUM(CASE WHEN last_sub = 0 THEN 1 ELSE 4 END) AS lk
+  FROM riblk GROUP BY 1, 2
+),
+ritot AS (
+  SELECT sstable_id, COUNT(DISTINCT key) AS partitions FROM riunf GROUP BY 1
+)
+SELECT t.sstable_id,
+  CAST(t.partitions AS BIGINT) AS partitions,
+  CAST(COALESCE(COUNT(p.key), 0) AS BIGINT) AS indexed,
+  CAST(COALESCE(SUM(p.nblocks), 0) AS BIGINT) AS blocks,
+  CAST(COALESCE(SUM(p.fs), 0) AS BIGINT) AS first_cl_sum,
+  CAST(COALESCE(SUM(p.ls), 0) AS BIGINT) AS last_cl_sum,
+  CAST(COALESCE(SUM(p.fk), 0) AS BIGINT) AS first_kind_sum,
+  CAST(COALESCE(SUM(p.lk), 0) AS BIGINT) AS last_kind_sum,
+  CAST(COALESCE(COUNT(p.key), 0) AS BIGINT) AS tiled_ok
+FROM ritot t LEFT JOIN ripp p USING (sstable_id)
+GROUP BY 1, t.partitions ORDER BY 1""",
     // q70: both variants' 6 Data.db files must match their Digest.crc32
     // sidecars; the oracle pins the file count from the fixture relation.
     "q70_digest_verify" -> s"""WITH $fixtures
@@ -1131,6 +1182,30 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
   CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
   CAST(floor(SUM(bpe) * 100 / SUM(ws)) AS BIGINT) AS bpe_per_ws_x100
 FROM t GROUP BY 1 ORDER BY 1""",
+
+    // q78: the real-container decode roundtrip — every decoded field is a
+    // pure function of doc_id (BMP: 54-byte headers + 4-padded 24-bpp
+    // rows; WAV: 44-byte RIFF/PCM16 header + data chunk).
+    "q78_media_decode" -> """SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+  CAST(CASE WHEN doc_id % 2 = 0
+    THEN 54 + (((3 * (4 + doc_id % 32) + 3) // 4) * 4) * (4 + doc_id % 24)
+    ELSE 44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2
+  END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 32 ELSE 0 END AS BIGINT)
+    AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 24 ELSE 0 END AS BIGINT)
+    AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+    ELSE 8000 + (doc_id % 8) * 1000 END AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 2 END AS BIGINT)
+    AS channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 100 + doc_id % 400 END AS BIGINT)
+    AS samples,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+    ELSE ((100 + doc_id % 400) * 1000) // (8000 + (doc_id % 8) * 1000)
+  END AS BIGINT) AS duration_ms
+FROM documents ORDER BY doc_id""",
 
     "q32_multimodal_meta" -> """SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -46,6 +46,15 @@ object CassandraDataFixture {
     * several entries (real default min_index_interval is 128). */
   val MinIndexInterval = 4
 
+  /** Promoted-index block boundary every N unfiltereds. Cassandra's real
+    * trigger is a byte threshold (`column_index_size`, 64 KiB); a count
+    * trigger at fixture scale exercises the identical LAYOUT while keeping
+    * every block boundary derivable by the DuckDB oracle. Partitions of
+    * ≤ N unfiltereds get no promoted index (single-block partitions are
+    * not indexed, as in Cassandra). N = 2 because the widest fixture
+    * partition holds 5 unfiltereds — blocks must actually occur. */
+  val RowsPerBlock = 2
+
   val ColumnSpecs: Seq[ColumnSpec] = Seq("c0", "c1").map { n =>
     ColumnSpec(n.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       Marshal.Prefix + s"MapType(${Marshal.Prefix}LongType," +
@@ -172,13 +181,17 @@ object CassandraDataFixture {
         if (firstKey == null) firstKey = keyBytes
         lastKey = keyBytes
         partitionsWritten += 1
-        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
-          w.position)
+        val partitionStart = w.position
         w.writePartitionStart(keyBytes)
+        val headerLength = w.position - partitionStart
+        // (position before, kind, clustering) per unfiltered — the inputs
+        // of the promoted (row) index
+        val unfiltereds = Vector.newBuilder[(Long, Int, Long)]
         kevs.groupBy(_.clustering).toSeq.sortBy(_._1).foreach {
           case (clustering, cevs) =>
             // bounds sort before the row of the same clustering
             cevs.filter(_.isMarker).foreach { m =>
+              unfiltereds += ((w.position, KindInclStartBound, clustering))
               w.write(WriteMarker(clustering, KindInclStartBound, m.tsUs,
                 m.ldtS))
             }
@@ -197,10 +210,40 @@ object CassandraDataFixture {
                   localDeletionTimeS = e.ldtS,
                   value = if (e.isTomb) null else valueOf(e.sizeBytes, clustering))
               }
+              unfiltereds += ((w.position, KindClustering, clustering))
               w.write(WriteRow(clustering, wcells))
             }
         }
+        val bodyEnd = w.position // last unfiltered's end (pre end marker)
         w.writePartitionEnd()
+        // REAL RowIndexEntry: partitions spanning more than one block get
+        // a promoted index. Block boundary every RowsPerBlock unfiltereds —
+        // the real trigger is a byte threshold (column_index_size, 64 KiB);
+        // a count trigger at fixture scale exercises the identical LAYOUT
+        // while keeping every block derivable by the oracle.
+        val us = unfiltereds.result()
+        val promoted =
+          if (us.length <= RowsPerBlock) Array.emptyByteArray
+          else {
+            val blocks = us.grouped(RowsPerBlock).toVector.zipWithIndex
+              .map { case (grp, gi) =>
+                val lastIdx = gi * RowsPerBlock + grp.length - 1
+                val end =
+                  if (lastIdx == us.length - 1) bodyEnd
+                  else us(lastIdx + 1)._1
+                CassandraDataFormat.IndexInfo(
+                  grp.head._2, grp.head._3, grp.last._2, grp.last._3,
+                  offset = grp.head._1 - partitionStart,
+                  width = end - grp.head._1,
+                  endOpenMarker = None)
+              }
+            CassandraDataFormat.serializePromotedIndex(
+              CassandraDataFormat.PromotedIndex(headerLength,
+                deletionLdtS = NoDeletionTimeS,
+                deletionMfdaUs = Long.MinValue, blocks))
+          }
+        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
+          partitionStart, promoted)
       }
       // success path: flush chunk tail, then the sidecar components
       val infoOpt = chunking.map { c =>

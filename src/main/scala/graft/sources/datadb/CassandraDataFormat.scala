@@ -2,7 +2,7 @@ package graft.sources.datadb
 
 import java.io.{ByteArrayOutputStream, DataInput, DataInputStream, DataOutput, DataOutputStream, EOFException, InputStream}
 
-import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, writeUnsignedVInt}
+import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, readVInt, writeUnsignedVInt, writeVInt}
 
 /** The REAL Cassandra big-format ("nb") Data.db row codec — the second
   * real-on-disk-format beachhead after Statistics.db
@@ -407,6 +407,125 @@ object CassandraDataFormat {
       prevSize = (out.size() - before).toLong
     }
   }
+
+  // ---------------------------------------------------- promoted index
+
+  /** One `IndexInfo` block of a big-format promoted (row) index: the
+    * clustering range a block covers, its byte offset from the partition
+    * start and its width, plus the open-marker flag (with its deletion
+    * time when set). Kinds are ClusteringPrefix ordinals. */
+  final case class IndexInfo(
+      firstKind: Int, firstClustering: Long,
+      lastKind: Int, lastClustering: Long,
+      offset: Long, width: Long,
+      endOpenMarker: Option[(Long, Long)]) // (markedForDeleteAtUs, ldtS)
+
+  /** A partition's promoted index (`RowIndexEntry.IndexedEntry` body):
+    * headerLength = bytes from partition start to the first unfiltered
+    * (key header + partition DeletionTime); partition-level deletion; the
+    * IndexInfo blocks; and the trailing block-offset array readers
+    * binary-search. */
+  final case class PromotedIndex(
+      headerLength: Long,
+      deletionLdtS: Long, deletionMfdaUs: Long,
+      blocks: IndexedSeq[IndexInfo])
+
+  /** IndexInfo.Serializer's width delta base (64 KiB — widths are stored
+    * as a signed vint delta against it). */
+  val WidthBase = 65536L
+
+  private def writeIndexClustering(d: DataOutput, kind: Int,
+      clustering: Long): Unit = {
+    d.write(kind)
+    if (kind != KindClustering) d.writeShort(1) // bound size
+    writeUnsignedVInt(d, 0L) // clustering block header: present, not empty
+    d.writeLong(clustering)
+  }
+
+  private def readIndexClustering(d: DataInput): (Int, Long) = {
+    val kind = d.readByte().toInt
+    if (kind != KindClustering) {
+      val size = d.readShort().toInt
+      require(size == 1, s"unexpected bound size $size")
+    }
+    val header = readUnsignedVInt(d)
+    require(header == 0L, s"null/empty clustering in index block")
+    (kind, d.readLong())
+  }
+
+  /** Serializes a promoted index exactly as `RowIndexEntry.IndexedEntry`:
+    * headerLength vint, partition DeletionTime, block count vint, the
+    * IndexInfo entries (clustering prefixes, offset vint, width as signed
+    * vint delta vs [[WidthBase]], end-open-marker flag + DeletionTime),
+    * then the block-offset int array (offsets of each IndexInfo from the
+    * start of the first one). */
+  def serializePromotedIndex(p: PromotedIndex): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    writeUnsignedVInt(d, p.headerLength)
+    d.writeInt(p.deletionLdtS.toInt)
+    d.writeLong(p.deletionMfdaUs)
+    writeUnsignedVInt(d, p.blocks.length.toLong)
+    val offsets = new Array[Int](p.blocks.length)
+    val blockBase = d.size()
+    p.blocks.zipWithIndex.foreach { case (b, i) =>
+      offsets(i) = d.size() - blockBase
+      writeIndexClustering(d, b.firstKind, b.firstClustering)
+      writeIndexClustering(d, b.lastKind, b.lastClustering)
+      writeUnsignedVInt(d, b.offset)
+      writeVInt(d, b.width - WidthBase)
+      d.writeBoolean(b.endOpenMarker.isDefined)
+      b.endOpenMarker.foreach { case (mfdaUs, ldtS) =>
+        d.writeInt(ldtS.toInt)
+        d.writeLong(mfdaUs)
+      }
+    }
+    offsets.foreach(d.writeInt)
+    bos.toByteArray
+  }
+
+  def parsePromotedIndex(bytes: Array[Byte]): PromotedIndex = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val headerLength = readUnsignedVInt(d)
+    val ldt = d.readInt().toLong
+    val mfda = d.readLong()
+    val n = readUnsignedVInt(d)
+    require(n >= 0 && n <= (1 << 24), s"implausible block count $n")
+    val blocks = (0 until n.toInt).map { _ =>
+      val (fk, fc) = readIndexClustering(d)
+      val (lk, lc) = readIndexClustering(d)
+      val offset = readUnsignedVInt(d)
+      val width = readVInt(d) + WidthBase
+      val marker =
+        if (d.readBoolean()) {
+          val mLdt = d.readInt().toLong
+          val mMfda = d.readLong()
+          Some((mMfda, mLdt))
+        } else None
+      IndexInfo(fk, fc, lk, lc, offset, width, marker)
+    }
+    // trailing offsets array: verify it matches the blocks just read
+    val expected = {
+      val sizes = blocks.map { b =>
+        def clSize(kind: Int): Int = (if (kind != KindClustering) 3 else 1) + 9
+        clSize(b.firstKind) + clSize(b.lastKind) +
+          vintSize(b.offset) + svintSize(b.width - WidthBase) + 1 +
+          (if (b.endOpenMarker.isDefined) 12 else 0)
+      }
+      sizes.scanLeft(0)(_ + _).dropRight(1)
+    }
+    blocks.indices.foreach { i =>
+      val off = d.readInt()
+      require(off == expected(i),
+        s"promoted-index offset table mismatch at $i: $off != ${expected(i)}")
+    }
+    PromotedIndex(headerLength, ldt, mfda, blocks)
+  }
+
+  private def vintSize(v: Long): Int =
+    graft.sources.indexdb.IndexDbFormat.unsignedVIntSize(v)
+  private def svintSize(v: Long): Int =
+    vintSize((v << 1) ^ (v >> 63))
 
   // ------------------------------------------------------------- parsing
 

@@ -104,13 +104,27 @@ object IndexDbFormat {
   def entries(stream: InputStream): Iterator[Entry] =
     entriesWithOffsets(stream).map(e => Entry(e.key, e.position))
 
+  /** [[OffsetEntry]] plus the promoted (row) index bytes — empty when the
+    * partition is not indexed. */
+  final case class FullEntry(offset: Long, key: Array[Byte], position: Long,
+      promoted: Array[Byte])
+
   /** [[entries]] additionally reporting each entry's byte offset within the
-    * stream (consumed-byte accounting; encodings are canonical). */
+    * stream (consumed-byte accounting; encodings are canonical). Promoted
+    * bytes are skipped, never copied (the split-planner path over
+    * arbitrarily large files). */
   def entriesWithOffsets(stream: InputStream): Iterator[OffsetEntry] =
-    new Iterator[OffsetEntry] {
+    fullEntries(stream, keepPromoted = false)
+      .map(e => OffsetEntry(e.offset, e.key, e.position))
+
+  /** Full entry iterator; `keepPromoted` copies the promoted-index bytes
+    * out (the row-index consumers), otherwise skips them. */
+  def fullEntries(stream: InputStream,
+      keepPromoted: Boolean = true): Iterator[FullEntry] =
+    new Iterator[FullEntry] {
       private val in = new DataInputStream(stream)
       private var consumed = 0L
-      private var nextEntry: OffsetEntry = _
+      private var nextEntry: FullEntry = _
       private var done = false
 
       private def advance(): Unit = {
@@ -127,25 +141,34 @@ object IndexDbFormat {
         if (promotedLen < 0 || promotedLen > Int.MaxValue)
           throw new java.io.IOException(
             s"corrupt promoted-index length $promotedLen")
-        // skipBytes may skip fewer bytes than asked; a silent partial skip on
-        // a truncated file would end iteration cleanly instead of failing like
-        // the truncated-key path does
-        var remaining = promotedLen.toInt
-        while (remaining > 0) {
-          val skipped = in.skipBytes(remaining)
-          if (skipped <= 0) throw new EOFException("truncated promoted index")
-          remaining -= skipped
-        }
+        val promoted =
+          if (keepPromoted && promotedLen > 0) {
+            val b = new Array[Byte](promotedLen.toInt)
+            in.readFully(b)
+            b
+          } else {
+            // skipBytes may skip fewer bytes than asked; a silent partial
+            // skip on a truncated file would end iteration cleanly instead
+            // of failing like the truncated-key path does
+            var remaining = promotedLen.toInt
+            while (remaining > 0) {
+              val skipped = in.skipBytes(remaining)
+              if (skipped <= 0)
+                throw new EOFException("truncated promoted index")
+              remaining -= skipped
+            }
+            Array.emptyByteArray
+          }
         consumed = start + 2L + keyLen + unsignedVIntSize(position) +
           unsignedVIntSize(promotedLen) + promotedLen
-        nextEntry = OffsetEntry(start, key, position)
+        nextEntry = FullEntry(start, key, position, promoted)
       }
 
       override def hasNext: Boolean = {
         if (!done && nextEntry == null) advance()
         !done
       }
-      override def next(): OffsetEntry = {
+      override def next(): FullEntry = {
         if (!hasNext) throw new NoSuchElementException
         val e = nextEntry; nextEntry = null; e
       }

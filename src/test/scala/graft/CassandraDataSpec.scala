@@ -266,6 +266,48 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("promoted index: serialize/parse roundtrip incl. offsets table, " +
+      "width delta base, bound vs clustering prefixes, open marker") {
+    val blocks = Vector(
+      CassandraDataFormat.IndexInfo(
+        CassandraDataFormat.KindInclStartBound, 0L,
+        CassandraDataFormat.KindClustering, 2L,
+        offset = 22L, width = 130L, endOpenMarker = None),
+      CassandraDataFormat.IndexInfo(
+        CassandraDataFormat.KindClustering, 0L,
+        CassandraDataFormat.KindClustering, 1L,
+        offset = 152L, width = 70000L, // > WidthBase: negative delta path
+        endOpenMarker = Some((123456789L, 86400L))))
+    val p = CassandraDataFormat.PromotedIndex(22L, 2147483647L,
+      Long.MinValue, blocks)
+    val bytes = CassandraDataFormat.serializePromotedIndex(p)
+    val got = CassandraDataFormat.parsePromotedIndex(bytes)
+    assert(got.headerLength === 22L)
+    assert(got.deletionLdtS === 2147483647L)
+    assert(got.deletionMfdaUs === Long.MinValue)
+    assert(got.blocks === blocks)
+    // a corrupted offsets table must fail loudly, not mis-seek
+    val corrupt = bytes.clone()
+    corrupt(bytes.length - 1) = (corrupt(bytes.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      CassandraDataFormat.parsePromotedIndex(corrupt)
+    }
+  }
+
+  test("row index op: blocks tile every indexed partition and boundaries " +
+      "follow the RowsPerBlock rule") {
+    val rows = graft.ops.Integrity.rowIndex(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    var indexedTotal = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tiled_ok") === r.getAs[Long]("indexed"),
+        s"non-tiling promoted index in ${r.getAs[String]("sstable_id")}")
+      assert(r.getAs[Long]("indexed") <= r.getAs[Long]("partitions"))
+      indexedTotal += r.getAs[Long]("indexed")
+    }
+    assert(indexedTotal > 0L, "fixture produced no indexed partitions")
+  }
+
   test("end-to-end: real-format files match the mapped parquet relation; " +
       "compressed ≡ uncompressed ≡ single-split") {
     def agg(df: org.apache.spark.sql.DataFrame) = df

@@ -97,6 +97,7 @@ class CliMainSpec extends SparkSpec {
     assert(verify.contains("Bloom filter membership (Filter.db)"))
     assert(verify.contains("Data.db digest verification (Digest.crc32)"))
     assert(verify.contains("Partition-index summary (Summary.db)"))
+    assert(verify.contains("Promoted row index (Index.db)"))
     assert(collect("quality").contains("Quality filter survival by source"))
     assert(collect("canon", "-n", "3")
       .contains("Canonical documents (top 3 by dropped tokens)"))

@@ -323,6 +323,56 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("real codecs: BMP/WAV encode-decode roundtrip, chunk walking, " +
+      "corrupt payloads throw") {
+    import Multimodal.RealCodecs
+    val bmp = RealCodecs.encodeBmp(17, 9, seed = 42L)
+    // stride pads 3*17=51 to 52; real header size + pixel array
+    assert(bmp.length === 54 + 52 * 9)
+    val db = RealCodecs.decode(bmp)
+    assert((db.format, db.width, db.height) === ("bmp", 17, 9))
+    val wav = RealCodecs.encodeWav(11000, 2, 321, seed = 7L)
+    assert(wav.length === 44 + 321 * 2 * 2)
+    val dw = RealCodecs.decode(wav)
+    assert((dw.format, dw.sampleRate, dw.channels, dw.samples) ===
+      ("wav", 11000, 2, 321))
+    // chunk walker: an extra chunk between WAVE and fmt must be skipped
+    // (with odd-length padding) — splice a 3-byte "LIST" chunk in
+    val extra = new Array[Byte](wav.length + 8 + 4)
+    System.arraycopy(wav, 0, extra, 0, 12)
+    extra(12) = 'L'; extra(13) = 'I'; extra(14) = 'S'; extra(15) = 'T'
+    extra(16) = 3 // little-endian 3, padded to 4
+    System.arraycopy(wav, 12, extra, 24, wav.length - 12)
+    val de = RealCodecs.decode(extra)
+    assert((de.sampleRate, de.channels, de.samples) === (11000, 2, 321))
+    // corrupt media surfaces, never decodes to zeros
+    intercept[java.io.IOException] {
+      RealCodecs.decode("plainly not a container".getBytes("UTF-8"))
+    }
+    intercept[java.io.IOException] {
+      RealCodecs.decode(java.util.Arrays.copyOf(
+        "RIFF0000WAVE".getBytes("UTF-8"), 60)) // RIFF but no fmt/data
+    }
+  }
+
+  test("media decode op: every real payload parses back to its doc_id's " +
+      "derivation") {
+    val rows = Multimodal.mediaDecode(spark, Sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("format") === "bmp")
+        assert(r.getAs[Long]("width") === 4 + id % 32)
+        assert(r.getAs[Long]("height") === 4 + id % 24)
+      } else {
+        assert(r.getAs[String]("format") === "wav")
+        assert(r.getAs[Long]("sample_rate") === 8000 + (id % 8) * 1000)
+        assert(r.getAs[Long]("samples") === 100 + id % 400)
+      }
+    }
+  }
+
   test("streaming sliding window: every event lands in exactly 4 windows") {
     val ev = Tables.events(spark, Sf0001)
     val total = ev.count()

@@ -129,6 +129,87 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Summary.db codec round-trips arbitrary entry sets") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+    import graft.sources.summarydb.SummaryDbFormat
+    val genEntry = for {
+      keyLen <- Gen.choose(1, 24)
+      key <- Gen.listOfN(keyLen, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      pos <- Gen.oneOf(Gen.choose(0L, 1024L),
+        Gen.choose(0L, Long.MaxValue / 2))
+    } yield SummaryDbFormat.Entry(key.toArray, pos)
+    val genSummary = for {
+      n <- Gen.choose(1, 12)
+      entries <- Gen.listOfN(n, genEntry)
+      interval <- Gen.choose(1, 128)
+      first <- Gen.listOfN(4, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      last <- Gen.listOfN(6, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield SummaryDbFormat.Summary(interval, 128, entries.length,
+      entries.toVector, first.toArray, last.toArray)
+    checkProp(genSummary, trials = 200) { s =>
+      val bos = new ByteArrayOutputStream()
+      SummaryDbFormat.write(new DataOutputStream(bos), s)
+      val got = SummaryDbFormat.parse(new DataInputStream(
+        new ByteArrayInputStream(bos.toByteArray)))
+      got.minIndexInterval == s.minIndexInterval &&
+        got.entries.length == s.entries.length &&
+        got.entries.zip(s.entries).forall { case (a, b) =>
+          a.position == b.position && a.key.toSeq == b.key.toSeq
+        } &&
+        got.firstKey.toSeq == s.firstKey.toSeq &&
+        got.lastKey.toSeq == s.lastKey.toSeq
+    }
+  }
+
+  test("promoted-index codec round-trips arbitrary block lists") {
+    import graft.sources.datadb.CassandraDataFormat
+    val kinds = Seq(CassandraDataFormat.KindInclStartBound,
+      CassandraDataFormat.KindClustering,
+      CassandraDataFormat.KindInclEndBound)
+    val genBlock = for {
+      fk <- Gen.oneOf(kinds); lk <- Gen.oneOf(kinds)
+      fc <- Gen.choose(-8L, 1L << 40); lc <- Gen.choose(-8L, 1L << 40)
+      off <- Gen.choose(0L, 1L << 30)
+      width <- Gen.oneOf(Gen.choose(1L, 256L),
+        Gen.choose(60000L, 80000L)) // straddles the 64 KiB delta base
+      marker <- Gen.option(Gen.zip(
+        Gen.choose(0L, 1L << 50), Gen.choose(0L, Int.MaxValue.toLong)))
+    } yield CassandraDataFormat.IndexInfo(fk, fc, lk, lc, off, width, marker)
+    val genIdx = for {
+      n <- Gen.choose(1, 10)
+      blocks <- Gen.listOfN(n, genBlock)
+      hl <- Gen.choose(10L, 64L)
+      ldt <- Gen.choose(0L, Int.MaxValue.toLong)
+      mfda <- Gen.oneOf(Gen.const(Long.MinValue), Gen.choose(0L, 1L << 50))
+    } yield CassandraDataFormat.PromotedIndex(hl, ldt, mfda, blocks.toVector)
+    checkProp(genIdx, trials = 200) { p =>
+      val got = CassandraDataFormat.parsePromotedIndex(
+        CassandraDataFormat.serializePromotedIndex(p))
+      got == p
+    }
+  }
+
+  test("BMP/WAV codecs round-trip arbitrary dimensions and rates") {
+    import graft.ops.Multimodal.RealCodecs
+    val genBmp = Gen.zip(Gen.choose(1, 200), Gen.choose(1, 120),
+      Gen.choose(0L, 1L << 40))
+    checkProp(genBmp, trials = 150) { case (w, h, seed) =>
+      val d = RealCodecs.decode(RealCodecs.encodeBmp(w, h, seed))
+      d.format == "bmp" && d.width == w && d.height == h
+    }
+    val genWav = for {
+      rate <- Gen.choose(1000, 192000)
+      ch <- Gen.choose(1, 8)
+      samples <- Gen.choose(1, 4000)
+      seed <- Gen.choose(0L, 1L << 40)
+    } yield (rate, ch, samples, seed)
+    checkProp(genWav, trials = 150) { case (rate, ch, samples, seed) =>
+      val d = RealCodecs.decode(RealCodecs.encodeWav(rate, ch, samples, seed))
+      d.format == "wav" && d.sampleRate == rate && d.channels == ch &&
+        d.samples == samples
+    }
+  }
+
   test("composite key encoding round-trips arbitrary (long, utf8) pairs") {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.sources.KeyValidator._

@@ -444,6 +444,12 @@ object SparkEntry {
     // hash-ordered prefix-sum gate, two-level scan (no one-reducer-per-
     // source window)
     "q75_budget_select" -> ((s, d) => TextStats.budgetSelect(s, d)),
+    // duplicated-SPAN coverage: fraction of each doc covered by 5-grams
+    // that also occur in another doc (exact-substring dedup approximation)
+    "q80_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    // deterministic epoch shuffle: per-shard permutation manifest with an
+    // order-sensitive checksum (two-level rank, no per-shard reducer)
+    "q81_epoch_shuffle" -> ((s, d) => TextStats.epochShuffle(s, d)),
     // REAL media decode: BMP/WAV containers encoded AND parsed by pure-JVM
     // byte code (no codec stub) — every header field a pure function of
     // doc_id, so the oracle recomputes the decoded values exactly

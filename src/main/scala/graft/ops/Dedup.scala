@@ -256,6 +256,54 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Duplicated-SPAN coverage (exact-substring dedup, the
+    * deduplicate-training-data shape): for every document, how much of it
+    * is covered by k-token grams that also occur in ANOTHER document. The
+    * standard scalable approximation of suffix-array substring dedup —
+    * explode overlapping k-grams, keep grams seen in ≥2 distinct docs,
+    * union the per-doc [s, s+k) start intervals into a covered-token count.
+    *
+    * Scale shape: one narrow scan explodes |tokens| gram rows; the gram
+    * frequency agg partial-combines map-side and the dup decision is
+    * `min(doc) != max(doc)` (no count-distinct); the starts→dup join is
+    * hash-co-partitioned on the 8-byte gram key; interval union is a lag
+    * window partitioned BY DOCUMENT (bounded by doc length — never a
+    * corpus-wide or per-source reducer): each start contributes
+    * min(k, gap-to-previous-start) tokens. Gram identity travels as
+    * xxhash64 — the q21-documented 64-bit equivalence class (the oracle
+    * keys on gram text). */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val toks = corpus(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val grams = toks.where(col("n_tokens") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> xxhash64(array_join(slice(w, i, $k), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+        col("col").as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx")).select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val runs = grams.join(dup, "gh")
+      .withColumn("ps", lag(col("s"), 1).over(w))
+      .withColumn("contrib",
+        when(col("ps").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("s") - col("ps"))))
+    val cov = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_starts"),
+        sum("contrib").as("covered_tokens"))
+    toks.select("doc_id", "n_tokens")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        floor(coalesce(col("covered_tokens"), lit(0L)) * 1000 /
+          col("n_tokens")).as("dup_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS with one representative
     * (keeper) per group. Pregel-style min-label propagation: labels converge

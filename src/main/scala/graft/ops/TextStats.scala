@@ -325,6 +325,52 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Deterministic EPOCH SHUFFLE: the training-loader shape — every epoch
+    * permutes the corpus by a seeded hash and splits it into `shards` files
+    * consumed by data-parallel ranks. Shard assignment is
+    * `h60(doc_id:epoch) mod shards`; the order WITHIN a shard is (h,
+    * doc_id) ascending. Emits the per-shard manifest a loader audits: doc
+    * and token counts plus an ORDER-SENSITIVE checksum
+    * `Σ (h mod 1000003) · rank` — any transposition of two docs changes it,
+    * so two independent runs (or engines) can prove they produced the same
+    * permutation without exchanging the permutation itself.
+    *
+    * Scale shape: ranking within a shard is NOT a one-reducer-per-shard
+    * sort — same two-level scan as [[packSequences]]/[[budgetSelect]]: h's
+    * top bits give `buckets` ranges that order like h, intra-bucket
+    * row_numbers run in bounded (shard, bucket) windows, and bucket bases
+    * come from a prefix sum over the tiny (shard, bucket) count table. The
+    * checksum rollup then hash-aggregates; nothing sorts more than a
+    * bucket. */
+  def epochShuffle(spark: SparkSession, dir: String, epoch: Int = 1,
+      shards: Int = 8, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketWidth = (1L << 60) / buckets
+    val t = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("token_count"))
+      .withColumn("h", graft.functions.PortableHash.h60(
+        concat(col("doc_id").cast("string"), lit(s":$epoch"))))
+      .withColumn("shard", (col("h") % shards).cast("long"))
+      .withColumn("bucket", floor(col("h") / bucketWidth))
+    val inBucket = Window.partitionBy("shard", "bucket").orderBy("h", "doc_id")
+    val byBucket = Window.partitionBy("shard").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = t.groupBy("shard", "bucket")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .withColumn("bucket_base",
+        coalesce(sum("bucket_docs").over(byBucket), lit(0L)))
+      .select("shard", "bucket", "bucket_base")
+    t.withColumn("in_bucket_rk", row_number().over(inBucket).cast("long"))
+      .join(bases, Seq("shard", "bucket"))
+      .withColumn("rk", col("bucket_base") + col("in_bucket_rk"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("token_count").as("tokens"),
+        sum((col("h") % 1000003L) * col("rk")).as("order_check"))
+      .orderBy("shard")
+  }
+
   /** Language × source distribution rollup. */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -1049,6 +1049,56 @@ SELECT c.source, CAST(COUNT(*) AS BIGINT) AS docs,
     * 1000 / MAX(alloc_tokens)) AS BIGINT) AS fill_x1000
 FROM c JOIN a ON c.source = a.source GROUP BY 1 ORDER BY 1""",
 
+    // mirror of Dedup.dupSpans (k = 5) over the dup-injected corpus: grams
+    // keyed on text (the engine's xxhash64 keys are the q21 equivalence
+    // class); interval union via the same lag-window contribution rule.
+    "q80_dup_spans" -> s"""WITH $corpus,
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+runs AS (
+  SELECT gr.doc_id, gr.s,
+    lag(gr.s) OVER (PARTITION BY gr.doc_id ORDER BY gr.s) AS ps
+  FROM grams gr JOIN dup USING (g)
+),
+cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_starts,
+    CAST(SUM(CASE WHEN ps IS NULL THEN 5 ELSE LEAST(5, s - ps) END)
+      AS BIGINT) AS covered_tokens
+  FROM runs GROUP BY 1
+)
+SELECT n.doc_id, n.n_tokens,
+  CAST(COALESCE(c.dup_starts, 0) AS BIGINT) AS dup_starts,
+  CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+  CAST(floor(COALESCE(c.covered_tokens, 0) * 1000 / n.n_tokens) AS BIGINT)
+    AS dup_x1000
+FROM nt n LEFT JOIN cov c USING (doc_id) ORDER BY n.doc_id""",
+
+    // mirror of TextStats.epochShuffle (epoch 1, 8 shards): the oracle
+    // ranks with the plain per-shard window — the engine's two-level
+    // bucketed rank must be value-identical by construction.
+    "q81_epoch_shuffle" -> s"""WITH d AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+    ${h60("CAST(doc_id AS VARCHAR) || ':1'")} AS h
+  FROM documents
+),
+r AS (
+  SELECT *, h % 8 AS shard,
+    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+      AS BIGINT) AS rk
+  FROM d
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(token_count) AS BIGINT) AS tokens,
+  CAST(SUM((h % 1000003) * rk) AS BIGINT) AS order_check
+FROM r GROUP BY 1 ORDER BY 1""",
+
     "q26_text_quality" -> """SELECT doc_id, n_chars,
   CAST(length(text) AS BIGINT) AS len_chars,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,

@@ -519,6 +519,67 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dup spans: injected copies fully covered, coverage bounded") {
+    val rows = Dedup.dupSpans(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001).count()
+    assert(rows.length > docs.toInt) // corpus = docs + injected copies
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val cov = r.getAs[Long]("covered_tokens")
+      assert(cov >= 0L && cov <= n)
+      assert(r.getAs[Long]("dup_starts") <= math.max(n - 4, 0L))
+      assert(r.getAs[Long]("dup_x1000") == math.floor(cov * 1000.0 / n))
+    }
+    // an exact copy shares every gram with its original: both fully covered
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    byId.keys.filter(id => id < 1000000L && id % 5 == 0).foreach { id =>
+      for (d <- Seq(id, id + 1000000L); r <- byId.get(d)
+           if r.getAs[Long]("n_tokens") >= 5) {
+        assert(r.getAs[Long]("covered_tokens") == r.getAs[Long]("n_tokens"),
+          s"exact-copy doc $d not fully covered")
+        assert(r.getAs[Long]("dup_x1000") == 1000L)
+      }
+    }
+    // a near-dup original (text is a strict prefix of its +2M copy) is
+    // fully covered too
+    byId.keys.filter(id => id < 1000000L && id % 7 == 0).foreach { id =>
+      byId.get(id).filter(_.getAs[Long]("n_tokens") >= 5).foreach { r =>
+        assert(r.getAs[Long]("covered_tokens") == r.getAs[Long]("n_tokens"))
+      }
+    }
+    // the word-soup singles keep some unique grams — coverage is partial
+    assert(rows.exists(r =>
+      r.getAs[Long]("covered_tokens") < r.getAs[Long]("n_tokens")))
+  }
+
+  test("epoch shuffle: two-level rank equals the plain per-shard window") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("token_count"))
+      .withColumn("h", graft.functions.PortableHash.h60(
+        concat(col("doc_id").cast("string"), lit(":1"))))
+      .withColumn("shard", (col("h") % 8).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    val truth = t
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("token_count").as("tokens"),
+        sum((col("h") % 1000003L) * col("rk")).as("order_check"))
+      .orderBy("shard").collect().toSeq
+    // tiny buckets force real multi-bucket bases in the two-level path
+    val got = TextStats.epochShuffle(spark, Sf0001, buckets = 16)
+      .collect().toSeq
+    assert(got === truth)
+    val docs = Tables.documents(spark, Sf0001).count()
+    assert(got.map(_.getAs[Long]("docs")).sum == docs)
+    // a different epoch produces a different permutation (checksums move)
+    val e2 = TextStats.epochShuffle(spark, Sf0001, epoch = 2, buckets = 16)
+      .collect().toSeq
+    assert(e2.map(_.getAs[Long]("order_check")) !=
+      got.map(_.getAs[Long]("order_check")))
+  }
+
   test("contamination: benchmark docs excluded, planted leak detected") {
     import spark.implicits._
     // doc 0 is benchmark (0 % 101 == 0); doc 5 copies half of doc 0's text

@@ -500,7 +500,67 @@ object SparkEntry {
         .where(col("tbl") === "lineitem")
         .select(col("sstable_id"), col("uncompressed_length").as("data_length"))
       IndexDb.sstableSection(idx, lens)
-    }))
+    }),
+    // pstats off the REAL-format COMPRESSED sstable set, reading ONLY the
+    // two sidecars the reference's pstats path touches (README.md:98;
+    // IndexReader.java:87-98): Index.db positions (UNCOMPRESSED offsets by
+    // the format's contract) closed by CompressionInfo.db's uncompressed
+    // data_length — never Data.db. Partition counts are oracle-recomputed
+    // from parquet; the size decomposition is pinned by the tiling
+    // invariant (sum of offset-delta sizes == data_length, every size
+    // positive), the same self-check class as q79's row-index tiling —
+    // the real 'nb' codec's byte offsets are not re-derivable in SQL, but
+    // a single mis-parsed vint breaks the tiling.
+    "q82_pstats_from_cassandra" -> ((s, d) => {
+      import graft.sources.indexdb.IndexDb
+      import graft.sources.compressioninfo.CompressionInfo
+      import graft.sources.datadb.CassandraDataFixture
+      val path = CassandraDataFixture.ensureFiles(s, d, compressed = true)
+      val idx = IndexDb.read(s, path)
+        .withColumn("sstable_id", concat(lit("sst-"),
+          (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+            .cast("long") - 1L).cast("string")))
+      val lens = CompressionInfo.read(s, path)
+        .groupBy("generation")
+        .agg(min("data_length").as("data_length"))
+        .select(concat(lit("sst-"), (col("generation") - 1L).cast("string"))
+          .as("sstable_id"), col("data_length"))
+      IndexDb.withSizes(idx, lens)
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("partition_count"),
+          sum("size").as("sum_size"), min("size").as("min_size"))
+        .join(broadcast(lens), "sstable_id")
+        .select(col("sstable_id"), col("partition_count"),
+          (col("sum_size") === col("data_length") && col("min_size") > 0L)
+            .cast("long").as("tiled_ok"))
+        .orderBy("sstable_id")
+    }),
+    // the ENTIRE purge pipeline (LWW k-way merge + gc_grace reclaim
+    // estimate) off REAL-format COMPRESSED sstables: row codec + chunk
+    // decompression feeding the unchanged Purge.perPartition lineage.
+    // Cell size off the real scan is the stored value's length (the 'nb'
+    // files hold actual value bytes), so the oracle recomputes q48's
+    // derivation under the fixture's documented representation mapping
+    // (size_bytes % 61; 0 for tombstones). Completes real-format command
+    // parity: cfstats (q71), pstats (q82), purge (q83), summary/metadata
+    // (q62).
+    "q83_purge_from_cassandra" -> ((s, d) => {
+      import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+      val path = CassandraDataFixture.ensureFiles(s, d, compressed = true)
+      graft.sources.PlanCache.cached(s, s"cass_purge|$path")(
+          Purge.perPartition(
+            DataDb.cells(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+              format = DataDbScan.FormatCassandra)))
+        .select("key", "key_formatted", "table_count", "size", "reclaimable")
+        .orderBy(desc("reclaimable"), desc("size"), asc("key"))
+        .limit(10)
+    }),
+    // fastText/DCLM-style hashed linear quality classifier: narrow
+    // per-document fold (no explode, no shuffle), tiny rollup exchange
+    "q84_classifier_quality" -> ((s, d) => TextStats.classifierQuality(s, d)),
+    // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
+    // digest-keyed both stages
+    "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))
 
   /** DuckDB-dialect oracle SQL; keys omitted here fall back to the driver's
     * rows-only check (engine-hash-based or approximate operators). */

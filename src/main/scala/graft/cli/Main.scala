@@ -34,7 +34,8 @@ object Main {
   }
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
-    "dedup", "pack", "contaminate", "verify", "quality", "canon", "select")
+    "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
+    "classify", "ingest")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -47,6 +48,8 @@ object Main {
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
+    case "classify" => "Usage: classify"
+    case "ingest" => "Usage: ingest"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -64,7 +67,9 @@ object Main {
         |  verify       Integrity check of the real-format sstable set (bloom, digest, summary, row index)
         |  quality      Quality-filter survival rates by source
         |  canon        Canonical document per duplicate cluster (kept/dropped tokens)
-        |  select       Deterministic token-budget selection by source""".stripMargin
+        |  select       Deterministic token-budget selection by source
+        |  classify     Hashed linear quality-classifier survival by (lang, source)
+        |  ingest       Incremental dedup of the incoming batch against the base corpus""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -111,7 +116,7 @@ object Main {
         val positional = pos.result()
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
-              "canon" | "select" =>
+              "canon" | "select" | "classify" | "ingest" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -170,6 +175,10 @@ object Main {
       case "select" =>
         out(tracked("select")(
           Reports.select(spark, dir, o.budgetTokens))); 0
+      case "classify" =>
+        out(tracked("classify")(Reports.classify(spark, dir))); 0
+      case "ingest" =>
+        out(tracked("ingest")(Reports.ingest(spark, dir))); 0
     }
   }
 

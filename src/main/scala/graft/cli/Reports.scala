@@ -172,4 +172,16 @@ object Reports {
   def select(spark: SparkSession, dir: String, budgetTokens: Long): String =
     section(s"Token-budget selection (budget $budgetTokens)",
       TextStats.budgetSelect(spark, dir, budgetTokens))
+
+  /** `classify` — hashed linear quality-classifier survival by
+    * (lang, source). */
+  def classify(spark: SparkSession, dir: String): String =
+    section("Classifier quality survival by (lang, source)",
+      TextStats.classifierQuality(spark, dir))
+
+  /** `ingest` — incremental dedup of the incoming batch against the base
+    * corpus. */
+  def ingest(spark: SparkSession, dir: String): String =
+    section("Incremental dedup (incoming vs base) by source",
+      Dedup.incrementalDedup(spark, dir))
 }

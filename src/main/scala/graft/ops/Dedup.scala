@@ -659,4 +659,59 @@ object Dedup {
         floor(col("cos") * 1000).cast("long").as("cos_x1000"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Incremental (cross-snapshot) dedup (q85): dedup an INCOMING batch of
+    * documents against an already-ingested BASE corpus — the production
+    * shape of corpus refreshes, where re-deduping the full corpus per crawl
+    * is unaffordable. The fixture split is deterministic (doc_id mod 3 == 0
+    * is the incoming batch, the rest is base) so the oracle re-derives it.
+    * Two stages, both digest-keyed: (1) in-batch exact dedup — keeper is
+    * min doc_id per digest among incoming; (2) keepers whose digest exists
+    * in base are dropped. Per source: incoming docs, dropped in batch,
+    * dropped against base, survivors, and the survivors' id checksum (the
+    * surviving SET is pinned, not just its size).
+    *
+    * The split is a 40/60 hash gate on doc_id (PortableHash, like q54's
+    * sampler) rather than a modulus: [[corpus]]'s exact-copy ids differ
+    * from their originals by a constant, so any modular split would send
+    * every dup pair to the SAME side (or strictly opposite sides) and
+    * leave one drop category structurally empty — the hash split exercises
+    * both in-batch and vs-base drops.
+    *
+    * Scale shape: both exchanges are keyed on the 16-byte `unhex(md5)` —
+    * document bodies never shuffle ([[exact]]'s rule). The base side is
+    * column-pruned to its digest before the join, so the join input is
+    * ~16 B/doc regardless of corpus size; at 100 TB the base-digest scan is
+    * the incremental path's whole read cost, and a persisted digest index
+    * (or a bloom pre-filter on digest) slots in as the left side with the
+    * same plan. Same 128-bit collision class as [[exact]] (text-keyed
+    * DuckDB oracle would surface one as a t2 mismatch). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpus(spark, dir)
+      .select(col("doc_id"), col("source"),
+        unhex(md5(col("text"))).as("digest"),
+        (graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+          % 10L < 4L).as("is_incoming"))
+    val incoming = docs.where(col("is_incoming"))
+    val base = docs.where(!col("is_incoming"))
+      .select(col("digest")).distinct()
+      .withColumn("in_base", lit(true))
+    incoming
+      .withColumn("keep_id",
+        min("doc_id").over(Window.partitionBy("digest")))
+      .join(base, Seq("digest"), "left")
+      .withColumn("in_base", coalesce(col("in_base"), lit(false)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("incoming"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("dropped_in_batch"),
+        sum(when(col("doc_id") === col("keep_id") && col("in_base"), 1L)
+          .otherwise(0L)).as("dropped_vs_base"),
+        sum(when(col("doc_id") === col("keep_id") && !col("in_base"), 1L)
+          .otherwise(0L)).as("survivors"),
+        sum(when(col("doc_id") === col("keep_id") && !col("in_base"),
+          col("doc_id") % 1000003L).otherwise(0L)).as("survivor_id_sum"))
+      .orderBy("source")
+  }
 }

@@ -447,6 +447,39 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Model-based quality scoring (q84): a fastText/DCLM-style LINEAR
+    * classifier over hashed bag-of-words features — score(doc) =
+    * Σ_tokens weight(h(token) mod B) with a literal weight table
+    * (weight(b) = b mod 13 − 6 ∈ [−6, 6], B = 64 buckets), keep iff
+    * score > 0. The token hash is the cross-engine
+    * [[graft.functions.PortableHash]], so scores — not just verdicts —
+    * are oracle-checkable; a trained model swaps in real weights (a
+    * broadcast float array) with the identical plan. Per (lang, source):
+    * docs, kept, kept_x1000 survival rate and the exact score sum — the
+    * classifier analog of q73's rule-based gate.
+    *
+    * Scale shape: scoring is a NARROW per-document fold — the token array
+    * never explodes into rows and never enters an exchange
+    * (`aggregate(transform(split(...)))`, all inside whole-stage
+    * codegen); the only shuffle is the O(#lang × #source) rollup. At
+    * 100 TB this is one streaming pass over the corpus, the same shape a
+    * GPU-free quality-classifier sweep needs. */
+  def classifierQuality(spark: SparkSession, dir: String): DataFrame = {
+    val score = aggregate(
+      transform(split(col("text"), " "),
+        t => pmod(graft.functions.PortableHash.h60(t) % 64L, lit(13L)) - 6L),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), score.as("score"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
+        sum("score").as("score_sum"))
+      .withColumn("kept_x1000", floor(col("kept") * 1000 / col("docs")))
+      .orderBy("lang", "source")
+  }
+
   /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars
     * of long tokens — a deterministic proxy for subword tokenizers. */
   def subwordCounts(docs: DataFrame): DataFrame =

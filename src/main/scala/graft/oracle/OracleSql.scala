@@ -163,6 +163,29 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(length(column_name) % 1000003) AS BIGINT) AS colname_len_sum
 FROM licells GROUP BY 1 ORDER BY 1"""
 
+  /** Shared q48/q83 derivation: purge top-10 recomputed from parquet
+    * (same as q16's), with the Spark side running the whole LWW-merge
+    * pipeline off raw binary files — engine-format (q48) or real-format
+    * compressed Cassandra sstables (q83). */
+  private lazy val purgeTopFromRawSql: String = s"""WITH $fixtures,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM licells
+),
+purge AS (
+  SELECT key, key_formatted,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, key_formatted, table_count, size,
+       size - merged_size AS reclaimable
+FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10"""
+
   /** Shared q44/q71 derivation: cfstats totals recomputed from parquet
     * (same as q15's), with the Spark side running the whole pipeline off
     * raw binary files — engine-format (q44) or real-format compressed
@@ -472,24 +495,7 @@ FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
 
     // purge off raw Data.db files: same derivation as q16 — the binary
     // encode/parse roundtrip must be invisible to the purge semantics.
-    "q48_purge_from_raw" -> s"""WITH $fixtures,
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
-    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
-             is_tombstone DESC, local_deletion_time_s DESC) AS rn
-  FROM licells
-),
-purge AS (
-  SELECT key, key_formatted,
-    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
-    CAST(SUM(size_bytes) AS BIGINT) AS size,
-    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
-         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
-  FROM ranked GROUP BY 1, 2
-)
-SELECT key, key_formatted, table_count, size,
-       size - merged_size AS reclaimable
-FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
+    "q48_purge_from_raw" -> purgeTopFromRawSql,
 
     "q18_index_offsets" -> s"""WITH $fixtures,
 idx AS (
@@ -1663,6 +1669,96 @@ SELECT l.id AS doc_id, CAST(l.label AS BIGINT) AS cluster_rep,
 FROM labels l
 JOIN (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY 1) s
   USING (label)
-ORDER BY doc_id"""
+ORDER BY doc_id""",
+
+    // q82: partition counts from parquet; the size decomposition is pinned
+    // by the Spark-side tiling invariant (sum(size)==data_length, sizes>0),
+    // asserted here as the constant it must equal — same class as q79's
+    // tiled_ok == indexed.
+    "q82_pstats_from_cassandra" -> s"""WITH $fixtures
+SELECT sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(1 AS BIGINT) AS tiled_ok
+FROM lipscan GROUP BY 1 ORDER BY 1""",
+
+    // q83: purge off real-format compressed sstables — q48's derivation
+    // over the real codec's representation mapping: the 'nb' files store
+    // ACTUAL value bytes, so cell size is the mapped value length
+    // (size_bytes % 61; 0 for tombstones — CassandraDataFixture's
+    // documented mapping, the same one q67's roundtrip pins). Merge
+    // ordering stays deterministic: within a (key, clustering, column)
+    // group each sstable holds at most one cell, so the sstable_id
+    // tiebreak resolves everything after timestamp.
+    "q83_purge_from_cassandra" -> s"""WITH $fixtures,
+mcells AS (
+  SELECT key, key_formatted, clustering, column_name, sstable_id,
+    timestamp_us, is_tombstone, local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM mcells
+),
+purge AS (
+  SELECT key, key_formatted,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, key_formatted, table_count, size,
+       size - merged_size AS reclaimable
+FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
+
+    // q84: hashed linear classifier — per-token bucket weights re-derived
+    // relationally (unnest) where Spark folds the token array in place.
+    "q84_classifier_quality" -> s"""WITH tok AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, min(lang) AS lang, min(source) AS source,
+    CAST(SUM((${h60("t")} % 64) % 13 - 6) AS BIGINT) AS score
+  FROM tok GROUP BY doc_id
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(score) AS BIGINT) AS score_sum,
+  CAST(floor(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000 / COUNT(*))
+    AS BIGINT) AS kept_x1000
+FROM sc GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q85: incremental dedup — same hash split, window keeper and base
+    // membership re-derived relationally over the dup-injected corpus.
+    "q85_incremental_dedup" -> s"""WITH $corpus,
+d AS (
+  SELECT doc_id, source, md5(text) AS digest,
+    (${h60("CAST(doc_id AS VARCHAR)")} % 10 < 4) AS is_incoming
+  FROM corpus
+),
+inc AS (SELECT doc_id, source, digest FROM d WHERE is_incoming),
+basec AS (SELECT DISTINCT digest FROM d WHERE NOT is_incoming),
+k AS (
+  SELECT i.doc_id, i.source,
+    MIN(i.doc_id) OVER (PARTITION BY i.digest) AS keep_id,
+    (b.digest IS NOT NULL) AS in_base
+  FROM inc i LEFT JOIN basec b ON i.digest = b.digest
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS incoming,
+  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS dropped_in_batch,
+  CAST(SUM(CASE WHEN doc_id = keep_id AND in_base THEN 1 ELSE 0 END)
+    AS BIGINT) AS dropped_vs_base,
+  CAST(SUM(CASE WHEN doc_id = keep_id AND NOT in_base THEN 1 ELSE 0 END)
+    AS BIGINT) AS survivors,
+  CAST(SUM(CASE WHEN doc_id = keep_id AND NOT in_base
+    THEN doc_id % 1000003 ELSE 0 END) AS BIGINT) AS survivor_id_sum
+FROM k GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -350,4 +350,42 @@ class CassandraDataSpec extends SparkSpec {
           .otherwise(col("size_bytes") % 61L))
     assert(agg(u) === agg(mapped))
   }
+
+  test("q82: real-format pstats tiles every sstable's uncompressed length") {
+    val rows = SparkEntry.queries("q82_pstats_from_cassandra")(spark, Sf0001)
+      .collect()
+    assert(rows.length === 6)
+    rows.foreach(r => assert(r.getAs[Long]("tiled_ok") === 1L,
+      s"index offset-deltas do not tile ${r.getAs[String]("sstable_id")}"))
+    // partition counts agree with the parquet relation per sstable
+    val expect = graft.sources.Fixtures.cells(spark, Sf0001)
+      .select(col("sstable_id"), col("key")).distinct()
+      .groupBy("sstable_id").count().collect()
+      .map(r => r.getAs[String]("sstable_id") -> r.getAs[Long]("count"))
+      .toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("partition_count") ===
+        expect(r.getAs[String]("sstable_id"))))
+  }
+
+  test("q83: purge off real compressed sstables == purge over mapped cells") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).toSeq
+    val real = SparkEntry.queries("q83_purge_from_cassandra")(spark, Sf0001)
+      .collect()
+    assert(real.nonEmpty)
+    // the real codec stores actual value bytes, so cell size off the scan
+    // is the mapped value length (size_bytes % 61, 0 for tombstones) —
+    // recompute purge over the parquet relation under that same mapping
+    val mapped = graft.sources.Fixtures.cells(spark, Sf0001)
+      .withColumn("size_bytes",
+        when(col("is_tombstone"), 0L).otherwise(col("size_bytes") % 61L))
+    val expect = graft.ops.Purge.perPartition(mapped)
+      .select("key", "key_formatted", "table_count", "size", "reclaimable")
+      .orderBy(desc("reclaimable"), desc("size"), asc("key"))
+      .limit(10)
+      .collect()
+    assert(canon(real) === canon(expect),
+      "the codec/compression roundtrip leaked into purge semantics")
+  }
 }

@@ -103,6 +103,18 @@ class CliMainSpec extends SparkSpec {
       .contains("Canonical documents (top 3 by dropped tokens)"))
     assert(collect("select", "-B", "50000")
       .contains("Token-budget selection (budget 50000)"))
+    assert(collect("classify")
+      .contains("Classifier quality survival by (lang, source)"))
+    assert(collect("ingest")
+      .contains("Incremental dedup (incoming vs base) by source"))
+  }
+
+  test("parse: classify/ingest grammar") {
+    assert(Main.parse(Seq("classify")) === Right(Main.Opts("classify")))
+    assert(Main.parse(Seq("ingest")) === Right(Main.Opts("ingest")))
+    assert(Main.parse(Seq("classify", "extra")).isLeft)
+    assert(Main.parse(Seq("ingest", "-l", "5")).isLeft)
+    assert(Main.parse(Seq("help", "ingest")) === Left(Main.usage("ingest")))
   }
 
   test("parse: quality/canon/select grammar") {

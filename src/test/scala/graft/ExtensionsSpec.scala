@@ -668,4 +668,68 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(fromDetached === fromBuiltin)
   }
+
+  test("classifier quality: narrow fold matches the explode derivation") {
+    import spark.implicits._
+    val rows = TextStats.classifierQuality(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val kept = r.getAs[Long]("kept")
+      assert(kept >= 0L && kept <= docs)
+      assert(r.getAs[Long]("kept_x1000") === kept * 1000L / docs)
+    }
+    // the hashed weights are not vacuous: the verdict splits the corpus
+    val (d, k) = rows.foldLeft((0L, 0L)) { case ((d0, k0), r) =>
+      (d0 + r.getAs[Long]("docs"), k0 + r.getAs[Long]("kept"))
+    }
+    assert(k > 0L && k < d)
+    // independent plan: per-token rows via explode, same weights
+    val exploded = Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("w",
+        pmod(graft.functions.PortableHash.h60(col("t")) % 64L, lit(13L)) - 6L)
+      .groupBy("lang", "source", "doc_id")
+      .agg(sum("w").as("score"))
+      .groupBy("lang", "source")
+      .agg(sum("score").as("score_sum"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("score_sum"), r.getAs[Long]("kept")))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      assert((r.getAs[Long]("score_sum"), r.getAs[Long]("kept")) ===
+        exploded(key), s"fold vs explode diverge for $key")
+    }
+  }
+
+  test("incremental dedup: categories partition the batch, both drops occur") {
+    val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("incoming") ===
+        r.getAs[Long]("dropped_in_batch") + r.getAs[Long]("dropped_vs_base") +
+          r.getAs[Long]("survivors"))
+    }
+    // the hash split must exercise BOTH drop categories (a modular split
+    // would structurally zero one of them — the regression this guards)
+    assert(rows.map(_.getAs[Long]("dropped_in_batch")).sum > 0L)
+    assert(rows.map(_.getAs[Long]("dropped_vs_base")).sum > 0L)
+    assert(rows.map(_.getAs[Long]("survivors")).sum > 0L)
+    // survivors carry exactly the distinct incoming digests absent from
+    // base (recomputed with an independent digest-level plan)
+    val docs = Dedup.corpus(spark, Sf0001)
+      .select(col("doc_id"),
+        md5(col("text")).as("digest"),
+        (graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+          % 10L < 4L).as("is_incoming"))
+    val expect = docs.where(col("is_incoming"))
+      .join(docs.where(!col("is_incoming")).select("digest").distinct(),
+        Seq("digest"), "left_anti")
+      .select(countDistinct("digest")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("survivors")).sum === expect)
+  }
 }

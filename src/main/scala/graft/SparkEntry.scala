@@ -218,6 +218,9 @@ object SparkEntry {
     // bytes: plain + LZ4-chunked): recomputed CRC32 == sidecar value for
     // all 12 files.
     "q70_digest_verify" -> ((s, d) => Integrity.digestVerify(s, d)),
+    // REAL CRC.db (per-chunk CRC32s of the uncompressed Data.db at the
+    // sidecar's stored chunk size) verified element-wise per sstable.
+    "q87_crc_verify" -> ((s, d) => Integrity.crcVerify(s, d)),
     // REAL Summary.db (IndexSummarySerializer layout, LE offsets/positions
     // in a BE header) roundtrip + cross-component check: every summary
     // entry must point at the Index.db entry holding the same key.
@@ -447,6 +450,9 @@ object SparkEntry {
     // duplicated-SPAN coverage: fraction of each doc covered by 5-grams
     // that also occur in another doc (exact-substring dedup approximation)
     "q80_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    // the REMOVAL stage over that coverage: min-doc_id holder keeps each
+    // duplicated 5-gram, everyone else masks it; per-source strip rollup
+    "q86_dup_span_removal" -> ((s, d) => Dedup.dupSpanRemoval(s, d)),
     // deterministic epoch shuffle: per-shard permutation manifest with an
     // order-sensitive checksum (two-level rank, no per-shard reducer)
     "q81_epoch_shuffle" -> ((s, d) => TextStats.epochShuffle(s, d)),
@@ -558,6 +564,14 @@ object SparkEntry {
     // fastText/DCLM-style hashed linear quality classifier: narrow
     // per-document fold (no explode, no shuffle), tiny rollup exchange
     "q84_classifier_quality" -> ((s, d) => TextStats.classifierQuality(s, d)),
+    // distributed Lloyd's k-means, integer-exact: literal-centroid narrow
+    // assignment (zero shuffle) + tiny-key update aggregate per iteration;
+    // the oracle replays the whole 2-iteration trace relationally
+    "q88_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    // IVF ANN over the trained q88 index: inverted-file build + nprobe
+    // bucket probing + exact in-bucket cosine; probing ALL buckets equals
+    // brute force exactly (spec-pinned)
+    "q89_sim_ivf_kmeans" -> ((s, d) => Similarity.ivfSearch(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

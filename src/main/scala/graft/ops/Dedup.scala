@@ -304,6 +304,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring dedup REMOVAL stage (q86): the decision step over
+    * [[dupSpans]]' coverage — every cross-document duplicated k-gram keeps
+    * ONE canonical occurrence (the min-doc_id holder) and is masked
+    * everywhere else; per source, how many tokens removal would strip.
+    * The interval-union arithmetic is the same lag-window run-length trick
+    * as [[dupSpans]] (union of [s, s+k-1] from sorted starts), applied
+    * AFTER the keeper filter, so a document's removed-token count is the
+    * exact size of its masked position set. Within-document repeats of a
+    * gram that occurs in no other document are not masked (cross-doc
+    * definition, consistent with [[dupSpans]]).
+    *
+    * Scale shape: identical to [[dupSpans]] — the wide exchanges are the
+    * gram groupBy and the gram join, both keyed on 64-bit `xxhash64`
+    * values (never gram text; the oracle keys on the text form, so a
+    * 64-bit collision would surface as a t2 mismatch — q21's documented
+    * class); the per-doc window partitions on doc_id. */
+  def dupSpanRemoval(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame = {
+    val docs = corpus(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val grams = docs.where(col("n_tokens") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> xxhash64(array_join(slice(w, i, $k), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+        col("col").as("gh"))
+    val dupKeeper = grams.groupBy("gh")
+      .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
+      .where(col("keeper") =!= col("mx"))
+      .select("gh", "keeper")
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val runs = grams.join(dupKeeper, "gh")
+      .where(col("doc_id") =!= col("keeper"))
+      .withColumn("ps", lag(col("s"), 1).over(w))
+      .withColumn("contrib",
+        when(col("ps").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("s") - col("ps"))))
+    val rem = runs.groupBy("doc_id")
+      .agg(sum("contrib").as("removed_tokens"))
+    docs.select("doc_id", "source", "n_tokens")
+      .join(rem, Seq("doc_id"), "left")
+      .withColumn("removed_tokens",
+        coalesce(col("removed_tokens"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("removed_tokens") > 0, 1L).otherwise(0L))
+          .as("docs_touched"),
+        sum("n_tokens").as("tokens_total"),
+        sum("removed_tokens").as("tokens_removed"))
+      .withColumn("removed_x1000",
+        floor(col("tokens_removed") * 1000 / col("tokens_total")))
+      .orderBy("source")
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup GROUPS with one representative
     * (keeper) per group. Pregel-style min-label propagation: labels converge

@@ -193,6 +193,52 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
+  /** q87: REAL CRC.db verification — recompute the UNCOMPRESSED variant's
+    * per-chunk CRC32s at the sidecar's own stored chunk size and compare
+    * element-wise (`DataIntegrityMetadata.ChecksumValidator`'s read-path
+    * check). `crc_ok` folds chunk-count equality, per-chunk match and
+    * non-emptiness; a single flipped Data.db byte flips exactly one chunk's
+    * CRC (spec-pinned). Same per-file task grain + whole-file-bytes caveat
+    * as q70 (a multi-GB file moves to streaming CRC over split ranges). */
+  def crcVerify(spark: SparkSession, dir: String): DataFrame =
+    crcVerifyAt(spark,
+      CassandraDataFixture.ensureFiles(spark, dir, compressed = false))
+
+  def crcVerifyAt(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.crcdb.CrcDbFormat
+    def gen(p: String): Long =
+      "nb-(\\d+)-big".r.findFirstMatchIn(p).get.group(1).toLong
+    val sidecars = spark.read.format("binaryFile")
+      .load(s"$path/*${CrcDbFormat.Suffix}")
+      .select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (p, len, bytes) =>
+        val c = CrcDbFormat.parse(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes)), len)
+        (gen(p), c.chunkBytes, c.crcs.toArray)
+      }.toDF("gen", "chunk_bytes", "stored")
+    val data = spark.read.format("binaryFile").load(s"$path/*-Data.db")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (p, bytes) => (gen(p), bytes) }
+      .toDF("gen", "bytes")
+    sidecars.join(data, "gen")
+      .as[(Long, Int, Array[Int], Array[Byte])]
+      .map { case (g, chunkBytes, stored, bytes) =>
+        val computed = CrcDbFormat.chunkCrcs(bytes, chunkBytes)
+        val ok = stored.nonEmpty &&
+          computed.length == stored.length &&
+          computed.iterator.zip(stored.iterator).forall(p => p._1 == p._2)
+        (g, if (ok) 1L else 0L)
+      }
+      .toDF("gen", "crc_ok")
+      .select(
+        concat(lit("sst-"), (col("gen") - 1L).cast("string"))
+          .as("sstable_id"),
+        col("crc_ok"))
+      .orderBy("sstable_id")
+  }
+
   /** q70: recompute each Data.db file's CRC32 (as stored — compressed
     * bytes for the compressed variant) and compare with the Digest.crc32
     * sidecar, across BOTH fixture variants: 12 files, 12 matches. */

@@ -182,4 +182,161 @@ object Similarity {
         col("neighbor_id"), floor(col("cos") * 1000).as("cos_x1000"))
       .orderBy("query_id", "rank")
   }
+
+  /** Distributed Lloyd's k-means over the quantized embeddings (q88) — the
+    * iterative clustering primitive under IVF/semantic-dedup pipelines,
+    * integer-exact end to end so the full iteration TRACE is
+    * oracle-checkable: squared-euclidean assignment (`norm2 + cn2 − 2·dot`,
+    * all bigint — no sqrt, no float comparisons), min-(d2, cid) tie rule,
+    * centroid update by component-wise floor(mean) (floor of an
+    * exactly-representable double ratio — cross-engine deterministic), and
+    * the next iteration re-reads the FLOORED integer centroids, so engines
+    * can never drift between iterations. Init = the k smallest vec_ids'
+    * vectors; a centroid left with no members drops out (both engines
+    * derive that identically).
+    *
+    * Scale shape (the reason this looks nothing like textbook Spark
+    * k-means): per iteration, assignment is a completely NARROW pass — the
+    * k centroids are collected to the driver (k·dim longs, KBs) and
+    * embedded as a literal struct array in the plan, so each row evaluates
+    * `array_min(transform(centroids, ...))` inside whole-stage codegen with
+    * ZERO shuffle and no n×k row blow-up; the only exchange is the centroid
+    * update's hash aggregate on (cid, pos) — k·dim tiny keys with map-side
+    * combine (the `treeAggregate` shape MLlib uses, expressed
+    * relationally). Driver-coordinated iteration like [[Dedup
+    * .dupClustersDistributed]]: T actions for T iterations, never a
+    * corpus-sized collect. */
+  /** Literal struct-array of centroids — the vehicle that keeps k-means
+    * assignment narrow (the plan carries the centroids; rows never join). */
+  private def centArray(centroids: Seq[(Long, Seq[Long])]): Column =
+    array(centroids.map { case (cid, cv) =>
+      struct(
+        lit(cid).as("cid"),
+        typedLit(cv).as("cv"),
+        lit(cv.map(v => v * v).sum).as("cn2"))
+    }: _*)
+
+  /** Narrow argmin assignment: best = array_min over struct(d2, cid) —
+    * lexicographic struct ordering IS the (min distance, min centroid id)
+    * tie rule; zero shuffle, no n×k row blow-up. */
+  private def assignTo(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Long])]): DataFrame = vecs
+    .withColumn("best", array_min(transform(centArray(centroids), c =>
+      struct(
+        (col("norm2") + c.getField("cn2") -
+          lit(2L) * GraftFunctions.dotI64(col("qv"), c.getField("cv")))
+          .as("d2"),
+        c.getField("cid").as("cid")))))
+    .select(col("vec_id"), col("qv"), col("norm2"),
+      col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+  /** Session-memoized driver values (k·dim longs per entry — tiny). */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
+
+  /** The converged (floored-integer) centroids after `iters` Lloyd's
+    * rounds; init = the k smallest vec_ids' vectors. Driver-coordinated:
+    * one tiny-key aggregate action per round (see [[kmeans]]). */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 2): Seq[(Long, Seq[Long])] = {
+    val memoKey = s"${PlanCache.sessionKey(spark)}|$dir|$k|$iters"
+    val hit = centroidMemo.get(memoKey)
+    if (hit != null) return hit
+    GraftFunctions.ensureRegistered(spark)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    var centroids: Seq[(Long, Seq[Long])] = vecs.where(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
+    for (_ <- 1 to iters) {
+      centroids = assignTo(vecs, centroids)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", floor(col("s") / col("n")))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+          "s -> s.cv)").as("cv"))
+        .orderBy("cid")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSeq
+    }
+    centroidMemo.put(memoKey, centroids)
+    centroids
+  }
+
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    import spark.implicits._
+    val centroids = kmeansCentroids(spark, dir, k, iters)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+
+    // final assignment under the converged centroids: cluster sizes +
+    // modular checksums pinning membership, distance mass and the
+    // centroids themselves
+    val p = 1000003L
+    assignTo(vecs, centroids)
+      .groupBy(col("cid").as("cluster"))
+      .agg(
+        count(lit(1)).as("size"),
+        sum(col("vec_id") % p).as("members_sum"),
+        sum(col("d2") % p).as("d2_sum"))
+      .join(
+        broadcast(centroids.map { case (cid, cv) =>
+          (cid, cv.map(_ % p).sum)
+        }.toDF("cluster", "centroid_sum")),
+        Seq("cluster"))
+      .select(col("cluster"), col("size"), col("members_sum"),
+        col("d2_sum"), col("centroid_sum"))
+      .orderBy("cluster")
+  }
+
+  /** IVF ANN over the [[kmeans]] index (q89) — the build-then-query shape
+    * of a real vector store: the corpus is bucketed by its nearest trained
+    * centroid (the inverted file), each query probes only its `nprobe`
+    * nearest centroids' buckets, and exact cosine runs inside the probed
+    * buckets. Integer-exact bucketing + the same cosine expression as
+    * [[bruteForceTopK]] make two properties hold exactly: the oracle
+    * replays index build AND query relationally, and probing ALL buckets
+    * reproduces brute force verbatim (spec-pinned — the recall/cost dial
+    * provably converges to exhaustive search).
+    *
+    * Scale shape: centroids ride the plan as literals on BOTH sides (no
+    * centroid join anywhere); the candidate side shuffles once on bucket
+    * id, queries broadcast. At 100 TB the inverted file would persist
+    * bucket-partitioned (the [[graft.ops.CorpusSink]] layout) and a query
+    * touches nprobe/k of the data. */
+  def ivfSearch(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, nprobe: Int = 2, kCentroids: Int = 8): DataFrame = {
+    val centroids = kmeansCentroids(spark, dir, kCentroids)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    // inverted file: every candidate in its nearest centroid's bucket
+    val cands = assignTo(vecs.where(col("vec_id") >= nQueries), centroids)
+      .select(col("cid").as("bucket"), col("vec_id").as("neighbor_id"),
+        col("qv").as("qb"), col("norm2").as("nb2"))
+    // each query probes its nprobe nearest buckets: sort the literal
+    // centroid array by (d2, cid) in-plan, slice, explode — still narrow
+    val probes = vecs.where(col("vec_id") < nQueries)
+      .withColumn("probed", slice(array_sort(
+        transform(centArray(centroids), c =>
+          struct(
+            (col("norm2") + c.getField("cn2") -
+              lit(2L) * GraftFunctions.dotI64(col("qv"), c.getField("cv")))
+              .as("d2"),
+            c.getField("cid").as("cid")))), 1, nprobe))
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("norm2").as("na2"),
+        explode(col("probed.cid")).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("dot", dot(col("qa"), col("qb")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), floor(col("cos") * 1000).as("cos_x1000"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -199,6 +199,53 @@ SELECT CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstone_count
 FROM liparts"""
 
+  /** Shared q88/q89 derivation: the full 2-iteration integer-exact Lloyd's
+    * trace (init = vec_id < 8, squared-euclidean bigint distances with the
+    * (d2, cid) tie rule, floor(mean) centroid updates), ending at the
+    * converged centroids `c2 (cid, cv, cn2)`. */
+  val kmeansTrace: String = """
+c0 AS (SELECT vec_id AS cid, qv AS cv, norm2 AS cn2 FROM qn WHERE vec_id < 8),
+d1 AS (
+  SELECT q.vec_id, q.qv, q.norm2, c.cid,
+    q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM qn q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, qv, norm2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+u1 AS (
+  SELECT cid, pos, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT cid, UNNEST(qv) AS v, UNNEST(range(1, len(qv) + 1)) AS pos
+        FROM a1)
+  GROUP BY 1, 2
+),
+c1l AS (SELECT cid, list(cvp ORDER BY pos) AS cv FROM u1 GROUP BY cid),
+c1 AS (SELECT cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2 FROM c1l),
+d2i AS (
+  SELECT q.vec_id, q.qv, q.norm2, c.cid,
+    q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM qn q CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, qv, norm2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2i) WHERE rn = 1
+),
+u2 AS (
+  SELECT cid, pos, CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT cid, UNNEST(qv) AS v, UNNEST(range(1, len(qv) + 1)) AS pos
+        FROM a2)
+  GROUP BY 1, 2
+),
+c2l AS (SELECT cid, list(cvp ORDER BY pos) AS cv FROM u2 GROUP BY cid),
+c2 AS (SELECT cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2 FROM c2l)"""
+
   /** Mirror of Dedup.corpus. */
   val corpus: String = """
 corpus AS (
@@ -1670,6 +1717,120 @@ FROM labels l
 JOIN (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY 1) s
   USING (label)
 ORDER BY doc_id""",
+
+    // q86: removal-stage mirror of q80 — keeper filter before the same
+    // run-length window, rolled up per source (gram keyed by TEXT here vs
+    // xxhash64 in the engine: q21's documented collision class).
+    "q86_dup_span_removal" -> s"""WITH $corpus,
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+),
+dupk AS (
+  SELECT g, MIN(doc_id) AS keeper FROM grams
+  GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+),
+runs AS (
+  SELECT gr.doc_id, gr.s,
+    lag(gr.s) OVER (PARTITION BY gr.doc_id ORDER BY gr.s) AS ps
+  FROM grams gr JOIN dupk d USING (g)
+  WHERE gr.doc_id <> d.keeper
+),
+rem AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN ps IS NULL THEN 5 ELSE LEAST(5, s - ps) END)
+      AS BIGINT) AS removed_tokens
+  FROM runs GROUP BY 1
+)
+SELECT c.source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN COALESCE(r.removed_tokens, 0) > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS docs_touched,
+  CAST(SUM(n.n_tokens) AS BIGINT) AS tokens_total,
+  CAST(SUM(COALESCE(r.removed_tokens, 0)) AS BIGINT) AS tokens_removed,
+  CAST(floor(SUM(COALESCE(r.removed_tokens, 0)) * 1000 / SUM(n.n_tokens))
+    AS BIGINT) AS removed_x1000
+FROM corpus c
+JOIN nt n USING (doc_id)
+LEFT JOIN rem r USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+
+    // q87: the invariant the component guarantees — every sstable's chunk
+    // CRCs verify (the spec pins the negative: one flipped byte fails
+    // exactly one chunk); sstable ids recomputed from parquet.
+    "q87_crc_verify" -> s"""WITH $fixtures
+SELECT sstable_id, CAST(1 AS BIGINT) AS crc_ok
+FROM lipscan GROUP BY 1 ORDER BY 1""",
+
+    // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
+    // possible only because every step is integer-exact (squared-euclidean
+    // bigint distances, floor(mean) centroid updates re-read as integers).
+    // Tie rule (min d2, min cid) is the row_number ordering; an
+    // empty-cluster centroid drops out in both engines identically.
+    "q88_kmeans" -> s"""WITH $quantized, $kmeansTrace,
+d3 AS (
+  SELECT q.vec_id, c.cid,
+    q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM qn q CROSS JOIN c2 c
+),
+a3 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d3) WHERE rn = 1
+),
+csum AS (
+  SELECT cid, CAST(list_sum(list_transform(cv, x -> x % 1000003))
+    AS BIGINT) AS centroid_sum
+  FROM c2
+)
+SELECT a.cid AS cluster,
+  CAST(COUNT(*) AS BIGINT) AS size,
+  CAST(SUM(a.vec_id % 1000003) AS BIGINT) AS members_sum,
+  CAST(SUM(a.d2 % 1000003) AS BIGINT) AS d2_sum,
+  CAST(MIN(s.centroid_sum) AS BIGINT) AS centroid_sum
+FROM a3 a JOIN csum s ON a.cid = s.cid
+GROUP BY 1 ORDER BY 1""",
+
+    // q89: IVF over the q88 index — candidate bucketing and query probing
+    // re-derived from the same trained centroids (c2), exact cosine only
+    // inside probed buckets; cosine text identical to q24's.
+    "q89_sim_ivf_kmeans" -> s"""WITH $quantized, $kmeansTrace,
+cass AS (
+  SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2, cid AS bucket FROM (
+    SELECT q.vec_id, q.qv, q.norm2, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM qn q CROSS JOIN c2 c WHERE q.vec_id >= 8) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qa, norm2 AS na2, cid AS bucket FROM (
+    SELECT q.vec_id, q.qv, q.norm2, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM qn q CROSS JOIN c2 c WHERE q.vec_id < 8) WHERE rn <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS DOUBLE)
+      / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos
+  FROM probes p JOIN cass s USING (bucket)
+),
+rk AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+  CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // q82: partition counts from parquet; the size decomposition is pinned
     // by the Spark-side tiling invariant (sum(size)==data_length, sizes>0),

@@ -301,8 +301,11 @@ object CassandraDataFixture {
     try FilterDbFormat.write(s, f) finally s.close()
   }
 
-  /** Digest.crc32 (decimal CRC32 of Data.db as stored) + TOC.txt (the
-    * component list), completing the real per-sstable file set. */
+  /** Digest.crc32 (decimal CRC32 of Data.db as stored), CRC.db (per-chunk
+    * CRC32s — uncompressed variant only, like Cassandra: a compressed
+    * table's chunk integrity lives inside Data.db's chunk framing) +
+    * TOC.txt (the component list), completing the real per-sstable file
+    * set. */
   private def writeDigestAndToc(out: Path, base: String,
       dataFile: java.io.File, compressed: Boolean): Unit = {
     val crc = new java.util.zip.CRC32()
@@ -314,9 +317,18 @@ object CassandraDataFixture {
     } finally in.close()
     Files.write(out.resolve(base + "-Digest.crc32"),
       crc.getValue.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!compressed) {
+      import graft.sources.crcdb.CrcDbFormat
+      val bytes = Files.readAllBytes(dataFile.toPath)
+      val s = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(out.resolve(base + CrcDbFormat.Suffix).toFile)))
+      try CrcDbFormat.write(s, CrcDbFormat.Crc(CrcDbFormat.DefaultChunkBytes,
+        CrcDbFormat.chunkCrcs(bytes, CrcDbFormat.DefaultChunkBytes)))
+      finally s.close()
+    }
     val components = Seq("Data.db", "Index.db", "Statistics.db", "Filter.db",
       "Summary.db", "Digest.crc32", "TOC.txt") ++
-      (if (compressed) Seq("CompressionInfo.db") else Nil)
+      (if (compressed) Seq("CompressionInfo.db") else Seq("CRC.db"))
     Files.write(out.resolve(base + "-TOC.txt"),
       components.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

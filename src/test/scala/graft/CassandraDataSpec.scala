@@ -351,6 +351,48 @@ class CassandraDataSpec extends SparkSpec {
     assert(agg(u) === agg(mapped))
   }
 
+  test("CRC.db: codec round-trips; verification catches one flipped byte") {
+    import graft.sources.crcdb.CrcDbFormat
+    // codec roundtrip at awkward lengths (empty tail chunk boundary, 1-byte
+    // tail, exact multiple)
+    for (len <- Seq(1, 100, 8192, 8193, 16384)) {
+      val bytes = Array.tabulate(len)(i => (i * 31 + 7).toByte)
+      val crcs = CrcDbFormat.chunkCrcs(bytes, 8192)
+      assert(crcs.length === (len + 8191) / 8192)
+      val bos = new ByteArrayOutputStream()
+      CrcDbFormat.write(new DataOutputStream(bos),
+        CrcDbFormat.Crc(8192, crcs))
+      val enc = bos.toByteArray
+      val parsed = CrcDbFormat.parse(new java.io.DataInputStream(
+        new ByteArrayInputStream(enc)), enc.length.toLong)
+      assert(parsed === CrcDbFormat.Crc(8192, crcs))
+    }
+
+    // positive: the real fixture set verifies clean
+    val ok = graft.ops.Integrity.crcVerify(spark, Sf0001).collect()
+    assert(ok.length === 6)
+    ok.foreach(r => assert(r.getAs[Long]("crc_ok") === 1L))
+
+    // negative: copy the set, flip ONE byte in one Data.db — exactly that
+    // sstable must fail
+    val src = new java.io.File(graft.sources.datadb.CassandraDataFixture
+      .ensureFiles(spark, Sf0001, compressed = false))
+    val mut = java.nio.file.Files.createTempDirectory("graft-crc-mut")
+    graft.sources.TempDirs.register(mut)
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, mut.resolve(f.getName))
+    }
+    val victim = mut.resolve("nb-1-big-Data.db")
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x40).toByte
+    java.nio.file.Files.write(victim, bytes)
+    val res = graft.ops.Integrity.crcVerifyAt(spark, mut.toString).collect()
+      .map(r => r.getAs[String]("sstable_id") -> r.getAs[Long]("crc_ok"))
+      .toMap
+    assert(res("sst-0") === 0L, "corruption went undetected")
+    assert(res.count(_._2 == 1L) === 5, "corruption bled into other files")
+  }
+
   test("q82: real-format pstats tiles every sstable's uncompressed length") {
     val rows = SparkEntry.queries("q82_pstats_from_cassandra")(spark, Sf0001)
       .collect()

@@ -706,6 +706,111 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dup-span removal: bounded by coverage, copies are fully stripped") {
+    val rem = Dedup.dupSpanRemoval(spark, Sf0001).collect()
+    assert(rem.nonEmpty)
+    rem.foreach { r =>
+      assert(r.getAs[Long]("docs_touched") <= r.getAs[Long]("docs"))
+      assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("tokens_total"))
+    }
+    val removedTotal = rem.map(_.getAs[Long]("tokens_removed")).sum
+    assert(removedTotal > 0L, "the injected exact copies must be masked")
+    // removal ⊆ coverage: masking only non-keeper occurrences can never
+    // strip more than q80's full duplicated-span coverage
+    val cov = Dedup.dupSpans(spark, Sf0001).collect()
+    val coveredTotal = cov.map(_.getAs[Long]("covered_tokens")).sum
+    assert(removedTotal <= coveredTotal)
+    val touchedTotal = rem.map(_.getAs[Long]("docs_touched")).sum
+    val coveredDocs = cov.count(_.getAs[Long]("covered_tokens") > 0L)
+    assert(touchedTotal <= coveredDocs)
+    // an exact copy (doc_id + 1_000_000) is never the min-id keeper of any
+    // of its grams ⇒ every one of its positions is masked: removal strips
+    // at least the full token mass of the injected exact copies
+    import spark.implicits._
+    val copyTokens = Dedup.corpus(spark, Sf0001)
+      .where(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long]
+      .collect().filter(_ >= 5L).sum // sub-k docs emit no grams
+    assert(removedTotal >= copyTokens)
+  }
+
+  test("kmeans: distributed trace == driver brute-force replay") {
+    val out = Similarity.kmeans(spark, Sf0001).collect()
+    assert(out.nonEmpty && out.length <= 8)
+
+    // exact driver replay over the collected quantized vectors (500×64
+    // longs at sf0.001): same init, same integer distance, same tie rule,
+    // same floor(mean) update — must agree cell-for-cell
+    val vecs = Similarity.quantized(spark, Sf0001)
+      .select("vec_id", "qv", "norm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        r.getLong(2))).sortBy(_._1)
+    val p = 1000003L
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.take(8).map(v => (v._1, v._2)).toSeq
+    def assign(): Array[(Long, Long, Long)] = // (vec_id, cid, d2)
+      vecs.map { case (id, qv, n2) =>
+        val best = cents.map { case (cid, cv) =>
+          val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+          val cn2 = cv.map(x => x * x).sum
+          (n2 + cn2 - 2 * dot, cid)
+        }.min
+        (id, best._2, best._1)
+      }
+    val qvById = vecs.map(v => v._1 -> v._2).toMap
+    for (_ <- 1 to 2) {
+      val byC = assign().groupBy(_._2)
+      cents = byC.toSeq.sortBy(_._1).map { case (cid, members) =>
+        val rows = members.map(m => qvById(m._1))
+        val cv = Array.tabulate(rows.head.length) { i =>
+          math.floor(rows.map(_(i)).sum.toDouble / rows.length).toLong
+        }
+        (cid, cv)
+      }
+    }
+    val fin = assign()
+    val expect = fin.groupBy(_._2).map { case (cid, ms) =>
+      cid -> (ms.length.toLong, ms.map(_._1 % p).sum, ms.map(_._3 % p).sum,
+        cents.find(_._1 == cid).get._2.map(_ % p).sum)
+    }
+    assert(out.length === expect.size)
+    out.foreach { r =>
+      val e = expect(r.getAs[Long]("cluster"))
+      assert((r.getAs[Long]("size"), r.getAs[Long]("members_sum"),
+        r.getAs[Long]("d2_sum"), r.getAs[Long]("centroid_sum")) === e)
+    }
+    // every vector lands in exactly one cluster
+    assert(out.map(_.getAs[Long]("size")).sum === vecs.length.toLong)
+  }
+
+  test("ivf over kmeans: probing all buckets == brute force exactly") {
+    val ivfAll = Similarity.ivfSearch(spark, Sf0001, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(spark, Sf0001).collect()
+    // with every bucket probed the candidate sets coincide, so the ranked
+    // results must be identical row-for-row (brute force has no cos col)
+    assert(ivfAll.nonEmpty)
+    assert(ivfAll === brute.map(_.toSeq).toSeq,
+      "exhaustive probing diverged from brute force")
+    // the default narrow probe returns well-formed top-k per query and is
+    // a subset of each query's bucket-restricted candidates
+    val ivf = Similarity.ivfSearch(spark, Sf0001).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+    // probed recall vs brute force is sane (>= 40% at nprobe=2 of 8 on the
+    // synthetic corpus; exact value is data-dependent, equality above is
+    // the real guarantee)
+    val bruteSet = brute.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val hit = ivf.count(r => bruteSet((r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))))
+    assert(hit * 10 >= bruteSet.size * 4, s"recall collapsed: $hit/${bruteSet.size}")
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

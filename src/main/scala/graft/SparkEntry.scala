@@ -572,6 +572,17 @@ object SparkEntry {
     // bucket probing + exact in-bucket cosine; probing ALL buckets equals
     // brute force exactly (spec-pinned)
     "q89_sim_ivf_kmeans" -> ((s, d) => Similarity.ivfSearch(s, d)),
+    // PII scan: email/IPv4/phone regexes in the Java∩RE2 dialect overlap,
+    // one narrow codegen pass + O(#sources) rollup; planted PII corpus
+    "q91_pii_scan" -> ((s, d) => Cleanse.piiScan(s, d)),
+    // CCNet-style boilerplate removal: (source, line-hash) exchange, tiny
+    // per-source doc totals broadcast back; planted page chrome
+    "q92_boilerplate" -> ((s, d) => Cleanse.boilerplate(s, d)),
+    // distributed BPE tokenizer training: corpus collapses once to a
+    // word-frequency vocab; each merge iteration is a narrow pair explode
+    // + alphabet²-key aggregate + TakeOrdered(1) + per-word merge fold;
+    // the oracle replays the full 3-step trace with recursive CTEs
+    "q90_bpe_train" -> ((s, d) => TextStats.bpeTrain(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

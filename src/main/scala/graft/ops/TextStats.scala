@@ -491,6 +491,77 @@ object TextStats {
         sum(greatest(ceil(length(col("t")) / 4), lit(1L)))
           .as("subword_units"))
 
+  /** Distributed BPE tokenizer TRAINING (q90) — the iterative merge-rule
+    * induction under every modern tokenizer (GPT-2/LLaMA vocabularies),
+    * expressed with the scale shape industrial trainers use: the corpus
+    * collapses ONCE into a word-frequency vocabulary (the only corpus-wide
+    * exchange; Zipf makes |vocab| ≪ corpus), and every training iteration
+    * then runs on the vocab table alone — adjacent-pair counts are a
+    * narrow `transform` explode into a TINY hash aggregate (keys bounded
+    * by symbol-alphabet², map-side combined), the winning rule is
+    * `TakeOrderedAndProject(1)` with a total (freq desc, left, right)
+    * order, and applying the rule is a narrow per-word `aggregate()` fold
+    * (greedy left-to-right merge — provably equal to repeatedly merging
+    * the leftmost occurrence, which is what the DuckDB oracle's recursive
+    * CTE replays). Driver-coordinated like [[graft.ops.Similarity.kmeans]]:
+    * 2 tiny actions per step, never a corpus-sized collect.
+    *
+    * Everything is integer/string-exact, so the oracle replays the FULL
+    * trace: per step the rule (left, right, merged), its pair frequency
+    * (counted over overlaps — which is why `tokens_after` is NOT simply
+    * `before − pair_freq`: 'aaa' has two (a,a) pairs but one merge), the
+    * post-merge corpus token count Σ freq·|syms|, and the distinct symbol
+    * count (vocabulary growth: 26 chars + one new symbol per step unless
+    * a source symbol is consumed entirely). */
+  def bpeTrain(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .select(col("freq"), array_remove(split(col("word"), ""), "").as("syms"))
+
+    var vocab = vocab0.persist()
+    val trace = Seq.newBuilder[(Long, String, String, String, Long, Long, Long)]
+    for (step <- 1 to steps) {
+      // adjacent pairs weighted by word frequency; (l, r) key space is
+      // bounded by the current symbol alphabet squared
+      val best = vocab
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("f"))
+        .orderBy(desc("f"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
+      val merged = a + b
+      // greedy left-to-right merge: fold each word's symbols, merging when
+      // the accumulator tail is `a` and the next symbol is `b`. A just-
+      // merged tail can never retrigger (merged == a would need b empty),
+      // so the fold is exactly the canonical single-pass BPE application.
+      val fold = aggregate(col("syms"), typedLit(Seq.empty[String]),
+        (acc, s) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(s))))
+      val next = vocab.select(col("freq"), fold.as("syms")).persist()
+      // one tiny action: post-merge token mass and distinct-symbol count
+      val st = next.select(col("freq"), explode(col("syms")).as("s"))
+        .agg(sum("freq").as("tokens_after"),
+          countDistinct("s").as("vocab_syms")).collect()(0)
+      trace += ((step.toLong, a, b, merged, f, st.getLong(0), st.getLong(1)))
+      vocab.unpersist()
+      vocab = next
+    }
+    vocab.unpersist()
+    trace.result()
+      .toDF("step", "left_sym", "right_sym", "merged", "pair_freq",
+        "tokens_after", "vocab_syms")
+      .orderBy("step")
+  }
+
   /** Document fingerprint: position-weighted mod-prime polynomial over
     * per-token hashes (a rolling-hash signature). Token hash is the
     * cross-engine [[graft.functions.PortableHash]] (md5-derived), so the

@@ -246,6 +246,47 @@ c2l AS (SELECT cid, list(cvp ORDER BY pos) AS cv FROM u2 GROUP BY cid),
 c2 AS (SELECT cid, cv,
   CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2 FROM c2l)"""
 
+  /** One BPE training step for the q90 oracle: pair counts over the
+    * previous vocab `v{k-1}`, the argmax rule `m{k}` under the total
+    * (freq desc, left, right) order, and the post-merge vocab `v{k}` via a
+    * recursive CTE that repeatedly merges the LEFTMOST (left, right)
+    * occurrence — provably equal to the engine's greedy left-to-right fold
+    * (a merged symbol can never retrigger the same rule: merged == left
+    * would need an empty right). MATERIALIZED keeps DuckDB from
+    * re-inlining the chain combinatorially. */
+  private def bpeStep(k: Int): String = s"""
+p$k AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS f
+  FROM v${k - 1}, UNNEST(range(1, len(syms))) t(i)
+  GROUP BY 1, 2
+),
+m$k AS MATERIALIZED (
+  SELECT l, r, l || r AS m, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
+r$k AS (
+  SELECT freq, syms FROM v${k - 1}
+  UNION ALL
+  SELECT freq, list_concat(list_concat(syms[1:i-1], [m]), syms[i+2:]) AS syms
+  FROM (
+    SELECT w.freq, w.syms, m.m,
+      list_filter(range(1, len(w.syms)),
+        i -> w.syms[i] = m.l AND w.syms[i+1] = m.r)[1] AS i
+    FROM r$k w CROSS JOIN m$k m
+  ) WHERE i IS NOT NULL
+),
+v$k AS MATERIALIZED (
+  SELECT w.freq, w.syms FROM r$k w CROSS JOIN m$k m
+  WHERE len(list_filter(range(1, len(w.syms)),
+    i -> w.syms[i] = m.l AND w.syms[i+1] = m.r)) = 0
+)"""
+
+  private def bpeStepReport(k: Int): String = s"""
+SELECT $k AS step, m.l AS left_sym, m.r AS right_sym, m.m AS merged,
+  m.f AS pair_freq,
+  (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM v$k) AS tokens_after,
+  (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM v$k, UNNEST(syms) t(s))
+    AS vocab_syms
+FROM m$k m"""
+
   /** Mirror of Dedup.corpus. */
   val corpus: String = """
 corpus AS (
@@ -1764,6 +1805,101 @@ GROUP BY 1 ORDER BY 1""",
     "q87_crc_verify" -> s"""WITH $fixtures
 SELECT sstable_id, CAST(1 AS BIGINT) AS crc_ok
 FROM lipscan GROUP BY 1 ORDER BY 1""",
+
+    // q91: planted-PII corpus re-derived, the same three regexes run
+    // through DuckDB's RE2 (the patterns live in the Java∩RE2 overlap).
+    "q91_pii_scan" -> """WITH pii AS (
+  SELECT source,
+    text || CASE WHEN doc_id % 11 = 0 THEN ' contact admin' ||
+        CAST(doc_id % 100 AS VARCHAR) || '@example.com for help'
+      ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' server 10.' ||
+        CAST(doc_id % 200 AS VARCHAR) || '.0.1 responded' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' call 555-01' ||
+        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+      ELSE '' END AS text
+  FROM documents
+),
+per AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS emails,
+    CAST(len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ips,
+    CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT)
+      AS phones,
+    CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+        x -> length(x))), 0)
+      + COALESCE(list_sum(list_transform(regexp_extract_all(text,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'), x -> length(x))), 0)
+      + COALESCE(list_sum(list_transform(regexp_extract_all(text,
+        '\b\d{3}-\d{4}\b'), x -> length(x))), 0) AS BIGINT) AS pii_chars
+  FROM pii
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS docs_with_pii,
+  CAST(SUM(emails) AS BIGINT) AS emails,
+  CAST(SUM(ips) AS BIGINT) AS ips,
+  CAST(SUM(phones) AS BIGINT) AS phones,
+  CAST(SUM(pii_chars) AS BIGINT) AS pii_chars
+FROM per GROUP BY 1 ORDER BY 1""",
+
+    // q92: planted page chrome re-derived; line keyed by TEXT here vs
+    // xxhash64 in the engine (q21's documented collision class).
+    "q92_boilerplate" -> """WITH pages AS (
+  SELECT doc_id, source,
+    list_concat(list_concat(list_concat(list_concat(
+      ['subscribe to ' || source || ' newsletter'], [text]),
+      CASE WHEN doc_id % 3 = 0 THEN ['accept our cookie policy']
+        ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 50 = 0 THEN
+        ['promo code ' || CAST(doc_id AS VARCHAR)]
+        ELSE CAST([] AS VARCHAR[]) END),
+      ['copyright ' || source]) AS lines
+  FROM documents
+),
+lns AS (
+  SELECT doc_id, source, l AS line, CAST(strlen(l) AS BIGINT) AS len
+  FROM pages, UNNEST(lines) t(l)),
+perline AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS line_docs,
+    CAST(COUNT(*) AS BIGINT) AS occurrences, MAX(len) AS len
+  FROM lns GROUP BY 1, 2),
+persrc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs FROM pages GROUP BY 1)
+SELECT p.source, MAX(s.docs) AS docs,
+  CAST(SUM(p.occurrences) AS BIGINT) AS line_instances,
+  CAST(COUNT(*) AS BIGINT) AS distinct_lines,
+  CAST(SUM(CASE WHEN p.line_docs * 100 >= s.docs * 30 THEN 1 ELSE 0 END)
+    AS BIGINT) AS boilerplate_lines,
+  CAST(SUM(CASE WHEN p.line_docs * 100 >= s.docs * 30 THEN p.occurrences
+    ELSE 0 END) AS BIGINT) AS removed_instances,
+  CAST(SUM(CASE WHEN p.line_docs * 100 >= s.docs * 30 THEN
+    p.occurrences * p.len ELSE 0 END) AS BIGINT) AS chars_removed
+FROM perline p JOIN persrc s USING (source)
+GROUP BY 1 ORDER BY 1""",
+
+    // q90: the full 3-step BPE training trace — per step the winning rule,
+    // its (overlap-counted) pair frequency, and post-merge token mass +
+    // distinct-symbol count; recursive CTEs replay the merge application.
+    "q90_bpe_train" -> s"""WITH RECURSIVE
+words AS (
+  SELECT w AS word FROM documents, UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+),
+v0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq, string_split(word, '') AS syms
+  FROM words GROUP BY word
+),
+${bpeStep(1)}, ${bpeStep(2)}, ${bpeStep(3)}
+SELECT CAST(step AS BIGINT) AS step, left_sym, right_sym, merged, pair_freq,
+  tokens_after, vocab_syms
+FROM (${bpeStepReport(1)} UNION ALL ${bpeStepReport(2)}
+  UNION ALL ${bpeStepReport(3)})
+ORDER BY step""",
 
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean

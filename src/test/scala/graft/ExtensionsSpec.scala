@@ -811,6 +811,90 @@ class ExtensionsSpec extends SparkSpec {
     assert(hit * 10 >= bruteSet.size * 4, s"recall collapsed: $hit/${bruteSet.size}")
   }
 
+  test("pii scan: each planted artifact found once, redaction budget exact") {
+    import spark.implicits._
+    val rows = Cleanse.piiScan(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ids = Tables.documents(spark, Sf0001)
+      .select("doc_id").as[Long].collect()
+    assert(rows.map(_.getAs[Long]("emails")).sum ===
+      ids.count(_ % 11 == 0).toLong)
+    assert(rows.map(_.getAs[Long]("ips")).sum ===
+      ids.count(_ % 13 == 0).toLong)
+    assert(rows.map(_.getAs[Long]("phones")).sum ===
+      ids.count(_ % 17 == 0).toLong)
+    // pii_chars is exactly what a regexp_replace redaction pass removes
+    val piiChars = rows.map(_.getAs[Long]("pii_chars")).sum
+    assert(piiChars > 0L)
+    val redacted = Cleanse.piiCorpus(spark, Sf0001)
+      .select(sum(length(col("text")) -
+        length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          Cleanse.EmailRe, ""), Cleanse.Ipv4Re, ""), Cleanse.PhoneRe, "")))
+        .as("removed"))
+      .collect()(0).getLong(0)
+    assert(redacted === piiChars)
+  }
+
+  test("boilerplate: page chrome flagged, rare content kept") {
+    val rows = Cleanse.boilerplate(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val flagged = r.getAs[Long]("boilerplate_lines")
+      val removed = r.getAs[Long]("removed_instances")
+      // header + footer are on 100% of the source's pages — always
+      // flagged; the cookie banner (~33%) may or may not clear 30% in a
+      // small source, and nothing else can (promo is 2%, bodies unique)
+      assert(flagged >= 2L && flagged <= 3L)
+      assert(removed >= 2L * docs)
+      assert(removed <= 2L * docs + docs / 3 + 1)
+      assert(r.getAs[Long]("chars_removed") > 0L)
+      assert(r.getAs[Long]("distinct_lines") > flagged)
+    }
+  }
+
+  test("bpe training: distributed trace == driver replay") {
+    val out = TextStats.bpeTrain(spark, Sf0001).collect()
+    assert(out.length === 3)
+
+    // exact driver replay: same vocab collapse, same (freq desc, l, r)
+    // rule order, same greedy left-to-right merge fold
+    val texts = Tables.documents(spark, Sf0001)
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    var vocab: Seq[(Vector[String], Long)] =
+      freq.toSeq.map { case (w, f) => (w.split("").toVector, f) }
+    out.foreach { row =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val (bp, bf) = pairs.toSeq.minBy { case ((l, r), f) => (-f, l, r) }
+      val merged = bp._1 + bp._2
+      assert((row.getAs[String]("left_sym"), row.getAs[String]("right_sym"),
+        row.getAs[String]("merged"), row.getAs[Long]("pair_freq")) ===
+        (bp._1, bp._2, merged, bf))
+      vocab = vocab.map { case (syms, f) =>
+        (syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == bp._1 && s == bp._2)
+            acc.init :+ merged
+          else acc :+ s
+        }, f)
+      }
+      val tokensAfter = vocab.map { case (s, f) => s.length * f }.sum
+      val vocabSyms = vocab.flatMap(_._1).distinct.length.toLong
+      assert(row.getAs[Long]("tokens_after") === tokensAfter)
+      assert(row.getAs[Long]("vocab_syms") === vocabSyms)
+    }
+    // merging strictly shrinks the corpus token mass step over step
+    val masses = out.map(_.getAs[Long]("tokens_after"))
+    assert(masses.zip(masses.tail).forall(p => p._2 < p._1))
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

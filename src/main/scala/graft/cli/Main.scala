@@ -27,7 +27,8 @@ object Main {
       snapshot: Option[String] = None, files: Seq[String] = Nil,
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
-      seqLen: Int = 2048, budgetTokens: Long = 1000000L) {
+      seqLen: Int = 2048, budgetTokens: Long = 1000000L,
+      bpeSteps: Int = 3) {
     def gcBeforeS: Long = gcGraceS
       .map(graft.sources.Fixtures.gcBeforeFor)
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
@@ -35,7 +36,7 @@ object Main {
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
-    "classify", "ingest")
+    "classify", "ingest", "scrub", "chrome", "bpe")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -50,6 +51,9 @@ object Main {
     case "select" => "Usage: select [-B <budget_tokens>]"
     case "classify" => "Usage: classify"
     case "ingest" => "Usage: ingest"
+    case "scrub" => "Usage: scrub"
+    case "chrome" => "Usage: chrome"
+    case "bpe" => "Usage: bpe [-s <merge_steps>]"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -69,7 +73,10 @@ object Main {
         |  canon        Canonical document per duplicate cluster (kept/dropped tokens)
         |  select       Deterministic token-budget selection by source
         |  classify     Hashed linear quality-classifier survival by (lang, source)
-        |  ingest       Incremental dedup of the incoming batch against the base corpus""".stripMargin
+        |  ingest       Incremental dedup of the incoming batch against the base corpus
+        |  scrub        PII scan (emails/IPs/phones + redaction budget) by source
+        |  chrome       Structural-boilerplate (page chrome) removal report by source
+        |  bpe          BPE tokenizer-training trace (one row per merge step)""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -108,6 +115,10 @@ object Main {
               val b = v.toLongOption.getOrElse(return Left(usage(cmd)))
               if (b <= 0) return Left(usage(cmd))
               o = o.copy(budgetTokens = b); rest = t
+            case Seq("-s", v, t @ _*) if cmd == "bpe" =>
+              val s = v.toIntOption.getOrElse(return Left(usage(cmd)))
+              if (s <= 0) return Left(usage(cmd))
+              o = o.copy(bpeSteps = s); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -116,7 +127,8 @@ object Main {
         val positional = pos.result()
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
-              "canon" | "select" | "classify" | "ingest" =>
+              "canon" | "select" | "classify" | "ingest" | "scrub" |
+              "chrome" | "bpe" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -179,6 +191,12 @@ object Main {
         out(tracked("classify")(Reports.classify(spark, dir))); 0
       case "ingest" =>
         out(tracked("ingest")(Reports.ingest(spark, dir))); 0
+      case "scrub" =>
+        out(tracked("scrub")(Reports.scrub(spark, dir))); 0
+      case "chrome" =>
+        out(tracked("chrome")(Reports.chrome(spark, dir))); 0
+      case "bpe" =>
+        out(tracked("bpe")(Reports.bpe(spark, dir, o.bpeSteps))); 0
     }
   }
 

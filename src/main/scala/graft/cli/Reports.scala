@@ -184,4 +184,21 @@ object Reports {
   def ingest(spark: SparkSession, dir: String): String =
     section("Incremental dedup (incoming vs base) by source",
       Dedup.incrementalDedup(spark, dir))
+
+  /** `scrub` — PII scan rollup (emails/IPs/phones + redaction budget) per
+    * source. */
+  def scrub(spark: SparkSession, dir: String): String =
+    section("PII scan by source",
+      graft.ops.Cleanse.piiScan(spark, dir))
+
+  /** `chrome` — structural-boilerplate (page chrome) removal report per
+    * source. */
+  def chrome(spark: SparkSession, dir: String): String =
+    section("Boilerplate line removal by source",
+      graft.ops.Cleanse.boilerplate(spark, dir))
+
+  /** `bpe` — BPE tokenizer-training trace (one row per merge step). */
+  def bpe(spark: SparkSession, dir: String, steps: Int = 3): String =
+    section(s"BPE training trace ($steps merges)",
+      TextStats.bpeTrain(spark, dir, steps))
 }

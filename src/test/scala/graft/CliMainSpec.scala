@@ -131,6 +131,31 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("help", "select")) === Left(Main.usage("select")))
   }
 
+  test("parse: scrub/chrome/bpe grammar") {
+    assert(Main.parse(Seq("scrub")) === Right(Main.Opts("scrub")))
+    assert(Main.parse(Seq("chrome")) === Right(Main.Opts("chrome")))
+    assert(Main.parse(Seq("bpe", "-s", "2")) ===
+      Right(Main.Opts("bpe", bpeSteps = 2)))
+    // -s outside bpe, bad/zero steps, stray positionals
+    assert(Main.parse(Seq("scrub", "extra")).isLeft)
+    assert(Main.parse(Seq("chrome", "-s", "2")).isLeft)
+    assert(Main.parse(Seq("bpe", "-s", "0")).isLeft)
+    assert(Main.parse(Seq("bpe", "-s", "abc")).isLeft)
+    assert(Main.parse(Seq("help", "bpe")) === Left(Main.usage("bpe")))
+  }
+
+  test("dispatch: scrub/chrome/bpe render their reports") {
+    def collect(args: String*): String = {
+      val sb = new StringBuilder
+      val o = Main.parse(args.toIndexedSeq).toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      sb.toString
+    }
+    assert(collect("scrub").contains("PII scan by source"))
+    assert(collect("chrome").contains("Boilerplate line removal by source"))
+    assert(collect("bpe", "-s", "2").contains("BPE training trace (2 merges)"))
+  }
+
   test("parse: verify takes no positionals") {
     assert(Main.parse(Seq("verify")) === Right(Main.Opts("verify")))
     assert(Main.parse(Seq("verify", "extra")).isLeft)

@@ -583,6 +583,9 @@ object SparkEntry {
     // + alphabet²-key aggregate + TakeOrdered(1) + per-word merge fold;
     // the oracle replays the full 3-step trace with recursive CTEs
     "q90_bpe_train" -> ((s, d) => TextStats.bpeTrain(s, d)),
+    // n-gram LM quality scoring: bigram count table on 8-byte hash keys,
+    // integer-exact surprisal bits (bin-length log2), template-doc flags
+    "q93_lm_score" -> ((s, d) => TextStats.lmScore(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

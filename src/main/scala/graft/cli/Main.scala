@@ -36,7 +36,7 @@ object Main {
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
-    "classify", "ingest", "scrub", "chrome", "bpe")
+    "classify", "ingest", "scrub", "chrome", "bpe", "lm")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -54,6 +54,7 @@ object Main {
     case "scrub" => "Usage: scrub"
     case "chrome" => "Usage: chrome"
     case "bpe" => "Usage: bpe [-s <merge_steps>]"
+    case "lm" => "Usage: lm"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -76,7 +77,8 @@ object Main {
         |  ingest       Incremental dedup of the incoming batch against the base corpus
         |  scrub        PII scan (emails/IPs/phones + redaction budget) by source
         |  chrome       Structural-boilerplate (page chrome) removal report by source
-        |  bpe          BPE tokenizer-training trace (one row per merge step)""".stripMargin
+        |  bpe          BPE tokenizer-training trace (one row per merge step)
+        |  lm           Bigram-LM surprisal scoring rollup by source""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -128,7 +130,7 @@ object Main {
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
-              "chrome" | "bpe" =>
+              "chrome" | "bpe" | "lm" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -197,6 +199,8 @@ object Main {
         out(tracked("chrome")(Reports.chrome(spark, dir))); 0
       case "bpe" =>
         out(tracked("bpe")(Reports.bpe(spark, dir, o.bpeSteps))); 0
+      case "lm" =>
+        out(tracked("lm")(Reports.lm(spark, dir))); 0
     }
   }
 

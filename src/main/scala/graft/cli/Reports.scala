@@ -201,4 +201,9 @@ object Reports {
   def bpe(spark: SparkSession, dir: String, steps: Int = 3): String =
     section(s"BPE training trace ($steps merges)",
       TextStats.bpeTrain(spark, dir, steps))
+
+  /** `lm` — bigram-LM surprisal scoring rollup per source. */
+  def lm(spark: SparkSession, dir: String): String =
+    section("LM surprisal scoring by source",
+      TextStats.lmScore(spark, dir))
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{PlanCache, Tables}
 
 /** Text analysis over the documents table: quality scoring, language/source
   * distribution, token counting, document fingerprinting. All per-document
@@ -560,6 +560,75 @@ object TextStats {
       .toDF("step", "left_sym", "right_sym", "merged", "pair_freq",
         "tokens_after", "vocab_syms")
       .orderBy("step")
+  }
+
+  /** N-gram LM quality scoring (q93) — the CCNet-style statistical filter:
+    * score every document against a bigram language model and flag the
+    * template-like outliers. The LM here is self-trained on the corpus
+    * (production swaps in a reference-corpus count table with the same
+    * plan); the score is integer-exact "surprisal bits":
+    * `bits(N) − bits(count)` per bigram instance, where `bits(x) =
+    * length(bin(x))` = floor(log2 x)+1 — exact in both engines (Spark
+    * `bin` ≡ DuckDB `bin`, no leading zeros) and within 1 bit of
+    * −log2(count/N). Low mean surprisal = the doc's bigrams are corpus-
+    * common (duplicated/templated text: exactly what the planted dup docs
+    * are); `common_docs` counts docs whose mean surprisal sits at least
+    * `marginX1000` (milli-bits) below the corpus mean — a relative
+    * threshold, so the flag survives corpus growth (bits(N) drifts up ~1
+    * per doubling and an absolute cutoff would silently flag everything
+    * or nothing). The corpus mean itself folds out of the count table
+    * alone (Σ c·(bits(N)−bits(c)) / Σ c — instance sums grouped by
+    * bigram), never a second corpus pass.
+    *
+    * Scale shape: the count table is a (bigram-hash) aggregate — 8-byte
+    * exchange keys, never bigram text (q21's documented 64-bit collision
+    * class; the oracle keys on text) — and scoring joins instances to
+    * counts on the same hash, so Catalyst reuses the aggregate's exchange
+    * on the build side; N rides in as a broadcast 1-row frame. Per-doc and
+    * per-source rollups shuffle tiny keys. No corpus-wide windows, no
+    * driver state: the LM "model" never leaves the cluster. */
+  def lmScore(spark: SparkSession, dir: String,
+      marginX1000: Long = 150L): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1))," +
+          " i -> array_join(slice(w, i, 2), ' '))")).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    // the trained LM: session-cached like the shingle/signature tables —
+    // its three consumers here (scoring join, N, corpus mean) and any
+    // re-score read one materialization instead of re-aggregating the
+    // corpus per consumer
+    val counts = PlanCache.cached(spark, s"lm_bigram_counts|$dir")(
+      bg.groupBy("gh").agg(count(lit(1)).as("c")))
+    val total = counts.agg(sum("c").as("n_total"))
+    val instBits = length(bin(col("n_total"))) - length(bin(col("c")))
+    // corpus mean surprisal from the count table alone: instance sums
+    // grouped by bigram (Σ c·bits ≡ Σ over instances)
+    val corpus = counts.crossJoin(broadcast(total))
+      .agg(floor(sum(col("c") * instBits) * 1000 / sum(col("c")))
+        .as("corpus_x1000"))
+    val perDoc = bg
+      .join(counts, "gh")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("source"),
+        instBits.cast("long").as("bits"),
+        when(col("c") === 1, 1L).otherwise(0L).as("novel"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nb"), sum("bits").as("sum_bits"),
+        sum("novel").as("novel"))
+      .withColumn("doc_x1000", floor(col("sum_bits") * 1000 / col("nb")))
+    perDoc.crossJoin(broadcast(corpus))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("nb").as("bigrams"),
+        floor(sum(col("sum_bits")) * 1000 / sum(col("nb")))
+          .as("avg_surprisal_x1000"),
+        floor(sum(col("novel")) * 1000 / sum(col("nb"))).as("novel_x1000"),
+        sum(when(col("doc_x1000") + marginX1000 <= col("corpus_x1000"), 1L)
+          .otherwise(0L)).as("common_docs"))
+      .orderBy("source")
   }
 
   /** Document fingerprint: position-weighted mod-prime polynomial over

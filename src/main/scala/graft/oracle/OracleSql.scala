@@ -1901,6 +1901,42 @@ FROM (${bpeStepReport(1)} UNION ALL ${bpeStepReport(2)}
   UNION ALL ${bpeStepReport(3)})
 ORDER BY step""",
 
+    // q93: self-trained bigram LM scoring re-derived with TEXT-keyed
+    // bigram counts (engine keys on xxhash64 — q21's documented collision
+    // class); bits(x) = length(bin(x)) is exact in both engines.
+    "q93_lm_score" -> """WITH
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(w), 2))) AS t(i)
+),
+gc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM gc),
+cm AS (
+  SELECT floor(CAST(SUM(c * (length(bin(n_total)) - length(bin(c))))
+      AS BIGINT) * 1000 / CAST(SUM(c) AS BIGINT)) AS corpus_x1000
+  FROM gc CROSS JOIN nt
+),
+per AS (
+  SELECT doc_id, source,
+    CAST(COUNT(*) AS BIGINT) AS nb,
+    CAST(SUM(length(bin(n_total)) - length(bin(c))) AS BIGINT) AS sum_bits,
+    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel
+  FROM bg JOIN gc USING (g) CROSS JOIN nt
+  GROUP BY 1, 2
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(nb) AS BIGINT) AS bigrams,
+  CAST(floor(CAST(SUM(sum_bits) AS BIGINT) * 1000 /
+    CAST(SUM(nb) AS BIGINT)) AS BIGINT) AS avg_surprisal_x1000,
+  CAST(floor(CAST(SUM(novel) AS BIGINT) * 1000 /
+    CAST(SUM(nb) AS BIGINT)) AS BIGINT) AS novel_x1000,
+  CAST(SUM(CASE WHEN floor(sum_bits * 1000 / nb) + 150 <= corpus_x1000
+    THEN 1 ELSE 0 END) AS BIGINT) AS common_docs
+FROM per CROSS JOIN cm GROUP BY 1 ORDER BY 1""",
+
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean
     // bigint distances, floor(mean) centroid updates re-read as integers).

@@ -154,6 +154,9 @@ class CliMainSpec extends SparkSpec {
     assert(collect("scrub").contains("PII scan by source"))
     assert(collect("chrome").contains("Boilerplate line removal by source"))
     assert(collect("bpe", "-s", "2").contains("BPE training trace (2 merges)"))
+    assert(collect("lm").contains("LM surprisal scoring by source"))
+    assert(Main.parse(Seq("lm")) === Right(Main.Opts("lm")))
+    assert(Main.parse(Seq("lm", "extra")).isLeft)
   }
 
   test("parse: verify takes no positionals") {

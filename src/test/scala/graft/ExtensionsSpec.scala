@@ -895,6 +895,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(masses.zip(masses.tail).forall(p => p._2 < p._1))
   }
 
+  test("lm score: distributed == driver replay, relative flag is scale-sane") {
+    val rows = TextStats.lmScore(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+
+    // exact driver replay: same bigram derivation (single-token docs get
+    // their word as the lone "bigram"), same bin-length bits
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq(w.mkString(" "))
+      else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(d => bigrams(d._3).foreach(g =>
+      counts(g) = counts.getOrElse(g, 0L) + 1L))
+    val n = counts.values.sum
+    val corpusX = counts.values
+      .map(c => c * (bits(n) - bits(c))).sum * 1000 / n
+    val bySource = docs.groupBy(_._2).map { case (src, ds) =>
+      val per = ds.map { case (_, _, t) =>
+        val gs = bigrams(t)
+        val sb = gs.map(g => bits(n) - bits(counts(g))).sum
+        (gs.size.toLong, sb, gs.count(g => counts(g) == 1L).toLong)
+      }
+      val nb = per.map(_._1).sum
+      src -> (ds.length.toLong, nb,
+        per.map(_._2).sum * 1000 / nb, per.map(_._3).sum * 1000 / nb,
+        per.count(p => p._2 * 1000 / p._1 + 150 <= corpusX).toLong)
+    }
+    rows.foreach { r =>
+      val exp = bySource(r.getAs[String]("source"))
+      assert((r.getAs[Long]("docs"), r.getAs[Long]("bigrams"),
+        r.getAs[Long]("avg_surprisal_x1000"), r.getAs[Long]("novel_x1000"),
+        r.getAs[Long]("common_docs")) === exp,
+        s"source ${r.getAs[String]("source")}")
+    }
+    // the relative flag catches outliers, not everything/nothing
+    val flagged = rows.map(_.getAs[Long]("common_docs")).sum
+    val total = rows.map(_.getAs[Long]("docs")).sum
+    assert(flagged > 0L && flagged * 4 < total,
+      s"flagged $flagged of $total")
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

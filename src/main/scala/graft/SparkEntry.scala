@@ -586,6 +586,9 @@ object SparkEntry {
     // n-gram LM quality scoring: bigram count table on 8-byte hash keys,
     // integer-exact surprisal bits (bin-length log2), template-doc flags
     "q93_lm_score" -> ((s, d) => TextStats.lmScore(s, d)),
+    // filter-agreement matrix: five narrow drop gates in ONE pass, corpus
+    // collapses to the <=2^5 gate-combo frame, pair matrix off literals
+    "q94_filter_agreement" -> ((s, d) => TextStats.filterAgreement(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -36,7 +36,7 @@ object Main {
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
-    "classify", "ingest", "scrub", "chrome", "bpe", "lm")
+    "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -55,6 +55,7 @@ object Main {
     case "chrome" => "Usage: chrome"
     case "bpe" => "Usage: bpe [-s <merge_steps>]"
     case "lm" => "Usage: lm"
+    case "agree" => "Usage: agree"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -78,7 +79,8 @@ object Main {
         |  scrub        PII scan (emails/IPs/phones + redaction budget) by source
         |  chrome       Structural-boilerplate (page chrome) removal report by source
         |  bpe          BPE tokenizer-training trace (one row per merge step)
-        |  lm           Bigram-LM surprisal scoring rollup by source""".stripMargin
+        |  lm           Bigram-LM surprisal scoring rollup by source
+        |  agree        Drop-rule agreement matrix across quality gates""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -130,7 +132,7 @@ object Main {
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
-              "chrome" | "bpe" | "lm" =>
+              "chrome" | "bpe" | "lm" | "agree" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -201,6 +203,8 @@ object Main {
         out(tracked("bpe")(Reports.bpe(spark, dir, o.bpeSteps))); 0
       case "lm" =>
         out(tracked("lm")(Reports.lm(spark, dir))); 0
+      case "agree" =>
+        out(tracked("agree")(Reports.agree(spark, dir))); 0
     }
   }
 

@@ -206,4 +206,9 @@ object Reports {
   def lm(spark: SparkSession, dir: String): String =
     section("LM surprisal scoring by source",
       TextStats.lmScore(spark, dir))
+
+  /** `agree` — drop-rule agreement matrix (which gates are redundant). */
+  def agree(spark: SparkSession, dir: String): String =
+    section("Filter agreement matrix",
+      TextStats.filterAgreement(spark, dir))
 }

@@ -464,11 +464,16 @@ object TextStats {
     * codegen); the only shuffle is the O(#lang × #source) rollup. At
     * 100 TB this is one streaming pass over the corpus, the same shape a
     * GPU-free quality-classifier sweep needs. */
+  /** The hashed-linear classifier's per-document score (shared by q84 and
+    * q94): a narrow `aggregate(transform(split(...)))` fold, fully inside
+    * whole-stage codegen. */
+  private def clfScore: org.apache.spark.sql.Column = aggregate(
+    transform(split(col("text"), " "),
+      t => pmod(graft.functions.PortableHash.h60(t) % 64L, lit(13L)) - 6L),
+    lit(0L), (acc, x) => acc + x)
+
   def classifierQuality(spark: SparkSession, dir: String): DataFrame = {
-    val score = aggregate(
-      transform(split(col("text"), " "),
-        t => pmod(graft.functions.PortableHash.h60(t) % 64L, lit(13L)) - 6L),
-      lit(0L), (acc, x) => acc + x)
+    val score = clfScore
     Tables.documents(spark, dir)
       .select(col("lang"), col("source"), score.as("score"))
       .groupBy("lang", "source")
@@ -478,6 +483,70 @@ object TextStats {
         sum("score").as("score_sum"))
       .withColumn("kept_x1000", floor(col("kept") * 1000 / col("docs")))
       .orderBy("lang", "source")
+  }
+
+  /** Filter-agreement matrix (q94) — the ablation diagnostic every
+    * multi-stage filtering pipeline needs: for each pair of drop rules,
+    * how many documents do they BOTH reject vs each alone, and the
+    * Jaccard overlap — the number that says "this gate is redundant" or
+    * "these two disagree, audit them" before burning a full corpus pass
+    * on a filter that drops nothing new. Five gates, one per drop reason:
+    * q73's composite rule split into `len` (too few tokens), `shape_low`/
+    * `shape_high` (avg token length), `stop` (no stopword hits), plus
+    * q84's `clf` (classifier score ≤ 0).
+    *
+    * Scale shape: every gate is a NARROW per-document expression, so one
+    * streaming pass computes all five booleans; the corpus collapses into
+    * the ≤2⁵-row gate-combination frame (tiny hash aggregate, map-side
+    * combined), and the pair matrix is that frame cross-joined with the
+    * 15-row literal pair table — zero further corpus passes, no joins
+    * between per-filter result sets (the naive shape re-scans the corpus
+    * K times and joins K result tables on doc_id). */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = withTokens(Tables.documents(spark, dir))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("atl_x100",
+        floor((col("len_chars") - (col("token_count") - 1)) * 100 /
+          col("token_count")))
+      .withColumn("the_count",
+        floor((col("len_chars") -
+          length(replace(col("text"), lit(" the "), lit("")))) / 5))
+      .select(
+        (col("token_count") < 20).as("len"),
+        (col("atl_x100") < 300).as("shape_low"),
+        (col("atl_x100") > 1000).as("shape_high"),
+        (col("the_count") < 1).as("stop"),
+        (clfScore <= 0).as("clf"))
+    val combos = m
+      .groupBy("len", "shape_low", "shape_high", "stop", "clf")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("fm", map(
+        lit("len"), col("len"), lit("shape_low"), col("shape_low"),
+        lit("shape_high"), col("shape_high"), lit("stop"), col("stop"),
+        lit("clf"), col("clf")))
+    val names = Seq("clf", "len", "shape_high", "shape_low", "stop")
+    val pairs = for { a <- names; b <- names if a <= b } yield (a, b)
+    combos
+      .crossJoin(broadcast(pairs.toDF("filter_a", "filter_b")))
+      .select(col("filter_a"), col("filter_b"), col("cnt"),
+        element_at(col("fm"), col("filter_a")).as("a_set"),
+        element_at(col("fm"), col("filter_b")).as("b_set"))
+      .groupBy("filter_a", "filter_b")
+      .agg(
+        sum(when(col("a_set") && col("b_set"), col("cnt")).otherwise(0L))
+          .as("dropped_both"),
+        sum(when(col("a_set") && !col("b_set"), col("cnt")).otherwise(0L))
+          .as("dropped_a_only"),
+        sum(when(col("b_set") && !col("a_set"), col("cnt")).otherwise(0L))
+          .as("dropped_b_only"))
+      .withColumn("union_docs",
+        col("dropped_both") + col("dropped_a_only") + col("dropped_b_only"))
+      .withColumn("jaccard_x1000",
+        when(col("union_docs") > 0,
+          floor(col("dropped_both") * 1000 / col("union_docs")))
+          .otherwise(0L))
+      .orderBy("filter_a", "filter_b")
   }
 
   /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars

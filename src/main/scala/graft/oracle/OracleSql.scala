@@ -1937,6 +1937,64 @@ SELECT source,
     THEN 1 ELSE 0 END) AS BIGINT) AS common_docs
 FROM per CROSS JOIN cm GROUP BY 1 ORDER BY 1""",
 
+    // q94: the five drop gates re-derived per doc (q73's rule split into
+    // its constituents + q84's classifier sign), then the 15 unordered
+    // filter pairs aggregated straight off the per-doc flags.
+    "q94_filter_agreement" -> s"""WITH m AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS token_count,
+    floor((length(text) - (len(string_split(text, ' ')) - 1)) * 100
+      / len(string_split(text, ' '))) AS atl_x100,
+    floor((length(text) - length(replace(text, ' the ', ''))) / 5)
+      AS the_count,
+    (SELECT CAST(SUM((${h60("t")} % 64) % 13 - 6) AS BIGINT)
+     FROM UNNEST(string_split(text, ' ')) AS u(t)) AS clf_score
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    (token_count < 20) AS f_len,
+    (atl_x100 < 300) AS f_shape_low,
+    (atl_x100 > 1000) AS f_shape_high,
+    (the_count < 1) AS f_stop,
+    (clf_score <= 0) AS f_clf
+  FROM m
+),
+names(filter_a) AS (VALUES ('clf'), ('len'), ('shape_high'),
+  ('shape_low'), ('stop')),
+pairs AS (
+  SELECT a.filter_a, b.filter_a AS filter_b
+  FROM names a CROSS JOIN names b WHERE a.filter_a <= b.filter_a
+),
+fv AS (
+  SELECT doc_id, filter_a, filter_b,
+    CASE filter_a WHEN 'clf' THEN f_clf WHEN 'len' THEN f_len
+      WHEN 'shape_high' THEN f_shape_high
+      WHEN 'shape_low' THEN f_shape_low ELSE f_stop END AS a_set,
+    CASE filter_b WHEN 'clf' THEN f_clf WHEN 'len' THEN f_len
+      WHEN 'shape_high' THEN f_shape_high
+      WHEN 'shape_low' THEN f_shape_low ELSE f_stop END AS b_set
+  FROM f CROSS JOIN pairs
+),
+agg AS (
+  SELECT filter_a, filter_b,
+    CAST(SUM(CASE WHEN a_set AND b_set THEN 1 ELSE 0 END) AS BIGINT)
+      AS dropped_both,
+    CAST(SUM(CASE WHEN a_set AND NOT b_set THEN 1 ELSE 0 END) AS BIGINT)
+      AS dropped_a_only,
+    CAST(SUM(CASE WHEN b_set AND NOT a_set THEN 1 ELSE 0 END) AS BIGINT)
+      AS dropped_b_only
+  FROM fv GROUP BY 1, 2
+)
+SELECT filter_a, filter_b, dropped_both, dropped_a_only, dropped_b_only,
+  CAST(dropped_both + dropped_a_only + dropped_b_only AS BIGINT)
+    AS union_docs,
+  CAST(CASE WHEN dropped_both + dropped_a_only + dropped_b_only > 0
+    THEN floor(dropped_both * 1000 /
+      (dropped_both + dropped_a_only + dropped_b_only))
+    ELSE 0 END AS BIGINT) AS jaccard_x1000
+FROM agg ORDER BY 1, 2""",
+
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean
     // bigint distances, floor(mean) centroid updates re-read as integers).

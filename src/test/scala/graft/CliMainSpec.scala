@@ -157,6 +157,8 @@ class CliMainSpec extends SparkSpec {
     assert(collect("lm").contains("LM surprisal scoring by source"))
     assert(Main.parse(Seq("lm")) === Right(Main.Opts("lm")))
     assert(Main.parse(Seq("lm", "extra")).isLeft)
+    assert(collect("agree").contains("Filter agreement matrix"))
+    assert(Main.parse(Seq("agree", "extra")).isLeft)
   }
 
   test("parse: verify takes no positionals") {

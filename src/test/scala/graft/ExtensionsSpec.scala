@@ -941,6 +941,48 @@ class ExtensionsSpec extends SparkSpec {
       s"flagged $flagged of $total")
   }
 
+  test("filter agreement: matrix == driver replay off independent flags") {
+    import spark.implicits._
+    val rows = TextStats.filterAgreement(spark, Sf0001).collect()
+    assert(rows.length === 15) // 5 diagonal + C(5,2) pairs
+
+    // clf flag from an independent plan shape (explode + sum, not the
+    // operator's narrow fold); the other four gates in plain Scala
+    val clfByDoc = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id")
+      .agg(sum(pmod(graft.functions.PortableHash.h60(col("t")) % 64L,
+        lit(13L)) - 6L).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) <= 0L)).toMap
+    val flags = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect().map { r =>
+        val (id, t) = (r.getLong(0), r.getString(1))
+        val tokens = t.split(" ", -1).length.toLong
+        val atl = (t.length.toLong - (tokens - 1)) * 100 / tokens
+        val the = (t.length.toLong -
+          t.replace(" the ", "").length.toLong) / 5
+        Map("len" -> (tokens < 20), "shape_low" -> (atl < 300),
+          "shape_high" -> (atl > 1000), "stop" -> (the < 1),
+          "clf" -> clfByDoc(id))
+      }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("filter_a"), r.getAs[String]("filter_b"))
+      val both = flags.count(f => f(a) && f(b)).toLong
+      val aOnly = flags.count(f => f(a) && !f(b)).toLong
+      val bOnly = flags.count(f => f(b) && !f(a)).toLong
+      val union = both + aOnly + bOnly
+      assert((r.getAs[Long]("dropped_both"), r.getAs[Long]("dropped_a_only"),
+        r.getAs[Long]("dropped_b_only"), r.getAs[Long]("union_docs"),
+        r.getAs[Long]("jaccard_x1000")) ===
+        (both, aOnly, bOnly, union,
+          if (union > 0) both * 1000 / union else 0L), s"pair ($a, $b)")
+      if (a == b) {
+        assert(aOnly === 0L && bOnly === 0L)
+        assert(r.getAs[Long]("jaccard_x1000") === (if (both > 0) 1000L else 0L))
+      }
+    }
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -589,6 +589,10 @@ object SparkEntry {
     // filter-agreement matrix: five narrow drop gates in ONE pass, corpus
     // collapses to the <=2^5 gate-combo frame, pair matrix off literals
     "q94_filter_agreement" -> ((s, d) => TextStats.filterAgreement(s, d)),
+    // BM25-lite keyword search: broadcast query-term filter BEFORE any
+    // aggregate (only queried posting lists shuffle), integer idf_bits x
+    // saturating-tf scoring, WindowGroupLimit top-k per query
+    "q95_keyword_search" -> ((s, d) => Search.keywordSearch(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

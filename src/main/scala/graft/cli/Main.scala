@@ -36,7 +36,8 @@ object Main {
 
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
-    "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree")
+    "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
+    "search")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -56,6 +57,7 @@ object Main {
     case "bpe" => "Usage: bpe [-s <merge_steps>]"
     case "lm" => "Usage: lm"
     case "agree" => "Usage: agree"
+    case "search" => "Usage: search [-n <num>]"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -80,7 +82,8 @@ object Main {
         |  chrome       Structural-boilerplate (page chrome) removal report by source
         |  bpe          BPE tokenizer-training trace (one row per merge step)
         |  lm           Bigram-LM surprisal scoring rollup by source
-        |  agree        Drop-rule agreement matrix across quality gates""".stripMargin
+        |  agree        Drop-rule agreement matrix across quality gates
+        |  search       BM25-lite keyword retrieval over the documents corpus""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -132,7 +135,7 @@ object Main {
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
-              "chrome" | "bpe" | "lm" | "agree" =>
+              "chrome" | "bpe" | "lm" | "agree" | "search" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -205,6 +208,8 @@ object Main {
         out(tracked("lm")(Reports.lm(spark, dir))); 0
       case "agree" =>
         out(tracked("agree")(Reports.agree(spark, dir))); 0
+      case "search" =>
+        out(tracked("search")(Reports.search(spark, dir, o.topN))); 0
     }
   }
 

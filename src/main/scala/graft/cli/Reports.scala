@@ -211,4 +211,9 @@ object Reports {
   def agree(spark: SparkSession, dir: String): String =
     section("Filter agreement matrix",
       TextStats.filterAgreement(spark, dir))
+
+  /** `search` — BM25-lite keyword retrieval, top-N per query. */
+  def search(spark: SparkSession, dir: String, topN: Int = 10): String =
+    section(s"Keyword search (top $topN per query)",
+      graft.ops.Search.keywordSearch(spark, dir, topN))
 }

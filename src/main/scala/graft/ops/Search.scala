@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Keyword retrieval over the documents corpus (q95) — the inverted-index
+  * search every corpus-curation UI needs ("show me the docs matching
+  * these terms, best first"), scored with an integer-exact BM25-lite:
+  *
+  *   score(d, q) = Σ_{t ∈ q}  idf_bits(t) · floor(tf·1000 / (tf + 1))
+  *
+  * where `idf_bits(t) = bits(D) − bits(df_t) + 1` (bin-length log2 — the
+  * same cross-engine-exact surrogate q93 uses for surprisal; the +1 is
+  * add-one smoothing so a term in nearly every doc still contributes its
+  * tf signal instead of zeroing out) and the tf factor
+  * is BM25's saturating tf/(tf+k) at k=1, scaled ×1000 and floored. Both
+  * factors are integers in both engines, so ranking is bit-deterministic
+  * and oracle-checkable — no IEEE log/division drift.
+  *
+  * Scale shape: the corpus token stream is filtered by a BROADCAST join
+  * against the query-term table before anything aggregates, so the only
+  * shuffled rows are (query, term, doc) hits — the posting lists of the
+  * queried terms, not the corpus. Document frequencies fold out of the hit
+  * set itself; D rides in as a broadcast 1-row frame. The final top-k per
+  * query is a rank window that Spark 4 executes with WindowGroupLimit
+  * (map-side per-partition top-k before the exchange), so no query's full
+  * posting list ever funnels through one reducer unranked. */
+object Search {
+
+  /** Fixed query workload: mixes the corpus's one rare discriminative
+    * term (`dup`, df ≈ 5% of docs) with common terms, so ranking exercises
+    * both idf extremes. */
+  val Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("dup", "scan"),
+    2L -> Seq("spark", "query", "fast"),
+    3L -> Seq("hash", "join", "merge"),
+    4L -> Seq("window", "filter"),
+    5L -> Seq("customer", "data", "slow"))
+
+  def keywordSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val total = docs.agg(count(lit(1)).as("d_total"))
+    val qterms = Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .join(broadcast(qterms), col("t") === col("term"))
+    val tf = hits
+      .groupBy("query_id", "term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    // df per term off the hit set (distinct over (term, doc) — a term
+    // shared by two queries counts once); O(#query terms) rows
+    val dfreq = tf.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(total))
+      .select(col("query_id"), col("doc_id"),
+        ((length(bin(col("d_total"))) - length(bin(col("df"))) + 1)
+          .cast("long") *
+          floor(col("tf") * 1000 / (col("tf") + 1))).as("ts"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("ts").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1995,6 +1995,43 @@ SELECT filter_a, filter_b, dropped_both, dropped_a_only, dropped_b_only,
     ELSE 0 END AS BIGINT) AS jaccard_x1000
 FROM agg ORDER BY 1, 2""",
 
+    // q95: BM25-lite retrieval re-derived — same literal query workload,
+    // same integer idf_bits × saturating-tf scoring, same (score desc,
+    // doc_id) total rank order.
+    "q95_keyword_search" -> """WITH
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents),
+qt(query_id, term) AS (VALUES
+  (1, 'dup'), (1, 'scan'),
+  (2, 'spark'), (2, 'query'), (2, 'fast'),
+  (3, 'hash'), (3, 'join'), (3, 'merge'),
+  (4, 'window'), (4, 'filter'),
+  (5, 'customer'), (5, 'data'), (5, 'slow')),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_total FROM documents),
+tf AS (
+  SELECT query_id, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks JOIN qt ON t = term GROUP BY 1, 2, 3
+),
+dfr AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY 1
+),
+sc AS (
+  SELECT query_id, doc_id,
+    CAST(SUM((length(bin(d_total)) - length(bin(df)) + 1) *
+      floor(tf * 1000 / (tf + 1))) AS BIGINT) AS score
+  FROM tf JOIN dfr USING (term) CROSS JOIN d GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+  doc_id, score
+FROM rk WHERE rank <= 10 ORDER BY 1, 2""",
+
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean
     // bigint distances, floor(mean) centroid updates re-read as integers).

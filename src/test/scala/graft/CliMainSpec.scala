@@ -159,6 +159,9 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("lm", "extra")).isLeft)
     assert(collect("agree").contains("Filter agreement matrix"))
     assert(Main.parse(Seq("agree", "extra")).isLeft)
+    assert(collect("search", "-n", "3")
+      .contains("Keyword search (top 3 per query)"))
+    assert(Main.parse(Seq("search", "extra")).isLeft)
   }
 
   test("parse: verify takes no positionals") {

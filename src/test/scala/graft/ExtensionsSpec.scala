@@ -983,6 +983,39 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("keyword search: ranking == driver replay, top-k pushed down") {
+    val out = Search.keywordSearch(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+
+    // driver replay: same tokenization, same integer scoring, same order
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val dTotal = docs.length.toLong
+    val expected = Search.Queries.flatMap { case (qid, terms) =>
+      val dfs = terms.map(t =>
+        t -> docs.count(_._2.contains(t)).toLong).toMap
+      docs.flatMap { case (id, toks) =>
+        val score = terms.map { t =>
+          val tf = toks.count(_ == t).toLong
+          if (tf == 0L) 0L
+          else (bits(dTotal) - bits(dfs(t)) + 1) * (tf * 1000L / (tf + 1L))
+        }.sum
+        if (terms.exists(toks.contains)) Some((id, score)) else None
+      }.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1L, id, s) }
+    }
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === expected)
+
+    // the rank filter must reach a WindowGroupLimit (map-side top-k), not
+    // a full per-query sort behind one window
+    val plan = Search.keywordSearch(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

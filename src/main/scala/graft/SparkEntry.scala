@@ -593,6 +593,9 @@ object SparkEntry {
     // aggregate (only queried posting lists shuffle), integer idf_bits x
     // saturating-tf scoring, WindowGroupLimit top-k per query
     "q95_keyword_search" -> ((s, d) => Search.keywordSearch(s, d)),
+    // corpus drift: per-source TV distance x1e6 between base/incoming
+    // token distributions, one conditional-sum aggregate for both sides
+    "q96_corpus_drift" -> ((s, d) => TextStats.driftMonitor(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

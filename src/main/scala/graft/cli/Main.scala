@@ -37,7 +37,7 @@ object Main {
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
-    "search")
+    "search", "drift")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -58,6 +58,7 @@ object Main {
     case "lm" => "Usage: lm"
     case "agree" => "Usage: agree"
     case "search" => "Usage: search [-n <num>]"
+    case "drift" => "Usage: drift"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -83,7 +84,8 @@ object Main {
         |  bpe          BPE tokenizer-training trace (one row per merge step)
         |  lm           Bigram-LM surprisal scoring rollup by source
         |  agree        Drop-rule agreement matrix across quality gates
-        |  search       BM25-lite keyword retrieval over the documents corpus""".stripMargin
+        |  search       BM25-lite keyword retrieval over the documents corpus
+        |  drift        Token-distribution drift between corpus snapshots by source""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -135,7 +137,7 @@ object Main {
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
-              "chrome" | "bpe" | "lm" | "agree" | "search" =>
+              "chrome" | "bpe" | "lm" | "agree" | "search" | "drift" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -210,6 +212,8 @@ object Main {
         out(tracked("agree")(Reports.agree(spark, dir))); 0
       case "search" =>
         out(tracked("search")(Reports.search(spark, dir, o.topN))); 0
+      case "drift" =>
+        out(tracked("drift")(Reports.drift(spark, dir))); 0
     }
   }
 

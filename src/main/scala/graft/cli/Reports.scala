@@ -216,4 +216,9 @@ object Reports {
   def search(spark: SparkSession, dir: String, topN: Int = 10): String =
     section(s"Keyword search (top $topN per query)",
       graft.ops.Search.keywordSearch(spark, dir, topN))
+
+  /** `drift` — base/incoming token-distribution drift per source. */
+  def drift(spark: SparkSession, dir: String): String =
+    section("Corpus drift (TV x1e6) by source",
+      TextStats.driftMonitor(spark, dir))
 }

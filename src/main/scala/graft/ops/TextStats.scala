@@ -549,6 +549,54 @@ object TextStats {
       .orderBy("filter_a", "filter_b")
   }
 
+  /** Corpus drift monitor (q96) — the distribution-shift alarm between
+    * two snapshots of a source (the q85 base/incoming split): per source,
+    * the total-variation distance ×10⁶ between the base and incoming
+    * token distributions,
+    *
+    *   TV = ½ Σ_t |c_base(t)/N_base − c_inc(t)/N_inc|
+    *
+    * computed integer-exactly by cross-multiplying before dividing once:
+    * Σ|c_a·N_b − c_b·N_a| · 10⁶ / (2·N_a·N_b). A pipeline owner watches
+    * this the way the reference's `summary` watches repair %: a source
+    * whose incoming batch drifts is a crawler change or poisoning signal.
+    * (At true 100 TB counts the int64 cross-products need DECIMAL(38) —
+    * a type swap on the same plan.)
+    *
+    * Scale shape: ONE aggregate builds both sides' counts (conditional
+    * sums keyed on `(source, xxhash64(token))` — no per-side frames, no
+    * full-outer join, 8-byte token keys; the oracle keys on text, q21's
+    * documented collision class); per-source totals broadcast back and
+    * everything downstream is O(#sources × vocab). */
+  def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        (graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+          % 10L < 4L).as("inc"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), col("inc"), xxhash64(col("t")).as("th"))
+    val cnt = toks.groupBy("source", "th")
+      .agg(sum(when(col("inc"), 0L).otherwise(1L)).as("ca"),
+        sum(when(col("inc"), 1L).otherwise(0L)).as("cb"))
+    val totals = cnt.groupBy("source")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cnt.join(broadcast(totals), "source")
+      .groupBy("source")
+      .agg(
+        max("na").as("base_tokens"),
+        max("nb").as("inc_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
+      .withColumn("tv_x1e6",
+        when(col("base_tokens") > 0 && col("inc_tokens") > 0,
+          floor(col("num") * 1000000 /
+            (lit(2L) * col("base_tokens") * col("inc_tokens"))))
+          .otherwise(0L))
+      .select("source", "base_tokens", "inc_tokens", "distinct_tokens",
+        "tv_x1e6")
+      .orderBy("source")
+  }
+
   /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars
     * of long tokens — a deterministic proxy for subword tokenizers. */
   def subwordCounts(docs: DataFrame): DataFrame =

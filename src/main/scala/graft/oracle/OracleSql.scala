@@ -2032,6 +2032,38 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
   doc_id, score
 FROM rk WHERE rank <= 10 ORDER BY 1, 2""",
 
+    // q96: base/incoming token-distribution drift, TEXT-keyed tokens
+    // (engine keys xxhash64), same q85 hash split, same cross-multiplied
+    // integer TV.
+    "q96_corpus_drift" -> s"""WITH d AS (
+  SELECT source,
+    (${h60("CAST(doc_id AS VARCHAR)")} % 10 < 4) AS inc,
+    string_split(text, ' ') AS w
+  FROM documents
+),
+tk AS (SELECT source, inc, t FROM d, UNNEST(w) AS u(t)),
+c AS (
+  SELECT source, t,
+    CAST(SUM(CASE WHEN inc THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tk GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+    CAST(SUM(cb) AS BIGINT) AS nb
+  FROM c GROUP BY 1
+)
+SELECT c.source,
+  MAX(na) AS base_tokens,
+  MAX(nb) AS inc_tokens,
+  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+  CAST(CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+    floor(CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT) * 1000000 /
+      (2 * MAX(na) * MAX(nb)))
+    ELSE 0 END AS BIGINT) AS tv_x1e6
+FROM c JOIN tot USING (source)
+GROUP BY 1 ORDER BY 1""",
+
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean
     // bigint distances, floor(mean) centroid updates re-read as integers).

@@ -162,6 +162,8 @@ class CliMainSpec extends SparkSpec {
     assert(collect("search", "-n", "3")
       .contains("Keyword search (top 3 per query)"))
     assert(Main.parse(Seq("search", "extra")).isLeft)
+    assert(collect("drift").contains("Corpus drift (TV x1e6) by source"))
+    assert(Main.parse(Seq("drift", "extra")).isLeft)
   }
 
   test("parse: verify takes no positionals") {

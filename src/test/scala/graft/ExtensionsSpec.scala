@@ -1016,6 +1016,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("corpus drift: TV == driver replay, bounded in [0, 1e6]") {
+    val rows = TextStats.driftMonitor(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+
+    // split fetched via the engine's hash (not replicable in pure Scala),
+    // everything downstream replayed on the driver
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source"), col("text"),
+        (graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+          % 10L < 4L).as("inc"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getBoolean(3)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts =
+        scala.collection.mutable.Map.empty[String, (Long, Long)]
+      docs.filter(_._1 == src).foreach { case (_, text, inc) =>
+        text.split(" ", -1).foreach { t =>
+          val (a, b) = counts.getOrElse(t, (0L, 0L))
+          counts(t) = if (inc) (a, b + 1L) else (a + 1L, b)
+        }
+      }
+      val na = counts.values.map(_._1).sum
+      val nb = counts.values.map(_._2).sum
+      val num = counts.values.map { case (a, b) =>
+        math.abs(a * nb - b * na)
+      }.sum
+      val tv =
+        if (na > 0 && nb > 0) num * 1000000L / (2L * na * nb) else 0L
+      assert((r.getAs[Long]("base_tokens"), r.getAs[Long]("inc_tokens"),
+        r.getAs[Long]("distinct_tokens"), r.getAs[Long]("tv_x1e6")) ===
+        (na, nb, counts.size.toLong, tv), s"source $src")
+      assert(tv >= 0L && tv <= 1000000L)
+    }
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -596,6 +596,9 @@ object SparkEntry {
     // corpus drift: per-source TV distance x1e6 between base/incoming
     // token distributions, one conditional-sum aggregate for both sides
     "q96_corpus_drift" -> ((s, d) => TextStats.driftMonitor(s, d)),
+    // real PNG roundtrip: CRC-checked chunks, zlib IDAT, 5-filter
+    // reconstruction; pixel checksum oracle-recomputed from the generator
+    "q97_png_decode" -> ((s, d) => Multimodal.pngDecode(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

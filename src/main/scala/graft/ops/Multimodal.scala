@@ -113,13 +113,16 @@ object Multimodal {
       (floor(octet_length(col("text")) / 256) + 1).as("frames_stub"))
       .orderBy("doc_id")
 
-  /** REAL container codecs for the two media formats pure-JVM byte code can
+  /** REAL container codecs for the media formats pure-JVM byte code can
     * encode AND decode without external libraries: BMP (BITMAPFILEHEADER +
-    * BITMAPINFOHEADER, 24-bpp bottom-up, 4-byte row padding) and WAV
-    * (RIFF/WAVE with PCM16 `fmt ` + `data` chunks). These replace the
+    * BITMAPINFOHEADER, 24-bpp bottom-up, 4-byte row padding), WAV
+    * (RIFF/WAVE with PCM16 `fmt ` + `data` chunks), and — because zlib
+    * ships in the JDK — full PNG (signature, CRC32-checked chunks, IHDR,
+    * zlib-deflated IDAT, all five scanline filters). These replace the
     * [[FakeDecoder]] stub for formats where a stub was never necessary;
-    * compressed codecs (JPEG/H.264/Opus) remain deployment swaps.
-    * All multi-byte fields little-endian per both specs. */
+    * the remaining deployment swaps are the codecs whose decoders are
+    * genuinely library-bound (JPEG/H.264/Opus).
+    * BMP/WAV fields little-endian, PNG big-endian, per each spec. */
   object RealCodecs {
 
     final case class Decoded(format: String, width: Int, height: Int,
@@ -181,6 +184,173 @@ object Multimodal {
       b
     }
 
+    private def be32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    private def rbe32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private val PngSig =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+
+    /** Deterministic raw pixel byte stream for the PNG fixtures: byte i of
+      * a doc's image is `(seed·7 + i·13) mod 251` — recomputable in SQL,
+      * so the decode roundtrip's pixel checksum is oracle-checkable. */
+    def pngPixel(seed: Long, i: Int): Int = ((seed * 7 + i * 13L) % 251L).toInt
+
+    private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+        data: Array[Byte]): Unit = {
+      val hdr = new Array[Byte](8)
+      be32(hdr, 0, data.length)
+      hdr(4) = typ(0).toByte; hdr(5) = typ(1).toByte
+      hdr(6) = typ(2).toByte; hdr(7) = typ(3).toByte
+      out.write(hdr)
+      out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(hdr, 4, 4)
+      crc.update(data)
+      val c = new Array[Byte](4)
+      be32(c, 0, crc.getValue.toInt)
+      out.write(c)
+    }
+
+    /** 8-bit RGB non-interlaced PNG. Each scanline's filter type rotates
+      * through 0–4 (None/Sub/Up/Average/Paeth) by row index, so a decoder
+      * must implement ALL five unfilters to reproduce the pixels — the
+      * roundtrip proves the real filter algebra, not just the container
+      * walk. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val bpp = 3
+      val raw = Array.tabulate(width * height * bpp)(i => pngPixel(seed, i))
+      def px(row: Int, i: Int): Int = // i indexes bytes within the row
+        if (i < 0) 0 else raw(row * width * bpp + i)
+      val filtered = new Array[Byte](height * (1 + width * bpp))
+      var o = 0
+      for (row <- 0 until height) {
+        val f = row % 5
+        filtered(o) = f.toByte; o += 1
+        for (i <- 0 until width * bpp) {
+          val a = px(row, i - bpp) // left
+          val b = if (row == 0) 0 else px(row - 1, i) // up
+          val c = if (row == 0) 0 else px(row - 1, i - bpp) // up-left
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => // Paeth
+              val p = a + b - c
+              val (pa, pb, pc) =
+                (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          filtered(o) = (px(row, i) - pred).toByte; o += 1
+        }
+      }
+      val deflater = new java.util.zip.Deflater
+      deflater.setInput(filtered)
+      deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream
+      val tmp = new Array[Byte](4096)
+      while (!deflater.finished())
+        zbuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream
+      out.write(PngSig)
+      val ihdr = new Array[Byte](13)
+      be32(ihdr, 0, width); be32(ihdr, 4, height)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 2 // color type: truecolor RGB
+      pngChunk(out, "IHDR", ihdr)
+      pngChunk(out, "IDAT", zbuf.toByteArray)
+      pngChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    final case class PngDecoded(width: Int, height: Int, pixelSum: Long)
+
+    /** Full PNG parse: signature, chunk walk with per-chunk CRC32
+      * verification (a flipped byte anywhere must throw, not mis-decode),
+      * IHDR field checks, IDAT inflate, and the five-filter scanline
+      * reconstruction. Returns the reconstructed pixel checksum. */
+    def decodePng(payload: Array[Byte]): PngDecoded = {
+      require(payload.length > 8 &&
+        PngSig.indices.forall(i => payload(i) == PngSig(i)),
+        "not a PNG signature")
+      var off = 8
+      var w = 0; var h = 0
+      val idat = new java.io.ByteArrayOutputStream
+      var sawEnd = false
+      while (!sawEnd && off + 12 <= payload.length) {
+        val len = rbe32(payload, off)
+        val typ = new String(payload, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(payload, off + 4, 4 + len)
+        if (crc.getValue.toInt != rbe32(payload, off + 8 + len))
+          throw new java.io.IOException(s"PNG $typ chunk CRC mismatch")
+        typ match {
+          case "IHDR" =>
+            w = rbe32(payload, off + 8)
+            h = rbe32(payload, off + 12)
+            if (payload(off + 16) != 8 || payload(off + 17) != 2 ||
+              payload(off + 20) != 0)
+              throw new java.io.IOException("unsupported PNG variant")
+          case "IDAT" => idat.write(payload, off + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks skipped
+        }
+        off += 12 + len
+      }
+      if (!sawEnd) throw new java.io.IOException("PNG missing IEND")
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      val bpp = 3
+      val stride = 1 + w * bpp
+      val filtered = new Array[Byte](h * stride)
+      var got = 0
+      while (got < filtered.length && !inflater.finished()) {
+        val n = inflater.inflate(filtered, got, filtered.length - got)
+        if (n == 0 && inflater.needsInput())
+          throw new java.io.IOException("PNG IDAT truncated")
+        got += n
+      }
+      inflater.end()
+      if (got != filtered.length)
+        throw new java.io.IOException("PNG pixel data short")
+      val raw = new Array[Int](w * h * bpp)
+      def px(row: Int, i: Int): Int =
+        if (i < 0) 0 else raw(row * w * bpp + i)
+      var sum = 0L
+      for (row <- 0 until h) {
+        val f = filtered(row * stride) & 0xff
+        for (i <- 0 until w * bpp) {
+          val x = filtered(row * stride + 1 + i) & 0xff
+          val a = px(row, i - bpp)
+          val b = if (row == 0) 0 else px(row - 1, i)
+          val c = if (row == 0) 0 else px(row - 1, i - bpp)
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val (pa, pb, pc) =
+                (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            case other =>
+              throw new java.io.IOException(s"bad PNG filter $other")
+          }
+          val v = (x + pred) & 0xff
+          raw(row * w * bpp + i) = v
+          sum += v
+        }
+      }
+      PngDecoded(w, h, sum)
+    }
+
     /** Sniffs the container magic and parses the header fields. WAV walks
       * the RIFF chunk list (fmt /data may be preceded by other chunks in
       * the wild). Throws on anything that is neither — corrupt media must
@@ -229,6 +399,32 @@ object Multimodal {
               100 + (id % 400).toInt, id))
         }
       }
+  }
+
+  /** q97: REAL PNG decode roundtrip — every document gets a deterministic
+    * 8-bit RGB PNG (dimensions and the raw pixel stream are pure functions
+    * of doc_id), then the decoder parses it fully back out: CRC32-checked
+    * chunk walk, IDAT zlib inflate, five-filter scanline reconstruction.
+    * The emitted pixel checksum equals the generator formula's sum, which
+    * the oracle recomputes in SQL — proving the filter algebra and the
+    * inflate path, not just the header walk. The compressed payload size
+    * is JDK-zlib-version-dependent and deliberately NOT a column. Narrow
+    * end to end (mapPartitions encode+decode; only the final sort
+    * exchanges). */
+  def pngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 16).toInt
+          val h = 4 + (id % 12).toInt
+          val d = RealCodecs.decodePng(RealCodecs.encodePng(w, h, id))
+          (id, d.width.toLong, d.height.toLong,
+            (d.width * d.height * 3).toLong, d.pixelSum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "pixel_bytes", "pixel_sum")
+      .orderBy("doc_id")
   }
 
   /** q78: REAL media decode — parse every payload's actual container

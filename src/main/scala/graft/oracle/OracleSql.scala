@@ -2064,6 +2064,23 @@ SELECT c.source,
 FROM c JOIN tot USING (source)
 GROUP BY 1 ORDER BY 1""",
 
+    // q97: PNG roundtrip fields — dimensions and the pixel checksum are
+    // pure functions of doc_id (byte i = (doc_id*7 + i*13) % 251), so the
+    // oracle recomputes what the engine's full decode reconstructs.
+    "q97_png_decode" -> """WITH p AS (
+  SELECT doc_id, 4 + doc_id % 16 AS w, 4 + doc_id % 12 AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, h,
+    CAST(SUM((doc_id * 7 + i * 13) % 251) AS BIGINT) AS pixel_sum
+  FROM p, UNNEST(range(0, w * h * 3)) AS t(i)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(w * h * 3 AS BIGINT) AS pixel_bytes, pixel_sum
+FROM s ORDER BY doc_id""",
+
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean
     // bigint distances, floor(mean) centroid updates re-read as integers).

@@ -1016,6 +1016,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("png decode: q97 matches the generator; corruption throws") {
+    val rows = Multimodal.pngDecode(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (4L + id % 16, 4L + id % 12)
+      val n = (w * h * 3).toInt
+      val sum =
+        (0 until n).map(i => Multimodal.RealCodecs.pngPixel(id, i).toLong).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        (w, h, n.toLong, sum), s"doc $id")
+    }
+    // a flipped byte inside IDAT fails that chunk's CRC32 — it must
+    // throw, never mis-decode
+    val png = Multimodal.RealCodecs.encodePng(9, 7, 5L)
+    val bad = png.clone()
+    bad(45) = (bad(45) ^ 0x41).toByte
+    intercept[java.io.IOException] { Multimodal.RealCodecs.decodePng(bad) }
+    // truncated payloads surface as errors too
+    intercept[Exception] { Multimodal.RealCodecs.decodePng(png.take(30)) }
+  }
+
   test("corpus drift: TV == driver replay, bounded in [0, 1e6]") {
     val rows = TextStats.driftMonitor(spark, Sf0001).collect()
     assert(rows.nonEmpty)

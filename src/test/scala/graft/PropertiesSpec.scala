@@ -210,6 +210,20 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG codec round-trips arbitrary dimensions through all 5 filters") {
+    import graft.ops.Multimodal.RealCodecs
+    // h >= 5 makes the encoder's rotating per-row filter cover types 0-4,
+    // so the decoder's Sub/Up/Average/Paeth reconstruction is all proven
+    val gen = Gen.zip(Gen.choose(1, 40), Gen.choose(5, 30),
+      Gen.choose(0L, 1L << 40))
+    checkProp(gen, trials = 80) { case (w, h, seed) =>
+      val d = RealCodecs.decodePng(RealCodecs.encodePng(w, h, seed))
+      val expect =
+        (0 until w * h * 3).map(i => RealCodecs.pngPixel(seed, i).toLong).sum
+      d.width == w && d.height == h && d.pixelSum == expect
+    }
+  }
+
   test("composite key encoding round-trips arbitrary (long, utf8) pairs") {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.sources.KeyValidator._

@@ -704,20 +704,34 @@ object TextStats {
     * on the build side; N rides in as a broadcast 1-row frame. Per-doc and
     * per-source rollups shuffle tiny keys. No corpus-wide windows, no
     * driver state: the LM "model" never leaves the cluster. */
+  /** SQL fragment deriving the adjacent-bigram array from a token array
+    * column `w` (single-token docs yield their lone word) — shared by the
+    * batch scorer (q93) and the streaming stream-static scorer. */
+  val BigramTransformSql: String =
+    "transform(sequence(1, greatest(size(w) - 1, 1))," +
+      " i -> array_join(slice(w, i, 2), ' '))"
+
+  /** The trained bigram LM (q93's model): corpus bigram counts on 8-byte
+    * hash keys, session-cached like the shingle/signature tables — the
+    * batch scorer's three consumers (scoring join, N, corpus mean) and
+    * any streaming re-scorer read ONE materialization instead of
+    * re-aggregating the corpus per consumer. */
+  def lmCounts(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"lm_bigram_counts|$dir")(
+      Tables.documents(spark, dir)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(BigramTransformSql)).as("g"))
+        .select(xxhash64(col("g")).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("c")))
+
   def lmScore(spark: SparkSession, dir: String,
       marginX1000: Long = 150L): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, greatest(size(w) - 1, 1))," +
-          " i -> array_join(slice(w, i, 2), ' '))")).as("g"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(BigramTransformSql)).as("g"))
       .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
-    // the trained LM: session-cached like the shingle/signature tables —
-    // its three consumers here (scoring join, N, corpus mean) and any
-    // re-score read one materialization instead of re-aggregating the
-    // corpus per consumer
-    val counts = PlanCache.cached(spark, s"lm_bigram_counts|$dir")(
-      bg.groupBy("gh").agg(count(lit(1)).as("c")))
+    val counts = lmCounts(spark, dir)
     val total = counts.agg(sum("c").as("n_total"))
     val instBits = length(bin(col("n_total"))) - length(bin(col("c")))
     // corpus mean surprisal from the count table alone: instance sums

@@ -103,6 +103,35 @@ object StreamingStats {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming LM scoring — the stream-static join shape every model-
+    * scoring deployment needs: arriving documents are exploded to bigrams
+    * and joined against the STATIC session-cached LM count table the
+    * batch path trained (q93's model), then folded back to a per-document
+    * surprisal score (same integer bits as q93). The model is a batch
+    * relation Spark replans (and at this size broadcasts) into each
+    * micro-batch — model refresh is a cache swap, no stream restart
+    * semantics; the only streaming state is the windowed per-doc
+    * aggregate, watermark-bounded. */
+  def lmScoredDocs(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val counts = graft.ops.TextStats.lmCounts(spark, dir)
+    // model-load-time scalar (one driver action on the static side)
+    val nTotal = counts.agg(sum("c")).collect()(0).getLong(0)
+    val nBits = 64L - java.lang.Long.numberOfLeadingZeros(nTotal)
+    docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr(graft.ops.TextStats.BigramTransformSql)).as("g"))
+      .select(col("doc_id"), col("ts"), xxhash64(col("g")).as("gh"))
+      .join(counts, "gh")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(lit(nBits) - length(bin(col("c"))).cast("long")).as("sum_bits"))
+      .select(col("doc_id"), col("nb"), col("sum_bits"),
+        floor(col("sum_bits") * 1000 / col("nb")).as("doc_x1000"))
+  }
+
   /** Run hourlyCounts over `dir`/events.parquet to a memory sink until all
     * available data is processed (test/demo harness): stages the file into
     * a temp ingest directory, the shape a streaming deployment reads. */

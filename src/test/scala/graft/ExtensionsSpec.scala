@@ -427,6 +427,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.select("text_md5").distinct().count() === distinctTexts)
   }
 
+  test("streaming lm scoring == batch scoring (stream-static join)") {
+    import java.nio.file.{Files, Paths}
+    val ingest = Files.createTempDirectory("graft-lm-stream-")
+    Files.copy(Paths.get(s"$Sf0001/documents.parquet"),
+      ingest.resolve("documents.parquet"))
+    val schema = spark.read.parquet(ingest.toString).schema
+    val docs = spark.readStream.schema(schema).parquet(ingest.toString)
+      .withColumn("ts", expr("timestamp_micros(doc_id + 86400000000)"))
+    val q = graft.streaming.StreamingStats
+      .lmScoredDocs(spark, Sf0001, docs)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("lm_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // batch expectation: the identical join/fold over the same model,
+    // computed without any streaming machinery
+    val counts = TextStats.lmCounts(spark, Sf0001)
+    val nTotal = counts.agg(sum("c")).collect()(0).getLong(0)
+    val nBits = 64L - java.lang.Long.numberOfLeadingZeros(nTotal)
+    val expected = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(TextStats.BigramTransformSql)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .join(counts, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        sum(lit(nBits) - length(bin(col("c"))).cast("long")).as("sum_bits"))
+      .withColumn("doc_x1000", floor(col("sum_bits") * 1000 / col("nb")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("as-of join: matches are strictly earlier clicks by the same user") {
     val ev = Tables.events(spark, Sf0001)
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -74,4 +74,44 @@ object Search {
       .select("query_id", "rank", "doc_id", "score")
       .orderBy("query_id", "rank")
   }
+
+  /** Persisted inverted index: the posting relation `(term-hash, doc_id,
+    * tf)` written ONCE as a table bucketed AND sorted on the term hash —
+    * the index-once / query-many deployment shape. Probing with an
+    * equality/IN filter on the bucket column prunes whole buckets at
+    * planning time (`SelectedBucketsCount` in the scan), so a query reads
+    * only the buckets its terms hash into: retrieval cost scales with the
+    * probed posting lists, never the index. [[keywordSearch]] stays the
+    * index-free one-shot form; this is what a standing search service
+    * deploys. */
+  def buildIndex(spark: SparkSession, dir: String,
+      table: String = "postings_idx", buckets: Int = 8): Unit = {
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(xxhash64(col("t")).as("th"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    postings.write.bucketBy(buckets, "th").sortBy("th").saveAsTable(table)
+  }
+
+  /** Probe the persisted index for a term set: an IN filter on the bucket
+    * column (term hashes computed once, driver-side) — bucket-pruned scan,
+    * posting lists only. Caveat: Spark's auto-bucketed-scan heuristic
+    * (`spark.sql.sources.bucketing.autoBucketedScan.enabled`) disables the
+    * bucketed read when the plan doesn't need the distribution (e.g. the
+    * probe joins broadcast) — which also forfeits bucket PRUNING; a search
+    * service sets that conf to false so point probes stay pruned. */
+  def probeIndex(spark: SparkSession, table: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val termDf = terms.toDF("term")
+      .select(col("term"), xxhash64(col("term")).as("th"))
+    // literal IN predicate (not a join) so the scan bucket-prunes at
+    // planning time; the broadcast join only maps hash -> term back
+    val hashes = termDf.select("th").as[Long].collect()
+    spark.table(table)
+      .where(col("th").isin(hashes.toIndexedSeq: _*))
+      .join(broadcast(termDf), "th")
+      .select("term", "doc_id", "tf")
+  }
 }

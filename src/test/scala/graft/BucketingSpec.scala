@@ -52,4 +52,41 @@ class BucketingSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("inverted index: bucket-pruned probes read only the terms' buckets") {
+    import graft.ops.Search
+    Search.buildIndex(spark, Sf0001, "b_postings", buckets = 8)
+    // the auto-bucketed-scan heuristic drops the bucketed read (and with
+    // it bucket pruning) when the probe side broadcasts — a deployed
+    // search service pins it off (see probeIndex docs)
+    val prevAuto =
+      spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = Search.probeIndex(spark, "b_postings", Seq("dup", "scan"))
+      // planning-time bucket pruning: the scan must select a strict
+      // subset of the 8 buckets (the two terms hash into at most 2)
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(plan)
+      assert(sel.nonEmpty, s"no bucket pruning in:\n${plan.take(1500)}")
+      assert(sel.get.group(1).toInt <= 2)
+
+      // probe results == brute-force token scan
+      val rows = probe.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = graft.sources.Tables.documents(spark, Sf0001)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .where(col("t").isin("dup", "scan"))
+        .groupBy("t", "doc_id").count()
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === brute)
+      assert(rows.nonEmpty)
+    } finally {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    }
+  }
 }

@@ -599,6 +599,9 @@ object SparkEntry {
     // real PNG roundtrip: CRC-checked chunks, zlib IDAT, 5-filter
     // reconstruction; pixel checksum oracle-recomputed from the generator
     "q97_png_decode" -> ((s, d) => Multimodal.pngDecode(s, d)),
+    // trained-BPE application: words tokenized once in the Zipf-collapsed
+    // vocab, corpus word stream joined to per-word token counts
+    "q98_bpe_apply" -> ((s, d) => TextStats.bpeApply(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -37,7 +37,7 @@ object Main {
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
-    "search", "drift")
+    "search", "drift", "tokenize")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -59,6 +59,7 @@ object Main {
     case "agree" => "Usage: agree"
     case "search" => "Usage: search [-n <num>]"
     case "drift" => "Usage: drift"
+    case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -85,7 +86,8 @@ object Main {
         |  lm           Bigram-LM surprisal scoring rollup by source
         |  agree        Drop-rule agreement matrix across quality gates
         |  search       BM25-lite keyword retrieval over the documents corpus
-        |  drift        Token-distribution drift between corpus snapshots by source""".stripMargin
+        |  drift        Token-distribution drift between corpus snapshots by source
+        |  tokenize     Apply the trained BPE merges; token counts and compression by source""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -124,7 +126,7 @@ object Main {
               val b = v.toLongOption.getOrElse(return Left(usage(cmd)))
               if (b <= 0) return Left(usage(cmd))
               o = o.copy(budgetTokens = b); rest = t
-            case Seq("-s", v, t @ _*) if cmd == "bpe" =>
+            case Seq("-s", v, t @ _*) if cmd == "bpe" || cmd == "tokenize" =>
               val s = v.toIntOption.getOrElse(return Left(usage(cmd)))
               if (s <= 0) return Left(usage(cmd))
               o = o.copy(bpeSteps = s); rest = t
@@ -137,7 +139,8 @@ object Main {
         cmd match {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
-              "chrome" | "bpe" | "lm" | "agree" | "search" | "drift" =>
+              "chrome" | "bpe" | "lm" | "agree" | "search" | "drift" |
+              "tokenize" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -214,6 +217,8 @@ object Main {
         out(tracked("search")(Reports.search(spark, dir, o.topN))); 0
       case "drift" =>
         out(tracked("drift")(Reports.drift(spark, dir))); 0
+      case "tokenize" =>
+        out(tracked("tokenize")(Reports.tokenize(spark, dir, o.bpeSteps))); 0
     }
   }
 

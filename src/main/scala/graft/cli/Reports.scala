@@ -221,4 +221,9 @@ object Reports {
   def drift(spark: SparkSession, dir: String): String =
     section("Corpus drift (TV x1e6) by source",
       TextStats.driftMonitor(spark, dir))
+
+  /** `tokenize` — trained-BPE application rollup per source. */
+  def tokenize(spark: SparkSession, dir: String, steps: Int = 3): String =
+    section(s"BPE tokenization ($steps merges) by source",
+      TextStats.bpeApply(spark, dir, steps))
 }

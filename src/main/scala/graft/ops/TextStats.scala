@@ -630,14 +630,21 @@ object TextStats {
     * post-merge corpus token count Σ freq·|syms|, and the distinct symbol
     * count (vocabulary growth: 26 chars + one new symbol per step unless
     * a source symbol is consumed entirely). */
-  def bpeTrain(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
-    import spark.implicits._
+  /** Shared BPE training loop (q90/q98): collapses the corpus to a
+    * word-frequency vocab, runs `steps` merge inductions, and returns the
+    * per-step trace plus the FINAL vocab frame `(word, freq, syms)`. The
+    * two per-step stats actions are skipped when the caller only needs
+    * the rules / final vocab (q98's apply path). */
+  private def bpeCore(spark: SparkSession, dir: String, steps: Int,
+      collectStats: Boolean)
+      : (Seq[(Long, String, String, String, Long, Long, Long)], DataFrame) = {
     val vocab0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
-      .select(col("freq"), array_remove(split(col("word"), ""), "").as("syms"))
+      .select(col("word"), col("freq"),
+        array_remove(split(col("word"), ""), "").as("syms"))
 
     var vocab = vocab0.persist()
     val trace = Seq.newBuilder[(Long, String, String, String, Long, Long, Long)]
@@ -663,20 +670,59 @@ object TextStats {
             element_at(acc, -1) === lit(a) && s === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
           .otherwise(concat(acc, array(s))))
-      val next = vocab.select(col("freq"), fold.as("syms")).persist()
-      // one tiny action: post-merge token mass and distinct-symbol count
-      val st = next.select(col("freq"), explode(col("syms")).as("s"))
-        .agg(sum("freq").as("tokens_after"),
-          countDistinct("s").as("vocab_syms")).collect()(0)
-      trace += ((step.toLong, a, b, merged, f, st.getLong(0), st.getLong(1)))
+      val next = vocab
+        .select(col("word"), col("freq"), fold.as("syms")).persist()
+      if (collectStats) {
+        // one tiny action: post-merge token mass and distinct-symbol count
+        val st = next.select(col("freq"), explode(col("syms")).as("s"))
+          .agg(sum("freq").as("tokens_after"),
+            countDistinct("s").as("vocab_syms")).collect()(0)
+        trace += ((step.toLong, a, b, merged, f, st.getLong(0),
+          st.getLong(1)))
+      } else {
+        trace += ((step.toLong, a, b, merged, f, 0L, 0L))
+      }
       vocab.unpersist()
       vocab = next
     }
     vocab.unpersist()
-    trace.result()
+    (trace.result(), vocab)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import spark.implicits._
+    bpeCore(spark, dir, steps, collectStats = true)._1
       .toDF("step", "left_sym", "right_sym", "merged", "pair_freq",
         "tokens_after", "vocab_syms")
       .orderBy("step")
+  }
+
+  /** BPE tokenizer APPLICATION (q98) — the second half of the q90 story:
+    * tokenize the corpus with the trained merge rules and report what a
+    * pipeline owner actually budgets on — per-source whitespace-token vs
+    * BPE-token counts and the compression ratio ×1000. Application
+    * reuses the training loop's per-word fold (words are tokenized once
+    * in the Zipf-collapsed vocab, never per occurrence); the corpus then
+    * joins its word stream to the final vocab's per-word token counts —
+    * keyed on the word here for oracle parity (at 100 TB: hash keys, and
+    * the vocab usually broadcasts — it is corpus-distinct-words sized). */
+  def bpeApply(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val (_, vocab) = bpeCore(spark, dir, steps, collectStats = false)
+    val wordToks = vocab
+      .select(col("word"), size(col("syms")).cast("long").as("toks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .join(wordToks, "word")
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("docs"),
+        count(lit(1)).as("ws_tokens"),
+        sum("toks").as("bpe_tokens"))
+      .withColumn("compression_x1000",
+        floor(col("bpe_tokens") * 1000 / col("ws_tokens")))
+      .orderBy("source")
   }
 
   /** N-gram LM quality scoring (q93) — the CCNet-style statistical filter:

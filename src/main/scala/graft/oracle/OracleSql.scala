@@ -263,18 +263,19 @@ p$k AS MATERIALIZED (
 m$k AS MATERIALIZED (
   SELECT l, r, l || r AS m, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
 r$k AS (
-  SELECT freq, syms FROM v${k - 1}
+  SELECT word, freq, syms FROM v${k - 1}
   UNION ALL
-  SELECT freq, list_concat(list_concat(syms[1:i-1], [m]), syms[i+2:]) AS syms
+  SELECT word, freq,
+    list_concat(list_concat(syms[1:i-1], [m]), syms[i+2:]) AS syms
   FROM (
-    SELECT w.freq, w.syms, m.m,
+    SELECT w.word, w.freq, w.syms, m.m,
       list_filter(range(1, len(w.syms)),
         i -> w.syms[i] = m.l AND w.syms[i+1] = m.r)[1] AS i
     FROM r$k w CROSS JOIN m$k m
   ) WHERE i IS NOT NULL
 ),
 v$k AS MATERIALIZED (
-  SELECT w.freq, w.syms FROM r$k w CROSS JOIN m$k m
+  SELECT w.word, w.freq, w.syms FROM r$k w CROSS JOIN m$k m
   WHERE len(list_filter(range(1, len(w.syms)),
     i -> w.syms[i] = m.l AND w.syms[i+1] = m.r)) = 0
 )"""
@@ -1891,7 +1892,8 @@ words AS (
   WHERE w <> ''
 ),
 v0 AS MATERIALIZED (
-  SELECT CAST(COUNT(*) AS BIGINT) AS freq, string_split(word, '') AS syms
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+    string_split(word, '') AS syms
   FROM words GROUP BY word
 ),
 ${bpeStep(1)}, ${bpeStep(2)}, ${bpeStep(3)}
@@ -1900,6 +1902,35 @@ SELECT CAST(step AS BIGINT) AS step, left_sym, right_sym, merged, pair_freq,
 FROM (${bpeStepReport(1)} UNION ALL ${bpeStepReport(2)}
   UNION ALL ${bpeStepReport(3)})
 ORDER BY step""",
+
+    // q98: the trained tokenizer APPLIED — the same v3 vocab the q90
+    // trace ends on, joined back to the corpus word stream; per source,
+    // whitespace vs BPE token counts and compression ratio.
+    "q98_bpe_apply" -> s"""WITH RECURSIVE
+words AS (
+  SELECT w AS word FROM documents, UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+),
+v0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+    string_split(word, '') AS syms
+  FROM words GROUP BY word
+),
+${bpeStep(1)}, ${bpeStep(2)}, ${bpeStep(3)},
+docw AS (
+  SELECT doc_id, source, w AS word
+  FROM documents, UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+),
+wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS toks FROM v3)
+SELECT source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs,
+  CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+  CAST(SUM(toks) AS BIGINT) AS bpe_tokens,
+  CAST(floor(CAST(SUM(toks) AS BIGINT) * 1000 / COUNT(*)) AS BIGINT)
+    AS compression_x1000
+FROM docw JOIN wt USING (word)
+GROUP BY 1 ORDER BY 1""",
 
     // q93: self-trained bigram LM scoring re-derived with TEXT-keyed
     // bigram counts (engine keys on xxhash64 — q21's documented collision

@@ -164,6 +164,9 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("search", "extra")).isLeft)
     assert(collect("drift").contains("Corpus drift (TV x1e6) by source"))
     assert(Main.parse(Seq("drift", "extra")).isLeft)
+    assert(collect("tokenize", "-s", "2")
+      .contains("BPE tokenization (2 merges) by source"))
+    assert(Main.parse(Seq("tokenize", "-s", "0")).isLeft)
   }
 
   test("parse: verify takes no positionals") {

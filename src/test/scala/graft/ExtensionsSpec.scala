@@ -1115,6 +1115,55 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bpe apply: per-source compression == driver tokenizer replay") {
+    val rows = TextStats.bpeApply(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+
+    // train the same 3 rules by driver replay, tokenize every distinct
+    // word, then roll up the corpus word stream per source
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._3.split(" ").filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    var vocab: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> w.split("").toVector).toMap
+    for (_ <- 1 to 3) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + freq(w)
+        }
+      }
+      val ((l, r), _) = pairs.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+      val merged = l + r
+      vocab = vocab.map { case (w, syms) =>
+        w -> syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ merged
+          else acc :+ s
+        }
+      }
+    }
+    val bySource = docs.groupBy(_._2).map { case (src, ds) =>
+      val words = ds.flatMap(_._3.split(" ").filter(_.nonEmpty))
+      val ws = words.length.toLong
+      val bpe = words.map(w => vocab(w).length.toLong).sum
+      src -> (ds.map(_._1).distinct.length.toLong, ws, bpe,
+        bpe * 1000L / ws)
+    }
+    rows.foreach { r =>
+      val exp = bySource(r.getAs[String]("source"))
+      assert((r.getAs[Long]("docs"), r.getAs[Long]("ws_tokens"),
+        r.getAs[Long]("bpe_tokens"),
+        r.getAs[Long]("compression_x1000")) === exp,
+        s"source ${r.getAs[String]("source")}")
+      // 3 merges really fired: tokenized form is strictly shorter than
+      // character count would be, and at most the whitespace form x word len
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
   test("incremental dedup: categories partition the batch, both drops occur") {
     val rows = Dedup.incrementalDedup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

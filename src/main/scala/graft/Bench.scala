@@ -130,28 +130,46 @@ object Bench {
         val next = once()
         if (next._1 < best._1) best = next
       }
-      name -> best
+      // attempts records how many timed windows this number came from
+      // (2 = clean first pair, >2 = won on a contention retry) so future
+      // forensics can tell "clean first try" from "recovered on retry 3"
+      name -> (best, 2 + extra)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val steals = results.collect { case (k, v) if v._2 > 0.005 =>
+    val steals = results.collect { case (k, (v, _)) if v._2 > 0.005 =>
       "\"" + k + "\":" + f"${v._2 * 100}%.1f"
     }
     val stealJson =
       if (steals.isEmpty) ""
       else steals.mkString(""","steal_pct":{""", ",", "}")
-    val stalls = results.collect { case (k, v) if v._3 > 0.01 =>
+    val stalls = results.collect { case (k, (v, _)) if v._3 > 0.01 =>
       "\"" + k + "\":" + f"${v._3 * 100}%.1f"
     }
     val stallJson =
       if (stalls.isEmpty) ""
       else stalls.mkString(""","stall_pct":{""", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // attempts only for queries that needed a contention retry (>2) keeps
+    // the full line compact; absent = clean first pair
+    val attempts = results.collect { case (k, (_, a)) if a > 2 =>
+      "\"" + k + "\":" + a
+    }
+    val attemptsJson =
+      if (attempts.isEmpty) ""
+      else attempts.mkString(""","attempts":{""", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$errJson,"sf":"$sfDir"}""")
+    // SECOND, compact line: the driver records only an output *tail*, which
+    // truncated the head of the full line in rounds 4–6 and lost the parsed
+    // record each time. This line is short enough that the tail always ends
+    // with a complete parseable JSON object (VERDICT r6 ask #1).
+    val maxStall =
+      if (results.isEmpty) 0.0 else results.map(_._2._1._3).max * 100
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"max_stall_pct":$maxStall%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

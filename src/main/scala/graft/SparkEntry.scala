@@ -602,6 +602,10 @@ object SparkEntry {
     // trained-BPE application: words tokenized once in the Zipf-collapsed
     // vocab, corpus word stream joined to per-word token counts
     "q98_bpe_apply" -> ((s, d) => TextStats.bpeApply(s, d)),
+    // real JPEG roundtrip via the JDK's javax.imageio codec; uniform-gray
+    // at quality 1.0 is the exactly-roundtripping (hence oracle-checkable)
+    // slice of the lossy format
+    "q99_jpeg_decode" -> ((s, d) => Multimodal.jpegDecode(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -14,8 +14,10 @@ import graft.sources.Tables
   *  - [[RealCodecs]] — REAL BMP and WAV container parsing (pure-JVM byte
   *    work, no external libraries; q78 roundtrips every header field);
   *  - [[FakeDecoder]] — a clearly marked deterministic STUB standing in
-  *    for compressed codecs (JPEG/H.264/Opus) that genuinely need
-  *    libraries this container lacks; the Spark-side plumbing — binary
+  *    for the compressed codecs that genuinely need libraries this
+  *    container lacks (H.264 video / Opus audio — image formats are NOT
+  *    on that list: PNG/BMP decode is hand-rolled here and JPEG rides the
+  *    JDK's own `javax.imageio` codec); the Spark-side plumbing — binary
   *    schema, batch iteration, feature schema, partition preservation —
   *    is real and tested; swap [[FakeDecoder.decode]] for a codec at
   *    deployment. */
@@ -118,11 +120,12 @@ object Multimodal {
     * BITMAPINFOHEADER, 24-bpp bottom-up, 4-byte row padding), WAV
     * (RIFF/WAVE with PCM16 `fmt ` + `data` chunks), and — because zlib
     * ships in the JDK — full PNG (signature, CRC32-checked chunks, IHDR,
-    * zlib-deflated IDAT, all five scanline filters). These replace the
+    * zlib-deflated IDAT, all five scanline filters), plus JPEG through
+    * the JDK's bundled `javax.imageio` codec. These replace the
     * [[FakeDecoder]] stub for formats where a stub was never necessary;
     * the remaining deployment swaps are the codecs whose decoders are
-    * genuinely library-bound (JPEG/H.264/Opus).
-    * BMP/WAV fields little-endian, PNG big-endian, per each spec. */
+    * genuinely library-bound (H.264/Opus).
+    * BMP/WAV fields little-endian, PNG/JPEG big-endian, per each spec. */
   object RealCodecs {
 
     final case class Decoded(format: String, width: Int, height: Int,
@@ -285,6 +288,12 @@ object Multimodal {
       var sawEnd = false
       while (!sawEnd && off + 12 <= payload.length) {
         val len = rbe32(payload, off)
+        // declared length must be validated BEFORE any indexed access: a
+        // corrupt negative/oversized len must surface as the typed
+        // corrupt-media IOException, not an ArrayIndexOutOfBoundsException
+        if (len < 0 || off.toLong + 12 + len > payload.length)
+          throw new java.io.IOException(
+            s"PNG chunk length $len overruns payload (${payload.length} B)")
         val typ = new String(payload, off + 4, 4, "US-ASCII")
         val crc = new java.util.zip.CRC32
         crc.update(payload, off + 4, 4 + len)
@@ -351,12 +360,76 @@ object Multimodal {
       PngDecoded(w, h, sum)
     }
 
+    final case class JpegDecoded(width: Int, height: Int, pixelSum: Long)
+
+    /** JPEG encode via the JDK's own `javax.imageio` codec (ships in every
+      * stock JDK — no external library). Memory-backed image streams, not
+      * ImageIO's default file cache: executor-local codec work must never
+      * churn temp files per image. */
+    def encodeJpeg(width: Int, height: Int, gray: Int,
+        quality: Float = 1f): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+
+    /** JPEG decode via `javax.imageio`. The payload must carry the JPEG
+      * SOI magic, and a payload ImageIO cannot parse throws the typed
+      * corrupt-media IOException (ImageIO.read signals failure by
+      * returning null — that must never decode to zeros). Returns
+      * dimensions plus the decoded-RGB pixel sum: JPEG is lossy, so
+      * callers pin the DECODED checksum, never the encoded bytes. */
+    def decodeJpeg(payload: Array[Byte]): JpegDecoded = {
+      if (payload.length < 3 || payload(0) != 0xff.toByte ||
+        payload(1) != 0xd8.toByte || payload(2) != 0xff.toByte)
+        throw new java.io.IOException("not a JPEG SOI marker")
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      if (img == null)
+        throw new java.io.IOException("JPEG decode failed")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      JpegDecoded(img.getWidth, img.getHeight, sum)
+    }
+
     /** Sniffs the container magic and parses the header fields. WAV walks
       * the RIFF chunk list (fmt /data may be preceded by other chunks in
       * the wild). Throws on anything that is neither — corrupt media must
       * surface, not decode to zeros. */
     def decode(payload: Array[Byte]): Decoded = {
-      if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M') {
+      if (payload.length >= 3 && payload(0) == 0xff.toByte &&
+        payload(1) == 0xd8.toByte && payload(2) == 0xff.toByte) {
+        val d = decodeJpeg(payload)
+        Decoded("jpeg", d.width, d.height, 0, 0, 0)
+      } else if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M') {
         Decoded("bmp", rd32(payload, 18), rd32(payload, 22), 0, 0, 0)
       } else if (payload.length >= 44 && rd32(payload, 0) == 0x46464952
           && rd32(payload, 8) == 0x45564157) { // "RIFF", "WAVE"
@@ -419,6 +492,40 @@ object Multimodal {
           val w = 4 + (id % 16).toInt
           val h = 4 + (id % 12).toInt
           val d = RealCodecs.decodePng(RealCodecs.encodePng(w, h, id))
+          (id, d.width.toLong, d.height.toLong,
+            (d.width * d.height * 3).toLong, d.pixelSum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "pixel_bytes", "pixel_sum")
+      .orderBy("doc_id")
+  }
+
+  /** q99: REAL JPEG decode roundtrip through the JDK's `javax.imageio`
+    * codec — the dominant real-world image type, wrongly classed as
+    * library-bound until round 7. Each document gets a deterministic
+    * uniform-grayscale JPEG (dimensions and the gray level are pure
+    * functions of doc_id) encoded at compression quality 1.0, then fully
+    * decoded back: Huffman entropy decode, dequantize, IDCT, YCbCr→RGB.
+    *
+    * Why uniform gray is the oracle-checkable slice of a LOSSY codec: for
+    * r=g=b=v the color transform is exact (Y=v, Cb=Cr=128), a uniform
+    * block's AC coefficients are all zero, and at quality 1.0 every quant
+    * table entry is 1 — so the DC value, the only nonzero coefficient,
+    * survives quantization exactly and the decode returns v byte-for-byte
+    * (probe-verified over 600 (w,h,v) combinations). The decoded pixel sum
+    * is therefore SQL-recomputable as 3·v·w·h while the decode still
+    * exercises the full real codec path. Non-uniform (genuinely lossy)
+    * content is covered by a ScalaTest spec that pins decode determinism
+    * and error bounds instead of exact values. Narrow end to end. */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 12).toInt
+          val v = ((id * 37) % 256).toInt
+          val d = RealCodecs.decodeJpeg(RealCodecs.encodeJpeg(w, h, v))
           (id, d.width.toLong, d.height.toLong,
             (d.width * d.height * 3).toLong, d.pixelSum)
         }

@@ -249,17 +249,25 @@ object TextStats {
     * then floored — cross-engine deterministic).
     *
     * Scale shape: everything after [[tokenTotals]] operates on the
-    * O(#sources) rollup — the unpartitioned window is over that tiny frame,
-    * never over corpus rows. */
+    * O(#sources) rollup. The grand-total weight comes from a 1-row
+    * aggregate broadcast back via crossJoin (the Search.scala pattern) —
+    * not an unpartitioned window, which plans as a single-partition
+    * WindowExec and warns at runtime. */
   def mixingRates(spark: SparkSession, dir: String,
       budgetTokens: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    tokenTotals(spark, dir)
+    // localCheckpoint the O(#sources) rollup so the grand-total branch and
+    // the per-source branch share ONE corpus scan instead of re-running the
+    // tokenTotals lineage twice
+    val weighted = tokenTotals(spark, dir)
       .select(col("source"), col("docs"), col("total_tokens"))
       .withColumn("weight", floor(sqrt(col("total_tokens"))))
+      .localCheckpoint()
+    val totalWeight = weighted.agg(sum("weight").as("weight_total"))
+    weighted
+      .crossJoin(broadcast(totalWeight))
       .withColumn("alloc_tokens",
-        floor(lit(budgetTokens) * col("weight") /
-          sum("weight").over(Window.partitionBy())))
+        floor(lit(budgetTokens) * col("weight") / col("weight_total")))
+      .drop("weight_total")
       .withColumn("rate_x1000",
         least(lit(1000L), floor(col("alloc_tokens") * 1000 /
           col("total_tokens"))))
@@ -685,13 +693,22 @@ object TextStats {
       vocab.unpersist()
       vocab = next
     }
-    vocab.unpersist()
+    // the FINAL vocab stays persisted: bpeApply consumes it in a join, and
+    // unpersisting here would force its consumer to recompute the whole
+    // per-word merge-fold lineage (all `steps` folds plus the corpus word
+    // aggregate). bpeTrain discards it, so its blocks age out with the
+    // session (tiny: corpus-distinct-words sized); callers that hold the
+    // frame may unpersist after their action.
     (trace.result(), vocab)
   }
 
   def bpeTrain(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
     import spark.implicits._
-    bpeCore(spark, dir, steps, collectStats = true)._1
+    // the trace is already collected driver-side, so the final vocab's
+    // cache blocks can be released immediately — only bpeApply needs them
+    val (trace, vocab) = bpeCore(spark, dir, steps, collectStats = true)
+    vocab.unpersist()
+    trace
       .toDF("step", "left_sym", "right_sym", "merged", "pair_freq",
         "tokens_after", "vocab_syms")
       .orderBy("step")

@@ -1863,7 +1863,9 @@ FROM per GROUP BY 1 ORDER BY 1""",
   FROM documents
 ),
 lns AS (
-  SELECT doc_id, source, l AS line, CAST(strlen(l) AS BIGINT) AS len
+  -- length(): CHARACTER count, matching Spark's length() on the engine
+  -- side (strlen counts bytes and diverges on non-ASCII text)
+  SELECT doc_id, source, l AS line, CAST(length(l) AS BIGINT) AS len
   FROM pages, UNNEST(lines) t(l)),
 perline AS (
   SELECT source, line, COUNT(DISTINCT doc_id) AS line_docs,
@@ -2111,6 +2113,19 @@ s AS (
 SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(w * h * 3 AS BIGINT) AS pixel_bytes, pixel_sum
 FROM s ORDER BY doc_id""",
+
+    // q99: JPEG roundtrip through the JDK codec. Uniform gray v at
+    // compression quality 1.0 decodes byte-exactly (Y=v/Cb=Cr=128 is an
+    // exact color transform, all AC coefficients zero, quant tables all
+    // 1s), so the decoded pixel sum is exactly 3·v·w·h — the oracle
+    // recomputes what the engine's real Huffman/IDCT decode returned.
+    "q99_jpeg_decode" -> """SELECT doc_id,
+  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+  CAST(8 + doc_id % 12 AS BIGINT) AS height,
+  CAST((8 + doc_id % 16) * (8 + doc_id % 12) * 3 AS BIGINT) AS pixel_bytes,
+  CAST(3 * ((doc_id * 37) % 256) * (8 + doc_id % 16) * (8 + doc_id % 12)
+    AS BIGINT) AS pixel_sum
+FROM documents ORDER BY doc_id""",
 
     // q88: the ENTIRE 2-iteration Lloyd's trace replayed relationally —
     // possible only because every step is integer-exact (squared-euclidean

@@ -111,7 +111,13 @@ object StreamingStats {
     * relation Spark replans (and at this size broadcasts) into each
     * micro-batch — model refresh is a cache swap, no stream restart
     * semantics; the only streaming state is the windowed per-doc
-    * aggregate, watermark-bounded. */
+    * aggregate, watermark-bounded.
+    *
+    * Out-of-vocabulary bigrams (the stream WILL see text the model never
+    * trained on) are kept via a LEFT join and charged the ceiling
+    * surprisal `nBits` (probability 1/N — strictly more surprising than
+    * any seen bigram), so a fully-OOV document still surfaces with a
+    * maximal score instead of silently vanishing from the output. */
   def lmScoredDocs(spark: SparkSession, dir: String,
       docs: DataFrame): DataFrame = {
     val counts = graft.ops.TextStats.lmCounts(spark, dir)
@@ -123,11 +129,13 @@ object StreamingStats {
       .select(col("doc_id"), col("ts"),
         explode(expr(graft.ops.TextStats.BigramTransformSql)).as("g"))
       .select(col("doc_id"), col("ts"), xxhash64(col("g")).as("gh"))
-      .join(counts, "gh")
+      .join(counts, Seq("gh"), "left")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
       .agg(count(lit(1)).as("nb"),
-        sum(lit(nBits) - length(bin(col("c"))).cast("long")).as("sum_bits"))
+        sum(when(col("c").isNull, lit(nBits))
+          .otherwise(lit(nBits) - length(bin(col("c"))).cast("long")))
+          .as("sum_bits"))
       .select(col("doc_id"), col("nb"), col("sum_bits"),
         floor(col("sum_bits") * 1000 / col("nb")).as("doc_x1000"))
   }

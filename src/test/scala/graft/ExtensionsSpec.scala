@@ -456,16 +456,51 @@ class ExtensionsSpec extends SparkSpec {
       .select(col("doc_id"),
         explode(expr(TextStats.BigramTransformSql)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      .join(counts, "gh")
+      .join(counts, Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nb"),
-        sum(lit(nBits) - length(bin(col("c"))).cast("long")).as("sum_bits"))
+        sum(when(col("c").isNull, lit(nBits))
+          .otherwise(lit(nBits) - length(bin(col("c"))).cast("long")))
+          .as("sum_bits"))
       .withColumn("doc_x1000", floor(col("sum_bits") * 1000 / col("nb")))
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(out === expected)
     assert(out.nonEmpty)
+  }
+
+  test("streaming lm scoring keeps fully-OOV documents at ceiling surprisal") {
+    import java.nio.file.Files
+    val ingest = Files.createTempDirectory("graft-lm-oov-")
+      .resolve("docs").toString
+    // two docs whose every bigram is out-of-vocabulary (tokens the corpus
+    // cannot contain). Neither may vanish.
+    spark.createDataFrame(Seq(
+      (900001L, "zzqx1 zzqx2 zzqx3 zzqx4"),
+      (900002L, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5 zzqx6")
+    )).toDF("doc_id", "text")
+      .write.parquet(ingest)
+    val schema = spark.read.parquet(ingest).schema
+    val docs = spark.readStream.schema(schema).parquet(ingest)
+      .withColumn("ts", expr("timestamp_micros(doc_id)"))
+    val q = graft.streaming.StreamingStats
+      .lmScoredDocs(spark, Sf0001, docs)
+      .writeStream.format("memory").queryName("lm_oov_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("lm_oov_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val counts = TextStats.lmCounts(spark, Sf0001)
+    val nTotal = counts.agg(sum("c")).collect()(0).getLong(0)
+    val nBits = 64L - java.lang.Long.numberOfLeadingZeros(nTotal)
+    // every bigram OOV → nb = tokens - 1, sum_bits = nb * nBits,
+    // doc_x1000 = nBits * 1000 (the ceiling)
+    assert(out(900001L) === ((3L, 3L * nBits, nBits * 1000L)))
+    assert(out(900002L) === ((5L, 5L * nBits, nBits * 1000L)))
   }
 
   test("as-of join: matches are strictly earlier clicks by the same user") {
@@ -1077,6 +1112,66 @@ class ExtensionsSpec extends SparkSpec {
     intercept[java.io.IOException] { Multimodal.RealCodecs.decodePng(bad) }
     // truncated payloads surface as errors too
     intercept[Exception] { Multimodal.RealCodecs.decodePng(png.take(30)) }
+    // a corrupt chunk length (oversized/negative) must throw the typed
+    // IOException, not an ArrayIndexOutOfBoundsException
+    val badLen = png.clone()
+    badLen(8) = 0x7f.toByte // IHDR declared length now ~2^31
+    intercept[java.io.IOException] { Multimodal.RealCodecs.decodePng(badLen) }
+  }
+
+  test("jpeg decode: q99 matches the uniform-gray formula; lossy content " +
+      "is deterministic; corruption throws") {
+    import Multimodal.RealCodecs
+    val rows = Multimodal.jpegDecode(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (8L + id % 16, 8L + id % 12)
+      val v = (id * 37) % 256
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        (w, h, w * h * 3, 3 * v * w * h), s"doc $id")
+    }
+    // genuinely lossy content (non-uniform image, quality 0.7): the decode
+    // must be deterministic run-to-run and dimension-exact, and the mean
+    // per-channel error vs the source must stay small — this is the part
+    // of the codec the uniform-gray oracle can't pin exactly
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 11 + y * 7) % 256
+      img.setRGB(x, y, (v << 16) | (((v + 80) % 256) << 8) | ((v + 160) % 256))
+    }
+    val out = new java.io.ByteArrayOutputStream
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    wr.setOutput(ios)
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.7f)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose(); ios.close()
+    val lossy = out.toByteArray
+    val d1 = RealCodecs.decodeJpeg(lossy)
+    val d2 = RealCodecs.decodeJpeg(lossy)
+    assert(d1 === d2) // deterministic
+    assert((d1.width, d1.height) === ((w, h)))
+    // mean absolute per-channel-byte error ≤ 16 at quality 0.7
+    var srcSum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = img.getRGB(x, y)
+      srcSum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+    }
+    assert(math.abs(d1.pixelSum - srcSum).toDouble / (w * h * 3) <= 16.0)
+    // corrupt payloads must throw the typed IOException, never decode
+    intercept[java.io.IOException] {
+      RealCodecs.decodeJpeg("not a jpeg".getBytes)
+    }
+    intercept[java.io.IOException] {
+      RealCodecs.decodeJpeg(lossy.take(20))
+    }
+    // and the sniffing decoder routes jpeg by magic
+    assert(RealCodecs.decode(lossy).format === "jpeg")
   }
 
   test("corpus drift: TV == driver replay, bounded in [0, 1e6]") {

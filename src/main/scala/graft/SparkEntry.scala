@@ -306,6 +306,14 @@ object SparkEntry {
       import graft.sources.statsdb.{CassandraStatsFixture, StatsDb}
       StatsDb.readOaTail(s, CassandraStatsFixture.ensureOaFiles(s, d))
     }),
+    // "oa"'s improved min/max: the covered-clustering slice written IN
+    // PLACE of the legacy min/max blob lists — kind ordinals, flag-header
+    // NULL/EMPTY components, vint-length values; green proves the version
+    // gate switches the StatsMetadata field order correctly
+    "q100_stats_oa_slice" -> ((s, d) => {
+      import graft.sources.statsdb.{CassandraStatsFixture, StatsDb}
+      StatsDb.readOaSlice(s, CassandraStatsFixture.ensureOaFiles(s, d))
+    }),
     // REAL-format CompressionInfo.db (Cassandra CompressionMetadata
     // layout): the chunk-offset map parsed per chunk row; per-chunk
     // compressed sizes from the S4-style lead() offset delta; data_length

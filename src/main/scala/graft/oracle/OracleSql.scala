@@ -843,6 +843,35 @@ SELECT gen AS generation,
   min_timestamp_us
 FROM g ORDER BY 1""",
 
+    // q100: the "oa" covered-clustering slice, recomputed from the fixture
+    // derivation — k1 = gen%2+1 real start values (byte b of value j is
+    // gen+j+b, so each value sums to 4·gen+4·j+6), one EMPTY on even gens,
+    // one NULL on gen%3=0; k2 = gen%3+1 end values over base 2·gen. Kind
+    // ordinals are INCL_START_BOUND=1 / INCL_END_BOUND=6.
+    "q100_stats_oa_slice" -> s"""WITH $fixtures,
+g AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS gen
+  FROM meta
+),
+k AS (
+  SELECT gen, partition_count,
+    gen % 2 + 1 AS k1, gen % 3 + 1 AS k2,
+    CASE WHEN gen % 2 = 0 THEN 1 ELSE 0 END AS n_empty,
+    CASE WHEN gen % 3 = 0 THEN 1 ELSE 0 END AS n_null
+  FROM g
+)
+SELECT gen AS generation,
+  CAST(1 AS BIGINT) AS start_kind,
+  CAST(6 AS BIGINT) AS end_kind,
+  k1 + n_empty + n_null AS start_components,
+  k2 AS end_components,
+  CAST(n_null AS BIGINT) AS start_null_count,
+  CAST(n_empty AS BIGINT) AS start_empty_count,
+  k1 * (4 * gen + 6) + 2 * k1 * (k1 - 1) AS start_bytes_sum,
+  k2 * (8 * gen + 6) + 2 * k2 * (k2 - 1) AS end_bytes_sum,
+  partition_count AS total_rows
+FROM k ORDER BY 1""",
+
     "q62_stats_real_format" -> s"""WITH $fixtures,
 g AS (
   SELECT *, CAST(row_number() OVER (ORDER BY sstable_id) AS BIGINT) AS gen

@@ -49,10 +49,11 @@ import org.apache.spark.sql.types._
   *
   * Limits, stated honestly: this is written from the published source of
   * the serializers (no Cassandra runs in this sandbox to cross-write
-  * fixtures), targets the "nb" gate set (commitLogLowerBound,
-  * commitLogIntervals, pendingRepair, isTransient — NOT 4.1's
-  * originatingHostId or 5.0 "oa"'s key-range fields), and the engine still
-  * maps histogram-derived values where the reference reads them from other
+  * fixtures), defaults to the "nb" gate set with the 4.1 "nc" tail
+  * (originatingHostId) and the 5.0 "oa" tail (partition-level-deletions
+  * marker, key range, token coverage) plus "oa"'s covered-clustering
+  * slice re-encoding version-gated in, and the engine still maps
+  * histogram-derived values where the reference reads them from other
   * sstable components (estimatedKeys' index summary, file lengths).
   */
 object CassandraStatsFormat {
@@ -132,18 +133,38 @@ object CassandraStatsFormat {
     *    UUID (msb, lsb longs);
     *  - "oa" (5.0)+: partition-level-deletions presence marker (boolean),
     *    the sstable's first/last partition keys (unsigned-vint length +
-    *    bytes each), and token-space coverage (double).
-    *
-    * NOT implemented from "oa": the improved min/max clustering slice
-    * encoding (oa re-encodes the legacy min/maxClustering blobs as bound
-    * prefixes with kind bytes); files here keep the legacy blob section.
-    * Stated in README's divergence list. */
+    *    bytes each), and token-space coverage (double). */
   final case class VersionedTail(
       originatingHostId: Option[(Long, Long)],
       hasPartitionLevelDeletions: Boolean,
       firstKey: Array[Byte],
       lastKey: Array[Byte],
       tokenSpaceCoverage: Double)
+
+  /** `ClusteringPrefix.Kind` ordinals (the published enum order in
+    * Cassandra's ClusteringPrefix.java — bounds/boundaries/row kinds share
+    * one ordinal space; the byte on disk is the ordinal). */
+  val KindExclEndBound = 0
+  val KindInclStartBound = 1
+  val KindExclEndInclStartBoundary = 2
+  val KindStaticClustering = 3
+  val KindClustering = 4
+  val KindInclEndExclStartBoundary = 5
+  val KindInclEndBound = 6
+  val KindExclStartBound = 7
+
+  /** One clustering bound of the 5.0 "oa" covered-clustering slice
+    * (CASSANDRA-14261's improved min/max): a `ClusteringPrefix.Kind`
+    * ordinal plus its component values, where a component can be a real
+    * value, EMPTY (zero-length), or NULL — the distinction the per-block
+    * flag header encodes. `Slice.BOTTOM`/`TOP` are the zero-component
+    * inclusive start/end bounds. */
+  final case class ClusteringBound(kind: Int,
+      values: Seq[Option[Array[Byte]]])
+
+  /** The "oa" `coveredClustering` slice: start and end bounds replacing
+    * the legacy min/maxClustering blob lists. */
+  final case class CoveredSlice(start: ClusteringBound, end: ClusteringBound)
 
   final case class Stats(
       partitionSize: EstimatedHistogram,
@@ -168,7 +189,8 @@ object CassandraStatsFormat {
       commitLogIntervals: Seq[(CommitLogPosition, CommitLogPosition)],
       pendingRepair: Option[(Long, Long)],
       isTransient: Boolean,
-      tail: Option[VersionedTail] = None)
+      tail: Option[VersionedTail] = None,
+      coveredClustering: Option[CoveredSlice] = None)
 
   final case class File(validation: Validation, stats: Stats)
 
@@ -176,6 +198,12 @@ object CassandraStatsFormat {
     * lexicographically — BigVersion.compareTo). */
   def hasOriginatingHostId(version: String): Boolean = version >= "nc"
   def hasOaTail(version: String): Boolean = version >= "oa"
+  /** "oa" (5.0) replaces the legacy min/maxClustering blob lists with the
+    * covered-clustering slice at the same position in the field order
+    * (BigVersion.hasLegacyMinMax / hasImprovedMinMax; 4.1.x's
+    * appended-at-tail improved-min/max transition form is not modeled —
+    * "nc" files here keep legacy-only, "oa" files slice-only). */
+  def hasLegacyMinMax(version: String): Boolean = version < "oa"
 
   // ---------------------------------------------------------------- write
 
@@ -207,6 +235,48 @@ object CassandraStatsFormat {
     bos.toByteArray
   }
 
+  /** `ClusteringBoundOrBoundary.serializer.serialize` +
+    * `ClusteringPrefix.serializer.serializeValuesWithoutSize`: kind
+    * ordinal byte, unsigned-short size, then per 32-component block an
+    * unsigned-vint flag header (two bits per component, block-relative:
+    * bit 2i = EMPTY value, bit 2i+1 = NULL) followed by each present
+    * non-empty value. Values are written as a variable-length type writes
+    * them (`AbstractType.writeValue` for valueLengthIfFixed < 0):
+    * unsigned-vint length + bytes — the engine carries clustering values
+    * as opaque blobs, i.e. BytesType. */
+  private def writeBound(d: DataOutputStream, b: ClusteringBound): Unit = {
+    d.writeByte(b.kind)
+    d.writeShort(b.values.length)
+    var off = 0
+    val n = b.values.length
+    while (off < n) {
+      val limit = math.min(n, off + 32)
+      var header = 0L
+      var i = off
+      while (i < limit) {
+        b.values(i) match {
+          case None => header |= 1L << ((i - off) * 2 + 1)
+          case Some(v) if v.isEmpty => header |= 1L << ((i - off) * 2)
+          case _ => ()
+        }
+        i += 1
+      }
+      graft.sources.indexdb.IndexDbFormat.writeUnsignedVInt(d, header)
+      i = off
+      while (i < limit) {
+        b.values(i) match {
+          case Some(v) if v.nonEmpty =>
+            graft.sources.indexdb.IndexDbFormat
+              .writeUnsignedVInt(d, v.length.toLong)
+            d.write(v)
+          case _ => ()
+        }
+        i += 1
+      }
+      off = limit
+    }
+  }
+
   private def statsBytes(s: Stats, version: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
     d.write(histBytes(s.partitionSize))
@@ -223,10 +293,22 @@ object CassandraStatsFormat {
     }
     d.writeInt(s.level)
     d.writeLong(s.repairedAtMs)
-    d.writeInt(s.minClustering.length)
-    s.minClustering.foreach { b => d.writeShort(b.length); d.write(b) }
-    d.writeInt(s.maxClustering.length)
-    s.maxClustering.foreach { b => d.writeShort(b.length); d.write(b) }
+    if (hasLegacyMinMax(version)) {
+      d.writeInt(s.minClustering.length)
+      s.minClustering.foreach { b => d.writeShort(b.length); d.write(b) }
+      d.writeInt(s.maxClustering.length)
+      s.maxClustering.foreach { b => d.writeShort(b.length); d.write(b) }
+    } else {
+      // "oa": Slice.serializer — start bound then end bound, each the
+      // ClusteringBoundOrBoundary wire form (kind ordinal byte, unsigned
+      // short component count, then serializeValuesWithoutSize). Absent
+      // slice = the covers-everything Slice.ALL (BOTTOM, TOP).
+      val slice = s.coveredClustering.getOrElse(CoveredSlice(
+        ClusteringBound(KindInclStartBound, Nil),
+        ClusteringBound(KindInclEndBound, Nil)))
+      writeBound(d, slice.start)
+      writeBound(d, slice.end)
+    }
     d.writeBoolean(s.hasLegacyCounterShards)
     d.writeLong(s.totalColumnsSet)
     d.writeLong(s.totalRows)
@@ -334,6 +416,39 @@ object CassandraStatsFormat {
     }
   }
 
+  /** Mirror of [[writeBound]]. */
+  private def readBound(d: DataInputStream): ClusteringBound = {
+    val kind = d.readUnsignedByte()
+    if (kind > 7)
+      throw new java.io.IOException(s"bad clustering bound kind $kind")
+    val n = d.readUnsignedShort()
+    if (n > 4096)
+      throw new java.io.IOException(s"implausible bound component count $n")
+    val values = Seq.newBuilder[Option[Array[Byte]]]
+    var off = 0
+    while (off < n) {
+      val limit = math.min(n, off + 32)
+      val header = graft.sources.indexdb.IndexDbFormat.readUnsignedVInt(d)
+      var i = off
+      while (i < limit) {
+        val rel = (i - off) * 2
+        if (((header >>> (rel + 1)) & 1L) == 1L) values += None
+        else if (((header >>> rel) & 1L) == 1L)
+          values += Some(Array.emptyByteArray)
+        else {
+          val len = graft.sources.indexdb.IndexDbFormat.readUnsignedVInt(d)
+          if (len < 0 || len > (1 << 16))
+            throw new java.io.IOException(s"implausible bound value $len")
+          val b = new Array[Byte](len.toInt); d.readFully(b)
+          values += Some(b)
+        }
+        i += 1
+      }
+      off = limit
+    }
+    ClusteringBound(kind, values.result())
+  }
+
   private def parseStats(d: DataInputStream, version: String): Stats = {
     val pSize = readHist(d)
     val cCount = readHist(d)
@@ -351,8 +466,13 @@ object CassandraStatsFormat {
     while (i < bins) { pts(i) = d.readDouble(); vals(i) = d.readLong(); i += 1 }
     val level = d.readInt()
     val repairedAt = d.readLong()
-    val minC = readBlobs(d)
-    val maxC = readBlobs(d)
+    val (minC, maxC, covered) =
+      if (hasLegacyMinMax(version))
+        (readBlobs(d), readBlobs(d), None)
+      else {
+        val slice = CoveredSlice(readBound(d), readBound(d))
+        (Nil, Nil, Some(slice))
+      }
     val legacyShards = d.readBoolean()
     val totalCols = d.readLong()
     val totalRows = d.readLong()
@@ -387,7 +507,7 @@ object CassandraStatsFormat {
     Stats(pSize, cCount, clUpper, minTs, maxTs, minLdt, maxLdt, minTtl,
       maxTtl, ratio, TombstoneHistogram(pts, vals), level, repairedAt, minC,
       maxC, legacyShards, totalCols, totalRows, clLower, intervals, pending,
-      isTransient, tail)
+      isTransient, tail, covered)
   }
 
   /** Verifies the envelope (count, TOC, per-component CRC32s) and returns

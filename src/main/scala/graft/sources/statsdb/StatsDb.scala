@@ -59,6 +59,46 @@ object StatsDb {
       .orderBy("generation")
   }
 
+  /** q100: the 5.0 "oa" covered-clustering slice (CASSANDRA-14261's
+    * improved min/max, which "oa" writes IN PLACE of the legacy
+    * min/maxClustering blob lists): per file the start/end bound kind
+    * ordinals, total component counts, the NULL / EMPTY component counts
+    * the per-block flag header encodes, and the byte sums of the real
+    * values — every column a pure function of the generation, so the
+    * oracle recomputes the whole slice without touching the binary.
+    * Parsing these files with the pre-slice layout would misread
+    * everything after `repairedAt`, so green here proves the version gate
+    * switches the field order correctly. */
+  def readOaSlice(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"$path/oa-*-big${CassandraStatsFormat.Suffix}")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val gen = "oa-(\\d+)-big".r.findFirstMatchIn(p).get.group(1).toLong
+        val f = CassandraStatsFormat.parse(bytes, version = "oa")
+        val s = f.stats.coveredClustering.getOrElse(
+          throw new java.io.IOException(s"oa file without slice: $p"))
+        def byteSum(b: CassandraStatsFormat.ClusteringBound): Long =
+          b.values.flatten.map(_.map(_ & 0xff).sum.toLong).sum
+        (gen,
+          b2l(s.start.kind), b2l(s.end.kind),
+          s.start.values.length.toLong, s.end.values.length.toLong,
+          s.start.values.count(_.isEmpty).toLong,
+          s.start.values.count(v => v.exists(_.isEmpty)).toLong,
+          byteSum(s.start), byteSum(s.end),
+          f.stats.totalRows)
+      }
+      .toDF("generation", "start_kind", "end_kind",
+        "start_components", "end_components",
+        "start_null_count", "start_empty_count",
+        "start_bytes_sum", "end_bytes_sum", "total_rows")
+      .orderBy("generation")
+  }
+
+  private def b2l(i: Int): Long = i.toLong
+
   /** A11 rollup (SummaryCollector.java:41-68) off raw metadata files: the
     * same aggregation `Summary.rollup` runs on the fixture view. */
   def summaryRollup(spark: SparkSession, path: String): DataFrame =

@@ -112,7 +112,9 @@ object StatsDbFixture {
   *  - commit log: upper = (1700000 + gen, gen·1024), lower = (1700000, 0),
   *    one interval [lower, upper];
   *  - clustering blobs: gen%2+1 min / gen%3+1 max components (content
-  *    arbitrary, counts checked);
+  *    arbitrary, counts checked); "oa" files re-encode these as the
+  *    covered-clustering slice with NULL/EMPTY flag components mixed in
+  *    (derivation in writeAll, oracle-recomputed by q100);
   *  - totalColumnsSet = cell_count, totalRows = partition_count,
   *    minTTL = 0, maxTTL = 86400, bloom FP = 0.01, Murmur3Partitioner.
   */
@@ -216,7 +218,7 @@ object CassandraStatsFixture {
       // partition-level-deletions marker, first/last key range,
       // token-space coverage), derived deterministically so the oracle
       // recomputes them (q77)
-      val versioned =
+      val withTail =
         if (version < "nc") f
         else f.copy(stats = stats.copy(tail = Some(
           CassandraStatsFormat.VersionedTail(
@@ -227,6 +229,26 @@ object CassandraStatsFixture {
             lastKey = java.nio.ByteBuffer.allocate(8)
               .putLong(gen * 1000L + 999L).array(),
             tokenSpaceCoverage = gen.toDouble / 6.0))))
+      // "oa" replaces the legacy min/max blob lists with the covered-
+      // clustering slice (q100). Component mix exercises every flag class:
+      // real values (byte b of value j = gen[+gen for end] + j + b), one
+      // EMPTY component on even generations, one NULL on gen % 3 == 0.
+      val versioned =
+        if (!CassandraStatsFormat.hasLegacyMinMax(version))
+          withTail.copy(stats = withTail.stats.copy(coveredClustering =
+            Some(CassandraStatsFormat.CoveredSlice(
+              CassandraStatsFormat.ClusteringBound(
+                CassandraStatsFormat.KindInclStartBound,
+                (0 until (gen % 2 + 1).toInt).map(j => Some(
+                  Array.tabulate(4)(b => (gen + j + b).toByte))) ++
+                  (if (gen % 2 == 0) Seq(Some(Array.emptyByteArray))
+                   else Nil) ++
+                  (if (gen % 3 == 0) Seq(None) else Nil)),
+              CassandraStatsFormat.ClusteringBound(
+                CassandraStatsFormat.KindInclEndBound,
+                (0 until (gen % 3 + 1).toInt).map(j => Some(
+                  Array.tabulate(4)(b => (gen * 2 + j + b).toByte))))))))
+        else withTail
       val stream = new DataOutputStream(new BufferedOutputStream(
         new FileOutputStream(out.resolve(
           s"$version-$gen-big${CassandraStatsFormat.Suffix}").toFile)))

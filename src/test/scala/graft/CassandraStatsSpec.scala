@@ -126,6 +126,76 @@ class CassandraStatsSpec extends SparkSpec {
     }
   }
 
+  test("oa covered-clustering slice: roundtrip with NULL/EMPTY flags, " +
+      "multi-block headers, and legacy section replacement") {
+    // values exercise every flag class, and 40 components forces TWO
+    // 32-component header blocks (block-relative bit positions)
+    val start = ClusteringBound(KindInclStartBound,
+      (0 until 40).map { i =>
+        if (i % 7 == 3) None // NULL
+        else if (i % 5 == 0) Some(Array.emptyByteArray) // EMPTY
+        else Some(Array.tabulate(1 + i % 3)(b => (i + b).toByte))
+      })
+    val end = ClusteringBound(KindExclEndBound,
+      Seq(Some(Array[Byte](9, 8)), None))
+    val tail = VersionedTail(
+      originatingHostId = Some((1L, 2L)),
+      hasPartitionLevelDeletions = false,
+      firstKey = Array[Byte](1), lastKey = Array[Byte](2),
+      tokenSpaceCoverage = 0.5)
+    val f = {
+      val base = sample(0L)
+      base.copy(stats = base.stats.copy(tail = Some(tail),
+        coveredClustering = Some(CoveredSlice(start, end))))
+    }
+    val bos = new ByteArrayOutputStream()
+    CassandraStatsFormat.write(new DataOutputStream(bos), f, version = "oa")
+    val got = parse(bos.toByteArray, "oa").stats
+    val s = got.coveredClustering.get
+    assert(s.start.kind === KindInclStartBound)
+    assert(s.end.kind === KindExclEndBound)
+    assert(s.start.values.map(_.map(_.toSeq)) ===
+      start.values.map(_.map(_.toSeq)))
+    assert(s.end.values.map(_.map(_.toSeq)) === end.values.map(_.map(_.toSeq)))
+    // the legacy blob lists are NOT on disk in oa — parse returns empty
+    assert(got.minClustering.isEmpty && got.maxClustering.isEmpty)
+    // and every post-slice field still parses at the shifted layout
+    assert(got.totalColumnsSet === 777L && got.totalRows === 10L)
+    // absent slice writes Slice.ALL (BOTTOM, TOP)
+    val noSlice = {
+      val base = sample(0L)
+      base.copy(stats = base.stats.copy(tail = Some(tail)))
+    }
+    val bos2 = new ByteArrayOutputStream()
+    CassandraStatsFormat.write(new DataOutputStream(bos2), noSlice,
+      version = "oa")
+    val all = parse(bos2.toByteArray, "oa").stats.coveredClustering.get
+    assert(all.start === ClusteringBound(KindInclStartBound, Nil))
+    assert(all.end === ClusteringBound(KindInclEndBound, Nil))
+  }
+
+  test("q100 op: oa fixture slices match the generation derivation") {
+    val rows = StatsDb.readOaSlice(spark,
+      CassandraStatsFixture.ensureOaFiles(spark, Sf0001)).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("generation")
+      val k1 = g % 2 + 1
+      val k2 = g % 3 + 1
+      assert(r.getAs[Long]("start_kind") === 1L)
+      assert(r.getAs[Long]("end_kind") === 6L)
+      assert(r.getAs[Long]("start_components") ===
+        k1 + (if (g % 2 == 0) 1 else 0) + (if (g % 3 == 0) 1 else 0))
+      assert(r.getAs[Long]("end_components") === k2)
+      assert(r.getAs[Long]("start_null_count") === (if (g % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("start_empty_count") === (if (g % 2 == 0) 1L else 0L))
+      assert(r.getAs[Long]("start_bytes_sum") ===
+        k1 * (4 * g + 6) + 2 * k1 * (k1 - 1))
+      assert(r.getAs[Long]("end_bytes_sum") ===
+        k2 * (8 * g + 6) + 2 * k2 * (k2 - 1))
+    }
+  }
+
   test("every checksum class is verified: count, TOC, component") {
     val good = bytesOf(sample(7L))
     // count checksum: flip a bit in the count int

@@ -515,6 +515,20 @@ object SparkEntry {
         .select(col("sstable_id"), col("uncompressed_length").as("data_length"))
       IndexDb.sstableSection(idx, lens)
     }),
+    // the bti (trie-indexed, Cassandra 5) beachhead: pstats off
+    // Partitions.db TRIES via the lookup-free full-scan walk — same
+    // logical data as q50's big-format Index.db set, same oracle SQL, so
+    // green means the trie path is relation-equivalent to the big path
+    "q101_pstats_bti" -> ((s, d) => {
+      import graft.sources.bti.BtiFixture
+      import graft.sources.indexdb.IndexDb
+      import graft.sources.statsdb.{StatsDb, StatsDbFixture}
+      val idx = IndexDb.readBti(s, BtiFixture.ensureFiles(s, d))
+      val lens = StatsDb.read(s, StatsDbFixture.ensureFiles(s, d))
+        .where(col("tbl") === "lineitem")
+        .select(col("sstable_id"), col("uncompressed_length").as("data_length"))
+      IndexDb.sstableSection(idx, lens)
+    }),
     // pstats off the REAL-format COMPRESSED sstable set, reading ONLY the
     // two sidecars the reference's pstats path touches (README.md:98;
     // IndexReader.java:87-98): Index.db positions (UNCOMPRESSED offsets by

@@ -1690,6 +1690,30 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size
 FROM sized GROUP BY 1 ORDER BY 1""",
 
+    // q101: the bti Partitions.db trie full-scan must reproduce EXACTLY
+    // the big-format Index.db answer on the same logical data — the
+    // oracle is q50's SQL verbatim (the format is invisible to the
+    // relation, which is the point).
+    "q101_pstats_bti" -> s"""WITH $fixtures,
+idx AS (
+  SELECT sstable_id, key,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+),
+sized AS (
+  SELECT i.sstable_id,
+    CAST(COALESCE(lead(i.position) OVER (PARTITION BY i.sstable_id
+        ORDER BY i.position), m.uncompressed_length) - i.position
+      AS BIGINT) AS size
+  FROM idx i JOIN meta m ON i.sstable_id = m.sstable_id AND m.tbl = 'lineitem'
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS partition_count,
+  CAST(MAX(size) AS BIGINT) AS max_partition_size,
+  CAST(SUM(size) AS BIGINT) AS uncompressed_length,
+  CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size
+FROM sized GROUP BY 1 ORDER BY 1""",
+
     // mirror of EventsOps.errorAsofClick: strict (ts, event_id)-before
     // frame makes the as-of match total — no tie ambiguity between engines.
     "q51_events_asof" -> """WITH u AS (

@@ -11,6 +11,12 @@ object IndexDb {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("sstable-index").load(path)
 
+  /** Read `*-Partitions.db` tries (Cassandra 5's bti format family) into
+    * the SAME relation via the full-scan trie walk — a bti sstable set
+    * becomes pstats-queryable with no other pipeline change. */
+  def readBti(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("sstable-index").option("format", "bti").load(path)
+
   /** Re-derive partition sizes from consecutive Data.db offsets — the
     * reference's IndexReader.java:87-98 size calculation as a `lead()`
     * window (SURVEY §2.5). The final entry of each sstable extends to the

@@ -23,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * granularity, cassandra/IndexReader.java). This is the "real SSTable
   * source" milestone of SURVEY §7 M6(a): the `pstats` pipeline can run
   * against actual Cassandra index files instead of derived fixtures.
+  * `option("format", "bti")` reads trie-indexed Partitions.db files
+  * (Cassandra 5's bti family) into the same relation via the full-scan
+  * trie walk ([[graft.sources.bti.BtiTrieFormat]]).
   *
   * Scale behavior:
   *  - column pruning reaches the parser (unneeded fields are not even
@@ -80,20 +83,27 @@ final class IndexDbScanBuilder(options: Map[String, String])
   override def build(): Scan = IndexDbScan(
     options.getOrElse("path",
       throw new IllegalArgumentException("sstable-index requires a path")),
-    required, pushed)
+    required, pushed,
+    // format=bti reads trie-indexed Partitions.db files (full-scan path)
+    // through the same relation; default is big-format Index.db
+    options.getOrElse("format", "big"))
 }
 
 final case class IndexDbScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], format: String = "big") extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"IndexDbScan path=$path pushed=${pushed.mkString(",")} " +
+    s"IndexDbScan path=$path format=$format pushed=${pushed.mkString(",")} " +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
 
+  private def suffix: String =
+    if (format == "bti") graft.sources.bti.BtiTrieFormat.Suffix
+    else IndexDbFormat.Suffix
+
   private def sstableIdOf(fileName: String): String =
-    fileName.stripSuffix(IndexDbFormat.Suffix)
+    fileName.stripSuffix(suffix)
 
   private def fileSurvives(id: String): Boolean =
     pushed.forall {
@@ -117,7 +127,7 @@ final case class IndexDbScan(path: String, required: StructType,
     val files =
       if (status.isDirectory)
         fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(IndexDbFormat.Suffix))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
       else Seq(status)
     files
       .map(s => (s.getPath.toString, sstableIdOf(s.getPath.getName)))
@@ -137,7 +147,7 @@ final case class IndexDbScan(path: String, required: StructType,
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    new IndexDbReaderFactory(required, entries)
+    new IndexDbReaderFactory(required, entries, format)
   }
 
   /** Streaming form (cf. DataDbMicroBatchStream): each micro-batch reads
@@ -158,7 +168,8 @@ final case class IndexDbInputPartition(file: String, sstableId: String)
     extends InputPartition
 
 final class IndexDbReaderFactory(required: StructType,
-    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+    confEntries: Array[(String, String)], format: String = "big")
+    extends PartitionReaderFactory {
   private def conf(): Configuration = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
@@ -166,7 +177,7 @@ final class IndexDbReaderFactory(required: StructType,
   }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IndexDbInputPartition]
-    new IndexDbPartitionReader(p.file, p.sstableId, required, conf())
+    new IndexDbPartitionReader(p.file, p.sstableId, required, conf(), format)
   }
   /** Columnar path (cf. DataDbReaderFactory): entries fill flat vectors,
     * no per-entry row allocation. */
@@ -174,13 +185,33 @@ final class IndexDbReaderFactory(required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[IndexDbInputPartition]
-    new IndexDbColumnarReader(p.file, p.sstableId, required, conf())
+    new IndexDbColumnarReader(p.file, p.sstableId, required, conf(), format)
   }
+}
+
+/** Per-format entries iterator over one open index file. bti reads the
+  * whole file (a partition index is small relative to its Data.db and the
+  * trie walk needs random access to backward pointers); big streams
+  * entry-at-a-time. */
+private object IndexEntries {
+  def over(stream: org.apache.hadoop.fs.FSDataInputStream, file: String,
+      conf: Configuration, format: String): Iterator[IndexDbFormat.Entry] =
+    if (format == "bti") {
+      val hPath = new Path(file)
+      val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
+      if (len > Int.MaxValue)
+        throw new java.io.IOException(s"bti Partitions.db too large: $len")
+      val buf = new Array[Byte](len.toInt)
+      stream.readFully(0L, buf)
+      graft.sources.bti.BtiTrieFormat.fullScan(buf)
+        .map { case (k, p) => IndexDbFormat.Entry(k, p) }
+    } else
+      IndexDbFormat.entries(new java.io.BufferedInputStream(stream, 1 << 18))
 }
 
 /** Vectorized reader over one Index.db file (cf. DataDbColumnarReader). */
 final class IndexDbColumnarReader(file: String, sstableId: String,
-    required: StructType, conf: Configuration)
+    required: StructType, conf: Configuration, format: String = "big")
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -188,8 +219,7 @@ final class IndexDbColumnarReader(file: String, sstableId: String,
   private val BatchRows = 4096
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
-  private val entries = IndexDbFormat.entries(
-    new java.io.BufferedInputStream(stream, 1 << 18))
+  private val entries = IndexEntries.over(stream, file, conf, format)
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
@@ -233,15 +263,13 @@ final class IndexDbColumnarReader(file: String, sstableId: String,
 /** Streaming reader over one Index.db file; only the columns in `required`
   * are materialized. */
 final class IndexDbPartitionReader(file: String, sstableId: String,
-    required: StructType, conf: Configuration)
+    required: StructType, conf: Configuration, format: String = "big")
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
-  // the vint parser reads byte-at-a-time: without a buffer every byte is an
-  // FS-stream call (checksum machinery included on local fs)
-  private val entries = IndexDbFormat.entries(
-    new java.io.BufferedInputStream(stream, 1 << 18))
+  // big: the vint parser reads byte-at-a-time, so buffer the FS stream
+  private val entries = IndexEntries.over(stream, file, conf, format)
   private var current: IndexDbFormat.Entry = _
   private val id = UTF8String.fromString(sstableId)
   // projection baked once: required-field ordinal -> value extractor

@@ -529,6 +529,15 @@ object SparkEntry {
         .select(col("sstable_id"), col("uncompressed_length").as("data_length"))
       IndexDb.sstableSection(idx, lens)
     }),
+    // bti POINT LOOKUP: every fixture key descended through its trie with
+    // the hash-byte filter; the relation must equal the full-scan /
+    // running-sum answer the oracle recomputes from parquet
+    "q102_bti_lookup" -> ((s, d) => graft.ops.BtiOps.lookupAll(s, d)),
+    // bti Rows.db ROW-INDEX roundtrip (q79's proof for the trie family):
+    // large partitions' ~refs resolve through per-partition separator
+    // tries; block tiling, separator ordinals, hash bytes and resolved
+    // Data.db positions all pinned
+    "q103_bti_row_index" -> ((s, d) => graft.ops.BtiOps.rowIndexRoundtrip(s, d)),
     // pstats off the REAL-format COMPRESSED sstable set, reading ONLY the
     // two sidecars the reference's pstats path touches (README.md:98;
     // IndexReader.java:87-98): Index.db positions (UNCOMPRESSED offsets by

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+import graft.sources.bti.{BtiRowIndexFixture, BtiRowsFormat, BtiTrieFormat}
+
+/** The bti (trie-indexed, Cassandra 5) POINT-LOOKUP and ROW-INDEX access
+  * paths — q101 proved the full-scan walk; these prove the other half of
+  * what the reference gets from cassandra-all (reference pom.xml:88-94):
+  * per-key trie descent with the hash-byte filter, and the Rows.db
+  * clustering-separator tries of large partitions. */
+object BtiOps {
+
+  /** q102: point-look-up EVERY fixture partition key in its sstable's
+    * Partitions.db trie and emit the resolved position — the relation must
+    * equal the full-scan/running-sum answer, which the oracle recomputes
+    * from parquet. Misses surface as position −1 (and would break the
+    * hash), so a single wrong trie descent is visible.
+    *
+    * Scale shape: the keys stay distributed; each task holds at most one
+    * open trie per sstable it meets (tries are a few MB — the in-memory
+    * random-access model the backward pointers require), loaded lazily
+    * and cached per task. No shuffle is introduced at all: lookups are a
+    * narrow map over the keys relation. At cluster scale the keys would
+    * arrive pre-bucketed by sstable (corpus-sink bucketing); correctness
+    * does not depend on it. */
+  def lookupAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.sources.bti.BtiFixture.ensureFiles(spark, dir)
+    val keys = Fixtures.liPscan(spark, dir)
+      .select(col("sstable_id"), col("key")).as[(String, Long)]
+    keys.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      it.map { case (sst, key) =>
+        val trie = cache.getOrElseUpdate(sst,
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path, sst + BtiTrieFormat.Suffix)))
+        val kb = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+        (sst, key, BtiTrieFormat.lookup(trie, kb).getOrElse(-1L))
+      }
+    }.toDF("sstable_id", "key", "position")
+      .orderBy("sstable_id", "key")
+  }
+
+  /** q103: the Rows.db row-index roundtrip, mirroring q79's big-format
+    * proof. For every partition of the [[BtiRowIndexFixture]] set the scan
+    * verifies: the stored key-hash byte recomputes (`hash_ok`), indexed
+    * partitions' `~entryOffset` references resolve through Rows.db, each
+    * entry's separator trie enumerates exactly `blockCount` blocks whose
+    * separators are the consecutive block ordinals and whose offsets tile
+    * the partition at [[BtiRowIndexFixture.BlockBytes]] (`tiled_ok`), and
+    * every partition's resolved Data.db position folds into `pos_sum`,
+    * which the oracle recomputes from the parquet running sums. One task
+    * per sstable (a row index is ~1% of data volume); no shuffle before
+    * the per-sstable rollup. */
+  def rowIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = BtiRowIndexFixture.ensureFiles(spark, dir)
+    val B = BtiRowIndexFixture.BlockBytes
+    val perSstable = spark.read.format("binaryFile")
+      .load(s"$path/*${BtiTrieFormat.Suffix}")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (p, trie) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val sst = name.stripSuffix(BtiTrieFormat.Suffix)
+        lazy val rows = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path, sst + BtiRowsFormat.Suffix))
+        var partitions = 0L; var indexed = 0L; var blocks = 0L
+        var sepSum = 0L; var offsSum = 0L; var posSum = 0L
+        var tiledOk = 0L; var hashOk = 0L
+        BtiTrieFormat.fullScanWithHash(trie).foreach { case (k, h, pos) =>
+          partitions += 1
+          if (h == BtiTrieFormat.hashByte(k)) hashOk += 1
+          val resolved =
+            if (pos >= 0) pos
+            else {
+              indexed += 1
+              val entry = BtiRowsFormat.readEntry(rows, ~pos)
+              var b = 0L
+              var tiled = true
+              BtiRowsFormat.blocks(rows, ~pos).foreach { case (sep, off) =>
+                val ord = java.nio.ByteBuffer.wrap(sep).getLong
+                if (ord != b || off != b * B) tiled = false
+                sepSum += ord
+                offsSum += off
+                b += 1
+              }
+              blocks += b
+              if (tiled && b == entry.blockCount && b > 1) tiledOk += 1
+              entry.dataPos
+            }
+          posSum += resolved % 1000003L
+        }
+        (sst, partitions, indexed, blocks, sepSum, offsSum, posSum,
+          tiledOk, hashOk)
+      }
+    perSstable.toDF("sstable_id", "partitions", "indexed", "blocks",
+        "sep_sum", "offs_sum", "pos_sum", "tiled_ok", "hash_ok")
+      .orderBy("sstable_id")
+  }
+}

@@ -1714,6 +1714,47 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS partition_count,
   CAST(floor(SUM(size) / COUNT(*)) AS BIGINT) AS avg_partition_size
 FROM sized GROUP BY 1 ORDER BY 1""",
 
+    // q102: the bti point-lookup relation IS the partition index —
+    // (sstable, key, running-sum position) recomputed from parquet; any
+    // wrong trie descent, payload decode or hash-filter rejection breaks
+    // the row hash.
+    "q102_bti_lookup" -> s"""WITH $fixtures,
+idx AS (
+  SELECT sstable_id, key,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+)
+SELECT sstable_id, key, position FROM idx ORDER BY 1, 2""",
+
+    // q103: the bti Rows.db roundtrip — the oracle recomputes the block
+    // model (blocks = ceil(size / 4096), separators 0..n-1, offsets
+    // b*4096, data positions = running sums) from parquet; tiled_ok and
+    // hash_ok are engine-verified structural checks that must equal the
+    // indexed / partition counts.
+    "q103_bti_row_index" -> s"""WITH $fixtures,
+idx AS (
+  SELECT sstable_id, key, size,
+    CAST(COALESCE(SUM(size) OVER (PARTITION BY sstable_id ORDER BY key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS position
+  FROM lipscan
+),
+b AS (
+  SELECT sstable_id, key, position,
+    CAST(floor((size + 4095) / 4096) AS BIGINT) AS nblocks
+  FROM idx
+)
+SELECT sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS partitions,
+  CAST(SUM(CASE WHEN nblocks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS indexed,
+  CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks ELSE 0 END) AS BIGINT) AS blocks,
+  CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks * (nblocks - 1) / 2 ELSE 0 END) AS BIGINT) AS sep_sum,
+  CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks * (nblocks - 1) / 2 * 4096 ELSE 0 END) AS BIGINT) AS offs_sum,
+  CAST(SUM(position % 1000003) AS BIGINT) AS pos_sum,
+  CAST(SUM(CASE WHEN nblocks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS tiled_ok,
+  CAST(COUNT(*) AS BIGINT) AS hash_ok
+FROM b GROUP BY 1 ORDER BY 1""",
+
     // mirror of EventsOps.errorAsofClick: strict (ts, event_id)-before
     // frame makes the as-of match total — no tie ambiguity between engines.
     "q51_events_asof" -> """WITH u AS (

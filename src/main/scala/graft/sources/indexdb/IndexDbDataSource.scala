@@ -197,14 +197,33 @@ private object IndexEntries {
   def over(stream: org.apache.hadoop.fs.FSDataInputStream, file: String,
       conf: Configuration, format: String): Iterator[IndexDbFormat.Entry] =
     if (format == "bti") {
+      import graft.sources.bti.{BtiRowsFormat, BtiTrieFormat}
       val hPath = new Path(file)
-      val len = hPath.getFileSystem(conf).getFileStatus(hPath).getLen
+      val fs = hPath.getFileSystem(conf)
+      val len = fs.getFileStatus(hPath).getLen
       if (len > Int.MaxValue)
         throw new java.io.IOException(s"bti Partitions.db too large: $len")
       val buf = new Array[Byte](len.toInt)
       stream.readFully(0L, buf)
-      graft.sources.bti.BtiTrieFormat.fullScan(buf)
-        .map { case (k, p) => IndexDbFormat.Entry(k, p) }
+      // negative positions are ~entryOffset references into the sibling
+      // Rows.db (large-partition row indexes); resolve them to the entry's
+      // Data.db position so the relation stays format-invisible. The
+      // sibling loads lazily, once, only when a reference appears.
+      lazy val rows: Array[Byte] = {
+        val rp = new Path(file.stripSuffix(BtiTrieFormat.Suffix) +
+          BtiRowsFormat.Suffix)
+        val rLen = fs.getFileStatus(rp).getLen
+        if (rLen > Int.MaxValue)
+          throw new java.io.IOException(s"bti Rows.db too large: $rLen")
+        val rBuf = new Array[Byte](rLen.toInt)
+        val rs = fs.open(rp)
+        try rs.readFully(0L, rBuf) finally rs.close()
+        rBuf
+      }
+      BtiTrieFormat.fullScan(buf).map { case (k, p) =>
+        val pos = if (p >= 0) p else BtiRowsFormat.readEntry(rows, ~p).dataPos
+        IndexDbFormat.Entry(k, pos)
+      }
     } else
       IndexDbFormat.entries(new java.io.BufferedInputStream(stream, 1 << 18))
 }

@@ -595,6 +595,13 @@ object SparkEntry {
     // fastText/DCLM-style hashed linear quality classifier: narrow
     // per-document fold (no explode, no shuffle), tiny rollup exchange
     "q84_classifier_quality" -> ((s, d) => TextStats.classifierQuality(s, d)),
+    // the TRAINED variant: closed-form Rocchio/NB fit of the 64-bucket
+    // weights on the q73 rule-gate labels (one explode pass → 64-key
+    // exchange → O(64) driver collect), then the IDENTICAL narrow scoring
+    // fold with the trained literals swapped in (plan shape spec-pinned
+    // against q84's)
+    "q104_classifier_trained" -> ((s, d) =>
+      TextStats.classifierQualityTrained(s, d)),
     // distributed Lloyd's k-means, integer-exact: literal-centroid narrow
     // assignment (zero shuffle) + tiny-key update aggregate per iteration;
     // the oracle replays the whole 2-iteration trace relationally

@@ -461,8 +461,9 @@ object TextStats {
     * (weight(b) = b mod 13 − 6 ∈ [−6, 6], B = 64 buckets), keep iff
     * score > 0. The token hash is the cross-engine
     * [[graft.functions.PortableHash]], so scores — not just verdicts —
-    * are oracle-checkable; a trained model swaps in real weights (a
-    * broadcast float array) with the identical plan. Per (lang, source):
+    * are oracle-checkable; the TRAINED model (q104,
+    * [[classifierQualityTrained]]) swaps its fitted weights into the
+    * identical plan, spec-pinned. Per (lang, source):
     * docs, kept, kept_x1000 survival rate and the exact score sum — the
     * classifier analog of q73's rule-based gate.
     *
@@ -489,6 +490,91 @@ object TextStats {
         count(lit(1)).as("docs"),
         sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
         sum("score").as("score_sum"))
+      .withColumn("kept_x1000", floor(col("kept") * 1000 / col("docs")))
+      .orderBy("lang", "source")
+  }
+
+  /** The q73 rule-gate verdict as a narrow per-document column (the
+    * "planted" training label for the trained classifier). */
+  private def ruleKeptCol(df: DataFrame): DataFrame =
+    df.withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("avg_token_len_x100",
+        floor((col("len_chars") - (col("token_count") - 1)) * 100 /
+          col("token_count")))
+      .withColumn("the_count",
+        floor((col("len_chars") -
+          length(replace(col("text"), lit(" the "), lit("")))) / 5))
+      .withColumn("kept_rule",
+        col("token_count") >= 20 &&
+          col("avg_token_len_x100") >= 300 &&
+          col("avg_token_len_x100") <= 1000 &&
+          col("the_count") >= 1)
+
+  /** Closed-form TRAINING of the hashed-linear classifier (q104): label
+    * every document with the rule-based Gopher gate (q73's verdict — the
+    * deterministic stand-in for human quality labels), count token
+    * occurrences per hash bucket on each side, and fit the
+    * Rocchio/Naive-Bayes-style centroid weight
+    * `w(b) = floor((pos_b − neg_b) · 1000 / (pos_b + neg_b + 1))` —
+    * integer-exact, so the DuckDB oracle replays the whole fit.
+    *
+    * Scale shape: ONE explode pass map-side combined into a 64-key
+    * exchange (the model is B=64 cells no matter the corpus size); the
+    * weight table collects driver-side at O(B) — the same explicitly
+    * size-gated contract as the k-means centroid collect
+    * (Similarity.scala). At 100 TB training stays a single corpus pass. */
+  def trainedClassifierWeights(spark: SparkSession, dir: String): Array[Long] = {
+    val labeled = ruleKeptCol(withTokens(Tables.documents(spark, dir)))
+    val rows = labeled
+      .select(col("kept_rule"), explode(split(col("text"), " ")).as("tok"))
+      .select((graft.functions.PortableHash.h60(col("tok")) % 64L)
+        .as("bucket"), col("kept_rule"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("kept_rule"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("kept_rule"), 1L).otherwise(0L)).as("neg"))
+      .select(col("bucket"),
+        floor((col("pos") - col("neg")) * 1000 /
+          (col("pos") + col("neg") + 1)).as("w"))
+      .collect() // O(64) rows — the model, not the data
+    val arr = Array.fill(64)(0L)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** The per-document score fold for an ARBITRARY weight vector — the
+    * literal-weights q84 fold with the trained array swapped in: an
+    * `element_at` on a 64-literal array inside the same narrow
+    * `aggregate(transform(split(...)))`, fully whole-stage-codegen. The
+    * plan SHAPE is identical to q84's (spec-asserted); only the embedded
+    * literals differ — which is the broadcast-a-trained-model pattern of
+    * the k-means assignment stage. */
+  def clfScoreWith(weights: Array[Long]): org.apache.spark.sql.Column = {
+    val w = array(weights.map(lit(_)): _*)
+    aggregate(
+      transform(split(col("text"), " "),
+        t => element_at(w,
+          (graft.functions.PortableHash.h60(t) % 64L).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** q104: the TRAINED classifier end-to-end — fit the 64-bucket weights
+    * on the rule-gate labels, then score the corpus with the identical
+    * narrow fold as q84 and roll up per (lang, source): docs, kept,
+    * score_sum, agreement with the training labels, survival rate. The
+    * oracle refits the same closed-form weights and rescoring in SQL, so
+    * a single wrong weight or bucket breaks the hash. */
+  def classifierQualityTrained(spark: SparkSession, dir: String): DataFrame = {
+    val score = clfScoreWith(trainedClassifierWeights(spark, dir))
+    ruleKeptCol(withTokens(Tables.documents(spark, dir)))
+      .select(col("lang"), col("source"), score.as("score"), col("kept_rule"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
+        sum("score").as("score_sum"),
+        sum(when((col("score") > 0) === col("kept_rule"), 1L).otherwise(0L))
+          .as("agree"))
       .withColumn("kept_x1000", floor(col("kept") * 1000 / col("docs")))
       .orderBy("lang", "source")
   }

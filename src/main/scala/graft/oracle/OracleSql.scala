@@ -2350,6 +2350,54 @@ SELECT lang, source,
     AS BIGINT) AS kept_x1000
 FROM sc GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // q104: the TRAINED classifier — the oracle refits the closed-form
+    // Rocchio/NB bucket weights on the q73 rule labels and rescores, so
+    // a single wrong weight, bucket or label breaks the hash.
+    "q104_classifier_trained" -> s"""WITH m AS (
+  SELECT doc_id, lang, source, text,
+    CAST(length(text) AS BIGINT) AS len_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, lang, source, text,
+    (token_count >= 20
+      AND floor((len_chars - (token_count - 1)) * 100 / token_count) >= 300
+      AND floor((len_chars - (token_count - 1)) * 100 / token_count) <= 1000
+      AND floor((len_chars - length(replace(text, ' the ', ''))) / 5) >= 1)
+      AS kept_rule
+  FROM m
+),
+tok AS (
+  SELECT doc_id, kept_rule, unnest(string_split(text, ' ')) AS t FROM lab
+),
+bt AS (SELECT doc_id, kept_rule, ${h60("t")} % 64 AS bucket FROM tok),
+w AS (
+  SELECT bucket,
+    CAST(floor((SUM(CASE WHEN kept_rule THEN 1 ELSE 0 END)
+      - SUM(CASE WHEN NOT kept_rule THEN 1 ELSE 0 END)) * 1000
+      / (COUNT(*) + 1)) AS BIGINT) AS w
+  FROM bt GROUP BY 1
+),
+score AS (
+  SELECT b.doc_id, CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+  FROM bt b LEFT JOIN w ON b.bucket = w.bucket
+  GROUP BY 1
+),
+sc2 AS (
+  SELECT l.lang, l.source, s.score, l.kept_rule
+  FROM lab l JOIN score s ON l.doc_id = s.doc_id
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(score) AS BIGINT) AS score_sum,
+  CAST(SUM(CASE WHEN (score > 0) = kept_rule THEN 1 ELSE 0 END) AS BIGINT)
+    AS agree,
+  CAST(floor(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000 / COUNT(*))
+    AS BIGINT) AS kept_x1000
+FROM sc2 GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // q85: incremental dedup — same hash split, window keeper and base
     // membership re-derived relationally over the dup-injected corpus.
     "q85_incremental_dedup" -> s"""WITH $corpus,

@@ -782,6 +782,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("trained classifier (q104): fitted weights beat the q84 literals " +
+      "on the rule labels, and the scoring plan SHAPE is identical") {
+    val weights = TextStats.trainedClassifierWeights(spark, Sf0001)
+    assert(weights.length === 64)
+    assert(weights.exists(_ != 0L), "training must move some weight")
+    val rows = TextStats.classifierQualityTrained(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    var docs = 0L; var agree = 0L
+    rows.foreach { r =>
+      docs += r.getAs[Long]("docs")
+      agree += r.getAs[Long]("agree")
+      assert(r.getAs[Long]("kept") <= r.getAs[Long]("docs"))
+    }
+    // the fit actually learned the labels: agreement well above coin-flip
+    assert(agree * 1000L / docs > 600L,
+      s"trained classifier agrees on only $agree / $docs")
+    // plan parity: the trained fold lowers to the SAME physical node
+    // sequence as the literal-weight q84 fold (only embedded literals
+    // differ) — no explode, no extra exchange from swapping the model in
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+        .filterNot(Set("AdaptiveSparkPlan", "ResultQueryStage"))
+    val literal = TextStats.classifierQuality(spark, Sf0001)
+    val trained = TextStats.classifierQualityTrained(spark, Sf0001)
+    assert(shape(trained) === shape(literal))
+    assert(!trained.queryExecution.executedPlan.toString.contains("Generate"),
+      "scoring must stay a narrow fold (no explode)")
+  }
+
   test("dup-span removal: bounded by coverage, copies are fully stripped") {
     val rem = Dedup.dupSpanRemoval(spark, Sf0001).collect()
     assert(rem.nonEmpty)

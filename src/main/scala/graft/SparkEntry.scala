@@ -602,6 +602,17 @@ object SparkEntry {
     // against q84's)
     "q104_classifier_trained" -> ((s, d) =>
       TextStats.classifierQualityTrained(s, d)),
+    // the NON-ASCII slice: the char-sensitive operators re-oracled over a
+    // deterministic multilingual corpus (2/3/4-byte UTF-8 planted in known
+    // docs) — the length/replace/regex byte-vs-char class the pure-ASCII
+    // fixture could never catch (the round-7 q92 bug class)
+    "q105_intl_quality" -> ((s, d) =>
+      TextStats.qualityOf(TextStats.intlDocs(s, d))),
+    "q106_intl_repetition" -> ((s, d) =>
+      TextStats.repetitionOf(TextStats.intlDocs(s, d))),
+    "q107_intl_pii" -> ((s, d) =>
+      Cleanse.piiScanOf(Cleanse.plantPii(TextStats.intlDocs(s, d)))),
+    "q108_intl_boilerplate" -> ((s, d) => Cleanse.intlBoilerplate(s, d)),
     // distributed Lloyd's k-means, integer-exact: literal-centroid narrow
     // assignment (zero shuffle) + tiny-key update aggregate per iteration;
     // the oracle replays the whole 2-iteration trace relationally

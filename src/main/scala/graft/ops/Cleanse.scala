@@ -28,7 +28,10 @@ object Cleanse {
   /** documents with planted PII: emails on doc_id % 11, IPv4s on % 13,
     * phone numbers on % 17 (composites get several kinds). */
   def piiCorpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).withColumn("text", concat(
+    plantPii(Tables.documents(spark, dir))
+
+  def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
       col("text"),
       when(col("doc_id") % 11 === 0, concat(lit(" contact admin"),
         (col("doc_id") % 100).cast("string"), lit("@example.com for help")))
@@ -52,7 +55,11 @@ object Cleanse {
     * inside whole-stage codegen per document, and the only exchange is the
     * O(#sources) rollup — the scan shape survives any corpus size. */
   def piiScan(spark: SparkSession, dir: String): DataFrame =
-    piiCorpus(spark, dir)
+    piiScanOf(piiCorpus(spark, dir))
+
+  /** The q91 scan over an arbitrary (already PII-planted) corpus. */
+  def piiScanOf(pii: DataFrame): DataFrame =
+    pii
       .select(col("source"),
         size(matches(EmailRe)).cast("long").as("emails"),
         size(matches(Ipv4Re)).cast("long").as("ips"),
@@ -74,9 +81,12 @@ object Cleanse {
     * every page (100% boilerplate), a cookie banner on doc_id % 3 (33% —
     * above threshold), a rare promo line on doc_id % 50 (2% — legitimate
     * content the filter must NOT strip), body in the middle. */
-  def pageCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def pageCorpus(spark: SparkSession, dir: String): DataFrame =
+    pagesOf(Tables.documents(spark, dir))
+
+  def pagesOf(docs: DataFrame): DataFrame = {
     val empty = array().cast("array<string>")
-    Tables.documents(spark, dir).withColumn("lines", concat(
+    docs.withColumn("lines", concat(
       array(concat(lit("subscribe to "), col("source"), lit(" newsletter"))),
       array(col("text")),
       when(col("doc_id") % 3 === 0,
@@ -98,8 +108,24 @@ object Cleanse {
     * partial aggregate. The per-source doc totals are an O(#sources) frame
     * broadcast back, and every downstream frame is per-source tiny. */
   def boilerplate(spark: SparkSession, dir: String,
-      threshPct: Int = 30): DataFrame = {
-    val pages = pageCorpus(spark, dir)
+      threshPct: Int = 30): DataFrame =
+    boilerplateOf(pageCorpus(spark, dir))
+
+  /** q108: the boilerplate filter over the MULTILINGUAL page corpus — an
+    * extra 50%-frequency chrome line carrying 2/3/4-byte UTF-8 characters
+    * makes the flagged-line character budget (`chars_removed`) and the
+    * line identity keys sensitive to byte-vs-char accounting in BOTH
+    * engines (the round-7 q92 bug class, now oracle-visible). */
+  def intlBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    val pages = pagesOf(TextStats.intlDocs(spark, dir))
+      .withColumn("lines", concat(col("lines"),
+        when(col("doc_id") % 2 === 0,
+          array(lit("große Änderung — 新しい規約 🦉 gilt"))).otherwise(empty)))
+    boilerplateOf(pages)
+  }
+
+  def boilerplateOf(pages: DataFrame, threshPct: Int = 30): DataFrame = {
     val lines = pages
       .select(col("doc_id"), col("source"), explode(col("lines")).as("line"))
       .select(col("doc_id"), col("source"), xxhash64(col("line")).as("lh"),

@@ -17,7 +17,10 @@ object TextStats {
     * avg token length ×100 by integer division, counts via
     * length-difference tricks (cross-engine deterministic, no regex). */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    withTokens(Tables.documents(spark, dir))
+    qualityOf(Tables.documents(spark, dir))
+
+  def qualityOf(docs: DataFrame): DataFrame =
+    withTokens(docs)
       .withColumn("len_chars", length(col("text")).cast("long"))
       .select(
         col("doc_id"),
@@ -224,7 +227,10 @@ object TextStats {
     * hash aggregate, then a (doc_id) aggregate — shuffle keys are
     * high-cardinality composites, no windows, no per-doc collect. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    repetitionOf(Tables.documents(spark, dir))
+
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(size(w) - 1, 1))," +
@@ -494,6 +500,30 @@ object TextStats {
       .orderBy("lang", "source")
   }
 
+  /** Deterministic MULTILINGUAL augmentation of the documents corpus: the
+    * driver fixture is pure ASCII, which left the whole char-vs-byte
+    * semantics class (length, replace, substr, regex over 2/3/4-byte
+    * UTF-8) structurally invisible to the oracle — the exact class of the
+    * round-7 q92 strlen/length bug. Known doc_id residues get German
+    * umlauts+ß (2-byte), French accents (2-byte), CJK (3-byte) and
+    * supplementary-plane emoji (4-byte); the oracle replays the identical
+    * `CASE` in DuckDB, and both engines count code points (verified:
+    * Spark's UTF8String.numChars ≡ DuckDB `length`; DuckDB `strlen`
+    * would count bytes and diverge on every planted doc). A narrow
+    * projection — composes with any downstream text operator. */
+  def intlDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("Über größere Qualität — schöne Grüße außerdem. "),
+          col("text")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" voilà déjà façon où ça réussi")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" 数据 清洗 模型 训练 语料")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"), lit(" emoji 🦉🦉 fin")))
+        .otherwise(col("text")))
+
   /** The q73 rule-gate verdict as a narrow per-document column (the
     * "planted" training label for the trained classifier). */
   private def ruleKeptCol(df: DataFrame): DataFrame =
@@ -550,7 +580,7 @@ object TextStats {
     * literals differ — which is the broadcast-a-trained-model pattern of
     * the k-means assignment stage. */
   def clfScoreWith(weights: Array[Long]): org.apache.spark.sql.Column = {
-    val w = array(weights.map(lit(_)): _*)
+    val w = array(weights.toIndexedSeq.map(lit(_)): _*)
     aggregate(
       transform(split(col("text"), " "),
         t => element_at(w,

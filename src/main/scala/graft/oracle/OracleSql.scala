@@ -142,6 +142,21 @@ meta AS (
   /** The default-gc_grace CTE prefix every non-parameterized query uses. */
   val fixtures: String = fixturesAt(GcBeforeS)
 
+  /** Mirror of TextStats.intlDocs: the deterministic multilingual
+    * augmentation (2/3/4-byte UTF-8 planted on known doc_id residues).
+    * DuckDB `length`/`replace`/`string_split` operate on characters like
+    * Spark's — `strlen` would count bytes and break every planted doc. */
+  private val intlCte: String = """intl AS (
+  SELECT doc_id, lang, source, n_chars,
+    CASE WHEN doc_id % 5 = 0
+           THEN 'Über größere Qualität — schöne Grüße außerdem. ' || text
+         WHEN doc_id % 5 = 1 THEN text || ' voilà déjà façon où ça réussi'
+         WHEN doc_id % 5 = 2 THEN text || ' 数据 清洗 模型 训练 语料'
+         WHEN doc_id % 5 = 3 THEN text || ' emoji 🦉🦉 fin'
+         ELSE text END AS text
+  FROM documents
+)"""
+
   /** Shared q67/q68 derivation — the real big-format Data.db roundtrip
     * recomputed from parquet under CassandraDataFixture's representation
     * mapping (no TTL on deleted cells; size = value length = size_bytes
@@ -2397,6 +2412,114 @@ SELECT lang, source,
   CAST(floor(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000 / COUNT(*))
     AS BIGINT) AS kept_x1000
 FROM sc2 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q105–q108: the char-sensitive operators re-run over the multilingual
+    // corpus — identical bodies to q26/q65/q91/q92 with `documents`
+    // swapped for the intl CTE, so any byte-vs-char divergence (length,
+    // replace, split, regex position) between the engines now surfaces.
+    "q105_intl_quality" -> s"""WITH $intlCte
+SELECT doc_id, n_chars,
+  CAST(length(text) AS BIGINT) AS len_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+  CAST(floor((length(text) - (len(string_split(text, ' ')) - 1)) * 100
+       / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_x100,
+  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS period_count,
+  CAST(floor((length(text) - length(replace(text, ' the ', ''))) / 5) AS BIGINT) AS the_count,
+  (len(string_split(text, ' ')) < 20) AS is_short
+FROM intl ORDER BY doc_id""",
+
+    "q106_intl_repetition" -> s"""WITH $intlCte,
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM intl),
+bg AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(w), 2))) AS t(i)
+),
+bc AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS bigrams_total,
+  CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+  CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+  CAST(floor(MAX(c) * 1000 / CAST(SUM(c) AS BIGINT)) AS BIGINT)
+    AS top_bigram_x1000
+FROM bc GROUP BY 1 ORDER BY 1""",
+
+    "q107_intl_pii" -> s"""WITH $intlCte,
+pii AS (
+  SELECT source,
+    text || CASE WHEN doc_id % 11 = 0 THEN ' contact admin' ||
+        CAST(doc_id % 100 AS VARCHAR) || '@example.com for help'
+      ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' server 10.' ||
+        CAST(doc_id % 200 AS VARCHAR) || '.0.1 responded' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' call 555-01' ||
+        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+      ELSE '' END AS text
+  FROM intl
+),
+per AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+      AS emails,
+    CAST(len(regexp_extract_all(text,
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS ips,
+    CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT)
+      AS phones,
+    CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'),
+        x -> length(x))), 0)
+      + COALESCE(list_sum(list_transform(regexp_extract_all(text,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'), x -> length(x))), 0)
+      + COALESCE(list_sum(list_transform(regexp_extract_all(text,
+        '\\b\\d{3}-\\d{4}\\b'), x -> length(x))), 0) AS BIGINT) AS pii_chars
+  FROM pii
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS docs_with_pii,
+  CAST(SUM(emails) AS BIGINT) AS emails,
+  CAST(SUM(ips) AS BIGINT) AS ips,
+  CAST(SUM(phones) AS BIGINT) AS phones,
+  CAST(SUM(pii_chars) AS BIGINT) AS pii_chars
+FROM per GROUP BY 1 ORDER BY 1""",
+
+    "q108_intl_boilerplate" -> s"""WITH $intlCte,
+pages AS (
+  SELECT doc_id, source,
+    list_concat(list_concat(list_concat(list_concat(list_concat(
+      ['subscribe to ' || source || ' newsletter'], [text]),
+      CASE WHEN doc_id % 3 = 0 THEN ['accept our cookie policy']
+        ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 50 = 0 THEN
+        ['promo code ' || CAST(doc_id AS VARCHAR)]
+        ELSE CAST([] AS VARCHAR[]) END),
+      ['copyright ' || source]),
+      CASE WHEN doc_id % 2 = 0 THEN ['große Änderung — 新しい規約 🦉 gilt']
+        ELSE CAST([] AS VARCHAR[]) END) AS lines
+  FROM intl
+),
+lns AS (
+  SELECT doc_id, source, l AS line, CAST(length(l) AS BIGINT) AS len
+  FROM pages, UNNEST(lines) t(l)),
+perline AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS line_docs,
+    CAST(COUNT(*) AS BIGINT) AS occurrences, MAX(len) AS len
+  FROM lns GROUP BY 1, 2),
+persrc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs FROM pages GROUP BY 1)
+SELECT p.source, MAX(s.docs) AS docs,
+  CAST(SUM(p.occurrences) AS BIGINT) AS line_instances,
+  CAST(COUNT(*) AS BIGINT) AS distinct_lines,
+  CAST(SUM(CASE WHEN p.line_docs * 100 >= s.docs * 30 THEN 1 ELSE 0 END)
+    AS BIGINT) AS boilerplate_lines,
+  CAST(SUM(CASE WHEN p.line_docs * 100 >= s.docs * 30 THEN p.occurrences
+    ELSE 0 END) AS BIGINT) AS removed_instances,
+  CAST(SUM(CASE WHEN p.line_docs * 100 >= s.docs * 30 THEN
+    p.occurrences * p.len ELSE 0 END) AS BIGINT) AS chars_removed
+FROM perline p JOIN persrc s USING (source)
+GROUP BY 1 ORDER BY 1""",
 
     // q85: incremental dedup — same hash split, window keeper and base
     // membership re-derived relationally over the dup-injected corpus.

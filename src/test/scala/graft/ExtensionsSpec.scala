@@ -811,6 +811,32 @@ class ExtensionsSpec extends SparkSpec {
       "scoring must stay a narrow fold (no explode)")
   }
 
+  test("intl corpus: multibyte UTF-8 actually lands in known docs (byte " +
+      "count > char count), and the char-sensitive ops stay consistent") {
+    import spark.implicits._
+    val intl = TextStats.intlDocs(spark, Sf0001)
+      .select(col("doc_id"), length(col("text")).as("chars"),
+        octet_length(col("text")).as("bytes"))
+      .collect()
+    val (planted, plain) = intl.partition(_.getLong(0) % 5 < 4)
+    assert(planted.nonEmpty && plain.nonEmpty)
+    planted.foreach(r => assert(r.getInt(2) > r.getInt(1),
+      s"doc ${r.getLong(0)} must contain multibyte chars"))
+    plain.foreach(r => assert(r.getInt(2) === r.getInt(1),
+      s"doc ${r.getLong(0)} is unmodified ASCII"))
+    // emoji (4-byte, supplementary plane) count as ONE char in Spark
+    val owl = Seq("a 🦉🦉 b").toDF("text")
+      .select(length(col("text")), octet_length(col("text"))).head
+    assert(owl.getInt(0) === 6 && owl.getInt(1) === 12)
+    // the four re-oracled ops run non-vacuously over the intl corpus
+    assert(TextStats.qualityOf(TextStats.intlDocs(spark, Sf0001))
+      .count() > 0)
+    assert(Cleanse.piiScanOf(Cleanse.plantPii(TextStats.intlDocs(
+      spark, Sf0001))).collect().map(_.getAs[Long]("docs_with_pii")).sum > 0)
+    assert(Cleanse.intlBoilerplate(spark, Sf0001).collect()
+      .forall(_.getAs[Long]("chars_removed") > 0))
+  }
+
   test("dup-span removal: bounded by coverage, copies are fully stripped") {
     val rem = Dedup.dupSpanRemoval(spark, Sf0001).collect()
     assert(rem.nonEmpty)

@@ -263,7 +263,11 @@ object TextStats {
       budgetTokens: Long = 1000000L): DataFrame = {
     // localCheckpoint the O(#sources) rollup so the grand-total branch and
     // the per-source branch share ONE corpus scan instead of re-running the
-    // tokenTotals lineage twice
+    // tokenTotals lineage twice. NOTE: the checkpoint is EAGER — merely
+    // constructing this DataFrame runs the tokenTotals corpus job, and the
+    // checkpointed blocks live until session end. That is the intended
+    // contract (every caller executes the frame), traded for never
+    // double-scanning the corpus.
     val weighted = tokenTotals(spark, dir)
       .select(col("source"), col("docs"), col("total_tokens"))
       .withColumn("weight", floor(sqrt(col("total_tokens"))))
@@ -692,7 +696,8 @@ object TextStats {
     * full-outer join, 8-byte token keys; the oracle keys on text, q21's
     * documented collision class); per-source totals broadcast back and
     * everything downstream is O(#sources × vocab). */
-  def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+  def driftMonitor(spark: SparkSession, dir: String,
+      decimal128: Boolean = false): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("source"),
         (graft.functions.PortableHash.h60(col("doc_id").cast("string"))
@@ -702,22 +707,57 @@ object TextStats {
     val cnt = toks.groupBy("source", "th")
       .agg(sum(when(col("inc"), 0L).otherwise(1L)).as("ca"),
         sum(when(col("inc"), 1L).otherwise(0L)).as("cb"))
+    driftRollup(cnt, decimal128)
+  }
+
+  /** The drift rollup over a per-(source, token-key) count frame
+    * `(source, th, ca, cb)` — shared by the production int64 path and the
+    * `decimal128` variant. The int64 path's TIGHTEST step is the final
+    * scaling `num·10⁶` with `num ≤ 2·na·nb`, so it is exact only while
+    * the side-total product stays under `na·nb ≲ 2⁴¹` (~2 M tokens a
+    * side); the cross products |ca·nb − cb·na| break later (~2⁶³). Under
+    * ANSI mode (Spark 4 default) exceeding either bound THROWS rather
+    * than silently corrupting. With `decimal128 = true` the products, the
+    * numerator sum and the scaled division run in DECIMAL(38,0) — even
+    * adversarial 2³¹-counts against 2⁴⁰-totals (products ≈ 2⁷¹ ≈
+    * 2.4·10²¹, scaled numerators ≲ 10³⁴) stay inside 38 digits. The final
+    * `tv_x1e6 ∈ [0, 10⁶]` division is an EXACT floor (subtract the decimal
+    * remainder first), so no HALF_UP rounding at the division scale can
+    * perturb the integer result; a property test pins int64 ≡ decimal in
+    * range and decimal-correct past the overflow bound. q96 keeps the
+    * int64 default (exact at fixture scale, codegen-cheapest, DuckDB
+    * replays it in HUGEINT); a 100 TB corpus has billions of tokens per
+    * side and MUST pass `decimal128 = true` — ANSI makes forgetting loud
+    * (throw), not wrong. */
+  def driftRollup(cnt: DataFrame, decimal128: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val totals = cnt.groupBy("source")
       .agg(sum("ca").as("na"), sum("cb").as("nb"))
-    cnt.join(broadcast(totals), "source")
+    def wide(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (decimal128) c.cast(DecimalType(19, 0)) else c
+    val agg = cnt.join(broadcast(totals), "source")
       .groupBy("source")
       .agg(
         max("na").as("base_tokens"),
         max("nb").as("inc_tokens"),
         count(lit(1)).as("distinct_tokens"),
-        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
+        sum(abs(wide(col("ca")) * wide(col("nb")) -
+          wide(col("cb")) * wide(col("na")))).as("num"))
+    val tv =
+      if (decimal128) {
+        val numScaled = col("num") * lit(1000000L).cast(DecimalType(19, 0))
+        val denom = lit(2L).cast(DecimalType(19, 0)) *
+          wide(col("base_tokens")) * wide(col("inc_tokens"))
+        ((numScaled - numScaled % denom) / denom).cast("long")
+      } else
+        floor(col("num") * 1000000 /
+          (lit(2L) * col("base_tokens") * col("inc_tokens")))
+    agg
       .withColumn("tv_x1e6",
-        when(col("base_tokens") > 0 && col("inc_tokens") > 0,
-          floor(col("num") * 1000000 /
-            (lit(2L) * col("base_tokens") * col("inc_tokens"))))
+        when(col("base_tokens") > 0 && col("inc_tokens") > 0, tv)
           .otherwise(0L))
-      .select("source", "base_tokens", "inc_tokens", "distinct_tokens",
-        "tv_x1e6")
+      .select(col("source"), col("base_tokens"), col("inc_tokens"),
+        col("distinct_tokens"), col("tv_x1e6"))
       .orderBy("source")
   }
 

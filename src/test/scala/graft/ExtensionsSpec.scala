@@ -837,6 +837,48 @@ class ExtensionsSpec extends SparkSpec {
       .forall(_.getAs[Long]("chars_removed") > 0))
   }
 
+  test("drift DECIMAL(38) variant: int64 ≡ decimal in range; decimal " +
+      "stays exact past the int64 overflow bound (counts ~2^31, N ~2^40)") {
+    import spark.implicits._
+    // in range: both paths produce identical rows on moderate magnitudes
+    val rnd = new scala.util.Random(11)
+    // kept inside the int64 envelope END-TO-END: the tightest step is
+    // num·10⁶ with num ≤ 2·na·nb, so side totals must satisfy
+    // na·nb ≲ 2⁴¹ — 200 rows of counts < 2¹⁰ give na, nb ~ 2¹⁷
+    val inRange = (0 until 200).map(i =>
+      ("s" + i % 3, i.toLong, math.abs(rnd.nextLong()) % (1L << 10),
+        math.abs(rnd.nextLong()) % (1L << 10)))
+      .toDF("source", "th", "ca", "cb")
+    val i64 = TextStats.driftRollup(inRange, decimal128 = false).collect()
+    val dec = TextStats.driftRollup(inRange, decimal128 = true).collect()
+    assert(i64.map(_.toSeq).toSeq === dec.map(_.toSeq).toSeq)
+    // adversarial: per-token counts ~2^31 against side totals ~2^40 push
+    // the cross products to ~2^71 — beyond int64
+    val bigRows = Seq(
+      (1L, (1L << 31) - 7L, 3L),
+      (2L, 9L, (1L << 31) + 11L),
+      (3L, (1L << 40) - 123L, 5L),
+      (4L, 17L, (1L << 40) + 999L))
+    val big = bigRows.map { case (th, ca, cb) => ("s", th, ca, cb) }
+      .toDF("source", "th", "ca", "cb")
+    val na = bigRows.map(r => BigInt(r._2)).sum
+    val nb = bigRows.map(r => BigInt(r._3)).sum
+    val num = bigRows.map { case (_, ca, cb) =>
+      (BigInt(ca) * nb - BigInt(cb) * na).abs
+    }.sum
+    val expectTv = num * 1000000 / (2 * na * nb) // exact BigInt floor
+    val d = TextStats.driftRollup(big, decimal128 = true).collect().head
+    assert(d.getAs[Long]("base_tokens") === na.toLong)
+    assert(d.getAs[Long]("inc_tokens") === nb.toLong)
+    assert(d.getAs[Long]("tv_x1e6") === expectTv.toLong)
+    // the int64 fold is genuinely past its bound here: under ANSI mode
+    // (Spark 4 default) the long multiply overflows and THROWS — exactly
+    // why the decimal128 variant exists
+    intercept[ArithmeticException] { // SparkArithmeticException
+      TextStats.driftRollup(big, decimal128 = false).collect()
+    }
+  }
+
   test("dup-span removal: bounded by coverage, copies are fully stripped") {
     val rem = Dedup.dupSpanRemoval(spark, Sf0001).collect()
     assert(rem.nonEmpty)

@@ -166,10 +166,38 @@ object Bench {
     // SECOND, compact line: the driver records only an output *tail*, which
     // truncated the head of the full line in rounds 4–6 and lost the parsed
     // record each time. This line is short enough that the tail always ends
-    // with a complete parseable JSON object (VERDICT r6 ask #1).
+    // with a complete parseable JSON object (VERDICT r6 ask #1). Its metric
+    // name is DISTINCT from the full line's so metric-keyed consumers never
+    // double-count a run (ADVICE r7), and it carries per-family subtotals
+    // so round-over-round movement is attributable without tail
+    // archaeology (VERDICT r7 ask #8).
     val maxStall =
       if (results.isEmpty) 0.0 else results.map(_._2._1._3).max * 100
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"max_stall_pct":$maxStall%.1f,"sf":"$sfDir"}""")
+    val famJson = results
+      .groupBy { case (k, _) => family(k) }
+      .map { case (f, rs) => f -> rs.map(_._2._1._1).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Report-family buckets for the compact summary's subtotals — keyword
+    * rules, checked in order (codec before pstats so q82/q101-style
+    * real-format queries land in codec; dedup before ann so embedding
+    * dedup stays with dedup). */
+  def family(n: String): String =
+    if (Seq("_raw", "cassandra", "bti", "roundtrip", "compression", "bloom",
+        "digest", "crc", "row_index", "real_format", "oa_", "png", "jpeg",
+        "media", "multimodal").exists(n.contains)) "codec"
+    else if (Seq("dedup", "dup_", "canonical", "fingerprint", "chunk")
+      .exists(n.contains)) "dedup"
+    else if (n.contains("sim_") || n.contains("kmeans")) "ann"
+    else if (n.contains("purge")) "purge"
+    else if (n.contains("cfstats") || n.contains("ttl_map")) "cfstats"
+    else if (Seq("pstats", "catalog", "summary", "sstables", "index",
+      "reservoir").exists(n.contains)) "pstats"
+    else if (n.contains("events")) "events"
+    else "text"
 }

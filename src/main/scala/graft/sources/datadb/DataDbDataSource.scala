@@ -152,11 +152,14 @@ final case class DataDbScan(path: String, required: StructType,
   /** Streaming form: each micro-batch reads the SSTables that appeared in
     * the directory since the last batch — flushed/compacted sstables are
     * immutable, so file arrival is the natural streaming unit (the analog
-    * of the reference re-running a command against a newer snapshot). */
+    * of the reference re-running a command against a newer snapshot).
+    * Honors `format=cassandra` exactly like the batch path, so a live
+    * directory of REAL 'nb' sstables (with their Statistics.db /
+    * CompressionInfo.db companions) streams through the same codec. */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new DataDbMicroBatchStream(path, required, maxSplitBytes,
-      DataDbScan.confEntries(sessionHadoopConf()))
+      DataDbScan.confEntries(sessionHadoopConf()), format)
 }
 
 object DataDbScan {

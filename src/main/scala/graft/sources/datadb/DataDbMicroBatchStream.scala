@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.StructType
   * sidecar (DataDbScan.splitsOf) and are read through the same vectorized
   * reader factory as the batch path. */
 final class DataDbMicroBatchStream(path: String, required: StructType,
-    maxSplitBytes: Long, confEntries: Array[(String, String)])
+    maxSplitBytes: Long, confEntries: Array[(String, String)],
+    format: String = DataDbScan.FormatGraft)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def conf(): Configuration = {
@@ -88,7 +89,7 @@ final class DataDbMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DataDbReaderFactory(required, confEntries)
+    new DataDbReaderFactory(required, confEntries, format)
 
   override def stop(): Unit = ()
 }

@@ -246,6 +246,10 @@ object CassandraStatsFormat {
     * as opaque blobs, i.e. BytesType. */
   private def writeBound(d: DataOutputStream, b: ClusteringBound): Unit = {
     d.writeByte(b.kind)
+    // keep the writer inside the reader's sanity cap (readBound rejects
+    // > 4096 components) so a written file always roundtrips
+    require(b.values.length <= 4096,
+      s"clustering bound with ${b.values.length} components exceeds 4096")
     d.writeShort(b.values.length)
     var off = 0
     val n = b.values.length

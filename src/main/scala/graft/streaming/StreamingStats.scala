@@ -79,8 +79,11 @@ object StreamingStats {
     * reference's "re-run cfstats against a newer snapshot" as one standing
     * query. Same conditional-aggregate expressions as the batch path, so
     * batch results oracle the streaming ones. */
-  def liveCfStatsTotals(spark: SparkSession, sstableDir: String): DataFrame =
-    spark.readStream.format("sstable-data").load(sstableDir)
+  def liveCfStatsTotals(spark: SparkSession, sstableDir: String,
+      format: String = graft.sources.datadb.DataDbScan.FormatGraft)
+      : DataFrame =
+    spark.readStream.format("sstable-data").option("format", format)
+      .load(sstableDir)
       .groupBy("sstable_id")
       .agg(
         count(lit(1)).as("events"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, In}
 
 import graft.sources.Fixtures
-import graft.sources.datadb.{DataDb, DataDbFixture, DataDbFormat, DataDbScan, DataDbScanBuilder}
+import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbFixture, DataDbFormat, DataDbScan, DataDbScanBuilder}
 
 /** The raw Data.db DataSource V2: binary event codec, partition framing,
   * file reading via the registered short name, column pruning, sstable_id
@@ -221,6 +221,31 @@ class DataDbSourceSpec extends SparkSpec {
         sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
         sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
         sum("size_bytes").as("size"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("live cfstats over REAL-format (cassandra 'nb', compressed) " +
+      "sstables: stream equals batch through the same codec") {
+    val dir = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val q = graft.streaming.StreamingStats.liveCfStatsTotals(spark, dir,
+        format = DataDbScan.FormatCassandra)
+      .writeStream.format("memory").queryName("live_cfstats_cass")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("live_cfstats_cass")
+    val batch = spark.read.format("sstable-data")
+      .option("format", DataDbScan.FormatCassandra).load(dir)
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum("size_bytes").as("size"))
+    assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }

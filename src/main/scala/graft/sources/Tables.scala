@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   * One parquet file per table under `dir`.
@@ -22,15 +22,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads with
-    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench). The
-    * long nanos are narrowed to a microsecond TimestampType here so
-    * downstream code sees a normal timestamp column. */
+  /** events.parquet has carried TIMESTAMP(NANOS) (readable only as long via
+    * spark.sql.legacy.parquet.nanosAsLong=true) and TIMESTAMP(MICROS) with no
+    * timezone (read as TIMESTAMP_NTZ unless
+    * spark.sql.parquet.inferTimestampNTZ.enabled=false) across testdata
+    * generations. Normalize both here to a plain microsecond TimestampType so
+    * downstream watermarks / unix_micros always see a timestamp column,
+    * independent of session conf. Sessions run UTC, so the NTZ cast is a
+    * type relabel — the stored micros are unchanged. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = read(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -1,15 +1,72 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bench main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and prints
   * one JSON metrics line (driver contract). A small untimed warm-up absorbs
   * JVM/classloader/codegen start-up so per-query numbers reflect steady
   * state, and queries run in sorted name order for run-to-run stability. */
 object Bench {
+
+  private def cpuStat(): (Long, Long) = {
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val vals = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+      finally f.close()
+      (if (vals.length > 7) vals(7) else 0L, vals.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
+  private def psiStallUs(): Long = {
+    try {
+      val f = scala.io.Source.fromFile("/proc/pressure/cpu")
+      try f.getLines().collectFirst {
+        case l if l.startsWith("some") =>
+          l.split("total=")(1).trim.toLong
+      }.getOrElse(0L)
+      finally f.close()
+    } catch { case _: Throwable => 0L }
+  }
+
+  /** Rolling PSI cpu average ("avg10"/"avg60"/"avg300", percent) — used by
+    * the pre-run gate to avoid starting a timed run into a host contention
+    * event that is already in progress. */
+  private def psiAvg(win: String): Double = {
+    try {
+      val f = scala.io.Source.fromFile("/proc/pressure/cpu")
+      try f.getLines().collectFirst {
+        case l if l.startsWith("some") =>
+          l.split(win + "=")(1).split("\\s+")(0).toDouble
+      }.getOrElse(0.0)
+      finally f.close()
+    } catch { case _: Throwable => 0.0 }
+  }
+
+  /** A timed window is contaminated if hypervisor steal or PSI cpu stall ate
+    * a meaningful fraction of it; the stall gate only applies to windows long
+    * enough for a meaningful PSI delta (a width-matched local[32] job
+    * self-induces ~2-3% stall from its own scheduler queuing). */
+  private def contended(w: (Double, Double, Double)): Boolean =
+    w._2 > 0.03 || (w._1 > 0.05 && w._3 > 0.10)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // PRE-RUN GATE (VERDICT r8 ask #1): this box is a guest on an
+    // oversubscribed host, and round 8's record was taken during a sustained
+    // contention event that the per-window retry could not ride out (all 5
+    // windows dirty for 10 queries -> the published "min" was silently
+    // inflated 2-30x). Before burning any timed windows, check the host's
+    // rolling cpu pressure — our own load is not running yet, so avg10/avg60
+    // here is pure neighbor noise — and wait (bounded) for it to drain.
+    var gateWaitSec = 0
+    while ((psiAvg("avg60") > 10.0 || psiAvg("avg10") > 20.0) &&
+        gateWaitSec < 120) {
+      System.err.println(f"BENCH GATE: host busy before start " +
+        f"(cpu PSI avg10=${psiAvg("avg10")}%.1f%% avg60=${psiAvg("avg60")}%.1f%%), waiting 15s")
+      Thread.sleep(15000)
+      gateWaitSec += 15
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,54 +118,35 @@ object Bench {
     // (so the line stays parseable) but the error lands in the JSON and on
     // stderr — a bench that aborted a job must never read as a clean pass
     //
-    // CONTENTION DEFENSE: this box is a guest on an oversubscribed host —
-    // /proc/stat steal has been observed at 17–28% for minutes at a time,
-    // which inflated random disjoint query subsets 2–30× across otherwise
-    // identical runs (rounds 4, 5 and 6 all hit this). Steal alone is NOT
-    // sufficient: a round-6 run showed 14× inflation on q19 with ZERO
-    // recorded steal (cgroup CFS throttling and runqueue contention are
-    // invisible to the steal counter), so each window additionally reads
-    // the PSI cpu stall clock (/proc/pressure/cpu "some total=<µs>" —
-    // time at least one runnable task waited for a CPU). A window is
-    // contended if steal > 3% OR stall > 10% of wall time (the stall gate
-    // is deliberately looser: a width-matched local[32] job self-induces
-    // ~2–3% stall from its own scheduler queuing, while the host events
-    // that inflate queries 5–30× stall a large fraction of the window);
-    // contended windows retry (up to 3 extra attempts), the minimum wins, and
-    // the winning window's steal/stall fractions are reported in the JSON
-    // ("steal_pct"/"stall_pct") so a contaminated number is
-    // self-documenting rather than silently wrong.
+    // CONTENTION DEFENSE: steal has been observed at 17–28% for minutes at a
+    // time, inflating random disjoint query subsets 2–30× across otherwise
+    // identical runs (rounds 4–6 and the round-8 record all hit this). Steal
+    // alone is NOT sufficient (cgroup CFS throttling and runqueue contention
+    // are invisible to the steal counter), so each window additionally reads
+    // the PSI cpu stall clock (/proc/pressure/cpu "some total=<µs>"). A
+    // contended window retries (up to 3 extra attempts) and the minimum
+    // wins. NEW (r9): when a query exhausts its retries still contended, it
+    // is RE-QUEUED for a second pass at the end of the run — contention is
+    // bursty across minutes, so windows taken later usually land clean — and
+    // any number whose best window is STILL dirty at publish time is marked
+    // in a "contended" JSON map so consumers discount it instead of reading
+    // an inflated minimum as a clean pass (the round-8 failure mode).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def cpuStat(): (Long, Long) = {
-      try {
-        val f = scala.io.Source.fromFile("/proc/stat")
-        val vals = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
-        finally f.close()
-        (if (vals.length > 7) vals(7) else 0L, vals.sum)
-      } catch { case _: Throwable => (0L, 0L) }
-    }
-    def psiStallUs(): Long = {
-      try {
-        val f = scala.io.Source.fromFile("/proc/pressure/cpu")
-        try f.getLines().collectFirst {
-          case l if l.startsWith("some") =>
-            l.split("total=")(1).trim.toLong
-        }.getOrElse(0L)
-        finally f.close()
-      } catch { case _: Throwable => 0L }
-    }
-    val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def measure(errKey: String, fn: (SparkSession, String) => DataFrame,
+        dir: String, runs: Int = 2, maxExtra: Int = 3)
+        : ((Double, Double, Double), Int) = {
       def once(): (Double, Double, Double) = {
         val (st0, tot0) = cpuStat()
         val ps0 = psiStallUs()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
         } catch {
           case t: Throwable =>
             val msg = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
-            errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")
-            System.err.println(s"BENCH FAILURE $name: $msg")
+            errors(errKey) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            System.err.println(s"BENCH FAILURE $errKey: $msg")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val (st1, tot1) = cpuStat()
@@ -118,24 +156,72 @@ object Bench {
           if (sec > 0) (psiStallUs() - ps0) / 1e6 / sec else 0.0
         (sec, steal, stall)
       }
-      // stall gate only on windows long enough for a meaningful PSI delta
-      def contended(w: (Double, Double, Double)): Boolean =
-        w._2 > 0.03 || (w._1 > 0.05 && w._3 > 0.10)
-      // second run as always, then retries only while the best window was
-      // contended (contention can only inflate a window, so min-by-time is
-      // the steady-state estimate and each clean retry is a chance at truth)
-      var best = { val a = once(); val b = once(); if (b._1 < a._1) b else a }
+      var best = once()
+      var n = 1
+      while (n < runs) { val w = once(); if (w._1 < best._1) best = w; n += 1 }
       var extra = 0
-      while (contended(best) && extra < 3) {
+      while (contended(best) && extra < maxExtra) {
         extra += 1
         val next = once()
         if (next._1 < best._1) best = next
       }
-      // attempts records how many timed windows this number came from
-      // (2 = clean first pair, >2 = won on a contention retry) so future
-      // forensics can tell "clean first try" from "recovered on retry 3"
-      name -> (best, 2 + extra)
+      (best, n + extra)
     }
+
+    val ordered = headline.toSeq.sortBy(_._1)
+    // first pass: 2 runs + up to 3 contention retries per query
+    val firstPass = ordered.map { case (name, fn) =>
+      (name, fn, measure(name, fn, sfDir))
+    }
+    // end-of-run second pass for queries whose best window stayed dirty —
+    // minutes later the burst that contaminated them is usually over
+    val stillDirty = firstPass.count { case (_, _, (b, _)) => contended(b) }
+    if (stillDirty > 0)
+      System.err.println(s"BENCH: re-queueing $stillDirty still-contended " +
+        "queries for an end-of-run second pass")
+    val results = firstPass.map { case (name, fn, (best, att)) =>
+      if (contended(best)) {
+        val (b2, a2) = measure(name, fn, sfDir)
+        name -> (if (b2._1 < best._1) b2 else best, att + a2)
+      } else name -> (best, att)
+    }
+
+    // SF1 SCALE PROBE (VERDICT r8 ask #5): generate a 10x tier for
+    // documents/embeddings only (the LLM-pipeline inputs; see ensureSf1Probe
+    // for why replicas are permuted, not copied), run one representative
+    // query per heavy family ONCE, and report t(sf1)/t(sf0.1) per family.
+    // A linear operator shows ~10x; a pair-blowup or driver bottleneck
+    // shows >>10x. Purge is excluded: its input is the lineitem-derived
+    // sstable fixture tier, which is not part of this probe's 10x data.
+    val probeQueries = Seq(
+      "q20_dedup_exact" -> "dedup", "q22_dedup_minhash" -> "dedup",
+      "q24_sim_topk" -> "ann", "q39_sim_ivf_ann" -> "ann",
+      "q90_bpe_train" -> "bpe", "q98_bpe_apply" -> "bpe",
+      "q26_text_quality" -> "text", "q28_token_totals" -> "text")
+    val sf1Rows: Seq[(String, String, Double)] =
+      ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
+        probeQueries.flatMap { case (name, fam) =>
+          SparkEntry.queries.get(name).map { fn =>
+            val (best, _) =
+              measure(s"sf1_$name", fn, pdir, runs = 1, maxExtra = 2)
+            (name, fam, best._1)
+          }
+        }
+      }
+    val mainByName = results.toMap
+    val sf1FamJson =
+      if (sf1Rows.isEmpty) "{}"
+      else sf1Rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+        case (fam, rs) =>
+          val base = rs.flatMap(r => mainByName.get(r._1).map(_._1._1)).sum
+          if (base > 0) Some("\"" + fam + "\":" + f"${rs.map(_._3).sum / base}%.2f")
+          else None
+      }.mkString("{", ",", "}")
+    val sf1SecJson =
+      if (sf1Rows.isEmpty) ""
+      else sf1Rows.map { case (n, _, t) => "\"" + n + "\":" + f"$t%.3f" }
+        .mkString(""","sf1_sec":{""", ",", "}")
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val steals = results.collect { case (k, (v, _)) if v._2 > 0.005 =>
@@ -158,12 +244,20 @@ object Bench {
     val attemptsJson =
       if (attempts.isEmpty) ""
       else attempts.mkString(""","attempts":{""", ",", "}")
+    // queries whose published number is STILL from a contended window after
+    // the second pass — consumers must discount these (r8 failure mode)
+    val contendedQ = results.collect { case (k, (v, _)) if contended(v) =>
+      "\"" + k + "\":true"
+    }
+    val contendedJson =
+      if (contendedQ.isEmpty) ""
+      else contendedQ.mkString(""","contended":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$sf1SecJson,"sf1_ratio":$sf1FamJson,"gate_wait_sec":$gateWaitSec$errJson,"sf":"$sfDir"}""")
     // SECOND, compact line: the driver records only an output *tail*, which
     // truncated the head of the full line in rounds 4–6 and lost the parsed
     // record each time. This line is short enough that the tail always ends
@@ -180,8 +274,72 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"ncontended":${contendedQ.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf1_ratio":$sf1FamJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** One-off 10x tier for the LLM-pipeline tables, written under target/
+    * (testdata is read-only). Replicas are NOT verbatim copies: a copy-paste
+    * tier would turn every document into a 10-way near-duplicate cluster and
+    * the dedup probe would measure dup-pair blowup (a data artifact), not
+    * corpus scaling. Instead each replica r>0 applies a deterministic
+    * per-replica word permutation (sort words by xxhash64(word, rep)), which
+    * preserves token multiset, vocabulary, and length distributions while
+    * making replicas dissimilar under shingle/minhash measures. Embedding
+    * replicas get small deterministic per-dimension jitter; the fixed query
+    * set (vec_id < 8) stays original so ANN candidate volume scales 10x
+    * while query count stays constant — the realistic scale shape. */
+  private def ensureSf1Probe(spark: SparkSession, sfDir: String)
+      : Option[String] = {
+    try {
+      import org.apache.spark.sql.functions._
+      // keyed by the base tier so an sf0.01 smoke run never leaves a stale
+      // probe for the driver's sf0.1 run to reuse
+      val base = new java.io.File(sfDir).getName
+      val dir = new java.io.File(s"target/sf1probe_$base").getAbsolutePath
+      val okFile = new java.io.File(dir, "_GRAFT_OK")
+      if (!okFile.exists()) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+        val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+        val reps = spark.range(10).withColumnRenamed("id", "rep")
+        docs.crossJoin(broadcast(reps))
+          .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
+          .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
+            array_join(transform(array_sort(transform(split(col("text"), " "),
+              w => struct(xxhash64(w, col("rep")).as("h"), w.as("w")))),
+              s => s.getField("w")), " ")))
+          .withColumn("n_chars", length(col("text")))
+          .drop("rep")
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        emb.crossJoin(broadcast(reps))
+          .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
+          .withColumn("embedding",
+            when(col("rep") === 0, col("embedding")).otherwise(expr(
+              "transform(embedding, (x, i) -> cast(x + " +
+                "(pmod(xxhash64(vec_id, i), 1000L)/1000.0 - 0.5) * 0.05 as float))")))
+          .drop("rep")
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        // remaining tables: symlink to the base tier so Tables.read works
+        // for any shared scan a probe query touches
+        for (t <- graft.sources.Tables.all
+            if t != "documents" && t != "embeddings") {
+          val link = java.nio.file.Paths.get(dir, s"$t.parquet")
+          if (!java.nio.file.Files.exists(link))
+            java.nio.file.Files.createSymbolicLink(link,
+              java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+        }
+        okFile.createNewFile()
+      }
+      Some(dir)
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"SF1 PROBE SKIPPED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        None
+    }
   }
 
   /** Report-family buckets for the compact summary's subtotals — keyword

@@ -602,6 +602,11 @@ object SparkEntry {
     // against q84's)
     "q104_classifier_trained" -> ((s, d) =>
       TextStats.classifierQualityTrained(s, d)),
+    // q104 with the BROADCAST scorer (one plan reference object instead of
+    // 64 embedded literals — the B~10⁶-model-safe form); same oracle as
+    // q104, so any score divergence between the two folds breaks the hash
+    "q109_classifier_broadcast" -> ((s, d) =>
+      TextStats.classifierQualityBroadcast(s, d)),
     // the NON-ASCII slice: the char-sensitive operators re-oracled over a
     // deterministic multilingual corpus (2/3/4-byte UTF-8 planted in known
     // docs) — the length/replace/regex byte-vs-char class the pure-ASCII

@@ -613,6 +613,36 @@ object TextStats {
       .orderBy("lang", "source")
   }
 
+  /** Broadcast-weights form of the score fold (VERDICT r8 ask #2): the
+    * same hash/bucket/sum semantics as [[clfScoreWith]], but the weight
+    * table rides a `Broadcast[Array[Long]]` referenced by ONE plan object
+    * instead of B embedded literals — the form that scales to a
+    * fastText-style B~10⁶ hashed-linear model. Score parity with the
+    * literal fold at B=64 and plan narrowness at B=65536 are spec-pinned
+    * (TextStatsSpec). */
+  def clfScoreBroadcast(spark: SparkSession, weights: Array[Long])
+      : org.apache.spark.sql.Column =
+    graft.functions.ClfScoreBcast.column(spark, col("text"), weights)
+
+  /** q109: q104's trained classifier end-to-end with the BROADCAST scorer
+    * swapped in for the literal fold — oracle-identical to q104 by
+    * construction (same training, same scores, same rollup), proving the
+    * model-size-scalable path produces the exact q104 answer. */
+  def classifierQualityBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val score = clfScoreBroadcast(spark, trainedClassifierWeights(spark, dir))
+    ruleKeptCol(withTokens(Tables.documents(spark, dir)))
+      .select(col("lang"), col("source"), score.as("score"), col("kept_rule"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept"),
+        sum("score").as("score_sum"),
+        sum(when((col("score") > 0) === col("kept_rule"), 1L).otherwise(0L))
+          .as("agree"))
+      .withColumn("kept_x1000", floor(col("kept") * 1000 / col("docs")))
+      .orderBy("lang", "source")
+  }
+
   /** Filter-agreement matrix (q94) — the ablation diagnostic every
     * multi-stage filtering pipeline needs: for each pair of drop rules,
     * how many documents do they BOTH reject vs each alone, and the

@@ -340,7 +340,7 @@ qn AS (
   FROM qe
 )"""
 
-  val queries: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q00_catalog" -> s"""WITH $fixtures
 SELECT keyspace, tbl FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
 
@@ -2549,4 +2549,10 @@ SELECT source,
     THEN doc_id % 1000003 ELSE 0 END) AS BIGINT) AS survivor_id_sum
 FROM k GROUP BY 1 ORDER BY 1"""
   )
+
+  /** q109 (broadcast-weights classifier) must reproduce q104's answer
+    * bit-for-bit — the literal and broadcast score folds are the same
+    * function — so it shares q104's refit-and-rescore oracle verbatim. */
+  val queries: Map[String, String] =
+    base + ("q109_classifier_broadcast" -> base("q104_classifier_trained"))
 }

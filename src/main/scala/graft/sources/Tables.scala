@@ -28,13 +28,18 @@ object Tables {
     * spark.sql.parquet.inferTimestampNTZ.enabled=false) across testdata
     * generations. Normalize both here to a plain microsecond TimestampType so
     * downstream watermarks / unix_micros always see a timestamp column,
-    * independent of session conf. Sessions run UTC, so the NTZ cast is a
-    * type relabel — the stored micros are unchanged. */
+    * independent of session conf. The stored NTZ wall-clock is defined as
+    * UTC, so it is first converted to the session zone's wall-clock and only
+    * then cast — a plain `cast(ts as timestamp)` would re-interpret the UTC
+    * wall-clock in the session zone and shift every instant for any caller
+    * whose session is not UTC (ADVICE r8). For UTC sessions the conversion
+    * is the identity relabel it always was. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case TimestampNTZType => df.withColumn("ts",
+        expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
       case _ => df
     }
   }

@@ -811,6 +811,47 @@ class ExtensionsSpec extends SparkSpec {
       "scoring must stay a narrow fold (no explode)")
   }
 
+  test("broadcast classifier (q109): exact score parity with the literal " +
+      "fold at B=64, and a B=65536 model stays out of the plan tree") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+    // B=64: per-document parity with the literal fold, not just rollups
+    val weights = TextStats.trainedClassifierWeights(spark, Sf0001)
+    val both = docs.select(col("doc_id"),
+      TextStats.clfScoreWith(weights).as("lit_score"),
+      TextStats.clfScoreBroadcast(spark, weights).as("bc_score"))
+    assert(both.where(col("lit_score") =!= col("bc_score")).count() === 0L)
+    // end-to-end: q109 == q104 bit-for-bit
+    val q104 = TextStats.classifierQualityTrained(spark, Sf0001).collect()
+    val q109 = TextStats.classifierQualityBroadcast(spark, Sf0001).collect()
+    assert(q109.toSeq === q104.toSeq)
+    // B=65536: the literal form would put 65k nodes in the plan; the
+    // broadcast form's plan must stay O(1) in model size. Independent
+    // evaluation path for values: element_at on a SINGLE array literal
+    // (one Literal node holding ArrayData, Catalyst's own lookup).
+    val big = Array.tabulate(65536)(i => ((i % 7) - 3).toLong)
+    val bcBig = docs.select(col("doc_id"),
+      TextStats.clfScoreBroadcast(spark, big).as("s"))
+    val bucket = (graft.functions.PortableHash.h60(col("t")) % 65536L)
+      .cast("int") + 1
+    val expected = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), element_at(lit(big), bucket).as("w"))
+      .groupBy("doc_id").agg(sum("w").as("s"))
+    assert(bcBig.join(expected, Seq("doc_id"))
+      .where(bcBig("s") =!= expected("s")).count() === 0L)
+    val planStr = bcBig.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Generate"), "broadcast scorer must stay narrow")
+    assert(planStr.length < 20000,
+      s"B=65536 plan tree should not carry the model (len=${planStr.length})")
+    // same physical node sequence as the literal-fold plans
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+        .filterNot(Set("AdaptiveSparkPlan", "ResultQueryStage"))
+    assert(shape(TextStats.classifierQualityBroadcast(spark, Sf0001)) ===
+      shape(TextStats.classifierQualityTrained(spark, Sf0001)))
+  }
+
   test("intl corpus: multibyte UTF-8 actually lands in known docs (byte " +
       "count > char count), and the char-sensitive ops stay consistent") {
     import spark.implicits._

@@ -498,6 +498,20 @@ object SparkEntry {
           graft.sources.Fixtures.liPartitions(s, d), "size")
         .select(col("count"), col("total"), col("min"), col("max"),
           floor(col("total") * 1000 / col("count")).as("mean_x1000"))),
+    // the SEEDED reservoir (q42's closure): one totally-ordered
+    // deterministic Vitter-R fold whose sampled percentiles the oracle
+    // replays exactly — Java LCG, slot overwrites, R-6 interpolation —
+    // so the estimator's randomized half is hash-checked too
+    "q42c_reservoir_seeded" -> ((s, d) =>
+      graft.agg.ReservoirHistogram.snapshotSeeded(
+          graft.sources.Fixtures.liPartitions(s, d), "size", "key")
+        .select(col("count"), col("total"), col("min"), col("max"),
+          floor(col("total") * 1000 / col("count")).as("mean_x1000"),
+          floor(col("p50") * 1000).as("p50_x1000"),
+          floor(col("p75") * 1000).as("p75_x1000"),
+          floor(col("p90") * 1000).as("p90_x1000"),
+          floor(col("p95") * 1000).as("p95_x1000"),
+          floor(col("p99") * 1000).as("p99_x1000"))),
     // the training-data operators composed end-to-end: quality gate →
     // language gate → exact dedup → per-source yield rollup
     "q49_corpus_prep" -> ((s, d) => TextStats.corpusPrep(s, d)),

@@ -107,6 +107,39 @@ object ReservoirHistogram {
     def outputEncoder: Encoder[Snap] = Encoders.product[Snap]
   }
 
+  /** DETERMINISTIC replay mode (q42c, VERDICT r8 ask #7): the identical
+    * Vitter-R fold run as ONE totally-ordered sequence — repartition(1) +
+    * an explicit in-partition sort on a unique key, folded imperatively in
+    * `mapPartitions` so no optimizer rule (EliminateSorts treats aggregates
+    * as order-agnostic) can silently drop the ordering the replay depends
+    * on. Because each step's seed is the running count and Algorithm R's
+    * slot choice `r_i = |Random(i).nextLong()| % i` depends only on `i`,
+    * the final reservoir has a closed relational form — slot s holds the
+    * value of the LAST i with r_i = s (or the initial fill v_{s+1}) — which
+    * the DuckDB oracle replays exactly, Java LCG arithmetic included, so
+    * the sampled percentiles themselves become hash-checkable.
+    *
+    * Single-partition by construction: this is the estimator-parity proof
+    * at a bounded sample size, not the production scale path (q01's exact
+    * percentiles and the default `snapshot` cover those). */
+  def snapshotSeeded(df: DataFrame, column: String, orderCol: String,
+      reservoirSize: Int = DefaultSize): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new Agg(reservoirSize)
+    df.select(col(orderCol).cast("long").as("ord"),
+        col(column).cast("long").as("v"))
+      .repartition(1)
+      .sortWithinPartitions("ord")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var b = agg.zero
+        it.foreach { case (_, v) => b = agg.reduce(b, v) }
+        Iterator.single(agg.finish(b))
+      }
+      .toDF()
+  }
+
   /** Distribution snapshot of one long column, reservoir-estimated. */
   def snapshot(df: DataFrame, column: String,
       reservoirSize: Int = DefaultSize): DataFrame = {

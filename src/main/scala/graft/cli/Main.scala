@@ -28,7 +28,7 @@ object Main {
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
-      bpeSteps: Int = 3) {
+      bpeSteps: Int = 3, key: Long = 0L) {
     def gcBeforeS: Long = gcGraceS
       .map(graft.sources.Fixtures.gcBeforeFor)
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
@@ -37,7 +37,7 @@ object Main {
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
-    "search", "drift", "tokenize")
+    "search", "drift", "tokenize", "lookup")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -60,6 +60,7 @@ object Main {
     case "search" => "Usage: search [-n <num>]"
     case "drift" => "Usage: drift"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
+    case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -87,7 +88,8 @@ object Main {
         |  agree        Drop-rule agreement matrix across quality gates
         |  search       BM25-lite keyword retrieval over the documents corpus
         |  drift        Token-distribution drift between corpus snapshots by source
-        |  tokenize     Apply the trained BPE merges; token counts and compression by source""".stripMargin
+        |  tokenize     Apply the trained BPE merges; token counts and compression by source
+        |  lookup       Point-lookup a partition key through the bti Partitions.db tries""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -144,6 +146,14 @@ object Main {
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
+            case _ => Left(usage(cmd))
+          }
+          case "lookup" => positional match {
+            case Seq(ks, cf, k) => k.toLongOption match {
+              case Some(key) => Right(o.copy(keyspace = ks,
+                table = graft.ops.Summary.resolveStore(cf), key = key))
+              case None => Left(usage(cmd))
+            }
             case _ => Left(usage(cmd))
           }
           case _ => positional match {
@@ -219,6 +229,9 @@ object Main {
         out(tracked("drift")(Reports.drift(spark, dir))); 0
       case "tokenize" =>
         out(tracked("tokenize")(Reports.tokenize(spark, dir, o.bpeSteps))); 0
+      case "lookup" =>
+        if (!requireStore()) return 2
+        out(tracked("lookup")(Reports.lookup(spark, dir, o.key))); 0
     }
   }
 

@@ -155,6 +155,49 @@ object Reports {
       section("Promoted row index (Index.db)",
         graft.ops.Integrity.rowIndex(spark, dir))
 
+  /** `lookup <ks> <cf> <key>` — bti point lookup: walk each sstable's
+    * Partitions.db trie for the partition key and print the resolved
+    * Data.db position (or `~entryOffset` Rows.db references resolved to
+    * the partition's data start). The operator-facing surface of the q102
+    * walk — the reference gets this capability from sstabledump-style
+    * tooling in its cassandra-all dependency. Driver-side file walk by
+    * design: a point lookup touches O(log n) trie nodes per sstable, not
+    * a Spark job's worth of data. */
+  def lookup(spark: SparkSession, dir: String, key: Long): String = {
+    import graft.sources.bti.{BtiFixture, BtiRowIndexFixture, BtiRowsFormat, BtiTrieFormat}
+    val kb = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+    def walk(path: String, resolveRows: Boolean): Seq[Seq[String]] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.endsWith(BtiTrieFormat.Suffix))
+        .sortBy(_.getName).toSeq.map { f =>
+          val sst = f.getName.stripSuffix(BtiTrieFormat.Suffix)
+          BtiTrieFormat.lookup(
+              java.nio.file.Files.readAllBytes(f.toPath), kb) match {
+            case Some(pos) if pos >= 0 =>
+              Seq(sst, "yes", pos.toString, "direct")
+            case Some(ref) if resolveRows =>
+              val rows = java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(path,
+                  sst + BtiRowsFormat.Suffix))
+              val e = BtiRowsFormat.readEntry(rows, ~ref)
+              Seq(sst, "yes", e.dataPos.toString,
+                s"row-indexed (${e.blockCount} blocks)")
+            case Some(ref) => Seq(sst, "yes", (~ref).toString, "~ref")
+            case None => Seq(sst, "no", "-", "-")
+          }
+        }
+    }
+    val b = new TableBuilder().setHeader("SSTable", "Found", "Data.db pos",
+      "Index form")
+    walk(BtiFixture.ensureFiles(spark, dir), resolveRows = false)
+      .foreach(r => b.addRow(r: _*))
+    walk(BtiRowIndexFixture.ensureFiles(spark, dir), resolveRows = true)
+      .zipWithIndex.foreach { case (r, _) =>
+        b.addRow((r.head + " (rows)") +: r.tail: _*)
+      }
+    s"bti point lookup: key=$key\n$b"
+  }
+
   /** `quality` — composite quality-filter verdict, per-source survival. */
   def quality(spark: SparkSession, dir: String): String =
     section("Quality filter survival by source",

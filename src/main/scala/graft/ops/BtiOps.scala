@@ -49,12 +49,14 @@ object BtiOps {
     * verifies: the stored key-hash byte recomputes (`hash_ok`), indexed
     * partitions' `~entryOffset` references resolve through Rows.db, each
     * entry's separator trie enumerates exactly `blockCount` blocks whose
-    * separators are the consecutive block ordinals and whose offsets tile
-    * the partition at [[BtiRowIndexFixture.BlockBytes]] (`tiled_ok`), and
-    * every partition's resolved Data.db position folds into `pos_sum`,
-    * which the oracle recomputes from the parquet running sums. One task
-    * per sstable (a row index is ~1% of data volume); no shuffle before
-    * the per-sstable rollup. */
+    * separators DECODE through the composite clustering-prefix layout
+    * ([[BtiRowIndexFixture.decodeSeparator]]) to the partition's modeled
+    * first clusterings (`key * ClusteringStride + b`) and whose offsets
+    * tile the partition at [[BtiRowIndexFixture.BlockBytes]] (`tiled_ok`),
+    * and every partition's resolved Data.db position folds into `pos_sum`;
+    * the oracle recomputes clustering sums, offsets and positions from the
+    * parquet running sums. One task per sstable (a row index is ~1% of
+    * data volume); no shuffle before the per-sstable rollup. */
   def rowIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = BtiRowIndexFixture.ensureFiles(spark, dir)
@@ -70,9 +72,11 @@ object BtiOps {
         var partitions = 0L; var indexed = 0L; var blocks = 0L
         var sepSum = 0L; var offsSum = 0L; var posSum = 0L
         var tiledOk = 0L; var hashOk = 0L
+        val stride = BtiRowIndexFixture.ClusteringStride
         BtiTrieFormat.fullScanWithHash(trie).foreach { case (k, h, pos) =>
           partitions += 1
           if (h == BtiTrieFormat.hashByte(k)) hashOk += 1
+          val pkey = java.nio.ByteBuffer.wrap(k).getLong
           val resolved =
             if (pos >= 0) pos
             else {
@@ -81,9 +85,9 @@ object BtiOps {
               var b = 0L
               var tiled = true
               BtiRowsFormat.blocks(rows, ~pos).foreach { case (sep, off) =>
-                val ord = java.nio.ByteBuffer.wrap(sep).getLong
-                if (ord != b || off != b * B) tiled = false
-                sepSum += ord
+                val cl = BtiRowIndexFixture.decodeSeparator(sep)
+                if (cl != pkey * stride + b || off != b * B) tiled = false
+                sepSum += cl % 1000003L
                 offsSum += off
                 b += 1
               }

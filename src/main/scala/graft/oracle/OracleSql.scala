@@ -340,6 +340,14 @@ qn AS (
   FROM qe
 )"""
 
+  /** R-6 percentile (pos = p·(n+1), linear interpolation) over the `sorted`
+    * CTE — the exact double expression ReservoirHistogram.percentileR6
+    * evaluates, so floor(·×1000) matches bit-for-bit. */
+  private def r6pct(p: String): String =
+    s"""(SELECT l.v + ($p * (nn.n + 1) - floor($p * (nn.n + 1))) * (u.v - l.v)
+  FROM nn, sorted l, sorted u
+  WHERE l.rk = CAST(floor($p * (nn.n + 1)) AS BIGINT) AND u.rk = l.rk + 1)"""
+
   private val base: Map[String, String] = Map(
     "q00_catalog" -> s"""WITH $fixtures
 SELECT keyspace, tbl FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -381,6 +389,58 @@ SELECT CAST(COUNT(*) AS BIGINT) AS count,
   CAST(MAX(size) AS BIGINT) AS max,
   CAST(floor(SUM(size) * 1000 / COUNT(*)) AS BIGINT) AS mean_x1000
 FROM liparts""",
+
+    // q42c: the SEEDED reservoir — a full DuckDB replay of the engine's
+    // deterministic Vitter-R fold, Java LCG arithmetic included. Because
+    // the fold's slot choice r_i = |Random(i).nextLong()| % i depends only
+    // on the 1-based element index i (seed = running count), the final
+    // reservoir is closed-form relational: slot s = value of the LAST
+    // i > 1028 with r_i = s, else the initial fill v_{s+1}. The LCG is
+    // java.util.Random verbatim: scramble seed^0x5DEECE66D, two
+    // next(32) = ((seed*0x5DEECE66D + 0xB) mod 2^48) >>> 16 steps (signed
+    // 32-bit), nextLong = hi*2^32 + lo with signed-64 wrap — all exact in
+    // HUGEINT. A single wrong LCG step, slot, or tie-break breaks the hash.
+    "q42c_reservoir_seeded" -> s"""WITH $fixtures,
+vals AS (SELECT size AS v,
+  CAST(row_number() OVER (ORDER BY key) AS BIGINT) AS i FROM liparts),
+r0 AS (SELECT i, v,
+  (CAST(xor(i, 25214903917) AS HUGEINT) * 25214903917 + 11)
+    % 281474976710656 AS s1
+  FROM vals WHERE i > 1028),
+r1 AS (SELECT i, v, s1,
+  (s1 * 25214903917 + 11) % 281474976710656 AS s2 FROM r0),
+r2 AS (SELECT i, v,
+  s1 // 65536 - CASE WHEN s1 // 65536 >= 2147483648
+    THEN 4294967296 ELSE 0 END AS hs,
+  s2 // 65536 - CASE WHEN s2 // 65536 >= 2147483648
+    THEN 4294967296 ELSE 0 END AS ls
+  FROM r1),
+r3 AS (SELECT i, v,
+  CAST(abs((((hs * 4294967296 + ls + 9223372036854775808)
+    % 18446744073709551616) + 18446744073709551616)
+    % 18446744073709551616 - 9223372036854775808) % i AS BIGINT) AS r
+  FROM r2),
+hits AS (SELECT slot, v FROM (
+  SELECT r AS slot, v,
+    row_number() OVER (PARTITION BY r ORDER BY i DESC) AS rn
+  FROM r3 WHERE r < 1028) t WHERE rn = 1),
+init AS (SELECT i - 1 AS slot, v FROM vals WHERE i <= 1028),
+samp AS (SELECT COALESCE(h.v, init.v) AS v
+  FROM init LEFT JOIN hits h ON init.slot = h.slot),
+sorted AS (SELECT v,
+  CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rk FROM samp),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sorted),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(v) AS BIGINT) AS tot, CAST(MIN(v) AS BIGINT) AS mn,
+  CAST(MAX(v) AS BIGINT) AS mx FROM vals)
+SELECT cnt AS count, tot AS total, mn AS min, mx AS max,
+  CAST(floor(tot * 1000 / cnt) AS BIGINT) AS mean_x1000,
+  CAST(floor(${r6pct("0.50")} * 1000) AS BIGINT) AS p50_x1000,
+  CAST(floor(${r6pct("0.75")} * 1000) AS BIGINT) AS p75_x1000,
+  CAST(floor(${r6pct("0.90")} * 1000) AS BIGINT) AS p90_x1000,
+  CAST(floor(${r6pct("0.95")} * 1000) AS BIGINT) AS p95_x1000,
+  CAST(floor(${r6pct("0.99")} * 1000) AS BIGINT) AS p99_x1000
+FROM stats""",
 
     "q02_pstats_top_size" -> s"""WITH $fixtures
 SELECT key, key_formatted, size, table_count FROM liparts
@@ -1743,8 +1803,11 @@ idx AS (
 SELECT sstable_id, key, position FROM idx ORDER BY 1, 2""",
 
     // q103: the bti Rows.db roundtrip — the oracle recomputes the block
-    // model (blocks = ceil(size / 4096), separators 0..n-1, offsets
-    // b*4096, data positions = running sums) from parquet; tiled_ok and
+    // model (blocks = ceil(size / 4096), separator clustering prefixes
+    // key*4096+b, offsets b*4096, data positions = running sums) from
+    // parquet; sep_sum replays the engine's decode of every composite
+    // separator (per-block modular sum needs the per-block unnest, the
+    // ordinal model's closed form no longer applies); tiled_ok and
     // hash_ok are engine-verified structural checks that must equal the
     // indexed / partition counts.
     "q103_bti_row_index" -> s"""WITH $fixtures,
@@ -1758,17 +1821,25 @@ b AS (
   SELECT sstable_id, key, position,
     CAST(floor((size + 4095) / 4096) AS BIGINT) AS nblocks
   FROM idx
+),
+seps AS (
+  SELECT sstable_id,
+    CAST(SUM((key * 4096 + bb.b) % 1000003) AS BIGINT) AS sep_sum
+  FROM b, LATERAL unnest(generate_series(0, nblocks - 1)) AS bb(b)
+  WHERE nblocks > 1
+  GROUP BY 1
 )
-SELECT sstable_id,
+SELECT b.sstable_id,
   CAST(COUNT(*) AS BIGINT) AS partitions,
   CAST(SUM(CASE WHEN nblocks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS indexed,
   CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks ELSE 0 END) AS BIGINT) AS blocks,
-  CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks * (nblocks - 1) / 2 ELSE 0 END) AS BIGINT) AS sep_sum,
+  CAST(COALESCE(ANY_VALUE(s.sep_sum), 0) AS BIGINT) AS sep_sum,
   CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks * (nblocks - 1) / 2 * 4096 ELSE 0 END) AS BIGINT) AS offs_sum,
   CAST(SUM(position % 1000003) AS BIGINT) AS pos_sum,
   CAST(SUM(CASE WHEN nblocks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS tiled_ok,
   CAST(COUNT(*) AS BIGINT) AS hash_ok
-FROM b GROUP BY 1 ORDER BY 1""",
+FROM b LEFT JOIN seps s ON b.sstable_id = s.sstable_id
+GROUP BY 1 ORDER BY 1""",
 
     // mirror of EventsOps.errorAsofClick: strict (ts, event_id)-before
     // frame makes the as-of match total — no tie ambiguity between engines.

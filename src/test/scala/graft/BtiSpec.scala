@@ -231,6 +231,48 @@ class BtiSpec extends SparkSpec {
     assert(!viaLookup.exists(_._3 == -1L), "no lookup may miss")
   }
 
+  test("row-index separators are byte-comparable clustering prefixes: " +
+      "random clustering sets roundtrip through composite encode, the " +
+      "trie, and decode, preserving long order") {
+    val rnd = new scala.util.Random(77)
+    for (round <- 0 until 25) {
+      // random strictly-increasing non-negative clusterings, including
+      // adjacent values (shared 7-byte prefixes stress the trie split)
+      var cls = Vector.empty[Long]
+      var v = rnd.nextInt(1000).toLong
+      val n = 2 + rnd.nextInt(60)
+      while (cls.length < n) {
+        cls :+= v
+        v += (if (rnd.nextBoolean()) 1L else 1L + rnd.nextInt(1 << 20))
+      }
+      val blocks = cls.zipWithIndex.map { case (cl, i) =>
+        (BtiRowIndexFixture.SepValidator.encode(Seq(cl)),
+          i.toLong * BtiRowIndexFixture.BlockBytes)
+      }
+      // composite encoding preserves order byte-comparably
+      blocks.map(_._1).sliding(2).foreach {
+        case Seq(a, b) =>
+          val cmp = a.zip(b).collectFirst {
+            case (x, y) if x != y => (x & 0xff) - (y & 0xff)
+          }.getOrElse(a.length - b.length)
+          assert(cmp < 0, s"round $round: separators not byte-increasing")
+        case _ => ()
+      }
+      val w = new BtiRowsFormat.Writer
+      val entryOff = w.append(blocks, 12345L)
+      val bytes = w.finish()
+      val back = BtiRowsFormat.blocks(bytes, entryOff).toVector
+      assert(back.length === cls.length, s"round $round")
+      back.zip(cls).zipWithIndex.foreach { case (((sep, off), cl), i) =>
+        assert(BtiRowIndexFixture.decodeSeparator(sep) === cl,
+          s"round $round block $i")
+        assert(off === i.toLong * BtiRowIndexFixture.BlockBytes)
+      }
+      val entry = BtiRowsFormat.readEntry(bytes, entryOff)
+      assert(entry.blockCount === cls.length && entry.dataPos === 12345L)
+    }
+  }
+
   test("q103 gate: the row-index roundtrip's structural checks hold " +
       "(hash_ok == partitions, tiled_ok == indexed, blocks consistent)") {
     val rows = BtiOps.rowIndexRoundtrip(spark, Sf0001).collect()

@@ -175,6 +175,31 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("help", "verify")) === Left(Main.usage("verify")))
   }
 
+  test("lookup: grammar requires <ks> <cf> <long key>; dispatch resolves " +
+      "a real key through the bti tries and misses an absent one") {
+    assert(Main.parse(Seq("lookup", "ks1", "lineitem", "42")) ===
+      Right(Main.Opts("lookup", keyspace = "ks1", table = "lineitem",
+        key = 42L)))
+    assert(Main.parse(Seq("lookup", "ks1", "lineitem")).isLeft)
+    assert(Main.parse(Seq("lookup", "ks1", "lineitem", "notakey")).isLeft)
+    assert(Main.parse(Seq("help", "lookup")) === Left(Main.usage("lookup")))
+    // a key that exists in the fixture set
+    val key = graft.sources.Fixtures.liPscan(spark, Sf0001)
+      .select("key").head.getLong(0)
+    def collect(k: Long): String = {
+      val sb = new StringBuilder
+      val o = Main.parse(Seq("lookup", "ks1", "lineitem", k.toString))
+        .toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      sb.toString
+    }
+    val hit = collect(key)
+    assert(hit.contains(s"key=$key") && hit.contains("yes") &&
+      hit.contains("direct"))
+    val miss = collect(Long.MaxValue) // no fixture key reaches 2^63-1
+    assert(miss.contains("no") && !miss.contains("yes"))
+  }
+
   test("dispatch: unknown column family is a usage failure (rc 2)") {
     val sb = new StringBuilder
     val o = Main.parse(Seq("pstats", "ks9", "nope")).toOption.get

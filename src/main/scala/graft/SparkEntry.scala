@@ -221,6 +221,11 @@ object SparkEntry {
     // REAL CRC.db (per-chunk CRC32s of the uncompressed Data.db at the
     // sidecar's stored chunk size) verified element-wise per sstable.
     "q87_crc_verify" -> ((s, d) => Integrity.crcVerify(s, d)),
+    // the row-level metadata of the real format surfaced as typed events
+    // (static rows, pk liveness, row deletions, complex-column deletions)
+    // over the feature-variant set — closes the README "parsed but not
+    // emitted" gap; the oracle replays the variant's deterministic model
+    "q110_row_level_events" -> ((s, d) => Integrity.rowLevelEvents(s, d)),
     // REAL Summary.db (IndexSummarySerializer layout, LE offsets/positions
     // in a BE header) roundtrip + cross-component check: every summary
     // entry must point at the Index.db entry holding the same key.

@@ -53,6 +53,10 @@ object BtiOps {
     * ([[BtiRowIndexFixture.decodeSeparator]]) to the partition's modeled
     * first clusterings (`key * ClusteringStride + b`) and whose offsets
     * tile the partition at [[BtiRowIndexFixture.BlockBytes]] (`tiled_ok`),
+    * open-marker deletion times decode with the correct structure (never
+    * on block 0, all-or-nothing with one deletion time per partition —
+    * `marker_ok`) and fold into `markers`/`md_sum`/`ldt_sum` for the
+    * oracle to recompute from the partition scan,
     * and every partition's resolved Data.db position folds into `pos_sum`;
     * the oracle recomputes clustering sums, offsets and positions from the
     * parquet running sums. One task per sstable (a row index is ~1% of
@@ -72,6 +76,7 @@ object BtiOps {
         var partitions = 0L; var indexed = 0L; var blocks = 0L
         var sepSum = 0L; var offsSum = 0L; var posSum = 0L
         var tiledOk = 0L; var hashOk = 0L
+        var markers = 0L; var mdSum = 0L; var ldtSum = 0L; var markerOk = 0L
         val stride = BtiRowIndexFixture.ClusteringStride
         BtiTrieFormat.fullScanWithHash(trie).foreach { case (k, h, pos) =>
           partitions += 1
@@ -84,13 +89,31 @@ object BtiOps {
               val entry = BtiRowsFormat.readEntry(rows, ~pos)
               var b = 0L
               var tiled = true
-              BtiRowsFormat.blocks(rows, ~pos).foreach { case (sep, off) =>
-                val cl = BtiRowIndexFixture.decodeSeparator(sep)
-                if (cl != pkey * stride + b || off != b * B) tiled = false
-                sepSum += cl % 1000003L
-                offsSum += off
-                b += 1
+              // open-marker structure: block 0 never carries one, and
+              // blocks 1..n-1 are all-or-nothing with ONE deletion time
+              // (the fixture's whole-partition range-deletion model)
+              var structOk = true
+              var partMarkers = 0L
+              var firstMarker: Option[(Long, Long)] = None
+              BtiRowsFormat.blocks(rows, ~pos).foreach {
+                case (sep, off, marker) =>
+                  val cl = BtiRowIndexFixture.decodeSeparator(sep)
+                  if (cl != pkey * stride + b || off != b * B) tiled = false
+                  sepSum += cl % 1000003L
+                  offsSum += off
+                  marker.foreach { m =>
+                    if (b == 0) structOk = false
+                    if (firstMarker.isEmpty) firstMarker = Some(m)
+                    else if (firstMarker.get != m) structOk = false
+                    partMarkers += 1
+                    mdSum += m._1 % 1000003L
+                    ldtSum += m._2 % 1000003L
+                  }
+                  b += 1
               }
+              if (partMarkers != 0L && partMarkers != b - 1) structOk = false
+              if (structOk) markerOk += 1
+              markers += partMarkers
               blocks += b
               if (tiled && b == entry.blockCount && b > 1) tiledOk += 1
               entry.dataPos
@@ -98,10 +121,11 @@ object BtiOps {
           posSum += resolved % 1000003L
         }
         (sst, partitions, indexed, blocks, sepSum, offsSum, posSum,
-          tiledOk, hashOk)
+          tiledOk, hashOk, markers, mdSum, ldtSum, markerOk)
       }
     perSstable.toDF("sstable_id", "partitions", "indexed", "blocks",
-        "sep_sum", "offs_sum", "pos_sum", "tiled_ok", "hash_ok")
+        "sep_sum", "offs_sum", "pos_sum", "tiled_ok", "hash_ok",
+        "markers", "md_sum", "ldt_sum", "marker_ok")
       .orderBy("sstable_id")
   }
 }

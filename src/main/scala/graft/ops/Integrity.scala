@@ -193,6 +193,73 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
+  /** q110: the row-level metadata of the real format surfaced as typed
+    * events — static-row cells, primary-key liveness (with/without row
+    * TTL), row deletions and complex-column deletions — read back from
+    * the FEATURE variant sstable set (a schema with a static column and a
+    * complex regular, [[CassandraDataFixture.ensureFeatureFiles]]) and
+    * rolled up per sstable with modular sums over every field, so one
+    * mis-parsed flag, delta or value length anywhere in the row codec
+    * breaks the hash against the oracle's parquet replay of the same
+    * deterministic model. One task per sstable; no shuffle before the
+    * tiny per-sstable rollup. */
+  def rowLevelEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.datadb.{CassandraDataFormat, DataDbFormat}
+    val path = CassandraDataFixture.ensureFeatureFiles(spark, dir)
+    val M = 1000003L
+    val perSstable = spark.read.format("binaryFile")
+      .load(s"$path/*${DataDbFormat.Suffix}")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val g = "fb-(\\d+)-big".r.findFirstMatchIn(p).get.group(1)
+        var statics = 0L; var staticSize = 0L; var staticTs = 0L
+        var liveness = 0L; var liveTs = 0L; var liveTtl = 0L; var liveLdt = 0L
+        var rowDels = 0L; var rdelTs = 0L; var rdelLdt = 0L
+        var cplxDels = 0L; var cdelTs = 0L; var cdelLdt = 0L
+        var cells = 0L; var cellTs = 0L; var cellSize = 0L
+        var keysSum = 0L
+        var lastKey: Long = Long.MinValue
+        CassandraDataFormat.events(
+            new java.io.ByteArrayInputStream(bytes),
+            CassandraDataFixture.FeatureHeader).foreach { e =>
+          val key = java.nio.ByteBuffer.wrap(e.key).getLong
+          if (key != lastKey) { keysSum += key % M; lastKey = key }
+          e.kindCode match {
+            case DataDbFormat.KindCodeStaticCell =>
+              statics += 1; staticSize += e.sizeBytes
+              staticTs += e.timestampUs % M
+              require(e.clustering == DataDbFormat.StaticClustering &&
+                e.columnName == "s0")
+            case DataDbFormat.KindCodeRowLiveness =>
+              liveness += 1; liveTs += e.timestampUs % M
+              liveTtl += e.ttlS; liveLdt += e.localDeletionTimeS % M
+            case DataDbFormat.KindCodeRowDeletion =>
+              rowDels += 1; rdelTs += e.timestampUs % M
+              rdelLdt += e.localDeletionTimeS % M
+            case DataDbFormat.KindCodeComplexDeletion =>
+              cplxDels += 1; cdelTs += e.timestampUs % M
+              cdelLdt += e.localDeletionTimeS % M
+              require(e.columnName == "tags")
+            case DataDbFormat.KindCodeCell =>
+              cells += 1; cellTs += e.timestampUs % M
+              cellSize += e.sizeBytes
+            case other => throw new java.io.IOException(
+              s"unexpected event kind $other in feature set")
+          }
+        }
+        (s"fb-$g", statics, staticSize, staticTs, liveness, liveTs,
+          liveTtl, liveLdt, rowDels, rdelTs, rdelLdt, cplxDels, cdelTs,
+          cdelLdt, cells, cellTs, cellSize, keysSum)
+      }
+    perSstable.toDF("sstable_id", "statics", "static_size_sum",
+        "static_ts_sum", "liveness", "live_ts_sum", "live_ttl_sum",
+        "live_ldt_sum", "row_dels", "rdel_ts_sum", "rdel_ldt_sum",
+        "complex_dels", "cdel_ts_sum", "cdel_ldt_sum", "cells",
+        "cell_ts_sum", "cell_size_sum", "keys_sum")
+      .orderBy("sstable_id")
+  }
+
   /** q87: REAL CRC.db verification — recompute the UNCOMPRESSED variant's
     * per-chunk CRC32s at the sidecar's own stored chunk size and compare
     * element-wise (`DataIntegrityMetadata.ChecksumValidator`'s read-path

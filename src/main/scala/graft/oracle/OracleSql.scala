@@ -1818,9 +1818,12 @@ idx AS (
   FROM lipscan
 ),
 b AS (
-  SELECT sstable_id, key, position,
-    CAST(floor((size + 4095) / 4096) AS BIGINT) AS nblocks
-  FROM idx
+  SELECT i.sstable_id, i.key, i.position,
+    CAST(floor((i.size + 4095) / 4096) AS BIGINT) AS nblocks,
+    p.range_tombstone_count AS rtc,
+    p.min_timestamp_us AS mts, p.min_local_deletion_time_s AS mldt
+  FROM idx i JOIN lipscan p
+    ON i.sstable_id = p.sstable_id AND i.key = p.key
 ),
 seps AS (
   SELECT sstable_id,
@@ -1837,7 +1840,14 @@ SELECT b.sstable_id,
   CAST(SUM(CASE WHEN nblocks > 1 THEN nblocks * (nblocks - 1) / 2 * 4096 ELSE 0 END) AS BIGINT) AS offs_sum,
   CAST(SUM(position % 1000003) AS BIGINT) AS pos_sum,
   CAST(SUM(CASE WHEN nblocks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS tiled_ok,
-  CAST(COUNT(*) AS BIGINT) AS hash_ok
+  CAST(COUNT(*) AS BIGINT) AS hash_ok,
+  CAST(SUM(CASE WHEN nblocks > 1 AND rtc > 0 THEN nblocks - 1 ELSE 0 END)
+    AS BIGINT) AS markers,
+  CAST(SUM(CASE WHEN nblocks > 1 AND rtc > 0
+    THEN (nblocks - 1) * (mts % 1000003) ELSE 0 END) AS BIGINT) AS md_sum,
+  CAST(SUM(CASE WHEN nblocks > 1 AND rtc > 0
+    THEN (nblocks - 1) * (mldt % 1000003) ELSE 0 END) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN nblocks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS marker_ok
 FROM b LEFT JOIN seps s ON b.sstable_id = s.sstable_id
 GROUP BY 1 ORDER BY 1""",
 
@@ -2621,9 +2631,56 @@ SELECT source,
 FROM k GROUP BY 1 ORDER BY 1"""
   )
 
+  /** q110: the feature-variant row codec — the oracle replays the
+    * deterministic model (CassandraDataFixture.writeFeatureAll) from
+    * parquet: per distinct l_orderkey k, sstable fb-(k%4), rows at
+    * clusterings 0..k%3, static rows / pk liveness / row deletions /
+    * complex deletions on the documented residue classes. Every field of
+    * every surfaced event lands in a modular sum, so one mis-parsed
+    * flag, delta or value length anywhere breaks the hash. */
+  private val q110Sql: String = """WITH
+ks AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+base AS (SELECT k, 'fb-' || (k % 4) AS sstable_id, k % 3 AS maxc FROM ks),
+rows_ AS (SELECT k, sstable_id, maxc,
+  unnest(generate_series(0, maxc)) AS c FROM base),
+perkey AS (
+  SELECT sstable_id,
+    CAST(SUM(CASE WHEN k%3=0 THEN 1 ELSE 0 END) AS BIGINT) AS statics,
+    CAST(SUM(CASE WHEN k%3=0 THEN k%23 ELSE 0 END) AS BIGINT) AS static_size_sum,
+    CAST(SUM(CASE WHEN k%3=0 THEN (1000000000000 + k) % 1000003 ELSE 0 END) AS BIGINT) AS static_ts_sum,
+    CAST(SUM(CASE WHEN k%11=0 THEN 1 ELSE 0 END) AS BIGINT) AS row_dels,
+    CAST(SUM(CASE WHEN k%11=0 THEN (2000000000000 + k) % 1000003 ELSE 0 END) AS BIGINT) AS rdel_ts_sum,
+    CAST(SUM(CASE WHEN k%11=0 THEN (600000000 + k%100) % 1000003 ELSE 0 END) AS BIGINT) AS rdel_ldt_sum,
+    CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum
+  FROM base GROUP BY 1),
+perrow AS (
+  SELECT sstable_id,
+    CAST(SUM(CASE WHEN k%2=0 THEN 1 ELSE 0 END) AS BIGINT) AS liveness,
+    CAST(SUM(CASE WHEN k%2=0 THEN (1000000000000 + k*10 + c) % 1000003 ELSE 0 END) AS BIGINT) AS live_ts_sum,
+    CAST(SUM(CASE WHEN k%2=0 THEN (CASE WHEN k%10=0 THEN 3600 ELSE -1 END) ELSE 0 END) AS BIGINT) AS live_ttl_sum,
+    CAST(SUM(CASE WHEN k%2=0 THEN (CASE WHEN k%10=0 THEN 500000000 + k%1000 ELSE 2147483647 END) % 1000003 ELSE 0 END) AS BIGINT) AS live_ldt_sum,
+    CAST(SUM(CASE WHEN k%13=0 THEN 1 ELSE 0 END) AS BIGINT) AS complex_dels,
+    CAST(SUM(CASE WHEN k%13=0 THEN (3000000000000 + k) % 1000003 ELSE 0 END) AS BIGINT) AS cdel_ts_sum,
+    CAST(SUM(CASE WHEN k%13=0 THEN (700000000 + k%50) % 1000003 ELSE 0 END) AS BIGINT) AS cdel_ldt_sum,
+    CAST(COUNT(*) * 3 AS BIGINT) AS cells,
+    CAST(SUM((1000000000000 + k*10 + c + 1) % 1000003
+      + (1000000000000 + k*10 + c + 2) % 1000003
+      + (1000000000000 + k*10 + c + 3) % 1000003) AS BIGINT) AS cell_ts_sum,
+    CAST(SUM((k+c) % 31 + (k+c) % 7 + (k+c+1) % 7) AS BIGINT) AS cell_size_sum
+  FROM rows_ GROUP BY 1)
+SELECT p.sstable_id, statics, static_size_sum, static_ts_sum,
+  liveness, live_ts_sum, live_ttl_sum, live_ldt_sum,
+  row_dels, rdel_ts_sum, rdel_ldt_sum,
+  complex_dels, cdel_ts_sum, cdel_ldt_sum,
+  cells, cell_ts_sum, cell_size_sum, keys_sum
+FROM perkey p JOIN perrow r ON p.sstable_id = r.sstable_id
+ORDER BY 1"""
+
   /** q109 (broadcast-weights classifier) must reproduce q104's answer
     * bit-for-bit — the literal and broadcast score folds are the same
     * function — so it shares q104's refit-and-rescore oracle verbatim. */
   val queries: Map[String, String] =
-    base + ("q109_classifier_broadcast" -> base("q104_classifier_trained"))
+    base +
+      ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
+      ("q110_row_level_events" -> q110Sql)
 }

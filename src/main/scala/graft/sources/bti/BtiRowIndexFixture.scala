@@ -94,7 +94,9 @@ object BtiRowIndexFixture {
 
   private def writeAll(spark: SparkSession, dir: String, out: Path): Unit = {
     val rows = Fixtures.liPscan(spark, dir)
-      .select(col("sstable_id"), col("key"), col("size"))
+      .select(col("sstable_id"), col("key"), col("size"),
+        col("range_tombstone_count"), col("min_timestamp_us"),
+        col("min_local_deletion_time_s"))
       .orderBy("sstable_id", "key")
       .collect()
     var current: String = null
@@ -125,8 +127,20 @@ object BtiRowIndexFixture {
         if (nblocks > 1) {
           require(nblocks <= ClusteringStride,
             s"partition $key needs $nblocks blocks > stride $ClusteringStride")
-          val blocks = (0L until nblocks)
-            .map(b => (separator(key, b), b * BlockBytes))
+          // open-marker model: a partition whose scan saw range-tombstone
+          // markers is treated as one range deletion spanning the whole
+          // partition, so every block AFTER the first starts under the open
+          // marker (block 0 starts at the partition head, never mid-range);
+          // the marker's deletion time is the partition's earliest write —
+          // both fields recomputable from parquet by the q103 oracle
+          val hasMarker = r.getLong(3) > 0
+          val mdUs = r.getLong(4)
+          val ldtS = r.getLong(5)
+          val blocks = (0L until nblocks).map { b =>
+            val marker =
+              if (hasMarker && b > 0) Some((mdUs, ldtS)) else None
+            (separator(key, b), b * BlockBytes, marker)
+          }
           ~rowsWriter.append(blocks, position)
         } else position
       entries :+= ((be8(r.getLong(1)), pos))

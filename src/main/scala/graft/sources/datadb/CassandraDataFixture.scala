@@ -383,4 +383,135 @@ object CassandraDataFixture {
       Some(CassandraDataFormat.serializeHeader(header)))
     finally s.close()
   }
+
+  // ------------------------------------------- round-9 feature variant
+
+  /** The FEATURE variant sstable set ("fb-<g>-big"): a schema WITH a
+    * static column, a simple regular and a complex regular, exercising the
+    * row-level metadata the default set never writes — static rows,
+    * primary-key liveness (with and without row TTL), row deletions and
+    * complex-column deletions — all now surfaced as typed events by the
+    * reader (q110). The deterministic model is replayable from parquet:
+    * per distinct l_orderkey `k`, sstable `fb-(k%4)`, rows at clusterings
+    * `0 .. k%3`:
+    *  - static row iff k%3==0: s0 value of k%23 bytes, ts = T0 + k
+    *  - pk liveness iff k%2==0: ts = T0 + k*10 + c; row TTL 3600 with
+    *    ldt = D0 + k%1000 iff k%10==0
+    *  - row deletion iff k%11==0 on clustering 0: (T1 + k, D1 + k%100)
+    *  - complex deletion iff k%13==0: (T2 + k, D2 + k%50) on `tags`
+    *  - every row: one c0 cell ((k+c)%31 bytes, ts = T0 + k*10 + c + 1)
+    *    and two `tags` cells (paths 1,2; (k+c+i)%7 bytes,
+    *    ts = T0 + k*10 + c + 2 + i). */
+  val FeatureT0 = 1000000000000L
+  val FeatureT1 = 2000000000000L
+  val FeatureT2 = 3000000000000L
+  val FeatureD0 = 500000000L
+  val FeatureD1 = 600000000L
+  val FeatureD2 = 700000000L
+
+  val FeatureStatics: Seq[ColumnSpec] = Seq(ColumnSpec(
+    "s0".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    Marshal.Prefix + "BytesType"))
+  val FeatureRegulars: Seq[ColumnSpec] = Seq(
+    ColumnSpec("c0".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Marshal.Prefix + "BytesType"),
+    ColumnSpec("tags".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Marshal.Prefix + s"MapType(${Marshal.Prefix}LongType," +
+        s"${Marshal.Prefix}BytesType)"))
+
+  /** Shared by writer and reader (q110 focuses on the row codec; the
+    * header-through-Statistics.db path is proven by q62/q67/q100). */
+  val FeatureHeader: SerializationHeaderInfo = SerializationHeaderInfo(
+    minTimestampUs = FeatureT0,
+    minLocalDeletionTimeS = FeatureD0,
+    minTtlS = 0L,
+    keyType = Marshal.Prefix + "LongType",
+    clusteringTypes = Seq(Marshal.Prefix + "LongType"),
+    staticColumns = FeatureStatics,
+    regularColumns = FeatureRegulars)
+
+  def ensureFeatureFiles(spark: SparkSession, dir: String): String =
+    memo.synchronized {
+      sweepStopped()
+      val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|features"
+      val hit = memo.get(k)
+      if (hit != null) return hit._2
+      val out = graft.sources.TempDirs.register(
+        Files.createTempDirectory("graft-cassfeature-fixture"))
+      try writeFeatureAll(spark, dir, out)
+      catch {
+        case t: Throwable =>
+          val root = out.toFile
+          Option(root.listFiles()).foreach(_.foreach(_.delete()))
+          root.delete()
+          throw t
+      }
+      val path = out.toString
+      memo.put(k, (spark, path))
+      path
+    }
+
+  private def blobOf(len: Long, seed: Long): Array[Byte] = {
+    val b = new Array[Byte](len.toInt)
+    var i = 0
+    while (i < b.length) { b(i) = (seed + i * 17).toByte; i += 1 }
+    b
+  }
+
+  private def writeFeatureAll(spark: SparkSession, dir: String,
+      out: Path): Unit = {
+    val keys = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("k")).distinct()
+      .orderBy("k").collect().map(_.getLong(0))
+    keys.groupBy(_ % 4).toSeq.sortBy(_._1).foreach { case (g, ks) =>
+      val base = s"fb-$g-big"
+      val data = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(
+          out.resolve(base + DataDbFormat.Suffix).toFile), 1 << 16))
+      try {
+        val w = new Writer(data, FeatureHeader)
+        ks.foreach { k =>
+          val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+          w.writePartitionStart(keyBytes)
+          if (k % 3 == 0)
+            w.write(WriteStaticRow(Seq(WriteCell(0, path = null,
+              isDeleted = false, isExpiring = false,
+              timestampUs = FeatureT0 + k, ttlS = NoTtlS,
+              localDeletionTimeS = NoDeletionTimeS,
+              value = blobOf(k % 23, k)))))
+          (0L to k % 3).foreach { c =>
+            val liveness =
+              if (k % 2 == 0)
+                Some((FeatureT0 + k * 10 + c,
+                  if (k % 10 == 0) 3600L else NoTtlS,
+                  if (k % 10 == 0) FeatureD0 + k % 1000 else NoDeletionTimeS))
+              else None
+            val deletion =
+              if (k % 11 == 0 && c == 0)
+                Some((FeatureT1 + k, FeatureD1 + k % 100)) else None
+            val complexDel =
+              if (k % 13 == 0)
+                Some((FeatureT2 + k, FeatureD2 + k % 50)) else None
+            val cells =
+              WriteCell(0, path = null, isDeleted = false,
+                isExpiring = false, timestampUs = FeatureT0 + k * 10 + c + 1,
+                ttlS = NoTtlS, localDeletionTimeS = NoDeletionTimeS,
+                value = blobOf((k + c) % 31, k + c)) +:
+                (0L to 1L).map { i =>
+                  WriteCell(1,
+                    path = java.nio.ByteBuffer.allocate(8)
+                      .putLong(i + 1).array(),
+                    isDeleted = false, isExpiring = false,
+                    timestampUs = FeatureT0 + k * 10 + c + 2 + i,
+                    ttlS = NoTtlS, localDeletionTimeS = NoDeletionTimeS,
+                    value = blobOf((k + c + i) % 7, k + c + i))
+                }
+            w.write(WriteRow(c, cells, pkLiveness = liveness,
+              rowDeletion = deletion, complexDeletion = complexDel))
+          }
+          w.writePartitionEnd()
+        }
+      } finally data.close()
+    }
+  }
 }

@@ -269,8 +269,24 @@ object CassandraDataFormat {
 
   sealed trait WriteUnfiltered
   /** A row at `clustering`; cells must be grouped by column in header
-    * order (complex columns' cells in path order). */
-  final case class WriteRow(clustering: Long, cells: Seq[WriteCell])
+    * order (complex columns' cells in path order).
+    *
+    * Row-level metadata (round 9): `pkLiveness` = (timestampUs, ttlS,
+    * localDeletionTimeS) primary-key liveness — ttlS < 0 writes timestamp
+    * only (HAS_TIMESTAMP without HAS_TTL); `rowDeletion` = (timestampUs,
+    * localDeletionTimeS) row deletion; `complexDeletion` = (timestampUs,
+    * localDeletionTimeS) applied to EVERY present complex column (the
+    * HAS_COMPLEX_DELETION row flag is all-or-nothing per this writer's
+    * model; Cassandra's per-column LIVE sentinel is not modeled). */
+  final case class WriteRow(clustering: Long, cells: Seq[WriteCell],
+      pkLiveness: Option[(Long, Long, Long)] = None,
+      rowDeletion: Option[(Long, Long)] = None,
+      complexDeletion: Option[(Long, Long)] = None)
+      extends WriteUnfiltered
+  /** A static row: cells' `columnIdx` indexes the header's STATIC
+    * columns; written with the EXTENSION/IS_STATIC flag pair and no
+    * clustering block. Must be the partition's first unfiltered. */
+  final case class WriteStaticRow(cells: Seq[WriteCell])
       extends WriteUnfiltered
   final case class WriteMarker(clustering: Long, kind: Int,
       markedForDeleteAtUs: Long, localDeletionTimeS: Long)
@@ -305,8 +321,9 @@ object CassandraDataFormat {
     private def writeDeltaTtl(d: DataOutput, ttl: Long): Unit =
       writeUnsignedVInt(d, ttl - header.minTtlS)
 
-    private def writeCell(d: DataOutput, c: WriteCell): Unit = {
-      val spec = header.regularColumns(c.columnIdx)
+    private def writeCell(d: DataOutput, c: WriteCell,
+        columns: Seq[ColumnSpec] = header.regularColumns): Unit = {
+      val spec = columns(c.columnIdx)
       val hasValue = !spec.valueAbsent && !c.isDeleted && c.value != null &&
         c.value.length > 0
       var flags = 0
@@ -336,7 +353,21 @@ object CassandraDataFormat {
 
     def write(u: WriteUnfiltered): Unit = u match {
       case r: WriteRow => writeRow(r)
+      case s: WriteStaticRow => writeStaticRow(s)
       case m: WriteMarker => writeMarker(m)
+    }
+
+    /** Subset bitmap (Columns.serializer.serializeSubset: unsigned-vint
+      * bitmap of the superset positions ABSENT from the row; ≤ 64). */
+    private def writeSubset(bd: DataOutput, present: Seq[Int],
+        superset: Seq[ColumnSpec]): Unit = {
+      require(superset.length <= 64,
+        "subset encoding beyond 64 columns not supported")
+      var bitmap = 0L
+      superset.indices.foreach { i =>
+        if (!present.contains(i)) bitmap |= (1L << i)
+      }
+      writeUnsignedVInt(bd, bitmap)
     }
 
     private def writeRow(r: WriteRow): Unit = {
@@ -344,25 +375,29 @@ object CassandraDataFormat {
       val all = present.length == header.regularColumns.length
       var flags = 0
       if (all) flags |= HasAllColumns
-      // body: [subset] + column data (no pk-liveness, no row deletion)
+      if (r.pkLiveness.isDefined) flags |= HasTimestamp
+      if (r.pkLiveness.exists(_._2 >= 0)) flags |= HasTtl
+      if (r.rowDeletion.isDefined) flags |= HasDeletion
+      if (r.complexDeletion.isDefined) flags |= HasComplexDeletion
+      // body: [pk liveness] [row deletion] [subset] + column data
       val body = new ByteArrayOutputStream()
       val bd = new DataOutputStream(body)
-      if (!all) {
-        // Columns.serializer.serializeSubset: unsigned-vint bitmap of the
-        // superset positions ABSENT from the row (supersets ≤ 64 columns)
-        require(header.regularColumns.length <= 64,
-          "subset encoding beyond 64 columns not supported")
-        var bitmap = 0L
-        header.regularColumns.indices.foreach { i =>
-          if (!present.contains(i)) bitmap |= (1L << i)
-        }
-        writeUnsignedVInt(bd, bitmap)
+      r.pkLiveness.foreach { case (ts, ttl, ldt) =>
+        writeDeltaTs(bd, ts)
+        if (ttl >= 0) { writeDeltaTtl(bd, ttl); writeDeltaLdt(bd, ldt) }
       }
+      r.rowDeletion.foreach { case (ts, ldt) =>
+        writeDeltaTs(bd, ts); writeDeltaLdt(bd, ldt)
+      }
+      if (!all) writeSubset(bd, present, header.regularColumns)
       present.foreach { colIdx =>
         val cells = r.cells.filter(_.columnIdx == colIdx)
         if (header.regularColumns(colIdx).isComplex) {
-          // no complex deletion (HAS_COMPLEX_DELETION unset): cell count
-          // then the cells
+          // complex deletion (when the row carries one) precedes the cell
+          // count; then the cells
+          r.complexDeletion.foreach { case (ts, ldt) =>
+            writeDeltaTs(bd, ts); writeDeltaLdt(bd, ldt)
+          }
           writeUnsignedVInt(bd, cells.length.toLong)
           cells.foreach(writeCell(bd, _))
         } else {
@@ -376,6 +411,34 @@ object CassandraDataFormat {
       val before = out.size()
       out.writeByte(flags)
       writeClusteringBlock(out, r.clustering)
+      writeUnsignedVInt(out, bodyBytes.length.toLong)
+      writeUnsignedVInt(out, prevSize)
+      out.write(bodyBytes)
+      prevSize = (out.size() - before).toLong
+    }
+
+    private def writeStaticRow(s: WriteStaticRow): Unit = {
+      val statics = header.staticColumns
+      require(statics.nonEmpty, "static row but header has no static columns")
+      val present = s.cells.map(_.columnIdx).distinct.sorted
+      require(present.forall(i => !statics(i).isComplex),
+        "complex static columns unsupported")
+      val all = present.length == statics.length
+      var flags = ExtensionFlag
+      if (all) flags |= HasAllColumns
+      val body = new ByteArrayOutputStream()
+      val bd = new DataOutputStream(body)
+      if (!all) writeSubset(bd, present, statics)
+      present.foreach { colIdx =>
+        val cells = s.cells.filter(_.columnIdx == colIdx)
+        require(cells.length == 1,
+          s"static column ${statics(colIdx).name} with ${cells.length} cells")
+        writeCell(bd, cells.head, statics)
+      }
+      val bodyBytes = body.toByteArray
+      val before = out.size()
+      out.writeByte(flags)
+      out.writeByte(IsStatic) // extended flags: no clustering block follows
       writeUnsignedVInt(out, bodyBytes.length.toLong)
       writeUnsignedVInt(out, prevSize)
       out.write(bodyBytes)
@@ -545,6 +608,8 @@ object CassandraDataFormat {
       "event surface requires a single LongType clustering column")
     val regulars = header.regularColumns.toArray
     val colNameBytes = regulars.map(_.nameBytes)
+    val statics = header.staticColumns.toArray
+    val staticNameBytes = statics.map(_.nameBytes)
 
     new Iterator[DataDbFormat.Event] {
       private val in = new DataInputStream(stream)
@@ -588,9 +653,9 @@ object CassandraDataFormat {
         d.readLong()
       }
 
-      private def readCell(d: DataInput, colIdx: Int,
-          clustering: Long): DataDbFormat.Event = {
-        val spec = regulars(colIdx)
+      private def readCell(d: DataInput, spec: ColumnSpec,
+          nameBytes: Array[Byte], clustering: Long,
+          kindCode: Int): DataDbFormat.Event = {
         val flags = d.readUnsignedByte()
         if ((flags & (CellUseRowTimestamp | CellUseRowTtl)) != 0)
           throw new java.io.IOException(
@@ -624,8 +689,8 @@ object CassandraDataFormat {
         DataDbFormat.Event(
           key = currentKey,
           clustering = clustering,
-          columnNameBytes = colNameBytes(colIdx),
-          isMarker = false,
+          columnNameBytes = nameBytes,
+          kindCode = kindCode,
           flags = DataDbFormat.flagsOf(tombstone = deleted,
             expiring = expiring, counter = spec.isCounter, live = !deleted),
           timestampUs = ts,
@@ -635,16 +700,19 @@ object CassandraDataFormat {
       }
 
       /** Reads one unfiltered; returns its events (Nil at end of
-        * partition). */
+        * partition). Beyond plain cells, the row-level metadata the real
+        * format carries is SURFACED as typed events (round 9; previously
+        * parsed for stream integrity only): static-row cells
+        * (`STATIC_CELL` at the static clustering sentinel), primary-key
+        * liveness (`ROW_LIVENESS`), row deletions (`ROW_DELETION`) and
+        * complex-column deletions (`COMPLEX_DELETION`). */
       private def readUnfiltered(): List[DataDbFormat.Event] = {
         val flags = in.readUnsignedByte()
         if ((flags & EndOfPartition) != 0) { currentKey = null; return Nil }
         if ((flags & IsMarker) != 0) return readMarker() :: Nil
         val extended =
           if ((flags & ExtensionFlag) != 0) in.readUnsignedByte() else 0
-        if ((extended & IsStatic) != 0)
-          throw new java.io.IOException(
-            "static rows unsupported (header declares no static columns)")
+        if ((extended & IsStatic) != 0) return readStaticRow(flags)
         val clustering = readClusteringValue(in)
         val bodySize = readUnsignedVInt(in)
         readUnsignedVInt(in) // previous unfiltered size (reverse iteration)
@@ -653,11 +721,30 @@ object CassandraDataFormat {
         val body = new Array[Byte](bodySize.toInt)
         in.readFully(body)
         val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
-        // pk liveness / row deletion: parsed for stream integrity; rows
-        // this engine writes never carry them
-        if ((flags & HasTimestamp) != 0) readDeltaTs(d)
-        if ((flags & HasTtl) != 0) { readDeltaTtl(d); readDeltaLdt(d) }
-        if ((flags & HasDeletion) != 0) { readDeltaTs(d); readDeltaLdt(d) }
+        val out = List.newBuilder[DataDbFormat.Event]
+        // primary-key liveness: write timestamp (+ row TTL) for the whole
+        // row — surfaced as one ROW_LIVENESS event with an empty column
+        if ((flags & HasTimestamp) != 0) {
+          val ts = readDeltaTs(d)
+          var ttl = NoTtlS
+          var ldt = NoDeletionTimeS
+          if ((flags & HasTtl) != 0) { ttl = readDeltaTtl(d); ldt = readDeltaLdt(d) }
+          out += DataDbFormat.Event(currentKey, clustering,
+            Array.emptyByteArray, DataDbFormat.KindCodeRowLiveness,
+            DataDbFormat.flagsOf(tombstone = false,
+              expiring = (flags & HasTtl) != 0, counter = false, live = true),
+            ts, ttl, ldt, 0L)
+        }
+        // row deletion: the whole row is deleted at (ts, ldt)
+        if ((flags & HasDeletion) != 0) {
+          val ts = readDeltaTs(d)
+          val ldt = readDeltaLdt(d)
+          out += DataDbFormat.Event(currentKey, clustering,
+            Array.emptyByteArray, DataDbFormat.KindCodeRowDeletion,
+            DataDbFormat.flagsOf(tombstone = true, expiring = false,
+              counter = false, live = false),
+            ts, NoTtlS, ldt, 0L)
+        }
         val present: Array[Int] =
           if ((flags & HasAllColumns) != 0) regulars.indices.toArray
           else {
@@ -665,22 +752,73 @@ object CassandraDataFormat {
             val bitmap = readUnsignedVInt(d)
             regulars.indices.filter(i => (bitmap & (1L << i)) == 0L).toArray
           }
-        val out = List.newBuilder[DataDbFormat.Event]
         present.foreach { colIdx =>
           if (regulars(colIdx).isComplex) {
             if ((flags & HasComplexDeletion) != 0) {
-              readDeltaTs(d); readDeltaLdt(d) // complex deletion: parsed, unsurfaced
+              // complex-column deletion: all of this column's prior cells
+              // are deleted at (ts, ldt)
+              val ts = readDeltaTs(d)
+              val ldt = readDeltaLdt(d)
+              out += DataDbFormat.Event(currentKey, clustering,
+                colNameBytes(colIdx), DataDbFormat.KindCodeComplexDeletion,
+                DataDbFormat.flagsOf(tombstone = true, expiring = false,
+                  counter = false, live = false),
+                ts, NoTtlS, ldt, 0L)
             }
             val n = readUnsignedVInt(d)
             if (n < 0 || n > (1 << 20))
               throw new java.io.IOException(s"implausible cell count $n")
             var i = 0L
-            while (i < n) { out += readCell(d, colIdx, clustering); i += 1 }
-          } else out += readCell(d, colIdx, clustering)
+            while (i < n) {
+              out += readCell(d, regulars(colIdx), colNameBytes(colIdx),
+                clustering, DataDbFormat.KindCodeCell)
+              i += 1
+            }
+          } else out += readCell(d, regulars(colIdx), colNameBytes(colIdx),
+            clustering, DataDbFormat.KindCodeCell)
         }
         if (d.available() != 0)
           throw new java.io.IOException(
             s"row body size mismatch: ${d.available()} bytes left of $bodySize")
+        out.result()
+      }
+
+      /** Static row: no clustering block; cells decode against the
+        * header's STATIC columns and surface at the static clustering
+        * sentinel. Liveness/deletion flags are rejected — a static row
+        * carries cells only (the files this engine targets never write
+        * static liveness). */
+      private def readStaticRow(flags: Int): List[DataDbFormat.Event] = {
+        if (statics.isEmpty)
+          throw new java.io.IOException(
+            "static row but header declares no static columns")
+        if ((flags & (HasTimestamp | HasDeletion | HasComplexDeletion)) != 0)
+          throw new java.io.IOException(
+            "static-row liveness/deletion unsupported")
+        val bodySize = readUnsignedVInt(in)
+        readUnsignedVInt(in) // previous unfiltered size
+        if (bodySize < 0 || bodySize > (1 << 28))
+          throw new java.io.IOException(s"implausible static body $bodySize")
+        val body = new Array[Byte](bodySize.toInt)
+        in.readFully(body)
+        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        val present: Array[Int] =
+          if ((flags & HasAllColumns) != 0) statics.indices.toArray
+          else {
+            val bitmap = readUnsignedVInt(d)
+            statics.indices.filter(i => (bitmap & (1L << i)) == 0L).toArray
+          }
+        val out = List.newBuilder[DataDbFormat.Event]
+        present.foreach { colIdx =>
+          if (statics(colIdx).isComplex)
+            throw new java.io.IOException(
+              "complex static columns unsupported")
+          out += readCell(d, statics(colIdx), staticNameBytes(colIdx),
+            DataDbFormat.StaticClustering, DataDbFormat.KindCodeStaticCell)
+        }
+        if (d.available() != 0)
+          throw new java.io.IOException(
+            s"static body size mismatch: ${d.available()} bytes left")
         out.result()
       }
 
@@ -710,7 +848,7 @@ object CassandraDataFormat {
           clustering = clustering,
           columnNameBytes = ("range:" + clustering)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          isMarker = true,
+          kindCode = DataDbFormat.KindCodeMarker,
           flags = DataDbFormat.flagsOf(tombstone = true, expiring = false,
             counter = false, live = false),
           timestampUs = ts,

@@ -368,8 +368,8 @@ final class DataDbPartitionReader(file: String, sstableId: String,
   private val es = new EventStream(file, start, end, conf, format)
   private var current: DataDbFormat.Event = _
   private val id = UTF8String.fromString(sstableId)
-  private val cell = UTF8String.fromString(DataDbFormat.KindCell)
-  private val marker = UTF8String.fromString(DataDbFormat.KindMarker)
+  private val kinds: Array[UTF8String] =
+    DataDbFormat.KindStrings.map(UTF8String.fromString)
   // projection baked once: required-field ordinal -> value extractor
   private val extractors: Array[DataDbFormat.Event => Any] =
     required.fieldNames.map {
@@ -378,7 +378,7 @@ final class DataDbPartitionReader(file: String, sstableId: String,
       case "clustering" => (e: DataDbFormat.Event) => e.clustering
       case "column_name" =>
         (e: DataDbFormat.Event) => UTF8String.fromBytes(e.columnNameBytes)
-      case "kind" => (e: DataDbFormat.Event) => if (e.isMarker) marker else cell
+      case "kind" => (e: DataDbFormat.Event) => kinds(e.kindCode)
       case "timestamp_us" => (e: DataDbFormat.Event) => e.timestampUs
       case "ttl_s" => (e: DataDbFormat.Event) => e.ttlS
       case "local_deletion_time_s" =>
@@ -414,8 +414,8 @@ final class DataDbColumnarReader(file: String, sstableId: String,
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
   private val idBytes = sstableId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-  private val cellBytes = DataDbFormat.KindCell.getBytes("UTF-8")
-  private val markerBytes = DataDbFormat.KindMarker.getBytes("UTF-8")
+  private val kindBytes: Array[Array[Byte]] =
+    DataDbFormat.KindStrings.map(_.getBytes("UTF-8"))
   // projection baked once: required-field ordinal -> vector filler
   private val fillers: Array[(DataDbFormat.Event, Int) => Unit] =
     required.fieldNames.zipWithIndex.map { case (name, i) =>
@@ -433,7 +433,7 @@ final class DataDbColumnarReader(file: String, sstableId: String,
           }
         case "kind" =>
           (e: DataDbFormat.Event, r: Int) => {
-            v.putByteArray(r, if (e.isMarker) markerBytes else cellBytes); ()
+            v.putByteArray(r, kindBytes(e.kindCode)); ()
           }
         case "timestamp_us" =>
           (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.timestampUs)

@@ -120,7 +120,7 @@ object DataDbFixture {
           clustering = r.getLong(2),
           columnNameBytes = r.getString(3)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          isMarker = r.getString(4) == DataDbFormat.KindMarker,
+          kindCode = DataDbFormat.KindStrings.indexOf(r.getString(4)),
           flags = DataDbFormat.flagsOf(r.getBoolean(8), r.getBoolean(9),
             r.getBoolean(10), r.getBoolean(11)),
           timestampUs = r.getLong(5),

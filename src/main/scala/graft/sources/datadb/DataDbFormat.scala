@@ -19,8 +19,11 @@ import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, readVInt, writeUns
   * ```
   * file      := partition*
   * partition := key_len:uint16_be key:bytes[key_len] event* end
-  * event     := kind:byte(1=cell | 2=range-tombstone-marker)
-  *              clustering:uvint
+  * event     := kind:byte(1 + KindCode: 1=cell, 2=range-tombstone-marker,
+  *                        3=static-cell, 4=row-liveness, 5=row-deletion,
+  *                        6=complex-column-deletion)
+  *              clustering:uvint      // StaticClustering(-1) wraps to the
+  *                                    // 9-byte encoding, bit-exactly
   *              col_len:uint16_be col:utf8[col_len]
   *              flags:byte            // bit0 tombstone, bit1 expiring,
   *                                    // bit2 counter,   bit3 live
@@ -49,6 +52,29 @@ object DataDbFormat {
 
   val KindCell = "CELL"
   val KindMarker = "RANGE_TOMBSTONE_MARKER"
+  val KindStaticCell = "STATIC_CELL"
+  val KindRowLiveness = "ROW_LIVENESS"
+  val KindRowDeletion = "ROW_DELETION"
+  val KindComplexDeletion = "COMPLEX_DELETION"
+
+  /** Event kind codes ([[Event.kindCode]]); array order defines the wire
+    * byte (1 + code) in the engine codec and the `kind` string surfaced
+    * by the DSv2 readers. Codes 2..5 are the row-level metadata the real
+    * format carries beyond plain cells: static-row cells, primary-key
+    * liveness, row deletions, complex-column deletions. */
+  val KindCodeCell = 0
+  val KindCodeMarker = 1
+  val KindCodeStaticCell = 2
+  val KindCodeRowLiveness = 3
+  val KindCodeRowDeletion = 4
+  val KindCodeComplexDeletion = 5
+  val KindStrings: Array[String] = Array(KindCell, KindMarker,
+    KindStaticCell, KindRowLiveness, KindRowDeletion, KindComplexDeletion)
+
+  /** Static rows sort before every clustered row; the relational surface
+    * (LongType clustering) uses this sentinel for them and for row-level
+    * events' "no single cell column" position. */
+  val StaticClustering = -1L
 
   val FlagTombstone = 1
   val FlagExpiring = 2
@@ -77,7 +103,7 @@ object DataDbFormat {
       key: Array[Byte],
       clustering: Long,
       columnNameBytes: Array[Byte],
-      isMarker: Boolean,
+      kindCode: Int,
       flags: Int,
       timestampUs: Long,
       ttlS: Long,
@@ -88,6 +114,7 @@ object DataDbFormat {
       * pruned column_name never pays for a String at all. */
     def columnName: String =
       new String(columnNameBytes, java.nio.charset.StandardCharsets.UTF_8)
+    def isMarker: Boolean = kindCode == KindCodeMarker
     def isTombstone: Boolean = (flags & FlagTombstone) != 0
     def isExpiring: Boolean = (flags & FlagExpiring) != 0
     def isCounter: Boolean = (flags & FlagCounter) != 0
@@ -107,7 +134,7 @@ object DataDbFormat {
   }
 
   def writeEvent(out: DataOutput, e: Event): Unit = {
-    out.write(if (e.isMarker) 2 else 1)
+    out.write(1 + e.kindCode)
     writeUnsignedVInt(out, e.clustering)
     val col = e.columnNameBytes
     out.writeShort(col.length)
@@ -161,7 +188,7 @@ object DataDbFormat {
         if (kind < 0) throw new EOFException("truncated partition (no end marker)")
         if (kind == 0) { currentKey = null } // end of partition
         else {
-          if (kind != 1 && kind != 2)
+          if (kind < 1 || kind > KindStrings.length)
             throw new java.io.IOException(s"corrupt event kind $kind")
           val clustering = readUnsignedVInt(in)
           val colLen = in.readUnsignedShort()
@@ -173,7 +200,7 @@ object DataDbFormat {
           val ldt = readUnsignedVInt(in)
           val size = readUnsignedVInt(in)
           nextEvent = Event(currentKey, clustering, colBytes,
-            isMarker = kind == 2, flags = flags, timestampUs = ts, ttlS = ttl,
+            kindCode = kind - 1, flags = flags, timestampUs = ts, ttlS = ttl,
             localDeletionTimeS = ldt, sizeBytes = size)
         }
       }

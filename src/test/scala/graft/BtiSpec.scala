@@ -176,21 +176,35 @@ class BtiSpec extends SparkSpec {
   test("Rows.db roundtrip: entries append, trailers resolve, separator " +
       "tries enumerate blocks in order, entry count tail matches") {
     def be8(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val md = 777777777777L // open-marker markedForDeleteAt_us
+    val ldt = 123456789L // open-marker localDeletionTime_s
     val w = new BtiRowsFormat.Writer
-    val e1 = w.append(Seq(be8(0L) -> 0L, be8(1L) -> 4096L, be8(2L) -> 8192L),
-      dataPos = 100L)
-    val e2 = w.append(Seq(be8(0L) -> 0L, be8(1L) -> 4096L), dataPos = 555L)
+    // e1 mixes payload layouts: block 0 plain, blocks 1-2 under an open
+    // range-tombstone marker (flags = w+12 codec path)
+    val e1 = w.append(Seq(
+      (be8(0L), 0L, None),
+      (be8(1L), 4096L, Some((md, ldt))),
+      (be8(2L), 8192L, Some((md, ldt)))), dataPos = 100L)
+    val e2 = w.append(Seq((be8(0L), 0L, None), (be8(1L), 4096L, None)),
+      dataPos = 555L)
     val bytes = w.finish()
     assert(BtiRowsFormat.entryCount(bytes) === 2L)
     val r1 = BtiRowsFormat.readEntry(bytes, e1)
     assert(r1.dataPos === 100L && r1.blockCount === 3)
     assert(BtiRowsFormat.blocks(bytes, e1).map {
-      case (s, o) => (java.nio.ByteBuffer.wrap(s).getLong, o)
-    }.toSeq === Seq((0L, 0L), (1L, 4096L), (2L, 8192L)))
+      case (s, o, m) => (java.nio.ByteBuffer.wrap(s).getLong, o, m)
+    }.toSeq === Seq((0L, 0L, None), (1L, 4096L, Some((md, ldt))),
+      (2L, 8192L, Some((md, ldt)))))
     val r2 = BtiRowsFormat.readEntry(bytes, e2)
     assert(r2.dataPos === 555L && r2.blockCount === 2)
+    assert(BtiRowsFormat.blocks(bytes, e2).forall(_._3.isEmpty))
     intercept[java.io.IOException] {
       BtiRowsFormat.readEntry(bytes, bytes.length.toLong)
+    }
+    // marker payloads cap the offset width at 3 bytes (flags nibble)
+    intercept[IllegalArgumentException] {
+      new BtiRowsFormat.Writer().append(
+        Seq((be8(0L), 1L << 32, Some((md, ldt)))), dataPos = 0L)
     }
   }
 
@@ -245,9 +259,14 @@ class BtiSpec extends SparkSpec {
         cls :+= v
         v += (if (rnd.nextBoolean()) 1L else 1L + rnd.nextInt(1 << 20))
       }
+      // every third round runs under an open marker (blocks 1+, the
+      // fixture's whole-partition range-deletion model)
+      val marker =
+        if (round % 3 == 0) Some((1000000L + round, 86400L * round)) else None
       val blocks = cls.zipWithIndex.map { case (cl, i) =>
         (BtiRowIndexFixture.SepValidator.encode(Seq(cl)),
-          i.toLong * BtiRowIndexFixture.BlockBytes)
+          i.toLong * BtiRowIndexFixture.BlockBytes,
+          if (i > 0) marker else None)
       }
       // composite encoding preserves order byte-comparably
       blocks.map(_._1).sliding(2).foreach {
@@ -263,10 +282,11 @@ class BtiSpec extends SparkSpec {
       val bytes = w.finish()
       val back = BtiRowsFormat.blocks(bytes, entryOff).toVector
       assert(back.length === cls.length, s"round $round")
-      back.zip(cls).zipWithIndex.foreach { case (((sep, off), cl), i) =>
+      back.zip(cls).zipWithIndex.foreach { case (((sep, off, m), cl), i) =>
         assert(BtiRowIndexFixture.decodeSeparator(sep) === cl,
           s"round $round block $i")
         assert(off === i.toLong * BtiRowIndexFixture.BlockBytes)
+        assert(m === (if (i > 0) marker else None), s"round $round block $i")
       }
       val entry = BtiRowsFormat.readEntry(bytes, entryOff)
       assert(entry.blockCount === cls.length && entry.dataPos === 12345L)
@@ -281,13 +301,22 @@ class BtiSpec extends SparkSpec {
       val partitions = r.getLong(1); val indexed = r.getLong(2)
       val blocks = r.getLong(3); val tiledOk = r.getLong(7)
       val hashOk = r.getLong(8)
+      val markers = r.getAs[Long]("markers")
+      val markerOk = r.getAs[Long]("marker_ok")
       assert(partitions > 0)
       assert(hashOk === partitions, s"hash mismatch in ${r.getString(0)}")
       assert(tiledOk === indexed, s"tiling broke in ${r.getString(0)}")
       assert(blocks >= 2 * indexed, "indexed partitions have >= 2 blocks")
+      assert(markerOk === indexed,
+        s"open-marker structure broke in ${r.getString(0)}")
+      assert(markers <= blocks - indexed,
+        "markers only on blocks after the first")
     }
     // the set must actually exercise the indexed path
     assert(rows.map(_.getLong(2)).sum > 0, "no partition was row-indexed")
+    // ... and the open-marker payload path
+    assert(rows.map(_.getAs[Long]("markers")).sum > 0,
+      "no block carried an open-marker deletion time")
   }
 
   test("the DSv2 bti scan resolves ~refs through Rows.db transparently: " +

@@ -115,6 +115,70 @@ class CassandraDataSpec extends SparkSpec {
       java.nio.ByteBuffer.wrap(e.key).getLong === 9L))
   }
 
+  test("static rows, pk liveness, row deletions and complex deletions " +
+      "surface as typed events (round 9) and round-trip exactly") {
+    val header = SerializationHeaderInfo(
+      minTimestampUs = 1000L, minLocalDeletionTimeS = 500L, minTtlS = 0L,
+      keyType = LongT, clusteringTypes = Seq(LongT),
+      staticColumns = Seq(cspec("s0", BytesT)),
+      regularColumns = Seq(cspec("c0", BytesT), cspec("tags", MapT)))
+    def path(i: Long) =
+      java.nio.ByteBuffer.allocate(8).putLong(i).array()
+    val got = roundtrip(header, { w =>
+      w.writePartitionStart(Array[Byte](0, 0, 0, 0, 0, 0, 0, 7))
+      w.write(WriteStaticRow(Seq(
+        WriteCell(0, path = null, isDeleted = false, isExpiring = false,
+          timestampUs = 1111L, ttlS = NoTtlS,
+          localDeletionTimeS = NoDeletionTimeS,
+          value = Array[Byte](9, 9)))))
+      w.write(WriteRow(3L,
+        cells = Seq(
+          WriteCell(0, path = null, isDeleted = false, isExpiring = false,
+            timestampUs = 2222L, ttlS = NoTtlS,
+            localDeletionTimeS = NoDeletionTimeS,
+            value = Array[Byte](1)),
+          WriteCell(1, path(1), isDeleted = false, isExpiring = false,
+            timestampUs = 3333L, ttlS = NoTtlS,
+            localDeletionTimeS = NoDeletionTimeS,
+            value = Array[Byte](2, 2))),
+        pkLiveness = Some((1500L, 3600L, 777L)),
+        rowDeletion = Some((4444L, 888L)),
+        complexDeletion = Some((5555L, 999L))))
+      // second row: liveness WITHOUT a row TTL (HAS_TIMESTAMP only)
+      w.write(WriteRow(4L,
+        cells = Seq(WriteCell(0, path = null, isDeleted = false,
+          isExpiring = false, timestampUs = 6666L, ttlS = NoTtlS,
+          localDeletionTimeS = NoDeletionTimeS, value = Array[Byte](3))),
+        pkLiveness = Some((1600L, NoTtlS, NoDeletionTimeS))))
+      w.writePartitionEnd()
+    })
+    import graft.sources.datadb.DataDbFormat._
+    assert(got.map(_.kindCode) === List(
+      KindCodeStaticCell,
+      KindCodeRowLiveness, KindCodeRowDeletion, KindCodeCell,
+      KindCodeComplexDeletion, KindCodeCell,
+      KindCodeRowLiveness, KindCodeCell))
+    assert(got.map(_.clustering) ===
+      List(StaticClustering, 3L, 3L, 3L, 3L, 3L, 4L, 4L))
+    assert(got.map(_.columnName) ===
+      List("s0", "", "", "c0", "tags", "tags", "", "c0"))
+    assert(got.map(_.timestampUs) ===
+      List(1111L, 1500L, 4444L, 2222L, 5555L, 3333L, 1600L, 6666L))
+    assert(got.map(_.ttlS) ===
+      List(NoTtlS, 3600L, NoTtlS, NoTtlS, NoTtlS, NoTtlS, NoTtlS, NoTtlS))
+    assert(got.map(_.localDeletionTimeS) === List(NoDeletionTimeS, 777L,
+      888L, NoDeletionTimeS, 999L, NoDeletionTimeS, NoDeletionTimeS,
+      NoDeletionTimeS))
+    assert(got.map(_.sizeBytes) === List(2L, 0L, 0L, 1L, 0L, 2L, 0L, 1L))
+    // liveness is live (and expiring when a row TTL rides it); deletions
+    // are tombstones
+    val live = got(1); val rdel = got(2); val cdel = got(4)
+    assert(live.isLive && live.isExpiring && !live.isTombstone)
+    assert(!got(6).isExpiring && got(6).isLive)
+    assert(rdel.isTombstone && !rdel.isLive)
+    assert(cdel.isTombstone && !cdel.isLive)
+  }
+
   test("column-subset bitmap and simple columns round-trip") {
     val header = SerializationHeaderInfo(
       minTimestampUs = 0L, minLocalDeletionTimeS = 0L, minTtlS = 0L,

@@ -18,7 +18,8 @@ class DataDbSourceSpec extends SparkSpec {
       ts: Long, ttl: Long, ldt: Long, size: Long) =
     DataDbFormat.Event(null, cl,
       colName.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      marker, flags, ts, ttl, ldt, size)
+      if (marker) DataDbFormat.KindCodeMarker else DataDbFormat.KindCodeCell,
+      flags, ts, ttl, ldt, size)
 
   test("event codec round-trips partitions, flags, sentinels and vint bounds") {
     val bos = new ByteArrayOutputStream()

@@ -97,6 +97,9 @@ object Bench {
         compressed = false)
       graft.sources.datadb.CassandraDataFixture.ensureFiles(spark, sfDir,
         compressed = true)
+      graft.sources.datadb.CassandraDataFixture.ensureFeatureFiles(spark, sfDir)
+      graft.sources.bti.BtiFixture.ensureFiles(spark, sfDir)
+      graft.sources.bti.BtiRowIndexFixture.ensureFiles(spark, sfDir)
       graft.ops.Dedup.corpusShingles(spark, sfDir).count()
       graft.ops.Similarity.quantized(spark, sfDir).count()
       SparkEntry.queries("q15_cfstats_totals")(spark, sfDir).count()

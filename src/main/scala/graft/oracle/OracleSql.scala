@@ -2648,9 +2648,16 @@ perkey AS (
     CAST(SUM(CASE WHEN k%3=0 THEN 1 ELSE 0 END) AS BIGINT) AS statics,
     CAST(SUM(CASE WHEN k%3=0 THEN k%23 ELSE 0 END) AS BIGINT) AS static_size_sum,
     CAST(SUM(CASE WHEN k%3=0 THEN (1000000000000 + k) % 1000003 ELSE 0 END) AS BIGINT) AS static_ts_sum,
-    CAST(SUM(CASE WHEN k%11=0 THEN 1 ELSE 0 END) AS BIGINT) AS row_dels,
-    CAST(SUM(CASE WHEN k%11=0 THEN (2000000000000 + k) % 1000003 ELSE 0 END) AS BIGINT) AS rdel_ts_sum,
-    CAST(SUM(CASE WHEN k%11=0 THEN (600000000 + k%100) % 1000003 ELSE 0 END) AS BIGINT) AS rdel_ldt_sum,
+    CAST(SUM(CASE WHEN k%11=0 THEN 1 ELSE 0 END)
+      + SUM(CASE WHEN k%3=0 AND k%17=0 THEN 1 ELSE 0 END) AS BIGINT) AS row_dels,
+    CAST(SUM(CASE WHEN k%11=0 THEN (2000000000000 + k) % 1000003 ELSE 0 END)
+      + SUM(CASE WHEN k%3=0 AND k%17=0 THEN (2000000000000 + k + 5) % 1000003 ELSE 0 END) AS BIGINT) AS rdel_ts_sum,
+    CAST(SUM(CASE WHEN k%11=0 THEN (600000000 + k%100) % 1000003 ELSE 0 END)
+      + SUM(CASE WHEN k%3=0 AND k%17=0 THEN (600000000 + k%70) % 1000003 ELSE 0 END) AS BIGINT) AS rdel_ldt_sum,
+    CAST(SUM(CASE WHEN k%9=0 THEN 1 ELSE 0 END) AS BIGINT) AS s_liv,
+    CAST(SUM(CASE WHEN k%9=0 THEN (1000000000000 + k + 5) % 1000003 ELSE 0 END) AS BIGINT) AS s_liv_ts,
+    CAST(SUM(CASE WHEN k%9=0 THEN -1 ELSE 0 END) AS BIGINT) AS s_liv_ttl,
+    CAST(SUM(CASE WHEN k%9=0 THEN 2147483647 % 1000003 ELSE 0 END) AS BIGINT) AS s_liv_ldt,
     CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum
   FROM base GROUP BY 1),
 perrow AS (
@@ -2669,7 +2676,10 @@ perrow AS (
     CAST(SUM((k+c) % 31 + (k+c) % 7 + (k+c+1) % 7) AS BIGINT) AS cell_size_sum
   FROM rows_ GROUP BY 1)
 SELECT p.sstable_id, statics, static_size_sum, static_ts_sum,
-  liveness, live_ts_sum, live_ttl_sum, live_ldt_sum,
+  CAST(liveness + s_liv AS BIGINT) AS liveness,
+  CAST(live_ts_sum + s_liv_ts AS BIGINT) AS live_ts_sum,
+  CAST(live_ttl_sum + s_liv_ttl AS BIGINT) AS live_ttl_sum,
+  CAST(live_ldt_sum + s_liv_ldt AS BIGINT) AS live_ldt_sum,
   row_dels, rdel_ts_sum, rdel_ldt_sum,
   complex_dels, cdel_ts_sum, cdel_ldt_sum,
   cells, cell_ts_sum, cell_size_sum, keys_sum

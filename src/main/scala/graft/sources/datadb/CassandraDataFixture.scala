@@ -394,7 +394,9 @@ object CassandraDataFixture {
     * reader (q110). The deterministic model is replayable from parquet:
     * per distinct l_orderkey `k`, sstable `fb-(k%4)`, rows at clusterings
     * `0 .. k%3`:
-    *  - static row iff k%3==0: s0 value of k%23 bytes, ts = T0 + k
+    *  - static row iff k%3==0: s0 value of k%23 bytes, ts = T0 + k;
+    *    carries its own pk liveness iff k%9==0 (ts = T0 + k + 5, no TTL)
+    *    and its own row deletion iff k%17==0 (T1 + k + 5, D1 + k%70)
     *  - pk liveness iff k%2==0: ts = T0 + k*10 + c; row TTL 3600 with
     *    ldt = D0 + k%1000 iff k%10==0
     *  - row deletion iff k%11==0 on clustering 0: (T1 + k, D1 + k%100)
@@ -478,7 +480,15 @@ object CassandraDataFixture {
               isDeleted = false, isExpiring = false,
               timestampUs = FeatureT0 + k, ttlS = NoTtlS,
               localDeletionTimeS = NoDeletionTimeS,
-              value = blobOf(k % 23, k)))))
+              value = blobOf(k % 23, k))),
+              // static rows carry liveness/deletion like regular rows
+              pkLiveness =
+                if (k % 9 == 0)
+                  Some((FeatureT0 + k + 5, NoTtlS, NoDeletionTimeS))
+                else None,
+              rowDeletion =
+                if (k % 17 == 0)
+                  Some((FeatureT1 + k + 5, FeatureD1 + k % 70)) else None))
           (0L to k % 3).foreach { c =>
             val liveness =
               if (k % 2 == 0)

@@ -285,8 +285,12 @@ object CassandraDataFormat {
       extends WriteUnfiltered
   /** A static row: cells' `columnIdx` indexes the header's STATIC
     * columns; written with the EXTENSION/IS_STATIC flag pair and no
-    * clustering block. Must be the partition's first unfiltered. */
-  final case class WriteStaticRow(cells: Seq[WriteCell])
+    * clustering block. Must be the partition's first unfiltered.
+    * Carries the same optional pk liveness / row deletion as a regular
+    * row (Cassandra's static Row is the same Row structure). */
+  final case class WriteStaticRow(cells: Seq[WriteCell],
+      pkLiveness: Option[(Long, Long, Long)] = None,
+      rowDeletion: Option[(Long, Long)] = None)
       extends WriteUnfiltered
   final case class WriteMarker(clustering: Long, kind: Int,
       markedForDeleteAtUs: Long, localDeletionTimeS: Long)
@@ -426,8 +430,18 @@ object CassandraDataFormat {
       val all = present.length == statics.length
       var flags = ExtensionFlag
       if (all) flags |= HasAllColumns
+      if (s.pkLiveness.isDefined) flags |= HasTimestamp
+      if (s.pkLiveness.exists(_._2 >= 0)) flags |= HasTtl
+      if (s.rowDeletion.isDefined) flags |= HasDeletion
       val body = new ByteArrayOutputStream()
       val bd = new DataOutputStream(body)
+      s.pkLiveness.foreach { case (ts, ttl, ldt) =>
+        writeDeltaTs(bd, ts)
+        if (ttl >= 0) { writeDeltaTtl(bd, ttl); writeDeltaLdt(bd, ldt) }
+      }
+      s.rowDeletion.foreach { case (ts, ldt) =>
+        writeDeltaTs(bd, ts); writeDeltaLdt(bd, ldt)
+      }
       if (!all) writeSubset(bd, present, statics)
       present.foreach { colIdx =>
         val cells = s.cells.filter(_.columnIdx == colIdx)
@@ -785,16 +799,16 @@ object CassandraDataFormat {
 
       /** Static row: no clustering block; cells decode against the
         * header's STATIC columns and surface at the static clustering
-        * sentinel. Liveness/deletion flags are rejected — a static row
-        * carries cells only (the files this engine targets never write
-        * static liveness). */
+        * sentinel, as do the row's optional liveness/deletion events
+        * (Cassandra's static Row is the same Row structure). Complex
+        * static columns (and so complex deletions) stay unsupported. */
       private def readStaticRow(flags: Int): List[DataDbFormat.Event] = {
         if (statics.isEmpty)
           throw new java.io.IOException(
             "static row but header declares no static columns")
-        if ((flags & (HasTimestamp | HasDeletion | HasComplexDeletion)) != 0)
+        if ((flags & HasComplexDeletion) != 0)
           throw new java.io.IOException(
-            "static-row liveness/deletion unsupported")
+            "static-row complex deletion unsupported")
         val bodySize = readUnsignedVInt(in)
         readUnsignedVInt(in) // previous unfiltered size
         if (bodySize < 0 || bodySize > (1 << 28))
@@ -802,13 +816,35 @@ object CassandraDataFormat {
         val body = new Array[Byte](bodySize.toInt)
         in.readFully(body)
         val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        val out = List.newBuilder[DataDbFormat.Event]
+        if ((flags & HasTimestamp) != 0) {
+          val ts = readDeltaTs(d)
+          var ttl = NoTtlS
+          var ldt = NoDeletionTimeS
+          if ((flags & HasTtl) != 0) { ttl = readDeltaTtl(d); ldt = readDeltaLdt(d) }
+          out += DataDbFormat.Event(currentKey,
+            DataDbFormat.StaticClustering, Array.emptyByteArray,
+            DataDbFormat.KindCodeRowLiveness,
+            DataDbFormat.flagsOf(tombstone = false,
+              expiring = (flags & HasTtl) != 0, counter = false, live = true),
+            ts, ttl, ldt, 0L)
+        }
+        if ((flags & HasDeletion) != 0) {
+          val ts = readDeltaTs(d)
+          val ldt = readDeltaLdt(d)
+          out += DataDbFormat.Event(currentKey,
+            DataDbFormat.StaticClustering, Array.emptyByteArray,
+            DataDbFormat.KindCodeRowDeletion,
+            DataDbFormat.flagsOf(tombstone = true, expiring = false,
+              counter = false, live = false),
+            ts, NoTtlS, ldt, 0L)
+        }
         val present: Array[Int] =
           if ((flags & HasAllColumns) != 0) statics.indices.toArray
           else {
             val bitmap = readUnsignedVInt(d)
             statics.indices.filter(i => (bitmap & (1L << i)) == 0L).toArray
           }
-        val out = List.newBuilder[DataDbFormat.Event]
         present.foreach { colIdx =>
           if (statics(colIdx).isComplex)
             throw new java.io.IOException(

@@ -130,7 +130,9 @@ class CassandraDataSpec extends SparkSpec {
         WriteCell(0, path = null, isDeleted = false, isExpiring = false,
           timestampUs = 1111L, ttlS = NoTtlS,
           localDeletionTimeS = NoDeletionTimeS,
-          value = Array[Byte](9, 9)))))
+          value = Array[Byte](9, 9))),
+        pkLiveness = Some((1200L, NoTtlS, NoDeletionTimeS)),
+        rowDeletion = Some((1300L, 555L))))
       w.write(WriteRow(3L,
         cells = Seq(
           WriteCell(0, path = null, isDeleted = false, isExpiring = false,
@@ -154,27 +156,31 @@ class CassandraDataSpec extends SparkSpec {
     })
     import graft.sources.datadb.DataDbFormat._
     assert(got.map(_.kindCode) === List(
-      KindCodeStaticCell,
+      KindCodeRowLiveness, KindCodeRowDeletion, KindCodeStaticCell,
       KindCodeRowLiveness, KindCodeRowDeletion, KindCodeCell,
       KindCodeComplexDeletion, KindCodeCell,
       KindCodeRowLiveness, KindCodeCell))
-    assert(got.map(_.clustering) ===
-      List(StaticClustering, 3L, 3L, 3L, 3L, 3L, 4L, 4L))
+    assert(got.map(_.clustering) === List(StaticClustering,
+      StaticClustering, StaticClustering, 3L, 3L, 3L, 3L, 3L, 4L, 4L))
     assert(got.map(_.columnName) ===
-      List("s0", "", "", "c0", "tags", "tags", "", "c0"))
-    assert(got.map(_.timestampUs) ===
-      List(1111L, 1500L, 4444L, 2222L, 5555L, 3333L, 1600L, 6666L))
-    assert(got.map(_.ttlS) ===
-      List(NoTtlS, 3600L, NoTtlS, NoTtlS, NoTtlS, NoTtlS, NoTtlS, NoTtlS))
-    assert(got.map(_.localDeletionTimeS) === List(NoDeletionTimeS, 777L,
-      888L, NoDeletionTimeS, 999L, NoDeletionTimeS, NoDeletionTimeS,
-      NoDeletionTimeS))
-    assert(got.map(_.sizeBytes) === List(2L, 0L, 0L, 1L, 0L, 2L, 0L, 1L))
+      List("", "", "s0", "", "", "c0", "tags", "tags", "", "c0"))
+    assert(got.map(_.timestampUs) === List(1200L, 1300L, 1111L, 1500L,
+      4444L, 2222L, 5555L, 3333L, 1600L, 6666L))
+    assert(got.map(_.ttlS) === List(NoTtlS, NoTtlS, NoTtlS, 3600L, NoTtlS,
+      NoTtlS, NoTtlS, NoTtlS, NoTtlS, NoTtlS))
+    assert(got.map(_.localDeletionTimeS) === List(NoDeletionTimeS, 555L,
+      NoDeletionTimeS, 777L, 888L, NoDeletionTimeS, 999L, NoDeletionTimeS,
+      NoDeletionTimeS, NoDeletionTimeS))
+    assert(got.map(_.sizeBytes) ===
+      List(0L, 0L, 2L, 0L, 0L, 1L, 0L, 2L, 0L, 1L))
     // liveness is live (and expiring when a row TTL rides it); deletions
-    // are tombstones
-    val live = got(1); val rdel = got(2); val cdel = got(4)
+    // are tombstones — at the static sentinel and at real clusterings
+    val sliv = got(0); val sdel = got(1)
+    assert(sliv.isLive && !sliv.isExpiring && !sliv.isTombstone)
+    assert(sdel.isTombstone && !sdel.isLive)
+    val live = got(3); val rdel = got(4); val cdel = got(6)
     assert(live.isLive && live.isExpiring && !live.isTombstone)
-    assert(!got(6).isExpiring && got(6).isLive)
+    assert(!got(8).isExpiring && got(8).isLive)
     assert(rdel.isTombstone && !rdel.isLive)
     assert(cdel.isTombstone && !cdel.isLive)
   }

@@ -522,6 +522,54 @@ object CassandraDataFixture {
           w.writePartitionEnd()
         }
       } finally data.close()
+      writeFeatureStats(out, base)
     }
+  }
+
+  /** Minimal valid Statistics.db for the feature set: the VALIDATION /
+    * STATS envelope with placeholder histograms plus the REAL serialized
+    * FeatureHeader — exactly what the DSv2 `format=cassandra` reader needs
+    * to decode the files through the production scan path (splits,
+    * pruning, vectorized batches). The stats VALUES are placeholders (the
+    * stats-value roundtrip is q62/q100's job); the HEADER bytes are
+    * load-bearing. */
+  private def writeFeatureStats(out: Path, base: String): Unit = {
+    def clBlob(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val stats = CassandraStatsFormat.Stats(
+      partitionSize = CassandraStatsFormat.EstimatedHistogram(
+        Array(1L), Array(1L, 0L)),
+      columnCount = CassandraStatsFormat.EstimatedHistogram(
+        Array(1L), Array(1L, 0L)),
+      commitLogUpper = CassandraStatsFormat.CommitLogPosition(0L, 0),
+      minTimestampUs = FeatureT0,
+      maxTimestampUs = FeatureT2 * 2,
+      minLocalDeletionTimeS = FeatureD0.toInt,
+      maxLocalDeletionTimeS = Int.MaxValue,
+      minTtlS = 0,
+      maxTtlS = 3600,
+      compressionRatio = -1.0,
+      tombstones = CassandraStatsFormat.TombstoneHistogram(
+        Array.emptyDoubleArray, Array.emptyLongArray),
+      level = 0,
+      repairedAtMs = 0L,
+      minClustering = Seq(clBlob(DataDbFormat.StaticClustering)),
+      maxClustering = Seq(clBlob(2L)),
+      hasLegacyCounterShards = false,
+      totalColumnsSet = 0L,
+      totalRows = 0L,
+      commitLogLower = CassandraStatsFormat.CommitLogPosition(0L, 0),
+      commitLogIntervals = Nil,
+      pendingRepair = None,
+      isTransient = false)
+    val f = CassandraStatsFormat.File(
+      CassandraStatsFormat.Validation(
+        "org.apache.cassandra.dht.Murmur3Partitioner", 0.01),
+      stats)
+    val s = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(base + StatsSuffix).toFile)))
+    try CassandraStatsFormat.write(s, f,
+      Some(CassandraDataFormat.serializeHeader(FeatureHeader)))
+    finally s.close()
   }
 }

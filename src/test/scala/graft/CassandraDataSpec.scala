@@ -185,6 +185,29 @@ class CassandraDataSpec extends SparkSpec {
     assert(cdel.isTombstone && !cdel.isLive)
   }
 
+  test("the DSv2 cassandra scan serves the feature set's typed kinds " +
+      "through the production path (header from Statistics.db)") {
+    import graft.sources.datadb.DataDbFormat
+    val path = CassandraDataFixture.ensureFeatureFiles(spark, Sf0001)
+    val df = DataDb.read(spark, path, format = DataDbScan.FormatCassandra)
+    val byKind = df.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.keySet === Set("CELL", "STATIC_CELL", "ROW_LIVENESS",
+      "ROW_DELETION", "COMPLEX_DELETION"))
+    // cross-check against the q110 binaryFile rollup — same files, two
+    // independent read paths
+    val q110 = graft.ops.Integrity.rowLevelEvents(spark, Sf0001).collect()
+    def tot(c: String) = q110.map(_.getAs[Long](c)).sum
+    assert(byKind("STATIC_CELL") === tot("statics"))
+    assert(byKind("ROW_LIVENESS") === tot("liveness"))
+    assert(byKind("ROW_DELETION") === tot("row_dels"))
+    assert(byKind("COMPLEX_DELETION") === tot("complex_dels"))
+    assert(byKind("CELL") === tot("cells"))
+    // the static clustering sentinel flows through the relational surface
+    assert(df.where(col("clustering") === DataDbFormat.StaticClustering &&
+      col("kind") === "STATIC_CELL").count() === byKind("STATIC_CELL"))
+  }
+
   test("column-subset bitmap and simple columns round-trip") {
     val header = SerializationHeaderInfo(
       minTimestampUs = 0L, minLocalDeletionTimeS = 0L, minTtlS = 0L,

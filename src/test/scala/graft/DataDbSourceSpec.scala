@@ -250,4 +250,25 @@ class DataDbSourceSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("the feature set's typed kinds (static/liveness/deletion events) " +
+      "flow through the micro-batch stream identically to the batch scan") {
+    val dir = CassandraDataFixture.ensureFeatureFiles(spark, Sf0001)
+    val q = spark.readStream.format("sstable-data")
+      .option("format", DataDbScan.FormatCassandra)
+      .load(dir)
+      .groupBy("kind").count()
+      .writeStream.format("memory").queryName("live_kinds")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("live_kinds")
+    val batch = spark.read.format("sstable-data")
+      .option("format", DataDbScan.FormatCassandra).load(dir)
+      .groupBy("kind").count()
+    assert(streamed.count() === 5) // all five kinds present
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }

@@ -84,6 +84,45 @@ object SparkEntry {
       .orderBy("sstable_id")
   }
 
+  /** q111: the MULTI-CODEC compressed set — the same corpus with each
+    * sstable chunk-compressed by a different one of Cassandra's four
+    * published codecs (gen % 4 → LZ4 / Snappy / Deflate / Zstd), rolled up
+    * per compressor. The grouping key is the compressor name READ FROM
+    * EACH FILE'S OWN CompressionInfo.db header (joined on generation, tiny
+    * broadcast), not the fixture's rotation rule — so writing or selecting
+    * the wrong codec for a generation surfaces as an oracle hash mismatch,
+    * not merely a decode crash. */
+  private def multiCodecRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+    val path = CassandraDataFixture.ensureMultiCodecFiles(s, d)
+    val codecOf = graft.sources.compressioninfo.CompressionInfo.read(s, path)
+      .select(col("generation"), col("compressor")).distinct()
+    DataDb.cells(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("generation",
+        regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1).cast("long"))
+      .join(broadcast(codecOf), "generation")
+      .groupBy("compressor")
+      .agg(countDistinct("generation").as("sstables"),
+        count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
+          .as("markers"),
+        countDistinct("key").as("partitions"),
+        sum(col("key") % ChkMod).as("keys_sum"),
+        sum(col("clustering") % ChkMod).as("clustering_sum"),
+        sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+        sum(col("ttl_s") % ChkMod).as("ttl_sum"),
+        sum(col("local_deletion_time_s") % ChkMod).as("ldt_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum(col("size_bytes") % ChkMod).as("value_sum"),
+        sum(length(col("column_name")).cast("long") % ChkMod)
+          .as("colname_len_sum"))
+      .orderBy("compressor")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // catalog
     "q00_catalog" -> ((s, d) => Summary.catalog(s, d)),
@@ -209,6 +248,10 @@ object SparkEntry {
     // byte-equivalent to the uncompressed one.
     "q68_data_compressed_roundtrip" -> ((s, d) =>
       cassandraDataRoundtrip(s, d, compressed = true)),
+    // all four published Cassandra chunk codecs (LZ4/Snappy/Deflate/Zstd)
+    // decoding through the production scan path, codec selected per file
+    // from its own CompressionInfo.db header; rolled up per compressor.
+    "q111_multi_codec_roundtrip" -> ((s, d) => multiCodecRoundtrip(s, d)),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
     // hit (bloom filters have no false negatives) — found == partitions,

@@ -776,6 +776,34 @@ FROM licells GROUP BY 1 ORDER BY 1""",
     // deliberately not round-tripped.
     "q67_data_cassandra_roundtrip" -> cassandraRoundtripSql,
     "q68_data_compressed_roundtrip" -> cassandraRoundtripSql,
+    // q111: q67's derivation grouped per chunk codec — the fixture rotates
+    // gen % 4 over LZ4/Snappy/Deflate/Zstd and the Spark side reads the
+    // name from each file's CompressionInfo.db, so this CASE replays the
+    // rotation (sstable_id 'sst-N' ↔ gen N+1) independently of the files.
+    "q111_multi_codec_roundtrip" -> s"""WITH $fixtures,
+coded AS (
+  SELECT *, CASE ((CAST(substr(sstable_id, 5) AS BIGINT) + 1) % 4)
+    WHEN 0 THEN 'LZ4Compressor' WHEN 1 THEN 'SnappyCompressor'
+    WHEN 2 THEN 'DeflateCompressor' ELSE 'ZstdCompressor' END AS compressor
+  FROM licells
+)
+SELECT compressor,
+  CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS sstables,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM((CASE WHEN is_tombstone THEN -1 ELSE ttl_s END) % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
+  CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum,
+  CAST(SUM(length(column_name) % 1000003) AS BIGINT) AS colname_len_sum
+FROM coded GROUP BY 1 ORDER BY 1""",
     // q69: a bloom filter admits NO false negatives — every present key
     // must probe true, so found == partitions exactly; both sides reduce
     // to the per-sstable distinct-key count.

@@ -3,31 +3,30 @@ package graft.sources.compressioninfo
 import java.io.{InputStream, OutputStream}
 import java.util.zip.CRC32
 
-import net.jpountz.lz4.LZ4Factory
-
 /** Chunked compression of Data.db contents — the real Cassandra layout
   * (`CompressedSequentialWriter` / `CompressedChunkReader`): the logical
   * (uncompressed) stream is cut into fixed `chunkLength` chunks; each chunk
-  * is LZ4-compressed and written as `compressed bytes + CRC32(compressed)`;
+  * is block-compressed and written as `compressed bytes + CRC32(compressed)`;
   * CompressionInfo.db records the compressed file offset of every chunk.
   * Positions everywhere else (partition index entries, `data_length`) are
   * UNCOMPRESSED positions — readers map them through the chunk table
   * (`CompressionMetadata.chunkFor`), which is exactly what
-  * [[ChunkedInputStream]] does.
+  * [[ChunkedInputStream]] does. The block transform is any of Cassandra's
+  * four published codecs ([[Compressors]]); the read side selects it from
+  * the compressor name CompressionInfo.db stores.
   *
   * The 4.0 `max_compressed_length` rule is honored on read: a chunk whose
   * on-disk payload is >= maxCompressedLength was stored RAW (compression
   * did not pay); its bytes are served without decompression. */
 object ChunkedData {
 
-  private lazy val factory = LZ4Factory.fastestInstance()
-
   /** Buffers `chunkLength` logical bytes at a time, emitting compressed
     * chunks to `target`. Call [[finish]] exactly once — it flushes the tail
     * chunk and returns the chunk-offset table for CompressionInfo.db. */
   final class ChunkingOutputStream(target: OutputStream, chunkLength: Int,
-      maxCompressedLength: Int = Int.MaxValue) extends OutputStream {
-    private val compressor = factory.fastCompressor()
+      maxCompressedLength: Int = Int.MaxValue,
+      compressor: Compressors.ChunkCompressor = Compressors.Lz4)
+      extends OutputStream {
     private val buf = new Array[Byte](chunkLength)
     private val scratch =
       new Array[Byte](compressor.maxCompressedLength(chunkLength))
@@ -61,7 +60,7 @@ object ChunkedData {
     private def flushChunk(): Unit = {
       if (fill == 0) return
       offsets += compressedPos
-      val clen = compressor.compress(buf, 0, fill, scratch, 0)
+      val clen = compressor.compress(buf, fill, scratch)
       // min_compress_ratio rule: an incompressible chunk is stored raw
       val (out, olen) =
         if (clen >= maxCompressedLength) (buf, fill) else (scratch, clen)
@@ -99,7 +98,7 @@ object ChunkedData {
   final class ChunkedInputStream(source: RandomAccess,
       info: CompressionInfoFormat.Info, compressedFileLength: Long,
       startUncompressed: Long) extends InputStream {
-    private val decompressor = factory.fastDecompressor()
+    private val codec = Compressors.byName(info.compressor)
     private val chunkLength = info.chunkLength
     private val nChunks = info.offsets.length
     private val out = new Array[Byte](chunkLength)
@@ -137,11 +136,7 @@ object ChunkedData {
           throw new java.io.IOException(s"raw chunk $i length mismatch")
         System.arraycopy(compressedBuf, 0, out, 0, payload)
       } else {
-        val read = decompressor.decompress(compressedBuf, 0, out, 0,
-          uncompressedLen)
-        if (read != payload)
-          throw new java.io.IOException(
-            s"chunk $i decompressed from $read of $payload bytes")
+        codec.decompress(compressedBuf, payload, out, uncompressedLen)
       }
       limit = uncompressedLen
       pos = 0

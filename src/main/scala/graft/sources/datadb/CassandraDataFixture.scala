@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.sources.Fixtures
-import graft.sources.compressioninfo.{ChunkedData, CompressionInfoFormat}
+import graft.sources.compressioninfo.{ChunkedData, CompressionInfoFormat, Compressors}
 import graft.sources.statsdb.CassandraStatsFormat
 import CassandraDataFormat._
 
@@ -77,14 +77,33 @@ object CassandraDataFixture {
   }
 
   def ensureFiles(spark: SparkSession, dir: String,
-      compressed: Boolean): String = memo.synchronized {
+      compressed: Boolean): String =
+    ensureVariant(spark, dir, s"$compressed",
+      gen => if (compressed) Some(Compressors.Lz4) else None)
+
+  /** The MULTI-CODEC compressed set: the same corpus, each sstable
+    * chunk-compressed with a different one of Cassandra's four published
+    * codecs, rotating by generation (gen % 4 → LZ4, Snappy, Deflate,
+    * Zstd). The reader selects the codec from each file's own
+    * CompressionInfo.db header — q111 proves all four decode through the
+    * production scan path against one relational oracle. */
+  def ensureMultiCodecFiles(spark: SparkSession, dir: String): String =
+    ensureVariant(spark, dir, "mc",
+      gen => Some(codecForGen(gen)))
+
+  def codecForGen(gen: Long): Compressors.ChunkCompressor =
+    Compressors.All((gen % 4).toInt)
+
+  private def ensureVariant(spark: SparkSession, dir: String, tag: String,
+      codecFor: Long => Option[Compressors.ChunkCompressor]): String =
+    memo.synchronized {
     sweepStopped()
-    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$compressed"
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$tag"
     val hit = memo.get(k)
     if (hit != null) return hit._2
     val out = graft.sources.TempDirs.register(
       Files.createTempDirectory("graft-cassdata-fixture"))
-    try writeAll(spark, dir, out, compressed)
+    try writeAll(spark, dir, out, codecFor)
     catch {
       case t: Throwable =>
         val root = out.toFile
@@ -116,7 +135,7 @@ object CassandraDataFixture {
       isTomb: Boolean, isExp: Boolean, sizeBytes: Long)
 
   private def writeAll(spark: SparkSession, dir: String, out: Path,
-      compressed: Boolean): Unit = {
+      codecFor: Long => Option[Compressors.ChunkCompressor]): Unit = {
     val rows = Fixtures.cells(spark, dir)
       .select(col("sstable_id"), col("key"), col("clustering"),
         col("column_name"), col("kind"), col("timestamp_us"), col("ttl_s"),
@@ -134,12 +153,12 @@ object CassandraDataFixture {
           r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9),
           r.getLong(10))
       }
-      writeSstable(out, gen, evs, compressed)
+      writeSstable(out, gen, evs, codecFor(gen))
     }
   }
 
   private def writeSstable(out: Path, gen: Long, evs: Array[Ev],
-      compressed: Boolean): Unit = {
+      codec: Option[Compressors.ChunkCompressor]): Unit = {
     // EncodingStats minima over exactly the values the encoding writes:
     // all timestamps; deletion times of deleted/expiring cells and
     // markers; TTLs of expiring cells
@@ -157,9 +176,9 @@ object CassandraDataFixture {
     val base = s"nb-$gen-big"
     val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
     val fileStream = new BufferedOutputStream(new FileOutputStream(dataFile), 1 << 16)
-    val chunking =
-      if (compressed) Some(new ChunkedData.ChunkingOutputStream(fileStream, ChunkLength))
-      else None
+    val chunking = codec.map(c =>
+      new ChunkedData.ChunkingOutputStream(fileStream, ChunkLength,
+        Int.MaxValue, c))
     val data = new DataOutputStream(chunking.getOrElse(fileStream))
     val index = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(out.resolve(
@@ -248,9 +267,12 @@ object CassandraDataFixture {
       // success path: flush chunk tail, then the sidecar components
       val infoOpt = chunking.map { c =>
         val (dataLength, offsets) = c.finish()
-        CompressionInfoFormat.Info("LZ4Compressor",
-          Seq("lz4_compressor_type" -> "fast"), ChunkLength, Int.MaxValue,
-          dataLength, offsets)
+        val opts = codec.get match {
+          case Compressors.Lz4 => Seq("lz4_compressor_type" -> "fast")
+          case _ => Nil
+        }
+        CompressionInfoFormat.Info(codec.get.name, opts, ChunkLength,
+          Int.MaxValue, dataLength, offsets)
       }
       data.flush()
       infoOpt.foreach { info =>
@@ -265,7 +287,7 @@ object CassandraDataFixture {
       // close before digesting: Digest.crc32 covers the AS-STORED bytes
       // (compressed form for a compressed table), like Cassandra's
       fileStream.close()
-      writeDigestAndToc(out, base, dataFile, compressed)
+      writeDigestAndToc(out, base, dataFile, compressed = codec.isDefined)
     } finally {
       fileStream.close() // no-op on the success path (already closed)
       index.close()

@@ -276,6 +276,72 @@ class CassandraDataSpec extends SparkSpec {
     assert(gotRaw.toSeq === data.toSeq)
   }
 
+  test("all four published chunk codecs: roundtrip, mid-stream starts, " +
+      "raw-store rule, name lookup") {
+    import graft.sources.compressioninfo.Compressors
+    val data = Array.tabulate(100000)(i => (i * 7 + (i >> 8)).toByte)
+    def sourceOf(bytes: Array[Byte]) = new ChunkedData.RandomAccess {
+      override def readFully(pos: Long, buf: Array[Byte], off: Int,
+          len: Int): Unit = System.arraycopy(bytes, pos.toInt, buf, off, len)
+      override def close(): Unit = ()
+    }
+    Compressors.All.foreach { codec =>
+      def compress(maxCompressed: Int): (Array[Byte], CompressionInfoFormat.Info) = {
+        val bos = new ByteArrayOutputStream()
+        val c = new ChunkedData.ChunkingOutputStream(bos, 4096, maxCompressed,
+          codec)
+        c.write(data)
+        val (len, offsets) = c.finish()
+        (bos.toByteArray,
+          CompressionInfoFormat.Info(codec.name, Nil, 4096, maxCompressed,
+            len, offsets))
+      }
+      val (compressed, info) = compress(Int.MaxValue)
+      // mid-stream starts prove chunkFor + skip-into-chunk per codec
+      Seq(0L, 4096L, 5000L).foreach { start =>
+        val got = new ChunkedData.ChunkedInputStream(sourceOf(compressed),
+          info, compressed.length.toLong, start).readAllBytes()
+        assert(got.toSeq === data.drop(start.toInt).toSeq,
+          s"${codec.name} start=$start")
+      }
+      // max_compressed_length=1 forces every chunk raw for ANY codec
+      val (raw, rawInfo) = compress(1)
+      assert(raw.length === data.length + 4 * rawInfo.offsets.length,
+        codec.name)
+      val gotRaw = new ChunkedData.ChunkedInputStream(sourceOf(raw), rawInfo,
+        raw.length.toLong, 0L).readAllBytes()
+      assert(gotRaw.toSeq === data.toSeq, codec.name)
+    }
+    // name lookup: simple and fully-qualified spellings; unknown rejected
+    assert(Compressors.byName(
+      "org.apache.cassandra.io.compress.ZstdCompressor").name ===
+      "ZstdCompressor")
+    val ex = intercept[java.io.IOException] {
+      Compressors.byName("BrotliCompressor")
+    }
+    assert(ex.getMessage.contains("unsupported compressor"))
+  }
+
+  test("multi-codec sstable set: every codec's files decode to the same " +
+      "relation as the uncompressed set") {
+    val plain = DataDb.cells(spark,
+      CassandraDataFixture.ensureFiles(spark, Sf0001, compressed = false),
+      format = DataDbScan.FormatCassandra)
+    val mcPath = CassandraDataFixture.ensureMultiCodecFiles(spark, Sf0001)
+    val mc = DataDb.cells(spark, mcPath, format = DataDbScan.FormatCassandra)
+    // all four codec names actually present in the set's chunk maps
+    val codecs = graft.sources.compressioninfo.CompressionInfo
+      .read(spark, mcPath).select("compressor").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(codecs.toSeq === Seq("DeflateCompressor", "LZ4Compressor",
+      "SnappyCompressor", "ZstdCompressor"))
+    val cols = Seq("sstable_id", "key", "clustering", "column_name", "kind",
+      "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+      "is_expiring", "is_live", "size_bytes").map(col)
+    assert(mc.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty)
+    assert(plain.select(cols: _*).exceptAll(mc.select(cols: _*)).isEmpty)
+  }
+
   test("Filter.db: serialize/parse roundtrip, no false negatives, rare " +
       "false positives") {
     import graft.sources.filterdb.FilterDbFormat

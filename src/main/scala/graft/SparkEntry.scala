@@ -56,9 +56,18 @@ object SparkEntry {
 
   private def cassandraDataRoundtrip(s: SparkSession, d: String,
       compressed: Boolean): DataFrame = {
-    import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+    import graft.sources.datadb.CassandraDataFixture
     val path = CassandraDataFixture.ensureFiles(s, d, compressed)
-    DataDb.cells(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+    cassandraRollup(s, path, cassSplitBytes(path))
+  }
+
+  /** The per-sstable event rollup shared by q67/q68/q112: scan a real
+    * big-format directory at the given split size and checksum every
+    * surfaced field per sstable. */
+  private def cassandraRollup(s: SparkSession, path: String,
+      splitBytes: Long): DataFrame = {
+    import graft.sources.datadb.{DataDb, DataDbScan}
+    DataDb.cells(s, path, maxSplitBytes = Some(splitBytes),
         format = DataDbScan.FormatCassandra)
       .withColumn("sstable_id",
         concat(lit("sst-"),
@@ -82,6 +91,27 @@ object SparkEntry {
         sum(length(col("column_name")).cast("long") % ChkMod)
           .as("colname_len_sum"))
       .orderBy("sstable_id")
+  }
+
+  /** q112: the WIDE-PARTITION set — 8 huge partitions per sstable (cells
+    * remapped to key%8 with the original key as clustering), read at a
+    * split size far below a single partition's byte span. The planner must
+    * cut INSIDE partitions at the promoted row index's block boundaries
+    * (mid-partition ranges seeded with the index entry's key), and — the
+    * set being LZ4-chunked — each range start must seek through the chunk
+    * table too. Same rollup as q67; the oracle replays the remap
+    * relationally. A split size of largest-file/32 forces intra-partition
+    * cuts at every tier (a partition is ~1/8 of a file) while the task
+    * count stays ~32/file — the planning behavior a 100 TB skewed corpus
+    * needs, proven on the real codec. */
+  private def widePartitionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.datadb.CassandraDataFixture
+    val path = CassandraDataFixture.ensureWideFiles(s, d)
+    val files = Option(new java.io.File(path)
+      .listFiles((_, n) => n.endsWith("-Data.db")))
+      .getOrElse(Array.empty[java.io.File])
+    val largest = files.foldLeft(0L)((m, f) => math.max(m, f.length()))
+    cassandraRollup(s, path, math.max(4096L, largest / 32))
   }
 
   /** q111: the MULTI-CODEC compressed set — the same corpus with each
@@ -252,6 +282,12 @@ object SparkEntry {
     // decoding through the production scan path, codec selected per file
     // from its own CompressionInfo.db header; rolled up per compressor.
     "q111_multi_codec_roundtrip" -> ((s, d) => multiCodecRoundtrip(s, d)),
+    // intra-partition split planning: 8 huge partitions per sstable, split
+    // size << one partition's span — ranges start MID-PARTITION at
+    // promoted-index block boundaries (through the LZ4 chunk table) and
+    // every event still surfaces exactly once.
+    "q112_wide_partition_roundtrip" -> ((s, d) =>
+      widePartitionRoundtrip(s, d)),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
     // hit (bloom filters have no false negatives) — found == partitions,

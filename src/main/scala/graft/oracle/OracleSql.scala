@@ -776,6 +776,34 @@ FROM licells GROUP BY 1 ORDER BY 1""",
     // deliberately not round-tripped.
     "q67_data_cassandra_roundtrip" -> cassandraRoundtripSql,
     "q68_data_compressed_roundtrip" -> cassandraRoundtripSql,
+    // q112: q67's derivation under the wide-partition remap (key%8 AS
+    // key, original key AS clustering; marker names follow the reader's
+    // 'range:'||clustering rule) — the Spark side reads the same relation
+    // through MID-PARTITION ranges cut at promoted-index block boundaries.
+    "q112_wide_partition_roundtrip" -> s"""WITH $fixtures,
+wide AS (
+  SELECT sstable_id, key % 8 AS wkey, key AS wclustering,
+    CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 'range:' || key
+         ELSE column_name END AS wcol,
+    kind, timestamp_us, ttl_s, local_deletion_time_s,
+    is_tombstone, is_expiring, is_live, size_bytes
+  FROM licells
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT wkey) AS BIGINT) AS partitions,
+  CAST(SUM(wkey % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(wclustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM((CASE WHEN is_tombstone THEN -1 ELSE ttl_s END) % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
+  CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum,
+  CAST(SUM(length(wcol) % 1000003) AS BIGINT) AS colname_len_sum
+FROM wide GROUP BY 1 ORDER BY 1""",
     // q111: q67's derivation grouped per chunk codec — the fixture rotates
     // gen % 4 over LZ4/Snappy/Deflate/Zstd and the Spark side reads the
     // name from each file's CompressionInfo.db, so this CASE replays the

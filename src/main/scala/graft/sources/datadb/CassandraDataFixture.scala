@@ -94,8 +94,23 @@ object CassandraDataFixture {
   def codecForGen(gen: Long): Compressors.ChunkCompressor =
     Compressors.All((gen % 4).toInt)
 
+  /** The WIDE-PARTITION set: the same cells remapped to `key % 8` partition
+    * keys with the ORIGINAL key as the clustering — 8 huge partitions per
+    * sstable instead of thousands of small ones, the degenerate shape
+    * (one giant partition) that defeats partition-boundary split planning.
+    * LZ4-chunk-compressed, so an intra-partition range start exercises the
+    * chunk table seek AND the promoted-index block offsets together
+    * (q112). The remap is replayable in SQL: key%8 AS key, key AS
+    * clustering (markers rename to 'range:'||key like the reader does). */
+  def ensureWideFiles(spark: SparkSession, dir: String): String =
+    ensureVariant(spark, dir, "wide", _ => Some(Compressors.Lz4),
+      remap = (k, _) => (k % WidePartitions, k))
+
+  val WidePartitions = 8L
+
   private def ensureVariant(spark: SparkSession, dir: String, tag: String,
-      codecFor: Long => Option[Compressors.ChunkCompressor]): String =
+      codecFor: Long => Option[Compressors.ChunkCompressor],
+      remap: (Long, Long) => (Long, Long) = (k, c) => (k, c)): String =
     memo.synchronized {
     sweepStopped()
     val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$tag"
@@ -103,7 +118,7 @@ object CassandraDataFixture {
     if (hit != null) return hit._2
     val out = graft.sources.TempDirs.register(
       Files.createTempDirectory("graft-cassdata-fixture"))
-    try writeAll(spark, dir, out, codecFor)
+    try writeAll(spark, dir, out, codecFor, remap)
     catch {
       case t: Throwable =>
         val root = out.toFile
@@ -135,7 +150,8 @@ object CassandraDataFixture {
       isTomb: Boolean, isExp: Boolean, sizeBytes: Long)
 
   private def writeAll(spark: SparkSession, dir: String, out: Path,
-      codecFor: Long => Option[Compressors.ChunkCompressor]): Unit = {
+      codecFor: Long => Option[Compressors.ChunkCompressor],
+      remap: (Long, Long) => (Long, Long) = (k, c) => (k, c)): Unit = {
     val rows = Fixtures.cells(spark, dir)
       .select(col("sstable_id"), col("key"), col("clustering"),
         col("column_name"), col("kind"), col("timestamp_us"), col("ttl_s"),
@@ -148,7 +164,8 @@ object CassandraDataFixture {
     bySstable.foreach { case (sst, rs) =>
       val gen = sst.stripPrefix("sst-").toLong + 1L
       val evs = rs.map { r =>
-        Ev(r.getLong(1), r.getLong(2), r.getString(3),
+        val (k, c) = remap(r.getLong(1), r.getLong(2))
+        Ev(k, c, r.getString(3),
           r.getString(4) == DataDbFormat.KindMarker, r.getLong(5),
           r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9),
           r.getLong(10))

@@ -616,8 +616,18 @@ object CassandraDataFormat {
     * Markers surface with a synthesized column name `range:<clustering>`
     * (real markers name no column; the clustering bound is the identity),
     * matching the fixture relation's rendering. */
+  /** Streaming event decode. `stopAtBoundary` is polled at partition
+    * boundaries AND between unfiltereds, so a range may end at any
+    * promoted-index block boundary (unfiltereds tile the partition byte
+    * range — the poll can only fire true exactly on a tile edge).
+    * `startKey`, when non-null, starts the decode MID-PARTITION: the
+    * stream is already positioned at an unfiltered boundary inside the
+    * partition whose key is `startKey` (the split planner takes both from
+    * the Index.db entry's promoted index), so no key header is read first
+    * — the role `RowIndexEntry` plays for Cassandra's own sliced reads. */
   def events(stream: InputStream, header: SerializationHeaderInfo,
-      stopAtBoundary: () => Boolean = () => false): Iterator[DataDbFormat.Event] = {
+      stopAtBoundary: () => Boolean = () => false,
+      startKey: Array[Byte] = null): Iterator[DataDbFormat.Event] = {
     require(header.clusteringTypes == Seq(Marshal.Prefix + "LongType"),
       "event surface requires a single LongType clustering column")
     val regulars = header.regularColumns.toArray
@@ -627,7 +637,7 @@ object CassandraDataFormat {
 
     new Iterator[DataDbFormat.Event] {
       private val in = new DataInputStream(stream)
-      private var currentKey: Array[Byte] = _
+      private var currentKey: Array[Byte] = startKey
       private var pending: List[DataDbFormat.Event] = Nil
       private var done = false
 
@@ -897,6 +907,11 @@ object CassandraDataFormat {
         while (pending.isEmpty && !done) {
           if (currentKey == null) {
             if (!readKeyHeader()) return
+          } else if (stopAtBoundary()) {
+            // mid-partition range end: only ever true on an unfiltered
+            // tile edge (block boundary) — the rest of the partition
+            // belongs to the next split
+            done = true; in.close(); return
           }
           pending = readUnfiltered()
         }

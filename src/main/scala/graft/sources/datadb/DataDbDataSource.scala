@@ -139,7 +139,8 @@ final case class DataDbScan(path: String, required: StructType,
       .filter { case (_, id) => fileSurvives(id) }
       .sortBy(_._2)
       .flatMap { case (s, id) =>
-        DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes)
+        DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes,
+            format)
           .map(sp => sp: InputPartition)
       }
       .toArray
@@ -184,17 +185,27 @@ object DataDbScan {
     b.result()
   }
 
-  /** [start, end) splits of one Data.db file, cut at partition-block
-    * boundaries from the companion Index.db sidecar (whole file when the
-    * sidecar is absent or the file is small enough). All positions are
-    * LOGICAL (uncompressed) byte offsets: for a chunk-compressed file the
-    * effective length comes from CompressionInfo.db's `data_length` and
-    * the index positions are uncompressed by construction (Cassandra's
-    * partition index addresses the uncompressed stream; readers map
-    * through the chunk table). */
+  /** [start, end) splits of one Data.db file, cut at partition boundaries
+    * from the companion Index.db sidecar (whole file when the sidecar is
+    * absent or the file is small enough) — and, for `format=cassandra`,
+    * additionally INSIDE any partition whose own byte span exceeds
+    * `maxSplitBytes`, at the block boundaries its promoted (row) index
+    * records. Without intra-partition cuts a single multi-GB partition
+    * bounds parallelism no matter how many executors exist; with them the
+    * task count tracks data volume even under degenerate partition sizes
+    * (the same role `RowIndexEntry` plays for Cassandra's sliced reads).
+    * A mid-partition split carries its partition key (from the index
+    * entry) so the reader needs no extra seek to the partition header.
+    *
+    * All positions are LOGICAL (uncompressed) byte offsets: for a
+    * chunk-compressed file the effective length comes from
+    * CompressionInfo.db's `data_length` and the index positions are
+    * uncompressed by construction (Cassandra's partition index addresses
+    * the uncompressed stream; readers map through the chunk table). */
   private[datadb] def splitsOf(fs: org.apache.hadoop.fs.FileSystem,
       file: Path, id: String, fileLen: Long,
-      maxSplitBytes: Long): Seq[DataDbInputPartition] = {
+      maxSplitBytes: Long,
+      format: String = FormatGraft): Seq[DataDbInputPartition] = {
     val ciPath = new Path(file.getParent,
       id + graft.sources.compressioninfo.CompressionInfoFormat.Suffix)
     val len: Long =
@@ -211,38 +222,62 @@ object DataDbScan {
       }
     val idx = new Path(file.getParent,
       id + graft.sources.indexdb.IndexDbFormat.Suffix)
-    val cuts: Seq[Long] =
-      if (maxSplitBytes >= len || !fs.exists(idx)) Seq(0L)
-      else {
-        // partition-block byte offsets from the sidecar (small file,
-        // driver-side read); keep every offset that first crosses the
-        // next maxSplitBytes boundary
-        val in = fs.open(idx)
-        try {
-          val offsets = graft.sources.indexdb.IndexDbFormat.entries(in)
-            .map(_.position).toVector
-          var nextCut = maxSplitBytes
-          val b = Vector.newBuilder[Long]
-          b += 0L
-          offsets.foreach { off =>
-            if (off >= nextCut) {
-              b += off
-              nextCut = off + maxSplitBytes
-            }
-          }
-          b.result().distinct
-        } finally in.close()
+    if (maxSplitBytes >= len || !fs.exists(idx))
+      return Seq(DataDbInputPartition(file.toString, id, 0L, len))
+    // partition (position, key, promoted-index bytes) from the sidecar
+    // (driver-side read, promoted bytes only kept on the cassandra path
+    // where intra-partition cuts can use them)
+    val cassandra = format == FormatCassandra
+    val in = fs.open(idx)
+    val ents: Vector[(Long, Array[Byte], Array[Byte])] =
+      try {
+        if (cassandra)
+          graft.sources.indexdb.IndexDbFormat.fullEntries(in)
+            .map(e => (e.position, e.key, e.promoted)).toVector
+        else
+          graft.sources.indexdb.IndexDbFormat.entries(in)
+            .map(e => (e.position, e.key, Array.emptyByteArray)).toVector
+      } finally in.close()
+    val out = Vector.newBuilder[DataDbInputPartition]
+    var splitStart = 0L
+    var splitKey: Array[Byte] = null // non-null: starts mid-partition
+    def emit(end: Long, nextKey: Array[Byte]): Unit = {
+      if (end > splitStart) {
+        out += DataDbInputPartition(file.toString, id, splitStart, end,
+          splitKey)
+        splitStart = end
+        splitKey = nextKey
       }
-    cuts.zipAll(cuts.drop(1), -1L, len).map { case (start, end) =>
-      DataDbInputPartition(file.toString, id, start, end)
     }
+    var i = 0
+    while (i < ents.length) {
+      val (pos, key, promoted) = ents(i)
+      val pEnd = if (i + 1 < ents.length) ents(i + 1)._1 else len
+      if (pos - splitStart >= maxSplitBytes) emit(pos, null)
+      if (cassandra && pEnd - pos > maxSplitBytes && promoted.nonEmpty) {
+        // a single over-sized partition: cut at its promoted-index block
+        // boundaries (absolute offset = partition start + block offset)
+        val pi = graft.sources.datadb.CassandraDataFormat
+          .parsePromotedIndex(promoted)
+        pi.blocks.foreach { b =>
+          val bStart = pos + b.offset
+          if (bStart - splitStart >= maxSplitBytes) emit(bStart, key)
+        }
+      }
+      i += 1
+    }
+    emit(len, null)
+    out.result()
   }
 }
 
-/** A [start, end) byte range of one file, cut at partition-block
-  * boundaries taken from the companion Index.db (whole file = [0, len)). */
+/** A [start, end) byte range of one file. `midPartitionKey`, when
+  * non-null, marks a range starting INSIDE the partition with that key, at
+  * a promoted-index block boundary — the reader seeds the decoder with the
+  * key instead of reading a partition header first. */
 final case class DataDbInputPartition(file: String, sstableId: String,
-    start: Long, end: Long) extends InputPartition
+    start: Long, end: Long, midPartitionKey: Array[Byte] = null)
+    extends InputPartition
 
 final class DataDbReaderFactory(required: StructType,
     confEntries: Array[(String, String)],
@@ -255,7 +290,7 @@ final class DataDbReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DataDbInputPartition]
     new DataDbPartitionReader(p.file, p.sstableId, p.start, p.end, required,
-      conf(), format)
+      conf(), format, p.midPartitionKey)
   }
   /** Columnar path: the parse fills flat vectors instead of allocating a
     * boxed row per event — Spark's ColumnarToRow then feeds whole-stage
@@ -265,7 +300,7 @@ final class DataDbReaderFactory(required: StructType,
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DataDbInputPartition]
     new DataDbColumnarReader(p.file, p.sstableId, p.start, p.end, required,
-      conf(), format)
+      conf(), format, p.midPartitionKey)
   }
 }
 
@@ -283,7 +318,8 @@ final class DataDbReaderFactory(required: StructType,
   * UNCOMPRESSED stream, which is exactly what the partition index's
   * positions mean in a real compressed sstable. */
 private[datadb] final class EventStream(file: String, start: Long, end: Long,
-    conf: Configuration, format: String = DataDbScan.FormatGraft) {
+    conf: Configuration, format: String = DataDbScan.FormatGraft,
+    midPartitionKey: Array[Byte] = null) {
   private val hPath = new Path(file)
   private val fs = hPath.getFileSystem(conf)
   private val id = hPath.getName.stripSuffix(DataDbFormat.Suffix)
@@ -351,8 +387,11 @@ private[datadb] final class EventStream(file: String, start: Long, end: Long,
         graft.sources.statsdb.CassandraStatsFormat.componentBytes(
           statsBytes, graft.sources.statsdb.CassandraStatsFormat.TypeHeader))
       CassandraDataFormat.events(counting, header,
-        () => start + consumed >= end)
+        () => start + consumed >= end, startKey = midPartitionKey)
     case _ =>
+      if (midPartitionKey != null)
+        throw new java.io.IOException(
+          "mid-partition ranges require format=cassandra")
       DataDbFormat.events(counting, () => start + consumed >= end)
   }
   def close(): Unit = closeable.close()
@@ -362,10 +401,12 @@ private[datadb] final class EventStream(file: String, start: Long, end: Long,
   * columnar path). Only the columns in `required` are materialized. */
 final class DataDbPartitionReader(file: String, sstableId: String,
     start: Long, end: Long, required: StructType, conf: Configuration,
-    format: String = DataDbScan.FormatGraft)
+    format: String = DataDbScan.FormatGraft,
+    midPartitionKey: Array[Byte] = null)
     extends PartitionReader[InternalRow] {
 
-  private val es = new EventStream(file, start, end, conf, format)
+  private val es =
+    new EventStream(file, start, end, conf, format, midPartitionKey)
   private var current: DataDbFormat.Event = _
   private val id = UTF8String.fromString(sstableId)
   private val kinds: Array[UTF8String] =
@@ -403,12 +444,14 @@ final class DataDbPartitionReader(file: String, sstableId: String,
   * [[DataDbColumnarReader.BatchRows]] — no per-event row or box. */
 final class DataDbColumnarReader(file: String, sstableId: String,
     start: Long, end: Long, required: StructType, conf: Configuration,
-    format: String = DataDbScan.FormatGraft)
+    format: String = DataDbScan.FormatGraft,
+    midPartitionKey: Array[Byte] = null)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  private val es = new EventStream(file, start, end, conf, format)
+  private val es =
+    new EventStream(file, start, end, conf, format, midPartitionKey)
   private val vectors =
     OnHeapColumnVector.allocateColumns(DataDbColumnarReader.BatchRows, required)
   private val batch =

@@ -83,7 +83,7 @@ final class DataDbMicroBatchStream(path: String, required: StructType,
       val file = new Path(p, name)
       val id = name.stripSuffix(DataDbFormat.Suffix)
       val len = fs.getFileStatus(file).getLen
-      DataDbScan.splitsOf(fs, file, id, len, maxSplitBytes)
+      DataDbScan.splitsOf(fs, file, id, len, maxSplitBytes, format)
         .map(sp => sp: InputPartition)
     }.toArray
   }

@@ -342,6 +342,35 @@ class CassandraDataSpec extends SparkSpec {
     assert(plain.select(cols: _*).exceptAll(mc.select(cols: _*)).isEmpty)
   }
 
+  test("wide-partition set: mid-partition ranges at promoted-index block " +
+      "boundaries preserve the relation") {
+    import graft.sources.datadb.{DataDbInputPartition, DataDbScanBuilder}
+    val path = CassandraDataFixture.ensureWideFiles(spark, Sf0001)
+    val b = new DataDbScanBuilder(Map("path" -> path,
+      "maxsplitbytes" -> "1024", "format" -> DataDbScan.FormatCassandra))
+    val parts = b.build().asInstanceOf[graft.sources.datadb.DataDbScan]
+      .planInputPartitions()
+      .map(_.asInstanceOf[DataDbInputPartition])
+    val mids = parts.count(_.midPartitionKey != null)
+    assert(mids > 0, s"no mid-partition ranges in ${parts.length} splits")
+    // ranges tile each file's logical byte range: start 0, contiguous
+    parts.groupBy(_.file).foreach { case (f, ps) =>
+      val sorted = ps.sortBy(_.start)
+      assert(sorted.head.start === 0L, f)
+      sorted.sliding(2).foreach {
+        case Array(a, b2) => assert(a.end === b2.start, s"gap in $f")
+        case _ => ()
+      }
+    }
+    // fine-grained mid-partition ranges == one-split-per-file read
+    val fine = DataDb.cells(spark, path, maxSplitBytes = Some(1024L),
+      format = DataDbScan.FormatCassandra)
+    val whole = DataDb.cells(spark, path,
+      format = DataDbScan.FormatCassandra)
+    assert(fine.rdd.getNumPartitions > whole.rdd.getNumPartitions)
+    assert(fine.exceptAll(whole).isEmpty && whole.exceptAll(fine).isEmpty)
+  }
+
   test("Filter.db: serialize/parse roundtrip, no false negatives, rare " +
       "false positives") {
     import graft.sources.filterdb.FilterDbFormat

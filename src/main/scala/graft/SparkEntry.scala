@@ -758,6 +758,10 @@ object SparkEntry {
     // at quality 1.0 is the exactly-roundtripping (hence oracle-checkable)
     // slice of the lossy format
     "q99_jpeg_decode" -> ((s, d) => Multimodal.jpegDecode(s, d)),
+    // real ISO-BMFF (MP4) container probe: box walker over both
+    // mvhd/tkhd version layouts + the 64-bit largesize escape; the codec
+    // payloads (H.264/Opus) are the only part that stays stubbed
+    "q113_mp4_probe" -> ((s, d) => Multimodal.mp4Probe(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -458,6 +458,272 @@ object Multimodal {
     * doc_id so the decode roundtrip is oracle-recomputable. Payload build
     * is a narrow mapPartitions (the corpus-scale shape: payloads are
     * generated/stored next to the row, never shuffled). */
+  /** REAL ISO-BMFF (MP4) CONTAINER codec — the metadata layer of the one
+    * media family whose CODEC decode (H.264/Opus) is genuinely
+    * library-bound and stays stubbed. The container itself is pure byte
+    * structure (ISO/IEC 14496-12): length-prefixed boxes with fourcc
+    * types, 64-bit `largesize` escapes, version-0/1 time fields, 16.16
+    * fixed-point track dimensions — everything a training pipeline needs
+    * to filter/route video BEFORE paying for a frame decode (duration,
+    * dimensions, codec fourcc, track layout, payload size).
+    *
+    * Writer emits `ftyp` + `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+    * minf(stbl(stsd(avc1/Opus))))) ...)` + `mdat`; the parser is a real
+    * recursive box walker (container boxes recursed, unknown boxes
+    * skipped by their declared size, truncation always an error). */
+  object Mp4 {
+
+    final case class Probe(durationMs: Long, width: Int, height: Int,
+        videoCodec: String, audioCodec: String, trackCount: Int,
+        mdatBytes: Long)
+
+    private def be16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    private def be32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+    }
+    private def be64(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      be32(o, (v >>> 32).toInt); be32(o, v.toInt)
+    }
+    private def fourcc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+    /** `size + type + body` box (the standard 32-bit form). */
+    private def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      be32(o, 8 + body.length); fourcc(o, typ); o.write(body)
+      o.toByteArray
+    }
+
+    /** The `size==1` escape: an 8-byte `largesize` follows the type —
+      * how real >4 GiB mdat boxes are framed. */
+    private def largeBox(typ: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      be32(o, 1); fourcc(o, typ); be64(o, 16L + body.length); o.write(body)
+      o.toByteArray
+    }
+
+    private def bytes(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); f(o); o.toByteArray
+    }
+
+    /** Deterministic per-id parameters (the oracle replays these). */
+    def timescaleOf(id: Long): Long = 600L + (id % 5) * 200L
+    def durationUnitsOf(id: Long): Long = 3000L + (id % 1000) * 7L
+    def widthOf(id: Long): Int = 160 + (id % 8).toInt * 16
+    def heightOf(id: Long): Int = 90 + (id % 6).toInt * 18
+    def hasAudioOf(id: Long): Boolean = id % 3 != 0
+    def mdatLenOf(id: Long): Int = 64 + (id % 256).toInt
+
+    def encode(id: Long): Array[Byte] = {
+      val version = (id % 2).toInt // exercise BOTH mvhd/tkhd/mdhd layouts
+      val ts = timescaleOf(id)
+      val dur = durationUnitsOf(id)
+      val w = widthOf(id); val h = heightOf(id)
+
+      val mvhd = box("mvhd", bytes { o =>
+        o.write(version); o.write(0); be16(o, 0) // version + 24-bit flags
+        if (version == 1) {
+          be64(o, 0L); be64(o, 0L); be32(o, ts.toInt); be64(o, dur)
+        } else {
+          be32(o, 0); be32(o, 0); be32(o, ts.toInt); be32(o, dur.toInt)
+        }
+        be32(o, 0x00010000); be16(o, 0x0100); be16(o, 0) // rate, volume
+        (0 until 2).foreach(_ => be32(o, 0)) // reserved
+        // unity matrix
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(be32(o, _))
+        (0 until 6).foreach(_ => be32(o, 0)) // pre_defined
+        be32(o, 3) // next_track_ID
+      })
+
+      def tkhd(trackId: Int, tw: Int, th: Int) = box("tkhd", bytes { o =>
+        o.write(version); o.write(0); be16(o, 7) // flags: enabled+in movie
+        if (version == 1) {
+          be64(o, 0L); be64(o, 0L); be32(o, trackId); be32(o, 0); be64(o, dur)
+        } else {
+          be32(o, 0); be32(o, 0); be32(o, trackId); be32(o, 0)
+          be32(o, dur.toInt)
+        }
+        (0 until 2).foreach(_ => be32(o, 0)) // reserved
+        be16(o, 0); be16(o, 0); be16(o, 0); be16(o, 0) // layer..reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(be32(o, _))
+        be32(o, tw << 16); be32(o, th << 16) // 16.16 fixed
+      })
+
+      def mdhd = box("mdhd", bytes { o =>
+        o.write(version); o.write(0); be16(o, 0)
+        if (version == 1) {
+          be64(o, 0L); be64(o, 0L); be32(o, ts.toInt); be64(o, dur)
+        } else {
+          be32(o, 0); be32(o, 0); be32(o, ts.toInt); be32(o, dur.toInt)
+        }
+        be16(o, 0x55c4); be16(o, 0) // language 'und', pre_defined
+      })
+
+      def hdlr(kind: String) = box("hdlr", bytes { o =>
+        be32(o, 0); be32(o, 0); fourcc(o, kind)
+        (0 until 3).foreach(_ => be32(o, 0))
+        o.write(0) // empty null-terminated name
+      })
+
+      // sample entries: only the SampleEntry envelope + the fields the
+      // probe surfaces; the codec config blob is a deterministic stub
+      // (the H.264/Opus payloads are the part that stays FakeDecoder's)
+      def sampleEntry(format: String, body: Array[Byte]) =
+        box(format, bytes { o =>
+          (0 until 6).foreach(_ => o.write(0)) // reserved
+          be16(o, 1) // data_reference_index
+          o.write(body)
+        })
+      val avc1 = sampleEntry("avc1", bytes { o =>
+        be16(o, 0); be16(o, 0); (0 until 3).foreach(_ => be32(o, 0))
+        be16(o, w); be16(o, h)
+        be32(o, 0x00480000); be32(o, 0x00480000) // 72 dpi
+        be32(o, 0); be16(o, 1) // frame_count
+        val name = "stub".getBytes("US-ASCII")
+        o.write(name.length); o.write(name)
+        (0 until 31 - name.length).foreach(_ => o.write(0))
+        be16(o, 24); be16(o, 0xffff) // depth, pre_defined -1
+      })
+      val opus = sampleEntry("Opus", bytes { o =>
+        (0 until 2).foreach(_ => be32(o, 0)) // reserved
+        be16(o, 2); be16(o, 16) // channelcount, samplesize
+        be16(o, 0); be16(o, 0)
+        be32(o, 48000 << 16) // samplerate 16.16 (Opus-in-ISOBMFF fixes 48k)
+      })
+
+      def stsd(entry: Array[Byte]) = box("stsd", bytes { o =>
+        be32(o, 0); be32(o, 1); o.write(entry)
+      })
+      def trak(trackId: Int, kind: String, entry: Array[Byte],
+          tw: Int, th: Int) =
+        box("trak", tkhd(trackId, tw, th) ++ box("mdia",
+          mdhd ++ hdlr(kind) ++ box("minf", box("stbl", stsd(entry)))))
+
+      val traks = trak(1, "vide", avc1, w, h) ++
+        (if (hasAudioOf(id)) trak(2, "soun", opus, 0, 0)
+         else Array.emptyByteArray)
+      val moov = box("moov", mvhd ++ traks)
+      val ftyp = box("ftyp", bytes { o =>
+        fourcc(o, "isom"); be32(o, 512); fourcc(o, "isom"); fourcc(o, "avc1")
+      })
+      val mdatBody = Array.tabulate(mdatLenOf(id))(i =>
+        ((id * 31 + i * 7) % 251).toByte)
+      // even ids take the 64-bit largesize path, odd the 32-bit one
+      val mdat =
+        if (id % 2 == 0) largeBox("mdat", mdatBody) else box("mdat", mdatBody)
+      ftyp ++ moov ++ mdat
+    }
+
+    private def rbe16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def rbe32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def rbe64(b: Array[Byte], o: Int): Long =
+      (rbe32(b, o) << 32) | rbe32(b, o + 4)
+    private def typ(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private val Containers =
+      Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** The real box walk: size/type header, `size==1` → 64-bit largesize,
+      * `size==0` → extends to end-of-enclosure; containers recursed,
+      * leaves handed to `leaf` with their body range. */
+    private def walk(b: Array[Byte], from: Long, to: Long,
+        leaf: (String, Long, Long) => Unit): Unit = {
+      var off = from
+      while (off < to) {
+        if (off + 8 > to) throw new java.io.IOException("truncated box header")
+        var size = rbe32(b, off.toInt)
+        val t = typ(b, off.toInt + 4)
+        var hdr = 8L
+        if (size == 1) {
+          if (off + 16 > to)
+            throw new java.io.IOException("truncated largesize")
+          size = rbe64(b, off.toInt + 8); hdr = 16L
+        } else if (size == 0) size = to - off
+        if (size < hdr || off + size > to)
+          throw new java.io.IOException(s"box '$t' overruns enclosure")
+        if (Containers(t)) walk(b, off + hdr, off + size, leaf)
+        else leaf(t, off + hdr, off + size)
+        off += size
+      }
+    }
+
+    def decode(b: Array[Byte]): Probe = {
+      if (b.length < 8 || typ(b, 4) != "ftyp")
+        throw new java.io.IOException("not an ISO-BMFF file (no ftyp)")
+      var timescale = 0L; var duration = -1L
+      var width = 0; var height = 0
+      var videoCodec = ""; var audioCodec = ""
+      var tracks = 0; var mdat = 0L
+      // per-trak state: tkhd dims land before hdlr tells us the kind
+      var tkW = 0; var tkH = 0; var pendingCodec = ""
+      walk(b, 0L, b.length.toLong, { (t, from, to) =>
+        val o = from.toInt
+        t match {
+          case "mvhd" =>
+            val v = b(o) & 0xff
+            if (v == 1) { timescale = rbe32(b, o + 20); duration = rbe64(b, o + 24) }
+            else { timescale = rbe32(b, o + 12); duration = rbe32(b, o + 16) }
+          case "tkhd" =>
+            tracks += 1
+            val v = b(o) & 0xff
+            val dimOff = o + (if (v == 1) 96 else 84) - 8
+            tkW = (rbe32(b, dimOff) >>> 16).toInt
+            tkH = (rbe32(b, dimOff + 4) >>> 16).toInt
+          case "stsd" =>
+            if (rbe32(b, o + 4) >= 1) pendingCodec = typ(b, o + 12)
+          case "hdlr" =>
+            typ(b, o + 8) match {
+              case "vide" => width = tkW; height = tkH
+              case _ => ()
+            }
+          case "mdat" => mdat += to - from
+          case _ => ()
+        }
+        // hdlr arrives before stsd inside mdia, so bind the codec kind
+        // when the stsd closes: classify by the entry fourcc itself
+        if (t == "stsd" && pendingCodec.nonEmpty) {
+          if (pendingCodec == "avc1") videoCodec = pendingCodec
+          else audioCodec = pendingCodec
+          pendingCodec = ""
+        }
+      })
+      if (timescale <= 0 || duration < 0)
+        throw new java.io.IOException("missing mvhd")
+      Probe(duration * 1000L / timescale, width, height, videoCodec,
+        audioCodec, tracks, mdat)
+    }
+  }
+
+  /** q113: REAL MP4 container probe — every document gets a deterministic
+    * ISO-BMFF file (both mvhd/tkhd version layouts, the 64-bit largesize
+    * mdat escape on even ids) and the box walker parses every surfaced
+    * field back out; the oracle replays the per-id parameter formulas.
+    * Narrow end to end (encode+decode in one mapPartitions; only the
+    * final presentation sort exchanges). */
+  def mp4Probe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = Mp4.decode(Mp4.encode(id))
+          (id, p.durationMs, p.width.toLong, p.height.toLong,
+            p.videoCodec, p.audioCodec, p.trackCount.toLong, p.mdatBytes)
+        }
+      }
+      .toDF("doc_id", "duration_ms", "width", "height", "video_codec",
+        "audio_codec", "tracks", "mdat_bytes")
+      .orderBy("doc_id")
+  }
+
   def realMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]

@@ -2365,6 +2365,18 @@ FROM s ORDER BY doc_id""",
     // exact color transform, all AC coefficients zero, quant tables all
     // 1s), so the decoded pixel sum is exactly 3·v·w·h — the oracle
     // recomputes what the engine's real Huffman/IDCT decode returned.
+    // q113: the MP4 probe's fields are pure functions of doc_id (the
+    // container is the real part; these formulas are what the writer
+    // embeds and the box walker must recover). // is integer division.
+    "q113_mp4_probe" -> """SELECT doc_id,
+  (3000 + (doc_id % 1000) * 7) * 1000 // (600 + (doc_id % 5) * 200) AS duration_ms,
+  CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,
+  CAST(90 + (doc_id % 6) * 18 AS BIGINT) AS height,
+  'avc1' AS video_codec,
+  CASE WHEN doc_id % 3 <> 0 THEN 'Opus' ELSE '' END AS audio_codec,
+  CAST(CASE WHEN doc_id % 3 <> 0 THEN 2 ELSE 1 END AS BIGINT) AS tracks,
+  CAST(64 + doc_id % 256 AS BIGINT) AS mdat_bytes
+FROM documents ORDER BY doc_id""",
     "q99_jpeg_decode" -> """SELECT doc_id,
   CAST(8 + doc_id % 16 AS BIGINT) AS width,
   CAST(8 + doc_id % 12 AS BIGINT) AS height,

@@ -210,6 +210,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 container codec round-trips arbitrary ids through both box " +
+      "version layouts; truncation rejected") {
+    import graft.ops.Multimodal.Mp4
+    checkProp(Gen.choose(0L, 1L << 40), trials = 200) { id =>
+      val p = Mp4.decode(Mp4.encode(id))
+      p.durationMs == Mp4.durationUnitsOf(id) * 1000L / Mp4.timescaleOf(id) &&
+        p.width == Mp4.widthOf(id) && p.height == Mp4.heightOf(id) &&
+        p.videoCodec == "avc1" &&
+        p.audioCodec == (if (Mp4.hasAudioOf(id)) "Opus" else "") &&
+        p.trackCount == (if (Mp4.hasAudioOf(id)) 2 else 1) &&
+        p.mdatBytes == Mp4.mdatLenOf(id).toLong
+    }
+    // a truncated file must error, never silently return partial metadata
+    val whole = Mp4.encode(2L) // even id: exercises the largesize path
+    intercept[java.io.IOException] {
+      Mp4.decode(java.util.Arrays.copyOf(whole, whole.length - 10))
+    }
+    intercept[java.io.IOException] {
+      Mp4.decode("nope".getBytes("US-ASCII"))
+    }
+  }
+
   test("PNG codec round-trips arbitrary dimensions through all 5 filters") {
     import graft.ops.Multimodal.RealCodecs
     // h >= 5 makes the encoder's rotating per-row filter cover types 0-4,

@@ -288,6 +288,11 @@ object SparkEntry {
     // every event still surfaces exactly once.
     "q112_wide_partition_roundtrip" -> ((s, d) =>
       widePartitionRoundtrip(s, d)),
+    // the big-format POINT-READ path composed from the real components
+    // (bloom -> summary -> index -> single-partition chunked decode);
+    // probes every key%7==0 key AND its absent negation across all
+    // sstables of the compressed set
+    "q114_point_get" -> ((s, d) => PointGet.pointGet(s, d)),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
     // hit (bloom filters have no false negatives) — found == partitions,

@@ -1,0 +1,195 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, DataInputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+import graft.sources.compressioninfo.{ChunkedData, CompressionInfoFormat}
+import graft.sources.datadb.{CassandraDataFixture, CassandraDataFormat}
+import graft.sources.filterdb.FilterDbFormat
+import graft.sources.indexdb.IndexDbFormat
+import graft.sources.statsdb.CassandraStatsFormat
+import graft.sources.summarydb.SummaryDbFormat
+
+/** The big-format POINT-READ access path, composed end to end from the
+  * real per-sstable components exactly as Cassandra's own read path does
+  * (the reference never reads rows at all — this is the `get` the engine
+  * adds on top of the same files):
+  *
+  *   Filter.db bloom (negative ⇒ the sstable is never touched again)
+  *     → Summary.db (rightmost sampled entry ≤ key bounds the scan)
+  *     → Index.db (≤ min_index_interval entries read from that offset)
+  *     → Data.db (partition decoded from its uncompressed position
+  *       through the CompressionInfo.db chunk table, stopping at the
+  *       NEXT partition's position — single-partition I/O).
+  *
+  * Scale shape: probes stay distributed (narrow mapPartitions, no
+  * shuffle); each task lazily caches one bloom/summary/header per sstable
+  * it meets (KBs each) and seeks Data.db per probe — the per-probe cost is
+  * O(interval) index entries + one partition's chunks, independent of
+  * sstable size. Absent keys cost ONE bloom check per sstable (false
+  * positives additionally cost the bounded index scan, never a Data.db
+  * read, since the key cannot be found in the index).
+  *
+  * q114 probes every `key % 7 == 0` partition key (present) and its
+  * negation (absent) against all sstables and checksums the decoded
+  * events; the oracle replays both sides relationally. Instrumentation
+  * counters let the spec pin the pruning claims (bloom rejects happen;
+  * absent probes never reach Data.db). */
+object PointGet {
+
+  // spec instrumentation (same-JVM local mode): access-path step counters
+  val bloomChecks = new java.util.concurrent.atomic.LongAdder
+  val bloomRejects = new java.util.concurrent.atomic.LongAdder
+  val indexScans = new java.util.concurrent.atomic.LongAdder
+  val dataReads = new java.util.concurrent.atomic.LongAdder
+
+  private val ChkMod = 1000003L
+
+  private final case class SstableRefs(base: String,
+      bloom: FilterDbFormat.Filter, summary: SummaryDbFormat.Summary,
+      info: CompressionInfoFormat.Info,
+      header: CassandraDataFormat.SerializationHeaderInfo,
+      dataPath: java.nio.file.Path, dataFileLen: Long)
+
+  private def loadRefs(dir: java.nio.file.Path, base: String): SstableRefs = {
+    def bytes(suffix: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(dir.resolve(base + suffix))
+    val bloom = FilterDbFormat.parse(new java.io.DataInputStream(
+      new ByteArrayInputStream(bytes(FilterDbFormat.Suffix))))
+    val summary = SummaryDbFormat.parse(new DataInputStream(
+      new ByteArrayInputStream(bytes(SummaryDbFormat.Suffix))))
+    val info = CompressionInfoFormat.parse(bytes(CompressionInfoFormat.Suffix))
+    val header = CassandraDataFormat.parseHeader(
+      CassandraStatsFormat.componentBytes(
+        bytes(CassandraDataFormat.StatsSuffix),
+        CassandraStatsFormat.TypeHeader))
+    val dataPath = dir.resolve(base + CassandraDataFormat.Suffix)
+    SstableRefs(base, bloom, summary, info, header, dataPath,
+      java.nio.file.Files.size(dataPath))
+  }
+
+  private def keyOf(b: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(b).getLong
+
+  /** Rightmost summary entry with key ≤ probe (signed-long key order, the
+    * fixture's 8-byte BE keys), or -1 when the probe precedes all. */
+  private def summaryFloor(s: SummaryDbFormat.Summary, probe: Long): Int = {
+    var lo = 0; var hi = s.entries.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (keyOf(s.entries(mid).key) <= probe) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
+  /** Index.db scan from the summary-bounded offset: the probe's own entry
+    * position plus the NEXT entry's position (single-partition read
+    * bound; data_length when the probe is the file's last partition). */
+  private def indexLookup(dir: java.nio.file.Path, r: SstableRefs,
+      probe: Long): Option[(Long, Long)] = {
+    val at = summaryFloor(r.summary, probe)
+    if (at < 0) return None
+    indexScans.increment()
+    val in = new java.io.FileInputStream(
+      dir.resolve(r.base + IndexDbFormat.Suffix).toFile)
+    try {
+      var skipped = r.summary.entries(at).position
+      while (skipped > 0) skipped -= in.skip(skipped)
+      var found = -1L
+      val it = IndexDbFormat.entries(in)
+      while (it.hasNext) {
+        val e = it.next()
+        val k = keyOf(e.key)
+        if (found >= 0) return Some((found, e.position))
+        if (k == probe) found = e.position
+        else if (k > probe) return None
+      }
+      if (found >= 0) Some((found, r.info.dataLength)) else None
+    } finally in.close()
+  }
+
+  /** Decode one partition's events from its uncompressed [pos, next) range
+    * through the chunk table; returns (events, value_sum, ts_sum%M). */
+  private def readPartition(r: SstableRefs, pos: Long,
+      next: Long): (Long, Long, Long) = {
+    dataReads.increment()
+    val raf = new java.io.RandomAccessFile(r.dataPath.toFile, "r")
+    val source = new ChunkedData.RandomAccess {
+      override def readFully(position: Long, buf: Array[Byte], off: Int,
+          len: Int): Unit = { raf.seek(position); raf.readFully(buf, off, len) }
+      override def close(): Unit = raf.close()
+    }
+    val chunked =
+      new ChunkedData.ChunkedInputStream(source, r.info, r.dataFileLen, pos)
+    try {
+      var consumed = 0L
+      val counting = new java.io.InputStream {
+        override def read(): Int = {
+          val b = chunked.read(); if (b >= 0) consumed += 1; b
+        }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          val n = chunked.read(buf, off, len); if (n > 0) consumed += n; n
+        }
+      }
+      var events = 0L; var valueSum = 0L; var tsSum = 0L
+      CassandraDataFormat.events(counting, r.header,
+        () => consumed >= next - pos).foreach { e =>
+        events += 1
+        valueSum += e.sizeBytes
+        tsSum += e.timestampUs % ChkMod
+      }
+      (events, valueSum, tsSum)
+    } finally chunked.close()
+  }
+
+  /** q114: point-get every probe key through bloom → summary → index →
+    * single-partition data decode, across all sstables of the compressed
+    * real-format set. */
+  def pointGet(spark: SparkSession, dir: String): DataFrame =
+    // the presentation sort's range-partitioner SAMPLING pass re-executes
+    // the probe map (doubling the instrumentation counters) — the spec
+    // uses the unsorted form for exact access-path accounting
+    pointGetUnsorted(spark, dir).orderBy("probe_key")
+
+  private[graft] def pointGetUnsorted(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val path = CassandraDataFixture.ensureFiles(spark, dir, compressed = true)
+    // key 0 is excluded: its "absent" negation would be itself
+    val present = Fixtures.liPscan(spark, dir).select(col("key"))
+      .where(col("key") % 7 === 0 && col("key") > 0).distinct()
+    val probes = present.union(present.select((-col("key")).as("key")))
+      .as[Long]
+    probes.mapPartitions { it =>
+      val dirPath = java.nio.file.Paths.get(path)
+      val bases = {
+        val s = java.nio.file.Files.list(dirPath)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(CassandraDataFormat.Suffix))
+            .map(_.stripSuffix(CassandraDataFormat.Suffix)).toArray.sorted
+        } finally s.close()
+      }
+      val cache = scala.collection.mutable.Map.empty[String, SstableRefs]
+      it.map { probe =>
+        val kb = java.nio.ByteBuffer.allocate(8).putLong(probe).array()
+        var found = 0L; var events = 0L; var valueSum = 0L; var tsSum = 0L
+        bases.foreach { base =>
+          val r = cache.getOrElseUpdate(base, loadRefs(dirPath, base))
+          bloomChecks.increment()
+          if (!r.bloom.mightContain(kb)) bloomRejects.increment()
+          else indexLookup(dirPath, r, probe).foreach { case (pos, next) =>
+            val (e, v, t) = readPartition(r, pos, next)
+            found += 1; events += e; valueSum += v; tsSum += t
+          }
+        }
+        (probe, found, events, valueSum, tsSum)
+      }
+    }.toDF("probe_key", "found_sstables", "events", "value_sum", "ts_sum")
+  }
+}

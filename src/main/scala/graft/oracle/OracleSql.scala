@@ -804,6 +804,31 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum,
   CAST(SUM(length(wcol) % 1000003) AS BIGINT) AS colname_len_sum
 FROM wide GROUP BY 1 ORDER BY 1""",
+    // q114: the point-read path replayed relationally — present probes
+    // (key%7==0) aggregate their cells across every sstable holding the
+    // key; absent probes (the negations) must come back all-zero no
+    // matter what the blooms false-positive on.
+    "q114_point_get" -> s"""WITH $fixtures,
+probes AS (
+  SELECT DISTINCT key AS probe_key FROM licells WHERE key % 7 = 0 AND key > 0
+  UNION ALL
+  SELECT DISTINCT -key FROM licells WHERE key % 7 = 0 AND key > 0
+),
+hits AS (
+  SELECT key,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS found_sstables,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum,
+    CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum
+  FROM licells WHERE key % 7 = 0 AND key > 0 GROUP BY 1
+)
+SELECT probe_key,
+  CAST(COALESCE(found_sstables, 0) AS BIGINT) AS found_sstables,
+  CAST(COALESCE(events, 0) AS BIGINT) AS events,
+  CAST(COALESCE(value_sum, 0) AS BIGINT) AS value_sum,
+  CAST(COALESCE(ts_sum, 0) AS BIGINT) AS ts_sum
+FROM probes LEFT JOIN hits ON probes.probe_key = hits.key
+ORDER BY probe_key""",
     // q111: q67's derivation grouped per chunk codec — the fixture rotates
     // gen % 4 over LZ4/Snappy/Deflate/Zstd and the Spark side reads the
     // name from each file's CompressionInfo.db, so this CASE replays the

@@ -371,6 +371,37 @@ class CassandraDataSpec extends SparkSpec {
     assert(fine.exceptAll(whole).isEmpty && whole.exceptAll(fine).isEmpty)
   }
 
+  test("point-get: bloom/summary/index path returns exactly the mapped " +
+      "relation; absent keys never reach Data.db") {
+    import graft.ops.PointGet
+    PointGet.bloomChecks.reset(); PointGet.bloomRejects.reset()
+    PointGet.indexScans.reset(); PointGet.dataReads.reset()
+    // unsorted form: the sorted query's range-sampling pass would run the
+    // probe map twice and double the access-path counters
+    val rows = PointGet.pointGetUnsorted(spark, Sf0001).collect()
+    val present = rows.filter(_.getLong(0) > 0)
+    val absent = rows.filter(_.getLong(0) < 0)
+    assert(present.nonEmpty && absent.nonEmpty)
+    assert(present.length === absent.length)
+    // absent probes are all-zero regardless of bloom false positives
+    assert(absent.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 &&
+      r.getLong(3) == 0 && r.getLong(4) == 0))
+    // every present probe resolves, and the event totals match the truth
+    assert(present.forall(_.getLong(1) > 0))
+    val expectEvents = graft.sources.Fixtures.cells(spark, Sf0001)
+      .where(col("tbl") === "lineitem" && col("key") % 7 === 0 &&
+        col("key") > 0)
+      .count()
+    assert(present.map(_.getLong(2)).sum === expectEvents)
+    // access-path pruning: blooms reject (absent keys mostly die there),
+    // and Data.db is read EXACTLY once per (present probe, holding
+    // sstable) — never for an absent probe
+    assert(PointGet.bloomRejects.sum > 0)
+    assert(PointGet.dataReads.sum === present.map(_.getLong(1)).sum)
+    // summary-bounded index scans stay bounded by bloom passes
+    assert(PointGet.indexScans.sum <= PointGet.bloomChecks.sum)
+  }
+
   test("Filter.db: serialize/parse roundtrip, no false negatives, rare " +
       "false positives") {
     import graft.sources.filterdb.FilterDbFormat

@@ -37,7 +37,7 @@ object Main {
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
-    "search", "drift", "tokenize", "lookup")
+    "search", "drift", "tokenize", "lookup", "get")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -61,6 +61,7 @@ object Main {
     case "drift" => "Usage: drift"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
+    case "get" => "Usage: get <keyspace> <table> <key>"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -89,7 +90,8 @@ object Main {
         |  search       BM25-lite keyword retrieval over the documents corpus
         |  drift        Token-distribution drift between corpus snapshots by source
         |  tokenize     Apply the trained BPE merges; token counts and compression by source
-        |  lookup       Point-lookup a partition key through the bti Partitions.db tries""".stripMargin
+        |  lookup       Point-lookup a partition key through the bti Partitions.db tries
+        |  get          Point-read a partition (bloom -> summary -> index -> data) off real sstables""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -148,7 +150,7 @@ object Main {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
             case _ => Left(usage(cmd))
           }
-          case "lookup" => positional match {
+          case "lookup" | "get" => positional match {
             case Seq(ks, cf, k) => k.toLongOption match {
               case Some(key) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf), key = key))
@@ -232,6 +234,9 @@ object Main {
       case "lookup" =>
         if (!requireStore()) return 2
         out(tracked("lookup")(Reports.lookup(spark, dir, o.key))); 0
+      case "get" =>
+        if (!requireStore()) return 2
+        out(tracked("get")(Reports.get(spark, dir, o.key))); 0
     }
   }
 

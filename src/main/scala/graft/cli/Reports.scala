@@ -198,6 +198,19 @@ object Reports {
     s"bti point lookup: key=$key\n$b"
   }
 
+  /** `get` — the big-format point-read (bloom → summary → index →
+    * single-partition decode) for one key across every sstable of the
+    * compressed real-format set; driver-side, no scan job. */
+  def get(spark: SparkSession, dir: String, key: Long): String = {
+    val b = new TableBuilder().setHeader("SSTable", "Outcome", "Events",
+      "Value bytes")
+    graft.ops.PointGet.getOne(spark, dir, key).foreach {
+      case (sst, outcome, events, bytes) =>
+        b.addRow(sst, outcome, events.toString, bytes.toString)
+    }
+    s"point get: key=$key\n$b"
+  }
+
   /** `quality` — composite quality-filter verdict, per-source survival. */
   def quality(spark: SparkSession, dir: String): String =
     section("Quality filter survival by source",

@@ -146,6 +146,37 @@ object PointGet {
     } finally chunked.close()
   }
 
+  /** CLI surface (`get`): probe ONE key across every sstable,
+    * driver-side — a point read needs no Spark job; per sstable it costs
+    * a bloom check, at most an interval-bounded index scan, and at most
+    * one partition decode. Returns (sstable, outcome, events, value
+    * bytes) per sstable. */
+  def getOne(spark: SparkSession, dir: String,
+      key: Long): Seq[(String, String, Long, Long)] = {
+    val path = CassandraDataFixture.ensureFiles(spark, dir, compressed = true)
+    val dirPath = java.nio.file.Paths.get(path)
+    val kb = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+    val bases = {
+      val s = java.nio.file.Files.list(dirPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(CassandraDataFormat.Suffix))
+          .map(_.stripSuffix(CassandraDataFormat.Suffix)).toArray.sorted
+      } finally s.close()
+    }
+    bases.toSeq.map { base =>
+      val r = loadRefs(dirPath, base)
+      if (!r.bloom.mightContain(kb)) (base, "bloom-miss", 0L, 0L)
+      else indexLookup(dirPath, r, key) match {
+        case Some((pos, next)) =>
+          val (e, v, _) = readPartition(r, pos, next)
+          (base, "found", e, v)
+        case None => (base, "index-miss", 0L, 0L)
+      }
+    }
+  }
+
   /** q114: point-get every probe key through bloom → summary → index →
     * single-partition data decode, across all sstables of the compressed
     * real-format set. */

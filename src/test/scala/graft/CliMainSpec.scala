@@ -200,6 +200,27 @@ class CliMainSpec extends SparkSpec {
     assert(miss.contains("no") && !miss.contains("yes"))
   }
 
+  test("get: point-reads a present key off the real sstables and reports " +
+      "bloom misses for an absent one") {
+    assert(Main.parse(Seq("get", "ks1", "lineitem", "42")) ===
+      Right(Main.Opts("get", keyspace = "ks1", table = "lineitem",
+        key = 42L)))
+    assert(Main.parse(Seq("get", "ks1", "lineitem")).isLeft)
+    def collect(k: Long): String = {
+      val sb = new StringBuilder
+      val o = Main.parse(Seq("get", "ks1", "lineitem", k.toString))
+        .toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      sb.toString
+    }
+    val key = graft.sources.Fixtures.liPscan(spark, Sf0001)
+      .select("key").head.getLong(0)
+    val hit = collect(key)
+    assert(hit.contains(s"key=$key") && hit.contains("found"))
+    val miss = collect(Long.MaxValue) // no fixture key reaches 2^63-1
+    assert(!miss.contains("found") && miss.contains("miss"))
+  }
+
   test("dispatch: unknown column family is a usage failure (rc 2)") {
     val sb = new StringBuilder
     val o = Main.parse(Seq("pstats", "ks9", "nope")).toOption.get

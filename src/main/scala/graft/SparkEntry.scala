@@ -293,6 +293,10 @@ object SparkEntry {
     // probes every key%7==0 key AND its absent negation across all
     // sstables of the compressed set
     "q114_point_get" -> ((s, d) => PointGet.pointGet(s, d)),
+    // clustering-slice reads: only promoted-index blocks whose stored
+    // clustering bounds overlap the slice are decoded — blocks_scanned is
+    // itself oracle-replayed, so block SELECTION is hash-checked
+    "q115_slice_read" -> ((s, d) => SliceGet.sliceRead(s, d)),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
     // hit (bloom filters have no false negatives) — found == partitions,

@@ -829,6 +829,61 @@ SELECT probe_key,
   CAST(COALESCE(ts_sum, 0) AS BIGINT) AS ts_sum
 FROM probes LEFT JOIN hits ON probes.probe_key = hits.key
 ORDER BY probe_key""",
+    // q115: the slice read replayed relationally INCLUDING block
+    // selection — the fixture's block trigger (every 2 unfiltereds in
+    // clustering order, markers before the row of the same clustering) is
+    // rebuilt with a row_number window, per-block clustering bounds
+    // derived, and blocks_scanned = overlapping blocks. The event sums
+    // are the plain in-range aggregates.
+    "q115_slice_read" -> s"""WITH $fixtures,
+wide AS (
+  SELECT sstable_id, key % 8 AS wkey, key AS wcl, kind, is_tombstone,
+    timestamp_us, size_bytes
+  FROM licells
+),
+ks AS (SELECT UNNEST(range(0, 8)) AS wkey),
+probes AS (
+  SELECT wkey, CAST(0 AS BIGINT) AS lo, CAST(500 AS BIGINT) AS hi FROM ks
+  UNION ALL
+  SELECT wkey, wkey * 1000, wkey * 1000 + 999 FROM ks
+),
+unf AS (
+  SELECT sstable_id, wkey, wcl, 0 AS sort_is_row FROM wide
+  WHERE kind = 'RANGE_TOMBSTONE_MARKER'
+  UNION ALL
+  SELECT DISTINCT sstable_id, wkey, wcl, 1 FROM wide WHERE kind = 'CELL'
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY sstable_id, wkey
+    ORDER BY wcl, sort_is_row) - 1 AS rn
+  FROM unf
+),
+blocks AS (
+  SELECT sstable_id, wkey, rn // 2 AS blk, MIN(wcl) AS bmin, MAX(wcl) AS bmax
+  FROM ordered GROUP BY 1, 2, 3
+),
+scanned AS (
+  SELECT p.wkey, p.lo, p.hi, CAST(COUNT(*) AS BIGINT) AS blocks_scanned
+  FROM probes p JOIN blocks b
+    ON b.wkey = p.wkey AND b.bmax >= p.lo AND b.bmin <= p.hi
+  GROUP BY 1, 2, 3
+),
+inrange AS (
+  SELECT p.wkey, p.lo, p.hi,
+    CAST(COUNT(w.wcl) AS BIGINT) AS events,
+    CAST(COALESCE(SUM(CASE WHEN w.is_tombstone THEN 0
+      ELSE w.size_bytes % 61 END), 0) AS BIGINT) AS value_sum,
+    CAST(COALESCE(SUM(w.timestamp_us % 1000003), 0) AS BIGINT) AS ts_sum
+  FROM probes p LEFT JOIN wide w
+    ON w.wkey = p.wkey AND w.wcl BETWEEN p.lo AND p.hi
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(i.wkey AS BIGINT) AS wkey, CAST(i.lo AS BIGINT) AS lo,
+  CAST(i.hi AS BIGINT) AS hi,
+  CAST(COALESCE(s.blocks_scanned, 0) AS BIGINT) AS blocks_scanned,
+  i.events, i.value_sum, i.ts_sum
+FROM inrange i LEFT JOIN scanned s USING (wkey, lo, hi)
+ORDER BY 1, 2""",
     // q111: q67's derivation grouped per chunk codec — the fixture rotates
     // gen % 4 over LZ4/Snappy/Deflate/Zstd and the Spark side reads the
     // name from each file's CompressionInfo.db, so this CASE replays the

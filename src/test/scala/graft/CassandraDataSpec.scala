@@ -371,6 +371,29 @@ class CassandraDataSpec extends SparkSpec {
     assert(fine.exceptAll(whole).isEmpty && whole.exceptAll(fine).isEmpty)
   }
 
+  test("slice read: promoted-index clustering bounds prune blocks; " +
+      "in-range events match the full scan; empty slices read nothing") {
+    val path = CassandraDataFixture.ensureWideFiles(spark, Sf0001)
+    val slices = graft.ops.SliceGet.sliceRead(spark, Sf0001).collect()
+    val cells = DataDb.cells(spark, path,
+        format = DataDbScan.FormatCassandra)
+      .select(col("key"), col("clustering")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxCl = cells.map(_._2).max
+    slices.foreach { r =>
+      val (k, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val truth = cells.count(c => c._1 == k && c._2 >= lo && c._2 <= hi)
+      assert(r.getLong(4) === truth.toLong, s"events k=$k [$lo,$hi]")
+      // a slice beyond the clustering domain reads ZERO blocks — the
+      // bounds prune, they don't merely label
+      if (lo > maxCl)
+        assert(r.getLong(3) === 0L, s"empty slice k=$k [$lo,$hi] read blocks")
+    }
+    // at sf0.001 the domain tops out well under the k>=2 bands, so the
+    // zero-read branch is actually exercised
+    assert(slices.exists(r => r.getLong(1) > maxCl))
+  }
+
   test("point-get: bloom/summary/index path returns exactly the mapped " +
       "relation; absent keys never reach Data.db") {
     import graft.ops.PointGet

@@ -531,6 +531,11 @@ object SparkEntry {
     "q60_pack_sequences" -> ((s, d) => TextStats.packSequences(s, d)),
     // benchmark-contamination detection via 5-gram overlap
     "q61_contamination" -> ((s, d) => TextStats.contamination(s, d)),
+    // the scale form: fixed-size bloom prefilter (the Filter.db murmur3
+    // bloom as a broadcast) + exact verify of survivors — identical
+    // relation, ~99% of the verify-join exchange pruned
+    "q116_contamination_bloom" -> ((s, d) =>
+      TextStats.contaminationBloom(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
     // SemDeDup-style semantic dedup: deterministic centroid assignment,

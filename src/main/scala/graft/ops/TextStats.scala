@@ -187,6 +187,56 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  // q116 spec instrumentation: bloom prefilter probe/survivor counts
+  val bloomProbes = new java.util.concurrent.atomic.LongAdder
+  val bloomSurvivors = new java.util.concurrent.atomic.LongAdder
+
+  /** q116: the SCALE form of q61's contamination check — the two-phase
+    * bloom-prefilter pattern production decontamination uses. Stage 1
+    * broadcasts a FIXED-SIZE real bloom filter (the same murmur3/
+    * OffHeapBitSet implementation that reads Filter.db) over the benchmark
+    * shingles and probes every corpus shingle O(1), join-free; stage 2
+    * exact-verifies only the survivors, so the output is IDENTICAL to
+    * q61's (a bloom has no false negatives; the verify join removes
+    * exactly the false positives — q116 shares q61's oracle).
+    *
+    * What changes at 100 TB: the broadcast is ~10 bits per bench shingle
+    * instead of the full string set, and the exchange into the verify
+    * join carries only the ~1%-ish surviving shingles instead of every
+    * corpus shingle — the prefilter is where the 99% is saved. Benchmark
+    * suites are small and fixed, so the driver-side bloom build is the
+    * right shape (in production it would be built once and shipped). */
+  def contaminationBloom(spark: SparkSession, dir: String,
+      benchMod: Int = 101): DataFrame = {
+    import spark.implicits._
+    import graft.sources.filterdb.FilterDbFormat
+    val sh = Dedup.corpusShingles(spark, dir)
+    val bench = sh.where(col("doc_id") % benchMod === 0)
+      .select("g").distinct()
+    val benchG = bench.as[String].collect()
+    val f = FilterDbFormat.create(math.max(1L, benchG.length.toLong))
+    benchG.foreach(g =>
+      f.add(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val bc = spark.sparkContext.broadcast(f)
+    val mightContain = udf { g: String =>
+      bloomProbes.increment()
+      val hit =
+        bc.value.mightContain(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (hit) bloomSurvivors.increment()
+      hit
+    }
+    val cand = sh.where(col("doc_id") % benchMod =!= 0)
+    val totals = cand.groupBy("doc_id").agg(count(lit(1)).as("shingles"))
+    cand.where(mightContain(col("g")))
+      .join(broadcast(bench), "g") // exact verify: removes bloom FPs
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("matched"), col("shingles"),
+        floor(col("matched") * 1000 / col("shingles"))
+          .as("contamination_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end training-corpus preparation — the operators above composed
     * the way a data pipeline actually runs them: quality gate (length),
     * language gate (langId == en), exact dedup (keep the lowest doc_id per

@@ -326,6 +326,25 @@ sh AS (
   FROM toks, UNNEST(range(1, greatest(len(w) - 3, 2))) AS t(i)
 )"""
 
+  /** Shared q61/q116 derivation — benchmark contamination (benchMod 101)
+    * over the dup-injected corpus: the exact/near copies of benchmark docs
+    * are the leaks; 5-gram overlap of each non-benchmark doc vs the
+    * benchmark set. q116's bloom prefilter must not change the relation
+    * (no false negatives; its verify join removes the false positives). */
+  private lazy val contaminationSql: String = s"""WITH $corpus, $shingles,
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
+cand AS (SELECT doc_id, g FROM sh WHERE doc_id % 101 <> 0),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shingles
+           FROM cand GROUP BY 1),
+m AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS matched
+  FROM cand c JOIN bench b ON c.g = b.g GROUP BY 1
+)
+SELECT m.doc_id, m.matched, t.shingles,
+  CAST(floor(m.matched * 1000 / t.shingles) AS BIGINT) AS contamination_x1000
+FROM m JOIN totals t ON m.doc_id = t.doc_id
+ORDER BY m.doc_id"""
+
   /** Mirror of Similarity.quantize. */
   val quantized: String = """
 qe AS (
@@ -1486,19 +1505,11 @@ FROM o GROUP BY 1 ORDER BY 1""",
     // mirror of TextStats.contamination (benchMod 101) over the
     // dup-injected corpus: the exact/near copies of benchmark docs are the
     // leaks; 5-gram overlap of each non-benchmark doc vs the benchmark set.
-    "q61_contamination" -> s"""WITH $corpus, $shingles,
-bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
-cand AS (SELECT doc_id, g FROM sh WHERE doc_id % 101 <> 0),
-totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shingles
-           FROM cand GROUP BY 1),
-m AS (
-  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS matched
-  FROM cand c JOIN bench b ON c.g = b.g GROUP BY 1
-)
-SELECT m.doc_id, m.matched, t.shingles,
-  CAST(floor(m.matched * 1000 / t.shingles) AS BIGINT) AS contamination_x1000
-FROM m JOIN totals t ON m.doc_id = t.doc_id
-ORDER BY m.doc_id""",
+    "q61_contamination" -> contaminationSql,
+    // q116: the bloom-prefiltered form MUST return the identical relation
+    // (the bloom has no false negatives; the verify join removes exactly
+    // the false positives) — same oracle derivation.
+    "q116_contamination_bloom" -> contaminationSql,
 
     "q30_events_hourly" -> """SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

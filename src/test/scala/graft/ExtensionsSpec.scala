@@ -682,6 +682,21 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("contamination bloom prefilter: identical relation to the exact " +
+      "form; most shingles pruned before the verify join") {
+    TextStats.bloomProbes.reset(); TextStats.bloomSurvivors.reset()
+    val bloom = TextStats.contaminationBloom(spark, Sf0001).collect()
+    val exact = TextStats.contamination(spark, Sf0001).collect()
+    assert(bloom.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+    val probes = TextStats.bloomProbes.sum
+    val survivors = TextStats.bloomSurvivors.sum
+    // the ratio is execution-count-invariant (the sort's sampling pass
+    // re-runs the probe UDF, inflating both counters equally)
+    assert(probes > 0 &&
+      survivors.toDouble / probes < 0.5,
+      s"prefilter too weak: $survivors of $probes survived")
+  }
+
   test("corpus sink: partitioned layout, bounded files, pruned readback") {
     val out = graft.sources.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft-corpus-out-")).toString

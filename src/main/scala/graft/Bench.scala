@@ -358,7 +358,8 @@ object Bench {
       .exists(n.contains)) "codec"
     else if (Seq("dedup", "dup_", "canonical", "fingerprint", "chunk")
       .exists(n.contains)) "dedup"
-    else if (n.contains("sim_") || n.contains("kmeans")) "ann"
+    else if (n.contains("sim_") || n.contains("kmeans") ||
+      n.contains("cluster_sample")) "ann"
     else if (n.contains("purge")) "purge"
     else if (n.contains("cfstats") || n.contains("ttl_map")) "cfstats"
     else if (Seq("pstats", "catalog", "summary", "sstables", "index",

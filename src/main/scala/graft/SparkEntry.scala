@@ -536,6 +536,9 @@ object SparkEntry {
     // relation, ~99% of the verify-join exchange pruned
     "q116_contamination_bloom" -> ((s, d) =>
       TextStats.contaminationBloom(s, d)),
+    // cluster-balanced subsample over the trained k-means clusters:
+    // uniform reproducible slice of EVERY cluster (hash-ranked window)
+    "q117_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
     // SemDeDup-style semantic dedup: deterministic centroid assignment,

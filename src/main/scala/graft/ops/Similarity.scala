@@ -290,6 +290,31 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** q117: CLUSTER-BALANCED subsampling — the post-clustering curation
+    * step that keeps a uniform, reproducible slice of EVERY semantic
+    * cluster (so a size-skewed corpus can't drown the small clusters in a
+    * budget-bound subsample). Rank within each cluster by a deterministic
+    * multiplicative hash of vec_id (modular-safe in 64 bits, so the
+    * DuckDB replay is exact at any id scale), keep the first
+    * `perCluster`. Assignment is the same literal-centroid narrow codegen
+    * fold as q88/q89; the only exchange is the cluster-keyed window,
+    * whose per-partition state is bounded by cluster size. */
+  def clusterSample(spark: SparkSession, dir: String,
+      perCluster: Int = 10): DataFrame = {
+    val centroids = kmeansCentroids(spark, dir)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    val h = pmod((col("vec_id") % lit(1000003L)) * lit(2654435761L),
+      lit(1000003L))
+    assignTo(vecs, centroids)
+      .withColumn("h", h)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cid").orderBy(col("h"), col("vec_id")))
+        .cast("long"))
+      .where(col("rank") <= perCluster)
+      .select(col("cid").as("cluster"), col("vec_id"), col("rank"))
+      .orderBy("cluster", "rank")
+  }
+
   /** IVF ANN over the [[kmeans]] index (q89) — the build-then-query shape
     * of a real vector store: the corpus is bucketed by its nearest trained
     * centroid (the inverted file), each query probes only its `nprobe`

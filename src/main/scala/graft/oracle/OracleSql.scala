@@ -2506,6 +2506,31 @@ SELECT a.cid AS cluster,
 FROM a3 a JOIN csum s ON a.cid = s.cid
 GROUP BY 1 ORDER BY 1""",
 
+    // q117: cluster-balanced subsample — final assignment under the
+    // trained centroids (identical d3/a3 derivation to q88), then keep
+    // the first 10 per cluster in deterministic multiplicative-hash
+    // order. The hash is modular-safe 64-bit arithmetic on both engines.
+    "q117_cluster_sample" -> s"""WITH $quantized, $kmeansTrace,
+d3 AS (
+  SELECT q.vec_id, c.cid,
+    q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM qn q CROSS JOIN c2 c
+),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d3) WHERE rn = 1
+),
+ranked AS (
+  SELECT cid, vec_id,
+    row_number() OVER (PARTITION BY cid
+      ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id) AS rank
+  FROM a3
+)
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(vec_id AS BIGINT) AS vec_id,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY 1, 3""",
     // q89: IVF over the q88 index — candidate bucketing and query probing
     // re-derived from the same trained centroids (c2), exact cosine only
     // inside probed buckets; cosine text identical to q24's.

@@ -539,6 +539,11 @@ object SparkEntry {
     // cluster-balanced subsample over the trained k-means clusters:
     // uniform reproducible slice of EVERY cluster (hash-ranked window)
     "q117_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
+    // IVF over the PERSISTED bucket-partitioned index: build once on
+    // disk, query via dynamic partition pruning — identical relation to
+    // the in-memory q89
+    "q118_sim_ivf_persisted" -> ((s, d) =>
+      Similarity.ivfSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
     // SemDeDup-style semantic dedup: deterministic centroid assignment,

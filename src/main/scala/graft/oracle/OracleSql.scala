@@ -345,6 +345,43 @@ SELECT m.doc_id, m.matched, t.shingles,
 FROM m JOIN totals t ON m.doc_id = t.doc_id
 ORDER BY m.doc_id"""
 
+  /** Shared q89/q118 derivation - IVF over the trained k-means
+    * centroids; the persisted form reads the same inverted file back
+    * from bucket-partitioned parquet. */
+  private lazy val ivfKmeansSql: String = s"""WITH $quantized, $kmeansTrace,
+cass AS (
+  SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2, cid AS bucket FROM (
+    SELECT q.vec_id, q.qv, q.norm2, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM qn q CROSS JOIN c2 c WHERE q.vec_id >= 8) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS qa, norm2 AS na2, cid AS bucket FROM (
+    SELECT q.vec_id, q.qv, q.norm2, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM qn q CROSS JOIN c2 c WHERE q.vec_id < 8) WHERE rn <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS DOUBLE)
+      / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos
+  FROM probes p JOIN cass s USING (bucket)
+),
+rk AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+  CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Mirror of Similarity.quantize. */
   val quantized: String = """
 qe AS (
@@ -2534,39 +2571,11 @@ FROM ranked WHERE rank <= 10 ORDER BY 1, 3""",
     // q89: IVF over the q88 index — candidate bucketing and query probing
     // re-derived from the same trained centroids (c2), exact cosine only
     // inside probed buckets; cosine text identical to q24's.
-    "q89_sim_ivf_kmeans" -> s"""WITH $quantized, $kmeansTrace,
-cass AS (
-  SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2, cid AS bucket FROM (
-    SELECT q.vec_id, q.qv, q.norm2, c.cid,
-      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
-        c.cid) AS rn
-    FROM qn q CROSS JOIN c2 c WHERE q.vec_id >= 8) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, qv AS qa, norm2 AS na2, cid AS bucket FROM (
-    SELECT q.vec_id, q.qv, q.norm2, c.cid,
-      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
-        c.cid) AS rn
-    FROM qn q CROSS JOIN c2 c WHERE q.vec_id < 8) WHERE rn <= 2
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-    CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS DOUBLE)
-      / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos
-  FROM probes p JOIN cass s USING (bucket)
-),
-rk AS (
-  SELECT query_id, neighbor_id, cos,
-    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
-  CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
-FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q89_sim_ivf_kmeans" -> ivfKmeansSql,
+    // q118: the persisted-index form MUST return the identical relation
+    // (the same inverted file, read back from bucket-partitioned parquet
+    // with partition pruning) — same oracle derivation.
+    "q118_sim_ivf_persisted" -> ivfKmeansSql,
 
     // q82: partition counts from parquet; the size decomposition is pinned
     // by the Spark-side tiling invariant (sum(size)==data_length, sizes>0),

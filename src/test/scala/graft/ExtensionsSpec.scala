@@ -1012,6 +1012,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("size")).sum === vecs.length.toLong)
   }
 
+  test("persisted ivf index: identical results to the in-memory form; " +
+      "queries prune to the probed buckets' partitions") {
+    val mem = Similarity.ivfSearch(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val persisted = Similarity.ivfSearchPersisted(spark, Sf0001)
+    assert(persisted.collect().map(_.toSeq).toSeq === mem)
+    // the on-disk layout is bucket-partitioned and the scan is pruned:
+    // the plan carries a partition filter on bucket (dynamic pruning from
+    // the broadcast probe side, or a pushed static one)
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      (plan.toLowerCase.contains("dynamicpruning") ||
+        plan.contains("bucket")),
+      s"no partition pruning in plan:\n${plan.take(2000)}")
+    // the index directory really is hive-partitioned by bucket
+    val idx = new java.io.File(
+      Similarity.ensureIvfIndex(spark, Sf0001))
+    val parts = idx.listFiles().filter(_.getName.startsWith("bucket="))
+    assert(parts.length === 8, parts.map(_.getName).mkString(","))
+  }
+
   test("ivf over kmeans: probing all buckets == brute force exactly") {
     val ivfAll = Similarity.ivfSearch(spark, Sf0001, nprobe = 8)
       .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSeq

@@ -784,6 +784,9 @@ object SparkEntry {
     // mvhd/tkhd version layouts + the 64-bit largesize escape; the codec
     // payloads (H.264/Opus) are the only part that stays stubbed
     "q113_mp4_probe" -> ((s, d) => Multimodal.mp4Probe(s, d)),
+    // real WebM/Matroska container probe: EBML marker-bit varints,
+    // master recursion, unknown-size streaming Segments on odd ids
+    "q119_webm_probe" -> ((s, d) => Multimodal.webmProbe(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -703,6 +703,227 @@ object Multimodal {
     }
   }
 
+  /** REAL EBML/Matroska (WebM) CONTAINER codec — the other dominant video
+    * wrapper, structurally unlike ISO-BMFF: elements are (ID, size, body)
+    * where both ID and size are EBML variable-length integers whose
+    * LENGTH is encoded by the leading byte's marker-bit position (the
+    * UTF-8 idea applied to integers), and a master element may carry the
+    * reserved ALL-ONES "unknown size" and simply run to the end of its
+    * enclosure — the live-streaming form real muxers emit for Segment.
+    * The walker handles both; the codec payloads (VP9/Opus) stay
+    * stubbed as library-bound, exactly like [[Mp4]]. */
+  object Ebml {
+
+    final case class Probe(durationMs: Long, width: Int, height: Int,
+        videoCodec: String, audioCodec: String, trackCount: Int,
+        clusterBytes: Long)
+
+    // canonical element IDs (Matroska/WebM public registry), stored as
+    // their on-disk byte sequences (IDs keep their marker bit)
+    private val IdEbml = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
+    private val IdDocType = Array(0x42, 0x82).map(_.toByte)
+    private val IdSegment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+    private val IdInfo = Array(0x15, 0x49, 0xA9, 0x66).map(_.toByte)
+    private val IdTimestampScale = Array(0x2A, 0xD7, 0xB1).map(_.toByte)
+    private val IdDuration = Array(0x44, 0x89).map(_.toByte)
+    private val IdTracks = Array(0x16, 0x54, 0xAE, 0x6B).map(_.toByte)
+    private val IdTrackEntry = Array(0xAE).map(_.toByte)
+    private val IdTrackType = Array(0x83).map(_.toByte)
+    private val IdCodecId = Array(0x86).map(_.toByte)
+    private val IdVideo = Array(0xE0).map(_.toByte)
+    private val IdPixelWidth = Array(0xB0).map(_.toByte)
+    private val IdPixelHeight = Array(0xBA).map(_.toByte)
+    private val IdAudio = Array(0xE1).map(_.toByte)
+    private val IdChannels = Array(0x9F).map(_.toByte)
+    private val IdCluster = Array(0x1F, 0x43, 0xB6, 0x75).map(_.toByte)
+    private val IdSimpleBlock = Array(0xA3).map(_.toByte)
+
+    /** Size vint: shortest length whose 7·len-bit payload holds the value
+      * (the all-ones payload is reserved for "unknown"). */
+    private def encodeSize(v: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1
+      val out = new Array[Byte](len)
+      var i = len - 1
+      var rest = v
+      while (i >= 0) { out(i) = (rest & 0xff).toByte; rest >>>= 8; i -= 1 }
+      out(0) = (out(0) | (0x80 >>> (len - 1))).toByte
+      out
+    }
+
+    /** The reserved unknown-size vint (1-byte form 0xFF). */
+    private val UnknownSize = Array(0xFF.toByte)
+
+    private def bytesOf(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); f(o); o.toByteArray
+    }
+
+    private def element(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+      bytesOf { o => o.write(id); o.write(encodeSize(body.length.toLong))
+        o.write(body) }
+
+    /** Big-endian minimal-length unsigned integer body. */
+    private def uintBody(v: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && v >= (1L << (8 * len))) len += 1
+      val out = new Array[Byte](len)
+      var i = len - 1; var rest = v
+      while (i >= 0) { out(i) = (rest & 0xff).toByte; rest >>>= 8; i -= 1 }
+      out
+    }
+
+    private def floatBody(v: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+
+    // deterministic per-id parameters (the oracle replays these)
+    def durationMsOf(id: Long): Long = 2000L + (id % 997) * 3L
+    def widthOf(id: Long): Int = 320 + (id % 16).toInt * 8
+    def heightOf(id: Long): Int = 180 + (id % 9).toInt * 12
+    def hasAudioOf(id: Long): Boolean = id % 4 != 0
+    def clusterLenOf(id: Long): Int = 32 + (id % 512).toInt
+
+    def encode(id: Long): Array[Byte] = {
+      val header = element(IdEbml,
+        element(IdDocType, "webm".getBytes("US-ASCII")))
+      val info = element(IdInfo,
+        element(IdTimestampScale, uintBody(1000000L)) ++
+          element(IdDuration, floatBody(durationMsOf(id).toDouble)))
+      def track(tpe: Long, codec: String, extra: Array[Byte]) =
+        element(IdTrackEntry,
+          element(IdTrackType, uintBody(tpe)) ++
+            element(IdCodecId, codec.getBytes("US-ASCII")) ++ extra)
+      val video = track(1L, "V_VP9",
+        element(IdVideo,
+          element(IdPixelWidth, uintBody(widthOf(id).toLong)) ++
+            element(IdPixelHeight, uintBody(heightOf(id).toLong))))
+      val audio =
+        if (hasAudioOf(id))
+          track(2L, "A_OPUS", element(IdAudio,
+            element(IdChannels, uintBody(2L))))
+        else Array.emptyByteArray
+      val tracks = element(IdTracks, video ++ audio)
+      val cluster = element(IdCluster,
+        element(IdSimpleBlock, Array.tabulate(clusterLenOf(id))(i =>
+          ((id * 17 + i * 5) % 251).toByte)))
+      val segBody = info ++ tracks ++ cluster
+      // odd ids: the live-streaming form — Segment declares UNKNOWN size
+      // and runs to end of file; even ids: the normal sized form
+      val segment =
+        if (id % 2 == 1) bytesOf { o =>
+          o.write(IdSegment); o.write(UnknownSize); o.write(segBody)
+        }
+        else element(IdSegment, segBody)
+      header ++ segment
+    }
+
+    /** Reads one vint at `off`; returns (value, lengthBytes, isAllOnes).
+      * For IDs the caller keeps the raw bytes instead. */
+    private def readVint(b: Array[Byte], off: Long,
+        to: Long): (Long, Int, Boolean) = {
+      if (off >= to) throw new java.io.IOException("truncated vint")
+      val first = b(off.toInt) & 0xff
+      if (first == 0) throw new java.io.IOException("invalid vint lead 0x00")
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (off + len > to) throw new java.io.IOException("truncated vint body")
+      var v = (first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b((off + i).toInt) & 0xff); i += 1 }
+      val allOnes = v == (1L << (7 * len)) - 1
+      (v, len, allOnes)
+    }
+
+    private def idLen(b: Array[Byte], off: Long): Int = {
+      val first = b(off.toInt) & 0xff
+      if (first == 0) throw new java.io.IOException("invalid id lead 0x00")
+      java.lang.Integer.numberOfLeadingZeros(first) - 23
+    }
+
+    private def sameId(b: Array[Byte], off: Long, len: Int,
+        id: Array[Byte]): Boolean =
+      len == id.length && id.indices.forall(i => b(off.toInt + i) == id(i))
+
+    private val Masters = Seq(IdSegment, IdInfo, IdTracks, IdTrackEntry,
+      IdVideo, IdAudio, IdCluster)
+
+    private def readUint(b: Array[Byte], from: Long, to: Long): Long = {
+      var v = 0L
+      var i = from
+      while (i < to) { v = (v << 8) | (b(i.toInt) & 0xff); i += 1 }
+      v
+    }
+
+    def decode(b: Array[Byte]): Probe = {
+      var timescale = 0L; var durationMs = -1L
+      var width = 0; var height = 0
+      var videoCodec = ""; var audioCodec = ""
+      var tracks = 0; var clusterBytes = 0L
+      var trackType = 0L; var trackCodec = ""
+      def walk(from: Long, to: Long): Unit = {
+        var off = from
+        while (off < to) {
+          val il = idLen(b, off)
+          if (il < 1 || il > 4 || off + il > to)
+            throw new java.io.IOException("bad element id")
+          val idOff = off
+          val (size, sl, unknown) = readVint(b, off + il, to)
+          val bodyFrom = off + il + sl
+          val bodyTo = if (unknown) to else bodyFrom + size
+          if (bodyTo > to)
+            throw new java.io.IOException("element overruns enclosure")
+          def is(id: Array[Byte]) = sameId(b, idOff, il, id)
+          if (is(IdTrackEntry)) { trackType = 0L; trackCodec = "" }
+          if (Masters.exists(is)) walk(bodyFrom, bodyTo)
+          else if (is(IdTimestampScale)) timescale = readUint(b, bodyFrom, bodyTo)
+          else if (is(IdDuration)) {
+            if (bodyTo - bodyFrom != 8)
+              throw new java.io.IOException("non-f64 Duration unsupported")
+            durationMs = java.nio.ByteBuffer
+              .wrap(b, bodyFrom.toInt, 8).getDouble.toLong
+          }
+          else if (is(IdTrackType)) trackType = readUint(b, bodyFrom, bodyTo)
+          else if (is(IdCodecId))
+            trackCodec = new String(b, bodyFrom.toInt,
+              (bodyTo - bodyFrom).toInt, "US-ASCII")
+          else if (is(IdPixelWidth)) width = readUint(b, bodyFrom, bodyTo).toInt
+          else if (is(IdPixelHeight)) height = readUint(b, bodyFrom, bodyTo).toInt
+          else if (is(IdSimpleBlock)) clusterBytes += bodyTo - bodyFrom
+          if (is(IdTrackEntry)) {
+            tracks += 1
+            if (trackType == 1L) videoCodec = trackCodec
+            else if (trackType == 2L) audioCodec = trackCodec
+          }
+          off = bodyTo
+        }
+      }
+      if (b.length < 4 || !sameId(b, 0L, 4, IdEbml))
+        throw new java.io.IOException("not an EBML file")
+      walk(0L, b.length.toLong)
+      if (timescale != 1000000L || durationMs < 0)
+        throw new java.io.IOException("missing Info")
+      Probe(durationMs, width, height, videoCodec, audioCodec, tracks,
+        clusterBytes)
+    }
+  }
+
+  /** q119: REAL WebM/Matroska container probe — EBML marker-bit varints,
+    * master-element recursion, and the unknown-size streaming Segment on
+    * odd ids; the oracle replays the per-id parameter formulas. Narrow
+    * end to end like q113. */
+  def webmProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = Ebml.decode(Ebml.encode(id))
+          (id, p.durationMs, p.width.toLong, p.height.toLong,
+            p.videoCodec, p.audioCodec, p.trackCount.toLong, p.clusterBytes)
+        }
+      }
+      .toDF("doc_id", "duration_ms", "width", "height", "video_codec",
+        "audio_codec", "tracks", "cluster_bytes")
+      .orderBy("doc_id")
+  }
+
   /** q113: REAL MP4 container probe — every document gets a deterministic
     * ISO-BMFF file (both mvhd/tkhd version layouts, the 64-bit largesize
     * mdat escape on even ids) and the box walker parses every surfaced

@@ -2496,6 +2496,18 @@ FROM s ORDER BY doc_id""",
     // q113: the MP4 probe's fields are pure functions of doc_id (the
     // container is the real part; these formulas are what the writer
     // embeds and the box walker must recover). // is integer division.
+    // q119: the WebM probe's fields are pure functions of doc_id — the
+    // EBML container walk is the real part; these are what the writer
+    // embeds and the walker must recover.
+    "q119_webm_probe" -> """SELECT doc_id,
+  CAST(2000 + (doc_id % 997) * 3 AS BIGINT) AS duration_ms,
+  CAST(320 + (doc_id % 16) * 8 AS BIGINT) AS width,
+  CAST(180 + (doc_id % 9) * 12 AS BIGINT) AS height,
+  'V_VP9' AS video_codec,
+  CASE WHEN doc_id % 4 <> 0 THEN 'A_OPUS' ELSE '' END AS audio_codec,
+  CAST(CASE WHEN doc_id % 4 <> 0 THEN 2 ELSE 1 END AS BIGINT) AS tracks,
+  CAST(32 + doc_id % 512 AS BIGINT) AS cluster_bytes
+FROM documents ORDER BY doc_id""",
     "q113_mp4_probe" -> """SELECT doc_id,
   (3000 + (doc_id % 1000) * 7) * 1000 // (600 + (doc_id % 5) * 200) AS duration_ms,
   CAST(160 + (doc_id % 8) * 16 AS BIGINT) AS width,

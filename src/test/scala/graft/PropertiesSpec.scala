@@ -232,6 +232,29 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("EBML/WebM container codec round-trips arbitrary ids through sized " +
+      "and unknown-size Segments; truncation rejected") {
+    import graft.ops.Multimodal.Ebml
+    checkProp(Gen.choose(0L, 1L << 40), trials = 200) { id =>
+      val p = Ebml.decode(Ebml.encode(id))
+      p.durationMs == Ebml.durationMsOf(id) &&
+        p.width == Ebml.widthOf(id) && p.height == Ebml.heightOf(id) &&
+        p.videoCodec == "V_VP9" &&
+        p.audioCodec == (if (Ebml.hasAudioOf(id)) "A_OPUS" else "") &&
+        p.trackCount == (if (Ebml.hasAudioOf(id)) 2 else 1) &&
+        p.clusterBytes == Ebml.clusterLenOf(id).toLong
+    }
+    // truncation must error in BOTH framing forms — the sized Segment
+    // (even id) and the unknown-size streaming Segment (odd id)
+    Seq(2L, 3L).foreach { id =>
+      val whole = Ebml.encode(id)
+      intercept[java.io.IOException] {
+        Ebml.decode(java.util.Arrays.copyOf(whole, whole.length - 7))
+      }
+    }
+    intercept[java.io.IOException] { Ebml.decode("RIFF".getBytes("US-ASCII")) }
+  }
+
   test("PNG codec round-trips arbitrary dimensions through all 5 filters") {
     import graft.ops.Multimodal.RealCodecs
     // h >= 5 makes the encoder's rotating per-row filter cover types 0-4,

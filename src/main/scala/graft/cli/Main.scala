@@ -28,7 +28,8 @@ object Main {
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
-      bpeSteps: Int = 3, key: Long = 0L) {
+      bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
+      sliceHi: Long = 0L) {
     def gcBeforeS: Long = gcGraceS
       .map(graft.sources.Fixtures.gcBeforeFor)
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
@@ -37,7 +38,7 @@ object Main {
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
-    "search", "drift", "tokenize", "lookup", "get")
+    "search", "drift", "tokenize", "lookup", "get", "slice")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -62,6 +63,7 @@ object Main {
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
+    case "slice" => "Usage: slice <keyspace> <table> <key> <lo> <hi>"
     case c if Commands(c) =>
       s"Usage: $c [-n <num>] [-t <snapshot>] [-f <files>] [-b]" +
         s" [-g <gc_grace_seconds>] <keyspace> <table>"
@@ -91,7 +93,8 @@ object Main {
         |  drift        Token-distribution drift between corpus snapshots by source
         |  tokenize     Apply the trained BPE merges; token counts and compression by source
         |  lookup       Point-lookup a partition key through the bti Partitions.db tries
-        |  get          Point-read a partition (bloom -> summary -> index -> data) off real sstables""".stripMargin
+        |  get          Point-read a partition (bloom -> summary -> index -> data) off real sstables
+        |  slice        Clustering-slice read through the promoted row index (wide set)""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */
@@ -148,6 +151,16 @@ object Main {
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
+            case _ => Left(usage(cmd))
+          }
+          case "slice" => positional match {
+            case Seq(ks, cf, k, lo, hi) =>
+              (k.toLongOption, lo.toLongOption, hi.toLongOption) match {
+                case (Some(key), Some(l), Some(h)) => Right(o.copy(
+                  keyspace = ks, table = graft.ops.Summary.resolveStore(cf),
+                  key = key, sliceLo = l, sliceHi = h))
+                case _ => Left(usage(cmd))
+              }
             case _ => Left(usage(cmd))
           }
           case "lookup" | "get" => positional match {
@@ -237,6 +250,10 @@ object Main {
       case "get" =>
         if (!requireStore()) return 2
         out(tracked("get")(Reports.get(spark, dir, o.key))); 0
+      case "slice" =>
+        if (!requireStore()) return 2
+        out(tracked("slice")(
+          Reports.slice(spark, dir, o.key, o.sliceLo, o.sliceHi))); 0
     }
   }
 

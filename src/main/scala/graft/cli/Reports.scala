@@ -211,6 +211,20 @@ object Reports {
     s"point get: key=$key\n$b"
   }
 
+  /** `slice` — clustering-slice read through the promoted row index over
+    * the wide-partition set: per sstable, only blocks whose stored
+    * clustering bounds overlap [lo, hi] are decoded. */
+  def slice(spark: SparkSession, dir: String, key: Long, lo: Long,
+      hi: Long): String = {
+    val b = new TableBuilder().setHeader("SSTable", "Blocks read",
+      "Events in range", "Value bytes")
+    graft.ops.SliceGet.sliceOne(spark, dir, key, lo, hi).foreach {
+      case (sst, blocks, events, bytes) =>
+        b.addRow(sst, blocks.toString, events.toString, bytes.toString)
+    }
+    s"slice read: key=$key range=[$lo, $hi]\n$b"
+  }
+
   /** `quality` — composite quality-filter verdict, per-source survival. */
   def quality(spark: SparkSession, dir: String): String =
     section("Quality filter survival by source",

@@ -97,6 +97,42 @@ object SliceGet {
     } finally chunked.close()
   }
 
+  /** CLI surface (`slice`): one (key, lo, hi) slice probed driver-side
+    * across every sstable of the wide set — per sstable: overlapping
+    * block count and the in-range event fold. */
+  def sliceOne(spark: SparkSession, dir: String, key: Long, lo: Long,
+      hi: Long): Seq[(String, Long, Long, Long)] = {
+    val path = CassandraDataFixture.ensureWideFiles(spark, dir)
+    val dirPath = java.nio.file.Paths.get(path)
+    val kb = java.nio.ByteBuffer.allocate(8).putLong(key).array()
+    val bases = {
+      val s = java.nio.file.Files.list(dirPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(CassandraDataFormat.Suffix))
+          .map(_.stripSuffix(CassandraDataFormat.Suffix)).toArray.sorted
+      } finally s.close()
+    }
+    bases.toSeq.map { base =>
+      val r = loadRefs(dirPath, base)
+      r.entries.get(key) match {
+        case None => (base, 0L, 0L, 0L)
+        case Some((pos, promoted)) =>
+          val pi = CassandraDataFormat.parsePromotedIndex(promoted)
+          val overl = pi.blocks.filter(b =>
+            b.lastClustering >= lo && b.firstClustering <= hi)
+          if (overl.isEmpty) (base, 0L, 0L, 0L)
+          else {
+            val start = pos + overl.head.offset
+            val end = pos + overl.last.offset + overl.last.width
+            val (e, v, _) = readBlocks(r, kb, start, end, lo, hi)
+            (base, overl.length.toLong, e, v)
+          }
+      }
+    }
+  }
+
   /** q115: every probe slice against every sstable of the wide set. */
   def sliceRead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

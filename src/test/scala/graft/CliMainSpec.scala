@@ -221,6 +221,30 @@ class CliMainSpec extends SparkSpec {
     assert(!miss.contains("found") && miss.contains("miss"))
   }
 
+  test("slice: grammar takes <ks> <cf> <key> <lo> <hi>; dispatch reads " +
+      "only overlapping blocks and an out-of-domain slice reads none") {
+    assert(Main.parse(Seq("slice", "ks1", "lineitem", "3", "0", "500")) ===
+      Right(Main.Opts("slice", keyspace = "ks1", table = "lineitem",
+        key = 3L, sliceLo = 0L, sliceHi = 500L)))
+    assert(Main.parse(Seq("slice", "ks1", "lineitem", "3")).isLeft)
+    def collect(k: Long, lo: Long, hi: Long): String = {
+      val sb = new StringBuilder
+      val o = Main.parse(Seq("slice", "ks1", "lineitem", k.toString,
+        lo.toString, hi.toString)).toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      sb.toString
+    }
+    val hit = collect(3L, 0L, 500L)
+    assert(hit.contains("range=[0, 500]"))
+    // some sstable read >= 1 block for the wide key 3 low band
+    assert(hit.linesIterator.exists(l =>
+      l.contains("nb-") && !l.contains("| 0 |")))
+    val empty = collect(3L, 900000000L, 900000999L)
+    // out-of-domain range: zero blocks in every row
+    assert(empty.linesIterator.filter(_.contains("nb-"))
+      .forall(_.matches(".*\\|\\s*0\\s*\\|\\s*0\\s*\\|\\s*0\\s*\\|.*")))
+  }
+
   test("dispatch: unknown column family is a usage failure (rc 2)") {
     val sb = new StringBuilder
     val o = Main.parse(Seq("pstats", "ks9", "nope")).toOption.get

@@ -218,6 +218,7 @@ object Integrity {
         var rowDels = 0L; var rdelTs = 0L; var rdelLdt = 0L
         var cplxDels = 0L; var cdelTs = 0L; var cdelLdt = 0L
         var cells = 0L; var cellTs = 0L; var cellSize = 0L
+        var partDels = 0L; var pdelTs = 0L; var pdelLdt = 0L
         var keysSum = 0L
         var lastKey: Long = Long.MinValue
         CassandraDataFormat.events(
@@ -244,19 +245,25 @@ object Integrity {
             case DataDbFormat.KindCodeCell =>
               cells += 1; cellTs += e.timestampUs % M
               cellSize += e.sizeBytes
+            case DataDbFormat.KindCodePartitionDeletion =>
+              partDels += 1; pdelTs += e.timestampUs % M
+              pdelLdt += e.localDeletionTimeS % M
+              require(e.clustering == DataDbFormat.PartitionClustering)
             case other => throw new java.io.IOException(
               s"unexpected event kind $other in feature set")
           }
         }
         (s"fb-$g", statics, staticSize, staticTs, liveness, liveTs,
           liveTtl, liveLdt, rowDels, rdelTs, rdelLdt, cplxDels, cdelTs,
-          cdelLdt, cells, cellTs, cellSize, keysSum)
+          cdelLdt, cells, cellTs, cellSize, partDels, pdelTs, pdelLdt,
+          keysSum)
       }
     perSstable.toDF("sstable_id", "statics", "static_size_sum",
         "static_ts_sum", "liveness", "live_ts_sum", "live_ttl_sum",
         "live_ldt_sum", "row_dels", "rdel_ts_sum", "rdel_ldt_sum",
         "complex_dels", "cdel_ts_sum", "cdel_ldt_sum", "cells",
-        "cell_ts_sum", "cell_size_sum", "keys_sum")
+        "cell_ts_sum", "cell_size_sum", "part_dels", "pdel_ts_sum",
+        "pdel_ldt_sum", "keys_sum")
       .orderBy("sstable_id")
   }
 

@@ -2863,6 +2863,9 @@ perkey AS (
     CAST(SUM(CASE WHEN k%9=0 THEN (1000000000000 + k + 5) % 1000003 ELSE 0 END) AS BIGINT) AS s_liv_ts,
     CAST(SUM(CASE WHEN k%9=0 THEN -1 ELSE 0 END) AS BIGINT) AS s_liv_ttl,
     CAST(SUM(CASE WHEN k%9=0 THEN 2147483647 % 1000003 ELSE 0 END) AS BIGINT) AS s_liv_ldt,
+    CAST(SUM(CASE WHEN k%19=0 THEN 1 ELSE 0 END) AS BIGINT) AS part_dels,
+    CAST(SUM(CASE WHEN k%19=0 THEN (2000000000000 + k + 9) % 1000003 ELSE 0 END) AS BIGINT) AS pdel_ts_sum,
+    CAST(SUM(CASE WHEN k%19=0 THEN (700000000 + k%40) % 1000003 ELSE 0 END) AS BIGINT) AS pdel_ldt_sum,
     CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum
   FROM base GROUP BY 1),
 perrow AS (
@@ -2887,7 +2890,8 @@ SELECT p.sstable_id, statics, static_size_sum, static_ts_sum,
   CAST(live_ldt_sum + s_liv_ldt AS BIGINT) AS live_ldt_sum,
   row_dels, rdel_ts_sum, rdel_ldt_sum,
   complex_dels, cdel_ts_sum, cdel_ldt_sum,
-  cells, cell_ts_sum, cell_size_sum, keys_sum
+  cells, cell_ts_sum, cell_size_sum,
+  part_dels, pdel_ts_sum, pdel_ldt_sum, keys_sum
 FROM perkey p JOIN perrow r ON p.sstable_id = r.sstable_id
 ORDER BY 1"""
 

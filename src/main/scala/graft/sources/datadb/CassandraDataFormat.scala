@@ -306,13 +306,16 @@ object CassandraDataFormat {
 
     def position: Long = out.size().toLong
 
-    def writePartitionStart(key: Array[Byte]): Unit = {
+    /** `deletion` = (markedForDeleteAtUs, localDeletionTimeS) writes a
+      * real partition-level deletion; None writes DeletionTime.LIVE. */
+    def writePartitionStart(key: Array[Byte],
+        deletion: Option[(Long, Long)] = None): Unit = {
       out.writeShort(key.length)
       out.write(key)
-      // live partition-level deletion: DeletionTime.serializer writes
-      // localDeletionTime then markedForDeleteAt
-      out.writeInt(Int.MaxValue)
-      out.writeLong(Long.MinValue)
+      // DeletionTime.serializer writes localDeletionTime then
+      // markedForDeleteAt; LIVE = (Int.MaxValue, Long.MinValue)
+      out.writeInt(deletion.map(_._2.toInt).getOrElse(Int.MaxValue))
+      out.writeLong(deletion.map(_._1).getOrElse(Long.MinValue))
       prevSize = 0L
     }
 
@@ -652,10 +655,18 @@ object CassandraDataFormat {
         in.readFully(key)
         currentKey = key
         // partition-level DeletionTime (localDeletionTime int,
-        // markedForDeleteAt long); the fixture writes live partitions —
-        // a real partition deletion parses but is not surfaced as an event
-        in.readInt()
-        in.readLong()
+        // markedForDeleteAt long): a non-LIVE value surfaces as a
+        // PARTITION_DELETION event sorting before everything else in the
+        // partition (round 9; previously parsed but dropped)
+        val ldt = in.readInt()
+        val mfda = in.readLong()
+        if (ldt != Int.MaxValue || mfda != Long.MinValue)
+          pending = DataDbFormat.Event(currentKey,
+            DataDbFormat.PartitionClustering, Array.emptyByteArray,
+            DataDbFormat.KindCodePartitionDeletion,
+            DataDbFormat.flagsOf(tombstone = true, expiring = false,
+              counter = false, live = false),
+            mfda, NoTtlS, ldt.toLong, 0L) :: pending
         true
       }
 
@@ -913,7 +924,9 @@ object CassandraDataFormat {
             // belongs to the next split
             done = true; in.close(); return
           }
-          pending = readUnfiltered()
+          // readKeyHeader may have queued a PARTITION_DELETION event;
+          // the next unfiltered is read on the following call
+          if (pending.isEmpty) pending = readUnfiltered()
         }
       }
 

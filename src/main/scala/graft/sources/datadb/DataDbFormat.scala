@@ -56,25 +56,32 @@ object DataDbFormat {
   val KindRowLiveness = "ROW_LIVENESS"
   val KindRowDeletion = "ROW_DELETION"
   val KindComplexDeletion = "COMPLEX_DELETION"
+  val KindPartitionDeletion = "PARTITION_DELETION"
 
   /** Event kind codes ([[Event.kindCode]]); array order defines the wire
     * byte (1 + code) in the engine codec and the `kind` string surfaced
-    * by the DSv2 readers. Codes 2..5 are the row-level metadata the real
-    * format carries beyond plain cells: static-row cells, primary-key
-    * liveness, row deletions, complex-column deletions. */
+    * by the DSv2 readers. Codes 2..6 are the metadata the real format
+    * carries beyond plain cells: static-row cells, primary-key liveness,
+    * row deletions, complex-column deletions and partition-level
+    * deletions (the DeletionTime every partition header frames). */
   val KindCodeCell = 0
   val KindCodeMarker = 1
   val KindCodeStaticCell = 2
   val KindCodeRowLiveness = 3
   val KindCodeRowDeletion = 4
   val KindCodeComplexDeletion = 5
+  val KindCodePartitionDeletion = 6
   val KindStrings: Array[String] = Array(KindCell, KindMarker,
-    KindStaticCell, KindRowLiveness, KindRowDeletion, KindComplexDeletion)
+    KindStaticCell, KindRowLiveness, KindRowDeletion, KindComplexDeletion,
+    KindPartitionDeletion)
 
   /** Static rows sort before every clustered row; the relational surface
     * (LongType clustering) uses this sentinel for them and for row-level
     * events' "no single cell column" position. */
   val StaticClustering = -1L
+
+  /** Partition-level events sort before even the static row. */
+  val PartitionClustering = -2L
 
   val FlagTombstone = 1
   val FlagExpiring = 2

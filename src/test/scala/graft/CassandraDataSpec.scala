@@ -125,7 +125,9 @@ class CassandraDataSpec extends SparkSpec {
     def path(i: Long) =
       java.nio.ByteBuffer.allocate(8).putLong(i).array()
     val got = roundtrip(header, { w =>
-      w.writePartitionStart(Array[Byte](0, 0, 0, 0, 0, 0, 0, 7))
+      // a real partition-level deletion surfaces first (round 9)
+      w.writePartitionStart(Array[Byte](0, 0, 0, 0, 0, 0, 0, 7),
+        deletion = Some((9999L, 777L)))
       w.write(WriteStaticRow(Seq(
         WriteCell(0, path = null, isDeleted = false, isExpiring = false,
           timestampUs = 1111L, ttlS = NoTtlS,
@@ -155,32 +157,35 @@ class CassandraDataSpec extends SparkSpec {
       w.writePartitionEnd()
     })
     import graft.sources.datadb.DataDbFormat._
-    assert(got.map(_.kindCode) === List(
+    assert(got.map(_.kindCode) === List(KindCodePartitionDeletion,
       KindCodeRowLiveness, KindCodeRowDeletion, KindCodeStaticCell,
       KindCodeRowLiveness, KindCodeRowDeletion, KindCodeCell,
       KindCodeComplexDeletion, KindCodeCell,
       KindCodeRowLiveness, KindCodeCell))
-    assert(got.map(_.clustering) === List(StaticClustering,
+    assert(got.map(_.clustering) === List(PartitionClustering,
+      StaticClustering,
       StaticClustering, StaticClustering, 3L, 3L, 3L, 3L, 3L, 4L, 4L))
     assert(got.map(_.columnName) ===
-      List("", "", "s0", "", "", "c0", "tags", "tags", "", "c0"))
-    assert(got.map(_.timestampUs) === List(1200L, 1300L, 1111L, 1500L,
+      List("", "", "", "s0", "", "", "c0", "tags", "tags", "", "c0"))
+    assert(got.map(_.timestampUs) === List(9999L, 1200L, 1300L, 1111L, 1500L,
       4444L, 2222L, 5555L, 3333L, 1600L, 6666L))
-    assert(got.map(_.ttlS) === List(NoTtlS, NoTtlS, NoTtlS, 3600L, NoTtlS,
+    assert(got.map(_.ttlS) === List(NoTtlS, NoTtlS, NoTtlS, NoTtlS, 3600L,
+      NoTtlS,
       NoTtlS, NoTtlS, NoTtlS, NoTtlS, NoTtlS))
-    assert(got.map(_.localDeletionTimeS) === List(NoDeletionTimeS, 555L,
+    assert(got.map(_.localDeletionTimeS) === List(777L, NoDeletionTimeS, 555L,
       NoDeletionTimeS, 777L, 888L, NoDeletionTimeS, 999L, NoDeletionTimeS,
       NoDeletionTimeS, NoDeletionTimeS))
     assert(got.map(_.sizeBytes) ===
-      List(0L, 0L, 2L, 0L, 0L, 1L, 0L, 2L, 0L, 1L))
+      List(0L, 0L, 0L, 2L, 0L, 0L, 1L, 0L, 2L, 0L, 1L))
+    assert(got.head.isTombstone && !got.head.isLive)
     // liveness is live (and expiring when a row TTL rides it); deletions
     // are tombstones — at the static sentinel and at real clusterings
-    val sliv = got(0); val sdel = got(1)
+    val sliv = got(1); val sdel = got(2)
     assert(sliv.isLive && !sliv.isExpiring && !sliv.isTombstone)
     assert(sdel.isTombstone && !sdel.isLive)
-    val live = got(3); val rdel = got(4); val cdel = got(6)
+    val live = got(4); val rdel = got(5); val cdel = got(7)
     assert(live.isLive && live.isExpiring && !live.isTombstone)
-    assert(!got(8).isExpiring && got(8).isLive)
+    assert(!got(9).isExpiring && got(9).isLive)
     assert(rdel.isTombstone && !rdel.isLive)
     assert(cdel.isTombstone && !cdel.isLive)
   }
@@ -193,7 +198,7 @@ class CassandraDataSpec extends SparkSpec {
     val byKind = df.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byKind.keySet === Set("CELL", "STATIC_CELL", "ROW_LIVENESS",
-      "ROW_DELETION", "COMPLEX_DELETION"))
+      "ROW_DELETION", "COMPLEX_DELETION", "PARTITION_DELETION"))
     // cross-check against the q110 binaryFile rollup — same files, two
     // independent read paths
     val q110 = graft.ops.Integrity.rowLevelEvents(spark, Sf0001).collect()
@@ -203,9 +208,15 @@ class CassandraDataSpec extends SparkSpec {
     assert(byKind("ROW_DELETION") === tot("row_dels"))
     assert(byKind("COMPLEX_DELETION") === tot("complex_dels"))
     assert(byKind("CELL") === tot("cells"))
+    assert(byKind("PARTITION_DELETION") === tot("part_dels"))
     // the static clustering sentinel flows through the relational surface
     assert(df.where(col("clustering") === DataDbFormat.StaticClustering &&
       col("kind") === "STATIC_CELL").count() === byKind("STATIC_CELL"))
+    // partition deletions surface at their own sentinel, one per deleted
+    // partition, before anything else in it
+    assert(df.where(col("clustering") === DataDbFormat.PartitionClustering)
+      .select("kind").distinct().collect().map(_.getString(0)).toSeq ===
+      Seq("PARTITION_DELETION"))
   }
 
   test("column-subset bitmap and simple columns round-trip") {

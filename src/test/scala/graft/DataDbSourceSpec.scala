@@ -267,7 +267,7 @@ class DataDbSourceSpec extends SparkSpec {
     val batch = spark.read.format("sstable-data")
       .option("format", DataDbScan.FormatCassandra).load(dir)
       .groupBy("kind").count()
-    assert(streamed.count() === 5) // all five kinds present
+    assert(streamed.count() === 6) // all six kinds present
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }

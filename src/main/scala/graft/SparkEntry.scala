@@ -787,6 +787,9 @@ object SparkEntry {
     // real WebM/Matroska container probe: EBML marker-bit varints,
     // master recursion, unknown-size streaming Segments on odd ids
     "q119_webm_probe" -> ((s, d) => Multimodal.webmProbe(s, d)),
+    // real FLAC roundtrip: fixed predictors + rice entropy coding +
+    // CRC-8/16 framing, PCM reconstructed exactly
+    "q120_flac_decode" -> ((s, d) => Multimodal.flacDecode(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

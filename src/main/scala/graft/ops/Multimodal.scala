@@ -924,6 +924,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q120: REAL FLAC decode roundtrip ([[graft.ops.Flac]]) — every
+    * document gets a deterministic mono/16-bit FLAC stream (samples,
+    * fixed-predictor order 0/1/2 and rate are pure functions of doc_id),
+    * then the full decoder reconstructs the exact PCM through the
+    * predictor algebra: bit-level frame header with CRC-8, rice-coded
+    * residuals (zigzag, unary + k-bit), CRC-16 footer. The decoded sample
+    * sum equals the generator formula's sum, which the oracle recomputes
+    * in SQL — lossless audio is now a REAL codec; Opus (lossy, DSP-bound)
+    * is the stub's only remaining audio occupant. Narrow end to end. */
+  def flacDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val d = graft.ops.Flac.decode(graft.ops.Flac.encode(id))
+          (id, d.sampleRate.toLong, d.nSamples.toLong, d.order.toLong,
+            d.sampleSum)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "pred_order",
+        "sample_sum")
+      .orderBy("doc_id")
+  }
+
   /** q113: REAL MP4 container probe — every document gets a deterministic
     * ISO-BMFF file (both mvhd/tkhd version layouts, the 64-bit largesize
     * mdat escape on even ids) and the box walker parses every surfaced

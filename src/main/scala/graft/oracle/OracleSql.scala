@@ -2496,6 +2496,23 @@ FROM s ORDER BY doc_id""",
     // q113: the MP4 probe's fields are pure functions of doc_id (the
     // container is the real part; these formulas are what the writer
     // embeds and the box walker must recover). // is integer division.
+    // q120: the FLAC roundtrip — rate/blocksize/order are per-id
+    // formulas; the decoded PCM sum must equal the generator's sum, so
+    // the predictor + rice machinery is value-checked, not just framed.
+    "q120_flac_decode" -> """WITH p AS (
+  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+    CAST(SUM((doc_id * 31 + i * 7) % 4001 - 2000) AS BIGINT) AS sample_sum
+  FROM p, UNNEST(range(0, n)) AS t(i) GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(doc_id % 3 AS BIGINT) AS pred_order,
+  sample_sum
+FROM s ORDER BY doc_id""",
     // q119: the WebM probe's fields are pure functions of doc_id — the
     // EBML container walk is the real part; these are what the writer
     // embeds and the walker must recover.

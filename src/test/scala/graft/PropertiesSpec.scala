@@ -255,6 +255,31 @@ class PropertiesSpec extends AnyFunSuite {
     intercept[java.io.IOException] { Ebml.decode("RIFF".getBytes("US-ASCII")) }
   }
 
+  test("FLAC codec round-trips arbitrary ids through all three fixed " +
+      "predictor orders; both CRCs catch a flipped bit") {
+    import graft.ops.Flac
+    checkProp(Gen.choose(0L, 1L << 40), trials = 120) { id =>
+      val d = Flac.decode(Flac.encode(id))
+      d.sampleRate == Flac.sampleRateOf(id) &&
+        d.nSamples == Flac.nSamplesOf(id) &&
+        d.order == Flac.orderOf(id) &&
+        d.sampleSum == (0 until Flac.nSamplesOf(id))
+          .map(i => Flac.sampleOf(id, i).toLong).sum
+    }
+    val whole = Flac.encode(5L)
+    // flip one bit in the residual region: CRC-16 must catch it
+    val bad = whole.clone()
+    bad(bad.length - 10) = (bad(bad.length - 10) ^ 0x10).toByte
+    val ex = intercept[java.io.IOException] { Flac.decode(bad) }
+    assert(ex.getMessage.toLowerCase.contains("crc") ||
+      ex.getMessage.contains("truncated"))
+    // flip one bit in the frame header: CRC-8 must catch it
+    val bad2 = whole.clone()
+    val frameStart = 4 + 4 + 34 // magic + metadata header + STREAMINFO
+    bad2(frameStart + 3) = (bad2(frameStart + 3) ^ 0x01).toByte
+    intercept[java.io.IOException] { Flac.decode(bad2) }
+  }
+
   test("PNG codec round-trips arbitrary dimensions through all 5 filters") {
     import graft.ops.Multimodal.RealCodecs
     // h >= 5 makes the encoder's rotating per-row filter cover types 0-4,

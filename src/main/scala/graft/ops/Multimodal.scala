@@ -14,10 +14,12 @@ import graft.sources.Tables
   *  - [[RealCodecs]] — REAL BMP and WAV container parsing (pure-JVM byte
   *    work, no external libraries; q78 roundtrips every header field);
   *  - [[FakeDecoder]] — a clearly marked deterministic STUB standing in
-  *    for the compressed codecs that genuinely need libraries this
-  *    container lacks (H.264 video / Opus audio — image formats are NOT
-  *    on that list: PNG/BMP decode is hand-rolled here and JPEG rides the
-  *    JDK's own `javax.imageio` codec); the Spark-side plumbing — binary
+  *    for the LOSSY DSP-bound codecs that genuinely need libraries this
+  *    container lacks (H.264 video / Opus audio — images and lossless
+  *    audio are NOT on that list: PNG/BMP decode is hand-rolled here,
+  *    JPEG rides the JDK's own `javax.imageio` codec, and FLAC is a real
+  *    hand-rolled codec in [[graft.ops.Flac]]; the MP4/WebM CONTAINER
+  *    layers are real too, [[Mp4]]/[[Ebml]]); the Spark-side plumbing — binary
   *    schema, batch iteration, feature schema, partition preservation —
   *    is real and tested; swap [[FakeDecoder.decode]] for a codec at
   *    deployment. */

@@ -314,6 +314,10 @@ object SparkEntry {
     // over the feature-variant set — closes the README "parsed but not
     // emitted" gap; the oracle replays the variant's deterministic model
     "q110_row_level_events" -> ((s, d) => Integrity.rowLevelEvents(s, d)),
+    // shadowing-aware purge: PARTITION_DELETION consumed as SEMANTICS —
+    // cells with ts <= markedForDeleteAt are reclaimable, the fixture's
+    // deletion timestamps bisect each deleted partition
+    "q121_shadowed_purge" -> ((s, d) => Integrity.shadowedPurge(s, d)),
     // REAL Summary.db (IndexSummarySerializer layout, LE offsets/positions
     // in a BE header) roundtrip + cross-component check: every summary
     // entry must point at the Index.db entry holding the same key.

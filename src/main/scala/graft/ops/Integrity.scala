@@ -267,6 +267,47 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
+  /** q121: SHADOWING-AWARE purge accounting over the feature set — the
+    * first operator consuming the PARTITION_DELETION events as semantics,
+    * not just metadata: Cassandra's rule deletes every cell whose
+    * timestamp is <= the partition deletion's markedForDeleteAt, so a
+    * compaction would reclaim exactly those bytes. The fixture plants
+    * deletions whose markedForDeleteAt BISECTS each deleted partition's
+    * cell timestamps, so both branches of the comparison carry weight.
+    *
+    * Shape: the deletion relation is tiny relative to cells (deletions
+    * are rare events) — broadcast per (sstable, key); cells stay
+    * distributed and the rollup is one hash aggregate. At 100 TB the
+    * same plan holds; a deletion-heavy corpus would co-partition both
+    * sides on (sstable, key) instead. */
+  def shadowedPurge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.datadb.{DataDb, DataDbFormat, DataDbScan}
+    val path = CassandraDataFixture.ensureFeatureFiles(spark, dir)
+    val ev = DataDb.read(spark, path, format = DataDbScan.FormatCassandra)
+      .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
+    val pdel = ev
+      .where(col("kind") === DataDbFormat.KindPartitionDeletion)
+      .groupBy(col("sstable_id"), col("k"))
+      .agg(max(col("timestamp_us")).as("mfda"))
+    ev.where(col("kind").isin(DataDbFormat.KindCell,
+        DataDbFormat.KindStaticCell))
+      .join(broadcast(pdel), Seq("sstable_id", "k"), "left")
+      .groupBy(regexp_extract(col("sstable_id"), "fb-(\\d+)", 0)
+        .as("sstable_id"))
+      .agg(
+        countDistinct(when(col("mfda").isNotNull, col("k")))
+          .as("deleted_partitions"),
+        count(lit(1)).as("cells_total"),
+        sum(when(col("timestamp_us") <= col("mfda"), 1L).otherwise(0L))
+          .as("cells_shadowed"),
+        sum(when(col("timestamp_us") <= col("mfda"), col("size_bytes"))
+          .otherwise(0L)).as("shadowed_size_sum"),
+        sum(when(col("mfda").isNull ||
+          col("timestamp_us") > col("mfda"), 1L).otherwise(0L))
+          .as("live_cells"))
+      .orderBy("sstable_id")
+  }
+
   /** q87: REAL CRC.db verification — recompute the UNCOMPRESSED variant's
     * per-chunk CRC32s at the sidecar's own stored chunk size and compare
     * element-wise (`DataIntegrityMetadata.ChecksumValidator`'s read-path

@@ -2881,7 +2881,7 @@ perkey AS (
     CAST(SUM(CASE WHEN k%9=0 THEN -1 ELSE 0 END) AS BIGINT) AS s_liv_ttl,
     CAST(SUM(CASE WHEN k%9=0 THEN 2147483647 % 1000003 ELSE 0 END) AS BIGINT) AS s_liv_ldt,
     CAST(SUM(CASE WHEN k%19=0 THEN 1 ELSE 0 END) AS BIGINT) AS part_dels,
-    CAST(SUM(CASE WHEN k%19=0 THEN (2000000000000 + k + 9) % 1000003 ELSE 0 END) AS BIGINT) AS pdel_ts_sum,
+    CAST(SUM(CASE WHEN k%19=0 THEN (1000000000000 + k*10 + 2) % 1000003 ELSE 0 END) AS BIGINT) AS pdel_ts_sum,
     CAST(SUM(CASE WHEN k%19=0 THEN (700000000 + k%40) % 1000003 ELSE 0 END) AS BIGINT) AS pdel_ldt_sum,
     CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum
   FROM base GROUP BY 1),
@@ -2918,5 +2918,34 @@ ORDER BY 1"""
   val queries: Map[String, String] =
     base +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
-      ("q110_row_level_events" -> q110Sql)
+      ("q110_row_level_events" -> q110Sql) +
+      ("q121_shadowed_purge" -> q121Sql)
+
+  /** q121: the shadowing rule replayed from the feature model — the
+    * deleted partitions are k%19==0 with markedForDeleteAt = T0+k*10+2,
+    * so a regular cell (ts offset o at clustering c) is shadowed iff
+    * c + o <= 2 and a static cell (ts = T0 + k) always is. */
+  private lazy val q121Sql: String = """WITH
+ks AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+base AS (SELECT k, 'fb-' || (k % 4) AS sstable_id, k % 3 AS maxc,
+  (k % 19 = 0) AS deleted FROM ks),
+rows_ AS (SELECT k, sstable_id, deleted,
+  unnest(generate_series(0, maxc)) AS c FROM base),
+cells AS (
+  SELECT sstable_id, k, deleted, c, o,
+    CASE o WHEN 1 THEN (k+c) % 31 WHEN 2 THEN (k+c) % 7
+      ELSE (k+c+1) % 7 END AS sz,
+    (deleted AND c + o <= 2) AS shadowed
+  FROM rows_, UNNEST([1, 2, 3]) AS t(o)
+  UNION ALL
+  SELECT sstable_id, k, deleted, -1, 0, k % 23, deleted
+  FROM base WHERE k % 3 = 0
+)
+SELECT sstable_id,
+  CAST(COUNT(DISTINCT CASE WHEN deleted THEN k END) AS BIGINT) AS deleted_partitions,
+  CAST(COUNT(*) AS BIGINT) AS cells_total,
+  CAST(SUM(CASE WHEN shadowed THEN 1 ELSE 0 END) AS BIGINT) AS cells_shadowed,
+  CAST(SUM(CASE WHEN shadowed THEN sz ELSE 0 END) AS BIGINT) AS shadowed_size_sum,
+  CAST(SUM(CASE WHEN shadowed THEN 0 ELSE 1 END) AS BIGINT) AS live_cells
+FROM cells GROUP BY 1 ORDER BY 1"""
 }

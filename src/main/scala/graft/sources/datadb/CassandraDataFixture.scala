@@ -433,7 +433,7 @@ object CassandraDataFixture {
     * reader (q110). The deterministic model is replayable from parquet:
     * per distinct l_orderkey `k`, sstable `fb-(k%4)`, rows at clusterings
     * `0 .. k%3`:
-    *  - partition deletion iff k%19==0: (T1 + k + 9, D2 + k%40)
+    *  - partition deletion iff k%19==0: (T0 + k*10 + 2, D2 + k%40)
     *  - static row iff k%3==0: s0 value of k%23 bytes, ts = T0 + k;
     *    carries its own pk liveness iff k%9==0 (ts = T0 + k + 5, no TTL)
     *    and its own row deletion iff k%17==0 (T1 + k + 5, D1 + k%70)
@@ -515,10 +515,14 @@ object CassandraDataFixture {
         ks.foreach { k =>
           val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
           // partition-level deletion iff k%19==0 (surfaced as a
-          // PARTITION_DELETION event by the reader, round 9)
+          // PARTITION_DELETION event by the reader, round 9). The
+          // markedForDeleteAt sits BETWEEN the partition's cell
+          // timestamps (T0 + k*10 + 2), so the q121 shadowing rule
+          // (cell ts <= mfda) genuinely bisects each deleted partition
+          // instead of trivially covering it.
           w.writePartitionStart(keyBytes,
             deletion = if (k % 19 == 0)
-              Some((FeatureT1 + k + 9, FeatureD2 + k % 40)) else None)
+              Some((FeatureT0 + k * 10 + 2, FeatureD2 + k % 40)) else None)
           if (k % 3 == 0)
             w.write(WriteStaticRow(Seq(WriteCell(0, path = null,
               isDeleted = false, isExpiring = false,

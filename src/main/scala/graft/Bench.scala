@@ -205,10 +205,18 @@ object Bench {
       "q26_text_quality" -> "text", "q28_token_totals" -> "text")
     val sf1Rows: Seq[(String, String, Double)] =
       ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
+        // warm the session-shared shingle view untimed: at the MAIN tier
+        // q21 (timed before q22) materializes it, so q22's main window is
+        // warm — without this the probe's q22 window pays the one-time
+        // sf1 cache build and the ratio compares warm vs cold (the r9
+        // "dedup 20x" phantom). min-of-two for the same reason the main
+        // loop uses it.
+        try graft.ops.Dedup.corpusShingles(spark, pdir).count()
+        catch { case _: Throwable => () }
         probeQueries.flatMap { case (name, fam) =>
           SparkEntry.queries.get(name).map { fn =>
             val (best, _) =
-              measure(s"sf1_$name", fn, pdir, runs = 1, maxExtra = 2)
+              measure(s"sf1_$name", fn, pdir, runs = 2, maxExtra = 2)
             (name, fam, best._1)
           }
         }
@@ -354,7 +362,7 @@ object Bench {
   def family(n: String): String =
     if (Seq("_raw", "cassandra", "bti", "roundtrip", "compression", "bloom",
         "digest", "crc", "row_index", "real_format", "oa_", "png", "jpeg",
-        "media", "multimodal", "mp4", "webm", "flac", "point_get",
+        "media", "multimodal", "mp4", "webm", "flac", "ogg", "point_get",
         "slice_read").exists(n.contains)) "codec"
     else if (Seq("dedup", "dup_", "canonical", "fingerprint", "chunk")
       .exists(n.contains)) "dedup"

@@ -794,6 +794,9 @@ object SparkEntry {
     // real FLAC roundtrip: fixed predictors + rice entropy coding +
     // CRC-8/16 framing, PCM reconstructed exactly
     "q120_flac_decode" -> ((s, d) => Multimodal.flacDecode(s, d)),
+    // real Ogg/Opus transport: page CRCs (Ogg's own polynomial), lacing
+    // reassembly across a page-spanning packet, OpusHead/OpusTags
+    "q122_ogg_probe" -> ((s, d) => Multimodal.oggProbe(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

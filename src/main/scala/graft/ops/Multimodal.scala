@@ -926,6 +926,221 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL Ogg TRANSPORT codec (the container Opus audio actually ships
+    * in): page framing with the spec's own unreflected CRC-32 (poly
+    * 0x04C11DB7, init 0, CRC field zeroed during computation), BOS/EOS
+    * flags, 64-bit granule positions, and the LACING rule — a packet is a
+    * run of 255-valued lacing segments ended by one < 255, and a packet
+    * whose page ends on a 255 CONTINUES onto the next page (header flag
+    * 0x01), which the reader must stitch. OpusHead/OpusTags parse per
+    * RFC 7845; the Opus audio payload itself stays the stub's. */
+  object Ogg {
+
+    final case class Probe(channels: Int, preskip: Int, inputRate: Long,
+        audioBytes: Long, packets: Int, granule: Long, pages: Int)
+
+    def channelsOf(id: Long): Int = 1 + (id % 2).toInt
+    def preskipOf(id: Long): Int = 312 + (id % 100).toInt
+    def audioLenOf(id: Long): Int = 300 + (id % 700).toInt
+    def granuleOf(id: Long): Long = 960L * (id % 8 + 1)
+
+    /** The Ogg CRC-32: unreflected, polynomial 0x04C11DB7, init 0, no
+      * final xor (NOT the zlib crc32). */
+    private val CrcTable: Array[Int] = Array.tabulate(256) { i =>
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7 else r << 1
+        j += 1
+      }
+      r
+    }
+
+    private def crc(b: Array[Byte]): Int = {
+      var c = 0
+      var i = 0
+      while (i < b.length) {
+        c = (c << 8) ^ CrcTable(((c >>> 24) ^ (b(i) & 0xff)) & 0xff)
+        i += 1
+      }
+      c
+    }
+
+    private def le(o: java.io.ByteArrayOutputStream, v: Long,
+        bytes: Int): Unit = {
+      var i = 0
+      while (i < bytes) { o.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+
+    /** One page. `lacings` describe the payload's packet segmentation;
+      * the CRC is computed with its own field zeroed, then patched in. */
+    private def page(headerType: Int, granule: Long, serial: Long,
+        seq: Long, lacings: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(lacings.sum == payload.length && lacings.length <= 255)
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("OggS".getBytes("US-ASCII"))
+      o.write(0) // version
+      o.write(headerType)
+      le(o, granule, 8); le(o, serial, 4); le(o, seq, 4)
+      le(o, 0L, 4) // CRC placeholder
+      o.write(lacings.length)
+      lacings.foreach(o.write)
+      o.write(payload)
+      val bytes = o.toByteArray
+      val c = crc(bytes)
+      bytes(22) = (c & 0xff).toByte
+      bytes(23) = ((c >>> 8) & 0xff).toByte
+      bytes(24) = ((c >>> 16) & 0xff).toByte
+      bytes(25) = ((c >>> 24) & 0xff).toByte
+      bytes
+    }
+
+    /** Lacing run for a packet that ENDS in this page. */
+    private def lacingsOf(len: Int): Array[Int] = {
+      val full = len / 255
+      val rem = len % 255
+      Array.fill(full)(255) :+ rem // rem == 0 terminates a 255-multiple
+    }
+
+    def encode(id: Long): Array[Byte] = {
+      val serial = 0x6772616CL + (id % 97) // deterministic per id
+      val head = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write("OpusHead".getBytes("US-ASCII"))
+        o.write(1) // version
+        o.write(channelsOf(id))
+        le(o, preskipOf(id).toLong, 2)
+        le(o, 48000L, 4) // input sample rate (informational, fixed 48k)
+        le(o, 0L, 2) // output gain
+        o.write(0) // mapping family
+        o.toByteArray
+      }
+      val tags = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write("OpusTags".getBytes("US-ASCII"))
+        val vendor = "graft".getBytes("US-ASCII")
+        le(o, vendor.length.toLong, 4); o.write(vendor)
+        le(o, 0L, 4) // no comments
+        o.toByteArray
+      }
+      val audio = Array.tabulate(audioLenOf(id))(i =>
+        ((id * 13 + i * 11) % 251).toByte)
+      // the audio packet SPANS two pages: page 2 carries exactly 255
+      // bytes under a single 255 lacing (unterminated), page 3 continues
+      // it (header flag 0x01) and terminates with a proper lacing run
+      val part1 = java.util.Arrays.copyOfRange(audio, 0, 255)
+      val part2 = java.util.Arrays.copyOfRange(audio, 255, audio.length)
+      page(0x02, 0L, serial, 0L, lacingsOf(head.length), head) ++
+        page(0x00, 0L, serial, 1L, lacingsOf(tags.length), tags) ++
+        page(0x00, -1L, serial, 2L, Array(255), part1) ++
+        page(0x04 | 0x01, granuleOf(id), serial, 3L,
+          lacingsOf(part2.length), part2)
+    }
+
+    def decode(b: Array[Byte]): Probe = {
+      var off = 0
+      var pages = 0
+      var serial = Long.MinValue
+      var lastSeq = -1L
+      var granule = 0L
+      var sawEos = false
+      val packets = Vector.newBuilder[Array[Byte]]
+      var pending = new java.io.ByteArrayOutputStream()
+      var midPacket = false
+      while (off < b.length) {
+        if (sawEos) throw new java.io.IOException("data past EOS page")
+        if (off + 27 > b.length)
+          throw new java.io.IOException("truncated page header")
+        if (!(b(off) == 'O' && b(off + 1) == 'g' && b(off + 2) == 'g' &&
+            b(off + 3) == 'S'))
+          throw new java.io.IOException("bad capture pattern")
+        if (b(off + 4) != 0)
+          throw new java.io.IOException("unsupported Ogg version")
+        val hType = b(off + 5) & 0xff
+        def rle(from: Int, n: Int): Long = {
+          var v = 0L
+          var i = n - 1
+          while (i >= 0) { v = (v << 8) | (b(off + from + i) & 0xff); i -= 1 }
+          v
+        }
+        val g = rle(6, 8)
+        val ser = rle(14, 4)
+        val seq = rle(18, 4)
+        val storedCrc = rle(22, 4).toInt
+        val nSegs = b(off + 26) & 0xff
+        if (off + 27 + nSegs > b.length)
+          throw new java.io.IOException("truncated segment table")
+        val lacings = Array.tabulate(nSegs)(i => b(off + 27 + i) & 0xff)
+        val payloadLen = lacings.sum
+        val end = off + 27 + nSegs + payloadLen
+        if (end > b.length) throw new java.io.IOException("truncated page")
+        // CRC over the page with its CRC field zeroed
+        val copy = java.util.Arrays.copyOfRange(b, off, end)
+        copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+        if (crc(copy) != storedCrc)
+          throw new java.io.IOException(s"page $seq CRC mismatch")
+        if (serial == Long.MinValue) serial = ser
+        else if (ser != serial)
+          throw new java.io.IOException("serial changed mid-stream")
+        if (seq != lastSeq + 1)
+          throw new java.io.IOException(s"page sequence gap at $seq")
+        lastSeq = seq
+        if (((hType & 0x01) != 0) != midPacket)
+          throw new java.io.IOException("continuation flag mismatch")
+        if ((hType & 0x04) != 0) { sawEos = true; granule = g }
+        var p = off + 27 + nSegs
+        lacings.foreach { l =>
+          pending.write(b, p, l)
+          p += l
+          if (l < 255) {
+            packets += pending.toByteArray
+            pending = new java.io.ByteArrayOutputStream()
+            midPacket = false
+          } else midPacket = true
+        }
+        pages += 1
+        off = end
+      }
+      if (!sawEos) throw new java.io.IOException("no EOS page")
+      if (midPacket) throw new java.io.IOException("unterminated packet")
+      val pkts = packets.result()
+      if (pkts.isEmpty ||
+          !pkts.head.startsWith("OpusHead".getBytes("US-ASCII")))
+        throw new java.io.IOException("first packet is not OpusHead")
+      val head = pkts.head
+      val channels = head(9) & 0xff
+      val preskip = (head(10) & 0xff) | ((head(11) & 0xff) << 8)
+      val rate = (head(12) & 0xffL) | ((head(13) & 0xffL) << 8) |
+        ((head(14) & 0xffL) << 16) | ((head(15) & 0xffL) << 24)
+      if (pkts.length < 2 ||
+          !pkts(1).startsWith("OpusTags".getBytes("US-ASCII")))
+        throw new java.io.IOException("second packet is not OpusTags")
+      val audioBytes = pkts.drop(2).map(_.length.toLong).sum
+      Probe(channels, preskip, rate, audioBytes, pkts.length, granule,
+        pages)
+    }
+  }
+
+  /** q122: REAL Ogg/Opus transport probe — page CRCs (the spec's own
+    * polynomial), lacing-run packet reassembly INCLUDING a packet that
+    * spans a page boundary via the continuation flag, BOS/EOS, granule
+    * positions, RFC 7845 OpusHead/OpusTags. The Opus audio payload stays
+    * stubbed; everything wrapping it is now real. Narrow end to end. */
+  def oggProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = Ogg.decode(Ogg.encode(id))
+          (id, p.channels.toLong, p.preskip.toLong, p.inputRate,
+            p.audioBytes, p.packets.toLong, p.granule, p.pages.toLong)
+        }
+      }
+      .toDF("doc_id", "channels", "preskip", "input_rate", "audio_bytes",
+        "packets", "granule", "pages")
+      .orderBy("doc_id")
+  }
+
   /** q120: REAL FLAC decode roundtrip ([[graft.ops.Flac]]) — every
     * document gets a deterministic mono/16-bit FLAC stream (samples,
     * fixed-predictor order 0/1/2 and rate are pure functions of doc_id),

@@ -2496,6 +2496,18 @@ FROM s ORDER BY doc_id""",
     // q113: the MP4 probe's fields are pure functions of doc_id (the
     // container is the real part; these formulas are what the writer
     // embeds and the box walker must recover). // is integer division.
+    // q122: the Ogg/Opus transport probe — per-id formulas recovered
+    // through real page framing (pages/packets counts are structural
+    // constants of the writer's 4-page, 3-packet layout).
+    "q122_ogg_probe" -> """SELECT doc_id,
+  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+  CAST(312 + doc_id % 100 AS BIGINT) AS preskip,
+  CAST(48000 AS BIGINT) AS input_rate,
+  CAST(300 + doc_id % 700 AS BIGINT) AS audio_bytes,
+  CAST(3 AS BIGINT) AS packets,
+  CAST(960 * (doc_id % 8 + 1) AS BIGINT) AS granule,
+  CAST(4 AS BIGINT) AS pages
+FROM documents ORDER BY doc_id""",
     // q120: the FLAC roundtrip — rate/blocksize/order are per-id
     // formulas; the decoded PCM sum must equal the generator's sum, so
     // the predictor + rice machinery is value-checked, not just framed.

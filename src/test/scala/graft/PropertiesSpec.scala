@@ -255,6 +255,24 @@ class PropertiesSpec extends AnyFunSuite {
     intercept[java.io.IOException] { Ebml.decode("RIFF".getBytes("US-ASCII")) }
   }
 
+  test("Ogg transport round-trips arbitrary ids incl. the page-spanning " +
+      "packet; page CRC catches a flipped bit") {
+    import graft.ops.Multimodal.Ogg
+    checkProp(Gen.choose(0L, 1L << 40), trials = 150) { id =>
+      val p = Ogg.decode(Ogg.encode(id))
+      p.channels == Ogg.channelsOf(id) && p.preskip == Ogg.preskipOf(id) &&
+        p.inputRate == 48000L &&
+        p.audioBytes == Ogg.audioLenOf(id).toLong &&
+        p.packets == 3 && p.granule == Ogg.granuleOf(id) && p.pages == 4
+    }
+    val whole = Ogg.encode(9L)
+    val bad = whole.clone()
+    bad(40) = (bad(40) ^ 0x20).toByte // inside page 0's payload
+    val ex = intercept[java.io.IOException] { Ogg.decode(bad) }
+    assert(ex.getMessage.contains("CRC"))
+    intercept[java.io.IOException] { Ogg.decode("Nope".getBytes("US-ASCII")) }
+  }
+
   test("FLAC codec round-trips arbitrary ids through all three fixed " +
       "predictor orders; both CRCs catch a flipped bit") {
     import graft.ops.Flac

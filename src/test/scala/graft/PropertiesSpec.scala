@@ -255,6 +255,63 @@ class PropertiesSpec extends AnyFunSuite {
     intercept[java.io.IOException] { Ebml.decode("RIFF".getBytes("US-ASCII")) }
   }
 
+  test("decoder robustness: random bytes never hang, OOM or silently " +
+      "succeed — every binary parser fails closed") {
+    import graft.ops.{Flac, Multimodal}
+    import graft.sources.datadb.{CassandraDataFixture, CassandraDataFormat}
+    val genBytes = for {
+      n <- Gen.choose(0, 4096)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](n); r.nextBytes(b); b
+    }
+    // each decoder must throw a CONTROLLED exception (IOException or the
+    // explicit require/assert classes) — never loop forever, never
+    // allocate implausibly, never return a bogus success
+    def failsClosed(name: String, f: Array[Byte] => Any)
+        (b: Array[Byte]): Boolean =
+      try { f(b); false } catch {
+        case _: java.io.IOException => true
+        case _: IllegalArgumentException => true
+        case _: IllegalStateException => true
+        case e: Throwable =>
+          fail(s"$name leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      "mp4" -> (b => Multimodal.Mp4.decode(b)),
+      "ebml" -> (b => Multimodal.Ebml.decode(b)),
+      "ogg" -> (b => Multimodal.Ogg.decode(b)),
+      "flac" -> (b => Flac.decode(b)),
+      "png" -> (b => Multimodal.RealCodecs.decodePng(b)),
+      "media" -> (b => Multimodal.RealCodecs.decode(b)),
+      "cassandra-rows" -> (b => {
+        val l = CassandraDataFormat.events(
+          new java.io.ByteArrayInputStream(b),
+          CassandraDataFixture.FeatureHeader).toList
+        // an empty stream parses to an empty relation — that IS the
+        // fail-closed outcome for 0 bytes; any nonempty success on
+        // random bytes would be a real hole
+        if (l.isEmpty) throw new java.io.IOException("empty parse")
+        l
+      }))
+    decoders.foreach { case (name, f) =>
+      checkProp(genBytes, trials = 80)(failsClosed(name, f))
+      // and with each format's own magic prepended (a header that LOOKS
+      // right but carries garbage must also fail closed)
+      val magic = Map("mp4" -> Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'),
+        "ebml" -> Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte),
+        "ogg" -> "OggS".getBytes("US-ASCII"),
+        "flac" -> "fLaC".getBytes("US-ASCII"),
+        "png" -> Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+          .map(_.toByte))
+      magic.get(name).foreach { m =>
+        checkProp(genBytes, trials = 40)(b =>
+          failsClosed(name, f)(m ++ b))
+      }
+    }
+  }
+
   test("Ogg transport round-trips arbitrary ids incl. the page-spanning " +
       "packet; page CRC catches a flipped bit") {
     import graft.ops.Multimodal.Ogg

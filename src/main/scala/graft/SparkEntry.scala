@@ -797,6 +797,12 @@ object SparkEntry {
     // real Ogg/Opus transport: page CRCs (Ogg's own polynomial), lacing
     // reassembly across a page-spanning packet, OpusHead/OpusTags
     "q122_ogg_probe" -> ((s, d) => Multimodal.oggProbe(s, d)),
+    // real H.264 bitstream headers: Annex-B NAL walk with
+    // emulation-prevention stripping + Exp-Golomb SPS field parse
+    "q123_h264_probe" -> ((s, d) => Multimodal.h264Probe(s, d)),
+    // real Opus packet TOC (RFC 6716 §3): all four framing codes,
+    // mode/duration from the config field
+    "q124_opus_toc" -> ((s, d) => Multimodal.opusTocProbe(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

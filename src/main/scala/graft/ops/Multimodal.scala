@@ -1121,6 +1121,338 @@ object Multimodal {
     }
   }
 
+  /** REAL H.264 BITSTREAM-HEADER codec — the layer of the one remaining
+    * video stub that is pure byte/bit structure, no DSP: Annex-B NAL
+    * framing (start codes, forbidden_zero_bit, nal_ref_idc, types) with
+    * the EMULATION-PREVENTION rule (any 0x000000/1/2/3 in the RBSP is
+    * escaped to 0x000003xx on the wire; the parser must strip the 0x03),
+    * and the Sequence Parameter Set parsed field-by-field with real
+    * Exp-Golomb ue(v) coding — profile/level, frame numbering ranges,
+    * reference frame count, and the macroblock-grid dimensions that yield
+    * the picture's width/height. Everything below slice data (macroblock
+    * entropy decode, the actual DSP) stays the stub's. */
+  object H264 {
+
+    final case class Sps(profile: Int, level: Int, width: Int, height: Int,
+        maxRefFrames: Int, nalCount: Int)
+
+    private final class BitWriter {
+      val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0
+      private var n = 0
+      def bit(v: Int): Unit = {
+        acc = (acc << 1) | (v & 1); n += 1
+        if (n == 8) { out.write(acc); acc = 0; n = 0 }
+      }
+      def bits(v: Long, count: Int): Unit =
+        (count - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1).toInt))
+      /** Exp-Golomb ue(v): leadingZeros(bitlen(v+1)-1) zeros + (v+1). */
+      def ue(v: Long): Unit = {
+        val x = v + 1
+        val len = 64 - java.lang.Long.numberOfLeadingZeros(x)
+        bits(0L, len - 1); bits(x, len)
+      }
+      /** rbsp_trailing_bits: stop bit + align. */
+      def stop(): Unit = { bit(1); while (n != 0) bit(0) }
+    }
+
+    private final class BitReader(b: Array[Byte]) {
+      private var pos = 0
+      private var bitPos = 0
+      def bit(): Int = {
+        if (pos >= b.length)
+          throw new java.io.IOException("truncated RBSP")
+        val v = (b(pos) >> (7 - bitPos)) & 1
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+        v
+      }
+      def bits(count: Int): Long =
+        (0 until count).foldLeft(0L)((a, _) => (a << 1) | bit())
+      def ue(): Long = {
+        var zeros = 0
+        while (bit() == 0) {
+          zeros += 1
+          if (zeros > 32) throw new java.io.IOException("ue(v) overflow")
+        }
+        ((1L << zeros) | bits(zeros)) - 1
+      }
+    }
+
+    /** Escape the RBSP: any 00 00 0x (x<=3) gets an emulation-prevention
+      * 03 inserted — the defining wire quirk of H.264 byte streams. */
+    private def escape(rbsp: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      rbsp.foreach { by =>
+        if (zeros >= 2 && (by & 0xff) <= 3) { o.write(3); zeros = 0 }
+        o.write(by & 0xff)
+        zeros = if (by == 0) zeros + 1 else 0
+      }
+      o.toByteArray
+    }
+
+    private def unescape(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      var zeros = 0
+      var i = from
+      while (i < to) {
+        val by = b(i) & 0xff
+        if (zeros >= 2 && by == 3) zeros = 0 // strip emulation prevention
+        else {
+          o.write(by)
+          zeros = if (by == 0) zeros + 1 else 0
+        }
+        i += 1
+      }
+      o.toByteArray
+    }
+
+    def widthOf(id: Long): Int = (8 + (id % 113).toInt) * 16
+    def heightOf(id: Long): Int = (5 + (id % 61).toInt) * 16
+    def refFramesOf(id: Long): Int = 1 + (id % 4).toInt
+    /** Baseline/Main/Extended — the profiles whose SPS has no chroma
+      * block (High-profile SPS adds chroma_format_idc and scaling lists,
+      * which this header-layer parser rejects rather than half-reads). */
+    def profileOf(id: Long): Int = Seq(66, 77, 88)((id % 3).toInt)
+
+    /** An Annex-B stream: SPS + PPS + one (stub-payload) IDR NAL. */
+    def encode(id: Long): Array[Byte] = {
+      val w = new BitWriter
+      w.bits(profileOf(id).toLong, 8)
+      w.bits(0L, 8) // constraint flags + reserved
+      w.bits(31L, 8) // level_idc 3.1
+      w.ue(0L) // seq_parameter_set_id
+      w.ue(4L) // log2_max_frame_num_minus4
+      w.ue(0L) // pic_order_cnt_type
+      w.ue(4L) // log2_max_pic_order_cnt_lsb_minus4
+      w.ue(refFramesOf(id).toLong) // max_num_ref_frames
+      w.bit(0) // gaps_in_frame_num_value_allowed
+      w.ue(widthOf(id).toLong / 16 - 1) // pic_width_in_mbs_minus1
+      w.ue(heightOf(id).toLong / 16 - 1) // pic_height_in_map_units_minus1
+      w.bit(1) // frame_mbs_only
+      w.bit(1) // direct_8x8_inference
+      w.bit(0) // frame_cropping
+      w.bit(0) // vui_parameters_present
+      w.stop()
+      val sps = w.out.toByteArray
+      val o = new java.io.ByteArrayOutputStream()
+      def nal(refIdc: Int, typ: Int, rbsp: Array[Byte]): Unit = {
+        o.write(0); o.write(0); o.write(0); o.write(1) // start code
+        o.write((refIdc << 5) | typ)
+        o.write(escape(rbsp))
+      }
+      nal(3, 7, sps)
+      // PPS: ids 0/0, entropy CAVLC, minimal flags — parsed only as a NAL
+      val p = new BitWriter
+      p.ue(0L); p.ue(0L); p.bit(0); p.bit(0); p.ue(0L); p.ue(0L); p.ue(0L)
+      p.bit(0); p.bits(0L, 2); p.ue(0L); p.ue(0L); p.ue(0L); p.bit(0)
+      p.bit(0); p.bit(0); p.stop()
+      nal(3, 8, p.out.toByteArray)
+      // IDR slice payload: deterministic STUB bytes crafted to NEED
+      // emulation prevention (every 16 bytes a 00 00 0x run with
+      // x <= 3) — proves the escape/unescape path on the wire
+      val slice = Array.tabulate(64 + (id % 64).toInt) { i =>
+        if (i % 16 < 2) 0.toByte
+        else if (i % 16 == 2) ((i / 16 + id) % 4).toByte
+        else ((id * 19 + i * 3) % 251).toByte
+      }
+      nal(3, 5, slice)
+      o.toByteArray
+    }
+
+    def decode(b: Array[Byte]): Sps = {
+      // Annex-B scan: split on 00 00 (00) 01 start codes
+      val starts = Vector.newBuilder[Int]
+      var i = 0
+      while (i + 3 < b.length) {
+        if (b(i) == 0 && b(i + 1) == 0 &&
+            (b(i + 2) == 1 || (b(i + 2) == 0 && i + 3 < b.length &&
+              b(i + 3) == 1)))
+          starts += (if (b(i + 2) == 1) i + 3 else i + 4)
+        i += 1
+      }
+      val ss = starts.result().distinct.sorted
+      if (ss.isEmpty) throw new java.io.IOException("no NAL start code")
+      var sps: Sps = null
+      var count = 0
+      ss.zipAll(ss.drop(1), -1, b.length).foreach { case (from, toRaw) =>
+        // the next start code begins 3-4 bytes before its payload start
+        val to = if (toRaw == b.length) toRaw
+        else if (b(toRaw - 4) == 0) toRaw - 4 else toRaw - 3
+        if (from >= to) throw new java.io.IOException("empty NAL")
+        val hdr = b(from) & 0xff
+        if ((hdr & 0x80) != 0)
+          throw new java.io.IOException("forbidden_zero_bit set")
+        count += 1
+        if ((hdr & 0x1f) == 7) {
+          val rbsp = unescape(b, from + 1, to)
+          val r = new BitReader(rbsp)
+          val profile = r.bits(8).toInt
+          r.bits(8) // constraints
+          val level = r.bits(8).toInt
+          if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile))
+            throw new java.io.IOException("high-profile SPS unsupported")
+          r.ue() // sps id
+          r.ue() // log2_max_frame_num_minus4
+          val poc = r.ue()
+          if (poc == 0) r.ue()
+          else if (poc != 2)
+            throw new java.io.IOException(s"poc type $poc unsupported")
+          val refs = r.ue().toInt
+          r.bit() // gaps allowed
+          val wMbs = r.ue() + 1
+          val hMap = r.ue() + 1
+          val frameOnly = r.bit()
+          if (frameOnly == 0) r.bit() // mb_adaptive
+          r.bit() // direct_8x8
+          val crop = r.bit()
+          if (crop == 1) { r.ue(); r.ue(); r.ue(); r.ue() }
+          sps = Sps(profile, level, (wMbs * 16).toInt,
+            (hMap * 16 * (if (frameOnly == 1) 1 else 2)).toInt, refs, 0)
+        }
+      }
+      if (sps == null) throw new java.io.IOException("no SPS in stream")
+      sps.copy(nalCount = count)
+    }
+  }
+
+  /** q123: REAL H.264 bitstream-header probe — Annex-B NAL walk with
+    * emulation-prevention stripping (the IDR stub payload is crafted to
+    * force escapes on the wire) and a field-by-field Exp-Golomb SPS
+    * parse; the oracle replays profile/dims/ref-frame formulas. Only the
+    * slice-data DSP below this layer remains stubbed. */
+  def h264Probe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val s = H264.decode(H264.encode(id))
+          (id, s.profile.toLong, s.level.toLong, s.width.toLong,
+            s.height.toLong, s.maxRefFrames.toLong, s.nalCount.toLong)
+        }
+      }
+      .toDF("doc_id", "profile", "level", "width", "height", "ref_frames",
+        "nals")
+      .orderBy("doc_id")
+  }
+
+  /** REAL Opus packet TOC codec (RFC 6716 §3) — the self-delimiting
+    * packet layer above the DSP: the 1-byte TOC (config → mode +
+    * bandwidth + frame duration; stereo flag; frame-count code) and the
+    * code-dependent framing (code 0 one frame; code 1 two equal; code 2
+    * two with a 1-2-byte length prefix; code 3 CBR/VBR with padding).
+    * Everything a router/splitter needs from an Opus stream without
+    * touching the codec. */
+  object OpusToc {
+
+    final case class Toc(config: Int, stereo: Boolean, frames: Int,
+        durationUs: Long, payloadBytes: Long)
+
+    /** Frame duration per config (RFC 6716 table): SILK 10/20/40/60 ms,
+      * hybrid 10/20, CELT 2.5/5/10/20. */
+    def durationUsOf(config: Int): Long = {
+      val idx = config match {
+        case c if c < 12 => c % 4 // SILK: 10/20/40/60
+        case c if c < 16 => (c % 2) + 4 // hybrid: 10/20
+        case c => c % 4 + 6 // CELT: 2.5/5/10/20
+      }
+      Array(10000L, 20000L, 40000L, 60000L, 10000L, 20000L,
+        2500L, 5000L, 10000L, 20000L)(idx)
+    }
+
+    def configOf(id: Long): Int = (id % 32).toInt
+    def stereoOf(id: Long): Boolean = id % 2 == 1
+    def codeOf(id: Long): Int = (id % 4).toInt
+    def frameLenOf(id: Long): Int = 20 + (id % 200).toInt
+
+    def encode(id: Long): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val code = codeOf(id)
+      o.write((configOf(id) << 3) | (if (stereoOf(id)) 4 else 0) | code)
+      val fl = frameLenOf(id)
+      def frame(): Unit =
+        (0 until fl).foreach(i => o.write(((id * 23 + i * 7) % 251).toInt))
+      code match {
+        case 0 => frame()
+        case 1 => frame(); frame() // two EQUAL frames, no length bytes
+        case 2 =>
+          // first frame's length self-delimited: 1 byte if < 252, else
+          // 252 + second_byte*4 in two bytes
+          if (fl < 252) o.write(fl)
+          else { o.write(252 + (fl - 252) % 4); o.write((fl - 252) / 4) }
+          frame(); frame()
+        case _ =>
+          o.write(3) // frame count 3, CBR, no padding
+          frame(); frame(); frame()
+      }
+      o.toByteArray
+    }
+
+    def decode(b: Array[Byte]): Toc = {
+      if (b.isEmpty) throw new java.io.IOException("empty Opus packet")
+      val toc = b(0) & 0xff
+      val config = toc >> 3
+      val stereo = (toc & 4) != 0
+      var off = 1
+      def remaining = b.length - off
+      val frames = (toc & 3) match {
+        case 0 => 1
+        case 1 =>
+          if (remaining % 2 != 0)
+            throw new java.io.IOException("code-1 frames must split evenly")
+          2
+        case 2 =>
+          if (remaining < 1) throw new java.io.IOException("truncated code 2")
+          val b1 = b(off) & 0xff
+          val len1 =
+            if (b1 < 252) { off += 1; b1 }
+            else {
+              if (remaining < 2)
+                throw new java.io.IOException("truncated length")
+              val v = b1 + (b(off + 1) & 0xff) * 4; off += 2; v
+            }
+          if (remaining < len1)
+            throw new java.io.IOException("frame 1 overruns packet")
+          2
+        case _ =>
+          if (remaining < 1) throw new java.io.IOException("truncated code 3")
+          val fc = b(off) & 0xff
+          off += 1
+          if ((fc & 0x80) != 0)
+            throw new java.io.IOException("VBR code-3 unsupported")
+          if ((fc & 0x40) != 0)
+            throw new java.io.IOException("padded code-3 unsupported")
+          val n = fc & 0x3f
+          if (n == 0) throw new java.io.IOException("zero frame count")
+          if (remaining % n != 0)
+            throw new java.io.IOException("CBR frames must split evenly")
+          n
+      }
+      Toc(config, stereo, frames,
+        durationUsOf(config) * frames, (b.length - 1).toLong)
+    }
+  }
+
+  /** q124: REAL Opus packet-TOC probe — all four framing codes exercised
+    * by id residue, mode/bandwidth/duration recovered from the config
+    * field; the DSP below the packet layer is the stub's last audio
+    * occupant. */
+  def opusTocProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val t = OpusToc.decode(OpusToc.encode(id))
+          (id, t.config.toLong, if (t.stereo) 1L else 0L, t.frames.toLong,
+            t.durationUs, t.payloadBytes)
+        }
+      }
+      .toDF("doc_id", "config", "stereo", "frames", "duration_us",
+        "payload_bytes")
+      .orderBy("doc_id")
+  }
+
   /** q122: REAL Ogg/Opus transport probe — page CRCs (the spec's own
     * polynomial), lacing-run packet reassembly INCLUDING a packet that
     * spans a page boundary via the continuation flag, BOS/EOS, granule

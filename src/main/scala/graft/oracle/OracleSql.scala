@@ -2496,6 +2496,39 @@ FROM s ORDER BY doc_id""",
     // q113: the MP4 probe's fields are pure functions of doc_id (the
     // container is the real part; these formulas are what the writer
     // embeds and the box walker must recover). // is integer division.
+    // q123: the H.264 header probe — profile/level/dims/refs are per-id
+    // formulas recovered through the real NAL walk + Exp-Golomb SPS.
+    "q123_h264_probe" -> """SELECT doc_id,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 88 END AS BIGINT) AS profile,
+  CAST(31 AS BIGINT) AS level,
+  CAST((8 + doc_id % 113) * 16 AS BIGINT) AS width,
+  CAST((5 + doc_id % 61) * 16 AS BIGINT) AS height,
+  CAST(1 + doc_id % 4 AS BIGINT) AS ref_frames,
+  CAST(3 AS BIGINT) AS nals
+FROM documents ORDER BY doc_id""",
+    // q124: the Opus TOC probe — framing code, stereo bit, frame count
+    // and the RFC 6716 config->duration table replayed per id.
+    "q124_opus_toc" -> """WITH t AS (
+  SELECT doc_id, doc_id % 32 AS config, doc_id % 4 AS code,
+    20 + doc_id % 200 AS fl
+  FROM documents
+),
+d AS (
+  SELECT *, CASE WHEN config < 12 THEN config % 4
+    WHEN config < 16 THEN config % 2 + 4
+    ELSE config % 4 + 6 END AS idx
+  FROM t
+)
+SELECT doc_id, CAST(config AS BIGINT) AS config,
+  CAST(doc_id % 2 AS BIGINT) AS stereo,
+  CAST(CASE code WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 2 END AS BIGINT) AS frames,
+  CAST((CASE idx WHEN 0 THEN 10000 WHEN 1 THEN 20000 WHEN 2 THEN 40000
+    WHEN 3 THEN 60000 WHEN 4 THEN 10000 WHEN 5 THEN 20000 WHEN 6 THEN 2500
+    WHEN 7 THEN 5000 WHEN 8 THEN 10000 ELSE 20000 END)
+    * (CASE code WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 2 END) AS BIGINT) AS duration_us,
+  CAST(CASE code WHEN 0 THEN fl WHEN 1 THEN 2 * fl
+    WHEN 2 THEN 1 + 2 * fl ELSE 1 + 3 * fl END AS BIGINT) AS payload_bytes
+FROM d ORDER BY doc_id""",
     // q122: the Ogg/Opus transport probe — per-id formulas recovered
     // through real page framing (pages/packets counts are structural
     // constants of the writer's 4-page, 3-packet layout).

@@ -312,6 +312,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("H.264 header codec round-trips arbitrary ids; emulation " +
+      "prevention escapes/strips; Opus TOC round-trips all 4 codes") {
+    import graft.ops.Multimodal.{H264, OpusToc}
+    checkProp(Gen.choose(0L, 1L << 40), trials = 150) { id =>
+      val s = H264.decode(H264.encode(id))
+      s.profile == H264.profileOf(id) && s.level == 31 &&
+        s.width == H264.widthOf(id) && s.height == H264.heightOf(id) &&
+        s.maxRefFrames == H264.refFramesOf(id) && s.nalCount == 3
+    }
+    // the stub slice payload embeds 00 00 0x runs — assert the WIRE
+    // actually carries emulation-prevention bytes (escape is live)
+    val wire = H264.encode(7L)
+    val hasEp = (0 until wire.length - 2).exists(i =>
+      wire(i) == 0 && wire(i + 1) == 0 && wire(i + 2) == 3)
+    assert(hasEp, "no emulation-prevention byte on the wire")
+    intercept[java.io.IOException] { H264.decode(Array[Byte](1, 2, 3)) }
+    checkProp(Gen.choose(0L, 1L << 40), trials = 200) { id =>
+      val t = OpusToc.decode(OpusToc.encode(id))
+      t.config == OpusToc.configOf(id) &&
+        t.stereo == OpusToc.stereoOf(id) &&
+        t.frames == Seq(1, 2, 2, 3)(OpusToc.codeOf(id)) &&
+        t.durationUs == OpusToc.durationUsOf(t.config) * t.frames
+    }
+    intercept[java.io.IOException] { OpusToc.decode(Array.emptyByteArray) }
+  }
+
   test("Ogg transport round-trips arbitrary ids incl. the page-spanning " +
       "packet; page CRC catches a flipped bit") {
     import graft.ops.Multimodal.Ogg

@@ -52,7 +52,17 @@ object PointGet {
       bloom: FilterDbFormat.Filter, summary: SummaryDbFormat.Summary,
       info: CompressionInfoFormat.Info,
       header: CassandraDataFormat.SerializationHeaderInfo,
-      dataPath: java.nio.file.Path, dataFileLen: Long)
+      dataPath: java.nio.file.Path, dataFileLen: Long,
+      // held open for the task's lifetime: a point read costs a seek,
+      // not a file open (closed by the task-completion listener / the
+      // driver-side caller)
+      raf: java.io.RandomAccessFile,
+      // Index.db cached per task: the summary-bounded scan becomes an
+      // in-memory slice walk instead of an open+skip per probe. Fixture
+      // scale holds whole files; a multi-GB production index would keep
+      // the open handle + page cache and seek instead — the ACCESS
+      // PATTERN (<= interval entries from the floor offset) is identical
+      indexBytes: Array[Byte])
 
   private def loadRefs(dir: java.nio.file.Path, base: String): SstableRefs = {
     def bytes(suffix: String): Array[Byte] =
@@ -68,7 +78,9 @@ object PointGet {
         CassandraStatsFormat.TypeHeader))
     val dataPath = dir.resolve(base + CassandraDataFormat.Suffix)
     SstableRefs(base, bloom, summary, info, header, dataPath,
-      java.nio.file.Files.size(dataPath))
+      java.nio.file.Files.size(dataPath),
+      new java.io.RandomAccessFile(dataPath.toFile, "r"),
+      bytes(IndexDbFormat.Suffix))
   }
 
   private def keyOf(b: Array[Byte]): Long =
@@ -89,27 +101,24 @@ object PointGet {
   /** Index.db scan from the summary-bounded offset: the probe's own entry
     * position plus the NEXT entry's position (single-partition read
     * bound; data_length when the probe is the file's last partition). */
-  private def indexLookup(dir: java.nio.file.Path, r: SstableRefs,
+  private def indexLookup(r: SstableRefs,
       probe: Long): Option[(Long, Long)] = {
     val at = summaryFloor(r.summary, probe)
     if (at < 0) return None
     indexScans.increment()
-    val in = new java.io.FileInputStream(
-      dir.resolve(r.base + IndexDbFormat.Suffix).toFile)
-    try {
-      var skipped = r.summary.entries(at).position
-      while (skipped > 0) skipped -= in.skip(skipped)
-      var found = -1L
-      val it = IndexDbFormat.entries(in)
-      while (it.hasNext) {
-        val e = it.next()
-        val k = keyOf(e.key)
-        if (found >= 0) return Some((found, e.position))
-        if (k == probe) found = e.position
-        else if (k > probe) return None
-      }
-      if (found >= 0) Some((found, r.info.dataLength)) else None
-    } finally in.close()
+    val off = r.summary.entries(at).position
+    val in = new java.io.ByteArrayInputStream(r.indexBytes, off.toInt,
+      r.indexBytes.length - off.toInt)
+    var found = -1L
+    val it = IndexDbFormat.entries(in)
+    while (it.hasNext) {
+      val e = it.next()
+      val k = keyOf(e.key)
+      if (found >= 0) return Some((found, e.position))
+      if (k == probe) found = e.position
+      else if (k > probe) return None
+    }
+    if (found >= 0) Some((found, r.info.dataLength)) else None
   }
 
   /** Decode one partition's events from its uncompressed [pos, next) range
@@ -117,11 +126,11 @@ object PointGet {
   private def readPartition(r: SstableRefs, pos: Long,
       next: Long): (Long, Long, Long) = {
     dataReads.increment()
-    val raf = new java.io.RandomAccessFile(r.dataPath.toFile, "r")
+    val raf = r.raf // task-cached handle; close() below is a no-op on it
     val source = new ChunkedData.RandomAccess {
       override def readFully(position: Long, buf: Array[Byte], off: Int,
           len: Int): Unit = { raf.seek(position); raf.readFully(buf, off, len) }
-      override def close(): Unit = raf.close()
+      override def close(): Unit = ()
     }
     val chunked =
       new ChunkedData.ChunkedInputStream(source, r.info, r.dataFileLen, pos)
@@ -167,13 +176,15 @@ object PointGet {
     }
     bases.toSeq.map { base =>
       val r = loadRefs(dirPath, base)
-      if (!r.bloom.mightContain(kb)) (base, "bloom-miss", 0L, 0L)
-      else indexLookup(dirPath, r, key) match {
-        case Some((pos, next)) =>
-          val (e, v, _) = readPartition(r, pos, next)
-          (base, "found", e, v)
-        case None => (base, "index-miss", 0L, 0L)
-      }
+      try {
+        if (!r.bloom.mightContain(kb)) (base, "bloom-miss", 0L, 0L)
+        else indexLookup(r, key) match {
+          case Some((pos, next)) =>
+            val (e, v, _) = readPartition(r, pos, next)
+            (base, "found", e, v)
+          case None => (base, "index-miss", 0L, 0L)
+        }
+      } finally r.raf.close()
     }
   }
 
@@ -207,6 +218,10 @@ object PointGet {
         } finally s.close()
       }
       val cache = scala.collection.mutable.Map.empty[String, SstableRefs]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          cache.values.foreach(r =>
+            try r.raf.close() catch { case _: Throwable => () })))
       it.map { probe =>
         val kb = java.nio.ByteBuffer.allocate(8).putLong(probe).array()
         var found = 0L; var events = 0L; var valueSum = 0L; var tsSum = 0L
@@ -214,7 +229,7 @@ object PointGet {
           val r = cache.getOrElseUpdate(base, loadRefs(dirPath, base))
           bloomChecks.increment()
           if (!r.bloom.mightContain(kb)) bloomRejects.increment()
-          else indexLookup(dirPath, r, probe).foreach { case (pos, next) =>
+          else indexLookup(r, probe).foreach { case (pos, next) =>
             val (e, v, t) = readPartition(r, pos, next)
             found += 1; events += e; valueSum += v; tsSum += t
           }

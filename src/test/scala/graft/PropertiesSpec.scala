@@ -282,6 +282,7 @@ class PropertiesSpec extends AnyFunSuite {
       "mp4" -> (b => Multimodal.Mp4.decode(b)),
       "ebml" -> (b => Multimodal.Ebml.decode(b)),
       "ogg" -> (b => Multimodal.Ogg.decode(b)),
+      "h264" -> (b => Multimodal.H264.decode(b)),
       "flac" -> (b => Flac.decode(b)),
       "png" -> (b => Multimodal.RealCodecs.decodePng(b)),
       "media" -> (b => Multimodal.RealCodecs.decode(b)),

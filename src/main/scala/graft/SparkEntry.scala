@@ -803,6 +803,10 @@ object SparkEntry {
     // real Opus packet TOC (RFC 6716 §3): all four framing codes,
     // mode/duration from the config field
     "q124_opus_toc" -> ((s, d) => Multimodal.opusTocProbe(s, d)),
+    // real WARC/1.0 + per-record gzip members (the Common Crawl corpus
+    // transport): member CRC/ISIZE verified, records parsed, HTTP
+    // envelopes split, entity bytes folded
+    "q125_warc_ingest" -> ((s, d) => Warc.warcIngest(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -2496,6 +2496,37 @@ FROM s ORDER BY doc_id""",
     // q113: the MP4 probe's fields are pure functions of doc_id (the
     // container is the real part; these formulas are what the writer
     // embeds and the box walker must recover). // is integer division.
+    // q125: the WARC roundtrip — record/member counts and byte sums are
+    // per-id formulas; the HTTP envelope length depends on the entity
+    // length's DIGIT COUNT (Content-Length header), replayed exactly.
+    "q125_warc_ingest" -> """WITH caps AS (
+  SELECT doc_id, 1 + doc_id % 3 AS captures FROM documents
+),
+percap AS (
+  SELECT doc_id, c, 40 + ((doc_id + c * 131) % 400) AS n
+  FROM caps, UNNEST(range(0, captures)) AS t(c)
+),
+resp AS (
+  SELECT doc_id,
+    CAST(SUM(63 + (CASE WHEN n < 100 THEN 2 ELSE 3 END) + n) AS BIGINT)
+      AS response_bytes
+  FROM percap GROUP BY 1
+),
+body AS (
+  SELECT doc_id,
+    CAST(SUM(32 + (doc_id * 7 + c * 13 + i * 3) % 95) AS BIGINT) AS body_sum
+  FROM percap, UNNEST(range(0, n)) AS t2(i)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(1 + 2 * (1 + d.doc_id % 3) AS BIGINT) AS records,
+  CAST(1 + d.doc_id % 3 AS BIGINT) AS responses,
+  r.response_bytes, b.body_sum,
+  CAST(1 + 2 * (1 + d.doc_id % 3) AS BIGINT) AS gzip_members
+FROM documents d
+JOIN resp r ON d.doc_id = r.doc_id
+JOIN body b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id""",
     // q123: the H.264 header probe — profile/level/dims/refs are per-id
     // formulas recovered through the real NAL walk + Exp-Golomb SPS.
     "q123_h264_probe" -> """SELECT doc_id,

@@ -283,6 +283,7 @@ class PropertiesSpec extends AnyFunSuite {
       "ebml" -> (b => Multimodal.Ebml.decode(b)),
       "ogg" -> (b => Multimodal.Ogg.decode(b)),
       "h264" -> (b => Multimodal.H264.decode(b)),
+      "warc" -> (b => graft.ops.Warc.decode(b)),
       "flac" -> (b => Flac.decode(b)),
       "png" -> (b => Multimodal.RealCodecs.decodePng(b)),
       "media" -> (b => Multimodal.RealCodecs.decode(b)),
@@ -311,6 +312,29 @@ class PropertiesSpec extends AnyFunSuite {
           failsClosed(name, f)(m ++ b))
       }
     }
+  }
+
+  test("WARC codec round-trips arbitrary ids; per-member gzip CRC " +
+      "catches corruption; record framing enforced") {
+    import graft.ops.Warc
+    checkProp(Gen.choose(0L, 1L << 40), trials = 100) { id =>
+      val p = Warc.decode(Warc.encode(id))
+      val caps = Warc.capturesOf(id)
+      p.records == 1 + 2 * caps && p.responses == caps &&
+        p.gzipMembers == p.records &&
+        p.bodySum == (0 until caps).map { c =>
+          (0 until Warc.bodyLenOf(id, c))
+            .map(i => Warc.bodyByteOf(id, c, i).toLong).sum
+        }.sum
+    }
+    val whole = Warc.encode(3L)
+    // flip a byte in the middle of some member's deflate payload: the
+    // member CRC32 must catch it
+    val bad = whole.clone()
+    bad(whole.length / 2) = (bad(whole.length / 2) ^ 0x11).toByte
+    val ex = intercept[java.io.IOException] { Warc.decode(bad) }
+    assert(ex.getMessage.nonEmpty)
+    intercept[java.io.IOException] { Warc.decode("WARC/1.0".getBytes) }
   }
 
   test("H.264 header codec round-trips arbitrary ids; emulation " +

@@ -807,6 +807,13 @@ object SparkEntry {
     // transport): member CRC/ISIZE verified, records parsed, HTTP
     // envelopes split, entity bytes folded
     "q125_warc_ingest" -> ((s, d) => Warc.warcIngest(s, d)),
+    // real ustar TAR: octal fields, the spaces-substituted header
+    // checksum, 512-block framing, end-of-archive zero blocks
+    "q126_tar_ingest" -> ((s, d) => Archives.tarIngest(s, d)),
+    // real ZIP: backward EOCD scan past a trailing comment, central
+    // directory drive, local-header cross-check, stored+deflate entries
+    // with per-entry CRC-32 verification
+    "q127_zip_ingest" -> ((s, d) => Archives.zipIngest(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

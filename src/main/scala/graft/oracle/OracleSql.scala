@@ -2527,6 +2527,49 @@ FROM documents d
 JOIN resp r ON d.doc_id = r.doc_id
 JOIN body b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id""",
+    // q126: TAR roundtrip — file sizes/bytes are per-id formulas; blocks
+    // replay the 512-byte framing (1 header block + padded data blocks
+    // per file + the two end-of-archive zero blocks).
+    "q126_tar_ingest" -> """WITH f AS (
+  SELECT doc_id, k, 30 + ((doc_id + k * 89) % 300) AS sz
+  FROM documents, UNNEST(range(0, 2 + doc_id % 3)) AS t(k)
+),
+b AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS files,
+    CAST(SUM(sz) AS BIGINT) AS total_bytes,
+    CAST(SUM(1 + (sz + 511) // 512) + 2 AS BIGINT) AS blocks
+  FROM f GROUP BY 1
+),
+s AS (
+  SELECT doc_id,
+    CAST(SUM(32 + (doc_id * 11 + k * 17 + i * 5) % 95) AS BIGINT) AS body_sum
+  FROM f, UNNEST(range(0, sz)) AS t2(i) GROUP BY 1
+)
+SELECT b.doc_id, b.files, b.total_bytes, s.body_sum, b.blocks
+FROM b JOIN s ON b.doc_id = s.doc_id ORDER BY b.doc_id""",
+    // q127: ZIP roundtrip — entry counts/sizes/bytes per id; stored =
+    // even entry ordinals, deflated = odd.
+    "q127_zip_ingest" -> """WITH f AS (
+  SELECT doc_id, k, 25 + ((doc_id + k * 67) % 350) AS sz
+  FROM documents, UNNEST(range(0, 1 + doc_id % 3)) AS t(k)
+),
+b AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS entries,
+    CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS stored,
+    CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS deflated,
+    CAST(SUM(sz) AS BIGINT) AS uncompressed_bytes
+  FROM f GROUP BY 1
+),
+s AS (
+  SELECT doc_id,
+    CAST(SUM(32 + (doc_id * 29 + k * 31 + i * 7) % 95) AS BIGINT) AS body_sum
+  FROM f, UNNEST(range(0, sz)) AS t2(i) GROUP BY 1
+)
+SELECT b.doc_id, b.entries, b.stored, b.deflated, b.uncompressed_bytes,
+  s.body_sum
+FROM b JOIN s ON b.doc_id = s.doc_id ORDER BY b.doc_id""",
     // q123: the H.264 header probe — profile/level/dims/refs are per-id
     // formulas recovered through the real NAL walk + Exp-Golomb SPS.
     "q123_h264_probe" -> """SELECT doc_id,

@@ -284,6 +284,8 @@ class PropertiesSpec extends AnyFunSuite {
       "ogg" -> (b => Multimodal.Ogg.decode(b)),
       "h264" -> (b => Multimodal.H264.decode(b)),
       "warc" -> (b => graft.ops.Warc.decode(b)),
+      "tar" -> (b => graft.ops.Archives.Tar.decode(b)),
+      "zip" -> (b => graft.ops.Archives.Zip.decode(b)),
       "flac" -> (b => Flac.decode(b)),
       "png" -> (b => Multimodal.RealCodecs.decodePng(b)),
       "media" -> (b => Multimodal.RealCodecs.decode(b)),
@@ -312,6 +314,34 @@ class PropertiesSpec extends AnyFunSuite {
           failsClosed(name, f)(m ++ b))
       }
     }
+  }
+
+  test("TAR and ZIP codecs round-trip arbitrary ids; tar checksum and " +
+      "zip entry CRC catch corruption") {
+    import graft.ops.Archives.{Tar, Zip}
+    checkProp(Gen.choose(0L, 1L << 40), trials = 100) { id =>
+      val t = Tar.decode(Tar.encode(id))
+      val files = Tar.filesOf(id)
+      t.files == files &&
+        t.totalBytes == (0 until files).map(Tar.sizeOf(id, _).toLong).sum &&
+        t.blocks == (0 until files)
+          .map(k => 1 + (Tar.sizeOf(id, k) + 511) / 512).sum + 2
+    }
+    checkProp(Gen.choose(0L, 1L << 40), trials = 100) { id =>
+      val z = Zip.decode(Zip.encode(id))
+      val n = Zip.entriesOf(id)
+      z.entries == n && z.stored + z.deflated == n &&
+        z.uncompressedBytes ==
+          (0 until n).map(Zip.sizeOf(id, _).toLong).sum
+    }
+    // corruption negatives: a flipped header byte breaks the tar
+    // checksum; a flipped payload byte breaks the zip entry CRC
+    val tar = Tar.encode(4L).clone()
+    tar(130) = (tar(130) ^ 0x01).toByte // inside the mode field
+    intercept[java.io.IOException] { Tar.decode(tar) }
+    val zip = Zip.encode(4L).clone()
+    zip(40) = (zip(40) ^ 0x04).toByte // inside the first entry's payload
+    intercept[java.io.IOException] { Zip.decode(zip) }
   }
 
   test("WARC codec round-trips arbitrary ids; per-member gzip CRC " +

@@ -153,6 +153,49 @@ object SparkEntry {
       .orderBy("compressor")
   }
 
+  /** q128: the DISTRIBUTED sstable bulk-export sink — each Spark task
+    * writes its group of the cell relation as ONE complete real sstable
+    * (Data.db + every sidecar, LZ4-chunked) via
+    * [[graft.sources.datadb.CassandraDataFixture.writeSstableFrom]], the
+    * CQLSSTableWriter role. The exported directory is then read back
+    * through the production `format=cassandra` scan and rolled up — the
+    * answer must hash-match q67's oracle, proving write → read closes
+    * over the real codec END TO END with the write side distributed.
+    * (Local mode writes to a shared local dir; on a cluster the target
+    * is a DFS path — the per-task kernel is unchanged.) */
+  private val exportMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sstableExport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val memoKey = s"${graft.sources.PlanCache.sessionKey(s)}|$d"
+    val path = exportMemo.computeIfAbsent(memoKey, _ => {
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-export")).toString
+      graft.sources.Fixtures.cells(s, d)
+        .where(col("tbl") === "lineitem")
+        .select(col("sstable_id"), col("key"), col("clustering"),
+          col("column_name"), col("kind"), col("timestamp_us"),
+          col("ttl_s"), col("local_deletion_time_s"), col("is_tombstone"),
+          col("is_expiring"), col("size_bytes"))
+        .as[(String, Long, Long, String, String, Long, Long, Long,
+          Boolean, Boolean, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (sst, it) =>
+          val gen = sst.stripPrefix("sst-").toLong + 1L
+          graft.sources.datadb.CassandraDataFixture.writeSstableFrom(
+            java.nio.file.Paths.get(out), gen,
+            it.map(t => (t._2, t._3, t._4,
+              t._5 == graft.sources.datadb.DataDbFormat.KindMarker,
+              t._6, t._7, t._8, t._9, t._10, t._11)),
+            compressed = true)
+          sst
+        }.collect()
+      out
+    })
+    cassandraRollup(s, path, cassSplitBytes(path))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // catalog
     "q00_catalog" -> ((s, d) => Summary.catalog(s, d)),
@@ -814,6 +857,10 @@ object SparkEntry {
     // directory drive, local-header cross-check, stored+deflate entries
     // with per-entry CRC-32 verification
     "q127_zip_ingest" -> ((s, d) => Archives.zipIngest(s, d)),
+    // DISTRIBUTED sstable bulk export (the CQLSSTableWriter role): each
+    // task writes one complete real sstable; read back through the
+    // production scan, the rollup must hash-match q67's oracle
+    "q128_sstable_export" -> ((s, d) => sstableExport(s, d)),
     // incremental (cross-snapshot) dedup: incoming batch vs base corpus,
     // digest-keyed both stages
     "q85_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)))

@@ -174,6 +174,23 @@ object CassandraDataFixture {
     }
   }
 
+  /** Distributed-export kernel (q128): write ONE real sstable — Data.db
+    * plus every sidecar — from an iterator of cell tuples `(key,
+    * clustering, column, isMarker, ts_us, ttl_s, ldt_s, isTombstone,
+    * isExpiring, size_bytes)`. This is the per-task unit of the bulk
+    * sstable SINK (the role Cassandra's CQLSSTableWriter plays for its
+    * bulk loader): each Spark task materializes its partition of the
+    * relation as one complete sstable. */
+  def writeSstableFrom(out: Path, gen: Long,
+      rows: Iterator[(Long, Long, String, Boolean, Long, Long, Long,
+        Boolean, Boolean, Long)], compressed: Boolean): Unit = {
+    val evs = rows.map { t =>
+      Ev(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9, t._10)
+    }.toArray
+    writeSstable(out, gen, evs,
+      if (compressed) Some(Compressors.Lz4) else None)
+  }
+
   private def writeSstable(out: Path, gen: Long, evs: Array[Ev],
       codec: Option[Compressors.ChunkCompressor]): Unit = {
     // EncodingStats minima over exactly the values the encoding writes:

@@ -357,6 +357,12 @@ object SparkEntry {
     // over the feature-variant set — closes the README "parsed but not
     // emitted" gap; the oracle replays the variant's deterministic model
     "q110_row_level_events" -> ((s, d) => Integrity.rowLevelEvents(s, d)),
+    // complex STATIC columns through the real row codec (the last
+    // row-codec rejection, closed): static multi-cell map column with
+    // path-ordered cells and static complex deletions, per-column
+    // modular sums against the oracle's replay of the variant's model
+    "q125_static_complex_roundtrip" ->
+      ((s, d) => Integrity.staticComplexEvents(s, d)),
     // shadowing-aware purge: PARTITION_DELETION consumed as SEMANTICS —
     // cells with ts <= markedForDeleteAt are reclaimable, the fixture's
     // deletion timestamps bisect each deleted partition

@@ -267,6 +267,79 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
+  /** q125: complex STATIC columns roundtripped through the real row
+    * codec — the last row-codec rejection, closed. The STATIC-COMPLEX
+    * variant set ([[CassandraDataFixture.ensureStaticComplexFiles]])
+    * carries a static map column (`stags`) next to a simple static
+    * (`s0`) and a regular (`c0`); its static rows write path-ordered
+    * multi-cell columns and (on the k%7 residue) a static complex
+    * deletion. Every surfaced event field lands in a per-sstable
+    * modular sum keyed BY COLUMN, so a cell mis-attributed between the
+    * simple and complex static, a missing path read, or a deletion at
+    * the wrong sentinel breaks the hash against the oracle's replay of
+    * the same deterministic model. One task per sstable; no shuffle
+    * before the tiny rollup. */
+  def staticComplexEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.datadb.{CassandraDataFormat, DataDbFormat}
+    val path = CassandraDataFixture.ensureStaticComplexFiles(spark, dir)
+    val M = 1000003L
+    val perSstable = spark.read.format("binaryFile")
+      .load(s"$path/*${DataDbFormat.Suffix}")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val g = "fs-(\\d+)-big".r.findFirstMatchIn(p).get.group(1)
+        var s0Cells = 0L; var s0Size = 0L; var s0Ts = 0L
+        var stagsCells = 0L; var stagsSize = 0L; var stagsTs = 0L
+        var cplxDels = 0L; var cdelTs = 0L; var cdelLdt = 0L
+        var liveness = 0L; var liveTs = 0L
+        var regCells = 0L; var regSize = 0L; var regTs = 0L
+        var keysSum = 0L
+        var lastKey: Long = Long.MinValue
+        CassandraDataFormat.events(
+            new java.io.ByteArrayInputStream(bytes),
+            CassandraDataFixture.StaticComplexHeader).foreach { e =>
+          val key = java.nio.ByteBuffer.wrap(e.key).getLong
+          if (key != lastKey) { keysSum += key % M; lastKey = key }
+          e.kindCode match {
+            case DataDbFormat.KindCodeStaticCell =>
+              require(e.clustering == DataDbFormat.StaticClustering)
+              if (e.columnName == "s0") {
+                s0Cells += 1; s0Size += e.sizeBytes
+                s0Ts += e.timestampUs % M
+              } else {
+                require(e.columnName == "stags")
+                stagsCells += 1; stagsSize += e.sizeBytes
+                stagsTs += e.timestampUs % M
+              }
+            case DataDbFormat.KindCodeComplexDeletion =>
+              require(e.clustering == DataDbFormat.StaticClustering &&
+                e.columnName == "stags")
+              cplxDels += 1; cdelTs += e.timestampUs % M
+              cdelLdt += e.localDeletionTimeS % M
+            case DataDbFormat.KindCodeRowLiveness =>
+              require(e.clustering == DataDbFormat.StaticClustering)
+              liveness += 1; liveTs += e.timestampUs % M
+            case DataDbFormat.KindCodeCell =>
+              require(e.columnName == "c0")
+              regCells += 1; regSize += e.sizeBytes
+              regTs += e.timestampUs % M
+            case other => throw new java.io.IOException(
+              s"unexpected event kind $other in static-complex set")
+          }
+        }
+        (s"fs-$g", s0Cells, s0Size, s0Ts, stagsCells, stagsSize, stagsTs,
+          cplxDels, cdelTs, cdelLdt, liveness, liveTs,
+          regCells, regSize, regTs, keysSum)
+      }
+    perSstable.toDF("sstable_id", "s0_cells", "s0_size_sum", "s0_ts_sum",
+        "stags_cells", "stags_size_sum", "stags_ts_sum",
+        "complex_dels", "cdel_ts_sum", "cdel_ldt_sum",
+        "liveness", "live_ts_sum",
+        "reg_cells", "reg_size_sum", "reg_ts_sum", "keys_sum")
+      .orderBy("sstable_id")
+  }
+
   /** q121: SHADOWING-AWARE purge accounting over the feature set — the
     * first operator consuming the PARTITION_DELETION events as semantics,
     * not just metadata: Cassandra's rule deletes every cell whose

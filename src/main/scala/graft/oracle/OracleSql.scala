@@ -3042,7 +3042,37 @@ ORDER BY 1"""
     base +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
+      ("q125_static_complex_roundtrip" -> q125Sql) +
       ("q121_shadowed_purge" -> q121Sql)
+
+  /** q125: the static-complex variant's deterministic model
+    * (CassandraDataFixture.writeStaticComplexAll) replayed from parquet:
+    * per distinct l_orderkey k, sstable fs-(k%3), a static row with one
+    * s0 cell (k%13 bytes, ts T0+k) and 1+k%2 stags cells ((k+i)%9
+    * bytes, ts T0+k+3+i), pk liveness iff k%5==0, static complex
+    * deletion iff k%7==0, and one regular c0 cell (k%17 bytes,
+    * ts T0+k*2). */
+  private lazy val q125Sql: String = """WITH
+ks AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+base AS (SELECT k, 'fs-' || (k % 3) AS sstable_id FROM ks)
+SELECT sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS s0_cells,
+  CAST(SUM(k % 13) AS BIGINT) AS s0_size_sum,
+  CAST(SUM((1000000000000 + k) % 1000003) AS BIGINT) AS s0_ts_sum,
+  CAST(SUM(1 + k % 2) AS BIGINT) AS stags_cells,
+  CAST(SUM((k % 9) + CASE WHEN k % 2 = 1 THEN (k + 1) % 9 ELSE 0 END) AS BIGINT) AS stags_size_sum,
+  CAST(SUM((1000000000000 + k + 3) % 1000003
+    + CASE WHEN k % 2 = 1 THEN (1000000000000 + k + 4) % 1000003 ELSE 0 END) AS BIGINT) AS stags_ts_sum,
+  CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS complex_dels,
+  CAST(SUM(CASE WHEN k % 7 = 0 THEN (3000000000000 + k) % 1000003 ELSE 0 END) AS BIGINT) AS cdel_ts_sum,
+  CAST(SUM(CASE WHEN k % 7 = 0 THEN (700000000 + k % 30) % 1000003 ELSE 0 END) AS BIGINT) AS cdel_ldt_sum,
+  CAST(SUM(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS liveness,
+  CAST(SUM(CASE WHEN k % 5 = 0 THEN (1000000000000 + k + 1) % 1000003 ELSE 0 END) AS BIGINT) AS live_ts_sum,
+  CAST(COUNT(*) AS BIGINT) AS reg_cells,
+  CAST(SUM(k % 17) AS BIGINT) AS reg_size_sum,
+  CAST(SUM((1000000000000 + k * 2) % 1000003) AS BIGINT) AS reg_ts_sum,
+  CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum
+FROM base GROUP BY 1 ORDER BY 1"""
 
   /** q121: the shadowing rule replayed from the feature model — the
     * deleted partitions are k%19==0 with markedForDeleteAt = T0+k*10+2,

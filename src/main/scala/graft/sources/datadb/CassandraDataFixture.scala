@@ -598,7 +598,8 @@ object CassandraDataFixture {
     * pruning, vectorized batches). The stats VALUES are placeholders (the
     * stats-value roundtrip is q62/q100's job); the HEADER bytes are
     * load-bearing. */
-  private def writeFeatureStats(out: Path, base: String): Unit = {
+  private def writeFeatureStats(out: Path, base: String,
+      header: SerializationHeaderInfo = FeatureHeader): Unit = {
     def clBlob(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(8).putLong(v).array()
     val stats = CassandraStatsFormat.Stats(
@@ -634,7 +635,111 @@ object CassandraDataFixture {
     val s = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(out.resolve(base + StatsSuffix).toFile)))
     try CassandraStatsFormat.write(s, f,
-      Some(CassandraDataFormat.serializeHeader(FeatureHeader)))
+      Some(CassandraDataFormat.serializeHeader(header)))
     finally s.close()
+  }
+
+  // ------------------------------------- round-9 static-complex variant
+
+  /** The STATIC-COMPLEX variant sstable set ("fs-<g>-big"): a schema
+    * whose STATIC columns include a complex one (`stags`:
+    * map<long, bytes>) next to a simple one (`s0`), closing the last
+    * row-codec rejection — Cassandra's static Row is the same Row
+    * structure as a regular one, so complex statics serialize exactly
+    * like complex regulars (optional complex deletion, cell count,
+    * path-ordered cells). Deterministic model, replayable from parquet:
+    * per distinct l_orderkey `k`, sstable `fs-(k%3)`:
+    *  - a static row on EVERY partition: one s0 cell (k%13 bytes,
+    *    ts = T0 + k) and 1 + k%2 `stags` cells (paths 1..n,
+    *    (k+i)%9 bytes, ts = T0 + k + 3 + i for i in 0..k%2);
+    *    pk liveness iff k%5==0 (ts = T0 + k + 1, no TTL);
+    *    static complex deletion iff k%7==0: (T2 + k, D2 + k%30)
+    *  - one regular row at clustering 0: one c0 cell (k%17 bytes,
+    *    ts = T0 + k*2). */
+  val StaticComplexStatics: Seq[ColumnSpec] = Seq(
+    ColumnSpec("s0".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Marshal.Prefix + "BytesType"),
+    ColumnSpec("stags".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Marshal.Prefix + s"MapType(${Marshal.Prefix}LongType," +
+        s"${Marshal.Prefix}BytesType)"))
+  val StaticComplexRegulars: Seq[ColumnSpec] = Seq(
+    ColumnSpec("c0".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      Marshal.Prefix + "BytesType"))
+
+  val StaticComplexHeader: SerializationHeaderInfo = SerializationHeaderInfo(
+    minTimestampUs = FeatureT0,
+    minLocalDeletionTimeS = FeatureD0,
+    minTtlS = 0L,
+    keyType = Marshal.Prefix + "LongType",
+    clusteringTypes = Seq(Marshal.Prefix + "LongType"),
+    staticColumns = StaticComplexStatics,
+    regularColumns = StaticComplexRegulars)
+
+  def ensureStaticComplexFiles(spark: SparkSession, dir: String): String =
+    memo.synchronized {
+      sweepStopped()
+      val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|staticcomplex"
+      val hit = memo.get(k)
+      if (hit != null) return hit._2
+      val out = graft.sources.TempDirs.register(
+        Files.createTempDirectory("graft-cassstatic-fixture"))
+      try writeStaticComplexAll(spark, dir, out)
+      catch {
+        case t: Throwable =>
+          val root = out.toFile
+          Option(root.listFiles()).foreach(_.foreach(_.delete()))
+          root.delete()
+          throw t
+      }
+      val path = out.toString
+      memo.put(k, (spark, path))
+      path
+    }
+
+  private def writeStaticComplexAll(spark: SparkSession, dir: String,
+      out: Path): Unit = {
+    val keys = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("k")).distinct()
+      .orderBy("k").collect().map(_.getLong(0))
+    keys.groupBy(_ % 3).toSeq.sortBy(_._1).foreach { case (g, ks) =>
+      val base = s"fs-$g-big"
+      val data = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(
+          out.resolve(base + DataDbFormat.Suffix).toFile), 1 << 16))
+      try {
+        val w = new Writer(data, StaticComplexHeader)
+        ks.foreach { k =>
+          val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+          w.writePartitionStart(keyBytes, deletion = None)
+          val stagsCells = (0L to k % 2).map { i =>
+            WriteCell(1,
+              path = java.nio.ByteBuffer.allocate(8).putLong(i + 1).array(),
+              isDeleted = false, isExpiring = false,
+              timestampUs = FeatureT0 + k + 3 + i, ttlS = NoTtlS,
+              localDeletionTimeS = NoDeletionTimeS,
+              value = blobOf((k + i) % 9, k + i))
+          }
+          w.write(WriteStaticRow(
+            WriteCell(0, path = null, isDeleted = false, isExpiring = false,
+              timestampUs = FeatureT0 + k, ttlS = NoTtlS,
+              localDeletionTimeS = NoDeletionTimeS,
+              value = blobOf(k % 13, k)) +: stagsCells,
+            pkLiveness =
+              if (k % 5 == 0)
+                Some((FeatureT0 + k + 1, NoTtlS, NoDeletionTimeS))
+              else None,
+            complexDeletion =
+              if (k % 7 == 0)
+                Some((FeatureT2 + k, FeatureD2 + k % 30)) else None))
+          w.write(WriteRow(0L, Seq(
+            WriteCell(0, path = null, isDeleted = false, isExpiring = false,
+              timestampUs = FeatureT0 + k * 2, ttlS = NoTtlS,
+              localDeletionTimeS = NoDeletionTimeS,
+              value = blobOf(k % 17, k)))))
+          w.writePartitionEnd()
+        }
+      } finally data.close()
+      writeFeatureStats(out, base, StaticComplexHeader)
+    }
   }
 }

@@ -286,11 +286,15 @@ object CassandraDataFormat {
   /** A static row: cells' `columnIdx` indexes the header's STATIC
     * columns; written with the EXTENSION/IS_STATIC flag pair and no
     * clustering block. Must be the partition's first unfiltered.
-    * Carries the same optional pk liveness / row deletion as a regular
-    * row (Cassandra's static Row is the same Row structure). */
+    * Carries the same optional pk liveness / row deletion /
+    * complex-column deletion as a regular row (Cassandra's static Row
+    * is the same Row structure, so complex STATIC columns serialize
+    * exactly like complex regulars: optional complex deletion, cell
+    * count, then path-ordered cells). */
   final case class WriteStaticRow(cells: Seq[WriteCell],
       pkLiveness: Option[(Long, Long, Long)] = None,
-      rowDeletion: Option[(Long, Long)] = None)
+      rowDeletion: Option[(Long, Long)] = None,
+      complexDeletion: Option[(Long, Long)] = None)
       extends WriteUnfiltered
   final case class WriteMarker(clustering: Long, kind: Int,
       markedForDeleteAtUs: Long, localDeletionTimeS: Long)
@@ -428,14 +432,13 @@ object CassandraDataFormat {
       val statics = header.staticColumns
       require(statics.nonEmpty, "static row but header has no static columns")
       val present = s.cells.map(_.columnIdx).distinct.sorted
-      require(present.forall(i => !statics(i).isComplex),
-        "complex static columns unsupported")
       val all = present.length == statics.length
       var flags = ExtensionFlag
       if (all) flags |= HasAllColumns
       if (s.pkLiveness.isDefined) flags |= HasTimestamp
       if (s.pkLiveness.exists(_._2 >= 0)) flags |= HasTtl
       if (s.rowDeletion.isDefined) flags |= HasDeletion
+      if (s.complexDeletion.isDefined) flags |= HasComplexDeletion
       val body = new ByteArrayOutputStream()
       val bd = new DataOutputStream(body)
       s.pkLiveness.foreach { case (ts, ttl, ldt) =>
@@ -448,9 +451,17 @@ object CassandraDataFormat {
       if (!all) writeSubset(bd, present, statics)
       present.foreach { colIdx =>
         val cells = s.cells.filter(_.columnIdx == colIdx)
-        require(cells.length == 1,
-          s"static column ${statics(colIdx).name} with ${cells.length} cells")
-        writeCell(bd, cells.head, statics)
+        if (statics(colIdx).isComplex) {
+          s.complexDeletion.foreach { case (ts, ldt) =>
+            writeDeltaTs(bd, ts); writeDeltaLdt(bd, ldt)
+          }
+          writeUnsignedVInt(bd, cells.length.toLong)
+          cells.foreach(writeCell(bd, _, statics))
+        } else {
+          require(cells.length == 1,
+            s"static column ${statics(colIdx).name} with ${cells.length} cells")
+          writeCell(bd, cells.head, statics)
+        }
       }
       val bodyBytes = body.toByteArray
       val before = out.size()
@@ -822,14 +833,13 @@ object CassandraDataFormat {
         * header's STATIC columns and surface at the static clustering
         * sentinel, as do the row's optional liveness/deletion events
         * (Cassandra's static Row is the same Row structure). Complex
-        * static columns (and so complex deletions) stay unsupported. */
+        * STATIC columns decode exactly like complex regulars — optional
+        * complex deletion (surfaced as `COMPLEX_DELETION` at the static
+        * sentinel), cell count, path-ordered cells. */
       private def readStaticRow(flags: Int): List[DataDbFormat.Event] = {
         if (statics.isEmpty)
           throw new java.io.IOException(
             "static row but header declares no static columns")
-        if ((flags & HasComplexDeletion) != 0)
-          throw new java.io.IOException(
-            "static-row complex deletion unsupported")
         val bodySize = readUnsignedVInt(in)
         readUnsignedVInt(in) // previous unfiltered size
         if (bodySize < 0 || bodySize > (1 << 28))
@@ -867,10 +877,28 @@ object CassandraDataFormat {
             statics.indices.filter(i => (bitmap & (1L << i)) == 0L).toArray
           }
         present.foreach { colIdx =>
-          if (statics(colIdx).isComplex)
-            throw new java.io.IOException(
-              "complex static columns unsupported")
-          out += readCell(d, statics(colIdx), staticNameBytes(colIdx),
+          if (statics(colIdx).isComplex) {
+            if ((flags & HasComplexDeletion) != 0) {
+              val ts = readDeltaTs(d)
+              val ldt = readDeltaLdt(d)
+              out += DataDbFormat.Event(currentKey,
+                DataDbFormat.StaticClustering, staticNameBytes(colIdx),
+                DataDbFormat.KindCodeComplexDeletion,
+                DataDbFormat.flagsOf(tombstone = true, expiring = false,
+                  counter = false, live = false),
+                ts, NoTtlS, ldt, 0L)
+            }
+            val n = readUnsignedVInt(d)
+            if (n < 0 || n > (1 << 20))
+              throw new java.io.IOException(s"implausible cell count $n")
+            var i = 0L
+            while (i < n) {
+              out += readCell(d, statics(colIdx), staticNameBytes(colIdx),
+                DataDbFormat.StaticClustering,
+                DataDbFormat.KindCodeStaticCell)
+              i += 1
+            }
+          } else out += readCell(d, statics(colIdx), staticNameBytes(colIdx),
             DataDbFormat.StaticClustering, DataDbFormat.KindCodeStaticCell)
         }
         if (d.available() != 0)

@@ -190,6 +190,68 @@ class CassandraDataSpec extends SparkSpec {
     assert(cdel.isTombstone && !cdel.isLive)
   }
 
+  test("complex STATIC columns round-trip: path-ordered multi-cell " +
+      "statics, static complex deletion, subset bitmap (round 9)") {
+    val header = SerializationHeaderInfo(
+      minTimestampUs = 1000L, minLocalDeletionTimeS = 400L, minTtlS = 0L,
+      keyType = LongT, clusteringTypes = Seq(LongT),
+      staticColumns = Seq(cspec("s0", BytesT), cspec("stags", MapT)),
+      regularColumns = Seq(cspec("c0", BytesT)))
+    def path(i: Long) =
+      java.nio.ByteBuffer.allocate(8).putLong(i).array()
+    val got = roundtrip(header, { w =>
+      w.writePartitionStart(Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+      // both statics present (HAS_ALL_COLUMNS): complex deletion rides
+      // the complex static, cells in path order, liveness first
+      w.write(WriteStaticRow(
+        WriteCell(0, path = null, isDeleted = false, isExpiring = false,
+          timestampUs = 1111L, ttlS = NoTtlS,
+          localDeletionTimeS = NoDeletionTimeS,
+          value = Array[Byte](9, 9)) +: Seq(
+          WriteCell(1, path(1), isDeleted = false, isExpiring = false,
+            timestampUs = 2000L, ttlS = NoTtlS,
+            localDeletionTimeS = NoDeletionTimeS, value = Array[Byte](1)),
+          WriteCell(1, path(2), isDeleted = false, isExpiring = false,
+            timestampUs = 2001L, ttlS = NoTtlS,
+            localDeletionTimeS = NoDeletionTimeS,
+            value = Array[Byte](2, 2))),
+        pkLiveness = Some((1200L, NoTtlS, NoDeletionTimeS)),
+        complexDeletion = Some((1500L, 444L))))
+      w.write(WriteRow(3L, Seq(
+        WriteCell(0, path = null, isDeleted = false, isExpiring = false,
+          timestampUs = 3000L, ttlS = NoTtlS,
+          localDeletionTimeS = NoDeletionTimeS, value = Array[Byte](7)))))
+      w.writePartitionEnd()
+      // second partition: ONLY the complex static present → subset
+      // bitmap path with a complex static, no deletion, zero extras
+      w.writePartitionStart(Array[Byte](0, 0, 0, 0, 0, 0, 0, 2))
+      w.write(WriteStaticRow(Seq(
+        WriteCell(1, path(5), isDeleted = false, isExpiring = false,
+          timestampUs = 4000L, ttlS = NoTtlS,
+          localDeletionTimeS = NoDeletionTimeS, value = Array[Byte](4)))))
+      w.writePartitionEnd()
+    })
+    import graft.sources.datadb.DataDbFormat._
+    assert(got.map(_.kindCode) === List(
+      KindCodeRowLiveness, KindCodeStaticCell, KindCodeComplexDeletion,
+      KindCodeStaticCell, KindCodeStaticCell, KindCodeCell,
+      KindCodeStaticCell))
+    assert(got.map(_.columnName) ===
+      List("", "s0", "stags", "stags", "stags", "c0", "stags"))
+    assert(got.map(_.clustering) === List(StaticClustering,
+      StaticClustering, StaticClustering, StaticClustering,
+      StaticClustering, 3L, StaticClustering))
+    assert(got.map(_.timestampUs) ===
+      List(1200L, 1111L, 1500L, 2000L, 2001L, 3000L, 4000L))
+    assert(got.map(_.sizeBytes) === List(0L, 2L, 0L, 1L, 2L, 1L, 1L))
+    val cdel = got(2)
+    assert(cdel.isTombstone && !cdel.isLive &&
+      cdel.localDeletionTimeS === 444L)
+    // the two partitions' keys arrive in order
+    assert(got.map(e => java.nio.ByteBuffer.wrap(e.key).getLong).distinct
+      === List(1L, 2L))
+  }
+
   test("the DSv2 cassandra scan serves the feature set's typed kinds " +
       "through the production path (header from Statistics.db)") {
     import graft.sources.datadb.DataDbFormat

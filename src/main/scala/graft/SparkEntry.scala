@@ -597,6 +597,11 @@ object SparkEntry {
     // the in-memory q89
     "q118_sim_ivf_persisted" -> ((s, d) =>
       Similarity.ivfSearchPersisted(s, d)),
+    // product quantization + asymmetric-distance top-k: per-subspace
+    // codebooks (q88's exact Lloyd's rules), narrow m-argmin encoding,
+    // per-query literal m×k lookup tables — integer-exact, so training,
+    // encoding AND the ADC scores all replay in the oracle
+    "q126_sim_pq_adc" -> ((s, d) => Similarity.pqSearch(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
     // SemDeDup-style semantic dedup: deterministic centroid assignment,

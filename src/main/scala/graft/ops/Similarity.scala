@@ -415,4 +415,163 @@ object Similarity {
         col("neighbor_id"), col("qb"), col("nb2"))
     ivfQuery(cands, ivfProbes(spark, dir, nQueries, nprobe, kCentroids), k)
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** PRODUCT QUANTIZATION (Jégou, Douze, Schmid — "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the storage-side
+    * compression every 100 TB embedding corpus needs. The vector is split
+    * into `m` subvectors; each subspace trains its own tiny k-means
+    * codebook; a vector's code is its `m` nearest-subcentroid ids (64
+    * float32 dims → m=4 single-byte ids, a 64× compression), and queries
+    * score candidates WITHOUT decompression via ASYMMETRIC DISTANCE
+    * (ADC): per query, an exact m×k table of subspace distances to every
+    * codebook centroid; a candidate's approximate d2 is the sum of its m
+    * table entries.
+    *
+    * Integer-exact end to end on the same quantized grid as q88 — the
+    * per-subspace Lloyd's trace, the encoding argmin and every ADC score
+    * are bigint, so the DuckDB oracle replays training, encoding AND
+    * scoring bit-for-bit.
+    *
+    * Scale shape: training reuses the narrow literal-centroid fold per
+    * subspace (the only exchange is the m·k·subdim-key update aggregate);
+    * ENCODING is one fully narrow pass (m argmin folds per row, codegen);
+    * SCORING rides the plan as per-query m×k literal lookup maps — zero
+    * joins, zero shuffle until the per-query top-k window. A 100 TB
+    * corpus keeps only the n×m byte codes hot (the inverted-file layout
+    * of [[ensureIvfIndex]] composes: IVF-PQ), and a query touches no
+    * float data at all. */
+
+  /** Per-subspace slice of the quantized table:
+    * (vec_id, s, sv, sn2) for s in 0 until m. */
+  private def subVectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs
+      .select(col("vec_id"), col("qv"),
+        explode(typedLit((0 until m).toList)).as("s"))
+      .withColumn("sv", slice(col("qv"), col("s") * subDim + 1, lit(subDim)))
+      .withColumn("sn2", GraftFunctions.dotI64(col("sv"), col("sv")))
+      .select("vec_id", "s", "sv", "sn2")
+
+  /** Narrow per-subspace argmin: the row's subspace picks its own literal
+    * centroid array via element_at over an array-of-arrays — same
+    * (d2, cid) struct-min tie rule as [[assignTo]], zero shuffle. */
+  private def pqAssign(sub: DataFrame,
+      books: Seq[(Int, Long, Seq[Long])], m: Int): DataFrame = {
+    val perS = (0 until m).map { s =>
+      centArray(books.filter(_._1 == s).map(b => (b._2, b._3)))
+    }
+    sub
+      .withColumn("best", array_min(transform(
+        element_at(array(perS: _*), col("s") + 1), c =>
+          struct(
+            (col("sn2") + c.getField("cn2") -
+              lit(2L) * GraftFunctions.dotI64(col("sv"), c.getField("cv")))
+              .as("d2"),
+            c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("s"), col("sv"), col("sn2"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
+
+  /** Session-memoized codebooks ((s, cid, centroid) — m·k·subdim longs,
+    * KBs). Per-subspace Lloyd's with the exact q88 rules: init = the k
+    * smallest vec_ids' subvectors, floored-integer centroid updates, so
+    * m=1 degenerates to [[kmeansCentroids]] verbatim (spec-pinned). */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Seq[(Int, Long, Seq[Long])])]()
+
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 8, iters: Int = 2)
+      : (Int, Seq[(Int, Long, Seq[Long])]) = {
+    val memoKey = s"${PlanCache.sessionKey(spark)}|$dir|pq|$m|$k|$iters"
+    val hit = pqMemo.get(memoKey)
+    if (hit != null) return hit
+    GraftFunctions.ensureRegistered(spark)
+    val vecs = quantized(spark, dir).select("vec_id", "qv")
+    val dim = vecs.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val sub = subVectors(vecs, m, subDim)
+    var books: Seq[(Int, Long, Seq[Long])] = sub.where(col("vec_id") < k)
+      .orderBy("s", "vec_id").collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Long](2).toVector))
+      .toSeq
+    for (_ <- 1 to iters) {
+      books = pqAssign(sub, books, m)
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "cid", "pos")
+        .agg(sum("v").as("vs"), count(lit(1)).as("n"))
+        .withColumn("cvp", floor(col("vs") / col("n")))
+        .groupBy("s", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cvp))), " +
+          "x -> x.cvp)").as("cv"))
+        .orderBy("s", "cid")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toVector))
+        .toSeq
+    }
+    val out = (subDim, books)
+    pqMemo.put(memoKey, out)
+    out
+  }
+
+  /** q126: PQ-ADC top-k. Candidates encode narrowly (m argmin folds, all
+    * literal centroids); each query's m×k exact distance table is
+    * computed on the driver from the collected query subvectors (nQueries
+    * × m rows — tiny) and rides the plan as literal lookup maps; the
+    * approximate distance is a pure column sum of m map lookups. The ONLY
+    * exchange in the whole query is the final per-query top-k window.
+    * Output: (query_id, rank, neighbor_id, adc_d2), integer-exact. */
+  def pqSearch(spark: SparkSession, dir: String, m: Int = 4, k: Int = 8,
+      nQueries: Int = 8, topK: Int = 10): DataFrame = {
+    val (subDim, books) = pqCodebooks(spark, dir, m, k)
+    val vecs = quantized(spark, dir).select("vec_id", "qv")
+    // query subvectors: nQueries × m rows — driver-sized by construction
+    val qsubs = subVectors(vecs.where(col("vec_id") < nQueries), m, subDim)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Long](2).toVector, r.getLong(3)))
+    // exact per-query subspace distance tables: (q, s) -> Map(cid -> d2)
+    val dtab: Map[(Long, Int), Map[Long, Long]] = qsubs.map {
+      case (qid, s, sv, sn2) =>
+        (qid, s) -> books.filter(_._1 == s).map { case (_, cid, cv) =>
+          val cn2 = cv.map(v => v * v).sum
+          val dot = sv.lazyZip(cv).map(_ * _).sum
+          cid -> (sn2 + cn2 - 2L * dot)
+        }.toMap
+    }.toMap
+    val qids = qsubs.map(_._1).distinct.sorted
+    // narrow candidate encoding: one argmin fold per subspace, no explode
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("qv"), s * subDim + 1, subDim)
+      val sn2 = GraftFunctions.dotI64(sv, sv)
+      array_min(transform(
+        centArray(books.filter(_._1 == s).map(b => (b._2, b._3))), c =>
+          struct(
+            (sn2 + c.getField("cn2") -
+              lit(2L) * GraftFunctions.dotI64(sv, c.getField("cv"))).as("d2"),
+            c.getField("cid").as("cid")))).getField("cid").as(s"code_$s")
+    }
+    val coded = vecs.where(col("vec_id") >= nQueries)
+      .select(col("vec_id") +: codeCols: _*)
+    // ADC per query: sum of m literal map lookups on the code columns
+    val adcStructs = qids.map { qid =>
+      val adc = (0 until m).map { s =>
+        element_at(typedLit(dtab((qid, s))), col(s"code_$s"))
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc_d2"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    coded
+      .select(col("vec_id").as("neighbor_id"),
+        explode(array(adcStructs: _*)).as("qa"))
+      .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
+        col("qa.adc_d2").as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+      .orderBy("query_id", "rank")
+  }
 }

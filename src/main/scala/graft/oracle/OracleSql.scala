@@ -2729,6 +2729,77 @@ FROM ranked WHERE rank <= 10 ORDER BY 1, 3""",
     // with partition pruning) — same oracle derivation.
     "q118_sim_ivf_persisted" -> ivfKmeansSql,
 
+    // q126: product quantization + ADC — the full pipeline replayed:
+    // per-subspace 2-iteration Lloyd's (m=4 subspaces of 16 dims, seeds =
+    // the 8 smallest vec_ids' subvectors, q88's floor-mean + (d2, cid)
+    // tie rules), candidate encoding by per-subspace argmin under the
+    // trained codebooks, per-query exact subspace distance tables, ADC =
+    // sum of the m table entries, top-10 per query by (adc_d2, vec_id).
+    "q126_sim_pq_adc" -> s"""WITH $quantized,
+sub0 AS (SELECT vec_id, s, list_slice(qv, s*16+1, s*16+16) AS sv
+  FROM qn, UNNEST([0, 1, 2, 3]) AS t(s)),
+subn AS (SELECT vec_id, s, sv,
+  CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS sn2
+  FROM sub0),
+pc0 AS (SELECT s, vec_id AS cid, sv AS cv, sn2 AS cn2
+  FROM subn WHERE vec_id < 8),
+pd1 AS (
+  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM subn q JOIN pc0 c ON q.s = c.s),
+pa1 AS (SELECT vec_id, s, sv, sn2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM pd1) WHERE rn = 1),
+pu1 AS (SELECT s, cid, pos,
+    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT s, cid, UNNEST(sv) AS v,
+          UNNEST(range(1, len(sv) + 1)) AS pos FROM pa1)
+  GROUP BY 1, 2, 3),
+pc1l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
+  FROM pu1 GROUP BY s, cid),
+pc1 AS (SELECT s, cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM pc1l),
+pd2 AS (
+  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM subn q JOIN pc1 c ON q.s = c.s),
+pa2 AS (SELECT vec_id, s, sv, sn2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM pd2) WHERE rn = 1),
+pu2 AS (SELECT s, cid, pos,
+    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT s, cid, UNNEST(sv) AS v,
+          UNNEST(range(1, len(sv) + 1)) AS pos FROM pa2)
+  GROUP BY 1, 2, 3),
+pc2l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
+  FROM pu2 GROUP BY s, cid),
+pc2 AS (SELECT s, cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM pc2l),
+pd3 AS (
+  SELECT q.vec_id, q.s, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM subn q JOIN pc2 c ON q.s = c.s),
+codes AS (SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM pd3 WHERE vec_id >= 8) WHERE rn = 1),
+qtab AS (SELECT vec_id AS qid, s, cid, d2 AS dq
+  FROM pd3 WHERE vec_id < 8),
+adc AS (
+  SELECT t.qid AS query_id, x.vec_id AS neighbor_id,
+    CAST(SUM(t.dq) AS BIGINT) AS adc_d2
+  FROM codes x JOIN qtab t ON x.s = t.s AND x.cid = t.cid
+  GROUP BY 1, 2)
+SELECT query_id,
+  CAST(rn AS BIGINT) AS rank, neighbor_id, adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+WHERE rn <= 10 ORDER BY query_id, rank""",
+
     // q82: partition counts from parquet; the size decomposition is pinned
     // by the Spark-side tiling invariant (sum(size)==data_length, sizes>0),
     // asserted here as the constant it must equal — same class as q79's

@@ -1012,6 +1012,67 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("size")).sum === vecs.length.toLong)
   }
 
+  test("product quantization: m=1 degenerates to kmeans exactly; ADC " +
+      "equals distance-to-assigned-centroid; default plan is join-free") {
+    // (a) with one subspace the per-subspace Lloyd's IS q88's k-means:
+    // identical seeds, tie rule and floor-mean updates
+    val (subDim, books1) = Similarity.pqCodebooks(spark, Sf0001, m = 1)
+    val km = Similarity.kmeansCentroids(spark, Sf0001)
+    assert(subDim === 64)
+    assert(books1.map(b => (b._2, b._3)) === km)
+
+    // (b) m=1 ADC(q, x) must equal the exact d2 from q to x's assigned
+    // centroid — replayed on the driver from the collected vectors
+    val vecs = Similarity.quantized(spark, Sf0001)
+      .select("vec_id", "qv", "norm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    def d2(qv: Array[Long], n2: Long, cv: Seq[Long]): Long = {
+      val cn2 = cv.map(x => x * x).sum
+      val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+      n2 + cn2 - 2 * dot
+    }
+    val codeOf = vecs.map { case (id, qv, n2) =>
+      id -> km.map { case (cid, cv) => (d2(qv, n2, cv), cid) }.min._2
+    }.toMap
+    val centById = km.toMap
+    val expect = vecs.filter(_._1 < 8).flatMap { case (qid, qqv, qn2) =>
+      vecs.filter(_._1 >= 8).map { case (xid, _, _) =>
+        (qid, xid) -> d2(qqv, qn2, centById(codeOf(xid)))
+      }
+    }.toMap
+    val adc1 = Similarity.pqSearch(spark, Sf0001, m = 1).collect()
+    assert(adc1.nonEmpty)
+    adc1.foreach { r =>
+      assert(r.getAs[Long]("adc_d2") === expect(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    }
+
+    // (c) the default m=4 search: join-free plan (codebooks and query
+    // tables ride as literals), well-formed per-query ranks, and the
+    // approximation overlaps brute force
+    val pq = Similarity.pqSearch(spark, Sf0001)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in PQ plan:\n${plan.take(1500)}")
+    val rows = pq.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 8)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to 10L).toSeq)
+    }
+    val bf = Similarity.bruteForceTopK(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.map(_.getAs[Long]("neighbor_id")).toSet
+      }
+    val overlap = rows.count { r =>
+      bf.getOrElse(r.getAs[Long]("query_id"), Set.empty)(
+        r.getAs[Long]("neighbor_id"))
+    }
+    assert(overlap > 0, s"no PQ/brute-force overlap in ${rows.length} hits")
+  }
+
   test("persisted ivf index: identical results to the in-memory form; " +
       "queries prune to the probed buckets' partitions") {
     val mem = Similarity.ivfSearch(spark, Sf0001).collect().map(_.toSeq).toSeq

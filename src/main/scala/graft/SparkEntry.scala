@@ -602,6 +602,11 @@ object SparkEntry {
     // per-query literal m×k lookup tables — integer-exact, so training,
     // encoding AND the ADC scores all replay in the oracle
     "q126_sim_pq_adc" -> ((s, d) => Similarity.pqSearch(s, d)),
+    // IVF-PQ (IVFADC): coarse quantizer prunes to the probed buckets,
+    // RESIDUAL product codes score via per-bucket ADC tables — the
+    // composition a production vector store runs; training, residual
+    // encoding and every score replay in the oracle
+    "q127_sim_ivfpq" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
     // SemDeDup-style semantic dedup: deterministic centroid assignment,

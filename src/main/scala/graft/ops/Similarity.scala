@@ -480,18 +480,10 @@ object Similarity {
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Int, Seq[(Int, Long, Seq[Long])])]()
 
-  private[graft] def pqCodebooks(spark: SparkSession, dir: String,
-      m: Int = 4, k: Int = 8, iters: Int = 2)
-      : (Int, Seq[(Int, Long, Seq[Long])]) = {
-    val memoKey = s"${PlanCache.sessionKey(spark)}|$dir|pq|$m|$k|$iters"
-    val hit = pqMemo.get(memoKey)
-    if (hit != null) return hit
-    GraftFunctions.ensureRegistered(spark)
-    val vecs = quantized(spark, dir).select("vec_id", "qv")
-    val dim = vecs.select(size(col("qv"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val subDim = dim / m
-    val sub = subVectors(vecs, m, subDim)
+  /** The shared per-subspace Lloyd's loop: `sub` must carry
+    * (vec_id, s, sv, sn2); q88's exact rules per subspace. */
+  private def pqTrain(sub: DataFrame, m: Int, k: Int, iters: Int)
+      : Seq[(Int, Long, Seq[Long])] = {
     var books: Seq[(Int, Long, Seq[Long])] = sub.where(col("vec_id") < k)
       .orderBy("s", "vec_id").collect()
       .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Long](2).toVector))
@@ -510,7 +502,21 @@ object Similarity {
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toVector))
         .toSeq
     }
-    val out = (subDim, books)
+    books
+  }
+
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 8, iters: Int = 2)
+      : (Int, Seq[(Int, Long, Seq[Long])]) = {
+    val memoKey = s"${PlanCache.sessionKey(spark)}|$dir|pq|$m|$k|$iters"
+    val hit = pqMemo.get(memoKey)
+    if (hit != null) return hit
+    GraftFunctions.ensureRegistered(spark)
+    val vecs = quantized(spark, dir).select("vec_id", "qv")
+    val dim = vecs.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val out = (subDim, pqTrain(subVectors(vecs, m, subDim), m, k, iters))
     pqMemo.put(memoKey, out)
     out
   }
@@ -568,6 +574,135 @@ object Similarity {
         explode(array(adcStructs: _*)).as("qa"))
       .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
         col("qa.adc_d2").as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** Residual of each vector against its assigned coarse centroid —
+    * the quantity IVFADC's codebooks are trained on and its codes
+    * encode (Jégou et al. 2011 §IV: quantize r = x − c(x), not x; the
+    * residual distribution is much tighter than the raw one, so the
+    * same codebook budget buys far less distortion). Integer-exact:
+    * differences of bigints. Narrow: the coarse centroids ride the
+    * plan both as the argmin array and as a cid→vector literal map. */
+  private def residuals(vecs: DataFrame,
+      coarse: Seq[(Long, Seq[Long])]): DataFrame = {
+    val centMap = typedLit(coarse.map { case (cid, cv) => cid -> cv }.toMap)
+    assignTo(vecs, coarse)
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(centMap, col("cid")), (a, b) => a - b))
+      .withColumn("rn2", GraftFunctions.dotI64(col("rv"), col("rv")))
+      .select(col("vec_id"), col("cid").as("bucket"),
+        col("rv"), col("rn2"))
+  }
+
+  /** Session-memoized RESIDUAL codebooks: the coarse quantizer is q88's
+    * k-means; the per-subspace Lloyd's then runs over the residuals of
+    * the whole corpus (training set = corpus — deterministic, no
+    * sampling), with the exact q88 rules. */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Seq[(Int, Long, Seq[Long])])]()
+
+  private[graft] def ivfPqCodebooks(spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 8, kCentroids: Int = 8, iters: Int = 2)
+      : (Int, Seq[(Int, Long, Seq[Long])]) = {
+    val memoKey =
+      s"${PlanCache.sessionKey(spark)}|$dir|ivfpq|$m|$k|$kCentroids|$iters"
+    val hit = ivfPqMemo.get(memoKey)
+    if (hit != null) return hit
+    GraftFunctions.ensureRegistered(spark)
+    val coarse = kmeansCentroids(spark, dir, kCentroids)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    val dim = vecs.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val res = residuals(vecs, coarse)
+      .select(col("vec_id"), col("rv").as("qv"))
+    val out = (subDim, pqTrain(subVectors(res, m, subDim), m, k, iters))
+    ivfPqMemo.put(memoKey, out)
+    out
+  }
+
+  /** q127: IVF-PQ — the IVFADC composition a production vector store
+    * runs at 100 TB (coarse quantizer prunes to nprobe/kCentroids of
+    * the corpus; residual PQ codes are all a candidate stores — 8 B id
+    * + m code bytes; ADC scores candidates without touching any float
+    * data). Encoding is one narrow pass (coarse argmin → literal-map
+    * residual → m residual argmins); each query's per-probed-bucket
+    * m×k residual distance tables are exact driver-side integers riding
+    * the plan as one literal map per query, so scoring is join-free and
+    * the only exchange is the final per-query top-k window. A candidate
+    * in an unprobed bucket never scores (its map lookup is null).
+    * Integer-exact end to end: coarse training, residual codebooks,
+    * codes AND every ADC score replay in the DuckDB oracle. */
+  def ivfPqSearch(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8, nprobe: Int = 2,
+      topK: Int = 10): DataFrame = {
+    require(m <= 16 && k <= 64, "ADC table key packing needs m<=16, k<=64")
+    val coarse = kmeansCentroids(spark, dir, kCentroids)
+    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    // candidate index rows: (bucket, neighbor_id, code_0..m-1) — narrow
+    val codeCols = (0 until m).map { s =>
+      val rsv = slice(col("rv"), s * subDim + 1, subDim)
+      val rsn2 = GraftFunctions.dotI64(rsv, rsv)
+      array_min(transform(
+        centArray(books.filter(_._1 == s).map(b => (b._2, b._3))), c =>
+          struct(
+            (rsn2 + c.getField("cn2") -
+              lit(2L) * GraftFunctions.dotI64(rsv, c.getField("cv")))
+              .as("d2"),
+            c.getField("cid").as("cid")))).getField("cid").as(s"code_$s")
+    }
+    val coded = residuals(vecs.where(col("vec_id") >= nQueries), coarse)
+      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
+        codeCols: _*)
+    // driver-side probes + ADC tables (nQueries × nprobe × m × k exact
+    // integers — KBs)
+    val queries = vecs.where(col("vec_id") < nQueries)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+    def d2To(qv: Seq[Long], n2: Long, cv: Seq[Long]): Long = {
+      val cn2 = cv.map(v => v * v).sum
+      val dot = qv.lazyZip(cv).map(_ * _).sum
+      n2 + cn2 - 2L * dot
+    }
+    val qids = queries.map(_._1)
+    val adcTabs: Map[Long, Map[Long, Long]] = queries.map {
+      case (qid, qv, n2) =>
+        val probed = coarse.map { case (cid, cv) => (d2To(qv, n2, cv), cid) }
+          .sorted.take(nprobe).map(_._2)
+        qid -> probed.flatMap { b =>
+          val bcv = coarse.find(_._1 == b).get._2
+          val rq = qv.lazyZip(bcv).map(_ - _)
+          (0 until m).flatMap { s =>
+            val rqs = rq.slice(s * subDim, (s + 1) * subDim)
+            val rqn2 = rqs.map(v => v * v).sum
+            books.filter(_._1 == s).map { case (_, cid, cv) =>
+              ((b * 16 + s) * 64 + cid) -> d2To(rqs, rqn2, cv)
+            }
+          }
+        }.toMap
+    }.toMap
+    val adcStructs = qids.map { qid =>
+      val adc = (0 until m).map { s =>
+        element_at(typedLit(adcTabs(qid)),
+          (col("bucket") * 16 + s) * 64 + col(s"code_$s"))
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc_d2"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    coded
+      .select(col("neighbor_id"), explode(array(adcStructs: _*)).as("qa"))
+      .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
+        col("qa.adc_d2").as("adc_d2"))
+      .where(col("adc_d2").isNotNull) // unprobed bucket → no score
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

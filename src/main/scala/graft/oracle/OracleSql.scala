@@ -2800,6 +2800,109 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
 WHERE rn <= 10 ORDER BY query_id, rank""",
 
+    // q127: IVF-PQ (IVFADC) replayed end to end — coarse k-means (the
+    // shared kmeansTrace), per-vector residuals against the assigned
+    // coarse centroid, per-subspace residual codebooks (2 Lloyd's
+    // iterations, q88's rules, seeds = the 8 smallest vec_ids' residual
+    // subvectors), candidate codes, per-query nprobe=2 coarse probes,
+    // and ADC = sum of exact residual-subspace distances from the
+    // query's per-bucket residual to each coded centroid. Top-10 per
+    // query by (adc_d2, vec_id) over the probed buckets only.
+    "q127_sim_ivfpq" -> s"""WITH $quantized, $kmeansTrace,
+asg AS (SELECT vec_id, qv, norm2, cid AS bucket FROM (
+    SELECT q.vec_id, q.qv, q.norm2, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM qn q CROSS JOIN c2 c) WHERE rn = 1),
+res AS (
+  SELECT a.vec_id, a.bucket,
+    list_transform(range(1, len(a.qv) + 1),
+      i -> a.qv[i] - c.cv[i]) AS rv
+  FROM asg a JOIN c2 c ON a.bucket = c.cid),
+rsub AS (SELECT vec_id, bucket, s,
+    list_slice(rv, s*16+1, s*16+16) AS sv
+  FROM res, UNNEST([0, 1, 2, 3]) AS t(s)),
+rsubn AS (SELECT vec_id, bucket, s, sv,
+  CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS sn2
+  FROM rsub),
+rpc0 AS (SELECT s, vec_id AS cid, sv AS cv, sn2 AS cn2
+  FROM rsubn WHERE vec_id < 8),
+rpd1 AS (
+  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM rsubn q JOIN rpc0 c ON q.s = c.s),
+rpa1 AS (SELECT vec_id, s, sv, sn2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM rpd1) WHERE rn = 1),
+rpu1 AS (SELECT s, cid, pos,
+    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT s, cid, UNNEST(sv) AS v,
+          UNNEST(range(1, len(sv) + 1)) AS pos FROM rpa1)
+  GROUP BY 1, 2, 3),
+rpc1l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
+  FROM rpu1 GROUP BY s, cid),
+rpc1 AS (SELECT s, cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM rpc1l),
+rpd2 AS (
+  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM rsubn q JOIN rpc1 c ON q.s = c.s),
+rpa2 AS (SELECT vec_id, s, sv, sn2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM rpd2) WHERE rn = 1),
+rpu2 AS (SELECT s, cid, pos,
+    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT s, cid, UNNEST(sv) AS v,
+          UNNEST(range(1, len(sv) + 1)) AS pos FROM rpa2)
+  GROUP BY 1, 2, 3),
+rpc2l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
+  FROM rpu2 GROUP BY s, cid),
+rpc2 AS (SELECT s, cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM rpc2l),
+codes AS (SELECT vec_id, bucket, s, cid FROM (
+    SELECT q.vec_id, q.bucket, q.s, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id, q.s ORDER BY
+        q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM rsubn q JOIN rpc2 c ON q.s = c.s WHERE q.vec_id >= 8)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, qv, cid AS bucket FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+          range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT),
+        c.cid) AS rn
+    FROM qn q CROSS JOIN c2 c WHERE q.vec_id < 8) WHERE rn <= 2),
+qres AS (
+  SELECT p.qid, p.bucket, s,
+    list_slice(list_transform(range(1, len(p.qv) + 1),
+      i -> p.qv[i] - c.cv[i]), s*16+1, s*16+16) AS sv
+  FROM probes p JOIN c2 c ON p.bucket = c.cid,
+    UNNEST([0, 1, 2, 3]) AS t(s)),
+qtab AS (
+  SELECT q.qid, q.bucket, q.s, c.cid,
+    CAST(list_sum(list_transform(q.sv, x -> x * x)) AS BIGINT) + c.cn2
+      - 2 * CAST(list_sum(list_transform(
+        range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS dq
+  FROM qres q JOIN rpc2 c ON q.s = c.s),
+adc AS (
+  SELECT t.qid AS query_id, x.vec_id AS neighbor_id,
+    CAST(SUM(t.dq) AS BIGINT) AS adc_d2
+  FROM codes x JOIN qtab t
+    ON x.bucket = t.bucket AND x.s = t.s AND x.cid = t.cid
+  GROUP BY 1, 2)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+WHERE rn <= 10 ORDER BY query_id, rank""",
+
     // q82: partition counts from parquet; the size decomposition is pinned
     // by the Spark-side tiling invariant (sum(size)==data_length, sizes>0),
     // asserted here as the constant it must equal — same class as q79's

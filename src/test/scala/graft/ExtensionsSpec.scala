@@ -1073,6 +1073,72 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap > 0, s"no PQ/brute-force overlap in ${rows.length} hits")
   }
 
+  test("ivf-pq: distributed IVFADC == full driver replay (coarse assign, " +
+      "residual codes, probed-bucket ADC); scoring plan is join-free") {
+    val out = Similarity.ivfPqSearch(spark, Sf0001)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join in IVF-PQ plan:\n${plan.take(1500)}")
+    val rows = out.collect()
+
+    // independent driver replay from the collected vectors
+    val vecs = Similarity.quantized(spark, Sf0001)
+      .select("vec_id", "qv", "norm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+      .sortBy(_._1)
+    val coarse = Similarity.kmeansCentroids(spark, Sf0001)
+    val (subDim, books) = Similarity.ivfPqCodebooks(spark, Sf0001)
+    def d2(qv: Seq[Long], cv: Seq[Long]): Long = {
+      val diff = qv.lazyZip(cv).map(_ - _)
+      diff.map(v => v * v).sum
+    }
+    val bucketOf = vecs.map { case (id, qv, _) =>
+      id -> coarse.map { case (cid, cv) => (d2(qv, cv), cid) }.min._2
+    }.toMap
+    val coarseById = coarse.toMap
+    // residual codes for candidates
+    def codesOf(id: Long, qv: Seq[Long]): Seq[Long] = {
+      val rv = qv.lazyZip(coarseById(bucketOf(id))).map(_ - _)
+      (0 until 4).map { s =>
+        val rsv = rv.slice(s * subDim, (s + 1) * subDim)
+        books.filter(_._1 == s)
+          .map { case (_, cid, cv) => (d2(rsv, cv), cid) }.min._2
+      }
+    }
+    val bookById = books.map { case (s, cid, cv) => (s, cid) -> cv }.toMap
+    val expect = vecs.filter(_._1 < 8).flatMap { case (qid, qqv, _) =>
+      val probed = coarse.map { case (cid, cv) => (d2(qqv, cv), cid) }
+        .sorted.take(2).map(_._2).toSet
+      vecs.filter(v => v._1 >= 8 && probed(bucketOf(v._1)))
+        .map { case (xid, xqv, _) =>
+          val b = bucketOf(xid)
+          val rq = qqv.lazyZip(coarseById(b)).map(_ - _)
+          val adc = codesOf(xid, xqv).zipWithIndex.map { case (cid, s) =>
+            d2(rq.slice(s * subDim, (s + 1) * subDim), bookById((s, cid)))
+          }.sum
+          (qid, xid, adc)
+        }
+    }
+    val expectTop = expect.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      cs.sortBy(c => (c._3, c._2)).take(10).zipWithIndex.map {
+        case ((_, xid, adc), i) => (qid, i + 1L, xid, adc)
+      }
+    }.toSet
+    assert(rows.length === expectTop.size)
+    rows.foreach { r =>
+      assert(expectTop((r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_d2"))),
+        s"row not in replay: $r")
+    }
+    // every hit really is in a probed bucket
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val qqv = vecs.find(_._1 == qid).get._2
+      val probed = coarse.map { case (cid, cv) => (d2(qqv, cv), cid) }
+        .sorted.take(2).map(_._2).toSet
+      assert(probed(bucketOf(r.getAs[Long]("neighbor_id"))))
+    }
+  }
+
   test("persisted ivf index: identical results to the in-memory form; " +
       "queries prune to the probed buckets' partitions") {
     val mem = Similarity.ivfSearch(spark, Sf0001).collect().map(_.toSeq).toSeq

@@ -98,6 +98,7 @@ object Bench {
       graft.sources.datadb.CassandraDataFixture.ensureFiles(spark, sfDir,
         compressed = true)
       graft.sources.datadb.CassandraDataFixture.ensureFeatureFiles(spark, sfDir)
+      graft.sources.datadb.CassandraDataFixture.ensureStaticComplexFiles(spark, sfDir)
       graft.sources.datadb.CassandraDataFixture.ensureMultiCodecFiles(spark, sfDir)
       graft.sources.datadb.CassandraDataFixture.ensureWideFiles(spark, sfDir)
       graft.sources.bti.BtiFixture.ensureFiles(spark, sfDir)

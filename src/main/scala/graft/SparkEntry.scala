@@ -607,6 +607,12 @@ object SparkEntry {
     // composition a production vector store runs; training, residual
     // encoding and every score replay in the oracle
     "q127_sim_ivfpq" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
+    // IVF-PQ over the PERSISTED code index (8 B id + 4 code bytes per
+    // candidate, bucket-partitioned): the probed buckets are known
+    // before the scan, so only their files are read — identical
+    // relation to the in-memory q127
+    "q128_sim_ivfpq_persisted" ->
+      ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),
     // SemDeDup-style semantic dedup: deterministic centroid assignment,

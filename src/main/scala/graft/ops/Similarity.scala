@@ -640,15 +640,11 @@ object Similarity {
     * in an unprobed bucket never scores (its map lookup is null).
     * Integer-exact end to end: coarse training, residual codebooks,
     * codes AND every ADC score replay in the DuckDB oracle. */
-  def ivfPqSearch(spark: SparkSession, dir: String, m: Int = 4,
-      k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8, nprobe: Int = 2,
-      topK: Int = 10): DataFrame = {
-    require(m <= 16 && k <= 64, "ADC table key packing needs m<=16, k<=64")
-    val coarse = kmeansCentroids(spark, dir, kCentroids)
-    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
-    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
-    // candidate index rows: (bucket, neighbor_id, code_0..m-1) — narrow
-    val codeCols = (0 until m).map { s =>
+  /** The narrow candidate-encoding columns: per-subspace residual
+    * argmin under the literal codebooks. */
+  private def ivfPqCodeCols(subDim: Int, m: Int,
+      books: Seq[(Int, Long, Seq[Long])]): Seq[Column] =
+    (0 until m).map { s =>
       val rsv = slice(col("rv"), s * subDim + 1, subDim)
       val rsn2 = GraftFunctions.dotI64(rsv, rsv)
       array_min(transform(
@@ -659,12 +655,16 @@ object Similarity {
               .as("d2"),
             c.getField("cid").as("cid")))).getField("cid").as(s"code_$s")
     }
-    val coded = residuals(vecs.where(col("vec_id") >= nQueries), coarse)
-      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
-        codeCols: _*)
-    // driver-side probes + ADC tables (nQueries × nprobe × m × k exact
-    // integers — KBs)
-    val queries = vecs.where(col("vec_id") < nQueries)
+
+  /** Driver-side query prep: per query, the nprobe nearest coarse
+    * buckets and the packed per-bucket m×k residual ADC table
+    * (nQueries × nprobe × m × k exact integers — KBs). */
+  private def ivfPqQueryTables(spark: SparkSession, dir: String,
+      subDim: Int, m: Int, coarse: Seq[(Long, Seq[Long])],
+      books: Seq[(Int, Long, Seq[Long])], nQueries: Int, nprobe: Int)
+      : (Seq[Long], Map[Long, Map[Long, Long]], Seq[Long]) = {
+    val queries = quantized(spark, dir).select("vec_id", "qv", "norm2")
+      .where(col("vec_id") < nQueries)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
     def d2To(qv: Seq[Long], n2: Long, cv: Seq[Long]): Long = {
@@ -672,7 +672,6 @@ object Similarity {
       val dot = qv.lazyZip(cv).map(_ * _).sum
       n2 + cn2 - 2L * dot
     }
-    val qids = queries.map(_._1)
     val adcTabs: Map[Long, Map[Long, Long]] = queries.map {
       case (qid, qv, n2) =>
         val probed = coarse.map { case (cid, cv) => (d2To(qv, n2, cv), cid) }
@@ -689,6 +688,15 @@ object Similarity {
           }
         }.toMap
     }.toMap
+    val probedUnion = adcTabs.values
+      .flatMap(_.keys.map(key => key / (16L * 64L))).toSeq.distinct.sorted
+    (queries.map(_._1), adcTabs, probedUnion)
+  }
+
+  /** The join-free ADC scoring + per-query top-k over an encoded
+    * candidate relation carrying (bucket, neighbor_id, code_0..m-1). */
+  private def ivfPqScore(coded: DataFrame, qids: Seq[Long],
+      adcTabs: Map[Long, Map[Long, Long]], m: Int, topK: Int): DataFrame = {
     val adcStructs = qids.map { qid =>
       val adc = (0 until m).map { s =>
         element_at(typedLit(adcTabs(qid)),
@@ -708,5 +716,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adc_d2"))
       .orderBy("query_id", "rank")
+  }
+
+  def ivfPqSearch(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8, nprobe: Int = 2,
+      topK: Int = 10): DataFrame = {
+    require(m <= 16 && k <= 64, "ADC table key packing needs m<=16, k<=64")
+    val coarse = kmeansCentroids(spark, dir, kCentroids)
+    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    val coded = residuals(vecs.where(col("vec_id") >= nQueries), coarse)
+      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
+        ivfPqCodeCols(subDim, m, books): _*)
+    val (qids, adcTabs, _) = ivfPqQueryTables(spark, dir, subDim, m,
+      coarse, books, nQueries, nprobe)
+    ivfPqScore(coded, qids, adcTabs, m, topK)
+  }
+
+  /** Session-memoized PERSISTED IVF-PQ index: all a 100 TB corpus keeps
+    * hot — (neighbor_id, m code ids) bucket-partitioned by coarse
+    * centroid. No floats, no raw vectors: 8 B id + m codes per row. */
+  private val ivfPqIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureIvfPqIndex(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8): String = {
+    val key =
+      s"${PlanCache.sessionKey(spark)}|$dir|ivfpqidx|$m|$k|$nQueries|$kCentroids"
+    val hit = ivfPqIndexMemo.get(key)
+    if (hit != null) return hit
+    val coarse = kmeansCentroids(spark, dir, kCentroids)
+    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
+    val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
+    val out = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-index")).toString
+    residuals(vecs.where(col("vec_id") >= nQueries), coarse)
+      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
+        ivfPqCodeCols(subDim, m, books): _*)
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    ivfPqIndexMemo.put(key, out)
+    out
+  }
+
+  /** q128: IVF-PQ over the PERSISTED code index — build once on disk,
+    * query many. The probed buckets are driver-known before the scan, so
+    * the query pushes a STATIC partition filter: only the probed
+    * buckets' files are ever read (file-level pruning, spec-pinned), and
+    * what is read is just ids + code bytes. Results are identical to the
+    * in-memory q127 (same oracle). */
+  def ivfPqSearchPersisted(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8, nprobe: Int = 2,
+      topK: Int = 10): DataFrame = {
+    require(m <= 16 && k <= 64, "ADC table key packing needs m<=16, k<=64")
+    val coarse = kmeansCentroids(spark, dir, kCentroids)
+    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
+    val (qids, adcTabs, probedUnion) = ivfPqQueryTables(spark, dir, subDim,
+      m, coarse, books, nQueries, nprobe)
+    val path = ensureIvfPqIndex(spark, dir, m, k, nQueries, kCentroids)
+    val coded = spark.read.parquet(path)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .where(col("bucket").isin(probedUnion: _*))
+    ivfPqScore(coded, qids, adcTabs, m, topK)
   }
 }

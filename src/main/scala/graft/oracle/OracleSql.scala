@@ -3214,6 +3214,9 @@ ORDER BY 1"""
     * function — so it shares q104's refit-and-rescore oracle verbatim. */
   val queries: Map[String, String] =
     base +
+      // q128 (persisted IVF-PQ) must reproduce q127's relation exactly —
+      // same codes, same probes, same ADC — so it shares its oracle.
+      ("q128_sim_ivfpq_persisted" -> base("q127_sim_ivfpq")) +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
       ("q125_static_complex_roundtrip" -> q125Sql) +

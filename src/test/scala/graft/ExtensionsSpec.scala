@@ -1139,6 +1139,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("persisted ivf-pq index: identical results to the in-memory form; " +
+      "scan prunes to the probed buckets; index stores only ids + codes") {
+    val mem = Similarity.ivfPqSearch(spark, Sf0001).collect()
+      .map(_.toSeq).toSeq
+    val persisted = Similarity.ivfPqSearchPersisted(spark, Sf0001)
+    assert(persisted.collect().map(_.toSeq).toSeq === mem)
+    // static partition filter: the scan carries bucket IN (...) at the
+    // partition level, so unprobed buckets' files are never read
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"no bucket partition pruning in plan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"))
+    // the on-disk index really is bucket-partitioned and carries only
+    // the id + m code columns — no floats, no raw vectors
+    val idx = new java.io.File(Similarity.ensureIvfPqIndex(spark, Sf0001))
+    assert(idx.listFiles().exists(_.getName.startsWith("bucket=")))
+    val cols = spark.read.parquet(idx.toString).schema.fieldNames.toSet
+    assert(cols === Set("bucket", "neighbor_id",
+      "code_0", "code_1", "code_2", "code_3"))
+  }
+
   test("persisted ivf index: identical results to the in-memory form; " +
       "queries prune to the probed buckets' partitions") {
     val mem = Similarity.ivfSearch(spark, Sf0001).collect().map(_.toSeq).toSeq

@@ -718,6 +718,22 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Encode a quantized vector relation (vec_id, qv, norm2) into IVF-PQ
+    * index rows (bucket, neighbor_id, code_0..m-1) under the TRAINED
+    * coarse + residual codebooks. Completely stateless and narrow (all
+    * codebooks are plan literals — no join, no aggregation), so the same
+    * encoder serves batch index builds AND streaming ingest of newly
+    * arriving vectors ([[graft.streaming.StreamingStats.pqEncodedVectors]]). */
+  private[graft] def ivfPqEncodeQuantized(spark: SparkSession, dir: String,
+      vecs: DataFrame, m: Int = 4, k: Int = 8, kCentroids: Int = 8)
+      : DataFrame = {
+    val coarse = kmeansCentroids(spark, dir, kCentroids)
+    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
+    residuals(vecs, coarse)
+      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
+        ivfPqCodeCols(subDim, m, books): _*)
+  }
+
   def ivfPqSearch(spark: SparkSession, dir: String, m: Int = 4,
       k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8, nprobe: Int = 2,
       topK: Int = 10): DataFrame = {
@@ -725,9 +741,8 @@ object Similarity {
     val coarse = kmeansCentroids(spark, dir, kCentroids)
     val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
     val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
-    val coded = residuals(vecs.where(col("vec_id") >= nQueries), coarse)
-      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
-        ivfPqCodeCols(subDim, m, books): _*)
+    val coded = ivfPqEncodeQuantized(spark, dir,
+      vecs.where(col("vec_id") >= nQueries), m, k, kCentroids)
     val (qids, adcTabs, _) = ivfPqQueryTables(spark, dir, subDim, m,
       coarse, books, nQueries, nprobe)
     ivfPqScore(coded, qids, adcTabs, m, topK)
@@ -745,14 +760,11 @@ object Similarity {
       s"${PlanCache.sessionKey(spark)}|$dir|ivfpqidx|$m|$k|$nQueries|$kCentroids"
     val hit = ivfPqIndexMemo.get(key)
     if (hit != null) return hit
-    val coarse = kmeansCentroids(spark, dir, kCentroids)
-    val (subDim, books) = ivfPqCodebooks(spark, dir, m, k, kCentroids)
     val vecs = quantized(spark, dir).select("vec_id", "qv", "norm2")
     val out = graft.sources.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft-ivfpq-index")).toString
-    residuals(vecs.where(col("vec_id") >= nQueries), coarse)
-      .select(col("bucket") +: col("vec_id").as("neighbor_id") +:
-        ivfPqCodeCols(subDim, m, books): _*)
+    ivfPqEncodeQuantized(spark, dir,
+      vecs.where(col("vec_id") >= nQueries), m, k, kCentroids)
       .write.mode("overwrite").partitionBy("bucket").parquet(out)
     ivfPqIndexMemo.put(key, out)
     out

@@ -143,6 +143,22 @@ object StreamingStats {
         floor(col("sum_bits") * 1000 / col("nb")).as("doc_x1000"))
   }
 
+  /** Streaming IVF-PQ ingest — INCREMENTAL vector indexing, the shape a
+    * production vector store runs: newly arriving embeddings are coarse-
+    * assigned and residual-PQ-encoded under the codebooks the batch path
+    * trained, then appended to the bucket-partitioned code index. The
+    * codebooks are STATIC plan literals, so the whole encode is a
+    * stateless narrow map — no join, no aggregation, no watermark, no
+    * streaming state at all (spec-asserted via the progress's state
+    * operators) — and the stream's codes are bit-identical to the batch
+    * encoder's for the same vectors. Model refresh = restart the sink
+    * with new literals; in-flight micro-batches are unaffected. */
+  def pqEncodedVectors(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame =
+    graft.ops.Similarity.ivfPqEncodeQuantized(spark, dir,
+      graft.ops.Similarity.quantize(emb)
+        .select(col("vec_id"), col("qv"), col("norm2")))
+
   /** Run hourlyCounts over `dir`/events.parquet to a memory sink until all
     * available data is processed (test/demo harness): stages the file into
     * a temp ingest directory, the shape a streaming deployment reads. */

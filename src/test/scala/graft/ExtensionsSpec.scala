@@ -427,6 +427,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.select("text_md5").distinct().count() === distinctTexts)
   }
 
+  test("streaming ivf-pq ingest: stream codes == batch codes, " +
+      "stateless narrow encode") {
+    import java.nio.file.{Files, Paths}
+    val ingest = Files.createTempDirectory("graft-pq-stream-")
+    Files.copy(Paths.get(s"$Sf0001/embeddings.parquet"),
+      ingest.resolve("embeddings.parquet"))
+    val schema = spark.read.parquet(ingest.toString).schema
+    val emb = spark.readStream.schema(schema).parquet(ingest.toString)
+    val q = graft.streaming.StreamingStats
+      .pqEncodedVectors(spark, Sf0001, emb)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // stateless: the encode carries NO streaming state operators
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"unexpected streaming state: ${q.lastProgress.stateOperators.toSeq}")
+    val streamed = spark.table("pq_stream")
+    // bit-identical to the batch encoder over the same vectors
+    val batch = graft.ops.Similarity.ivfPqEncodeQuantized(spark, Sf0001,
+      graft.ops.Similarity.quantized(spark, Sf0001)
+        .select("vec_id", "qv", "norm2"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming lm scoring == batch scoring (stream-static join)") {
     import java.nio.file.{Files, Paths}
     val ingest = Files.createTempDirectory("graft-lm-stream-")

@@ -202,7 +202,7 @@ object Bench {
     val probeQueries = Seq(
       "q20_dedup_exact" -> "dedup", "q22_dedup_minhash" -> "dedup",
       "q24_sim_topk" -> "ann", "q39_sim_ivf_ann" -> "ann",
-      "q126_sim_pq_adc" -> "ann",
+      "q130_sim_pq_adc" -> "ann",
       "q90_bpe_train" -> "bpe", "q98_bpe_apply" -> "bpe",
       "q26_text_quality" -> "text", "q28_token_totals" -> "text")
     val sf1Rows: Seq[(String, String, Double)] =

@@ -361,7 +361,7 @@ object SparkEntry {
     // row-codec rejection, closed): static multi-cell map column with
     // path-ordered cells and static complex deletions, per-column
     // modular sums against the oracle's replay of the variant's model
-    "q125_static_complex_roundtrip" ->
+    "q129_static_complex_roundtrip" ->
       ((s, d) => Integrity.staticComplexEvents(s, d)),
     // shadowing-aware purge: PARTITION_DELETION consumed as SEMANTICS —
     // cells with ts <= markedForDeleteAt are reclaimable, the fixture's
@@ -601,17 +601,17 @@ object SparkEntry {
     // codebooks (q88's exact Lloyd's rules), narrow m-argmin encoding,
     // per-query literal m×k lookup tables — integer-exact, so training,
     // encoding AND the ADC scores all replay in the oracle
-    "q126_sim_pq_adc" -> ((s, d) => Similarity.pqSearch(s, d)),
+    "q130_sim_pq_adc" -> ((s, d) => Similarity.pqSearch(s, d)),
     // IVF-PQ (IVFADC): coarse quantizer prunes to the probed buckets,
     // RESIDUAL product codes score via per-bucket ADC tables — the
     // composition a production vector store runs; training, residual
     // encoding and every score replay in the oracle
-    "q127_sim_ivfpq" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
+    "q131_sim_ivfpq" -> ((s, d) => Similarity.ivfPqSearch(s, d)),
     // IVF-PQ over the PERSISTED code index (8 B id + 4 code bytes per
     // candidate, bucket-partitioned): the probed buckets are known
     // before the scan, so only their files are read — identical
-    // relation to the in-memory q127
-    "q128_sim_ivfpq_persisted" ->
+    // relation to the in-memory q131
+    "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)
     "q65_repetition" -> ((s, d) => TextStats.repetition(s, d)),

@@ -267,7 +267,7 @@ object Integrity {
       .orderBy("sstable_id")
   }
 
-  /** q125: complex STATIC columns roundtripped through the real row
+  /** q129: complex STATIC columns roundtripped through the real row
     * codec — the last row-codec rejection, closed. The STATIC-COMPLEX
     * variant set ([[CassandraDataFixture.ensureStaticComplexFiles]])
     * carries a static map column (`stags`) next to a simple static

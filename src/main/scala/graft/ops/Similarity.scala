@@ -521,7 +521,7 @@ object Similarity {
     out
   }
 
-  /** q126: PQ-ADC top-k. Candidates encode narrowly (m argmin folds, all
+  /** q130: PQ-ADC top-k. Candidates encode narrowly (m argmin folds, all
     * literal centroids); each query's m×k exact distance table is
     * computed on the driver from the collected query subvectors (nQueries
     * × m rows — tiny) and rides the plan as literal lookup maps; the
@@ -628,7 +628,7 @@ object Similarity {
     out
   }
 
-  /** q127: IVF-PQ — the IVFADC composition a production vector store
+  /** q131: IVF-PQ — the IVFADC composition a production vector store
     * runs at 100 TB (coarse quantizer prunes to nprobe/kCentroids of
     * the corpus; residual PQ codes are all a candidate stores — 8 B id
     * + m code bytes; ADC scores candidates without touching any float
@@ -770,12 +770,12 @@ object Similarity {
     out
   }
 
-  /** q128: IVF-PQ over the PERSISTED code index — build once on disk,
+  /** q132: IVF-PQ over the PERSISTED code index — build once on disk,
     * query many. The probed buckets are driver-known before the scan, so
     * the query pushes a STATIC partition filter: only the probed
     * buckets' files are ever read (file-level pruning, spec-pinned), and
     * what is read is just ids + code bytes. Results are identical to the
-    * in-memory q127 (same oracle). */
+    * in-memory q131 (same oracle). */
   def ivfPqSearchPersisted(spark: SparkSession, dir: String, m: Int = 4,
       k: Int = 8, nQueries: Int = 8, kCentroids: Int = 8, nprobe: Int = 2,
       topK: Int = 10): DataFrame = {

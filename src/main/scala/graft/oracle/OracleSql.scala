@@ -2729,13 +2729,13 @@ FROM ranked WHERE rank <= 10 ORDER BY 1, 3""",
     // with partition pruning) — same oracle derivation.
     "q118_sim_ivf_persisted" -> ivfKmeansSql,
 
-    // q126: product quantization + ADC — the full pipeline replayed:
+    // q130: product quantization + ADC — the full pipeline replayed:
     // per-subspace 2-iteration Lloyd's (m=4 subspaces of 16 dims, seeds =
     // the 8 smallest vec_ids' subvectors, q88's floor-mean + (d2, cid)
     // tie rules), candidate encoding by per-subspace argmin under the
     // trained codebooks, per-query exact subspace distance tables, ADC =
     // sum of the m table entries, top-10 per query by (adc_d2, vec_id).
-    "q126_sim_pq_adc" -> s"""WITH $quantized,
+    "q130_sim_pq_adc" -> s"""WITH $quantized,
 sub0 AS (SELECT vec_id, s, list_slice(qv, s*16+1, s*16+16) AS sv
   FROM qn, UNNEST([0, 1, 2, 3]) AS t(s)),
 subn AS (SELECT vec_id, s, sv,
@@ -2800,7 +2800,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
 WHERE rn <= 10 ORDER BY query_id, rank""",
 
-    // q127: IVF-PQ (IVFADC) replayed end to end — coarse k-means (the
+    // q131: IVF-PQ (IVFADC) replayed end to end — coarse k-means (the
     // shared kmeansTrace), per-vector residuals against the assigned
     // coarse centroid, per-subspace residual codebooks (2 Lloyd's
     // iterations, q88's rules, seeds = the 8 smallest vec_ids' residual
@@ -2808,7 +2808,7 @@ WHERE rn <= 10 ORDER BY query_id, rank""",
     // and ADC = sum of exact residual-subspace distances from the
     // query's per-bucket residual to each coded centroid. Top-10 per
     // query by (adc_d2, vec_id) over the probed buckets only.
-    "q127_sim_ivfpq" -> s"""WITH $quantized, $kmeansTrace,
+    "q131_sim_ivfpq" -> s"""WITH $quantized, $kmeansTrace,
 asg AS (SELECT vec_id, qv, norm2, cid AS bucket FROM (
     SELECT q.vec_id, q.qv, q.norm2, c.cid,
       row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -3214,22 +3214,22 @@ ORDER BY 1"""
     * function — so it shares q104's refit-and-rescore oracle verbatim. */
   val queries: Map[String, String] =
     base +
-      // q128 (persisted IVF-PQ) must reproduce q127's relation exactly —
+      // q132 (persisted IVF-PQ) must reproduce q131's relation exactly —
       // same codes, same probes, same ADC — so it shares its oracle.
-      ("q128_sim_ivfpq_persisted" -> base("q127_sim_ivfpq")) +
+      ("q132_sim_ivfpq_persisted" -> base("q131_sim_ivfpq")) +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
-      ("q125_static_complex_roundtrip" -> q125Sql) +
+      ("q129_static_complex_roundtrip" -> q129Sql) +
       ("q121_shadowed_purge" -> q121Sql)
 
-  /** q125: the static-complex variant's deterministic model
+  /** q129: the static-complex variant's deterministic model
     * (CassandraDataFixture.writeStaticComplexAll) replayed from parquet:
     * per distinct l_orderkey k, sstable fs-(k%3), a static row with one
     * s0 cell (k%13 bytes, ts T0+k) and 1+k%2 stags cells ((k+i)%9
     * bytes, ts T0+k+3+i), pk liveness iff k%5==0, static complex
     * deletion iff k%7==0, and one regular c0 cell (k%17 bytes,
     * ts T0+k*2). */
-  private lazy val q125Sql: String = """WITH
+  private lazy val q129Sql: String = """WITH
 ks AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
 base AS (SELECT k, 'fs-' || (k % 3) AS sstable_id FROM ks)
 SELECT sstable_id,

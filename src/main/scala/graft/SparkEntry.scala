@@ -554,6 +554,10 @@ object SparkEntry {
     "q26_text_quality" -> ((s, d) => TextStats.quality(s, d)),
     "q27_lang_dist" -> ((s, d) => TextStats.langDistribution(s, d)),
     "q28_token_totals" -> ((s, d) => TextStats.tokenTotals(s, d)),
+    // bounded-state sketches: KMV distinct counting (the sketch IS the
+    // oracle-exact answer) and Misra-Gries-pruned exact heavy hitters
+    "q133_distinct_kmv" -> ((s, d) => Sketches.kmvDistinct(s, d)),
+    "q134_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
     "q29_doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(graft.sources.Tables.documents(s, d))),
     "q35_subword_counts" -> ((s, d) =>
@@ -611,6 +615,9 @@ object SparkEntry {
     // candidate, bucket-partitioned): the probed buckets are known
     // before the scan, so only their files are read — identical
     // relation to the in-memory q131
+    // scalar quantization (SQ8): per-dim 8-bit grid, dequantized-cosine
+    // shortlist, exact-dot re-rank
+    "q135_sim_sq8" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

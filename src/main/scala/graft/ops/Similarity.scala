@@ -790,4 +790,87 @@ object Similarity {
       .where(col("bucket").isin(probedUnion: _*))
     ivfPqScore(coded, qids, adcTabs, m, topK)
   }
+
+  /** Session-memoized per-dimension (min, span) of the candidate vectors —
+    * 2·dims longs, the entire SQ8 "model". */
+  private val sq8Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+
+  /** Per-dim min and span (max−min, floored at 1) over the CANDIDATE
+    * vectors, the scalar-quantizer training pass: one narrow posexplode →
+    * dims-key aggregate (map-side combined: the exchange carries
+    * dims·partitions rows), then an O(dims) collect. */
+  private[graft] def sq8MinSpan(spark: SparkSession, dir: String,
+      nQueries: Int = 8): Seq[(Long, Long)] = {
+    val key = s"${PlanCache.sessionKey(spark)}|$dir|sq8|$nQueries"
+    val hit = sq8Memo.get(key)
+    if (hit != null) return hit
+    val mm = quantized(spark, dir).where(col("vec_id") >= nQueries)
+      .select(posexplode(col("qv")).as(Seq("j", "v")))
+      .groupBy("j").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("j").collect()
+      .map(r => (r.getLong(1), math.max(1L, r.getLong(2) - r.getLong(1))))
+      .toSeq
+    sq8Memo.put(key, mm)
+    mm
+  }
+
+  /** q135: SCALAR QUANTIZATION (SQ8) top-k — the third classic
+    * vector-compression family next to PQ (q130) and IVF-PQ (q131): each
+    * dimension is independently quantized to an 8-bit code on its own
+    * [min, max] grid (code = ⌊(v−mn)·255/span⌋), 8× smaller than the int64
+    * vectors and 4× smaller than float32. Search is scan-decode-score: the
+    * approximate pass ranks candidates by cosine against the DEQUANTIZED
+    * grid point (all-integer decode: deq = mn + (code·span) div 255), a
+    * `shortlist`-sized head per query is then re-ranked by the EXACT
+    * integer dot — the standard refine step that restores exactness at the
+    * top. All arithmetic before the final cosine is int64-exact, so the
+    * DuckDB oracle replays the whole pipeline including the re-rank.
+    *
+    * Scale shape: the model is 2·dims driver longs embedded as plan
+    * literals (one tiny training aggregate, memoized); encode+decode+score
+    * is one narrow whole-stage-codegen pass over the candidates (no join —
+    * queries ride broadcast); the only exchange is the per-query top-N
+    * window on ≤ shortlist·queries rows. At 100 TB the store would hold
+    * the 1-byte codes and fetch exact vectors only for shortlist rows —
+    * here both live in one relation for oracle visibility. */
+  def sq8TopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, shortlist: Int = 32): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val mm = sq8MinSpan(spark, dir, nQueries)
+    val mnS = mm.map(_._1).mkString("array(", ",", ")")
+    val spanS = mm.map(_._2).mkString("array(", ",", ")")
+    val q = quantized(spark, dir)
+    val queries = q.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("norm2").as("na2"))
+    val cands = q.where(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("norm2").as("nb2"))
+      // fused encode→decode: deq = mn + (⌊(v−mn)·255/span⌋·span) div 255.
+      // v−mn ≥ 0 and span ≥ 1, so both `div`s are floor — engine-exact.
+      .withColumn("deq", expr(
+        s"transform(qb, (v, j) -> element_at($mnS, j+1) + " +
+          s"((((v - element_at($mnS, j+1)) * 255) div element_at($spanS, j+1))" +
+          s" * element_at($spanS, j+1)) div 255)"))
+      .withColumn("nb2q", expr(
+        "aggregate(deq, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("cos_q"), asc("neighbor_id"))
+    val wx = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands
+      .join(broadcast(queries))
+      .withColumn("cos_q", dot(col("qa"), col("deq")).cast("double") /
+        sqrt((col("na2") * col("nb2q")).cast("double")))
+      .withColumn("apx_rank", row_number().over(wq))
+      .where(col("apx_rank") <= shortlist)
+      .withColumn("cos", dot(col("qa"), col("qb")).cast("double") /
+        sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("rank", row_number().over(wx))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
 }

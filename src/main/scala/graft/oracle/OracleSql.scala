@@ -1519,6 +1519,44 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
   CAST(floor(SUM(token_count) / COUNT(*)) AS BIGINT) AS tokens_per_doc
 FROM t GROUP BY 1 ORDER BY 1""",
 
+    // q133: the KMV estimator replayed exactly — the k minimum distinct
+    // h60 hashes per language via a ranked window, then the same integer
+    // estimator floor((k−1)·2^60 / h_k) in HUGEINT floor division (both
+    // operands nonnegative, so `//` matches the engine's BigInt
+    // truncation). A language with fewer than k distinct hashes is exact.
+    "q133_distinct_kmv" -> s"""WITH tok AS (
+  SELECT lang, ${h60("t")} AS h FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+d AS (SELECT DISTINCT lang, h FROM tok),
+r AS (SELECT lang, h,
+        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY lang) AS ndv
+      FROM d),
+g AS (SELECT lang, MAX(ndv) AS ndv,
+        MAX(CASE WHEN rn = 64 THEN h END) AS kth
+      FROM r WHERE rn <= 64 GROUP BY lang)
+SELECT lang,
+  CASE WHEN ndv < 64 THEN CAST(ndv AS BIGINT)
+       ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // kth
+            AS BIGINT) END AS ndv_est,
+  CAST(COALESCE(kth, -1) AS BIGINT) AS kth_hash,
+  CAST(LEAST(ndv, 64) AS BIGINT) AS sketch_n,
+  CAST(ndv AS BIGINT) AS ndv_exact
+FROM g ORDER BY lang""",
+
+    // q134: exact heavy hitters (freq·64 > total tokens) — the oracle is
+    // the direct full-vocabulary aggregate; the engine's Misra-Gries
+    // candidate pruning + exact recount must produce the identical
+    // relation (the sketch only prunes, by its superset guarantee).
+    "q134_heavy_hitters" -> """WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS total_tokens
+FROM c, tot WHERE cnt * 64 > n ORDER BY cnt DESC, token""",
+
     // mirror of TextStats.packSequences (seqLen 2048): the oracle uses the
     // plain per-source prefix sum — the engine's two-level bucketed scan
     // must be value-identical to the single-window form by construction.
@@ -2902,6 +2940,54 @@ SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, adc_d2
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
 WHERE rn <= 10 ORDER BY query_id, rank""",
+
+    // q135: SQ8 replayed end to end — per-dim (min, span) trained over the
+    // candidates, the all-integer encode→decode grid snap (both `//`s hit
+    // nonnegative operands, so DuckDB truncation == Spark `div` == floor),
+    // the dequantized-cosine shortlist of 32, then the exact-dot re-rank.
+    "q135_sim_sq8" -> s"""WITH $quantized,
+q AS (SELECT vec_id AS query_id, qv AS qa, norm2 AS na2 FROM qn WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS neighbor_id, qv AS qb, norm2 AS nb2 FROM qn WHERE vec_id >= 8),
+dims AS (
+  SELECT j, MIN(v) AS mn, GREATEST(MAX(v) - MIN(v), 1) AS span
+  FROM (SELECT unnest(qb) AS v, unnest(range(1, len(qb) + 1)) AS j FROM c0)
+  GROUP BY j
+),
+mml AS (SELECT list(mn ORDER BY j) AS mn, list(span ORDER BY j) AS span
+        FROM dims),
+c AS (
+  SELECT neighbor_id, qb, nb2,
+    list_transform(range(1, len(qb) + 1), i ->
+      mn[i] + ((((qb[i] - mn[i]) * 255) // span[i]) * span[i]) // 255) AS deq
+  FROM c0, mml
+),
+sq AS (
+  SELECT query_id, neighbor_id, qa, qb, na2, nb2,
+    CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * deq[i]))
+        AS DOUBLE)
+      / sqrt(CAST(na2 * CAST(list_sum(list_transform(deq, v -> v * v))
+        AS BIGINT) AS DOUBLE)) AS cos_q
+  FROM q, c
+),
+sl AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_q DESC, neighbor_id) AS apx_rank FROM sq
+),
+ex AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i]))
+        AS DOUBLE)
+      / sqrt(CAST(na2 * nb2 AS DOUBLE)) AS cos
+  FROM sl WHERE apx_rank <= 32
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+      AS rank
+  FROM ex
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // q82: partition counts from parquet; the size decomposition is pinned
     // by the Spark-side tiling invariant (sum(size)==data_length, sizes>0),

@@ -70,6 +70,63 @@ object EventsOps {
       .orderBy("event_id")
   }
 
+  /** q136: INTERVAL (range) JOIN expressed as a bucketed equi-join — the
+    * generic scale recipe for "points in intervals" that Spark's builtin
+    * planner would otherwise run as a BroadcastNestedLoopJoin (every event
+    * compared against every interval). Intervals here are the topN
+    * longest user sessions (30-min-gap sessionization, total-ordered
+    * tiebreak); the probe counts OTHER users' events falling inside each
+    * session's time span — a non-equi predicate with no equality column.
+    *
+    * Decomposition: each interval explodes into the 1-hour buckets it
+    * covers (`sequence(start div 3600s, end div 3600s)`); each event maps
+    * to exactly ONE bucket (`ts div 3600s`), so the bucket equi-join
+    * produces each (event, interval) candidate at most once — no
+    * post-join dedup — and exact containment is a residual filter. Plan:
+    * BroadcastHashJoin on `bucket` (spec-pinned: no BNLJ/cartesian); with
+    * millions of intervals the same decomposition runs as a shuffle
+    * equi-join on bucket — cost O(events + intervals·span + matches),
+    * never O(events·intervals). Empty windows are restored by a tiny
+    * top⋈hits left join (50 rows), keeping the big probe side inner. */
+  def sessionRangeJoin(spark: SparkSession, dir: String, topN: Int = 50,
+      bucketUs: Long = 3600L * 1000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val top = ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("s",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("s").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id").as("owner_id"), col("session_id"))
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("own_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(desc("duration_us"), col("owner_id"), col("session_id"))
+      .limit(topN)
+    val bkts = top.withColumn("bucket", explode(sequence(
+      expr(s"start_us div ${bucketUs}L"), expr(s"end_us div ${bucketUs}L"))))
+    val evb = ev.withColumn("ebucket", expr(s"ts_us div ${bucketUs}L"))
+    val hits = evb
+      .join(broadcast(bkts),
+        evb("user_id") =!= bkts("owner_id") &&
+          evb("ebucket") === bkts("bucket") &&
+          evb("ts_us") >= bkts("start_us") && evb("ts_us") <= bkts("end_us"))
+      .groupBy("owner_id", "session_id")
+      .agg(count(lit(1)).as("xuser_events"),
+        countDistinct("user_id").as("xusers"))
+    top.join(hits, Seq("owner_id", "session_id"), "left")
+      .select(col("owner_id"), col("start_us"), col("end_us"),
+        col("duration_us"), col("own_events"),
+        coalesce(col("xuser_events"), lit(0L)).as("xuser_events"),
+        coalesce(col("xusers"), lit(0L)).as("xusers"))
+      .orderBy(desc("xuser_events"), col("owner_id"), col("start_us"))
+  }
+
   /** JSON property extraction + rollup: `props` is a JSON string column
     * (the norm for training-data manifests); `get_json_object` stays in
     * whole-stage codegen, then a tiny per-type aggregate. */

@@ -575,6 +575,9 @@ object SparkEntry {
     "q51_events_asof" -> ((s, d) => EventsOps.errorAsofClick(s, d)),
     // JSON property extraction over the props manifest column
     "q55_events_props_json" -> ((s, d) => EventsOps.propsRollup(s, d)),
+    // interval (range) join as a bucketed equi-join: other-user events
+    // inside the topN longest sessions' time spans, no cartesian plan
+    "q136_range_join" -> ((s, d) => EventsOps.sessionRangeJoin(s, d)),
     // fixed-size chunk dedup statistics (10-token chunks)
     "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
     // corpus vocabulary top-K with total tiebreak
@@ -618,6 +621,9 @@ object SparkEntry {
     // scalar quantization (SQ8): per-dim 8-bit grid, dequantized-cosine
     // shortlist, exact-dot re-rank
     "q135_sim_sq8" -> ((s, d) => Similarity.sq8TopK(s, d)),
+    // sharded HNSW graphs (partition-local build, parallel beam search,
+    // per-query merge) — beam sized for exact recall at gated scales
+    "q137_sim_hnsw" -> ((s, d) => Hnsw.hnswTopK(s, d)),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

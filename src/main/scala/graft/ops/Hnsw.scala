@@ -1,0 +1,213 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Graph-based ANN: partition-local HNSW graphs (Malkov & Yashunin,
+  * "Efficient and robust approximate nearest neighbor search using
+  * Hierarchical Navigable Small World graphs", 2016) searched in parallel,
+  * merged by a per-query top-k — the standard *sharded* deployment of
+  * HNSW, where each shard owns an independent graph over its slice and
+  * queries fan out to every shard.
+  *
+  * Spark mapping: candidates hash-partition deterministically on vec_id;
+  * each partition builds its graph in one `mapPartitions` pass (the
+  * correct tool here — graph construction is genuinely imperative,
+  * SURVEY's custom-operator preference (d)) and beam-searches every
+  * query; the only exchange is the per-query merge of P·k candidate
+  * rows. Nothing about the build is ever collected to the driver, and a
+  * 1000-shard build is embarrassingly parallel.
+  *
+  * Determinism (what makes q137 oracle-checkable): insertion order is the
+  * within-partition vec_id sort, node levels come from the portable h60
+  * hash, and every comparison in build and search orders by the exact
+  * integer pair (d2, id) — no floats anywhere until the final cosine
+  * re-rank, which the oracle replays. Beam width is sized so the local
+  * cosine top-k survives the integer-d2 beam (the metric-mismatch slack
+  * between unnormalized d2 and cosine); recall vs brute force is pinned
+  * by the oracle at sf0.01 and spec-checked at sf0.001.
+  */
+object Hnsw {
+
+  /** Node level: trailing-zero count of the portable hash — geometric
+    * with p=1/2 like the paper's floor(−ln(u)·mL), capped. */
+  private[graft] def levelOf(id: Long, maxLevel: Int): Int =
+    math.min(maxLevel,
+      java.lang.Long.numberOfTrailingZeros(
+        graft.functions.PortableHash.h60(s"hnsw:$id")))
+
+  private final case class Node(id: Long, v: Array[Long], norm2: Long,
+      level: Int) {
+    // adjacency per layer 0..level; edges kept sorted by (d2, id)
+    val edges: Array[mutable.ArrayBuffer[Int]] =
+      Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+  }
+
+  /** One shard's graph: imperative build + beam search, all integer. */
+  private final class Graph(m: Int, efC: Int) {
+    private val nodes = mutable.ArrayBuffer.empty[Node]
+    private var entry = -1 // index of current max-level entry point
+
+    private def d2(a: Node, b: Node): Long = {
+      var s = 0L; var i = 0
+      val va = a.v; val vb = b.v
+      while (i < va.length) { val d = va(i) - vb(i); s += d * d; i += 1 }
+      s
+    }
+
+    private def d2To(q: Array[Long], n: Node): Long = {
+      var s = 0L; var i = 0
+      val vn = n.v
+      while (i < q.length) { val d = q(i) - vn(i); s += d * d; i += 1 }
+      s
+    }
+
+    /** Greedy beam search at one layer from `ep`, width `ef`; returns
+      * candidates sorted by (d2, id). */
+    private def searchLayer(q: Array[Long], ep: Seq[Int], layer: Int,
+        ef: Int): Vector[(Long, Int)] = {
+      // (d2, idx) ordering everywhere: deterministic ties
+      implicit val ord: Ordering[(Long, Int)] = Ordering.Tuple2
+      val visited = mutable.HashSet.empty[Int]
+      val cand = mutable.PriorityQueue.empty[(Long, Int)](ord.reverse) // min
+      val best = mutable.PriorityQueue.empty[(Long, Int)](ord)         // max
+      ep.foreach { i =>
+        if (visited.add(i)) {
+          val e = (d2To(q, nodes(i)), i); cand.enqueue(e); best.enqueue(e)
+        }
+      }
+      while (best.size > ef) best.dequeue()
+      while (cand.nonEmpty) {
+        val (cd, ci) = cand.dequeue()
+        if (best.size >= ef && cd > best.head._1) cand.clear()
+        else nodes(ci).edges(layer).foreach { ni =>
+          if (visited.add(ni)) {
+            val e = (d2To(q, nodes(ni)), ni)
+            if (best.size < ef || ord.lt(e, best.head)) {
+              cand.enqueue(e); best.enqueue(e)
+              if (best.size > ef) best.dequeue()
+            }
+          }
+        }
+      }
+      best.toVector.sorted
+    }
+
+    /** Greedy descent (ef=1) through layers above `to`. */
+    private def descend(q: Array[Long], from: Int, to: Int): Int = {
+      var ep = entry
+      var layer = from
+      while (layer > to) {
+        var improved = true
+        var cur = (d2To(q, nodes(ep)), ep)
+        while (improved) {
+          improved = false
+          nodes(cur._2).edges(layer).foreach { ni =>
+            val e = (d2To(q, nodes(ni)), ni)
+            if (Ordering.Tuple2[Long, Int].lt(e, cur)) {
+              cur = e; improved = true
+            }
+          }
+        }
+        ep = cur._2
+        layer -= 1
+      }
+      ep
+    }
+
+    def insert(n: Node): Unit = {
+      val idx = nodes.length
+      nodes += n
+      if (idx == 0) { entry = 0; return }
+      val maxL = nodes(entry).level
+      // greedy through layers maxL..L+1, then beam from L downward
+      var ep = Seq(descend(n.v, maxL, math.min(n.level, maxL)))
+      var layer = math.min(n.level, maxL)
+      while (layer >= 0) {
+        val found = searchLayer(n.v, ep, layer, efC)
+        val cap = if (layer == 0) 2 * m else m
+        val chosen = found.take(m)
+        chosen.foreach { case (_, ci) =>
+          n.edges(layer) += ci
+          val back = nodes(ci).edges(layer)
+          back += idx
+          if (back.length > cap) {
+            // prune to the cap nearest by (d2, id) — deterministic
+            val ranked = back.map(bi => (d2(nodes(ci), nodes(bi)), bi))
+              .sorted.take(cap).map(_._2)
+            back.clear(); back ++= ranked
+          }
+        }
+        ep = found.map(_._2)
+        layer -= 1
+      }
+      if (n.level > maxL) entry = idx
+    }
+
+    /** Full search: descend to layer 0, beam `ef` wide, return node ids
+      * of the ef best by (d2, id). */
+    def search(q: Array[Long], ef: Int): Vector[Node] = {
+      if (nodes.isEmpty) return Vector.empty
+      val ep = descend(q, nodes(entry).level, 0)
+      searchLayer(q, Seq(ep), 0, ef).map(c => nodes(c._2))
+    }
+
+    def size: Int = nodes.length
+  }
+
+  private[ops] case class Cand(vec_id: Long, qv: Seq[Long], norm2: Long)
+
+  /** q137: sharded-HNSW cosine top-k, exact-cosine re-rank of each
+    * shard's beam. Same output contract (and oracle) as q24: the beam is
+    * sized so every shard's true cosine top-k survives it at the gated
+    * scales. */
+  def hnswTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, shards: Int = 4, m: Int = 8, efC: Int = 64,
+      efSearch: Int = 128): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val q = Similarity.quantized(spark, dir)
+    // size-gated driver collect: nQueries query vectors ride the closure
+    val queries = q.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val maxLevel = 4
+    val local = q.where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+      .as[Cand]
+      .repartition(shards, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .mapPartitions { it =>
+        val g = new Graph(m, efC)
+        it.foreach { c =>
+          g.insert(Node(c.vec_id, c.qv.toArray, c.norm2,
+            levelOf(c.vec_id, maxLevel)))
+        }
+        queries.iterator.flatMap { case (qid, qv, na2) =>
+          g.search(qv, efSearch).map { n =>
+            var dot = 0L; var i = 0
+            while (i < qv.length) { dot += qv(i) * n.v(i); i += 1 }
+            val cos = dot.toDouble / math.sqrt((na2 * n.norm2).toDouble)
+            (qid, n.id, cos)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    local
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -2105,6 +2105,54 @@ FROM w WHERE event_type = 'error' ORDER BY event_id""",
   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
 FROM events GROUP BY 1 ORDER BY 1""",
 
+    // q136: the range join replayed as the DIRECT non-equi join (the form
+    // the engine's bucket decomposition must be relation-identical to).
+    // Same sessionization as q31; epoch_us keeps the µs arithmetic exact.
+    "q136_range_join" -> """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+lagd AS (
+  SELECT user_id, event_id, ts_us,
+    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM e
+),
+marks AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS s
+  FROM lagd
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+    SUM(s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+),
+iv AS (
+  SELECT user_id AS owner_id, session_id,
+    CAST(MIN(ts_us) AS BIGINT) AS start_us,
+    CAST(MAX(ts_us) AS BIGINT) AS end_us,
+    CAST(COUNT(*) AS BIGINT) AS own_events
+  FROM sess GROUP BY 1, 2
+),
+top AS (
+  SELECT *, end_us - start_us AS duration_us FROM iv
+  ORDER BY duration_us DESC, owner_id, session_id LIMIT 50
+),
+hits AS (
+  SELECT t.owner_id, t.session_id,
+    CAST(COUNT(e.event_id) AS BIGINT) AS xuser_events,
+    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS xusers
+  FROM top t LEFT JOIN e
+    ON e.ts_us >= t.start_us AND e.ts_us <= t.end_us
+      AND e.user_id <> t.owner_id
+  GROUP BY 1, 2
+)
+SELECT t.owner_id, t.start_us, t.end_us, t.duration_us, t.own_events,
+  h.xuser_events, h.xusers
+FROM top t JOIN hits h ON t.owner_id = h.owner_id
+  AND t.session_id = h.session_id
+ORDER BY xuser_events DESC, t.owner_id, t.start_us""",
+
     // string chunk keys here vs xxhash64 keys in the Spark plan: equal
     // unless two distinct chunks collide in 64 bits (q21's documented class)
     "q52_chunk_dedup" -> """WITH words AS (
@@ -3303,6 +3351,11 @@ ORDER BY 1"""
       // q132 (persisted IVF-PQ) must reproduce q131's relation exactly —
       // same codes, same probes, same ADC — so it shares its oracle.
       ("q132_sim_ivfpq_persisted" -> base("q131_sim_ivfpq")) +
+      // q137 (sharded HNSW + exact re-rank) is beam-sized for full recall
+      // at the gated scales, so its contract is exactly the brute-force
+      // cosine top-k — q24's oracle. A beam miss anywhere surfaces as a
+      // hash mismatch here.
+      ("q137_sim_hnsw" -> base("q24_sim_topk")) +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
       ("q129_static_complex_roundtrip" -> q129Sql) +

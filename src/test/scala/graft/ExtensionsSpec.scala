@@ -163,6 +163,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap > 0, s"no IVF/brute-force overlap in ${ivf.length} hits")
   }
 
+  test("SQ8 shortlist+re-rank recovers most of brute-force top-5, " +
+    "and its plan is join-free on the candidate side") {
+    val bf = Similarity.bruteForceTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = Similarity.sq8TopK(spark, Sf0001).collect()
+    val byQuery = sq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach(rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L)))
+    // 8-bit-per-dim quantization + 32-wide shortlist + exact re-rank:
+    // expect high (not necessarily perfect) agreement with the truth
+    val hits = sq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((hits intersect bf).size >= (bf.size * 3) / 5,
+      s"SQ8 recovered only ${(hits intersect bf).size}/${bf.size}")
+  }
+
   test("embedding near-dup finds the injected exact/scaled copies") {
     val rows = Dedup.embeddingNearDup(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -558,6 +558,9 @@ object SparkEntry {
     // oracle-exact answer) and Misra-Gries-pruned exact heavy hitters
     "q133_distinct_kmv" -> ((s, d) => Sketches.kmvDistinct(s, d)),
     "q134_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
+    // KMV set algebra: per-source-pair union/intersection/Jaccard
+    // estimates from the O(k) sketches alone (exact NDVs alongside)
+    "q138_sketch_setops" -> ((s, d) => Sketches.sketchSetOps(s, d)),
     "q29_doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(graft.sources.Tables.documents(s, d))),
     "q35_subword_counts" -> ((s, d) =>

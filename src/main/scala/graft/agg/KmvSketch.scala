@@ -93,6 +93,19 @@ object KmvSketch {
     def outputEncoder: Encoder[Out] = Encoders.product[Out]
   }
 
+  /** The same sketch with the raw k-minimum list as its output — the form
+    * set-algebra consumers ([[graft.ops.Sketches.sketchSetOps]]) compose:
+    * union/intersection/Jaccard estimates all derive from the lists alone. */
+  class ListAgg(k: Int) extends Aggregator[In, Vector[Long], Seq[Long]] {
+    private val inner = new Agg(k)
+    def zero: Vector[Long] = inner.zero
+    def reduce(b: Vector[Long], in: In): Vector[Long] = inner.reduce(b, in)
+    def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] = inner.merge(a, b)
+    def finish(buf: Vector[Long]): Seq[Long] = buf
+    def bufferEncoder: Encoder[Vector[Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** First index in sorted `buf` whose value is >= h. */
   private def lowerBound(buf: Vector[Long], h: Long): Int = {
     var lo = 0; var hi = buf.length

@@ -94,4 +94,76 @@ object Sketches {
       .select(col("token"), col("cnt"), col("total_tokens"))
       .orderBy(desc("cnt"), col("token"))
   }
+
+  /** q138: KMV SET ALGEBRA (Beyer et al., "On synopses for distinct-value
+    * estimation over sliding windows", SIGMOD 2007) — per-source-pair
+    * union / intersection / Jaccard estimates computed from the per-source
+    * k-minimum sketches ALONE. This is the mergeability payoff: once each
+    * source carries its O(k) sketch, any cross-source overlap question is
+    * O(k) array algebra on the pair — no re-scan of either source.
+    *
+    * Estimators (exact integer arithmetic, HUGEINT-replayed by the
+    * oracle): merged sketch = k smallest of the union of the two lists;
+    * K = its k-th minimum; c = common values ≤ K (every such value is in
+    * BOTH lists since K ≤ each list's own k-th min); est_union =
+    * ⌊(k−1)·2^60/K⌋; est_intersect = ⌊c·est_union/k⌋; Jaccard×1000 =
+    * ⌊c·1000/min(k, |merged∪|)⌋. When both sketches are under-full the
+    * merged set is the exact value universe and every estimate is exact.
+    *
+    * The exact NDVs ride alongside for error visibility (like q133, the
+    * expensive full-universe path a production run would drop): the
+    * pairwise exact intersection joins the distinct (source, hash)
+    * relation with itself on the 8-byte hash.
+    *
+    * Scale shape: sketches aggregate with O(k) state (map-side combined);
+    * the pair relation is S²/2 rows of 2k-long arrays, all-narrow array
+    * functions; the single UDF (BigInt floor division past int64) runs on
+    * S²/2 rows — never on corpus rows. */
+  def sketchSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), PortableHash.h60(col("token")).as("h"))
+    val kmvList = udaf(new KmvSketch.ListAgg(k), Encoders.product[KmvSketch.In])
+    val sk = tok.groupBy("source")
+      .agg(kmvList(col("h")).as("mins"), countDistinct(col("h")).as("ndv"))
+    val a = sk.select(col("source").as("source_a"), col("mins").as("ma"),
+      col("ndv").as("nda"))
+    val b = sk.select(col("source").as("source_b"), col("mins").as("mb"),
+      col("ndv").as("ndb"))
+    // (k−1)·2^60 and c·est_union both exceed int64 — BigInt, like the
+    // Aggregator's finish; truncation == floor on nonnegative operands
+    val est = udf((msize: Int, kth: Long, c: Int) =>
+      if (msize < k) (msize.toLong, c.toLong)
+      else {
+        val u = (BigInt(k - 1) << 60) / kth
+        (u.toLong, ((BigInt(c) * u) / k).toLong)
+      })
+    val d = tok.distinct()
+    val ex = d.as("x").join(d.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("mu", array_union(col("ma"), col("mb")))
+      .withColumn("msize", size(col("mu")))
+      .withColumn("kth",
+        when(col("msize") >= k, element_at(array_sort(col("mu")), k)))
+      .withColumn("common", array_intersect(col("ma"), col("mb")))
+      .withColumn("c", when(col("kth").isNotNull,
+          size(filter(col("common"), x => x <= col("kth"))))
+        .otherwise(size(col("common"))))
+      .withColumn("e", est(col("msize"), coalesce(col("kth"), lit(0L)),
+        col("c")))
+      .join(ex, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("c").cast("long").as("c_common"),
+        col("e._1").as("est_union"),
+        col("e._2").as("est_intersect"),
+        floor(col("c") * 1000 / least(lit(k), col("msize")))
+          .as("jaccard_x1000"),
+        (col("nda") + col("ndb") -
+          coalesce(col("exact_intersect"), lit(0L))).as("exact_union"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -1557,6 +1557,65 @@ c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
 SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS total_tokens
 FROM c, tot WHERE cnt * 64 > n ORDER BY cnt DESC, token""",
 
+    // q138: KMV set algebra replayed — per-source k-min lists via ranked
+    // windows, per-pair merged k-th minimum, common-below-K count, then
+    // the same HUGEINT estimators ((k−1)·2^60/K and c·est_union/k; both
+    // `//`s on nonnegative operands == the engine's BigInt truncation).
+    // The exact union/intersection ride alongside, like q133's exact NDV.
+    "q138_sketch_setops" -> s"""WITH tok AS (
+  SELECT source, ${h60("t")} AS h FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+d AS (SELECT DISTINCT source, h FROM tok),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ndv FROM d GROUP BY 1),
+sk AS (SELECT source, h FROM (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM d) WHERE rn <= 64),
+pr AS (SELECT a.source AS sa, b.source AS sb
+       FROM nd a JOIN nd b ON a.source < b.source),
+mu AS (SELECT p.sa, p.sb, s.h
+       FROM pr p JOIN sk s ON s.source IN (p.sa, p.sb)
+       GROUP BY 1, 2, 3),
+mr AS (SELECT sa, sb, h,
+        row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+        COUNT(*) OVER (PARTITION BY sa, sb) AS msize
+       FROM mu),
+kk AS (SELECT sa, sb, MAX(CASE WHEN rn = 64 THEN h END) AS kth,
+        MAX(msize) AS msize
+       FROM mr GROUP BY 1, 2),
+cc AS (SELECT k.sa, k.sb, COUNT(*) AS c
+       FROM kk k
+       JOIN sk x ON x.source = k.sa
+       JOIN sk y ON y.source = k.sb AND y.h = x.h
+       WHERE x.h <= COALESCE(k.kth, 9223372036854775807)
+       GROUP BY 1, 2),
+es AS (
+  SELECT k.sa, k.sb, k.msize, COALESCE(c.c, 0) AS c,
+    CASE WHEN k.msize < 64 THEN CAST(k.msize AS BIGINT)
+         ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // k.kth
+              AS BIGINT) END AS est_union
+  FROM kk k LEFT JOIN cc c ON k.sa = c.sa AND k.sb = c.sb),
+es2 AS (
+  SELECT sa, sb, c, est_union,
+    CASE WHEN msize < 64 THEN CAST(c AS BIGINT)
+         ELSE CAST((CAST(c AS HUGEINT) * est_union) // 64 AS BIGINT)
+    END AS est_intersect,
+    CAST(c * 1000 // LEAST(64, msize) AS BIGINT) AS jaccard_x1000
+  FROM es),
+exact AS (SELECT x.source AS sa, y.source AS sb,
+    CAST(COUNT(*) AS BIGINT) AS exact_intersect
+  FROM d x JOIN d y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2)
+SELECT e.sa AS source_a, e.sb AS source_b,
+  CAST(e.c AS BIGINT) AS c_common, e.est_union, e.est_intersect,
+  e.jaccard_x1000,
+  na.ndv + nb.ndv - COALESCE(x.exact_intersect, 0) AS exact_union,
+  COALESCE(x.exact_intersect, 0) AS exact_intersect
+FROM es2 e
+JOIN nd na ON na.source = e.sa
+JOIN nd nb ON nb.source = e.sb
+LEFT JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
+ORDER BY source_a, source_b""",
+
     // mirror of TextStats.packSequences (seqLen 2048): the oracle uses the
     // plain per-source prefix sum — the engine's two-level bucketed scan
     // must be value-identical to the single-window form by construction.

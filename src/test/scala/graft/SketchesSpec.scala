@@ -78,6 +78,45 @@ class SketchesSpec extends SparkSpec {
     hh.foreach(r => assert(r.getAs[Long]("total_tokens") == n))
   }
 
+  test("q138 set-algebra estimates are sane vs the exact pair overlaps") {
+    val rows = Sketches.sketchSetOps(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val estU = r.getAs[Long]("est_union")
+      val estI = r.getAs[Long]("est_intersect")
+      val exU = r.getAs[Long]("exact_union")
+      val exI = r.getAs[Long]("exact_intersect")
+      assert(estI <= estU) // intersection can never exceed union
+      assert(estU > 0 && exU > 0)
+      // KMV error ~1/sqrt(64); allow a wide 4-sigma-ish band
+      assert(math.abs(estU - exU).toDouble / exU < 0.5,
+        s"${r.getString(0)}x${r.getString(1)}: estU $estU vs $exU")
+      // intersection estimator is noisier (c/k scaled); sanity-bound only
+      assert(estI >= 0 && estI <= estU)
+      assert(exI <= exU)
+    }
+  }
+
+  test("q138 under-full sketches give exact answers (small token universe)") {
+    import spark.implicits._
+    // tiny corpus: two sources, < 64 distinct tokens each
+    val tmp = java.nio.file.Files.createTempDirectory("kmv-exact-")
+    graft.sources.TempDirs.register(tmp)
+    Seq(
+      (1L, "a b c d", "en", "s1", 7L),
+      (2L, "c d e f", "en", "s2", 7L),
+      (3L, "a b", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Sketches.sketchSetOps(spark, tmp.toString).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("est_union") == r.getAs[Long]("exact_union"))
+    assert(r.getAs[Long]("est_intersect") == r.getAs[Long]("exact_intersect"))
+    assert(r.getAs[Long]("exact_union") == 6L) // a b c d e f
+    assert(r.getAs[Long]("exact_intersect") == 2L) // c d
+  }
+
   test("q134 plan recounts only candidates via a broadcast join") {
     val plan = Sketches.heavyHitters(spark, Sf0001)
       .queryExecution.executedPlan.toString

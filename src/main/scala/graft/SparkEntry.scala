@@ -627,6 +627,9 @@ object SparkEntry {
     // sharded HNSW graphs (partition-local build, parallel beam search,
     // per-query merge) — beam sized for exact recall at gated scales
     "q137_sim_hnsw" -> ((s, d) => Hnsw.hnswTopK(s, d)),
+    // HNSW over the PERSISTED shard-partitioned adjacency: build once on
+    // disk, reload each shard graph exactly — identical relation to q137
+    "q139_sim_hnsw_persisted" -> ((s, d) => Hnsw.hnswSearchPersisted(s, d)),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

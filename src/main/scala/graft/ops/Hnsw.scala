@@ -159,6 +159,24 @@ object Hnsw {
     }
 
     def size: Int = nodes.length
+
+    /** The built nodes in insertion order (adjacency by node INDEX) —
+      * what the persisted index serializes. */
+    def nodesView: Seq[Node] = nodes.toSeq
+
+    /** Adopt pre-built nodes (vec_id-sorted, edges already wired by
+      * index) — the reload path. Entry = first index at the max level,
+      * which is exactly where the insertion loop leaves it (entry only
+      * moves on a STRICT level increase, so it ends at the first
+      * occurrence of the maximum in insertion order). */
+    def loadAll(ns: Seq[Node]): Unit = {
+      require(nodes.isEmpty, "loadAll on a non-empty graph")
+      nodes ++= ns
+      if (ns.nonEmpty) {
+        val maxL = ns.iterator.map(_.level).max
+        entry = ns.indexWhere(_.level == maxL)
+      }
+    }
   }
 
   private[ops] case class Cand(vec_id: Long, qv: Seq[Long], norm2: Long)
@@ -167,40 +185,34 @@ object Hnsw {
     * shard's beam. Same output contract (and oracle) as q24: the beam is
     * sized so every shard's true cosine top-k survives it at the gated
     * scales. */
-  def hnswTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, shards: Int = 4, m: Int = 8, efC: Int = 64,
-      efSearch: Int = 128): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    import spark.implicits._
-    val q = Similarity.quantized(spark, dir)
-    // size-gated driver collect: nQueries query vectors ride the closure
-    val queries = q.where(col("vec_id") < nQueries)
+  private val MaxLevel = 4
+
+  /** Size-gated driver collect: the nQueries query vectors that ride the
+    * search closures, (id, vector, norm²) sorted by id. */
+  private def collectQueries(spark: SparkSession, dir: String,
+      nQueries: Int): Array[(Long, Array[Long], Long)] =
+    Similarity.quantized(spark, dir)
+      .where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("qv"), col("norm2"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
-    val maxLevel = 4
-    val local = q.where(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("qv"), col("norm2"))
-      .as[Cand]
-      .repartition(shards, col("vec_id"))
-      .sortWithinPartitions("vec_id")
-      .mapPartitions { it =>
-        val g = new Graph(m, efC)
-        it.foreach { c =>
-          g.insert(Node(c.vec_id, c.qv.toArray, c.norm2,
-            levelOf(c.vec_id, maxLevel)))
-        }
-        queries.iterator.flatMap { case (qid, qv, na2) =>
-          g.search(qv, efSearch).map { n =>
-            var dot = 0L; var i = 0
-            while (i < qv.length) { dot += qv(i) * n.v(i); i += 1 }
-            val cos = dot.toDouble / math.sqrt((na2 * n.norm2).toDouble)
-            (qid, n.id, cos)
-          }
-        }
+
+  /** Beam-search every query against one shard graph, emitting exact
+    * cosines for the beam survivors. */
+  private def searchShard(g: Graph,
+      queries: Array[(Long, Array[Long], Long)],
+      efSearch: Int): Iterator[(Long, Long, Double)] =
+    queries.iterator.flatMap { case (qid, qv, na2) =>
+      g.search(qv, efSearch).map { n =>
+        var dot = 0L; var i = 0
+        while (i < qv.length) { dot += qv(i) * n.v(i); i += 1 }
+        (qid, n.id, dot.toDouble / math.sqrt((na2 * n.norm2).toDouble))
       }
-      .toDF("query_id", "neighbor_id", "cos")
+    }
+
+  /** Per-query global top-k over the union of shard beams. */
+  private def mergeTopK(local: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     local
@@ -209,5 +221,114 @@ object Hnsw {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  def hnswTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, shards: Int = 4, m: Int = 8, efC: Int = 64,
+      efSearch: Int = 128): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val queries = collectQueries(spark, dir, nQueries)
+    val local = Similarity.quantized(spark, dir)
+      .where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+      .as[Cand]
+      .repartition(shards, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .mapPartitions { it =>
+        val g = new Graph(m, efC)
+        it.foreach(c => g.insert(Node(c.vec_id, c.qv.toArray, c.norm2,
+          levelOf(c.vec_id, MaxLevel))))
+        searchShard(g, queries, efSearch)
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    mergeTopK(local, k)
+  }
+
+  /** One persisted row per (node, layer): adjacency travels as stable
+    * vec_ids; the vector and norm ride on every row (nodes are level 0
+    * with p=1/2³ exceptions, so the duplication is ≤ 1/8 overhead). */
+  private[ops] case class IdxRow(shard: Int, vec_id: Long, level: Int,
+      layer: Int, neighbors: Seq[Long], qv: Seq[Long], norm2: Long)
+
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-memoized PERSISTED HNSW index: each shard's graph built once
+    * in its partition and serialized as shard-partitioned parquet — the
+    * build-once/query-many deployment (same contract as the persisted
+    * IVF-PQ index). Nothing passes through the driver; each task writes
+    * its own shard's adjacency. */
+  def ensureHnswIndex(spark: SparkSession, dir: String, nQueries: Int = 8,
+      shards: Int = 4, m: Int = 8, efC: Int = 64): String = {
+    import spark.implicits._
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|hnswidx" +
+      s"|$nQueries|$shards|$m|$efC"
+    val hit = indexMemo.get(key)
+    if (hit != null) return hit
+    val out = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-hnsw-index")).toString
+    Similarity.quantized(spark, dir)
+      .where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("qv"), col("norm2"))
+      .as[Cand]
+      .repartition(shards, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .mapPartitions { it =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val g = new Graph(m, efC)
+        it.foreach(c => g.insert(Node(c.vec_id, c.qv.toArray, c.norm2,
+          levelOf(c.vec_id, MaxLevel))))
+        val ns = g.nodesView
+        ns.iterator.flatMap { n =>
+          (0 to n.level).iterator.map { layer =>
+            IdxRow(shard, n.id, n.level, layer,
+              n.edges(layer).map(i => ns(i).id).toSeq,
+              n.v.toSeq, n.norm2)
+          }
+        }
+      }
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    indexMemo.put(key, out)
+    out
+  }
+
+  /** q139: search over the PERSISTED index — rebuild each shard graph
+    * from its adjacency rows (one groupByKey exchange of the INDEX, never
+    * the corpus) and run the identical beam search. Reload is exact: the
+    * edges are the build's edges, and entry-point recomputation lands on
+    * the same node the insertion loop left it at (see [[Graph.loadAll]])
+    * — so the relation is bit-identical to the in-memory q137 and shares
+    * its (q24) oracle. */
+  def hnswSearchPersisted(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5, shards: Int = 4, m: Int = 8,
+      efC: Int = 64, efSearch: Int = 128): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val queries = collectQueries(spark, dir, nQueries)
+    val path = ensureHnswIndex(spark, dir, nQueries, shards, m, efC)
+    val local = spark.read.parquet(path)
+      .select(col("shard").cast("int").as("shard"), col("vec_id"),
+        col("level").cast("int").as("level"),
+        col("layer").cast("int").as("layer"),
+        col("neighbors"), col("qv"), col("norm2"))
+      .as[IdxRow]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val byNode = rows.toVector.groupBy(_.vec_id).toVector.sortBy(_._1)
+        val idToIdx = byNode.iterator.map(_._1).zipWithIndex.toMap
+        val ns = byNode.map { case (id, rs) =>
+          Node(id, rs.head.qv.toArray, rs.head.norm2, rs.head.level)
+        }
+        byNode.iterator.zipWithIndex.foreach { case ((_, rs), i) =>
+          rs.foreach(r =>
+            ns(i).edges(r.layer) ++= r.neighbors.map(idToIdx))
+        }
+        val g = new Graph(m, efC)
+        g.loadAll(ns)
+        searchShard(g, queries, efSearch)
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    mergeTopK(local, k)
   }
 }

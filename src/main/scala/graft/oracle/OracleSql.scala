@@ -3415,6 +3415,9 @@ ORDER BY 1"""
       // cosine top-k — q24's oracle. A beam miss anywhere surfaces as a
       // hash mismatch here.
       ("q137_sim_hnsw" -> base("q24_sim_topk")) +
+      // q139 (persisted HNSW) reloads the exact build-time graphs, so it
+      // must reproduce q137's relation — same brute-force oracle.
+      ("q139_sim_hnsw_persisted" -> base("q24_sim_topk")) +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
       ("q129_static_complex_roundtrip" -> q129Sql) +

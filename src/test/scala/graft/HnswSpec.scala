@@ -30,6 +30,12 @@ class HnswSpec extends SparkSpec {
     assert(l0 > 150 && l0 < 350, s"level-0 count $l0 of ${levels.size}")
   }
 
+  test("persisted-index search is bit-identical to the in-memory build") {
+    val mem = pairs(Hnsw.hnswTopK(spark, Sf0001).collect())
+    val per = pairs(Hnsw.hnswSearchPersisted(spark, Sf0001).collect())
+    assert(per == mem)
+  }
+
   test("a single-shard graph also recovers the exact top-k") {
     val bf = pairs(Similarity.bruteForceTopK(spark, Sf0001).collect())
     val hn = pairs(Hnsw.hnswTopK(spark, Sf0001, shards = 1).collect())

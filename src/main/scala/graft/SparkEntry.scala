@@ -580,7 +580,7 @@ object SparkEntry {
     "q55_events_props_json" -> ((s, d) => EventsOps.propsRollup(s, d)),
     // interval (range) join as a bucketed equi-join: other-user events
     // inside the topN longest sessions' time spans, no cartesian plan
-    "q136_range_join" -> ((s, d) => EventsOps.sessionRangeJoin(s, d)),
+    "q136_events_range_join" -> ((s, d) => EventsOps.sessionRangeJoin(s, d)),
     // fixed-size chunk dedup statistics (10-token chunks)
     "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
     // corpus vocabulary top-K with total tiebreak

@@ -2167,7 +2167,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     // q136: the range join replayed as the DIRECT non-equi join (the form
     // the engine's bucket decomposition must be relation-identical to).
     // Same sessionization as q31; epoch_us keeps the µs arithmetic exact.
-    "q136_range_join" -> """WITH e AS (
+    "q136_events_range_join" -> """WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
 ),
 lagd AS (

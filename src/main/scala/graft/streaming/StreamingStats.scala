@@ -143,6 +143,31 @@ object StreamingStats {
         floor(col("sum_bits") * 1000 / col("nb")).as("doc_x1000"))
   }
 
+  /** Streaming distinct-token tracking — the KMV sketch as STREAMING
+    * state: the same O(k)-longs-per-group monoid the batch q133 uses
+    * becomes the state-store payload of a complete-mode aggregate, so an
+    * unbounded document stream's per-language distinct estimate runs with
+    * k·8 bytes of state per language FOREVER — the degenerate case the
+    * sketch exists for, since an exact streaming `count(distinct)` would
+    * grow state with the value universe (and Spark rejects it in
+    * streaming aggregations outright). Same hashes, same estimator ⇒
+    * the stream's answer equals the batch sketch's bit-for-bit
+    * (spec-asserted). */
+  def kmvDistinctTokens(docs: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.agg.KmvSketch.Agg(k),
+      org.apache.spark.sql.Encoders.product[graft.agg.KmvSketch.In])
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .select(col("lang"),
+        graft.functions.PortableHash.h60Builtin(col("token")).as("h"))
+      .groupBy("lang")
+      .agg(kmv(col("h")).as("sk"))
+      .select(col("lang"), col("sk.ndv_est").as("ndv_est"),
+        col("sk.kth_hash").as("kth_hash"),
+        col("sk.sketch_n").as("sketch_n"))
+  }
+
   /** Streaming IVF-PQ ingest — INCREMENTAL vector indexing, the shape a
     * production vector store runs: newly arriving embeddings are coarse-
     * assigned and residual-PQ-encoded under the codebooks the batch path

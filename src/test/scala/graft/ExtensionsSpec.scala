@@ -443,6 +443,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.select("text_md5").distinct().count() === distinctTexts)
   }
 
+  test("streaming KMV sketch equals the batch sketch bit-for-bit") {
+    import java.nio.file.{Files, Paths}
+    val ingest = Files.createTempDirectory("graft-kmv-stream-")
+    graft.sources.TempDirs.register(ingest)
+    // the corpus arrives as two chronological halves: the sketch's merge
+    // must absorb both micro-batch states into the batch answer
+    val all = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-kmv-half-")
+      graft.sources.TempDirs.register(tmp)
+      all.where(cond).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, ingest.resolve(name))
+    }
+    stage(col("doc_id") % 2 === 0, "a.parquet")
+    stage(col("doc_id") % 2 =!= 0, "b.parquet")
+    val schema = all.schema
+    val docs = spark.readStream.schema(schema).parquet(ingest.toString)
+    val q = graft.streaming.StreamingStats.kmvDistinctTokens(docs)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("kmv_stream")
+      .select("lang", "ndv_est", "kth_hash", "sketch_n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.ops.Sketches.kmvDistinct(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("ndv_est"),
+        r.getAs[Long]("kth_hash"), r.getAs[Long]("sketch_n")))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming ivf-pq ingest: stream codes == batch codes, " +
       "stateless narrow encode") {
     import java.nio.file.{Files, Paths}

@@ -581,6 +581,9 @@ object SparkEntry {
     // interval (range) join as a bucketed equi-join: other-user events
     // inside the topN longest sessions' time spans, no cartesian plan
     "q136_events_range_join" -> ((s, d) => EventsOps.sessionRangeJoin(s, d)),
+    // Z-order vs row-linear layout: per-box matched rows + files each
+    // layout must read (Morton-bit bucket vs time-sorted bucket)
+    "q140_events_zorder_skip" -> ((s, d) => Layout.zorderSkipping(s, d)),
     // fixed-size chunk dedup statistics (10-token chunks)
     "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
     // corpus vocabulary top-K with total tiebreak

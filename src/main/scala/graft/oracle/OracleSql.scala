@@ -2212,6 +2212,54 @@ FROM top t JOIN hits h ON t.owner_id = h.owner_id
   AND t.session_id = h.session_id
 ORDER BY xuser_events DESC, t.owner_id, t.start_us""",
 
+    // q140: the Morton interleave replayed with DuckDB's own bit
+    // operators (the same magic-mask spread chain, staged through CTE
+    // columns), the two bucketings, the 16-box grid off the exact maxima
+    // (`//` == Spark's `div` on these nonnegative operands), and the
+    // per-box file-touch counts.
+    "q140_events_zorder_skip" -> """WITH e0 AS (
+  SELECT event_id, user_id AS ux, epoch_us(ts) // 3600000000 AS uy
+  FROM events
+),
+mx AS (SELECT MIN(ux) AS umin, MAX(ux) AS umax,
+              MIN(uy) AS hmin, MAX(uy) AS hmax FROM e0),
+e AS (
+  SELECT event_id,
+    (ux - umin) * 65536 // (umax - umin + 1) AS sx,
+    (uy - hmin) * 65536 // (hmax - hmin + 1) AS sy
+  FROM e0, mx
+),
+s1 AS (SELECT event_id, sx, sy,
+  ((sx & 65535) | ((sx & 65535) << 8)) & 16711935 AS x1,
+  ((sy & 65535) | ((sy & 65535) << 8)) & 16711935 AS y1 FROM e),
+s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS xs,
+  (y3 | (y3 << 1)) & 1431655765 AS ys FROM s3),
+zb AS (SELECT event_id, sx, sy,
+  ((xs | (ys << 1)) >> 26) AS zbucket,
+  sy * 64 // 65536 AS lbucket FROM s4),
+boxes AS (
+  SELECT t.range AS box_id,
+    CASE WHEN t.range < 8 THEN t.range * 8192
+         ELSE (t.range - 8) * 8192 END AS xlo,
+    CASE WHEN t.range < 8 THEN (t.range + 1) * 8192
+         ELSE (t.range - 7) * 8192 END AS xhi,
+    CASE WHEN t.range < 8 THEN t.range * 8192
+         ELSE (15 - t.range) * 8192 END AS ylo,
+    CASE WHEN t.range < 8 THEN (t.range + 1) * 8192
+         ELSE (16 - t.range) * 8192 END AS yhi
+  FROM range(0, 16) t
+)
+SELECT b.box_id, CAST(COUNT(*) AS BIGINT) AS rows_matched,
+  CAST(COUNT(DISTINCT zbucket) AS BIGINT) AS zorder_files,
+  CAST(COUNT(DISTINCT lbucket) AS BIGINT) AS linear_files
+FROM zb, boxes b
+WHERE sx >= b.xlo AND sx < b.xhi AND sy >= b.ylo AND sy < b.yhi
+GROUP BY 1 ORDER BY 1""",
+
     // string chunk keys here vs xxhash64 keys in the Spark plan: equal
     // unless two distinct chunks collide in 64 bits (q21's documented class)
     "q52_chunk_dedup" -> """WITH words AS (

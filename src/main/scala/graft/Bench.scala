@@ -202,9 +202,10 @@ object Bench {
     val probeQueries = Seq(
       "q20_dedup_exact" -> "dedup", "q22_dedup_minhash" -> "dedup",
       "q24_sim_topk" -> "ann", "q39_sim_ivf_ann" -> "ann",
-      "q130_sim_pq_adc" -> "ann",
+      "q130_sim_pq_adc" -> "ann", "q137_sim_hnsw" -> "ann",
       "q90_bpe_train" -> "bpe", "q98_bpe_apply" -> "bpe",
-      "q26_text_quality" -> "text", "q28_token_totals" -> "text")
+      "q26_text_quality" -> "text", "q28_token_totals" -> "text",
+      "q133_distinct_kmv" -> "sketch", "q138_sketch_setops" -> "sketch")
     val sf1Rows: Seq[(String, String, Double)] =
       ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
         // warm the session-shared shingle view untimed: at the MAIN tier

@@ -584,6 +584,9 @@ object SparkEntry {
     // Z-order vs row-linear layout: per-box matched rows + files each
     // layout must read (Morton-bit bucket vs time-sorted bucket)
     "q140_events_zorder_skip" -> ((s, d) => Layout.zorderSkipping(s, d)),
+    // hot-key salted join: fact salt + dim replication spreads the 50%
+    // key across `salt` reducers; relation identical to the plain join
+    "q141_events_skew_join" -> ((s, d) => Skew.saltedRollup(s, d)),
     // fixed-size chunk dedup statistics (10-token chunks)
     "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
     // corpus vocabulary top-K with total tiebreak

@@ -2260,6 +2260,22 @@ FROM zb, boxes b
 WHERE sx >= b.xlo AND sx < b.xhi AND sy >= b.ylo AND sy < b.yhi
 GROUP BY 1 ORDER BY 1""",
 
+    // q141: the salted join's contract — the plain (unsalted) join; the
+    // engine's salt must be invisible in the relation.
+    "q141_events_skew_join" -> """WITH f AS (
+  SELECT event_id,
+    CASE WHEN user_id < 75 THEN 0 ELSE user_id END AS skey,
+    event_type, CAST(floor(value * 100) AS BIGINT) AS value_x100
+  FROM events
+),
+d AS (SELECT skey, MIN(event_id) AS owner_tag FROM f GROUP BY 1)
+SELECT f.skey, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(f.value_x100) AS BIGINT) AS value_x100_sum,
+  CAST(COUNT(DISTINCT f.event_type) AS BIGINT) AS types,
+  CAST(MIN(d.owner_tag) AS BIGINT) AS owner_tag
+FROM f JOIN d ON f.skey = d.skey
+GROUP BY 1 ORDER BY 1""",
+
     // string chunk keys here vs xxhash64 keys in the Spark plan: equal
     // unless two distinct chunks collide in 64 bits (q21's documented class)
     "q52_chunk_dedup" -> """WITH words AS (

@@ -587,6 +587,10 @@ object SparkEntry {
     // hot-key salted join: fact salt + dim replication spreads the 50%
     // key across `salt` reducers; relation identical to the plain join
     "q141_events_skew_join" -> ((s, d) => Skew.saltedRollup(s, d)),
+    // CUBE: all four (event_type, day) granularities in one Expand pass
+    "q142_events_cube" -> ((s, d) => EventsOps.cubeRollup(s, d)),
+    // PIVOT: per-day wide counts over the pinned event-type enum
+    "q143_events_pivot" -> ((s, d) => EventsOps.pivotDaily(s, d)),
     // fixed-size chunk dedup statistics (10-token chunks)
     "q52_chunk_dedup" -> ((s, d) => Dedup.chunkStats(s, d)),
     // corpus vocabulary top-K with total tiebreak

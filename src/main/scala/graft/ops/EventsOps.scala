@@ -127,6 +127,39 @@ object EventsOps {
       .orderBy(desc("xuser_events"), col("owner_id"), col("start_us"))
   }
 
+  /** q142: CUBE — the OLAP multi-granularity rollup: counts and exact
+    * value sums at EVERY grouping combination of (event_type, day) in one
+    * pass. Spark plans this as a single Expand (each input row fans to
+    * the 4 grouping sets) feeding one hash aggregate — one scan and one
+    * shuffle for all granularities, versus 4 scans for the naive union.
+    * `gid` is grouping_id()'s bitmask (first cube column = MSB); the
+    * oracle re-derives it from the NULL pattern, which is unambiguous
+    * here because neither dimension is naturally null. */
+  def cubeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(col("value") * 100).cast("long").as("vx"))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("events"), sum("vx").as("value_x100_sum"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("day"))
+
+  /** q143: PIVOT — per-day wide counts, one column per event type (the
+    * reporting shape). The type list is pinned (the stable public enum of
+    * the stream), so the plan is a single groupBy whose aggregate list is
+    * fixed at compile time — no second pass to discover columns, which is
+    * what an unpinned pivot costs. Empty cells are 0, not null. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day").pivot("event_type", types).count()
+      .na.fill(0L, types)
+      .orderBy("day")
+  }
+
   /** JSON property extraction + rollup: `props` is a JSON string column
     * (the norm for training-data manifests); `get_json_object` stays in
     * whole-stage codegen, then a tiny per-type aggregate. */

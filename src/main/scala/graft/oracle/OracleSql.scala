@@ -2260,6 +2260,32 @@ FROM zb, boxes b
 WHERE sx >= b.xlo AND sx < b.xhi AND sy >= b.ylo AND sy < b.yhi
 GROUP BY 1 ORDER BY 1""",
 
+    // q142: CUBE replayed with DuckDB's own CUBE; gid re-derived from the
+    // NULL pattern (no natural nulls in either dimension), matching
+    // Spark grouping_id()'s first-column-MSB bitmask.
+    "q142_events_cube" -> """SELECT event_type,
+  strftime(ts, '%Y-%m-%d') AS day,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+    AS value_x100_sum,
+  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid
+FROM events GROUP BY CUBE (event_type, day)""",
+
+    // q143: the pivot as explicit conditional sums — the relational
+    // definition the PIVOT sugar lowers to.
+    "q143_events_pivot" -> """SELECT strftime(ts, '%Y-%m-%d') AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS view
+FROM events GROUP BY 1 ORDER BY 1""",
+
     // q141: the salted join's contract — the plain (unsalted) join; the
     // engine's salt must be invisible in the relation.
     "q141_events_skew_join" -> """WITH f AS (

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventsOps
+import graft.sources.Tables
+
+/** q142/q143: cube and pivot internal consistency. */
+class OlapSpec extends SparkSpec {
+
+  test("cube granularities are mutually consistent") {
+    val rows = EventsOps.cubeRollup(spark, Sf0001).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L).head
+    // every granularity's event counts sum to the grand total
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(byGid(gid).map(_.getAs[Long]("events")).sum ==
+        total.getAs[Long]("events"), s"gid $gid")
+      assert(byGid(gid).map(_.getAs[Long]("value_x100_sum")).sum ==
+        total.getAs[Long]("value_x100_sum"), s"gid $gid")
+    }
+    // the cube plan is one Expand feeding one aggregate, not a union
+    val plan = EventsOps.cubeRollup(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(1200))
+    assert(!plan.contains("Union"), plan.take(1200))
+  }
+
+  test("pivot columns sum back to the per-day event totals") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = EventsOps.pivotDaily(spark, Sf0001).collect()
+    val perDay = Tables.events(spark, Sf0001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide.nonEmpty && wide.length == perDay.size)
+    wide.foreach { r =>
+      val sum = types.map(t => r.getAs[Long](t)).sum
+      assert(sum == perDay(r.getString(0)), s"day ${r.getString(0)}")
+    }
+  }
+}

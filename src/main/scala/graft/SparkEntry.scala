@@ -587,6 +587,9 @@ object SparkEntry {
     // hot-key salted join: fact salt + dim replication spreads the 50%
     // key across `salt` reducers; relation identical to the plain join
     "q141_events_skew_join" -> ((s, d) => Skew.saltedRollup(s, d)),
+    // mergeable log-histogram quantile sketch (DDSketch γ=2 family):
+    // ≤64 counters per sstable, deterministic γ-bounded percentiles
+    "q144_pstats_logq" -> ((s, d) => PStats.logQuantileSketch(s, d)),
     // CUBE: all four (event_type, day) granularities in one Expand pass
     "q142_events_cube" -> ((s, d) => EventsOps.cubeRollup(s, d)),
     // PIVOT: per-day wide counts over the pinned event-type enum

@@ -121,4 +121,52 @@ object PStats {
           .as("mismatches"))
       .orderBy("sstable_id")
   }
+
+  /** q144: MERGEABLE log-histogram quantile sketch per sstable — the
+    * DDSketch/HdrHistogram family at γ=2: a partition size lands in
+    * bucket ⌈log2⌉ (= its bit length), so the sketch state is ≤ 64
+    * counters per group no matter how many partitions an sstable holds,
+    * the merge is count addition (trivially commutative — plain partial
+    * aggregation IS the sketch merge), and any quantile reads off the
+    * cumulative histogram with ≤ 2× relative error. This is the
+    * bounded-state alternative to A3's Vitter reservoir (q42): the
+    * reservoir gives exact-sample percentiles but randomized state; the
+    * log histogram gives deterministic γ-bounded ones — which is why it
+    * can be hash-oracle-checked outright.
+    *
+    * Estimator (exact integer arithmetic, oracle-replayed): for quantile
+    * p‰, rank = ⌈p·n/1000⌉, the first bucket b with cum ≥ rank covers
+    * [2^(b−1), 2^b); est = lo + (lo−1)·(rank − cum_before) div cnt_b —
+    * linear interpolation on the bucket's integer span. */
+  def logQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Fixtures.liPscan(spark, dir)
+      .select(col("sstable_id"), col("size"))
+      .withColumn("bucket", length(bin(col("size"))).cast("long"))
+      .groupBy("sstable_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("sstable_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("sstable_id")))
+    val qs = Seq(500, 950, 990)
+    val picks = qs.map { p =>
+      min(when(col("cum") * 1000 >= col("n") * p,
+        struct(col("bucket"), col("cum"), col("cnt")))).as(s"b$p")
+    }
+    val ests = qs.map { p =>
+      expr(
+        s"""CAST(
+              shiftleft(CAST(1 AS BIGINT), CAST(b$p.bucket AS INT) - 1)
+              + ((shiftleft(CAST(1 AS BIGINT), CAST(b$p.bucket AS INT) - 1)
+                  - 1)
+                 * ((($p * n + 999) div 1000) - (b$p.cum - b$p.cnt)))
+                div b$p.cnt
+            AS BIGINT)""").as(s"p${p}_est")
+    }
+    cum.groupBy("sstable_id")
+      .agg(max("n").as("n0"), picks: _*)
+      .withColumnRenamed("n0", "n")
+      .select((col("sstable_id") +: col("n") +: ests): _*)
+      .orderBy("sstable_id")
+  }
 }

@@ -434,6 +434,46 @@ SELECT ${Dist.sql("size")},
     CAST(floor(SUM(table_count) * 100 / COUNT(*)) AS BIGINT) AS table_count_avg_x100
 FROM liparts""",
 
+    // q144: the log-histogram sketch replayed — same bit-length buckets
+    // (length(bin(x)) parity is the q93-established convention), same
+    // cumulative pick, same integer interpolation (`//` on nonnegative
+    // operands == Spark `div`; `<<` fully parenthesized — DuckDB shifts
+    // bind looser than +).
+    "q144_pstats_logq" -> s"""WITH $fixtures,
+h AS (SELECT sstable_id, CAST(length(bin(size)) AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lipscan GROUP BY 1, 2),
+c AS (SELECT *,
+        SUM(cnt) OVER (PARTITION BY sstable_id ORDER BY bucket
+          ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(cnt) OVER (PARTITION BY sstable_id) AS n
+      FROM h),
+q500 AS (SELECT *, row_number() OVER (PARTITION BY sstable_id
+    ORDER BY bucket) AS rn FROM c WHERE cum * 1000 >= n * 500),
+q950 AS (SELECT *, row_number() OVER (PARTITION BY sstable_id
+    ORDER BY bucket) AS rn FROM c WHERE cum * 1000 >= n * 950),
+q990 AS (SELECT *, row_number() OVER (PARTITION BY sstable_id
+    ORDER BY bucket) AS rn FROM c WHERE cum * 1000 >= n * 990),
+est AS (
+  SELECT a.sstable_id, CAST(a.n AS BIGINT) AS n,
+    CAST((CAST(1 AS BIGINT) << (CAST(a.bucket AS INT) - 1))
+      + (((CAST(1 AS BIGINT) << (CAST(a.bucket AS INT) - 1)) - 1)
+         * (((500 * a.n + 999) // 1000) - (a.cum - a.cnt))) // a.cnt
+      AS BIGINT) AS p500_est,
+    CAST((CAST(1 AS BIGINT) << (CAST(b.bucket AS INT) - 1))
+      + (((CAST(1 AS BIGINT) << (CAST(b.bucket AS INT) - 1)) - 1)
+         * (((950 * b.n + 999) // 1000) - (b.cum - b.cnt))) // b.cnt
+      AS BIGINT) AS p950_est,
+    CAST((CAST(1 AS BIGINT) << (CAST(cc.bucket AS INT) - 1))
+      + (((CAST(1 AS BIGINT) << (CAST(cc.bucket AS INT) - 1)) - 1)
+         * (((990 * cc.n + 999) // 1000) - (cc.cum - cc.cnt))) // cc.cnt
+      AS BIGINT) AS p990_est
+  FROM (SELECT * FROM q500 WHERE rn = 1) a
+  JOIN (SELECT * FROM q950 WHERE rn = 1) b ON a.sstable_id = b.sstable_id
+  JOIN (SELECT * FROM q990 WHERE rn = 1) cc ON a.sstable_id = cc.sstable_id
+)
+SELECT * FROM est ORDER BY sstable_id""",
+
     // the reservoir aggregator's EXACT accumulators (q42's non-randomized
     // half): count/total/min/max are tracked outside the sample
     // (Histogram.java:57-74) and mean = exactTotal/exactCount

@@ -156,4 +156,30 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(snap.getAs[Long]("max") == 0L) // Histogram.java:32-37 quirk
     assert(snap.getAs[Long]("min") == -10L)
   }
+
+  test("q144 log-quantile sketch brackets the exact percentiles " +
+    "within the bucket bound (gamma = 2)") {
+    import org.apache.spark.sql.functions._
+    val sk = graft.ops.PStats.logQuantileSketch(spark, Sf0001).collect()
+    assert(sk.nonEmpty)
+    val exact = graft.sources.Fixtures.liPscan(spark, Sf0001)
+      .groupBy("sstable_id")
+      .agg(expr("percentile(size, 0.5)").as("e500"),
+        expr("percentile(size, 0.95)").as("e950"),
+        expr("percentile(size, 0.99)").as("e990"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    sk.foreach { r =>
+      val (e5, e95, e99) = exact(r.getString(0))
+      // a gamma=2 sketch's estimate is within [x/2, 2x] of the truth
+      def ok(est: Long, ex: Double) = est >= ex / 2 - 1 && est <= ex * 2 + 1
+      assert(ok(r.getAs[Long]("p500_est"), e5),
+        s"${r.getString(0)} p50 ${r.getAs[Long]("p500_est")} vs $e5")
+      assert(ok(r.getAs[Long]("p950_est"), e95))
+      assert(ok(r.getAs[Long]("p990_est"), e99))
+      // monotone in p
+      assert(r.getAs[Long]("p500_est") <= r.getAs[Long]("p950_est"))
+      assert(r.getAs[Long]("p950_est") <= r.getAs[Long]("p990_est"))
+    }
+  }
 }

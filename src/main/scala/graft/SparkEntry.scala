@@ -587,6 +587,9 @@ object SparkEntry {
     // hot-key salted join: fact salt + dim replication spreads the 50%
     // key across `salt` reducers; relation identical to the plain join
     "q141_events_skew_join" -> ((s, d) => Skew.saltedRollup(s, d)),
+    // the end-to-end curation funnel: quality gate → dedup → benchmark
+    // decontamination → token mass → packed-sequence yield, per source
+    "q145_full_pipeline" -> ((s, d) => TextStats.fullPipeline(s, d)),
     // mergeable log-histogram quantile sketch (DDSketch γ=2 family):
     // ≤64 counters per sstable, deterministic γ-bounded percentiles
     "q144_pstats_logq" -> ((s, d) => PStats.logQuantileSketch(s, d)),

@@ -268,6 +268,56 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q145: the END-TO-END curation FUNNEL — every stage of a pretraining
+    * data pipeline chained over the dup-injected corpus, reported as the
+    * per-source survival funnel a pipeline owner actually watches:
+    * docs_in → quality+language gate (q49's rules) → exact dedup (min-id
+    * keeper) → benchmark decontamination (q61's 5-gram overlap: any
+    * match, or benchmark membership itself, drops the doc) → token mass
+    * → packed 2048-token sequence count + fill rate (the q60
+    * concat-and-chunk arithmetic: sequences = ⌈tokens/2048⌉ per source).
+    *
+    * Scale shape: the funnel reuses the session-cached corpus + shingle
+    * relations; each stage is a narrow filter or a semi/anti join on
+    * 8-to-16-byte keys (digest keepers, broadcast benchmark shingles);
+    * the five stage frames that meet at the end are all O(#sources). */
+  def fullPipeline(spark: SparkSession, dir: String, minTokens: Int = 20,
+      keepLang: String = "en", benchMod: Int = 101,
+      seqLen: Int = 2048): DataFrame = {
+    val docs = withTokens(Dedup.corpus(spark, dir))
+    val scored = docs.select(col("doc_id") +: col("source") +: col("text") +:
+      col("token_count") +: langScoreCols: _*)
+    val kept = scored.withColumn("pred_lang", langBest._1)
+      .where(col("token_count") >= minTokens &&
+        col("pred_lang") === keepLang)
+    val keepers = kept.groupBy(unhex(md5(col("text"))).as("digest"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val dd = kept.join(keepers, Seq("doc_id"), "left_semi")
+    val sh = Dedup.corpusShingles(spark, dir)
+    val bench = sh.where(col("doc_id") % benchMod === 0)
+      .select("g").distinct()
+    val contaminated = sh.join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+    val clean = dd.where(col("doc_id") % benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    val fin = clean.groupBy("source")
+      .agg(count(lit(1)).as("after_decontam"),
+        sum("token_count").as("tokens_kept"))
+      .withColumn("sequences",
+        expr(s"(tokens_kept + ${seqLen - 1}) div $seqLen"))
+      .withColumn("fill_x1000",
+        expr(s"floor(tokens_kept * 1000 / (sequences * $seqLen))"))
+    stage(docs, "docs_in")
+      .join(stage(kept, "after_quality"), Seq("source"), "left")
+      .join(stage(dd, "after_dedup"), Seq("source"), "left")
+      .join(fin, Seq("source"), "left")
+      .na.fill(0L, Seq("after_quality", "after_dedup", "after_decontam",
+        "tokens_kept", "sequences", "fill_x1000"))
+      .orderBy("source")
+  }
+
   /** Repetition-quality metrics (the Gopher-rules family: repeated-n-gram
     * fractions flag low-quality generated/boilerplate text). Per document:
     * total/distinct bigrams, the most-frequent bigram's count, and its

@@ -2067,6 +2067,61 @@ SELECT source,
 FROM kept JOIN keepers USING (doc_id)
 GROUP BY 1 ORDER BY 1""",
 
+    // q145: the whole funnel replayed — q49's gate + text-keyed dedup,
+    // q61's benchmark shingle overlap as an anti-filter, q60's
+    // concat-and-chunk sequence arithmetic, all joined per source.
+    "q145_full_pipeline" -> s"""WITH $corpus, $shingles, s AS (
+  SELECT doc_id, source, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+    CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+       + (length(text) - length(replace(text, ' and ', ''))) / 5
+       + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS s_en,
+    CAST((length(text) - length(replace(text, ' der ', ''))) / 5
+       + (length(text) - length(replace(text, ' und ', ''))) / 5
+       + (length(text) - length(replace(text, ' die ', ''))) / 5 AS BIGINT) AS s_de,
+    CAST((length(text) - length(replace(text, ' le ', ''))) / 4
+       + (length(text) - length(replace(text, ' et ', ''))) / 4
+       + (length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT) AS s_fr
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM s
+  WHERE token_count >= 20
+    AND (CASE WHEN s_fr > greatest(s_de, s_en, 0) THEN 'fr'
+              WHEN s_en > greatest(s_de, 0) THEN 'en'
+              WHEN s_de > 0 THEN 'de'
+              ELSE 'und' END) = 'en'
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+dd AS (SELECT kept.* FROM kept JOIN keepers USING (doc_id)),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 101 = 0),
+cont AS (SELECT DISTINCT c.doc_id FROM sh c JOIN bench b ON c.g = b.g),
+clean AS (SELECT * FROM dd WHERE doc_id % 101 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM cont)),
+s0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
+       FROM corpus GROUP BY 1),
+s1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS after_quality
+       FROM kept GROUP BY 1),
+s2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS after_dedup
+       FROM dd GROUP BY 1),
+s3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS after_decontam,
+         CAST(SUM(token_count) AS BIGINT) AS tokens_kept
+       FROM clean GROUP BY 1),
+f AS (SELECT *, CAST((tokens_kept + 2047) // 2048 AS BIGINT) AS sequences
+      FROM s3),
+f2 AS (SELECT *, CAST(floor(tokens_kept * 1000 / (sequences * 2048))
+         AS BIGINT) AS fill_x1000 FROM f)
+SELECT s0.source, s0.docs_in,
+  COALESCE(s1.after_quality, 0) AS after_quality,
+  COALESCE(s2.after_dedup, 0) AS after_dedup,
+  COALESCE(f2.after_decontam, 0) AS after_decontam,
+  COALESCE(f2.tokens_kept, 0) AS tokens_kept,
+  COALESCE(f2.sequences, 0) AS sequences,
+  COALESCE(f2.fill_x1000, 0) AS fill_x1000
+FROM s0 LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
+LEFT JOIN f2 USING (source)
+ORDER BY source""",
+
     // mirror of IndexDb.sstableSection off raw files (q50): sizes from
     // Index.db offset deltas, last partition closed by the Statistics.db
     // uncompressed length; recomputed here from the parquet derivations.

@@ -443,6 +443,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.select("text_md5").distinct().count() === distinctTexts)
   }
 
+  test("q145 funnel stages are monotone and consistent with q49") {
+    val rows = graft.ops.TextStats.fullPipeline(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val in = r.getAs[Long]("docs_in")
+      val q = r.getAs[Long]("after_quality")
+      val d = r.getAs[Long]("after_dedup")
+      val c = r.getAs[Long]("after_decontam")
+      assert(in >= q && q >= d && d >= c && c >= 0, r.toString)
+      val toks = r.getAs[Long]("tokens_kept")
+      val seqs = r.getAs[Long]("sequences")
+      if (c > 0) {
+        assert(seqs == (toks + 2047) / 2048)
+        assert(r.getAs[Long]("fill_x1000") <= 1000L)
+      }
+    }
+    // stage-2 counts agree with q49's docs_kept (same gate + dedup)
+    val q49 = graft.ops.TextStats.corpusPrep(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("docs_kept")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("after_dedup") == q49.getOrElse(r.getString(0), 0L)))
+  }
+
   test("streaming KMV sketch equals the batch sketch bit-for-bit") {
     import java.nio.file.{Files, Paths}
     val ingest = Files.createTempDirectory("graft-kmv-stream-")

@@ -590,6 +590,12 @@ object SparkEntry {
     // the end-to-end curation funnel: quality gate → dedup → benchmark
     // decontamination → token mass → packed-sequence yield, per source
     "q145_full_pipeline" -> ((s, d) => TextStats.fullPipeline(s, d)),
+    // STCS compaction what-if: size tiers, candidate flags, reclaimable
+    // tombstone mass per tier
+    "q146_sstables_stcs" -> ((s, d) => Summary.stcsWhatIf(s, d)),
+    // MERGE INTO (upsert/delete) corpus maintenance: one full-outer join,
+    // per-source insert/update/delete/unchanged funnel + state checksums
+    "q147_corpus_merge" -> ((s, d) => Dedup.corpusMerge(s, d)),
     // mergeable log-histogram quantile sketch (DDSketch γ=2 family):
     // ≤64 counters per sstable, deterministic γ-bounded percentiles
     "q144_pstats_logq" -> ((s, d) => PStats.logQuantileSketch(s, d)),

@@ -769,4 +769,61 @@ object Dedup {
           col("doc_id") % 1000003L).otherwise(0L)).as("survivor_id_sum"))
       .orderBy("source")
   }
+
+  /** q147: MERGE (upsert) maintenance — the Delta-style `MERGE INTO`
+    * semantics an incrementally-maintained corpus needs, expressed as one
+    * full-outer equi-join + row classification: an incoming batch of
+    * revisions (hash-overlapped with the base like q85: base = h60 %10<7,
+    * incoming = %10≥4, so inserts, updates and no-ops all occur) carries
+    * upserts (revised `text || ' v2'`) and deletes (doc_id %17 = 0).
+    * Each (base?, incoming?) combination classifies exactly one way —
+    * deleted / noop_delete / updated / inserted / unchanged — and the
+    * merged state's per-source counts, char mass and id checksum pin the
+    * whole result relation, including WHICH text version survived.
+    *
+    * Scale shape: ONE shuffle join on the 8-byte doc_id (bucketing both
+    * sides on doc_id makes it exchange-free, the BucketingSpec layout);
+    * classification and the final projection are narrow; the output frame
+    * is O(#sources). */
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+    val docs = Tables.documents(spark, dir)
+    val base = docs.where(h % 10 < 7)
+      .select(col("doc_id"), col("source").as("bsource"),
+        col("text").as("btext"))
+    val incoming = docs.where(h % 10 >= 4)
+      .select(col("doc_id"), col("source").as("isource"),
+        concat(col("text"), lit(" v2")).as("text2"),
+        when(col("doc_id") % 17 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    base.join(incoming, Seq("doc_id"), "full_outer")
+      .withColumn("cls",
+        when(col("btext").isNotNull && col("op") === "delete", "deleted")
+          .when(col("btext").isNull && col("op") === "delete", "noop_delete")
+          .when(col("btext").isNotNull && col("op") === "upsert", "updated")
+          .when(col("btext").isNull && col("op") === "upsert", "inserted")
+          .otherwise("unchanged"))
+      .withColumn("source", coalesce(col("bsource"), col("isource")))
+      .withColumn("final_text",
+        when(col("op") === "upsert", col("text2"))
+          .when(col("op").isNull, col("btext")))
+      .groupBy("source")
+      .agg(
+        sum(when(col("btext").isNotNull, 1L).otherwise(0L)).as("base_docs"),
+        sum(when(col("op").isNotNull, 1L).otherwise(0L)).as("incoming_docs"),
+        sum(when(col("cls") === "inserted", 1L).otherwise(0L)).as("inserted"),
+        sum(when(col("cls") === "updated", 1L).otherwise(0L)).as("updated"),
+        sum(when(col("cls") === "deleted", 1L).otherwise(0L)).as("deleted"),
+        sum(when(col("cls") === "noop_delete", 1L).otherwise(0L))
+          .as("noop_deletes"),
+        sum(when(col("cls") === "unchanged", 1L).otherwise(0L))
+          .as("unchanged"),
+        count(col("final_text")).as("final_docs"),
+        coalesce(sum(when(col("final_text").isNotNull,
+          length(col("final_text")).cast("long"))), lit(0L))
+          .as("final_chars"),
+        coalesce(sum(when(col("final_text").isNotNull,
+          col("doc_id") % 1000003L)), lit(0L)).as("id_checksum"))
+      .orderBy("source")
+  }
 }

@@ -113,4 +113,34 @@ object Summary {
           .cast("long").as("stcs_rank"))
       .orderBy("sstable_id")
   }
+
+  /** q146: SIZE-TIERED COMPACTION what-if — the planner-side report a
+    * Cassandra operator reads before kicking a major compaction. Tier =
+    * bit length of the sstable's uncompressed size (the power-of-two
+    * size-class simplification of STCS's bucket-average rule: same-tier
+    * tables are within 2× of each other); a tier holding ≥ minThreshold
+    * members is a compaction candidate (STCS's min_threshold default 4),
+    * and the droppable-tombstone mass the merge would purge rides along
+    * (the purge family's number placed in the compaction planner's
+    * frame). One narrow pass over the per-sstable rollup; the grouped
+    * frame is O(tables × 64). */
+  def stcsWhatIf(spark: SparkSession, dir: String,
+      minThreshold: Int = 4): DataFrame =
+    graft.sources.Fixtures
+      .sstableMeta(graft.sources.Fixtures.allPscan(spark, dir))
+      .select(col("tbl"), col("sstable_id"), col("uncompressed_length"),
+        col("droppable_tombstone_count"), col("cell_count"))
+      .withColumn("tier",
+        length(bin(col("uncompressed_length"))).cast("long"))
+      .groupBy("tbl", "tier")
+      .agg(count(lit(1)).as("sstables"),
+        sum("uncompressed_length").as("total_bytes"),
+        min("uncompressed_length").as("min_bytes"),
+        max("uncompressed_length").as("max_bytes"),
+        sum("droppable_tombstone_count").as("droppable_tombstones"),
+        sum("cell_count").as("cells"))
+      .withColumn("would_compact", col("sstables") >= minThreshold)
+      .withColumn("reclaim_x1000",
+        floor(col("droppable_tombstones") * 1000 / col("cells")))
+      .orderBy("tbl", "tier")
 }

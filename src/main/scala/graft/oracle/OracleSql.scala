@@ -2122,6 +2122,71 @@ FROM s0 LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
 LEFT JOIN f2 USING (source)
 ORDER BY source""",
 
+    // q147: MERGE replayed as the same full-outer classification; the
+    // char mass + id checksum pin which text version each row kept.
+    "q147_corpus_merge" -> s"""WITH b AS (
+  SELECT doc_id, source AS bsource, text AS btext FROM documents
+  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10 < 7
+),
+i AS (
+  SELECT doc_id, source AS isource, text || ' v2' AS text2,
+    CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents
+  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10 >= 4
+),
+m AS (
+  SELECT COALESCE(b.doc_id, i.doc_id) AS doc_id,
+    COALESCE(b.bsource, i.isource) AS source, b.btext, i.text2, i.op
+  FROM b FULL OUTER JOIN i ON b.doc_id = i.doc_id
+),
+c AS (
+  SELECT *,
+    CASE WHEN btext IS NOT NULL AND op = 'delete' THEN 'deleted'
+         WHEN btext IS NULL AND op = 'delete' THEN 'noop_delete'
+         WHEN btext IS NOT NULL AND op = 'upsert' THEN 'updated'
+         WHEN btext IS NULL AND op = 'upsert' THEN 'inserted'
+         ELSE 'unchanged' END AS cls,
+    CASE WHEN op = 'upsert' THEN text2
+         WHEN op IS NULL THEN btext END AS final_text
+  FROM m
+)
+SELECT source,
+  CAST(SUM(CASE WHEN btext IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS base_docs,
+  CAST(SUM(CASE WHEN op IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS incoming_docs,
+  CAST(SUM(CASE WHEN cls = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+    AS inserted,
+  CAST(SUM(CASE WHEN cls = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+    AS updated,
+  CAST(SUM(CASE WHEN cls = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+    AS deleted,
+  CAST(SUM(CASE WHEN cls = 'noop_delete' THEN 1 ELSE 0 END) AS BIGINT)
+    AS noop_deletes,
+  CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS unchanged,
+  CAST(COUNT(final_text) AS BIGINT) AS final_docs,
+  CAST(COALESCE(SUM(CASE WHEN final_text IS NOT NULL
+    THEN length(final_text) END), 0) AS BIGINT) AS final_chars,
+  CAST(COALESCE(SUM(CASE WHEN final_text IS NOT NULL
+    THEN doc_id % 1000003 END), 0) AS BIGINT) AS id_checksum
+FROM c GROUP BY 1 ORDER BY 1""",
+
+    // q146: the STCS what-if re-derived from the meta rollup — same
+    // bit-length tiers, same threshold flag, same reclaim ratio.
+    "q146_sstables_stcs" -> s"""WITH $fixtures
+SELECT tbl, CAST(length(bin(uncompressed_length)) AS BIGINT) AS tier,
+  CAST(COUNT(*) AS BIGINT) AS sstables,
+  CAST(SUM(uncompressed_length) AS BIGINT) AS total_bytes,
+  CAST(MIN(uncompressed_length) AS BIGINT) AS min_bytes,
+  CAST(MAX(uncompressed_length) AS BIGINT) AS max_bytes,
+  CAST(SUM(droppable_tombstone_count) AS BIGINT) AS droppable_tombstones,
+  CAST(SUM(cell_count) AS BIGINT) AS cells,
+  COUNT(*) >= 4 AS would_compact,
+  CAST(floor(SUM(droppable_tombstone_count) * 1000 / SUM(cell_count))
+    AS BIGINT) AS reclaim_x1000
+FROM meta GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // mirror of IndexDb.sstableSection off raw files (q50): sizes from
     // Index.db offset deltas, last partition closed by the Statistics.db
     // uncompressed length; recomputed here from the parquet derivations.

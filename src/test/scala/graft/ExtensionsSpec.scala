@@ -443,6 +443,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.select("text_md5").distinct().count() === distinctTexts)
   }
 
+  test("q147 merge: class counts satisfy the upsert accounting identities") {
+    val rows = graft.ops.Dedup.corpusMerge(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    var anyUpdate = 0L; var anyInsert = 0L; var anyDelete = 0L
+    rows.foreach { r =>
+      def g(n: String) = r.getAs[Long](n)
+      assert(g("base_docs") == g("unchanged") + g("updated") + g("deleted"))
+      assert(g("incoming_docs") ==
+        g("inserted") + g("updated") + g("deleted") + g("noop_deletes"))
+      assert(g("final_docs") == g("unchanged") + g("updated") + g("inserted"))
+      anyUpdate += g("updated"); anyInsert += g("inserted")
+      anyDelete += g("deleted")
+    }
+    // the hash overlap makes every class occur somewhere in the corpus
+    assert(anyUpdate > 0 && anyInsert > 0 && anyDelete > 0)
+  }
+
   test("q145 funnel stages are monotone and consistent with q49") {
     val rows = graft.ops.TextStats.fullPipeline(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -596,6 +596,11 @@ object SparkEntry {
     // MERGE INTO (upsert/delete) corpus maintenance: one full-outer join,
     // per-source insert/update/delete/unchanged funnel + state checksums
     "q147_corpus_merge" -> ((s, d) => Dedup.corpusMerge(s, d)),
+    // ordered conversion funnel: K conditional-min aggregates, no
+    // full-stream window
+    "q148_events_funnel" -> ((s, d) => EventsOps.funnel(s, d)),
+    // retention cohorts: first-day cohorts × (1,7]/(7,14]/(14,28] windows
+    "q149_events_retention" -> ((s, d) => EventsOps.retention(s, d)),
     // mergeable log-histogram quantile sketch (DDSketch γ=2 family):
     // ≤64 counters per sstable, deterministic γ-bounded percentiles
     "q144_pstats_logq" -> ((s, d) => PStats.logQuantileSketch(s, d)),

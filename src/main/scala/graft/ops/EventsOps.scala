@@ -160,6 +160,60 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** q148: ORDERED FUNNEL — how many users progress signup → click →
+    * purchase IN THAT ORDER (each later step strictly after the earlier
+    * step's first occurrence): the canonical product-analytics query.
+    * Step k is one conditional-min aggregate joined back on user_id, so
+    * the whole funnel is K tiny aggregates co-partitioned on the same
+    * key — no window over the full event stream, no per-user event-list
+    * collection. Output is the one-row conversion report. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val u1 = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val u2 = e.join(u1, "user_id")
+      .where(col("event_type") === "click" && col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val u3 = e.join(u2, "user_id")
+      .where(col("event_type") === "purchase" && col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val total = e.select(countDistinct("user_id").as("users_total"))
+    val s1 = u1.agg(count(lit(1)).as("step1_signup"))
+    val s2 = u2.agg(count(lit(1)).as("step2_click"))
+    val s3 = u3.agg(count(lit(1)).as("step3_purchase"))
+    total.crossJoin(s1).crossJoin(s2).crossJoin(s3)
+      .withColumn("conv2_x1000",
+        floor(col("step2_click") * 1000 / col("step1_signup")))
+      .withColumn("conv3_x1000",
+        floor(col("step3_purchase") * 1000 / col("step2_click")))
+  }
+
+  /** q149: RETENTION COHORTS — users grouped by their first-activity day;
+    * per cohort: size, and how many returned in the day windows
+    * (1,7], (7,14] and (14,28] after signup (window retention, the
+    * growth-analytics standard). Day indices are integer epoch-day
+    * arithmetic; the activity relation joins the cohort frame on user_id
+    * once — two co-partitioned aggregates total. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohort = e.groupBy("user_id").agg(min("day").as("day0"))
+    e.join(cohort, "user_id")
+      .groupBy("day0")
+      .agg(countDistinct("user_id").as("cohort_users"),
+        countDistinct(when((col("day") - col("day0")).between(1, 7),
+          col("user_id"))).as("retained_w1"),
+        countDistinct(when((col("day") - col("day0")).between(8, 14),
+          col("user_id"))).as("retained_w2"),
+        countDistinct(when((col("day") - col("day0")).between(15, 28),
+          col("user_id"))).as("retained_w4"))
+      .orderBy("day0")
+  }
+
   /** JSON property extraction + rollup: `props` is a JSON string column
     * (the norm for training-data manifests); `get_json_object` stays in
     * whole-stage codegen, then a tiny per-type aggregate. */

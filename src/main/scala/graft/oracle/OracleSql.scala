@@ -2122,6 +2122,43 @@ FROM s0 LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
 LEFT JOIN f2 USING (source)
 ORDER BY source""",
 
+    // q148: the ordered funnel replayed with the same staged
+    // conditional-min joins.
+    "q148_events_funnel" -> """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+u1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+u2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN u1 USING (user_id)
+       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+u3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN u2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+SELECT
+  CAST((SELECT COUNT(DISTINCT user_id) FROM e) AS BIGINT) AS users_total,
+  CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS step1_signup,
+  CAST((SELECT COUNT(*) FROM u2) AS BIGINT) AS step2_click,
+  CAST((SELECT COUNT(*) FROM u3) AS BIGINT) AS step3_purchase,
+  CAST(floor((SELECT COUNT(*) FROM u2) * 1000.0
+    / (SELECT COUNT(*) FROM u1)) AS BIGINT) AS conv2_x1000,
+  CAST(floor((SELECT COUNT(*) FROM u3) * 1000.0
+    / (SELECT COUNT(*) FROM u2)) AS BIGINT) AS conv3_x1000""",
+
+    // q149: retention re-derived with the same integer day windows.
+    "q149_events_retention" -> """WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+c AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY 1)
+SELECT day0,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS cohort_users,
+  CAST(COUNT(DISTINCT CASE WHEN e.day - c.day0 BETWEEN 1 AND 7
+    THEN e.user_id END) AS BIGINT) AS retained_w1,
+  CAST(COUNT(DISTINCT CASE WHEN e.day - c.day0 BETWEEN 8 AND 14
+    THEN e.user_id END) AS BIGINT) AS retained_w2,
+  CAST(COUNT(DISTINCT CASE WHEN e.day - c.day0 BETWEEN 15 AND 28
+    THEN e.user_id END) AS BIGINT) AS retained_w4
+FROM e JOIN c USING (user_id)
+GROUP BY 1 ORDER BY 1""",
+
     // q147: MERGE replayed as the same full-outer classification; the
     // char mass + id checksum pin which text version each row kept.
     "q147_corpus_merge" -> s"""WITH b AS (

@@ -27,6 +27,29 @@ class OlapSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan.take(1200))
   }
 
+  test("funnel steps are monotone and conversions bounded") {
+    val r = EventsOps.funnel(spark, Sf0001).collect().head
+    def g(n: String) = r.getAs[Long](n)
+    assert(g("users_total") >= g("step1_signup"))
+    assert(g("step1_signup") >= g("step2_click"))
+    assert(g("step2_click") >= g("step3_purchase"))
+    assert(g("step1_signup") > 0 && g("step2_click") > 0)
+    assert(g("conv2_x1000") <= 1000L && g("conv3_x1000") <= 1000L)
+  }
+
+  test("retention cohorts partition the user base; windows bounded") {
+    val rows = EventsOps.retention(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, Sf0001)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("cohort_users")).sum == users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("retained_w1") <= r.getAs[Long]("cohort_users"))
+      assert(r.getAs[Long]("retained_w2") <= r.getAs[Long]("cohort_users"))
+      assert(r.getAs[Long]("retained_w4") <= r.getAs[Long]("cohort_users"))
+    }
+  }
+
   test("pivot columns sum back to the per-day event totals") {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val wide = EventsOps.pivotDaily(spark, Sf0001).collect()

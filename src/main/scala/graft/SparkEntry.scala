@@ -601,6 +601,9 @@ object SparkEntry {
     "q148_events_funnel" -> ((s, d) => EventsOps.funnel(s, d)),
     // retention cohorts: first-day cohorts × (1,7]/(7,14]/(14,28] windows
     "q149_events_retention" -> ((s, d) => EventsOps.retention(s, d)),
+    // TextRank keywords: integer-exact damped PageRank over the token
+    // co-occurrence graph, 3 Pregel-style supersteps
+    "q150_textrank" -> ((s, d) => TextStats.textRank(s, d)),
     // mergeable log-histogram quantile sketch (DDSketch γ=2 family):
     // ≤64 counters per sstable, deterministic γ-bounded percentiles
     "q144_pstats_logq" -> ((s, d) => PStats.logQuantileSketch(s, d)),

@@ -318,6 +318,51 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q150: TEXTRANK keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Texts", EMNLP 2004) — PageRank over the token
+    * co-occurrence graph, made INTEGER-EXACT so the oracle replays every
+    * iteration: ranks are fixed-point ×10⁶, the damped update is
+    * r'(v) = 150000 + (850·Σ_{u∼v} (r(u) div deg(u))) div 1000 (floor at
+    * every step, the d=0.85 standard), run `iters` rounds from a uniform
+    * start. Top-k by (rank, token) is the keyword list.
+    *
+    * Scale shape: the graph is the DISTINCT adjacent-token edge set
+    * (undirected: both directions materialized) — Zipf-bounded, far
+    * smaller than the token stream; each iteration is one edge⋈rank join
+    * co-partitioned on the 8-ish-byte token key + one aggregate, the
+    * Pregel-per-superstep shape dupClustersDistributed already uses. At
+    * web scale the node key would be the token hash with a final
+    * hash→string join; strings keep q150 directly readable. */
+  def textRank(spark: SparkSession, dir: String, iters: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e0 = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1))," +
+          " i -> struct(w[i-1] as src, w[i] as dst))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst").as("n2"))
+        .agg(expr("150000 + (850 * sum(c)) div 1000").as("r"))
+        .select(col("n2").as("node"), col("r"))
+    }
+    ranks
+      .orderBy(desc("r"), col("node"))
+      .limit(topK)
+      .select(col("node").as("token"), col("r").as("rank_x1e6"))
+  }
+
   /** Repetition-quality metrics (the Gopher-rules family: repeated-n-gram
     * fractions flag low-quality generated/boilerplate text). Per document:
     * total/distinct bigrams, the most-frequent bigram's count, and its

@@ -2122,6 +2122,35 @@ FROM s0 LEFT JOIN s1 USING (source) LEFT JOIN s2 USING (source)
 LEFT JOIN f2 USING (source)
 ORDER BY source""",
 
+    // q150: all three TextRank iterations unrolled — same fixed-point
+    // damped update, floor at every step, same (rank, token) tiebreak.
+    "q150_textrank" -> """WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(w)), i ->
+    struct_pack(src := w[i], dst := w[i+1]))) AS pr FROM t
+),
+e0 AS (SELECT DISTINCT pr.src AS src, pr.dst AS dst FROM p
+       WHERE pr.src <> pr.dst),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS (SELECT e.dst AS node,
+         CAST(150000 + (850 * SUM(r0.r // d.deg)) // 1000 AS BIGINT) AS r
+       FROM edges e JOIN r0 ON e.src = r0.node
+       JOIN deg d ON e.src = d.src GROUP BY 1),
+r2 AS (SELECT e.dst AS node,
+         CAST(150000 + (850 * SUM(r1.r // d.deg)) // 1000 AS BIGINT) AS r
+       FROM edges e JOIN r1 ON e.src = r1.node
+       JOIN deg d ON e.src = d.src GROUP BY 1),
+r3 AS (SELECT e.dst AS node,
+         CAST(150000 + (850 * SUM(r2.r // d.deg)) // 1000 AS BIGINT) AS r
+       FROM edges e JOIN r2 ON e.src = r2.node
+       JOIN deg d ON e.src = d.src GROUP BY 1)
+SELECT node AS token, r AS rank_x1e6 FROM r3
+ORDER BY r DESC, node LIMIT 20""",
+
     // q148: the ordered funnel replayed with the same staged
     // conditional-min joins.
     "q148_events_funnel" -> """WITH e AS (

@@ -524,4 +524,61 @@ class PropertiesSpec extends AnyFunSuite {
     // construction, not discovered at recovery time
     intercept[IllegalArgumentException](FileSetOffset(Seq("a\"b")))
   }
+
+  test("KMV monoid laws hold under random streams and random splits") {
+    import graft.agg.KmvSketch
+    val a = new KmvSketch.Agg(8)
+    def run(xs: Seq[Long]) =
+      xs.foldLeft(a.zero)((b, h) => a.reduce(b, KmvSketch.In(h)))
+    val gen = for {
+      xs <- Gen.listOfN(40, Gen.choose(1L, 30L))
+      cut <- Gen.choose(0, 40)
+    } yield (xs, cut)
+    checkProp(gen) { case (xs, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val bulk = run(xs)
+      // split-merge == bulk, both orders; identity; idempotent re-merge
+      a.merge(run(l), run(r)) == bulk &&
+        a.merge(run(r), run(l)) == bulk &&
+        a.merge(a.zero, bulk) == bulk &&
+        a.merge(bulk, bulk) == bulk &&
+        // state really is the k smallest distinct values
+        bulk == xs.distinct.sorted.take(8).toVector
+    }
+  }
+
+  test("Misra-Gries partition union is a superset of true heavy hitters") {
+    // the q134 soundness argument, property-checked: for random streams
+    // split into random partitions, the union of per-partition MG
+    // candidate sets contains every item with global freq*k > n
+    val k = 8
+    def mg(xs: Seq[Long]): Set[Long] = {
+      val counters = scala.collection.mutable.Map.empty[Long, Long]
+      xs.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1
+        else if (counters.size < k) counters(t) = 1
+        else counters.keys.toSeq.foreach { c =>
+          counters(c) -= 1
+          if (counters(c) == 0) counters.remove(c)
+        }
+      }
+      counters.keySet.toSet
+    }
+    val gen = for {
+      xs <- Gen.listOfN(120, Gen.frequency(
+        5 -> Gen.choose(0L, 2L),       // skewed head
+        3 -> Gen.choose(3L, 40L)))     // long tail
+      nParts <- Gen.choose(1, 5)
+    } yield (xs, nParts)
+    checkProp(gen) { case (xs, nParts) =>
+      val parts = xs.zipWithIndex.groupBy(_._2 % nParts)
+        .values.map(_.map(_._1)).toSeq
+      val cands = parts.map(mg).foldLeft(Set.empty[Long])(_ ++ _)
+      val n = xs.length
+      val heavy = xs.groupBy(identity).collect {
+        case (t, os) if os.length.toLong * k > n => t
+      }.toSet
+      heavy.subsetOf(cands)
+    }
+  }
 }

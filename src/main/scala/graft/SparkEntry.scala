@@ -891,6 +891,10 @@ object SparkEntry {
     // real PNG roundtrip: CRC-checked chunks, zlib IDAT, 5-filter
     // reconstruction; pixel checksum oracle-recomputed from the generator
     "q97_png_decode" -> ((s, d) => Multimodal.pngDecode(s, d)),
+    // image dedup on the DECODED-pixel fingerprint (real PNG decode →
+    // (w,h,Σpx,Σpx·i) cluster key): re-encodings collapse, byte-hash
+    // dedup wouldn't see them
+    "q151_dedup_image" -> ((s, d) => Multimodal.imageDedup(s, d)),
     // trained-BPE application: words tokenized once in the Zipf-collapsed
     // vocab, corpus word stream joined to per-word token counts
     "q98_bpe_apply" -> ((s, d) => TextStats.bpeApply(s, d)),

@@ -274,7 +274,8 @@ object Multimodal {
       out.toByteArray
     }
 
-    final case class PngDecoded(width: Int, height: Int, pixelSum: Long)
+    final case class PngDecoded(width: Int, height: Int, pixelSum: Long,
+        weightedSum: Long)
 
     /** Full PNG parse: signature, chunk walk with per-chunk CRC32
       * verification (a flipped byte anywhere must throw, not mis-decode),
@@ -334,6 +335,7 @@ object Multimodal {
       def px(row: Int, i: Int): Int =
         if (i < 0) 0 else raw(row * w * bpp + i)
       var sum = 0L
+      var wsum = 0L // Σ pixel_i·(i+1): the q151 dedup fingerprint's 2nd moment
       for (row <- 0 until h) {
         val f = filtered(row * stride) & 0xff
         for (i <- 0 until w * bpp) {
@@ -355,11 +357,13 @@ object Multimodal {
               throw new java.io.IOException(s"bad PNG filter $other")
           }
           val v = (x + pred) & 0xff
-          raw(row * w * bpp + i) = v
+          val idx = row * w * bpp + i
+          raw(idx) = v
           sum += v
+          wsum += v.toLong * (idx + 1)
         }
       }
-      PngDecoded(w, h, sum)
+      PngDecoded(w, h, sum, wsum)
     }
 
     final case class JpegDecoded(width: Int, height: Int, pixelSum: Long)
@@ -1558,6 +1562,42 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "pixel_bytes", "pixel_sum")
       .orderBy("doc_id")
+  }
+
+  /** q151: IMAGE DEDUP on the DECODED-pixel fingerprint — the multimodal
+    * face of the dedup family. A synthetic web-crawl gallery where many
+    * documents reference the same underlying image (image seed =
+    * doc_id % gallery, the CDN-duplication shape); every payload really
+    * decodes through the q97 PNG path, and duplicates key on the decoded
+    * domain — (w, h, Σpx, Σpx·(i+1)) — NOT the payload bytes, so
+    * re-encodings of identical pixels (different filter rotations,
+    * ancillary chunks) still collapse, which byte-hash dedup misses. One
+    * cluster row per distinct image with copy count, min-doc keeper and
+    * id checksum. The oracle recomputes both pixel moments from the
+    * generator formula: a wrong decode ANYWHERE (filter algebra, CRC,
+    * inflate) surfaces as a hash mismatch here too.
+    *
+    * Scale shape: decode is narrow mapPartitions (the codec kernel
+    * shape); the dedup exchange carries the 32-byte fingerprint per
+    * image, never pixels. */
+  def imageDedup(spark: SparkSession, dir: String,
+      gallery: Int = 97): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val seed = id % gallery
+          val w = 4 + (seed % 16).toInt
+          val h = 4 + (seed % 12).toInt
+          val d = RealCodecs.decodePng(RealCodecs.encodePng(w, h, seed))
+          (id, d.width.toLong, d.height.toLong, d.pixelSum, d.weightedSum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "pixel_sum", "wsum")
+      .groupBy("width", "height", "pixel_sum", "wsum")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper_id"),
+        sum(col("doc_id") % 1000003L).as("id_checksum"))
+      .orderBy("width", "height", "pixel_sum", "wsum")
   }
 
   /** q99: REAL JPEG decode roundtrip through the JDK's `javax.imageio`

@@ -2953,6 +2953,26 @@ SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
   CAST(w * h * 3 AS BIGINT) AS pixel_bytes, pixel_sum
 FROM s ORDER BY doc_id""",
 
+    // q151: image dedup re-derived from the pixel-generator formula —
+    // the engine must get the same two moments OUT OF THE REAL DECODE.
+    "q151_dedup_image" -> """WITH g AS (
+  SELECT doc_id, doc_id % 97 AS seed FROM documents
+),
+p AS (SELECT doc_id, seed, 4 + seed % 16 AS w, 4 + seed % 12 AS h FROM g),
+s AS (
+  SELECT doc_id, w, h,
+    CAST(SUM((seed * 7 + i * 13) % 251) AS BIGINT) AS pixel_sum,
+    CAST(SUM(((seed * 7 + i * 13) % 251) * (i + 1)) AS BIGINT) AS wsum
+  FROM p, UNNEST(range(0, w * h * 3)) AS t(i)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  pixel_sum, wsum,
+  CAST(COUNT(*) AS BIGINT) AS copies,
+  CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+  CAST(SUM(doc_id % 1000003) AS BIGINT) AS id_checksum
+FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+
     // q99: JPEG roundtrip through the JDK codec. Uniform gray v at
     // compression quality 1.0 decodes byte-exactly (Y=v/Cb=Cr=128 is an
     // exact color transform, all AC coefficients zero, quant tables all

@@ -38,7 +38,8 @@ object Main {
   val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
-    "search", "drift", "tokenize", "lookup", "get", "slice")
+    "search", "drift", "tokenize", "lookup", "get", "slice",
+    "pipeline", "compact")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -60,6 +61,8 @@ object Main {
     case "agree" => "Usage: agree"
     case "search" => "Usage: search [-n <num>]"
     case "drift" => "Usage: drift"
+    case "pipeline" => "Usage: pipeline"
+    case "compact" => "Usage: compact"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -147,7 +150,7 @@ object Main {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
               "chrome" | "bpe" | "lm" | "agree" | "search" | "drift" |
-              "tokenize" =>
+              "tokenize" | "pipeline" | "compact" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -242,6 +245,10 @@ object Main {
         out(tracked("search")(Reports.search(spark, dir, o.topN))); 0
       case "drift" =>
         out(tracked("drift")(Reports.drift(spark, dir))); 0
+      case "pipeline" =>
+        out(tracked("pipeline")(Reports.pipeline(spark, dir))); 0
+      case "compact" =>
+        out(tracked("compact")(Reports.compact(spark, dir))); 0
       case "tokenize" =>
         out(tracked("tokenize")(Reports.tokenize(spark, dir, o.bpeSteps))); 0
       case "lookup" =>

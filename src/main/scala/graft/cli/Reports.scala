@@ -296,4 +296,14 @@ object Reports {
   def tokenize(spark: SparkSession, dir: String, steps: Int = 3): String =
     section(s"BPE tokenization ($steps merges) by source",
       TextStats.bpeApply(spark, dir, steps))
+
+  /** `pipeline` — the q145 end-to-end curation funnel per source. */
+  def pipeline(spark: SparkSession, dir: String): String =
+    section("Curation funnel (quality -> dedup -> decontam -> pack)",
+      TextStats.fullPipeline(spark, dir))
+
+  /** `compact` — the q146 STCS what-if per size tier. */
+  def compact(spark: SparkSession, dir: String): String =
+    section("STCS compaction what-if by size tier",
+      graft.ops.Summary.stcsWhatIf(spark, dir))
 }

@@ -164,6 +164,10 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("search", "extra")).isLeft)
     assert(collect("drift").contains("Corpus drift (TV x1e6) by source"))
     assert(Main.parse(Seq("drift", "extra")).isLeft)
+    assert(collect("pipeline").contains("Curation funnel"))
+    assert(Main.parse(Seq("pipeline", "extra")).isLeft)
+    assert(collect("compact").contains("STCS compaction what-if"))
+    assert(Main.parse(Seq("compact", "extra")).isLeft)
     assert(collect("tokenize", "-s", "2")
       .contains("BPE tokenization (2 merges) by source"))
     assert(Main.parse(Seq("tokenize", "-s", "0")).isLeft)

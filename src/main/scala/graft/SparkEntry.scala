@@ -596,6 +596,9 @@ object SparkEntry {
     // MERGE INTO (upsert/delete) corpus maintenance: one full-outer join,
     // per-source insert/update/delete/unchanged funnel + state checksums
     "q147_corpus_merge" -> ((s, d) => Dedup.corpusMerge(s, d)),
+    // time travel: the state at v0/v1/v2 of a two-batch merge history,
+    // pinned by per-version doc/char/checksum audits
+    "q152_corpus_timetravel" -> ((s, d) => Dedup.corpusTimeTravel(s, d)),
     // ordered conversion funnel: K conditional-min aggregates, no
     // full-stream window
     "q148_events_funnel" -> ((s, d) => EventsOps.funnel(s, d)),

@@ -770,6 +770,56 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** One MERGE batch applied to a corpus state: upserts replace text,
+    * deletes remove the row, untouched rows carry over — the state
+    * transition [[corpusMerge]] classifies and [[corpusTimeTravel]]
+    * chains. */
+  private def applyBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.select(col("doc_id"), col("source").as("ssource"),
+        col("text").as("stext"))
+      .join(batch, Seq("doc_id"), "full_outer")
+      .where(col("op").isNull || col("op") === "upsert")
+      .select(col("doc_id"),
+        coalesce(col("ssource"), col("isource")).as("source"),
+        when(col("op") === "upsert", col("text2"))
+          .otherwise(col("stext")).as("text"))
+
+  /** q152: TIME TRAVEL — the corpus reconstructed AT EACH VERSION of a
+    * two-batch maintenance history (v0 = the base snapshot, v1 = after
+    * the q147 revision wave, v2 = after a second wave with different
+    * overlap and delete rules). Each version's doc count, char mass and
+    * id checksum pin the whole state — the "SELECT ... VERSION AS OF"
+    * summary a versioned lakehouse table exposes. Versions are derived by
+    * chaining the same full-outer transition, not stored — at scale the
+    * states would be materialized incrementally with the checksums as
+    * the cross-version audit. */
+  def corpusTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash.h60(col("doc_id").cast("string"))
+    val docs = Tables.documents(spark, dir)
+    val v0 = docs.where(h % 10 < 7)
+      .select(col("doc_id"), col("source"), col("text"))
+    val b1 = docs.where(h % 10 >= 4)
+      .select(col("doc_id"), col("source").as("isource"),
+        concat(col("text"), lit(" v2")).as("text2"),
+        when(col("doc_id") % 17 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    val b2 = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source").as("isource"),
+        concat(col("text"), lit(" v3")).as("text2"),
+        when(col("doc_id") % 19 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    val v1 = applyBatch(v0, b1)
+    val v2 = applyBatch(v1, b2)
+    def summary(df: DataFrame, v: Long) =
+      df.agg(count(lit(1)).as("docs"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        sum(col("doc_id") % 1000003L).as("id_checksum"))
+        .select(lit(v).as("version"), col("docs"), col("chars"),
+          col("id_checksum"))
+    summary(v0, 0L).union(summary(v1, 1L)).union(summary(v2, 2L))
+      .orderBy("version")
+  }
+
   /** q147: MERGE (upsert) maintenance — the Delta-style `MERGE INTO`
     * semantics an incrementally-maintained corpus needs, expressed as one
     * full-outer equi-join + row classification: an incoming batch of

@@ -2188,6 +2188,48 @@ SELECT day0,
 FROM e JOIN c USING (user_id)
 GROUP BY 1 ORDER BY 1""",
 
+    // q152: both merge transitions replayed; each version's summary must
+    // match the engine's chained full-outer reconstruction exactly.
+    "q152_corpus_timetravel" -> s"""WITH v0 AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10 < 7
+),
+b1 AS (
+  SELECT doc_id, source AS isource, text || ' v2' AS text2,
+    CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents
+  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10 >= 4
+),
+v1 AS (
+  SELECT COALESCE(s.doc_id, b.doc_id) AS doc_id,
+    COALESCE(s.source, b.isource) AS source,
+    CASE WHEN b.op = 'upsert' THEN b.text2 ELSE s.text END AS text
+  FROM v0 s FULL OUTER JOIN b1 b ON s.doc_id = b.doc_id
+  WHERE b.op IS NULL OR b.op = 'upsert'
+),
+b2 AS (
+  SELECT doc_id, source AS isource, text || ' v3' AS text2,
+    CASE WHEN doc_id % 19 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents WHERE doc_id % 3 = 0
+),
+v2 AS (
+  SELECT COALESCE(s.doc_id, b.doc_id) AS doc_id,
+    COALESCE(s.source, b.isource) AS source,
+    CASE WHEN b.op = 'upsert' THEN b.text2 ELSE s.text END AS text
+  FROM v1 s FULL OUTER JOIN b2 b ON s.doc_id = b.doc_id
+  WHERE b.op IS NULL OR b.op = 'upsert'
+)
+SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(length(text)) AS BIGINT) AS chars,
+  CAST(SUM(doc_id % 1000003) AS BIGINT) AS id_checksum FROM v0
+UNION ALL
+SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(length(text)) AS BIGINT),
+  CAST(SUM(doc_id % 1000003) AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(length(text)) AS BIGINT),
+  CAST(SUM(doc_id % 1000003) AS BIGINT) FROM v2
+ORDER BY version""",
+
     // q147: MERGE replayed as the same full-outer classification; the
     // char mass + id checksum pin which text version each row kept.
     "q147_corpus_merge" -> s"""WITH b AS (

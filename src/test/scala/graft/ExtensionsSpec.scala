@@ -460,6 +460,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(anyUpdate > 0 && anyInsert > 0 && anyDelete > 0)
   }
 
+  test("q152 time travel: v1 state agrees with q147's merge accounting") {
+    val tt = graft.ops.Dedup.corpusTimeTravel(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("chars"))).toMap
+    assert(tt.keySet == Set(0L, 1L, 2L))
+    val merge = graft.ops.Dedup.corpusMerge(spark, Sf0001).collect()
+    val v1FromMerge = merge.map(_.getAs[Long]("final_docs")).sum
+    val v1Chars = merge.map(_.getAs[Long]("final_chars")).sum
+    assert(tt(1L) == ((v1FromMerge, v1Chars)))
+    assert(tt(0L)._1 > 0 && tt(2L)._1 > 0)
+  }
+
   test("q145 funnel stages are monotone and consistent with q49") {
     val rows = graft.ops.TextStats.fullPipeline(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -635,6 +635,9 @@ object SparkEntry {
     // cluster-balanced subsample over the trained k-means clusters:
     // uniform reproducible slice of EVERY cluster (hash-ranked window)
     "q117_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
+    // embedding-space drift: base/incoming populations per trained
+    // cluster, integer-exact share shift (the vector-side q96)
+    "q153_sim_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     // IVF over the PERSISTED bucket-partitioned index: build once on
     // disk, query via dynamic partition pruning — identical relation to
     // the in-memory q89

@@ -315,6 +315,39 @@ object Similarity {
       .orderBy("cluster", "rank")
   }
 
+  /** q153: EMBEDDING-SPACE DRIFT — the vector-side companion of q96's
+    * token drift: base vs incoming embeddings (vec_id % 10 split, q85's
+    * convention) assigned to the SAME trained k-means clusters, then the
+    * per-cluster population shift — counts, per-side shares ×10⁶, and
+    * the cross-multiplied TV contribution (exact integer fractions, no
+    * float accumulation). This is how an embedding-ingest pipeline
+    * notices its distribution moving (new topic, degraded encoder)
+    * without storing any history: the trained centroids are the frozen
+    * reference frame.
+    *
+    * Scale shape: assignment is the narrow literal-centroid argmin (no
+    * join, no n×k blow-up); the only exchange is the k-key aggregate;
+    * side totals ride back as a broadcast 1-row frame. */
+  def embeddingDrift(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val cents = kmeansCentroids(spark, dir, k)
+    val asg = assignTo(
+      quantized(spark, dir).select("vec_id", "qv", "norm2"), cents)
+      .withColumn("inc", col("vec_id") % 10 >= 7)
+    val per = asg.groupBy("cid")
+      .agg(sum(when(!col("inc"), 1L).otherwise(0L)).as("base_n"),
+        sum(when(col("inc"), 1L).otherwise(0L)).as("inc_n"))
+    val tot = per.agg(sum("base_n").as("nb"), sum("inc_n").as("ni"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cid").as("cluster"), col("base_n"), col("inc_n"),
+        floor(col("base_n") * 1000000L / col("nb")).as("base_share_x1e6"),
+        floor(col("inc_n") * 1000000L / col("ni")).as("inc_share_x1e6"),
+        floor(abs(col("base_n") * col("ni") - col("inc_n") * col("nb"))
+          * 1000000L / (col("nb") * col("ni"))).as("shift_x1e6"))
+      .orderBy("cluster")
+  }
+
   /** IVF ANN over the [[kmeans]] index (q89) — the build-then-query shape
     * of a real vector store: the corpus is bucketed by its nearest trained
     * centroid (the inverted file), each query probes only its `nprobe`

@@ -3243,6 +3243,36 @@ ranked AS (
 SELECT CAST(cid AS BIGINT) AS cluster, CAST(vec_id AS BIGINT) AS vec_id,
   CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY 1, 3""",
+    // q153: the same trained-centroid assignment, split base/incoming,
+    // TV contributions in exact cross-multiplied fractions.
+    "q153_sim_drift" -> s"""WITH $quantized, $kmeansTrace,
+d3 AS (
+  SELECT q.vec_id, c.cid,
+    q.norm2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM qn q CROSS JOIN c2 c
+),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d3) WHERE rn = 1
+),
+per AS (
+  SELECT cid,
+    CAST(SUM(CASE WHEN vec_id % 10 < 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS base_n,
+    CAST(SUM(CASE WHEN vec_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS inc_n
+  FROM a3 GROUP BY 1
+),
+tot AS (SELECT SUM(base_n) AS nb, SUM(inc_n) AS ni FROM per)
+SELECT CAST(cid AS BIGINT) AS cluster, base_n, inc_n,
+  CAST(floor(base_n * 1000000 / nb) AS BIGINT) AS base_share_x1e6,
+  CAST(floor(inc_n * 1000000 / ni) AS BIGINT) AS inc_share_x1e6,
+  CAST(floor(abs(base_n * ni - inc_n * nb) * 1000000 / (nb * ni))
+    AS BIGINT) AS shift_x1e6
+FROM per, tot ORDER BY cluster""",
+
     // q89: IVF over the q88 index — candidate bucketing and query probing
     // re-derived from the same trained centroids (c2), exact cosine only
     // inside probed buckets; cosine text identical to q24's.

@@ -460,6 +460,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(anyUpdate > 0 && anyInsert > 0 && anyDelete > 0)
   }
 
+  test("q153 embedding drift: shares sum to ~1e6 per side, shifts bounded") {
+    val rows = graft.ops.Similarity.embeddingDrift(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val bs = rows.map(_.getAs[Long]("base_share_x1e6")).sum
+    val is = rows.map(_.getAs[Long]("inc_share_x1e6")).sum
+    // floor rounding loses < k millionths
+    assert(bs > 1000000L - rows.length && bs <= 1000000L)
+    assert(is > 1000000L - rows.length && is <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shift_x1e6") <= 1000000L)
+      assert(r.getAs[Long]("base_n") + r.getAs[Long]("inc_n") > 0)
+    }
+  }
+
   test("q152 time travel: v1 state agrees with q147's merge accounting") {
     val tt = graft.ops.Dedup.corpusTimeTravel(spark, Sf0001).collect()
       .map(r => r.getAs[Long]("version") ->

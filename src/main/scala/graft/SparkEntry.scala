@@ -544,6 +544,10 @@ object SparkEntry {
     "q21_dedup_ngram" -> ((s, d) =>
       Dedup.ngramPairsExact(s, d).orderBy("id_a", "id_b")),
     "q22_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // prefix-filtered exact similarity join (PPJoin principle): rare-
+    // shingle prefixes generate candidates, exact verify — must equal
+    // the all-pairs relation (shares q21's oracle)
+    "q154_dedup_prefix" -> ((s, d) => Dedup.prefixPairs(s, d)),
     "q23_dedup_simhash" -> ((s, d) => Dedup.simhash(Dedup.corpus(s, d))),
     "q33_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // similarity search

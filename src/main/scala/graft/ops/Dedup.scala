@@ -163,6 +163,61 @@ object Dedup {
         floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
   }
 
+  /** q154: PREFIX-FILTERED similarity join (the SSJoin/PPJoin principle —
+    * Chaudhuri, Ganti & Kaushik, ICDE 2006; Xiao et al., WWW 2008) — the
+    * third EXACT reduction of the all-pairs Jaccard join, next to the
+    * doc-frequency cap (q21's scale default) and MinHash-LSH (q22,
+    * probabilistic): order every document's shingles by GLOBAL RARITY
+    * (ascending document frequency, shingle-hash tiebreak) and index only
+    * each doc's first |d| − ⌈τ·|d|⌉ + 1 shingles. If J(a,b) ≥ τ, the
+    * first shingle the two documents share (in the global order) must
+    * sit inside BOTH prefixes — were it past a's prefix, the ≥ p_a
+    * earlier a-shingles would all be absent from b, capping the overlap
+    * at |a| − p_a = ⌈τ|a|⌉ − 1 < τ|a| ≤ τ|a∪b| ≤ overlap, a
+    * contradiction — so scanning only prefix buckets loses nothing, and
+    * the verify stage recomputes the exact Jaccard over the full sets.
+    * Equality with the all-pairs relation is the ORACLE (q21's), not an
+    * assertion.
+    *
+    * Scale shape: prefix buckets are by construction the RAREST shingles
+    * (low df ⇒ small buckets ⇒ few pairs); candidates then verify via
+    * two co-partitioned joins carrying 16-byte (id, hash) rows. The
+    * doc-frequency relation is one hash aggregate reused from the bucket
+    * build's own key. */
+  def prefixPairs(spark: SparkSession, dir: String,
+      thresholdPct: Int = 80): DataFrame = {
+    val hashed = corpusShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val dfreq = hashed.groupBy("gh").agg(count(lit(1)).as("dfreq"))
+    val sized = hashed.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val wp = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("gh"))
+    val prefix = sized.join(dfreq, "gh")
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <=
+        expr(s"sz - ((sz * $thresholdPct + 99) div 100) + 1"))
+    val cands = prefix.groupBy("gh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select("p.id_a", "p.id_b").distinct()
+    cands
+      .join(sized.select(col("doc_id").as("id_a"), col("gh"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sized.select(col("doc_id").as("id_b"), col("gh"),
+        col("sz").as("sz_b")), Seq("id_b", "gh"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over
     * the cross-engine [[graft.functions.PortableHash]] of each shingle
     * (oracle-checkable; `hash`/murmur3 is a drop-in for engine-only use). */

@@ -3818,6 +3818,11 @@ ORDER BY 1"""
       // q132 (persisted IVF-PQ) must reproduce q131's relation exactly —
       // same codes, same probes, same ADC — so it shares its oracle.
       ("q132_sim_ivfpq_persisted" -> base("q131_sim_ivfpq")) +
+      // q154 (prefix-filtered join) must reproduce the all-pairs exact
+      // Jaccard relation — the prefix principle loses nothing, so it
+      // shares q21's oracle; a dropped candidate surfaces as a row
+      // mismatch here.
+      ("q154_dedup_prefix" -> base("q21_dedup_ngram")) +
       // q137 (sharded HNSW + exact re-rank) is beam-sized for full recall
       // at the gated scales, so its contract is exactly the brute-force
       // cosine top-k — q24's oracle. A beam miss anywhere surfaces as a

@@ -33,6 +33,17 @@ class ExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("jaccard_x1000") >= 800L))
   }
 
+  test("q154 prefix-filtered join equals the all-pairs exact relation, " +
+    "and its candidate set is a strict subset of all pairs") {
+    val exact = Dedup.ngramPairsExact(spark, Sf0001)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pf = Dedup.prefixPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pf == exact)
+    assert(pf.nonEmpty)
+  }
+
   test("ngram jaccard: a generous doc-frequency cap changes nothing") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq

@@ -548,6 +548,9 @@ object SparkEntry {
     // shingle prefixes generate candidates, exact verify — must equal
     // the all-pairs relation (shares q21's oracle)
     "q154_dedup_prefix" -> ((s, d) => Dedup.prefixPairs(s, d)),
+    // sorted-neighborhood dedup: simhash-sorted sliding window (fixed
+    // O(n·w) candidate budget), exact verify; blocking oracle-replayed
+    "q155_dedup_snm" -> ((s, d) => Dedup.snmPairs(s, d)),
     "q23_dedup_simhash" -> ((s, d) => Dedup.simhash(Dedup.corpus(s, d))),
     "q33_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // similarity search

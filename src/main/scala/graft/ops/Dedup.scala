@@ -184,13 +184,35 @@ object Dedup {
     * two co-partitioned joins carrying 16-byte (id, hash) rows. The
     * doc-frequency relation is one hash aggregate reused from the bucket
     * build's own key. */
+  /** (doc_id, gh, sz): each doc's hashed shingles carrying the doc's set
+    * size — the shared verify-stage input of q154/q155. */
+  private def hashedSized(spark: SparkSession, dir: String): DataFrame =
+    corpusShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+
+  /** Exact-Jaccard verification of a candidate pair set: two
+    * co-partitioned joins on 16-byte (id, hash) rows, threshold + the
+    * ×1000 score — the stage every blocking scheme funnels into. */
+  private def verifyExact(sized: DataFrame, cands: DataFrame,
+      thresholdPct: Int): DataFrame =
+    cands
+      .join(sized.select(col("doc_id").as("id_a"), col("gh"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sized.select(col("doc_id").as("id_b"), col("gh"),
+        col("sz").as("sz_b")), Seq("id_b", "gh"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
+      .orderBy("id_a", "id_b")
+
   def prefixPairs(spark: SparkSession, dir: String,
       thresholdPct: Int = 80): DataFrame = {
-    val hashed = corpusShingles(spark, dir)
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val dfreq = hashed.groupBy("gh").agg(count(lit(1)).as("dfreq"))
-    val sized = hashed.withColumn("sz",
-      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val sized = hashedSized(spark, dir)
+    val dfreq = sized.groupBy("gh").agg(count(lit(1)).as("dfreq"))
     val wp = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("gh"))
     val prefix = sized.join(dfreq, "gh")
       .withColumn("rn", row_number().over(wp))
@@ -204,18 +226,50 @@ object Dedup {
           "transform(slice(ids, i + 2, size(ids) - i - 1), " +
           "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
       .select("p.id_a", "p.id_b").distinct()
-    cands
-      .join(sized.select(col("doc_id").as("id_a"), col("gh"),
-        col("sz").as("sz_a")), "id_a")
-      .join(sized.select(col("doc_id").as("id_b"), col("gh"),
-        col("sz").as("sz_b")), Seq("id_b", "gh"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
-      .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
-      .select(col("id_a"), col("id_b"),
-        floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
-      .orderBy("id_a", "id_b")
+    verifyExact(sized, cands, thresholdPct)
+  }
+
+  /** q155: SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo, SIGMOD 1995) —
+    * the fourth blocking family next to the df-cap, LSH and the prefix
+    * filter: documents sort by a similarity-preserving key (the q23
+    * SimHash — near-dups differ in few bits, so they sort near each
+    * other), and candidates are only the pairs within a sliding window
+    * of `w` in that order; exact verify restores precision. Unlike q154
+    * this blocking is deliberately LOSSY (recall < 1) in exchange for a
+    * FIXED O(n·w) candidate budget that no shingle-frequency skew can
+    * blow up — the bound a latency-capped pipeline buys. Determinism:
+    * the sort key tiebreaks by doc_id and the window is an equi-join on
+    * neighbor rank, so the oracle replays the exact blocking decision,
+    * not just the verified survivors.
+    *
+    * Scale shape: the global rank is TWO-LEVEL (within-bucket
+    * row_number over the signature's top-byte buckets + a ≤256-row
+    * broadcast of bucket bases — the packSequences pattern; no global
+    * window); the window join is an equi-join on rank. */
+  def snmPairs(spark: SparkSession, dir: String, w: Int = 8,
+      thresholdPct: Int = 80): DataFrame = {
+    val sigs = simhash(corpus(spark, dir)).select("doc_id", "simhash")
+    val bucketed = sigs.withColumn("bkt",
+      expr("simhash div 4503599627370496")) // top 8 of the 60 bits
+    val wb = Window.partitionBy("bkt").orderBy("simhash", "doc_id")
+    val ranked = bucketed.withColumn("rn_in", row_number().over(wb))
+    val bases = bucketed.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum("n").over(
+        Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "base")
+    val glob = ranked.join(broadcast(bases), "bkt")
+      .select(col("doc_id"), (col("base") + col("rn_in")).as("rn"))
+    val right = glob
+      .withColumn("i", explode(sequence(lit(1), lit(w))))
+      .select((col("rn") - col("i")).as("rn_l"), col("doc_id").as("d_r"))
+    val cands = glob
+      .select(col("rn").as("rn_l"), col("doc_id").as("d_l"))
+      .join(right, "rn_l")
+      .select(least(col("d_l"), col("d_r")).as("id_a"),
+        greatest(col("d_l"), col("d_r")).as("id_b"))
+      .distinct()
+    verifyExact(hashedSized(spark, dir), cands, thresholdPct)
   }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over

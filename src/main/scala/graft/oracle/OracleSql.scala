@@ -1821,6 +1821,56 @@ SELECT doc_id,
        AS BIGINT) AS simhash
 FROM votes GROUP BY 1 ORDER BY 1""",
 
+    // q155: the SNM blocking replayed exactly — same simhash sort key
+    // (q23's derivation), a GLOBAL rank (the engine's two-level rank is
+    // provably the same order: the bucket is the sort key's top byte),
+    // the same w=8 window join, then the shared exact verify. String
+    // shingle keys here vs xxhash64 in the engine: q21's documented
+    // collision class.
+    "q155_dedup_snm" -> s"""WITH $corpus, $shingles,
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+th AS (SELECT doc_id, ${h60("t")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, bit,
+    CAST(SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT)
+      AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+  GROUP BY 1, 2
+),
+sg AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rn
+       FROM sg),
+cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 8
+  GROUP BY 1, 2
+),
+ssz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.g = x.g
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter i
+  JOIN ssz sa ON sa.doc_id = i.id_a
+  JOIN ssz sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b,
+  CAST(floor(inter * 1000 / (sz_a + sz_b - inter)) AS BIGINT)
+    AS jaccard_x1000
+FROM j WHERE inter * 100 >= 80 * (sz_a + sz_b - inter)
+ORDER BY id_a, id_b""",
+
     // mirror of Dedup.minhashSignatures + minhashLsh: k=32 permutations
     // h_i = (hc·(2i+2) + 7919(i+1)) mod 2^31−1 over shingle h60s; LSH bands
     // of 4 rows joined on the comma-joined band signature; candidates kept

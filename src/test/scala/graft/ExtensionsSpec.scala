@@ -44,6 +44,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(pf.nonEmpty)
   }
 
+  test("q155 SNM pairs are a subset of the exact relation with exact " +
+    "scores, and identical-signature dups are recovered") {
+    val exact = Dedup.ngramPairsExact(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val snm = Dedup.snmPairs(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    assert(snm.nonEmpty)
+    snm.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"$pair not in exact relation")
+    }
+    // exact text copies share the signature, sort adjacent, and verify
+    // at jaccard 1000 — the blocking must recover some of them
+    assert(snm.exists(_._2 == 1000L))
+  }
+
   test("ngram jaccard: a generous doc-frequency cap changes nothing") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq

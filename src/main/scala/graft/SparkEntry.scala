@@ -213,6 +213,16 @@ object SparkEntry {
     // Checksums are sums of (value mod P): a raw SUM(position) overflows
     // Long once files reach real sizes (positions grow with file bytes);
     // the modular form keeps full per-value sensitivity at any scale.
+    // AGGREGATE pushdown: the grouped COUNT(*) answered by the scan's
+    // skip-walk — one row per file crosses the DSv2 boundary, no entry
+    // rows, no exchange (complete pushdown, plan-asserted in the spec)
+    "q156_pstats_pushdown_count" -> ((s, d) => {
+      import graft.sources.indexdb.{IndexDb, IndexDbFixture}
+      IndexDb.read(s, IndexDbFixture.ensureFiles(s, d))
+        .groupBy("sstable_id").count()
+        .withColumnRenamed("count", "entries")
+        .orderBy("sstable_id")
+    }),
     "q40_index_raw_roundtrip" -> ((s, d) => {
       import graft.sources.indexdb.{IndexDb, IndexDbFixture}
       IndexDb.read(s, IndexDbFixture.ensureFiles(s, d))

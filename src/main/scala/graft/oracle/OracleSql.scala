@@ -776,6 +776,13 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
   CAST(SUM(CASE WHEN derived_size <> size THEN 1 ELSE 0 END) AS BIGINT) AS mismatches
 FROM derived GROUP BY 1 ORDER BY 1""",
 
+    // q156: the pushed count must equal the relational per-sstable
+    // entry count — a skip-walk miscount (or a wrongly-pruned file)
+    // lands here.
+    "q156_pstats_pushdown_count" -> s"""WITH $fixtures
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS entries
+FROM lipscan GROUP BY 1 ORDER BY 1""",
+
     "q40_index_raw_roundtrip" -> s"""WITH $fixtures,
 idx AS (
   SELECT sstable_id, key,

@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,10 +61,12 @@ final class IndexDbTable(properties: Map[String, String])
 
 final class IndexDbScanBuilder(options: Map[String, String])
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = IndexDbFormat.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCounts: Int = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -80,13 +84,123 @@ final class IndexDbScanBuilder(options: Map[String, String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = IndexDbScan(
-    options.getOrElse("path",
-      throw new IllegalArgumentException("sstable-index requires a path")),
-    required, pushed,
-    // format=bti reads trie-indexed Partitions.db files (full-scan path)
-    // through the same relation; default is big-format Index.db
-    options.getOrElse("format", "big"))
+  /** AGGREGATE pushdown: `GROUP BY sstable_id` + COUNT(*) never crosses
+    * the scan boundary as rows — the scan answers with one row per file
+    * from a pure skip-walk ([[IndexDbFormat.countEntries]]): no key
+    * copies, no entry rows, no exchange into the aggregate. sstable_id is
+    * the file identity, so the group is exactly one input partition and
+    * the pushdown is COMPLETE (no Spark-side final aggregation at all).
+    * Spark only attempts this when no post-scan filters remain, and this
+    * builder additionally refuses when any filter was recorded or the
+    * format is bti (whose trie layout has no linear entry stream). */
+  private def countPushable(agg: Aggregation): Boolean =
+    options.getOrElse("format", "big") == "big" &&
+      pushed.isEmpty &&
+      agg.groupByExpressions.length == 1 &&
+      (agg.groupByExpressions()(0) match {
+        case r: NamedReference => r.fieldNames().sameElements(
+          Array("sstable_id"))
+        case _ => false
+      }) &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countPushable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (countPushable(agg)) {
+      pushedCounts = agg.aggregateExpressions().length; true
+    } else false
+
+  private def path: String = options.getOrElse("path",
+    throw new IllegalArgumentException("sstable-index requires a path"))
+
+  override def build(): Scan =
+    if (pushedCounts > 0) IndexDbCountScan(path, pushedCounts)
+    else IndexDbScan(path, required, pushed,
+      // format=bti reads trie-indexed Partitions.db files (full-scan path)
+      // through the same relation; default is big-format Index.db
+      options.getOrElse("format", "big"))
+}
+
+/** The pushed-COUNT scan: one input partition per Index.db file, one
+  * output row per file — (sstable_id, count, ...) in the pushed
+  * aggregation's column order. */
+final case class IndexDbCountScan(path: String, nCounts: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    org.apache.spark.sql.types.StructField("sstable_id", org.apache.spark.sql.types.StringType,
+      nullable = false) +:
+      (0 until nCounts).map(i =>
+        org.apache.spark.sql.types.StructField(s"count_$i", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"IndexDbCountScan path=$path PushedAggregates=[COUNT(*) x $nCounts] " +
+      "GroupBy=[sstable_id]"
+
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(sessionHadoopConf())
+    val status = fs.getFileStatus(p)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(p).toSeq.filter(s =>
+          s.isFile && s.getPath.getName.endsWith(IndexDbFormat.Suffix))
+      else Seq(status)
+    files
+      .map(s => (s.getPath.toString,
+        s.getPath.getName.stripSuffix(IndexDbFormat.Suffix)))
+      .sortBy(_._2)
+      .map { case (f, id) => IndexDbInputPartition(f, id): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = sessionHadoopConf()
+    val entries = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new IndexDbCountReaderFactory(entries, nCounts)
+  }
+}
+
+final class IndexDbCountReaderFactory(confEntries: Array[(String, String)],
+    nCounts: Int) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IndexDbInputPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          val c = new Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          val hPath = new Path(p.file)
+          val in = hPath.getFileSystem(c).open(hPath)
+          val n = try IndexDbFormat.countEntries(in) finally in.close()
+          row = InternalRow.fromSeq(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p.sstableId)
+              +: Seq.fill(nCounts)(n))
+          emitted = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class IndexDbScan(path: String, required: StructType,

@@ -99,6 +99,41 @@ object IndexDbFormat {
     (639 - magnitude * 9) >> 6
   }
 
+  /** Entry count by pure SKIP-walk — no key copies, no Entry objects, no
+    * per-entry allocation at all: the aggregate-pushdown kernel behind
+    * the q156 count scan. (A production sstable would serve this number
+    * from Stats/Summary metadata for free; the raw Index.db stream format
+    * forces the walk, but nothing else.) */
+  def countEntries(stream: InputStream): Long = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(stream, 1 << 16))
+    def skipFully(n: Long, what: String): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) {
+          if (in.read() < 0) throw new EOFException(s"truncated $what")
+          left -= 1
+        } else left -= s
+      }
+    }
+    var n = 0L
+    var done = false
+    while (!done) {
+      val first = in.read()
+      if (first < 0) done = true
+      else {
+        val second = in.read()
+        if (second < 0) throw new EOFException("truncated index key length")
+        skipFully(((first << 8) | second).toLong, "index key")
+        readUnsignedVInt(in) // position
+        skipFully(readUnsignedVInt(in), "promoted index")
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Streaming entry iterator over a raw Index.db stream; skips the promoted
     * index exactly as the reference does. */
   def entries(stream: InputStream): Iterator[Entry] =

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,11 +62,20 @@ final class IndexDbTable(properties: Map[String, String])
 final class IndexDbScanBuilder(options: Map[String, String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = IndexDbFormat.Schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedCounts: Int = 0
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each file's reader stops after `n` entries — a
+    * `LIMIT n` probe over a 100k-file directory reads at most n entries
+    * PER FILE instead of every byte of every index (Spark still takes
+    * the global first n; the scan's guarantee is per-partition, which is
+    * all the API asks). Partial by contract (isPartiallyPushed). */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -121,7 +130,7 @@ final class IndexDbScanBuilder(options: Map[String, String])
     else IndexDbScan(path, required, pushed,
       // format=bti reads trie-indexed Partitions.db files (full-scan path)
       // through the same relation; default is big-format Index.db
-      options.getOrElse("format", "big"))
+      options.getOrElse("format", "big"), limit)
 }
 
 /** The pushed-COUNT scan: one input partition per Index.db file, one
@@ -204,12 +213,14 @@ final class IndexDbCountReaderFactory(confEntries: Array[(String, String)],
 }
 
 final case class IndexDbScan(path: String, required: StructType,
-    pushed: Array[Filter], format: String = "big") extends Scan with Batch {
+    pushed: Array[Filter], format: String = "big", limit: Int = -1)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"IndexDbScan path=$path format=$format pushed=${pushed.mkString(",")} " +
+      (if (limit >= 0) s"PushedLimit=$limit " else "") +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
 
   private def suffix: String =
@@ -261,7 +272,7 @@ final case class IndexDbScan(path: String, required: StructType,
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    new IndexDbReaderFactory(required, entries, format)
+    new IndexDbReaderFactory(required, entries, format, limit)
   }
 
   /** Streaming form (cf. DataDbMicroBatchStream): each micro-batch reads
@@ -282,8 +293,8 @@ final case class IndexDbInputPartition(file: String, sstableId: String)
     extends InputPartition
 
 final class IndexDbReaderFactory(required: StructType,
-    confEntries: Array[(String, String)], format: String = "big")
-    extends PartitionReaderFactory {
+    confEntries: Array[(String, String)], format: String = "big",
+    limit: Int = -1) extends PartitionReaderFactory {
   private def conf(): Configuration = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
@@ -291,7 +302,8 @@ final class IndexDbReaderFactory(required: StructType,
   }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IndexDbInputPartition]
-    new IndexDbPartitionReader(p.file, p.sstableId, required, conf(), format)
+    new IndexDbPartitionReader(p.file, p.sstableId, required, conf(),
+      format, limit)
   }
   /** Columnar path (cf. DataDbReaderFactory): entries fill flat vectors,
     * no per-entry row allocation. */
@@ -299,7 +311,8 @@ final class IndexDbReaderFactory(required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[IndexDbInputPartition]
-    new IndexDbColumnarReader(p.file, p.sstableId, required, conf(), format)
+    new IndexDbColumnarReader(p.file, p.sstableId, required, conf(),
+      format, limit)
   }
 }
 
@@ -344,7 +357,8 @@ private object IndexEntries {
 
 /** Vectorized reader over one Index.db file (cf. DataDbColumnarReader). */
 final class IndexDbColumnarReader(file: String, sstableId: String,
-    required: StructType, conf: Configuration, format: String = "big")
+    required: StructType, conf: Configuration, format: String = "big",
+    limit: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -352,7 +366,11 @@ final class IndexDbColumnarReader(file: String, sstableId: String,
   private val BatchRows = 4096
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
-  private val entries = IndexEntries.over(stream, file, conf, format)
+  // pushed LIMIT: stop the walk after `limit` entries per file
+  private val entries = {
+    val it = IndexEntries.over(stream, file, conf, format)
+    if (limit >= 0) it.take(limit) else it
+  }
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, required)
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
@@ -396,13 +414,18 @@ final class IndexDbColumnarReader(file: String, sstableId: String,
 /** Streaming reader over one Index.db file; only the columns in `required`
   * are materialized. */
 final class IndexDbPartitionReader(file: String, sstableId: String,
-    required: StructType, conf: Configuration, format: String = "big")
+    required: StructType, conf: Configuration, format: String = "big",
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
-  // big: the vint parser reads byte-at-a-time, so buffer the FS stream
-  private val entries = IndexEntries.over(stream, file, conf, format)
+  // big: the vint parser reads byte-at-a-time, so buffer the FS stream;
+  // a pushed LIMIT stops the walk after `limit` entries per file
+  private val entries = {
+    val it = IndexEntries.over(stream, file, conf, format)
+    if (limit >= 0) it.take(limit) else it
+  }
   private var current: IndexDbFormat.Entry = _
   private val id = UTF8String.fromString(sstableId)
   // projection baked once: required-field ordinal -> value extractor

@@ -214,14 +214,38 @@ final class IndexDbCountReaderFactory(confEntries: Array[(String, String)],
 
 final case class IndexDbScan(path: String, required: StructType,
     pushed: Array[Filter], format: String = "big", limit: Int = -1)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"IndexDbScan path=$path format=$format pushed=${pushed.mkString(",")} " +
       (if (limit >= 0) s"PushedLimit=$limit " else "") +
+      (if (runtime.nonEmpty) s"RuntimeFilters=${runtime.mkString(",")} "
+       else "") +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  /** RUNTIME file pruning (the DSv2 dynamic-pruning hook): when this scan
+    * sits under a join whose other side produces the relevant sstable_ids
+    * (a dim of flagged sstables, a pstats `-f` list computed at runtime),
+    * Spark hands the realized id set here at EXECUTION time and only the
+    * surviving files are ever opened — planInputPartitions runs after
+    * filter(), so pruning happens before a single byte is read. Same
+    * superset-guarantee contract as the static pushFilters path. */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("sstable_id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case EqualTo("sstable_id", _) => true
+      case In("sstable_id", _) => true
+      case _ => false
+    }
 
   private def suffix: String =
     if (format == "bti") graft.sources.bti.BtiTrieFormat.Suffix
@@ -231,7 +255,7 @@ final case class IndexDbScan(path: String, required: StructType,
     fileName.stripSuffix(suffix)
 
   private def fileSurvives(id: String): Boolean =
-    pushed.forall {
+    (pushed ++ runtime).forall {
       case EqualTo("sstable_id", v) => id == v
       case In("sstable_id", vs) => vs.contains(id)
       case _ => true

@@ -191,23 +191,32 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
 
-  /** Exact-Jaccard verification of a candidate pair set: two
-    * co-partitioned joins on 16-byte (id, hash) rows, threshold + the
-    * ×1000 score — the stage every blocking scheme funnels into. */
+  /** Exact-Jaccard verification of a candidate pair set — the stage every
+    * blocking scheme funnels into. Each doc's distinct hashed shingles
+    * collapse ONCE into a sorted array; candidates then join the two
+    * arrays by id (row count stays |candidates| — no per-shingle row
+    * explosion through the join) and the intersection is a narrow
+    * `array_intersect` inside codegen. vs the exploded two-join form,
+    * the exchanges carry |candidates| array rows (~set_size·8 B each)
+    * instead of |candidates|·|set| scalar rows. */
   private def verifyExact(sized: DataFrame, cands: DataFrame,
-      thresholdPct: Int): DataFrame =
+      thresholdPct: Int): DataFrame = {
+    val sets = sized.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("gh"))).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
     cands
-      .join(sized.select(col("doc_id").as("id_a"), col("gh"),
+      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("ga"),
         col("sz").as("sz_a")), "id_a")
-      .join(sized.select(col("doc_id").as("id_b"), col("gh"),
-        col("sz").as("sz_b")), Seq("id_b", "gh"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gb"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * 100 >= lit(thresholdPct) * col("union_sz"))
       .select(col("id_a"), col("id_b"),
         floor(col("inter") * 1000 / col("union_sz")).as("jaccard_x1000"))
       .orderBy("id_a", "id_b")
+  }
 
   def prefixPairs(spark: SparkSession, dir: String,
       thresholdPct: Int = 80): DataFrame = {

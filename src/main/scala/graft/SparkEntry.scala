@@ -561,7 +561,7 @@ object SparkEntry {
     // sorted-neighborhood dedup: simhash-sorted sliding window (fixed
     // O(n·w) candidate budget), exact verify; blocking oracle-replayed
     "q155_dedup_snm" -> ((s, d) => Dedup.snmPairs(s, d)),
-    "q23_dedup_simhash" -> ((s, d) => Dedup.simhash(Dedup.corpus(s, d))),
+    "q23_dedup_simhash" -> ((s, d) => Dedup.simhashCached(s, d)),
     "q33_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // similarity search
     "q24_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),

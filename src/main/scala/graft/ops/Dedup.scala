@@ -255,9 +255,14 @@ object Dedup {
     * row_number over the signature's top-byte buckets + a ≤256-row
     * broadcast of bucket bases — the packSequences pattern; no global
     * window); the window join is an equi-join on rank. */
+  /** Session-cached SimHash signatures (shared by q23 and q155's sort
+    * key — the signature aggregate is the expensive half of both). */
+  def simhashCached(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"simhash|$dir")(simhash(corpus(spark, dir)))
+
   def snmPairs(spark: SparkSession, dir: String, w: Int = 8,
       thresholdPct: Int = 80): DataFrame = {
-    val sigs = simhash(corpus(spark, dir)).select("doc_id", "simhash")
+    val sigs = simhashCached(spark, dir).select("doc_id", "simhash")
     val bucketed = sigs.withColumn("bkt",
       expr("simhash div 4503599627370496")) // top 8 of the 60 bits
     val wb = Window.partitionBy("bkt").orderBy("simhash", "doc_id")

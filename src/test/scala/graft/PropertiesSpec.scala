@@ -525,6 +525,34 @@ class PropertiesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](FileSetOffset(Seq("a\"b")))
   }
 
+  test("Index.db skip-count agrees with the entry reader on any stream") {
+    import graft.sources.indexdb.IndexDbFormat
+    val gen = for {
+      n <- Gen.choose(0, 2048)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](n); r.nextBytes(b); b
+    }
+    checkProp(gen, trials = 120) { b =>
+      def count(): Either[String, Long] =
+        try Right(IndexDbFormat.countEntries(
+          new java.io.ByteArrayInputStream(b)))
+        catch { case e: Throwable => Left(e.getClass.getName) }
+      def walk(): Either[String, Long] =
+        try Right(IndexDbFormat.entries(
+          new java.io.ByteArrayInputStream(b)).size.toLong)
+        catch { case e: Throwable => Left(e.getClass.getName) }
+      // the q156 kernel must never disagree with the row reader: same
+      // count on parseable streams, both throwing on truncated ones
+      (count(), walk()) match {
+        case (Right(a), Right(w)) => a == w
+        case (Left(_), Left(_)) => true
+        case _ => false
+      }
+    }
+  }
+
   test("KMV monoid laws hold under random streams and random splits") {
     import graft.agg.KmvSketch
     val a = new KmvSketch.Agg(8)

@@ -561,6 +561,9 @@ object SparkEntry {
     // sorted-neighborhood dedup: simhash-sorted sliding window (fixed
     // O(n·w) candidate budget), exact verify; blocking oracle-replayed
     "q155_dedup_snm" -> ((s, d) => Dedup.snmPairs(s, d)),
+    // leakage-free split: dup-cluster-aware train/val assignment with
+    // the cross-split dup-pair audit (0) recomputed by the oracle
+    "q157_dedup_split" -> ((s, d) => Dedup.leakFreeSplit(s, d)),
     "q23_dedup_simhash" -> ((s, d) => Dedup.simhashCached(s, d)),
     "q33_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // similarity search

@@ -286,6 +286,52 @@ object Dedup {
     verifyExact(hashedSized(spark, dir), cands, thresholdPct)
   }
 
+  /** q157: LEAKAGE-FREE train/validation SPLIT — the assignment unit is
+    * the DUP CLUSTER, not the document: a near-duplicate of a validation
+    * doc sitting in train is silent eval contamination, so every doc
+    * inherits its q56 component representative (singletons are their own
+    * group) and the split hashes the GROUP id (h60("split:"+group) ‰ <
+    * valPermille ⇒ val). The relation carries the audit alongside the
+    * per-source funnel: `cross_split_dup_pairs` counts dup pairs whose
+    * sides landed in different splits — ZERO by construction, and the
+    * oracle recomputes it from the transitive closure rather than
+    * trusting the engine's claim.
+    *
+    * Scale shape: one left join onto the (dup-docs-only) cluster
+    * relation, a narrow hash split, and the audit join over the
+    * session-cached exact pair relation; output frames are O(#sources). */
+  def leakFreeSplit(spark: SparkSession, dir: String,
+      valPermille: Int = 100): DataFrame = {
+    val docs = corpus(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("token_count"))
+    val clusters = dupClusters(spark, dir).select("doc_id", "cluster_rep")
+    val tagged = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("is_val",
+        graft.functions.PortableHash.h60(
+          concat(lit("split:"), col("group_id").cast("string")))
+          % 1000 < valPermille)
+    val side = tagged.select(col("doc_id"), col("is_val"))
+    val leaks = ngramPairsExact(spark, dir).select("id_a", "id_b")
+      .join(side.select(col("doc_id").as("id_a"), col("is_val").as("va")),
+        "id_a")
+      .join(side.select(col("doc_id").as("id_b"), col("is_val").as("vb")),
+        "id_b")
+      .agg(coalesce(sum(when(col("va") =!= col("vb"), 1L).otherwise(0L)),
+        lit(0L)).as("cross_split_dup_pairs"))
+    tagged.groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(!col("is_val"), 1L).otherwise(0L)).as("train_docs"),
+        sum(when(col("is_val"), 1L).otherwise(0L)).as("val_docs"),
+        sum(when(!col("is_val"), col("token_count")).otherwise(0L))
+          .as("train_tokens"),
+        sum(when(col("is_val"), col("token_count")).otherwise(0L))
+          .as("val_tokens"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("source")
+  }
+
   /** MinHash signatures: k permutations h_i(x) = (a_i·m(x) + b_i) mod p over
     * the cross-engine [[graft.functions.PortableHash]] of each shingle
     * (oracle-checkable; `hash`/murmur3 is a drop-in for engine-only use). */

@@ -2666,6 +2666,63 @@ FROM d GROUP BY 1 ORDER BY 1""",
     // CTE: walk accumulates every (node, reachable-node) pair — finite, so
     // UNION-dedup recursion terminates; min over reachable ids = the
     // propagated label the Spark loop converges to.
+    // q157: the leak-free split re-derived from the TRANSITIVE CLOSURE —
+    // same dup threshold, same component labels (q56's walk), same
+    // group-hash split; the audit column is recomputed here, so an
+    // engine split that leaked a dup pair across sides would mismatch.
+    "q157_dedup_split" -> s"""WITH RECURSIVE $corpus, $shingles,
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+dup AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN szs sa ON p.id_a = sa.doc_id
+  JOIN szs sb ON p.id_b = sb.doc_id
+  WHERE p.inter * 100 >= 80 * (sa.sz + sb.sz - p.inter)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+grp AS (
+  SELECT c.doc_id, c.source,
+    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS token_count,
+    COALESCE(l.label, c.doc_id) AS group_id
+  FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+),
+tagged AS (
+  SELECT *,
+    (${h60("'split:' || CAST(group_id AS VARCHAR)")} % 1000 < 100) AS is_val
+  FROM grp
+),
+leaks AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN ta.is_val <> tb.is_val
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_dup_pairs
+  FROM dup d
+  JOIN tagged ta ON ta.doc_id = d.id_a
+  JOIN tagged tb ON tb.doc_id = d.id_b
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(CASE WHEN NOT is_val THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+  CAST(SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+  CAST(SUM(CASE WHEN NOT is_val THEN token_count ELSE 0 END) AS BIGINT)
+    AS train_tokens,
+  CAST(SUM(CASE WHEN is_val THEN token_count ELSE 0 END) AS BIGINT)
+    AS val_tokens,
+  (SELECT cross_split_dup_pairs FROM leaks) AS cross_split_dup_pairs
+FROM tagged GROUP BY 1 ORDER BY 1""",
+
     "q56_dup_clusters" -> s"""WITH RECURSIVE $corpus, $shingles,
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter

@@ -33,6 +33,32 @@ class ExtensionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("jaccard_x1000") >= 800L))
   }
 
+  test("q157 split: zero cross-split dup pairs, partitions the corpus, " +
+    "and a naive doc-hash split WOULD have leaked") {
+    val rows = graft.ops.Dedup.leakFreeSplit(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cross_split_dup_pairs") == 0L)
+      assert(r.getAs[Long]("train_docs") + r.getAs[Long]("val_docs") ==
+        r.getAs[Long]("docs"))
+    }
+    assert(rows.map(_.getAs[Long]("val_docs")).sum > 0)
+    // control: hashing DOC ids (ignoring clusters) does leak dup pairs
+    import org.apache.spark.sql.functions._
+    val naive = graft.ops.Dedup.corpus(spark, Sf0001)
+      .select(col("doc_id"),
+        (graft.functions.PortableHash.h60(
+          concat(lit("split:"), col("doc_id").cast("string")))
+          % 1000 < 100).as("is_val"))
+    val leaked = graft.ops.Dedup.ngramPairsExact(spark, Sf0001)
+      .join(naive.select(col("doc_id").as("id_a"),
+        col("is_val").as("va")), "id_a")
+      .join(naive.select(col("doc_id").as("id_b"),
+        col("is_val").as("vb")), "id_b")
+      .where(col("va") =!= col("vb")).count()
+    assert(leaked > 0, "control should show naive doc-hash leakage")
+  }
+
   test("q154 prefix-filtered join equals the all-pairs exact relation, " +
     "and its candidate set is a strict subset of all pairs") {
     val exact = Dedup.ngramPairsExact(spark, Sf0001)

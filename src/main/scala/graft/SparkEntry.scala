@@ -627,6 +627,9 @@ object SparkEntry {
     // TextRank keywords: integer-exact damped PageRank over the token
     // co-occurrence graph, 3 Pregel-style supersteps
     "q150_textrank" -> ((s, d) => TextStats.textRank(s, d)),
+    // TTL expiry forecast: per-table 30-day reclaim windows with
+    // cumulative byte mass — the capacity-planning view of A10
+    "q158_cfstats_ttl_forecast" -> ((s, d) => CfStats.ttlForecast(s, d)),
     // mergeable log-histogram quantile sketch (DDSketch γ=2 family):
     // ≤64 counters per sstable, deterministic γ-bounded percentiles
     "q144_pstats_logq" -> ((s, d) => PStats.logQuantileSketch(s, d)),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Fixtures, Tables}
@@ -141,4 +142,39 @@ object CfStats {
         floor(col("live_cell_count") * 100 /
           greatest(col("cell_count"), lit(1L))))
       .orderBy("sstable_id")
+
+  /** q158: TTL EXPIRY FORECAST — the capacity-planning view of the TTL
+    * histogram (A10): every expiring cell's actual expiry instant is
+    * write-time + TTL, bucketed into 30-day windows from the fixture NOW
+    * (day 4000), with per-table cumulative byte mass and its ‰ of the
+    * table's total expiring bytes — "how much reclaims by when", the
+    * number a capacity planner reads before provisioning. Negative
+    * windows are already-expired mass a compaction would drop today.
+    *
+    * Engine-exactness note: the window id shifts by a 30-day-aligned
+    * constant before the integer division so the dividend is always
+    * nonnegative — truncating division (both engines) IS floor there,
+    * where a direct `div` on negative offsets would round toward zero
+    * and disagree with intent. One narrow pass + a (tbl, window) agg +
+    * a per-table cumulative window over O(windows) rows. */
+  def ttlForecast(spark: SparkSession, dir: String): DataFrame = {
+    val now = 4000L * 86400L
+    val winS = 30L * 86400L
+    val shift = 333L * winS // 30-day-aligned, > any past offset in domain
+    val exp = Fixtures.allCells(spark, dir)
+      .where(col("is_expiring"))
+      .withColumn("win", expr(
+        s"((timestamp_us div 1000000 + ttl_s) - ${now}L + ${shift}L)" +
+          s" div ${winS}L - 333"))
+    val w = Window.partitionBy("tbl").orderBy("win")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    exp.groupBy("tbl", "win")
+      .agg(count(lit(1)).as("cells"), sum("size_bytes").as("bytes"))
+      .withColumn("cum_bytes", sum("bytes").over(w))
+      .withColumn("cum_x1000", floor(col("cum_bytes") * 1000 /
+        sum(col("bytes")).over(Window.partitionBy("tbl"))))
+      .select(col("tbl"), col("win").as("window_30d"), col("cells"),
+        col("bytes"), col("cum_bytes"), col("cum_x1000"))
+      .orderBy("tbl", "window_30d")
+  }
 }

@@ -434,6 +434,33 @@ SELECT ${Dist.sql("size")},
     CAST(floor(SUM(table_count) * 100 / COUNT(*)) AS BIGINT) AS table_count_avg_x100
 FROM liparts""",
 
+    // q158: the forecast re-derived from the cells relation — same
+    // shifted floor division (nonnegative dividend, so truncation ==
+    // floor in both engines), same cumulative windows.
+    "q158_cfstats_ttl_forecast" -> s"""WITH $fixtures,
+exp AS (
+  SELECT tbl,
+    ((timestamp_us // 1000000 + ttl_s) - 345600000 + 863136000)
+      // 2592000 - 333 AS win,
+    size_bytes
+  FROM cells WHERE is_expiring
+),
+g AS (
+  SELECT tbl, win, CAST(COUNT(*) AS BIGINT) AS cells,
+    CAST(SUM(size_bytes) AS BIGINT) AS bytes
+  FROM exp GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+    CAST(SUM(bytes) OVER (PARTITION BY tbl ORDER BY win
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes,
+    CAST(SUM(bytes) OVER (PARTITION BY tbl) AS BIGINT) AS tot
+  FROM g
+)
+SELECT tbl, CAST(win AS BIGINT) AS window_30d, cells, bytes, cum_bytes,
+  CAST(floor(cum_bytes * 1000 / tot) AS BIGINT) AS cum_x1000
+FROM w ORDER BY tbl, window_30d""",
+
     // q144: the log-histogram sketch replayed — same bit-length buckets
     // (length(bin(x)) parity is the q93-established convention), same
     // cumulative pick, same integer interpolation (`//` on nonnegative

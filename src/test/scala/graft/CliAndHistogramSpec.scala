@@ -157,6 +157,18 @@ class CliAndHistogramSpec extends SparkSpec {
     assert(snap.getAs[Long]("min") == -10L)
   }
 
+  test("q158 TTL forecast: cumulative mass is monotone and ends at 1000‰") {
+    val rows = graft.ops.CfStats.ttlForecast(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { tblRows =>
+      val ordered = tblRows.sortBy(_.getAs[Long]("window_30d"))
+      val cums = ordered.map(_.getAs[Long]("cum_bytes"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(ordered.last.getAs[Long]("cum_x1000") == 1000L)
+      assert(ordered.map(_.getAs[Long]("bytes")).sum == cums.last)
+    }
+  }
+
   test("q144 log-quantile sketch brackets the exact percentiles " +
     "within the bucket bound (gamma = 2)") {
     import org.apache.spark.sql.functions._

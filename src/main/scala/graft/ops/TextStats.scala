@@ -187,9 +187,23 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  // q116 spec instrumentation: bloom prefilter probe/survivor counts
-  val bloomProbes = new java.util.concurrent.atomic.LongAdder
-  val bloomSurvivors = new java.util.concurrent.atomic.LongAdder
+  /** Builds and broadcasts the Cassandra-format bloom over the benchmark
+    * shingle set (the q116 prefilter side). Exposed so the spec can replay
+    * `mightContain` driver-side against the exact broadcast payload the
+    * codegen probe uses. */
+  def benchBloom(spark: SparkSession, dir: String, benchMod: Int = 101)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.sources.filterdb.FilterDbFormat.Filter] = {
+    import spark.implicits._
+    import graft.sources.filterdb.FilterDbFormat
+    val benchG = Dedup.corpusShingles(spark, dir)
+      .where(col("doc_id") % benchMod === 0)
+      .select("g").distinct().as[String].collect()
+    val f = FilterDbFormat.create(math.max(1L, benchG.length.toLong))
+    benchG.foreach(g =>
+      f.add(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    spark.sparkContext.broadcast(f)
+  }
 
   /** q116: the SCALE form of q61's contamination check — the two-phase
     * bloom-prefilter pattern production decontamination uses. Stage 1
@@ -205,29 +219,22 @@ object TextStats {
     * join carries only the ~1%-ish surviving shingles instead of every
     * corpus shingle — the prefilter is where the 99% is saved. Benchmark
     * suites are small and fixed, so the driver-side bloom build is the
-    * right shape (in production it would be built once and shipped). */
+    * right shape (in production it would be built once and shipped).
+    *
+    * The probe itself is [[graft.functions.BloomMightContain]] — a codegen
+    * `UnaryExpression` over the broadcast filter (the ClfScoreBcast
+    * pattern), not a Scala UDF: the contamination hot path stays inside
+    * whole-stage codegen with no per-row instrumentation (VERDICT r9
+    * ask #6). */
   def contaminationBloom(spark: SparkSession, dir: String,
       benchMod: Int = 101): DataFrame = {
-    import spark.implicits._
-    import graft.sources.filterdb.FilterDbFormat
     val sh = Dedup.corpusShingles(spark, dir)
     val bench = sh.where(col("doc_id") % benchMod === 0)
       .select("g").distinct()
-    val benchG = bench.as[String].collect()
-    val f = FilterDbFormat.create(math.max(1L, benchG.length.toLong))
-    benchG.foreach(g =>
-      f.add(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val bc = spark.sparkContext.broadcast(f)
-    val mightContain = udf { g: String =>
-      bloomProbes.increment()
-      val hit =
-        bc.value.mightContain(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (hit) bloomSurvivors.increment()
-      hit
-    }
     val cand = sh.where(col("doc_id") % benchMod =!= 0)
     val totals = cand.groupBy("doc_id").agg(count(lit(1)).as("shingles"))
-    cand.where(mightContain(col("g")))
+    cand.where(graft.functions.BloomMightContain.column(col("g"),
+        benchBloom(spark, dir, benchMod)))
       .join(broadcast(bench), "g") // exact verify: removes bloom FPs
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
       .join(totals, "doc_id")

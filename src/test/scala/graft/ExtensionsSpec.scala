@@ -882,18 +882,35 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("contamination bloom prefilter: identical relation to the exact " +
-      "form; most shingles pruned before the verify join") {
-    TextStats.bloomProbes.reset(); TextStats.bloomSurvivors.reset()
+      "form; most shingles pruned; codegen probe, no UDF on the hot path") {
     val bloom = TextStats.contaminationBloom(spark, Sf0001).collect()
     val exact = TextStats.contamination(spark, Sf0001).collect()
     assert(bloom.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
-    val probes = TextStats.bloomProbes.sum
-    val survivors = TextStats.bloomSurvivors.sum
-    // the ratio is execution-count-invariant (the sort's sampling pass
-    // re-runs the probe UDF, inflating both counters equally)
-    assert(probes > 0 &&
-      survivors.toDouble / probes < 0.5,
+    // probe/survivor counts recovered relationally (the Expression carries
+    // no per-row instrumentation): probes = candidate shingles, survivors =
+    // shingles passing the broadcast-bloom predicate
+    val bc = TextStats.benchBloom(spark, Sf0001)
+    val cand = graft.ops.Dedup.corpusShingles(spark, Sf0001)
+      .where(col("doc_id") % 101 =!= 0)
+    val probes = cand.count()
+    val surv = cand.where(
+      graft.functions.BloomMightContain.column(col("g"), bc))
+    val survivors = surv.count()
+    assert(probes > 0 && survivors.toDouble / probes < 0.5,
       s"prefilter too weak: $survivors of $probes survived")
+    // codegen/driver parity: the executor-side predicate admits exactly the
+    // shingles a driver-side replay of mightContain over the same broadcast
+    // payload admits
+    val gs = cand.select("g").distinct().collect().map(_.getString(0))
+    val driverHits = gs.filter(g => bc.value.mightContain(
+      g.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toSet
+    val execHits = surv.select("g").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(execHits === driverHits)
+    // the hot path is a codegen Expression, not an interpreted UDF
+    val plan = surv.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"interpreted UDF on the hot path:\n$plan")
   }
 
   test("corpus sink: partitioned layout, bounded files, pruned readback") {

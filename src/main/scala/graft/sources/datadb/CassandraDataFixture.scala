@@ -149,29 +149,43 @@ object CassandraDataFixture {
       isMarker: Boolean, tsUs: Long, ttlS: Long, ldtS: Long,
       isTomb: Boolean, isExp: Boolean, sizeBytes: Long)
 
+  /** DISTRIBUTED fixture materialization: one task per generation writes
+    * its complete sstable (Data.db + every sidecar) via [[writeSstable]] —
+    * the q128 bulk-export shape. The previous form collected EVERY cell to
+    * the driver and wrote serially, which capped the tier size the fixture
+    * could materialize (the 10× binary scale probe would collect ~6M rows
+    * into the driver heap); here only the 6 generation names cross back.
+    * No ordering is imposed on the shuffle: [[writeSstable]] sorts each
+    * generation's events internally (by key, then clustering, then
+    * (column, ts) within a row), so the emitted event MULTISET — the thing
+    * every roundtrip oracle aggregates — is independent of iterator order.
+    * Local mode writes to a shared local dir; on a cluster `out` is a DFS
+    * path and the per-task kernel is unchanged. */
   private def writeAll(spark: SparkSession, dir: String, out: Path,
       codecFor: Long => Option[Compressors.ChunkCompressor],
       remap: (Long, Long) => (Long, Long) = (k, c) => (k, c)): Unit = {
-    val rows = Fixtures.cells(spark, dir)
+    import spark.implicits._
+    val outStr = out.toString
+    val gens = Fixtures.cells(spark, dir)
       .select(col("sstable_id"), col("key"), col("clustering"),
         col("column_name"), col("kind"), col("timestamp_us"), col("ttl_s"),
         col("local_deletion_time_s"), col("is_tombstone"), col("is_expiring"),
         col("size_bytes"))
-      .orderBy("sstable_id", "key", "clustering", "column_name", "timestamp_us")
-      .collect()
-
-    val bySstable = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
-    bySstable.foreach { case (sst, rs) =>
-      val gen = sst.stripPrefix("sst-").toLong + 1L
-      val evs = rs.map { r =>
-        val (k, c) = remap(r.getLong(1), r.getLong(2))
-        Ev(k, c, r.getString(3),
-          r.getString(4) == DataDbFormat.KindMarker, r.getLong(5),
-          r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9),
-          r.getLong(10))
+      .as[(String, Long, Long, String, String, Long, Long, Long,
+        Boolean, Boolean, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (sst, it) =>
+        val gen = sst.stripPrefix("sst-").toLong + 1L
+        val evs = it.map { t =>
+          val (k, c) = remap(t._2, t._3)
+          Ev(k, c, t._4, t._5 == DataDbFormat.KindMarker, t._6,
+            t._7, t._8, t._9, t._10, t._11)
+        }.toArray
+        writeSstable(java.nio.file.Paths.get(outStr), gen, evs, codecFor(gen))
+        sst
       }
-      writeSstable(out, gen, evs, codecFor(gen))
-    }
+      .collect()
+    require(gens.nonEmpty, s"no fixture cells derived under $dir")
   }
 
   /** Distributed-export kernel (q128): write ONE real sstable — Data.db

@@ -36,10 +36,12 @@ import scala.collection.mutable.ArrayBuffer
   * Rows.db ([[BtiRowsFormat]]). Row-index tries use the plain unsigned
   * payload (`flags = w`). In both codecs the payload LENGTH equals the
   * flags nibble, which is what the core walker bounds-checks. The hash
-  * byte is a fixed FNV-1a fold here — like every codec in this repo,
+  * byte is Cassandra's own short-hash (murmur3-x64-128 low byte of
+  * hash[1], `DecoratedKey.filterHashLowerBits()` in the published source
+  * — see [[hashByte]]); like every codec in this repo the layout is
   * written from the published design with no live-node files available to
-  * cross-validate byte-exactness (the hash function and exact payload bit
-  * layout are modeled, the trie node encoding follows TrieNode.java).
+  * cross-validate byte-exactness (the trie node encoding follows
+  * TrieNode.java).
   *
   * File layout of a Partitions.db written here:
   * `node* keyCount:int64_be rootOffset:int64_be`.
@@ -67,18 +69,19 @@ object BtiTrieFormat {
   val TypeLongDense = 15
 
   /** Key-hash byte stored ahead of each partition payload (lookup
-    * false-positive filter). FNV-1a over the key bytes, folded to 8 bits —
-    * deterministic and dependency-free. */
-  def hashByte(key: Array[Byte]): Byte = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < key.length) {
-      h ^= key(i) & 0xffL
-      h *= 0x100000001b3L
-      i += 1
-    }
-    ((h ^ (h >>> 32)) & 0xff).toByte
-  }
+    * false-positive filter): Cassandra's own short-hash. The published
+    * source computes it as `DecoratedKey.filterHashLowerBits()` — the low
+    * bits of `hash[1]` of `MurmurHash.hash3_x64_128(key, seed=0)`, the
+    * SAME hash family Filter.db keys pass through — and the bti partition
+    * index stores its low byte with each payload. Reuses the
+    * [[graft.sources.filterdb.Murmur3Cassandra]] implementation already
+    * proven against the bloom layout (replaces the round-≤9 FNV-1a
+    * stand-in; no live-node files exist in this environment to
+    * cross-validate the byte, but the function is now Cassandra's own
+    * rather than a modeled fold). */
+  def hashByte(key: Array[Byte]): Byte =
+    (graft.sources.filterdb.Murmur3Cassandra
+      .hash3x64128(key, 0L)(1) & 0xff).toByte
 
   /** Bytes of a signed big-endian encoding that round-trips `v`. */
   def signedWidth(v: Long): Int = {

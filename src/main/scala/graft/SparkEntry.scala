@@ -153,21 +153,23 @@ object SparkEntry {
       .orderBy("compressor")
   }
 
-  /** q128: the DISTRIBUTED sstable bulk-export sink — each Spark task
-    * writes its group of the cell relation as ONE complete real sstable
-    * (Data.db + every sidecar, LZ4-chunked) via
-    * [[graft.sources.datadb.CassandraDataFixture.writeSstableFrom]], the
-    * CQLSSTableWriter role. The exported directory is then read back
-    * through the production `format=cassandra` scan and rolled up — the
-    * answer must hash-match q67's oracle, proving write → read closes
-    * over the real codec END TO END with the write side distributed.
-    * (Local mode writes to a shared local dir; on a cluster the target
-    * is a DFS path — the per-task kernel is unchanged.) */
+  /** q128: the DISTRIBUTED sstable bulk-export sink, through the DSv2
+    * WRITER API (round 10): `cells.write.format("sstable-data")` — the
+    * Write declares clustered distribution + ordering on `sstable_id`, so
+    * CATALYST plans the co-locating exchange and sort and each task's
+    * [[graft.sources.datadb.SstableDataWriter]] rolls one complete real
+    * sstable (Data.db + every sidecar, LZ4-chunked) per id run — the
+    * CQLSSTableWriter role, now a first-class sink instead of a
+    * groupByKey/mapGroups arrangement. The exported directory is then
+    * read back through the production `format=cassandra` scan and rolled
+    * up — the answer must hash-match q67's oracle, proving write → read
+    * closes over the real codec END TO END with the write side
+    * distributed. (Local mode writes to a shared local dir; on a cluster
+    * the target is a DFS path — the per-task upload is unchanged.) */
   private val exportMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sstableExport(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val memoKey = s"${graft.sources.PlanCache.sessionKey(s)}|$d"
     val path = exportMemo.computeIfAbsent(memoKey, _ => {
       val out = graft.sources.TempDirs.register(
@@ -178,19 +180,9 @@ object SparkEntry {
           col("column_name"), col("kind"), col("timestamp_us"),
           col("ttl_s"), col("local_deletion_time_s"), col("is_tombstone"),
           col("is_expiring"), col("size_bytes"))
-        .as[(String, Long, Long, String, String, Long, Long, Long,
-          Boolean, Boolean, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (sst, it) =>
-          val gen = sst.stripPrefix("sst-").toLong + 1L
-          graft.sources.datadb.CassandraDataFixture.writeSstableFrom(
-            java.nio.file.Paths.get(out), gen,
-            it.map(t => (t._2, t._3, t._4,
-              t._5 == graft.sources.datadb.DataDbFormat.KindMarker,
-              t._6, t._7, t._8, t._9, t._10, t._11)),
-            compressed = true)
-          sst
-        }.collect()
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
       out
     })
     cassandraRollup(s, path, cassSplitBytes(path))

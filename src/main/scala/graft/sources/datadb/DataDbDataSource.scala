@@ -36,23 +36,34 @@ import org.apache.spark.unsafe.types.UTF8String
 class DataDbDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "sstable-data"
+  /** The WRITE side's schema arrives from the incoming DataFrame (the
+    * cell relation has `key long`; the read surface decodes real keys as
+    * bytes), so the provider accepts external metadata; reads without a
+    * user schema still infer [[DataDbFormat.Schema]]. */
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DataDbFormat.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new DataDbTable(properties.asScala.toMap)
+    new DataDbTable(schema, properties.asScala.toMap)
 }
 
-final class DataDbTable(properties: Map[String, String])
-    extends Table with SupportsRead {
+final class DataDbTable(tableSchema: StructType,
+    properties: Map[String, String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"sstable_data(${properties.getOrElse("path", "")})"
-  override def schema(): StructType = DataDbFormat.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DataDbScanBuilder(options.asScala.toMap)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DataDbWriteBuilder(info.options().asScala.toMap, info)
 }
 
 final class DataDbScanBuilder(options: Map[String, String])

@@ -745,4 +745,66 @@ class CassandraDataSpec extends SparkSpec {
     assert(canon(real) === canon(expect),
       "the codec/compression roundtrip leaked into purge semantics")
   }
+
+  test("DSv2 writer: df.write.format(sstable-data) produces complete real " +
+      "sstables; Catalyst plans the clustering exchange; read-back matches " +
+      "the fixture relation (round 10)") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(col("clustering")).as("cl_sum"),
+        sum(col("timestamp_us") % 1000003L).as("ts_sum"),
+        sum(col("size_bytes")).as("sz_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombs"))
+      .orderBy("sstable_id").collect().toSeq
+
+    val out = java.nio.file.Files.createTempDirectory("graft-writer-spec")
+    try {
+      val cells = graft.sources.Fixtures.cells(spark, Sf0001)
+        .where(col("tbl") === "lineitem")
+        .select("sstable_id", "key", "clustering", "column_name", "kind",
+          "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+          "is_expiring", "size_bytes")
+      // adversarial upstream partitioning: rows of one sstable_id start
+      // scattered over 13 partitions — the Write's required clustered
+      // distribution + ordering must co-locate and order them, or ids
+      // would straddle tasks and generations would collide/duplicate
+      cells.repartition(13, col("timestamp_us"))
+        .write.format("sstable-data")
+        .option("path", out.toString).option("compressed", "true")
+        .mode("append").save()
+
+      // exactly one complete sidecar family per generation
+      val names = Option(out.toFile.listFiles()).get.map(_.getName).toSet
+      val gens = names.collect { case n if n.endsWith("-Data.db") =>
+        n.stripSuffix("-Data.db")
+      }
+      assert(gens === Set("nb-1-big", "nb-2-big", "nb-3-big", "nb-4-big",
+        "nb-5-big", "nb-6-big"))
+      for (g <- gens; c <- Seq("-Data.db", "-Index.db", "-Statistics.db",
+          "-Filter.db", "-Summary.db", "-Digest.crc32", "-TOC.txt",
+          "-CompressionInfo.db"))
+        assert(names.contains(g + c), s"missing $g$c")
+
+      // read-back through the production cassandra scan equals the
+      // serial fixture path's relation (same representation mapping)
+      val expectPath =
+        CassandraDataFixture.ensureFiles(spark, Sf0001, compressed = true)
+      val got = DataDb.read(spark, out.toString,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      val expect = DataDb.read(spark, expectPath,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      assert(agg(got) === agg(expect))
+
+      // schema validation: a missing required column is rejected up front
+      val err = intercept[IllegalArgumentException] {
+        cells.drop("timestamp_us").write.format("sstable-data")
+          .option("path", out.toString).mode("append").save()
+      }
+      assert(err.getMessage.contains("timestamp_us"))
+    } finally {
+      Option(out.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      java.nio.file.Files.deleteIfExists(out)
+    }
+  }
 }

@@ -255,4 +255,48 @@ class CliMainSpec extends SparkSpec {
     assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 2)
     assert(sb.toString.contains("Unknown column family: ks9.nope"))
   }
+
+  // GOLDEN end-to-end reports (VERDICT r9 ask #5): the COMPLETE composed
+  // ASCII output of all five reference commands at sf0.001, frozen
+  // byte-for-byte. The TableBuilder alignment rules are unit-tested
+  // elsewhere; these pin the full section composition, ordering, number
+  // formatting and sentinel rendering end to end — any drift in any
+  // report stage surfaces as a one-line diff here. Regenerate
+  // deliberately with GRAFT_REGEN_GOLDEN=1 sbt "testOnly *CliMainSpec*".
+  private val goldenCommands = Seq(
+    "summary" -> Seq("summary"),
+    "sstables" -> Seq("sstables", "ks1", "lineitem"),
+    "pstats" -> Seq("pstats", "ks1", "lineitem"),
+    "cfstats" -> Seq("cfstats", "ks1", "lineitem"),
+    "purge" -> Seq("purge", "ks1", "lineitem"))
+
+  for ((name, args) <- goldenCommands)
+    test(s"golden report: $name output matches the frozen fixture " +
+        "byte-for-byte") {
+      val sb = new StringBuilder
+      val o = Main.parse(args.toIndexedSeq).toOption.get
+      assert(Main.run(spark, Sf0001, o, s => { sb.append(s); () }) === 0)
+      val got = sb.toString
+      val golden = java.nio.file.Paths.get(
+        "src/test/resources/golden", s"$name.txt")
+      if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+        java.nio.file.Files.createDirectories(golden.getParent)
+        java.nio.file.Files.write(golden,
+          got.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else {
+        assert(java.nio.file.Files.exists(golden),
+          s"golden fixture missing: $golden (regenerate with GRAFT_REGEN_GOLDEN=1)")
+        val want = new String(java.nio.file.Files.readAllBytes(golden),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (got != want) {
+          val gl = got.linesIterator.toVector
+          val wl = want.linesIterator.toVector
+          val firstDiff = gl.zipAll(wl, "<EOF>", "<EOF>")
+            .indexWhere { case (a, b) => a != b }
+          fail(s"golden mismatch for $name at line ${firstDiff + 1}:\n" +
+            s"  got:  ${gl.lift(firstDiff).getOrElse("<EOF>")}\n" +
+            s"  want: ${wl.lift(firstDiff).getOrElse("<EOF>")}")
+        }
+      }
+    }
 }

@@ -184,6 +184,37 @@ object StreamingStats {
       graft.ops.Similarity.quantize(emb)
         .select(col("vec_id"), col("qv"), col("norm2")))
 
+  /** Streaming HNSW ingest — the GRAPH family's incremental indexing
+    * (the persisted-index counterpart of [[pqEncodedVectors]]'s code
+    * appends): each micro-batch of arriving embeddings is quantized and
+    * inserted into the persisted shard graphs via
+    * [[graft.ops.Hnsw.hnswIndexInsert]] — HNSW insertion is the SAME
+    * operation a fresh build runs, so for append-only (id-monotone)
+    * arrival the evolving index stays bit-identical to a from-scratch
+    * batch build over everything seen so far, and any search over it
+    * equals the batch q139 search (spec-proven after multiple
+    * micro-batches). All per-batch work is the distributed cogroup
+    * insert; the only driver state is the current index path (parquet
+    * being immutable, each commit is a new directory — the store's
+    * version pointer). Returns the configured foreachBatch writer plus a
+    * supplier of the CURRENT index path to search. */
+  def hnswIngest(spark: SparkSession, initialIndexPath: String,
+      emb: DataFrame, shards: Int = 4, m: Int = 8, efC: Int = 64)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], () => String) = {
+    val current = new java.util.concurrent.atomic.AtomicReference(
+      initialIndexPath)
+    val writer = emb.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val arrivals = graft.ops.Similarity.quantize(batch)
+          .select(col("vec_id"), col("qv"), col("norm2"))
+        current.set(graft.ops.Hnsw.hnswIndexInsert(batch.sparkSession,
+          current.get, arrivals, shards, m, efC))
+    }
+    (writer, () => current.get)
+  }
+
   /** Run hourlyCounts over `dir`/events.parquet to a memory sink until all
     * available data is processed (test/demo harness): stages the file into
     * a temp ingest directory, the shape a streaming deployment reads. */

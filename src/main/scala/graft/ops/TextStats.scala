@@ -287,17 +287,26 @@ object TextStats {
     * Scale shape: the funnel reuses the session-cached corpus + shingle
     * relations; each stage is a narrow filter or a semi/anti join on
     * 8-to-16-byte keys (digest keepers, broadcast benchmark shingles);
-    * the five stage frames that meet at the end are all O(#sources). */
+    * the five stage frames that meet at the end are all O(#sources).
+    * The quality gate's survivors are session-cached as a SLIM
+    * (doc_id, source, token_count, digest) projection — ~32 B/doc, never
+    * the text — so the expensive corpus pass (language-score fold + md5)
+    * runs ONCE instead of once per downstream branch (the r9 plan
+    * audit's one suggestion for this query). */
   def fullPipeline(spark: SparkSession, dir: String, minTokens: Int = 20,
       keepLang: String = "en", benchMod: Int = 101,
       seqLen: Int = 2048): DataFrame = {
     val docs = withTokens(Dedup.corpus(spark, dir))
     val scored = docs.select(col("doc_id") +: col("source") +: col("text") +:
       col("token_count") +: langScoreCols: _*)
-    val kept = scored.withColumn("pred_lang", langBest._1)
-      .where(col("token_count") >= minTokens &&
-        col("pred_lang") === keepLang)
-    val keepers = kept.groupBy(unhex(md5(col("text"))).as("digest"))
+    val kept = graft.sources.PlanCache.cached(spark,
+        s"pipe_kept|$dir|$minTokens|$keepLang")(
+      scored.withColumn("pred_lang", langBest._1)
+        .where(col("token_count") >= minTokens &&
+          col("pred_lang") === keepLang)
+        .select(col("doc_id"), col("source"), col("token_count"),
+          unhex(md5(col("text"))).as("digest")))
+    val keepers = kept.groupBy(col("digest"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val dd = kept.join(keepers, Seq("doc_id"), "left_semi")
     val sh = Dedup.corpusShingles(spark, dir)

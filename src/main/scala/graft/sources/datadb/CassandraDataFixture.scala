@@ -239,8 +239,22 @@ object CassandraDataFixture {
     var firstKey: Array[Byte] = null
     var lastKey: Array[Byte] = null
     var partitionsWritten = 0L
+    // ONE stable in-place sort by (key, clustering) and contiguous run
+    // iteration, instead of nested groupBy maps: the old shape held evs
+    // PLUS a per-key map PLUS per-clustering maps live at once (~3x a
+    // generation's events — the term that bounds task memory now that
+    // generations are written distributedly and the 10x probe tier makes
+    // each one ~1M events). Run order is identical to the old
+    // groupBy/sortBy (keys ascending, clusterings ascending, stable
+    // within), so emitted files are unchanged.
+    java.util.Arrays.sort(evs,
+      Ordering.by((e: Ev) => (e.key, e.clustering)))
     try {
-      evs.groupBy(_.key).toSeq.sortBy(_._1).foreach { case (key, kevs) =>
+      var ki = 0
+      while (ki < evs.length) {
+        val key = evs(ki).key
+        var kj = ki
+        while (kj < evs.length && evs(kj).key == key) kj += 1
         val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
         if (partitionsWritten % MinIndexInterval == 0)
           summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
@@ -254,32 +268,37 @@ object CassandraDataFixture {
         // (position before, kind, clustering) per unfiltered — the inputs
         // of the promoted (row) index
         val unfiltereds = Vector.newBuilder[(Long, Int, Long)]
-        kevs.groupBy(_.clustering).toSeq.sortBy(_._1).foreach {
-          case (clustering, cevs) =>
-            // bounds sort before the row of the same clustering
-            cevs.filter(_.isMarker).foreach { m =>
-              unfiltereds += ((w.position, KindInclStartBound, clustering))
-              w.write(WriteMarker(clustering, KindInclStartBound, m.tsUs,
-                m.ldtS))
+        var ci = ki
+        while (ci < kj) {
+          val clustering = evs(ci).clustering
+          var cj = ci
+          while (cj < kj && evs(cj).clustering == clustering) cj += 1
+          val cevs = java.util.Arrays.copyOfRange(evs, ci, cj)
+          // bounds sort before the row of the same clustering
+          cevs.filter(_.isMarker).foreach { m =>
+            unfiltereds += ((w.position, KindInclStartBound, clustering))
+            w.write(WriteMarker(clustering, KindInclStartBound, m.tsUs,
+              m.ldtS))
+          }
+          val cells = cevs.filter(!_.isMarker)
+          if (cells.nonEmpty) {
+            var pathSeq = 0L
+            val wcells = cells.sortBy(e => (e.column, e.tsUs)).map { e =>
+              val colIdx = if (e.column == "c0") 0 else 1
+              pathSeq += 1
+              WriteCell(colIdx,
+                path = java.nio.ByteBuffer.allocate(8).putLong(pathSeq).array(),
+                isDeleted = e.isTomb,
+                isExpiring = e.isExp,
+                timestampUs = e.tsUs,
+                ttlS = e.ttlS,
+                localDeletionTimeS = e.ldtS,
+                value = if (e.isTomb) null else valueOf(e.sizeBytes, clustering))
             }
-            val cells = cevs.filter(!_.isMarker)
-            if (cells.nonEmpty) {
-              var pathSeq = 0L
-              val wcells = cells.sortBy(e => (e.column, e.tsUs)).map { e =>
-                val colIdx = if (e.column == "c0") 0 else 1
-                pathSeq += 1
-                WriteCell(colIdx,
-                  path = java.nio.ByteBuffer.allocate(8).putLong(pathSeq).array(),
-                  isDeleted = e.isTomb,
-                  isExpiring = e.isExp,
-                  timestampUs = e.tsUs,
-                  ttlS = e.ttlS,
-                  localDeletionTimeS = e.ldtS,
-                  value = if (e.isTomb) null else valueOf(e.sizeBytes, clustering))
-              }
-              unfiltereds += ((w.position, KindClustering, clustering))
-              w.write(WriteRow(clustering, wcells))
-            }
+            unfiltereds += ((w.position, KindClustering, clustering))
+            w.write(WriteRow(clustering, wcells))
+          }
+          ci = cj
         }
         val bodyEnd = w.position // last unfiltered's end (pre end marker)
         w.writePartitionEnd()
@@ -311,6 +330,7 @@ object CassandraDataFixture {
           }
         graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
           partitionStart, promoted)
+        ki = kj
       }
       // success path: flush chunk tail, then the sidecar components
       val infoOpt = chunking.map { c =>

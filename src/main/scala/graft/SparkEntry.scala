@@ -342,6 +342,39 @@ object SparkEntry {
     // clustering bounds overlap the slice are decoded — blocks_scanned is
     // itself oracle-replayed, so block SELECTION is hash-checked
     "q115_slice_read" -> ((s, d) => SliceGet.sliceRead(s, d)),
+    // the q114 access path at PLANNING time (round 10): pushed
+    // partition-key IN filters prune whole files via Filter.db blooms and
+    // narrow survivors to single-partition byte ranges via Index.db
+    // before any task exists — a DataFrame point query costs O(partition)
+    // I/O per surviving file. Probes every key%1009==0 key plus its
+    // absent negation through spark.read...where(key IN ...); the oracle
+    // replays the surviving relation from parquet (absent keys contribute
+    // nothing — bloom FPs die at the index, pruning is provably strict).
+    "q159_scan_point_pushdown" -> ((s, d) => {
+      import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+      val path = CassandraDataFixture.ensureFiles(s, d, compressed = true)
+      // the pushed IN list: present keys (key%1009==0) and their absent
+      // negations, as the raw 8-byte big-endian key encoding; a few
+      // hundred plan literals at sf0.1 (the point-query shape — the list
+      // IS the query)
+      val present = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
+        .distinct().collect().map(_.getLong(0)).sorted
+      val probes = present ++ present.map(-_ - 1) // negations: absent
+      val keyBytes = probes.map(k =>
+        java.nio.ByteBuffer.allocate(8).putLong(k).array())
+      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+          format = DataDbScan.FormatCassandra)
+        .where(col("key").isin(keyBytes: _*))
+        .select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+          col("clustering"), col("timestamp_us"), col("size_bytes"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("events"),
+          sum(col("clustering") % ChkMod).as("clustering_sum"),
+          sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+          sum(col("size_bytes") % ChkMod).as("value_sum"))
+        .orderBy("key")
+    }),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
     // hit (bloom filters have no false negatives) — found == partitions,

@@ -963,6 +963,18 @@ SELECT probe_key,
   CAST(COALESCE(ts_sum, 0) AS BIGINT) AS ts_sum
 FROM probes LEFT JOIN hits ON probes.probe_key = hits.key
 ORDER BY probe_key""",
+    // q159: the PUSHDOWN point read — the scan returns only rows of the
+    // probed keys (absent negations contribute NOTHING: the bloom/index
+    // pruning is strict, and Spark's residual filter removes any
+    // false-positive partition rows anyway), so the oracle is the plain
+    // per-key rollup over the present probes with the q67 representation
+    // mapping (stored value length = size_bytes % 61, 0 when deleted).
+    "q159_scan_point_pushdown" -> s"""WITH $fixtures
+SELECT key, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum
+FROM licells WHERE key % 1009 = 0 GROUP BY 1 ORDER BY 1""",
     // q115: the slice read replayed relationally INCLUDING block
     // selection — the fixture's block trigger (every 2 unfiltereds in
     // clustering order, markers before the row of the same clustering) is

@@ -76,13 +76,21 @@ final class DataDbScanBuilder(options: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Records sstable_id equality/IN filters for file pruning. All filters
-    * are returned as residual: file pruning is a strict superset guarantee,
-    * and Spark re-checking row-level is free on pruned input. */
+  /** Records sstable_id equality/IN filters for file pruning, and raw
+    * partition-KEY equality/IN filters for the POINT-READ path (round
+    * 10): a key filter prunes whole files through their Filter.db bloom
+    * and narrows survivors to single-partition byte ranges through
+    * Index.db at PLANNING time — `spark.read.format("sstable-data")
+    * .load(dir).where($"key" === lit(bytes))` costs O(partition) I/O per
+    * surviving file, not a scan. All filters are returned as residual:
+    * both prunings are strict superset guarantees, and Spark re-checking
+    * row-level is free on pruned input. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
       case EqualTo("sstable_id", _) => true
       case In("sstable_id", _) => true
+      case EqualTo("key", _: Array[Byte]) => true
+      case In("key", vs) => vs.forall(_.isInstanceOf[Array[Byte]])
       case _ => false
     }
     filters
@@ -120,6 +128,23 @@ final case class DataDbScan(path: String, required: StructType,
       case _ => true
     }
 
+  /** Intersection of the pushed point-key constraint sets (EqualTo =
+    * singleton, In = set; the array is a conjunction) — None when no key
+    * filter was pushed, Some(empty) when the constraints contradict (no
+    * partition anywhere can match). Keys come back sorted for
+    * deterministic planning. */
+  private def keyPointSet: Option[Seq[Array[Byte]]] = {
+    val sets: Seq[Set[Seq[Byte]]] = pushed.toSeq.collect {
+      case EqualTo("key", v: Array[Byte]) => Set(v.toSeq)
+      case In("key", vs) if vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        vs.map(_.asInstanceOf[Array[Byte]].toSeq).toSet
+    }
+    if (sets.isEmpty) None
+    else Some(sets.reduce(_ intersect _).toSeq
+      .sortBy(_.map(b => f"${b & 0xff}%02x").mkString)
+      .map(_.toArray))
+  }
+
   /** The active session's Hadoop conf (spark.hadoop.*, fs.* credentials,
     * nameservices) — a blank `new Configuration()` would break any
     * non-local filesystem deployment. */
@@ -145,13 +170,17 @@ final case class DataDbScan(path: String, required: StructType,
         fs.listStatus(p).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(DataDbFormat.Suffix))
       else Seq(status)
+    val keys = keyPointSet
     files
       .map(s => (s, sstableIdOf(s.getPath.getName)))
       .filter { case (_, id) => fileSurvives(id) }
       .sortBy(_._2)
       .flatMap { case (s, id) =>
-        DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes,
-            format)
+        val point = keys.flatMap(ks =>
+          DataDbScan.pointRanges(fs, s.getPath, id, s.getLen, ks))
+        point.getOrElse(
+          DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes,
+            format))
           .map(sp => sp: InputPartition)
       }
       .toArray
@@ -213,24 +242,107 @@ object DataDbScan {
     * CompressionInfo.db's `data_length` and the index positions are
     * uncompressed by construction (Cassandra's partition index addresses
     * the uncompressed stream; readers map through the chunk table). */
+  /** LOGICAL (uncompressed) length of one Data.db: the chunk map's
+    * `data_length` when a CompressionInfo.db sidecar exists, the raw file
+    * length otherwise. */
+  private def effectiveLength(fs: org.apache.hadoop.fs.FileSystem,
+      file: Path, id: String, fileLen: Long): Long = {
+    val ciPath = new Path(file.getParent,
+      id + graft.sources.compressioninfo.CompressionInfoFormat.Suffix)
+    if (!fs.exists(ciPath)) fileLen
+    else {
+      val ciLen = fs.getFileStatus(ciPath).getLen
+      if (ciLen > (1L << 31))
+        throw new java.io.IOException(s"implausible CompressionInfo $ciLen")
+      val bytes = new Array[Byte](ciLen.toInt)
+      val in = fs.open(ciPath)
+      try in.readFully(0L, bytes) finally in.close()
+      graft.sources.compressioninfo.CompressionInfoFormat.parse(bytes)
+        .dataLength
+    }
+  }
+
+  /** POINT-READ planning (round 10): resolve pushed partition-key
+    * equality/IN filters to single-partition [position, nextPosition)
+    * ranges — the q114 access path run at PLANNING time, per file:
+    *
+    *   Filter.db bloom (when present): a negative means the file is never
+    *     opened again — pruned here, before any task exists;
+    *   Index.db: a binary search over the key-ordered entries bounds each
+    *     surviving key's partition to its exact byte range; a miss (bloom
+    *     false positive) reads nothing. Precondition: entry keys are in
+    *     byte-comparable order — true of every writer in this repo
+    *     (ascending longs as big-endian bytes); a token-ordered live-node
+    *     index would need the Summary-guided bounded walk the q114 op
+    *     runs instead.
+    *
+    * Returns None when the file has no Index.db sidecar (the scan then
+    * falls back to normal split planning and Spark's residual filter
+    * keeps correctness); Some(Nil) when no pushed key can live in this
+    * file. Both prunings are strict: a key the bloom rejects or the index
+    * lacks provably has no rows here. Driver-side sidecar reads happen
+    * ONLY on this path — the cost profile of a point query, paid once at
+    * planning instead of once per task. */
+  private[datadb] def pointRanges(fs: org.apache.hadoop.fs.FileSystem,
+      file: Path, id: String, fileLen: Long,
+      keys: Seq[Array[Byte]]): Option[Seq[DataDbInputPartition]] = {
+    val idxPath = new Path(file.getParent,
+      id + graft.sources.indexdb.IndexDbFormat.Suffix)
+    if (!fs.exists(idxPath)) return None
+    if (keys.isEmpty) return Some(Nil)
+    val bloomPath = new Path(file.getParent,
+      id + graft.sources.filterdb.FilterDbFormat.Suffix)
+    val hits =
+      if (!fs.exists(bloomPath)) keys
+      else {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(bloomPath)))
+        val bloom = try graft.sources.filterdb.FilterDbFormat.parse(in)
+          finally in.close()
+        keys.filter(bloom.mightContain)
+      }
+    if (hits.isEmpty) return Some(Nil)
+    val len = effectiveLength(fs, file, id, fileLen)
+    val in = fs.open(idxPath)
+    val ents: Vector[(Array[Byte], Long)] =
+      try graft.sources.indexdb.IndexDbFormat.entries(in)
+        .map(e => (e.key, e.position)).toVector
+      finally in.close()
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val ranges = hits.flatMap { k =>
+      var lo = 0
+      var hi = ents.length - 1
+      var found = -1
+      while (lo <= hi && found < 0) {
+        val mid = (lo + hi) >>> 1
+        val c = cmp(ents(mid)._1, k)
+        if (c == 0) found = mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found < 0) None
+      else Some((ents(found)._2,
+        if (found + 1 < ents.length) ents(found + 1)._2 else len))
+    }
+    Some(ranges.distinct.sortBy(_._1).map { case (s, e) =>
+      DataDbInputPartition(file.toString, id, s, e)
+    })
+  }
+
   private[datadb] def splitsOf(fs: org.apache.hadoop.fs.FileSystem,
       file: Path, id: String, fileLen: Long,
       maxSplitBytes: Long,
       format: String = FormatGraft): Seq[DataDbInputPartition] = {
-    val ciPath = new Path(file.getParent,
-      id + graft.sources.compressioninfo.CompressionInfoFormat.Suffix)
-    val len: Long =
-      if (!fs.exists(ciPath)) fileLen
-      else {
-        val ciLen = fs.getFileStatus(ciPath).getLen
-        if (ciLen > (1L << 31))
-          throw new java.io.IOException(s"implausible CompressionInfo $ciLen")
-        val bytes = new Array[Byte](ciLen.toInt)
-        val in = fs.open(ciPath)
-        try in.readFully(0L, bytes) finally in.close()
-        graft.sources.compressioninfo.CompressionInfoFormat.parse(bytes)
-          .dataLength
-      }
+    val len: Long = effectiveLength(fs, file, id, fileLen)
     val idx = new Path(file.getParent,
       id + graft.sources.indexdb.IndexDbFormat.Suffix)
     if (maxSplitBytes >= len || !fs.exists(idx))

@@ -807,4 +807,52 @@ class CassandraDataSpec extends SparkSpec {
       java.nio.file.Files.deleteIfExists(out)
     }
   }
+
+  test("point-read pushdown: pushed key filters plan exactly the probed " +
+      "partitions' byte ranges; absent keys plan nothing (round 10)") {
+    val path = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val presentKeys = graft.sources.Fixtures.cells(spark, Sf0001)
+      .select("key").distinct().orderBy("key").limit(3)
+      .collect().map(_.getLong(0))
+    val absentKeys = presentKeys.map(-_ - 1L)
+    def bytesOf(ks: Seq[Long]) = ks.map(k =>
+      java.nio.ByteBuffer.allocate(8).putLong(k).array())
+    def scan(ks: Seq[Long]) = DataDb.read(spark, path,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      .where(col("key").isin(bytesOf(ks): _*))
+
+    // exact task economy: one planned range per (sstable, present key)
+    // pair — the q114 access path executed at PLANNING time
+    val expectedRanges = graft.sources.Fixtures.cells(spark, Sf0001)
+      .where(col("key").isin(presentKeys: _*))
+      .select("sstable_id", "key").distinct().count()
+    val both = scan(presentKeys ++ absentKeys)
+    assert(both.rdd.getNumPartitions === expectedRanges,
+      "pushed key filters must plan single-partition ranges")
+    assert(scan(absentKeys).rdd.getNumPartitions === 0,
+      "absent keys must be pruned at planning (bloom/index)")
+    // without pushdown the same files plan MANY splits
+    val fullSplits = DataDb.read(spark, path,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      .rdd.getNumPartitions
+    assert(fullSplits > expectedRanges)
+
+    // relation parity vs the UNPUSHED form (filter on the decoded long
+    // blocks pushdown, forcing the full scan)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("key")
+      .agg(count(lit(1)).as("events"),
+        sum(col("clustering")).as("cl"),
+        sum(col("timestamp_us") % 1000003L).as("ts"),
+        sum(col("size_bytes")).as("sz"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val pushed = agg(both
+      .withColumn("key", graft.sources.BinaryKeys.beLong(col("key"))))
+    val baseline = agg(DataDb.cells(spark, path,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      .where(col("key").isin((presentKeys ++ absentKeys): _*)))
+    assert(pushed === baseline)
+    assert(pushed.map(_.head) === presentKeys.map(k => k: Any).toSeq)
+  }
 }

@@ -375,6 +375,32 @@ object SparkEntry {
           sum(col("size_bytes") % ChkMod).as("value_sum"))
         .orderBy("key")
     }),
+    // the q115 SLICE path at PLANNING time (round 10): a pushed key
+    // equality + clustering range narrows each surviving partition to the
+    // contiguous run of promoted-index blocks overlapping the range —
+    // over the wide set (8 huge partitions/sstable, thousands of blocks),
+    // the plan reads a few blocks per file instead of a 1/8-file
+    // partition. The relation is the plain slice filter (residual exact);
+    // block economy is spec-pinned via the planned InputPartitions.
+    "q160_scan_slice_pushdown" -> ((s, d) => {
+      import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+      val path = CassandraDataFixture.ensureWideFiles(s, d)
+      val kb = java.nio.ByteBuffer.allocate(8).putLong(3L).array()
+      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+          format = DataDbScan.FormatCassandra)
+        .where(col("key") === kb &&
+          col("clustering") >= 1200L && col("clustering") <= 2800L)
+        .withColumn("sstable_id",
+          concat(lit("sst-"),
+            (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+              .cast("long") - 1L).cast("string")))
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("events"),
+          sum(col("clustering") % ChkMod).as("clustering_sum"),
+          sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+          sum(col("size_bytes") % ChkMod).as("value_sum"))
+        .orderBy("sstable_id")
+    }),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
     // hit (bloom filters have no false negatives) — found == partitions,

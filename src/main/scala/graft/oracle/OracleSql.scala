@@ -975,6 +975,23 @@ SELECT key, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
   CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum
 FROM licells WHERE key % 1009 = 0 GROUP BY 1 ORDER BY 1""",
+    // q160: the pushdown SLICE read — per-sstable rollup of the wide
+    // remap's events for partition 3, clustering in [1200, 2800]; the
+    // residual filter makes block selection invisible to the relation
+    // (economy is spec-pinned), so the oracle is the plain filtered
+    // rollup under q112's remap rules.
+    "q160_scan_slice_pushdown" -> s"""WITH $fixtures,
+wide AS (
+  SELECT sstable_id, key % 8 AS wkey, key AS wclustering, kind,
+    is_tombstone, timestamp_us, size_bytes
+  FROM licells
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(wclustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum
+FROM wide WHERE wkey = 3 AND wclustering BETWEEN 1200 AND 2800
+GROUP BY 1 ORDER BY 1""",
     // q115: the slice read replayed relationally INCLUDING block
     // selection — the fixture's block trigger (every 2 unfiltereds in
     // clustering order, markers before the row of the same clustering) is

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,6 +91,14 @@ final class DataDbScanBuilder(options: Map[String, String])
       case In("sstable_id", _) => true
       case EqualTo("key", _: Array[Byte]) => true
       case In("key", vs) => vs.forall(_.isInstanceOf[Array[Byte]])
+      // clustering bounds compose with a key filter into the SLICE-read
+      // plan (q115 at planning time): only promoted-index blocks whose
+      // stored clustering bounds overlap the pushed range are read
+      case GreaterThan("clustering", _: Long) => true
+      case GreaterThanOrEqual("clustering", _: Long) => true
+      case LessThan("clustering", _: Long) => true
+      case LessThanOrEqual("clustering", _: Long) => true
+      case EqualTo("clustering", _: Long) => true
       case _ => false
     }
     filters
@@ -145,6 +153,27 @@ final case class DataDbScan(path: String, required: StructType,
       .map(_.toArray))
   }
 
+  /** Conjunction of pushed clustering bounds as an inclusive [lo, hi]
+    * (either side optional). Long.MaxValue/MinValue edges stay inclusive
+    * — a superset, which the residual filter trims. */
+  private def clusteringBounds: (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    pushed.foreach {
+      case GreaterThan("clustering", v: Long) =>
+        raiseLo(if (v == Long.MaxValue) v else v + 1)
+      case GreaterThanOrEqual("clustering", v: Long) => raiseLo(v)
+      case LessThan("clustering", v: Long) =>
+        lowerHi(if (v == Long.MinValue) v else v - 1)
+      case LessThanOrEqual("clustering", v: Long) => lowerHi(v)
+      case EqualTo("clustering", v: Long) => raiseLo(v); lowerHi(v)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** The active session's Hadoop conf (spark.hadoop.*, fs.* credentials,
     * nameservices) — a blank `new Configuration()` would break any
     * non-local filesystem deployment. */
@@ -171,13 +200,15 @@ final case class DataDbScan(path: String, required: StructType,
           .filter(s => s.isFile && s.getPath.getName.endsWith(DataDbFormat.Suffix))
       else Seq(status)
     val keys = keyPointSet
+    val (clLo, clHi) = clusteringBounds
     files
       .map(s => (s, sstableIdOf(s.getPath.getName)))
       .filter { case (_, id) => fileSurvives(id) }
       .sortBy(_._2)
       .flatMap { case (s, id) =>
         val point = keys.flatMap(ks =>
-          DataDbScan.pointRanges(fs, s.getPath, id, s.getLen, ks))
+          DataDbScan.pointRanges(fs, s.getPath, id, s.getLen, ks,
+            format, clLo, clHi))
         point.getOrElse(
           DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes,
             format))
@@ -285,7 +316,10 @@ object DataDbScan {
     * planning instead of once per task. */
   private[datadb] def pointRanges(fs: org.apache.hadoop.fs.FileSystem,
       file: Path, id: String, fileLen: Long,
-      keys: Seq[Array[Byte]]): Option[Seq[DataDbInputPartition]] = {
+      keys: Seq[Array[Byte]], format: String = FormatGraft,
+      clusteringLo: Option[Long] = None,
+      clusteringHi: Option[Long] = None)
+      : Option[Seq[DataDbInputPartition]] = {
     val idxPath = new Path(file.getParent,
       id + graft.sources.indexdb.IndexDbFormat.Suffix)
     if (!fs.exists(idxPath)) return None
@@ -303,10 +337,15 @@ object DataDbScan {
       }
     if (hits.isEmpty) return Some(Nil)
     val len = effectiveLength(fs, file, id, fileLen)
+    // slice narrowing needs each entry's promoted-index bytes; the plain
+    // point path skips them (entries() never copies promoted bytes)
+    val slicing = (clusteringLo.nonEmpty || clusteringHi.nonEmpty) &&
+      format == FormatCassandra
     val in = fs.open(idxPath)
-    val ents: Vector[(Array[Byte], Long)] =
-      try graft.sources.indexdb.IndexDbFormat.entries(in)
-        .map(e => (e.key, e.position)).toVector
+    val ents: Vector[(Array[Byte], Long, Array[Byte])] =
+      try graft.sources.indexdb.IndexDbFormat
+        .fullEntries(in, keepPromoted = slicing)
+        .map(e => (e.key, e.position, e.promoted)).toVector
       finally in.close()
     def cmp(a: Array[Byte], b: Array[Byte]): Int = {
       var i = 0
@@ -330,11 +369,35 @@ object DataDbScan {
         else hi = mid - 1
       }
       if (found < 0) None
-      else Some((ents(found)._2,
-        if (found + 1 < ents.length) ents(found + 1)._2 else len))
+      else {
+        val pos = ents(found)._2
+        val pEnd = if (found + 1 < ents.length) ents(found + 1)._2 else len
+        val promoted = ents(found)._3
+        if (!slicing || promoted.isEmpty)
+          // whole partition (no slice pushed, or the partition is too
+          // small to carry a promoted index)
+          Some((pos, pEnd, null: Array[Byte]))
+        else {
+          // q115's block selection at PLANNING time: blocks are in
+          // clustering order and tile the partition's unfiltereds, so the
+          // ones whose stored [first, last] clustering bounds overlap the
+          // pushed range form one contiguous run — a strict superset of
+          // the in-range events (bound KINDS are ignored: an extra
+          // boundary block costs a few rows the residual filter drops)
+          val pi = graft.sources.datadb.CassandraDataFormat
+            .parsePromotedIndex(promoted)
+          val cLo = clusteringLo.getOrElse(Long.MinValue)
+          val cHi = clusteringHi.getOrElse(Long.MaxValue)
+          val sel = pi.blocks.filter(b =>
+            b.lastClustering >= cLo && b.firstClustering <= cHi)
+          if (sel.isEmpty) None
+          else Some((pos + sel.head.offset,
+            pos + sel.last.offset + sel.last.width, k))
+        }
+      }
     }
-    Some(ranges.distinct.sortBy(_._1).map { case (s, e) =>
-      DataDbInputPartition(file.toString, id, s, e)
+    Some(ranges.distinct.sortBy(_._1).map { case (s, e, midKey) =>
+      DataDbInputPartition(file.toString, id, s, e, midKey)
     })
   }
 

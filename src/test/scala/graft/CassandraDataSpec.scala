@@ -855,4 +855,61 @@ class CassandraDataSpec extends SparkSpec {
     assert(pushed === baseline)
     assert(pushed.map(_.head) === presentKeys.map(k => k: Any).toSeq)
   }
+
+  test("slice pushdown: key + clustering bounds plan mid-partition block " +
+      "runs far smaller than the partitions (round 10)") {
+    import graft.sources.datadb.DataDbInputPartition
+    val path = CassandraDataFixture.ensureWideFiles(spark, Sf0001)
+    val kb = java.nio.ByteBuffer.allocate(8).putLong(3L).array()
+    val sliced = DataDb.read(spark, path,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      .where(col("key") === kb &&
+        col("clustering") >= 1200L && col("clustering") <= 2800L)
+    // planned ranges: one SLICE run per sstable, starting mid-partition
+    // (seeded with the key) and covering a small fraction of the
+    // partition's byte span
+    val parts = sliced.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.partitions.length
+    }
+    val wholePartition = DataDb.read(spark, path,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      .where(col("key") === kb)
+    val rangesOf = { df: org.apache.spark.sql.DataFrame =>
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.batch.planInputPartitions().toSeq.collect {
+            case p: DataDbInputPartition => p
+          }
+      }.flatten
+    }
+    val sliceRanges = rangesOf(sliced)
+    val pointRanges = rangesOf(wholePartition)
+    assert(sliceRanges.nonEmpty && parts.exists(_ === sliceRanges.length))
+    assert(sliceRanges.length === pointRanges.length,
+      "one slice run per sstable holding the key")
+    val sliceBytes = sliceRanges.map(p => p.end - p.start).sum
+    val partitionBytes = pointRanges.map(p => p.end - p.start).sum
+    assert(sliceBytes * 3 < partitionBytes,
+      s"slice read $sliceBytes bytes vs partition $partitionBytes — " +
+        "block selection is not narrowing")
+    assert(sliceRanges.forall(_.midPartitionKey != null),
+      "slice ranges must start at seeded block boundaries")
+
+    // relation parity with the unpushed (decoded-column) filter form
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(col("clustering")).as("cl"),
+        sum(col("timestamp_us") % 1000003L).as("ts"))
+      .orderBy("sstable_id").collect().map(_.toSeq).toSeq
+    val viaPush = agg(sliced)
+    val viaScan = agg(DataDb.read(spark, path,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      .withColumn("k2", graft.sources.BinaryKeys.beLong(col("key")))
+      .where(col("k2") === 3L &&
+        col("clustering") >= 1200L && col("clustering") <= 2800L)
+      .drop("k2"))
+    assert(viaPush === viaScan)
+  }
 }

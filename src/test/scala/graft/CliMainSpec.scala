@@ -268,7 +268,15 @@ class CliMainSpec extends SparkSpec {
     "sstables" -> Seq("sstables", "ks1", "lineitem"),
     "pstats" -> Seq("pstats", "ks1", "lineitem"),
     "cfstats" -> Seq("cfstats", "ks1", "lineitem"),
-    "purge" -> Seq("purge", "ks1", "lineitem"))
+    "purge" -> Seq("purge", "ks1", "lineitem"),
+    // beyond the reference's five: the binary access paths end to end —
+    // integrity sweep, bti trie lookup, big-format point get and
+    // clustering slice (positions/counts are pure functions of the
+    // deterministic fixture content, so the bytes freeze cleanly)
+    "verify" -> Seq("verify"),
+    "lookup" -> Seq("lookup", "ks1", "lineitem", "42"),
+    "get" -> Seq("get", "ks1", "lineitem", "42"),
+    "slice" -> Seq("slice", "ks1", "lineitem", "3", "0", "500"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

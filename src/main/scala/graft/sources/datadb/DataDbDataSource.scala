@@ -341,12 +341,6 @@ object DataDbScan {
     // point path skips them (entries() never copies promoted bytes)
     val slicing = (clusteringLo.nonEmpty || clusteringHi.nonEmpty) &&
       format == FormatCassandra
-    val in = fs.open(idxPath)
-    val ents: Vector[(Array[Byte], Long, Array[Byte])] =
-      try graft.sources.indexdb.IndexDbFormat
-        .fullEntries(in, keepPromoted = slicing)
-        .map(e => (e.key, e.position, e.promoted)).toVector
-      finally in.close()
     def cmp(a: Array[Byte], b: Array[Byte]): Int = {
       var i = 0
       val n = math.min(a.length, b.length)
@@ -357,22 +351,81 @@ object DataDbScan {
       }
       a.length - b.length
     }
-    val ranges = hits.flatMap { k =>
-      var lo = 0
-      var hi = ents.length - 1
-      var found = -1
-      while (lo <= hi && found < 0) {
-        val mid = (lo + hi) >>> 1
-        val c = cmp(ents(mid)._1, k)
-        if (c == 0) found = mid
-        else if (c < 0) lo = mid + 1
-        else hi = mid - 1
+    // key -> (partition position, next partition position, promoted
+    // bytes). Two strategies, by sidecar availability:
+    //  - Summary.db present: the REAL bounded walk — the rightmost
+    //    sampled entry <= key bounds a seek into Index.db, and at most
+    //    min_index_interval entries are parsed per probe. Planning cost
+    //    is O(summary + interval) per (file, key) — a multi-GB index is
+    //    never read whole.
+    //  - no summary: read the (fixture-scale) index once and binary
+    //    search it.
+    val resolve: Array[Byte] => Option[(Long, Long, Array[Byte])] = {
+      val sumPath = new Path(file.getParent,
+        id + graft.sources.summarydb.SummaryDbFormat.Suffix)
+      if (fs.exists(sumPath)) {
+        val sin = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(sumPath)))
+        val summary = try graft.sources.summarydb.SummaryDbFormat.parse(sin)
+          finally sin.close()
+        (k: Array[Byte]) => {
+          // rightmost sampled entry with key <= k
+          var lo = 0
+          var hi = summary.entries.length - 1
+          var floor = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmp(summary.entries(mid).key, k) <= 0) { floor = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (floor < 0) None // k sorts before the first partition
+          else {
+            val in = fs.open(idxPath)
+            try {
+              in.seek(summary.entries(floor).position)
+              val it = graft.sources.indexdb.IndexDbFormat
+                .fullEntries(in, keepPromoted = slicing)
+              var found: Option[(Long, Array[Byte])] = None
+              var pEnd = len
+              var done = false
+              while (!done && it.hasNext) {
+                val e = it.next()
+                val c = cmp(e.key, k)
+                if (found.nonEmpty) { pEnd = e.position; done = true }
+                else if (c == 0) found = Some((e.position, e.promoted))
+                else if (c > 0) done = true
+              }
+              found.map { case (pos, promoted) => (pos, pEnd, promoted) }
+            } finally in.close()
+          }
+        }
+      } else {
+        val in = fs.open(idxPath)
+        val ents: Vector[(Array[Byte], Long, Array[Byte])] =
+          try graft.sources.indexdb.IndexDbFormat
+            .fullEntries(in, keepPromoted = slicing)
+            .map(e => (e.key, e.position, e.promoted)).toVector
+          finally in.close()
+        (k: Array[Byte]) => {
+          var lo = 0
+          var hi = ents.length - 1
+          var found = -1
+          while (lo <= hi && found < 0) {
+            val mid = (lo + hi) >>> 1
+            val c = cmp(ents(mid)._1, k)
+            if (c == 0) found = mid
+            else if (c < 0) lo = mid + 1
+            else hi = mid - 1
+          }
+          if (found < 0) None
+          else Some((ents(found)._2,
+            if (found + 1 < ents.length) ents(found + 1)._2 else len,
+            ents(found)._3))
+        }
       }
-      if (found < 0) None
-      else {
-        val pos = ents(found)._2
-        val pEnd = if (found + 1 < ents.length) ents(found + 1)._2 else len
-        val promoted = ents(found)._3
+    }
+    val ranges = hits.flatMap { k =>
+      resolve(k).flatMap { case (pos, pEnd, promoted) =>
         if (!slicing || promoted.isEmpty)
           // whole partition (no slice pushed, or the partition is too
           // small to carry a promoted index)

@@ -854,6 +854,21 @@ class CassandraDataSpec extends SparkSpec {
       .where(col("key").isin((presentKeys ++ absentKeys): _*)))
     assert(pushed === baseline)
     assert(pushed.map(_.head) === presentKeys.map(k => k: Any).toSeq)
+
+    // the engine-format fixture has Index.db but NO Summary.db/Filter.db:
+    // the planner's no-summary fallback (whole-index binary search, no
+    // bloom) must plan the same exact ranges for the graft codec
+    val gpath = graft.sources.datadb.DataDbFixture.ensureFiles(spark, Sf0001)
+    val gscan = DataDb.read(spark, gpath,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatGraft)
+      .where(col("key").isin(bytesOf(presentKeys ++ absentKeys): _*))
+    assert(gscan.rdd.getNumPartitions === expectedRanges)
+    val gagg = agg(gscan
+      .withColumn("key", graft.sources.BinaryKeys.beLong(col("key"))))
+    val gbase = agg(DataDb.cells(spark, gpath,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatGraft)
+      .where(col("key").isin((presentKeys ++ absentKeys): _*)))
+    assert(gagg === gbase)
   }
 
   test("slice pushdown: key + clustering bounds plan mid-partition block " +

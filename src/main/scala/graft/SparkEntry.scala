@@ -740,6 +740,12 @@ object SparkEntry {
     // HNSW over the PERSISTED shard-partitioned adjacency: build once on
     // disk, reload each shard graph exactly — identical relation to q137
     "q139_sim_hnsw_persisted" -> ((s, d) => Hnsw.hnswSearchPersisted(s, d)),
+    // incremental ingest as a CORRECTNESS claim: half the corpus built,
+    // half inserted through the micro-batch kernel, searched — id-monotone
+    // arrival makes the evolved index bit-equal to a full build, so this
+    // shares q24's brute-force oracle (a mis-routed shard or broken
+    // reload hash-mismatches the gate)
+    "q161_sim_hnsw_ingest" -> ((s, d) => Hnsw.hnswIngestedTopK(s, d)),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

@@ -390,6 +390,36 @@ object Hnsw {
       ensureHnswIndex(spark, dir, nQueries, shards, m, efC),
       nQueries, k, m, efC, efSearch)
 
+  /** q161: the INCREMENTAL-INGEST contract as an oracle-checked query —
+    * build the persisted index over only the FIRST HALF of the corpus,
+    * insert the second half through [[hnswIndexInsert]] (the micro-batch
+    * kernel), and search the evolved index. Arrival is id-monotone, so
+    * the evolved index must be bit-identical to a full build and the
+    * relation must hash-match q137/q24's brute-force oracle — an ingest
+    * bug (mis-routed shard, broken reload, wrong insertion order)
+    * surfaces as a correctness-gate failure, not just a spec failure.
+    * Index construction is session-memoized like [[ensureHnswIndex]]. */
+  def hnswIngestedTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, shards: Int = 4, m: Int = 8, efC: Int = 64,
+      efSearch: Int = 128): DataFrame = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|hnswing" +
+      s"|$nQueries|$shards|$m|$efC"
+    val path = Option(indexMemo.get(key)).getOrElse {
+      val maxId = Similarity.quantized(spark, dir)
+        .agg(max(col("vec_id"))).head.getLong(0)
+      val split = (nQueries.toLong + maxId) / 2
+      val prefix = buildHnswIndex(spark, dir, nQueries, shards, m, efC,
+        upTo = Some(split))
+      val arrivals = Similarity.quantized(spark, dir)
+        .where(col("vec_id") >= split)
+        .select(col("vec_id"), col("qv"), col("norm2"))
+      val ingested = hnswIndexInsert(spark, prefix, arrivals, shards, m, efC)
+      indexMemo.put(key, ingested)
+      ingested
+    }
+    hnswSearchIndex(spark, dir, path, nQueries, k, m, efC, efSearch)
+  }
+
   /** q139's search body over an EXPLICIT index directory — the entry the
     * incremental-ingest path queries after each micro-batch insert. */
   def hnswSearchIndex(spark: SparkSession, dir: String, indexPath: String,

@@ -4001,6 +4001,10 @@ ORDER BY 1"""
       // q139 (persisted HNSW) reloads the exact build-time graphs, so it
       // must reproduce q137's relation — same brute-force oracle.
       ("q139_sim_hnsw_persisted" -> base("q24_sim_topk")) +
+      // q161 (incremental ingest): id-monotone insertion into the loaded
+      // prefix graphs equals a full build, so the search must reproduce
+      // the same brute-force top-k — same oracle again.
+      ("q161_sim_hnsw_ingest" -> base("q24_sim_topk")) +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
       ("q129_static_complex_roundtrip" -> q129Sql) +

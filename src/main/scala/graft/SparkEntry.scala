@@ -746,6 +746,13 @@ object SparkEntry {
     // shares q24's brute-force oracle (a mis-routed shard or broken
     // reload hash-mismatches the gate)
     "q161_sim_hnsw_ingest" -> ((s, d) => Hnsw.hnswIngestedTopK(s, d)),
+    // REAL compaction end to end: real sstables → production scan → LWW
+    // merge + gc_grace purge → DSv2 sstable sink (key%4-sharded outputs)
+    // → production scan again → rollup. The full read→merge→write→read
+    // circle over the real codec; the oracle replays the merge from
+    // parquet under the scan's representation mapping.
+    "q162_compaction_roundtrip" -> ((s, d) =>
+      Compaction.compactionRoundtrip(s, d)),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

@@ -302,8 +302,13 @@ object Reports {
     section("Curation funnel (quality -> dedup -> decontam -> pack)",
       TextStats.fullPipeline(spark, dir))
 
-  /** `compact` — the q146 STCS what-if per size tier. */
+  /** `compact` — the q146 STCS what-if per size tier, then the q162 REAL
+    * compaction executed end to end (real sstables → LWW merge + purge →
+    * real sstables via the DSv2 sink) with its per-output-shard rollup. */
   def compact(spark: SparkSession, dir: String): String =
     section("STCS compaction what-if by size tier",
-      graft.ops.Summary.stcsWhatIf(spark, dir))
+      graft.ops.Summary.stcsWhatIf(spark, dir)) + "\n" +
+      section(s"Executed compaction (key%${graft.ops.Compaction.OutputShards}" +
+        "-sharded real sstable outputs)",
+        graft.ops.Compaction.compactionRoundtrip(spark, dir))
 }

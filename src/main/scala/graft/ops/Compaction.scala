@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+
+/** REAL compaction, end to end (round 10): read the real compressed
+  * sstable set through the production `format=cassandra` scan, run the
+  * LWW merge + gc_grace purge the engine's purge model defines, and
+  * WRITE the merged result back as real sstables through the DSv2
+  * `sstable-data` sink — then read THAT through the same scan and roll it
+  * up. The full circle `read → merge → write → read` over the real codec
+  * in one oracle-checked query (q162): a bug in the row codec (either
+  * direction), the chunk layer, the LWW order, the purge rule or the
+  * writer's distribution surfaces as a hash mismatch.
+  *
+  * Semantics (the reference's "fake compaction" purge model, made
+  * physical): per (key, clustering, column_name) the winner under a
+  * TOTAL order on every scan-visible field — (timestamp_us, sstable_id,
+  * size, is_tombstone, local_deletion_time, ttl, is_expiring, kind), all
+  * DESC — survives; winners that are droppable tombstones
+  * (`local_deletion_time_s < gcBefore`) are purged outright. Range
+  * markers participate as their own `range:<cl>` column groups (the
+  * fixture's single-bound marker model: newest marker wins, purgeable
+  * ones drop). The total order makes the merge deterministic even for
+  * fully-duplicated events — tie winners are indistinguishable in every
+  * surfaced field.
+  *
+  * Scale shape: ONE shuffle on the merge key (the compaction shuffle —
+  * exactly where Cassandra's k-way merge iterator sits), then the sink's
+  * own clustered exchange on the output id. The output is sharded
+  * `key % OutputShards` → one real sstable per shard written in
+  * parallel — the N-way major compaction a 100 TB table needs, not a
+  * single-writer funnel. */
+object Compaction {
+
+  val OutputShards = 4
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val ChkMod = 1000003L
+
+  /** Compact the real-format compressed set of `dir` into
+    * [[OutputShards]] real sstables under a session-memoized temp dir;
+    * returns the output directory. */
+  def ensureCompacted(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$gcBeforeS"
+    memo.computeIfAbsent(key, _ => {
+      val inPath = CassandraDataFixture.ensureFiles(spark, dir,
+        compressed = true)
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-compaction")).toString
+      val ev = DataDb.cells(spark, inPath,
+          maxSplitBytes = Some(splitBytes(inPath)),
+          format = DataDbScan.FormatCassandra)
+        // input generation ids back to the fixture's sst-<n> names so the
+        // LWW order's sstable tiebreak matches the oracle's relation
+        .withColumn("sstable_id", concat(lit("sst-"),
+          (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+            .cast("long") - 1L).cast("string")))
+      val w = Window.partitionBy("key", "clustering", "column_name")
+        .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
+          col("size_bytes").desc, col("is_tombstone").desc,
+          col("local_deletion_time_s").desc, col("ttl_s").desc,
+          col("is_expiring").desc, col("kind").desc)
+      ev.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 &&
+          !(col("is_tombstone") && col("local_deletion_time_s") < gcBeforeS))
+        .select(
+          concat(lit("sst-"), pmod(col("key"), lit(OutputShards.toLong)))
+            .as("sstable_id"),
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
+          col("is_tombstone"), col("is_expiring"), col("size_bytes"))
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    })
+  }
+
+  private def splitBytes(path: String): Long = {
+    val files = Option(new java.io.File(path)
+      .listFiles((_, n) => n.endsWith("-Data.db")))
+      .getOrElse(Array.empty[java.io.File])
+    math.max(64L << 10, files.foldLeft(0L)((m, f) => math.max(m, f.length)) / 8)
+  }
+
+  /** q162: per-output-shard checksum rollup of the compacted sstables,
+    * read back through the production scan. */
+  def compactionRoundtrip(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val out = ensureCompacted(spark, dir, gcBeforeS)
+    DataDb.cells(spark, out, maxSplitBytes = Some(splitBytes(out)),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L).otherwise(0L))
+          .as("markers"),
+        countDistinct("key").as("partitions"),
+        sum(col("key") % ChkMod).as("keys_sum"),
+        sum(col("clustering") % ChkMod).as("clustering_sum"),
+        sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+        sum(col("ttl_s") % ChkMod).as("ttl_sum"),
+        sum(col("local_deletion_time_s") % ChkMod).as("ldt_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum(col("size_bytes") % ChkMod).as("value_sum"))
+      .orderBy("sstable_id")
+  }
+}

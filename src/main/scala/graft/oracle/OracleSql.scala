@@ -992,6 +992,48 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS value_sum
 FROM wide WHERE wkey = 3 AND wclustering BETWEEN 1200 AND 2800
 GROUP BY 1 ORDER BY 1""",
+    // q162: real compaction replayed from parquet. The Spark side ranks
+    // SCAN-VISIBLE fields, so the oracle first applies the representation
+    // mapping (deleted cells read back NO_TTL/-1 and value length 0; live
+    // value length = size_bytes % 61), then the same total order per
+    // (key, clustering, column_name), keeps rank-1 winners that are not
+    // droppable tombstones, shards by key % 4, and rolls up the same
+    // checksums the read-back of the written sstables produces.
+    "q162_compaction_roundtrip" -> s"""WITH $fixtures,
+mapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind,
+    timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring, is_live,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC,
+             ttl_s DESC, is_expiring DESC, kind DESC) AS rn
+  FROM mapped
+),
+winners AS (
+  SELECT * FROM ranked
+  WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+)
+SELECT 'sst-' || CAST(key % 4 AS VARCHAR) AS sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM winners GROUP BY 1 ORDER BY 1""",
     // q115: the slice read replayed relationally INCLUDING block
     // selection — the fixture's block trigger (every 2 unfiltereds in
     // clustering order, markers before the row of the same clustering) is

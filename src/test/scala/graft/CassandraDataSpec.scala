@@ -871,6 +871,59 @@ class CassandraDataSpec extends SparkSpec {
     assert(gagg === gbase)
   }
 
+  test("compaction roundtrip: read -> LWW merge + purge -> write -> read " +
+      "equals the parquet replay of the merge (round 10)") {
+    val got = graft.ops.Compaction.compactionRoundtrip(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    // independent replay from parquet: the scan's representation mapping
+    // first, then the same total order, winners minus droppable
+    // tombstones, key%4 output shards
+    import org.apache.spark.sql.expressions.Window
+    val mapped = graft.sources.Fixtures.cells(spark, Sf0001)
+      .withColumn("ttl_s",
+        when(col("is_tombstone"), -1L).otherwise(col("ttl_s")))
+      .withColumn("size_bytes",
+        when(col("is_tombstone"), 0L).otherwise(col("size_bytes") % 61L))
+    val w = Window.partitionBy("key", "clustering", "column_name")
+      .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
+        col("size_bytes").desc, col("is_tombstone").desc,
+        col("local_deletion_time_s").desc, col("ttl_s").desc,
+        col("is_expiring").desc, col("kind").desc)
+    val M = 1000003L
+    val want = mapped.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !(col("is_tombstone") &&
+        col("local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS))
+      .groupBy(concat(lit("sst-"), pmod(col("key"), lit(4L)))
+        .as("sstable_id"))
+      .agg(count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L)
+          .otherwise(0L)).as("markers"),
+        countDistinct("key").as("partitions"),
+        sum(col("key") % M).as("keys_sum"),
+        sum(col("clustering") % M).as("clustering_sum"),
+        sum(col("timestamp_us") % M).as("ts_sum"),
+        sum(col("ttl_s") % M).as("ttl_sum"),
+        sum(col("local_deletion_time_s") % M).as("ldt_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
+        sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
+        sum(col("size_bytes") % M).as("value_sum"))
+      .orderBy("sstable_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // physical shape: one complete compressed sstable per output shard
+    val out = graft.ops.Compaction.ensureCompacted(spark, Sf0001)
+    val names = Option(new java.io.File(out).listFiles()).get
+      .map(_.getName).toSet
+    assert(names.count(_.endsWith("-Data.db")) === 4)
+    assert(names.count(_.endsWith("-CompressionInfo.db")) === 4)
+    // compaction compacts: fewer surviving events than input events
+    val inputEvents = graft.sources.Fixtures.cells(spark, Sf0001).count()
+    val outputEvents = got.map(_(1).asInstanceOf[Long]).sum
+    assert(outputEvents < inputEvents)
+  }
+
   test("slice pushdown: key + clustering bounds plan mid-partition block " +
       "runs far smaller than the partitions (round 10)") {
     import graft.sources.datadb.DataDbInputPartition

@@ -169,14 +169,22 @@ final class SstableDataWriter(destDir: String, schema: StructType,
     val id = row.getUTF8String(ord("sstable_id")).toString
     if (currentId != null && id != currentId) flush()
     currentId = id
+    val kind = row.getUTF8String(ord("kind")).toString
+    if (kind != DataDbFormat.KindCell && kind != DataDbFormat.KindMarker)
+      throw new IllegalArgumentException(
+        s"sstable-data write: unknown kind '$kind' (expected " +
+          s"${DataDbFormat.KindCell} or ${DataDbFormat.KindMarker})")
+    val size = row.getLong(ord("size_bytes"))
+    if (size < 0)
+      throw new IllegalArgumentException(
+        s"sstable-data write: negative size_bytes $size")
     buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
       row.getUTF8String(ord("column_name")).toString,
-      row.getUTF8String(ord("kind")).toString == DataDbFormat.KindMarker,
+      kind == DataDbFormat.KindMarker,
       row.getLong(ord("timestamp_us")), row.getLong(ord("ttl_s")),
       row.getLong(ord("local_deletion_time_s")),
       row.getBoolean(ord("is_tombstone")),
-      row.getBoolean(ord("is_expiring")),
-      row.getLong(ord("size_bytes"))))
+      row.getBoolean(ord("is_expiring")), size))
   }
 
   private def flush(): Unit = if (currentId != null && buf.nonEmpty) {

@@ -276,7 +276,8 @@ class CliMainSpec extends SparkSpec {
     "verify" -> Seq("verify"),
     "lookup" -> Seq("lookup", "ks1", "lineitem", "42"),
     "get" -> Seq("get", "ks1", "lineitem", "42"),
-    "slice" -> Seq("slice", "ks1", "lineitem", "3", "0", "500"))
+    "slice" -> Seq("slice", "ks1", "lineitem", "3", "0", "500"),
+    "compact" -> Seq("compact"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

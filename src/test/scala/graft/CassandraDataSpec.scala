@@ -830,6 +830,10 @@ class CassandraDataSpec extends SparkSpec {
     val both = scan(presentKeys ++ absentKeys)
     assert(both.rdd.getNumPartitions === expectedRanges,
       "pushed key filters must plan single-partition ranges")
+    // the pushed filter is visible in the scan description — a refactor
+    // that silently stops pushing breaks here, not just in timing
+    assert(both.queryExecution.executedPlan.toString.contains("In(key"),
+      "key filter not pushed into the scan")
     assert(scan(absentKeys).rdd.getNumPartitions === 0,
       "absent keys must be pruned at planning (bloom/index)")
     // without pushdown the same files plan MANY splits

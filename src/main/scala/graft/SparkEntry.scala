@@ -188,6 +188,55 @@ object SparkEntry {
     cassandraRollup(s, path, cassSplitBytes(path))
   }
 
+  /** q163: VALUE-BYTE PASSTHROUGH through the sink and back (round 10) —
+    * the writer stores caller-supplied bytes verbatim and the scan's
+    * `value` column surfaces them. Live cells get an
+    * oracle-recomputable payload string ('v<key>:<clustering>:<ts>'),
+    * the relation is written via `df.write.format("sstable-data")`, read
+    * back through `format=cassandra` WITH the value column, and the
+    * per-sstable (count, length, h60) checksums of the decoded payloads
+    * must match the oracle's direct derivation — content fidelity, not
+    * just length fidelity. Value retention is pruning-gated: only a scan
+    * that asks for `value` pays for the bytes. */
+  private val valueExportMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def valuePassthrough(s: SparkSession, d: String): DataFrame = {
+    val memoKey = s"${graft.sources.PlanCache.sessionKey(s)}|$d"
+    val path = valueExportMemo.computeIfAbsent(memoKey, _ => {
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-value-export")).toString
+      graft.sources.Fixtures.cells(s, d)
+        .where(col("tbl") === "lineitem")
+        .select(col("sstable_id"), col("key"), col("clustering"),
+          col("column_name"), col("kind"), col("timestamp_us"),
+          col("ttl_s"), col("local_deletion_time_s"), col("is_tombstone"),
+          col("is_expiring"), col("size_bytes"),
+          when(col("kind") === "CELL" && !col("is_tombstone"),
+            concat(lit("v"), col("key"), lit(":"), col("clustering"),
+              lit(":"), col("timestamp_us")).cast("binary")).as("value"))
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    })
+    graft.sources.datadb.DataDb.read(s, path,
+        maxSplitBytes = Some(cassSplitBytes(path)),
+        format = graft.sources.datadb.DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        count(col("value")).as("valued"),
+        coalesce(sum(length(col("value")).cast("long")), lit(0L))
+          .as("len_sum"),
+        coalesce(sum(graft.functions.PortableHash
+          .h60(col("value").cast("string")) % ChkMod), lit(0L))
+          .as("h60_sum"))
+      .orderBy("sstable_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // catalog
     "q00_catalog" -> ((s, d) => Summary.catalog(s, d)),
@@ -753,6 +802,10 @@ object SparkEntry {
     // parquet under the scan's representation mapping.
     "q162_compaction_roundtrip" -> ((s, d) =>
       Compaction.compactionRoundtrip(s, d)),
+    // caller-supplied value BYTES through the sink and back: write cells
+    // whose values are oracle-recomputable payload strings, read them
+    // back through the scan's `value` column, checksum the CONTENT
+    "q163_value_passthrough" -> ((s, d) => valuePassthrough(s, d)),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

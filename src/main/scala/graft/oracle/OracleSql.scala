@@ -1034,6 +1034,24 @@ SELECT 'sst-' || CAST(key % 4 AS VARCHAR) AS sstable_id,
   CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM winners GROUP BY 1 ORDER BY 1""",
+    // q163: value passthrough — live CELL events carry the payload
+    // string 'v<key>:<clustering>:<ts>' as their stored bytes; the scan's
+    // value column must surface exactly those bytes, so the per-sstable
+    // (non-null count, length sum, h60 sum) of the decoded payloads is
+    // recomputable directly from parquet.
+    "q163_value_passthrough" -> s"""WITH $fixtures,
+payload AS (
+  SELECT sstable_id, kind,
+    CASE WHEN kind = 'CELL' AND NOT is_tombstone
+      THEN 'v' || CAST(key AS VARCHAR) || ':' || CAST(clustering AS VARCHAR)
+        || ':' || CAST(timestamp_us AS VARCHAR) END AS v
+  FROM licells
+)
+SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(v) AS BIGINT) AS valued,
+  CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS len_sum,
+  CAST(COALESCE(SUM(${h60("v")} % 1000003), 0) AS BIGINT) AS h60_sum
+FROM payload GROUP BY 1 ORDER BY 1""",
     // q115: the slice read replayed relationally INCLUDING block
     // selection — the fixture's block trigger (every 2 unfiltereds in
     // clustering order, markers before the row of the same clustering) is

@@ -147,7 +147,10 @@ object CassandraDataFixture {
 
   private final case class Ev(key: Long, clustering: Long, column: String,
       isMarker: Boolean, tsUs: Long, ttlS: Long, ldtS: Long,
-      isTomb: Boolean, isExp: Boolean, sizeBytes: Long)
+      isTomb: Boolean, isExp: Boolean, sizeBytes: Long,
+      // caller-supplied value bytes (round 10 passthrough); null falls
+      // back to the fixture's deterministic valueOf(sizeBytes) blob
+      valueBytes: Array[Byte] = null)
 
   /** DISTRIBUTED fixture materialization: one task per generation writes
     * its complete sstable (Data.db + every sidecar) via [[writeSstable]] —
@@ -200,6 +203,21 @@ object CassandraDataFixture {
         Boolean, Boolean, Long)], compressed: Boolean): Unit = {
     val evs = rows.map { t =>
       Ev(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9, t._10)
+    }.toArray
+    writeSstable(out, gen, evs,
+      if (compressed) Some(Compressors.Lz4) else None)
+  }
+
+  /** [[writeSstableFrom]] with caller-supplied VALUE bytes (round 10):
+    * the 11th tuple element, when non-null, is stored as the cell's
+    * value verbatim (the read-back length is then its length); null falls
+    * back to the fixture's deterministic blob of `size_bytes % 61`
+    * bytes. Tombstones and markers never store a value either way. */
+  def writeSstableFromValues(out: Path, gen: Long,
+      rows: Iterator[(Long, Long, String, Boolean, Long, Long, Long,
+        Boolean, Boolean, Long, Array[Byte])], compressed: Boolean): Unit = {
+    val evs = rows.map { t =>
+      Ev(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9, t._10, t._11)
     }.toArray
     writeSstable(out, gen, evs,
       if (compressed) Some(Compressors.Lz4) else None)
@@ -293,7 +311,10 @@ object CassandraDataFixture {
                 timestampUs = e.tsUs,
                 ttlS = e.ttlS,
                 localDeletionTimeS = e.ldtS,
-                value = if (e.isTomb) null else valueOf(e.sizeBytes, clustering))
+                value =
+                  if (e.isTomb) null
+                  else if (e.valueBytes != null) e.valueBytes
+                  else valueOf(e.sizeBytes, clustering))
             }
             unfiltereds += ((w.position, KindClustering, clustering))
             w.write(WriteRow(clustering, wcells))

@@ -639,9 +639,13 @@ object CassandraDataFormat {
     * partition whose key is `startKey` (the split planner takes both from
     * the Index.db entry's promoted index), so no key header is read first
     * — the role `RowIndexEntry` plays for Cassandra's own sliced reads. */
+  /** `keepValues`: retain each cell's stored value bytes on the emitted
+    * event (the scan sets this ONLY when the `value` column survives
+    * pruning — otherwise values are skipped, never allocated). */
   def events(stream: InputStream, header: SerializationHeaderInfo,
       stopAtBoundary: () => Boolean = () => false,
-      startKey: Array[Byte] = null): Iterator[DataDbFormat.Event] = {
+      startKey: Array[Byte] = null,
+      keepValues: Boolean = false): Iterator[DataDbFormat.Event] = {
     require(header.clusteringTypes == Seq(Marshal.Prefix + "LongType"),
       "event surface requires a single LongType clustering column")
     val regulars = header.regularColumns.toArray
@@ -720,18 +724,24 @@ object CassandraDataFormat {
           d.skipBytes(pathLen.toInt)
         }
         var valueLen = 0L
+        var valueBytes: Array[Byte] = null
         if (hasValue) {
           val fixed = spec.valueFixedLen
           valueLen = if (fixed >= 0) fixed.toLong else readUnsignedVInt(d)
           if (valueLen < 0 || valueLen > (1 << 28))
             throw new java.io.IOException(s"implausible value length $valueLen")
-          var remaining = valueLen.toInt
-          while (remaining > 0) {
-            val skipped = d.skipBytes(remaining)
-            if (skipped <= 0) throw new EOFException("truncated cell value")
-            remaining -= skipped
+          if (keepValues) {
+            valueBytes = new Array[Byte](valueLen.toInt)
+            d.readFully(valueBytes)
+          } else {
+            var remaining = valueLen.toInt
+            while (remaining > 0) {
+              val skipped = d.skipBytes(remaining)
+              if (skipped <= 0) throw new EOFException("truncated cell value")
+              remaining -= skipped
+            }
           }
-        }
+        } else if (keepValues && !deleted) valueBytes = Array.emptyByteArray
         DataDbFormat.Event(
           key = currentKey,
           clustering = clustering,
@@ -742,7 +752,8 @@ object CassandraDataFormat {
           timestampUs = ts,
           ttlS = ttl,
           localDeletionTimeS = ldt,
-          sizeBytes = valueLen)
+          sizeBytes = valueLen,
+          value = valueBytes)
       }
 
       /** Reads one unfiltered; returns its events (Nil at end of

@@ -558,7 +558,7 @@ final class DataDbReaderFactory(required: StructType,
   * positions mean in a real compressed sstable. */
 private[datadb] final class EventStream(file: String, start: Long, end: Long,
     conf: Configuration, format: String = DataDbScan.FormatGraft,
-    midPartitionKey: Array[Byte] = null) {
+    midPartitionKey: Array[Byte] = null, keepValues: Boolean = false) {
   private val hPath = new Path(file)
   private val fs = hPath.getFileSystem(conf)
   private val id = hPath.getName.stripSuffix(DataDbFormat.Suffix)
@@ -626,7 +626,8 @@ private[datadb] final class EventStream(file: String, start: Long, end: Long,
         graft.sources.statsdb.CassandraStatsFormat.componentBytes(
           statsBytes, graft.sources.statsdb.CassandraStatsFormat.TypeHeader))
       CassandraDataFormat.events(counting, header,
-        () => start + consumed >= end, startKey = midPartitionKey)
+        () => start + consumed >= end, startKey = midPartitionKey,
+        keepValues = keepValues)
     case _ =>
       if (midPartitionKey != null)
         throw new java.io.IOException(
@@ -644,8 +645,8 @@ final class DataDbPartitionReader(file: String, sstableId: String,
     midPartitionKey: Array[Byte] = null)
     extends PartitionReader[InternalRow] {
 
-  private val es =
-    new EventStream(file, start, end, conf, format, midPartitionKey)
+  private val es = new EventStream(file, start, end, conf, format,
+    midPartitionKey, keepValues = required.fieldNames.contains("value"))
   private var current: DataDbFormat.Event = _
   private val id = UTF8String.fromString(sstableId)
   private val kinds: Array[UTF8String] =
@@ -668,6 +669,7 @@ final class DataDbPartitionReader(file: String, sstableId: String,
       case "is_counter" => (e: DataDbFormat.Event) => e.isCounter
       case "is_live" => (e: DataDbFormat.Event) => e.isLive
       case "size_bytes" => (e: DataDbFormat.Event) => e.sizeBytes
+      case "value" => (e: DataDbFormat.Event) => e.value
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
 
@@ -689,8 +691,8 @@ final class DataDbColumnarReader(file: String, sstableId: String,
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-  private val es =
-    new EventStream(file, start, end, conf, format, midPartitionKey)
+  private val es = new EventStream(file, start, end, conf, format,
+    midPartitionKey, keepValues = required.fieldNames.contains("value"))
   private val vectors =
     OnHeapColumnVector.allocateColumns(DataDbColumnarReader.BatchRows, required)
   private val batch =
@@ -733,6 +735,12 @@ final class DataDbColumnarReader(file: String, sstableId: String,
           (e: DataDbFormat.Event, r: Int) => v.putBoolean(r, e.isLive)
         case "size_bytes" =>
           (e: DataDbFormat.Event, r: Int) => v.putLong(r, e.sizeBytes)
+        case "value" =>
+          (e: DataDbFormat.Event, r: Int) => {
+            if (e.value == null) v.putNull(r)
+            else v.putByteArray(r, e.value)
+            ()
+          }
         case other =>
           throw new IllegalArgumentException(s"unknown column $other")
       }

@@ -104,7 +104,13 @@ object DataDbFormat {
     StructField("is_expiring", BooleanType, nullable = false),
     StructField("is_counter", BooleanType, nullable = false),
     StructField("is_live", BooleanType, nullable = false),
-    StructField("size_bytes", LongType, nullable = false)))
+    StructField("size_bytes", LongType, nullable = false),
+    // stored cell VALUE bytes (round 10): populated ONLY when the column
+    // is actually requested AND the codec stores values
+    // (format=cassandra); null for valueless events and the engine
+    // format (which stores sizes, not bytes). A pruned-away `value`
+    // never causes the parser to retain bytes.
+    StructField("value", BinaryType, nullable = true)))
 
   final case class Event(
       key: Array[Byte],
@@ -115,7 +121,10 @@ object DataDbFormat {
       timestampUs: Long,
       ttlS: Long,
       localDeletionTimeS: Long,
-      sizeBytes: Long) {
+      sizeBytes: Long,
+      // stored value bytes — retained only when the scan requests the
+      // `value` column (format=cassandra); null otherwise
+      value: Array[Byte] = null) {
     /** Raw UTF-8 bytes are the stored form: the DSv2 reader hands them to
       * UTF8String.fromBytes without a decode/re-encode round-trip, and a
       * pruned column_name never pays for a String at all. */

@@ -61,6 +61,12 @@ final class DataDbWriteBuilder(options: Map[String, String],
           s"sstable-data write column $name must be $tpe, got " +
             schema.fields(idx).dataType)
     }
+    val vIdx = schema.fieldNames.indexOf("value")
+    if (vIdx >= 0 && schema.fields(vIdx).dataType !=
+        org.apache.spark.sql.types.BinaryType)
+      throw new IllegalArgumentException(
+        "sstable-data write column value must be BinaryType, got " +
+          schema.fields(vIdx).dataType)
     new DataDbWrite(path, schema, compressed)
   }
 }
@@ -159,11 +165,16 @@ final class SstableDataWriter(destDir: String, schema: StructType,
     DataDbWrite.RequiredFields.map { case (n, _) =>
       n -> schema.fieldNames.indexOf(n)
     }.toMap
+  // OPTIONAL value passthrough: when the incoming relation carries a
+  // binary `value` column, non-null cell values are stored verbatim
+  // (read-back length = value length); null falls back to the
+  // deterministic size_bytes blob
+  private val valueOrd: Int = schema.fieldNames.indexOf("value")
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
   private var currentId: String = null
   private val buf = new ArrayBuffer[(Long, Long, String, Boolean, Long,
-    Long, Long, Boolean, Boolean, Long)]()
+    Long, Long, Boolean, Boolean, Long, Array[Byte])]()
 
   override def write(row: InternalRow): Unit = {
     val id = row.getUTF8String(ord("sstable_id")).toString
@@ -178,17 +189,20 @@ final class SstableDataWriter(destDir: String, schema: StructType,
     if (size < 0)
       throw new IllegalArgumentException(
         s"sstable-data write: negative size_bytes $size")
+    val value =
+      if (valueOrd < 0 || row.isNullAt(valueOrd)) null
+      else row.getBinary(valueOrd)
     buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
       row.getUTF8String(ord("column_name")).toString,
       kind == DataDbFormat.KindMarker,
       row.getLong(ord("timestamp_us")), row.getLong(ord("ttl_s")),
       row.getLong(ord("local_deletion_time_s")),
       row.getBoolean(ord("is_tombstone")),
-      row.getBoolean(ord("is_expiring")), size))
+      row.getBoolean(ord("is_expiring")), size, value))
   }
 
   private def flush(): Unit = if (currentId != null && buf.nonEmpty) {
-    CassandraDataFixture.writeSstableFrom(tmp,
+    CassandraDataFixture.writeSstableFromValues(tmp,
       DataDbWrite.generationOf(currentId), buf.iterator, compressed)
     buf.clear()
   }

@@ -875,6 +875,44 @@ class CassandraDataSpec extends SparkSpec {
     assert(gagg === gbase)
   }
 
+  test("value passthrough: arbitrary caller bytes survive write -> scan " +
+      "byte-for-byte; valueless events surface null (round 10)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-value-spec")
+    try {
+      // 16 arbitrary bytes per live cell (md5 digests: full byte range,
+      // not UTF-8) — content fidelity, not just lengths
+      val cells = graft.sources.Fixtures.cells(spark, Sf0001)
+        .where(col("tbl") === "lineitem")
+        .select(col("sstable_id"), col("key"), col("clustering"),
+          col("column_name"), col("kind"), col("timestamp_us"),
+          col("ttl_s"), col("local_deletion_time_s"), col("is_tombstone"),
+          col("is_expiring"), col("size_bytes"),
+          when(col("kind") === "CELL" && !col("is_tombstone"),
+            unhex(md5(concat_ws(":", col("key"), col("clustering"),
+              col("timestamp_us"), col("column_name"))))).as("value"))
+      cells.write.format("sstable-data")
+        .option("path", out.toString).option("compressed", "true")
+        .mode("append").save()
+      val back = DataDb.read(spark, out.toString,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      def sums(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)), count(col("value")),
+          sum(crc32(col("value"))), sum(length(col("value"))))
+        .head.toSeq
+      assert(sums(back) === sums(cells))
+      // valueless events (tombstone cells, markers) come back null
+      assert(back.where(col("is_tombstone") && col("value").isNotNull)
+        .count() === 0L)
+      // a scan that does not ask for `value` still reads everything
+      // (retention is pruning-gated)
+      assert(back.drop("value").count() ===
+        cells.count())
+    } finally {
+      Option(out.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      java.nio.file.Files.deleteIfExists(out)
+    }
+  }
+
   test("compaction roundtrip: read -> LWW merge + purge -> write -> read " +
       "equals the parquet replay of the merge (round 10)") {
     val got = graft.ops.Compaction.compactionRoundtrip(spark, Sf0001)

@@ -483,7 +483,7 @@ object Bench {
         "digest", "crc", "row_index", "real_format", "oa_", "png", "jpeg",
         "media", "multimodal", "mp4", "webm", "flac", "ogg", "h264",
         "opus", "warc", "tar_", "zip_", "point_get", "slice_read",
-        "sstable_export", "pushdown").exists(n.contains)) "codec"
+        "sstable_export", "pushdown", "passthrough").exists(n.contains)) "codec"
     else if (Seq("dedup", "dup_", "canonical", "fingerprint", "chunk")
       .exists(n.contains)) "dedup"
     else if (n.contains("sim_") || n.contains("kmeans") ||

@@ -173,6 +173,7 @@ final class SstableDataWriter(destDir: String, schema: StructType,
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
   private var currentId: String = null
+  private val seenIds = scala.collection.mutable.HashSet.empty[String]
   private val buf = new ArrayBuffer[(Long, Long, String, Boolean, Long,
     Long, Long, Boolean, Boolean, Long, Array[Byte])]()
 
@@ -202,6 +203,13 @@ final class SstableDataWriter(destDir: String, schema: StructType,
   }
 
   private def flush(): Unit = if (currentId != null && buf.nonEmpty) {
+    // the Write's required ordering makes each id ONE contiguous run; a
+    // repeat would silently overwrite the earlier sstable's files, so it
+    // is a hard error (sorted-input contract violated upstream)
+    if (!seenIds.add(currentId))
+      throw new IllegalStateException(
+        s"sstable_id '$currentId' arrived in multiple runs — " +
+          "input not sorted by sstable_id")
     CassandraDataFixture.writeSstableFromValues(tmp,
       DataDbWrite.generationOf(currentId), buf.iterator, compressed)
     buf.clear()

@@ -42,12 +42,26 @@ object Bench {
     } catch { case _: Throwable => 0.0 }
   }
 
+  /** Queries whose timed window RUNS the sstable SINK: a distributed
+    * write job whose LZ4/compression/hash tasks saturate all cores and
+    * self-induce PSI cpu stall well past the 10% neighbor-noise arm
+    * (observed 6-15% with ~zero hypervisor steal, vs the 2-3% scan-shape
+    * baseline the gate's allowance covers). Self-load is not contention,
+    * so for these only the steal arm applies — without the exemption the
+    * writer family would be falsely flagged every round (the round-10
+    * q163 false positive: 10 attempts, all "dirty" from its own md5+LZ4
+    * burst). */
+  private val sinkQueries = Set("q128_sstable_export",
+    "q162_compaction_roundtrip", "q163_value_passthrough")
+
   /** A timed window is contaminated if hypervisor steal or PSI cpu stall ate
     * a meaningful fraction of it; the stall gate only applies to windows long
     * enough for a meaningful PSI delta (a width-matched local[32] job
-    * self-induces ~2-3% stall from its own scheduler queuing). */
-  private def contended(w: (Double, Double, Double)): Boolean =
-    w._2 > 0.03 || (w._1 > 0.05 && w._3 > 0.10)
+    * self-induces ~2-3% stall from its own scheduler queuing) and not to
+    * the self-saturating sink queries above. */
+  private def contended(name: String, w: (Double, Double, Double)): Boolean =
+    w._2 > 0.03 || (!sinkQueries(name.stripPrefix("sf1_")) &&
+      w._1 > 0.05 && w._3 > 0.10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,7 +180,7 @@ object Bench {
       var n = 1
       while (n < runs) { val w = once(); if (w._1 < best._1) best = w; n += 1 }
       var extra = 0
-      while (contended(best) && extra < maxExtra) {
+      while (contended(errKey, best) && extra < maxExtra) {
         extra += 1
         val next = once()
         if (next._1 < best._1) best = next
@@ -181,12 +195,13 @@ object Bench {
     }
     // end-of-run second pass for queries whose best window stayed dirty —
     // minutes later the burst that contaminated them is usually over
-    val stillDirty = firstPass.count { case (_, _, (b, _)) => contended(b) }
+    val stillDirty =
+      firstPass.count { case (n, _, (b, _)) => contended(n, b) }
     if (stillDirty > 0)
       System.err.println(s"BENCH: re-queueing $stillDirty still-contended " +
         "queries for an end-of-run second pass")
     val results = firstPass.map { case (name, fn, (best, att)) =>
-      if (contended(best)) {
+      if (contended(name, best)) {
         val (b2, a2) = measure(name, fn, sfDir)
         name -> (if (b2._1 < best._1) b2 else best, att + a2)
       } else name -> (best, att)
@@ -335,7 +350,7 @@ object Bench {
       else attempts.mkString(""","attempts":{""", ",", "}")
     // queries whose published number is STILL from a contended window after
     // the second pass — consumers must discount these (r8 failure mode)
-    val contendedQ = results.collect { case (k, (v, _)) if contended(v) =>
+    val contendedQ = results.collect { case (k, (v, _)) if contended(k, v) =>
       "\"" + k + "\":true"
     }
     val contendedJson =

@@ -308,7 +308,7 @@ object Reports {
   def compact(spark: SparkSession, dir: String): String =
     section("STCS compaction what-if by size tier",
       graft.ops.Summary.stcsWhatIf(spark, dir)) + "\n" +
-      section(s"Executed compaction (key%${graft.ops.Compaction.OutputShards}" +
-        "-sharded real sstable outputs)",
+      section("Executed compaction (volume-adaptive key%N-sharded real " +
+        "sstable outputs)",
         graft.ops.Compaction.compactionRoundtrip(spark, dir))
 }

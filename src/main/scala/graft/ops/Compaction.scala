@@ -32,12 +32,42 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   * Scale shape: ONE shuffle on the merge key (the compaction shuffle —
   * exactly where Cassandra's k-way merge iterator sits), then the sink's
   * own clustered exchange on the output id. The output is sharded
-  * `key % OutputShards` → one real sstable per shard written in
-  * parallel — the N-way major compaction a 100 TB table needs, not a
-  * single-writer funnel. */
+  * `key % N` with N VOLUME-ADAPTIVE (round 11): one real sstable per
+  * shard written in parallel — the N-way major compaction a 100 TB table
+  * needs, not a single-writer funnel — and N itself sized by target
+  * bytes per output, the sizing every real compaction strategy does
+  * (a fixed N means one giant file at 100 TB or thousands of splinters
+  * at fixture scale). */
 object Compaction {
 
-  val OutputShards = 4
+  /** Modeled UNCOMPRESSED bytes one scan event contributes to the input
+    * volume: a fixed per-event envelope (flags, clustering, deltas,
+    * sizes — the row codec's framing) plus the cell's value length
+    * (`size_bytes`). The RELATIONAL volume model — rather than the exact
+    * on-disk `data_length` the sidecars publish — keeps the shard
+    * function replayable by the DuckDB oracle from parquet; at
+    * production scale the same function runs off the CompressionInfo.db
+    * `data_length` sum (a constant-time driver read, no extra scan) with
+    * everything downstream unchanged. */
+  val EventOverheadBytes = 32L
+
+  /** Target uncompressed bytes per output sstable. Deliberately small
+    * (1 MiB) so fixture tiers exercise MULTI-shard outputs and the
+    * count visibly scales between tiers; a real deployment would set
+    * gigabytes here (the function, not the constant, is the point). */
+  val TargetOutputBytes = 1L << 20
+
+  /** Backstop against degenerate configs, far above any real fan-out a
+    * single compaction wants. */
+  val MaxOutputShards = 4096L
+
+  /** Volume-adaptive output shard count: enough `TargetOutputBytes`-sized
+    * outputs to hold the modeled input volume. Monotone in input bytes,
+    * so the spec's two-tier assertion pins scaling, and the DuckDB
+    * oracle replays it as `CEIL(SUM(32 + size)/target)`. */
+  def outputShards(inputModelBytes: Long): Long =
+    math.min(MaxOutputShards, math.max(1L,
+      (inputModelBytes + TargetOutputBytes - 1) / TargetOutputBytes))
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -45,8 +75,8 @@ object Compaction {
   private val ChkMod = 1000003L
 
   /** Compact the real-format compressed set of `dir` into
-    * [[OutputShards]] real sstables under a session-memoized temp dir;
-    * returns the output directory. */
+    * [[outputShards]]-many real sstables under a session-memoized temp
+    * dir; returns the output directory. */
   def ensureCompacted(spark: SparkSession, dir: String,
       gcBeforeS: Long = Fixtures.GcBeforeS): String = {
     val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$gcBeforeS"
@@ -63,6 +93,13 @@ object Compaction {
         .withColumn("sstable_id", concat(lit("sst-"),
           (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
             .cast("long") - 1L).cast("string")))
+      // size the output fan-out by the input's modeled uncompressed
+      // volume BEFORE the merge plans (the pruned single-column pass a
+      // real deployment replaces with the sidecar data_length sum)
+      val inputBytes = ev
+        .agg(sum(lit(EventOverheadBytes) + col("size_bytes")))
+        .head.getLong(0)
+      val shards = outputShards(inputBytes)
       val w = Window.partitionBy("key", "clustering", "column_name")
         .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
           col("size_bytes").desc, col("is_tombstone").desc,
@@ -72,7 +109,7 @@ object Compaction {
         .where(col("rn") === 1 &&
           !(col("is_tombstone") && col("local_deletion_time_s") < gcBeforeS))
         .select(
-          concat(lit("sst-"), pmod(col("key"), lit(OutputShards.toLong)))
+          concat(lit("sst-"), pmod(col("key"), lit(shards)))
             .as("sstable_id"),
           col("key"), col("clustering"), col("column_name"), col("kind"),
           col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),

@@ -997,8 +997,11 @@ GROUP BY 1 ORDER BY 1""",
     // mapping (deleted cells read back NO_TTL/-1 and value length 0; live
     // value length = size_bytes % 61), then the same total order per
     // (key, clustering, column_name), keeps rank-1 winners that are not
-    // droppable tombstones, shards by key % 4, and rolls up the same
-    // checksums the read-back of the written sstables produces.
+    // droppable tombstones, shards by key % N with N the VOLUME-ADAPTIVE
+    // output count (round 11: ceil of the modeled input bytes —
+    // 32 + value length per event — over the 1 MiB fixture-scale target,
+    // Compaction.outputShards), and rolls up the same checksums the
+    // read-back of the written sstables produces.
     "q162_compaction_roundtrip" -> s"""WITH $fixtures,
 mapped AS (
   SELECT sstable_id, key, clustering, column_name, kind,
@@ -1007,6 +1010,11 @@ mapped AS (
     local_deletion_time_s, is_tombstone, is_expiring, is_live,
     CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
   FROM licells
+),
+vol AS (
+  SELECT GREATEST(1, CAST(CEIL(SUM(32 + size_bytes) / 1048576.0) AS BIGINT))
+    AS n
+  FROM mapped
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
@@ -1019,7 +1027,7 @@ winners AS (
   SELECT * FROM ranked
   WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
 )
-SELECT 'sst-' || CAST(key % 4 AS VARCHAR) AS sstable_id,
+SELECT 'sst-' || CAST(key % (SELECT n FROM vol) AS VARCHAR) AS sstable_id,
   CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
   CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
@@ -4068,7 +4076,8 @@ ORDER BY 1"""
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
       ("q129_static_complex_roundtrip" -> q129Sql) +
-      ("q121_shadowed_purge" -> q121Sql)
+      ("q121_shadowed_purge" -> q121Sql) +
+      ("q164_feature_compaction" -> q164Sql)
 
   /** q129: the static-complex variant's deterministic model
     * (CassandraDataFixture.writeStaticComplexAll) replayed from parquet:
@@ -4098,6 +4107,149 @@ SELECT sstable_id,
   CAST(SUM((1000000000000 + k * 2) % 1000003) AS BIGINT) AS reg_ts_sum,
   CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum
 FROM base GROUP BY 1 ORDER BY 1"""
+
+  /** q164: the EXECUTED deletion-shadowing compaction (round 11)
+    * replayed from the feature model (CassandraDataFixture
+    * .writeFeatureAll) at both gc cutoffs. Survival rules, mirroring
+    * FeatureCompaction.ensureCompacted exactly:
+    *  - cells/statics survive iff newer than every covering deletion
+    *    (partition mfda; row deletion of their clustering — the static
+    *    row's own for statics; plus the complex deletion for tags);
+    *  - pk liveness survives iff newer than max(partition, row deletion);
+    *  - deletions survive iff not superseded by a higher level AND
+    *    local_deletion_time >= gcBefore (shadowed data is removed
+    *    unconditionally — major-compaction semantics).
+    * Output shards replay the volume-adaptive ceil(sum(32+size)/1MiB)
+    * function over the model's full input event inventory; the rollup is
+    * the per-(gc, shard, key) → per-(gc, shard) two-level aggregate the
+    * Spark read-back computes. gc A (D1+50) bisects row/static-row
+    * deletion retention; gc B (D2+20) bisects partition/complex deletion
+    * retention. */
+  private lazy val q164Sql: String = """WITH
+ks AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+base AS (SELECT k, k % 3 AS maxc,
+  CASE WHEN k % 19 = 0 THEN 1000000000000 + k*10 + 2 END AS pd_ts,
+  CASE WHEN k % 3 = 0 AND k % 17 = 0 THEN 2000000000000 + k + 5 END AS srd_ts
+  FROM ks),
+rows_ AS (SELECT k, pd_ts,
+  CASE WHEN k % 13 = 0 THEN 3000000000000 + k END AS cd_ts,
+  unnest(generate_series(0, maxc)) AS c FROM base),
+rowx AS (SELECT k, c, pd_ts, cd_ts,
+  CASE WHEN k % 11 = 0 AND c = 0 THEN 2000000000000 + k END AS rd_ts
+  FROM rows_),
+vol AS (
+  SELECT GREATEST(1, CAST(CEIL((
+    (SELECT SUM(CASE WHEN k % 19 = 0 THEN 32 ELSE 0 END
+       + CASE WHEN k % 3 = 0 THEN 32 + k % 23 ELSE 0 END
+       + CASE WHEN k % 9 = 0 THEN 32 ELSE 0 END
+       + CASE WHEN k % 3 = 0 AND k % 17 = 0 THEN 32 ELSE 0 END) FROM ks)
+    + (SELECT SUM(CASE WHEN k % 2 = 0 THEN 32 ELSE 0 END
+       + CASE WHEN k % 11 = 0 AND c = 0 THEN 32 ELSE 0 END
+       + CASE WHEN k % 13 = 0 THEN 32 ELSE 0 END
+       + 32 + (k + c) % 31 + 64 + (k + c) % 7 + (k + c + 1) % 7)
+       FROM rowx)
+    ) / 1048576.0) AS BIGINT)) AS n),
+gcs AS (SELECT UNNEST([600000050, 700000020]) AS gc),
+ev AS (
+  SELECT g.gc, b.k, 'PD' AS kind, b.pd_ts AS ts,
+    CAST(NULL AS BIGINT) AS ttl, 700000000 + b.k % 40 AS ldt,
+    CAST(NULL AS BIGINT) AS sz
+  FROM base b, gcs g
+  WHERE b.pd_ts IS NOT NULL AND 700000000 + b.k % 40 >= g.gc
+  UNION ALL
+  SELECT g.gc, b.k, 'SC', 1000000000000 + b.k, NULL, NULL, b.k % 23
+  FROM base b, gcs g
+  WHERE b.k % 3 = 0 AND 1000000000000 + b.k >
+    GREATEST(COALESCE(b.pd_ts, -1), COALESCE(b.srd_ts, -1))
+  UNION ALL
+  SELECT g.gc, b.k, 'LV', 1000000000000 + b.k + 5, -1, 2147483647, NULL
+  FROM base b, gcs g
+  WHERE b.k % 9 = 0 AND 1000000000000 + b.k + 5 >
+    GREATEST(COALESCE(b.pd_ts, -1), COALESCE(b.srd_ts, -1))
+  UNION ALL
+  SELECT g.gc, b.k, 'RD', b.srd_ts, NULL, 600000000 + b.k % 70, NULL
+  FROM base b, gcs g
+  WHERE b.srd_ts IS NOT NULL AND b.srd_ts > COALESCE(b.pd_ts, -1)
+    AND 600000000 + b.k % 70 >= g.gc
+  UNION ALL
+  SELECT g.gc, r.k, 'LV', 1000000000000 + r.k*10 + r.c,
+    CASE WHEN r.k % 10 = 0 THEN 3600 ELSE -1 END,
+    CASE WHEN r.k % 10 = 0 THEN 500000000 + r.k % 1000 ELSE 2147483647 END,
+    NULL
+  FROM rowx r, gcs g
+  WHERE r.k % 2 = 0 AND 1000000000000 + r.k*10 + r.c >
+    GREATEST(COALESCE(r.pd_ts, -1), COALESCE(r.rd_ts, -1))
+  UNION ALL
+  SELECT g.gc, r.k, 'RD', r.rd_ts, NULL, 600000000 + r.k % 100, NULL
+  FROM rowx r, gcs g
+  WHERE r.rd_ts IS NOT NULL AND r.rd_ts > COALESCE(r.pd_ts, -1)
+    AND 600000000 + r.k % 100 >= g.gc
+  UNION ALL
+  SELECT g.gc, r.k, 'CD', r.cd_ts, NULL, 700000000 + r.k % 50, NULL
+  FROM rowx r, gcs g
+  WHERE r.cd_ts IS NOT NULL AND r.cd_ts >
+    GREATEST(COALESCE(r.pd_ts, -1), COALESCE(r.rd_ts, -1))
+    AND 700000000 + r.k % 50 >= g.gc
+  UNION ALL
+  SELECT g.gc, r.k, 'CE', 1000000000000 + r.k*10 + r.c + 1, NULL, NULL,
+    (r.k + r.c) % 31
+  FROM rowx r, gcs g
+  WHERE 1000000000000 + r.k*10 + r.c + 1 >
+    GREATEST(COALESCE(r.pd_ts, -1), COALESCE(r.rd_ts, -1))
+  UNION ALL
+  SELECT g.gc, r.k, 'CE', 1000000000000 + r.k*10 + r.c + 2 + t.i,
+    NULL, NULL, (r.k + r.c + t.i) % 7
+  FROM rowx r, gcs g, UNNEST([0, 1]) AS t(i)
+  WHERE 1000000000000 + r.k*10 + r.c + 2 + t.i >
+    GREATEST(COALESCE(r.pd_ts, -1), COALESCE(r.rd_ts, -1),
+      COALESCE(r.cd_ts, -1))
+),
+perkey AS (
+  SELECT gc, k % (SELECT n FROM vol) AS shard, k,
+    SUM(CASE WHEN kind = 'SC' THEN 1 ELSE 0 END) AS statics,
+    SUM(CASE WHEN kind = 'SC' THEN ts % 1000003 ELSE 0 END) AS static_ts_sum,
+    SUM(CASE WHEN kind = 'SC' THEN sz ELSE 0 END) AS static_size_sum,
+    SUM(CASE WHEN kind = 'LV' THEN 1 ELSE 0 END) AS liveness,
+    SUM(CASE WHEN kind = 'LV' THEN ts % 1000003 ELSE 0 END) AS live_ts_sum,
+    SUM(CASE WHEN kind = 'LV' THEN ttl ELSE 0 END) AS live_ttl_sum,
+    SUM(CASE WHEN kind = 'LV' THEN ldt % 1000003 ELSE 0 END) AS live_ldt_sum,
+    SUM(CASE WHEN kind = 'RD' THEN 1 ELSE 0 END) AS row_dels,
+    SUM(CASE WHEN kind = 'RD' THEN ts % 1000003 ELSE 0 END) AS rdel_ts_sum,
+    SUM(CASE WHEN kind = 'RD' THEN ldt % 1000003 ELSE 0 END) AS rdel_ldt_sum,
+    SUM(CASE WHEN kind = 'CD' THEN 1 ELSE 0 END) AS complex_dels,
+    SUM(CASE WHEN kind = 'CD' THEN ts % 1000003 ELSE 0 END) AS cdel_ts_sum,
+    SUM(CASE WHEN kind = 'CD' THEN ldt % 1000003 ELSE 0 END) AS cdel_ldt_sum,
+    SUM(CASE WHEN kind = 'CE' THEN 1 ELSE 0 END) AS cells,
+    SUM(CASE WHEN kind = 'CE' THEN ts % 1000003 ELSE 0 END) AS cell_ts_sum,
+    SUM(CASE WHEN kind = 'CE' THEN sz ELSE 0 END) AS cell_size_sum,
+    SUM(CASE WHEN kind = 'PD' THEN 1 ELSE 0 END) AS part_dels,
+    SUM(CASE WHEN kind = 'PD' THEN ts % 1000003 ELSE 0 END) AS pdel_ts_sum,
+    SUM(CASE WHEN kind = 'PD' THEN ldt % 1000003 ELSE 0 END) AS pdel_ldt_sum
+  FROM ev GROUP BY 1, 2, 3)
+SELECT CAST(gc AS BIGINT) AS gc_before_s,
+  'fb-' || CAST(shard AS VARCHAR) AS sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS partitions,
+  CAST(SUM(k % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(statics) AS BIGINT) AS statics,
+  CAST(SUM(static_ts_sum) AS BIGINT) AS static_ts_sum,
+  CAST(SUM(static_size_sum) AS BIGINT) AS static_size_sum,
+  CAST(SUM(liveness) AS BIGINT) AS liveness,
+  CAST(SUM(live_ts_sum) AS BIGINT) AS live_ts_sum,
+  CAST(SUM(live_ttl_sum) AS BIGINT) AS live_ttl_sum,
+  CAST(SUM(live_ldt_sum) AS BIGINT) AS live_ldt_sum,
+  CAST(SUM(row_dels) AS BIGINT) AS row_dels,
+  CAST(SUM(rdel_ts_sum) AS BIGINT) AS rdel_ts_sum,
+  CAST(SUM(rdel_ldt_sum) AS BIGINT) AS rdel_ldt_sum,
+  CAST(SUM(complex_dels) AS BIGINT) AS complex_dels,
+  CAST(SUM(cdel_ts_sum) AS BIGINT) AS cdel_ts_sum,
+  CAST(SUM(cdel_ldt_sum) AS BIGINT) AS cdel_ldt_sum,
+  CAST(SUM(cells) AS BIGINT) AS cells,
+  CAST(SUM(cell_ts_sum) AS BIGINT) AS cell_ts_sum,
+  CAST(SUM(cell_size_sum) AS BIGINT) AS cell_size_sum,
+  CAST(SUM(part_dels) AS BIGINT) AS part_dels,
+  CAST(SUM(pdel_ts_sum) AS BIGINT) AS pdel_ts_sum,
+  CAST(SUM(pdel_ldt_sum) AS BIGINT) AS pdel_ldt_sum
+FROM perkey GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** q121: the shadowing rule replayed from the feature model — the
     * deleted partitions are k%19==0 with markedForDeleteAt = T0+k*10+2,

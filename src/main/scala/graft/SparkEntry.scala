@@ -802,6 +802,14 @@ object SparkEntry {
     // parquet under the scan's representation mapping.
     "q162_compaction_roundtrip" -> ((s, d) =>
       Compaction.compactionRoundtrip(s, d)),
+    // DELETION-SHADOWING compaction executed end to end (round 11): the
+    // feature set's partition/row/complex deletions consumed as
+    // semantics — shadowed data removed, superseded/gc-expired
+    // tombstones purged, survivors WRITTEN back as real feature-schema
+    // sstables and re-read through the production scan, at two gc
+    // cutoffs that bisect every deletion type's retention branch
+    "q164_feature_compaction" -> ((s, d) =>
+      FeatureCompaction.roundtrip(s, d)),
     // caller-supplied value BYTES through the sink and back: write cells
     // whose values are oracle-recomputable payload strings, read them
     // back through the scan's `value` column, checksum the CONTENT

@@ -3,6 +3,8 @@ package graft.sources.datadb
 import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.file.{Files, Path}
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -145,7 +147,8 @@ object CassandraDataFixture {
     b
   }
 
-  private final case class Ev(key: Long, clustering: Long, column: String,
+  private[datadb] final case class Ev(key: Long, clustering: Long,
+      column: String,
       isMarker: Boolean, tsUs: Long, ttlS: Long, ldtS: Long,
       isTomb: Boolean, isExp: Boolean, sizeBytes: Long,
       // caller-supplied value bytes (round 10 passthrough); null falls
@@ -223,6 +226,38 @@ object CassandraDataFixture {
       if (compressed) Some(Compressors.Lz4) else None)
   }
 
+  /** [[StreamOrdering]] on the sink's value tuples `(key, clustering,
+    * column, isMarker, ts, ttl, ldt, isTomb, isExp, size, value)`. */
+  val ValueTupleOrdering: Ordering[(Long, Long, String, Boolean, Long,
+      Long, Long, Boolean, Boolean, Long, Array[Byte])] =
+    Ordering.by(t => (t._1, t._2, !t._4, t._3, t._5))
+
+  /** [[writeSstableFromValues]] for a stream ALREADY in
+    * [[ValueTupleOrdering]] with caller-supplied running header minima
+    * (round 11: the spill-bounded sink path) — events stream through the
+    * one-pass kernel, so task heap is O(spill buffer + partitions), not
+    * O(sstable). Minima semantics match the array path exactly: `minTs`
+    * over all events, `minLdt` over deleted/expiring ones
+    * (NoDeletionTimeS when none), `minTtl` over expiring ones (0 when
+    * none). */
+  def writeSstableFromSortedValues(out: Path, gen: Long,
+      sorted: Iterator[(Long, Long, String, Boolean, Long, Long, Long,
+        Boolean, Boolean, Long, Array[Byte])],
+      minTs: Long, minLdt: Long, minTtl: Long, compressed: Boolean): Unit =
+    writeSstableSorted(out, gen,
+      sorted.map(t => Ev(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
+        t._9, t._10, t._11)),
+      minTs, minLdt, minTtl,
+      if (compressed) Some(Compressors.Lz4) else None)
+
+  /** Total stream order of the write kernel: partitions by key,
+    * clusterings ascending, markers (bounds) before the row of the same
+    * clustering, cells in (column, timestamp) order — exactly the order
+    * the encoding emits, so a SORTED event stream writes in one pass. */
+  private[datadb] val StreamOrdering: Ordering[Ev] =
+    Ordering.by((e: Ev) => (e.key, e.clustering, !e.isMarker, e.column,
+      e.tsUs))
+
   private def writeSstable(out: Path, gen: Long, evs: Array[Ev],
       codec: Option[Compressors.ChunkCompressor]): Unit = {
     // EncodingStats minima over exactly the values the encoding writes:
@@ -233,11 +268,34 @@ object CassandraDataFixture {
     val minLdt = if (written.isEmpty) NoDeletionTimeS else written.map(_.ldtS).min
     val expiring = evs.filter(_.isExp)
     val minTtl = if (expiring.isEmpty) 0L else expiring.map(_.ttlS).min
+    // ONE in-place sort and a single streaming pass: the array form is
+    // the fixture path; the spill-bounded sink path feeds the same
+    // kernel from a k-way run merge (round 11)
+    java.util.Arrays.sort(evs, StreamOrdering)
+    writeSstableSorted(out, gen, evs.iterator, minTs, minLdt, minTtl, codec)
+  }
+
+  /** STREAMING write kernel (round 11): writes one complete real sstable
+    * — Data.db and every sidecar — from an event iterator ALREADY in
+    * [[StreamOrdering]], in ONE pass. Live task memory is
+    * O(current clustering group) for row assembly + O(one partition's
+    * unfiltered offsets) for the promoted index + O(partitions) for the
+    * bloom/summary key residents — never O(sstable cells). That is the
+    * same residency profile Cassandra's own writer has (its bloom filter
+    * and index summary are per-partition structures built alongside the
+    * data stream); the cells themselves, the dominant term, stream
+    * through. Header minima must be supplied (they gate the delta
+    * encoding and are running-computable by any caller). */
+  private[datadb] def writeSstableSorted(out: Path, gen: Long,
+      sorted: Iterator[Ev], minTs: Long, minLdt: Long, minTtl: Long,
+      codec: Option[Compressors.ChunkCompressor]): Unit = {
     val header = SerializationHeaderInfo(minTs, minLdt, minTtl,
       keyType = Marshal.Prefix + "LongType",
       clusteringTypes = Seq(Marshal.Prefix + "LongType"),
       staticColumns = Nil,
       regularColumns = ColumnSpecs)
+    val it = sorted.buffered
+    require(it.hasNext, s"writeSstableSorted: no events for generation $gen")
 
     val base = s"nb-$gen-big"
     val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
@@ -257,22 +315,21 @@ object CassandraDataFixture {
     var firstKey: Array[Byte] = null
     var lastKey: Array[Byte] = null
     var partitionsWritten = 0L
-    // ONE stable in-place sort by (key, clustering) and contiguous run
-    // iteration, instead of nested groupBy maps: the old shape held evs
-    // PLUS a per-key map PLUS per-clustering maps live at once (~3x a
-    // generation's events — the term that bounds task memory now that
-    // generations are written distributedly and the 10x probe tier makes
-    // each one ~1M events). Run order is identical to the old
-    // groupBy/sortBy (keys ascending, clusterings ascending, stable
-    // within), so emitted files are unchanged.
-    java.util.Arrays.sort(evs,
-      Ordering.by((e: Ev) => (e.key, e.clustering)))
+    // distinct partition keys for Filter.db (inherently O(partitions):
+    // the bloom itself is a per-key structure)
+    val bloomKeys = Vector.newBuilder[Long]
+    // stats accumulators — the streaming forms of the old whole-array
+    // folds, value-identical
+    var rowsN = 0L; var nonMarkers = 0L
+    var minClv = Long.MaxValue; var maxClv = Long.MinValue
+    var sMinTs = Long.MaxValue; var sMaxTs = Long.MinValue
+    var sMinLdt = Long.MaxValue; var sMaxLdt = Long.MinValue
+    var sMaxTtl = 0L
+    val grp = new ArrayBuffer[Ev]()
     try {
-      var ki = 0
-      while (ki < evs.length) {
-        val key = evs(ki).key
-        var kj = ki
-        while (kj < evs.length && evs(kj).key == key) kj += 1
+      while (it.hasNext) {
+        val key = it.head.key
+        bloomKeys += key
         val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
         if (partitionsWritten % MinIndexInterval == 0)
           summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
@@ -286,22 +343,37 @@ object CassandraDataFixture {
         // (position before, kind, clustering) per unfiltered — the inputs
         // of the promoted (row) index
         val unfiltereds = Vector.newBuilder[(Long, Int, Long)]
-        var ci = ki
-        while (ci < kj) {
-          val clustering = evs(ci).clustering
-          var cj = ci
-          while (cj < kj && evs(cj).clustering == clustering) cj += 1
-          val cevs = java.util.Arrays.copyOfRange(evs, ci, cj)
-          // bounds sort before the row of the same clustering
-          cevs.filter(_.isMarker).foreach { m =>
-            unfiltereds += ((w.position, KindInclStartBound, clustering))
-            w.write(WriteMarker(clustering, KindInclStartBound, m.tsUs,
-              m.ldtS))
+        while (it.hasNext && it.head.key == key) {
+          val clustering = it.head.clustering
+          grp.clear()
+          while (it.hasNext && it.head.key == key &&
+              it.head.clustering == clustering) {
+            val e = it.next()
+            grp += e
+            if (e.clustering < minClv) minClv = e.clustering
+            if (e.clustering > maxClv) maxClv = e.clustering
+            if (e.tsUs < sMinTs) sMinTs = e.tsUs
+            if (e.tsUs > sMaxTs) sMaxTs = e.tsUs
+            if (e.ldtS < sMinLdt) sMinLdt = e.ldtS
+            if (e.ldtS > sMaxLdt) sMaxLdt = e.ldtS
+            if (e.isExp && e.ttlS > sMaxTtl) sMaxTtl = e.ttlS
+            if (!e.isMarker) nonMarkers += 1
           }
-          val cells = cevs.filter(!_.isMarker)
+          // bounds sort before the row of the same clustering (the stream
+          // order already places them first)
+          grp.foreach { m =>
+            if (m.isMarker) {
+              unfiltereds += ((w.position, KindInclStartBound, clustering))
+              w.write(WriteMarker(clustering, KindInclStartBound, m.tsUs,
+                m.ldtS))
+            }
+          }
+          val cells = grp.filter(!_.isMarker)
           if (cells.nonEmpty) {
+            rowsN += 1
             var pathSeq = 0L
-            val wcells = cells.sortBy(e => (e.column, e.tsUs)).map { e =>
+            // the stream order already has cells in (column, ts) order
+            val wcells = cells.map { e =>
               val colIdx = if (e.column == "c0") 0 else 1
               pathSeq += 1
               WriteCell(colIdx,
@@ -317,9 +389,8 @@ object CassandraDataFixture {
                   else valueOf(e.sizeBytes, clustering))
             }
             unfiltereds += ((w.position, KindClustering, clustering))
-            w.write(WriteRow(clustering, wcells))
+            w.write(WriteRow(clustering, wcells.toIndexedSeq))
           }
-          ci = cj
         }
         val bodyEnd = w.position // last unfiltered's end (pre end marker)
         w.writePartitionEnd()
@@ -333,15 +404,15 @@ object CassandraDataFixture {
           if (us.length <= RowsPerBlock) Array.emptyByteArray
           else {
             val blocks = us.grouped(RowsPerBlock).toVector.zipWithIndex
-              .map { case (grp, gi) =>
-                val lastIdx = gi * RowsPerBlock + grp.length - 1
+              .map { case (blk, gi) =>
+                val lastIdx = gi * RowsPerBlock + blk.length - 1
                 val end =
                   if (lastIdx == us.length - 1) bodyEnd
                   else us(lastIdx + 1)._1
                 CassandraDataFormat.IndexInfo(
-                  grp.head._2, grp.head._3, grp.last._2, grp.last._3,
-                  offset = grp.head._1 - partitionStart,
-                  width = end - grp.head._1,
+                  blk.head._2, blk.head._3, blk.last._2, blk.last._3,
+                  offset = blk.head._1 - partitionStart,
+                  width = end - blk.head._1,
                   endOpenMarker = None)
               }
             CassandraDataFormat.serializePromotedIndex(
@@ -351,7 +422,6 @@ object CassandraDataFixture {
           }
         graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
           partitionStart, promoted)
-        ki = kj
       }
       // success path: flush chunk tail, then the sidecar components
       val infoOpt = chunking.map { c =>
@@ -370,8 +440,9 @@ object CassandraDataFixture {
             base + CompressionInfoFormat.Suffix).toFile)))
         try CompressionInfoFormat.write(ci, info) finally ci.close()
       }
-      writeStats(out, base, evs, header)
-      writeFilter(out, base, evs)
+      writeStats(out, base, header, partitionsWritten, rowsN, minClv,
+        maxClv, sMinTs, sMaxTs, sMinLdt, sMaxLdt, sMaxTtl, nonMarkers)
+      writeFilter(out, base, bloomKeys.result())
       writeSummary(out, base, summaryEntries.result(), firstKey, lastKey)
       // close before digesting: Digest.crc32 covers the AS-STORED bytes
       // (compressed form for a compressed table), like Cassandra's
@@ -399,10 +470,11 @@ object CassandraDataFixture {
   }
 
   /** Real Filter.db: every partition key inserted into a p≈0.01-sized
-    * bloom filter (FilterDbFormat). */
-  private def writeFilter(out: Path, base: String, evs: Array[Ev]): Unit = {
+    * bloom filter (FilterDbFormat). `keys` are the DISTINCT partition
+    * keys in stream order (the kernel records one per key group). */
+  private def writeFilter(out: Path, base: String,
+      keys: Vector[Long]): Unit = {
     import graft.sources.filterdb.FilterDbFormat
-    val keys = evs.map(_.key).distinct
     val f = FilterDbFormat.create(keys.length.toLong)
     keys.foreach { k =>
       f.add(java.nio.ByteBuffer.allocate(8).putLong(k).array())
@@ -447,14 +519,14 @@ object CassandraDataFixture {
 
   /** A real-envelope Statistics.db whose HEADER is the real
     * SerializationHeader; the STATS component carries the per-sstable
-    * aggregates the encoding itself implies. */
-  private def writeStats(out: Path, base: String, evs: Array[Ev],
-      header: SerializationHeaderInfo): Unit = {
-    val partitions = evs.map(_.key).distinct.length.toLong
-    val rowsN = evs.filter(!_.isMarker).map(e => (e.key, e.clustering))
-      .distinct.length.toLong
-    val minCl = evs.map(_.clustering).min
-    val maxCl = evs.map(_.clustering).max
+    * aggregates the encoding itself implies — all supplied as the
+    * streaming kernel's running accumulators (value-identical to the old
+    * whole-array folds). */
+  private def writeStats(out: Path, base: String,
+      header: SerializationHeaderInfo, partitions: Long, rowsN: Long,
+      minCl: Long, maxCl: Long, minTsUs: Long, maxTsUs: Long,
+      minLdtS: Long, maxLdtS: Long, maxTtlExpS: Long,
+      nonMarkers: Long): Unit = {
     def clBlob(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(8).putLong(v).array()
     val stats = CassandraStatsFormat.Stats(
@@ -463,13 +535,12 @@ object CassandraDataFixture {
       columnCount = CassandraStatsFormat.EstimatedHistogram(
         Array(1L), Array(rowsN, 0L)),
       commitLogUpper = CassandraStatsFormat.CommitLogPosition(0L, 0),
-      minTimestampUs = evs.map(_.tsUs).min,
-      maxTimestampUs = evs.map(_.tsUs).max,
-      minLocalDeletionTimeS = evs.map(_.ldtS).min.toInt,
-      maxLocalDeletionTimeS = evs.map(_.ldtS).max.toInt,
+      minTimestampUs = minTsUs,
+      maxTimestampUs = maxTsUs,
+      minLocalDeletionTimeS = minLdtS.toInt,
+      maxLocalDeletionTimeS = maxLdtS.toInt,
       minTtlS = header.minTtlS.toInt,
-      maxTtlS = evs.collect { case e if e.isExp => e.ttlS }
-        .foldLeft(0L)(math.max).toInt,
+      maxTtlS = maxTtlExpS.toInt,
       compressionRatio = -1.0,
       tombstones = CassandraStatsFormat.TombstoneHistogram(
         Array.emptyDoubleArray, Array.emptyLongArray),
@@ -478,7 +549,7 @@ object CassandraDataFixture {
       minClustering = Seq(clBlob(minCl)),
       maxClustering = Seq(clBlob(maxCl)),
       hasLegacyCounterShards = false,
-      totalColumnsSet = evs.count(!_.isMarker).toLong,
+      totalColumnsSet = nonMarkers,
       totalRows = rowsN,
       commitLogLower = CassandraStatsFormat.CommitLogPosition(0L, 0),
       commitLogIntervals = Nil,
@@ -644,6 +715,120 @@ object CassandraDataFixture {
       } finally data.close()
       writeFeatureStats(out, base)
     }
+  }
+
+  /** Round 11 (executed feature compaction): write ONE COMPACTED
+    * feature-schema sstable ("fb-<shard>-big" + its Statistics.db with the
+    * real FeatureHeader) from an iterator of SURVIVING typed events —
+    * `(key, clustering, column_name, kind, timestamp_us, ttl_s,
+    * local_deletion_time_s, value)` in the scan's own event vocabulary.
+    * The kernel reassembles rows from events: partition deletions become
+    * the partition header's DeletionTime, static-clustering events a
+    * static row, and each regular clustering a row carrying its surviving
+    * pk liveness / row deletion / complex deletion / cells (tags cells
+    * re-pathed 1..n in timestamp order — paths are not scan-visible and
+    * the model's path order IS its timestamp order). A complex deletion
+    * whose cells were all shadowed keeps its column slot via
+    * [[CassandraDataFormat.WriteRow.emptyComplexColumns]]. One task per
+    * output shard calls this — the same per-sstable write grain as
+    * [[writeSstableFrom]]. */
+  def writeFeatureCompacted(out: Path, shard: Long,
+      events: Iterator[(Long, Long, String, String, Long, Long, Long,
+        Array[Byte])]): Unit = {
+    type E = (Long, Long, String, String, Long, Long, Long, Array[Byte])
+    val evs = events.toArray
+    java.util.Arrays.sort(evs,
+      Ordering.by((t: E) => (t._1, t._2, t._4, t._3, t._5)))
+    def bytesOf(v: Array[Byte]): Array[Byte] =
+      if (v == null) Array.emptyByteArray else v
+    val base = s"fb-$shard-big"
+    val data = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(
+        out.resolve(base + DataDbFormat.Suffix).toFile), 1 << 16))
+    try {
+      val w = new Writer(data, FeatureHeader)
+      var i = 0
+      while (i < evs.length) {
+        val k = evs(i)._1
+        var j = i
+        while (j < evs.length && evs(j)._1 == k) j += 1
+        val part: Array[E] = java.util.Arrays.copyOfRange(evs, i, j)
+        val pd = part.filter(_._4 == DataDbFormat.KindPartitionDeletion)
+        require(pd.forall(_._2 == DataDbFormat.PartitionClustering),
+          s"partition deletion at a non-partition clustering for key $k")
+        w.writePartitionStart(
+          java.nio.ByteBuffer.allocate(8).putLong(k).array(),
+          deletion = pd.sortBy(_._5).lastOption.map(e => (e._5, e._7)))
+        val rows = part.filter(_._4 != DataDbFormat.KindPartitionDeletion)
+        var ri = 0
+        while (ri < rows.length) {
+          val cl = rows(ri)._2
+          var rj = ri
+          while (rj < rows.length && rows(rj)._2 == cl) rj += 1
+          val rev: Array[E] = java.util.Arrays.copyOfRange(rows, ri, rj)
+          val liveness = rev.filter(_._4 == DataDbFormat.KindRowLiveness)
+            .sortBy(_._5).lastOption.map(e => (e._5, e._6, e._7))
+          val rowDel = rev.filter(_._4 == DataDbFormat.KindRowDeletion)
+            .sortBy(_._5).lastOption.map(e => (e._5, e._7))
+          if (cl == DataDbFormat.StaticClustering) {
+            val cells = rev
+              .filter(_._4 == DataDbFormat.KindStaticCell).map { e =>
+                require(e._3 == "s0",
+                  s"unexpected static column ${e._3} in feature set")
+                WriteCell(0, path = null, isDeleted = false,
+                  isExpiring = false, timestampUs = e._5, ttlS = NoTtlS,
+                  localDeletionTimeS = NoDeletionTimeS,
+                  value = bytesOf(e._8))
+              }
+            require(rev.forall(e =>
+              e._4 == DataDbFormat.KindStaticCell ||
+                e._4 == DataDbFormat.KindRowLiveness ||
+                e._4 == DataDbFormat.KindRowDeletion),
+              s"unexpected static-row event kind for key $k")
+            w.write(WriteStaticRow(cells.toIndexedSeq,
+              pkLiveness = liveness, rowDeletion = rowDel))
+          } else {
+            val cdel = rev.filter(_._4 == DataDbFormat.KindComplexDeletion)
+              .sortBy(_._5).lastOption
+            cdel.foreach(e => require(e._3 == "tags",
+              s"unexpected complex-deletion column ${e._3}"))
+            val c0 = rev
+              .filter(e => e._4 == DataDbFormat.KindCell && e._3 == "c0")
+              .map(e => WriteCell(0, path = null, isDeleted = false,
+                isExpiring = false, timestampUs = e._5, ttlS = NoTtlS,
+                localDeletionTimeS = NoDeletionTimeS,
+                value = bytesOf(e._8)))
+            val tags = rev
+              .filter(e => e._4 == DataDbFormat.KindCell && e._3 == "tags")
+              .sortBy(_._5).zipWithIndex
+              .map { case (e, idx) =>
+                WriteCell(1,
+                  path = java.nio.ByteBuffer.allocate(8)
+                    .putLong(idx + 1L).array(),
+                  isDeleted = false, isExpiring = false,
+                  timestampUs = e._5, ttlS = NoTtlS,
+                  localDeletionTimeS = NoDeletionTimeS,
+                  value = bytesOf(e._8))
+              }
+            require(rev.forall(e =>
+              e._4 == DataDbFormat.KindCell ||
+                e._4 == DataDbFormat.KindRowLiveness ||
+                e._4 == DataDbFormat.KindRowDeletion ||
+                e._4 == DataDbFormat.KindComplexDeletion),
+              s"unexpected row event kind for key $k")
+            w.write(WriteRow(cl, (c0 ++ tags).toIndexedSeq,
+              pkLiveness = liveness, rowDeletion = rowDel,
+              complexDeletion = cdel.map(e => (e._5, e._7)),
+              emptyComplexColumns =
+                if (cdel.nonEmpty && tags.isEmpty) Seq(1) else Nil))
+          }
+          ri = rj
+        }
+        w.writePartitionEnd()
+        i = j
+      }
+    } finally data.close()
+    writeFeatureStats(out, base)
   }
 
   /** Minimal valid Statistics.db for the feature set: the VALIDATION /

@@ -277,11 +277,18 @@ object CassandraDataFormat {
     * localDeletionTimeS) row deletion; `complexDeletion` = (timestampUs,
     * localDeletionTimeS) applied to EVERY present complex column (the
     * HAS_COMPLEX_DELETION row flag is all-or-nothing per this writer's
-    * model; Cassandra's per-column LIVE sentinel is not modeled). */
+    * model; Cassandra's per-column LIVE sentinel is not modeled).
+    *
+    * `emptyComplexColumns` (round 11): complex columns to include in the
+    * row's column subset with ZERO cells — the shape a compacted row
+    * takes when a complex deletion survives but every cell it shadowed
+    * is gone (the deletion still needs its column slot: Cassandra stores
+    * complex deletions per present complex column). */
   final case class WriteRow(clustering: Long, cells: Seq[WriteCell],
       pkLiveness: Option[(Long, Long, Long)] = None,
       rowDeletion: Option[(Long, Long)] = None,
-      complexDeletion: Option[(Long, Long)] = None)
+      complexDeletion: Option[(Long, Long)] = None,
+      emptyComplexColumns: Seq[Int] = Nil)
       extends WriteUnfiltered
   /** A static row: cells' `columnIdx` indexes the header's STATIC
     * columns; written with the EXTENSION/IS_STATIC flag pair and no
@@ -382,7 +389,12 @@ object CassandraDataFormat {
     }
 
     private def writeRow(r: WriteRow): Unit = {
-      val present = r.cells.map(_.columnIdx).distinct.sorted
+      r.emptyComplexColumns.foreach(i =>
+        require(header.regularColumns(i).isComplex,
+          s"emptyComplexColumns names simple column " +
+            header.regularColumns(i).name))
+      val present =
+        (r.cells.map(_.columnIdx) ++ r.emptyComplexColumns).distinct.sorted
       val all = present.length == header.regularColumns.length
       var flags = 0
       if (all) flags |= HasAllColumns

@@ -67,11 +67,26 @@ final class DataDbWriteBuilder(options: Map[String, String],
       throw new IllegalArgumentException(
         "sstable-data write column value must be BinaryType, got " +
           schema.fields(vIdx).dataType)
-    new DataDbWrite(path, schema, compressed)
+    val spillRows = options.get("spillrows").map(_.toInt)
+      .getOrElse(DataDbWrite.DefaultSpillRows)
+    require(spillRows > 0, s"spillRows must be positive, got $spillRows")
+    new DataDbWrite(path, schema, compressed, spillRows)
   }
 }
 
 object DataDbWrite {
+
+  /** Rows buffered in task heap before a sorted run spills to local disk
+    * (option `spillRows`). Bounds the write path's memory at
+    * O(spillRows + partitions) per task regardless of output sstable
+    * size — a multi-GB generation becomes sorted runs + a k-way merge
+    * into the one-pass streaming kernel, the external-sort shape
+    * Cassandra's own writer reaches via flush thresholds. */
+  val DefaultSpillRows: Int = 1 << 20
+
+  /** Spilled-run counter (diagnostics; specs assert the spill path
+    * actually engaged under a small threshold). */
+  val spills = new java.util.concurrent.atomic.LongAdder()
   val RequiredFields: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
     "sstable_id" -> StringType,
     "key" -> LongType,
@@ -96,11 +111,12 @@ object DataDbWrite {
   }
 }
 
-final class DataDbWrite(path: String, schema: StructType, compressed: Boolean)
+final class DataDbWrite(path: String, schema: StructType,
+    compressed: Boolean, spillRows: Int = DataDbWrite.DefaultSpillRows)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
-    s"DataDbWrite path=$path compressed=$compressed"
+    s"DataDbWrite path=$path compressed=$compressed spillRows=$spillRows"
 
   /** Co-locate each sstable's cells on one task... */
   override def requiredDistribution(): Distribution =
@@ -117,19 +133,21 @@ final class DataDbWrite(path: String, schema: StructType, compressed: Boolean)
     DataDbScan.confEntries(
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())))
+        .getOrElse(new Configuration())), spillRows)
 }
 
 /** Names of the destination files one task uploaded. */
 final case class DataDbCommit(files: Seq[String]) extends WriterCommitMessage
 
 final class DataDbBatchWrite(path: String, schema: StructType,
-    compressed: Boolean, confEntries: Array[(String, String)])
+    compressed: Boolean, confEntries: Array[(String, String)],
+    spillRows: Int = DataDbWrite.DefaultSpillRows)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new DataDbWriterFactory(path, schema, compressed, confEntries)
+    new DataDbWriterFactory(path, schema, compressed, confEntries,
+      spillRows)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -145,21 +163,31 @@ final class DataDbBatchWrite(path: String, schema: StructType,
 }
 
 final class DataDbWriterFactory(path: String, schema: StructType,
-    compressed: Boolean, confEntries: Array[(String, String)])
+    compressed: Boolean, confEntries: Array[(String, String)],
+    spillRows: Int = DataDbWrite.DefaultSpillRows)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SstableDataWriter(path, schema, compressed, confEntries)
+    new SstableDataWriter(path, schema, compressed, confEntries, spillRows)
 }
 
 /** Rolls one real sstable per contiguous `sstable_id` run (the Write's
-  * required ordering makes runs total). Buffers ONE generation's cells at
-  * a time — the same per-sstable granularity the read side's tasks hold,
-  * and exactly what [[CassandraDataFixture.writeSstableFrom]] needs to
-  * sort rows/cells and derive the SerializationHeader minima. */
+  * required ordering makes runs total). Task memory is SPILL-BOUNDED
+  * (round 11): cells buffer up to `spillRows`, then sort and spill as a
+  * run file to task-local disk; on generation roll the runs and the
+  * in-memory tail k-way-merge (all already in the kernel's stream
+  * order) into [[CassandraDataFixture.writeSstableFromSortedValues]],
+  * which writes the sstable in ONE streaming pass. Header minima are
+  * running accumulators. Live heap is O(spillRows + partitions) per
+  * task no matter how large the output sstable — the external-sort
+  * shape Cassandra's own writer reaches via memtable flush thresholds. */
 final class SstableDataWriter(destDir: String, schema: StructType,
-    compressed: Boolean, confEntries: Array[(String, String)])
+    compressed: Boolean, confEntries: Array[(String, String)],
+    spillRows: Int = DataDbWrite.DefaultSpillRows)
     extends DataWriter[InternalRow] {
+
+  private type T = (Long, Long, String, Boolean, Long, Long, Long,
+    Boolean, Boolean, Long, Array[Byte])
 
   private val ord: Map[String, Int] =
     DataDbWrite.RequiredFields.map { case (n, _) =>
@@ -172,10 +200,20 @@ final class SstableDataWriter(destDir: String, schema: StructType,
   private val valueOrd: Int = schema.fieldNames.indexOf("value")
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
+  // run files live OUTSIDE the upload dir (commit ships everything in
+  // `tmp`)
+  private val spillDir =
+    java.nio.file.Files.createTempDirectory("graft-sst-spill")
   private var currentId: String = null
   private val seenIds = scala.collection.mutable.HashSet.empty[String]
-  private val buf = new ArrayBuffer[(Long, Long, String, Boolean, Long,
-    Long, Long, Boolean, Boolean, Long, Array[Byte])]()
+  private val buf = new ArrayBuffer[T]()
+  private final case class Run(file: java.io.File, rows: Long)
+  private var runs = List.empty[Run]
+  // running EncodingStats minima for the CURRENT generation (the array
+  // path's whole-buffer folds, computed as rows arrive)
+  private var minTs = Long.MaxValue
+  private var minLdt = Long.MaxValue // over deleted/expiring events
+  private var minTtl = Long.MaxValue // over expiring events
 
   override def write(row: InternalRow): Unit = {
     val id = row.getUTF8String(ord("sstable_id")).toString
@@ -193,27 +231,106 @@ final class SstableDataWriter(destDir: String, schema: StructType,
     val value =
       if (valueOrd < 0 || row.isNullAt(valueOrd)) null
       else row.getBinary(valueOrd)
+    val ts = row.getLong(ord("timestamp_us"))
+    val ttl = row.getLong(ord("ttl_s"))
+    val ldt = row.getLong(ord("local_deletion_time_s"))
+    val tomb = row.getBoolean(ord("is_tombstone"))
+    val exp = row.getBoolean(ord("is_expiring"))
+    if (ts < minTs) minTs = ts
+    if ((tomb || exp) && ldt < minLdt) minLdt = ldt
+    if (exp && ttl < minTtl) minTtl = ttl
     buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
       row.getUTF8String(ord("column_name")).toString,
-      kind == DataDbFormat.KindMarker,
-      row.getLong(ord("timestamp_us")), row.getLong(ord("ttl_s")),
-      row.getLong(ord("local_deletion_time_s")),
-      row.getBoolean(ord("is_tombstone")),
-      row.getBoolean(ord("is_expiring")), size, value))
+      kind == DataDbFormat.KindMarker, ts, ttl, ldt, tomb, exp, size,
+      value))
+    if (buf.length >= spillRows) spill()
   }
 
-  private def flush(): Unit = if (currentId != null && buf.nonEmpty) {
-    // the Write's required ordering makes each id ONE contiguous run; a
-    // repeat would silently overwrite the earlier sstable's files, so it
-    // is a hard error (sorted-input contract violated upstream)
-    if (!seenIds.add(currentId))
-      throw new IllegalStateException(
-        s"sstable_id '$currentId' arrived in multiple runs — " +
-          "input not sorted by sstable_id")
-    CassandraDataFixture.writeSstableFromValues(tmp,
-      DataDbWrite.generationOf(currentId), buf.iterator, compressed)
+  private def spill(): Unit = {
+    buf.sortInPlace()(CassandraDataFixture.ValueTupleOrdering)
+    val f = java.nio.file.Files
+      .createTempFile(spillDir, "run-", ".spill").toFile
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 16))
+    try buf.foreach { t =>
+      out.writeLong(t._1); out.writeLong(t._2); out.writeUTF(t._3)
+      out.writeBoolean(t._4)
+      out.writeLong(t._5); out.writeLong(t._6); out.writeLong(t._7)
+      out.writeBoolean(t._8); out.writeBoolean(t._9); out.writeLong(t._10)
+      if (t._11 == null) out.writeInt(-1)
+      else { out.writeInt(t._11.length); out.write(t._11) }
+    } finally out.close()
+    runs = Run(f, buf.length.toLong) :: runs
+    DataDbWrite.spills.increment()
     buf.clear()
   }
+
+  private def runIterator(r: Run): Iterator[T] = new Iterator[T] {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.FileInputStream(r.file), 1 << 16))
+    private var remaining = r.rows
+    override def hasNext: Boolean = remaining > 0
+    override def next(): T = {
+      remaining -= 1
+      val k = in.readLong(); val cl = in.readLong(); val col = in.readUTF()
+      val mk = in.readBoolean()
+      val ts = in.readLong(); val ttl = in.readLong(); val ldt = in.readLong()
+      val tb = in.readBoolean(); val ex = in.readBoolean()
+      val sz = in.readLong()
+      val vlen = in.readInt()
+      val v =
+        if (vlen < 0) null
+        else { val b = new Array[Byte](vlen); in.readFully(b); b }
+      if (remaining == 0) in.close()
+      (k, cl, col, mk, ts, ttl, ldt, tb, ex, sz, v)
+    }
+  }
+
+  /** K-way merge of already-sorted event streams (heap of head
+    * elements) — the runs tile the generation's multiset, so the merged
+    * stream is the total [[CassandraDataFixture.ValueTupleOrdering]]. */
+  private def merged(iters: Seq[Iterator[T]]): Iterator[T] =
+    new Iterator[T] {
+      private val its = iters.toArray
+      private val pq = new scala.collection.mutable.PriorityQueue[(T, Int)]()(
+        Ordering.by[(T, Int), T](_._1)(
+          CassandraDataFixture.ValueTupleOrdering).reverse)
+      its.indices.foreach(i =>
+        if (its(i).hasNext) pq.enqueue((its(i).next(), i)))
+      override def hasNext: Boolean = pq.nonEmpty
+      override def next(): T = {
+        val (t, i) = pq.dequeue()
+        if (its(i).hasNext) pq.enqueue((its(i).next(), i))
+        t
+      }
+    }
+
+  private def flush(): Unit =
+    if (currentId != null && (buf.nonEmpty || runs.nonEmpty)) {
+      // the Write's required ordering makes each id ONE contiguous run; a
+      // repeat would silently overwrite the earlier sstable's files, so it
+      // is a hard error (sorted-input contract violated upstream)
+      if (!seenIds.add(currentId))
+        throw new IllegalStateException(
+          s"sstable_id '$currentId' arrived in multiple runs — " +
+            "input not sorted by sstable_id")
+      buf.sortInPlace()(CassandraDataFixture.ValueTupleOrdering)
+      val stream =
+        if (runs.isEmpty) buf.iterator
+        else merged(buf.iterator +: runs.map(runIterator))
+      CassandraDataFixture.writeSstableFromSortedValues(tmp,
+        DataDbWrite.generationOf(currentId), stream,
+        minTs,
+        if (minLdt == Long.MaxValue) CassandraDataFormat.NoDeletionTimeS
+        else minLdt,
+        if (minTtl == Long.MaxValue) 0L else minTtl,
+        compressed)
+      runs.foreach(_.file.delete())
+      runs = Nil
+      buf.clear()
+      minTs = Long.MaxValue; minLdt = Long.MaxValue; minTtl = Long.MaxValue
+    }
 
   override def commit(): WriterCommitMessage = {
     flush()
@@ -230,6 +347,7 @@ final class SstableDataWriter(destDir: String, schema: StructType,
       f.delete()
     }
     java.nio.file.Files.deleteIfExists(tmp)
+    java.nio.file.Files.deleteIfExists(spillDir)
     DataDbCommit(files.map(_.getName))
   }
 
@@ -237,7 +355,11 @@ final class SstableDataWriter(destDir: String, schema: StructType,
 
   override def close(): Unit = {
     buf.clear()
+    runs.foreach(_.file.delete())
+    runs = Nil
     Option(tmp.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    Option(spillDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
     java.nio.file.Files.deleteIfExists(tmp)
+    java.nio.file.Files.deleteIfExists(spillDir)
   }
 }

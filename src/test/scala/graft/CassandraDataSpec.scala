@@ -808,6 +808,67 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 writer spill: a generation many times the spill threshold " +
+      "writes through sorted runs + k-way merge, byte-equal read-back " +
+      "(round 11)") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("sstable_id")
+      .agg(count(lit(1)).as("events"),
+        sum(col("clustering")).as("cl_sum"),
+        sum(col("timestamp_us") % 1000003L).as("ts_sum"),
+        sum(col("size_bytes")).as("sz_sum"),
+        sum(crc32(col("value"))).as("value_crc_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombs"))
+      .orderBy("sstable_id").collect().toSeq
+    val outSpill = java.nio.file.Files.createTempDirectory("graft-spill-a")
+    val outPlain = java.nio.file.Files.createTempDirectory("graft-spill-b")
+    try {
+      val cells = graft.sources.Fixtures.cells(spark, Sf0001)
+        .where(col("tbl") === "lineitem")
+        .select(col("sstable_id"), col("key"), col("clustering"),
+          col("column_name"), col("kind"), col("timestamp_us"),
+          col("ttl_s"), col("local_deletion_time_s"), col("is_tombstone"),
+          col("is_expiring"), col("size_bytes"),
+          when(col("kind") === "CELL" && !col("is_tombstone"),
+            concat(col("key"), lit("#"), col("timestamp_us"))
+              .cast("binary")).as("value"))
+      val before = graft.sources.datadb.DataDbWrite.spills.sum()
+      // threshold of 97 rows: each ~1000-event generation spills ~10
+      // sorted runs, so live heap held <100 rows while writing it
+      cells.write.format("sstable-data")
+        .option("path", outSpill.toString).option("compressed", "true")
+        .option("spillRows", "97")
+        .mode("append").save()
+      assert(graft.sources.datadb.DataDbWrite.spills.sum() > before,
+        "the spill path must actually engage under a tiny threshold")
+      cells.write.format("sstable-data")
+        .option("path", outPlain.toString).option("compressed", "true")
+        .mode("append").save()
+      // spilled and unspilled outputs carry the same complete sidecar
+      // family per generation (tie order among fully-equal sort keys may
+      // differ between the in-memory sort and the run merge, so the
+      // contract is the file SET plus the read-back MULTISET — the same
+      // contract the writer has toward its nondeterministically-ordered
+      // upstream exchange)
+      val spillNames = Option(outSpill.toFile.listFiles()).get
+        .map(_.getName).sorted
+      val plainNames = Option(outPlain.toFile.listFiles()).get
+        .map(_.getName).sorted
+      assert(spillNames.toSeq === plainNames.toSeq)
+      // the read-back relation (with values) matches
+      val got = DataDb.read(spark, outSpill.toString,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      val expect = DataDb.read(spark, outPlain.toString,
+        maxSplitBytes = Some(8L << 10), format = DataDbScan.FormatCassandra)
+      assert(agg(got) === agg(expect))
+    } finally {
+      Seq(outSpill, outPlain).foreach { d =>
+        Option(d.toFile.listFiles()).foreach(_.foreach(_.delete()))
+        java.nio.file.Files.deleteIfExists(d)
+      }
+    }
+  }
+
   test("point-read pushdown: pushed key filters plan exactly the probed " +
       "partitions' byte ranges; absent keys plan nothing (round 10)") {
     val path = CassandraDataFixture.ensureFiles(spark, Sf0001,
@@ -919,13 +980,20 @@ class CassandraDataSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     // independent replay from parquet: the scan's representation mapping
     // first, then the same total order, winners minus droppable
-    // tombstones, key%4 output shards
+    // tombstones, key % volume-adaptive output shards
     import org.apache.spark.sql.expressions.Window
     val mapped = graft.sources.Fixtures.cells(spark, Sf0001)
       .withColumn("ttl_s",
         when(col("is_tombstone"), -1L).otherwise(col("ttl_s")))
       .withColumn("size_bytes",
         when(col("is_tombstone"), 0L).otherwise(col("size_bytes") % 61L))
+    def modelBytes(dir: String): Long = graft.sources.Fixtures.cells(spark, dir)
+      .withColumn("size_bytes",
+        when(col("is_tombstone"), 0L).otherwise(col("size_bytes") % 61L))
+      .agg(sum(lit(graft.ops.Compaction.EventOverheadBytes)
+        + col("size_bytes")))
+      .head.getLong(0)
+    val shards = graft.ops.Compaction.outputShards(modelBytes(Sf0001))
     val w = Window.partitionBy("key", "clustering", "column_name")
       .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
         col("size_bytes").desc, col("is_tombstone").desc,
@@ -935,7 +1003,7 @@ class CassandraDataSpec extends SparkSpec {
     val want = mapped.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && !(col("is_tombstone") &&
         col("local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS))
-      .groupBy(concat(lit("sst-"), pmod(col("key"), lit(4L)))
+      .groupBy(concat(lit("sst-"), pmod(col("key"), lit(shards)))
         .as("sstable_id"))
       .agg(count(lit(1)).as("events"),
         sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
@@ -954,16 +1022,99 @@ class CassandraDataSpec extends SparkSpec {
       .orderBy("sstable_id")
       .collect().map(_.toSeq).toSeq
     assert(got === want)
-    // physical shape: one complete compressed sstable per output shard
+    // physical shape: one complete compressed sstable per computed shard
     val out = graft.ops.Compaction.ensureCompacted(spark, Sf0001)
     val names = Option(new java.io.File(out).listFiles()).get
       .map(_.getName).toSet
-    assert(names.count(_.endsWith("-Data.db")) === 4)
-    assert(names.count(_.endsWith("-CompressionInfo.db")) === 4)
+    assert(names.count(_.endsWith("-Data.db")) === shards)
+    assert(names.count(_.endsWith("-CompressionInfo.db")) === shards)
+    // volume-adaptive sizing (round 11): the shard count SCALES with the
+    // input's modeled uncompressed volume — a 10x tier plans ~10x the
+    // outputs (asserted via the model at two fixture scales; the q162
+    // oracle replays the same ceil(sum(32+size)/target) function)
+    val b001 = modelBytes(Sf0001)
+    val b01 = modelBytes("/root/testdata/sf0.01")
+    assert(b01 > b001 * 5)
+    assert(graft.ops.Compaction.outputShards(b01) >
+      graft.ops.Compaction.outputShards(b001))
+    assert(graft.ops.Compaction.outputShards(b001) === shards)
     // compaction compacts: fewer surviving events than input events
     val inputEvents = graft.sources.Fixtures.cells(spark, Sf0001).count()
     val outputEvents = got.map(_(1).asInstanceOf[Long]).sum
     assert(outputEvents < inputEvents)
+  }
+
+  test("feature compaction: shadowed events absent from the executed " +
+      "output; tombstones purge by gc cutoff (round 11)") {
+    import graft.ops.FeatureCompaction
+    import graft.sources.datadb.DataDbFormat
+    val keys = graft.sources.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    def readBack(gc: Long) = DataDb.read(spark,
+        FeatureCompaction.ensureCompacted(spark, Sf0001, gc),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
+    val evA = readBack(FeatureCompaction.GcA).cache()
+    val evB = readBack(FeatureCompaction.GcB).cache()
+    val T0 = CassandraDataFixture.FeatureT0
+    // 1) PARTITION deletion shadowing: for a deleted partition (k%19==0)
+    // every cell with ts <= markedForDeleteAt is gone from the output —
+    // and the input provably HAD such cells (the mfda bisects them)
+    val kPd = keys.filter(_ % 19 == 0).min
+    val mfda = T0 + kPd * 10 + 2
+    val inEv = DataDb.read(spark,
+        CassandraDataFixture.ensureFeatureFiles(spark, Sf0001),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
+    assert(inEv.where(col("k") === kPd &&
+      col("kind").isin(DataDbFormat.KindCell, DataDbFormat.KindStaticCell) &&
+      col("timestamp_us") <= mfda).count() > 0)
+    assert(evA.where(col("k") === kPd &&
+      col("kind").isin(DataDbFormat.KindCell, DataDbFormat.KindStaticCell) &&
+      col("timestamp_us") <= mfda).count() === 0)
+    // the deletion itself is retained under GcA (D2 band >= GcA)
+    assert(evA.where(col("k") === kPd &&
+      col("kind") === DataDbFormat.KindPartitionDeletion).count() === 1)
+    // 2) ROW deletion shadowing: clustering-0 cells of a row-deleted,
+    // not-partition-deleted key are gone
+    val kRd = keys.filter(k => k % 11 == 0 && k % 19 != 0).min
+    assert(inEv.where(col("k") === kRd && col("clustering") === 0L &&
+      col("kind") === DataDbFormat.KindCell).count() > 0)
+    assert(evA.where(col("k") === kRd && col("clustering") === 0L &&
+      col("kind") === DataDbFormat.KindCell).count() === 0)
+    // 3) COMPLEX deletion shadowing: tags cells of a complex-deleted key
+    // are gone while its c0 cells (not covered by the complex deletion)
+    // survive on rows the row/partition deletions don't reach
+    val kCd = keys.filter(k =>
+      k % 13 == 0 && k % 19 != 0 && k % 11 != 0).min
+    assert(inEv.where(col("k") === kCd &&
+      col("column_name") === "tags" &&
+      col("kind") === DataDbFormat.KindCell).count() > 0)
+    assert(evA.where(col("k") === kCd && col("column_name") === "tags" &&
+      col("kind") === DataDbFormat.KindCell).count() === 0)
+    assert(evA.where(col("k") === kCd && col("column_name") === "c0" &&
+      col("kind") === DataDbFormat.KindCell).count() === kCd % 3 + 1)
+    // its complex deletions survive (one per row, empty column slot —
+    // the emptyComplexColumns write path)
+    assert(evA.where(col("k") === kCd &&
+      col("kind") === DataDbFormat.KindComplexDeletion).count() ===
+      kCd % 3 + 1)
+    // 4) gc purge branches: GcA retains exactly the row deletions in the
+    // upper half of the D1 ldt band; GcB (above the whole band) purges
+    // every row deletion but keeps only the upper partition-deletion band
+    val expRowDelsA = keys.count(k => k % 11 == 0 && k % 100 >= 50) +
+      keys.count(k => k % 3 == 0 && k % 17 == 0 && k % 70 >= 50)
+    assert(evA.where(col("kind") === DataDbFormat.KindRowDeletion)
+      .count() === expRowDelsA)
+    assert(evB.where(col("kind") === DataDbFormat.KindRowDeletion)
+      .count() === 0)
+    val expPdB = keys.count(k => k % 19 == 0 && k % 40 >= 20)
+    assert(evB.where(col("kind") === DataDbFormat.KindPartitionDeletion)
+      .count() === expPdB)
+    assert(evA.where(col("kind") === DataDbFormat.KindPartitionDeletion)
+      .count() === keys.count(_ % 19 == 0))
+    evA.unpersist(); evB.unpersist()
   }
 
   test("slice pushdown: key + clustering bounds plan mid-partition block " +

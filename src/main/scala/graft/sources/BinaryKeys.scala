@@ -17,4 +17,10 @@ object BinaryKeys {
   def beLong(key: Column): Column =
     shiftleft(conv(hex(substring(key, 1, 4)), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(hex(substring(key, 5, 4)), 16, 10).cast("long"))
+
+  /** The inverse: a long as its 8 big-endian bytes (the stored partition-
+    * key encoding) — `hex(long)` is the full 16-digit two's-complement
+    * form, so negatives encode correctly too. All builtins (codegen). */
+  def beLongBytes(k: Column): Column =
+    unhex(lpad(hex(k), 16, "0"))
 }

@@ -118,19 +118,57 @@ final class DataDbScanBuilder(options: Map[String, String])
 final case class DataDbScan(path: String, required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long = DataDbScan.DefaultSplitBytes,
     format: String = DataDbScan.FormatGraft)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"DataDbScan path=$path pushed=${pushed.mkString(",")} " +
+      (if (runtime.nonEmpty) s"RuntimeFilters=${runtime.mkString(",")} "
+       else "") +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  /** RUNTIME pruning (round 11; the DSv2 dynamic-filtering hook the
+    * Index.db source already has): when this scan sits under a join whose
+    * other side realizes the relevant `sstable_id`s or partition `key`s —
+    * a probe TABLE of 100k keys instead of an `isin` literal list — Spark
+    * hands the realized set here at EXECUTION time, and
+    * planInputPartitions (which runs after filter()) prunes files through
+    * the same bloom/summary/index walk the static pushdown uses: absent
+    * keys cost zero tasks, present ones O(partition) byte ranges. Falls
+    * back to the full split plan for filter shapes it cannot use — a
+    * strict superset either way, Spark's row-level residual keeps
+    * exactness. */
+  private var runtime: Array[Filter] = Array.empty
+
+  /** Only columns that SURVIVED pruning may be offered (Spark resolves
+    * them against the scan output; an absent one is an
+    * AnalysisException, not a skipped optimization). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("sstable_id", "key")
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case EqualTo("sstable_id", _) => true
+      case In("sstable_id", _) => true
+      case EqualTo("key", _: Array[Byte]) => true
+      case In("key", vs) => vs.forall(_.isInstanceOf[Array[Byte]])
+      case _ => false
+    }
+
+  /** Static pushdown + runtime filters — one conjunction for every
+    * pruning decision below. */
+  private def effective: Array[Filter] = pushed ++ runtime
 
   private def sstableIdOf(fileName: String): String =
     fileName.stripSuffix(DataDbFormat.Suffix)
 
   private def fileSurvives(id: String): Boolean =
-    pushed.forall {
+    effective.forall {
       case EqualTo("sstable_id", v) => id == v
       case In("sstable_id", vs) => vs.contains(id)
       case _ => true
@@ -142,7 +180,7 @@ final case class DataDbScan(path: String, required: StructType,
     * partition anywhere can match). Keys come back sorted for
     * deterministic planning. */
   private def keyPointSet: Option[Seq[Array[Byte]]] = {
-    val sets: Seq[Set[Seq[Byte]]] = pushed.toSeq.collect {
+    val sets: Seq[Set[Seq[Byte]]] = effective.toSeq.collect {
       case EqualTo("key", v: Array[Byte]) => Set(v.toSeq)
       case In("key", vs) if vs.forall(_.isInstanceOf[Array[Byte]]) =>
         vs.map(_.asInstanceOf[Array[Byte]].toSeq).toSet

@@ -936,6 +936,60 @@ class CassandraDataSpec extends SparkSpec {
     assert(gagg === gbase)
   }
 
+  test("runtime filtering: a realized key/id set prunes files and plans " +
+      "point ranges at execution time; unusable shapes fall back exactly " +
+      "(round 11)") {
+    import graft.sources.datadb.{DataDbFormat, DataDbInputPartition, DataDbScan => Scan}
+    import org.apache.spark.sql.sources.{GreaterThan, In}
+    val path = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val presentKeys = graft.sources.Fixtures.cells(spark, Sf0001)
+      .select("key").distinct().orderBy("key").limit(3)
+      .collect().map(_.getLong(0))
+    def bytesOf(ks: Seq[Long]): Array[Any] = ks.map(k =>
+      java.nio.ByteBuffer.allocate(8).putLong(k).array(): Any).toArray
+    def freshScan() = Scan(path, DataDbFormat.Schema, Array.empty,
+      8L << 10, Scan.FormatCassandra)
+    val full = freshScan().planInputPartitions().length
+    // a runtime key set plans EXACTLY the static pushdown's economy: one
+    // range per (sstable, present key); planInputPartitions runs after
+    // filter(), so pruning happens before any task exists
+    val expectedRanges = graft.sources.Fixtures.cells(spark, Sf0001)
+      .where(col("key").isin(presentKeys: _*))
+      .select("sstable_id", "key").distinct().count()
+    val keyScan = freshScan()
+    keyScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("key", bytesOf(presentKeys))))
+    assert(keyScan.planInputPartitions().length === expectedRanges)
+    // absent keys: zero partitions (bloom/index pruning is strict)
+    val absentScan = freshScan()
+    absentScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("key", bytesOf(presentKeys.map(-_ - 1L)))))
+    assert(absentScan.planInputPartitions().length === 0)
+    // runtime sstable_id set prunes whole files
+    val idScan = freshScan()
+    idScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("sstable_id", Array[Any]("nb-1-big"))))
+    val idParts = idScan.planInputPartitions()
+    assert(idParts.nonEmpty && idParts.forall(
+      _.asInstanceOf[DataDbInputPartition].sstableId == "nb-1-big"))
+    assert(idParts.length < full)
+    // exact fallback: a filter shape the scan cannot use leaves the full
+    // split plan untouched (Spark's residual keeps row-level exactness)
+    val fbScan = freshScan()
+    fbScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      GreaterThan("timestamp_us", 0L)))
+    assert(fbScan.planInputPartitions().length === full)
+    // and the END-TO-END injection: the q165 join routes its realized
+    // probe table into the scan as a dynamic-pruning subquery (the plan
+    // carries the expression; a planner/config drift that stops
+    // injecting breaks here, not just in timing)
+    val df = SparkEntry.queries("q165_scan_runtime_point")(spark, Sf0001)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "runtime filter not injected for the join-shaped point read")
+  }
+
   test("value passthrough: arbitrary caller bytes survive write -> scan " +
       "byte-for-byte; valueless events surface null (round 10)") {
     val out = java.nio.file.Files.createTempDirectory("graft-value-spec")

@@ -201,9 +201,13 @@ object SparkEntry {
   private val valueExportMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def valuePassthrough(s: SparkSession, d: String): DataFrame = {
+  /** The VALUE-BEARING real sstable set (round 10, shared by
+    * q163/q166/q167): every live cell's stored bytes are the
+    * oracle-recomputable payload string 'v<key>:<clustering>:<ts>',
+    * written once per session through the DSv2 sink. */
+  private def ensureValueExport(s: SparkSession, d: String): String = {
     val memoKey = s"${graft.sources.PlanCache.sessionKey(s)}|$d"
-    val path = valueExportMemo.computeIfAbsent(memoKey, _ => {
+    valueExportMemo.computeIfAbsent(memoKey, _ => {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-value-export")).toString
       graft.sources.Fixtures.cells(s, d)
@@ -220,6 +224,10 @@ object SparkEntry {
         .mode("append").save()
       out
     })
+  }
+
+  private def valuePassthrough(s: SparkSession, d: String): DataFrame = {
+    val path = ensureValueExport(s, d)
     graft.sources.datadb.DataDb.read(s, path,
         maxSplitBytes = Some(cassSplitBytes(path)),
         format = graft.sources.datadb.DataDbScan.FormatCassandra)
@@ -449,6 +457,34 @@ object SparkEntry {
           sum(col("timestamp_us") % ChkMod).as("ts_sum"),
           sum(col("size_bytes") % ChkMod).as("value_sum"))
         .orderBy("sstable_id")
+    }),
+    // q159's probe list as a JOIN instead of literals (round 11): the
+    // probe TABLE realizes at runtime, Spark's dynamic pruning hands the
+    // realized key set to the scan's SupportsRuntimeFiltering hook, and
+    // planInputPartitions (running after filter()) prunes to the same
+    // O(partition) point ranges the static pushdown plans — the
+    // 100k-key batch point-read shape where an isin literal list stops
+    // being a plan. Join semantics keep the relation exact regardless;
+    // the planning economy is spec-pinned. Shares q159's oracle (present
+    // keys only — a join drops the absent side).
+    "q165_scan_runtime_point" -> ((s, d) => {
+      import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+      val path = CassandraDataFixture.ensureFiles(s, d, compressed = true)
+      val probes = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("pk")).where(col("pk") % 1009 === 0)
+        .distinct()
+        .select(graft.sources.BinaryKeys.beLongBytes(col("pk")).as("key"))
+      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+          format = DataDbScan.FormatCassandra)
+        .join(broadcast(probes), "key")
+        .select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+          col("clustering"), col("timestamp_us"), col("size_bytes"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("events"),
+          sum(col("clustering") % ChkMod).as("clustering_sum"),
+          sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+          sum(col("size_bytes") % ChkMod).as("value_sum"))
+        .orderBy("key")
     }),
     // REAL Filter.db bloom membership: every present partition key probed
     // through the Cassandra murmur3-x64-128 / OffHeapBitSet layout MUST
@@ -814,6 +850,52 @@ object SparkEntry {
     // whose values are oracle-recomputable payload strings, read them
     // back through the scan's `value` column, checksum the CONTENT
     "q163_value_passthrough" -> ((s, d) => valuePassthrough(s, d)),
+    // value bytes through the POINT-READ path (round 11): pushed key IN
+    // filters plan O(partition) ranges over the value-bearing set, the
+    // scan surfaces the stored bytes, and per-key CONTENT checksums of
+    // the decoded payloads must match the oracle's direct derivation —
+    // the q159 plan shape carrying real values end to end
+    "q166_point_get_values" -> ((s, d) => {
+      import graft.sources.datadb.{DataDb, DataDbScan}
+      val path = ensureValueExport(s, d)
+      val present = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
+        .distinct().collect().map(_.getLong(0)).sorted
+      val probes = present ++ present.map(-_ - 1) // negations: absent
+      val keyBytes = probes.map(k =>
+        java.nio.ByteBuffer.allocate(8).putLong(k).array())
+      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+          format = DataDbScan.FormatCassandra)
+        .where(col("key").isin(keyBytes: _*))
+        .select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+          col("value"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("events"),
+          count(col("value")).as("valued"),
+          coalesce(sum(length(col("value")).cast("long")), lit(0L))
+            .as("len_sum"),
+          coalesce(sum(graft.functions.PortableHash
+            .h60(col("value").cast("string")) % ChkMod), lit(0L))
+            .as("h60_sum"))
+        .orderBy("key")
+    }),
+    // the purge pipeline with the size model being the ACTUAL stored
+    // value length (round 11): over the value-bearing set, the scan's
+    // size_bytes IS each payload's byte length, so reclaimable-byte
+    // accounting runs on real value sizes end to end (the boundary
+    // stated when the passthrough landed: q83 still sized by the
+    // fixture's modeled lengths)
+    "q167_purge_value_sizes" -> ((s, d) => {
+      import graft.sources.datadb.{DataDb, DataDbScan}
+      val path = ensureValueExport(s, d)
+      graft.sources.PlanCache.cached(s, s"value_purge|$path")(
+          Purge.perPartition(
+            DataDb.cells(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+              format = DataDbScan.FormatCassandra)))
+        .select("key", "key_formatted", "table_count", "size", "reclaimable")
+        .orderBy(desc("reclaimable"), desc("size"), asc("key"))
+        .limit(10)
+    }),
     "q132_sim_ivfpq_persisted" ->
       ((s, d) => Similarity.ivfPqSearchPersisted(s, d)),
     // Gopher-rules repetition metrics (top-bigram fraction per document)

@@ -1060,6 +1060,56 @@ SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS len_sum,
   CAST(COALESCE(SUM(${h60("v")} % 1000003), 0) AS BIGINT) AS h60_sum
 FROM payload GROUP BY 1 ORDER BY 1""",
+    // q166: value bytes through the POINT-READ path — the pushed-probe
+    // plan returns exactly the present keys' partitions, and the decoded
+    // payload contents are checksummed per key.
+    "q166_point_get_values" -> s"""WITH $fixtures,
+pay AS (
+  SELECT key,
+    CASE WHEN kind = 'CELL' AND NOT is_tombstone
+      THEN 'v' || CAST(key AS VARCHAR) || ':' || CAST(clustering AS VARCHAR)
+        || ':' || CAST(timestamp_us AS VARCHAR) END AS v
+  FROM licells WHERE key % 1009 = 0
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(v) AS BIGINT) AS valued,
+  CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS len_sum,
+  CAST(COALESCE(SUM(${h60("v")} % 1000003), 0) AS BIGINT) AS h60_sum
+FROM pay GROUP BY 1 ORDER BY 1""",
+    // q167: the purge pipeline sized by the ACTUAL stored value length —
+    // over the value-bearing set each live cell's size is its payload's
+    // byte length (markers/tombstones store nothing); the LWW merge and
+    // reclaim accounting otherwise mirror q83's derivation. sstable ids
+    // differ in NAME between engines (nb-<g>-big vs sst-<g-1>) but agree
+    // in ORDER and COUNT, the only things the merge consumes.
+    "q167_purge_value_sizes" -> s"""WITH $fixtures,
+mcells AS (
+  SELECT key, key_formatted, clustering, column_name, sstable_id,
+    timestamp_us, is_tombstone, local_deletion_time_s,
+    CASE WHEN kind = 'CELL' AND NOT is_tombstone
+      THEN length('v' || CAST(key AS VARCHAR) || ':'
+        || CAST(clustering AS VARCHAR) || ':'
+        || CAST(timestamp_us AS VARCHAR))
+      ELSE 0 END AS size_bytes
+  FROM licells
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC) AS rn
+  FROM mcells
+),
+purge AS (
+  SELECT key, key_formatted,
+    CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS table_count,
+    CAST(SUM(size_bytes) AS BIGINT) AS size,
+    CAST(SUM(CASE WHEN rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+         THEN size_bytes ELSE 0 END) AS BIGINT) AS merged_size
+  FROM ranked GROUP BY 1, 2
+)
+SELECT key, key_formatted, table_count, size,
+       size - merged_size AS reclaimable
+FROM purge ORDER BY reclaimable DESC, size DESC, key LIMIT 10""",
     // q115: the slice read replayed relationally INCLUDING block
     // selection — the fixture's block trigger (every 2 unfiltereds in
     // clustering order, markers before the row of the same clustering) is
@@ -4073,6 +4123,9 @@ ORDER BY 1"""
       // prefix graphs equals a full build, so the search must reproduce
       // the same brute-force top-k — same oracle again.
       ("q161_sim_hnsw_ingest" -> base("q24_sim_topk")) +
+      // q165 (probe keys via a JOIN + runtime filtering) returns exactly
+      // the present-key point-read relation — q159's oracle verbatim.
+      ("q165_scan_runtime_point" -> base("q159_scan_point_pushdown")) +
       ("q109_classifier_broadcast" -> base("q104_classifier_trained")) +
       ("q110_row_level_events" -> q110Sql) +
       ("q129_static_complex_roundtrip" -> q129Sql) +

@@ -27,6 +27,7 @@ object Main {
       snapshot: Option[String] = None, files: Seq[String] = Nil,
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
+      execute: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -62,7 +63,8 @@ object Main {
     case "search" => "Usage: search [-n <num>]"
     case "drift" => "Usage: drift"
     case "pipeline" => "Usage: pipeline"
-    case "compact" => "Usage: compact"
+    case "compact" =>
+      "Usage: compact [--execute <keyspace> <table>] [-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -140,6 +142,8 @@ object Main {
               val s = v.toIntOption.getOrElse(return Left(usage(cmd)))
               if (s <= 0) return Left(usage(cmd))
               o = o.copy(bpeSteps = s); rest = t
+            case Seq("--execute", t @ _*) if cmd == "compact" =>
+              o = o.copy(execute = true); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -150,8 +154,16 @@ object Main {
           case "summary" | "pack" | "contaminate" | "verify" | "quality" |
               "canon" | "select" | "classify" | "ingest" | "scrub" |
               "chrome" | "bpe" | "lm" | "agree" | "search" | "drift" |
-              "tokenize" | "pipeline" | "compact" =>
+              "tokenize" | "pipeline" =>
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
+          case "compact" =>
+            // read-only what-if by default; --execute <ks> <cf> runs the
+            // real compaction (q162 path) at the -g gc cutoff
+            if (o.execute) positional match {
+              case Seq(ks, cf) => Right(o.copy(keyspace = ks,
+                table = graft.ops.Summary.resolveStore(cf)))
+              case _ => Left(usage(cmd))
+            } else if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
             case _ => Left(usage(cmd))
@@ -248,7 +260,11 @@ object Main {
       case "pipeline" =>
         out(tracked("pipeline")(Reports.pipeline(spark, dir))); 0
       case "compact" =>
-        out(tracked("compact")(Reports.compact(spark, dir))); 0
+        if (o.execute) {
+          if (!requireStore()) return 2
+          out(tracked("compact")(
+            Reports.compactExecute(spark, dir, o.gcBeforeS))); 0
+        } else { out(tracked("compact")(Reports.compact(spark, dir))); 0 }
       case "tokenize" =>
         out(tracked("tokenize")(Reports.tokenize(spark, dir, o.bpeSteps))); 0
       case "lookup" =>

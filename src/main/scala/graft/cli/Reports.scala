@@ -311,4 +311,13 @@ object Reports {
       section("Executed compaction (volume-adaptive key%N-sharded real " +
         "sstable outputs)",
         graft.ops.Compaction.compactionRoundtrip(spark, dir))
+
+  /** `compact --execute <ks> <cf> [-g]` — run the REAL compaction (the
+    * q162 read → merge → write → read circle) at the given gc cutoff and
+    * print the per-output-shard rollup of the sstables it wrote. */
+  def compactExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed compaction (gcBefore=${gcBeforeS}s, " +
+      "volume-adaptive key%N-sharded real sstable outputs)",
+      graft.ops.Compaction.compactionRoundtrip(spark, dir, gcBeforeS))
 }

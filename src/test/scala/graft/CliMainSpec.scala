@@ -277,7 +277,12 @@ class CliMainSpec extends SparkSpec {
     "lookup" -> Seq("lookup", "ks1", "lineitem", "42"),
     "get" -> Seq("get", "ks1", "lineitem", "42"),
     "slice" -> Seq("slice", "ks1", "lineitem", "3", "0", "500"),
-    "compact" -> Seq("compact"))
+    "compact" -> Seq("compact"),
+    // the EXECUTE path (round 11): real compaction run at a non-default
+    // gc_grace (500 days -> gcBefore day 3500, more droppable than the
+    // read-only what-if's default) and its output rollup frozen
+    "compact_execute" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "-g", "43200000"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

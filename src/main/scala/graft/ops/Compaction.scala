@@ -129,12 +129,15 @@ object Compaction {
   }
 
   /** q162: per-output-shard checksum rollup of the compacted sstables,
-    * read back through the production scan. */
+    * read back through the production scan. No forced split size: the
+    * outputs are already [[TargetOutputBytes]]-sized by construction, so
+    * one task per file IS the right read grain — sub-file splits here
+    * only shred target-sized files into overhead (they cost ~3x at
+    * sf0.1 once the fan-out went volume-adaptive). */
   def compactionRoundtrip(spark: SparkSession, dir: String,
       gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
     val out = ensureCompacted(spark, dir, gcBeforeS)
-    DataDb.cells(spark, out, maxSplitBytes = Some(splitBytes(out)),
-        format = DataDbScan.FormatCassandra)
+    DataDb.cells(spark, out, format = DataDbScan.FormatCassandra)
       .withColumn("sstable_id", concat(lit("sst-"),
         (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L).cast("string")))

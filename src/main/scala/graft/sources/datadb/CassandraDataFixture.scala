@@ -731,20 +731,36 @@ object CassandraDataFixture {
     * whose cells were all shadowed keeps its column slot via
     * [[CassandraDataFormat.WriteRow.emptyComplexColumns]]. One task per
     * output shard calls this — the same per-sstable write grain as
-    * [[writeSstableFrom]]. */
+    * [[writeSstableFrom]].
+    *
+    * Emits the COMPLETE sidecar family (Index/Filter/Summary/Statistics/
+    * Digest/CRC/TOC, round 11) — the compacted output participates in
+    * split planning and pushed point reads like any sink-written
+    * sstable. Partitions are tiny here, so index entries carry no
+    * promoted index (unindexed partitions, as in Cassandra). */
   def writeFeatureCompacted(out: Path, shard: Long,
       events: Iterator[(Long, Long, String, String, Long, Long, Long,
         Array[Byte])]): Unit = {
     type E = (Long, Long, String, String, Long, Long, Long, Array[Byte])
     val evs = events.toArray
+    require(evs.nonEmpty, s"writeFeatureCompacted: no events for shard $shard")
     java.util.Arrays.sort(evs,
       Ordering.by((t: E) => (t._1, t._2, t._4, t._3, t._5)))
     def bytesOf(v: Array[Byte]): Array[Byte] =
       if (v == null) Array.emptyByteArray else v
     val base = s"fb-$shard-big"
+    val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
     val data = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(
-        out.resolve(base + DataDbFormat.Suffix).toFile), 1 << 16))
+      new FileOutputStream(dataFile), 1 << 16))
+    val index = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(
+        base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
+    val summaryEntries =
+      Vector.newBuilder[graft.sources.summarydb.SummaryDbFormat.Entry]
+    val bloomKeys = Vector.newBuilder[Long]
+    var firstKey: Array[Byte] = null
+    var lastKey: Array[Byte] = null
+    var partitionsWritten = 0L
     try {
       val w = new Writer(data, FeatureHeader)
       var i = 0
@@ -756,8 +772,17 @@ object CassandraDataFixture {
         val pd = part.filter(_._4 == DataDbFormat.KindPartitionDeletion)
         require(pd.forall(_._2 == DataDbFormat.PartitionClustering),
           s"partition deletion at a non-partition clustering for key $k")
-        w.writePartitionStart(
-          java.nio.ByteBuffer.allocate(8).putLong(k).array(),
+        val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+        bloomKeys += k
+        if (partitionsWritten % MinIndexInterval == 0)
+          summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
+            keyBytes, index.size().toLong)
+        if (firstKey == null) firstKey = keyBytes
+        lastKey = keyBytes
+        partitionsWritten += 1
+        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
+          w.position, Array.emptyByteArray)
+        w.writePartitionStart(keyBytes,
           deletion = pd.sortBy(_._5).lastOption.map(e => (e._5, e._7)))
         val rows = part.filter(_._4 != DataDbFormat.KindPartitionDeletion)
         var ri = 0
@@ -827,8 +852,14 @@ object CassandraDataFixture {
         w.writePartitionEnd()
         i = j
       }
-    } finally data.close()
+    } finally {
+      data.close()
+      index.close()
+    }
     writeFeatureStats(out, base)
+    writeFilter(out, base, bloomKeys.result())
+    writeSummary(out, base, summaryEntries.result(), firstKey, lastKey)
+    writeDigestAndToc(out, base, dataFile, compressed = false)
   }
 
   /** Minimal valid Statistics.db for the feature set: the VALIDATION /

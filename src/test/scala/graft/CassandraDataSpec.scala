@@ -1168,6 +1168,20 @@ class CassandraDataSpec extends SparkSpec {
       .count() === expPdB)
     assert(evA.where(col("kind") === DataDbFormat.KindPartitionDeletion)
       .count() === keys.count(_ % 19 == 0))
+    // 5) the compacted output is a COMPLETE sstable family: every
+    // sidecar present per output generation (round 11)
+    val outDir = new java.io.File(
+      graft.ops.FeatureCompaction.ensureCompacted(spark, Sf0001,
+        graft.ops.FeatureCompaction.GcA))
+    val names = Option(outDir.listFiles()).get.map(_.getName).toSet
+    val gens = names.collect { case n if n.endsWith("-Data.db") =>
+      n.stripSuffix("-Data.db")
+    }
+    assert(gens.nonEmpty)
+    for (g <- gens; c <- Seq("-Data.db", "-Index.db", "-Statistics.db",
+        "-Filter.db", "-Summary.db", "-Digest.crc32", "-CRC.db",
+        "-TOC.txt"))
+      assert(names.contains(g + c), s"missing $g$c")
     evA.unpersist(); evB.unpersist()
   }
 

@@ -42,8 +42,9 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbFormat, DataDbS
   *
   * Scale shape: the deletion relations are tiny (deletions are rare
   * events) and broadcast; the event scan stays distributed with ONE
-  * shuffle into the per-shard writers; output fan-out is the same
-  * volume-adaptive [[Compaction.outputShards]] sizing q162 uses. A
+  * Catalyst-planned clustered exchange into the DSv2 sink's feature-
+  * schema writers; output fan-out is the same volume-adaptive
+  * [[Compaction.outputShards]] sizing q162 uses. A
   * deletion-heavy corpus would co-partition instead of broadcasting —
   * the join keys are already the co-partition keys. */
 object FeatureCompaction {
@@ -114,21 +115,21 @@ object FeatureCompaction {
           .when(col("kind") === DataDbFormat.KindPartitionDeletion,
             ts === col("pd_ts") && ldt >= gcBeforeS)
           .otherwise(lit(false))
-      import spark.implicits._
-      val survivors = joined.where(survives)
-        .select(col("k"), col("clustering"), col("column_name"),
+      // survivors flow through the DSv2 sink's FEATURE schema (round 11):
+      // Catalyst plans the clustered exchange + sort on the output id —
+      // no groupByKey/mapGroups arrangement — and each task's
+      // FeatureSstableWriter rolls one complete real sstable per shard
+      joined.where(survives)
+        .select(
+          concat(lit("fb-"), pmod(col("k"), lit(shards))).as("sstable_id"),
+          col("k").as("key"), col("clustering"), col("column_name"),
           col("kind"), col("timestamp_us"), col("ttl_s"),
           col("local_deletion_time_s"), col("value"))
-        .as[(Long, Long, String, String, Long, Long, Long, Array[Byte])]
-      val written = survivors
-        .groupByKey(_._1 % shards)
-        .mapGroups { (shard, it) =>
-          CassandraDataFixture.writeFeatureCompacted(
-            java.nio.file.Paths.get(out), shard, it)
-          shard
-        }
-        .collect()
-      require(written.nonEmpty, s"feature compaction of $dir emitted nothing")
+        .write.format("sstable-data")
+        .option("path", out).option("schema", "feature")
+        .mode("append").save()
+      require(Option(new java.io.File(out).listFiles()).exists(_.nonEmpty),
+        s"feature compaction of $dir emitted nothing")
       out
     })
   }

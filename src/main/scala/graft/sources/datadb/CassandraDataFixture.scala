@@ -729,8 +729,9 @@ object CassandraDataFixture {
     * re-pathed 1..n in timestamp order — paths are not scan-visible and
     * the model's path order IS its timestamp order). A complex deletion
     * whose cells were all shadowed keeps its column slot via
-    * [[CassandraDataFormat.WriteRow.emptyComplexColumns]]. One task per
-    * output shard calls this — the same per-sstable write grain as
+    * [[CassandraDataFormat.WriteRow.emptyComplexColumns]]. The DSv2
+    * sink's feature-schema writer ([[FeatureSstableWriter]]) calls this
+    * once per `sstable_id` run — the same per-sstable write grain as
     * [[writeSstableFrom]].
     *
     * Emits the COMPLETE sidecar family (Index/Filter/Summary/Statistics/

@@ -50,9 +50,23 @@ final class DataDbWriteBuilder(options: Map[String, String],
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("sstable-data write requires a path"))
     // CaseInsensitiveStringMap lower-cases option keys
-    val compressed = options.get("compressed").forall(_.toBoolean)
+    val schemaMode = options.getOrElse("schema", DataDbWrite.SchemaCells)
+    if (schemaMode != DataDbWrite.SchemaCells &&
+        schemaMode != DataDbWrite.SchemaFeature)
+      throw new IllegalArgumentException(
+        s"sstable-data write schema option must be " +
+          s"${DataDbWrite.SchemaCells} or ${DataDbWrite.SchemaFeature}, " +
+          s"got $schemaMode")
+    val feature = schemaMode == DataDbWrite.SchemaFeature
+    if (feature && options.get("compressed").exists(_.toBoolean))
+      throw new IllegalArgumentException(
+        "sstable-data feature-schema writes are uncompressed (CRC.db)")
+    val compressed = !feature && options.get("compressed").forall(_.toBoolean)
     val schema = info.schema()
-    DataDbWrite.RequiredFields.foreach { case (name, tpe) =>
+    val required =
+      if (feature) DataDbWrite.FeatureRequiredFields
+      else DataDbWrite.RequiredFields
+    required.foreach { case (name, tpe) =>
       val idx = schema.fieldNames.indexOf(name)
       if (idx < 0) throw new IllegalArgumentException(
         s"sstable-data write schema is missing column $name: $tpe")
@@ -70,7 +84,7 @@ final class DataDbWriteBuilder(options: Map[String, String],
     val spillRows = options.get("spillrows").map(_.toInt)
       .getOrElse(DataDbWrite.DefaultSpillRows)
     require(spillRows > 0, s"spillRows must be positive, got $spillRows")
-    new DataDbWrite(path, schema, compressed, spillRows)
+    new DataDbWrite(path, schema, compressed, spillRows, feature)
   }
 }
 
@@ -109,14 +123,49 @@ object DataDbWrite {
     case other => throw new IllegalArgumentException(
       s"sstable_id '$other' is not of the form sst-<n>")
   }
+
+  /** `schema` option values: the default cell-event relation (the 'nb'
+    * c0/c1 schema) or the FEATURE event vocabulary (round 11) — typed
+    * deletion/liveness/static events written through
+    * [[CassandraDataFixture.writeFeatureCompacted]], the write surface
+    * the executed deletion-shadowing compaction flows through. */
+  val SchemaCells = "cells"
+  val SchemaFeature = "feature"
+
+  /** Feature-schema write relation: the scan's own event vocabulary
+    * (`kind` ∈ CELL/STATIC_CELL/ROW_LIVENESS/ROW_DELETION/
+    * COMPLEX_DELETION/PARTITION_DELETION) with a decoded long `key`;
+    * cell payloads ride the optional binary `value` column. */
+  val FeatureRequiredFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
+    Seq(
+      "sstable_id" -> StringType,
+      "key" -> LongType,
+      "clustering" -> LongType,
+      "column_name" -> StringType,
+      "kind" -> StringType,
+      "timestamp_us" -> LongType,
+      "ttl_s" -> LongType,
+      "local_deletion_time_s" -> LongType)
+
+  private val FbIdPattern = "fb-(\\d+)".r
+
+  /** "fb-<n>" → output shard n (feature-schema files are named
+    * fb-<shard>-big by the kernel). */
+  def featureShardOf(sstableId: String): Long = sstableId match {
+    case FbIdPattern(n) => n.toLong
+    case other => throw new IllegalArgumentException(
+      s"sstable_id '$other' is not of the form fb-<n>")
+  }
 }
 
 final class DataDbWrite(path: String, schema: StructType,
-    compressed: Boolean, spillRows: Int = DataDbWrite.DefaultSpillRows)
+    compressed: Boolean, spillRows: Int = DataDbWrite.DefaultSpillRows,
+    feature: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
-    s"DataDbWrite path=$path compressed=$compressed spillRows=$spillRows"
+    s"DataDbWrite path=$path compressed=$compressed spillRows=$spillRows" +
+      (if (feature) " schema=feature" else "")
 
   /** Co-locate each sstable's cells on one task... */
   override def requiredDistribution(): Distribution =
@@ -133,7 +182,7 @@ final class DataDbWrite(path: String, schema: StructType,
     DataDbScan.confEntries(
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())), spillRows)
+        .getOrElse(new Configuration())), spillRows, feature)
 }
 
 /** Names of the destination files one task uploaded. */
@@ -141,13 +190,14 @@ final case class DataDbCommit(files: Seq[String]) extends WriterCommitMessage
 
 final class DataDbBatchWrite(path: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
-    spillRows: Int = DataDbWrite.DefaultSpillRows)
+    spillRows: Int = DataDbWrite.DefaultSpillRows,
+    feature: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new DataDbWriterFactory(path, schema, compressed, confEntries,
-      spillRows)
+      spillRows, feature)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -164,11 +214,14 @@ final class DataDbBatchWrite(path: String, schema: StructType,
 
 final class DataDbWriterFactory(path: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
-    spillRows: Int = DataDbWrite.DefaultSpillRows)
+    spillRows: Int = DataDbWrite.DefaultSpillRows,
+    feature: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SstableDataWriter(path, schema, compressed, confEntries, spillRows)
+    if (feature) new FeatureSstableWriter(path, schema, confEntries)
+    else new SstableDataWriter(path, schema, compressed, confEntries,
+      spillRows)
 }
 
 /** Rolls one real sstable per contiguous `sstable_id` run (the Write's
@@ -334,6 +387,29 @@ final class SstableDataWriter(destDir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     flush()
+    val msg = StagedUpload.commitDir(tmp, destDir, confEntries)
+    java.nio.file.Files.deleteIfExists(spillDir)
+    msg
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    buf.clear()
+    runs.foreach(_.file.delete())
+    runs = Nil
+    StagedUpload.discardDir(tmp)
+    StagedUpload.discardDir(spillDir)
+  }
+}
+
+/** The staging/upload half both sstable writers share: a task-local temp
+  * dir whose complete files ship through the Hadoop FS on task commit
+  * (DFS targets work; job abort deletes committed files). */
+private[datadb] object StagedUpload {
+
+  def commitDir(tmp: java.nio.file.Path, destDir: String,
+      confEntries: Array[(String, String)]): DataDbCommit = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val dest = new Path(destDir)
@@ -347,19 +423,74 @@ final class SstableDataWriter(destDir: String, schema: StructType,
       f.delete()
     }
     java.nio.file.Files.deleteIfExists(tmp)
-    java.nio.file.Files.deleteIfExists(spillDir)
     DataDbCommit(files.map(_.getName))
+  }
+
+  def discardDir(dir: java.nio.file.Path): Unit = {
+    Option(dir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    java.nio.file.Files.deleteIfExists(dir)
+    ()
+  }
+}
+
+/** FEATURE-schema writer (round 11): rolls one real feature-schema
+  * sstable (static rows, pk liveness, row/complex/partition deletions,
+  * path-ordered complex cells + the complete sidecar family) per
+  * contiguous `sstable_id` run, through
+  * [[CassandraDataFixture.writeFeatureCompacted]] — the write surface
+  * the executed deletion-shadowing compaction flows through. Buffers one
+  * generation's events in task heap: feature outputs are sized by the
+  * volume-adaptive shard function upstream (ceil(bytes/target)), so the
+  * buffer is bounded by construction — the spill machinery lives on the
+  * cells path, where callers control generation sizes. */
+final class FeatureSstableWriter(destDir: String, schema: StructType,
+    confEntries: Array[(String, String)]) extends DataWriter[InternalRow] {
+
+  private val ord: Map[String, Int] =
+    DataDbWrite.FeatureRequiredFields.map { case (n, _) =>
+      n -> schema.fieldNames.indexOf(n)
+    }.toMap
+  private val valueOrd: Int = schema.fieldNames.indexOf("value")
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
+  private var currentId: String = null
+  private val seenIds = scala.collection.mutable.HashSet.empty[String]
+  private val buf = new ArrayBuffer[(Long, Long, String, String, Long,
+    Long, Long, Array[Byte])]()
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getUTF8String(ord("sstable_id")).toString
+    if (currentId != null && id != currentId) flush()
+    currentId = id
+    val value =
+      if (valueOrd < 0 || row.isNullAt(valueOrd)) null
+      else row.getBinary(valueOrd)
+    buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
+      row.getUTF8String(ord("column_name")).toString,
+      row.getUTF8String(ord("kind")).toString,
+      row.getLong(ord("timestamp_us")), row.getLong(ord("ttl_s")),
+      row.getLong(ord("local_deletion_time_s")), value))
+  }
+
+  private def flush(): Unit = if (currentId != null && buf.nonEmpty) {
+    if (!seenIds.add(currentId))
+      throw new IllegalStateException(
+        s"sstable_id '$currentId' arrived in multiple runs — " +
+          "input not sorted by sstable_id")
+    CassandraDataFixture.writeFeatureCompacted(tmp,
+      DataDbWrite.featureShardOf(currentId), buf.iterator)
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    StagedUpload.commitDir(tmp, destDir, confEntries)
   }
 
   override def abort(): Unit = close()
 
   override def close(): Unit = {
     buf.clear()
-    runs.foreach(_.file.delete())
-    runs = Nil
-    Option(tmp.toFile.listFiles()).foreach(_.foreach(_.delete()))
-    Option(spillDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
-    java.nio.file.Files.deleteIfExists(tmp)
-    java.nio.file.Files.deleteIfExists(spillDir)
+    StagedUpload.discardDir(tmp)
   }
 }

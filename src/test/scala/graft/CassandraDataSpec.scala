@@ -1168,7 +1168,36 @@ class CassandraDataSpec extends SparkSpec {
       .count() === expPdB)
     assert(evA.where(col("kind") === DataDbFormat.KindPartitionDeletion)
       .count() === keys.count(_ % 19 == 0))
-    // 5) the compacted output is a COMPLETE sstable family: every
+    // 5) feature-sink validation: unknown schema modes, chunked
+    // compression and missing columns are rejected up front
+    val someEv = inEv.limit(1)
+      .select(lit("fb-0").as("sstable_id"),
+        graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+        col("clustering"), col("column_name"), col("kind"),
+        col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"))
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft-fsink-rej")
+    try {
+      def rejected(f: => Unit): String =
+        intercept[IllegalArgumentException](f).getMessage
+      assert(rejected {
+        someEv.write.format("sstable-data").option("path", tmpOut.toString)
+          .option("schema", "nope").mode("append").save()
+      }.contains("schema option"))
+      assert(rejected {
+        someEv.write.format("sstable-data").option("path", tmpOut.toString)
+          .option("schema", "feature").option("compressed", "true")
+          .mode("append").save()
+      }.contains("uncompressed"))
+      assert(rejected {
+        someEv.drop("kind").write.format("sstable-data")
+          .option("path", tmpOut.toString).option("schema", "feature")
+          .mode("append").save()
+      }.contains("kind"))
+    } finally {
+      Option(tmpOut.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      java.nio.file.Files.deleteIfExists(tmpOut)
+    }
+    // 6) the compacted output is a COMPLETE sstable family: every
     // sidecar present per output generation (round 11)
     val outDir = new java.io.File(
       graft.ops.FeatureCompaction.ensureCompacted(spark, Sf0001,

@@ -2,55 +2,64 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The bench's contention classifier (round 11): the hard-coded
-  * sink-query exemption list is gone — a window is exempt from the stall
-  * arm exactly when its own process kept the cores busy (self-load is
-  * workload, not noise), measured, not named. */
+/** The bench's contention classifier (round 11): no hard-coded exempt
+  * query list and no self-CPU heuristic — a dirty-looking window is
+  * contended only if its stall PERSISTS through an idle beat (the causal
+  * test: stall this process caused stops the moment it stops running;
+  * neighbor stall keeps going). */
 class BenchSpec extends AnyFunSuite {
 
-  test("contention classifier: self-saturated stall is workload, " +
-      "deprived stall is contention") {
+  test("contention classifier: stall that vanishes when idle is " +
+      "workload, stall that persists is contention") {
     // hypervisor steal always contaminates, whatever we were doing
-    assert(Bench.contendedWindow(0.05, 0.0, 1.0, 1.0))
-    // neighbor-shaped: meaningful stall while our own CPU share was low
-    // (whatever deprived us kept our threads waiting)
+    assert(Bench.contendedWindow(0.05, 0.0, 1.0, 0.0))
+    // neighbor-shaped: the window stalled AND the idle beat still stalls
     assert(Bench.contendedWindow(0.0, 0.15, 1.0, 0.2))
-    // self-saturated: the SAME stall with ~full self CPU is our own
-    // scheduler queue — the sink-family shape, not contention
-    assert(!Bench.contendedWindow(0.0, 0.15, 1.0, 0.95))
+    // self-shaped: the SAME window stall but a quiet idle beat — our own
+    // scheduler queue (sink bursts, short task storms), not contention
+    assert(!Bench.contendedWindow(0.0, 0.15, 1.0, 0.0))
     // the boundary sits at the published constant
     assert(Bench.contendedWindow(0.0, 0.15, 1.0,
-      Bench.SelfSaturatedShare - 0.01))
+      Bench.AmbientStallLimit + 0.01))
     assert(!Bench.contendedWindow(0.0, 0.15, 1.0,
-      Bench.SelfSaturatedShare))
+      Bench.AmbientStallLimit))
     // too-short window: the PSI delta is meaningless
     assert(!Bench.contendedWindow(0.0, 0.15, 0.01, 0.2))
-    // quiet window
-    assert(!Bench.contendedWindow(0.0, 0.02, 1.0, 0.5))
+    // quiet window never needs the beat
+    assert(!Bench.contendedWindow(0.0, 0.02, 1.0, 0.0))
   }
 
-  test("self-CPU share separates a synthetic spin burst from an idle " +
-      "wait") {
+  test("ambient beat: self-induced oversubscription stall stops when " +
+      "this process idles") {
     val n = Runtime.getRuntime.availableProcessors()
-    val (_, busy) = Bench.measureSelfShare {
-      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val sink = new java.util.concurrent.atomic.AtomicLong()
-      val threads = (0 until n).map { _ =>
-        val t = new Thread(() => {
-          var x = 0L
-          while (!stop.get()) { x += 1 }
-          sink.addAndGet(x)
-        })
-        t.start(); t
-      }
-      Thread.sleep(500)
-      stop.set(true)
-      threads.foreach(_.join())
-      assert(sink.get() > 0)
+    // induce our own scheduler pressure: 2x-cores spin threads for a
+    // beat — "some" stall accrues while they run
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until 2 * n).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1 }
+        sink.addAndGet(x)
+      })
+      t.start(); t
     }
-    val (_, idle) = Bench.measureSelfShare(Thread.sleep(500))
-    assert(busy > Bench.SelfSaturatedShare,
-      s"an all-cores spin burst must read as self-saturated, got $busy")
-    assert(idle < 0.3, s"an idle wait must read as low self share, got $idle")
+    val during = Bench.ambientStallFrac(400)
+    stop.set(true)
+    threads.foreach(_.join())
+    assert(sink.get() > 0)
+    val after = Bench.ambientStallFrac(400)
+    // the machine may carry genuine neighbor noise during a test run —
+    // only assert the causal separation when the burst actually
+    // registered and the host looks quiet afterwards is the claim itself
+    assume(during > 0.05,
+      s"oversubscription did not register PSI stall (during=$during); " +
+        "cgroup without PSI accounting?")
+    assert(after < during / 2,
+      s"stall must collapse once we idle (during=$during after=$after)")
+    assert(after < Bench.AmbientStallLimit ||
+      during > after + Bench.AmbientStallLimit,
+      s"idle-beat stall should be near zero on a quiet host " +
+        s"(during=$during after=$after)")
   }
 }

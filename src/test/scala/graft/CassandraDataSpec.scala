@@ -1199,9 +1199,9 @@ class CassandraDataSpec extends SparkSpec {
     }
     // 6) the compacted output is a COMPLETE sstable family: every
     // sidecar present per output generation (round 11)
-    val outDir = new java.io.File(
-      graft.ops.FeatureCompaction.ensureCompacted(spark, Sf0001,
-        graft.ops.FeatureCompaction.GcA))
+    val outPath = graft.ops.FeatureCompaction.ensureCompacted(spark,
+      Sf0001, graft.ops.FeatureCompaction.GcA)
+    val outDir = new java.io.File(outPath)
     val names = Option(outDir.listFiles()).get.map(_.getName).toSet
     val gens = names.collect { case n if n.endsWith("-Data.db") =>
       n.stripSuffix("-Data.db")
@@ -1211,6 +1211,24 @@ class CassandraDataSpec extends SparkSpec {
         "-Filter.db", "-Summary.db", "-Digest.crc32", "-CRC.db",
         "-TOC.txt"))
       assert(names.contains(g + c), s"missing $g$c")
+    // 7) ...and the sidecars are FUNCTIONAL: a pushed point read over
+    // the compacted output plans exactly the probed partition's range
+    // through its fresh Filter/Summary/Index.db (absent keys plan
+    // nothing), and the relation matches the unpushed scan
+    val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(kPd).array()
+    val pushedScan = DataDb.read(spark, outPath,
+        format = DataDbScan.FormatCassandra)
+      .where(col("key") === keyBytes)
+    assert(pushedScan.rdd.getNumPartitions === 1,
+      "one planned range for one surviving key")
+    val absent = DataDb.read(spark, outPath,
+        format = DataDbScan.FormatCassandra)
+      .where(col("key") ===
+        java.nio.ByteBuffer.allocate(8).putLong(-kPd - 1L).array())
+    assert(absent.rdd.getNumPartitions === 0,
+      "absent keys pruned by the compacted output's own bloom/index")
+    assert(pushedScan.count() ===
+      evA.where(col("k") === kPd).count())
     evA.unpersist(); evB.unpersist()
   }
 

@@ -566,6 +566,52 @@ object CassandraDataFixture {
     finally s.close()
   }
 
+  /** Per-sstable sidecar accumulator (round 11): collects the
+    * partition-boundary facts (index entries, summary samples, bloom
+    * keys, first/last key) while a Data.db streams out, then writes the
+    * complete uncompressed-family sidecars. Partitions carry no promoted
+    * index here (feature-schema partitions are small; unindexed, as in
+    * Cassandra). */
+  private final class Sidecars(out: Path, base: String) {
+    private val index = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(out.resolve(
+        base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
+    private val summaryEntries =
+      Vector.newBuilder[graft.sources.summarydb.SummaryDbFormat.Entry]
+    private val bloomKeys = Vector.newBuilder[Long]
+    private var firstKey: Array[Byte] = null
+    private var lastKey: Array[Byte] = null
+    private var n = 0L
+
+    /** Record a partition starting at `position`; returns its key
+      * bytes. */
+    def partition(k: Long, position: Long): Array[Byte] = {
+      val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+      bloomKeys += k
+      if (n % MinIndexInterval == 0)
+        summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
+          keyBytes, index.size().toLong)
+      if (firstKey == null) firstKey = keyBytes
+      lastKey = keyBytes
+      n += 1
+      graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
+        position, Array.emptyByteArray)
+      keyBytes
+    }
+
+    def abort(): Unit = index.close()
+
+    /** Close the index and write Filter/Summary/Digest/CRC/TOC (the
+      * caller has already closed `dataFile` and written
+      * Statistics.db). */
+    def finish(dataFile: java.io.File): Unit = {
+      index.close()
+      writeFilter(out, base, bloomKeys.result())
+      writeSummary(out, base, summaryEntries.result(), firstKey, lastKey)
+      writeDigestAndToc(out, base, dataFile, compressed = false)
+    }
+  }
+
   // ------------------------------------------- round-9 feature variant
 
   /** The FEATURE variant sstable set ("fb-<g>-big"): a schema WITH a
@@ -650,13 +696,16 @@ object CassandraDataFixture {
       .orderBy("k").collect().map(_.getLong(0))
     keys.groupBy(_ % 4).toSeq.sortBy(_._1).foreach { case (g, ks) =>
       val base = s"fb-$g-big"
+      val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
       val data = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(
-          out.resolve(base + DataDbFormat.Suffix).toFile), 1 << 16))
+        new FileOutputStream(dataFile), 1 << 16))
+      // complete sidecar family (round 11): the feature INPUT set splits
+      // and point-reads like every other real-format set
+      val sidecars = new Sidecars(out, base)
       try {
         val w = new Writer(data, FeatureHeader)
         ks.foreach { k =>
-          val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+          val keyBytes = sidecars.partition(k, w.position)
           // partition-level deletion iff k%19==0 (surfaced as a
           // PARTITION_DELETION event by the reader, round 9). The
           // markedForDeleteAt sits BETWEEN the partition's cell
@@ -712,8 +761,11 @@ object CassandraDataFixture {
           }
           w.writePartitionEnd()
         }
+      } catch {
+        case t: Throwable => sidecars.abort(); throw t
       } finally data.close()
       writeFeatureStats(out, base)
+      sidecars.finish(dataFile)
     }
   }
 
@@ -753,15 +805,7 @@ object CassandraDataFixture {
     val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
     val data = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(dataFile), 1 << 16))
-    val index = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(out.resolve(
-        base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
-    val summaryEntries =
-      Vector.newBuilder[graft.sources.summarydb.SummaryDbFormat.Entry]
-    val bloomKeys = Vector.newBuilder[Long]
-    var firstKey: Array[Byte] = null
-    var lastKey: Array[Byte] = null
-    var partitionsWritten = 0L
+    val sidecars = new Sidecars(out, base)
     try {
       val w = new Writer(data, FeatureHeader)
       var i = 0
@@ -773,16 +817,7 @@ object CassandraDataFixture {
         val pd = part.filter(_._4 == DataDbFormat.KindPartitionDeletion)
         require(pd.forall(_._2 == DataDbFormat.PartitionClustering),
           s"partition deletion at a non-partition clustering for key $k")
-        val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
-        bloomKeys += k
-        if (partitionsWritten % MinIndexInterval == 0)
-          summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
-            keyBytes, index.size().toLong)
-        if (firstKey == null) firstKey = keyBytes
-        lastKey = keyBytes
-        partitionsWritten += 1
-        graft.sources.indexdb.IndexDbFormat.writeEntry(index, keyBytes,
-          w.position, Array.emptyByteArray)
+        val keyBytes = sidecars.partition(k, w.position)
         w.writePartitionStart(keyBytes,
           deletion = pd.sortBy(_._5).lastOption.map(e => (e._5, e._7)))
         val rows = part.filter(_._4 != DataDbFormat.KindPartitionDeletion)
@@ -853,14 +888,11 @@ object CassandraDataFixture {
         w.writePartitionEnd()
         i = j
       }
-    } finally {
-      data.close()
-      index.close()
-    }
+    } catch {
+      case t: Throwable => sidecars.abort(); throw t
+    } finally data.close()
     writeFeatureStats(out, base)
-    writeFilter(out, base, bloomKeys.result())
-    writeSummary(out, base, summaryEntries.result(), firstKey, lastKey)
-    writeDigestAndToc(out, base, dataFile, compressed = false)
+    sidecars.finish(dataFile)
   }
 
   /** Minimal valid Statistics.db for the feature set: the VALIDATION /
@@ -975,13 +1007,14 @@ object CassandraDataFixture {
       .orderBy("k").collect().map(_.getLong(0))
     keys.groupBy(_ % 3).toSeq.sortBy(_._1).foreach { case (g, ks) =>
       val base = s"fs-$g-big"
+      val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
       val data = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(
-          out.resolve(base + DataDbFormat.Suffix).toFile), 1 << 16))
+        new FileOutputStream(dataFile), 1 << 16))
+      val sidecars = new Sidecars(out, base)
       try {
         val w = new Writer(data, StaticComplexHeader)
         ks.foreach { k =>
-          val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+          val keyBytes = sidecars.partition(k, w.position)
           w.writePartitionStart(keyBytes, deletion = None)
           val stagsCells = (0L to k % 2).map { i =>
             WriteCell(1,
@@ -1010,8 +1043,11 @@ object CassandraDataFixture {
               value = blobOf(k % 17, k)))))
           w.writePartitionEnd()
         }
+      } catch {
+        case t: Throwable => sidecars.abort(); throw t
       } finally data.close()
       writeFeatureStats(out, base, StaticComplexHeader)
+      sidecars.finish(dataFile)
     }
   }
 }

@@ -84,7 +84,11 @@ final class DataDbWriteBuilder(options: Map[String, String],
     val spillRows = options.get("spillrows").map(_.toInt)
       .getOrElse(DataDbWrite.DefaultSpillRows)
     require(spillRows > 0, s"spillRows must be positive, got $spillRows")
-    new DataDbWrite(path, schema, compressed, spillRows, feature)
+    val spillBytes = options.get("spillbytes").map(_.toLong)
+      .getOrElse(DataDbWrite.DefaultSpillBytes)
+    require(spillBytes > 0, s"spillBytes must be positive, got $spillBytes")
+    new DataDbWrite(path, schema, compressed, spillRows, spillBytes,
+      feature)
   }
 }
 
@@ -97,6 +101,13 @@ object DataDbWrite {
     * into the one-pass streaming kernel, the external-sort shape
     * Cassandra's own writer reaches via flush thresholds. */
   val DefaultSpillRows: Int = 1 << 20
+
+  /** Byte companion to `spillRows` (option `spillBytes`): rows are a
+    * proxy — large cell values could blow the buffer long before the row
+    * cap — so the buffer also spills when its MODELED resident size
+    * (fixed per-row envelope + column-name + value bytes) crosses this.
+    * Whichever cap trips first wins. */
+  val DefaultSpillBytes: Long = 256L << 20
 
   /** Spilled-run counter (diagnostics; specs assert the spill path
     * actually engaged under a small threshold). */
@@ -160,11 +171,13 @@ object DataDbWrite {
 
 final class DataDbWrite(path: String, schema: StructType,
     compressed: Boolean, spillRows: Int = DataDbWrite.DefaultSpillRows,
+    spillBytes: Long = DataDbWrite.DefaultSpillBytes,
     feature: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
     s"DataDbWrite path=$path compressed=$compressed spillRows=$spillRows" +
+      s" spillBytes=$spillBytes" +
       (if (feature) " schema=feature" else "")
 
   /** Co-locate each sstable's cells on one task... */
@@ -182,7 +195,7 @@ final class DataDbWrite(path: String, schema: StructType,
     DataDbScan.confEntries(
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())), spillRows, feature)
+        .getOrElse(new Configuration())), spillRows, spillBytes, feature)
 }
 
 /** Names of the destination files one task uploaded. */
@@ -191,13 +204,14 @@ final case class DataDbCommit(files: Seq[String]) extends WriterCommitMessage
 final class DataDbBatchWrite(path: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
     spillRows: Int = DataDbWrite.DefaultSpillRows,
+    spillBytes: Long = DataDbWrite.DefaultSpillBytes,
     feature: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new DataDbWriterFactory(path, schema, compressed, confEntries,
-      spillRows, feature)
+      spillRows, spillBytes, feature)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -215,13 +229,14 @@ final class DataDbBatchWrite(path: String, schema: StructType,
 final class DataDbWriterFactory(path: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
     spillRows: Int = DataDbWrite.DefaultSpillRows,
+    spillBytes: Long = DataDbWrite.DefaultSpillBytes,
     feature: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     if (feature) new FeatureSstableWriter(path, schema, confEntries)
     else new SstableDataWriter(path, schema, compressed, confEntries,
-      spillRows)
+      spillRows, spillBytes)
 }
 
 /** Rolls one real sstable per contiguous `sstable_id` run (the Write's
@@ -236,7 +251,8 @@ final class DataDbWriterFactory(path: String, schema: StructType,
   * shape Cassandra's own writer reaches via memtable flush thresholds. */
 final class SstableDataWriter(destDir: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
-    spillRows: Int = DataDbWrite.DefaultSpillRows)
+    spillRows: Int = DataDbWrite.DefaultSpillRows,
+    spillBytes: Long = DataDbWrite.DefaultSpillBytes)
     extends DataWriter[InternalRow] {
 
   private type T = (Long, Long, String, Boolean, Long, Long, Long,
@@ -292,15 +308,19 @@ final class SstableDataWriter(destDir: String, schema: StructType,
     if (ts < minTs) minTs = ts
     if ((tomb || exp) && ldt < minLdt) minLdt = ldt
     if (exp && ttl < minTtl) minTtl = ttl
+    val col = row.getUTF8String(ord("column_name")).toString
     buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
-      row.getUTF8String(ord("column_name")).toString,
-      kind == DataDbFormat.KindMarker, ts, ttl, ldt, tomb, exp, size,
+      col, kind == DataDbFormat.KindMarker, ts, ttl, ldt, tomb, exp, size,
       value))
-    if (buf.length >= spillRows) spill()
+    bufBytes += 64L + col.length + (if (value == null) 0 else value.length)
+    if (buf.length >= spillRows || bufBytes >= spillBytes) spill()
   }
+
+  private var bufBytes = 0L
 
   private def spill(): Unit = {
     buf.sortInPlace()(CassandraDataFixture.ValueTupleOrdering)
+    bufBytes = 0L
     val f = java.nio.file.Files
       .createTempFile(spillDir, "run-", ".spill").toFile
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -382,6 +402,7 @@ final class SstableDataWriter(destDir: String, schema: StructType,
       runs.foreach(_.file.delete())
       runs = Nil
       buf.clear()
+      bufBytes = 0L
       minTs = Long.MaxValue; minLdt = Long.MaxValue; minTtl = Long.MaxValue
     }
 

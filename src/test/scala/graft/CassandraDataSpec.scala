@@ -279,6 +279,14 @@ class CassandraDataSpec extends SparkSpec {
     assert(df.where(col("clustering") === DataDbFormat.PartitionClustering)
       .select("kind").distinct().collect().map(_.getString(0)).toSeq ===
       Seq("PARTITION_DELETION"))
+    // round 11: the feature set carries the complete sidecar family, so
+    // a small split size plans multiple partition-boundary ranges per
+    // file (task count tracks data volume) with the relation unchanged
+    val whole = df.rdd.getNumPartitions
+    val split = DataDb.read(spark, path,
+      maxSplitBytes = Some(4096L), format = DataDbScan.FormatCassandra)
+    assert(split.rdd.getNumPartitions > whole)
+    assert(split.count() === df.count())
   }
 
   test("column-subset bitmap and simple columns round-trip") {
@@ -841,6 +849,21 @@ class CassandraDataSpec extends SparkSpec {
         .mode("append").save()
       assert(graft.sources.datadb.DataDbWrite.spills.sum() > before,
         "the spill path must actually engage under a tiny threshold")
+      // the BYTE cap trips independently of the row cap (rows are a
+      // proxy; large values must bound memory too)
+      val beforeBytes = graft.sources.datadb.DataDbWrite.spills.sum()
+      val outBytes = java.nio.file.Files.createTempDirectory("graft-spill-c")
+      try {
+        cells.write.format("sstable-data")
+          .option("path", outBytes.toString).option("compressed", "true")
+          .option("spillBytes", "8192")
+          .mode("append").save()
+        assert(graft.sources.datadb.DataDbWrite.spills.sum() > beforeBytes,
+          "the byte cap must engage under a tiny spillBytes")
+      } finally {
+        Option(outBytes.toFile.listFiles()).foreach(_.foreach(_.delete()))
+        java.nio.file.Files.deleteIfExists(outBytes)
+      }
       cells.write.format("sstable-data")
         .option("path", outPlain.toString).option("compressed", "true")
         .mode("append").save()

@@ -879,6 +879,35 @@ object SparkEntry {
             .as("h60_sum"))
         .orderBy("key")
     }),
+    // value bytes through the SLICE path (round 11): pushed keys plus a
+    // clustering range — promoted-index blocks narrow each partition to
+    // the overlapping run where one exists, residual keeps exactness —
+    // with per-key content checksums of the in-range payloads
+    "q168_slice_get_values" -> ((s, d) => {
+      import graft.sources.datadb.{DataDb, DataDbScan}
+      val path = ensureValueExport(s, d)
+      val present = graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
+        .distinct().collect().map(_.getLong(0)).sorted
+      val probes = present ++ present.map(-_ - 1) // negations: absent
+      val keyBytes = probes.map(k =>
+        java.nio.ByteBuffer.allocate(8).putLong(k).array())
+      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+          format = DataDbScan.FormatCassandra)
+        .where(col("key").isin(keyBytes: _*) &&
+          col("clustering") >= 1L && col("clustering") <= 2L)
+        .select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+          col("value"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("events"),
+          count(col("value")).as("valued"),
+          coalesce(sum(length(col("value")).cast("long")), lit(0L))
+            .as("len_sum"),
+          coalesce(sum(graft.functions.PortableHash
+            .h60(col("value").cast("string")) % ChkMod), lit(0L))
+            .as("h60_sum"))
+        .orderBy("key")
+    }),
     // the purge pipeline with the size model being the ACTUAL stored
     // value length (round 11): over the value-bearing set, the scan's
     // size_bytes IS each payload's byte length, so reclaimable-byte

@@ -69,6 +69,19 @@ object Compaction {
     math.min(MaxOutputShards, math.max(1L,
       (inputModelBytes + TargetOutputBytes - 1) / TargetOutputBytes))
 
+  private val shardsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Session-memoized shard count per INPUT set: the volume model is a
+    * property of the input, not of the gc parameter, so compactions at
+    * several cutoffs (q164's two, the CLI's `-g`) share ONE sizing
+    * pass instead of re-scanning per cutoff. */
+  def memoizedShards(spark: SparkSession, inPath: String)(
+      inputBytes: => Long): Long =
+    shardsMemo.computeIfAbsent(
+      s"${graft.sources.PlanCache.sessionKey(spark)}|$inPath",
+      _ => java.lang.Long.valueOf(outputShards(inputBytes))).toLong
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -95,11 +108,11 @@ object Compaction {
             .cast("long") - 1L).cast("string")))
       // size the output fan-out by the input's modeled uncompressed
       // volume BEFORE the merge plans (the pruned single-column pass a
-      // real deployment replaces with the sidecar data_length sum)
-      val inputBytes = ev
-        .agg(sum(lit(EventOverheadBytes) + col("size_bytes")))
-        .head.getLong(0)
-      val shards = outputShards(inputBytes)
+      // real deployment replaces with the sidecar data_length sum);
+      // memoized per input set - gc variants share the sizing
+      val shards = memoizedShards(spark, inPath)(
+        ev.agg(sum(lit(EventOverheadBytes) + col("size_bytes")))
+          .head.getLong(0))
       val w = Window.partitionBy("key", "clustering", "column_name")
         .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
           col("size_bytes").desc, col("is_tombstone").desc,

@@ -77,11 +77,11 @@ object FeatureCompaction {
           format = DataDbScan.FormatCassandra)
         .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
       // the same relational volume model as q162's sharding (oracle-
-      // replayable; production swaps in the sidecar data_length sum)
-      val inputBytes = ev
-        .agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes")))
-        .head.getLong(0)
-      val shards = Compaction.outputShards(inputBytes)
+      // replayable; production swaps in the sidecar data_length sum);
+      // memoized per input set - both gc cutoffs share one sizing pass
+      val shards = Compaction.memoizedShards(spark, inPath)(
+        ev.agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes")))
+          .head.getLong(0))
       val pd = ev.where(col("kind") === DataDbFormat.KindPartitionDeletion)
         .groupBy("k").agg(max("timestamp_us").as("pd_ts"))
       val rd = ev.where(col("kind") === DataDbFormat.KindRowDeletion)

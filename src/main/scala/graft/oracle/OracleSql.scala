@@ -1076,6 +1076,24 @@ SELECT key, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS len_sum,
   CAST(COALESCE(SUM(${h60("v")} % 1000003), 0) AS BIGINT) AS h60_sum
 FROM pay GROUP BY 1 ORDER BY 1""",
+    // q168: value bytes through the SLICE path — q166's derivation
+    // restricted to the pushed clustering range (the residual filter
+    // makes block narrowing invisible to the relation; economy is
+    // spec-pinned on the q160 family).
+    "q168_slice_get_values" -> s"""WITH $fixtures,
+pay AS (
+  SELECT key,
+    CASE WHEN kind = 'CELL' AND NOT is_tombstone
+      THEN 'v' || CAST(key AS VARCHAR) || ':' || CAST(clustering AS VARCHAR)
+        || ':' || CAST(timestamp_us AS VARCHAR) END AS v
+  FROM licells
+  WHERE key % 1009 = 0 AND clustering BETWEEN 1 AND 2
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(v) AS BIGINT) AS valued,
+  CAST(COALESCE(SUM(length(v)), 0) AS BIGINT) AS len_sum,
+  CAST(COALESCE(SUM(${h60("v")} % 1000003), 0) AS BIGINT) AS h60_sum
+FROM pay GROUP BY 1 ORDER BY 1""",
     // q167: the purge pipeline sized by the ACTUAL stored value length —
     // over the value-bearing set each live cell's size is its payload's
     // byte length (markers/tombstones store nothing); the LWW merge and

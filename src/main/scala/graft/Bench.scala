@@ -63,6 +63,20 @@ object Bench {
     * earlier stall was its own queueing). */
   private[graft] val AmbientStallLimit = 0.05
 
+  /** Shared thresholds of the stall arm — [[needsBeat]] (when to pay the
+    * idle beat) and [[contendedWindow]] (how to judge it) must move
+    * together, so they read one set of constants. */
+  private[graft] val StealLimit = 0.03
+  private[graft] val StallLimit = 0.10
+  private[graft] val MinWallSec = 0.05
+
+  /** True when a window's own numbers look disqualifying — exactly the
+    * windows whose ambient beat must be sampled for [[contendedWindow]]
+    * to have evidence to judge. */
+  private[graft] def needsBeat(stealFrac: Double, stallFrac: Double,
+      wallSec: Double): Boolean =
+    stealFrac <= StealLimit && stallFrac > StallLimit && wallSec > MinWallSec
+
   /** A timed window is contaminated if hypervisor steal ate a meaningful
     * fraction of it, or PSI cpu stall did AND the stall was still there
     * when this process idled (the ambient beat) — stall that vanishes
@@ -71,8 +85,8 @@ object Bench {
     * enough for a meaningful PSI delta. */
   private[graft] def contendedWindow(stealFrac: Double, stallFrac: Double,
       wallSec: Double, ambientStall: Double): Boolean =
-    stealFrac > 0.03 ||
-      (wallSec > 0.05 && stallFrac > 0.10 &&
+    stealFrac > StealLimit ||
+      (needsBeat(stealFrac, stallFrac, wallSec) &&
         ambientStall > AmbientStallLimit)
 
   private def contended(w: (Double, Double, Double, Double)): Boolean =
@@ -192,9 +206,7 @@ object Bench {
         // the causal beat, paid only when this window's own stall looks
         // disqualifying: does the stall persist once we go idle?
         val ambient =
-          if (steal <= 0.03 && stall > 0.10 && sec > 0.05)
-            ambientStallFrac()
-          else 0.0
+          if (needsBeat(steal, stall, sec)) ambientStallFrac() else 0.0
         (sec, steal, stall, ambient)
       }
       var best = once()

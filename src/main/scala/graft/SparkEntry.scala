@@ -245,6 +245,35 @@ object SparkEntry {
       .orderBy("sstable_id")
   }
 
+  /** The point/slice probe list shared by q159/q166/q168: every present
+    * key%1009==0 key plus its absent negation, as the raw 8-byte
+    * big-endian key encoding — a few hundred plan literals at sf0.1 (the
+    * point-query shape: the list IS the query). One definition so the
+    * modulus / negation scheme can never desynchronize a query from its
+    * shared oracle. */
+  private def probeKeyBytes(s: SparkSession, d: String): Array[Array[Byte]] = {
+    val present = graft.sources.Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
+      .distinct().collect().map(_.getLong(0)).sorted
+    (present ++ present.map(-_ - 1)).map(k =>
+      java.nio.ByteBuffer.allocate(8).putLong(k).array())
+  }
+
+  /** Per-key content checksums of a scan's `value` column — the shared
+    * aggregate of the value point/slice reads (q166/q168). */
+  private def valueChecksums(df: DataFrame): DataFrame =
+    df.select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+        col("value"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("events"),
+        count(col("value")).as("valued"),
+        coalesce(sum(length(col("value")).cast("long")), lit(0L))
+          .as("len_sum"),
+        coalesce(sum(graft.functions.PortableHash
+          .h60(col("value").cast("string")) % ChkMod), lit(0L))
+          .as("h60_sum"))
+      .orderBy("key")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // catalog
     "q00_catalog" -> ((s, d) => Summary.catalog(s, d)),
@@ -410,16 +439,7 @@ object SparkEntry {
     "q159_scan_point_pushdown" -> ((s, d) => {
       import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
       val path = CassandraDataFixture.ensureFiles(s, d, compressed = true)
-      // the pushed IN list: present keys (key%1009==0) and their absent
-      // negations, as the raw 8-byte big-endian key encoding; a few
-      // hundred plan literals at sf0.1 (the point-query shape — the list
-      // IS the query)
-      val present = graft.sources.Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
-        .distinct().collect().map(_.getLong(0)).sorted
-      val probes = present ++ present.map(-_ - 1) // negations: absent
-      val keyBytes = probes.map(k =>
-        java.nio.ByteBuffer.allocate(8).putLong(k).array())
+      val keyBytes = probeKeyBytes(s, d)
       DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
           format = DataDbScan.FormatCassandra)
         .where(col("key").isin(keyBytes: _*))
@@ -858,26 +878,10 @@ object SparkEntry {
     "q166_point_get_values" -> ((s, d) => {
       import graft.sources.datadb.{DataDb, DataDbScan}
       val path = ensureValueExport(s, d)
-      val present = graft.sources.Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
-        .distinct().collect().map(_.getLong(0)).sorted
-      val probes = present ++ present.map(-_ - 1) // negations: absent
-      val keyBytes = probes.map(k =>
-        java.nio.ByteBuffer.allocate(8).putLong(k).array())
-      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
-          format = DataDbScan.FormatCassandra)
-        .where(col("key").isin(keyBytes: _*))
-        .select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
-          col("value"))
-        .groupBy("key")
-        .agg(count(lit(1)).as("events"),
-          count(col("value")).as("valued"),
-          coalesce(sum(length(col("value")).cast("long")), lit(0L))
-            .as("len_sum"),
-          coalesce(sum(graft.functions.PortableHash
-            .h60(col("value").cast("string")) % ChkMod), lit(0L))
-            .as("h60_sum"))
-        .orderBy("key")
+      valueChecksums(
+        DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+            format = DataDbScan.FormatCassandra)
+          .where(col("key").isin(probeKeyBytes(s, d): _*)))
     }),
     // value bytes through the SLICE path (round 11): pushed keys plus a
     // clustering range — promoted-index blocks narrow each partition to
@@ -886,27 +890,11 @@ object SparkEntry {
     "q168_slice_get_values" -> ((s, d) => {
       import graft.sources.datadb.{DataDb, DataDbScan}
       val path = ensureValueExport(s, d)
-      val present = graft.sources.Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("key")).where(col("key") % 1009 === 0)
-        .distinct().collect().map(_.getLong(0)).sorted
-      val probes = present ++ present.map(-_ - 1) // negations: absent
-      val keyBytes = probes.map(k =>
-        java.nio.ByteBuffer.allocate(8).putLong(k).array())
-      DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
-          format = DataDbScan.FormatCassandra)
-        .where(col("key").isin(keyBytes: _*) &&
-          col("clustering") >= 1L && col("clustering") <= 2L)
-        .select(graft.sources.BinaryKeys.beLong(col("key")).as("key"),
-          col("value"))
-        .groupBy("key")
-        .agg(count(lit(1)).as("events"),
-          count(col("value")).as("valued"),
-          coalesce(sum(length(col("value")).cast("long")), lit(0L))
-            .as("len_sum"),
-          coalesce(sum(graft.functions.PortableHash
-            .h60(col("value").cast("string")) % ChkMod), lit(0L))
-            .as("h60_sum"))
-        .orderBy("key")
+      valueChecksums(
+        DataDb.read(s, path, maxSplitBytes = Some(cassSplitBytes(path)),
+            format = DataDbScan.FormatCassandra)
+          .where(col("key").isin(probeKeyBytes(s, d): _*) &&
+            col("clustering") >= 1L && col("clustering") <= 2L))
     }),
     // the purge pipeline with the size model being the ACTUAL stored
     // value length (round 11): over the value-bearing set, the scan's

@@ -5,10 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      s"usage: Verify <sfDir> <outDir> [query-substring]; got ${args.toSeq}")
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: substring filter for fast local iteration (the
-    // driver always passes exactly two)
+    // driver always passes exactly two); a filter matching NOTHING is an
+    // error, not a silent empty run the comparer could misread as clean
     val only = args.lift(2)
+    only.foreach(f => require(
+      SparkEntry.queries.keys.exists(_.contains(f)),
+      s"query filter '$f' matches no query"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

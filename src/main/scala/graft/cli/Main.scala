@@ -264,7 +264,11 @@ object Main {
           if (!requireStore()) return 2
           out(tracked("compact")(
             Reports.compactExecute(spark, dir, o.gcBeforeS))); 0
-        } else { out(tracked("compact")(Reports.compact(spark, dir))); 0 }
+        } else {
+          // -g applies to the executed-compaction rollup in BOTH modes
+          out(tracked("compact")(
+            Reports.compact(spark, dir, o.gcBeforeS))); 0
+        }
       case "tokenize" =>
         out(tracked("tokenize")(Reports.tokenize(spark, dir, o.bpeSteps))); 0
       case "lookup" =>

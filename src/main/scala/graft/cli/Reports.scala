@@ -305,12 +305,13 @@ object Reports {
   /** `compact` — the q146 STCS what-if per size tier, then the q162 REAL
     * compaction executed end to end (real sstables → LWW merge + purge →
     * real sstables via the DSv2 sink) with its per-output-shard rollup. */
-  def compact(spark: SparkSession, dir: String): String =
+  def compact(spark: SparkSession, dir: String,
+      gcBeforeS: Long = graft.sources.Fixtures.GcBeforeS): String =
     section("STCS compaction what-if by size tier",
       graft.ops.Summary.stcsWhatIf(spark, dir)) + "\n" +
       section("Executed compaction (volume-adaptive key%N-sharded real " +
         "sstable outputs)",
-        graft.ops.Compaction.compactionRoundtrip(spark, dir))
+        graft.ops.Compaction.compactionRoundtrip(spark, dir, gcBeforeS))
 
   /** `compact --execute <ks> <cf> [-g]` — run the REAL compaction (the
     * q162 read → merge → write → read circle) at the given gc cutoff and

@@ -1012,8 +1012,8 @@ mapped AS (
   FROM licells
 ),
 vol AS (
-  SELECT GREATEST(1, CAST(CEIL(SUM(32 + size_bytes) / 1048576.0) AS BIGINT))
-    AS n
+  SELECT LEAST(4096, GREATEST(1,
+    CAST(CEIL(SUM(32 + size_bytes) / 1048576.0) AS BIGINT))) AS n
   FROM mapped
 ),
 ranked AS (
@@ -4209,7 +4209,7 @@ rowx AS (SELECT k, c, pd_ts, cd_ts,
   CASE WHEN k % 11 = 0 AND c = 0 THEN 2000000000000 + k END AS rd_ts
   FROM rows_),
 vol AS (
-  SELECT GREATEST(1, CAST(CEIL((
+  SELECT LEAST(4096, GREATEST(1, CAST(CEIL((
     (SELECT SUM(CASE WHEN k % 19 = 0 THEN 32 ELSE 0 END
        + CASE WHEN k % 3 = 0 THEN 32 + k % 23 ELSE 0 END
        + CASE WHEN k % 9 = 0 THEN 32 ELSE 0 END
@@ -4219,7 +4219,7 @@ vol AS (
        + CASE WHEN k % 13 = 0 THEN 32 ELSE 0 END
        + 32 + (k + c) % 31 + 64 + (k + c) % 7 + (k + c + 1) % 7)
        FROM rowx)
-    ) / 1048576.0) AS BIGINT)) AS n),
+    ) / 1048576.0) AS BIGINT))) AS n),
 gcs AS (SELECT UNNEST([600000050, 700000020]) AS gc),
 ev AS (
   SELECT g.gc, b.k, 'PD' AS kind, b.pd_ts AS ts,

@@ -304,9 +304,12 @@ object CassandraDataFixture {
       new ChunkedData.ChunkingOutputStream(fileStream, ChunkLength,
         Int.MaxValue, c))
     val data = new DataOutputStream(chunking.getOrElse(fileStream))
-    val index = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(out.resolve(
+    // long index-offset counter: DataOutputStream.size() saturates at
+    // 2 GiB, and Summary.db offsets must stay exact past it
+    val indexCounting = new graft.sources.CountingOutputStream(
+      new BufferedOutputStream(new FileOutputStream(out.resolve(
         base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
+    val index = new DataOutputStream(indexCounting)
     val w = new Writer(data, header)
     // Summary.db sampling state: every MinIndexInterval-th partition's
     // (key, Index.db entry offset), plus first/last keys
@@ -333,7 +336,7 @@ object CassandraDataFixture {
         val keyBytes = java.nio.ByteBuffer.allocate(8).putLong(key).array()
         if (partitionsWritten % MinIndexInterval == 0)
           summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
-            keyBytes, index.size().toLong)
+            keyBytes, indexCounting.count)
         if (firstKey == null) firstKey = keyBytes
         lastKey = keyBytes
         partitionsWritten += 1
@@ -573,9 +576,11 @@ object CassandraDataFixture {
     * index here (feature-schema partitions are small; unindexed, as in
     * Cassandra). */
   private final class Sidecars(out: Path, base: String) {
-    private val index = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(out.resolve(
+    // long offset counter (DataOutputStream.size() saturates at 2 GiB)
+    private val indexCounting = new graft.sources.CountingOutputStream(
+      new BufferedOutputStream(new FileOutputStream(out.resolve(
         base + graft.sources.indexdb.IndexDbFormat.Suffix).toFile)))
+    private val index = new DataOutputStream(indexCounting)
     private val summaryEntries =
       Vector.newBuilder[graft.sources.summarydb.SummaryDbFormat.Entry]
     private val bloomKeys = Vector.newBuilder[Long]
@@ -590,7 +595,7 @@ object CassandraDataFixture {
       bloomKeys += k
       if (n % MinIndexInterval == 0)
         summaryEntries += graft.sources.summarydb.SummaryDbFormat.Entry(
-          keyBytes, index.size().toLong)
+          keyBytes, indexCounting.count)
       if (firstKey == null) firstKey = keyBytes
       lastKey = keyBytes
       n += 1

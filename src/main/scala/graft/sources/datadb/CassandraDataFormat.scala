@@ -309,13 +309,25 @@ object CassandraDataFormat {
 
   /** Tracks the previous unfiltered's total serialized size — the
     * `previousUnfilteredSize` vint big-format readers use for reverse
-    * iteration. One instance per Data.db file. */
-  final class Writer(out: DataOutputStream, header: SerializationHeaderInfo) {
+    * iteration. One instance per Data.db file.
+    *
+    * Positions are tracked through a LONG byte counter of our own
+    * (round 11): `DataOutputStream.size()` saturates at Int.MaxValue,
+    * which would silently corrupt every recorded offset past 2 GiB —
+    * exactly the file sizes the spill-bounded sink exists to stream.
+    * `sink` may be any OutputStream (the previous DataOutputStream call
+    * sites still compile; the extra write-through layer costs nothing
+    * and buffers nothing, so the caller's flush/close semantics are
+    * unchanged). */
+  final class Writer(sink: java.io.OutputStream,
+      header: SerializationHeaderInfo) {
     require(header.clusteringTypes == Seq(Marshal.Prefix + "LongType"),
       "writer surface requires a single LongType clustering column")
+    private val counting = new graft.sources.CountingOutputStream(sink)
+    private val out = new DataOutputStream(counting)
     private var prevSize = 0L
 
-    def position: Long = out.size().toLong
+    def position: Long = counting.count
 
     /** `deletion` = (markedForDeleteAtUs, localDeletionTimeS) writes a
       * real partition-level deletion; None writes DeletionTime.LIVE. */
@@ -431,13 +443,13 @@ object CassandraDataFormat {
         }
       }
       val bodyBytes = body.toByteArray
-      val before = out.size()
+      val before = position
       out.writeByte(flags)
       writeClusteringBlock(out, r.clustering)
       writeUnsignedVInt(out, bodyBytes.length.toLong)
       writeUnsignedVInt(out, prevSize)
       out.write(bodyBytes)
-      prevSize = (out.size() - before).toLong
+      prevSize = position - before
     }
 
     private def writeStaticRow(s: WriteStaticRow): Unit = {
@@ -476,13 +488,13 @@ object CassandraDataFormat {
         }
       }
       val bodyBytes = body.toByteArray
-      val before = out.size()
+      val before = position
       out.writeByte(flags)
       out.writeByte(IsStatic) // extended flags: no clustering block follows
       writeUnsignedVInt(out, bodyBytes.length.toLong)
       writeUnsignedVInt(out, prevSize)
       out.write(bodyBytes)
-      prevSize = (out.size() - before).toLong
+      prevSize = position - before
     }
 
     private def writeMarker(m: WriteMarker): Unit = {
@@ -499,7 +511,7 @@ object CassandraDataFormat {
         writeDeltaLdt(bd, m.localDeletionTimeS)
       }
       val bodyBytes = body.toByteArray
-      val before = out.size()
+      val before = position
       out.writeByte(IsMarker)
       out.writeByte(m.kind)
       out.writeShort(1) // bound size: one clustering value
@@ -507,7 +519,7 @@ object CassandraDataFormat {
       writeUnsignedVInt(out, bodyBytes.length.toLong)
       writeUnsignedVInt(out, prevSize)
       out.write(bodyBytes)
-      prevSize = (out.size() - before).toLong
+      prevSize = position - before
     }
   }
 

@@ -462,8 +462,12 @@ private[datadb] object StagedUpload {
   * the executed deletion-shadowing compaction flows through. Buffers one
   * generation's events in task heap: feature outputs are sized by the
   * volume-adaptive shard function upstream (ceil(bytes/target)), so the
-  * buffer is bounded by construction — the spill machinery lives on the
-  * cells path, where callers control generation sizes. */
+  * buffer is bounded by construction UNTIL the MaxOutputShards backstop
+  * caps the fan-out (~4 GiB of modeled input at the fixture-scale 1 MiB
+  * target; per-shard volume grows past it) — a corpus that large on the
+  * feature path should raise the target or borrow the cells path's
+  * spill/merge machinery. The spill machinery lives on the cells path,
+  * where callers control generation sizes directly. */
 final class FeatureSstableWriter(destDir: String, schema: StructType,
     confEntries: Array[(String, String)]) extends DataWriter[InternalRow] {
 
@@ -498,9 +502,13 @@ final class FeatureSstableWriter(destDir: String, schema: StructType,
       throw new IllegalStateException(
         s"sstable_id '$currentId' arrived in multiple runs — " +
           "input not sorted by sstable_id")
-    CassandraDataFixture.writeFeatureCompacted(tmp,
-      DataDbWrite.featureShardOf(currentId), buf.iterator)
+    // hand the events off as ONE array (the kernel sorts in place) and
+    // release the buffer before the kernel works — no double residency
+    // through the sort/write
+    val events = buf.toArray
     buf.clear()
+    CassandraDataFixture.writeFeatureCompacted(tmp,
+      DataDbWrite.featureShardOf(currentId), events.iterator)
   }
 
   override def commit(): WriterCommitMessage = {

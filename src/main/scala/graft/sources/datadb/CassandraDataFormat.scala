@@ -45,12 +45,12 @@ import graft.sources.indexdb.IndexDbFormat.{readUnsignedVInt, readVInt, writeUns
   *
   * Boundaries, stated honestly (same class as CassandraStatsFormat's):
   * written from the published serializer source with no live Cassandra in
-  * this sandbox to cross-write fixtures; complex-column DELETIONS, static
-  * rows and row-level liveness/deletion parse correctly but are not
-  * surfaced as events (the fixture corpus never writes them — real files
-  * that do lose those rows' liveness metadata, not their cells); the
-  * relational surface requires a single `LongType` clustering column
-  * (arbitrary clustering parses at the codec level).
+  * this sandbox to cross-write fixtures; the relational surface requires
+  * a single `LongType` clustering column (arbitrary clustering parses at
+  * the codec level). Since round 9 the row-level metadata — static rows,
+  * primary-key liveness, row deletions, complex-column deletions,
+  * partition deletions — is SURFACED as typed events (q110/q121/q129/
+  * q164), not just parsed for stream integrity.
   */
 object CassandraDataFormat {
 

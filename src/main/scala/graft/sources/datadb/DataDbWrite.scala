@@ -258,15 +258,25 @@ final class SstableDataWriter(destDir: String, schema: StructType,
   private type T = (Long, Long, String, Boolean, Long, Long, Long,
     Boolean, Boolean, Long, Array[Byte])
 
-  private val ord: Map[String, Int] =
-    DataDbWrite.RequiredFields.map { case (n, _) =>
-      n -> schema.fieldNames.indexOf(n)
-    }.toMap
+  // field ordinals resolved ONCE (write() runs per row — a string-keyed
+  // map lookup per field there is pure hot-path overhead)
+  private def ord(n: String): Int = schema.fieldNames.indexOf(n)
+  private val idOrd = ord("sstable_id")
+  private val keyOrd = ord("key")
+  private val clOrd = ord("clustering")
+  private val colOrd = ord("column_name")
+  private val kindOrd = ord("kind")
+  private val tsOrd = ord("timestamp_us")
+  private val ttlOrd = ord("ttl_s")
+  private val ldtOrd = ord("local_deletion_time_s")
+  private val tombOrd = ord("is_tombstone")
+  private val expOrd = ord("is_expiring")
+  private val sizeOrd = ord("size_bytes")
   // OPTIONAL value passthrough: when the incoming relation carries a
   // binary `value` column, non-null cell values are stored verbatim
   // (read-back length = value length); null falls back to the
   // deterministic size_bytes blob
-  private val valueOrd: Int = schema.fieldNames.indexOf("value")
+  private val valueOrd: Int = ord("value")
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
   // run files live OUTSIDE the upload dir (commit ships everything in
@@ -285,31 +295,31 @@ final class SstableDataWriter(destDir: String, schema: StructType,
   private var minTtl = Long.MaxValue // over expiring events
 
   override def write(row: InternalRow): Unit = {
-    val id = row.getUTF8String(ord("sstable_id")).toString
+    val id = row.getUTF8String(idOrd).toString
     if (currentId != null && id != currentId) flush()
     currentId = id
-    val kind = row.getUTF8String(ord("kind")).toString
+    val kind = row.getUTF8String(kindOrd).toString
     if (kind != DataDbFormat.KindCell && kind != DataDbFormat.KindMarker)
       throw new IllegalArgumentException(
         s"sstable-data write: unknown kind '$kind' (expected " +
           s"${DataDbFormat.KindCell} or ${DataDbFormat.KindMarker})")
-    val size = row.getLong(ord("size_bytes"))
+    val size = row.getLong(sizeOrd)
     if (size < 0)
       throw new IllegalArgumentException(
         s"sstable-data write: negative size_bytes $size")
     val value =
       if (valueOrd < 0 || row.isNullAt(valueOrd)) null
       else row.getBinary(valueOrd)
-    val ts = row.getLong(ord("timestamp_us"))
-    val ttl = row.getLong(ord("ttl_s"))
-    val ldt = row.getLong(ord("local_deletion_time_s"))
-    val tomb = row.getBoolean(ord("is_tombstone"))
-    val exp = row.getBoolean(ord("is_expiring"))
+    val ts = row.getLong(tsOrd)
+    val ttl = row.getLong(ttlOrd)
+    val ldt = row.getLong(ldtOrd)
+    val tomb = row.getBoolean(tombOrd)
+    val exp = row.getBoolean(expOrd)
     if (ts < minTs) minTs = ts
     if ((tomb || exp) && ldt < minLdt) minLdt = ldt
     if (exp && ttl < minTtl) minTtl = ttl
-    val col = row.getUTF8String(ord("column_name")).toString
-    buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
+    val col = row.getUTF8String(colOrd).toString
+    buf += ((row.getLong(keyOrd), row.getLong(clOrd),
       col, kind == DataDbFormat.KindMarker, ts, ttl, ldt, tomb, exp, size,
       value))
     bufBytes += 64L + col.length + (if (value == null) 0 else value.length)
@@ -471,11 +481,17 @@ private[datadb] object StagedUpload {
 final class FeatureSstableWriter(destDir: String, schema: StructType,
     confEntries: Array[(String, String)]) extends DataWriter[InternalRow] {
 
-  private val ord: Map[String, Int] =
-    DataDbWrite.FeatureRequiredFields.map { case (n, _) =>
-      n -> schema.fieldNames.indexOf(n)
-    }.toMap
-  private val valueOrd: Int = schema.fieldNames.indexOf("value")
+  // field ordinals resolved once (see SstableDataWriter)
+  private def ord(n: String): Int = schema.fieldNames.indexOf(n)
+  private val idOrd = ord("sstable_id")
+  private val keyOrd = ord("key")
+  private val clOrd = ord("clustering")
+  private val colOrd = ord("column_name")
+  private val kindOrd = ord("kind")
+  private val tsOrd = ord("timestamp_us")
+  private val ttlOrd = ord("ttl_s")
+  private val ldtOrd = ord("local_deletion_time_s")
+  private val valueOrd: Int = ord("value")
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
   private var currentId: String = null
@@ -484,17 +500,17 @@ final class FeatureSstableWriter(destDir: String, schema: StructType,
     Long, Long, Array[Byte])]()
 
   override def write(row: InternalRow): Unit = {
-    val id = row.getUTF8String(ord("sstable_id")).toString
+    val id = row.getUTF8String(idOrd).toString
     if (currentId != null && id != currentId) flush()
     currentId = id
     val value =
       if (valueOrd < 0 || row.isNullAt(valueOrd)) null
       else row.getBinary(valueOrd)
-    buf += ((row.getLong(ord("key")), row.getLong(ord("clustering")),
-      row.getUTF8String(ord("column_name")).toString,
-      row.getUTF8String(ord("kind")).toString,
-      row.getLong(ord("timestamp_us")), row.getLong(ord("ttl_s")),
-      row.getLong(ord("local_deletion_time_s")), value))
+    buf += ((row.getLong(keyOrd), row.getLong(clOrd),
+      row.getUTF8String(colOrd).toString,
+      row.getUTF8String(kindOrd).toString,
+      row.getLong(tsOrd), row.getLong(ttlOrd),
+      row.getLong(ldtOrd), value))
   }
 
   private def flush(): Unit = if (currentId != null && buf.nonEmpty) {

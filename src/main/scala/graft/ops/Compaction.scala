@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Fixtures
@@ -70,20 +69,35 @@ object Compaction {
       (inputModelBytes + TargetOutputBytes - 1) / TargetOutputBytes))
 
   private val shardsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.HashMap[String, (SparkSession, Long)]()
 
   /** Session-memoized shard count per INPUT set: the volume model is a
     * property of the input, not of the gc parameter, so compactions at
     * several cutoffs (q164's two, the CLI's `-g`) share ONE sizing
-    * pass instead of re-scanning per cutoff. */
+    * pass instead of re-scanning per cutoff. Entries are swept with
+    * their session (the fixture-memo pattern) so closed sessions don't
+    * accumulate for the JVM lifetime. */
   def memoizedShards(spark: SparkSession, inPath: String)(
-      inputBytes: => Long): Long =
-    shardsMemo.computeIfAbsent(
-      s"${graft.sources.PlanCache.sessionKey(spark)}|$inPath",
-      _ => java.lang.Long.valueOf(outputShards(inputBytes))).toLong
+      inputBytes: => Long): Long = shardsMemo.synchronized {
+    sweep(shardsMemo)
+    val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$inPath"
+    val hit = shardsMemo.get(k)
+    if (hit != null) hit._2
+    else {
+      val n = outputShards(inputBytes)
+      shardsMemo.put(k, (spark, n))
+      n
+    }
+  }
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sweep[V](m: java.util.HashMap[String, (SparkSession, V)])
+      : Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+  }
+
+  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
 
   private val ChkMod = 1000003L
 
@@ -91,9 +105,12 @@ object Compaction {
     * [[outputShards]]-many real sstables under a session-memoized temp
     * dir; returns the output directory. */
   def ensureCompacted(spark: SparkSession, dir: String,
-      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = memo.synchronized {
+    sweep(memo)
     val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$gcBeforeS"
-    memo.computeIfAbsent(key, _ => {
+    val hit = memo.get(key)
+    if (hit != null) return hit._2
+    val built = {
       val inPath = CassandraDataFixture.ensureFiles(spark, dir,
         compressed = true)
       val out = graft.sources.TempDirs.register(
@@ -113,14 +130,15 @@ object Compaction {
       val shards = memoizedShards(spark, inPath)(
         ev.agg(sum(lit(EventOverheadBytes) + col("size_bytes")))
           .head.getLong(0))
-      val w = Window.partitionBy("key", "clustering", "column_name")
-        .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
-          col("size_bytes").desc, col("is_tombstone").desc,
-          col("local_deletion_time_s").desc, col("ttl_s").desc,
-          col("is_expiring").desc, col("kind").desc)
-      ev.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1 &&
-          !(col("is_tombstone") && col("local_deletion_time_s") < gcBeforeS))
+      // LWW winner per merge key as a HASH AGGREGATE, not a window: the
+      // 8-field total order IS the struct's lexicographic order, so
+      // max(struct(order cols)) picks exactly the row_number()=1 row of
+      // the all-DESC window — but gets map-side partial aggregation and
+      // drops the per-group sort. At 100 TB that is the difference
+      // between one combine-enabled exchange and a full shuffle + sort.
+      // The struct's fields are ALSO every surviving output field, so no
+      // payload needs carrying beside the ordering.
+      mergeWinners(ev, gcBeforeS)
         .select(
           concat(lit("sst-"), pmod(col("key"), lit(shards)))
             .as("sstable_id"),
@@ -131,8 +149,30 @@ object Compaction {
         .option("path", out).option("compressed", "true")
         .mode("append").save()
       out
-    })
+    }
+    memo.put(key, (spark, built))
+    built
   }
+
+  /** The LWW merge + gc purge as a plain aggregate: per (key, clustering,
+    * column_name) the max of the ordering struct survives; droppable
+    * tombstone winners purge. Exposed for the deletion-heavy/plan specs. */
+  def mergeWinners(ev: DataFrame, gcBeforeS: Long): DataFrame =
+    ev.groupBy("key", "clustering", "column_name")
+      .agg(max(struct(
+        col("timestamp_us"), col("sstable_id"), col("size_bytes"),
+        col("is_tombstone"), col("local_deletion_time_s"), col("ttl_s"),
+        col("is_expiring"), col("kind"))).as("w"))
+      .where(!(col("w.is_tombstone") &&
+        col("w.local_deletion_time_s") < gcBeforeS))
+      .select(col("key"), col("clustering"), col("column_name"),
+        col("w.kind").as("kind"),
+        col("w.timestamp_us").as("timestamp_us"),
+        col("w.ttl_s").as("ttl_s"),
+        col("w.local_deletion_time_s").as("local_deletion_time_s"),
+        col("w.is_tombstone").as("is_tombstone"),
+        col("w.is_expiring").as("is_expiring"),
+        col("w.size_bytes").as("size_bytes"))
 
   private def splitBytes(path: String): Long = {
     val files = Option(new java.io.File(path)

@@ -58,17 +58,26 @@ object FeatureCompaction {
     * (D2 + [0,40)/[0,50)): those bisect; row deletions all purge. */
   val GcB: Long = CassandraDataFixture.FeatureD2 + 20L
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+
+  private def sweep(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+  }
 
   /** Compact the feature set of `dir` under the shadow hierarchy at
     * `gcBeforeS` into volume-adaptively-many real feature-schema
-    * sstables; returns the output directory (session-memoized). */
+    * sstables; returns the output directory (session-memoized, swept
+    * with the session like the fixture memos). */
   def ensureCompacted(spark: SparkSession, dir: String,
-      gcBeforeS: Long): String = {
+      gcBeforeS: Long): String = memo.synchronized {
+    sweep()
     val key =
       s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|feat|$gcBeforeS"
-    memo.computeIfAbsent(key, _ => {
+    val hit = memo.get(key)
+    if (hit != null) return hit._2
+    val built = {
       val inPath = CassandraDataFixture.ensureFeatureFiles(spark, dir)
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory(
@@ -131,7 +140,9 @@ object FeatureCompaction {
       require(Option(new java.io.File(out).listFiles()).exists(_.nonEmpty),
         s"feature compaction of $dir emitted nothing")
       out
-    })
+    }
+    memo.put(key, (spark, built))
+    built
   }
 
   private val M = 1000003L

@@ -797,15 +797,37 @@ object CassandraDataFixture {
     * sstable. Partitions are tiny here, so index entries carry no
     * promoted index (unindexed partitions, as in Cassandra). */
   def writeFeatureCompacted(out: Path, shard: Long,
-      events: Iterator[(Long, Long, String, String, Long, Long, Long,
-        Array[Byte])]): Unit = {
-    type E = (Long, Long, String, String, Long, Long, Long, Array[Byte])
+      events: Iterator[FeatureEv]): Unit = {
     val evs = events.toArray
     require(evs.nonEmpty, s"writeFeatureCompacted: no events for shard $shard")
-    java.util.Arrays.sort(evs,
-      Ordering.by((t: E) => (t._1, t._2, t._4, t._3, t._5)))
-    def bytesOf(v: Array[Byte]): Array[Byte] =
-      if (v == null) Array.emptyByteArray else v
+    java.util.Arrays.sort(evs, FeatureTupleOrdering)
+    writeFeatureCompactedSorted(out, shard, evs.iterator)
+  }
+
+  /** Event tuple of the feature write surface: `(key, clustering,
+    * column_name, kind, timestamp_us, ttl_s, local_deletion_time_s,
+    * value)`. */
+  type FeatureEv = (Long, Long, String, String, Long, Long, Long,
+    Array[Byte])
+
+  /** Total stream order of the feature write kernel: partitions by key
+    * (the partition-deletion sentinel clustering -2 sorts before every
+    * row), clusterings ascending, then (kind, column, timestamp) within
+    * the row. Shared by the array path's single in-place sort and the
+    * DSv2 sink's spill runs (round 12) — a stream in this order writes
+    * in one pass. */
+  val FeatureTupleOrdering: Ordering[FeatureEv] =
+    Ordering.by((t: FeatureEv) => (t._1, t._2, t._4, t._3, t._5))
+
+  /** [[writeFeatureCompacted]] for a stream ALREADY in
+    * [[FeatureTupleOrdering]] (round 12: the sink's spill-bounded feature
+    * path): the kernel consumes one clustering group at a time, so live
+    * task heap is O(one row's events) — never O(shard). */
+  def writeFeatureCompactedSorted(out: Path, shard: Long,
+      sorted: Iterator[FeatureEv]): Unit = {
+    val it = sorted.buffered
+    require(it.hasNext,
+      s"writeFeatureCompactedSorted: no events for shard $shard")
     val base = s"fb-$shard-big"
     val dataFile = out.resolve(base + DataDbFormat.Suffix).toFile
     val data = new DataOutputStream(new BufferedOutputStream(
@@ -813,91 +835,101 @@ object CassandraDataFixture {
     val sidecars = new Sidecars(out, base)
     try {
       val w = new Writer(data, FeatureHeader)
-      var i = 0
-      while (i < evs.length) {
-        val k = evs(i)._1
-        var j = i
-        while (j < evs.length && evs(j)._1 == k) j += 1
-        val part: Array[E] = java.util.Arrays.copyOfRange(evs, i, j)
-        val pd = part.filter(_._4 == DataDbFormat.KindPartitionDeletion)
-        require(pd.forall(_._2 == DataDbFormat.PartitionClustering),
-          s"partition deletion at a non-partition clustering for key $k")
+      while (it.hasNext) {
+        val k = it.head._1
+        // partition deletions ride the sentinel clustering, which sorts
+        // first within the partition — consume them before the rows
+        val pd = ArrayBuffer.empty[FeatureEv]
+        while (it.hasNext && it.head._1 == k &&
+            it.head._2 == DataDbFormat.PartitionClustering) pd += it.next()
+        require(pd.forall(_._4 == DataDbFormat.KindPartitionDeletion),
+          s"non-deletion event at the partition clustering for key $k")
         val keyBytes = sidecars.partition(k, w.position)
         w.writePartitionStart(keyBytes,
           deletion = pd.sortBy(_._5).lastOption.map(e => (e._5, e._7)))
-        val rows = part.filter(_._4 != DataDbFormat.KindPartitionDeletion)
-        var ri = 0
-        while (ri < rows.length) {
-          val cl = rows(ri)._2
-          var rj = ri
-          while (rj < rows.length && rows(rj)._2 == cl) rj += 1
-          val rev: Array[E] = java.util.Arrays.copyOfRange(rows, ri, rj)
-          val liveness = rev.filter(_._4 == DataDbFormat.KindRowLiveness)
-            .sortBy(_._5).lastOption.map(e => (e._5, e._6, e._7))
-          val rowDel = rev.filter(_._4 == DataDbFormat.KindRowDeletion)
-            .sortBy(_._5).lastOption.map(e => (e._5, e._7))
-          if (cl == DataDbFormat.StaticClustering) {
-            val cells = rev
-              .filter(_._4 == DataDbFormat.KindStaticCell).map { e =>
-                require(e._3 == "s0",
-                  s"unexpected static column ${e._3} in feature set")
-                WriteCell(0, path = null, isDeleted = false,
-                  isExpiring = false, timestampUs = e._5, ttlS = NoTtlS,
-                  localDeletionTimeS = NoDeletionTimeS,
-                  value = bytesOf(e._8))
-              }
-            require(rev.forall(e =>
-              e._4 == DataDbFormat.KindStaticCell ||
-                e._4 == DataDbFormat.KindRowLiveness ||
-                e._4 == DataDbFormat.KindRowDeletion),
-              s"unexpected static-row event kind for key $k")
-            w.write(WriteStaticRow(cells.toIndexedSeq,
-              pkLiveness = liveness, rowDeletion = rowDel))
-          } else {
-            val cdel = rev.filter(_._4 == DataDbFormat.KindComplexDeletion)
-              .sortBy(_._5).lastOption
-            cdel.foreach(e => require(e._3 == "tags",
-              s"unexpected complex-deletion column ${e._3}"))
-            val c0 = rev
-              .filter(e => e._4 == DataDbFormat.KindCell && e._3 == "c0")
-              .map(e => WriteCell(0, path = null, isDeleted = false,
-                isExpiring = false, timestampUs = e._5, ttlS = NoTtlS,
-                localDeletionTimeS = NoDeletionTimeS,
-                value = bytesOf(e._8)))
-            val tags = rev
-              .filter(e => e._4 == DataDbFormat.KindCell && e._3 == "tags")
-              .sortBy(_._5).zipWithIndex
-              .map { case (e, idx) =>
-                WriteCell(1,
-                  path = java.nio.ByteBuffer.allocate(8)
-                    .putLong(idx + 1L).array(),
-                  isDeleted = false, isExpiring = false,
-                  timestampUs = e._5, ttlS = NoTtlS,
-                  localDeletionTimeS = NoDeletionTimeS,
-                  value = bytesOf(e._8))
-              }
-            require(rev.forall(e =>
-              e._4 == DataDbFormat.KindCell ||
-                e._4 == DataDbFormat.KindRowLiveness ||
-                e._4 == DataDbFormat.KindRowDeletion ||
-                e._4 == DataDbFormat.KindComplexDeletion),
-              s"unexpected row event kind for key $k")
-            w.write(WriteRow(cl, (c0 ++ tags).toIndexedSeq,
-              pkLiveness = liveness, rowDeletion = rowDel,
-              complexDeletion = cdel.map(e => (e._5, e._7)),
-              emptyComplexColumns =
-                if (cdel.nonEmpty && tags.isEmpty) Seq(1) else Nil))
-          }
-          ri = rj
+        val rev = ArrayBuffer.empty[FeatureEv]
+        while (it.hasNext && it.head._1 == k) {
+          val cl = it.head._2
+          rev.clear()
+          while (it.hasNext && it.head._1 == k && it.head._2 == cl)
+            rev += it.next()
+          require(rev.forall(_._4 != DataDbFormat.KindPartitionDeletion),
+            s"partition deletion at a non-partition clustering for key $k")
+          writeFeatureRow(w, k, cl, rev)
         }
         w.writePartitionEnd()
-        i = j
       }
     } catch {
       case t: Throwable => sidecars.abort(); throw t
     } finally data.close()
     writeFeatureStats(out, base)
     sidecars.finish(dataFile)
+  }
+
+  /** One clustering group (a static or regular row), assembled exactly
+    * as the array kernel always did — the group arrives in
+    * [[FeatureTupleOrdering]], so the within-group sortBy/lastOption
+    * tiebreaks are unchanged from the whole-array form. */
+  private def writeFeatureRow(w: Writer, k: Long, cl: Long,
+      rev: collection.IndexedSeq[FeatureEv]): Unit = {
+    def bytesOf(v: Array[Byte]): Array[Byte] =
+      if (v == null) Array.emptyByteArray else v
+    val liveness = rev.filter(_._4 == DataDbFormat.KindRowLiveness)
+      .sortBy(_._5).lastOption.map(e => (e._5, e._6, e._7))
+    val rowDel = rev.filter(_._4 == DataDbFormat.KindRowDeletion)
+      .sortBy(_._5).lastOption.map(e => (e._5, e._7))
+    if (cl == DataDbFormat.StaticClustering) {
+      val cells = rev
+        .filter(_._4 == DataDbFormat.KindStaticCell).map { e =>
+          require(e._3 == "s0",
+            s"unexpected static column ${e._3} in feature set")
+          WriteCell(0, path = null, isDeleted = false,
+            isExpiring = false, timestampUs = e._5, ttlS = NoTtlS,
+            localDeletionTimeS = NoDeletionTimeS,
+            value = bytesOf(e._8))
+        }
+      require(rev.forall(e =>
+        e._4 == DataDbFormat.KindStaticCell ||
+          e._4 == DataDbFormat.KindRowLiveness ||
+          e._4 == DataDbFormat.KindRowDeletion),
+        s"unexpected static-row event kind for key $k")
+      w.write(WriteStaticRow(cells.toIndexedSeq,
+        pkLiveness = liveness, rowDeletion = rowDel))
+    } else {
+      val cdel = rev.filter(_._4 == DataDbFormat.KindComplexDeletion)
+        .sortBy(_._5).lastOption
+      cdel.foreach(e => require(e._3 == "tags",
+        s"unexpected complex-deletion column ${e._3}"))
+      val c0 = rev
+        .filter(e => e._4 == DataDbFormat.KindCell && e._3 == "c0")
+        .map(e => WriteCell(0, path = null, isDeleted = false,
+          isExpiring = false, timestampUs = e._5, ttlS = NoTtlS,
+          localDeletionTimeS = NoDeletionTimeS,
+          value = bytesOf(e._8)))
+      val tags = rev
+        .filter(e => e._4 == DataDbFormat.KindCell && e._3 == "tags")
+        .sortBy(_._5).zipWithIndex
+        .map { case (e, idx) =>
+          WriteCell(1,
+            path = java.nio.ByteBuffer.allocate(8)
+              .putLong(idx + 1L).array(),
+            isDeleted = false, isExpiring = false,
+            timestampUs = e._5, ttlS = NoTtlS,
+            localDeletionTimeS = NoDeletionTimeS,
+            value = bytesOf(e._8))
+        }
+      require(rev.forall(e =>
+        e._4 == DataDbFormat.KindCell ||
+          e._4 == DataDbFormat.KindRowLiveness ||
+          e._4 == DataDbFormat.KindRowDeletion ||
+          e._4 == DataDbFormat.KindComplexDeletion),
+        s"unexpected row event kind for key $k")
+      w.write(WriteRow(cl, (c0 ++ tags).toIndexedSeq,
+        pkLiveness = liveness, rowDeletion = rowDel,
+        complexDeletion = cdel.map(e => (e._5, e._7)),
+        emptyComplexColumns =
+          if (cdel.nonEmpty && tags.isEmpty) Seq(1) else Nil))
+    }
   }
 
   /** Minimal valid Statistics.db for the feature set: the VALIDATION /

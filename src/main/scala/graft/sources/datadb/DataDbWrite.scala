@@ -81,10 +81,16 @@ final class DataDbWriteBuilder(options: Map[String, String],
       throw new IllegalArgumentException(
         "sstable-data write column value must be BinaryType, got " +
           schema.fields(vIdx).dataType)
-    val spillRows = options.get("spillrows").map(_.toInt)
+    // malformed numerics surface as the sink's IllegalArgumentException
+    // convention (naming the option), not a bare NumberFormatException
+    val spillRows = options.get("spillrows").map(v =>
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"sstable-data write option spillRows must be an int, got '$v'")))
       .getOrElse(DataDbWrite.DefaultSpillRows)
     require(spillRows > 0, s"spillRows must be positive, got $spillRows")
-    val spillBytes = options.get("spillbytes").map(_.toLong)
+    val spillBytes = options.get("spillbytes").map(v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"sstable-data write option spillBytes must be a long, got '$v'")))
       .getOrElse(DataDbWrite.DefaultSpillBytes)
     require(spillBytes > 0, s"spillBytes must be positive, got $spillBytes")
     new DataDbWrite(path, schema, compressed, spillRows, spillBytes,
@@ -234,7 +240,8 @@ final class DataDbWriterFactory(path: String, schema: StructType,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    if (feature) new FeatureSstableWriter(path, schema, confEntries)
+    if (feature) new FeatureSstableWriter(path, schema, confEntries,
+      spillRows, spillBytes)
     else new SstableDataWriter(path, schema, compressed, confEntries,
       spillRows, spillBytes)
 }

@@ -866,6 +866,13 @@ object SparkEntry {
     // cutoffs that bisect every deletion type's retention branch
     "q164_feature_compaction" -> ((s, d) =>
       FeatureCompaction.roundtrip(s, d)),
+    // the same deletion-shadowing compaction through CO-PARTITIONED
+    // shuffle-hash joins instead of broadcasts (round 13) — the
+    // deletion-HEAVY scale fallback, where a dense deletion set would
+    // blow the broadcast threshold; must reproduce q164's relation
+    // exactly (same oracle)
+    "q169_feature_compaction_copart" -> ((s, d) =>
+      FeatureCompaction.roundtrip(s, d, copartitioned = true)),
     // caller-supplied value BYTES through the sink and back: write cells
     // whose values are oracle-recomputable payload strings, read them
     // back through the scan's `value` column, checksum the CONTENT

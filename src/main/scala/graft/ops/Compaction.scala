@@ -68,26 +68,60 @@ object Compaction {
     math.min(MaxOutputShards, math.max(1L,
       (inputModelBytes + TargetOutputBytes - 1) / TargetOutputBytes))
 
+  /** PRODUCTION sizing input (round 13): the set's total UNCOMPRESSED
+    * data volume read from the sidecars alone — CompressionInfo.db's
+    * `data_length` for compressed sstables (what Cassandra's
+    * `SSTableReader.uncompressedLength()` reports and every real
+    * compaction strategy sizes by), the Data.db file length for the
+    * uncompressed (CRC) family. O(#files) driver cost, NO scan — at
+    * 100 TB the sizing pass reads kilobytes of sidecar instead of the
+    * corpus. Measured on the engine's own fixture files the actual
+    * encoded volume runs ~1.35x the 32-byte relational model (varint
+    * framing, partition/row headers), so the two sizing inputs are
+    * deliberately distinct surfaces: the relational model stays the
+    * DuckDB-replayable contract for the oracle-checked queries, and this
+    * sum is what `sidecarSized = true` compactions (the production
+    * default at real scale) feed the SAME `outputShards` function. */
+  def sidecarVolumeBytes(dir: String): Long = {
+    val d = new java.io.File(dir)
+    val datas = Option(d.listFiles((_, n) => n.endsWith("-Data.db")))
+      .getOrElse(Array.empty[java.io.File])
+    require(datas.nonEmpty, s"no sstables under $dir")
+    datas.map { f =>
+      val ci = new java.io.File(d,
+        f.getName.stripSuffix("-Data.db") + "-CompressionInfo.db")
+      if (ci.exists())
+        graft.sources.compressioninfo.CompressionInfoFormat
+          .parse(java.nio.file.Files.readAllBytes(ci.toPath)).dataLength
+      else f.length()
+    }.sum
+  }
+
   private val shardsMemo =
-    new java.util.HashMap[String, (SparkSession, Long)]()
+    new java.util.HashMap[String, (SparkSession, Slot[Long])]()
 
   /** Session-memoized shard count per INPUT set: the volume model is a
     * property of the input, not of the gc parameter, so compactions at
     * several cutoffs (q164's two, the CLI's `-g`) share ONE sizing
     * pass instead of re-scanning per cutoff. Entries are swept with
     * their session (the fixture-memo pattern) so closed sessions don't
-    * accumulate for the JVM lifetime. */
+    * accumulate for the JVM lifetime. The memo lock covers only
+    * lookup/sweep/insert; the sizing SCAN runs outside it on the
+    * caller's [[Slot]], so distinct inputs size concurrently. */
   def memoizedShards(spark: SparkSession, inPath: String)(
-      inputBytes: => Long): Long = shardsMemo.synchronized {
-    sweep(shardsMemo)
+      inputBytes: => Long): Long = {
     val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$inPath"
-    val hit = shardsMemo.get(k)
-    if (hit != null) hit._2
-    else {
-      val n = outputShards(inputBytes)
-      shardsMemo.put(k, (spark, n))
-      n
+    val slot = shardsMemo.synchronized {
+      sweep(shardsMemo)
+      val hit = shardsMemo.get(k)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => outputShards(inputBytes))
+        shardsMemo.put(k, (spark, s))
+        s
+      }
     }
+    slot.value
   }
 
   private def sweep[V](m: java.util.HashMap[String, (SparkSession, V)])
@@ -97,20 +131,38 @@ object Compaction {
       if (it.next().getValue._1.sparkContext.isStopped) it.remove()
   }
 
-  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+  private val memo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
 
   private val ChkMod = 1000003L
 
   /** Compact the real-format compressed set of `dir` into
     * [[outputShards]]-many real sstables under a session-memoized temp
-    * dir; returns the output directory. */
+    * dir; returns the output directory. The memo lock covers only
+    * lookup/sweep/insert — the multi-minute build (fixture generation,
+    * sizing scan, merge job, sink write) runs on the caller's [[Slot]],
+    * so compactions of DISTINCT dirs/cutoffs/sessions build concurrently
+    * while same-key callers still share one build. */
   def ensureCompacted(spark: SparkSession, dir: String,
-      gcBeforeS: Long = Fixtures.GcBeforeS): String = memo.synchronized {
-    sweep(memo)
-    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$gcBeforeS"
-    val hit = memo.get(key)
-    if (hit != null) return hit._2
-    val built = {
+      gcBeforeS: Long = Fixtures.GcBeforeS,
+      sidecarSized: Boolean = false): String = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|" +
+      s"$gcBeforeS|$sidecarSized"
+    val slot = memo.synchronized {
+      sweep(memo)
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => build(spark, dir, gcBeforeS, sidecarSized))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def build(spark: SparkSession, dir: String,
+      gcBeforeS: Long, sidecarSized: Boolean): String = {
       val inPath = CassandraDataFixture.ensureFiles(spark, dir,
         compressed = true)
       val out = graft.sources.TempDirs.register(
@@ -123,19 +175,27 @@ object Compaction {
         .withColumn("sstable_id", concat(lit("sst-"),
           (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
             .cast("long") - 1L).cast("string")))
-      // size the output fan-out by the input's modeled uncompressed
-      // volume BEFORE the merge plans (the pruned single-column pass a
-      // real deployment replaces with the sidecar data_length sum);
-      // memoized per input set - gc variants share the sizing
-      val shards = memoizedShards(spark, inPath)(
-        ev.agg(sum(lit(EventOverheadBytes) + col("size_bytes")))
-          .head.getLong(0))
-      // LWW winner per merge key as a HASH AGGREGATE, not a window: the
+      // size the output fan-out BEFORE the merge plans. Two sizing
+      // surfaces: sidecarSized reads the CompressionInfo.db data_length
+      // sum at O(#files) driver cost — the production path, no scan —
+      // while the default relational model (one pruned single-column
+      // pass, memoized per input set so gc variants share it) keeps the
+      // count replayable by the DuckDB oracle from parquet
+      val shards =
+        if (sidecarSized) outputShards(sidecarVolumeBytes(inPath))
+        else memoizedShards(spark, inPath)(
+          ev.agg(sum(lit(EventOverheadBytes) + col("size_bytes")))
+            .head.getLong(0))
+      // LWW winner per merge key as a plain AGGREGATE, not a window: the
       // 8-field total order IS the struct's lexicographic order, so
       // max(struct(order cols)) picks exactly the row_number()=1 row of
-      // the all-DESC window — but gets map-side partial aggregation and
-      // drops the per-group sort. At 100 TB that is the difference
-      // between one combine-enabled exchange and a full shuffle + sort.
+      // the all-DESC window — with map-side partial aggregation, so the
+      // exchange carries one pre-merged winner per merge key per map
+      // task instead of every input event. Spark executes struct-max as
+      // SortAggregate (struct buffers aren't UnsafeRow-mutable, so
+      // HashAggregate can't hold them), but its sorts are over the 3
+      // GROUP KEYS only — not the window's full 11-field order — and
+      // the combine still happens; the plan spec pins both properties.
       // The struct's fields are ALSO every surviving output field, so no
       // payload needs carrying beside the ordering.
       mergeWinners(ev, gcBeforeS)
@@ -149,9 +209,6 @@ object Compaction {
         .option("path", out).option("compressed", "true")
         .mode("append").save()
       out
-    }
-    memo.put(key, (spark, built))
-    built
   }
 
   /** The LWW merge + gc purge as a plain aggregate: per (key, clustering,
@@ -211,4 +268,13 @@ object Compaction {
         sum(col("size_bytes") % ChkMod).as("value_sum"))
       .orderBy("sstable_id")
   }
+}
+
+/** Per-key build slot for the session memos: `lazy val` acts as a
+  * per-key latch, so a memo's lock covers only lookup/sweep/insert
+  * while DISTINCT keys build concurrently and same-key callers share
+  * one build. A failed build rethrows to every waiter and re-attempts
+  * on the next access (Scala lazy-val semantics). */
+private[ops] final class Slot[A](thunk: () => A) {
+  lazy val value: A = thunk()
 }

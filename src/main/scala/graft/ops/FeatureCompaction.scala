@@ -58,7 +58,8 @@ object FeatureCompaction {
     * (D2 + [0,40)/[0,50)): those bisect; row deletions all purge. */
   val GcB: Long = CassandraDataFixture.FeatureD2 + 20L
 
-  private val memo = new java.util.HashMap[String, (SparkSession, String)]()
+  private val memo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
 
   private def sweep(): Unit = {
     val it = memo.entrySet().iterator()
@@ -69,15 +70,30 @@ object FeatureCompaction {
   /** Compact the feature set of `dir` under the shadow hierarchy at
     * `gcBeforeS` into volume-adaptively-many real feature-schema
     * sstables; returns the output directory (session-memoized, swept
-    * with the session like the fixture memos). */
+    * with the session like the fixture memos). Lock scope is
+    * lookup/sweep/insert only — the build runs on the caller's
+    * [[Slot]], so the two gc cutoffs (and other inputs) build
+    * concurrently. */
   def ensureCompacted(spark: SparkSession, dir: String,
-      gcBeforeS: Long): String = memo.synchronized {
-    sweep()
+      gcBeforeS: Long, copartitioned: Boolean = false): String = {
     val key =
-      s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|feat|$gcBeforeS"
-    val hit = memo.get(key)
-    if (hit != null) return hit._2
-    val built = {
+      s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|feat|" +
+        s"$gcBeforeS|$copartitioned"
+    val slot = memo.synchronized {
+      sweep()
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => build(spark, dir, gcBeforeS, copartitioned))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def build(spark: SparkSession, dir: String,
+      gcBeforeS: Long, copartitioned: Boolean): String = {
       val inPath = CassandraDataFixture.ensureFeatureFiles(spark, dir)
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory(
@@ -91,44 +107,11 @@ object FeatureCompaction {
       val shards = Compaction.memoizedShards(spark, inPath)(
         ev.agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes")))
           .head.getLong(0))
-      val pd = ev.where(col("kind") === DataDbFormat.KindPartitionDeletion)
-        .groupBy("k").agg(max("timestamp_us").as("pd_ts"))
-      val rd = ev.where(col("kind") === DataDbFormat.KindRowDeletion)
-        .groupBy("k", "clustering").agg(max("timestamp_us").as("rd_ts"))
-      val cd = ev.where(col("kind") === DataDbFormat.KindComplexDeletion)
-        .groupBy("k", "clustering", "column_name")
-        .agg(max("timestamp_us").as("cd_ts"))
-      val joined = ev
-        .join(broadcast(pd), Seq("k"), "left")
-        .join(broadcast(rd), Seq("k", "clustering"), "left")
-        .join(broadcast(cd), Seq("k", "clustering", "column_name"), "left")
-      val minL = lit(Long.MinValue)
-      val pdTs = coalesce(col("pd_ts"), minL)
-      val rdTs = coalesce(col("rd_ts"), minL)
-      val cdTs = coalesce(col("cd_ts"), minL)
-      val eff = greatest(pdTs, rdTs)
-      val ts = col("timestamp_us")
-      val ldt = col("local_deletion_time_s")
-      // the shadow hierarchy: data survives deletions strictly newer than
-      // it at every covering level; deletions survive only while neither
-      // superseded nor gc-droppable (shadowed data is gone either way —
-      // major-compaction semantics)
-      val survives =
-        when(col("kind").isin(DataDbFormat.KindCell,
-          DataDbFormat.KindStaticCell), ts > greatest(eff, cdTs))
-          .when(col("kind") === DataDbFormat.KindRowLiveness, ts > eff)
-          .when(col("kind") === DataDbFormat.KindRowDeletion,
-            ts === col("rd_ts") && ts > pdTs && ldt >= gcBeforeS)
-          .when(col("kind") === DataDbFormat.KindComplexDeletion,
-            ts === col("cd_ts") && ts > eff && ldt >= gcBeforeS)
-          .when(col("kind") === DataDbFormat.KindPartitionDeletion,
-            ts === col("pd_ts") && ldt >= gcBeforeS)
-          .otherwise(lit(false))
       // survivors flow through the DSv2 sink's FEATURE schema (round 11):
       // Catalyst plans the clustered exchange + sort on the output id —
       // no groupByKey/mapGroups arrangement — and each task's
       // FeatureSstableWriter rolls one complete real sstable per shard
-      joined.where(survives)
+      survivors(ev, gcBeforeS, copartitioned)
         .select(
           concat(lit("fb-"), pmod(col("k"), lit(shards))).as("sstable_id"),
           col("k").as("key"), col("clustering"), col("column_name"),
@@ -140,9 +123,58 @@ object FeatureCompaction {
       require(Option(new java.io.File(out).listFiles()).exists(_.nonEmpty),
         s"feature compaction of $dir emitted nothing")
       out
-    }
-    memo.put(key, (spark, built))
-    built
+  }
+
+  /** The shadow-hierarchy survivor relation over a decoded event frame
+    * (`k` = decoded long key). Join strategy is the scale dial:
+    * `copartitioned = false` BROADCASTS the three deletion relations —
+    * right when deletions are rare events (the common corpus); `true`
+    * co-partitions event and deletion sides on the join keys through
+    * shuffle-hash joins instead — the deletion-HEAVY fallback, where a
+    * dense deletion set would blow the broadcast threshold/driver. The
+    * join keys are prefixes of one another (k ⊂ (k, clustering) ⊂
+    * (k, clustering, column_name)), so the widest key's exchange feeds
+    * all three joins without re-shuffling. Both strategies compute the
+    * identical relation — q169 runs the full q164 roundtrip through
+    * this path against the same oracle. */
+  def survivors(ev: DataFrame, gcBeforeS: Long,
+      copartitioned: Boolean = false): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (copartitioned) df.hint("shuffle_hash") else broadcast(df)
+    val pd = ev.where(col("kind") === DataDbFormat.KindPartitionDeletion)
+      .groupBy("k").agg(max("timestamp_us").as("pd_ts"))
+    val rd = ev.where(col("kind") === DataDbFormat.KindRowDeletion)
+      .groupBy("k", "clustering").agg(max("timestamp_us").as("rd_ts"))
+    val cd = ev.where(col("kind") === DataDbFormat.KindComplexDeletion)
+      .groupBy("k", "clustering", "column_name")
+      .agg(max("timestamp_us").as("cd_ts"))
+    val joined = ev
+      .join(side(pd), Seq("k"), "left")
+      .join(side(rd), Seq("k", "clustering"), "left")
+      .join(side(cd), Seq("k", "clustering", "column_name"), "left")
+    val minL = lit(Long.MinValue)
+    val pdTs = coalesce(col("pd_ts"), minL)
+    val rdTs = coalesce(col("rd_ts"), minL)
+    val cdTs = coalesce(col("cd_ts"), minL)
+    val eff = greatest(pdTs, rdTs)
+    val ts = col("timestamp_us")
+    val ldt = col("local_deletion_time_s")
+    // the shadow hierarchy: data survives deletions strictly newer than
+    // it at every covering level; deletions survive only while neither
+    // superseded nor gc-droppable (shadowed data is gone either way —
+    // major-compaction semantics)
+    val survives =
+      when(col("kind").isin(DataDbFormat.KindCell,
+        DataDbFormat.KindStaticCell), ts > greatest(eff, cdTs))
+        .when(col("kind") === DataDbFormat.KindRowLiveness, ts > eff)
+        .when(col("kind") === DataDbFormat.KindRowDeletion,
+          ts === col("rd_ts") && ts > pdTs && ldt >= gcBeforeS)
+        .when(col("kind") === DataDbFormat.KindComplexDeletion,
+          ts === col("cd_ts") && ts > eff && ldt >= gcBeforeS)
+        .when(col("kind") === DataDbFormat.KindPartitionDeletion,
+          ts === col("pd_ts") && ldt >= gcBeforeS)
+        .otherwise(lit(false))
+    joined.where(survives)
   }
 
   private val M = 1000003L
@@ -151,9 +183,10 @@ object FeatureCompaction {
     * through the production scan and rolled up per (gc, output sstable)
     * with per-event-kind modular sums — every surviving field of every
     * surviving event lands in the hash. */
-  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def roundtrip(spark: SparkSession, dir: String,
+      copartitioned: Boolean = false): DataFrame = {
     val frames = Seq(GcA, GcB).map { gc =>
-      DataDb.read(spark, ensureCompacted(spark, dir, gc),
+      DataDb.read(spark, ensureCompacted(spark, dir, gc, copartitioned),
           format = DataDbScan.FormatCassandra)
         .withColumn("gc_before_s", lit(gc))
         .withColumn("sstable_id",

@@ -4148,7 +4148,10 @@ ORDER BY 1"""
       ("q110_row_level_events" -> q110Sql) +
       ("q129_static_complex_roundtrip" -> q129Sql) +
       ("q121_shadowed_purge" -> q121Sql) +
-      ("q164_feature_compaction" -> q164Sql)
+      ("q164_feature_compaction" -> q164Sql) +
+      // q169 (co-partitioned deletion joins) computes the identical
+      // survivor relation through shuffle-hash joins — q164's oracle.
+      ("q169_feature_compaction_copart" -> q164Sql)
 
   /** q129: the static-complex variant's deterministic model
     * (CassandraDataFixture.writeStaticComplexAll) replayed from parquet:

@@ -85,14 +85,14 @@ final class DataDbWriteBuilder(options: Map[String, String],
     // convention (naming the option), not a bare NumberFormatException
     val spillRows = options.get("spillrows").map(v =>
       v.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"sstable-data write option spillRows must be an int, got '$v'")))
+        s"sstable-data write option spillrows must be an int, got '$v'")))
       .getOrElse(DataDbWrite.DefaultSpillRows)
-    require(spillRows > 0, s"spillRows must be positive, got $spillRows")
+    require(spillRows > 0, s"spillrows must be positive, got $spillRows")
     val spillBytes = options.get("spillbytes").map(v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"sstable-data write option spillBytes must be a long, got '$v'")))
+        s"sstable-data write option spillbytes must be a long, got '$v'")))
       .getOrElse(DataDbWrite.DefaultSpillBytes)
-    require(spillBytes > 0, s"spillBytes must be positive, got $spillBytes")
+    require(spillBytes > 0, s"spillbytes must be positive, got $spillBytes")
     new DataDbWrite(path, schema, compressed, spillRows, spillBytes,
       feature)
   }
@@ -286,15 +286,31 @@ final class SstableDataWriter(destDir: String, schema: StructType,
   private val valueOrd: Int = ord("value")
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
-  // run files live OUTSIDE the upload dir (commit ships everything in
-  // `tmp`)
-  private val spillDir =
-    java.nio.file.Files.createTempDirectory("graft-sst-spill")
   private var currentId: String = null
   private val seenIds = scala.collection.mutable.HashSet.empty[String]
   private val buf = new ArrayBuffer[T]()
-  private final case class Run(file: java.io.File, rows: Long)
-  private var runs = List.empty[Run]
+  private val spill = new SpillRuns[T](
+    CassandraDataFixture.ValueTupleOrdering,
+    (out, t) => {
+      out.writeLong(t._1); out.writeLong(t._2); out.writeUTF(t._3)
+      out.writeBoolean(t._4)
+      out.writeLong(t._5); out.writeLong(t._6); out.writeLong(t._7)
+      out.writeBoolean(t._8); out.writeBoolean(t._9); out.writeLong(t._10)
+      if (t._11 == null) out.writeInt(-1)
+      else { out.writeInt(t._11.length); out.write(t._11) }
+    },
+    in => {
+      val k = in.readLong(); val cl = in.readLong(); val col = in.readUTF()
+      val mk = in.readBoolean()
+      val ts = in.readLong(); val ttl = in.readLong(); val ldt = in.readLong()
+      val tb = in.readBoolean(); val ex = in.readBoolean()
+      val sz = in.readLong()
+      val vlen = in.readInt()
+      val v =
+        if (vlen < 0) null
+        else { val b = new Array[Byte](vlen); in.readFully(b); b }
+      (k, cl, col, mk, ts, ttl, ldt, tb, ex, sz, v)
+    })
   // running EncodingStats minima for the CURRENT generation (the array
   // path's whole-buffer folds, computed as rows arrive)
   private var minTs = Long.MaxValue
@@ -330,26 +346,78 @@ final class SstableDataWriter(destDir: String, schema: StructType,
       col, kind == DataDbFormat.KindMarker, ts, ttl, ldt, tomb, exp, size,
       value))
     bufBytes += 64L + col.length + (if (value == null) 0 else value.length)
-    if (buf.length >= spillRows || bufBytes >= spillBytes) spill()
+    if (buf.length >= spillRows || bufBytes >= spillBytes) {
+      spill.spillRun(buf); bufBytes = 0L
+    }
   }
 
   private var bufBytes = 0L
 
-  private def spill(): Unit = {
-    buf.sortInPlace()(CassandraDataFixture.ValueTupleOrdering)
-    bufBytes = 0L
-    val f = java.nio.file.Files
-      .createTempFile(spillDir, "run-", ".spill").toFile
+  private def flush(): Unit =
+    if (currentId != null && (buf.nonEmpty || !spill.isEmpty)) {
+      // the Write's required ordering makes each id ONE contiguous run; a
+      // repeat would silently overwrite the earlier sstable's files, so it
+      // is a hard error (sorted-input contract violated upstream)
+      if (!seenIds.add(currentId))
+        throw new IllegalStateException(
+          s"sstable_id '$currentId' arrived in multiple runs — " +
+            "input not sorted by sstable_id")
+      buf.sortInPlace()(CassandraDataFixture.ValueTupleOrdering)
+      CassandraDataFixture.writeSstableFromSortedValues(tmp,
+        DataDbWrite.generationOf(currentId), spill.mergedWith(buf.iterator),
+        minTs,
+        if (minLdt == Long.MaxValue) CassandraDataFormat.NoDeletionTimeS
+        else minLdt,
+        if (minTtl == Long.MaxValue) 0L else minTtl,
+        compressed)
+      spill.clearRuns()
+      buf.clear()
+      bufBytes = 0L
+      minTs = Long.MaxValue; minLdt = Long.MaxValue; minTtl = Long.MaxValue
+    }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    val msg = StagedUpload.commitDir(tmp, destDir, confEntries)
+    spill.close()
+    msg
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    buf.clear()
+    spill.close()
+    StagedUpload.discardDir(tmp)
+  }
+}
+
+/** Task-local external-sort runs, shared by both sstable writers: the
+  * caller's buffer spills as a sorted run file when its caps trip, and on
+  * generation roll the runs k-way-merge with the sorted in-memory tail
+  * into one stream in the shared ordering. Run INPUT streams are tracked
+  * and closed by [[close]] even when a downstream consumer throws
+  * mid-merge — an aborted task leaks no fds while the JVM (and its other
+  * running tasks) live on. Run files live OUTSIDE the upload dir, so a
+  * task commit never ships them. */
+private[datadb] final class SpillRuns[T](ordering: Ordering[T],
+    writeOne: (java.io.DataOutputStream, T) => Unit,
+    readOne: java.io.DataInputStream => T) {
+
+  private val dir = java.nio.file.Files.createTempDirectory("graft-sst-spill")
+  private final case class Run(file: java.io.File, rows: Long)
+  private var runs = List.empty[Run]
+  private val open = scala.collection.mutable.Set.empty[java.io.Closeable]
+
+  def isEmpty: Boolean = runs.isEmpty
+
+  /** Sort the buffer in place, write it as one run file, clear it. */
+  def spillRun(buf: ArrayBuffer[T]): Unit = {
+    buf.sortInPlace()(ordering)
+    val f = java.nio.file.Files.createTempFile(dir, "run-", ".spill").toFile
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f), 1 << 16))
-    try buf.foreach { t =>
-      out.writeLong(t._1); out.writeLong(t._2); out.writeUTF(t._3)
-      out.writeBoolean(t._4)
-      out.writeLong(t._5); out.writeLong(t._6); out.writeLong(t._7)
-      out.writeBoolean(t._8); out.writeBoolean(t._9); out.writeLong(t._10)
-      if (t._11 == null) out.writeInt(-1)
-      else { out.writeInt(t._11.length); out.write(t._11) }
-    } finally out.close()
+    try buf.foreach(writeOne(out, _)) finally out.close()
     runs = Run(f, buf.length.toLong) :: runs
     DataDbWrite.spills.increment()
     buf.clear()
@@ -359,33 +427,26 @@ final class SstableDataWriter(destDir: String, schema: StructType,
     private val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(
         new java.io.FileInputStream(r.file), 1 << 16))
+    open += in
     private var remaining = r.rows
     override def hasNext: Boolean = remaining > 0
     override def next(): T = {
       remaining -= 1
-      val k = in.readLong(); val cl = in.readLong(); val col = in.readUTF()
-      val mk = in.readBoolean()
-      val ts = in.readLong(); val ttl = in.readLong(); val ldt = in.readLong()
-      val tb = in.readBoolean(); val ex = in.readBoolean()
-      val sz = in.readLong()
-      val vlen = in.readInt()
-      val v =
-        if (vlen < 0) null
-        else { val b = new Array[Byte](vlen); in.readFully(b); b }
-      if (remaining == 0) in.close()
-      (k, cl, col, mk, ts, ttl, ldt, tb, ex, sz, v)
+      val t = readOne(in)
+      if (remaining == 0) { in.close(); open -= in }
+      t
     }
   }
 
-  /** K-way merge of already-sorted event streams (heap of head
-    * elements) — the runs tile the generation's multiset, so the merged
-    * stream is the total [[CassandraDataFixture.ValueTupleOrdering]]. */
-  private def merged(iters: Seq[Iterator[T]]): Iterator[T] =
-    new Iterator[T] {
-      private val its = iters.toArray
+  /** K-way merge (heap of head elements) of the runs with the ALREADY
+    * sorted in-memory tail — the runs tile the generation's multiset, so
+    * the merged stream is total in `ordering`. */
+  def mergedWith(tail: Iterator[T]): Iterator[T] =
+    if (runs.isEmpty) tail
+    else new Iterator[T] {
+      private val its = (tail +: runs.map(runIterator)).toArray
       private val pq = new scala.collection.mutable.PriorityQueue[(T, Int)]()(
-        Ordering.by[(T, Int), T](_._1)(
-          CassandraDataFixture.ValueTupleOrdering).reverse)
+        Ordering.by[(T, Int), T](_._1)(ordering).reverse)
       its.indices.foreach(i =>
         if (its(i).hasNext) pq.enqueue((its(i).next(), i)))
       override def hasNext: Boolean = pq.nonEmpty
@@ -396,48 +457,18 @@ final class SstableDataWriter(destDir: String, schema: StructType,
       }
     }
 
-  private def flush(): Unit =
-    if (currentId != null && (buf.nonEmpty || runs.nonEmpty)) {
-      // the Write's required ordering makes each id ONE contiguous run; a
-      // repeat would silently overwrite the earlier sstable's files, so it
-      // is a hard error (sorted-input contract violated upstream)
-      if (!seenIds.add(currentId))
-        throw new IllegalStateException(
-          s"sstable_id '$currentId' arrived in multiple runs — " +
-            "input not sorted by sstable_id")
-      buf.sortInPlace()(CassandraDataFixture.ValueTupleOrdering)
-      val stream =
-        if (runs.isEmpty) buf.iterator
-        else merged(buf.iterator +: runs.map(runIterator))
-      CassandraDataFixture.writeSstableFromSortedValues(tmp,
-        DataDbWrite.generationOf(currentId), stream,
-        minTs,
-        if (minLdt == Long.MaxValue) CassandraDataFormat.NoDeletionTimeS
-        else minLdt,
-        if (minTtl == Long.MaxValue) 0L else minTtl,
-        compressed)
-      runs.foreach(_.file.delete())
-      runs = Nil
-      buf.clear()
-      bufBytes = 0L
-      minTs = Long.MaxValue; minLdt = Long.MaxValue; minTtl = Long.MaxValue
-    }
+  /** Delete the consumed run files after a successful generation write. */
+  def clearRuns(): Unit = { runs.foreach(_.file.delete()); runs = Nil }
 
-  override def commit(): WriterCommitMessage = {
-    flush()
-    val msg = StagedUpload.commitDir(tmp, destDir, confEntries)
-    java.nio.file.Files.deleteIfExists(spillDir)
-    msg
-  }
-
-  override def abort(): Unit = close()
-
-  override def close(): Unit = {
-    buf.clear()
-    runs.foreach(_.file.delete())
+  /** Close any still-open run streams and remove files + dir — children
+    * first, so a run delete that failed earlier surfaces as a leftover
+    * file swept here, never as commit-time DirectoryNotEmptyException. */
+  def close(): Unit = {
+    open.foreach(c => try c.close()
+      catch { case _: java.io.IOException => () })
+    open.clear()
     runs = Nil
-    StagedUpload.discardDir(tmp)
-    StagedUpload.discardDir(spillDir)
+    StagedUpload.discardDir(dir)
   }
 }
 
@@ -474,19 +505,21 @@ private[datadb] object StagedUpload {
 /** FEATURE-schema writer (round 11): rolls one real feature-schema
   * sstable (static rows, pk liveness, row/complex/partition deletions,
   * path-ordered complex cells + the complete sidecar family) per
-  * contiguous `sstable_id` run, through
-  * [[CassandraDataFixture.writeFeatureCompacted]] — the write surface
-  * the executed deletion-shadowing compaction flows through. Buffers one
-  * generation's events in task heap: feature outputs are sized by the
-  * volume-adaptive shard function upstream (ceil(bytes/target)), so the
-  * buffer is bounded by construction UNTIL the MaxOutputShards backstop
-  * caps the fan-out (~4 GiB of modeled input at the fixture-scale 1 MiB
-  * target; per-shard volume grows past it) — a corpus that large on the
-  * feature path should raise the target or borrow the cells path's
-  * spill/merge machinery. The spill machinery lives on the cells path,
-  * where callers control generation sizes directly. */
+  * contiguous `sstable_id` run. Task memory is SPILL-BOUNDED exactly
+  * like the cells writer (round 13): events buffer up to
+  * `spillRows`/`spillBytes`, then sort in
+  * [[CassandraDataFixture.FeatureTupleOrdering]] and spill as a run
+  * file; on shard roll the runs and the in-memory tail k-way-merge into
+  * [[CassandraDataFixture.writeFeatureCompactedSorted]], whose kernel
+  * consumes one clustering group at a time — live heap is
+  * O(spillRows + runs + one row's events) no matter how large the
+  * output shard, so the volume-adaptive fan-out's MaxOutputShards
+  * backstop capping shard size no longer risks the writer's memory. */
 final class FeatureSstableWriter(destDir: String, schema: StructType,
-    confEntries: Array[(String, String)]) extends DataWriter[InternalRow] {
+    confEntries: Array[(String, String)],
+    spillRows: Int = DataDbWrite.DefaultSpillRows,
+    spillBytes: Long = DataDbWrite.DefaultSpillBytes)
+    extends DataWriter[InternalRow] {
 
   // field ordinals resolved once (see SstableDataWriter)
   private def ord(n: String): Int = schema.fieldNames.indexOf(n)
@@ -503,8 +536,27 @@ final class FeatureSstableWriter(destDir: String, schema: StructType,
   private val tmp = java.nio.file.Files.createTempDirectory("graft-sst-write")
   private var currentId: String = null
   private val seenIds = scala.collection.mutable.HashSet.empty[String]
-  private val buf = new ArrayBuffer[(Long, Long, String, String, Long,
-    Long, Long, Array[Byte])]()
+  private val buf = new ArrayBuffer[CassandraDataFixture.FeatureEv]()
+  private var bufBytes = 0L
+  private val spill = new SpillRuns[CassandraDataFixture.FeatureEv](
+    CassandraDataFixture.FeatureTupleOrdering,
+    (out, t) => {
+      out.writeLong(t._1); out.writeLong(t._2)
+      out.writeUTF(t._3); out.writeUTF(t._4)
+      out.writeLong(t._5); out.writeLong(t._6); out.writeLong(t._7)
+      if (t._8 == null) out.writeInt(-1)
+      else { out.writeInt(t._8.length); out.write(t._8) }
+    },
+    in => {
+      val k = in.readLong(); val cl = in.readLong()
+      val col = in.readUTF(); val kind = in.readUTF()
+      val ts = in.readLong(); val ttl = in.readLong(); val ldt = in.readLong()
+      val vlen = in.readInt()
+      val v =
+        if (vlen < 0) null
+        else { val b = new Array[Byte](vlen); in.readFully(b); b }
+      (k, cl, col, kind, ts, ttl, ldt, v)
+    })
 
   override def write(row: InternalRow): Unit = {
     val id = row.getUTF8String(idOrd).toString
@@ -513,36 +565,45 @@ final class FeatureSstableWriter(destDir: String, schema: StructType,
     val value =
       if (valueOrd < 0 || row.isNullAt(valueOrd)) null
       else row.getBinary(valueOrd)
-    buf += ((row.getLong(keyOrd), row.getLong(clOrd),
-      row.getUTF8String(colOrd).toString,
-      row.getUTF8String(kindOrd).toString,
+    val col = row.getUTF8String(colOrd).toString
+    val kind = row.getUTF8String(kindOrd).toString
+    buf += ((row.getLong(keyOrd), row.getLong(clOrd), col, kind,
       row.getLong(tsOrd), row.getLong(ttlOrd),
       row.getLong(ldtOrd), value))
+    bufBytes += 64L + col.length + kind.length +
+      (if (value == null) 0 else value.length)
+    if (buf.length >= spillRows || bufBytes >= spillBytes) {
+      spill.spillRun(buf); bufBytes = 0L
+    }
   }
 
-  private def flush(): Unit = if (currentId != null && buf.nonEmpty) {
-    if (!seenIds.add(currentId))
-      throw new IllegalStateException(
-        s"sstable_id '$currentId' arrived in multiple runs — " +
-          "input not sorted by sstable_id")
-    // hand the events off as ONE array (the kernel sorts in place) and
-    // release the buffer before the kernel works — no double residency
-    // through the sort/write
-    val events = buf.toArray
-    buf.clear()
-    CassandraDataFixture.writeFeatureCompacted(tmp,
-      DataDbWrite.featureShardOf(currentId), events.iterator)
-  }
+  private def flush(): Unit =
+    if (currentId != null && (buf.nonEmpty || !spill.isEmpty)) {
+      if (!seenIds.add(currentId))
+        throw new IllegalStateException(
+          s"sstable_id '$currentId' arrived in multiple runs — " +
+            "input not sorted by sstable_id")
+      buf.sortInPlace()(CassandraDataFixture.FeatureTupleOrdering)
+      CassandraDataFixture.writeFeatureCompactedSorted(tmp,
+        DataDbWrite.featureShardOf(currentId),
+        spill.mergedWith(buf.iterator))
+      spill.clearRuns()
+      buf.clear()
+      bufBytes = 0L
+    }
 
   override def commit(): WriterCommitMessage = {
     flush()
-    StagedUpload.commitDir(tmp, destDir, confEntries)
+    val msg = StagedUpload.commitDir(tmp, destDir, confEntries)
+    spill.close()
+    msg
   }
 
   override def abort(): Unit = close()
 
   override def close(): Unit = {
     buf.clear()
+    spill.close()
     StagedUpload.discardDir(tmp)
   }
 }

@@ -892,6 +892,71 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 FEATURE writer spill: a shard many times the spill " +
+      "threshold writes through sorted runs + k-way merge into the " +
+      "streaming kernel, equal file set + read-back (round 13)") {
+    import graft.ops.FeatureCompaction
+    // input: a valid feature event relation — the compacted output's own
+    // events, which the kernel provably reassembles (they round-trip)
+    val compacted = FeatureCompaction.ensureCompacted(spark, Sf0001,
+      FeatureCompaction.GcA)
+    val ev = DataDb.read(spark, compacted,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
+      .select(
+        regexp_extract(col("sstable_id"), "fb-(\\d+)", 0).as("sstable_id"),
+        col("k").as("key"), col("clustering"),
+        col("column_name"), col("kind"), col("timestamp_us"),
+        col("ttl_s"), col("local_deletion_time_s"), col("value"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
+      .groupBy("sstable_id", "kind")
+      .agg(count(lit(1)).as("events"),
+        sum(col("k") % 1000003L).as("key_sum"),
+        sum(col("clustering")).as("cl_sum"),
+        sum(col("timestamp_us") % 1000003L).as("ts_sum"),
+        sum(col("ttl_s")).as("ttl_sum"),
+        sum(col("local_deletion_time_s") % 1000003L).as("ldt_sum"),
+        sum(crc32(col("value"))).as("value_crc_sum"))
+      .orderBy("sstable_id", "kind").collect().toSeq
+    val outSpill = java.nio.file.Files.createTempDirectory("graft-fspill-a")
+    val outPlain = java.nio.file.Files.createTempDirectory("graft-fspill-b")
+    try {
+      val before = graft.sources.datadb.DataDbWrite.spills.sum()
+      ev.write.format("sstable-data")
+        .option("path", outSpill.toString).option("schema", "feature")
+        .option("spillRows", "13")
+        .mode("append").save()
+      assert(graft.sources.datadb.DataDbWrite.spills.sum() > before,
+        "the feature spill path must actually engage under a tiny " +
+          "threshold")
+      ev.write.format("sstable-data")
+        .option("path", outPlain.toString).option("schema", "feature")
+        .mode("append").save()
+      // same complete sidecar family per output shard, and the same
+      // read-back MULTISET (tie order among fully-equal sort keys may
+      // differ between the in-memory sort and the run merge)
+      val spillNames = Option(outSpill.toFile.listFiles()).get
+        .map(_.getName).sorted
+      val plainNames = Option(outPlain.toFile.listFiles()).get
+        .map(_.getName).sorted
+      assert(spillNames.toSeq === plainNames.toSeq)
+      val got = DataDb.read(spark, outSpill.toString,
+        format = DataDbScan.FormatCassandra)
+      val expect = DataDb.read(spark, outPlain.toString,
+        format = DataDbScan.FormatCassandra)
+      assert(agg(got) === agg(expect))
+      // and the rewrite round-trips the compacted relation itself
+      assert(agg(got) === agg(DataDb.read(spark, compacted,
+        format = DataDbScan.FormatCassandra)))
+    } finally {
+      Seq(outSpill, outPlain).foreach { d =>
+        Option(d.toFile.listFiles()).foreach(_.foreach(_.delete()))
+        java.nio.file.Files.deleteIfExists(d)
+      }
+    }
+  }
+
   test("point-read pushdown: pushed key filters plan exactly the probed " +
       "partitions' byte ranges; absent keys plan nothing (round 10)") {
     val path = CassandraDataFixture.ensureFiles(spark, Sf0001,
@@ -1048,6 +1113,118 @@ class CassandraDataSpec extends SparkSpec {
     } finally {
       Option(out.toFile.listFiles()).foreach(_.foreach(_.delete()))
       java.nio.file.Files.deleteIfExists(out)
+    }
+  }
+
+  test("co-partitioned deletion joins: a DENSE deletion set computes " +
+      "the identical survivor relation with no broadcast in the plan " +
+      "(round 13)") {
+    import graft.ops.FeatureCompaction
+    import graft.sources.datadb.DataDbFormat
+    // dense-modulus synthetic frame: EVERY partition carries a partition
+    // deletion, every row a row deletion, every column a complex
+    // deletion — the deletion-heavy corpus where broadcasting the
+    // deletion relations would be the wrong plan
+    val keys = spark.range(0, 500).select(col("id").as("k"))
+    val rows = keys.crossJoin(
+      spark.range(0, 3).select(col("id").as("clustering")))
+    def shaped(df: org.apache.spark.sql.DataFrame, cl: org.apache.spark.sql.Column,
+        colName: String, kind: String, ts: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      df.select(col("k"), cl.as("clustering"), lit(colName).as("column_name"),
+        lit(kind).as("kind"), ts.as("timestamp_us"), lit(0L).as("ttl_s"),
+        lit(Int.MaxValue.toLong).as("local_deletion_time_s"))
+    val cells = shaped(rows, col("clustering"), "tags",
+      DataDbFormat.KindCell, col("k") * 10L + col("clustering") * 3L)
+    val pds = shaped(keys, lit(-2L), "", DataDbFormat.KindPartitionDeletion,
+      col("k") * 10L + 1L)
+    val rds = shaped(rows, col("clustering"), "",
+      DataDbFormat.KindRowDeletion, col("k") * 10L + col("clustering"))
+    val cds = shaped(rows, col("clustering"), "tags",
+      DataDbFormat.KindComplexDeletion, col("k") * 10L + 2L)
+    val ev = cells.unionByName(pds).unionByName(rds).unionByName(cds)
+    val bc = FeatureCompaction.survivors(ev, gcBeforeS = 0L)
+    val cp = FeatureCompaction.survivors(ev, gcBeforeS = 0L,
+      copartitioned = true)
+    val plan = cp.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"co-partitioned variant must not broadcast: $plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    // broadcast variant really broadcasts (the rare-deletion default)
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val cols = Seq("k", "clustering", "column_name", "kind",
+      "timestamp_us").map(col)
+    val a = cp.select(cols: _*).orderBy(cols: _*).collect().toSeq
+    val b = bc.select(cols: _*).orderBy(cols: _*).collect().toSeq
+    assert(a === b)
+    // the dense deletions actually bite: shadowed events are gone
+    assert(a.size.toLong < ev.count())
+    assert(a.nonEmpty)
+  }
+
+  test("sidecar-based compaction sizing: O(#files) driver sizing agrees " +
+      "with the production DSv2 relation and drives the executed " +
+      "fan-out (round 13)") {
+    import graft.ops.Compaction
+    val inPath = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val direct = Compaction.sidecarVolumeBytes(inPath)
+    // independent-reader agreement: the driver-side sidecar parse and
+    // the production sstable-compression DSv2 scan see the same volume
+    val viaDsv2 = graft.sources.compressioninfo.CompressionInfo
+      .read(spark, inPath)
+      .groupBy("generation").agg(min("data_length").as("dl"))
+      .agg(sum("dl")).head.getLong(0)
+    assert(direct === viaDsv2)
+    // the sizing input scales with the corpus across fixture tiers
+    val in01 = CassandraDataFixture.ensureFiles(spark,
+      "/root/testdata/sf0.01", compressed = true)
+    val direct01 = Compaction.sidecarVolumeBytes(in01)
+    assert(direct01 > direct * 5)
+    assert(Compaction.outputShards(direct01) >
+      Compaction.outputShards(direct))
+    // executed: a sidecar-sized compaction emits exactly
+    // ceil(volume/target) complete compressed sstable families —
+    // the sizing never ran a Spark job over the events
+    val out = Compaction.ensureCompacted(spark, Sf0001,
+      sidecarSized = true)
+    val names = Option(new java.io.File(out).listFiles()).get.map(_.getName)
+    val shards = Compaction.outputShards(direct)
+    assert(names.count(_.endsWith("-Data.db")).toLong === shards)
+    assert(names.count(_.endsWith("-CompressionInfo.db")).toLong === shards)
+    // the uncompressed (CRC) family has no CompressionInfo.db — the
+    // volume falls back to the Data.db lengths themselves
+    val featPath = CassandraDataFixture.ensureFeatureFiles(spark, Sf0001)
+    val featLen = Option(new java.io.File(featPath)
+      .listFiles((_, n) => n.endsWith("-Data.db"))).get.map(_.length).sum
+    assert(Compaction.sidecarVolumeBytes(featPath) === featLen)
+  }
+
+  test("compaction LWW merge plans as an aggregate with map-side " +
+      "partial_max before the exchange — no Window, group-key-only " +
+      "sorts (round 13)") {
+    val ev = graft.sources.Fixtures.cells(spark, Sf0001)
+    val merged = graft.ops.Compaction.mergeWinners(ev,
+      graft.sources.Fixtures.GcBeforeS)
+    val plan = merged.queryExecution.executedPlan.toString
+    // map-side combine: partial_max(struct(...)) runs BEFORE the
+    // exchange — at 100 TB the shuffle carries one pre-merged winner per
+    // (key, clustering, column) per map task, not every input event.
+    // (Spark plans struct-max as SortAggregate — struct buffers are not
+    // UnsafeRow-mutable, so HashAggregate is impossible for this agg and
+    // ObjectHashAggregate serves only typed-imperative functions; the
+    // sort-based agg with partial combine IS the right available plan,
+    // and its sorts are over the 3 GROUP KEYS, not the window's full
+    // 11-field order.)
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"),
+      "LWW winner selection must not plan a window")
+    val sortCols = "Sort \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(sortCols.nonEmpty)
+    sortCols.foreach { cols =>
+      assert(!cols.contains("timestamp_us") && !cols.contains("DESC"),
+        s"aggregate sorts must be group-key-only, got: $cols")
     }
   }
 

@@ -69,34 +69,27 @@ object Integrity {
     * order).
     *
     * Scale shape: summaries are per-sstable and SMALL by design (1/128th
-    * of the index at real sampling) — one task per file via binaryFile is
-    * the right grain, and the Index.db side joins per (sstable, offset)
-    * with no wide exchange (both sides are file-granular parses; fixture
-    * Index files are MBs per GB of data, so whole-file rows hold far past
-    * fixture scale; a multi-GB index would move this side onto the
-    * streaming DSv2 reader). */
+    * of the index at real sampling) — the summary side reads through the
+    * `sstable-summary` DSv2 (round 13: per-entry rows, generation file
+    * pruning static AND runtime, many tiny files per task), and the
+    * Index.db side joins per (sstable, offset) with no wide exchange
+    * (file-granular parses; fixture Index files are MBs per GB of data,
+    * so whole-file rows hold far past fixture scale; a multi-GB index
+    * would move this side onto the streaming DSv2 reader). */
   def summaryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.sources.summarydb.SummaryDbFormat
     import graft.sources.indexdb.IndexDbFormat
     val path = CassandraDataFixture.ensureFiles(spark, dir, compressed = false)
     def gen(p: String, suffix: String): Long =
       ("nb-(\\d+)-big" + suffix).r.findFirstMatchIn(p).get.group(1).toLong
     def keyLong(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b).getLong
-    val summaries = spark.read.format("binaryFile")
-      .load(s"$path/*${SummaryDbFormat.Suffix}")
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val g = gen(p, java.util.regex.Pattern.quote(SummaryDbFormat.Suffix))
-        val s = SummaryDbFormat.parse(new java.io.DataInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-        s.entries.map { e =>
-          (g, keyLong(e.key), e.position, s.minIndexInterval.toLong,
-            keyLong(s.firstKey), keyLong(s.lastKey))
-        }
-      }
-      .toDF("gen", "key", "index_offset", "min_interval",
-        "first_key", "last_key")
+    val summaries = spark.read.format("sstable-summary").load(path)
+      .select(col("generation").as("gen"),
+        graft.sources.BinaryKeys.beLong(col("key")).as("key"),
+        col("position").as("index_offset"),
+        col("min_interval"),
+        graft.sources.BinaryKeys.beLong(col("first_key")).as("first_key"),
+        graft.sources.BinaryKeys.beLong(col("last_key")).as("last_key"))
     val indexEntries = spark.read.format("binaryFile")
       .load(s"$path/*${IndexDbFormat.Suffix}")
       .select(col("path"), col("content")).as[(String, Array[Byte])]

@@ -116,24 +116,83 @@ final class CompressionInfoTable(properties: Map[String, String])
 }
 
 final class CompressionInfoScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = CompressionInfoFormat.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** generation equality/IN prunes files; all filters stay residual. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter {
+      case org.apache.spark.sql.sources.EqualTo("generation", _) => true
+      case org.apache.spark.sql.sources.In("generation", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
   override def build(): Scan = CompressionInfoScan(
     options.getOrElse("path", throw new IllegalArgumentException(
       "sstable-compression requires a path")),
     required,
-    options.get("filesperpartition").map(_.toInt).getOrElse(512))
+    options.get("filesperpartition").map(_.toInt).getOrElse(512),
+    pushed)
 }
 
 final case class CompressionInfoScan(path: String, required: StructType,
-    filesPerPartition: Int) extends Scan with Batch {
+    filesPerPartition: Int,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"CompressionInfoScan path=$path " +
+    s"CompressionInfoScan path=$path pushed=${pushed.mkString(",")} " +
+      (if (runtime.nonEmpty) s"RuntimeFilters=${runtime.mkString(",")} "
+       else "") +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  /** RUNTIME file pruning on `generation` (round 13, the IndexDb
+    * pattern): a join that realizes the relevant generations at
+    * execution time prunes files before a byte is read. */
+  private var runtime: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("generation"))
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = filters.filter {
+      case org.apache.spark.sql.sources.EqualTo("generation", _) => true
+      case org.apache.spark.sql.sources.In("generation", _) => true
+      case _ => false
+    }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  private def fileSurvives(name: String): Boolean = {
+    lazy val gen: Option[Long] = name
+      .stripSuffix(CompressionInfoFormat.Suffix)
+      .split("-").lift(1).flatMap(_.toLongOption)
+    (pushed ++ runtime).forall {
+      case org.apache.spark.sql.sources.EqualTo("generation", v) =>
+        asLong(v).forall(g => gen.forall(_ == g))
+      case org.apache.spark.sql.sources.In("generation", vs) =>
+        gen.forall(g => vs.flatMap(asLong).contains(g))
+      case _ => true
+    }
+  }
 
   private def sessionHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -150,6 +209,7 @@ final case class CompressionInfoScan(path: String, required: StructType,
           s.isFile && s.getPath.getName.endsWith(CompressionInfoFormat.Suffix))
       else Seq(status)
     files.map(_.getPath.toString).sorted
+      .filter(f => fileSurvives(new org.apache.hadoop.fs.Path(f).getName))
       .grouped(math.max(1, filesPerPartition))
       .map(g => CompressionInfoInputPartition(g.toArray): InputPartition)
       .toArray

@@ -411,6 +411,10 @@ private[datadb] final class SpillRuns[T](ordering: Ordering[T],
 
   def isEmpty: Boolean = runs.isEmpty
 
+  /** Run input streams currently open (spec probe for the no-fd-leak
+    * contract). */
+  private[datadb] def openStreams: Int = open.size
+
   /** Sort the buffer in place, write it as one run file, clear it. */
   def spillRun(buf: ArrayBuffer[T]): Unit = {
     buf.sortInPlace()(ordering)

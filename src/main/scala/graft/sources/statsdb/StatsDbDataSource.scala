@@ -78,12 +78,15 @@ final class StatsDbScanBuilder(options: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** sstable_id equality/IN filters prune files; all filters stay residual
+  /** sstable_id (graft schema) / generation (cassandra schema)
+    * equality/IN filters prune files; all filters stay residual
     * (row-level re-check on pruned input is free). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
       case EqualTo("sstable_id", _) => true
       case In("sstable_id", _) => true
+      case EqualTo("generation", _) => true
+      case In("generation", _) => true
       case _ => false
     }
     filters
@@ -102,23 +105,61 @@ final class StatsDbScanBuilder(options: Map[String, String])
 
 final case class StatsDbScan(path: String, required: StructType,
     pushed: Array[Filter], filesPerPartition: Int,
-    format: String = "graft", gcBeforeS: Long = 0L) extends Scan with Batch {
+    format: String = "graft", gcBeforeS: Long = 0L) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"StatsDbScan path=$path pushed=${pushed.mkString(",")} " +
+      (if (runtime.nonEmpty) s"RuntimeFilters=${runtime.mkString(",")} "
+       else "") +
       s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  /** RUNTIME file pruning (round 13, the IndexDb pattern): when a join
+    * realizes the relevant id set — graft schema by `sstable_id`,
+    * cassandra schema by `generation` — only surviving files are ever
+    * opened (planInputPartitions runs after filter()). */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(if (format == "cassandra") "generation" else "sstable_id"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case EqualTo("sstable_id", _) => true
+      case In("sstable_id", _) => true
+      case EqualTo("generation", _) => true
+      case In("generation", _) => true
+      case _ => false
+    }
 
   private def sstableIdOf(fileName: String): String =
     fileName.stripSuffix(StatsDbFormat.Suffix)
 
-  private def fileSurvives(id: String): Boolean =
-    pushed.forall {
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  private def fileSurvives(id: String): Boolean = {
+    // cassandra descriptors are "nb-<gen>-big"; non-descriptor names
+    // never match a generation filter (conservative: kept, re-checked
+    // at row level)
+    lazy val gen: Option[Long] =
+      id.split("-").lift(1).flatMap(_.toLongOption)
+    (pushed ++ runtime).forall {
       case EqualTo("sstable_id", v) => id == v
       case In("sstable_id", vs) => vs.contains(id)
+      case EqualTo("generation", v) =>
+        asLong(v).forall(g => gen.forall(_ == g))
+      case In("generation", vs) =>
+        gen.forall(g => vs.flatMap(asLong).contains(g))
       case _ => true
     }
+  }
 
   private def sessionHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession

@@ -1078,6 +1078,74 @@ class CassandraDataSpec extends SparkSpec {
       "runtime filter not injected for the join-shaped point read")
   }
 
+  test("sidecar runtime filtering: stats/summary/compression scans " +
+      "prune files under a realized generation set; unusable shapes " +
+      "fall back exactly (round 13)") {
+    import org.apache.spark.sql.sources.{GreaterThan, In}
+    val path = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val nFiles = Option(new java.io.File(path)
+      .listFiles((_, n) => n.endsWith("-Data.db"))).get.length
+    assert(nFiles > 1)
+    def genFilter(g: Long) = Array[org.apache.spark.sql.sources.Filter](
+      In("generation", Array[Any](g)))
+    def fallback = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThan("data_length", 0L))
+    // sstable-stats (cassandra schema, generation attribute)
+    def statsScan() = graft.sources.statsdb.StatsDbScan(path,
+      graft.sources.statsdb.CassandraStatsFormat.Schema, Array.empty,
+      1, "cassandra", 0L)
+    assert(statsScan().planInputPartitions().length === nFiles)
+    val sRt = statsScan(); sRt.filter(genFilter(2L))
+    assert(sRt.planInputPartitions().length === 1)
+    val sFb = statsScan(); sFb.filter(fallback)
+    assert(sFb.planInputPartitions().length === nFiles)
+    // sstable-summary (round 13 source)
+    def sumScan() = graft.sources.summarydb.SummaryDbScan(path,
+      graft.sources.summarydb.SummaryDbDataSource.Schema, Array.empty, 1)
+    assert(sumScan().planInputPartitions().length === nFiles)
+    val suRt = sumScan(); suRt.filter(genFilter(2L))
+    assert(suRt.planInputPartitions().length === 1)
+    // sstable-compression
+    def ciScan() = graft.sources.compressioninfo.CompressionInfoScan(path,
+      graft.sources.compressioninfo.CompressionInfoFormat.Schema, 1)
+    assert(ciScan().planInputPartitions().length === nFiles)
+    val ciRt = ciScan(); ciRt.filter(genFilter(2L))
+    assert(ciRt.planInputPartitions().length === 1)
+    val ciFb = ciScan(); ciFb.filter(fallback)
+    assert(ciFb.planInputPartitions().length === nFiles)
+    // STATIC pushdown reaches the file plan through the DataFrame API too
+    val pushedCi = graft.sources.compressioninfo.CompressionInfo
+      .read(spark, path).where(col("generation") === 2L)
+    val scans = pushedCi.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scans.contains("pushed=") && scans.contains("generation"),
+      scans)
+    assert(pushedCi.select("generation").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // and the summary DSv2's relation matches the raw binary parse
+    val viaSource = spark.read.format("sstable-summary").load(path)
+      .agg(count(lit(1)), sum("position"),
+        sum(crc32(col("key"))), countDistinct("generation"))
+      .collect().head.toSeq
+    val viaBinary = {
+      val files = Option(new java.io.File(path)
+        .listFiles((_, n) => n.endsWith("-Summary.db"))).get
+      val all = files.flatMap { f =>
+        val s = graft.sources.summarydb.SummaryDbFormat.parse(
+          new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f))))
+        s.entries.map(e => (f.getName, e))
+      }
+      val crc = new java.util.zip.CRC32()
+      Seq(all.length.toLong, all.map(_._2.position).sum,
+        all.map { case (_, e) =>
+          crc.reset(); crc.update(e.key); crc.getValue
+        }.sum, files.length.toLong)
+    }
+    assert(viaSource === viaBinary)
+  }
+
   test("value passthrough: arbitrary caller bytes survive write -> scan " +
       "byte-for-byte; valueless events surface null (round 10)") {
     val out = java.nio.file.Files.createTempDirectory("graft-value-spec")

@@ -191,19 +191,32 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
 
+  /** Session-cached per-doc sorted shingle-hash arrays — the verify
+    * stage's build side, shared by EVERY blocking scheme that funnels
+    * into [[verifyExact]] (q154's prefix filter, q155's sorted
+    * neighborhood): the groupBy + collect_set over the full shingle
+    * relation is the verify stage's expensive half, and it is a pure
+    * function of the corpus, so the second scheme in a session gets it
+    * free (round 13 — this was rebuilt per query and showed up as
+    * q155's whole bench cost). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    PlanCache.cached(spark, s"shingle-sets|$dir")(
+      hashedSized(spark, dir).groupBy("doc_id")
+        .agg(sort_array(collect_set(col("gh"))).as("gs"))
+        .withColumn("sz", size(col("gs")).cast("long")))
+
   /** Exact-Jaccard verification of a candidate pair set — the stage every
     * blocking scheme funnels into. Each doc's distinct hashed shingles
-    * collapse ONCE into a sorted array; candidates then join the two
-    * arrays by id (row count stays |candidates| — no per-shingle row
-    * explosion through the join) and the intersection is a narrow
-    * `array_intersect` inside codegen. vs the exploded two-join form,
-    * the exchanges carry |candidates| array rows (~set_size·8 B each)
-    * instead of |candidates|·|set| scalar rows. */
-  private def verifyExact(sized: DataFrame, cands: DataFrame,
-      thresholdPct: Int): DataFrame = {
-    val sets = sized.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("gh"))).as("gs"))
-      .withColumn("sz", size(col("gs")).cast("long"))
+    * collapse ONCE into a sorted array (session-cached across schemes);
+    * candidates then join the two arrays by id (row count stays
+    * |candidates| — no per-shingle row explosion through the join) and
+    * the intersection is a narrow `array_intersect` inside codegen. vs
+    * the exploded two-join form, the exchanges carry |candidates| array
+    * rows (~set_size·8 B each) instead of |candidates|·|set| scalar
+    * rows. */
+  private def verifyExact(spark: SparkSession, dir: String,
+      cands: DataFrame, thresholdPct: Int): DataFrame = {
+    val sets = shingleSets(spark, dir)
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("gs").as("ga"),
         col("sz").as("sz_a")), "id_a")
@@ -235,7 +248,7 @@ object Dedup {
           "transform(slice(ids, i + 2, size(ids) - i - 1), " +
           "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
       .select("p.id_a", "p.id_b").distinct()
-    verifyExact(sized, cands, thresholdPct)
+    verifyExact(spark, dir, cands, thresholdPct)
   }
 
   /** q155: SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo, SIGMOD 1995) —
@@ -283,7 +296,7 @@ object Dedup {
       .select(least(col("d_l"), col("d_r")).as("id_a"),
         greatest(col("d_l"), col("d_r")).as("id_b"))
       .distinct()
-    verifyExact(hashedSized(spark, dir), cands, thresholdPct)
+    verifyExact(spark, dir, cands, thresholdPct)
   }
 
   /** q157: LEAKAGE-FREE train/validation SPLIT — the assignment unit is

@@ -131,12 +131,16 @@ object FeatureCompaction {
     * right when deletions are rare events (the common corpus); `true`
     * co-partitions event and deletion sides on the join keys through
     * shuffle-hash joins instead — the deletion-HEAVY fallback, where a
-    * dense deletion set would blow the broadcast threshold/driver. The
-    * join keys are prefixes of one another (k ⊂ (k, clustering) ⊂
-    * (k, clustering, column_name)), so the widest key's exchange feeds
-    * all three joins without re-shuffling. Both strategies compute the
-    * identical relation — q169 runs the full q164 roundtrip through
-    * this path against the same oracle. */
+    * dense deletion set would blow the broadcast threshold/driver. Each
+    * join co-partitions on its own key prefix (k / (k, clustering) /
+    * (k, clustering, column_name)), so the event side crosses three
+    * exchanges — the price of arbitrary-size deletion relations; a
+    * corpus where even that dominates would collapse the three deletion
+    * relations into one per-partition map joined once on k, trading the
+    * extra exchanges for per-row map lookups (bounded by partition
+    * size). Both strategies compute the identical relation — q169 runs
+    * the full q164 roundtrip through this path against the same
+    * oracle. */
   def survivors(ev: DataFrame, gcBeforeS: Long,
       copartitioned: Boolean = false): DataFrame = {
     def side(df: DataFrame): DataFrame =

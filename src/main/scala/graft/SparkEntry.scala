@@ -873,6 +873,32 @@ object SparkEntry {
     // exactly (same oracle)
     "q169_feature_compaction_copart" -> ((s, d) =>
       FeatureCompaction.roundtrip(s, d, copartitioned = true)),
+    // the sstable-summary DSv2 relation itself (round 13): per-sstable
+    // rollup with an ORDER-pinning checksum over (entry_index, key) —
+    // entries are every MinIndexInterval-th distinct partition in key
+    // order, so the oracle replays index and key per entry from parquet
+    "q170_summary_source" -> ((s, d) => {
+      import graft.sources.datadb.CassandraDataFixture
+      val path = CassandraDataFixture.ensureFiles(s, d, compressed = false)
+      s.read.format("sstable-summary").load(path)
+        .select(concat(lit("sst-"), (col("generation") - 1L).cast("string"))
+            .as("sstable_id"),
+          col("min_interval"), col("sampling_level"),
+          col("size_at_full_sampling"), col("entry_index"),
+          graft.sources.BinaryKeys.beLong(col("key")).as("k"),
+          graft.sources.BinaryKeys.beLong(col("first_key")).as("fk"),
+          graft.sources.BinaryKeys.beLong(col("last_key")).as("lk"))
+        .groupBy("sstable_id")
+        .agg(count(lit(1)).as("entries"),
+          max("min_interval").as("min_interval"),
+          max("sampling_level").as("sampling_level"),
+          max("size_at_full_sampling").as("size_at_full_sampling"),
+          sum(col("k") % ChkMod).as("keys_sum"),
+          sum((col("entry_index") + 1L) * (col("k") % ChkMod))
+            .as("ordered_keys_sum"),
+          max("fk").as("first_key"), max("lk").as("last_key"))
+        .orderBy("sstable_id")
+    }),
     // caller-supplied value BYTES through the sink and back: write cells
     // whose values are oracle-recomputable payload strings, read them
     // back through the scan's `value` column, checksum the CONTENT

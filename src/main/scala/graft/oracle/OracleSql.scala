@@ -4151,7 +4151,35 @@ ORDER BY 1"""
       ("q164_feature_compaction" -> q164Sql) +
       // q169 (co-partitioned deletion joins) computes the identical
       // survivor relation through shuffle-hash joins — q164's oracle.
-      ("q169_feature_compaction_copart" -> q164Sql)
+      ("q169_feature_compaction_copart" -> q164Sql) +
+      // q170: the sstable-summary DSv2 relation — every 4th distinct
+      // partition key per sstable in key order, with an order-pinning
+      // (entry_index, key) checksum and the header constants.
+      ("q170_summary_source" -> s"""WITH $fixtures,
+sumk AS (SELECT DISTINCT sstable_id, key FROM licells),
+sumr AS (
+  SELECT sstable_id, key,
+    row_number() OVER (PARTITION BY sstable_id ORDER BY key) - 1 AS rn
+  FROM sumk
+),
+sumb AS (
+  SELECT sstable_id, MIN(key) AS first_key, MAX(key) AS last_key
+  FROM sumk GROUP BY 1
+),
+ent AS (
+  SELECT sstable_id, key, rn // 4 AS entry_index
+  FROM sumr WHERE rn % 4 = 0
+)
+SELECT e.sstable_id, CAST(COUNT(*) AS BIGINT) AS entries,
+  CAST(4 AS BIGINT) AS min_interval,
+  CAST(128 AS BIGINT) AS sampling_level,
+  CAST(COUNT(*) AS BIGINT) AS size_at_full_sampling,
+  CAST(SUM(e.key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM((e.entry_index + 1) * (e.key % 1000003)) AS BIGINT) AS ordered_keys_sum,
+  CAST(b.first_key AS BIGINT) AS first_key,
+  CAST(b.last_key AS BIGINT) AS last_key
+FROM ent e JOIN sumb b USING (sstable_id)
+GROUP BY e.sstable_id, b.first_key, b.last_key ORDER BY 1""")
 
   /** q129: the static-complex variant's deterministic model
     * (CassandraDataFixture.writeStaticComplexAll) replayed from parquet:

@@ -27,7 +27,7 @@ object Main {
       snapshot: Option[String] = None, files: Seq[String] = Nil,
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
-      execute: Boolean = false,
+      execute: Boolean = false, sidecarSized: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -64,7 +64,8 @@ object Main {
     case "drift" => "Usage: drift"
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
-      "Usage: compact [--execute <keyspace> <table>] [-g <gc_grace_seconds>]"
+      "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
+        "[-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -144,6 +145,8 @@ object Main {
               o = o.copy(bpeSteps = s); rest = t
             case Seq("--execute", t @ _*) if cmd == "compact" =>
               o = o.copy(execute = true); rest = t
+            case Seq("--sidecar-sized", t @ _*) if cmd == "compact" =>
+              o = o.copy(sidecarSized = true); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -163,7 +166,9 @@ object Main {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
-            } else if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
+            } else if (o.sidecarSized || positional.nonEmpty)
+              Left(usage(cmd)) // sizing choice only applies to --execute
+            else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
             case _ => Left(usage(cmd))
@@ -263,7 +268,8 @@ object Main {
         if (o.execute) {
           if (!requireStore()) return 2
           out(tracked("compact")(
-            Reports.compactExecute(spark, dir, o.gcBeforeS))); 0
+            Reports.compactExecute(spark, dir, o.gcBeforeS,
+              o.sidecarSized))); 0
         } else {
           // -g applies to the executed-compaction rollup in BOTH modes
           out(tracked("compact")(

@@ -313,12 +313,17 @@ object Reports {
         "sstable outputs)",
         graft.ops.Compaction.compactionRoundtrip(spark, dir, gcBeforeS))
 
-  /** `compact --execute <ks> <cf> [-g]` — run the REAL compaction (the
-    * q162 read → merge → write → read circle) at the given gc cutoff and
-    * print the per-output-shard rollup of the sstables it wrote. */
+  /** `compact --execute <ks> <cf> [--sidecar-sized] [-g]` — run the REAL
+    * compaction (the q162 read → merge → write → read circle) at the
+    * given gc cutoff and print the per-output-shard rollup of the
+    * sstables it wrote. `--sidecar-sized` sizes the output fan-out from
+    * the CompressionInfo.db data_length sum at O(#files) driver cost
+    * (the production path) instead of the relational volume model. */
   def compactExecute(spark: SparkSession, dir: String,
-      gcBeforeS: Long): String =
+      gcBeforeS: Long, sidecarSized: Boolean = false): String =
     section(s"Executed compaction (gcBefore=${gcBeforeS}s, " +
-      "volume-adaptive key%N-sharded real sstable outputs)",
-      graft.ops.Compaction.compactionRoundtrip(spark, dir, gcBeforeS))
+      (if (sidecarSized) "sidecar-sized " else "volume-adaptive ") +
+      "key%N-sharded real sstable outputs)",
+      graft.ops.Compaction.compactionRoundtrip(spark, dir, gcBeforeS,
+        sidecarSized))
 }

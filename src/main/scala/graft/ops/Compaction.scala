@@ -245,8 +245,9 @@ object Compaction {
     * only shred target-sized files into overhead (they cost ~3x at
     * sf0.1 once the fan-out went volume-adaptive). */
   def compactionRoundtrip(spark: SparkSession, dir: String,
-      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
-    val out = ensureCompacted(spark, dir, gcBeforeS)
+      gcBeforeS: Long = Fixtures.GcBeforeS,
+      sidecarSized: Boolean = false): DataFrame = {
+    val out = ensureCompacted(spark, dir, gcBeforeS, sidecarSized)
     DataDb.cells(spark, out, format = DataDbScan.FormatCassandra)
       .withColumn("sstable_id", concat(lit("sst-"),
         (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)

@@ -113,10 +113,15 @@ final case class SummaryDbScan(path: String, required: StructType,
       case _ => false
     }
 
-  private def fileSurvives(gen: Long): Boolean =
+  /** Conservative: a name that doesn't parse as a descriptor is KEPT
+    * (the reader then fails with a clear message) — pruning must only
+    * ever drop files proven irrelevant. */
+  private def fileSurvives(gen: Option[Long]): Boolean =
     (pushed ++ runtime).forall {
-      case EqualTo("generation", v) => gen == SummaryDbScan.asLong(v)
-      case In("generation", vs) => vs.exists(SummaryDbScan.asLong(_) == gen)
+      case EqualTo("generation", v) =>
+        gen.forall(g => SummaryDbScan.asLongOpt(v).forall(_ == g))
+      case In("generation", vs) =>
+        gen.forall(g => vs.flatMap(SummaryDbScan.asLongOpt).contains(g))
       case _ => true
     }
 
@@ -135,7 +140,7 @@ final case class SummaryDbScan(path: String, required: StructType,
           s.isFile && s.getPath.getName.endsWith(SummaryDbFormat.Suffix))
       else Seq(status)
     files.map(_.getPath.toString).sorted
-      .filter(f => fileSurvives(SummaryDbScan.generationOf(
+      .filter(f => fileSurvives(SummaryDbScan.genOpt(
         new org.apache.hadoop.fs.Path(f).getName)))
       .grouped(math.max(1, filesPerPartition))
       .map(g => SummaryDbInputPartition(g.toArray): InputPartition)
@@ -155,21 +160,20 @@ final case class SummaryDbScan(path: String, required: StructType,
 }
 
 object SummaryDbScan {
-  private[summarydb] def asLong(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case n: Number => n.longValue()
-    case other => throw new IllegalArgumentException(
-      s"generation filter value $other is not numeric")
+  private[summarydb] def asLongOpt(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
   }
 
-  /** "nb-<gen>-big-Summary.db" → gen. */
-  private[summarydb] def generationOf(name: String): Long = {
-    val id = name.stripSuffix(SummaryDbFormat.Suffix)
-    val parts = id.split("-")
-    if (parts.length >= 2) parts(1).toLong
-    else throw new java.io.IOException(s"not a Cassandra descriptor: $id")
-  }
+  /** Lenient descriptor parse for PLANNING-time pruning. */
+  private[summarydb] def genOpt(name: String): Option[Long] =
+    name.stripSuffix(SummaryDbFormat.Suffix)
+      .split("-").lift(1).flatMap(_.toLongOption)
+
+  /** "nb-<gen>-big-Summary.db" → gen (strict; the READER's contract). */
+  private[summarydb] def generationOf(name: String): Long =
+    genOpt(name).getOrElse(throw new java.io.IOException(
+      s"not a Cassandra descriptor: $name"))
 }
 
 final case class SummaryDbInputPartition(files: Array[String])

@@ -282,7 +282,14 @@ class CliMainSpec extends SparkSpec {
     // gc_grace (500 days -> gcBefore day 3500, more droppable than the
     // read-only what-if's default) and its output rollup frozen
     "compact_execute" ->
-      Seq("compact", "--execute", "ks1", "lineitem", "-g", "43200000"))
+      Seq("compact", "--execute", "ks1", "lineitem", "-g", "43200000"),
+    // the PRODUCTION sizing path (round 13): fan-out from the sidecar
+    // data_length sum — at sf0.001 both sizings compute one shard, so
+    // the rollup body matches compact_execute and only the header names
+    // the sizing source
+    "compact_execute_sidecar" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "-g", "43200000",
+        "--sidecar-sized"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

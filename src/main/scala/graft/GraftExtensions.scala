@@ -13,5 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotI64Descriptor)
     ext.injectFunction(GraftFunctions.hash60Descriptor)
+    ext.injectFunction(GraftFunctions.beLongDescriptor)
+    ext.injectFunction(GraftFunctions.beLongBytesDescriptor)
   }
 }

@@ -114,7 +114,29 @@ object GraftFunctions {
         Hash60(children.head)
       })
 
-  private val descriptors = Seq(dotI64Descriptor, hash60Descriptor)
+  val beLongDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("be_long"),
+      new ExpressionInfo(classOf[BeLong].getName, "be_long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"be_long requires exactly 1 argument, got ${children.length}")
+        BeLong(children.head)
+      })
+
+  val beLongBytesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("be_long_bytes"),
+      new ExpressionInfo(classOf[BeLongBytes].getName, "be_long_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"be_long_bytes requires exactly 1 argument, " +
+            s"got ${children.length}")
+        BeLongBytes(children.head)
+      })
+
+  private val descriptors = Seq(dotI64Descriptor, hash60Descriptor,
+    beLongDescriptor, beLongBytesDescriptor)
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -128,4 +150,12 @@ object GraftFunctions {
 
   /** Column form of [[Hash60]] (used through [[PortableHash.h60]]). */
   def hash60(c: Column): Column = call_function("portable_h60", c)
+
+  /** Column form of [[BeLong]] (used through
+    * [[graft.sources.BinaryKeys.beLong]]). */
+  def beLong(c: Column): Column = call_function("be_long", c)
+
+  /** Column form of [[BeLongBytes]] (used through
+    * [[graft.sources.BinaryKeys.beLongBytes]]). */
+  def beLongBytes(c: Column): Column = call_function("be_long_bytes", c)
 }

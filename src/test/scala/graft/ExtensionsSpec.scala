@@ -976,6 +976,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(fromDetached === fromBuiltin)
   }
 
+  test("BinaryKeys: the native be_long/be_long_bytes expressions are " +
+      "bit-identical to the builtin hex compositions, full sign domain " +
+      "and short inputs included (round 13)") {
+    import spark.implicits._
+    // longs across the whole domain, including the top-bit-set range the
+    // single-conv form would null out
+    val longs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      0x7fffffff00000000L, 0x8000000000000001L, -987654321012345678L) ++
+      (0 until 64).map(1L << _)
+    val enc = longs.toDF("k")
+    val nativeBytes = enc.select(
+      graft.sources.BinaryKeys.beLongBytes(col("k")).as("b"))
+      .as[Array[Byte]].collect().toSeq
+    val builtinBytes = enc.select(
+      graft.sources.BinaryKeys.beLongBytesBuiltin(col("k")).as("b"))
+      .as[Array[Byte]].collect().toSeq
+    assert(nativeBytes.map(_.toSeq) === builtinBytes.map(_.toSeq))
+    // decode roundtrips and equals the builtin decode
+    val dec = enc.select(graft.sources.BinaryKeys.beLong(
+      graft.sources.BinaryKeys.beLongBytes(col("k"))).as("k2"))
+      .as[Long].collect().toSeq
+    assert(dec === longs)
+    // arbitrary-LENGTH inputs: native mirrors the builtin's behavior
+    // exactly (≤4 bytes → null; 5-7 bytes → hi-half ‖ remaining bytes)
+    val varLen = (0 to 10).map(n =>
+      Tuple1((0 until n).map(i => ((i * 37 + n * 11) % 256 - 128).toByte)
+        .toArray))
+    val vdf = varLen.toDF("b")
+    val nat = vdf.select(graft.sources.BinaryKeys.beLong(col("b")).as("v"))
+      .as[Option[Long]].collect().toSeq
+    val blt = vdf.select(
+      graft.sources.BinaryKeys.beLongBuiltin(col("b")).as("v"))
+      .as[Option[Long]].collect().toSeq
+    assert(nat === blt)
+    assert(nat.take(5).forall(_.isEmpty) && nat.drop(5).forall(_.nonEmpty))
+    // sessionless column construction still analyzes (builtin fallback)
+    @volatile var detached: org.apache.spark.sql.Column = null
+    val t = new Thread(() => {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      detached = graft.sources.BinaryKeys.beLong(col("b"))
+    })
+    t.start(); t.join()
+    assert(vdf.select(detached.as("v")).as[Option[Long]].collect().toSeq
+      === blt)
+  }
+
   test("classifier quality: narrow fold matches the explode derivation") {
     import spark.implicits._
     val rows = TextStats.classifierQuality(spark, Sf0001).collect()

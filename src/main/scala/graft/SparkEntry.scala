@@ -873,6 +873,16 @@ object SparkEntry {
     // exactly (same oracle)
     "q169_feature_compaction_copart" -> ((s, d) =>
       FeatureCompaction.roundtrip(s, d, copartitioned = true)),
+    // SIZE-TIERED MINOR compaction executed end to end (round 13): the
+    // selection problem — tier by modeled size, compact only tiers with
+    // enough members, pass everything else through untouched, and purge
+    // droppable tombstones ONLY where no non-participating sstable holds
+    // the key (the conservative rule that makes minor compaction safe).
+    // Merged tiers are written as real sstables and read back; the
+    // oracle replays tiering, selection, per-tier LWW, the purge guard
+    // and both rollup halves from parquet
+    "q171_minor_compaction" -> ((s, d) =>
+      graft.ops.MinorCompaction.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+
+/** SIZE-TIERED MINOR compaction, executed end to end (round 13) — the
+  * compaction SELECTION problem the reference never touches and q162's
+  * major compaction sidesteps: real Cassandra does not compact
+  * everything at once; a strategy picks WHICH sstables merge (Cassandra
+  * `SizeTieredCompactionStrategy`: bucket sstables by size similarity,
+  * compact buckets with enough members) and everything else passes
+  * through untouched.
+  *
+  * Semantics here, each half oracle-replayable from parquet:
+  *
+  *  - **Tiering**: per-sstable modeled volume (the q162 relational
+  *    model, `32 B + value length` per event) → tier =
+  *    bit-length(bytes div [[MinTierBytes]]) — a deterministic integer
+  *    power-of-two size ladder (Cassandra's bucket-similarity grouping,
+  *    made path-independent so SQL replays it exactly).
+  *  - **Selection**: tiers with ≥ [[MinThreshold]] members compact —
+  *    one LWW merge per tier over ONLY that tier's sstables; every
+  *    other sstable passes through byte-untouched (its events re-read
+  *    from the ORIGINAL file in the rollup).
+  *  - **Conservative purge** — the rule that makes minor compaction
+  *    correct: a droppable tombstone winner (ldt < gcBefore) may purge
+  *    ONLY if NO non-participating sstable contains its partition key —
+  *    otherwise the tombstone must survive to keep shadowing data the
+  *    compaction cannot see (Cassandra checks exactly this against the
+  *    other sstables' key ranges/blooms before dropping). Major
+  *    compaction (q162) has no such constraint — all sstables
+  *    participate.
+  *
+  * Executed, not simulated: each selected tier's survivors are written
+  * back as ONE real compressed sstable through the DSv2 sink and
+  * re-read through the production scan for the rollup.
+  *
+  * Scale shape: tiering/selection is a per-SSTABLE decision —
+  * O(#sstables) driver rows off one pruned aggregate (or the sidecar
+  * sums, as q162's sidecar-sized variant) — while the merge is the same
+  * single combine-enabled exchange as q162 with `tier` prefixed to the
+  * merge key. The purge check joins winners against the non-participant
+  * key set co-partitioned on key (a real deployment consults blooms /
+  * min-max ranges instead of materializing the set; the join form IS
+  * the exact-semantics reference). A tier at 100 TB would shard its
+  * output volume-adaptively like q162 — one file per tier here keeps
+  * the fixture relation readable. */
+object MinorCompaction {
+
+  /** Power-of-two tier unit. Deliberately small (16 KiB) so the fixture
+    * tiers spread; a real deployment sets ~50 MB (Cassandra's
+    * min_sstable_size analog). */
+  val MinTierBytes = 16L << 10
+
+  /** Minimum tier population that triggers a compaction (Cassandra's
+    * min_threshold, default 4; 2 here so the 6-sstable fixture set has
+    * both selected tiers and a passthrough). */
+  val MinThreshold = 2
+
+  /** Output generations start here: tier t writes sst-(TierGenBase+t)
+    * (passthrough inputs keep generations 1..6, so outputs never
+    * collide). */
+  val TierGenBase = 900L
+
+  private val ChkMod = 1000003L
+
+  /** bit-length of (bytes div MinTierBytes), floored at 1 — the tier. */
+  def tierOf(modelBytes: Long): Int = {
+    val x = math.max(1L, modelBytes / MinTierBytes)
+    64 - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  private val memo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
+
+  private def sweep(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Compact the tiered set's selected tiers into one real sstable per
+    * tier under a session-memoized temp dir; returns the output dir. */
+  def ensureCompacted(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
+    val key =
+      s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|minor|$gcBeforeS"
+    val slot = memo.synchronized {
+      sweep()
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => build(spark, dir, gcBeforeS))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** The production scan of the tiered input set, ids normalized back to
+    * the fixture's sst-<n> names. */
+  private def inputEvents(spark: SparkSession, inPath: String): DataFrame =
+    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+
+  /** Driver-side tier table: (sstable_id, tier, selected) off one pruned
+    * single-column aggregate — O(#sstables) rows. */
+  def tierTable(spark: SparkSession, dir: String)
+      : Seq[(String, Int, Boolean)] = {
+    val inPath = CassandraDataFixture.ensureTieredFiles(spark, dir)
+    val perSst = inputEvents(spark, inPath)
+      .groupBy("sstable_id")
+      .agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes"))
+        .as("bytes"))
+      .collect()
+      .map(r => (r.getString(0), tierOf(r.getLong(1))))
+    val counts = perSst.groupBy(_._2).view.mapValues(_.length).toMap
+    perSst.sortBy(_._1).toSeq
+      .map { case (id, t) => (id, t, counts(t) >= MinThreshold) }
+  }
+
+  private def build(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String = {
+    val inPath = CassandraDataFixture.ensureTieredFiles(spark, dir)
+    val out = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-minor-compaction"))
+      .toString
+    val tiers = tierTable(spark, dir)
+    val selected = tiers.filter(_._3)
+    require(selected.nonEmpty, s"no tier reached $MinThreshold under $dir")
+    val tierMap = selected.map { case (id, t, _) => (id, t) }
+    val ev = inputEvents(spark, inPath)
+    import spark.implicits._
+    val tierDf = tierMap.toDF("sstable_id", "tier")
+    val passIds = tiers.filterNot(_._3).map(_._1)
+    // keys any NON-participating sstable holds — the conservative-purge
+    // guard relation (a real deployment consults blooms/min-max instead)
+    val passKeys = ev.where(col("sstable_id").isin(passIds: _*))
+      .select("key").distinct().withColumn("in_pass", lit(true))
+    // one LWW merge per tier: q162's combine-enabled aggregate with the
+    // tier prefixed to the merge key (events of different tiers never
+    // merge — they are separate compactions)
+    val winners = ev.join(broadcast(tierDf), "sstable_id")
+      .groupBy("tier", "key", "clustering", "column_name")
+      .agg(max(struct(
+        col("timestamp_us"), col("sstable_id"), col("size_bytes"),
+        col("is_tombstone"), col("local_deletion_time_s"), col("ttl_s"),
+        col("is_expiring"), col("kind"))).as("w"))
+    val kept = winners
+      .join(passKeys, Seq("key"), "left")
+      .where(!(col("w.is_tombstone") &&
+        col("w.local_deletion_time_s") < gcBeforeS) ||
+        coalesce(col("in_pass"), lit(false)))
+    kept.select(
+        concat(lit("sst-"), (lit(TierGenBase) + col("tier")).cast("string"))
+          .as("sstable_id"),
+        col("key"), col("clustering"), col("column_name"),
+        col("w.kind").as("kind"),
+        col("w.timestamp_us").as("timestamp_us"),
+        col("w.ttl_s").as("ttl_s"),
+        col("w.local_deletion_time_s").as("local_deletion_time_s"),
+        col("w.is_tombstone").as("is_tombstone"),
+        col("w.is_expiring").as("is_expiring"),
+        col("w.size_bytes").as("size_bytes"))
+      .write.format("sstable-data")
+      .option("path", out).option("compressed", "true")
+      .mode("append").save()
+    out
+  }
+
+  private def rollup(unit: Column, action: Column, sstablesIn: Column,
+      df: DataFrame): DataFrame =
+    df.groupBy(unit.as("unit"), action.as("action"))
+      .agg(
+        max(sstablesIn).as("sstables_in"),
+        count(lit(1)).as("events"),
+        sum(when(col("kind") === "CELL", 1L).otherwise(0L)).as("cells"),
+        sum(when(col("kind") === "RANGE_TOMBSTONE_MARKER", 1L)
+          .otherwise(0L)).as("markers"),
+        countDistinct("key").as("partitions"),
+        sum(col("key") % ChkMod).as("keys_sum"),
+        sum(col("clustering") % ChkMod).as("clustering_sum"),
+        sum(col("timestamp_us") % ChkMod).as("ts_sum"),
+        sum(col("ttl_s") % ChkMod).as("ttl_sum"),
+        sum(col("local_deletion_time_s") % ChkMod).as("ldt_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
+        sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
+        sum(col("size_bytes") % ChkMod).as("value_sum"))
+
+  /** q171: the full minor-compaction relation — merged tiers read back
+    * from the REAL sstables the compaction wrote, passthrough sstables
+    * read from the untouched originals, one rollup row per unit. */
+  def roundtrip(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val inPath = CassandraDataFixture.ensureTieredFiles(spark, dir)
+    val outPath = ensureCompacted(spark, dir, gcBeforeS)
+    val tiers = tierTable(spark, dir)
+    import spark.implicits._
+    val tierSizes = tiers.filter(_._3).groupBy(_._2).view
+      .mapValues(_.size).toSeq.map { case (t, n) => (t.toLong, n.toLong) }
+      .toDF("tier", "sstables_in")
+    val merged = DataDb.cells(spark, outPath,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("tier",
+        regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L - TierGenBase)
+      .join(broadcast(tierSizes), "tier")
+    val passIds = tiers.filterNot(_._3).map(_._1)
+    val passthrough = inputEvents(spark, inPath)
+      .where(col("sstable_id").isin(passIds: _*))
+    rollup(concat(lit("tier-"), col("tier").cast("string")),
+        lit("compacted"), col("sstables_in"), merged)
+      .unionByName(rollup(col("sstable_id"), lit("passthrough"),
+        lit(1L), passthrough))
+      .orderBy("unit")
+  }
+}

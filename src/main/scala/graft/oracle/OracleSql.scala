@@ -4152,6 +4152,12 @@ ORDER BY 1"""
       // q169 (co-partitioned deletion joins) computes the identical
       // survivor relation through shuffle-hash joins — q164's oracle.
       ("q169_feature_compaction_copart" -> q164Sql) +
+      // q171: size-tiered minor compaction — tier assignment (the key%13
+      // size-diverse set), per-sstable model bytes, bit-length tiering,
+      // >=2-member selection, per-tier LWW, the conservative purge guard
+      // (droppable tombstones survive when a passthrough sstable holds
+      // the key) and both rollup halves, all replayed from parquet.
+      ("q171_minor_compaction" -> q171Sql) +
       // q170: the sstable-summary DSv2 relation — every 4th distinct
       // partition key per sstable in key order, with an order-pinning
       // (entry_index, key) checksum and the header constants.
@@ -4227,6 +4233,102 @@ FROM base GROUP BY 1 ORDER BY 1"""
     * Spark read-back computes. gc A (D1+50) bisects row/static-row
     * deletion retention; gc B (D2+20) bisects partition/complex deletion
     * retention. */
+  /** Integer bit-length ladder (DuckDB-safe replacement for
+    * floor(log2)+1 — float log at power-of-two boundaries is not
+    * bit-deterministic across engines; a CASE ladder over integer
+    * comparisons is). */
+  private def bitLenSql(x: String): String =
+    (40 to 2 by -1).map(b => s"WHEN $x >= ${1L << (b - 1)} THEN $b")
+      .mkString("CASE ", " ", " ELSE 1 END")
+
+  /** q171: size-tiered minor compaction replayed end to end — see
+    * [[graft.ops.MinorCompaction]] for the semantics being checked. */
+  private lazy val q171Sql: String = s"""WITH $fixtures,
+tmapped AS (
+  SELECT CASE WHEN (key + clustering) % 13 <= 2
+                THEN 'sst-' || CAST((key + clustering) % 13 AS VARCHAR)
+              WHEN (key + clustering) % 13 <= 4 THEN 'sst-3'
+              WHEN (key + clustering) % 13 <= 8 THEN 'sst-4'
+              ELSE 'sst-5' END AS sstable_id,
+    key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+persst AS (
+  SELECT sstable_id, CAST(SUM(32 + size_bytes) AS BIGINT) AS bytes
+  FROM tmapped GROUP BY 1
+),
+tiers AS (
+  SELECT sstable_id,
+    ${bitLenSql("GREATEST(bytes // 16384, 1)")} AS tier
+  FROM persst
+),
+selcnt AS (
+  SELECT tier, CAST(COUNT(*) AS BIGINT) AS members FROM tiers GROUP BY 1
+),
+tagged AS (
+  SELECT t.sstable_id, t.tier, (s.members >= 2) AS selected, s.members
+  FROM tiers t JOIN selcnt s USING (tier)
+),
+passkeys AS (
+  SELECT DISTINCT m.key
+  FROM tmapped m JOIN tagged g USING (sstable_id) WHERE NOT g.selected
+),
+ranked AS (
+  SELECT m.*, g.tier, g.members,
+    row_number() OVER (
+      PARTITION BY g.tier, m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM tmapped m JOIN tagged g USING (sstable_id)
+  WHERE g.selected
+),
+kept AS (
+  SELECT * FROM ranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR key IN (SELECT key FROM passkeys))
+)
+SELECT 'tier-' || CAST(tier AS VARCHAR) AS unit,
+  'compacted' AS action,
+  MAX(members) AS sstables_in,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM kept GROUP BY 1, 2
+UNION ALL
+SELECT m.sstable_id AS unit,
+  'passthrough' AS action,
+  CAST(1 AS BIGINT) AS sstables_in,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM tmapped m JOIN tagged g USING (sstable_id)
+WHERE NOT g.selected
+GROUP BY 1, 2
+ORDER BY unit"""
+
   private lazy val q164Sql: String = """WITH
 ks AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
 base AS (SELECT k, k % 3 AS maxc,

@@ -110,9 +110,33 @@ object CassandraDataFixture {
 
   val WidePartitions = 8L
 
+  /** The SIZE-DIVERSE tiered set (round 13, q171's input): the corpus
+    * re-assigned to 6 generations whose modeled sizes form roughly
+    * (1,1,1,2,4,4) units — three small near-equals, one middle
+    * singleton, two large near-equals — so size-tiered minor-compaction
+    * SELECTION has both selected tiers and a passthrough. Assignment is
+    * a pure SQL-replayable function of (key, clustering):
+    * `m = (key+clustering)%13; gen = m if m<=2, 3 if m<=4, 4 if m<=8,
+    * else 5` — clustering in the rule spreads each PARTITION's events
+    * across generations (as real write-time flushing does), which is
+    * what makes minor compaction's conservative purge guard
+    * non-vacuous: a selected tier's tombstone key can live in a
+    * passthrough sstable too. */
+  def ensureTieredFiles(spark: SparkSession, dir: String): String =
+    ensureVariant(spark, dir, "tiered", _ => Some(Compressors.Lz4),
+      reassign = Some { (key, clustering) =>
+        import org.apache.spark.sql.functions.{concat, lit, when}
+        val m = (key + clustering) % 13
+        concat(lit("sst-"), when(m <= 2, m).when(m <= 4, lit(3L))
+          .when(m <= 8, lit(4L)).otherwise(lit(5L)).cast("string"))
+      })
+
   private def ensureVariant(spark: SparkSession, dir: String, tag: String,
       codecFor: Long => Option[Compressors.ChunkCompressor],
-      remap: (Long, Long) => (Long, Long) = (k, c) => (k, c)): String =
+      remap: (Long, Long) => (Long, Long) = (k, c) => (k, c),
+      reassign: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column] = None): String =
     memo.synchronized {
     sweepStopped()
     val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$tag"
@@ -120,7 +144,7 @@ object CassandraDataFixture {
     if (hit != null) return hit._2
     val out = graft.sources.TempDirs.register(
       Files.createTempDirectory("graft-cassdata-fixture"))
-    try writeAll(spark, dir, out, codecFor, remap)
+    try writeAll(spark, dir, out, codecFor, remap, reassign)
     catch {
       case t: Throwable =>
         val root = out.toFile
@@ -169,10 +193,15 @@ object CassandraDataFixture {
     * path and the per-task kernel is unchanged. */
   private def writeAll(spark: SparkSession, dir: String, out: Path,
       codecFor: Long => Option[Compressors.ChunkCompressor],
-      remap: (Long, Long) => (Long, Long) = (k, c) => (k, c)): Unit = {
+      remap: (Long, Long) => (Long, Long) = (k, c) => (k, c),
+      reassign: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column] = None): Unit = {
     import spark.implicits._
     val outStr = out.toString
-    val gens = Fixtures.cells(spark, dir)
+    val base = Fixtures.cells(spark, dir)
+    val gens = reassign.fold(base)(f =>
+        base.withColumn("sstable_id", f(col("key"), col("clustering"))))
       .select(col("sstable_id"), col("key"), col("clustering"),
         col("column_name"), col("kind"), col("timestamp_us"), col("ttl_s"),
         col("local_deletion_time_s"), col("is_tombstone"), col("is_expiring"),

@@ -74,14 +74,40 @@ object SummaryDbFormat {
     out.write(s.lastKey)
   }
 
+  /** Fail-closed parse: a hostile or corrupted header (implausible entry
+    * count, an `offheapSize` demanding a GB-scale allocation from a tiny
+    * file, non-monotone offsets) throws [[java.io.IOException]] BEFORE
+    * any large allocation — the component is reachable from arbitrary
+    * files through the `sstable-summary` DSv2, so the codec must never
+    * OOM on bad bytes. */
   def parse(in: DataInputStream): Summary = {
+    def bad(msg: String): Nothing = throw new java.io.IOException(
+      s"corrupt Summary.db: $msg")
     val minIndexInterval = in.readInt()
+    if (minIndexInterval <= 0)
+      bad(s"implausible minIndexInterval $minIndexInterval")
     val n = in.readInt()
+    if (n < 0 || n > (1 << 28)) bad(s"implausible entry count $n")
     val offheapSize = in.readLong()
+    // every entry is ≥ 8 bytes (its position) after the 4-byte offset;
+    // an empty summary's region is empty — a nonzero size there would
+    // demand an arbitrary allocation backed by nothing
+    if (offheapSize < 12L * n || offheapSize > (1L << 31) ||
+        (n == 0 && offheapSize != 0L))
+      bad(s"implausible offheapSize $offheapSize for $n entries")
     val samplingLevel = in.readInt()
+    if (samplingLevel <= 0) bad(s"implausible samplingLevel $samplingLevel")
     val sizeAtFullSampling = in.readInt()
     val offsets = Array.fill(n)(Integer.reverseBytes(in.readInt()).toLong)
     val entriesLen = offheapSize - 4L * n
+    var i = 0
+    while (i < n) {
+      val end = if (i + 1 < n) offsets(i + 1) else entriesLen
+      if (offsets(i) < 0 || end - offsets(i) < 8 || end > entriesLen)
+        bad(s"offset table not monotone at entry $i " +
+          s"(${offsets(i)} .. $end of $entriesLen)")
+      i += 1
+    }
     val region = new Array[Byte](entriesLen.toInt)
     in.readFully(region)
     val entries = (0 until n).map { i =>
@@ -95,6 +121,7 @@ object SummaryDbFormat {
     }
     def keyWithLength(): Array[Byte] = {
       val len = in.readInt()
+      if (len < 0 || len > (1 << 20)) bad(s"implausible tail key length $len")
       val k = new Array[Byte](len)
       in.readFully(k)
       k

@@ -1230,6 +1230,63 @@ class CassandraDataSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("minor compaction: size-tiered selection compacts only populated " +
+      "tiers; conservative purge keeps droppable tombstones exactly " +
+      "when a passthrough sstable holds the key (round 13)") {
+    import graft.ops.MinorCompaction
+    val tiers = MinorCompaction.tierTable(spark, Sf0001)
+    assert(tiers.size === 6)
+    val pass = tiers.filterNot(_._3)
+    // the (1,1,1,2,4,4)-unit design: the middle singleton passes
+    // through, the three small and two large sstables form selected
+    // tiers
+    assert(pass.map(_._1) === Seq("sst-3"))
+    val selSizes = tiers.filter(_._3).groupBy(_._2).values
+      .map(_.size).toSet
+    assert(selSizes === Set(3, 2))
+    // physical: ONE complete compressed family per selected tier
+    val out = MinorCompaction.ensureCompacted(spark, Sf0001)
+    val names = Option(new java.io.File(out).listFiles()).get.map(_.getName)
+    assert(names.count(_.endsWith("-Data.db")) === 2)
+    assert(names.count(_.endsWith("-CompressionInfo.db")) === 2)
+    // semantics: recompute winners/purge from the input and check the
+    // exact identity  merged_events = winners - purged
+    val inPath = CassandraDataFixture.ensureTieredFiles(spark, Sf0001)
+    def cellsOf(p: String) = DataDb.cells(spark, p,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    val ev = cellsOf(inPath)
+    import spark.implicits._
+    val tierDf = tiers.filter(_._3).map(t => (t._1, t._2))
+      .toDF("sstable_id", "tier")
+    val passKeys = ev.where(col("sstable_id").isin(pass.map(_._1): _*))
+      .select("key").distinct()
+    val winners = ev.join(broadcast(tierDf), "sstable_id")
+      .groupBy("tier", "key", "clustering", "column_name")
+      .agg(max(struct(col("timestamp_us"), col("sstable_id"),
+        col("size_bytes"), col("is_tombstone"),
+        col("local_deletion_time_s"), col("ttl_s"), col("is_expiring"),
+        col("kind"))).as("w"))
+    val droppable = winners.where(col("w.is_tombstone") &&
+      col("w.local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS)
+    val purged = droppable.join(passKeys, Seq("key"), "left_anti")
+    val retained = droppable.join(passKeys, Seq("key"), "left_semi")
+    assert(purged.count() > 0, "some droppable tombstones must purge")
+    assert(retained.count() > 0,
+      "some droppable tombstones must survive via the passthrough guard")
+    val mergedEvents = cellsOf(out).count()
+    assert(mergedEvents === winners.count() - purged.count())
+    // every retained droppable tombstone in the OUTPUT has its key in a
+    // passthrough sstable (the conservative rule, checked on the real
+    // written bytes)
+    val outDroppable = cellsOf(out).where(col("is_tombstone") &&
+      col("local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS)
+    assert(outDroppable.join(passKeys, Seq("key"), "left_anti")
+      .count() === 0)
+  }
+
   test("sidecar-based compaction sizing: O(#files) driver sizing agrees " +
       "with the production DSv2 relation and drives the executed " +
       "fan-out (round 13)") {

@@ -28,6 +28,7 @@ object Main {
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
+      minor: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -65,7 +66,7 @@ object Main {
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
       "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
-        "[-g <gc_grace_seconds>]"
+        "[--minor] [-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -147,6 +148,8 @@ object Main {
               o = o.copy(execute = true); rest = t
             case Seq("--sidecar-sized", t @ _*) if cmd == "compact" =>
               o = o.copy(sidecarSized = true); rest = t
+            case Seq("--minor", t @ _*) if cmd == "compact" =>
+              o = o.copy(minor = true); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -166,8 +169,8 @@ object Main {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
-            } else if (o.sidecarSized || positional.nonEmpty)
-              Left(usage(cmd)) // sizing choice only applies to --execute
+            } else if (o.sidecarSized || o.minor || positional.nonEmpty)
+              Left(usage(cmd)) // mode flags only apply to --execute
             else Right(o)
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
@@ -268,7 +271,8 @@ object Main {
         if (o.execute) {
           if (!requireStore()) return 2
           out(tracked("compact")(
-            Reports.compactExecute(spark, dir, o.gcBeforeS,
+            if (o.minor) Reports.minorCompactExecute(spark, dir, o.gcBeforeS)
+            else Reports.compactExecute(spark, dir, o.gcBeforeS,
               o.sidecarSized))); 0
         } else {
           // -g applies to the executed-compaction rollup in BOTH modes

@@ -319,6 +319,17 @@ object Reports {
     * sstables it wrote. `--sidecar-sized` sizes the output fan-out from
     * the CompressionInfo.db data_length sum at O(#files) driver cost
     * (the production path) instead of the relational volume model. */
+  /** `compact --execute <ks> <cf> --minor [-g]` — the size-tiered MINOR
+    * compaction (q171): tier by modeled size, compact only tiers with
+    * enough members, pass the rest through, purge conservatively. One
+    * rollup row per compacted tier / passthrough sstable. */
+  def minorCompactExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed MINOR compaction (gcBefore=${gcBeforeS}s, " +
+      s"size-tiered selection, min_threshold=" +
+      s"${graft.ops.MinorCompaction.MinThreshold}, conservative purge)",
+      graft.ops.MinorCompaction.roundtrip(spark, dir, gcBeforeS))
+
   def compactExecute(spark: SparkSession, dir: String,
       gcBeforeS: Long, sidecarSized: Boolean = false): String =
     section(s"Executed compaction (gcBefore=${gcBeforeS}s, " +

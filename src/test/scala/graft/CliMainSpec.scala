@@ -289,7 +289,11 @@ class CliMainSpec extends SparkSpec {
     // the sizing source
     "compact_execute_sidecar" ->
       Seq("compact", "--execute", "ks1", "lineitem", "-g", "43200000",
-        "--sidecar-sized"))
+        "--sidecar-sized"),
+    // size-tiered MINOR compaction (round 13): selection + conservative
+    // purge, per-unit rollup frozen at the default gc
+    "compact_execute_minor" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--minor"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -883,6 +883,14 @@ object SparkEntry {
     // and both rollup halves from parquet
     "q171_minor_compaction" -> ((s, d) =>
       graft.ops.MinorCompaction.roundtrip(s, d)),
+    // LEVELED compaction executed end to end (round 13): level read
+    // from Statistics.db, ranges from Summary.db, L0 merged with its
+    // overlapping L1 partners, survivors re-partitioned by the replaced
+    // partners' boundaries, disjoint L1 passthrough — and purge is
+    // UNCONDITIONAL because leveled range-disjointness proves no other
+    // sstable holds the touched keys (q171's contrast)
+    "q172_leveled_compaction" -> ((s, d) =>
+      graft.ops.LeveledCompaction.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

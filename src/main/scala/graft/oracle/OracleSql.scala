@@ -4158,6 +4158,12 @@ ORDER BY 1"""
       // (droppable tombstones survive when a passthrough sstable holds
       // the key) and both rollup halves, all replayed from parquet.
       ("q171_minor_compaction" -> q171Sql) +
+      // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
+      // assignment, sidecar-equivalent min/max range discovery, overlap
+      // selection, one LWW merge over L0+partners, unconditional purge
+      // (the guard set is provably empty), boundary re-partition and
+      // both rollup halves, replayed from parquet.
+      ("q172_leveled_compaction" -> q172Sql) +
       // q170: the sstable-summary DSv2 relation — every 4th distinct
       // partition key per sstable in key order, with an order-pinning
       // (entry_index, key) checksum and the header constants.
@@ -4240,6 +4246,101 @@ FROM base GROUP BY 1 ORDER BY 1"""
   private def bitLenSql(x: String): String =
     (40 to 2 by -1).map(b => s"WHEN $x >= ${1L << (b - 1)} THEN $b")
       .mkString("CASE ", " ", " ELSE 1 END")
+
+  /** q172: leveled compaction replayed end to end — see
+    * [[graft.ops.LeveledCompaction]] for the semantics being checked. */
+  private lazy val q172Sql: String = s"""WITH $fixtures,
+lkeys AS (
+  SELECT key, NTILE(4) OVER (ORDER BY key) AS tile
+  FROM (SELECT DISTINCT key FROM licells)
+),
+lmapped AS (
+  SELECT CASE WHEN k.tile IN (2, 3) AND m.timestamp_us % 10 < 3
+              THEN 'sst-' || CAST(m.timestamp_us % 2 AS VARCHAR)
+              ELSE 'sst-' || CAST(k.tile + 1 AS VARCHAR) END AS sstable_id,
+    m.key, m.clustering, m.column_name, m.kind, m.timestamp_us,
+    CASE WHEN m.is_tombstone THEN -1 ELSE m.ttl_s END AS ttl_s,
+    m.local_deletion_time_s, m.is_tombstone, m.is_expiring,
+    CASE WHEN m.is_tombstone THEN 0 ELSE m.size_bytes % 61 END AS size_bytes
+  FROM licells m JOIN lkeys k USING (key)
+),
+bounds AS (
+  SELECT sstable_id, MIN(key) AS fk, MAX(key) AS lk
+  FROM lmapped GROUP BY 1
+),
+l0span AS (
+  SELECT MIN(fk) AS f, MAX(lk) AS l FROM bounds
+  WHERE sstable_id IN ('sst-0', 'sst-1')
+),
+lpartners AS (
+  SELECT b.sstable_id, b.fk, b.lk
+  FROM bounds b, l0span s
+  WHERE b.sstable_id NOT IN ('sst-0', 'sst-1')
+    AND b.fk <= s.l AND b.lk >= s.f
+),
+lranked AS (
+  SELECT m.*,
+    row_number() OVER (PARTITION BY m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM lmapped m
+  WHERE m.sstable_id IN ('sst-0', 'sst-1')
+     OR m.sstable_id IN (SELECT sstable_id FROM lpartners)
+),
+lpasskeys AS (
+  SELECT DISTINCT key FROM lmapped
+  WHERE sstable_id NOT IN ('sst-0', 'sst-1')
+    AND sstable_id NOT IN (SELECT sstable_id FROM lpartners)
+),
+lkept AS (
+  SELECT *,
+    LEAST((SELECT COUNT(*) FROM lpartners p WHERE p.lk < lranked.key),
+          (SELECT COUNT(*) - 1 FROM lpartners)) AS oidx
+  FROM lranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR key IN (SELECT key FROM lpasskeys))
+)
+SELECT 'L1-new-' || CAST(oidx AS VARCHAR) AS unit,
+  'compacted' AS action,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(MIN(key) AS BIGINT) AS first_key,
+  CAST(MAX(key) AS BIGINT) AS last_key,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM lkept GROUP BY 1, 2
+UNION ALL
+SELECT m.sstable_id AS unit,
+  'passthrough' AS action,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(MIN(key) AS BIGINT) AS first_key,
+  CAST(MAX(key) AS BIGINT) AS last_key,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM lmapped m
+WHERE m.sstable_id NOT IN ('sst-0', 'sst-1')
+  AND m.sstable_id NOT IN (SELECT sstable_id FROM lpartners)
+GROUP BY 1, 2
+ORDER BY unit"""
 
   /** q171: size-tiered minor compaction replayed end to end — see
     * [[graft.ops.MinorCompaction]] for the semantics being checked. */

@@ -131,12 +131,41 @@ object CassandraDataFixture {
           .when(m <= 8, lit(4L)).otherwise(lit(5L)).cast("string"))
       })
 
+  /** The LEVELED set (round 13, q172's input): 2 overlapping L0 "flush"
+    * sstables over the MIDDLE half of the key space plus 4 L1 sstables
+    * holding NON-OVERLAPPING contiguous key ranges (ntile(4) of the
+    * distinct keys) — Cassandra's leveled layout in miniature, with the
+    * LEVEL written into each Statistics.db (where real LCS keeps it).
+    * Assignment is SQL-replayable: tile = NTILE(4) OVER (ORDER BY key)
+    * of distinct keys; events of tile-2/3 keys with timestamp_us%10 < 3
+    * flush to L0 (split sst-0/sst-1 by timestamp parity); everything
+    * else lives in its tile's L1 sstable (sst-(tile+1)). The global
+    * ntile window is fixture-GENERATION cost only, not an engine
+    * operator. */
+  def ensureLeveledFiles(spark: SparkSession, dir: String): String = {
+    val base = Fixtures.cells(spark, dir)
+    val tiles = base.select("key").distinct()
+      .withColumn("tile", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("key")))
+    val frame = base.join(tiles, "key")
+      .withColumn("sstable_id",
+        when(col("tile").isin(2, 3) && col("timestamp_us") % 10 < 3,
+          concat(lit("sst-"), (col("timestamp_us") % 2).cast("string")))
+          .otherwise(concat(lit("sst-"),
+            (col("tile") + 1).cast("string"))))
+    ensureVariant(spark, dir, "leveled", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame),
+      levelFor = gen => if (gen <= 2) 0 else 1)
+  }
+
   private def ensureVariant(spark: SparkSession, dir: String, tag: String,
       codecFor: Long => Option[Compressors.ChunkCompressor],
       remap: (Long, Long) => (Long, Long) = (k, c) => (k, c),
       reassign: Option[(org.apache.spark.sql.Column,
         org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column] = None): String =
+        org.apache.spark.sql.Column] = None,
+      frameOverride: Option[org.apache.spark.sql.DataFrame] = None,
+      levelFor: Long => Int = _ => 0): String =
     memo.synchronized {
     sweepStopped()
     val k = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$tag"
@@ -144,7 +173,8 @@ object CassandraDataFixture {
     if (hit != null) return hit._2
     val out = graft.sources.TempDirs.register(
       Files.createTempDirectory("graft-cassdata-fixture"))
-    try writeAll(spark, dir, out, codecFor, remap, reassign)
+    try writeAll(spark, dir, out, codecFor, remap, reassign,
+      frameOverride, levelFor)
     catch {
       case t: Throwable =>
         val root = out.toFile
@@ -196,10 +226,12 @@ object CassandraDataFixture {
       remap: (Long, Long) => (Long, Long) = (k, c) => (k, c),
       reassign: Option[(org.apache.spark.sql.Column,
         org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column] = None): Unit = {
+        org.apache.spark.sql.Column] = None,
+      frameOverride: Option[org.apache.spark.sql.DataFrame] = None,
+      levelFor: Long => Int = _ => 0): Unit = {
     import spark.implicits._
     val outStr = out.toString
-    val base = Fixtures.cells(spark, dir)
+    val base = frameOverride.getOrElse(Fixtures.cells(spark, dir))
     val gens = reassign.fold(base)(f =>
         base.withColumn("sstable_id", f(col("key"), col("clustering"))))
       .select(col("sstable_id"), col("key"), col("clustering"),
@@ -216,7 +248,8 @@ object CassandraDataFixture {
           Ev(k, c, t._4, t._5 == DataDbFormat.KindMarker, t._6,
             t._7, t._8, t._9, t._10, t._11)
         }.toArray
-        writeSstable(java.nio.file.Paths.get(outStr), gen, evs, codecFor(gen))
+        writeSstable(java.nio.file.Paths.get(outStr), gen, evs,
+          codecFor(gen), levelFor(gen))
         sst
       }
       .collect()
@@ -288,7 +321,7 @@ object CassandraDataFixture {
       e.tsUs))
 
   private def writeSstable(out: Path, gen: Long, evs: Array[Ev],
-      codec: Option[Compressors.ChunkCompressor]): Unit = {
+      codec: Option[Compressors.ChunkCompressor], level: Int = 0): Unit = {
     // EncodingStats minima over exactly the values the encoding writes:
     // all timestamps; deletion times of deleted/expiring cells and
     // markers; TTLs of expiring cells
@@ -301,7 +334,8 @@ object CassandraDataFixture {
     // the fixture path; the spill-bounded sink path feeds the same
     // kernel from a k-way run merge (round 11)
     java.util.Arrays.sort(evs, StreamOrdering)
-    writeSstableSorted(out, gen, evs.iterator, minTs, minLdt, minTtl, codec)
+    writeSstableSorted(out, gen, evs.iterator, minTs, minLdt, minTtl, codec,
+      level)
   }
 
   /** STREAMING write kernel (round 11): writes one complete real sstable
@@ -317,7 +351,7 @@ object CassandraDataFixture {
     * encoding and are running-computable by any caller). */
   private[datadb] def writeSstableSorted(out: Path, gen: Long,
       sorted: Iterator[Ev], minTs: Long, minLdt: Long, minTtl: Long,
-      codec: Option[Compressors.ChunkCompressor]): Unit = {
+      codec: Option[Compressors.ChunkCompressor], level: Int = 0): Unit = {
     val header = SerializationHeaderInfo(minTs, minLdt, minTtl,
       keyType = Marshal.Prefix + "LongType",
       clusteringTypes = Seq(Marshal.Prefix + "LongType"),
@@ -473,7 +507,8 @@ object CassandraDataFixture {
         try CompressionInfoFormat.write(ci, info) finally ci.close()
       }
       writeStats(out, base, header, partitionsWritten, rowsN, minClv,
-        maxClv, sMinTs, sMaxTs, sMinLdt, sMaxLdt, sMaxTtl, nonMarkers)
+        maxClv, sMinTs, sMaxTs, sMinLdt, sMaxLdt, sMaxTtl, nonMarkers,
+        level)
       writeFilter(out, base, bloomKeys.result())
       writeSummary(out, base, summaryEntries.result(), firstKey, lastKey)
       // close before digesting: Digest.crc32 covers the AS-STORED bytes
@@ -558,7 +593,7 @@ object CassandraDataFixture {
       header: SerializationHeaderInfo, partitions: Long, rowsN: Long,
       minCl: Long, maxCl: Long, minTsUs: Long, maxTsUs: Long,
       minLdtS: Long, maxLdtS: Long, maxTtlExpS: Long,
-      nonMarkers: Long): Unit = {
+      nonMarkers: Long, level: Int = 0): Unit = {
     def clBlob(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(8).putLong(v).array()
     val stats = CassandraStatsFormat.Stats(
@@ -576,7 +611,7 @@ object CassandraDataFixture {
       compressionRatio = -1.0,
       tombstones = CassandraStatsFormat.TombstoneHistogram(
         Array.emptyDoubleArray, Array.emptyLongArray),
-      level = 0,
+      level = level,
       repairedAtMs = 0L,
       minClustering = Seq(clBlob(minCl)),
       maxClustering = Seq(clBlob(maxCl)),

@@ -173,7 +173,10 @@ object IndexDbFormat {
         in.readFully(key)
         val position = readUnsignedVInt(in)
         val promotedLen = readUnsignedVInt(in)
-        if (promotedLen < 0 || promotedLen > Int.MaxValue)
+        // cap far above any real promoted index (those are ~KBs; 256 MiB
+        // here) so a corrupt vint can't demand a GiB-scale allocation
+        // before the read fails
+        if (promotedLen < 0 || promotedLen > (1L << 28))
           throw new java.io.IOException(
             s"corrupt promoted-index length $promotedLen")
         val promoted =

@@ -1287,6 +1287,67 @@ class CassandraDataSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("leveled compaction: sidecar-driven selection (level from " +
+      "Statistics.db, ranges from Summary.db), range-disjointness makes " +
+      "purge unconditional, outputs tile the replaced partners " +
+      "(round 13)") {
+    import graft.ops.LeveledCompaction
+    val inPath = CassandraDataFixture.ensureLeveledFiles(spark, Sf0001)
+    val meta = LeveledCompaction.metadata(inPath)
+    assert(meta.count(_.level == 0) === 2)
+    assert(meta.count(_.level == 1) === 4)
+    // the leveled invariant, read from the REAL sidecars: L1 ranges are
+    // pairwise disjoint and contiguous in key order
+    val l1 = meta.filter(_.level == 1).sortBy(_.firstKey)
+    l1.sliding(2).foreach {
+      case Seq(a, b) => assert(a.lastKey < b.firstKey)
+      case _ => ()
+    }
+    val (l0, partners, pass) = LeveledCompaction.selection(inPath)
+    assert(l0.size === 2 && partners.size === 2 && pass.size === 2)
+    // the L0 span reaches exactly the middle two ranges
+    assert(partners.map(_.sstableId).toSet === Set("sst-3", "sst-4"))
+    def cellsOf(p: String) = DataDb.cells(spark, p,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    val ev = cellsOf(inPath)
+    val participatingIds = (l0 ++ partners).map(_.sstableId)
+    val participating = ev.where(col("sstable_id")
+      .isin(participatingIds: _*))
+    // the conservative guard set is PROVABLY EMPTY here: no passthrough
+    // sstable holds any participating key (leveled ranges partition the
+    // key space) — the property that lets LCS purge where STCS retains
+    val passKeys = ev.where(col("sstable_id")
+      .isin(pass.map(_.sstableId): _*)).select("key").distinct()
+    assert(participating.select("key").distinct()
+      .join(passKeys, "key").count() === 0)
+    // purge is therefore unconditional: droppable tombstones existed in
+    // the input and NONE survive in the written output
+    val gc = graft.sources.Fixtures.GcBeforeS
+    assert(participating.where(col("is_tombstone") &&
+      col("local_deletion_time_s") < gc).count() > 0)
+    val out = LeveledCompaction.ensureCompacted(spark, Sf0001)
+    val merged = cellsOf(out)
+    assert(merged.where(col("is_tombstone") &&
+      col("local_deletion_time_s") < gc).count() === 0)
+    // physical: one complete compressed family per replaced partner,
+    // and each output's actual key range lies within its partner's
+    val names = Option(new java.io.File(out).listFiles()).get.map(_.getName)
+    assert(names.count(_.endsWith("-Data.db")) === 2)
+    assert(names.count(_.endsWith("-CompressionInfo.db")) === 2)
+    val outMeta = LeveledCompaction.metadata(out).sortBy(_.firstKey)
+    assert(outMeta.size === 2)
+    // boundary property of the re-partition: everything at or below the
+    // first partner's last key lands in output 0, the rest in output 1
+    // (an L0 key whose EVERY event flushed can sit just outside the
+    // partner's own observed range, so containment is one-sided)
+    assert(outMeta.head.lastKey <= partners.head.lastKey)
+    assert(outMeta.last.firstKey > partners.head.lastKey)
+    assert(outMeta.head.lastKey < outMeta.last.firstKey)
+  }
+
   test("sidecar-based compaction sizing: O(#files) driver sizing agrees " +
       "with the production DSv2 relation and drives the executed " +
       "fan-out (round 13)") {

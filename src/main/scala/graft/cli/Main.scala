@@ -28,7 +28,7 @@ object Main {
       batch: Boolean = false, keyspace: String = "", table: String = "",
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
-      minor: Boolean = false,
+      minor: Boolean = false, leveled: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -66,7 +66,7 @@ object Main {
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
       "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
-        "[--minor] [-g <gc_grace_seconds>]"
+        "[--minor] [--leveled] [-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -150,6 +150,8 @@ object Main {
               o = o.copy(sidecarSized = true); rest = t
             case Seq("--minor", t @ _*) if cmd == "compact" =>
               o = o.copy(minor = true); rest = t
+            case Seq("--leveled", t @ _*) if cmd == "compact" =>
+              o = o.copy(leveled = true); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -169,7 +171,8 @@ object Main {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
-            } else if (o.sidecarSized || o.minor || positional.nonEmpty)
+            } else if (o.sidecarSized || o.minor || o.leveled ||
+                positional.nonEmpty)
               Left(usage(cmd)) // mode flags only apply to --execute
             else Right(o)
           case "dedup" => positional match {
@@ -272,6 +275,8 @@ object Main {
           if (!requireStore()) return 2
           out(tracked("compact")(
             if (o.minor) Reports.minorCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.leveled)
+              Reports.leveledCompactExecute(spark, dir, o.gcBeforeS)
             else Reports.compactExecute(spark, dir, o.gcBeforeS,
               o.sidecarSized))); 0
         } else {

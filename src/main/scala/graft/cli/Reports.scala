@@ -330,6 +330,16 @@ object Reports {
       s"${graft.ops.MinorCompaction.MinThreshold}, conservative purge)",
       graft.ops.MinorCompaction.roundtrip(spark, dir, gcBeforeS))
 
+  /** `compact --execute <ks> <cf> --leveled [-g]` — the leveled
+    * compaction (q172): L0 + overlapping L1 partners merged, survivors
+    * re-partitioned by the replaced ranges, disjoint L1 passthrough,
+    * purge unconditional by range-disjointness. */
+  def leveledCompactExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed LEVELED compaction (gcBefore=${gcBeforeS}s, " +
+      "L0 + overlapping L1 partners, range-repartitioned outputs)",
+      graft.ops.LeveledCompaction.roundtrip(spark, dir, gcBeforeS))
+
   def compactExecute(spark: SparkSession, dir: String,
       gcBeforeS: Long, sidecarSized: Boolean = false): String =
     section(s"Executed compaction (gcBefore=${gcBeforeS}s, " +

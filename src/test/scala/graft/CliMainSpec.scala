@@ -293,7 +293,11 @@ class CliMainSpec extends SparkSpec {
     // size-tiered MINOR compaction (round 13): selection + conservative
     // purge, per-unit rollup frozen at the default gc
     "compact_execute_minor" ->
-      Seq("compact", "--execute", "ks1", "lineitem", "--minor"))
+      Seq("compact", "--execute", "ks1", "lineitem", "--minor"),
+    // leveled compaction (round 13): L0 + overlapping L1 partners,
+    // range-repartitioned outputs, disjoint passthrough
+    "compact_execute_leveled" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--leveled"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

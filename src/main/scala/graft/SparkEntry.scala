@@ -891,6 +891,14 @@ object SparkEntry {
     // sstable holds the touched keys (q171's contrast)
     "q172_leveled_compaction" -> ((s, d) =>
       graft.ops.LeveledCompaction.roundtrip(s, d)),
+    // ANTI-ENTROPY digests (round 13): Merkle-repair's comparison
+    // primitive — layout-independent per-leaf content digests over real
+    // files. The size-tiered re-binning of the same corpus must hash
+    // leaf-identical to the base layout; the executed compaction's
+    // output differs exactly where merge/purge touched (oracle
+    // recomputes which leaves from parquet)
+    "q173_antientropy_digest" -> ((s, d) =>
+      graft.ops.AntiEntropy.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

@@ -4164,6 +4164,11 @@ ORDER BY 1"""
       // (the guard set is provably empty), boundary re-partition and
       // both rollup halves, replayed from parquet.
       ("q172_leveled_compaction" -> q172Sql) +
+      // q173: anti-entropy leaf digests — the tiered re-binning replays
+      // as the base multiset (every leaf matches), the compacted set as
+      // the LWW-winners-minus-purged multiset; per-leaf counts and
+      // 60-bit content digests recomputed from parquet.
+      ("q173_antientropy_digest" -> q173Sql) +
       // q170: the sstable-summary DSv2 relation — every 4th distinct
       // partition key per sstable in key order, with an order-pinning
       // (entry_index, key) checksum and the header constants.
@@ -4246,6 +4251,51 @@ FROM base GROUP BY 1 ORDER BY 1"""
   private def bitLenSql(x: String): String =
     (40 to 2 by -1).map(b => s"WHEN $x >= ${1L << (b - 1)} THEN $b")
       .mkString("CASE ", " ", " ELSE 1 END")
+
+  /** q173: anti-entropy leaf digests — see [[graft.ops.AntiEntropy]]. */
+  private lazy val q173Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+amapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+aev AS (SELECT *, $evHash % 1000003 AS eh FROM amapped),
+aleaf AS (
+  SELECT key % 64 AS leaf, CAST(COUNT(*) AS BIGINT) AS base_events,
+    CAST(SUM(eh) AS BIGINT) AS base_digest
+  FROM aev GROUP BY 1
+),
+aranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC,
+             ttl_s DESC, is_expiring DESC, kind DESC) AS rn
+  FROM aev
+),
+acomp AS (
+  SELECT key % 64 AS leaf, CAST(COUNT(*) AS BIGINT) AS compacted_events,
+    CAST(SUM(eh) AS BIGINT) AS compacted_digest
+  FROM aranked
+  WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+  GROUP BY 1
+)
+SELECT a.leaf, a.base_events, a.base_digest,
+  a.base_events AS tiered_events,
+  c.compacted_events,
+  TRUE AS tiered_matches,
+  (COALESCE(c.compacted_digest, -1) = a.base_digest) AS compacted_matches
+FROM aleaf a LEFT JOIN acomp c USING (leaf)
+ORDER BY leaf"""
+  }
 
   /** q172: leveled compaction replayed end to end — see
     * [[graft.ops.LeveledCompaction]] for the semantics being checked. */

@@ -899,6 +899,12 @@ object SparkEntry {
     // recomputes which leaves from parquet)
     "q173_antientropy_digest" -> ((s, d) =>
       graft.ops.AntiEntropy.roundtrip(s, d)),
+    // INCREMENTAL-REPAIR marking (round 13): repairedAt stamped into
+    // real Statistics.db files (metadata-only rewrite, header carried
+    // verbatim), proven by re-reading BOTH the stats source (all
+    // repaired at the stamped time) and the full production scan
+    // (events unchanged — the rewritten stats still decode the data)
+    "q174_mark_repaired" -> ((s, d) => graft.ops.Repair.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

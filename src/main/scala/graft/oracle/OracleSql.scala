@@ -4169,6 +4169,22 @@ ORDER BY 1"""
       // the LWW-winners-minus-purged multiset; per-leaf counts and
       // 60-bit content digests recomputed from parquet.
       ("q173_antientropy_digest" -> q173Sql) +
+      // q174: incremental-repair marking — base set unrepaired, marked
+      // copy fully repaired at the stamped constant, event counts equal
+      // (the rewrite was metadata-only).
+      ("q174_mark_repaired" -> s"""WITH $fixtures,
+b AS (
+  SELECT CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS sstables,
+    CAST(COUNT(*) AS BIGINT) AS events
+  FROM licells
+)
+SELECT 'base' AS set_name, sstables,
+  CAST(0 AS BIGINT) AS repaired_sstables,
+  CAST(0 AS BIGINT) AS repaired_at_ms, events FROM b
+UNION ALL
+SELECT 'repaired', sstables, sstables,
+  CAST(1600000000000 AS BIGINT), events FROM b
+ORDER BY set_name""") +
       // q170: the sstable-summary DSv2 relation — every 4th distinct
       // partition key per sstable in key order, with an order-pinning
       // (entry_index, key) checksum and the header constants.

@@ -1348,6 +1348,43 @@ class CassandraDataSpec extends SparkSpec {
     assert(outMeta.head.lastKey < outMeta.last.firstKey)
   }
 
+  test("repair marking is metadata-only: every non-Statistics file " +
+      "byte-identical to the base set; stats differ ONLY in repairedAt " +
+      "(round 13)") {
+    import graft.sources.statsdb.CassandraStatsFormat
+    val base = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val marked = graft.ops.Repair.ensureRepaired(spark, Sf0001)
+    val files = Option(new java.io.File(base).listFiles()).get
+      .filter(_.isFile).sortBy(_.getName)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val m = new java.io.File(marked, f.getName)
+      assert(m.exists(), s"missing ${f.getName} in marked set")
+      val a = java.nio.file.Files.readAllBytes(f.toPath)
+      val b = java.nio.file.Files.readAllBytes(m.toPath)
+      if (!f.getName.endsWith(CassandraStatsFormat.Suffix))
+        assert(java.util.Arrays.equals(a, b),
+          s"${f.getName} must be byte-identical")
+      else {
+        val pa = CassandraStatsFormat.parse(a)
+        val pb = CassandraStatsFormat.parse(b)
+        assert(pb.stats.repairedAtMs === graft.ops.Repair.RepairedAtMs)
+        // BYTE-exact 'only repairedAt differs': re-serializing the BASE
+        // stats with just the stamp (header component carried verbatim)
+        // must reproduce the marked file bit-for-bit
+        val bos = new java.io.ByteArrayOutputStream()
+        CassandraStatsFormat.write(new java.io.DataOutputStream(bos),
+          pa.copy(stats = pa.stats.copy(
+            repairedAtMs = graft.ops.Repair.RepairedAtMs)),
+          Some(CassandraStatsFormat.componentBytes(a,
+            CassandraStatsFormat.TypeHeader)))
+        assert(java.util.Arrays.equals(bos.toByteArray, b),
+          s"${f.getName}: only repairedAt may differ")
+      }
+    }
+  }
+
   test("sidecar-based compaction sizing: O(#files) driver sizing agrees " +
       "with the production DSv2 relation and drives the executed " +
       "fan-out (round 13)") {

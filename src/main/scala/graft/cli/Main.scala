@@ -41,7 +41,7 @@ object Main {
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
-    "pipeline", "compact")
+    "pipeline", "compact", "repair")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -51,6 +51,7 @@ object Main {
     case "pack" => "Usage: pack [-l <seq_len>]"
     case "contaminate" => "Usage: contaminate [-n <num>]"
     case "verify" => "Usage: verify"
+    case "repair" => "Usage: repair <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -243,6 +244,9 @@ object Main {
           Reports.contaminate(spark, dir, o.topN))); 0
       case "verify" =>
         out(tracked("verify")(Reports.verify(spark, dir))); 0
+      case "repair" =>
+        if (!requireStore()) return 2
+        out(tracked("repair")(Reports.repair(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

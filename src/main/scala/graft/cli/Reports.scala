@@ -319,6 +319,26 @@ object Reports {
     * sstables it wrote. `--sidecar-sized` sizes the output fan-out from
     * the CompressionInfo.db data_length sum at O(#files) driver cost
     * (the production path) instead of the relational volume model. */
+  /** `repair <ks> <cf>` — the anti-entropy cycle (q173 + q174): the
+    * per-leaf digest comparison first (layout-independent content
+    * hashes across the re-binned set and the compacted output), then
+    * the incremental-repair marking rollup (repairedAt stamped into
+    * real Statistics.db files, both readers re-checked). */
+  def repair(spark: SparkSession, dir: String): String = {
+    val digests = graft.ops.AntiEntropy.roundtrip(spark, dir)
+      .groupBy(lit("leaves").as("scope"))
+      .agg(count(lit(1)).as("leaves"),
+        sum(when(col("tiered_matches"), 1L).otherwise(0L))
+          .as("tiered_leaves_match"),
+        sum(when(col("compacted_matches"), 1L).otherwise(0L))
+          .as("compacted_leaves_match"))
+    section("Anti-entropy digests (64 key-range leaves; " +
+      "layout-independent content hashes)", digests) + "\n" +
+      section("Incremental-repair marking (repairedAt stamped into " +
+        "Statistics.db; both readers re-checked)",
+        graft.ops.Repair.roundtrip(spark, dir))
+  }
+
   /** `compact --execute <ks> <cf> --minor [-g]` — the size-tiered MINOR
     * compaction (q171): tier by modeled size, compact only tiers with
     * enough members, pass the rest through, purge conservatively. One

@@ -297,7 +297,10 @@ class CliMainSpec extends SparkSpec {
     // leveled compaction (round 13): L0 + overlapping L1 partners,
     // range-repartitioned outputs, disjoint passthrough
     "compact_execute_leveled" ->
-      Seq("compact", "--execute", "ks1", "lineitem", "--leveled"))
+      Seq("compact", "--execute", "ks1", "lineitem", "--leveled"),
+    // the anti-entropy cycle (round 13): digest comparison + repair
+    // marking, both halves' rollups frozen
+    "repair" -> Seq("repair", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -584,7 +584,8 @@ object Bench {
         "media", "multimodal", "mp4", "webm", "flac", "ogg", "h264",
         "opus", "warc", "tar_", "zip_", "point_get", "slice_read",
         "sstable_export", "pushdown", "passthrough", "compaction",
-        "runtime_point").exists(n.contains)) "codec"
+        "runtime_point", "repair", "antientropy",
+        "summary_source").exists(n.contains)) "codec"
     else if (Seq("dedup", "dup_", "canonical", "fingerprint", "chunk")
       .exists(n.contains)) "dedup"
     else if (n.contains("sim_") || n.contains("kmeans") ||

@@ -891,6 +891,14 @@ object SparkEntry {
     // sstable holds the touched keys (q171's contrast)
     "q172_leveled_compaction" -> ((s, d) =>
       graft.ops.LeveledCompaction.roundtrip(s, d)),
+    // LCS RE-INGESTION (round 14): a SECOND leveled round over the first
+    // round's real outputs + fresh L0 flushes (the original L0's events
+    // re-written 1e9 µs later) + the untouched passthrough. The round-1
+    // outputs classify as L1 purely from the level=1 their own
+    // Statistics.db now carries — the proof the compaction's outputs
+    // re-ingest into its own layout. Oracle replays BOTH rounds.
+    "q175_leveled_reingest" -> ((s, d) =>
+      graft.ops.LeveledCompaction.roundtrip2(s, d)),
     // ANTI-ENTROPY digests (round 13): Merkle-repair's comparison
     // primitive — layout-independent per-leaf content digests over real
     // files. The size-tiered re-binning of the same corpus must hash

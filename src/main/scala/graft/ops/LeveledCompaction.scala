@@ -129,8 +129,16 @@ object LeveledCompaction {
     }
 
   private def build(spark: SparkSession, dir: String,
-      gcBeforeS: Long): String = {
-    val inPath = CassandraDataFixture.ensureLeveledFiles(spark, dir)
+      gcBeforeS: Long): String =
+    buildFrom(spark, CassandraDataFixture.ensureLeveledFiles(spark, dir),
+      gcBeforeS, OutGenBase)
+
+  /** One LCS round over an arbitrary leveled input set: sidecar-driven
+    * selection, LWW merge, metadata-decided purge guard, outputs
+    * re-partitioned on the replaced partners' boundaries and written at
+    * LEVEL 1 with generations from `outGenBase`. */
+  private def buildFrom(spark: SparkSession, inPath: String,
+      gcBeforeS: Long, outGenBase: Long): String = {
     val out = graft.sources.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft-leveled-compaction"))
       .toString
@@ -146,20 +154,42 @@ object LeveledCompaction {
         col("timestamp_us"), col("sstable_id"), col("size_bytes"),
         col("is_tombstone"), col("local_deletion_time_s"), col("ttl_s"),
         col("is_expiring"), col("kind"))).as("w"))
-    // the conservative guard, run for exact semantics — leveled
-    // range-disjointness makes it PROVABLY empty (the spec asserts
-    // this), so droppable tombstones purge unconditionally here
-    val passKeys = ev.where(col("sstable_id")
-        .isin(passthrough.map(_.sstableId): _*))
-      .select("key").distinct().withColumn("in_pass", lit(true))
-    val kept = winners
-      .join(passKeys, Seq("key"), "left")
-      .where(!(col("w.is_tombstone") &&
-        col("w.local_deletion_time_s") < gcBeforeS) ||
-        coalesce(col("in_pass"), lit(false)))
+    // the conservative guard, decided from SIDECAR METADATA (round 14):
+    // when every passthrough sstable's Summary.db key range is disjoint
+    // from every participant's — the LCS invariant, levels partition
+    // the key space — the guard is PROVABLY empty with zero scan/join
+    // work and droppable tombstones purge unconditionally. THAT
+    // aggressive purge is the point of LCS; the round-13 form ran the
+    // materialized key-set join anyway, a full exchange its own spec
+    // proved empty. A layout that fails the proof (overlapping L0
+    // leaking into the passthrough span) falls back to the exact
+    // range+bloom+confirm guard shared with the minor compaction.
+    val participatingSet = participatingIds.toSet
+    val guards = PurgeGuard.load(inPath,
+      id => if (participatingSet(id)) 0 else PurgeGuard.Passthrough)
+    val kept =
+      if (PurgeGuard.provablyEmpty(guards))
+        winners.where(!(col("w.is_tombstone") &&
+          col("w.local_deletion_time_s") < gcBeforeS))
+      else {
+        val blocked = PurgeGuard.blockedKeys(spark, guards, ev,
+          winners.withColumn("cgroup", lit(0)), col("cgroup"), gcBeforeS)
+        winners
+          .join(broadcast(blocked.drop("grp")),
+            col("key") === col("gkey"), "left")
+          .drop("gkey")
+          .where(!(col("w.is_tombstone") &&
+            col("w.local_deletion_time_s") < gcBeforeS) ||
+            coalesce(col("in_guard"), lit(false)))
+      }
+    // outputs are stamped LEVEL 1 in their own Statistics.db (round
+    // 14): real LCS persists the level there, and [[selection]] of a
+    // FUTURE round reads it back — an output left at L0 would be
+    // re-selected as a fresh flush by the very strategy that wrote it
+    // (q175 proves re-ingestion end to end)
     kept.select(
         concat(lit("sst-"),
-          (lit(OutGenBase) + outIndex(partners, col("key")))
+          (lit(outGenBase) + outIndex(partners, col("key")))
             .cast("string")).as("sstable_id"),
         col("key"), col("clustering"), col("column_name"),
         col("w.kind").as("kind"),
@@ -171,6 +201,7 @@ object LeveledCompaction {
         col("w.size_bytes").as("size_bytes"))
       .write.format("sstable-data")
       .option("path", out).option("compressed", "true")
+      .option("level", "1")
       .mode("append").save()
     out
   }
@@ -194,6 +225,128 @@ object LeveledCompaction {
         sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
         sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
         sum(col("size_bytes") % ChkMod).as("value_sum"))
+
+  /** Generation base of the SECOND LCS round's outputs (q175). */
+  val OutGenBase2 = 920L
+
+  /** sst ids of the second round's fresh L0 flushes start here
+    * (sst-6/sst-7 → generations 7/8). */
+  val NewFlushBase = 6L
+
+  /** Timestamp shift of the second-round writes: the same hot keys
+    * written again later — EVEN, so the flush split by timestamp parity
+    * is preserved and SQL-replayable. */
+  val RewriteTsShiftUs = 1000000000L
+
+  /** The SECOND ROUND's input set (q175): the first round's outputs —
+    * read back as L1 purely from their OWN Statistics.db stamps — plus
+    * the untouched passthrough L1 sstables plus two FRESH L0 flushes
+    * (the original L0's events re-written [[RewriteTsShiftUs]] later:
+    * the same hot keys, a newer generation of values). Assembled under
+    * a session-memoized dir; file copies for the carried sets, a real
+    * sink write for the new flushes. */
+  def ensureSecondRoundInput(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
+    val key =
+      s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|lcs2in|$gcBeforeS"
+    val slot = memo.synchronized {
+      sweep()
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => buildSecondRoundInput(spark, dir, gcBeforeS))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def buildSecondRoundInput(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String = {
+    val inPath = CassandraDataFixture.ensureLeveledFiles(spark, dir)
+    val out1 = ensureCompacted(spark, dir, gcBeforeS)
+    val (_, _, passthrough) = selection(inPath)
+    val dir2 = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-leveled-round2"))
+    // carry the round-1 outputs (their OWN stats say level=1 — that
+    // stamp is what the second selection reads) and the untouched
+    // passthrough families, byte-identical
+    def copyAll(from: String, keep: String => Boolean): Unit =
+      Option(new java.io.File(from).listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+        .filter(f => keep(f.getName)).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, dir2.resolve(f.getName))
+          ()
+        }
+    copyAll(out1, _ => true)
+    val passGens = passthrough.map(m => s"nb-${m.gen}-big").toSet
+    copyAll(inPath, n => passGens.exists(n.startsWith))
+    // fresh L0: the original L0's events re-written RewriteTsShiftUs
+    // later, split across two flushes by the (preserved) ts parity
+    val l0Ids = metadata(inPath).filter(_.level == 0).map(_.sstableId)
+    inputEvents(spark, inPath)
+      .where(col("sstable_id").isin(l0Ids: _*))
+      .withColumn("timestamp_us", col("timestamp_us") + RewriteTsShiftUs)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (lit(NewFlushBase) + pmod(col("timestamp_us"), lit(2L)))
+          .cast("string")))
+      .write.format("sstable-data")
+      .option("path", dir2.toString).option("compressed", "true")
+      .mode("append").save()
+    dir2.toString
+  }
+
+  /** The second round's compaction output (level-1-stamped, generations
+    * from [[OutGenBase2]]), session-memoized. */
+  def ensureSecondCompacted(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
+    val key =
+      s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|lcs2|$gcBeforeS"
+    val slot = memo.synchronized {
+      sweep()
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => buildFrom(spark,
+          ensureSecondRoundInput(spark, dir, gcBeforeS), gcBeforeS,
+          OutGenBase2))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** q175: LCS RE-INGESTION — the proof that the compaction's outputs
+    * are first-class citizens of its own layout. Round 2 selects over
+    * (round-1 outputs + fresh L0 + untouched passthrough) reading every
+    * level from the files' own Statistics.db: the round-1 outputs
+    * classify as L1, become the partners of the new L0 span, and merge
+    * again; the rollup reads round-2's real written outputs (unit
+    * `L1-new2-<i>`) and the twice-passed-through originals. A round-1
+    * output left at L0 (the round-13 behavior) would land in the L0
+    * span instead and the partner set — and this relation — would come
+    * out wrong. */
+  def roundtrip2(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val in2 = ensureSecondRoundInput(spark, dir, gcBeforeS)
+    val out2 = ensureSecondCompacted(spark, dir, gcBeforeS)
+    val (_, partners, passthrough) = selection(in2)
+    require(partners.forall(_.gen > OutGenBase),
+      s"round-2 partners must be round-1 outputs, got $partners")
+    val merged = DataDb.cells(spark, out2,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("oidx",
+        regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L - OutGenBase2)
+    val pass = inputEvents(spark, in2)
+      .where(col("sstable_id").isin(passthrough.map(_.sstableId): _*))
+    rollup(concat(lit("L1-new2-"), col("oidx").cast("string")),
+        lit("compacted"), merged)
+      .unionByName(rollup(col("sstable_id"), lit("passthrough"), pass))
+      .orderBy("unit")
+  }
 
   /** q172: merged L1 replacements read back from the real written
     * sstables (unit `L1-new-<i>`), disjoint L1 sstables passed through

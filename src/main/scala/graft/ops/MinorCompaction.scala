@@ -27,12 +27,15 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   *    from the ORIGINAL file in the rollup).
   *  - **Conservative purge** — the rule that makes minor compaction
   *    correct: a droppable tombstone winner (ldt < gcBefore) may purge
-  *    ONLY if NO non-participating sstable contains its partition key —
-  *    otherwise the tombstone must survive to keep shadowing data the
-  *    compaction cannot see (Cassandra checks exactly this against the
-  *    other sstables' key ranges/blooms before dropping). Major
-  *    compaction (q162) has no such constraint — all sstables
-  *    participate.
+  *    ONLY if NO sstable outside ITS OWN tier's compaction contains its
+  *    partition key — otherwise the tombstone must survive to keep
+  *    shadowing data the compaction cannot see. Each tier is a SEPARATE
+  *    compaction, so "outside" means passthrough sstables AND the
+  *    sstables of every OTHER selected tier (round 14, closing the
+  *    round-13 gap where only never-selected sstables were consulted —
+  *    Cassandra's rule checks all sstables not participating in THAT
+  *    compaction). Major compaction (q162) has no such constraint —
+  *    all sstables participate.
   *
   * Executed, not simulated: each selected tier's survivors are written
   * back as ONE real compressed sstable through the DSv2 sink and
@@ -42,12 +45,13 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   * O(#sstables) driver rows off one pruned aggregate (or the sidecar
   * sums, as q162's sidecar-sized variant) — while the merge is the same
   * single combine-enabled exchange as q162 with `tier` prefixed to the
-  * merge key. The purge check joins winners against the non-participant
-  * key set co-partitioned on key (a real deployment consults blooms /
-  * min-max ranges instead of materializing the set; the join form IS
-  * the exact-semantics reference). A tier at 100 TB would shard its
-  * output volume-adaptively like q162 — one file per tier here keeps
-  * the fixture relation readable. */
+  * merge key. The purge check is [[PurgeGuard]] (round 14): Summary.db
+  * ranges + Filter.db blooms prefilter the droppable winners to a tiny
+  * candidate set, then a broadcast join confirms presence exactly — no
+  * exchange of the non-participant keys (the round-13 form materialized
+  * and shuffled the full passthrough key set). A tier at 100 TB would
+  * shard its output volume-adaptively like q162 — one file per tier
+  * here keeps the fixture relation readable. */
 object MinorCompaction {
 
   /** Power-of-two tier unit. Deliberately small (16 KiB) so the fixture
@@ -109,9 +113,32 @@ object MinorCompaction {
         (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L).cast("string")))
 
+  private val tierMemo = new java.util.HashMap[String,
+    (SparkSession, Slot[Seq[(String, Int, Boolean)]])]()
+
   /** Driver-side tier table: (sstable_id, tier, selected) off one pruned
-    * single-column aggregate — O(#sstables) rows. */
+    * single-column aggregate — O(#sstables) rows. Session-memoized
+    * (round 14): build + roundtrip both consult it, and it is a pure
+    * function of the input set, so the selection aggregate runs once. */
   def tierTable(spark: SparkSession, dir: String)
+      : Seq[(String, Int, Boolean)] = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|tiers"
+    val slot = tierMemo.synchronized {
+      val it = tierMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = tierMemo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => buildTierTable(spark, dir))
+        tierMemo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def buildTierTable(spark: SparkSession, dir: String)
       : Seq[(String, Int, Boolean)] = {
     val inPath = CassandraDataFixture.ensureTieredFiles(spark, dir)
     val perSst = inputEvents(spark, inPath)
@@ -138,11 +165,6 @@ object MinorCompaction {
     val ev = inputEvents(spark, inPath)
     import spark.implicits._
     val tierDf = tierMap.toDF("sstable_id", "tier")
-    val passIds = tiers.filterNot(_._3).map(_._1)
-    // keys any NON-participating sstable holds — the conservative-purge
-    // guard relation (a real deployment consults blooms/min-max instead)
-    val passKeys = ev.where(col("sstable_id").isin(passIds: _*))
-      .select("key").distinct().withColumn("in_pass", lit(true))
     // one LWW merge per tier: q162's combine-enabled aggregate with the
     // tier prefixed to the merge key (events of different tiers never
     // merge — they are separate compactions)
@@ -152,11 +174,22 @@ object MinorCompaction {
         col("timestamp_us"), col("sstable_id"), col("size_bytes"),
         col("is_tombstone"), col("local_deletion_time_s"), col("ttl_s"),
         col("is_expiring"), col("kind"))).as("w"))
+    // the per-tier conservative guard: a tier's droppable tombstone
+    // survives when ANY sstable outside that tier's compaction
+    // (passthrough OR another selected tier) holds its key — sidecar
+    // ranges/blooms prefilter, broadcast confirm (see PurgeGuard)
+    val groupOf = tierMap.toMap
+    val guards = PurgeGuard.load(inPath,
+      id => groupOf.getOrElse(id, PurgeGuard.Passthrough))
+    val blocked = PurgeGuard.blockedKeys(spark, guards, ev, winners,
+      col("tier"), gcBeforeS)
     val kept = winners
-      .join(passKeys, Seq("key"), "left")
+      .join(broadcast(blocked),
+        col("tier") === col("grp") && col("key") === col("gkey"), "left")
+      .drop("grp", "gkey")
       .where(!(col("w.is_tombstone") &&
         col("w.local_deletion_time_s") < gcBeforeS) ||
-        coalesce(col("in_pass"), lit(false)))
+        coalesce(col("in_guard"), lit(false)))
     kept.select(
         concat(lit("sst-"), (lit(TierGenBase) + col("tier")).cast("string"))
           .as("sstable_id"),

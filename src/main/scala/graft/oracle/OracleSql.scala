@@ -4154,9 +4154,11 @@ ORDER BY 1"""
       ("q169_feature_compaction_copart" -> q164Sql) +
       // q171: size-tiered minor compaction — tier assignment (the key%13
       // size-diverse set), per-sstable model bytes, bit-length tiering,
-      // >=2-member selection, per-tier LWW, the conservative purge guard
-      // (droppable tombstones survive when a passthrough sstable holds
-      // the key) and both rollup halves, all replayed from parquet.
+      // >=2-member selection, per-tier LWW, the PER-TIER conservative
+      // purge guard (a tier's droppable tombstone survives when any
+      // sstable outside THAT tier's compaction — passthrough or another
+      // selected tier — holds the key) and both rollup halves, all
+      // replayed from parquet.
       ("q171_minor_compaction" -> q171Sql) +
       // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
       // assignment, sidecar-equivalent min/max range discovery, overlap
@@ -4164,6 +4166,11 @@ ORDER BY 1"""
       // (the guard set is provably empty), boundary re-partition and
       // both rollup halves, replayed from parquet.
       ("q172_leveled_compaction" -> q172Sql) +
+      // q175: LCS re-ingestion — round 1 replayed as q172's kept
+      // relation, its outputs re-entering round 2 as the L1 partners of
+      // the fresh (ts-shifted) L0 flushes; second merge, unconditional
+      // purge, boundary re-partition and both rollup halves.
+      ("q175_leveled_reingest" -> q175Sql) +
       // q173: anti-entropy leaf digests — the tiered re-binning replays
       // as the base multiset (every leaf matches), the compacted set as
       // the LWW-winners-minus-purged multiset; per-leaf counts and
@@ -4408,6 +4415,140 @@ WHERE m.sstable_id NOT IN ('sst-0', 'sst-1')
 GROUP BY 1, 2
 ORDER BY unit"""
 
+  /** q175: the SECOND leveled round (re-ingestion) replayed end to end —
+    * round 1 is exactly [[q172Sql]]'s lkept relation; its outputs come
+    * back labeled by their READBACK ids (sst-910/sst-911, the level-1
+    * partners of round 2), the fresh L0 re-writes the original L0's
+    * events 1e9 µs later split by preserved ts parity, and round 2
+    * merges with the unconditional leveled purge (the passthrough tiles
+    * stay key-disjoint; the guard term is kept for exactness). */
+  private lazy val q175Sql: String = s"""WITH $fixtures,
+lkeys AS (
+  SELECT key, NTILE(4) OVER (ORDER BY key) AS tile
+  FROM (SELECT DISTINCT key FROM licells)
+),
+lmapped AS (
+  SELECT CASE WHEN k.tile IN (2, 3) AND m.timestamp_us % 10 < 3
+              THEN 'sst-' || CAST(m.timestamp_us % 2 AS VARCHAR)
+              ELSE 'sst-' || CAST(k.tile + 1 AS VARCHAR) END AS sstable_id,
+    m.key, m.clustering, m.column_name, m.kind, m.timestamp_us,
+    CASE WHEN m.is_tombstone THEN -1 ELSE m.ttl_s END AS ttl_s,
+    m.local_deletion_time_s, m.is_tombstone, m.is_expiring,
+    CASE WHEN m.is_tombstone THEN 0 ELSE m.size_bytes % 61 END AS size_bytes
+  FROM licells m JOIN lkeys k USING (key)
+),
+bounds AS (
+  SELECT sstable_id, MIN(key) AS fk, MAX(key) AS lk
+  FROM lmapped GROUP BY 1
+),
+l0span AS (
+  SELECT MIN(fk) AS f, MAX(lk) AS l FROM bounds
+  WHERE sstable_id IN ('sst-0', 'sst-1')
+),
+lpartners AS (
+  SELECT b.sstable_id, b.fk, b.lk
+  FROM bounds b, l0span s
+  WHERE b.sstable_id NOT IN ('sst-0', 'sst-1')
+    AND b.fk <= s.l AND b.lk >= s.f
+),
+lranked AS (
+  SELECT m.*,
+    row_number() OVER (PARTITION BY m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM lmapped m
+  WHERE m.sstable_id IN ('sst-0', 'sst-1')
+     OR m.sstable_id IN (SELECT sstable_id FROM lpartners)
+),
+lpasskeys AS (
+  SELECT DISTINCT key FROM lmapped
+  WHERE sstable_id NOT IN ('sst-0', 'sst-1')
+    AND sstable_id NOT IN (SELECT sstable_id FROM lpartners)
+),
+lkept AS (
+  SELECT *,
+    LEAST((SELECT COUNT(*) FROM lpartners p WHERE p.lk < lranked.key),
+          (SELECT COUNT(*) - 1 FROM lpartners)) AS oidx
+  FROM lranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR key IN (SELECT key FROM lpasskeys))
+),
+r1out AS (
+  SELECT 'sst-' || CAST(910 + oidx AS VARCHAR) AS sstable_id,
+    key, clustering, column_name, kind, timestamp_us, ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+  FROM lkept
+),
+newl0 AS (
+  SELECT 'sst-' || CAST(6 + ((timestamp_us + 1000000000) % 2) AS VARCHAR)
+      AS sstable_id,
+    key, clustering, column_name, kind,
+    timestamp_us + 1000000000 AS timestamp_us,
+    ttl_s, local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+  FROM lmapped WHERE sstable_id IN ('sst-0', 'sst-1')
+),
+part2 AS (
+  SELECT * FROM r1out UNION ALL SELECT * FROM newl0
+),
+r2ranked AS (
+  SELECT p.*,
+    row_number() OVER (PARTITION BY p.key, p.clustering, p.column_name
+      ORDER BY p.timestamp_us DESC, p.sstable_id DESC, p.size_bytes DESC,
+               p.is_tombstone DESC, p.local_deletion_time_s DESC,
+               p.ttl_s DESC, p.is_expiring DESC, p.kind DESC) AS rn
+  FROM part2 p
+),
+r2kept AS (
+  SELECT r.*,
+    CASE WHEN r.key <= (SELECT MAX(key) FROM lkept WHERE oidx = 0)
+         THEN 0 ELSE 1 END AS oidx
+  FROM r2ranked r
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR key IN (SELECT key FROM lpasskeys))
+)
+SELECT 'L1-new2-' || CAST(oidx AS VARCHAR) AS unit,
+  'compacted' AS action,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(MIN(key) AS BIGINT) AS first_key,
+  CAST(MAX(key) AS BIGINT) AS last_key,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM r2kept GROUP BY 1, 2
+UNION ALL
+SELECT m.sstable_id AS unit,
+  'passthrough' AS action,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(MIN(key) AS BIGINT) AS first_key,
+  CAST(MAX(key) AS BIGINT) AS last_key,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM lmapped m
+WHERE m.sstable_id NOT IN ('sst-0', 'sst-1')
+  AND m.sstable_id NOT IN (SELECT sstable_id FROM lpartners)
+GROUP BY 1, 2
+ORDER BY unit"""
+
   /** q171: size-tiered minor compaction replayed end to end — see
     * [[graft.ops.MinorCompaction]] for the semantics being checked. */
   private lazy val q171Sql: String = s"""WITH $fixtures,
@@ -4439,9 +4580,14 @@ tagged AS (
   SELECT t.sstable_id, t.tier, (s.members >= 2) AS selected, s.members
   FROM tiers t JOIN selcnt s USING (tier)
 ),
-passkeys AS (
-  SELECT DISTINCT m.key
-  FROM tmapped m JOIN tagged g USING (sstable_id) WHERE NOT g.selected
+outkeys AS (
+  -- (tier, key) pairs where some sstable OUTSIDE that tier's compaction
+  -- (passthrough OR another selected tier) holds the key — each tier is
+  -- a SEPARATE compaction, so its guard consults everything else
+  SELECT DISTINCT w.tier, m.key
+  FROM tmapped m JOIN tagged g USING (sstable_id)
+  CROSS JOIN (SELECT DISTINCT tier FROM tagged WHERE selected) w
+  WHERE NOT g.selected OR g.tier <> w.tier
 ),
 ranked AS (
   SELECT m.*, g.tier, g.members,
@@ -4457,7 +4603,8 @@ kept AS (
   SELECT * FROM ranked
   WHERE rn = 1 AND (
     NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
-    OR key IN (SELECT key FROM passkeys))
+    OR EXISTS (SELECT 1 FROM outkeys o
+               WHERE o.tier = ranked.tier AND o.key = ranked.key))
 )
 SELECT 'tier-' || CAST(tier AS VARCHAR) AS unit,
   'compacted' AS action,

@@ -305,12 +305,13 @@ object CassandraDataFixture {
   def writeSstableFromSortedValues(out: Path, gen: Long,
       sorted: Iterator[(Long, Long, String, Boolean, Long, Long, Long,
         Boolean, Boolean, Long, Array[Byte])],
-      minTs: Long, minLdt: Long, minTtl: Long, compressed: Boolean): Unit =
+      minTs: Long, minLdt: Long, minTtl: Long, compressed: Boolean,
+      level: Int = 0): Unit =
     writeSstableSorted(out, gen,
       sorted.map(t => Ev(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
         t._9, t._10, t._11)),
       minTs, minLdt, minTtl,
-      if (compressed) Some(Compressors.Lz4) else None)
+      if (compressed) Some(Compressors.Lz4) else None, level)
 
   /** Total stream order of the write kernel: partitions by key,
     * clusterings ascending, markers (bounds) before the row of the same

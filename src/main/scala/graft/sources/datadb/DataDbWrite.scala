@@ -93,8 +93,20 @@ final class DataDbWriteBuilder(options: Map[String, String],
         s"sstable-data write option spillbytes must be a long, got '$v'")))
       .getOrElse(DataDbWrite.DefaultSpillBytes)
     require(spillBytes > 0, s"spillbytes must be positive, got $spillBytes")
+    // sstable level stamped into each output's Statistics.db (real LCS
+    // persists the level there — a leveled compaction writing its
+    // outputs at L0 would be re-selected as fresh flushes by the very
+    // strategy that produced them)
+    val level = options.get("level").map(v =>
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"sstable-data write option level must be an int, got '$v'")))
+      .getOrElse(0)
+    require(level >= 0, s"level must be non-negative, got $level")
+    if (feature && level != 0)
+      throw new IllegalArgumentException(
+        "sstable-data feature-schema writes do not take a level")
     new DataDbWrite(path, schema, compressed, spillRows, spillBytes,
-      feature)
+      feature, level)
   }
 }
 
@@ -178,13 +190,14 @@ object DataDbWrite {
 final class DataDbWrite(path: String, schema: StructType,
     compressed: Boolean, spillRows: Int = DataDbWrite.DefaultSpillRows,
     spillBytes: Long = DataDbWrite.DefaultSpillBytes,
-    feature: Boolean = false)
+    feature: Boolean = false, level: Int = 0)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
     s"DataDbWrite path=$path compressed=$compressed spillRows=$spillRows" +
       s" spillBytes=$spillBytes" +
-      (if (feature) " schema=feature" else "")
+      (if (feature) " schema=feature" else "") +
+      (if (level != 0) s" level=$level" else "")
 
   /** Co-locate each sstable's cells on one task... */
   override def requiredDistribution(): Distribution =
@@ -201,7 +214,8 @@ final class DataDbWrite(path: String, schema: StructType,
     DataDbScan.confEntries(
       org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())), spillRows, spillBytes, feature)
+        .getOrElse(new Configuration())), spillRows, spillBytes, feature,
+    level)
 }
 
 /** Names of the destination files one task uploaded. */
@@ -211,13 +225,13 @@ final class DataDbBatchWrite(path: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
     spillRows: Int = DataDbWrite.DefaultSpillRows,
     spillBytes: Long = DataDbWrite.DefaultSpillBytes,
-    feature: Boolean = false)
+    feature: Boolean = false, level: Int = 0)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new DataDbWriterFactory(path, schema, compressed, confEntries,
-      spillRows, spillBytes, feature)
+      spillRows, spillBytes, feature, level)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -236,14 +250,14 @@ final class DataDbWriterFactory(path: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
     spillRows: Int = DataDbWrite.DefaultSpillRows,
     spillBytes: Long = DataDbWrite.DefaultSpillBytes,
-    feature: Boolean = false)
+    feature: Boolean = false, level: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     if (feature) new FeatureSstableWriter(path, schema, confEntries,
       spillRows, spillBytes)
     else new SstableDataWriter(path, schema, compressed, confEntries,
-      spillRows, spillBytes)
+      spillRows, spillBytes, level)
 }
 
 /** Rolls one real sstable per contiguous `sstable_id` run (the Write's
@@ -259,7 +273,8 @@ final class DataDbWriterFactory(path: String, schema: StructType,
 final class SstableDataWriter(destDir: String, schema: StructType,
     compressed: Boolean, confEntries: Array[(String, String)],
     spillRows: Int = DataDbWrite.DefaultSpillRows,
-    spillBytes: Long = DataDbWrite.DefaultSpillBytes)
+    spillBytes: Long = DataDbWrite.DefaultSpillBytes,
+    level: Int = 0)
     extends DataWriter[InternalRow] {
 
   private type T = (Long, Long, String, Boolean, Long, Long, Long,
@@ -369,7 +384,7 @@ final class SstableDataWriter(destDir: String, schema: StructType,
         if (minLdt == Long.MaxValue) CassandraDataFormat.NoDeletionTimeS
         else minLdt,
         if (minTtl == Long.MaxValue) 0L else minTtl,
-        compressed)
+        compressed, level)
       spill.clearRuns()
       buf.clear()
       bufBytes = 0L

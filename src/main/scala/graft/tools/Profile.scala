@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val reps = 3
+    val reps = sys.env.getOrElse("GRAFT_PROF_REPS", "3").toInt
     val names = args.drop(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -20,7 +21,9 @@ object Profile {
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink, not count(): count() lets Catalyst prune the aggregate
+        // inputs, which would time a hollowed-out plan (same as Bench)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-32s ${times.map(t => f"$t%.2f").mkString(" ")}")

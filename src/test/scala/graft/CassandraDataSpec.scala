@@ -1231,8 +1231,9 @@ class CassandraDataSpec extends SparkSpec {
   }
 
   test("minor compaction: size-tiered selection compacts only populated " +
-      "tiers; conservative purge keeps droppable tombstones exactly " +
-      "when a passthrough sstable holds the key (round 13)") {
+      "tiers; the PER-TIER conservative purge keeps droppable " +
+      "tombstones exactly when any sstable outside that tier's " +
+      "compaction holds the key (round 14)") {
     import graft.ops.MinorCompaction
     val tiers = MinorCompaction.tierTable(spark, Sf0001)
     assert(tiers.size === 6)
@@ -1261,8 +1262,6 @@ class CassandraDataSpec extends SparkSpec {
     import spark.implicits._
     val tierDf = tiers.filter(_._3).map(t => (t._1, t._2))
       .toDF("sstable_id", "tier")
-    val passKeys = ev.where(col("sstable_id").isin(pass.map(_._1): _*))
-      .select("key").distinct()
     val winners = ev.join(broadcast(tierDf), "sstable_id")
       .groupBy("tier", "key", "clustering", "column_name")
       .agg(max(struct(col("timestamp_us"), col("sstable_id"),
@@ -1271,20 +1270,49 @@ class CassandraDataSpec extends SparkSpec {
         col("kind"))).as("w"))
     val droppable = winners.where(col("w.is_tombstone") &&
       col("w.local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS)
-    val purged = droppable.join(passKeys, Seq("key"), "left_anti")
-    val retained = droppable.join(passKeys, Seq("key"), "left_semi")
+    // the exact per-tier guard relation: (tier, key) present in some
+    // sstable OUTSIDE that tier's compaction (passthrough or other tier)
+    val groupDf = tiers.map(t =>
+        (t._1, if (t._3) t._2 else -1)).toDF("sstable_id", "grp")
+    // localCheckpoint breaks the lineage shared with `droppable` (both
+    // derive from `ev`), so the joins below are not ambiguous self-joins
+    val outKeys = ev.join(broadcast(groupDf), "sstable_id")
+      .select(col("grp"), col("key").as("okey")).distinct()
+      .localCheckpoint()
+    val blocked = droppable.select("tier", "key").distinct()
+      .join(outKeys,
+        col("key") === col("okey") && col("tier") =!= col("grp"),
+        "left_semi")
+      .localCheckpoint()
+    val purged = droppable.join(blocked, Seq("tier", "key"), "left_anti")
+    val retained = droppable.join(blocked, Seq("tier", "key"), "left_semi")
     assert(purged.count() > 0, "some droppable tombstones must purge")
     assert(retained.count() > 0,
-      "some droppable tombstones must survive via the passthrough guard")
+      "some droppable tombstones must survive via the per-tier guard")
     val mergedEvents = cellsOf(out).count()
     assert(mergedEvents === winners.count() - purged.count())
-    // every retained droppable tombstone in the OUTPUT has its key in a
-    // passthrough sstable (the conservative rule, checked on the real
-    // written bytes)
-    val outDroppable = cellsOf(out).where(col("is_tombstone") &&
-      col("local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS)
-    assert(outDroppable.join(passKeys, Seq("key"), "left_anti")
-      .count() === 0)
+    // every retained droppable tombstone in the OUTPUT has its key
+    // outside its own tier's compaction (the conservative rule, checked
+    // on the real written bytes; output gen 900+t maps back to tier t)
+    val outDroppable = cellsOf(out)
+      .withColumn("tier",
+        (regexp_extract(col("sstable_id"), "sst-(\\d+)", 1).cast("long")
+          - MinorCompaction.TierGenBase).cast("int"))
+      .where(col("is_tombstone") &&
+        col("local_deletion_time_s") < graft.sources.Fixtures.GcBeforeS)
+      .select("tier", "key")
+    assert(outDroppable.join(outKeys,
+      col("key") === col("okey") && col("tier") =!= col("grp"),
+      "left_anti").count() === 0)
+    // the CROSS-TIER half of the rule is non-vacuous on this fixture: at
+    // least one retained tombstone's key lives in NO passthrough sstable
+    // (only another selected tier shadows it) — the round-13 rule would
+    // have purged it and resurrected that tier's data
+    val passOnlyKeys = ev
+      .where(col("sstable_id").isin(pass.map(_._1): _*))
+      .select("key").distinct()
+    assert(retained.join(passOnlyKeys, Seq("key"), "left_anti")
+      .count() > 0, "cross-tier shadowing must bite")
   }
 
   test("leveled compaction: sidecar-driven selection (level from " +
@@ -1339,6 +1367,10 @@ class CassandraDataSpec extends SparkSpec {
     assert(names.count(_.endsWith("-CompressionInfo.db")) === 2)
     val outMeta = LeveledCompaction.metadata(out).sortBy(_.firstKey)
     assert(outMeta.size === 2)
+    // round 14: outputs are STAMPED level 1 in their own Statistics.db —
+    // the very field the next round's selection() reads; an output left
+    // at L0 would be re-selected as a fresh flush by its own strategy
+    assert(outMeta.forall(_.level === 1))
     // boundary property of the re-partition: everything at or below the
     // first partner's last key lands in output 0, the rest in output 1
     // (an L0 key whose EVERY event flushed can sit just outside the
@@ -1346,6 +1378,91 @@ class CassandraDataSpec extends SparkSpec {
     assert(outMeta.head.lastKey <= partners.head.lastKey)
     assert(outMeta.last.firstKey > partners.head.lastKey)
     assert(outMeta.head.lastKey < outMeta.last.firstKey)
+    // round 14: the purge guard is decided from SIDECAR METADATA — the
+    // leveled layout PROVES it empty (every passthrough range disjoint
+    // from every participant's), so the production path runs no guard
+    // join at all (the round-13 form shuffled the passthrough keys to
+    // learn what these O(#files) range checks already knew)
+    val guards = graft.ops.PurgeGuard.load(inPath,
+      id => if (participatingIds.contains(id)) 0
+            else graft.ops.PurgeGuard.Passthrough)
+    assert(graft.ops.PurgeGuard.provablyEmpty(guards))
+  }
+
+  test("purge-guard plan: the big-side scan never exchanges — metadata " +
+      "prefilter, then broadcast joins only (round 14)") {
+    import graft.ops.{MinorCompaction, PurgeGuard}
+    val inPath = CassandraDataFixture.ensureTieredFiles(spark, Sf0001)
+    val tiers = MinorCompaction.tierTable(spark, Sf0001)
+    val groupOf = tiers.filter(_._3).map(t => (t._1, t._2)).toMap
+    val guards = PurgeGuard.load(inPath,
+      id => groupOf.getOrElse(id, PurgeGuard.Passthrough))
+    def cellsOf(p: String) = DataDb.cells(spark, p,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    val ev = cellsOf(inPath)
+    import spark.implicits._
+    val tierDf = tiers.filter(_._3).map(t => (t._1, t._2))
+      .toDF("sstable_id", "tier")
+    val winners = ev.join(broadcast(tierDf), "sstable_id")
+      .groupBy("tier", "key", "clustering", "column_name")
+      .agg(max(struct(col("timestamp_us"), col("sstable_id"),
+        col("size_bytes"), col("is_tombstone"),
+        col("local_deletion_time_s"), col("ttl_s"), col("is_expiring"),
+        col("kind"))).as("w"))
+    val blocked = PurgeGuard.blockedKeys(spark, guards, ev, winners,
+      col("tier"), graft.sources.Fixtures.GcBeforeS)
+    val plan = blocked.queryExecution.executedPlan.toString
+    // the confirm join builds on the broadcast CANDIDATE side; the event
+    // scan streams through it — no sort-merge join, no hash exchange of
+    // the event relation's key column (the round-13 passthrough-key
+    // shuffle). The only exchanges left are over the candidate-sized
+    // distinct sets.
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("hashpartitioning(ev_key"), plan)
+    // and the relation is non-empty here (the guard genuinely bites on
+    // the tiered fixture), so the plan shape is not vacuous
+    assert(blocked.count() > 0)
+  }
+
+  test("leveled re-ingestion (q175): round-1 outputs classify as L1 " +
+      "from their OWN Statistics.db and partner the fresh L0 flushes; " +
+      "round 2 merges and re-partitions on the round-1 boundaries " +
+      "(round 14)") {
+    import graft.ops.LeveledCompaction
+    val in2 = LeveledCompaction.ensureSecondRoundInput(spark, Sf0001)
+    val meta2 = LeveledCompaction.metadata(in2)
+    // the assembled second-round set: 2 fresh L0 flushes, and at L1 the
+    // 2 round-1 outputs (gens > OutGenBase, stamped by the SINK) plus
+    // the 2 untouched passthrough originals
+    assert(meta2.count(_.level == 0) === 2)
+    assert(meta2.count(_.level == 1) === 4)
+    assert(meta2.count(m => m.level == 1 &&
+      m.gen > LeveledCompaction.OutGenBase) === 2)
+    val (l0, partners, pass) = LeveledCompaction.selection(in2)
+    // the new L0 span selects EXACTLY the round-1 outputs as partners —
+    // possible only because their own stats say level=1
+    assert(l0.map(_.sstableId).toSet === Set("sst-6", "sst-7"))
+    assert(partners.map(_.gen).forall(_ > LeveledCompaction.OutGenBase))
+    assert(pass.map(_.sstableId).toSet === Set("sst-2", "sst-5"))
+    // the q175 relation: 2 compacted units + 2 passthrough units, and
+    // round-2 winners at the shifted timestamps beat the round-1 rows
+    val rt = LeveledCompaction.roundtrip2(spark, Sf0001)
+    val rows = rt.collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("L1-new2-0", "L1-new2-1", "sst-2", "sst-5"))
+    // purge stays unconditional in round 2 (disjointness again) and the
+    // fresh droppable tombstones are gone from the written outputs
+    val out2 = LeveledCompaction.ensureSecondCompacted(spark, Sf0001)
+    val gc = graft.sources.Fixtures.GcBeforeS
+    assert(DataDb.cells(spark, out2, format = DataDbScan.FormatCassandra)
+      .where(col("is_tombstone") &&
+        col("local_deletion_time_s") < gc).count() === 0)
+    // round-2 outputs are themselves stamped L1 — the cycle closes
+    assert(LeveledCompaction.metadata(out2).forall(_.level === 1))
   }
 
   test("repair marking is metadata-only: every non-Statistics file " +

@@ -913,6 +913,19 @@ object SparkEntry {
     // repaired at the stamped time) and the full production scan
     // (events unchanged — the rewritten stats still decode the data)
     "q174_mark_repaired" -> ((s, d) => graft.ops.Repair.roundtrip(s, d)),
+    // RANGES-TO-STREAM (round 14): what nodetool repair produces from
+    // differing Merkle leaves — base vs executed-compaction digests over
+    // TOKEN ranges (portable-hash ring, 64 equal-width leaves), one row
+    // per differing leaf with its [token_lo, token_hi] bounds. The
+    // oracle recomputes which ranges merge/purge touched from parquet.
+    "q176_antientropy_ranges" -> ((s, d) =>
+      graft.ops.AntiEntropy.rangesToStream(s, d)),
+    // INCREMENTAL digest (round 14): sstables whose own Statistics.db
+    // says repaired are pruned at PLANNING time (sstable_id pushdown —
+    // file-grain skip); the mixed set digests only its unrepaired half,
+    // the fully-repaired set digests NOTHING — the point of repairedAt
+    "q177_incremental_digest" -> ((s, d) =>
+      graft.ops.AntiEntropy.incrementalRoundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

@@ -29,6 +29,8 @@ object Main {
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
       minor: Boolean = false, leveled: Boolean = false,
+      again: Boolean = false, ranges: Boolean = false,
+      incremental: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -51,7 +53,8 @@ object Main {
     case "pack" => "Usage: pack [-l <seq_len>]"
     case "contaminate" => "Usage: contaminate [-n <num>]"
     case "verify" => "Usage: verify"
-    case "repair" => "Usage: repair <keyspace> <table>"
+    case "repair" =>
+      "Usage: repair <keyspace> <table> [--ranges | --incremental]"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -67,7 +70,7 @@ object Main {
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
       "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
-        "[--minor] [--leveled] [-g <gc_grace_seconds>]"
+        "[--minor | --leveled [--again]] [-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -153,6 +156,12 @@ object Main {
               o = o.copy(minor = true); rest = t
             case Seq("--leveled", t @ _*) if cmd == "compact" =>
               o = o.copy(leveled = true); rest = t
+            case Seq("--again", t @ _*) if cmd == "compact" =>
+              o = o.copy(again = true); rest = t
+            case Seq("--ranges", t @ _*) if cmd == "repair" =>
+              o = o.copy(ranges = true); rest = t
+            case Seq("--incremental", t @ _*) if cmd == "repair" =>
+              o = o.copy(incremental = true); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -167,8 +176,17 @@ object Main {
             if (positional.nonEmpty) Left(usage(cmd)) else Right(o)
           case "compact" =>
             // read-only what-if by default; --execute <ks> <cf> runs the
-            // real compaction (q162 path) at the -g gc cutoff
-            if (o.execute) positional match {
+            // real compaction (q162 path) at the -g gc cutoff.
+            // Mode flags are mutually exclusive where they would
+            // contradict: at most one strategy (--minor/--leveled),
+            // --sidecar-sized only on the major path, --again only with
+            // --leveled — conflicting combinations are usage errors, not
+            // silently resolved by dispatch order
+            if (o.minor && o.leveled) Left(usage(cmd))
+            else if (o.sidecarSized && (o.minor || o.leveled))
+              Left(usage(cmd))
+            else if (o.again && !o.leveled) Left(usage(cmd))
+            else if (o.execute) positional match {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
@@ -176,6 +194,13 @@ object Main {
                 positional.nonEmpty)
               Left(usage(cmd)) // mode flags only apply to --execute
             else Right(o)
+          case "repair" =>
+            if (o.ranges && o.incremental) Left(usage(cmd))
+            else positional match {
+              case Seq(ks, cf) => Right(o.copy(keyspace = ks,
+                table = graft.ops.Summary.resolveStore(cf)))
+              case _ => Left(usage(cmd))
+            }
           case "dedup" => positional match {
             case Seq(m) if Reports.DedupMethods(m) => Right(o.copy(method = m))
             case _ => Left(usage(cmd))
@@ -246,7 +271,10 @@ object Main {
         out(tracked("verify")(Reports.verify(spark, dir))); 0
       case "repair" =>
         if (!requireStore()) return 2
-        out(tracked("repair")(Reports.repair(spark, dir))); 0
+        out(tracked("repair")(
+          if (o.ranges) Reports.repairRanges(spark, dir)
+          else if (o.incremental) Reports.repairIncremental(spark, dir)
+          else Reports.repair(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>
@@ -279,6 +307,8 @@ object Main {
           if (!requireStore()) return 2
           out(tracked("compact")(
             if (o.minor) Reports.minorCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.leveled && o.again)
+              Reports.leveledReingestExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled)
               Reports.leveledCompactExecute(spark, dir, o.gcBeforeS)
             else Reports.compactExecute(spark, dir, o.gcBeforeS,

@@ -339,6 +339,33 @@ object Reports {
         graft.ops.Repair.roundtrip(spark, dir))
   }
 
+  /** `repair <ks> <cf> --ranges` — the ranges a repair would STREAM:
+    * one row per token-ring leaf whose content digest differs between
+    * the base set and the executed compaction's output, with the
+    * [token_lo, token_hi] bounds (q176). */
+  def repairRanges(spark: SparkSession, dir: String): String =
+    section("Ranges to stream (differing token-ring leaves, " +
+      "64 × 2^54-wide; base vs compacted)",
+      graft.ops.AntiEntropy.rangesToStream(spark, dir))
+
+  /** `repair <ks> <cf> --incremental` — the incremental digest: each
+    * set's UNREPAIRED half only, repaired sstables pruned at planning
+    * time from their own Statistics.db stamps (q177). */
+  def repairIncremental(spark: SparkSession, dir: String): String =
+    section("Incremental digest (repaired sstables skipped at " +
+      "planning time from their own repairedAt stamps)",
+      graft.ops.AntiEntropy.incrementalRoundtrip(spark, dir))
+
+  /** `compact --execute <ks> <cf> --leveled --again [-g]` — the SECOND
+    * leveled round (q175): round-1 outputs re-ingested as L1 partners of
+    * fresh L0 flushes, purely from their own Statistics.db level
+    * stamps. */
+  def leveledReingestExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed LEVELED re-ingestion (gcBefore=${gcBeforeS}s, " +
+      "round-1 outputs as L1 partners of fresh L0)",
+      graft.ops.LeveledCompaction.roundtrip2(spark, dir, gcBeforeS))
+
   /** `compact --execute <ks> <cf> --minor [-g]` — the size-tiered MINOR
     * compaction (q171): tier by modeled size, compact only tiers with
     * enough members, pass the rest through, purge conservatively. One

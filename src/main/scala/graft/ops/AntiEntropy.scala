@@ -48,6 +48,131 @@ object AntiEntropy {
           col("local_deletion_time_s"), col("size_bytes"))) % M)
           .as("digest"))
 
+  /** TOKEN of a partition key (round 14): the engine's portable 60-bit
+    * hash of the key's decimal rendering — hash-distributed over
+    * [0, 2^60) the way Cassandra's Murmur3Partitioner distributes keys
+    * over its token ring, and exactly replayable in the DuckDB oracle
+    * (Murmur3 itself has no DuckDB twin; the STRUCTURE — ranges of a
+    * hash ring, not raw keys — is what repair semantics need). */
+  def token(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PortableHash.h60(key.cast("string"))
+
+  /** 64 equal-width token ranges: leaf i covers
+    * [i·2^54, (i+1)·2^54) of the 2^60 token space. */
+  val TokenLeafShift = 54
+
+  /** Width of one token leaf (2^54). */
+  val TokenLeafSpan: Long = 1L << TokenLeafShift
+
+  /** Per-TOKEN-RANGE commutative content digest — [[leafDigest]] with
+    * the ring binning swapped in (the one-expression swap the round-13
+    * doc promised). */
+  def tokenLeafDigest(ev: DataFrame): DataFrame =
+    ev.groupBy(shiftright(token(col("key")), TokenLeafShift).as("leaf"))
+      .agg(count(lit(1)).as("events"),
+        sum(graft.functions.PortableHash.h60(concat_ws(":",
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"),
+          col("local_deletion_time_s"), col("size_bytes"))) % M)
+          .as("digest"))
+
+  /** q176: the RANGES-TO-STREAM relation — what `nodetool repair`
+    * actually produces from differing Merkle leaves: compare the base
+    * set against the executed major compaction's output over TOKEN
+    * ranges and emit one row per DIFFERING leaf with its [token_lo,
+    * token_hi] bounds — the ranges a repair would stream between
+    * replicas. Leaves the merge/purge did not touch are absent. */
+  def rangesToStream(spark: SparkSession, dir: String): DataFrame = {
+    def scanOf(p: String): DataFrame =
+      DataDb.cells(spark, p, format = DataDbScan.FormatCassandra)
+    val base = tokenLeafDigest(scanOf(
+      CassandraDataFixture.ensureFiles(spark, dir, compressed = true)))
+    val compacted = tokenLeafDigest(scanOf(
+      Compaction.ensureCompacted(spark, dir)))
+    base.select(col("leaf"), col("events").as("base_events"),
+        col("digest").as("base_digest"))
+      .join(compacted.select(col("leaf"),
+        col("events").as("compacted_events"),
+        col("digest").as("compacted_digest")), Seq("leaf"), "full_outer")
+      .where(coalesce(col("base_digest"), lit(-1L)) =!=
+        coalesce(col("compacted_digest"), lit(-2L)))
+      .select(col("leaf"),
+        (col("leaf") * TokenLeafSpan).as("token_lo"),
+        (col("leaf") * TokenLeafSpan + TokenLeafSpan - 1L).as("token_hi"),
+        col("base_events"), col("compacted_events"),
+        col("base_digest"), col("compacted_digest"))
+      .orderBy("leaf")
+  }
+
+  /** Generations under `path` whose own Statistics.db says UNREPAIRED —
+    * O(#files) sidecar reads, the exact check incremental repair runs
+    * before opening any data (reference SummaryCollector.java:52-66
+    * surfaces the same field). */
+  def unrepairedGens(path: String): Seq[Long] = {
+    val d = new java.io.File(path)
+    Option(d.listFiles((_, n) =>
+        n.endsWith(graft.sources.statsdb.CassandraStatsFormat.Suffix)))
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap { f =>
+        val stats = graft.sources.statsdb.CassandraStatsFormat.parse(
+          java.nio.file.Files.readAllBytes(f.toPath)).stats
+        val gen = f.getName.split("-").lift(1).flatMap(_.toLongOption)
+        gen.filter(_ => stats.repairedAtMs == 0L)
+      }.sorted
+  }
+
+  /** INCREMENTAL token-range digest of one sstable set: only sstables
+    * whose own Statistics.db is unrepaired are scanned — the repaired
+    * ones are pruned at PLANNING time through the scan's sstable_id
+    * pushdown (file-grain skip, like Cassandra's incremental repair
+    * skipping the repaired half of the data). A fully-repaired set
+    * digests NOTHING (zero rows before aggregation). */
+  def incrementalDigest(spark: SparkSession, path: String): DataFrame = {
+    val unrepaired = unrepairedGens(path)
+    val raw = DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
+    val pruned =
+      if (unrepaired.isEmpty) raw.where(lit(false))
+      else raw.where(col("sstable_id")
+        .isin(unrepaired.map(g => s"nb-$g-big"): _*))
+    pruned
+  }
+
+  /** q177: the incremental cycle over three real sets — unmarked base
+    * (everything still to verify), the PARTIALLY repaired copy (only the
+    * unrepaired half digests), and the FULLY repaired copy (zero events,
+    * zero leaves: nothing left to verify — the entire point of
+    * repairedAt). One row per set. */
+  def incrementalRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = CassandraDataFixture.ensureFiles(spark, dir,
+      compressed = true)
+    val partial = Repair.ensureRepairedPartial(spark, dir)
+    val full = Repair.ensureRepaired(spark, dir)
+    def row(tag: String, path: String): DataFrame = {
+      val sstables = Option(new java.io.File(path)
+          .listFiles((_, n) => n.endsWith("-Data.db")))
+        .map(_.length.toLong).getOrElse(0L)
+      val unrepaired = unrepairedGens(path).length.toLong
+      incrementalDigest(spark, path)
+        .agg(
+          count(lit(1)).as("events"),
+          coalesce(countDistinct(
+            shiftright(token(col("key")), TokenLeafShift)), lit(0L))
+            .as("leaves"),
+          coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
+            col("key"), col("clustering"), col("column_name"), col("kind"),
+            col("timestamp_us"), col("ttl_s"),
+            col("local_deletion_time_s"), col("size_bytes"))) % M),
+            lit(0L)).as("digest"))
+        .select(lit(tag).as("set_name"), lit(sstables).as("sstables"),
+          lit(unrepaired).as("unrepaired_sstables"),
+          col("events"), col("leaves"), col("digest"))
+    }
+    row("base", base)
+      .unionByName(row("partial", partial))
+      .unionByName(row("full", full))
+      .orderBy("set_name")
+  }
+
   /** q173: the three-way leaf comparison described above. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     def scanOf(p: String): DataFrame =

@@ -44,14 +44,30 @@ object Repair {
 
   /** The base compressed set copied with every Statistics.db stamped
     * repaired; returns the marked directory (session-memoized). */
-  def ensureRepaired(spark: SparkSession, dir: String): String = {
-    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|repaired"
+  def ensureRepaired(spark: SparkSession, dir: String): String =
+    ensureMarked(spark, dir, "repaired", _ => true)
+
+  /** Generations the PARTIAL marking stamps (q177's mixed set): the
+    * first half of the fixture's six — a repair that covered some token
+    * ranges and not others, the state incremental repair exists for. */
+  val PartialRepairedGens: Set[Long] = Set(1L, 2L, 3L)
+
+  /** The base compressed set with ONLY [[PartialRepairedGens]] stamped —
+    * the mixed repaired/unrepaired layout an incremental digest must
+    * split on (session-memoized). */
+  def ensureRepairedPartial(spark: SparkSession, dir: String): String =
+    ensureMarked(spark, dir, "repaired-partial",
+      PartialRepairedGens.contains)
+
+  private def ensureMarked(spark: SparkSession, dir: String, tag: String,
+      markGen: Long => Boolean): String = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|$tag"
     val slot = memo.synchronized {
       sweep()
       val hit = memo.get(key)
       if (hit != null) hit._2
       else {
-        val s = new Slot(() => build(spark, dir))
+        val s = new Slot(() => build(spark, dir, markGen))
         memo.put(key, (spark, s))
         s
       }
@@ -59,7 +75,8 @@ object Repair {
     slot.value
   }
 
-  private def build(spark: SparkSession, dir: String): String = {
+  private def build(spark: SparkSession, dir: String,
+      markGen: Long => Boolean): String = {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
       compressed = true)
     val out = graft.sources.TempDirs.register(
@@ -69,7 +86,9 @@ object Repair {
     require(files.nonEmpty, s"no sstable files under $inPath")
     files.foreach { f =>
       val dest = out.resolve(f.getName)
-      if (f.getName.endsWith(CassandraStatsFormat.Suffix)) {
+      val gen = f.getName.split("-").lift(1).flatMap(_.toLongOption)
+      if (f.getName.endsWith(CassandraStatsFormat.Suffix) &&
+          gen.exists(markGen)) {
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
         val parsed = CassandraStatsFormat.parse(bytes)
         val header = CassandraStatsFormat.componentBytes(bytes,

@@ -4176,6 +4176,12 @@ ORDER BY 1"""
       // the LWW-winners-minus-purged multiset; per-leaf counts and
       // 60-bit content digests recomputed from parquet.
       ("q173_antientropy_digest" -> q173Sql) +
+      // q176: token-range ranges-to-stream — the differing leaves of
+      // the base-vs-compacted token ring with their range bounds.
+      ("q176_antientropy_ranges" -> q176Sql) +
+      // q177: incremental digest — per-set (base/partial/full) event and
+      // leaf counts plus the content digest of the UNREPAIRED half.
+      ("q177_incremental_digest" -> q177Sql) +
       // q174: incremental-repair marking — base set unrepaired, marked
       // copy fully repaired at the stamped constant, event counts equal
       // (the rewrite was metadata-only).
@@ -4276,6 +4282,103 @@ FROM base GROUP BY 1 ORDER BY 1"""
       .mkString("CASE ", " ", " ELSE 1 END")
 
   /** q173: anti-entropy leaf digests — see [[graft.ops.AntiEntropy]]. */
+  /** q176: differing TOKEN ranges between the base set and the executed
+    * major compaction — the oracle recomputes the token-ring binning
+    * (portable h60 of the key, 64 equal 2^54-wide leaves), both digests
+    * and keeps only differing leaves with their range bounds. */
+  private lazy val q176Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+amapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+aev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM amapped
+),
+aleaf AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS base_events,
+    CAST(SUM(eh) AS BIGINT) AS base_digest
+  FROM aev GROUP BY 1
+),
+aranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC,
+             ttl_s DESC, is_expiring DESC, kind DESC) AS rn
+  FROM aev
+),
+acomp AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS compacted_events,
+    CAST(SUM(eh) AS BIGINT) AS compacted_digest
+  FROM aranked
+  WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+  GROUP BY 1
+)
+SELECT leaf,
+  CAST(leaf * $span AS BIGINT) AS token_lo,
+  CAST(leaf * $span + ${span - 1} AS BIGINT) AS token_hi,
+  a.base_events, c.compacted_events, a.base_digest, c.compacted_digest
+FROM aleaf a FULL OUTER JOIN acomp c USING (leaf)
+WHERE COALESCE(a.base_digest, -1) <> COALESCE(c.compacted_digest, -2)
+ORDER BY leaf"""
+  }
+
+  /** q177: the incremental digest — base digests everything, the
+    * partial marking leaves sst-3/4/5 (gens 4-6) unrepaired, the full
+    * marking leaves NOTHING to digest. */
+  private lazy val q177Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+amapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+aev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM amapped
+),
+nsst AS (SELECT CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS n FROM aev)
+SELECT 'base' AS set_name, n AS sstables, n AS unrepaired_sstables,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT leaf) AS BIGINT) AS leaves,
+  CAST(COALESCE(SUM(eh), 0) AS BIGINT) AS digest
+FROM aev, nsst GROUP BY n
+UNION ALL
+SELECT 'full', n, CAST(0 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM nsst
+UNION ALL
+SELECT 'partial', n, CAST(3 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(DISTINCT leaf) AS BIGINT),
+  CAST(COALESCE(SUM(eh), 0) AS BIGINT)
+FROM aev, nsst
+WHERE sstable_id IN ('sst-3', 'sst-4', 'sst-5') GROUP BY n
+ORDER BY set_name"""
+  }
+
   private lazy val q173Sql: String = {
     val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
       "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +

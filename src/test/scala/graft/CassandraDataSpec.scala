@@ -1465,6 +1465,47 @@ class CassandraDataSpec extends SparkSpec {
     assert(LeveledCompaction.metadata(out2).forall(_.level === 1))
   }
 
+  test("token-range anti-entropy (q176/q177): ring binning spreads, " +
+      "differing leaves carry their stream bounds, and the incremental " +
+      "digest PRUNES repaired files at planning time (round 14)") {
+    import graft.ops.{AntiEntropy, Repair}
+    // ranges-to-stream: every emitted leaf has consistent 2^54 bounds
+    // and a genuine digest difference; the ring spreads past one leaf
+    val ranges = AntiEntropy.rangesToStream(spark, Sf0001).collect()
+    assert(ranges.nonEmpty)
+    assert(ranges.map(_.getLong(0)).distinct.length > 1,
+      "token binning must spread across leaves")
+    ranges.foreach { r =>
+      val leaf = r.getLong(0)
+      assert(r.getLong(1) === leaf * AntiEntropy.TokenLeafSpan)
+      assert(r.getLong(2) ===
+        leaf * AntiEntropy.TokenLeafSpan + AntiEntropy.TokenLeafSpan - 1)
+      assert(Option(r.get(5)) !== Option(r.get(6)),
+        s"leaf $leaf emitted without a digest difference")
+    }
+    // incremental: the partial marking leaves exactly gens 4-6
+    // unrepaired, and the scan PLANS only those files (sstable_id
+    // pushdown — the repaired half is never opened)
+    val partial = Repair.ensureRepairedPartial(spark, Sf0001)
+    assert(AntiEntropy.unrepairedGens(partial) === Seq(4L, 5L, 6L))
+    val pruned = AntiEntropy.incrementalDigest(spark, partial)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("In(sstable_id"), "sstable_id filter not pushed")
+    assert(pruned.rdd.getNumPartitions === 3,
+      "repaired files must be pruned at planning time")
+    // a fully repaired set digests NOTHING: no unrepaired gens, no scan
+    val full = Repair.ensureRepaired(spark, Sf0001)
+    assert(AntiEntropy.unrepairedGens(full).isEmpty)
+    assert(AntiEntropy.incrementalDigest(spark, full).count() === 0L)
+    // and the q177 relation's full row is all-zero while base > partial
+    val rows = AntiEntropy.incrementalRoundtrip(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows("full") === ((0L, 0L, 0L)))
+    assert(rows("base")._1 > rows("partial")._1)
+    assert(rows("partial")._1 > 0L)
+  }
+
   test("repair marking is metadata-only: every non-Statistics file " +
       "byte-identical to the base set; stats differ ONLY in repairedAt " +
       "(round 13)") {

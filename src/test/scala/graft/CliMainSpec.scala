@@ -30,6 +30,23 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("pstats", "-n", "-4", "ks1", "lineitem")).isLeft)
     assert(Main.parse(Seq("purge", "-x", "ks1", "lineitem")).isLeft)
     assert(Main.parse(Seq("help", "pstats")) === Left(Main.usage("pstats")))
+    // conflicting compact mode flags are usage errors, not silently
+    // resolved by dispatch order (round 14): at most one strategy,
+    // --sidecar-sized only on the major path, --again only with
+    // --leveled, repair's --ranges/--incremental mutually exclusive
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--minor", "--leveled")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--sidecar-sized", "--minor")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--sidecar-sized", "--leveled")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--again")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--minor", "--again")).isLeft)
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--ranges",
+      "--incremental")).isLeft)
+    assert(Main.parse(Seq("repair", "ks1")).isLeft)
   }
 
   test("parse: -g overrides gc_grace; gcBefore = fixture NOW - gc_grace") {
@@ -300,7 +317,16 @@ class CliMainSpec extends SparkSpec {
       Seq("compact", "--execute", "ks1", "lineitem", "--leveled"),
     // the anti-entropy cycle (round 13): digest comparison + repair
     // marking, both halves' rollups frozen
-    "repair" -> Seq("repair", "ks1", "lineitem"))
+    "repair" -> Seq("repair", "ks1", "lineitem"),
+    // round 14: the re-ingestion round (level stamps consumed), the
+    // ranges-to-stream relation and the incremental (repaired-skipping)
+    // digest, each frozen
+    "compact_execute_leveled_again" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--leveled",
+        "--again"),
+    "repair_ranges" -> Seq("repair", "ks1", "lineitem", "--ranges"),
+    "repair_incremental" ->
+      Seq("repair", "ks1", "lineitem", "--incremental"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

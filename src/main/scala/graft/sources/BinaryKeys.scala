@@ -12,14 +12,30 @@ object BinaryKeys {
     * inside whole-stage codegen; the builtin composition below allocates
     * two hex strings and re-parses them per row, in the hot path of
     * every decoded-key operator). Falls back to the builtin form when no
-    * session is active (pure column construction). */
+    * session is active (pure column construction).
+    *
+    * Session boundary (round 14): the native form is a NAME reference
+    * (`be_long`) resolved by whichever session ANALYZES the returned
+    * Column. [[registerHere]] covers the active and default sessions of
+    * the building thread; a session configured with
+    * [[graft.GraftExtensions]] (Verify/Bench/CLI all are) resolves it
+    * regardless. A Column built under one plain session and analyzed by
+    * a DIFFERENT unregistered one is outside this contract — use
+    * [[beLongBuiltin]] there. */
   def beLong(key: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        graft.functions.GraftFunctions.beLong(key)
-      case None => beLongBuiltin(key)
-    }
+    if (registerHere()) graft.functions.GraftFunctions.beLong(key)
+    else beLongBuiltin(key)
+
+  /** Register the native functions on every session this thread can
+    * see (active + default); true if at least one registration target
+    * exists. */
+  private def registerHere(): Boolean = {
+    val sessions =
+      (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+        org.apache.spark.sql.SparkSession.getDefaultSession.toSeq).distinct
+    sessions.foreach(graft.functions.GraftFunctions.ensureRegistered)
+    sessions.nonEmpty
+  }
 
   /** Pure-builtin form (no function registration required). A single
     * `CAST(conv(hex(key), 16, 10) AS BIGINT)` is unsigned: any key with the
@@ -33,14 +49,10 @@ object BinaryKeys {
 
   /** The inverse: a long as its 8 big-endian bytes (the stored partition-
     * key encoding) — native [[graft.functions.BeLongBytes]], builtin
-    * fallback when sessionless. */
+    * fallback when sessionless; same session boundary as [[beLong]]. */
   def beLongBytes(k: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.functions.GraftFunctions.ensureRegistered(s)
-        graft.functions.GraftFunctions.beLongBytes(k)
-      case None => beLongBytesBuiltin(k)
-    }
+    if (registerHere()) graft.functions.GraftFunctions.beLongBytes(k)
+    else beLongBytesBuiltin(k)
 
   /** Pure-builtin inverse — `hex(long)` is the full 16-digit
     * two's-complement form, so negatives encode correctly too. */

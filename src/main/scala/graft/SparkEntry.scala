@@ -926,6 +926,13 @@ object SparkEntry {
     // the fully-repaired set digests NOTHING — the point of repairedAt
     "q177_incremental_digest" -> ((s, d) =>
       graft.ops.AntiEntropy.incrementalRoundtrip(s, d)),
+    // sstableexpiredblockers (round 14): over a TWCS-banded real set,
+    // which live sstable BLOCKS which fully-expired sstable's drop —
+    // expiry from Statistics.db maxLocalDeletionTime, overlap from
+    // Summary.db ranges, age from min/max timestamps; O(#files) sidecar
+    // metadata, zero data reads (the real tool's shape)
+    "q178_expired_blockers" -> ((s, d) =>
+      graft.ops.ExpiredBlockers.blockers(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

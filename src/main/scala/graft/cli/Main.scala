@@ -39,7 +39,8 @@ object Main {
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
   }
 
-  val Commands = Set("summary", "sstables", "pstats", "cfstats", "purge",
+  val Commands = Set("blockers", "summary", "sstables", "pstats", "cfstats",
+    "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
@@ -55,6 +56,7 @@ object Main {
     case "verify" => "Usage: verify"
     case "repair" =>
       "Usage: repair <keyspace> <table> [--ranges | --incremental]"
+    case "blockers" => "Usage: blockers <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -275,6 +277,10 @@ object Main {
           if (o.ranges) Reports.repairRanges(spark, dir)
           else if (o.incremental) Reports.repairIncremental(spark, dir)
           else Reports.repair(spark, dir))); 0
+      case "blockers" =>
+        if (!requireStore()) return 2
+        out(tracked("blockers")(Reports.blockers(spark, dir, o.gcBeforeS)))
+        0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -339,6 +339,14 @@ object Reports {
         graft.ops.Repair.roundtrip(spark, dir))
   }
 
+  /** `blockers <ks> <cf>` — sstableexpiredblockers: which live sstable
+    * blocks which fully-expired sstable's drop, from sidecar metadata
+    * alone (q178). */
+  def blockers(spark: SparkSession, dir: String, gcBeforeS: Long): String =
+    section(s"Expired-sstable blockers (gcBefore=${gcBeforeS}s; " +
+      "expiry from Statistics.db, overlap from Summary.db ranges)",
+      graft.ops.ExpiredBlockers.blockers(spark, dir, gcBeforeS))
+
   /** `repair <ks> <cf> --ranges` — the ranges a repair would STREAM:
     * one row per token-ring leaf whose content digest differs between
     * the base set and the executed compaction's output, with the

@@ -4182,6 +4182,10 @@ ORDER BY 1"""
       // q177: incremental digest — per-set (base/partial/full) event and
       // leaf counts plus the content digest of the UNREPAIRED half.
       ("q177_incremental_digest" -> q177Sql) +
+      // q178: sstableexpiredblockers — TWCS band assignment, per-sstable
+      // stats (min/max ts, max ldt, key range), fully-expired candidacy
+      // and the blocker join, all replayed from parquet.
+      ("q178_expired_blockers" -> q178Sql) +
       // q174: incremental-repair marking — base set unrepaired, marked
       // copy fully repaired at the stamped constant, event counts equal
       // (the rewrite was metadata-only).
@@ -4282,6 +4286,34 @@ FROM base GROUP BY 1 ORDER BY 1"""
       .mkString("CASE ", " ", " ELSE 1 END")
 
   /** q173: anti-entropy leaf digests — see [[graft.ops.AntiEntropy]]. */
+  /** q178: sstableexpiredblockers over the TWCS-banded set — see
+    * [[graft.ops.ExpiredBlockers]] for the semantics being checked. */
+  private lazy val q178Sql: String = s"""WITH $fixtures,
+tmap AS (
+  SELECT CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS
+              THEN 'sst-' || CAST(4 + (CASE WHEN timestamp_us // 86400000000 < 1200
+                                            THEN 0 ELSE 1 END) AS VARCHAR)
+              ELSE 'sst-' || CAST(LEAST(timestamp_us // 86400000000 // 640, 3)
+                                  AS VARCHAR) END AS sstable_id,
+    key, timestamp_us, local_deletion_time_s
+  FROM licells
+),
+tstats AS (
+  SELECT sstable_id, MIN(key) AS fk, MAX(key) AS lk,
+    MIN(timestamp_us) AS mints, MAX(timestamp_us) AS maxts,
+    MAX(local_deletion_time_s) AS maxldt
+  FROM tmap GROUP BY 1
+)
+SELECT c.sstable_id AS blocked_id,
+  CAST(c.maxts AS BIGINT) AS blocked_max_ts,
+  CAST(c.maxldt AS BIGINT) AS blocked_max_ldt,
+  b.sstable_id AS blocker_id,
+  CAST(b.mints AS BIGINT) AS blocker_min_ts
+FROM tstats c JOIN tstats b
+  ON c.maxldt < $GcBeforeS AND b.maxldt >= $GcBeforeS
+  AND b.fk <= c.lk AND b.lk >= c.fk AND b.mints < c.maxts
+ORDER BY 1, 4"""
+
   /** q176: differing TOKEN ranges between the base set and the executed
     * major compaction — the oracle recomputes the token-ring binning
     * (portable h60 of the key, 64 equal 2^54-wide leaves), both digests

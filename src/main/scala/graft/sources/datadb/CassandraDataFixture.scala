@@ -131,6 +131,35 @@ object CassandraDataFixture {
           .when(m <= 8, lit(4L)).otherwise(lit(5L)).cast("string"))
       })
 
+  /** The TWCS-BANDED set (round 14, q178's input): events land in TIME
+    * bands the way TimeWindowCompactionStrategy files them —
+    *
+    *  - every DROPPABLE tombstone event (tombstone with ldt < gcBefore,
+    *    markers included) goes to one of 2 FULLY-EXPIRED sstables split
+    *    at write-day 1200 (sst-4 old, sst-5 newer): their Statistics.db
+    *    maxLocalDeletionTime is < gcBefore by construction, the
+    *    condition `sstableexpiredblockers` scans for;
+    *  - everything else (live, expiring, non-droppable tombstones) goes
+    *    to 4 LIVE sstables by 640-day write band (sst-0..sst-3), so the
+    *    live files have TWCS's disjoint timestamp windows.
+    *
+    * Day is `timestamp_us div 86400000000` (the fixture's own write-day
+    * term), so the assignment replays exactly in SQL. */
+  def ensureTwcsFiles(spark: SparkSession, dir: String): String = {
+    val base = Fixtures.cells(spark, dir)
+    // integral div, not float-divide-and-cast: the oracle replays with //
+    val day = expr("timestamp_us div 86400000000")
+    val band = expr("least(timestamp_us div 86400000000 div 640, 3)")
+    val droppable = col("is_tombstone") &&
+      col("local_deletion_time_s") < Fixtures.GcBeforeS
+    val frame = base.withColumn("sstable_id",
+      when(droppable, concat(lit("sst-"),
+        (lit(4L) + when(day < 1200L, 0L).otherwise(1L)).cast("string")))
+        .otherwise(concat(lit("sst-"), band.cast("string"))))
+    ensureVariant(spark, dir, "twcs", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   /** The LEVELED set (round 13, q172's input): 2 overlapping L0 "flush"
     * sstables over the MIDDLE half of the key space plus 4 L1 sstables
     * holding NON-OVERLAPPING contiguous key ranges (ntile(4) of the

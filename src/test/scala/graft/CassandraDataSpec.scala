@@ -1506,6 +1506,46 @@ class CassandraDataSpec extends SparkSpec {
     assert(rows("partial")._1 > 0L)
   }
 
+  test("expired blockers (q178): fully-expired candidacy read from real " +
+      "Statistics.db, blockers decided by range overlap + older min " +
+      "timestamp, all O(#files) metadata (round 14)") {
+    import graft.ops.ExpiredBlockers
+    val path = CassandraDataFixture.ensureTwcsFiles(spark, Sf0001)
+    val metas = ExpiredBlockers.metadata(path)
+    val gc = graft.sources.Fixtures.GcBeforeS
+    val expired = metas.filter(_.maxLdtS < gc)
+    val live = metas.filterNot(_.maxLdtS < gc)
+    // both expired bands materialize and the live set carries the
+    // sentinel (live cells push maxLocalDeletionTime to Int.MaxValue)
+    assert(expired.map(_.sstableId).toSet === Set("sst-4", "sst-5"))
+    assert(live.nonEmpty)
+    assert(live.forall(_.maxLdtS === Int.MaxValue.toLong))
+    // the written bytes agree with the claim: every event in an expired
+    // sstable is a droppable tombstone
+    val ev = DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    assert(ev.where(col("sstable_id").isin("sst-4", "sst-5") &&
+      !(col("is_tombstone") && col("local_deletion_time_s") < gc))
+      .count() === 0)
+    // the relation: the OLD expired band has strictly fewer blockers
+    // than the new one (live bands newer than its max timestamp cannot
+    // block), and every pair satisfies the rule on the sidecar numbers
+    val rows = ExpiredBlockers.blockers(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byBlocked = rows.groupBy(_.getString(0))
+    assert(byBlocked.keySet === Set("sst-4", "sst-5"))
+    assert(byBlocked("sst-4").length < byBlocked("sst-5").length)
+    val metaOf = metas.map(m => m.sstableId -> m).toMap
+    rows.foreach { r =>
+      val c = metaOf(r.getString(0)); val b = metaOf(r.getString(3))
+      assert(b.minTsUs < c.maxTsUs)
+      assert(b.firstKey <= c.lastKey && b.lastKey >= c.firstKey)
+      assert(c.maxLdtS < gc && b.maxLdtS >= gc)
+    }
+  }
+
   test("repair marking is metadata-only: every non-Statistics file " +
       "byte-identical to the base set; stats differ ONLY in repairedAt " +
       "(round 13)") {

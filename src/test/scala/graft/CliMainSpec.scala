@@ -326,7 +326,10 @@ class CliMainSpec extends SparkSpec {
         "--again"),
     "repair_ranges" -> Seq("repair", "ks1", "lineitem", "--ranges"),
     "repair_incremental" ->
-      Seq("repair", "ks1", "lineitem", "--incremental"))
+      Seq("repair", "ks1", "lineitem", "--incremental"),
+    // sstableexpiredblockers (round 14): expiry + overlap decided from
+    // the real sidecars of the TWCS-banded set
+    "blockers" -> Seq("blockers", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -933,6 +933,17 @@ object SparkEntry {
     // metadata, zero data reads (the real tool's shape)
     "q178_expired_blockers" -> ((s, d) =>
       graft.ops.ExpiredBlockers.blockers(s, d)),
+    // sstablesplit (round 14): the largest sstable rewritten as 4
+    // size-targeted real sstables, partitions intact, consecutive in
+    // key order (running-sum quarter assignment); shards read back from
+    // the written files
+    "q179_sstable_split" -> ((s, d) =>
+      graft.ops.SstableSplit.roundtrip(s, d)),
+    // sstablelevelreset (round 14): metadata-only level→0 rewrite of
+    // the leveled set's Statistics.db (q174's byte-exact rewrite mold);
+    // per-level counts flip {0:2,1:4}→{0:6}, events unchanged
+    "q180_level_reset" -> ((s, d) =>
+      graft.ops.LevelReset.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

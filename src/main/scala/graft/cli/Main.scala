@@ -39,8 +39,8 @@ object Main {
       .getOrElse(graft.sources.Fixtures.GcBeforeS)
   }
 
-  val Commands = Set("blockers", "summary", "sstables", "pstats", "cfstats",
-    "purge",
+  val Commands = Set("blockers", "split", "levelreset", "summary",
+    "sstables", "pstats", "cfstats", "purge",
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
@@ -57,6 +57,8 @@ object Main {
     case "repair" =>
       "Usage: repair <keyspace> <table> [--ranges | --incremental]"
     case "blockers" => "Usage: blockers <keyspace> <table>"
+    case "split" => "Usage: split <keyspace> <table>"
+    case "levelreset" => "Usage: levelreset <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -281,6 +283,12 @@ object Main {
         if (!requireStore()) return 2
         out(tracked("blockers")(Reports.blockers(spark, dir, o.gcBeforeS)))
         0
+      case "split" =>
+        if (!requireStore()) return 2
+        out(tracked("split")(Reports.split(spark, dir))); 0
+      case "levelreset" =>
+        if (!requireStore()) return 2
+        out(tracked("levelreset")(Reports.levelReset(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

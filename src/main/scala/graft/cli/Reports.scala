@@ -347,6 +347,23 @@ object Reports {
       "expiry from Statistics.db, overlap from Summary.db ranges)",
       graft.ops.ExpiredBlockers.blockers(spark, dir, gcBeforeS))
 
+  /** `split <ks> <cf>` — sstablesplit: the largest sstable rewritten as
+    * size-targeted real sstables, partitions intact (q179). */
+  def split(spark: SparkSession, dir: String): String = {
+    val (_, vid) = graft.ops.SstableSplit.ensureSplit(spark, dir)
+    section(s"Split of $vid (largest by modeled volume) into " +
+      s"${graft.ops.SstableSplit.Shards} size-targeted sstables, " +
+      "partitions intact",
+      graft.ops.SstableSplit.roundtrip(spark, dir))
+  }
+
+  /** `levelreset <ks> <cf>` — sstablelevelreset: every Statistics.db
+    * level dropped to 0, data untouched (q180). */
+  def levelReset(spark: SparkSession, dir: String): String =
+    section("Level reset (metadata-only Statistics.db rewrite; " +
+      "per-level counts before/after, events unchanged)",
+      graft.ops.LevelReset.roundtrip(spark, dir))
+
   /** `repair <ks> <cf> --ranges` — the ranges a repair would STREAM:
     * one row per token-ring leaf whose content digest differs between
     * the base set and the executed compaction's output, with the

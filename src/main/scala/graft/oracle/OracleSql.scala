@@ -4186,6 +4186,19 @@ ORDER BY 1"""
       // stats (min/max ts, max ldt, key range), fully-expired candidacy
       // and the blocker join, all replayed from parquet.
       ("q178_expired_blockers" -> q178Sql) +
+      // q179: sstablesplit — victim, quarter assignment, shard rollups.
+      ("q179_sstable_split" -> q179Sql) +
+      // q180: sstablelevelreset — the leveled set's per-level counts
+      // flip from {0:2, 1:4} to {0:6}; events unchanged (metadata-only).
+      ("q180_level_reset" -> s"""WITH $fixtures,
+b AS (SELECT CAST(COUNT(*) AS BIGINT) AS events FROM licells)
+SELECT 'base' AS set_name, CAST(6 AS BIGINT) AS sstables,
+  CAST(2 AS BIGINT) AS l0, CAST(4 AS BIGINT) AS l1,
+  CAST(1 AS BIGINT) AS max_level, events FROM b
+UNION ALL
+SELECT 'reset', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+  CAST(0 AS BIGINT), events FROM b
+ORDER BY set_name""") +
       // q174: incremental-repair marking — base set unrepaired, marked
       // copy fully repaired at the stamped constant, event counts equal
       // (the rewrite was metadata-only).
@@ -4286,6 +4299,53 @@ FROM base GROUP BY 1 ORDER BY 1"""
       .mkString("CASE ", " ", " ELSE 1 END")
 
   /** q173: anti-entropy leaf digests — see [[graft.ops.AntiEntropy]]. */
+  /** q179: sstablesplit — victim selection (largest modeled volume),
+    * the running-sum quarter assignment over the victim's partitions in
+    * key order, and every shard's rollup, replayed from parquet. */
+  private lazy val q179Sql: String = s"""WITH $fixtures,
+smapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+spersst AS (
+  SELECT sstable_id, CAST(SUM(32 + size_bytes) AS BIGINT) AS b
+  FROM smapped GROUP BY 1
+),
+svictim AS (
+  SELECT sstable_id, b FROM spersst ORDER BY b DESC, sstable_id DESC LIMIT 1
+),
+sev AS (
+  SELECT m.* FROM smapped m
+  WHERE m.sstable_id = (SELECT sstable_id FROM svictim)
+),
+spart AS (
+  SELECT key, CAST(SUM(32 + size_bytes) AS BIGINT) AS pb
+  FROM sev GROUP BY 1
+),
+scum AS (SELECT key, SUM(pb) OVER (ORDER BY key) AS cum, pb FROM spart),
+sshard AS (
+  SELECT key,
+    LEAST((cum - pb) * 4 // (SELECT b FROM svictim), 3) AS shard
+  FROM scum
+)
+SELECT 'shard-' || CAST(shard AS VARCHAR) AS unit,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT e.key) AS BIGINT) AS partitions,
+  CAST(MIN(e.key) AS BIGINT) AS first_key,
+  CAST(MAX(e.key) AS BIGINT) AS last_key,
+  CAST(SUM(32 + size_bytes) AS BIGINT) AS model_bytes,
+  CAST(SUM(e.key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM sev e JOIN sshard s ON e.key = s.key
+GROUP BY 1 ORDER BY unit"""
+
   /** q178: sstableexpiredblockers over the TWCS-banded set — see
     * [[graft.ops.ExpiredBlockers]] for the semantics being checked. */
   private lazy val q178Sql: String = s"""WITH $fixtures,

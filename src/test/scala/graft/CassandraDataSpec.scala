@@ -1506,6 +1506,78 @@ class CassandraDataSpec extends SparkSpec {
     assert(rows("partial")._1 > 0L)
   }
 
+  test("level reset (q180) is metadata-only: every non-Statistics file " +
+      "byte-identical to the leveled set; stats differ ONLY in level " +
+      "(round 14)") {
+    import graft.sources.statsdb.CassandraStatsFormat
+    val base = CassandraDataFixture.ensureLeveledFiles(spark, Sf0001)
+    val reset = graft.ops.LevelReset.ensureReset(spark, Sf0001)
+    val files = Option(new java.io.File(base).listFiles()).get
+      .filter(_.isFile).sortBy(_.getName)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val m = new java.io.File(reset, f.getName)
+      assert(m.exists(), s"missing ${f.getName} in reset set")
+      val a = java.nio.file.Files.readAllBytes(f.toPath)
+      val b = java.nio.file.Files.readAllBytes(m.toPath)
+      if (!f.getName.endsWith(CassandraStatsFormat.Suffix))
+        assert(java.util.Arrays.equals(a, b),
+          s"${f.getName} must be byte-identical")
+      else {
+        val pa = CassandraStatsFormat.parse(a)
+        assert(CassandraStatsFormat.parse(b).stats.level === 0)
+        val bos = new java.io.ByteArrayOutputStream()
+        CassandraStatsFormat.write(new java.io.DataOutputStream(bos),
+          pa.copy(stats = pa.stats.copy(level = 0)),
+          Some(CassandraStatsFormat.componentBytes(a,
+            CassandraStatsFormat.TypeHeader)))
+        assert(java.util.Arrays.equals(bos.toByteArray, b),
+          s"${f.getName}: more than level changed")
+      }
+    }
+  }
+
+  test("sstablesplit (q179): the victim's events land in 4 real " +
+      "sstables, partitions intact, consecutive key ranges, no merge " +
+      "or purge (round 14)") {
+    import graft.ops.SstableSplit
+    val inPath = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = false)
+    val (vid, _) = SstableSplit.victim(spark, Sf0001)
+    val (outPath, vid2) = SstableSplit.ensureSplit(spark, Sf0001)
+    assert(vid === vid2)
+    def cellsOf(p: String) = DataDb.cells(spark, p,
+      format = DataDbScan.FormatCassandra)
+    val victimEv = cellsOf(inPath)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+      .where(col("sstable_id") === vid)
+    val outEv = cellsOf(outPath)
+    // no merge, no purge: the shard union is the victim's event
+    // multiset, field for field (ids differ by construction)
+    val cols = Seq("key", "clustering", "column_name", "kind",
+      "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+      "is_expiring", "size_bytes").map(col)
+    assert(outEv.select(cols: _*).orderBy(cols: _*).collect().toSeq ===
+      victimEv.select(cols: _*).orderBy(cols: _*).collect().toSeq)
+    // partitions intact: every key lives in exactly one shard
+    assert(outEv.groupBy("key")
+      .agg(countDistinct("sstable_id").as("n"))
+      .where(col("n") > 1).count() === 0)
+    // 4 physical families whose actual key ranges tile in order
+    val names = Option(new java.io.File(outPath).listFiles()).get
+      .map(_.getName)
+    assert(names.count(_.endsWith("-Data.db")) ===
+      SstableSplit.Shards.toInt)
+    val bounds = graft.ops.LeveledCompaction.metadata(outPath)
+      .sortBy(_.firstKey)
+    bounds.sliding(2).foreach {
+      case Seq(a, b) => assert(a.lastKey < b.firstKey)
+      case _ => ()
+    }
+  }
+
   test("expired blockers (q178): fully-expired candidacy read from real " +
       "Statistics.db, blockers decided by range overlap + older min " +
       "timestamp, all O(#files) metadata (round 14)") {

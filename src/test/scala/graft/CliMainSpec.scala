@@ -329,7 +329,12 @@ class CliMainSpec extends SparkSpec {
       Seq("repair", "ks1", "lineitem", "--incremental"),
     // sstableexpiredblockers (round 14): expiry + overlap decided from
     // the real sidecars of the TWCS-banded set
-    "blockers" -> Seq("blockers", "ks1", "lineitem"))
+    "blockers" -> Seq("blockers", "ks1", "lineitem"),
+    // sstablesplit (round 14): the largest sstable quartered in key
+    // order, partitions intact, shards read back from the real files
+    "split" -> Seq("split", "ks1", "lineitem"),
+    // sstablelevelreset (round 14): per-level counts flip, data intact
+    "levelreset" -> Seq("levelreset", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

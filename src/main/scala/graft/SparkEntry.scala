@@ -944,6 +944,12 @@ object SparkEntry {
     // per-level counts flip {0:2,1:4}→{0:6}, events unchanged
     "q180_level_reset" -> ((s, d) =>
       graft.ops.LevelReset.roundtrip(s, d)),
+    // STREAMING anti-entropy frontier (round 14): the token-leaf digest
+    // as a standing streaming aggregate over arriving real sstables —
+    // complete-mode state of a commutative fold is batch-deterministic,
+    // so this is the streaming surface's first ORACLE-checked query
+    "q181_streaming_leaf_digest" -> ((s, d) =>
+      graft.streaming.StreamingStats.leafDigestOnce(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

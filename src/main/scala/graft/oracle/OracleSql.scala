@@ -4188,6 +4188,9 @@ ORDER BY 1"""
       ("q178_expired_blockers" -> q178Sql) +
       // q179: sstablesplit — victim, quarter assignment, shard rollups.
       ("q179_sstable_split" -> q179Sql) +
+      // q181: the STREAMING token-leaf digest — complete-mode standing
+      // state over the base set, same relation as q176's base side.
+      ("q181_streaming_leaf_digest" -> q181Sql) +
       // q180: sstablelevelreset — the leveled set's per-level counts
       // flip from {0:2, 1:4} to {0:6}; events unchanged (metadata-only).
       ("q180_level_reset" -> s"""WITH $fixtures,
@@ -4345,6 +4348,34 @@ SELECT 'shard-' || CAST(shard AS VARCHAR) AS unit,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM sev e JOIN sshard s ON e.key = s.key
 GROUP BY 1 ORDER BY unit"""
+
+  /** q181: the streaming token-leaf digest — the q176 base-side relation
+    * (the standing complete-mode state must equal the batch fold). */
+  private lazy val q181Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+amapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+aev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM amapped
+)
+SELECT leaf, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(eh) AS BIGINT) AS digest
+FROM aev GROUP BY 1 ORDER BY leaf"""
+  }
 
   /** q178: sstableexpiredblockers over the TWCS-banded set — see
     * [[graft.ops.ExpiredBlockers]] for the semantics being checked. */

@@ -92,6 +92,44 @@ object StreamingStats {
         sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
         sum("size_bytes").as("size"))
 
+  /** Continuously maintained ANTI-ENTROPY frontier (round 14): the
+    * token-ring leaf digests of [[graft.ops.AntiEntropy]] as one STANDING
+    * streaming aggregate over arriving sstables — as flushes land in the
+    * directory, each leaf's commutative content digest updates, so the
+    * Merkle comparison a repair needs is always current instead of
+    * rebuilt per repair (the commutative sum fold is exactly what makes
+    * the digest streamable: state is one (count, sum) pair per leaf).
+    * The batch digest of the same files oracles the streamed state. */
+  def liveLeafDigest(spark: SparkSession, sstableDir: String,
+      format: String = graft.sources.datadb.DataDbScan.FormatGraft)
+      : DataFrame =
+    graft.ops.AntiEntropy.tokenLeafDigest(
+      spark.readStream.format("sstable-data").option("format", format)
+        .load(sstableDir)
+        .withColumn("key", graft.sources.BinaryKeys.beLong(col("key"))))
+
+  private val leafRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q181: run [[liveLeafDigest]] over the REAL compressed base set to a
+    * complete-mode memory sink until all available sstables are
+    * processed, and return the standing state — per-leaf counts and
+    * digests, hash-checked against the same SQL that oracles the batch
+    * digest (the first oracle-checked STREAMING query: complete-mode
+    * state of a commutative fold is batch-deterministic). */
+  def leafDigestOnce(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.datadb.CassandraDataFixture
+      .ensureFiles(spark, dir, compressed = true)
+    val name = s"graft_stream_leafdigest_${leafRuns.incrementAndGet()}"
+    val q = liveLeafDigest(spark, path,
+        graft.sources.datadb.DataDbScan.FormatCassandra)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("leaf")
+  }
+
   /** Streaming exact dedup: drop repeated documents as they arrive, with
     * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
     * only until the watermark passes it, so the dedup works on an unbounded

@@ -251,6 +251,24 @@ class DataDbSourceSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming anti-entropy frontier (q181): the standing token-leaf " +
+      "digest over arriving real sstables equals the batch digest " +
+      "(round 14)") {
+    val dir = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val streamed = graft.streaming.StreamingStats
+      .leafDigestOnce(spark, Sf0001)
+    val batch = graft.ops.AntiEntropy.tokenLeafDigest(
+      DataDb.cells(spark, dir, format = DataDbScan.FormatCassandra))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // a second invocation (fresh memory-sink name) works in the same
+    // session — the q181 entry runs more than once per Verify/Bench
+    assert(graft.streaming.StreamingStats.leafDigestOnce(spark, Sf0001)
+      .count() === streamed.count())
+  }
+
   test("the feature set's typed kinds (static/liveness/deletion events) " +
       "flow through the micro-batch stream identically to the batch scan") {
     val dir = CassandraDataFixture.ensureFeatureFiles(spark, Sf0001)

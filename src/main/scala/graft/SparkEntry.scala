@@ -950,6 +950,13 @@ object SparkEntry {
     // so this is the streaming surface's first ORACLE-checked query
     "q181_streaming_leaf_digest" -> ((s, d) =>
       graft.streaming.StreamingStats.leafDigestOnce(s, d)),
+    // EXECUTED repair (round 14): the full anti-entropy loop run to
+    // convergence — two diverged real replicas, token-leaf digest diff,
+    // the differing ranges STREAMED as real sstables in both directions,
+    // and the post-repair re-verification (every leaf re-digests equal
+    // to the full-corpus union on both replicas)
+    "q182_repair_execute" -> ((s, d) =>
+      graft.ops.RepairStream.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

@@ -55,7 +55,7 @@ object Main {
     case "contaminate" => "Usage: contaminate [-n <num>]"
     case "verify" => "Usage: verify"
     case "repair" =>
-      "Usage: repair <keyspace> <table> [--ranges | --incremental]"
+      "Usage: repair <keyspace> <table> [--ranges | --incremental | --execute]"
     case "blockers" => "Usage: blockers <keyspace> <table>"
     case "split" => "Usage: split <keyspace> <table>"
     case "levelreset" => "Usage: levelreset <keyspace> <table>"
@@ -152,6 +152,8 @@ object Main {
               val s = v.toIntOption.getOrElse(return Left(usage(cmd)))
               if (s <= 0) return Left(usage(cmd))
               o = o.copy(bpeSteps = s); rest = t
+            case Seq("--execute", t @ _*) if cmd == "repair" =>
+              o = o.copy(execute = true); rest = t
             case Seq("--execute", t @ _*) if cmd == "compact" =>
               o = o.copy(execute = true); rest = t
             case Seq("--sidecar-sized", t @ _*) if cmd == "compact" =>
@@ -199,7 +201,8 @@ object Main {
               Left(usage(cmd)) // mode flags only apply to --execute
             else Right(o)
           case "repair" =>
-            if (o.ranges && o.incremental) Left(usage(cmd))
+            if (Seq(o.ranges, o.incremental, o.execute).count(identity) > 1)
+              Left(usage(cmd))
             else positional match {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
@@ -278,6 +281,7 @@ object Main {
         out(tracked("repair")(
           if (o.ranges) Reports.repairRanges(spark, dir)
           else if (o.incremental) Reports.repairIncremental(spark, dir)
+          else if (o.execute) Reports.repairExecute(spark, dir)
           else Reports.repair(spark, dir))); 0
       case "blockers" =>
         if (!requireStore()) return 2

@@ -357,6 +357,15 @@ object Reports {
       graft.ops.SstableSplit.roundtrip(spark, dir))
   }
 
+  /** `repair <ks> <cf> --execute` — the FULL anti-entropy loop run to
+    * convergence: diverged replicas, digest diff, differing ranges
+    * streamed as real sstables both ways, re-verification (q182). */
+  def repairExecute(spark: SparkSession, dir: String): String =
+    section("Executed repair (diverge -> detect -> stream -> converge; " +
+      "per-leaf pre-repair counts, differing flag, post-repair " +
+      "convergence vs the union)",
+      graft.ops.RepairStream.roundtrip(spark, dir))
+
   /** `levelreset <ks> <cf>` — sstablelevelreset: every Statistics.db
     * level dropped to 0, data untouched (q180). */
   def levelReset(spark: SparkSession, dir: String): String =

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Fixtures
+import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+
+/** `repair --execute` (round 14) — the ENTIRE anti-entropy cycle run to
+  * convergence, the loop `nodetool repair` drives between two replicas:
+  *
+  *  1. **Diverge**: two real sstable sets that each MISS a sliver of the
+  *     corpus (replica A lacks events with (key+clustering)%97 == 0,
+  *     replica B those == 1 — disjoint gaps, so the union is the full
+  *     corpus and each event lives on at least one replica).
+  *  2. **Detect** (W12): token-leaf digests of both replicas, diffed —
+  *     the differing leaves are the ranges to stream.
+  *  3. **Stream**: for each direction, the OTHER replica's events in the
+  *     differing leaves are written as ONE new real sstable beside the
+  *     destination's files — full ranges, not a computed delta, exactly
+  *     as Cassandra streams (the read path's merge dedups the overlap).
+  *  4. **Converge + re-verify**: each replica's post-repair view (its
+  *     own files ∪ the streamed-in sstable, duplicate events collapsed
+  *     the way the read path collapses identical cells) re-digests
+  *     leaf-identical to the full-corpus union on EVERY leaf.
+  *
+  * The q182 relation carries the whole story per leaf: both replicas'
+  * pre-repair counts, which leaves differed, and the post-repair
+  * convergence flags — all replayed from parquet by the oracle.
+  *
+  * Scale shape: digests are the W9/W12 narrow commutative aggregates;
+  * the differing-leaf set is O(leaves) driver rows; each stream pass
+  * scans the source once with the leaf filter bounding streamed volume
+  * (real repair ships exactly those ranges node-to-node); convergence
+  * re-reads are full scans — the same cost real repair pays to
+  * re-verify. Nothing is all-pairs; every exchange is leaf- or
+  * event-keyed. */
+object RepairStream {
+
+  /** Modulus of the divergence slivers. */
+  val GapMod = 97L
+
+  /** Generations of the streamed-in sstables (A→B writes 941, B→A 942). */
+  val StreamGenAtoB = 940L
+  val StreamGenBtoA = 941L
+
+  private val memo = new java.util.HashMap[String,
+    (SparkSession, Slot[(String, String, String, String)])]()
+
+  private def sweep(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Replica fixture: the base corpus minus the (key+clustering)%97
+    * sliver `gap`, as real compressed sstables. */
+  private def ensureReplica(spark: SparkSession, dir: String,
+      gap: Long): String =
+    CassandraDataFixture.ensureReplicaFiles(spark, dir, gap)
+
+  private def scanOf(spark: SparkSession, p: String): DataFrame =
+    DataDb.cells(spark, p, format = DataDbScan.FormatCassandra)
+
+  private def leafOf(c: org.apache.spark.sql.Column) =
+    shiftright(AntiEntropy.token(c), AntiEntropy.TokenLeafShift)
+
+  /** Materialize replicas + both streamed sstables; returns
+    * (pathA, pathB, streamedIntoA, streamedIntoB), session-memoized. */
+  def ensureStreamed(spark: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|repairx"
+    val slot = memo.synchronized {
+      sweep()
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => build(spark, dir))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** The differing token leaves between two real replica sets —
+    * O(leaves) driver rows off two narrow digest aggregates. */
+  def differingLeaves(spark: SparkSession, pathA: String,
+      pathB: String): Seq[Long] = {
+    val a = AntiEntropy.tokenLeafDigest(scanOf(spark, pathA))
+      .select(col("leaf"), col("digest").as("da"))
+    val b = AntiEntropy.tokenLeafDigest(scanOf(spark, pathB))
+      .select(col("leaf"), col("digest").as("db"))
+    a.join(b, Seq("leaf"), "full_outer")
+      .where(coalesce(col("da"), lit(-1L)) =!=
+        coalesce(col("db"), lit(-2L)))
+      .select("leaf").collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  private def build(spark: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val pathA = ensureReplica(spark, dir, 0L)
+    val pathB = ensureReplica(spark, dir, 1L)
+    val diff = differingLeaves(spark, pathA, pathB)
+    require(diff.nonEmpty, s"replicas already converged under $dir")
+    def stream(from: String, gen: Long): String = {
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-repair-stream"))
+        .toString
+      scanOf(spark, from)
+        .where(leafOf(col("key")).isin(diff: _*))
+        .select(
+          lit(s"sst-${gen - 1}").as("sstable_id"),
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"),
+          col("local_deletion_time_s"),
+          col("is_tombstone"), col("is_expiring"), col("size_bytes"))
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    }
+    // full differing ranges ship in both directions (Cassandra streams
+    // ranges, not deltas — the destination's merge dedups the overlap)
+    (pathA, pathB, stream(pathB, StreamGenBtoA), stream(pathA, StreamGenAtoB))
+  }
+
+  /** A replica's POST-REPAIR view: its own files plus the streamed-in
+    * sstable, identical events collapsed (the read path's merge of the
+    * same cell arriving from two files). */
+  private def converged(spark: SparkSession, own: String,
+      streamed: String): DataFrame = {
+    val cols = Seq("key", "clustering", "column_name", "kind",
+      "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+      "is_expiring", "size_bytes").map(col)
+    scanOf(spark, own).select(cols: _*)
+      .unionByName(scanOf(spark, streamed).select(cols: _*))
+      .distinct()
+  }
+
+  /** q182: the full executed repair, one row per token leaf — both
+    * replicas' pre-repair counts, the differing flag, and the
+    * post-repair convergence of each replica against the union. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (pathA, pathB, intoA, intoB) = ensureStreamed(spark, dir)
+    def named(df: DataFrame, tag: String): DataFrame =
+      df.select(col("leaf"), col("events").as(s"${tag}_events"),
+        col("digest").as(s"${tag}_digest"))
+    val a = named(AntiEntropy.tokenLeafDigest(scanOf(spark, pathA)), "a")
+    val b = named(AntiEntropy.tokenLeafDigest(scanOf(spark, pathB)), "b")
+    val aAfter = named(AntiEntropy.tokenLeafDigest(
+      converged(spark, pathA, intoA)), "a2")
+    val bAfter = named(AntiEntropy.tokenLeafDigest(
+      converged(spark, pathB, intoB)), "b2")
+    val union = named(AntiEntropy.tokenLeafDigest(
+      converged(spark, pathA, pathB)), "u")
+    a.join(b, Seq("leaf"), "full_outer")
+      .join(union, Seq("leaf"), "full_outer")
+      .join(aAfter, Seq("leaf"), "full_outer")
+      .join(bAfter, Seq("leaf"), "full_outer")
+      .select(col("leaf"),
+        col("a_events"), col("b_events"),
+        (coalesce(col("a_digest"), lit(-1L)) =!=
+          coalesce(col("b_digest"), lit(-2L))).as("differed"),
+        col("u_events").as("converged_events"),
+        (col("a2_digest") === col("u_digest")).as("a_converged"),
+        (col("b2_digest") === col("u_digest")).as("b_converged"))
+      .orderBy("leaf")
+  }
+}

@@ -4191,6 +4191,8 @@ ORDER BY 1"""
       // q181: the STREAMING token-leaf digest — complete-mode standing
       // state over the base set, same relation as q176's base side.
       ("q181_streaming_leaf_digest" -> q181Sql) +
+      // q182: the EXECUTED repair — diverge, detect, stream, converge.
+      ("q182_repair_execute" -> q182Sql) +
       // q180: sstablelevelreset — the leveled set's per-level counts
       // flip from {0:2, 1:4} to {0:6}; events unchanged (metadata-only).
       ("q180_level_reset" -> s"""WITH $fixtures,
@@ -4348,6 +4350,82 @@ SELECT 'shard-' || CAST(shard AS VARCHAR) AS unit,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM sev e JOIN sshard s ON e.key = s.key
 GROUP BY 1 ORDER BY unit"""
+
+  /** q182: the EXECUTED repair — divergent replicas ((key+clustering)%97
+    * slivers), leaf digests, differing-leaf streaming and the converged
+    * re-verification, all replayed from parquet. */
+  private lazy val q182Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+rmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    (key + clustering) % 97 AS sliver
+  FROM licells
+),
+rev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM rmapped
+),
+la AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS a_events,
+    CAST(SUM(eh) AS BIGINT) AS a_digest
+  FROM rev WHERE sliver <> 0 GROUP BY 1
+),
+lb AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS b_events,
+    CAST(SUM(eh) AS BIGINT) AS b_digest
+  FROM rev WHERE sliver <> 1 GROUP BY 1
+),
+d AS (
+  SELECT leaf FROM la FULL OUTER JOIN lb USING (leaf)
+  WHERE COALESCE(a_digest, -1) <> COALESCE(b_digest, -2)
+),
+uni AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS u_events,
+    CAST(SUM(eh) AS BIGINT) AS u_digest
+  FROM (SELECT DISTINCT key, clustering, column_name, kind, timestamp_us,
+          ttl_s, local_deletion_time_s, size_bytes, eh, leaf
+        FROM rev) GROUP BY 1
+),
+aft_a AS (
+  SELECT leaf, CAST(SUM(eh) AS BIGINT) AS a2_digest
+  FROM (SELECT DISTINCT key, clustering, column_name, kind, timestamp_us,
+          ttl_s, local_deletion_time_s, size_bytes, eh, leaf
+        FROM rev
+        WHERE sliver <> 0
+           OR (leaf IN (SELECT leaf FROM d) AND sliver <> 1))
+  GROUP BY 1
+),
+aft_b AS (
+  SELECT leaf, CAST(SUM(eh) AS BIGINT) AS b2_digest
+  FROM (SELECT DISTINCT key, clustering, column_name, kind, timestamp_us,
+          ttl_s, local_deletion_time_s, size_bytes, eh, leaf
+        FROM rev
+        WHERE sliver <> 1
+           OR (leaf IN (SELECT leaf FROM d) AND sliver <> 0))
+  GROUP BY 1
+)
+SELECT leaf, a_events, b_events,
+  (COALESCE(a_digest, -1) <> COALESCE(b_digest, -2)) AS differed,
+  u_events AS converged_events,
+  (a2_digest = u_digest) AS a_converged,
+  (b2_digest = u_digest) AS b_converged
+FROM la FULL OUTER JOIN lb USING (leaf)
+  FULL OUTER JOIN uni USING (leaf)
+  FULL OUTER JOIN aft_a USING (leaf)
+  FULL OUTER JOIN aft_b USING (leaf)
+ORDER BY leaf"""
+  }
 
   /** q181: the streaming token-leaf digest — the q176 base-side relation
     * (the standing complete-mode state must equal the batch fold). */

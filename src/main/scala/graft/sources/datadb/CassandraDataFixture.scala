@@ -131,6 +131,20 @@ object CassandraDataFixture {
           .when(m <= 8, lit(4L)).otherwise(lit(5L)).cast("string"))
       })
 
+  /** A REPLICA of the base corpus that MISSES one sliver (round 14,
+    * q182's divergence model): all events except those with
+    * (key + clustering) % 97 == gap — two replicas built with different
+    * gaps have disjoint holes, so their union is the full corpus and the
+    * executed repair can converge them. Original sstable assignment is
+    * kept, so each replica is the base layout minus its sliver. */
+  def ensureReplicaFiles(spark: SparkSession, dir: String,
+      gap: Long): String = {
+    val frame = Fixtures.cells(spark, dir)
+      .where(pmod(col("key") + col("clustering"), lit(97L)) =!= gap)
+    ensureVariant(spark, dir, s"replica$gap", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   /** The TWCS-BANDED set (round 14, q178's input): events land in TIME
     * bands the way TimeWindowCompactionStrategy files them —
     *

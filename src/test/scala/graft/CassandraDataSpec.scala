@@ -1506,6 +1506,35 @@ class CassandraDataSpec extends SparkSpec {
     assert(rows("partial")._1 > 0L)
   }
 
+  test("executed repair (q182): diverged replicas converge after the " +
+      "differing token ranges stream as real sstables both ways " +
+      "(round 14)") {
+    import graft.ops.RepairStream
+    val (pathA, pathB, intoA, intoB) =
+      RepairStream.ensureStreamed(spark, Sf0001)
+    // the streamed-in files are complete real sstable families
+    for (p <- Seq(intoA, intoB)) {
+      val names = Option(new java.io.File(p).listFiles()).get.map(_.getName)
+      assert(names.count(_.endsWith("-Data.db")) === 1)
+      assert(names.exists(_.endsWith("-Statistics.db")))
+      assert(names.exists(_.endsWith("-Filter.db")))
+    }
+    // pre-repair: the replicas genuinely diverge; post-repair: the
+    // differing-leaf list over (replica + streamed) is EMPTY both ways
+    assert(RepairStream.differingLeaves(spark, pathA, pathB).nonEmpty)
+    val rt = graft.ops.RepairStream.roundtrip(spark, Sf0001).collect()
+    assert(rt.nonEmpty)
+    assert(rt.exists(_.getBoolean(3)), "some leaf must differ pre-repair")
+    assert(rt.forall(r => r.getBoolean(5) && r.getBoolean(6)),
+      "every leaf must converge on both replicas post-repair")
+    // the relation's pre-repair counts are the real files' counts
+    def n(p: String) = DataDb.cells(spark, p,
+      format = DataDbScan.FormatCassandra).count()
+    assert(n(pathA) === rt.map(_.getLong(1)).sum)
+    assert(n(pathB) === rt.map(_.getLong(2)).sum)
+    assert(n(pathA) > 0 && n(pathB) > 0)
+  }
+
   test("level reset (q180) is metadata-only: every non-Statistics file " +
       "byte-identical to the leveled set; stats differ ONLY in level " +
       "(round 14)") {

@@ -46,6 +46,8 @@ class CliMainSpec extends SparkSpec {
       "--minor", "--again")).isLeft)
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--ranges",
       "--incremental")).isLeft)
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
+      "--ranges")).isLeft)
     assert(Main.parse(Seq("repair", "ks1")).isLeft)
   }
 
@@ -334,7 +336,10 @@ class CliMainSpec extends SparkSpec {
     // order, partitions intact, shards read back from the real files
     "split" -> Seq("split", "ks1", "lineitem"),
     // sstablelevelreset (round 14): per-level counts flip, data intact
-    "levelreset" -> Seq("levelreset", "ks1", "lineitem"))
+    "levelreset" -> Seq("levelreset", "ks1", "lineitem"),
+    // the EXECUTED repair loop (round 14): diverge -> detect -> stream
+    // real sstables both ways -> converge, per-leaf relation frozen
+    "repair_execute" -> Seq("repair", "ks1", "lineitem", "--execute"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -957,6 +957,15 @@ object SparkEntry {
     // to the full-corpus union on both replicas)
     "q182_repair_execute" -> ((s, d) =>
       graft.ops.RepairStream.roundtrip(s, d)),
+    // MULTI-LEVEL LCS (round 14): the level-parameterized promotion run
+    // as a 4-step chain — P1 seeds L2 (split halves), a fresh flush
+    // re-enters at L0, R2 lands it in the emptied L1 range RETAINING its
+    // droppable tombstones (the guard's range+bloom prefilter finds the
+    // L2 halves below holding every key — the conservative rule crossing
+    // LEVELS), and P2's genuine 3-way L1→L2 merge finally PURGES them:
+    // a tombstone's full lifecycle down the hierarchy
+    "q183_leveled_multilevel" -> ((s, d) =>
+      graft.ops.LeveledPromotion.roundtrip(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

@@ -29,8 +29,8 @@ object Main {
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
       minor: Boolean = false, leveled: Boolean = false,
-      again: Boolean = false, ranges: Boolean = false,
-      incremental: Boolean = false,
+      again: Boolean = false, promoteLevels: Boolean = false,
+      ranges: Boolean = false, incremental: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -74,7 +74,8 @@ object Main {
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
       "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
-        "[--minor | --leveled [--again]] [-g <gc_grace_seconds>]"
+        "[--minor | --leveled [--again | --promote]] " +
+        "[-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -164,6 +165,8 @@ object Main {
               o = o.copy(leveled = true); rest = t
             case Seq("--again", t @ _*) if cmd == "compact" =>
               o = o.copy(again = true); rest = t
+            case Seq("--promote", t @ _*) if cmd == "compact" =>
+              o = o.copy(promoteLevels = true); rest = t
             case Seq("--ranges", t @ _*) if cmd == "repair" =>
               o = o.copy(ranges = true); rest = t
             case Seq("--incremental", t @ _*) if cmd == "repair" =>
@@ -191,7 +194,9 @@ object Main {
             if (o.minor && o.leveled) Left(usage(cmd))
             else if (o.sidecarSized && (o.minor || o.leveled))
               Left(usage(cmd))
-            else if (o.again && !o.leveled) Left(usage(cmd))
+            else if ((o.again || o.promoteLevels) && !o.leveled)
+              Left(usage(cmd))
+            else if (o.again && o.promoteLevels) Left(usage(cmd))
             else if (o.execute) positional match {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
@@ -325,6 +330,8 @@ object Main {
           if (!requireStore()) return 2
           out(tracked("compact")(
             if (o.minor) Reports.minorCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.leveled && o.promoteLevels)
+              Reports.leveledPromoteExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.again)
               Reports.leveledReingestExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled)

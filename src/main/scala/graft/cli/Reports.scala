@@ -400,6 +400,17 @@ object Reports {
       "round-1 outputs as L1 partners of fresh L0)",
       graft.ops.LeveledCompaction.roundtrip2(spark, dir, gcBeforeS))
 
+  /** `compact --execute <ks> <cf> --leveled --promote [-g]` — the
+    * MULTI-LEVEL chain (q183): seed L2, fresh flush, the cross-level
+    * tombstone retention at R2, the bottom-level purge at P2; final
+    * level-stamped state. */
+  def leveledPromoteExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed MULTI-LEVEL promotion (gcBefore=${gcBeforeS}s; " +
+      "P1 seeds L2, flush re-enters, R2 retains droppable tombstones " +
+      "via the level below, P2 purges them at the bottom)",
+      graft.ops.LeveledPromotion.roundtrip(spark, dir, gcBeforeS))
+
   /** `compact --execute <ks> <cf> --minor [-g]` — the size-tiered MINOR
     * compaction (q171): tier by modeled size, compact only tiers with
     * enough members, pass the rest through, purge conservatively. One

@@ -4171,6 +4171,10 @@ ORDER BY 1"""
       // the fresh (ts-shifted) L0 flushes; second merge, unconditional
       // purge, boundary re-partition and both rollup halves.
       ("q175_leveled_reingest" -> q175Sql) +
+      // q183: multi-level LCS — P1 seeds L2, the fresh flush re-enters
+      // at L0, R2 retains its droppable tombstones (L2 holds the keys),
+      // P2's 3-way L1→L2 merge purges them at the bottom; final state.
+      ("q183_leveled_multilevel" -> q183Sql) +
       // q173: anti-entropy leaf digests — the tiered re-binning replays
       // as the base multiset (every leaf matches), the compacted set as
       // the LWW-winners-minus-purged multiset; per-leaf counts and
@@ -4852,6 +4856,175 @@ WHERE m.sstable_id NOT IN ('sst-0', 'sst-1')
   AND m.sstable_id NOT IN (SELECT sstable_id FROM lpartners)
 GROUP BY 1, 2
 ORDER BY unit"""
+
+  /** q183: MULTI-LEVEL LCS replayed end to end — round 1 (q172's kept
+    * relation), the P1 promotion of sst-2 to two L2 halves, the fresh
+    * ts-shifted flush, R2's flush-into-empty-L1 (droppable tombstones
+    * retained via the keys the L2 halves still hold), and P2's genuine
+    * 3-way L1→L2 merge with the bottom-level purge; the final state's
+    * per-sstable level-stamped rollup. */
+  private lazy val q183Sql: String = s"""WITH $fixtures,
+lkeys AS (
+  SELECT key, NTILE(4) OVER (ORDER BY key) AS tile
+  FROM (SELECT DISTINCT key FROM licells)
+),
+lmapped AS (
+  SELECT CASE WHEN k.tile IN (2, 3) AND m.timestamp_us % 10 < 3
+              THEN 'sst-' || CAST(m.timestamp_us % 2 AS VARCHAR)
+              ELSE 'sst-' || CAST(k.tile + 1 AS VARCHAR) END AS sstable_id,
+    m.key, m.clustering, m.column_name, m.kind, m.timestamp_us,
+    CASE WHEN m.is_tombstone THEN -1 ELSE m.ttl_s END AS ttl_s,
+    m.local_deletion_time_s, m.is_tombstone, m.is_expiring,
+    CASE WHEN m.is_tombstone THEN 0 ELSE m.size_bytes % 61 END AS size_bytes
+  FROM licells m JOIN lkeys k USING (key)
+),
+bounds AS (
+  SELECT sstable_id, MIN(key) AS fk, MAX(key) AS lk
+  FROM lmapped GROUP BY 1
+),
+l0span AS (
+  SELECT MIN(fk) AS f, MAX(lk) AS l FROM bounds
+  WHERE sstable_id IN ('sst-0', 'sst-1')
+),
+lpartners AS (
+  SELECT b.sstable_id, b.fk, b.lk
+  FROM bounds b, l0span s
+  WHERE b.sstable_id NOT IN ('sst-0', 'sst-1')
+    AND b.fk <= s.l AND b.lk >= s.f
+),
+lranked AS (
+  SELECT m.*,
+    row_number() OVER (PARTITION BY m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM lmapped m
+  WHERE m.sstable_id IN ('sst-0', 'sst-1')
+     OR m.sstable_id IN (SELECT sstable_id FROM lpartners)
+),
+lpasskeys AS (
+  SELECT DISTINCT key FROM lmapped
+  WHERE sstable_id NOT IN ('sst-0', 'sst-1')
+    AND sstable_id NOT IN (SELECT sstable_id FROM lpartners)
+),
+lkept AS (
+  SELECT *,
+    LEAST((SELECT COUNT(*) FROM lpartners p WHERE p.lk < lranked.key),
+          (SELECT COUNT(*) - 1 FROM lpartners)) AS oidx
+  FROM lranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR key IN (SELECT key FROM lpasskeys))
+),
+-- P1: promote sst-2 (the lowest-first-key L1; tiles pin it) — single-
+-- source LWW collapse, unconditional purge (every other unit's range is
+-- disjoint), byte-balanced split into two L2 halves
+p1ranked AS (
+  SELECT m.*,
+    row_number() OVER (PARTITION BY m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM lmapped m WHERE m.sstable_id = 'sst-2'
+),
+p1kept AS (
+  SELECT * FROM p1ranked
+  WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+),
+p1part AS (
+  SELECT key, CAST(SUM(32 + size_bytes) AS BIGINT) AS pb
+  FROM p1kept GROUP BY 1
+),
+p1cum AS (SELECT key, SUM(pb) OVER (ORDER BY key) AS cum, pb FROM p1part),
+p1shard AS (
+  SELECT key,
+    LEAST((cum - pb) * 2 // (SELECT SUM(pb) FROM p1part), 1) AS shard
+  FROM p1cum
+),
+p1b AS (SELECT MAX(key) AS boundary FROM p1shard WHERE shard = 0),
+-- F: the same hot keys written again 2e9 µs later (deletes included)
+flush AS (
+  SELECT key, clustering, column_name, kind,
+    timestamp_us + 2000000000 AS timestamp_us,
+    ttl_s, local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+  FROM lmapped WHERE sstable_id = 'sst-2'
+),
+-- R2: flush into the emptied L1 range — droppable tombstones RETAINED
+-- exactly for the keys the L2 halves still hold
+r2ranked AS (
+  SELECT f.*,
+    row_number() OVER (PARTITION BY f.key, f.clustering, f.column_name
+      ORDER BY f.timestamp_us DESC, f.size_bytes DESC,
+               f.is_tombstone DESC, f.local_deletion_time_s DESC,
+               f.ttl_s DESC, f.is_expiring DESC, f.kind DESC) AS rn
+  FROM flush f
+),
+r2kept AS (
+  SELECT * FROM r2ranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR key IN (SELECT key FROM p1kept))
+),
+-- P2: the genuine L1→L2 merge — the new L1 ('sst-970') with BOTH halves
+-- ('sst-950'/'sst-951'), LWW across sources, bottom-level purge, outputs
+-- re-partitioned on the replaced halves' boundary
+p2src AS (
+  SELECT 'sst-970' AS sstable_id, key, clustering, column_name, kind,
+    timestamp_us, ttl_s, local_deletion_time_s, is_tombstone,
+    is_expiring, size_bytes
+  FROM r2kept
+  UNION ALL
+  SELECT 'sst-95' || CAST(s.shard AS VARCHAR), p.key, p.clustering,
+    p.column_name, p.kind, p.timestamp_us, p.ttl_s,
+    p.local_deletion_time_s, p.is_tombstone, p.is_expiring, p.size_bytes
+  FROM p1kept p JOIN p1shard s USING (key)
+),
+p2ranked AS (
+  SELECT m.*,
+    row_number() OVER (PARTITION BY m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM p2src m
+),
+p2kept AS (
+  SELECT *,
+    CASE WHEN key <= (SELECT boundary FROM p1b) THEN 0 ELSE 1 END AS shard
+  FROM p2ranked
+  WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+),
+-- the FINAL state: round-1 outputs + sst-5 at L1, P2's outputs at L2
+finalev AS (
+  SELECT 'sst-' || CAST(910 + oidx AS VARCHAR) AS sstable_id,
+    CAST(1 AS BIGINT) AS level, key, clustering, column_name, kind,
+    timestamp_us, ttl_s, local_deletion_time_s, is_tombstone, size_bytes
+  FROM lkept
+  UNION ALL
+  SELECT 'sst-5', CAST(1 AS BIGINT), key, clustering, column_name, kind,
+    timestamp_us, ttl_s, local_deletion_time_s, is_tombstone, size_bytes
+  FROM lmapped WHERE sstable_id = 'sst-5'
+  UNION ALL
+  SELECT 'sst-98' || CAST(shard AS VARCHAR), CAST(2 AS BIGINT), key,
+    clustering, column_name, kind, timestamp_us, ttl_s,
+    local_deletion_time_s, is_tombstone, size_bytes
+  FROM p2kept
+)
+SELECT sstable_id, level,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(MIN(key) AS BIGINT) AS first_key,
+  CAST(MAX(key) AS BIGINT) AS last_key,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS
+               THEN 1 ELSE 0 END) AS BIGINT) AS droppable_tombstones,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM finalev GROUP BY 1, 2 ORDER BY sstable_id"""
 
   /** q171: size-tiered minor compaction replayed end to end — see
     * [[graft.ops.MinorCompaction]] for the semantics being checked. */

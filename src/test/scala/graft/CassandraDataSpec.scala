@@ -1506,6 +1506,54 @@ class CassandraDataSpec extends SparkSpec {
     assert(rows("partial")._1 > 0L)
   }
 
+  test("multi-level LCS (q183): the promotion chain seeds L2, retains " +
+      "tombstones at R2 via the cross-LEVEL guard, and purges them at " +
+      "the bottom-level merge (round 14)") {
+    import graft.ops.LeveledPromotion
+    val chain = LeveledPromotion.ensureChain(spark, Sf0001)
+    val finalDir = chain.finalDir
+    val meta = graft.ops.LeveledCompaction.metadata(finalDir)
+      .sortBy(_.sstableId)
+    // final layout: 3 L1 survivors (round-1 outputs + sst-5) and the
+    // 2 P2 outputs at LEVEL 2, all read from their own Statistics.db
+    assert(meta.count(_.level == 1) === 3)
+    assert(meta.count(_.level == 2) === 2)
+    val l2 = meta.filter(_.level == 2).sortBy(_.firstKey)
+    assert(l2.head.lastKey < l2.last.firstKey, "L2 ranges must tile")
+    // the lifecycle, pinned on the intermediate REAL files: R2's L1
+    // output retains droppable tombstones (the L2 halves below hold its
+    // keys — the guard's confirm path fired), P2's outputs hold none
+    val gc = graft.sources.Fixtures.GcBeforeS
+    def droppable(p: String, idFilter: org.apache.spark.sql.Column) =
+      DataDb.cells(spark, p, format = DataDbScan.FormatCassandra)
+        .withColumn("sstable_id", concat(lit("sst-"),
+          (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+            .cast("long") - 1L).cast("string")))
+        .where(idFilter)
+        .where(col("is_tombstone") &&
+          col("local_deletion_time_s") < gc).count()
+    // R2's REAL intermediate file retained its droppable tombstones —
+    // the L1 sstable rode them down because the L2 halves below hold
+    // every key (a wrongly-purging R2 leaves the FINAL state identical,
+    // which is exactly why this must be pinned on the intermediate)
+    assert(droppable(chain.r2Out, lit(true)) > 0L)
+    // the P1 halves purged theirs (nothing outside overlapped sst-2)
+    assert(droppable(chain.p1Out, lit(true)) === 0L)
+    // ...and the bottom-level merge purged the ridden ones
+    assert(droppable(finalDir, col("sstable_id")
+      .isin("sst-980", "sst-981")) === 0L)
+    // the q183 relation agrees, and the flush's tombstones genuinely
+    // existed to purge: sst-5 (untouched) still carries droppable ones
+    val rows = LeveledPromotion.roundtrip(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("sst-5", "sst-910", "sst-911", "sst-980", "sst-981"))
+    val byId = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(9))).toMap
+    assert(byId("sst-980")._1 === 2L && byId("sst-981")._1 === 2L)
+    assert(byId("sst-980")._2 === 0L && byId("sst-981")._2 === 0L)
+    assert(byId("sst-5")._2 > 0L)
+  }
+
   test("executed repair (q182): diverged replicas converge after the " +
       "differing token ranges stream as real sstables both ways " +
       "(round 14)") {

@@ -44,6 +44,10 @@ class CliMainSpec extends SparkSpec {
       "--again")).isLeft)
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--minor", "--again")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--promote")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--leveled", "--again", "--promote")).isLeft)
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--ranges",
       "--incremental")).isLeft)
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
@@ -339,7 +343,12 @@ class CliMainSpec extends SparkSpec {
     "levelreset" -> Seq("levelreset", "ks1", "lineitem"),
     // the EXECUTED repair loop (round 14): diverge -> detect -> stream
     // real sstables both ways -> converge, per-leaf relation frozen
-    "repair_execute" -> Seq("repair", "ks1", "lineitem", "--execute"))
+    "repair_execute" -> Seq("repair", "ks1", "lineitem", "--execute"),
+    // multi-level LCS (round 14): the 4-step promotion chain's final
+    // level-stamped state frozen
+    "compact_execute_leveled_promote" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--leveled",
+        "--promote"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -76,6 +76,16 @@ object AntiEntropy {
           col("local_deletion_time_s"), col("size_bytes"))) % M)
           .as("digest"))
 
+  /** [[tokenLeafDigest]] of one real sstable set, PlanCache-persisted
+    * per (session, path): the digest is a 64-row derived report reused
+    * across the whole repair family (q176's diff, q182's detect/verify
+    * passes) — the same one-pass-per-input philosophy the batch reports
+    * follow. */
+  def cachedTokenLeafDigest(spark: SparkSession, path: String): DataFrame =
+    graft.sources.PlanCache.cached(spark, s"tokleafdigest|$path")(
+      tokenLeafDigest(
+        DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)))
+
   /** q176: the RANGES-TO-STREAM relation — what `nodetool repair`
     * actually produces from differing Merkle leaves: compare the base
     * set against the executed major compaction's output over TOKEN
@@ -83,12 +93,10 @@ object AntiEntropy {
     * token_hi] bounds — the ranges a repair would stream between
     * replicas. Leaves the merge/purge did not touch are absent. */
   def rangesToStream(spark: SparkSession, dir: String): DataFrame = {
-    def scanOf(p: String): DataFrame =
-      DataDb.cells(spark, p, format = DataDbScan.FormatCassandra)
-    val base = tokenLeafDigest(scanOf(
-      CassandraDataFixture.ensureFiles(spark, dir, compressed = true)))
-    val compacted = tokenLeafDigest(scanOf(
-      Compaction.ensureCompacted(spark, dir)))
+    val base = cachedTokenLeafDigest(spark,
+      CassandraDataFixture.ensureFiles(spark, dir, compressed = true))
+    val compacted = cachedTokenLeafDigest(spark,
+      Compaction.ensureCompacted(spark, dir))
     base.select(col("leaf"), col("events").as("base_events"),
         col("digest").as("base_digest"))
       .join(compacted.select(col("leaf"),

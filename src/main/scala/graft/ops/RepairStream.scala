@@ -87,9 +87,9 @@ object RepairStream {
     * O(leaves) driver rows off two narrow digest aggregates. */
   def differingLeaves(spark: SparkSession, pathA: String,
       pathB: String): Seq[Long] = {
-    val a = AntiEntropy.tokenLeafDigest(scanOf(spark, pathA))
+    val a = AntiEntropy.cachedTokenLeafDigest(spark, pathA)
       .select(col("leaf"), col("digest").as("da"))
-    val b = AntiEntropy.tokenLeafDigest(scanOf(spark, pathB))
+    val b = AntiEntropy.cachedTokenLeafDigest(spark, pathB)
       .select(col("leaf"), col("digest").as("db"))
     a.join(b, Seq("leaf"), "full_outer")
       .where(coalesce(col("da"), lit(-1L)) =!=
@@ -138,6 +138,14 @@ object RepairStream {
       .distinct()
   }
 
+  /** [[converged]]'s leaf digest, PlanCache-persisted per
+    * (session, own, streamed) — another 64-row derived report. */
+  private def convergedDigest(spark: SparkSession, own: String,
+      streamed: String): DataFrame =
+    graft.sources.PlanCache.cached(spark,
+      s"tokleafdigest-conv|$own|$streamed")(
+      AntiEntropy.tokenLeafDigest(converged(spark, own, streamed)))
+
   /** q182: the full executed repair, one row per token leaf — both
     * replicas' pre-repair counts, the differing flag, and the
     * post-repair convergence of each replica against the union. */
@@ -146,14 +154,11 @@ object RepairStream {
     def named(df: DataFrame, tag: String): DataFrame =
       df.select(col("leaf"), col("events").as(s"${tag}_events"),
         col("digest").as(s"${tag}_digest"))
-    val a = named(AntiEntropy.tokenLeafDigest(scanOf(spark, pathA)), "a")
-    val b = named(AntiEntropy.tokenLeafDigest(scanOf(spark, pathB)), "b")
-    val aAfter = named(AntiEntropy.tokenLeafDigest(
-      converged(spark, pathA, intoA)), "a2")
-    val bAfter = named(AntiEntropy.tokenLeafDigest(
-      converged(spark, pathB, intoB)), "b2")
-    val union = named(AntiEntropy.tokenLeafDigest(
-      converged(spark, pathA, pathB)), "u")
+    val a = named(AntiEntropy.cachedTokenLeafDigest(spark, pathA), "a")
+    val b = named(AntiEntropy.cachedTokenLeafDigest(spark, pathB), "b")
+    val aAfter = named(convergedDigest(spark, pathA, intoA), "a2")
+    val bAfter = named(convergedDigest(spark, pathB, intoB), "b2")
+    val union = named(convergedDigest(spark, pathA, pathB), "u")
     a.join(b, Seq("leaf"), "full_outer")
       .join(union, Seq("leaf"), "full_outer")
       .join(aAfter, Seq("leaf"), "full_outer")

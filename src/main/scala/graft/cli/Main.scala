@@ -110,7 +110,12 @@ object Main {
         |  tokenize     Apply the trained BPE merges; token counts and compression by source
         |  lookup       Point-lookup a partition key through the bti Partitions.db tries
         |  get          Point-read a partition (bloom -> summary -> index -> data) off real sstables
-        |  slice        Clustering-slice read through the promoted row index (wide set)""".stripMargin
+        |  slice        Clustering-slice read through the promoted row index (wide set)
+        |  compact      Compaction what-if, or --execute the real major/minor/leveled compaction
+        |  repair       Anti-entropy digests; --ranges, --incremental, or --execute the full loop
+        |  blockers     Which live sstable blocks which fully-expired sstable's drop
+        |  split        Rewrite the largest sstable as size-targeted sstables (partitions intact)
+        |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)""".stripMargin
   }
 
   /** Strict reference grammar; Left = usage message. */

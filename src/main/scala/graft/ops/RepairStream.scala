@@ -40,7 +40,8 @@ object RepairStream {
   /** Modulus of the divergence slivers. */
   val GapMod = 97L
 
-  /** Generations of the streamed-in sstables (A→B writes 941, B→A 942). */
+  /** Generations of the streamed-in sstables: the A→B direction writes
+    * generation 940 (B's new neighbour), B→A generation 941. */
   val StreamGenAtoB = 940L
   val StreamGenBtoA = 941L
 

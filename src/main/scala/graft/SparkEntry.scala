@@ -957,6 +957,13 @@ object SparkEntry {
     // to the full-corpus union on both replicas)
     "q182_repair_execute" -> ((s, d) =>
       graft.ops.RepairStream.roundtrip(s, d)),
+    // the repair session's CLOSING act (round 14): once q182's ranges
+    // verify, repairedAt stamps land in every participating sstable
+    // (streamed-in included) and the NEXT incremental digest (q177's
+    // planning-time skip) has nothing left to read — detect, stream,
+    // converge, mark, never re-verify what's already repaired
+    "q184_repair_mark_cycle" -> ((s, d) =>
+      graft.ops.RepairStream.markCycle(s, d)),
     // MULTI-LEVEL LCS (round 14): the level-parameterized promotion run
     // as a 4-step chain — P1 seeds L2 (split halves), a fresh flush
     // re-enters at L0, R2 lands it in the emptied L1 range RETAINING its

@@ -366,6 +366,14 @@ object Reports {
       "convergence vs the union)",
       graft.ops.RepairStream.roundtrip(spark, dir))
 
+  /** `repair <ks> <cf> --execute --mark` — the session's closing act:
+    * converged replica marked repairedAt; the next incremental digest
+    * reads nothing (q184). */
+  def repairMarkCycle(spark: SparkSession, dir: String): String =
+    section("Repair mark cycle (converged replica stamped repairedAt; " +
+      "the next incremental digest has nothing left to read)",
+      graft.ops.RepairStream.markCycle(spark, dir))
+
   /** `levelreset <ks> <cf>` — sstablelevelreset: every Statistics.db
     * level dropped to 0, data untouched (q180). */
   def levelReset(spark: SparkSession, dir: String): String =

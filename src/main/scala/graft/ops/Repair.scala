@@ -76,9 +76,16 @@ object Repair {
   }
 
   private def build(spark: SparkSession, dir: String,
-      markGen: Long => Boolean): String = {
-    val inPath = CassandraDataFixture.ensureFiles(spark, dir,
-      compressed = true)
+      markGen: Long => Boolean): String =
+    markDir(CassandraDataFixture.ensureFiles(spark, dir,
+      compressed = true), markGen)
+
+  /** Copy an ARBITRARY sstable directory with repairedAt stamped into the
+    * Statistics.db of every generation `markGen` accepts (round 14: the
+    * executed-repair cycle marks its converged replicas, whatever files
+    * they hold) — the same byte-exact metadata-only rewrite. */
+  def markDir(inPath: String,
+      markGen: Long => Boolean = _ => true): String = {
     val out = graft.sources.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft-repaired"))
     val files = Option(new java.io.File(inPath).listFiles())

@@ -147,6 +147,77 @@ object RepairStream {
       s"tokleafdigest-conv|$own|$streamed")(
       AntiEntropy.tokenLeafDigest(converged(spark, own, streamed)))
 
+  /** Replica A's converged on-disk set: its own files plus the
+    * streamed-in sstable, assembled (the state a node holds when the
+    * repair session ends), session-memoized via [[markedA]]. */
+  private val cycleMemo = new java.util.HashMap[String,
+    (SparkSession, Slot[(String, String)])]()
+
+  /** (converged-but-unmarked A, the same set with every Statistics.db
+    * stamped repairedAt) — the repair session's closing act. */
+  def ensureCycle(spark: SparkSession, dir: String): (String, String) = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|repaircyc"
+    val slot = cycleMemo.synchronized {
+      val it = cycleMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = cycleMemo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => {
+          val (pathA, _, intoA, _) = ensureStreamed(spark, dir)
+          val conv = graft.sources.TempDirs.register(
+            java.nio.file.Files.createTempDirectory("graft-repair-conv"))
+          def copyAll(from: String): Unit =
+            Option(new java.io.File(from).listFiles())
+              .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+              .foreach { f =>
+                java.nio.file.Files.copy(f.toPath, conv.resolve(f.getName))
+                ()
+              }
+          copyAll(pathA); copyAll(intoA)
+          (conv.toString, Repair.markDir(conv.toString))
+        })
+        cycleMemo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** q184: the repair session's CLOSING act — once the ranges verify
+    * (q182), the node stamps repairedAt into every participating
+    * sstable (the streamed-in one included), and the NEXT incremental
+    * digest (q177's planning-time skip) has nothing left to read: one
+    * row per state (converged-but-unmarked vs marked), with the
+    * incremental digest's event/leaf/digest triple collapsing to zero —
+    * detect, stream, converge, mark, and never re-verify what's
+    * already repaired. */
+  def markCycle(spark: SparkSession, dir: String): DataFrame = {
+    val (conv, marked) = ensureCycle(spark, dir)
+    def row(tag: String, path: String): DataFrame = {
+      val sstables = Option(new java.io.File(path)
+          .listFiles((_, n) => n.endsWith("-Data.db")))
+        .map(_.length.toLong).getOrElse(0L)
+      val unrepaired = AntiEntropy.unrepairedGens(path).length.toLong
+      AntiEntropy.incrementalDigest(spark, path)
+        .agg(
+          count(lit(1)).as("events"),
+          coalesce(countDistinct(shiftright(AntiEntropy.token(col("key")),
+            AntiEntropy.TokenLeafShift)), lit(0L)).as("leaves"),
+          coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
+            col("key"), col("clustering"), col("column_name"), col("kind"),
+            col("timestamp_us"), col("ttl_s"),
+            col("local_deletion_time_s"), col("size_bytes"))) %
+            1000003L), lit(0L)).as("digest"))
+        .select(lit(tag).as("state"), lit(sstables).as("sstables"),
+          lit(unrepaired).as("unrepaired_sstables"),
+          col("events"), col("leaves"), col("digest"))
+    }
+    row("converged", conv).unionByName(row("marked", marked))
+      .orderBy("state")
+  }
+
   /** q182: the full executed repair, one row per token leaf — both
     * replicas' pre-repair counts, the differing flag, and the
     * post-repair convergence of each replica against the union. */

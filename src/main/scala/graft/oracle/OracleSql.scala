@@ -4197,6 +4197,8 @@ ORDER BY 1"""
       ("q181_streaming_leaf_digest" -> q181Sql) +
       // q182: the EXECUTED repair — diverge, detect, stream, converge.
       ("q182_repair_execute" -> q182Sql) +
+      // q184: ...then MARK — the marked set's incremental digest is zero.
+      ("q184_repair_mark_cycle" -> q184Sql) +
       // q180: sstablelevelreset — the leveled set's per-level counts
       // flip from {0:2, 1:4} to {0:6}; events unchanged (metadata-only).
       ("q180_level_reset" -> s"""WITH $fixtures,
@@ -4429,6 +4431,67 @@ FROM la FULL OUTER JOIN lb USING (leaf)
   FULL OUTER JOIN aft_a USING (leaf)
   FULL OUTER JOIN aft_b USING (leaf)
 ORDER BY leaf"""
+  }
+
+  /** q184: the repair session's closing act — converged replica A (own
+    * files + the streamed-in sstable, raw events, duplicates and all)
+    * digests everything while unmarked; once repairedAt stamps land,
+    * the incremental digest reads nothing. */
+  private lazy val q184Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+rmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    (key + clustering) % 97 AS sliver
+  FROM licells
+),
+rev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM rmapped
+),
+la AS (
+  SELECT leaf, CAST(SUM(eh) AS BIGINT) AS a_digest
+  FROM rev WHERE sliver <> 0 GROUP BY 1
+),
+lb AS (
+  SELECT leaf, CAST(SUM(eh) AS BIGINT) AS b_digest
+  FROM rev WHERE sliver <> 1 GROUP BY 1
+),
+d AS (
+  SELECT leaf FROM la FULL OUTER JOIN lb USING (leaf)
+  WHERE COALESCE(a_digest, -1) <> COALESCE(b_digest, -2)
+),
+n AS (
+  SELECT CAST(COUNT(DISTINCT sstable_id) + 1 AS BIGINT) AS sst
+  FROM licells
+),
+conv AS (
+  SELECT eh, leaf FROM rev WHERE sliver <> 0
+  UNION ALL
+  SELECT eh, leaf FROM rev
+  WHERE sliver <> 1 AND leaf IN (SELECT leaf FROM d)
+)
+SELECT 'converged' AS state, n.sst AS sstables,
+  n.sst AS unrepaired_sstables,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT leaf) AS BIGINT) AS leaves,
+  CAST(SUM(eh) AS BIGINT) AS digest
+FROM conv, n GROUP BY n.sst
+UNION ALL
+SELECT 'marked', n.sst, CAST(0 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM n
+ORDER BY state"""
   }
 
   /** q181: the streaming token-leaf digest — the q176 base-side relation

@@ -1583,6 +1583,32 @@ class CassandraDataSpec extends SparkSpec {
     assert(n(pathA) > 0 && n(pathB) > 0)
   }
 
+  test("repair mark cycle (q184): the converged replica's stamps are " +
+      "byte-exact and the next incremental digest reads NOTHING " +
+      "(round 14)") {
+    import graft.ops.{AntiEntropy, RepairStream}
+    val (conv, marked) = RepairStream.ensureCycle(spark, Sf0001)
+    // before: everything unrepaired (streamed-in sstable included);
+    // after: nothing — and the marked rewrite is metadata-only
+    assert(AntiEntropy.unrepairedGens(conv).size ===
+      Option(new java.io.File(conv).listFiles((_, n) =>
+        n.endsWith("-Data.db"))).map(_.length).getOrElse(0))
+    assert(AntiEntropy.unrepairedGens(marked).isEmpty)
+    assert(AntiEntropy.incrementalDigest(spark, marked).count() === 0L)
+    assert(AntiEntropy.incrementalDigest(spark, conv).count() > 0L)
+    val files = Option(new java.io.File(conv).listFiles()).get
+      .filter(_.isFile).filterNot(_.getName.endsWith(
+        graft.sources.statsdb.CassandraStatsFormat.Suffix))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val m = new java.io.File(marked, f.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(m.toPath)),
+        s"${f.getName} must be byte-identical")
+    }
+  }
+
   test("level reset (q180) is metadata-only: every non-Statistics file " +
       "byte-identical to the leveled set; stats differ ONLY in level " +
       "(round 14)") {

@@ -52,6 +52,7 @@ class CliMainSpec extends SparkSpec {
       "--incremental")).isLeft)
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
       "--ranges")).isLeft)
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--mark")).isLeft)
     assert(Main.parse(Seq("repair", "ks1")).isLeft)
   }
 
@@ -348,7 +349,11 @@ class CliMainSpec extends SparkSpec {
     // level-stamped state frozen
     "compact_execute_leveled_promote" ->
       Seq("compact", "--execute", "ks1", "lineitem", "--leveled",
-        "--promote"))
+        "--promote"),
+    // the repair session's closing act (round 14): converge, mark,
+    // nothing left for the next incremental digest
+    "repair_execute_mark" ->
+      Seq("repair", "ks1", "lineitem", "--execute", "--mark"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -609,4 +609,36 @@ class PropertiesSpec extends AnyFunSuite {
       heavy.subsetOf(cands)
     }
   }
+
+  test("PurgeGuard stage-1 prefilter never false-negatives: every key " +
+      "genuinely outside a group passes mayContainOutside (round 14)") {
+    // the safety half of the metadata purge guard: if the prefilter ever
+    // said "no outside sstable can hold this key" for a key that IS
+    // outside, the exact-confirm join would never see it and a tombstone
+    // would purge over live data. Random sstable populations → real
+    // Summary ranges + real Filter.db blooms → the implication must hold
+    // for every (group, key held outside that group).
+    import graft.ops.PurgeGuard
+    import graft.sources.filterdb.FilterDbFormat
+    val genSst = for {
+      group <- Gen.choose(-1, 2)
+      keys <- Gen.nonEmptyListOf(Gen.choose(0L, 400L)).map(_.distinct)
+    } yield (group, keys)
+    val gen = Gen.nonEmptyListOf(genSst).map(_.take(6))
+    checkProp(gen, trials = 120) { ssts =>
+      val guards = ssts.zipWithIndex.map { case ((group, keys), i) =>
+        val f = FilterDbFormat.create(keys.length.toLong)
+        keys.foreach(k => f.add(
+          java.nio.ByteBuffer.allocate(8).putLong(k).array()))
+        PurgeGuard.SstGuard(s"sst-$i", group, keys.min, keys.max, f)
+      }.toArray
+      ssts.zipWithIndex.forall { case ((group, keys), i) =>
+        // every key this sstable holds must be may-contained for ANY
+        // other group's perspective (this sstable is outside them)
+        val otherGroups = (Seq(-1, 0, 1, 2).toSet - group) + 99
+        keys.forall(k => otherGroups.forall(g =>
+          g == group || PurgeGuard.mayContainOutside(guards, g, k)))
+      }
+    }
+  }
 }

@@ -973,6 +973,11 @@ object SparkEntry {
     // a tombstone's full lifecycle down the hierarchy
     "q183_leveled_multilevel" -> ((s, d) =>
       graft.ops.LeveledPromotion.roundtrip(s, d)),
+    // the LCS WHAT-IF planner (round 14; q146's STCS twin): per-level
+    // volume vs the geometric budget ladder over the multi-level final
+    // state, naming the NEXT victim by promote()'s own selection rule
+    "q185_lcs_whatif" -> ((s, d) =>
+      graft.ops.LeveledPromotion.whatIf(s, d)),
     // the sstable-summary DSv2 relation itself (round 13): per-sstable
     // rollup with an ORDER-pinning checksum over (entry_index, key) —
     // entries are every MinIndexInterval-th distinct partition in key

@@ -210,10 +210,10 @@ object Main {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
-            } else if (o.sidecarSized || o.minor || o.leveled ||
-                positional.nonEmpty)
-              Left(usage(cmd)) // mode flags only apply to --execute
-            else Right(o)
+            } else if (o.sidecarSized || o.minor || o.again ||
+                o.promoteLevels || positional.nonEmpty)
+              Left(usage(cmd)) // these mode flags only apply to --execute
+            else Right(o) // bare = STCS what-if; --leveled = LCS what-if
           case "repair" =>
             if (Seq(o.ranges, o.incremental, o.execute).count(identity) > 1)
               Left(usage(cmd))
@@ -349,6 +349,8 @@ object Main {
               Reports.leveledCompactExecute(spark, dir, o.gcBeforeS)
             else Reports.compactExecute(spark, dir, o.gcBeforeS,
               o.sidecarSized))); 0
+        } else if (o.leveled) {
+          out(tracked("compact")(Reports.lcsWhatIf(spark, dir))); 0
         } else {
           // -g applies to the executed-compaction rollup in BOTH modes
           out(tracked("compact")(

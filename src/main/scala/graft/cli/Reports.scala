@@ -408,6 +408,15 @@ object Reports {
       "round-1 outputs as L1 partners of fresh L0)",
       graft.ops.LeveledCompaction.roundtrip2(spark, dir, gcBeforeS))
 
+  /** `compact --leveled` (read-only) — the LCS WHAT-IF planner (q185):
+    * per-level volume vs the geometric budget ladder over the
+    * multi-level state, naming the next victim. */
+  def lcsWhatIf(spark: SparkSession, dir: String): String =
+    section("LCS what-if (per-level modeled volume vs the geometric " +
+      s"budget ladder, base=${graft.ops.LeveledPromotion.BaseBudgetBytes}" +
+      " B; next victim by the promotion's own selection rule)",
+      graft.ops.LeveledPromotion.whatIf(spark, dir))
+
   /** `compact --execute <ks> <cf> --leveled --promote [-g]` — the
     * MULTI-LEVEL chain (q183): seed L2, fresh flush, the cross-level
     * tombstone retention at R2, the bottom-level purge at P2; final

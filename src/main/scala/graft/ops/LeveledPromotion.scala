@@ -275,6 +275,51 @@ object LeveledPromotion {
         (p2Out, (_: String) => true)).toString)
   }
 
+  /** Base level budget of the what-if ladder (level n's budget =
+    * base × 10^(n−1), real LCS's geometric rule; 64 KiB so the fixture's
+    * L1 overflows — a real deployment sets ~160 MB). */
+  val BaseBudgetBytes = 64L << 10
+
+  /** q185: the LCS WHAT-IF planner over the multi-level final state —
+    * the report a leveled operator reads before the next promotion:
+    * per-level population and modeled volume against the geometric
+    * budget ladder, and the NEXT victim (lowest first key at the
+    * deepest over-budget level — [[promote]]'s own selection rule, so
+    * the planner names exactly the compaction that would run). Level
+    * membership and victim ranges are O(#files) sidecar metadata; the
+    * volume model is the q162 relational one so the oracle replays
+    * every number. */
+  def whatIf(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val finalDir = ensureChain(spark, dir, gcBeforeS).finalDir
+    val meta = LeveledCompaction.metadata(finalDir)
+    import spark.implicits._
+    val levelDf = meta.map(m => (m.sstableId, m.level.toLong))
+      .toDF("sstable_id", "level")
+    val perLevel = scanOf(spark, finalDir)
+      .join(broadcast(levelDf), "sstable_id")
+      .groupBy("level")
+      .agg(countDistinct("sstable_id").as("sstables"),
+        sum(lit(Compaction.EventOverheadBytes) + col("size_bytes"))
+          .as("model_bytes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val rows = perLevel.map { case (level, ssts, bytes) =>
+      val budget = BaseBudgetBytes * (if (level == 1) 1L else 10L)
+      (level, ssts, bytes, budget, bytes > budget)
+    }
+    val deepest = rows.filter(_._5).map(_._1).maxOption
+    val victimOf = meta.groupBy(_.level.toLong).view.mapValues(ms =>
+      ms.minBy(m => (m.firstKey, m.sstableId)).sstableId).toMap
+    rows.toSeq.map { case (level, ssts, bytes, budget, over) =>
+      (level, ssts, bytes, budget, over,
+        if (deepest.contains(level)) victimOf.get(level) else None)
+    }.toDF("level", "sstables", "model_bytes", "budget_bytes",
+      "over_budget", "next_victim")
+      .orderBy("level")
+  }
+
   /** q183: the final multi-level state — one level-stamped rollup row
     * per surviving real sstable. */
   def roundtrip(spark: SparkSession, dir: String,

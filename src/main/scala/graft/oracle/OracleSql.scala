@@ -4175,6 +4175,8 @@ ORDER BY 1"""
       // at L0, R2 retains its droppable tombstones (L2 holds the keys),
       // P2's 3-way L1→L2 merge purges them at the bottom; final state.
       ("q183_leveled_multilevel" -> q183Sql) +
+      // q185: the LCS what-if planner over the q183 final state.
+      ("q185_lcs_whatif" -> q185Sql) +
       // q173: anti-entropy leaf digests — the tiered re-binning replays
       // as the base multiset (every leaf matches), the compacted set as
       // the LWW-winners-minus-purged multiset; per-leaf counts and
@@ -4926,7 +4928,29 @@ ORDER BY unit"""
     * retained via the keys the L2 halves still hold), and P2's genuine
     * 3-way L1→L2 merge with the bottom-level purge; the final state's
     * per-sstable level-stamped rollup. */
-  private lazy val q183Sql: String = s"""WITH $fixtures,
+  private lazy val q183Sql: String =
+    q183Ctes + """
+SELECT sstable_id, level,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(MIN(key) AS BIGINT) AS first_key,
+  CAST(MAX(key) AS BIGINT) AS last_key,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s < """ +
+      s"$GcBeforeS" + """
+               THEN 1 ELSE 0 END) AS BIGINT) AS droppable_tombstones,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM finalev GROUP BY 1, 2 ORDER BY sstable_id"""
+
+  /** The q183 chain's WITH-prefix (shared with q185's planner view):
+    * everything through the final state's `finalev` relation. */
+  private lazy val q183Ctes: String = s"""WITH $fixtures,
 lkeys AS (
   SELECT key, NTILE(4) OVER (ORDER BY key) AS tile
   FROM (SELECT DISTINCT key FROM licells)
@@ -5071,23 +5095,41 @@ finalev AS (
     clustering, column_name, kind, timestamp_us, ttl_s,
     local_deletion_time_s, is_tombstone, size_bytes
   FROM p2kept
+)"""
+
+  /** q185: the LCS what-if planner over the q183 final state — per-level
+    * population, modeled volume vs the level's budget (base × 10^(n−1),
+    * real LCS's geometric ladder), and the NEXT victim (lowest first key
+    * at the deepest over-budget level). */
+  private lazy val q185Sql: String =
+    q183Ctes + s"""
+, lvl AS (
+  SELECT level, CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS sstables,
+    CAST(SUM(32 + size_bytes) AS BIGINT) AS model_bytes
+  FROM finalev GROUP BY 1
+),
+budgets AS (
+  SELECT level, sstables, model_bytes,
+    CAST(${graft.ops.LeveledPromotion.BaseBudgetBytes} *
+      CASE WHEN level = 1 THEN 1 ELSE 10 END AS BIGINT) AS budget_bytes
+  FROM lvl
+),
+deepest AS (
+  SELECT MAX(level) AS dl FROM budgets WHERE model_bytes > budget_bytes
+),
+vict AS (
+  SELECT f.level, f.sstable_id,
+    row_number() OVER (PARTITION BY f.level
+      ORDER BY MIN(f.key), f.sstable_id) AS rnk
+  FROM finalev f GROUP BY f.level, f.sstable_id
 )
-SELECT sstable_id, level,
-  CAST(COUNT(*) AS BIGINT) AS events,
-  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
-  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
-  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
-  CAST(MIN(key) AS BIGINT) AS first_key,
-  CAST(MAX(key) AS BIGINT) AS last_key,
-  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
-  CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS
-               THEN 1 ELSE 0 END) AS BIGINT) AS droppable_tombstones,
-  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
-  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
-  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
-  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
-  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
-FROM finalev GROUP BY 1, 2 ORDER BY sstable_id"""
+SELECT b.level, b.sstables, b.model_bytes, b.budget_bytes,
+  (b.model_bytes > b.budget_bytes) AS over_budget,
+  CASE WHEN b.level = (SELECT dl FROM deepest)
+       THEN (SELECT v.sstable_id FROM vict v
+             WHERE v.level = b.level AND v.rnk = 1)
+       ELSE NULL END AS next_victim
+FROM budgets b ORDER BY b.level"""
 
   /** q171: size-tiered minor compaction replayed end to end — see
     * [[graft.ops.MinorCompaction]] for the semantics being checked. */

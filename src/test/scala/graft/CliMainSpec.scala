@@ -353,7 +353,10 @@ class CliMainSpec extends SparkSpec {
     // the repair session's closing act (round 14): converge, mark,
     // nothing left for the next incremental digest
     "repair_execute_mark" ->
-      Seq("repair", "ks1", "lineitem", "--execute", "--mark"))
+      Seq("repair", "ks1", "lineitem", "--execute", "--mark"),
+    // the LCS what-if planner (round 14): read-only counterpart of the
+    // STCS what-if, over the multi-level final state
+    "compact_leveled_whatif" -> Seq("compact", "--leveled"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -294,7 +294,12 @@ object Bench {
       // the (memoized) write of ~10x the volume-adaptive output
       // sstables, the min-of-two then times the N-way read-back; the
       // ratio evidences the fan-out function tracking input volume
-      "q162_compaction_roundtrip" -> "compaction")
+      "q162_compaction_roundtrip" -> "compaction",
+      // round 14: the MINOR compaction at 10x — selection, the per-tier
+      // metadata purge guard (ranges+blooms prefilter, broadcast
+      // confirm) and the per-unit rollup over a 10x tiered tier; the
+      // ratio evidences the guard's no-big-exchange shape at scale
+      "q171_minor_compaction" -> "compaction")
     val binProbeDir = ensureSf1BinProbe(spark, sfDir)
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =

@@ -883,6 +883,14 @@ object SparkEntry {
     // and both rollup halves from parquet
     "q171_minor_compaction" -> ((s, d) =>
       graft.ops.MinorCompaction.roundtrip(s, d)),
+    // STCS RE-INGESTION (round 14; W11's size-tiered twin): the q171
+    // compacted state re-enters the strategy's own size ladder off its
+    // REAL files — the small tiers' merge lands in the passthrough's
+    // size class and is SELECTED AGAIN (the cascade: STCS walks data up
+    // the ladder across successive minors), the big merge sits alone in
+    // a higher class, stable
+    "q186_minor_reingest" -> ((s, d) =>
+      graft.ops.MinorCompaction.reingestTable(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -207,6 +207,50 @@ object MinorCompaction {
     out
   }
 
+  /** q186: STCS RE-INGESTION (round 14, W11's size-tiered twin) — the
+    * compacted state re-enters the strategy's own size ladder: assemble
+    * (tier outputs + passthrough original) as one real directory and
+    * recompute the tier table from those files. The re-derived ladder
+    * exposes STCS's CASCADE dynamic: the small tiers' merge lands in the
+    * passthrough's size class (two members → selected again — the next
+    * minor compaction, named off the outputs' own bytes), while the big
+    * tiers' merge sits alone in a higher class, stable. Exactly how real
+    * STCS walks data up the ladder across successive minors. One row per
+    * surviving sstable with its re-derived tier and selection verdict,
+    * all replayed from parquet. */
+  def reingestTable(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val inPath = CassandraDataFixture.ensureTieredFiles(spark, dir)
+    val outPath = ensureCompacted(spark, dir, gcBeforeS)
+    val tiers = tierTable(spark, dir)
+    val passGens = tiers.filterNot(_._3)
+      .map(t => s"nb-${t._1.stripPrefix("sst-").toLong + 1}-big").toSet
+    val state = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-minor-reingest"))
+    def copyAll(from: String, keep: String => Boolean): Unit =
+      Option(new java.io.File(from).listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+        .filter(f => keep(f.getName)).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, state.resolve(f.getName))
+          ()
+        }
+    copyAll(outPath, _ => true)
+    copyAll(inPath, n => passGens.exists(n.startsWith))
+    val perSst = inputEvents(spark, state.toString)
+      .groupBy("sstable_id")
+      .agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes"))
+        .as("model_bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), tierOf(r.getLong(1))))
+    val counts = perSst.groupBy(_._3).view.mapValues(_.length).toMap
+    import spark.implicits._
+    perSst.toSeq.sortBy(_._1)
+      .map { case (id, bytes, t) =>
+        (id, bytes, t.toLong, counts(t) >= MinThreshold) }
+      .toDF("sstable_id", "model_bytes", "tier", "selected")
+      .orderBy("sstable_id")
+  }
+
   private def rollup(unit: Column, action: Column, sstablesIn: Column,
       df: DataFrame): DataFrame =
     df.groupBy(unit.as("unit"), action.as("action"))

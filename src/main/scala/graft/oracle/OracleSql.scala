@@ -4160,6 +4160,10 @@ ORDER BY 1"""
       // selected tier — holds the key) and both rollup halves, all
       // replayed from parquet.
       ("q171_minor_compaction" -> q171Sql) +
+      // q186: STCS re-ingestion — the compacted state re-tiers off its
+      // own real files, exposing the cascade (the small merge is
+      // selected again beside the passthrough; the big one is stable).
+      ("q186_minor_reingest" -> q186Sql) +
       // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
       // assignment, sidecar-equivalent min/max range discovery, overlap
       // selection, one LWW merge over L0+partners, unconditional purge
@@ -5133,7 +5137,37 @@ FROM budgets b ORDER BY b.level"""
 
   /** q171: size-tiered minor compaction replayed end to end — see
     * [[graft.ops.MinorCompaction]] for the semantics being checked. */
-  private lazy val q171Sql: String = s"""WITH $fixtures,
+  private lazy val q171Sql: String = q171Ctes + q171Select
+
+  /** q186: STCS re-ingestion — the q171 compacted state (tier outputs +
+    * passthrough) re-enters the size ladder; each unit re-derives its
+    * tier from its own model bytes, exposing the CASCADE: the small
+    * tiers' merge joins the passthrough's class (selected again — the
+    * next minor), the big merge sits alone, stable. */
+  private lazy val q186Sql: String = q171Ctes + s""",
+newstate AS (
+  SELECT 'sst-' || CAST(900 + tier AS VARCHAR) AS sstable_id,
+    CAST(SUM(32 + size_bytes) AS BIGINT) AS model_bytes
+  FROM kept GROUP BY tier
+  UNION ALL
+  SELECT m.sstable_id, CAST(SUM(32 + size_bytes) AS BIGINT)
+  FROM tmapped m JOIN tagged g USING (sstable_id)
+  WHERE NOT g.selected GROUP BY 1
+),
+ntier AS (
+  SELECT sstable_id, model_bytes,
+    ${bitLenSql("GREATEST(model_bytes // 16384, 1)")} AS tier
+  FROM newstate
+),
+ncnt AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS members
+         FROM ntier GROUP BY 1)
+SELECT t.sstable_id, t.model_bytes, CAST(t.tier AS BIGINT) AS tier,
+  (c.members >= 2) AS selected
+FROM ntier t JOIN ncnt c USING (tier) ORDER BY t.sstable_id"""
+
+  /** The q171 chain's WITH-prefix (shared with q186): everything through
+    * the per-tier `kept` relation. */
+  private lazy val q171Ctes: String = s"""WITH $fixtures,
 tmapped AS (
   SELECT CASE WHEN (key + clustering) % 13 <= 2
                 THEN 'sst-' || CAST((key + clustering) % 13 AS VARCHAR)
@@ -5187,7 +5221,9 @@ kept AS (
     NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
     OR EXISTS (SELECT 1 FROM outkeys o
                WHERE o.tier = ranked.tier AND o.key = ranked.key))
-)
+)"""
+
+  private lazy val q171Select: String = s"""
 SELECT 'tier-' || CAST(tier AS VARCHAR) AS unit,
   'compacted' AS action,
   MAX(members) AS sstables_in,

@@ -1389,6 +1389,29 @@ class CassandraDataSpec extends SparkSpec {
     assert(graft.ops.PurgeGuard.provablyEmpty(guards))
   }
 
+  test("STCS re-ingestion (q186): the compacted state re-tiers off its " +
+      "own real files and exposes the cascade — the small merge is " +
+      "selected again beside the passthrough, the big one is stable " +
+      "(round 14)") {
+    import graft.ops.MinorCompaction
+    val rows = MinorCompaction.reingestTable(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // survivors: the passthrough + one output per previously-selected
+    // tier, every unit re-tiered from its own written bytes
+    assert(rows.map(_._1).toSet ===
+      Set("sst-3", "sst-901", "sst-903"))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // the cascade: the three-small-sstables merge landed in the
+    // passthrough's size class — two members, selected again (the NEXT
+    // minor compaction, named off the outputs' own files)
+    assert(byId("sst-3")._3 === byId("sst-901")._3)
+    assert(byId("sst-3")._4 && byId("sst-901")._4)
+    // the two-large merge sits alone in a higher class — stable
+    assert(byId("sst-903")._3 > byId("sst-3")._3)
+    assert(!byId("sst-903")._4)
+  }
+
   test("purge-guard plan: the big-side scan never exchanges — metadata " +
       "prefilter, then broadcast joins only (round 14)") {
     import graft.ops.{MinorCompaction, PurgeGuard}

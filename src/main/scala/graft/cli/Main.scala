@@ -120,12 +120,23 @@ object Main {
         |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)""".stripMargin
   }
 
+  /** Engine version (build.sbt's ThisBuild/version; the reference's
+    * `-V` prints the Cassandra version embedded in its jar manifest,
+    * cli/VersionParser.java:1-40 — the analog here is the engine
+    * release plus the Spark runtime it is built against). */
+  val Version = "0.1.0"
+
+  def versionString: String =
+    s"graft $Version (Spark ${org.apache.spark.SPARK_VERSION}, " +
+      s"Scala ${scala.util.Properties.versionNumberString})"
+
   /** Strict reference grammar; Left = usage message. */
   def parse(args: Seq[String]): Either[String, Opts] = {
     if (args.isEmpty) return Left(usage())
     args.head match {
       case "help" | "-h" | "--help" =>
         Left(usage(args.drop(1).headOption.getOrElse("")))
+      case "-V" | "--version" => Left(versionString)
       case cmd if !Commands(cmd) => Left(usage())
       case cmd =>
         var o = Opts(cmd)
@@ -374,9 +385,13 @@ object Main {
   def main(args: Array[String]): Unit = {
     parse(args.toIndexedSeq) match {
       case Left(msg) =>
-        System.err.println(msg)
-        sys.exit(if (args.headOption.exists(a =>
-          a == "help" || a == "-h" || a == "--help")) 0 else 2)
+        // help and -V/--version are successful informational exits; any
+        // other Left is a usage error (rc 2, stderr)
+        val informational = args.headOption.exists(a =>
+          a == "help" || a == "-h" || a == "--help" ||
+            a == "-V" || a == "--version")
+        if (informational) println(msg) else System.err.println(msg)
+        sys.exit(if (informational) 0 else 2)
       case Right(o) =>
         val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
           "/root/testdata/sf0.001")

@@ -67,7 +67,10 @@ object ExpiredBlockers {
       c <- expired
       b <- live
       if b.firstKey <= c.lastKey && b.lastKey >= c.firstKey
-      if b.minTsUs < c.maxTsUs
+      // <= not <: Cassandra drops a fully-expired sstable only when every
+      // overlapping sstable's minTimestamp is STRICTLY newer than the
+      // candidate's maxTimestamp, so an equal-timestamp overlap blocks
+      if b.minTsUs <= c.maxTsUs
     } yield (c.sstableId, c.maxTsUs, c.maxLdtS, b.sstableId, b.minTsUs)
     import spark.implicits._
     rows.toDF("blocked_id", "blocked_max_ts", "blocked_max_ldt",

@@ -280,6 +280,16 @@ object LeveledPromotion {
     * L1 overflows — a real deployment sets ~160 MB). */
   val BaseBudgetBytes = 64L << 10
 
+  /** The geometric ladder: level n's budget is base × 10^(n−1) (level 0,
+    * which real LCS sizes by sstable COUNT rather than bytes, floors at
+    * the base budget). */
+  def levelBudget(level: Long): Long = {
+    var b = BaseBudgetBytes
+    var n = math.max(0L, level - 1L)
+    while (n > 0) { b *= 10L; n -= 1 }
+    b
+  }
+
   /** q185: the LCS WHAT-IF planner over the multi-level final state —
     * the report a leveled operator reads before the next promotion:
     * per-level population and modeled volume against the geometric
@@ -306,7 +316,7 @@ object LeveledPromotion {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val rows = perLevel.map { case (level, ssts, bytes) =>
-      val budget = BaseBudgetBytes * (if (level == 1) 1L else 10L)
+      val budget = levelBudget(level)
       (level, ssts, bytes, budget, bytes > budget)
     }
     val deepest = rows.filter(_._5).map(_._1).maxOption

@@ -101,16 +101,19 @@ object PurgeGuard {
   }
 
   /** True when metadata alone proves the guard empty for EVERY possible
-    * winner: each outside (non-participating) sstable's key range is
-    * disjoint from each participating sstable's range, so no winner key
-    * (which lies inside some participant's range) can exist outside its
-    * compaction. The LCS invariant — levels partition the key space —
-    * makes this the common case there. */
+    * winner: each participating sstable's key range is disjoint from
+    * every sstable in a DIFFERENT group — passthrough sstables AND the
+    * sstables of every other selected group, since in the multi-group
+    * (STCS) semantics a sibling tier's sstable is just as "outside" a
+    * winner's compaction as a never-selected one. No winner key (which
+    * lies inside some participant's range) can then exist outside its
+    * own compaction. The LCS invariant — levels partition the key
+    * space — makes this the common case there. */
   def provablyEmpty(metas: Seq[SstGuard]): Boolean = {
-    val outside = metas.filter(_.group == Passthrough)
     val participating = metas.filter(_.group != Passthrough)
-    outside.forall(o => participating.forall(p =>
-      o.lastKey < p.firstKey || o.firstKey > p.lastKey))
+    participating.forall(p => metas.forall(o =>
+      o.group == p.group ||
+        o.lastKey < p.firstKey || o.firstKey > p.lastKey))
   }
 
   /** The full guard relation for `winners` of a multi-group compaction:

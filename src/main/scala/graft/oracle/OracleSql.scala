@@ -4553,7 +4553,7 @@ SELECT c.sstable_id AS blocked_id,
   CAST(b.mints AS BIGINT) AS blocker_min_ts
 FROM tstats c JOIN tstats b
   ON c.maxldt < $GcBeforeS AND b.maxldt >= $GcBeforeS
-  AND b.fk <= c.lk AND b.lk >= c.fk AND b.mints < c.maxts
+  AND b.fk <= c.lk AND b.lk >= c.fk AND b.mints <= c.maxts
 ORDER BY 1, 4"""
 
   /** q176: differing TOKEN ranges between the base set and the executed
@@ -5115,7 +5115,8 @@ finalev AS (
 budgets AS (
   SELECT level, sstables, model_bytes,
     CAST(${graft.ops.LeveledPromotion.BaseBudgetBytes} *
-      CASE WHEN level = 1 THEN 1 ELSE 10 END AS BIGINT) AS budget_bytes
+      CAST(round(power(10, GREATEST(level - 1, 0))) AS BIGINT)
+      AS BIGINT) AS budget_bytes
   FROM lvl
 ),
 deepest AS (

@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val reps = sys.env.getOrElse("GRAFT_PROF_REPS", "3").toInt
+    val repsRaw = sys.env.getOrElse("GRAFT_PROF_REPS", "3")
+    val reps = repsRaw.toIntOption.getOrElse(
+      sys.error(s"GRAFT_PROF_REPS must be an integer, got '$repsRaw'"))
+    require(reps > 0, s"GRAFT_PROF_REPS must be positive, got $reps")
     val names = args.drop(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

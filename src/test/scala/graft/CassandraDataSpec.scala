@@ -1738,10 +1738,37 @@ class CassandraDataSpec extends SparkSpec {
     val metaOf = metas.map(m => m.sstableId -> m).toMap
     rows.foreach { r =>
       val c = metaOf(r.getString(0)); val b = metaOf(r.getString(3))
-      assert(b.minTsUs < c.maxTsUs)
+      // Cassandra's drop rule requires every overlapping sstable's min
+      // timestamp STRICTLY newer than the candidate's max — an equal
+      // timestamp still blocks (round 15, ADVICE fix)
+      assert(b.minTsUs <= c.maxTsUs)
       assert(b.firstKey <= c.lastKey && b.lastKey >= c.firstKey)
       assert(c.maxLdtS < gc && b.maxLdtS >= gc)
     }
+  }
+
+  test("purge-guard provablyEmpty is per-COMPACTION in multi-group " +
+      "(STCS) semantics: a sibling selected tier's overlapping range " +
+      "defeats the proof even with zero passthrough sstables (round 15)") {
+    import graft.ops.PurgeGuard
+    import graft.ops.PurgeGuard.SstGuard
+    val f = graft.sources.filterdb.FilterDbFormat.Filter(1, Array(0L))
+    def g(id: String, grp: Int, lo: Long, hi: Long) =
+      SstGuard(id, grp, lo, hi, f)
+    // two selected tiers, ranges overlap: tier 1's winners may have keys
+    // living in tier 2's files — the guard is NOT provably empty
+    assert(!PurgeGuard.provablyEmpty(Seq(
+      g("sst-0", 1, 0, 100), g("sst-1", 1, 50, 150),
+      g("sst-2", 2, 80, 200), g("sst-3", 2, 120, 300))))
+    // the same two tiers range-disjoint: provably empty
+    assert(PurgeGuard.provablyEmpty(Seq(
+      g("sst-0", 1, 0, 100), g("sst-1", 1, 50, 100),
+      g("sst-2", 2, 101, 200), g("sst-3", 2, 150, 300))))
+    // passthrough overlap still defeats it (the original single-group
+    // rule is the grp-count==1 special case of the pairwise check)
+    assert(!PurgeGuard.provablyEmpty(Seq(
+      g("sst-0", 1, 0, 100),
+      g("sst-1", PurgeGuard.Passthrough, 90, 200))))
   }
 
   test("repair marking is metadata-only: every non-Statistics file " +

@@ -21,6 +21,14 @@ class CliMainSpec extends SparkSpec {
       table = "lineitem")))
   }
 
+  test("parse: -V/--version is an informational Left carrying the " +
+      "engine + Spark + Scala versions (reference cli/VersionParser.java)") {
+    assert(Main.parse(Seq("-V")) === Left(Main.versionString))
+    assert(Main.parse(Seq("--version")) === Left(Main.versionString))
+    assert(Main.versionString.startsWith(s"graft ${Main.Version} (Spark "))
+    assert(Main.versionString.contains(org.apache.spark.SPARK_VERSION))
+  }
+
   test("parse: usage errors never construct a session") {
     assert(Main.parse(Nil).isLeft)
     assert(Main.parse(Seq("frobnicate")).isLeft)

@@ -92,6 +92,74 @@ object Bench {
   private def contended(w: (Double, Double, Double, Double)): Boolean =
     contendedWindow(w._2, w._3, w._1, w._4)
 
+  // RUN-LEVEL RECORD INTEGRITY (round 15, VERDICT r14 ask #1): the r13
+  // and r14 official records were both ~2x inflated by BROAD, SHALLOW
+  // host contention that every per-window gate (steal, PSI stall +
+  // ambient beat, requeue) read as clean — the contention was under
+  // every per-window threshold but everywhere at once. The per-window
+  // gates catch spikes; only comparison against a COMMITTED CLEAN
+  // REFERENCE catches uniform inflation. So the bench now loads the
+  // last clean record (BENCH_REF.json, refreshed whenever a quiet-
+  // window run is recorded), re-queues any query whose best window
+  // exceeds its clean reference by [[DevRatio]]x (with [[DevFloorSec]]
+  // absolute slack so sub-second jitter never spams), publishes the
+  // still-deviant set in a "suspect_queries" map, and stamps the run
+  // "suspect": true when the common-set total exceeds
+  // [[RunSuspectRatio]]x the reference's — the record can no longer
+  // read as clean while being dirty; it either is clean or SAYS which
+  // numbers not to trust.
+
+  /** A window is DEVIANT when it exceeds DevRatio x its clean reference
+    * AND the excess is more than DevFloorSec absolute (scheduler/GC
+    * jitter on a 0.1 s query is routinely 2-3x but never close to a
+    * second). */
+  private[graft] val DevRatio = 3.0
+  private[graft] val DevFloorSec = 0.75
+
+  /** Common-set total above this multiple of the clean reference marks
+    * the WHOLE run suspect. */
+  private[graft] val RunSuspectRatio = 1.5
+
+  private[graft] def deviantWindow(sec: Double, refSec: Double): Boolean =
+    sec > refSec * DevRatio && sec - refSec > DevFloorSec
+
+  /** Extract a named `"<key>":{"q..":1.23,...}` map from a bench record
+    * line — a 20-line parser so the bench stays dependency-free (the
+    * record format is the bench's own flat output, never nested). */
+  private[graft] def parseRefMap(line: String, key: String)
+      : Map[String, Double] = {
+    val tag = "\"" + key + "\":{"
+    val start = line.indexOf(tag)
+    if (start < 0) return Map.empty
+    val rest = line.substring(start + tag.length)
+    val end = rest.indexOf('}')
+    if (end < 0) return Map.empty
+    rest.substring(0, end).split(",").iterator.flatMap { kv =>
+      val i = kv.lastIndexOf(':')
+      if (i < 0) None
+      else kv.substring(i + 1).toDoubleOption.map { v =>
+        kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"") -> v
+      }
+    }.toMap
+  }
+
+  /** Load the committed clean reference record: (main-loop per-query
+    * seconds, sf1-probe per-query seconds, the record's sf tier name).
+    * Missing/unreadable file => empty maps (every gate degrades to the
+    * per-window arms). */
+  private[graft] def loadRef(path: String)
+      : (Map[String, Double], Map[String, Double], String) = {
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val line =
+        try src.getLines().find(_.contains("\"queries\":{")).getOrElse("")
+        finally src.close()
+      val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
+        .map(m => new java.io.File(m.group(1)).getName).getOrElse("")
+      (parseRefMap(line, "queries"), parseRefMap(line, "sf1_sec"), sf)
+    } catch { case _: Throwable => (Map.empty, Map.empty, "") }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -221,20 +289,38 @@ object Bench {
       (best, n + extra)
     }
 
+    // the committed clean reference (run-level integrity, round 15) —
+    // applied only when this run's sf tier matches the record's, so an
+    // sf0.01 smoke run never compares against sf0.1 numbers
+    val refPath = sys.env.getOrElse("GRAFT_BENCH_REF", "BENCH_REF.json")
+    val (refAll, refSf1All, refSf) = loadRef(refPath)
+    val refApplies = refSf.nonEmpty &&
+      refSf == new java.io.File(sfDir).getName
+    val refQ = if (refApplies) refAll else Map.empty[String, Double]
+    val refSf1 = if (refApplies) refSf1All else Map.empty[String, Double]
+    if (!refApplies)
+      System.err.println(s"BENCH: no applicable clean reference " +
+        s"($refPath sf='$refSf' vs run sf='${new java.io.File(sfDir).getName}') — " +
+        "deviation gate off, per-window gates only")
+    def deviant(name: String, best: (Double, Double, Double, Double))
+        : Boolean = refQ.get(name).exists(r => deviantWindow(best._1, r))
+
     val ordered = headline.toSeq.sortBy(_._1)
     // first pass: 2 runs + up to 3 contention retries per query
     val firstPass = ordered.map { case (name, fn) =>
       (name, fn, measure(name, fn, sfDir))
     }
-    // end-of-run second pass for queries whose best window stayed dirty —
-    // minutes later the burst that contaminated them is usually over
-    val stillDirty =
-      firstPass.count { case (_, _, (b, _)) => contended(b) }
+    // end-of-run second pass for queries whose best window stayed dirty
+    // OR deviant vs the clean reference — minutes later the burst (or
+    // the broad shallow inflation) that contaminated them is often over
+    val stillDirty = firstPass.count { case (n, _, (b, _)) =>
+      contended(b) || deviant(n, b)
+    }
     if (stillDirty > 0)
-      System.err.println(s"BENCH: re-queueing $stillDirty still-contended " +
-        "queries for an end-of-run second pass")
+      System.err.println(s"BENCH: re-queueing $stillDirty still-contended/" +
+        "deviant queries for an end-of-run second pass")
     val results = firstPass.map { case (name, fn, (best, att)) =>
-      if (contended(best)) {
+      if (contended(best) || deviant(name, best)) {
         val (b2, a2) = measure(name, fn, sfDir)
         name -> (if (b2._1 < best._1) b2 else best, att + a2)
       } else name -> (best, att)
@@ -335,14 +421,19 @@ object Bench {
         (name, fam, fn, pdir,
           measure(s"sf1_$name", fn, pdir, runs = 2, maxExtra = 2)._1)
     }
-    val sf1Dirty = sf1First.count { case (_, _, _, _, b) => contended(b) }
+    def sf1Deviant(name: String,
+        best: (Double, Double, Double, Double)): Boolean =
+      refSf1.get(name).exists(r => deviantWindow(best._1, r))
+    val sf1Dirty = sf1First.count { case (n, _, _, _, b) =>
+      contended(b) || sf1Deviant(n, b)
+    }
     if (sf1Dirty > 0)
-      System.err.println(s"BENCH: re-queueing $sf1Dirty still-contended " +
-        "sf1 windows for an end-of-probe second pass")
+      System.err.println(s"BENCH: re-queueing $sf1Dirty still-contended/" +
+        "deviant sf1 windows for an end-of-probe second pass")
     val sf1Results: Seq[(String, String, (Double, Double, Double, Double))] =
       sf1First.map { case (name, fam, fn, pdir, best) =>
         val b =
-          if (contended(best)) {
+          if (contended(best) || sf1Deviant(name, best)) {
             val b2 = measure(s"sf1_$name", fn, pdir,
               runs = 2, maxExtra = 2)._1
             if (b2._1 < best._1) b2 else best
@@ -446,12 +537,38 @@ object Bench {
     val contendedJson =
       if (contendedQ.isEmpty) ""
       else contendedQ.mkString(""","contended":{""", ",", "}")
+    // RUN-LEVEL VERDICT (round 15): queries whose published number is
+    // STILL >DevRatio x the clean reference after the second pass — and
+    // the whole-run common-set comparison that catches broad shallow
+    // inflation every per-window gate misses
+    val suspectQ = results.collect {
+      case (k, (v, _)) if deviant(k, v) =>
+        "\"" + k + "\":" + f"${v._1 / refQ(k)}%.1f"
+    }
+    val suspectJson =
+      if (suspectQ.isEmpty) ""
+      else suspectQ.mkString(""","suspect_queries":{""", ",", "}")
+    val sf1SuspectQ = sf1Results.collect {
+      case (n, _, b) if sf1Deviant(n, b) =>
+        "\"" + n + "\":" + f"${b._1 / refSf1(n)}%.1f"
+    }
+    val sf1SuspectJson =
+      if (sf1SuspectQ.isEmpty) ""
+      else sf1SuspectQ.mkString(""","sf1_suspect_queries":{""", ",", "}")
+    val common = results.filter { case (k, _) => refQ.contains(k) }
+    val commonTotal = common.map(_._2._1._1).sum
+    val refCommonTotal = common.map { case (k, _) => refQ(k) }.sum
+    val refRatio =
+      if (refCommonTotal > 0) commonTotal / refCommonTotal else 0.0
+    val runSuspect = refCommonTotal > 0 &&
+      commonTotal > RunSuspectRatio * refCommonTotal
+    val refJson = f""","ref_applied":$refApplies,"ref_common_n":${common.size},"ref_ratio":$refRatio%.2f,"suspect":$runSuspect"""
     val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson,"sf1_ratio":$sf1FamJson$splitsJson,"gate_wait_sec":$gateWaitSec$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$splitsJson$refJson,"gate_wait_sec":$gateWaitSec$errJson,"sf":"$sfDir"}""")
     // SECOND, compact line: the driver records only an output *tail*, which
     // truncated the head of the full line in rounds 4–6 and lost the parsed
     // record each time. This line is short enough that the tail always ends
@@ -468,7 +585,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"ncontended":${contendedQ.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf1_ratio":$sf1FamJson$splitsJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"ncontended":${contendedQ.size},"nsuspect":${suspectQ.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf1_ratio":$sf1FamJson$splitsJson$refJson$suspectJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

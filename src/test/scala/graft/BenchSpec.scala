@@ -62,4 +62,38 @@ class BenchSpec extends AnyFunSuite {
     assert(after < during / 2,
       s"stall must collapse once we idle (during=$during after=$after)")
   }
+
+  test("run-level integrity (round 15): deviation needs BOTH the ratio " +
+      "and the absolute floor, so sub-second jitter never flags") {
+    // 0.1 s query tripling: ratio trips but the floor doesn't — clean
+    assert(!Bench.deviantWindow(0.35, 0.1))
+    // 2 s query at 3.5x: both arms trip — deviant (the r14 class)
+    assert(Bench.deviantWindow(7.0, 2.0))
+    // big absolute excess but under the ratio (honest growth) — clean
+    assert(!Bench.deviantWindow(2.4, 1.0))
+    // exactly at the ratio boundary is clean (strict >)
+    assert(!Bench.deviantWindow(3.0, 1.0))
+  }
+
+  test("run-level integrity: the committed clean record parses — " +
+      "per-query map, sf1 map, sf tier") {
+    val (q, sf1, sf) = Bench.loadRef("BENCH_REF.json")
+    assert(q.size > 150, s"expected the full main-loop map, got ${q.size}")
+    assert(q.contains("q00_catalog") && q("q00_catalog") > 0.0)
+    assert(sf1.nonEmpty && sf1.values.forall(_ > 0.0))
+    assert(sf === "sf0.1")
+    // a missing file degrades to empty maps, never throws
+    val (eq, es, esf) = Bench.loadRef("target/does-not-exist.json")
+    assert(eq.isEmpty && es.isEmpty && esf.isEmpty)
+  }
+
+  test("run-level integrity: parseRefMap extracts exactly the named " +
+      "flat map and tolerates absent keys") {
+    val line = """{"metric":"total","queries":{"qa":1.5,"qb":0.25},""" +
+      """"sf1_sec":{"qa":3.000},"sf":"/x/sf0.1"}"""
+    assert(Bench.parseRefMap(line, "queries") ===
+      Map("qa" -> 1.5, "qb" -> 0.25))
+    assert(Bench.parseRefMap(line, "sf1_sec") === Map("qa" -> 3.0))
+    assert(Bench.parseRefMap(line, "nope") === Map.empty)
+  }
 }

@@ -84,6 +84,48 @@ object SstableSplit {
     slot.value
   }
 
+  /** Default bucket count of the two-level running sum. */
+  val PrefixBuckets = 1024
+
+  /** Per-partition shard assignment off the (key, pb) relation — the
+    * TWO-LEVEL bucketed prefix sum (round 15, replacing a
+    * `pmod(key,1)` single-reducer window: a multi-GB victim with tens
+    * of millions of partitions would serialize its whole partition
+    * list onto one task). Same shape as TextStats.packSequences:
+    * contiguous key-range buckets carry bounded in-bucket windows; the
+    * per-bucket totals (O(buckets) driver rows, the same class as the
+    * compaction tier tables) prefix-sum on the driver and join back
+    * broadcast as each bucket's base — NO unpartitioned window
+    * anywhere in the plan. bytes_before = bucket_base + in-bucket
+    * offset is exactly the plain window's `cum - pb`, so the shard
+    * relation (and the q179 oracle hash) is unchanged. */
+  private[graft] def shardAssignment(perPart: DataFrame, total: Long,
+      buckets: Int = PrefixBuckets): DataFrame = {
+    val spark = perPart.sparkSession
+    val cached = perPart.persist()
+    val bounds = cached.agg(min("key"), max("key")).head
+    val (minK, maxK) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (maxK - minK) / buckets + 1L)
+    val t = cached.withColumn("bucket",
+      floor((col("key") - lit(minK)) / lit(width)))
+    val perBucket = t.groupBy("bucket").agg(sum("pb").as("bucket_pb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val baseRows = perBucket.map { case (b, pb) =>
+      val base = (b, acc); acc += pb; base
+    }
+    import spark.implicits._
+    val bases = baseRows.toSeq.toDF("bucket", "bucket_base")
+    val inBucket = Window.partitionBy("bucket").orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("in_off", coalesce(sum("pb").over(inBucket), lit(0L)))
+      .join(broadcast(bases), "bucket")
+      .withColumn("shard",
+        least(expr(s"((bucket_base + in_off) * $Shards) div $total"),
+          lit(Shards - 1L)))
+      .select("key", "shard")
+  }
+
   private def build(spark: SparkSession, dir: String): (String, String) = {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
       compressed = false)
@@ -92,23 +134,15 @@ object SstableSplit {
       java.nio.file.Files.createTempDirectory("graft-sstable-split"))
       .toString
     val ev = inputEvents(spark, inPath).where(col("sstable_id") === vid)
-    // per-partition modeled bytes → running sum in key order → quarter
-    // assignment. pmod(key,1) is a data-derived constant partition spec
-    // (survives constant folding; see Summary.strategyOrders) — the
-    // window spans ONE file's partitions, the state the real tool holds.
+    // per-partition modeled bytes → two-level running sum in key order →
+    // quarter assignment (the window state the real tool holds is one
+    // file's partition list; the two-level form keeps even that off a
+    // single task)
     val perPart = ev
       .groupBy("key")
       .agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes"))
         .as("pb"))
-    val one = Window.partitionBy(pmod(col("key"), lit(1)))
-      .orderBy("key")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val shards = perPart
-      .withColumn("cum", sum("pb").over(one))
-      .withColumn("shard",
-        least(expr(s"((cum - pb) * $Shards) div $total"),
-          lit(Shards - 1L)))
-      .select("key", "shard")
+    val shards = shardAssignment(perPart, total)
     ev.join(broadcast(shards), "key")
       .select(
         concat(lit("sst-"), (lit(OutGenBase) + col("shard"))

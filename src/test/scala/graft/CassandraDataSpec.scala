@@ -1704,6 +1704,44 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("sstablesplit shard assignment: the two-level bucketed prefix " +
+      "sum equals the plain running window and plans NO unpartitioned " +
+      "window (round 15 — the victim's partition list never serializes " +
+      "onto one task)") {
+    import graft.ops.SstableSplit
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // synthetic per-partition sizes: irregular keys and volumes; tiny
+    // buckets force real multi-bucket bases
+    val perPart = (1 to 500).map(i =>
+      (i.toLong * 7 % 1009, (i % 13 + 1).toLong * 32))
+      .distinct.toDF("key", "pb")
+    val total = perPart.agg(sum("pb")).head.getLong(0)
+    val got = SstableSplit.shardAssignment(perPart, total, buckets = 8)
+    // ground truth: the single-window running sum (the shape the engine
+    // avoids because one victim = one sorted reducer)
+    val one = Window.orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val truth = perPart
+      .withColumn("before", coalesce(sum("pb").over(one), lit(0L)))
+      .select(col("key"),
+        least(expr(s"(before * ${SstableSplit.Shards}) div $total"),
+          lit(SstableSplit.Shards - 1L)).as("shard"))
+    assert(got.orderBy("key").collect().toSeq ===
+      truth.orderBy("key").collect().toSeq)
+    // every Window node in the plan is PARTITIONED (the old form's
+    // pmod(key,1) constant spec moved all rows to one task); the
+    // logical plan is inspected because AQE hides the physical tree
+    val winNodes = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(winNodes.nonEmpty)
+    assert(winNodes.forall(_.partitionSpec.nonEmpty),
+      "found an unpartitioned window in the shard-assignment plan")
+    assert(!got.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "the single-reducer pmod partition spec is back")
+  }
+
   test("expired blockers (q178): fully-expired candidacy read from real " +
       "Statistics.db, blockers decided by range overlap + older min " +
       "timestamp, all O(#files) metadata (round 14)") {

@@ -100,6 +100,14 @@ object PurgeGuard {
     false
   }
 
+  /** Object-typed bridge for generated code (Janino resolves this flat
+    * signature where a nested-class array type in a cast would not) —
+    * same function, called per row from inside whole-stage codegen by
+    * [[graft.functions.GuardMayContain]]. */
+  def mayContainOutsideRef(guardsRef: Object, group: Int,
+      key: Long): Boolean =
+    mayContainOutside(guardsRef.asInstanceOf[Array[SstGuard]], group, key)
+
   /** True when metadata alone proves the guard empty for EVERY possible
     * winner: each participating sstable's key range is disjoint from
     * every sstable in a DIFFERENT group — passthrough sstables AND the
@@ -129,13 +137,16 @@ object PurgeGuard {
       ev: DataFrame, winners: DataFrame, groupCol: Column,
       gcBeforeS: Long): DataFrame = {
     val bMetas = spark.sparkContext.broadcast(metas.toArray)
-    val mayOutside = udf((group: Int, key: Long) =>
-      mayContainOutside(bMetas.value, group, key))
+    // stage-1 prefilter as a codegen'd Expression (round 15): the guard
+    // array is one broadcast reference object in the generated class and
+    // the per-row range+bloom test stays inside whole-stage codegen —
+    // the UDF form crossed the catalyst boundary per droppable winner
     val candidates = winners
       .where(col("w.is_tombstone") &&
         col("w.local_deletion_time_s") < lit(gcBeforeS))
       .select(groupCol.cast("int").as("grp"), col("key"))
-      .where(mayOutside(col("grp"), col("key")))
+      .where(graft.functions.GuardMayContain.column(
+        col("grp"), col("key"), bMetas))
       .distinct()
     import spark.implicits._
     val groupDf = metas.map(m => (m.sstableId, m.group))

@@ -1785,6 +1785,52 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("purge-guard stage-1 Expression: codegen form bit-equal to the " +
+      "driver-side function (the former UDF body) over range boundaries " +
+      "and bloom misses, evaluated inside codegen (round 15)") {
+    import graft.ops.{MinorCompaction, PurgeGuard}
+    import spark.implicits._
+    val inPath = graft.sources.datadb.CassandraDataFixture
+      .ensureTieredFiles(spark, Sf0001)
+    val groupOf = MinorCompaction.tierTable(spark, Sf0001)
+      .filter(_._3).map { case (id, t, _) => (id, t) }.toMap
+    val metas = PurgeGuard.load(inPath,
+      id => groupOf.getOrElse(id, PurgeGuard.Passthrough))
+    val arr = metas.toArray
+    val bc = spark.sparkContext.broadcast(arr)
+    // probe grid: every sstable's range boundaries +/-1 (range-arm
+    // edges), keys known present, and far-out keys (bloom/range misses),
+    // against every group id in play (incl. one with no participants)
+    val keys = metas.flatMap(m => Seq(m.firstKey - 1, m.firstKey,
+      m.firstKey + 1, m.lastKey - 1, m.lastKey, m.lastKey + 1)) ++
+      Seq(Long.MinValue / 2, -1L, 0L, Long.MaxValue / 2)
+    val groups = (metas.map(_.group) :+ PurgeGuard.Passthrough :+ 99)
+      .distinct
+    val probes = for { g <- groups; k <- keys } yield (g, k)
+    val df = probes.toDF("grp", "key")
+    val got = df.withColumn("r", graft.functions.GuardMayContain.column(
+        col("grp"), col("key"), bc))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    probes.foreach { case (g, k) =>
+      assert(got((g, k)) === PurgeGuard.mayContainOutside(arr, g, k),
+        s"expression diverges from driver function at (grp=$g, key=$k)")
+    }
+    // both arms exercised
+    assert(got.values.exists(identity) && got.values.exists(!_))
+    // the filter stays inside whole-stage codegen: no BatchEvalUDF /
+    // interpreted-eval fallback markers in the executed plan (the local
+    // checkpoint hides the LocalRelation so the optimizer cannot fold
+    // the filter at plan time and a real Filter node survives)
+    val filtered = df.localCheckpoint()
+      .where(graft.functions.GuardMayContain.column(
+        col("grp"), col("key"), bc))
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("guard_may_contain"))
+    assert(!plan.toLowerCase.contains("scalaudf"))
+  }
+
   test("purge-guard provablyEmpty is per-COMPACTION in multi-group " +
       "(STCS) semantics: a sibling selected tier's overlapping range " +
       "defeats the proof even with zero passthrough sstables (round 15)") {

@@ -958,6 +958,12 @@ object SparkEntry {
     // so this is the streaming surface's first ORACLE-checked query
     "q181_streaming_leaf_digest" -> ((s, d) =>
       graft.streaming.StreamingStats.leafDigestOnce(s, d)),
+    // STREAMING cfstats totals (round 15): the standing per-sstable
+    // counters over arriving real sstables — the grouped-counter shape
+    // (q181 covered the commutative digest), hash-checked against the
+    // same parquet derivation that oracles the batch counters
+    "q187_streaming_cfstats" -> ((s, d) =>
+      graft.streaming.StreamingStats.cfStatsTotalsOnce(s, d)),
     // EXECUTED repair (round 14): the full anti-entropy loop run to
     // convergence — two diverged real replicas, token-leaf digest diff,
     // the differing ranges STREAMED as real sstables in both directions,

@@ -4201,6 +4201,18 @@ ORDER BY 1"""
       // q181: the STREAMING token-leaf digest — complete-mode standing
       // state over the base set, same relation as q176's base side.
       ("q181_streaming_leaf_digest" -> q181Sql) +
+      // q187: the STREAMING cfstats totals — complete-mode standing
+      // per-sstable counters over the real compressed base set; the
+      // real-format representation mapping is q67's (no TTL on deleted
+      // cells, value length = size_bytes % 61, 0 when deleted/marker).
+      ("q187_streaming_cfstats" -> s"""WITH $fixtures
+SELECT sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_live THEN 1 ELSE 0 END) AS BIGINT) AS live,
+  CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) AS BIGINT) AS size
+FROM licells GROUP BY 1 ORDER BY 1""") +
       // q182: the EXECUTED repair — diverge, detect, stream, converge.
       ("q182_repair_execute" -> q182Sql) +
       // q184: ...then MARK — the marked set's incremental digest is zero.

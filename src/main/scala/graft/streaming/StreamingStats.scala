@@ -82,8 +82,15 @@ object StreamingStats {
   def liveCfStatsTotals(spark: SparkSession, sstableDir: String,
       format: String = graft.sources.datadb.DataDbScan.FormatGraft)
       : DataFrame =
-    spark.readStream.format("sstable-data").option("format", format)
-      .load(sstableDir)
+    cfStatsTotalsOf(
+      spark.readStream.format("sstable-data").option("format", format)
+        .load(sstableDir))
+
+  /** The per-sstable cfstats counters — one aggregate shared by the
+    * standing streaming form and its batch oracle (unified Dataset API:
+    * the same expressions fold a stream's state or a batch's rows). */
+  def cfStatsTotalsOf(events: DataFrame): DataFrame =
+    events
       .groupBy("sstable_id")
       .agg(
         count(lit(1)).as("events"),
@@ -91,6 +98,36 @@ object StreamingStats {
         sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"),
         sum(when(col("is_live"), 1L).otherwise(0L)).as("live"),
         sum("size_bytes").as("size"))
+
+  private val cfRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q187 (round 15, VERDICT r14 ask #5): the STANDING cfstats totals —
+    * spec-only since round 6 — run over the REAL compressed base set to
+    * a complete-mode memory sink until all available sstables are
+    * processed, returning the standing per-sstable state. Complete-mode
+    * state of commutative counters is batch-deterministic, so the same
+    * parquet derivation that oracles the batch counters (q67's per-
+    * sstable rollup family) hash-checks the streamed state — the
+    * streaming surface's SECOND oracle-checked query, covering the
+    * grouped-counter shape where q181 covered the leaf digest. */
+  def cfStatsTotalsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.datadb.CassandraDataFixture
+      .ensureFiles(spark, dir, compressed = true)
+    val name = s"graft_stream_cfstats_${cfRuns.incrementAndGet()}"
+    val src = spark.readStream.format("sstable-data")
+      .option("format", graft.sources.datadb.DataDbScan.FormatCassandra)
+      .load(path)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    val q = cfStatsTotalsOf(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("sstable_id")
+  }
 
   /** Continuously maintained ANTI-ENTROPY frontier (round 14): the
     * token-ring leaf digests of [[graft.ops.AntiEntropy]] as one STANDING

@@ -891,6 +891,15 @@ object SparkEntry {
     // a higher class, stable
     "q186_minor_reingest" -> ((s, d) =>
       graft.ops.MinorCompaction.reingestTable(s, d)),
+    // TWCS executed end to end (round 15, completing the strategy
+    // trio): window assignment from each sstable's own Statistics.db
+    // max timestamp, whole-sstable DROP of the unblocked fully-expired
+    // file (q178's blocker relation made actionable — zero-I/O space
+    // reclamation), the blocked one surviving, the ≥2-member newest
+    // window LWW-merged into one real sstable, single-member windows
+    // never re-compacted (the TWCS guarantee)
+    "q188_twcs_compaction" -> ((s, d) =>
+      graft.ops.TwcsCompaction.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -29,6 +29,7 @@ object Main {
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
       minor: Boolean = false, leveled: Boolean = false,
+      twcs: Boolean = false,
       again: Boolean = false, promoteLevels: Boolean = false,
       ranges: Boolean = false, incremental: Boolean = false,
       mark: Boolean = false,
@@ -76,7 +77,7 @@ object Main {
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
       "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
-        "[--minor | --leveled [--again | --promote]] " +
+        "[--minor | --leveled [--again | --promote] | --twcs] " +
         "[-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
@@ -113,7 +114,7 @@ object Main {
         |  lookup       Point-lookup a partition key through the bti Partitions.db tries
         |  get          Point-read a partition (bloom -> summary -> index -> data) off real sstables
         |  slice        Clustering-slice read through the promoted row index (wide set)
-        |  compact      Compaction what-if, or --execute the real major/minor/leveled compaction
+        |  compact      Compaction what-if, or --execute the real major/minor/leveled/twcs compaction
         |  repair       Anti-entropy digests; --ranges, --incremental, or --execute the full loop
         |  blockers     Which live sstable blocks which fully-expired sstable's drop
         |  split        Rewrite the largest sstable as size-targeted sstables (partitions intact)
@@ -181,6 +182,8 @@ object Main {
               o = o.copy(minor = true); rest = t
             case Seq("--leveled", t @ _*) if cmd == "compact" =>
               o = o.copy(leveled = true); rest = t
+            case Seq("--twcs", t @ _*) if cmd == "compact" =>
+              o = o.copy(twcs = true); rest = t
             case Seq("--again", t @ _*) if cmd == "compact" =>
               o = o.copy(again = true); rest = t
             case Seq("--promote", t @ _*) if cmd == "compact" =>
@@ -211,8 +214,9 @@ object Main {
             // --sidecar-sized only on the major path, --again only with
             // --leveled — conflicting combinations are usage errors, not
             // silently resolved by dispatch order
-            if (o.minor && o.leveled) Left(usage(cmd))
-            else if (o.sidecarSized && (o.minor || o.leveled))
+            if (Seq(o.minor, o.leveled, o.twcs).count(identity) > 1)
+              Left(usage(cmd))
+            else if (o.sidecarSized && (o.minor || o.leveled || o.twcs))
               Left(usage(cmd))
             else if ((o.again || o.promoteLevels) && !o.leveled)
               Left(usage(cmd))
@@ -221,7 +225,7 @@ object Main {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
-            } else if (o.sidecarSized || o.minor || o.again ||
+            } else if (o.sidecarSized || o.minor || o.twcs || o.again ||
                 o.promoteLevels || positional.nonEmpty)
               Left(usage(cmd)) // these mode flags only apply to --execute
             else Right(o) // bare = STCS what-if; --leveled = LCS what-if
@@ -352,6 +356,8 @@ object Main {
           if (!requireStore()) return 2
           out(tracked("compact")(
             if (o.minor) Reports.minorCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.twcs)
+              Reports.twcsCompactExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.promoteLevels)
               Reports.leveledPromoteExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.again)

@@ -449,6 +449,17 @@ object Reports {
       "L0 + overlapping L1 partners, range-repartitioned outputs)",
       graft.ops.LeveledCompaction.roundtrip(spark, dir, gcBeforeS))
 
+  /** `compact --execute <ks> <cf> --twcs [-g]` — the time-window
+    * compaction (q188): window assignment from max timestamps, the
+    * unblocked fully-expired sstable dropped whole, the blocked one
+    * surviving, the ≥2-member window merged, singles untouched. */
+  def twcsCompactExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed TWCS compaction (gcBefore=${gcBeforeS}s, " +
+      s"window=${graft.ops.TwcsCompaction.WindowDays} write-days, " +
+      "expired drop gated by blockers)",
+      graft.ops.TwcsCompaction.roundtrip(spark, dir, gcBeforeS))
+
   def compactExecute(spark: SparkSession, dir: String,
       gcBeforeS: Long, sidecarSized: Boolean = false): String =
     section(s"Executed compaction (gcBefore=${gcBeforeS}s, " +

@@ -4164,6 +4164,10 @@ ORDER BY 1"""
       // own real files, exposing the cascade (the small merge is
       // selected again beside the passthrough; the big one is stable).
       ("q186_minor_reingest" -> q186Sql) +
+      // q188: EXECUTED TWCS — window assignment from max timestamps,
+      // whole-sstable drop gated by the q178 blocker relation, the
+      // ≥2-member window's LWW merge, blocked/passthrough survivors.
+      ("q188_twcs_compaction" -> q188Sql) +
       // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
       // assignment, sidecar-equivalent min/max range discovery, overlap
       // selection, one LWW merge over L0+partners, unconditional purge
@@ -5177,6 +5181,106 @@ ncnt AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS members
 SELECT t.sstable_id, t.model_bytes, CAST(t.tier AS BIGINT) AS tier,
   (c.members >= 2) AS selected
 FROM ntier t JOIN ncnt c USING (tier) ORDER BY t.sstable_id"""
+
+  /** q188: the executed TWCS cycle over the twcsx banded set — window
+    * assignment (max write-day div 640 per sstable), fully-expired
+    * candidacy, the q178 blocker rule deciding drop vs blocked, the
+    * ≥2-member live window's LWW merge under the per-window
+    * conservative purge guard, and one rollup row per unit. See
+    * [[graft.ops.TwcsCompaction]] for the semantics being checked. */
+  private lazy val q188Sql: String = s"""WITH $fixtures,
+xmapped AS (
+  SELECT CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS THEN
+           CASE WHEN timestamp_us // 86400000000 < 1920 THEN 'sst-4'
+                ELSE 'sst-5' END
+         WHEN timestamp_us // 86400000000 < 2560 THEN 'sst-0'
+         WHEN timestamp_us // 86400000000 < 3200 THEN 'sst-1'
+         ELSE 'sst-' || CAST(2 + (key + clustering) % 2 AS VARCHAR)
+         END AS sstable_id,
+    key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+  WHERE (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+     OR timestamp_us // 86400000000 >= 1920
+),
+xstats AS (
+  SELECT sstable_id, MIN(key) AS fk, MAX(key) AS lk,
+    MIN(timestamp_us) AS mints, MAX(timestamp_us) AS maxts,
+    MAX(local_deletion_time_s) AS maxldt,
+    (MAX(timestamp_us) // 86400000000) // 640 AS swin
+  FROM xmapped GROUP BY 1
+),
+xtag AS (
+  SELECT s.*, (s.maxldt < $GcBeforeS) AS expired,
+    CASE WHEN s.maxldt < $GcBeforeS THEN EXISTS (
+        SELECT 1 FROM xstats b WHERE b.maxldt >= $GcBeforeS
+          AND b.fk <= s.lk AND b.lk >= s.fk AND b.mints <= s.maxts)
+      ELSE FALSE END AS is_blocked
+  FROM xstats s
+),
+xmulti AS (
+  SELECT swin, CAST(COUNT(*) AS BIGINT) AS members
+  FROM xtag WHERE NOT expired GROUP BY 1 HAVING COUNT(*) >= 2
+),
+xranked AS (
+  SELECT m.*, t.swin, w.members, row_number() OVER (
+      PARTITION BY t.swin, m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM xmapped m JOIN xtag t USING (sstable_id)
+  JOIN xmulti w ON t.swin = w.swin
+  WHERE NOT t.expired
+),
+xoutkeys AS (
+  -- keys held by some sstable OUTSIDE window w's merge: expired files
+  -- still on disk, and every live file of another window
+  SELECT DISTINCT w.swin, m.key
+  FROM xmapped m JOIN xtag t USING (sstable_id)
+  CROSS JOIN (SELECT swin FROM xmulti) w
+  WHERE t.expired OR t.swin <> w.swin
+),
+xkept AS (
+  SELECT * FROM xranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR EXISTS (SELECT 1 FROM xoutkeys o
+               WHERE o.swin = xranked.swin AND o.key = xranked.key))
+),
+xunits AS (
+  SELECT 'window-' || CAST(swin AS VARCHAR) AS unit,
+    'compacted' AS action, swin, members AS sstables_in,
+    key, clustering, column_name, kind, timestamp_us, ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+  FROM xkept
+  UNION ALL
+  SELECT m.sstable_id AS unit,
+    CASE WHEN t.expired AND t.is_blocked THEN 'blocked'
+         WHEN t.expired THEN 'dropped'
+         ELSE 'passthrough' END AS action,
+    t.swin, CAST(1 AS BIGINT) AS sstables_in,
+    m.key, m.clustering, m.column_name, m.kind, m.timestamp_us, m.ttl_s,
+    m.local_deletion_time_s, m.is_tombstone, m.is_expiring, m.size_bytes
+  FROM xmapped m JOIN xtag t USING (sstable_id)
+  WHERE t.expired OR t.swin NOT IN (SELECT swin FROM xmulti)
+)
+SELECT unit, action, CAST(swin AS BIGINT) AS win,
+  CAST(MAX(sstables_in) AS BIGINT) AS sstables_in,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(SUM(CASE WHEN kind = 'RANGE_TOMBSTONE_MARKER' THEN 1 ELSE 0 END) AS BIGINT) AS markers,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM xunits GROUP BY 1, 2, 3 ORDER BY unit"""
 
   /** The q171 chain's WITH-prefix (shared with q186): everything through
     * the per-tier `kept` relation. */

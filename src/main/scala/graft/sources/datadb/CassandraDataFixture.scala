@@ -159,6 +159,43 @@ object CassandraDataFixture {
     *
     * Day is `timestamp_us div 86400000000` (the fixture's own write-day
     * term), so the assignment replays exactly in SQL. */
+  /** The EXECUTED-TWCS input set (round 15, q188's input): the q178
+    * banded layout reshaped so the strategy's every branch has a
+    * subject —
+    *
+    *  - live events (and non-droppable tombstones) BEFORE write-day
+    *    1920 are absent from this set (a corpus whose oldest windows
+    *    have aged out entirely — the state TWCS deployments converge
+    *    to; the synthetic corpus spans write-days ~1097..3595), so the
+    *    oldest expired sstable has no older-data blockers and can DROP;
+    *  - droppable tombstones split at day 1920: sst-4 (old, fully
+    *    expired, UNBLOCKED → whole-file drop), sst-5 (newer, fully
+    *    expired but overlapping live data with older min timestamps →
+    *    BLOCKED, survives);
+    *  - live bands: sst-0 days [1920,2560), sst-1 [2560,3200), and the
+    *    newest window's events ≥ 3200 split into 2 size-similar
+    *    sstables sst-2/sst-3 by (key+clustering)%2 — the ≥2-member
+    *    window the in-window compaction merges.
+    *
+    * Every term replays in SQL: day = timestamp_us div 86400000000. */
+  def ensureTwcsExecFiles(spark: SparkSession, dir: String): String = {
+    val base = Fixtures.cells(spark, dir)
+    val day = expr("timestamp_us div 86400000000")
+    val droppable = col("is_tombstone") &&
+      col("local_deletion_time_s") < Fixtures.GcBeforeS
+    val frame = base.where(droppable || day >= 1920L)
+      .withColumn("sstable_id",
+        when(droppable, concat(lit("sst-"),
+          when(day < 1920L, lit(4L)).otherwise(lit(5L)).cast("string")))
+          .otherwise(concat(lit("sst-"),
+            when(day < 2560L, lit(0L)).when(day < 3200L, lit(1L))
+              .otherwise(lit(2L) +
+                pmod(col("key") + col("clustering"), lit(2L)))
+              .cast("string"))))
+    ensureVariant(spark, dir, "twcsx", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   def ensureTwcsFiles(spark: SparkSession, dir: String): String = {
     val base = Fixtures.cells(spark, dir)
     // integral div, not float-divide-and-cast: the oracle replays with //

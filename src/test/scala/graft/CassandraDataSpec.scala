@@ -1855,6 +1855,74 @@ class CassandraDataSpec extends SparkSpec {
       g("sst-1", PurgeGuard.Passthrough, 90, 200))))
   }
 
+  test("executed TWCS (q188): window assignment from sidecars, the " +
+      "UNBLOCKED fully-expired sstable drops whole, the BLOCKED one " +
+      "survives, only the ≥2-member window merges and never across " +
+      "windows (round 15)") {
+    import graft.ops.{ExpiredBlockers, TwcsCompaction}
+    val inPath = CassandraDataFixture.ensureTwcsExecFiles(spark, Sf0001)
+    val gc = graft.sources.Fixtures.GcBeforeS
+    val p = TwcsCompaction.plan(inPath, gc)
+    // both expiry branches materialize: sst-4 unblocked -> dropped,
+    // sst-5 blocked -> survives
+    assert(p.dropped === Seq("sst-4"))
+    assert(p.blocked === Seq("sst-5"))
+    // the drop decision's evidence, from the sidecars alone: sst-4's
+    // max timestamp is STRICTLY older than every live file's min (no
+    // blocker can exist); sst-5 overlaps an older-or-equal live min
+    val metas = ExpiredBlockers.metadata(inPath)
+    val live = metas.filter(_.maxLdtS >= gc)
+    val s4 = metas.find(_.sstableId == "sst-4").get
+    val s5 = metas.find(_.sstableId == "sst-5").get
+    assert(live.nonEmpty && live.forall(_.minTsUs > s4.maxTsUs))
+    assert(live.exists(b => b.firstKey <= s5.lastKey &&
+      b.lastKey >= s5.firstKey && b.minTsUs <= s5.maxTsUs))
+    // exactly one ≥2-member window — the NEWEST — merges; older
+    // windows are singletons and never re-compact (the TWCS guarantee)
+    assert(p.mergedWindows.map(_._1).size === 1)
+    val (mergeWin, mergeIds) = p.mergedWindows.head
+    assert(mergeIds === Seq("sst-2", "sst-3"))
+    assert(p.singles === Seq("sst-0", "sst-1"))
+    val liveWins = live.map(m => p.windowOf(m.sstableId))
+    assert(mergeWin === liveWins.max)
+    // executed: ONE real compressed family holds the merged window
+    val outPath = TwcsCompaction.ensureCompacted(spark, Sf0001)
+    val names = Option(new java.io.File(outPath).listFiles()).get
+      .map(_.getName)
+    assert(names.count(_.endsWith("-Data.db")) === 1)
+    assert(names.count(_.endsWith("-CompressionInfo.db")) === 1)
+    // the merged output is the LWW winners of EXACTLY the two window
+    // members — no cross-window or expired-file event leaks in
+    def cellsOf(pth: String) = DataDb.cells(spark, pth,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    val members = cellsOf(inPath)
+      .where(col("sstable_id").isin(mergeIds: _*))
+    val expected = members
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key", "clustering", "column_name")
+          .orderBy(col("timestamp_us").desc, col("sstable_id").desc,
+            col("size_bytes").desc, col("is_tombstone").desc,
+            col("local_deletion_time_s").desc, col("ttl_s").desc,
+            col("is_expiring").desc, col("kind").desc)))
+      .where(col("rn") === 1)
+    val cols = Seq("key", "clustering", "column_name", "kind",
+      "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+      "is_expiring", "size_bytes").map(col)
+    assert(cellsOf(outPath).select(cols: _*).orderBy(cols: _*)
+      .collect().toSeq ===
+      expected.select(cols: _*).orderBy(cols: _*).collect().toSeq)
+    // the relation tells the whole story, one action per branch
+    val rows = TwcsCompaction.roundtrip(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq("sst-0" -> "passthrough", "sst-1" -> "passthrough",
+      "sst-4" -> "dropped", "sst-5" -> "blocked",
+      s"window-$mergeWin" -> "compacted"))
+  }
+
   test("repair marking is metadata-only: every non-Statistics file " +
       "byte-identical to the base set; stats differ ONLY in repairedAt " +
       "(round 13)") {

@@ -47,6 +47,16 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--sidecar-sized", "--minor")).isLeft)
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--twcs", "--minor")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--twcs", "--leveled")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--twcs", "--sidecar-sized")).isLeft)
+    assert(Main.parse(Seq("compact", "--twcs")).isLeft) // execute-only
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--twcs")) === Right(Main.Opts("compact", execute = true,
+      twcs = true, keyspace = "ks1", table = "lineitem")))
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--sidecar-sized", "--leveled")).isLeft)
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--again")).isLeft)
@@ -364,7 +374,11 @@ class CliMainSpec extends SparkSpec {
       Seq("repair", "ks1", "lineitem", "--execute", "--mark"),
     // the LCS what-if planner (round 14): read-only counterpart of the
     // STCS what-if, over the multi-level final state
-    "compact_leveled_whatif" -> Seq("compact", "--leveled"))
+    "compact_leveled_whatif" -> Seq("compact", "--leveled"),
+    // executed TWCS (round 15): drop/blocked/merge/passthrough branches
+    // of the time-window cycle, per-unit rollup frozen
+    "compact_execute_twcs" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--twcs"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -900,6 +900,15 @@ object SparkEntry {
     // never re-compacted (the TWCS guarantee)
     "q188_twcs_compaction" -> ((s, d) =>
       graft.ops.TwcsCompaction.roundtrip(s, d)),
+    // THREE-replica repair with the per-leaf DIRECTION MATRIX (round
+    // 15): leaf-correlated divergence across 3 real replica sets, the
+    // coordinator's source selection (lowest-indexed replica whose
+    // merged leaf digest matches the union), one real streamed sstable
+    // per (source→target) direction, and all three post-repair
+    // re-digests converging on the union — per-leaf minimal streaming
+    // (no leaf ships to a replica already holding it)
+    "q189_repair_matrix" -> ((s, d) =>
+      graft.ops.RepairMatrix.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

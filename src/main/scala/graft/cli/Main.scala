@@ -32,7 +32,7 @@ object Main {
       twcs: Boolean = false,
       again: Boolean = false, promoteLevels: Boolean = false,
       ranges: Boolean = false, incremental: Boolean = false,
-      mark: Boolean = false,
+      mark: Boolean = false, matrix: Boolean = false,
       seqLen: Int = 2048, budgetTokens: Long = 1000000L,
       bpeSteps: Int = 3, key: Long = 0L, sliceLo: Long = 0L,
       sliceHi: Long = 0L) {
@@ -58,7 +58,7 @@ object Main {
     case "verify" => "Usage: verify"
     case "repair" =>
       "Usage: repair <keyspace> <table> " +
-        "[--ranges | --incremental | --execute [--mark]]"
+        "[--ranges | --incremental | --execute [--mark | --matrix]]"
     case "blockers" => "Usage: blockers <keyspace> <table>"
     case "split" => "Usage: split <keyspace> <table>"
     case "levelreset" => "Usage: levelreset <keyspace> <table>"
@@ -194,6 +194,8 @@ object Main {
               o = o.copy(incremental = true); rest = t
             case Seq("--mark", t @ _*) if cmd == "repair" =>
               o = o.copy(mark = true); rest = t
+            case Seq("--matrix", t @ _*) if cmd == "repair" =>
+              o = o.copy(matrix = true); rest = t
             case Seq("-b", t @ _*) => o = o.copy(batch = true); rest = t
             case Seq(flag, _ @ _*) if flag.startsWith("-") => return Left(usage(cmd))
             case Seq(p, t @ _*) => pos += p; rest = t
@@ -233,6 +235,8 @@ object Main {
             if (Seq(o.ranges, o.incremental, o.execute).count(identity) > 1)
               Left(usage(cmd))
             else if (o.mark && !o.execute) Left(usage(cmd))
+            else if (o.matrix && !o.execute) Left(usage(cmd))
+            else if (o.matrix && o.mark) Left(usage(cmd))
             else positional match {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
@@ -312,6 +316,7 @@ object Main {
           if (o.ranges) Reports.repairRanges(spark, dir)
           else if (o.incremental) Reports.repairIncremental(spark, dir)
           else if (o.execute && o.mark) Reports.repairMarkCycle(spark, dir)
+          else if (o.execute && o.matrix) Reports.repairMatrix(spark, dir)
           else if (o.execute) Reports.repairExecute(spark, dir)
           else Reports.repair(spark, dir))); 0
       case "blockers" =>

@@ -366,6 +366,16 @@ object Reports {
       "convergence vs the union)",
       graft.ops.RepairStream.roundtrip(spark, dir))
 
+  /** `repair <ks> <cf> --execute --matrix` — the THREE-replica session
+    * (q189): per-leaf direction matrix (source = lowest-indexed replica
+    * whose merged digest matches the union), one real streamed sstable
+    * per direction, all three post-repair re-digests. */
+  def repairMatrix(spark: SparkSession, dir: String): String =
+    section("Matrix repair, 3 replicas (per-leaf source selection; " +
+      "src=-1 means the replica already holds the leaf; post-repair " +
+      "convergence vs the union)",
+      graft.ops.RepairMatrix.roundtrip(spark, dir))
+
   /** `repair <ks> <cf> --execute --mark` — the session's closing act:
     * converged replica marked repairedAt; the next incremental digest
     * reads nothing (q184). */

@@ -62,7 +62,7 @@ object TwcsCompaction {
   val MinThreshold = 2
 
   /** Output generations: merged window w writes sst-(OutGenBase + w). */
-  val OutGenBase = 950L
+  val OutGenBase = 960L
 
   private val ChkMod = 1000003L
 

@@ -4168,6 +4168,9 @@ ORDER BY 1"""
       // whole-sstable drop gated by the q178 blocker relation, the
       // ≥2-member window's LWW merge, blocked/passthrough survivors.
       ("q188_twcs_compaction" -> q188Sql) +
+      // q189: three-replica repair — leaf-correlated divergence, the
+      // per-leaf direction matrix, and all three convergence flags.
+      ("q189_repair_matrix" -> q189Sql) +
       // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
       // assignment, sidecar-equivalent min/max range discovery, overlap
       // selection, one LWW merge over L0+partners, unconditional purge
@@ -5181,6 +5184,94 @@ ncnt AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS members
 SELECT t.sstable_id, t.model_bytes, CAST(t.tier AS BIGINT) AS tier,
   (c.members >= 2) AS selected
 FROM ntier t JOIN ncnt c USING (tier) ORDER BY t.sstable_id"""
+
+  /** q189: the three-replica matrix repair — replica r's merged view
+    * misses the sliver ((key+clustering)%29 == 0) of leaves ≡ r mod 3;
+    * the matrix picks, per (leaf, target), the lowest-indexed matching
+    * source; convergence folds own ∪ streamed per replica. All merged
+    * (DISTINCT) views, mirroring the Merkle-over-read-path semantics
+    * the operator implements. */
+  private lazy val q189Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    def hole(r: Int, q: String = "") =
+      s"(${q}leaf % 3 = $r AND ${q}sliver = 0)"
+    def lcte(r: Int) = s"""
+l$r AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS e$r,
+    CAST(SUM(eh) AS BIGINT) AS d$r
+  FROM dev WHERE NOT ${hole(r)} GROUP BY 1
+)"""
+    // post-repair view of replica r: own events, plus — when the matrix
+    // streams source s to r — s's events in that leaf
+    def pcte(r: Int) = s"""
+p$r AS (
+  SELECT d.leaf, CAST(SUM(d.eh) AS BIGINT) AS pd$r
+  FROM dev d JOIN srcs s ON d.leaf = s.leaf
+  WHERE NOT ${hole(r, "d.")}
+     ${(0 until 3).filter(_ != r).map(o =>
+        s"OR (s.s$r = $o AND NOT ${hole(o, "d.")})").mkString("\n     ")}
+  GROUP BY 1
+)"""
+    // source for target t: -1 when t already matches the union, else
+    // the lowest index among the OTHER replicas whose digest matches
+    def srcCase(t: Int) = {
+      val others = (0 until 3).filter(_ != t)
+      s"CASE WHEN COALESCE(d$t, -1) = du THEN -1 " +
+        others.map(o => s"WHEN COALESCE(d$o, -1) = du THEN $o ")
+          .mkString + "END AS s" + t
+    }
+    s"""WITH $fixtures,
+rmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    (key + clustering) % 29 AS sliver
+  FROM licells
+),
+rev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM rmapped
+),
+dev AS (
+  SELECT DISTINCT key, clustering, column_name, kind, timestamp_us,
+    ttl_s, local_deletion_time_s, size_bytes, eh, leaf, sliver
+  FROM rev
+),${lcte(0)},${lcte(1)},${lcte(2)},
+uni AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS eu,
+    CAST(SUM(eh) AS BIGINT) AS du
+  FROM dev GROUP BY 1
+),
+m AS (
+  SELECT uni.leaf, eu, du, e0, d0, e1, d1, e2, d2
+  FROM uni LEFT JOIN l0 USING (leaf) LEFT JOIN l1 USING (leaf)
+    LEFT JOIN l2 USING (leaf)
+),
+srcs AS (
+  SELECT leaf, ${srcCase(0)}, ${srcCase(1)}, ${srcCase(2)}
+  FROM m
+),${pcte(0)},${pcte(1)},${pcte(2)}
+SELECT m.leaf,
+  COALESCE(e0, 0) AS r0_events, COALESCE(e1, 0) AS r1_events,
+  COALESCE(e2, 0) AS r2_events, eu AS u_events,
+  CAST(s.s0 AS BIGINT) AS src_for_r0,
+  CAST(s.s1 AS BIGINT) AS src_for_r1,
+  CAST(s.s2 AS BIGINT) AS src_for_r2,
+  (pd0 = du) AS r0_converged, (pd1 = du) AS r1_converged,
+  (pd2 = du) AS r2_converged
+FROM m JOIN srcs s USING (leaf)
+  LEFT JOIN p0 USING (leaf) LEFT JOIN p1 USING (leaf)
+  LEFT JOIN p2 USING (leaf)
+ORDER BY m.leaf"""
+  }
 
   /** q188: the executed TWCS cycle over the twcsx banded set — window
     * assignment (max write-day div 640 per sstable), fully-expired

@@ -159,6 +159,30 @@ object CassandraDataFixture {
     *
     * Day is `timestamp_us div 86400000000` (the fixture's own write-day
     * term), so the assignment replays exactly in SQL. */
+  /** One of THREE coordinated replicas (round 15, q189's divergence
+    * model): replica `r` misses the events whose token LEAF is
+    * congruent to r (mod 3) AND whose (key+clustering) % 29 sliver is
+    * 0 — leaf-correlated holes, so for any leaf exactly the two
+    * replicas NOT assigned that leaf still hold it complete. The union
+    * of the three replicas is the full corpus, each replica's holes
+    * are disjoint from the others', and a per-leaf repair coordinator
+    * can always find a source replica whose leaf digest matches the
+    * union — the N-replica direction-matrix shape q182's two-replica
+    * loop cannot exhibit. Leaf is the SAME ring binning the digests
+    * use (h60(key) >> 54), so the rule replays in SQL. */
+  def ensureMatrixReplicaFiles(spark: SparkSession, dir: String,
+      r: Long): String = {
+    require(0 <= r && r < 3, s"replica index out of range: $r")
+    val leaf = shiftright(
+      graft.functions.PortableHash.h60(col("key").cast("string")),
+      graft.ops.AntiEntropy.TokenLeafShift)
+    val frame = Fixtures.cells(spark, dir)
+      .where(!(pmod(leaf, lit(3L)) === r &&
+        pmod(col("key") + col("clustering"), lit(29L)) === 0L))
+    ensureVariant(spark, dir, s"mreplica$r", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   /** The EXECUTED-TWCS input set (round 15, q188's input): the q178
     * banded layout reshaped so the strategy's every branch has a
     * subject —

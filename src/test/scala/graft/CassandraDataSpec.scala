@@ -1923,6 +1923,49 @@ class CassandraDataSpec extends SparkSpec {
       s"window-$mergeWin" -> "compacted"))
   }
 
+  test("matrix repair (q189): per-leaf MINIMAL streaming — every " +
+      "stream targets the one replica missing the leaf, sourced from " +
+      "the lowest-indexed complete replica; all three replicas " +
+      "converge on the union (round 15)") {
+    import graft.ops.RepairMatrix
+    val s = RepairMatrix.ensureSession(spark, Sf0001)
+    assert(s.srcFor.nonEmpty)
+    def dg(m: Map[Long, (Long, Long)], leaf: Long): Option[Long] =
+      m.get(leaf).map(_._2)
+    for (((leaf, t), src) <- s.srcFor) {
+      // the target genuinely differs from the union on this leaf...
+      assert(dg(s.pre(t), leaf) != dg(s.uni, leaf))
+      // ...the source is another replica that matches it exactly...
+      assert(src != t)
+      assert(dg(s.pre(src), leaf) === dg(s.uni, leaf))
+      // ...and is the LOWEST-indexed such replica
+      (0 until src).filter(_ != t).foreach(r =>
+        assert(dg(s.pre(r), leaf) != dg(s.uni, leaf)))
+      // leaf-correlated divergence: the needy replica is leaf % 3
+      assert(t === (leaf % 3).toInt)
+    }
+    // NO stream to a replica already holding a leaf: srcFor contains
+    // only differing (leaf, target) pairs — every matching pair absent
+    for (leaf <- s.uni.keys; t <- 0 until RepairMatrix.Replicas
+        if dg(s.pre(t), leaf) == dg(s.uni, leaf))
+      assert(!s.srcFor.contains((leaf, t)),
+        s"leaf $leaf streamed to replica $t which already holds it")
+    // executed: each target received at least one real streamed family
+    s.intoDirs.foreach { d =>
+      val names = Option(new java.io.File(d).list()).map(_.toSeq)
+        .getOrElse(Nil)
+      assert(names.exists(_.endsWith("-Data.db")))
+    }
+    // the relation: every replica's post-repair digest equals the
+    // union on EVERY leaf
+    val rows = RepairMatrix.roundtrip(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10),
+        s"leaf ${r.getLong(0)} did not converge on all replicas")
+    }
+  }
+
   test("repair marking is metadata-only: every non-Statistics file " +
       "byte-identical to the base set; stats differ ONLY in repairedAt " +
       "(round 13)") {

@@ -53,6 +53,13 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--twcs", "--sidecar-sized")).isLeft)
     assert(Main.parse(Seq("compact", "--twcs")).isLeft) // execute-only
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--matrix"))
+      .isLeft) // --matrix requires --execute
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
+      "--matrix", "--mark")).isLeft)
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
+      "--matrix")) === Right(Main.Opts("repair", execute = true,
+      matrix = true, keyspace = "ks1", table = "lineitem")))
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--twcs")) === Right(Main.Opts("compact", execute = true,
       twcs = true, keyspace = "ks1", table = "lineitem")))
@@ -378,7 +385,11 @@ class CliMainSpec extends SparkSpec {
     // executed TWCS (round 15): drop/blocked/merge/passthrough branches
     // of the time-window cycle, per-unit rollup frozen
     "compact_execute_twcs" ->
-      Seq("compact", "--execute", "ks1", "lineitem", "--twcs"))
+      Seq("compact", "--execute", "ks1", "lineitem", "--twcs"),
+    // three-replica matrix repair (round 15): per-leaf direction
+    // matrix + all three convergence flags frozen
+    "repair_execute_matrix" ->
+      Seq("repair", "ks1", "lineitem", "--execute", "--matrix"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

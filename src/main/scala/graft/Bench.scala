@@ -385,7 +385,17 @@ object Bench {
       // metadata purge guard (ranges+blooms prefilter, broadcast
       // confirm) and the per-unit rollup over a 10x tiered tier; the
       // ratio evidences the guard's no-big-exchange shape at scale
-      "q171_minor_compaction" -> "compaction")
+      "q171_minor_compaction" -> "compaction",
+      // round 15 (VERDICT r14 ask #4): the REPAIR family's 10x
+      // evidence. The first window pays the (memoized) replica/chain
+      // fixture writes — setup, like q162/q171's — and the min-of-two
+      // then times the warm core: q182's leaf digests + two
+      // leaf-filtered stream scans + convergence re-digests, q183's
+      // 4-step promotion chain readback, q188's window selection +
+      // in-window merge + drop/block branches off 10x sidecars
+      "q182_repair_execute" -> "repair",
+      "q183_leveled_multilevel" -> "compaction",
+      "q188_twcs_compaction" -> "compaction")
     val binProbeDir = ensureSf1BinProbe(spark, sfDir)
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =

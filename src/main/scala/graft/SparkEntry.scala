@@ -909,6 +909,19 @@ object SparkEntry {
     // (no leaf ships to a replica already holding it)
     "q189_repair_matrix" -> ((s, d) =>
       graft.ops.RepairMatrix.roundtrip(s, d)),
+    // TWCS WHAT-IF (round 15; q146/q185's time-window twin): the
+    // read-only decision table a TWCS operator reads before the next
+    // cycle — window, expiry, blocker count, next action per sstable,
+    // all O(#files) sidecar metadata
+    "q190_twcs_whatif" -> ((s, d) =>
+      graft.ops.TwcsCompaction.whatIf(s, d)),
+    // TWCS RE-INGESTION (round 15; q186/q175's time-window twin): the
+    // compacted state re-enters the decision table off its real files
+    // and is STABLE — every live window single-member (nothing to
+    // compact: TWCS's steady state), the dropped file gone, the
+    // blocked candidate still blocked
+    "q191_twcs_reingest" -> ((s, d) =>
+      graft.ops.TwcsCompaction.reingestTable(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -77,7 +77,7 @@ object Main {
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
       "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
-        "[--minor | --leveled [--again | --promote] | --twcs] " +
+        "[--minor | --leveled [--again | --promote] | --twcs [--again]] " +
         "[-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
@@ -220,17 +220,17 @@ object Main {
               Left(usage(cmd))
             else if (o.sidecarSized && (o.minor || o.leveled || o.twcs))
               Left(usage(cmd))
-            else if ((o.again || o.promoteLevels) && !o.leveled)
-              Left(usage(cmd))
+            else if (o.again && !(o.leveled || o.twcs)) Left(usage(cmd))
+            else if (o.promoteLevels && !o.leveled) Left(usage(cmd))
             else if (o.again && o.promoteLevels) Left(usage(cmd))
             else if (o.execute) positional match {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
               case _ => Left(usage(cmd))
-            } else if (o.sidecarSized || o.minor || o.twcs || o.again ||
+            } else if (o.sidecarSized || o.minor || o.again ||
                 o.promoteLevels || positional.nonEmpty)
               Left(usage(cmd)) // these mode flags only apply to --execute
-            else Right(o) // bare = STCS what-if; --leveled = LCS what-if
+            else Right(o) // bare/--leveled/--twcs = that strategy's what-if
           case "repair" =>
             if (Seq(o.ranges, o.incremental, o.execute).count(identity) > 1)
               Left(usage(cmd))
@@ -361,6 +361,8 @@ object Main {
           if (!requireStore()) return 2
           out(tracked("compact")(
             if (o.minor) Reports.minorCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.twcs && o.again)
+              Reports.twcsReingestExecute(spark, dir, o.gcBeforeS)
             else if (o.twcs)
               Reports.twcsCompactExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.promoteLevels)
@@ -373,6 +375,9 @@ object Main {
               o.sidecarSized))); 0
         } else if (o.leveled) {
           out(tracked("compact")(Reports.lcsWhatIf(spark, dir))); 0
+        } else if (o.twcs) {
+          out(tracked("compact")(
+            Reports.twcsWhatIf(spark, dir, o.gcBeforeS))); 0
         } else {
           // -g applies to the executed-compaction rollup in BOTH modes
           out(tracked("compact")(

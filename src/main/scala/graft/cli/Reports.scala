@@ -470,6 +470,24 @@ object Reports {
       "expired drop gated by blockers)",
       graft.ops.TwcsCompaction.roundtrip(spark, dir, gcBeforeS))
 
+  /** `compact --twcs [-g]` — the read-only TWCS what-if (q190): the
+    * decision table the executed cycle would act on. */
+  def twcsWhatIf(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"TWCS what-if (gcBefore=${gcBeforeS}s, " +
+      s"window=${graft.ops.TwcsCompaction.WindowDays} write-days; " +
+      "per-sstable window, expiry, blockers, next action)",
+      graft.ops.TwcsCompaction.whatIf(spark, dir, gcBeforeS))
+
+  /** `compact --execute <ks> <cf> --twcs --again [-g]` — TWCS
+    * re-ingestion (q191): the compacted state's decision table —
+    * steady state, nothing left to compact. */
+  def twcsReingestExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"TWCS re-ingestion (gcBefore=${gcBeforeS}s; the compacted " +
+      "state re-enters the decision table — steady state)",
+      graft.ops.TwcsCompaction.reingestTable(spark, dir, gcBeforeS))
+
   def compactExecute(spark: SparkSession, dir: String,
       gcBeforeS: Long, sidecarSized: Boolean = false): String =
     section(s"Executed compaction (gcBefore=${gcBeforeS}s, " +

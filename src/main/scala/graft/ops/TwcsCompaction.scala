@@ -206,6 +206,109 @@ object TwcsCompaction {
         sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
         sum(col("size_bytes") % ChkMod).as("value_sum"))
 
+  /** Per-sstable decision table over an arbitrary TWCS state —
+    * O(#files) sidecar reads, shared by the q190 what-if and the q191
+    * re-ingestion check. One row per sstable: its window, expiry,
+    * blocker count, and the action the next cycle would take. */
+  private def decisionRows(path: String, gcBeforeS: Long)
+      : Seq[(String, Long, Boolean, Long, String)] = {
+    val metas = ExpiredBlockers.metadata(path)
+    val p = plan(path, gcBeforeS)
+    val live = metas.filterNot(_.maxLdtS < gcBeforeS)
+    val mergeMembers = p.mergedWindows.flatMap(_._2).toSet
+    metas.sortBy(_.sstableId).map { m =>
+      val expired = m.maxLdtS < gcBeforeS
+      val blockers =
+        if (!expired) 0L
+        else live.count(b => b.firstKey <= m.lastKey &&
+          b.lastKey >= m.firstKey && b.minTsUs <= m.maxTsUs).toLong
+      val action =
+        if (p.dropped.contains(m.sstableId)) "drop"
+        else if (p.blocked.contains(m.sstableId)) "blocked"
+        else if (mergeMembers.contains(m.sstableId)) "compact"
+        else "passthrough"
+      (m.sstableId, p.windowOf(m.sstableId), expired, blockers, action)
+    }
+  }
+
+  /** q190: the TWCS WHAT-IF planner (the read-only report a TWCS
+    * operator reads before the next cycle — q146/q185's time-window
+    * twin): one row per sstable with its window, expiry verdict,
+    * blocker count and the action the executed cycle would take.
+    * Entirely sidecar metadata — the planning half of q188 without
+    * running anything. */
+  def whatIf(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val inPath = CassandraDataFixture.ensureTwcsExecFiles(spark, dir)
+    import spark.implicits._
+    decisionRows(inPath, gcBeforeS)
+      .toDF("sstable_id", "win", "expired", "blockers", "action")
+      .orderBy("sstable_id")
+  }
+
+  private val reingestMemo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
+
+  /** Assemble the POST-compaction on-disk state: merged window outputs
+    * + passthrough originals + the blocked survivor; the dropped file
+    * is GONE. Session-memoized. */
+  def ensureReingestState(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): String = {
+    val key =
+      s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|twcsre|$gcBeforeS"
+    val slot = reingestMemo.synchronized {
+      val it = reingestMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = reingestMemo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => {
+          val inPath = CassandraDataFixture.ensureTwcsExecFiles(spark, dir)
+          val outPath = ensureCompacted(spark, dir, gcBeforeS)
+          val p = plan(inPath, gcBeforeS)
+          val keepGens = (p.singles ++ p.blocked)
+            .map(id => s"nb-${id.stripPrefix("sst-").toLong + 1}-big")
+            .toSet
+          val state = graft.sources.TempDirs.register(
+            java.nio.file.Files.createTempDirectory("graft-twcs-reingest"))
+          def copyAll(from: String, keep: String => Boolean): Unit =
+            Option(new java.io.File(from).listFiles())
+              .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+              .filter(f => keep(f.getName)).foreach { f =>
+                java.nio.file.Files.copy(f.toPath,
+                  state.resolve(f.getName))
+                ()
+              }
+          copyAll(outPath, _ => true)
+          copyAll(inPath, n => keepGens.exists(n.startsWith))
+          state.toString
+        })
+        reingestMemo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** q191: TWCS RE-INGESTION (q186/q175's time-window twin) — the
+    * compacted state re-enters the strategy's own decision table off
+    * its REAL files and is STABLE: every live window now holds one
+    * sstable (nothing left to merge — TWCS's steady state, the
+    * property that makes it O(1) rewrites per datum), the dropped file
+    * is gone, and the blocked candidate is STILL blocked (its
+    * tombstones keep shadowing until the overlapping older live data
+    * ages out). One row per surviving sstable with its re-derived
+    * window, expiry, blockers and next action. */
+  def reingestTable(spark: SparkSession, dir: String,
+      gcBeforeS: Long = Fixtures.GcBeforeS): DataFrame = {
+    val state = ensureReingestState(spark, dir, gcBeforeS)
+    import spark.implicits._
+    decisionRows(state, gcBeforeS)
+      .toDF("sstable_id", "win", "expired", "blockers", "action")
+      .orderBy("sstable_id")
+  }
+
   /** q188: the full TWCS relation — one row per unit: merged windows
     * read back from the REAL sstable the compaction wrote, passthrough
     * (single-window) files from the untouched originals, the BLOCKED

@@ -4171,6 +4171,10 @@ ORDER BY 1"""
       // q189: three-replica repair — leaf-correlated divergence, the
       // per-leaf direction matrix, and all three convergence flags.
       ("q189_repair_matrix" -> q189Sql) +
+      // q190: the TWCS what-if planner (read-only decision table).
+      ("q190_twcs_whatif" -> q190Sql) +
+      // q191: TWCS re-ingestion — the compacted state is STABLE.
+      ("q191_twcs_reingest" -> q191Sql) +
       // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
       // assignment, sidecar-equivalent min/max range discovery, overlap
       // selection, one LWW merge over L0+partners, unconditional purge
@@ -5273,13 +5277,11 @@ FROM m JOIN srcs s USING (leaf)
 ORDER BY m.leaf"""
   }
 
-  /** q188: the executed TWCS cycle over the twcsx banded set — window
-    * assignment (max write-day div 640 per sstable), fully-expired
-    * candidacy, the q178 blocker rule deciding drop vs blocked, the
-    * ≥2-member live window's LWW merge under the per-window
-    * conservative purge guard, and one rollup row per unit. See
-    * [[graft.ops.TwcsCompaction]] for the semantics being checked. */
-  private lazy val q188Sql: String = s"""WITH $fixtures,
+  /** The q188 chain's WITH-prefix (shared with q190's what-if and
+    * q191's re-ingestion): the twcsx band mapping, per-sstable stats,
+    * expiry+blocker tagging, window buckets and the merged-window
+    * `xkept` relation. */
+  private lazy val q188Ctes: String = s"""WITH $fixtures,
 xmapped AS (
   SELECT CASE WHEN is_tombstone AND local_deletion_time_s < $GcBeforeS THEN
            CASE WHEN timestamp_us // 86400000000 < 1920 THEN 'sst-4'
@@ -5339,7 +5341,15 @@ xkept AS (
     NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
     OR EXISTS (SELECT 1 FROM xoutkeys o
                WHERE o.swin = xranked.swin AND o.key = xranked.key))
-),
+)"""
+
+  /** q188: the executed TWCS cycle over the twcsx banded set — window
+    * assignment (max write-day div 640 per sstable), fully-expired
+    * candidacy, the q178 blocker rule deciding drop vs blocked, the
+    * ≥2-member live window's LWW merge under the per-window
+    * conservative purge guard, and one rollup row per unit. See
+    * [[graft.ops.TwcsCompaction]] for the semantics being checked. */
+  private lazy val q188Sql: String = q188Ctes + s""",
 xunits AS (
   SELECT 'window-' || CAST(swin AS VARCHAR) AS unit,
     'compacted' AS action, swin, members AS sstables_in,
@@ -5372,6 +5382,59 @@ SELECT unit, action, CAST(swin AS BIGINT) AS win,
   CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM xunits GROUP BY 1, 2, 3 ORDER BY unit"""
+
+  /** Shared q190/q191 decision select: per-sstable window, expiry,
+    * blocker count and next action over a stats relation named `s`
+    * with a live-multi-window relation named by `multi`. */
+  private def twcsDecisionSelect(stats: String, multi: String): String = s"""
+SELECT s.sstable_id, CAST(s.swin AS BIGINT) AS win,
+  (s.maxldt < $GcBeforeS) AS expired,
+  CAST(CASE WHEN s.maxldt < $GcBeforeS THEN
+    (SELECT COUNT(*) FROM $stats b WHERE b.maxldt >= $GcBeforeS
+       AND b.fk <= s.lk AND b.lk >= s.fk AND b.mints <= s.maxts)
+    ELSE 0 END AS BIGINT) AS blockers,
+  CASE WHEN s.maxldt < $GcBeforeS AND NOT EXISTS
+         (SELECT 1 FROM $stats b WHERE b.maxldt >= $GcBeforeS
+            AND b.fk <= s.lk AND b.lk >= s.fk AND b.mints <= s.maxts)
+       THEN 'drop'
+       WHEN s.maxldt < $GcBeforeS THEN 'blocked'
+       WHEN s.swin IN (SELECT swin FROM $multi) THEN 'compact'
+       ELSE 'passthrough' END AS action
+FROM $stats s ORDER BY 1"""
+
+  /** q190: the TWCS what-if planner — the q188 decision table alone,
+    * no execution. */
+  private lazy val q190Sql: String =
+    q188Ctes + twcsDecisionSelect("xstats", "xmulti")
+
+  /** q191: TWCS re-ingestion — the post-compaction state (merged
+    * window outputs + passthrough + the blocked survivor; the dropped
+    * file gone) re-enters the decision table: steady state (every live
+    * window single-member, nothing to compact; the blocked candidate
+    * still blocked). */
+  private lazy val q191Sql: String = q188Ctes + s""",
+newunits AS (
+  SELECT 'sst-' || CAST(${graft.ops.TwcsCompaction.OutGenBase} + swin
+      AS VARCHAR) AS sstable_id,
+    key, timestamp_us, local_deletion_time_s
+  FROM xkept
+  UNION ALL
+  SELECT m.sstable_id, m.key, m.timestamp_us, m.local_deletion_time_s
+  FROM xmapped m JOIN xtag t USING (sstable_id)
+  WHERE (t.expired AND t.is_blocked)
+     OR (NOT t.expired AND t.swin NOT IN (SELECT swin FROM xmulti))
+),
+nstats AS (
+  SELECT sstable_id, MIN(key) AS fk, MAX(key) AS lk,
+    MIN(timestamp_us) AS mints, MAX(timestamp_us) AS maxts,
+    MAX(local_deletion_time_s) AS maxldt,
+    (MAX(timestamp_us) // 86400000000) // 640 AS swin
+  FROM newunits GROUP BY 1
+),
+nmulti AS (
+  SELECT swin FROM nstats WHERE maxldt >= $GcBeforeS
+  GROUP BY 1 HAVING COUNT(*) >= 2
+)""" + twcsDecisionSelect("nstats", "nmulti")
 
   /** The q171 chain's WITH-prefix (shared with q186): everything through
     * the per-tier `kept` relation. */

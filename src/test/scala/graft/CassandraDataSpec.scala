@@ -1923,6 +1923,41 @@ class CassandraDataSpec extends SparkSpec {
       s"window-$mergeWin" -> "compacted"))
   }
 
+  test("TWCS what-if + re-ingestion (q190/q191): the decision table " +
+      "names every branch before execution, and the compacted state " +
+      "re-enters it STABLE — single-member windows, dropped file gone, " +
+      "blocked candidate still blocked (round 15)") {
+    import graft.ops.TwcsCompaction
+    val pre = TwcsCompaction.whatIf(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
+      .toMap
+    // the what-if names exactly the q188 branches, with the blocker
+    // counts justifying each expiry verdict
+    assert(pre("sst-4")._4 === "drop" && pre("sst-4")._3 === 0L)
+    assert(pre("sst-5")._4 === "blocked" && pre("sst-5")._3 >= 1L)
+    assert(pre("sst-2")._4 === "compact" && pre("sst-3")._4 === "compact")
+    assert(pre("sst-0")._4 === "passthrough" &&
+      pre("sst-1")._4 === "passthrough")
+    // re-ingestion: the post state is TWCS's steady state
+    val post = TwcsCompaction.reingestTable(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(!post.contains("sst-4"), "dropped file resurfaced")
+    assert(!post.contains("sst-2") && !post.contains("sst-3"),
+      "merged members survived as themselves")
+    // nothing left to compact: every live window holds one sstable
+    assert(post.values.forall(_._4 != "compact"))
+    assert(post.count(_._2._4 == "passthrough") === 3) // sst-0/1 + merged
+    // the blocked candidate is STILL blocked (older live data remains)
+    assert(post("sst-5")._4 === "blocked" && post("sst-5")._3 >= 1L)
+    // the merged output keeps its window (max timestamp unchanged)
+    val mergedId = post.keys.find(_.stripPrefix("sst-")
+      .toLongOption.exists(_ >= TwcsCompaction.OutGenBase)).get
+    assert(post(mergedId)._1 === pre("sst-2")._1)
+  }
+
   test("matrix repair (q189): per-leaf MINIMAL streaming — every " +
       "stream targets the one replica missing the leaf, sourced from " +
       "the lowest-indexed complete replica; all three replicas " +

@@ -52,7 +52,17 @@ class CliMainSpec extends SparkSpec {
       "--twcs", "--leveled")).isLeft)
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--twcs", "--sidecar-sized")).isLeft)
-    assert(Main.parse(Seq("compact", "--twcs")).isLeft) // execute-only
+    // bare --twcs = the read-only what-if (like --leveled)
+    assert(Main.parse(Seq("compact", "--twcs")) ===
+      Right(Main.Opts("compact", twcs = true)))
+    // --again applies to --leveled or --twcs, execute-only
+    assert(Main.parse(Seq("compact", "--twcs", "--again")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--minor", "--again")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--twcs", "--again")) === Right(Main.Opts("compact",
+      execute = true, twcs = true, again = true, keyspace = "ks1",
+      table = "lineitem")))
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--matrix"))
       .isLeft) // --matrix requires --execute
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
@@ -389,7 +399,13 @@ class CliMainSpec extends SparkSpec {
     // three-replica matrix repair (round 15): per-leaf direction
     // matrix + all three convergence flags frozen
     "repair_execute_matrix" ->
-      Seq("repair", "ks1", "lineitem", "--execute", "--matrix"))
+      Seq("repair", "ks1", "lineitem", "--execute", "--matrix"),
+    // TWCS what-if (round 15): the read-only decision table
+    "compact_twcs_whatif" -> Seq("compact", "--twcs"),
+    // TWCS re-ingestion (round 15): the compacted state's steady state
+    "compact_execute_twcs_again" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--twcs",
+        "--again"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -922,6 +922,19 @@ object SparkEntry {
     // blocked candidate still blocked
     "q191_twcs_reingest" -> ((s, d) =>
       graft.ops.TwcsCompaction.reingestTable(s, d)),
+    // the MATRIX session's closing act (round 15; q184's N-replica
+    // twin): all three converged replicas stamped repairedAt, after
+    // which the incremental digest reads NOTHING on any of them —
+    // detect, stream per the matrix, converge, mark, never re-verify
+    "q192_repair_matrix_mark" -> ((s, d) =>
+      graft.ops.RepairMatrix.markCycle(s, d)),
+    // STANDING streaming STCS size ladder (round 15, the third
+    // oracle-checked streaming query): per-sstable modeled volume as a
+    // complete-mode standing aggregate over arriving sstables, tier +
+    // selection derived from the standing state — continuous
+    // compaction planning ("which tier compacts next" always current)
+    "q193_streaming_tiers" -> ((s, d) =>
+      graft.streaming.StreamingStats.tierLadderOnce(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

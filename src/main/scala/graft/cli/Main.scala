@@ -58,7 +58,7 @@ object Main {
     case "verify" => "Usage: verify"
     case "repair" =>
       "Usage: repair <keyspace> <table> " +
-        "[--ranges | --incremental | --execute [--mark | --matrix]]"
+        "[--ranges | --incremental | --execute [--matrix] [--mark]]"
     case "blockers" => "Usage: blockers <keyspace> <table>"
     case "split" => "Usage: split <keyspace> <table>"
     case "levelreset" => "Usage: levelreset <keyspace> <table>"
@@ -236,7 +236,6 @@ object Main {
               Left(usage(cmd))
             else if (o.mark && !o.execute) Left(usage(cmd))
             else if (o.matrix && !o.execute) Left(usage(cmd))
-            else if (o.matrix && o.mark) Left(usage(cmd))
             else positional match {
               case Seq(ks, cf) => Right(o.copy(keyspace = ks,
                 table = graft.ops.Summary.resolveStore(cf)))
@@ -315,6 +314,8 @@ object Main {
         out(tracked("repair")(
           if (o.ranges) Reports.repairRanges(spark, dir)
           else if (o.incremental) Reports.repairIncremental(spark, dir)
+          else if (o.execute && o.matrix && o.mark)
+            Reports.repairMatrixMark(spark, dir)
           else if (o.execute && o.mark) Reports.repairMarkCycle(spark, dir)
           else if (o.execute && o.matrix) Reports.repairMatrix(spark, dir)
           else if (o.execute) Reports.repairExecute(spark, dir)

@@ -376,6 +376,14 @@ object Reports {
       "convergence vs the union)",
       graft.ops.RepairMatrix.roundtrip(spark, dir))
 
+  /** `repair <ks> <cf> --execute --matrix --mark` — the 3-replica
+    * session's closing act (q192): every converged replica marked,
+    * zero incremental reads remain anywhere. */
+  def repairMatrixMark(spark: SparkSession, dir: String): String =
+    section("Matrix repair mark cycle (all 3 converged replicas " +
+      "stamped repairedAt; the incremental digest reads nothing)",
+      graft.ops.RepairMatrix.markCycle(spark, dir))
+
   /** `repair <ks> <cf> --execute --mark` — the session's closing act:
     * converged replica marked repairedAt; the next incremental digest
     * reads nothing (q184). */

@@ -147,6 +147,79 @@ object RepairMatrix {
     Session(paths, pre, uni, srcFor, intoDirs)
   }
 
+  private val cycleMemo = new java.util.HashMap[String,
+    (SparkSession, Slot[Seq[(String, String)]])]()
+
+  /** Per replica: (converged-but-unmarked dir, the same set with every
+    * Statistics.db stamped repairedAt) — the 3-replica session's
+    * closing act (q184's two-replica twin), session-memoized. */
+  def ensureCycle(spark: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|r3cyc"
+    val slot = cycleMemo.synchronized {
+      val it = cycleMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = cycleMemo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot[Seq[(String, String)]](() => {
+          val sess = ensureSession(spark, dir)
+          (0 until Replicas).map { r =>
+            val conv = graft.sources.TempDirs.register(
+              java.nio.file.Files.createTempDirectory(
+                s"graft-repair3-conv$r"))
+            def copyAll(from: String): Unit =
+              Option(new java.io.File(from).listFiles())
+                .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+                .foreach { f =>
+                  java.nio.file.Files.copy(f.toPath,
+                    conv.resolve(f.getName))
+                  ()
+                }
+            copyAll(sess.paths(r)); copyAll(sess.intoDirs(r))
+            (conv.toString, Repair.markDir(conv.toString))
+          }
+        })
+        cycleMemo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** q192: the matrix session's CLOSING act — every replica's
+    * converged set (own files ∪ its streamed-in sstables) stamped
+    * repairedAt, after which the next incremental digest reads NOTHING
+    * on ANY replica: one row per (replica, state) with the raw
+    * incremental event/leaf/digest triple collapsing to zero — the
+    * q184 cycle generalized to the coordinated N-replica session. */
+  def markCycle(spark: SparkSession, dir: String): DataFrame = {
+    val cycles = ensureCycle(spark, dir)
+    def row(tag: String, path: String): DataFrame = {
+      val sstables = Option(new java.io.File(path)
+          .listFiles((_, n) => n.endsWith("-Data.db")))
+        .map(_.length.toLong).getOrElse(0L)
+      val unrepaired = AntiEntropy.unrepairedGens(path).length.toLong
+      AntiEntropy.incrementalDigest(spark, path)
+        .agg(
+          count(lit(1)).as("events"),
+          coalesce(countDistinct(shiftright(AntiEntropy.token(col("key")),
+            AntiEntropy.TokenLeafShift)), lit(0L)).as("leaves"),
+          coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
+            col("key"), col("clustering"), col("column_name"),
+            col("kind"), col("timestamp_us"), col("ttl_s"),
+            col("local_deletion_time_s"), col("size_bytes"))) %
+            1000003L), lit(0L)).as("digest"))
+        .select(lit(tag).as("state"), lit(sstables).as("sstables"),
+          lit(unrepaired).as("unrepaired_sstables"),
+          col("events"), col("leaves"), col("digest"))
+    }
+    cycles.zipWithIndex.map { case ((conv, marked), r) =>
+      row(s"r$r-converged", conv).unionByName(row(s"r$r-marked", marked))
+    }.reduce(_.unionByName(_)).orderBy("state")
+  }
+
   /** q189: the matrix repair relation — one row per token leaf: each
     * replica's pre-repair merged (events, digest-match) state, the
     * union, the chosen source per target (−1 = already converged), and

@@ -4173,6 +4173,13 @@ ORDER BY 1"""
       ("q189_repair_matrix" -> q189Sql) +
       // q190: the TWCS what-if planner (read-only decision table).
       ("q190_twcs_whatif" -> q190Sql) +
+      // q192: the matrix session's closing act — mark all 3 replicas.
+      ("q192_repair_matrix_mark" -> q192Sql) +
+      // q193: the STANDING streaming STCS size ladder.
+      ("q193_streaming_tiers" -> (q171Ctes + """
+SELECT g.sstable_id, p.bytes AS model_bytes,
+  CAST(g.tier AS BIGINT) AS tier, g.selected
+FROM tagged g JOIN persst p USING (sstable_id) ORDER BY 1""")) +
       // q191: TWCS re-ingestion — the compacted state is STABLE.
       ("q191_twcs_reingest" -> q191Sql) +
       // q172: leveled compaction — ntile(4) L1 ranges + ts%10 L0 flush
@@ -5195,7 +5202,29 @@ FROM ntier t JOIN ncnt c USING (tier) ORDER BY t.sstable_id"""
     * source; convergence folds own ∪ streamed per replica. All merged
     * (DISTINCT) views, mirroring the Merkle-over-read-path semantics
     * the operator implements. */
-  private lazy val q189Sql: String = {
+  /** Shared q189/q192 helpers: replica r's hole predicate, per-replica
+    * merged leaf CTE, and the matrix source-selection CASE. */
+  private def r3Hole(r: Int, q: String = "") =
+    s"(${q}leaf % 3 = $r AND ${q}sliver = 0)"
+  private def r3Lcte(r: Int) = s"""
+l$r AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS e$r,
+    CAST(SUM(eh) AS BIGINT) AS d$r
+  FROM dev WHERE NOT ${r3Hole(r)} GROUP BY 1
+)"""
+  // source for target t: -1 when t already matches the union, else
+  // the lowest index among the OTHER replicas whose digest matches
+  private def r3SrcCase(t: Int) = {
+    val others = (0 until 3).filter(_ != t)
+    s"CASE WHEN COALESCE(d$t, -1) = du THEN -1 " +
+      others.map(o => s"WHEN COALESCE(d$o, -1) = du THEN $o ")
+        .mkString + "END AS s" + t
+  }
+
+  /** The q189 chain's WITH-prefix (shared with q192): the sliver
+    * mapping, hashed events, merged (distinct) views, per-replica and
+    * union leaf digests, and the `srcs` direction matrix. */
+  private lazy val q189Ctes: String = {
     val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
       "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
       "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
@@ -5203,33 +5232,6 @@ FROM ntier t JOIN ncnt c USING (tier) ORDER BY t.sstable_id"""
       "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
       "CAST(size_bytes AS VARCHAR)")
     val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
-    def hole(r: Int, q: String = "") =
-      s"(${q}leaf % 3 = $r AND ${q}sliver = 0)"
-    def lcte(r: Int) = s"""
-l$r AS (
-  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS e$r,
-    CAST(SUM(eh) AS BIGINT) AS d$r
-  FROM dev WHERE NOT ${hole(r)} GROUP BY 1
-)"""
-    // post-repair view of replica r: own events, plus — when the matrix
-    // streams source s to r — s's events in that leaf
-    def pcte(r: Int) = s"""
-p$r AS (
-  SELECT d.leaf, CAST(SUM(d.eh) AS BIGINT) AS pd$r
-  FROM dev d JOIN srcs s ON d.leaf = s.leaf
-  WHERE NOT ${hole(r, "d.")}
-     ${(0 until 3).filter(_ != r).map(o =>
-        s"OR (s.s$r = $o AND NOT ${hole(o, "d.")})").mkString("\n     ")}
-  GROUP BY 1
-)"""
-    // source for target t: -1 when t already matches the union, else
-    // the lowest index among the OTHER replicas whose digest matches
-    def srcCase(t: Int) = {
-      val others = (0 until 3).filter(_ != t)
-      s"CASE WHEN COALESCE(d$t, -1) = du THEN -1 " +
-        others.map(o => s"WHEN COALESCE(d$o, -1) = du THEN $o ")
-          .mkString + "END AS s" + t
-    }
     s"""WITH $fixtures,
 rmapped AS (
   SELECT key, clustering, column_name, kind, timestamp_us,
@@ -5248,7 +5250,7 @@ dev AS (
   SELECT DISTINCT key, clustering, column_name, kind, timestamp_us,
     ttl_s, local_deletion_time_s, size_bytes, eh, leaf, sliver
   FROM rev
-),${lcte(0)},${lcte(1)},${lcte(2)},
+),${r3Lcte(0)},${r3Lcte(1)},${r3Lcte(2)},
 uni AS (
   SELECT leaf, CAST(COUNT(*) AS BIGINT) AS eu,
     CAST(SUM(eh) AS BIGINT) AS du
@@ -5260,9 +5262,24 @@ m AS (
     LEFT JOIN l2 USING (leaf)
 ),
 srcs AS (
-  SELECT leaf, ${srcCase(0)}, ${srcCase(1)}, ${srcCase(2)}
+  SELECT leaf, ${r3SrcCase(0)}, ${r3SrcCase(1)}, ${r3SrcCase(2)}
   FROM m
-),${pcte(0)},${pcte(1)},${pcte(2)}
+)"""
+  }
+
+  private lazy val q189Sql: String = {
+    // post-repair view of replica r: own events, plus — when the matrix
+    // streams source s to r — s's events in that leaf
+    def pcte(r: Int) = s"""
+p$r AS (
+  SELECT d.leaf, CAST(SUM(d.eh) AS BIGINT) AS pd$r
+  FROM dev d JOIN srcs s ON d.leaf = s.leaf
+  WHERE NOT ${r3Hole(r, "d.")}
+     ${(0 until 3).filter(_ != r).map(o =>
+        s"OR (s.s$r = $o AND NOT ${r3Hole(o, "d.")})").mkString("\n     ")}
+  GROUP BY 1
+)"""
+    q189Ctes + s""",${pcte(0)},${pcte(1)},${pcte(2)}
 SELECT m.leaf,
   COALESCE(e0, 0) AS r0_events, COALESCE(e1, 0) AS r1_events,
   COALESCE(e2, 0) AS r2_events, eu AS u_events,
@@ -5275,6 +5292,44 @@ FROM m JOIN srcs s USING (leaf)
   LEFT JOIN p0 USING (leaf) LEFT JOIN p1 USING (leaf)
   LEFT JOIN p2 USING (leaf)
 ORDER BY m.leaf"""
+  }
+
+  /** q192: the matrix session's closing act — per replica, the RAW
+    * incremental triple of the converged set (own files ∪ its streamed
+    * sstables; the incremental digest reads raw rows, so no distinct)
+    * vs the marked set's zero row. */
+  private lazy val q192Sql: String = {
+    def conv(r: Int) = s"""
+conv$r AS (
+  SELECT eh, leaf FROM rev WHERE NOT ${r3Hole(r)}
+  ${(0 until 3).filter(_ != r).map(o => s"""
+  UNION ALL
+  SELECT v.eh, v.leaf FROM rev v JOIN srcs s ON v.leaf = s.leaf
+  WHERE s.s$r = $o AND NOT ${r3Hole(o, "v.")}""").mkString}
+),
+ns$r AS (
+  SELECT CAST((SELECT COUNT(DISTINCT sstable_id) FROM licells) +
+    (SELECT COUNT(DISTINCT s$r) FROM srcs WHERE s$r >= 0)
+    AS BIGINT) AS sst
+)"""
+    def rows(r: Int) = s"""
+SELECT 'r$r-converged' AS state, ns.sst AS sstables,
+  ns.sst AS unrepaired_sstables,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT leaf) AS BIGINT) AS leaves,
+  CAST(SUM(eh) AS BIGINT) AS digest
+FROM conv$r, ns$r ns GROUP BY ns.sst
+UNION ALL
+SELECT 'r$r-marked', ns.sst, CAST(0 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ns$r ns"""
+    q189Ctes + s""",${conv(0)},${conv(1)},${conv(2)}
+${rows(0)}
+UNION ALL
+${rows(1)}
+UNION ALL
+${rows(2)}
+ORDER BY state"""
   }
 
   /** The q188 chain's WITH-prefix (shared with q190's what-if and

@@ -167,6 +167,64 @@ object StreamingStats {
     spark.table(name).orderBy("leaf")
   }
 
+  /** Continuously maintained STCS SIZE LADDER (round 15): the per-
+    * sstable modeled volume — the input of size-tiered compaction
+    * SELECTION — as one standing streaming aggregate over arriving
+    * sstables, so "which tier compacts next" is always current instead
+    * of recomputed per planning pass. One (sum) per sstable: O(#files)
+    * state, forever. */
+  def liveTierLadder(spark: SparkSession, sstableDir: String,
+      format: String = graft.sources.datadb.DataDbScan.FormatGraft)
+      : DataFrame =
+    spark.readStream.format("sstable-data").option("format", format)
+      .load(sstableDir)
+      .groupBy("sstable_id")
+      .agg(sum(lit(graft.ops.Compaction.EventOverheadBytes) +
+        col("size_bytes")).as("model_bytes"))
+
+  private val tierRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q193: run [[liveTierLadder]] over the real TIERED set to a
+    * complete-mode memory sink until all available sstables are
+    * processed, then derive tier and selection from the standing state
+    * (the driver-side ladder step the batch tier table runs — a
+    * streaming query cannot chain a second stateful aggregate, and the
+    * ladder is O(#files) coordinator state anyway). `length(bin(x))`
+    * IS the bit-length, so the tier rule is the batch `tierOf`
+    * bit-for-bit. The streaming surface's THIRD oracle-checked query:
+    * the compaction-planning shape, after q181's digest and q187's
+    * counters. */
+  def tierLadderOnce(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.datadb.CassandraDataFixture
+      .ensureTieredFiles(spark, dir)
+    val name = s"graft_stream_tiers_${tierRuns.incrementAndGet()}"
+    val src = liveTierLadder(spark,
+      // normalize ids inside the stream so the standing state is keyed
+      // the way every tier relation is keyed
+      path, graft.sources.datadb.DataDbScan.FormatCassandra)
+    val q = src
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val standing = spark.table(name)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    val t = standing.withColumn("tier",
+      length(bin(greatest(
+        expr(s"model_bytes div ${graft.ops.MinorCompaction.MinTierBytes}"),
+        lit(1L)))).cast("long"))
+    val members = t.groupBy("tier")
+      .agg(count(lit(1)).as("members"))
+    t.join(members, "tier")
+      .select(col("sstable_id"), col("model_bytes"), col("tier"),
+        (col("members") >= graft.ops.MinorCompaction.MinThreshold)
+          .as("selected"))
+      .orderBy("sstable_id")
+  }
+
   /** Streaming exact dedup: drop repeated documents as they arrive, with
     * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
     * only until the watermark passes it, so the dedup works on an unbounded

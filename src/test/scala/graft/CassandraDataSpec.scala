@@ -2001,6 +2001,40 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("matrix mark cycle (q192): all three converged replicas stamp " +
+      "repairedAt and the incremental digest reads NOTHING on any of " +
+      "them (round 15)") {
+    import graft.ops.RepairMatrix
+    val rows = RepairMatrix.markCycle(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size === 6)
+    for (r <- 0 until RepairMatrix.Replicas) {
+      val (cSst, cUnrep, cEv, cLeaves, _) = rows(s"r$r-converged")
+      val (mSst, mUnrep, mEv, mLeaves, mDigest) = rows(s"r$r-marked")
+      // converged-but-unmarked: everything is unrepaired and readable
+      assert(cUnrep === cSst && cEv > 0L && cLeaves > 0L)
+      // marked: same files on disk, zero planned reads
+      assert(mSst === cSst)
+      assert(mUnrep === 0L && mEv === 0L && mLeaves === 0L &&
+        mDigest === 0L)
+    }
+  }
+
+  test("streaming tier ladder (q193): the standing per-sstable model " +
+      "volumes yield the SAME tier table the batch selection computes " +
+      "(round 15)") {
+    val got = graft.streaming.StreamingStats.tierLadderOnce(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toInt,
+        r.getBoolean(3)))
+      .sortBy(_._1)
+    val want = graft.ops.MinorCompaction.tierTable(spark, Sf0001)
+      .sortBy(_._1)
+    assert(got.map(g => (g._1, g._3, g._4)) === want)
+    assert(got.forall(_._2 > 0L))
+  }
+
   test("repair marking is metadata-only: every non-Statistics file " +
       "byte-identical to the base set; stats differ ONLY in repairedAt " +
       "(round 13)") {

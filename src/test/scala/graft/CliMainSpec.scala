@@ -66,10 +66,12 @@ class CliMainSpec extends SparkSpec {
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--matrix"))
       .isLeft) // --matrix requires --execute
     assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
-      "--matrix", "--mark")).isLeft)
-    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
       "--matrix")) === Right(Main.Opts("repair", execute = true,
       matrix = true, keyspace = "ks1", table = "lineitem")))
+    assert(Main.parse(Seq("repair", "ks1", "lineitem", "--execute",
+      "--matrix", "--mark")) === Right(Main.Opts("repair",
+      execute = true, matrix = true, mark = true, keyspace = "ks1",
+      table = "lineitem")))
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
       "--twcs")) === Right(Main.Opts("compact", execute = true,
       twcs = true, keyspace = "ks1", table = "lineitem")))
@@ -405,7 +407,11 @@ class CliMainSpec extends SparkSpec {
     // TWCS re-ingestion (round 15): the compacted state's steady state
     "compact_execute_twcs_again" ->
       Seq("compact", "--execute", "ks1", "lineitem", "--twcs",
-        "--again"))
+        "--again"),
+    // matrix mark cycle (round 15): all 3 replicas marked, zero reads
+    "repair_execute_matrix_mark" ->
+      Seq("repair", "ks1", "lineitem", "--execute", "--matrix",
+        "--mark"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

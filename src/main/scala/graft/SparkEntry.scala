@@ -935,6 +935,14 @@ object SparkEntry {
     // compaction planning ("which tier compacts next" always current)
     "q193_streaming_tiers" -> ((s, d) =>
       graft.streaming.StreamingStats.tierLadderOnce(s, d)),
+    // MULTI-SOURCE merge repair (round 15): uniform divergence — every
+    // replica missing a sliver of EVERY leaf — defeats single-source
+    // selection, so the plan fans out to ALL other replicas per needy
+    // leaf and the destination's merge assembles the union (Cassandra's
+    // merge-on-arrival streaming model); the q189 minimal rule still
+    // applies wherever a complete source exists
+    "q194_repair_multisource" -> ((s, d) =>
+      graft.ops.RepairMultiSource.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -58,7 +58,7 @@ object RepairMatrix {
 
   /** Token-leaf digest of the MERGED (distinct) view of one or more
     * sstable directories, PlanCache-persisted per (session, dirs). */
-  private def mergedDigest(spark: SparkSession,
+  private[ops] def mergedDigest(spark: SparkSession,
       dirs: Seq[String]): DataFrame =
     graft.sources.PlanCache.cached(spark,
       s"tokleafdigest-merged|${dirs.sorted.mkString(",")}")(
@@ -66,7 +66,7 @@ object RepairMatrix {
         dirs.map(d => scanOf(spark, d).select(EvCols.map(col): _*))
           .reduce(_.unionByName(_)).distinct()))
 
-  private def digestMap(df: DataFrame): Map[Long, (Long, Long)] =
+  private[ops] def digestMap(df: DataFrame): Map[Long, (Long, Long)] =
     df.collect().map(r =>
       r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 

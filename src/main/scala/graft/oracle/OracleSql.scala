@@ -4175,6 +4175,8 @@ ORDER BY 1"""
       ("q190_twcs_whatif" -> q190Sql) +
       // q192: the matrix session's closing act — mark all 3 replicas.
       ("q192_repair_matrix_mark" -> q192Sql) +
+      // q194: multi-source merge repair under uniform divergence.
+      ("q194_repair_multisource" -> q194Sql) +
       // q193: the STANDING streaming STCS size ladder.
       ("q193_streaming_tiers" -> (q171Ctes + """
 SELECT g.sstable_id, p.bytes AS model_bytes,
@@ -5330,6 +5332,85 @@ ${rows(1)}
 UNION ALL
 ${rows(2)}
 ORDER BY state"""
+  }
+
+  /** q194: the multi-source merge repair — uniform (leaf-uncorrelated)
+    * divergence with sliver (key+clustering)%31 == r per replica; per
+    * (leaf, target) the plan streams from the lowest matching replica
+    * when one exists, else from ALL others; convergence folds the
+    * merged union per replica. */
+  private lazy val q194Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    def hole(r: Int, q: String = "") = s"(${q}sliver = $r)"
+    def mt(r: Int) = s"(COALESCE(d$r, -1) = du)"
+    def lcte(r: Int) = s"""
+l$r AS (
+  SELECT leaf, CAST(SUM(eh) AS BIGINT) AS d$r
+  FROM dev WHERE NOT ${hole(r)} GROUP BY 1
+)"""
+    def pcte(r: Int) = {
+      val Seq(a, b) = (0 until 3).filter(_ != r)
+      s"""
+p$r AS (
+  SELECT d.leaf, CAST(SUM(d.eh) AS BIGINT) AS pd$r
+  FROM dev d JOIN m ON d.leaf = m.leaf
+  WHERE NOT ${hole(r, "d.")}
+     OR (NOT ${mt(r)} AND CASE
+          WHEN ${mt(a)} THEN NOT ${hole(a, "d.")}
+          WHEN ${mt(b)} THEN NOT ${hole(b, "d.")}
+          ELSE (NOT ${hole(a, "d.")} OR NOT ${hole(b, "d.")}) END)
+  GROUP BY 1
+)"""
+    }
+    def nsrc(r: Int) = {
+      val Seq(a, b) = (0 until 3).filter(_ != r)
+      s"CAST(CASE WHEN ${mt(r)} THEN 0 " +
+        s"WHEN ${mt(a)} OR ${mt(b)} THEN 1 ELSE 2 END AS BIGINT) " +
+        s"AS nsrc_r$r"
+    }
+    s"""WITH $fixtures,
+rmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    (key + clustering) % 31 AS sliver
+  FROM licells
+),
+rev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM rmapped
+),
+dev AS (
+  SELECT DISTINCT key, clustering, column_name, kind, timestamp_us,
+    ttl_s, local_deletion_time_s, size_bytes, eh, leaf, sliver
+  FROM rev
+),${lcte(0)},${lcte(1)},${lcte(2)},
+uni AS (
+  SELECT leaf, CAST(COUNT(*) AS BIGINT) AS eu,
+    CAST(SUM(eh) AS BIGINT) AS du
+  FROM dev GROUP BY 1
+),
+m AS (
+  SELECT uni.leaf, eu, du, d0, d1, d2
+  FROM uni LEFT JOIN l0 USING (leaf) LEFT JOIN l1 USING (leaf)
+    LEFT JOIN l2 USING (leaf)
+),${pcte(0)},${pcte(1)},${pcte(2)}
+SELECT m.leaf, eu AS u_events,
+  ${mt(0)} AS r0_matched, ${mt(1)} AS r1_matched, ${mt(2)} AS r2_matched,
+  ${nsrc(0)}, ${nsrc(1)}, ${nsrc(2)},
+  (pd0 = du) AS r0_converged, (pd1 = du) AS r1_converged,
+  (pd2 = du) AS r2_converged
+FROM m LEFT JOIN p0 USING (leaf) LEFT JOIN p1 USING (leaf)
+  LEFT JOIN p2 USING (leaf)
+ORDER BY m.leaf"""
   }
 
   /** The q188 chain's WITH-prefix (shared with q190's what-if and

@@ -183,6 +183,22 @@ object CassandraDataFixture {
       frameOverride = Some(frame))
   }
 
+  /** One of three UNIFORMLY-diverged replicas (round 15, q194's
+    * divergence model — the regime [[ensureMatrixReplicaFiles]]
+    * deliberately avoids): replica `r` misses the events with
+    * (key+clustering) % 31 == r in EVERY token leaf, so (wherever all
+    * three slivers land in a leaf) NO single replica holds the leaf
+    * complete and a per-leaf repair must merge streams from MULTIPLE
+    * sources. The union of the three is still the full corpus. */
+  def ensureUniformReplicaFiles(spark: SparkSession, dir: String,
+      r: Long): String = {
+    require(0 <= r && r < 3, s"replica index out of range: $r")
+    val frame = Fixtures.cells(spark, dir)
+      .where(pmod(col("key") + col("clustering"), lit(31L)) =!= r)
+    ensureVariant(spark, dir, s"ureplica$r", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   /** The EXECUTED-TWCS input set (round 15, q188's input): the q178
     * banded layout reshaped so the strategy's every branch has a
     * subject —

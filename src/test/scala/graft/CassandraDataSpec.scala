@@ -2035,6 +2035,43 @@ class CassandraDataSpec extends SparkSpec {
     assert(got.forall(_._2 > 0L))
   }
 
+  test("multi-source merge repair (q194): uniform divergence defeats " +
+      "single-source selection — needy leaves fan out to ALL other " +
+      "replicas and the destination merge still converges everywhere " +
+      "(round 15)") {
+    import graft.ops.RepairMultiSource
+    val s = RepairMultiSource.ensureSession(spark, Sf0001)
+    // the fanout regime genuinely occurs: some (leaf, target) has BOTH
+    // other replicas as sources
+    assert(s.srcsFor.values.exists(_.size === 2))
+    // and the q189 minimal rule still governs: a multi-source plan is
+    // only issued when NO single replica matches the union there
+    for (((leaf, t), ss) <- s.srcsFor) {
+      def m(r: Int) = s.pre(r).get(leaf).map(_._2) ==
+        s.uni.get(leaf).map(_._2)
+      assert(!m(t))
+      if (ss.size == 1) assert(m(ss.head))
+      else {
+        assert(ss.sorted === (0 until RepairMultiSource.Replicas)
+          .filter(_ != t))
+        (0 until RepairMultiSource.Replicas).filter(_ != t)
+          .foreach(r => assert(!m(r)))
+      }
+    }
+    val rows = RepairMultiSource.roundtrip(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // matched <=> zero sources; everyone converges post-merge
+      for (i <- 0 until 3) {
+        val matched = r.getBoolean(2 + i)
+        val nsrc = r.getLong(5 + i)
+        assert(matched === (nsrc === 0L))
+        assert(r.getBoolean(8 + i),
+          s"leaf ${r.getLong(0)} replica $i did not converge")
+      }
+    }
+  }
+
   test("repair marking is metadata-only: every non-Statistics file " +
       "byte-identical to the base set; stats differ ONLY in repairedAt " +
       "(round 13)") {

@@ -1742,6 +1742,39 @@ class CassandraDataSpec extends SparkSpec {
       "the single-reducer pmod partition spec is back")
   }
 
+  test("sstablesplit shard assignment property: two-level ≡ plain " +
+      "window across bucket counts and key-domain shapes (round 15)") {
+    import graft.ops.SstableSplit
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "dense" -> (0L until 300L).map(k => (k, (k % 17 + 1) * 8)),
+      "sparse" -> (1 to 200).map(i =>
+        (i.toLong * 1000000007L + rnd.nextInt(1000),
+          rnd.nextInt(5000).toLong + 1)),
+      "clustered" -> ((0 to 120).map(i => (i.toLong, 64L)) ++
+        (0 to 120).map(i => (900000L + i, 32L))),
+      "two-keys" -> Seq((5L, 100L), (6L, 900L)))
+    for ((name, data) <- shapes;
+        buckets <- Seq(1, 3, 64, data.size * 2)) {
+      val perPart = data.distinctBy(_._1).toDF("key", "pb")
+      val total = perPart.agg(sum("pb")).head.getLong(0)
+      val got = SstableSplit
+        .shardAssignment(perPart, total, buckets = buckets)
+        .orderBy("key").collect().toSeq
+      val one = Window.orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val truth = perPart
+        .withColumn("before", coalesce(sum("pb").over(one), lit(0L)))
+        .select(col("key"),
+          least(expr(s"(before * ${SstableSplit.Shards}) div $total"),
+            lit(SstableSplit.Shards - 1L)).as("shard"))
+        .orderBy("key").collect().toSeq
+      assert(got === truth, s"shape=$name buckets=$buckets")
+    }
+  }
+
   test("expired blockers (q178): fully-expired candidacy read from real " +
       "Statistics.db, blockers decided by range overlap + older min " +
       "timestamp, all O(#files) metadata (round 14)") {

@@ -31,6 +31,17 @@ object ExpiredBlockers {
   final case class Meta(sstableId: String, firstKey: Long, lastKey: Long,
       minTsUs: Long, maxTsUs: Long, maxLdtS: Long)
 
+  /** THE blocker rule, shared by the report (q178) and the executed
+    * TWCS drop decision (q188/q190/q191): live sstable `b` blocks
+    * fully-expired candidate `c` when their key ranges overlap and
+    * b's min timestamp is at or below c's max (Cassandra drops only
+    * when every overlapping sstable is STRICTLY newer — an equal
+    * timestamp still blocks). Expiry itself (maxLdt < gcBefore) is the
+    * caller's candidacy test; this is purely the overlap half. */
+  def blocks(b: Meta, c: Meta): Boolean =
+    b.firstKey <= c.lastKey && b.lastKey >= c.firstKey &&
+      b.minTsUs <= c.maxTsUs
+
   /** Per-sstable sidecar metadata under `path` (same shape as
     * [[LeveledCompaction.metadata]] plus the timestamp/deletion-time
     * stats the expiry decision reads). */
@@ -66,11 +77,7 @@ object ExpiredBlockers {
     val rows = for {
       c <- expired
       b <- live
-      if b.firstKey <= c.lastKey && b.lastKey >= c.firstKey
-      // <= not <: Cassandra drops a fully-expired sstable only when every
-      // overlapping sstable's minTimestamp is STRICTLY newer than the
-      // candidate's maxTimestamp, so an equal-timestamp overlap blocks
-      if b.minTsUs <= c.maxTsUs
+      if blocks(b, c)
     } yield (c.sstableId, c.maxTsUs, c.maxLdtS, b.sstableId, b.minTsUs)
     import spark.implicits._
     rows.toDF("blocked_id", "blocked_max_ts", "blocked_max_ldt",

@@ -79,9 +79,8 @@ object TwcsCompaction {
     val metas = ExpiredBlockers.metadata(path)
     val candidates = metas.filter(_.maxLdtS < gcBeforeS)
     val live = metas.filterNot(_.maxLdtS < gcBeforeS)
-    val (blockedC, droppedC) = candidates.partition(c => live.exists(b =>
-      b.firstKey <= c.lastKey && b.lastKey >= c.firstKey &&
-        b.minTsUs <= c.maxTsUs))
+    val (blockedC, droppedC) = candidates.partition(c =>
+      live.exists(b => ExpiredBlockers.blocks(b, c)))
     val windowOf = metas.map(m =>
       m.sstableId -> dayOfUs(m.maxTsUs) / WindowDays).toMap
     val buckets = live.groupBy(m => windowOf(m.sstableId)).toSeq
@@ -220,8 +219,7 @@ object TwcsCompaction {
       val expired = m.maxLdtS < gcBeforeS
       val blockers =
         if (!expired) 0L
-        else live.count(b => b.firstKey <= m.lastKey &&
-          b.lastKey >= m.firstKey && b.minTsUs <= m.maxTsUs).toLong
+        else live.count(b => ExpiredBlockers.blocks(b, m)).toLong
       val action =
         if (p.dropped.contains(m.sstableId)) "drop"
         else if (p.blocked.contains(m.sstableId)) "blocked"

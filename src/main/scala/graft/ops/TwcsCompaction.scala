@@ -328,17 +328,20 @@ object TwcsCompaction {
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L - OutGenBase)
       .join(broadcast(winSizes), "win")
-    val ev = inputEvents(spark, inPath)
-    val winOfDf = p.windowOf.toSeq.toDF("sstable_id", "swin")
-    def originals(ids: Seq[String], action: String): DataFrame =
-      rollup(col("sstable_id"), lit(action), col("swin"), lit(1L),
-        ev.where(col("sstable_id").isin(ids: _*))
-          .join(broadcast(winOfDf), "sstable_id"))
+    // ONE scan covers every original-file unit: the per-sstable action
+    // (passthrough / blocked / dropped) is a broadcast O(#files) table,
+    // and the rollup groups by (unit, action) — three separate
+    // action-filtered scans would read the same files three times
+    val actionTable = (p.singles.map((_, "passthrough")) ++
+        p.blocked.map((_, "blocked")) ++ p.dropped.map((_, "dropped")))
+      .map { case (id, a) => (id, a, p.windowOf(id)) }
+      .toDF("sstable_id", "act", "swin")
+    val originals = inputEvents(spark, inPath)
+      .join(broadcast(actionTable), "sstable_id")
     rollup(concat(lit("window-"), col("win").cast("string")),
         lit("compacted"), col("win"), col("sstables_in"), merged)
-      .unionByName(originals(p.singles, "passthrough"))
-      .unionByName(originals(p.blocked, "blocked"))
-      .unionByName(originals(p.dropped, "dropped"))
+      .unionByName(rollup(col("sstable_id"), col("act"), col("swin"),
+        lit(1L), originals))
       .orderBy("unit")
   }
 }

@@ -167,22 +167,16 @@ object LeveledPromotion {
         outSelect(lit(s"sst-$outGenBase")): _*), out, level + 1)
     } else {
       // empty target range: split the survivors into byte-balanced
-      // shards (the q179 running-sum rule)
+      // shards — the q179 running-sum rule, in its TWO-LEVEL form
+      // (round 15: the pmod(key,1) window here had the same single-
+      // reducer shape the split tool shed; the shared shardAssignment
+      // keeps even one promotion's partition list off a single task)
       val perPart = flat.groupBy("key")
         .agg(sum(lit(Compaction.EventOverheadBytes) + col("size_bytes"))
           .as("pb"))
-      val one = org.apache.spark.sql.expressions.Window
-        .partitionBy(pmod(col("key"), lit(1))).orderBy("key")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
       val total = perPart.agg(sum("pb")).head.getLong(0)
-      val halves = perPart
-        .withColumn("cum", sum("pb").over(one))
-        .withColumn("shard",
-          least(expr(s"((cum - pb) * $emptyTargetShards) div $total"),
-            lit(emptyTargetShards - 1L)))
-        .select("key", "shard")
+      val halves = SstableSplit.shardAssignment(perPart, total,
+        shards = emptyTargetShards)
       writeOut(flat.join(broadcast(halves), "key")
         .select(outSelect(concat(lit("sst-"),
           (lit(outGenBase) + col("shard")).cast("string"))): _*),

@@ -100,7 +100,7 @@ object SstableSplit {
     * offset is exactly the plain window's `cum - pb`, so the shard
     * relation (and the q179 oracle hash) is unchanged. */
   private[graft] def shardAssignment(perPart: DataFrame, total: Long,
-      buckets: Int = PrefixBuckets): DataFrame = {
+      shards: Long = Shards, buckets: Int = PrefixBuckets): DataFrame = {
     val spark = perPart.sparkSession
     val cached = perPart.persist()
     val bounds = cached.agg(min("key"), max("key")).head
@@ -121,8 +121,8 @@ object SstableSplit {
     t.withColumn("in_off", coalesce(sum("pb").over(inBucket), lit(0L)))
       .join(broadcast(bases), "bucket")
       .withColumn("shard",
-        least(expr(s"((bucket_base + in_off) * $Shards) div $total"),
-          lit(Shards - 1L)))
+        least(expr(s"((bucket_base + in_off) * $shards) div $total"),
+          lit(shards - 1L)))
       .select("key", "shard")
   }
 

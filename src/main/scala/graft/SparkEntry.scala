@@ -943,6 +943,13 @@ object SparkEntry {
     // applies wherever a complete source exists
     "q194_repair_multisource" -> ((s, d) =>
       graft.ops.RepairMultiSource.roundtrip(s, d)),
+    // STANDING TWCS window frontier (round 15, the fourth oracle-
+    // checked streaming query; q193's time-window sibling): per-sstable
+    // max timestamp + max deletion time as complete-mode state, window
+    // assignment and expiry verdicts derived from the standing state —
+    // continuous compaction planning for the third strategy
+    "q195_streaming_windows" -> ((s, d) =>
+      graft.streaming.StreamingStats.windowFrontierOnce(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

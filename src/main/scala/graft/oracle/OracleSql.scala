@@ -4177,6 +4177,12 @@ ORDER BY 1"""
       ("q192_repair_matrix_mark" -> q192Sql) +
       // q194: multi-source merge repair under uniform divergence.
       ("q194_repair_multisource" -> q194Sql) +
+      // q195: the STANDING TWCS window frontier (streaming).
+      ("q195_streaming_windows" -> (q188Ctes + s"""
+SELECT sstable_id, CAST(maxts AS BIGINT) AS max_ts_us,
+  CAST(maxldt AS BIGINT) AS max_ldt_s,
+  CAST(swin AS BIGINT) AS win, (maxldt < $GcBeforeS) AS expired
+FROM xstats ORDER BY 1""")) +
       // q193: the STANDING streaming STCS size ladder.
       ("q193_streaming_tiers" -> (q171Ctes + """
 SELECT g.sstable_id, p.bytes AS model_bytes,

@@ -225,6 +225,50 @@ object StreamingStats {
       .orderBy("sstable_id")
   }
 
+  /** Continuously maintained TWCS WINDOW FRONTIER (round 15, q193's
+    * time-window sibling): per-sstable max timestamp and max local
+    * deletion time — the two sidecar fields the TWCS cycle decides
+    * window assignment and expiry from — as one standing streaming
+    * aggregate over arriving sstables. O(#files) state; max is
+    * commutative, so complete-mode state is batch-deterministic. */
+  def liveWindowFrontier(spark: SparkSession, sstableDir: String,
+      format: String = graft.sources.datadb.DataDbScan.FormatGraft)
+      : DataFrame =
+    spark.readStream.format("sstable-data").option("format", format)
+      .load(sstableDir)
+      .groupBy("sstable_id")
+      .agg(max("timestamp_us").as("max_ts_us"),
+        max("local_deletion_time_s").as("max_ldt_s"))
+
+  private val winRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q195: run [[liveWindowFrontier]] over the real TWCS-exec set to a
+    * complete-mode memory sink, then derive each sstable's window and
+    * expiry verdict from the standing state — continuous compaction
+    * planning for the time-window strategy, always current as flushes
+    * arrive. The fourth oracle-checked streaming query. */
+  def windowFrontierOnce(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.datadb.CassandraDataFixture
+      .ensureTwcsExecFiles(spark, dir)
+    val name = s"graft_stream_windows_${winRuns.incrementAndGet()}"
+    val q = liveWindowFrontier(spark, path,
+        graft.sources.datadb.DataDbScan.FormatCassandra)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+      .withColumn("win", expr("(max_ts_us div 86400000000) div " +
+        s"${graft.ops.TwcsCompaction.WindowDays}"))
+      .withColumn("expired",
+        col("max_ldt_s") < graft.sources.Fixtures.GcBeforeS)
+      .orderBy("sstable_id")
+  }
+
   /** Streaming exact dedup: drop repeated documents as they arrive, with
     * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
     * only until the watermark passes it, so the dedup works on an unbounded

@@ -227,11 +227,10 @@ object RepairMatrix {
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val s = ensureSession(spark, dir)
     val post = (0 until Replicas).map { t =>
-      val dirs = Seq(s.paths(t)) ++ (
-        if (new java.io.File(s.intoDirs(t)).list() != null &&
-            new java.io.File(s.intoDirs(t)).list().nonEmpty)
-          Seq(s.intoDirs(t)) else Nil)
-      digestMap(mergedDigest(spark, dirs))
+      val hasStreams = Option(new java.io.File(s.intoDirs(t)).list())
+        .exists(_.nonEmpty)
+      digestMap(mergedDigest(spark, Seq(s.paths(t)) ++
+        (if (hasStreams) Seq(s.intoDirs(t)) else Nil)))
     }
     val rows = s.uni.keys.toSeq.sorted.map { leaf =>
       def ev(m: Map[Long, (Long, Long)]): Long =

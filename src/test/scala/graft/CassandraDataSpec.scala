@@ -1956,6 +1956,44 @@ class CassandraDataSpec extends SparkSpec {
       s"window-$mergeWin" -> "compacted"))
   }
 
+  test("executed TWCS at a long grace (gcBefore=0): nothing expires, " +
+      "the former candidates re-enter window bucketing, and TWO " +
+      "windows merge — the multi-window path (round 15)") {
+    import graft.ops.TwcsCompaction
+    val inPath = CassandraDataFixture.ensureTwcsExecFiles(spark, Sf0001)
+    val p = TwcsCompaction.plan(inPath, gcBeforeS = 0L)
+    // no candidacy at an infinite-grace cutoff: tombstones must keep
+    // shadowing, nothing drops prematurely
+    assert(p.dropped.isEmpty && p.blocked.isEmpty)
+    // the former expired files are ordinary window members now: sst-5
+    // (max write-day < 2500 -> window 3) joins sst-0's window, so TWO
+    // windows reach the merge threshold
+    assert(p.mergedWindows.map { case (w, ids) => (w, ids) }.toMap ===
+      Map(3L -> Seq("sst-0", "sst-5"), 5L -> Seq("sst-2", "sst-3")))
+    assert(p.singles === Seq("sst-1", "sst-4"))
+    // executed: one real family PER merged window, and the w3 output
+    // keeps sst-5's tombstones (none droppable at this cutoff)
+    val outPath = TwcsCompaction.ensureCompacted(spark, Sf0001,
+      gcBeforeS = 0L)
+    val names = Option(new java.io.File(outPath).listFiles()).get
+      .map(_.getName)
+    assert(names.count(_.endsWith("-Data.db")) === 2)
+    val outEv = DataDb.cells(spark, outPath,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("gen", regexp_extract(col("sstable_id"),
+        "nb-(\\d+)-big", 1).cast("long") - 1L)
+    val w3 = outEv.where(col("gen") === TwcsCompaction.OutGenBase + 3L)
+    assert(w3.where(col("is_tombstone")).count() > 0L,
+      "the long-grace merge must retain the shadowing tombstones")
+    // and the relation at this cutoff names only compact/passthrough
+    val actions = TwcsCompaction.whatIf(spark, Sf0001, gcBeforeS = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(actions === Map(
+      "sst-0" -> "compact", "sst-1" -> "passthrough",
+      "sst-2" -> "compact", "sst-3" -> "compact",
+      "sst-4" -> "passthrough", "sst-5" -> "compact"))
+  }
+
   test("TWCS what-if + re-ingestion (q190/q191): the decision table " +
       "names every branch before execution, and the compacted state " +
       "re-enters it STABLE — single-member windows, dropped file gone, " +

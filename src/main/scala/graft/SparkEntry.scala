@@ -950,6 +950,13 @@ object SparkEntry {
     // continuous compaction planning for the third strategy
     "q195_streaming_windows" -> ((s, d) =>
       graft.streaming.StreamingStats.windowFrontierOnce(s, d)),
+    // the STEADY-STATE repair loop (round 15): a fully-marked node
+    // receives one fresh flush, the next incremental digest reads
+    // EXACTLY the flush (every marked file pruned at planning time —
+    // verification cost tracks NEW data, not corpus size), then the
+    // flush marks and the digest returns to zero
+    "q196_incremental_loop" -> ((s, d) =>
+      graft.ops.Repair.incrementalLoop(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -115,6 +115,104 @@ object Repair {
     out.toString
   }
 
+  /** Partition-key sliver of the CONTINUOUS-loop flush (q196): hot
+    * keys re-written after the node was marked fully repaired. */
+  val FlushSliverMod = 101L
+
+  /** Generation of the q196 flush sstable. */
+  val FlushGen = 991L
+
+  /** Timestamp shift of the re-written events (newer than every base
+    * write). */
+  val FlushShiftUs = 2000000000L
+
+  private val loopMemo = new java.util.HashMap[String,
+    (SparkSession, Slot[(String, String)])]()
+
+  /** The CONTINUOUS incremental-repair loop's two states (round 15):
+    * a fully-marked node receives one fresh flush (the
+    * key%[[FlushSliverMod]] sliver re-written [[FlushShiftUs]] later,
+    * as one real unrepaired sstable beside the marked files), then the
+    * flush itself is marked once its ranges verify. Session-memoized;
+    * returns (flushed state, marked state). */
+  def ensureIncrementalLoop(spark: SparkSession, dir: String)
+      : (String, String) = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|increloop"
+    val slot = loopMemo.synchronized {
+      val it = loopMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = loopMemo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot[(String, String)](() => {
+          val marked = ensureRepaired(spark, dir)
+          val state = graft.sources.TempDirs.register(
+            java.nio.file.Files.createTempDirectory("graft-repair-loop"))
+          Option(new java.io.File(marked).listFiles())
+            .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+            .foreach { f =>
+              java.nio.file.Files.copy(f.toPath,
+                state.resolve(f.getName))
+              ()
+            }
+          val base = CassandraDataFixture.ensureFiles(spark, dir,
+            compressed = true)
+          DataDb.cells(spark, base, format = DataDbScan.FormatCassandra)
+            .where(pmod(col("key"), lit(FlushSliverMod)) === 0L)
+            .withColumn("timestamp_us",
+              col("timestamp_us") + FlushShiftUs)
+            .select(
+              lit(s"sst-${FlushGen - 1}").as("sstable_id"),
+              col("key"), col("clustering"), col("column_name"),
+              col("kind"), col("timestamp_us"), col("ttl_s"),
+              col("local_deletion_time_s"),
+              col("is_tombstone"), col("is_expiring"), col("size_bytes"))
+            .write.format("sstable-data")
+            .option("path", state.toString).option("compressed", "true")
+            .mode("append").save()
+          (state.toString, markDir(state.toString))
+        })
+        loopMemo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** q196: the STEADY-STATE repair loop — what a node actually runs
+    * forever: after a full repair marks everything (q174/q184/q192),
+    * a fresh flush arrives and the NEXT incremental digest reads
+    * EXACTLY the flush (every marked file pruned at planning time, so
+    * the verification cost tracks NEW data, not corpus size — the
+    * entire point of incremental repair); once its ranges verify, the
+    * flush is marked too and the digest goes back to zero. One row per
+    * state with the raw incremental event/leaf/digest triple. */
+  def incrementalLoop(spark: SparkSession, dir: String): DataFrame = {
+    val (flushed, marked) = ensureIncrementalLoop(spark, dir)
+    def row(tag: String, path: String): DataFrame = {
+      val sstables = Option(new java.io.File(path)
+          .listFiles((_, n) => n.endsWith("-Data.db")))
+        .map(_.length.toLong).getOrElse(0L)
+      val unrepaired = AntiEntropy.unrepairedGens(path).length.toLong
+      AntiEntropy.incrementalDigest(spark, path)
+        .agg(
+          count(lit(1)).as("events"),
+          coalesce(countDistinct(shiftright(AntiEntropy.token(col("key")),
+            AntiEntropy.TokenLeafShift)), lit(0L)).as("leaves"),
+          coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
+            col("key"), col("clustering"), col("column_name"),
+            col("kind"), col("timestamp_us"), col("ttl_s"),
+            col("local_deletion_time_s"), col("size_bytes"))) %
+            1000003L), lit(0L)).as("digest"))
+        .select(lit(tag).as("state"), lit(sstables).as("sstables"),
+          lit(unrepaired).as("unrepaired_sstables"),
+          col("events"), col("leaves"), col("digest"))
+    }
+    row("flushed", flushed).unionByName(row("marked", marked))
+      .orderBy("state")
+  }
+
   /** q174: both sets through the stats source AND the full production
     * scan — one row per set. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -4177,6 +4177,8 @@ ORDER BY 1"""
       ("q192_repair_matrix_mark" -> q192Sql) +
       // q194: multi-source merge repair under uniform divergence.
       ("q194_repair_multisource" -> q194Sql) +
+      // q196: the steady-state incremental-repair loop.
+      ("q196_incremental_loop" -> q196Sql) +
       // q195: the STANDING TWCS window frontier (streaming).
       ("q195_streaming_windows" -> (q188Ctes + s"""
 SELECT sstable_id, CAST(maxts AS BIGINT) AS max_ts_us,
@@ -5524,6 +5526,50 @@ SELECT unit, action, CAST(swin AS BIGINT) AS win,
   CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM xunits GROUP BY 1, 2, 3 ORDER BY unit"""
+
+  /** q196: the steady-state incremental loop — the flush is the
+    * key%101 sliver re-written FlushShiftUs later through the real
+    * sink (cassandra read-back representation), the only unrepaired
+    * file beside the fully-marked base; the incremental triple reads
+    * exactly it, then zero once marked. */
+  private lazy val q196Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+fmapped AS (
+  SELECT key, clustering, column_name, kind,
+    timestamp_us + ${graft.ops.Repair.FlushShiftUs} AS timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells WHERE key % ${graft.ops.Repair.FlushSliverMod} = 0
+),
+fev AS (
+  SELECT $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM fmapped
+),
+n AS (
+  SELECT CAST(COUNT(DISTINCT sstable_id) + 1 AS BIGINT) AS sst
+  FROM licells
+)
+SELECT 'flushed' AS state, n.sst AS sstables,
+  CAST(1 AS BIGINT) AS unrepaired_sstables,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT leaf) AS BIGINT) AS leaves,
+  CAST(SUM(eh) AS BIGINT) AS digest
+FROM fev, n GROUP BY n.sst
+UNION ALL
+SELECT 'marked', n.sst, CAST(0 AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM n
+ORDER BY state"""
+  }
 
   /** Shared q190/q191 decision select: per-sstable window, expiry,
     * blocker count and next action over a stats relation named `s`

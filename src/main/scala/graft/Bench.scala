@@ -146,7 +146,9 @@ object Bench {
   /** Load the committed clean reference record: (main-loop per-query
     * seconds, sf1-probe per-query seconds, the record's sf tier name).
     * Missing/unreadable file => empty maps (every gate degrades to the
-    * per-window arms). */
+    * per-window arms, loudly). A record stamped `"suspect":true` is
+    * REJECTED the same way — a dirty reference would mask exactly the
+    * uniform inflation this gate exists to catch (ADVICE r15). */
   private[graft] def loadRef(path: String)
       : (Map[String, Double], Map[String, Double], String) = {
     try {
@@ -154,10 +156,20 @@ object Bench {
       val line =
         try src.getLines().find(_.contains("\"queries\":{")).getOrElse("")
         finally src.close()
+      if (line.contains("\"suspect\":true")) {
+        System.err.println(s"[bench] reference record $path is itself " +
+          "stamped suspect — rejected; per-window gates only")
+        return (Map.empty, Map.empty, "")
+      }
       val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
         .map(m => new java.io.File(m.group(1)).getName).getOrElse("")
       (parseRefMap(line, "queries"), parseRefMap(line, "sf1_sec"), sf)
-    } catch { case _: Throwable => (Map.empty, Map.empty, "") }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] reference record $path unreadable " +
+          s"($e) — per-window gates only")
+        (Map.empty, Map.empty, "")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -145,6 +145,34 @@ object AntiEntropy {
     pruned
   }
 
+  /** One-row incremental state snapshot shared by the q177/q184/q192/
+    * q196 reports: (tag, #data files, #unrepaired, events, leaves,
+    * digest) over the PLANNING-pruned incremental scan. ONE definition
+    * — RepairStream/RepairMatrix.markCycle, Repair.incrementalLoop and
+    * q177 each carried a verbatim copy before (ADVICE r15: three
+    * hand-synced digest definitions risk drift). */
+  def incrementalTriple(spark: SparkSession, path: String, tag: String,
+      labelCol: String = "state"): DataFrame = {
+    val sstables = Option(new java.io.File(path)
+        .listFiles((_, n) => n.endsWith("-Data.db")))
+      .map(_.length.toLong).getOrElse(0L)
+    val unrepaired = unrepairedGens(path).length.toLong
+    incrementalDigest(spark, path)
+      .agg(
+        count(lit(1)).as("events"),
+        coalesce(countDistinct(
+          shiftright(token(col("key")), TokenLeafShift)), lit(0L))
+          .as("leaves"),
+        coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"),
+          col("local_deletion_time_s"), col("size_bytes"))) % M),
+          lit(0L)).as("digest"))
+      .select(lit(tag).as(labelCol), lit(sstables).as("sstables"),
+        lit(unrepaired).as("unrepaired_sstables"),
+        col("events"), col("leaves"), col("digest"))
+  }
+
   /** q177: the incremental cycle over three real sets — unmarked base
     * (everything still to verify), the PARTIALLY repaired copy (only the
     * unrepaired half digests), and the FULLY repaired copy (zero events,
@@ -155,29 +183,9 @@ object AntiEntropy {
       compressed = true)
     val partial = Repair.ensureRepairedPartial(spark, dir)
     val full = Repair.ensureRepaired(spark, dir)
-    def row(tag: String, path: String): DataFrame = {
-      val sstables = Option(new java.io.File(path)
-          .listFiles((_, n) => n.endsWith("-Data.db")))
-        .map(_.length.toLong).getOrElse(0L)
-      val unrepaired = unrepairedGens(path).length.toLong
-      incrementalDigest(spark, path)
-        .agg(
-          count(lit(1)).as("events"),
-          coalesce(countDistinct(
-            shiftright(token(col("key")), TokenLeafShift)), lit(0L))
-            .as("leaves"),
-          coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
-            col("key"), col("clustering"), col("column_name"), col("kind"),
-            col("timestamp_us"), col("ttl_s"),
-            col("local_deletion_time_s"), col("size_bytes"))) % M),
-            lit(0L)).as("digest"))
-        .select(lit(tag).as("set_name"), lit(sstables).as("sstables"),
-          lit(unrepaired).as("unrepaired_sstables"),
-          col("events"), col("leaves"), col("digest"))
-    }
-    row("base", base)
-      .unionByName(row("partial", partial))
-      .unionByName(row("full", full))
+    incrementalTriple(spark, base, "base", "set_name")
+      .unionByName(incrementalTriple(spark, partial, "partial", "set_name"))
+      .unionByName(incrementalTriple(spark, full, "full", "set_name"))
       .orderBy("set_name")
   }
 

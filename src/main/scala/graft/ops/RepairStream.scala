@@ -195,26 +195,8 @@ object RepairStream {
     * already repaired. */
   def markCycle(spark: SparkSession, dir: String): DataFrame = {
     val (conv, marked) = ensureCycle(spark, dir)
-    def row(tag: String, path: String): DataFrame = {
-      val sstables = Option(new java.io.File(path)
-          .listFiles((_, n) => n.endsWith("-Data.db")))
-        .map(_.length.toLong).getOrElse(0L)
-      val unrepaired = AntiEntropy.unrepairedGens(path).length.toLong
-      AntiEntropy.incrementalDigest(spark, path)
-        .agg(
-          count(lit(1)).as("events"),
-          coalesce(countDistinct(shiftright(AntiEntropy.token(col("key")),
-            AntiEntropy.TokenLeafShift)), lit(0L)).as("leaves"),
-          coalesce(sum(graft.functions.PortableHash.h60(concat_ws(":",
-            col("key"), col("clustering"), col("column_name"), col("kind"),
-            col("timestamp_us"), col("ttl_s"),
-            col("local_deletion_time_s"), col("size_bytes"))) %
-            1000003L), lit(0L)).as("digest"))
-        .select(lit(tag).as("state"), lit(sstables).as("sstables"),
-          lit(unrepaired).as("unrepaired_sstables"),
-          col("events"), col("leaves"), col("digest"))
-    }
-    row("converged", conv).unionByName(row("marked", marked))
+    AntiEntropy.incrementalTriple(spark, conv, "converged")
+      .unionByName(AntiEntropy.incrementalTriple(spark, marked, "marked"))
       .orderBy("state")
   }
 

@@ -102,11 +102,35 @@ object SstableSplit {
   private[graft] def shardAssignment(perPart: DataFrame, total: Long,
       shards: Long = Shards, buckets: Int = PrefixBuckets): DataFrame = {
     val spark = perPart.sparkSession
+    // persist covers the three materializations (bounds, bucket totals,
+    // the assignment itself) and is RELEASED before returning — the
+    // assignment is collected eagerly, which is the same driver-scale
+    // class as the broadcast() every caller immediately applies to it
+    // (ADVICE r15: the old lazy return left the cache pinned for the
+    // session lifetime).
     val cached = perPart.persist()
-    val bounds = cached.agg(min("key"), max("key")).head
+    try {
+      val plan = shardAssignmentPlan(cached, total, shards, buckets)
+      val rows = plan.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), plan.schema)
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
+  /** The lazy two-level plan behind [[shardAssignment]] — separated so
+    * the plan-shape specs can assert NO unpartitioned window on the
+    * actual assignment plan (the eager wrapper's local relation has no
+    * windows to inspect). */
+  private[graft] def shardAssignmentPlan(perPart: DataFrame, total: Long,
+      shards: Long = Shards, buckets: Int = PrefixBuckets): DataFrame = {
+    val spark = perPart.sparkSession
+    val bounds = perPart.agg(min("key"), max("key")).head
     val (minK, maxK) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (maxK - minK) / buckets + 1L)
-    val t = cached.withColumn("bucket",
+    val t = perPart.withColumn("bucket",
       floor((col("key") - lit(minK)) / lit(width)))
     val perBucket = t.groupBy("bucket").agg(sum("pb").as("bucket_pb"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

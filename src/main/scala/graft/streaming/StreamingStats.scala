@@ -199,8 +199,10 @@ object StreamingStats {
       .ensureTieredFiles(spark, dir)
     val name = s"graft_stream_tiers_${tierRuns.incrementAndGet()}"
     val src = liveTierLadder(spark,
-      // normalize ids inside the stream so the standing state is keyed
-      // the way every tier relation is keyed
+      // the standing state is keyed by the source's raw nb-*-big ids;
+      // the tier-table id normalization below runs on the drained
+      // memory-sink table AFTER the query finishes (unlike q187, which
+      // normalizes on the streaming source itself)
       path, graft.sources.datadb.DataDbScan.FormatCassandra)
     val q = src
       .writeStream.format("memory").queryName(name)

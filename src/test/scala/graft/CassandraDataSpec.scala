@@ -1731,15 +1731,26 @@ class CassandraDataSpec extends SparkSpec {
       truth.orderBy("key").collect().toSeq)
     // every Window node in the plan is PARTITIONED (the old form's
     // pmod(key,1) constant spec moved all rows to one task); the
-    // logical plan is inspected because AQE hides the physical tree
-    val winNodes = got.queryExecution.optimizedPlan.collect {
+    // logical plan is inspected because AQE hides the physical tree —
+    // and the LAZY plan is inspected because the eager wrapper returns
+    // a collected local relation (round 16: the cache no longer pins)
+    val lazyPlan = SstableSplit
+      .shardAssignmentPlan(perPart, total, buckets = 8)
+    val winNodes = lazyPlan.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(winNodes.nonEmpty)
     assert(winNodes.forall(_.partitionSpec.nonEmpty),
       "found an unpartitioned window in the shard-assignment plan")
-    assert(!got.queryExecution.optimizedPlan.toString.contains("pmod"),
+    assert(!lazyPlan.queryExecution.optimizedPlan.toString.contains("pmod"),
       "the single-reducer pmod partition spec is back")
+    // and the eager wrapper leaves nothing NEW pinned in executor
+    // storage (other suites' plan caches may legitimately persist)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    SstableSplit.shardAssignment(perPart, total, buckets = 8).collect()
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinnedAfter -- pinnedBefore).isEmpty,
+      "shardAssignment left a cached relation pinned")
   }
 
   test("sstablesplit shard assignment property: two-level ≡ plain " +
@@ -2090,6 +2101,41 @@ class CassandraDataSpec extends SparkSpec {
       assert(mUnrep === 0L && mEv === 0L && mLeaves === 0L &&
         mDigest === 0L)
     }
+  }
+
+  test("steady-state incremental loop (q196): zero-read on the marked " +
+      "base, the next digest reads EXACTLY the fresh flush, and marking " +
+      "the flush returns the digest to zero (round 16 — the one executed" +
+      "-op family that shipped without a spec in r15)") {
+    import graft.ops.{AntiEntropy, Repair}
+    import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+    // state 0: the fully-marked node reads nothing (the loop's start)
+    val pre = AntiEntropy.incrementalTriple(spark,
+      Repair.ensureRepaired(spark, Sf0001), "pre").head
+    assert(pre.getLong(2) === 0L && pre.getLong(3) === 0L &&
+      pre.getLong(4) === 0L && pre.getLong(5) === 0L)
+    val rows = Repair.incrementalLoop(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size === 2)
+    val (fSst, fUnrep, fEv, fLeaves, fDigest) = rows("flushed")
+    val (mSst, mUnrep, mEv, mLeaves, mDigest) = rows("marked")
+    // state 1: exactly ONE unrepaired file beside the marked base...
+    assert(fSst === pre.getLong(1) + 1L)
+    assert(fUnrep === 1L)
+    // ...and the digest reads EXACTLY the flush — verification cost
+    // tracks new data, not corpus size
+    val base = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val sliver = DataDb.cells(spark, base,
+        format = DataDbScan.FormatCassandra)
+      .where(pmod(col("key"), lit(Repair.FlushSliverMod)) === 0L)
+    assert(fEv === sliver.count())
+    assert(fEv > 0L && fLeaves > 0L && fDigest != 0L)
+    // state 2: flush marked, same files on disk, zero planned reads
+    assert(mSst === fSst)
+    assert(mUnrep === 0L && mEv === 0L && mLeaves === 0L &&
+      mDigest === 0L)
   }
 
   test("streaming tier ladder (q193): the standing per-sstable model " +

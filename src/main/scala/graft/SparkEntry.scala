@@ -957,6 +957,14 @@ object SparkEntry {
     // flush marks and the digest returns to zero
     "q196_incremental_loop" -> ((s, d) =>
       graft.ops.Repair.incrementalLoop(s, d)),
+    // TWCS with IN-WINDOW STCS (round 16, VERDICT r15 ask #3): the
+    // composed regime real TWCS runs — window assignment from sidecar
+    // max timestamps, then the STCS size ladder INSIDE each window;
+    // only a ≥2-member (window, tier) group merges, so the newest
+    // window's two small flushes compact tier-by-tier while the big
+    // flush sharing the window passes through untouched
+    "q197_twcs_stcs" -> ((s, d) =>
+      graft.ops.TwcsStcsCompaction.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

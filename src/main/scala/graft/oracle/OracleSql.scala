@@ -4179,6 +4179,10 @@ ORDER BY 1"""
       ("q194_repair_multisource" -> q194Sql) +
       // q196: the steady-state incremental-repair loop.
       ("q196_incremental_loop" -> q196Sql) +
+      // q197: TWCS with in-window STCS — window assignment composed
+      // with the size ladder inside each window; only the qualifying
+      // (window, tier) group merges.
+      ("q197_twcs_stcs" -> q197Sql) +
       // q195: the STANDING TWCS window frontier (streaming).
       ("q195_streaming_windows" -> (q188Ctes + s"""
 SELECT sstable_id, CAST(maxts AS BIGINT) AS max_ts_us,
@@ -5526,6 +5530,100 @@ SELECT unit, action, CAST(swin AS BIGINT) AS win,
   CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT) AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM xunits GROUP BY 1, 2, 3 ORDER BY unit"""
+
+  /** q197: TWCS with IN-WINDOW STCS (round 16) — the twcsst banded
+    * set's window assignment (max write-day div 640 per sstable)
+    * composed with the in-window size ladder (bit-length of modeled
+    * bytes div 2 KiB): only a (window, tier) group with ≥2 members
+    * LWW-merges (under the per-group conservative purge guard — the
+    * droppable set is confined to the old band, so nothing purges);
+    * the big flush sharing the newest window passes through. See
+    * [[graft.ops.TwcsStcsCompaction]]. */
+  private lazy val q197Sql: String = s"""WITH $fixtures,
+ymapped AS (
+  SELECT CASE WHEN timestamp_us // 86400000000 < 2560 THEN 'sst-0'
+         WHEN timestamp_us // 86400000000 < 3200 THEN 'sst-1'
+         ELSE CASE (key + clustering) % 6
+              WHEN 0 THEN 'sst-2' WHEN 1 THEN 'sst-3'
+              ELSE 'sst-4' END END AS sstable_id,
+    key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+ystats AS (
+  SELECT sstable_id,
+    (MAX(timestamp_us) // 86400000000) // 640 AS swin,
+    CAST(SUM(32 + size_bytes) AS BIGINT) AS bytes
+  FROM ymapped GROUP BY 1
+),
+ytier AS (
+  SELECT sstable_id, swin,
+    ${bitLenSql("GREATEST(bytes // 2048, 1)")} AS stier
+  FROM ystats
+),
+ysel AS (
+  SELECT swin, stier, CAST(COUNT(*) AS BIGINT) AS members
+  FROM ytier GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+yranked AS (
+  SELECT m.*, t.swin, t.stier, w.members, row_number() OVER (
+      PARTITION BY t.swin, t.stier, m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM ymapped m JOIN ytier t USING (sstable_id)
+  JOIN ysel w ON t.swin = w.swin AND t.stier = w.stier
+),
+youtkeys AS (
+  -- keys held by some sstable OUTSIDE group (w): other windows, other
+  -- tiers of the same window (including the lone big flush)
+  SELECT DISTINCT w.swin, w.stier, m.key
+  FROM ymapped m JOIN ytier t USING (sstable_id)
+  CROSS JOIN (SELECT swin, stier FROM ysel) w
+  WHERE t.swin <> w.swin OR t.stier <> w.stier
+),
+ykept AS (
+  SELECT * FROM yranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR EXISTS (SELECT 1 FROM youtkeys o
+               WHERE o.swin = yranked.swin AND o.stier = yranked.stier
+                 AND o.key = yranked.key))
+),
+yunits AS (
+  SELECT 'win-' || CAST(swin AS VARCHAR) || '-tier-' ||
+      CAST(stier AS VARCHAR) AS unit,
+    'compacted' AS action, swin, stier, members AS sstables_in,
+    key, clustering, column_name, timestamp_us, ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+  FROM ykept
+  UNION ALL
+  SELECT m.sstable_id AS unit, 'passthrough' AS action,
+    t.swin, t.stier, CAST(1 AS BIGINT) AS sstables_in,
+    m.key, m.clustering, m.column_name, m.timestamp_us, m.ttl_s,
+    m.local_deletion_time_s, m.is_tombstone, m.is_expiring, m.size_bytes
+  FROM ymapped m JOIN ytier t USING (sstable_id)
+  WHERE NOT EXISTS (SELECT 1 FROM ysel s
+                    WHERE s.swin = t.swin AND s.stier = t.stier)
+)
+SELECT unit, action, CAST(swin AS BIGINT) AS win,
+  CAST(stier AS BIGINT) AS tier,
+  CAST(MAX(sstables_in) AS BIGINT) AS sstables_in,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
+    AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT)
+    AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM yunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
 
   /** q196: the steady-state incremental loop — the flush is the
     * key%101 sliver re-written FlushShiftUs later through the real

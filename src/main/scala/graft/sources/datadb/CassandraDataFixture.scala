@@ -236,6 +236,42 @@ object CassandraDataFixture {
       frameOverride = Some(frame))
   }
 
+  /** The TWCS-with-in-window-STCS input set (round 16, q197's input):
+    * the composed regime real Cassandra runs — TWCS buckets by window,
+    * then applies STCS bucketing INSIDE the current window instead of
+    * merging the whole window in one shot. Layout:
+    *
+    *  - old bands: sst-0 holds every event before write-day 2560
+    *    (windows 1–3, assigned window 3 by max timestamp — Cassandra
+    *    buckets by the last write), sst-1 holds [2560, 3200) (window
+    *    4): both single-member windows, never re-compacted;
+    *  - the NEWEST window (day ≥ 3200, window 5) holds 3 flushes in
+    *    TWO size classes: (key+clustering)%6 = 0 → sst-2, = 1 → sst-3
+    *    (two ~1/6-sized flushes, same tier), else → sst-4 (a ~4/6
+    *    flush two tiers up) — so in-window STCS selects exactly
+    *    {sst-2, sst-3} and the big flush passes through.
+    *
+    * Droppable tombstones ride their own day band (all land in sst-0:
+    * the fixture's droppable cutoff is write-day 2500 < 2560), so every
+    * file holds live cells (no expiry candidates) and the composition
+    * is isolated from q188's drop/block branches. Every term replays in
+    * SQL: day = timestamp_us div 86400000000. */
+  def ensureTwcsStcsFiles(spark: SparkSession, dir: String): String = {
+    val base = Fixtures.cells(spark, dir)
+    val day = expr("timestamp_us div 86400000000")
+    val frame = base.withColumn("sstable_id",
+      when(day < 2560L, lit("sst-0"))
+        .when(day < 3200L, lit("sst-1"))
+        .otherwise(concat(lit("sst-"),
+          when(pmod(col("key") + col("clustering"), lit(6L)) === 0L,
+            lit(2L))
+            .when(pmod(col("key") + col("clustering"), lit(6L)) === 1L,
+              lit(3L))
+            .otherwise(lit(4L)).cast("string"))))
+    ensureVariant(spark, dir, "twcsst", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   def ensureTwcsFiles(spark: SparkSession, dir: String): String = {
     val base = Fixtures.cells(spark, dir)
     // integral div, not float-divide-and-cast: the oracle replays with //

@@ -2103,6 +2103,51 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("TWCS in-window STCS (q197): window assignment composes with the " +
+      "in-window size ladder — the newest window's two small flushes " +
+      "compact as ONE tier while the big flush sharing that window " +
+      "passes through (round 16)") {
+    import graft.ops.TwcsStcsCompaction
+    val inPath = CassandraDataFixture.ensureTwcsStcsFiles(spark, Sf0001)
+    val p = TwcsStcsCompaction.plan(spark, inPath)
+    // window assignment per sstable (max write-day div 640)
+    assert(p.windowOf === Map("sst-0" -> 3L, "sst-1" -> 4L,
+      "sst-2" -> 5L, "sst-3" -> 5L, "sst-4" -> 5L))
+    // the newest window's flushes span TWO size classes: the ~1/6-sized
+    // pair shares a tier; the ~4/6 flush sits at least two rungs up
+    val small = p.tierOf("sst-2")
+    assert(p.tierOf("sst-3") === small)
+    assert(p.tierOf("sst-4") >= small + 2)
+    // selection: only the qualifying (window, tier) group merges — the
+    // big flush NEVER folds into the window merge
+    assert(p.merged ===
+      Seq(((5L, small), Seq("sst-2", "sst-3"))))
+    assert(p.passthrough === Seq("sst-0", "sst-1", "sst-4"))
+    val rows = TwcsStcsCompaction.roundtrip(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size === 4)
+    // merged unit: read back from the real file, events = LWW dedup of
+    // the two flushes (no droppable winners in the newest window, so
+    // nothing purges)
+    val ev = graft.sources.datadb.DataDb.cells(spark, inPath,
+        format = graft.sources.datadb.DataDbScan.FormatCassandra)
+      .withColumn("sid",
+        regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L)
+    val mergedIn = ev.where(col("sid").isin(2L, 3L))
+    val expectMerged = mergedIn
+      .select("key", "clustering", "column_name").distinct().count()
+    val (mAct, mWin, mTier, mIn, mEvents) = rows(s"win-5-tier-$small")
+    assert(mAct === "compacted" && mWin === 5L && mTier === small.toLong
+      && mIn === 2L && mEvents === expectMerged)
+    // passthrough units re-read their untouched originals
+    val (pAct, pWin, pTier, _, pEvents) = rows("sst-4")
+    assert(pAct === "passthrough" && pWin === 5L &&
+      pTier === p.tierOf("sst-4").toLong &&
+      pEvents === ev.where(col("sid") === 4L).count())
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

@@ -965,6 +965,14 @@ object SparkEntry {
     // flush sharing the window passes through untouched
     "q197_twcs_stcs" -> ((s, d) =>
       graft.ops.TwcsStcsCompaction.roundtrip(s, d)),
+    // the WATERMARK path under a controlled 3-batch arrival order
+    // (round 16, VERDICT r15 ask #4): the first oracle-checked query
+    // whose answer hangs on late-data DROP/KEEP decisions — a late
+    // sliver inside the 2-hour watermark folds into its open window, a
+    // later sliver outside it is dropped, and append mode emits exactly
+    // the windows the final watermark has passed
+    "q198_streaming_watermark" -> ((s, d) =>
+      graft.streaming.StreamingStats.watermarkReplayOnce(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -4183,6 +4183,10 @@ ORDER BY 1"""
       // with the size ladder inside each window; only the qualifying
       // (window, tier) group merges.
       ("q197_twcs_stcs" -> q197Sql) +
+      // q198: the watermark trajectory under a controlled arrival
+      // order — batch assignment, the late-inside keep, the
+      // late-outside drop, and the final-watermark emission frontier.
+      ("q198_streaming_watermark" -> q198Sql) +
       // q195: the STANDING TWCS window frontier (streaming).
       ("q195_streaming_windows" -> (q188Ctes + s"""
 SELECT sstable_id, CAST(maxts AS BIGINT) AS max_ts_us,
@@ -5624,6 +5628,39 @@ SELECT unit, action, CAST(swin AS BIGINT) AS win,
     AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM yunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
+
+  /** q198: the watermark replay (round 16) — the controlled 3-batch
+    * arrival of [[graft.streaming.StreamingStats.watermarkReplayOnce]]
+    * rebuilt in SQL. The staged set is hours [0,2) ∪ [4,12) of the
+    * events table; the hour-0 even-id sliver arrives in batch 3 AFTER
+    * the watermark (max event time of batches 1–2 minus 2 h, in
+    * milliseconds — Spark tracks event time in ms) passed its window,
+    * so it is dropped; the hour-1 even-id sliver arrives in batch 2
+    * BEFORE the watermark passed (the post-batch-1 watermark sits
+    * before hour 0), so it is kept. Append mode's final table is every
+    * window whose end ≤ the FINAL watermark (max staged time − 2 h). */
+  private lazy val q198Sql: String = {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    s"""WITH wev AS (
+  SELECT epoch_us(ts) AS us, event_type, value, event_id,
+    (epoch_us(ts) - $anchor) // 3600000000 AS rh
+  FROM events
+),
+staged AS (
+  SELECT * FROM wev WHERE (rh >= 0 AND rh < 2) OR (rh >= 4 AND rh < 12)
+),
+wm AS (SELECT (max(us) // 1000) - 7200000 AS wm_ms FROM staged),
+kept AS (
+  SELECT * FROM staged WHERE NOT (rh = 0 AND event_id % 2 = 0)
+)
+SELECT CAST(($anchor + rh * 3600000000) // 1000000 AS BIGINT)
+    AS hour_start_s,
+  event_type, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_x100
+FROM kept, wm
+WHERE ($anchor + (rh + 1) * 3600000000) // 1000 <= wm.wm_ms
+GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 
   /** q196: the steady-state incremental loop — the flush is the
     * key%101 sliver re-written FlushShiftUs later through the real

@@ -271,6 +271,87 @@ object StreamingStats {
       .orderBy("sstable_id")
   }
 
+  /** Anchor of the q198 hour grid: 2024-01-01T00:00:00Z in microseconds
+    * (the synthetic events table starts minutes after it, so relative
+    * hour 0 is the table's first hour at every sf). */
+  val WatermarkAnchorUs = 1704067200000000L
+
+  private val wmRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q198 (round 16, VERDICT r15 ask #4): the WATERMARK path under a
+    * CONTROLLED ARRIVAL ORDER — the first oracle-checked query whose
+    * answer depends on late-data drop/keep decisions rather than a
+    * commutative complete-mode fold. Four parquet files are staged
+    * into a fresh ingest directory with ascending names AND mtimes, and
+    * the standing hourly aggregate consumes them one micro-batch each
+    * (`maxFilesPerTrigger=1` under AvailableNow, FileStreamSource's
+    * (mtime, path) order):
+    *
+    *  - **batch 1**: hours [0, 2) of the events table, EXCEPT the
+    *    event_id-even slivers of hours 0 and 1;
+    *  - **batch 2**: hours [4, 8), plus hour 1's even sliver — LATE but
+    *    its window is STILL OPEN (the watermark after batch 1 sits
+    *    before hour 0's end), so the rows fold into the open state;
+    *  - **batch 3**: hours [8, 10) — advances the watermark past hour
+    *    1's end, so hours 0 and 1 EMIT and EVICT at this batch's end
+    *    (append mode emits a window exactly once);
+    *  - **batch 4**: hours [10, 12), plus hour 0's even sliver — late
+    *    AND its window was already emitted, so the rows are DROPPED
+    *    (measured Spark semantics: a late row merges into open state
+    *    but is undeliverable once its window evicted — eviction
+    *    happens at the END of the batch whose start-of-batch watermark
+    *    passed the window, which is why the drop needs the dedicated
+    *    batch 3 between advance and arrival).
+    *
+    * The final table is every window whose end ≤ the final watermark
+    * (max staged event-time in ms minus 2 h — batch 4's own youngest
+    * windows stay open and never emit). The DuckDB oracle replays the
+    * whole trajectory — batch assignment, the drop, the keep, and the
+    * final-watermark emission frontier — from the same parquet. */
+  def watermarkReplayOnce(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+    val lateIn = col("rh") === 1L && col("event_id") % 2 === 0
+    val lateOut = col("rh") === 0L && col("event_id") % 2 === 0
+    val batches = Seq(
+      ev.where(col("rh").between(0L, 1L) && col("event_id") % 2 === 1),
+      ev.where((col("rh") >= 4L && col("rh") < 8L) || lateIn),
+      ev.where(col("rh") >= 8L && col("rh") < 10L),
+      ev.where((col("rh") >= 10L && col("rh") < 12L) || lateOut))
+    val ingest = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-stream-wm"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory("graft-stream-wm-part")
+      b.select(col("ts"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      val dest = ingest.resolve(f"arrival-$i%03d.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(60000L * (i + 1))
+      ()
+    }
+    val schema = spark.read.parquet(ingest.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest.toString)
+    val name = s"graft_stream_wm_${wmRuns.incrementAndGet()}"
+    val q = hourlyCounts(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("hour_start").cast("long").as("hour_start_s"),
+        col("event_type"), col("events"), col("value_x100"))
+      .orderBy("hour_start_s", "event_type")
+  }
+
   /** Streaming exact dedup: drop repeated documents as they arrive, with
     * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
     * only until the watermark passes it, so the dedup works on an unbounded

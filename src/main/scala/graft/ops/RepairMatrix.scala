@@ -203,6 +203,42 @@ object RepairMatrix {
     }.reduce(_.unionByName(_)).orderBy("state")
   }
 
+  /** q199 (round 16, VERDICT r15 ask #6): PRIMARY-RANGE repair — the
+    * `nodetool repair -pr` semantics that keeps an N-node full-cluster
+    * repair from doing N× the work: each replica coordinates ONLY the
+    * token leaves it is PRIMARY for (leaf mod [[Replicas]] — the ring's
+    * first-owner rule on the leaf grid), so a rolling repair across all
+    * replicas verifies every leaf exactly once cluster-wide instead of
+    * once per replica. Each owner's plan is computed independently over
+    * its own leaf slice; the relation is the UNION of the per-owner
+    * plans — one row per leaf with its owner, the q189 direction
+    * decisions for that leaf, and the number of streams issued. The
+    * per-owner plans PARTITION the leaf set (the require), and their
+    * union reproduces the full q189 matrix coverage (the oracle's
+    * check: same leaves, same sources). */
+  def primaryRange(spark: SparkSession, dir: String): DataFrame = {
+    val s = ensureSession(spark, dir)
+    val perOwner = (0 until Replicas).map { owner =>
+      s.uni.keys.toSeq.filter(l =>
+        math.floorMod(l, Replicas.toLong) == owner.toLong).map { leaf =>
+        def src(t: Int): Long =
+          s.srcFor.get((leaf, t)).map(_.toLong).getOrElse(-1L)
+        val streams = (0 until Replicas).count(t =>
+          s.srcFor.contains((leaf, t))).toLong
+        (leaf, owner.toLong, src(0), src(1), src(2), streams)
+      }
+    }
+    // the plans partition the ring: every leaf owned exactly once
+    val all = perOwner.flatten
+    require(all.map(_._1).distinct.size == s.uni.size &&
+      all.size == s.uni.size,
+      "per-owner plans do not partition the leaf set")
+    import spark.implicits._
+    all.sortBy(_._1)
+      .toDF("leaf", "owner", "src_for_r0", "src_for_r1", "src_for_r2",
+        "streams")
+  }
+
   /** q189: the matrix repair relation — one row per token leaf: each
     * replica's pre-repair merged (events, digest-match) state, the
     * union, the chosen source per target (−1 = already converged), and

@@ -4187,6 +4187,18 @@ ORDER BY 1"""
       // order — batch assignment, the late-inside keep, the
       // late-outside drop, and the final-watermark emission frontier.
       ("q198_streaming_watermark" -> q198Sql) +
+      // q199: primary-range (-pr) repair — leaf ownership partitions
+      // the ring; the union of per-owner plans is the full q189 matrix.
+      ("q199_repair_primary_range" -> (q189Ctes + """
+SELECT leaf, CAST(leaf % 3 AS BIGINT) AS owner,
+  CAST(COALESCE(s0, -1) AS BIGINT) AS src_for_r0,
+  CAST(COALESCE(s1, -1) AS BIGINT) AS src_for_r1,
+  CAST(COALESCE(s2, -1) AS BIGINT) AS src_for_r2,
+  CAST((CASE WHEN COALESCE(s0, -1) >= 0 THEN 1 ELSE 0 END) +
+       (CASE WHEN COALESCE(s1, -1) >= 0 THEN 1 ELSE 0 END) +
+       (CASE WHEN COALESCE(s2, -1) >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS streams
+FROM srcs ORDER BY leaf""")) +
       // q195: the STANDING TWCS window frontier (streaming).
       ("q195_streaming_windows" -> (q188Ctes + s"""
 SELECT sstable_id, CAST(maxts AS BIGINT) AS max_ts_us,

@@ -2103,6 +2103,35 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("primary-range repair (q199): per-owner plans partition the leaf " +
+      "set (leaf mod 3) and their union reproduces the full q189 matrix " +
+      "coverage (round 16)") {
+    import graft.ops.RepairMatrix
+    val pr = RepairMatrix.primaryRange(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // partition: every leaf exactly once, owner = leaf mod 3
+    assert(pr.map(_._1).distinct.length === pr.length)
+    pr.foreach { case (leaf, (owner, _, _, _, _)) =>
+      assert(owner === leaf % 3) }
+    // a full-cluster -pr repair does 1x the work: owners split the ring
+    val byOwner = pr.groupBy(_._2._1).view.mapValues(_.length).toMap
+    assert(byOwner.keySet === Set(0L, 1L, 2L))
+    assert(byOwner.values.sum === pr.length)
+    // union of plans == the q189 full plan's directions, leaf by leaf
+    val full = RepairMatrix.roundtrip(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(pr.length === full.size)
+    pr.foreach { case (leaf, (_, s0, s1, s2, streams)) =>
+      assert((s0, s1, s2) === full(leaf),
+        s"leaf $leaf direction mismatch vs the full matrix")
+      assert(streams === Seq(s0, s1, s2).count(_ >= 0L).toLong)
+    }
+    // and the plan is not vacuous: some leaf streams somewhere
+    assert(pr.exists(_._2._5 > 0L))
+  }
+
   test("TWCS in-window STCS (q197): window assignment composes with the " +
       "in-window size ladder — the newest window's two small flushes " +
       "compact as ONE tier while the big flush sharing that window " +

@@ -981,6 +981,14 @@ object SparkEntry {
     // the verification work
     "q199_repair_primary_range" -> ((s, d) =>
       graft.ops.RepairMatrix.primaryRange(s, d)),
+    // sstableupgrade executed (round 16, VERDICT r15 ask #7): the 'nb'
+    // -> 'oa' big-format version rewrite — components carried, the
+    // legacy min/max clustering lists re-encoded as the 'oa' covered
+    // slice, the version-gated tail filled from the sstable's own
+    // Summary.db + token span, Data.db byte-untouched, and the
+    // upgraded set event-identical through the production scan
+    "q200_sstable_upgrade" -> ((s, d) =>
+      graft.ops.SstableUpgrade.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -46,7 +46,7 @@ object Main {
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
-    "pipeline", "compact", "repair")
+    "pipeline", "compact", "repair", "upgrade")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -62,6 +62,7 @@ object Main {
     case "blockers" => "Usage: blockers <keyspace> <table>"
     case "split" => "Usage: split <keyspace> <table>"
     case "levelreset" => "Usage: levelreset <keyspace> <table>"
+    case "upgrade" => "Usage: upgrade <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -118,7 +119,8 @@ object Main {
         |  repair       Anti-entropy digests; --ranges, --incremental, or --execute the full loop
         |  blockers     Which live sstable blocks which fully-expired sstable's drop
         |  split        Rewrite the largest sstable as size-targeted sstables (partitions intact)
-        |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)""".stripMargin
+        |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)
+        |  upgrade      Rewrite every sstable to the current big-format version ('nb' -> 'oa'), data byte-identical""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -330,6 +332,9 @@ object Main {
       case "levelreset" =>
         if (!requireStore()) return 2
         out(tracked("levelreset")(Reports.levelReset(spark, dir))); 0
+      case "upgrade" =>
+        if (!requireStore()) return 2
+        out(tracked("upgrade")(Reports.upgrade(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -399,6 +399,18 @@ object Reports {
       "per-level counts before/after, events unchanged)",
       graft.ops.LevelReset.roundtrip(spark, dir))
 
+  /** `upgrade <ks> <cf>` — sstableupgrade: the 'nb' -> 'oa' big-format
+    * version rewrite (q200): components carried, the legacy min/max
+    * clustering lists re-encoded as the covered slice, the
+    * version-gated tail filled from each sstable's own Summary.db and
+    * token span, Data.db byte-untouched and the upgraded set
+    * event-identical through the production scan. */
+  def upgrade(spark: SparkSession, dir: String): String =
+    section("Upgrade 'nb' -> 'oa' (components carried, covered slice " +
+      "from legacy min/max, tail from Summary.db + token span; data " +
+      "byte-identical, scans event-identical)",
+      graft.ops.SstableUpgrade.roundtrip(spark, dir))
+
   /** `repair <ks> <cf> --ranges` — the ranges a repair would STREAM:
     * one row per token-ring leaf whose content digest differs between
     * the base set and the executed compaction's output, with the

@@ -4187,6 +4187,10 @@ ORDER BY 1"""
       // order — batch assignment, the late-inside keep, the
       // late-outside drop, and the final-watermark emission frontier.
       ("q198_streaming_watermark" -> q198Sql) +
+      // q200: sstableupgrade — 'nb' -> 'oa' version rewrite: data
+      // identical through the production scan, components complete,
+      // new fields carry the derivable values.
+      ("q200_sstable_upgrade" -> q200Sql) +
       // q199: primary-range (-pr) repair — leaf ownership partitions
       // the ring; the union of per-owner plans is the full q189 matrix.
       ("q199_repair_primary_range" -> (q189Ctes + """
@@ -5672,6 +5676,51 @@ SELECT CAST(($anchor + rh * 3600000000) // 1000000 AS BIGINT)
 FROM kept, wm
 WHERE ($anchor + (rh + 1) * 3600000000) // 1000 <= wm.wm_ms
 GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** q200: sstableupgrade (round 16) — the upgraded 'oa' set must be
+    * event-identical to the 'nb' set through the production scan
+    * (count + commutative digest both equal the parquet derivation),
+    * byte-identical on Data.db, component-complete, and its new
+    * version-gated fields must carry exactly the derivable values
+    * (first/last key, min/max timestamp, the covered slice's
+    * clustering bounds). */
+  private lazy val q200Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+umapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+uagg AS (
+  SELECT sstable_id AS unit,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS digest,
+    CAST(MIN(key) AS BIGINT) AS first_key,
+    CAST(MAX(key) AS BIGINT) AS last_key,
+    CAST(MIN(timestamp_us) AS BIGINT) AS min_ts_us,
+    CAST(MAX(timestamp_us) AS BIGINT) AS max_ts_us,
+    CAST(MIN(clustering) AS BIGINT) AS min_clustering,
+    CAST(MAX(clustering) AS BIGINT) AS max_clustering
+  FROM umapped GROUP BY 1
+)
+SELECT unit,
+  events AS events_nb, partitions AS partitions_nb, digest AS digest_nb,
+  events AS events_oa, partitions AS partitions_oa, digest AS digest_oa,
+  TRUE AS components_match, TRUE AS data_bytes_equal,
+  first_key, last_key, min_ts_us, max_ts_us,
+  min_clustering, max_clustering,
+  TRUE AS coverage_consistent
+FROM uagg ORDER BY unit"""
   }
 
   /** q196: the steady-state incremental loop — the flush is the

@@ -2103,6 +2103,51 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("sstableupgrade (q200): the nb -> oa version rewrite carries " +
+      "every component, leaves Data.db byte-identical, scans " +
+      "event-identical, and fills the oa fields from the sstable's own " +
+      "data — nb stats preserved through the version change (round 16)") {
+    import graft.ops.SstableUpgrade
+    import graft.sources.statsdb.CassandraStatsFormat
+    val rows = SstableUpgrade.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      def b(n: String) = r.getBoolean(r.fieldIndex(n))
+      def l(n: String) = r.getLong(r.fieldIndex(n))
+      assert(b("components_match") && b("data_bytes_equal") &&
+        b("coverage_consistent"))
+      assert(l("events_nb") === l("events_oa"))
+      assert(l("partitions_nb") === l("partitions_oa"))
+      assert(l("digest_nb") === l("digest_oa"))
+      assert(l("first_key") <= l("last_key"))
+      assert(l("min_ts_us") <= l("max_ts_us"))
+    }
+    // version-stable stats fields survive the re-encode bit-for-bit
+    val inPath = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val outPath = SstableUpgrade.ensureUpgraded(spark, Sf0001)
+    (1 to 6).foreach { gen =>
+      val nb = CassandraStatsFormat.parse(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(inPath, s"nb-$gen-big-Statistics.db")),
+        version = "nb").stats
+      val oa = CassandraStatsFormat.parse(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outPath, s"oa-$gen-big-Statistics.db")),
+        version = "oa").stats
+      assert(oa.minTimestampUs === nb.minTimestampUs)
+      assert(oa.maxTimestampUs === nb.maxTimestampUs)
+      assert(oa.level === nb.level)
+      assert(oa.repairedAtMs === nb.repairedAtMs)
+      assert(oa.totalRows === nb.totalRows)
+      assert(oa.totalColumnsSet === nb.totalColumnsSet)
+      // the covered slice carries exactly the legacy min/max blobs
+      val slice = oa.coveredClustering.get
+      assert(slice.start.values.map(_.get.toSeq) ===
+        nb.minClustering.map(_.toSeq))
+      assert(slice.end.values.map(_.get.toSeq) ===
+        nb.maxClustering.map(_.toSeq))
+    }
+  }
+
   test("primary-range repair (q199): per-owner plans partition the leaf " +
       "set (leaf mod 3) and their union reproduces the full q189 matrix " +
       "coverage (round 16)") {

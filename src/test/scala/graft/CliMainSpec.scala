@@ -411,7 +411,10 @@ class CliMainSpec extends SparkSpec {
     // matrix mark cycle (round 15): all 3 replicas marked, zero reads
     "repair_execute_matrix_mark" ->
       Seq("repair", "ks1", "lineitem", "--execute", "--matrix",
-        "--mark"))
+        "--mark"),
+    // sstableupgrade (round 16): 'nb' -> 'oa' version rewrite, data
+    // byte-identical, new fields carrying the derivable values
+    "upgrade" -> Seq("upgrade", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

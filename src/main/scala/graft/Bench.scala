@@ -262,10 +262,24 @@ object Bench {
     // an inflated minimum as a clean pass (the round-8 failure mode).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // SCALE-HONEST WINDOWS (round 16, VERDICT r15 ask #2): queries whose
+    // PlanCache'd intermediates make a warm window sf-INDEPENDENT (the
+    // repair digests are 64-row cached relations — r15's sf1 repair
+    // ratio of 0.60 timed a cache read, not 10x data). For these, every
+    // timed window — base loop AND sf1 probe alike, so the ratio stays
+    // cold-vs-cold — first invalidates the matching cache entries; the
+    // window then measures the data-proportional digest scans while the
+    // fixture writes stay memoized (setup, as before).
+    val coldKeys = Map(
+      "q182_repair_execute" -> "tokleafdigest")
     def measure(errKey: String, fn: (SparkSession, String) => DataFrame,
         dir: String, runs: Int = 2, maxExtra: Int = 3)
         : ((Double, Double, Double, Double), Int) = {
       def once(): (Double, Double, Double, Double) = {
+        coldKeys.get(errKey.stripPrefix("sf1_")).foreach { sub =>
+          graft.sources.PlanCache.invalidateMatching(spark, sub)
+          ()
+        }
         val (st0, tot0) = cpuStat()
         val ps0 = psiStallUs()
         val t0 = System.nanoTime()
@@ -486,6 +500,41 @@ object Bench {
     val splitsJson = sf1Splits
       .map { case (b, p) => s""","sf1_splits":{"base":$b,"probe":$p}""" }
       .getOrElse("")
+    // SF1 ANN RECALL (round 16, VERDICT r15 ask #5): the runtime ratios
+    // prove the ANN family SCALES; this measures what it RETURNS at
+    // scale — recall of each approximate family vs the exact q24 answer
+    // over the SAME 10x probe corpus. Untimed (the probe windows above
+    // already warmed the indexes); each collected set is #queries x k
+    // pairs, driver-trivial.
+    val sf1Recall: Seq[(String, Double)] =
+      ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
+        try {
+          def pairs(name: String): Set[(Long, Long)] =
+            SparkEntry.queries(name)(spark, pdir)
+              .select("query_id", "neighbor_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val bf = pairs("q24_sim_topk")
+          if (bf.isEmpty) Nil
+          else Seq("ivf" -> "q39_sim_ivf_ann", "pq" -> "q130_sim_pq_adc",
+            "hnsw" -> "q137_sim_hnsw").flatMap { case (tag, q) =>
+            try Some(tag -> (pairs(q) & bf).size.toDouble / bf.size)
+            catch {
+              case scala.util.control.NonFatal(t) =>
+                System.err.println(
+                  s"SF1 RECALL($tag) SKIPPED: ${t.getMessage}")
+                None
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(t) =>
+            System.err.println(s"SF1 RECALL SKIPPED: ${t.getMessage}")
+            Nil
+        }
+      }
+    val sf1RecallJson =
+      if (sf1Recall.isEmpty) ""
+      else sf1Recall.map { case (t, v) => "\"" + t + "\":" + f"$v%.3f" }
+        .mkString(""","sf1_recall":{""", ",", "}")
     val sf1AllRows = sf1Results.map { case (n, f, b) => (n, f, b._1) }
     val mainByName = results.toMap
     val sf1FamJson =
@@ -590,7 +639,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$splitsJson$refJson,"gate_wait_sec":$gateWaitSec$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$sf1RecallJson$splitsJson$refJson,"gate_wait_sec":$gateWaitSec$errJson,"sf":"$sfDir"}""")
     // SECOND, compact line: the driver records only an output *tail*, which
     // truncated the head of the full line in rounds 4–6 and lost the parsed
     // record each time. This line is short enough that the tail always ends

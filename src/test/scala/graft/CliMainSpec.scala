@@ -414,7 +414,10 @@ class CliMainSpec extends SparkSpec {
         "--mark"),
     // sstableupgrade (round 16): 'nb' -> 'oa' version rewrite, data
     // byte-identical, new fields carrying the derivable values
-    "upgrade" -> Seq("upgrade", "ks1", "lineitem"))
+    "upgrade" -> Seq("upgrade", "ks1", "lineitem"),
+    // the unified planner (round 16): one verb, strategy detected from
+    // each state's own sidecars, per-strategy decision tables
+    "compact_plan" -> Seq("compact", "--plan"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

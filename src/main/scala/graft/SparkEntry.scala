@@ -989,6 +989,22 @@ object SparkEntry {
     // upgraded set event-identical through the production scan
     "q200_sstable_upgrade" -> ((s, d) =>
       graft.ops.SstableUpgrade.roundtrip(s, d)),
+    // sstablescrub executed (round 16): one partition of one file
+    // corrupted byte-for-byte; the Digest.crc32 verdict flags the file,
+    // the salvage re-reads it PARTITION BY PARTITION off the Index.db
+    // boundaries (decode failure or key cross-check mismatch -> skip),
+    // and the survivors are rewritten as real sstables and re-read
+    // through the production scan
+    "q201_sstable_scrub" -> ((s, d) =>
+      graft.ops.Scrub.roundtrip(s, d)),
+    // training-mixture construction (round 16): capped inverse-sqrt
+    // source re-balancing (the multilingual exponent-smoothing rule at
+    // alpha=1/2 anchored at the corpus head) with deterministic
+    // hash-threshold selection — reproducible, shard-stable, no corpus
+    // shuffle; per-source raw volume, smoothed rate, kept counts + id
+    // checksum
+    "q202_source_mix" -> ((s, d) =>
+      graft.ops.Mixing.sourceMix(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -46,7 +46,7 @@ object Main {
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
-    "pipeline", "compact", "repair", "upgrade")
+    "pipeline", "compact", "repair", "upgrade", "salvage")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -63,6 +63,7 @@ object Main {
     case "split" => "Usage: split <keyspace> <table>"
     case "levelreset" => "Usage: levelreset <keyspace> <table>"
     case "upgrade" => "Usage: upgrade <keyspace> <table>"
+    case "salvage" => "Usage: salvage <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -121,7 +122,8 @@ object Main {
         |  blockers     Which live sstable blocks which fully-expired sstable's drop
         |  split        Rewrite the largest sstable as size-targeted sstables (partitions intact)
         |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)
-        |  upgrade      Rewrite every sstable to the current big-format version ('nb' -> 'oa'), data byte-identical""".stripMargin
+        |  upgrade      Rewrite every sstable to the current big-format version ('nb' -> 'oa'), data byte-identical
+        |  salvage      sstablescrub: per-partition isolated salvage of a corrupted sstable set""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -342,6 +344,9 @@ object Main {
       case "upgrade" =>
         if (!requireStore()) return 2
         out(tracked("upgrade")(Reports.upgrade(spark, dir))); 0
+      case "salvage" =>
+        if (!requireStore()) return 2
+        out(tracked("salvage")(Reports.salvage(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

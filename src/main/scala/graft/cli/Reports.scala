@@ -399,6 +399,16 @@ object Reports {
       "per-level counts before/after, events unchanged)",
       graft.ops.LevelReset.roundtrip(spark, dir))
 
+  /** `salvage <ks> <cf>` — sstablescrub (q201): Digest.crc32 verdict
+    * per file, per-partition isolated re-read off the Index.db
+    * boundaries (decode failure or key cross-check mismatch → skip),
+    * survivors rewritten as real sstables and re-counted. */
+  def salvage(spark: SparkSession, dir: String): String =
+    section("Scrub (per-partition isolated salvage; digest verdict on " +
+      "the input file, skipped partitions, salvaged counts off the " +
+      "rewritten sstables)",
+      graft.ops.Scrub.roundtrip(spark, dir))
+
   /** `upgrade <ks> <cf>` — sstableupgrade: the 'nb' -> 'oa' big-format
     * version rewrite (q200): components carried, the legacy min/max
     * clustering lists re-encoded as the covered slice, the

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** TRAINING-MIXTURE construction (round 16) — the re-balancing step
+  * every multilingual / multi-source pretraining pipeline runs between
+  * cleaning and packing: raw source shares are too skewed to train on
+  * (the biggest crawl drowns the curated sources), so each source is
+  * sampled at a rate that SMOOTHS the size distribution. The standard
+  * move is exponent smoothing (sample ∝ size^α, α < 1 — the
+  * multilingual-BERT / XLM-R exposure rule); this operator implements
+  * its capped inverse-sqrt form:
+  *
+  *   rate(s) = min(1, sqrt(T_max / T_s) / 2)
+  *
+  * where T_s is source s's token total — the smallest sources keep (or
+  * approach) all their data while a source 4x the largest's quarter…
+  * i.e. the LARGEST source is cut to half its tokens and every smaller
+  * source is cut strictly less, the α = 1/2 exposure curve anchored at
+  * the corpus head. Selection is DETERMINISTIC per document (a 60-bit
+  * hash of the doc id against the scaled rate), so the mixture is
+  * reproducible run to run and shard-stable under repartitioning —
+  * what a training-data pipeline needs for resumable jobs.
+  *
+  * Scale shape: one narrow per-source aggregate (O(#sources) driver
+  * rows), a broadcast rate table, and a hash-threshold filter inside
+  * whole-stage codegen — no shuffle of the corpus, no sort, no
+  * sampling state. The rate arithmetic is fixed IEEE double ops
+  * (divide, sqrt, halve, floor to ×10^6) in a pinned order, so the
+  * DuckDB oracle reproduces every rate bit-for-bit. */
+object Mixing {
+
+  /** Rates are published (and compared) as floor(rate × 10^6). */
+  val RateScale = 1000000L
+
+  private val M = 1000003L
+
+  private def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("token_count",
+      size(split(col("text"), " ")).cast("long"))
+
+  /** The pinned rate function — ONE expression shared by the operator
+    * and the spec so the driver and the oracle can never drift. */
+  def rateX1e6(tMax: Long, t: Long): Long =
+    math.floor(math.min(1.0,
+      math.sqrt(tMax.toDouble / t.toDouble) / 2.0) * 1000000.0).toLong
+
+  /** q202: the mixture relation — one row per source: its raw volume,
+    * the smoothed sampling rate, and the kept subset's counts + id
+    * checksum (the kept SET is the deliverable; the checksum pins it). */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(Tables.documents(spark, dir))
+    val perSource = docs.groupBy("source")
+      .agg(sum("token_count").as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tMax = perSource.map(_._2).max
+    import spark.implicits._
+    val rates = perSource
+      .map { case (s, t) => (s, rateX1e6(tMax, t)) }.toSeq
+      .toDF("source", "rate_x1e6")
+    docs.join(broadcast(rates), "source")
+      .withColumn("kept",
+        pmod(graft.functions.PortableHash.h60(
+          concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(RateScale)) < col("rate_x1e6"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("token_count").as("tokens"),
+        max("rate_x1e6").as("rate_x1e6"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("kept"), col("token_count")).otherwise(0L))
+          .as("tokens_kept"),
+        coalesce(sum(when(col("kept"), col("doc_id") % M)), lit(0L))
+          .as("kept_id_checksum"))
+      .orderBy("source")
+  }
+}

@@ -1749,6 +1749,42 @@ FROM documents ORDER BY doc_id""",
   CAST(floor(SUM(n_chars) / COUNT(*)) AS BIGINT) AS avg_chars
 FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // q202: the training mixture — per-source capped inverse-sqrt
+    // smoothing (rate = min(1, sqrt(Tmax/Ts)/2), pinned IEEE op order)
+    // with deterministic hash-threshold selection.
+    "q202_source_mix" -> s"""WITH t AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(SUM(token_count) AS BIGINT) AS tokens
+  FROM t GROUP BY 1
+),
+mx AS (SELECT MAX(tokens) AS tmax FROM per_source),
+rates AS (
+  SELECT source, tokens,
+    CAST(floor(LEAST(1.0,
+      sqrt(CAST(tmax AS DOUBLE) / CAST(tokens AS DOUBLE)) / 2.0)
+      * 1000000.0) AS BIGINT) AS rate_x1e6
+  FROM per_source, mx
+),
+tagged AS (
+  SELECT t.source, t.doc_id, t.token_count, r.rate_x1e6,
+    (${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < r.rate_x1e6) AS kept
+  FROM t JOIN rates r USING (source)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(token_count) AS BIGINT) AS tokens,
+  CAST(MAX(rate_x1e6) AS BIGINT) AS rate_x1e6,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+  CAST(SUM(CASE WHEN kept THEN token_count ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  CAST(COALESCE(SUM(CASE WHEN kept THEN doc_id % 1000003 END), 0)
+    AS BIGINT) AS kept_id_checksum
+FROM tagged GROUP BY 1 ORDER BY 1""",
+
     "q28_token_totals" -> """WITH t AS (
   SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
   FROM documents
@@ -4187,6 +4223,9 @@ ORDER BY 1"""
       // order — batch assignment, the late-inside keep, the
       // late-outside drop, and the final-watermark emission frontier.
       ("q198_streaming_watermark" -> q198Sql) +
+      // q201: sstablescrub — per-partition isolated salvage of a
+      // corrupted file; survivors re-read from the rewritten sstables.
+      ("q201_sstable_scrub" -> q201Sql) +
       // q200: sstableupgrade — 'nb' -> 'oa' version rewrite: data
       // identical through the production scan, components complete,
       // new fields carry the derivable values.
@@ -5721,6 +5760,57 @@ SELECT unit,
   min_clustering, max_clustering,
   TRUE AS coverage_consistent
 FROM uagg ORDER BY unit"""
+  }
+
+  /** q201: sstablescrub (round 16) — exactly one partition (sst-2's
+    * smallest key ≡ 0 mod 97, whole byte range overwritten) is
+    * corrupted, so the salvaged output is the corpus minus that
+    * partition; the Digest.crc32 verdict flags only the corrupted
+    * file. Everything else replays from parquet under the read-back
+    * representation mapping. */
+  private lazy val q201Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+smapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+victim AS (
+  SELECT MIN(key) AS vk FROM smapped
+  WHERE sstable_id = 'sst-2' AND key % ${graft.ops.Scrub.VictimKeyMod} = 0
+),
+stotal AS (
+  SELECT sstable_id, CAST(COUNT(DISTINCT key) AS BIGINT)
+    AS partitions_total
+  FROM smapped GROUP BY 1
+),
+kept AS (
+  SELECT s.* FROM smapped s, victim v
+  WHERE NOT (s.sstable_id = 'sst-2' AND s.key = v.vk)
+),
+sagg AS (
+  SELECT sstable_id,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions_salvaged,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS digest
+  FROM kept GROUP BY 1
+)
+SELECT a.sstable_id AS unit, a.events, a.partitions_salvaged, a.digest,
+  (a.sstable_id <> 'sst-2') AS digest_ok,
+  t.partitions_total,
+  CAST(CASE WHEN a.sstable_id = 'sst-2' THEN 1 ELSE 0 END AS BIGINT)
+    AS partitions_skipped,
+  CAST(CASE WHEN a.sstable_id = 'sst-2' THEN (SELECT vk FROM victim)
+       ELSE -1 END AS BIGINT) AS skipped_key
+FROM sagg a JOIN stotal t USING (sstable_id) ORDER BY unit"""
   }
 
   /** q196: the steady-state incremental loop — the flush is the

@@ -19,6 +19,23 @@ object DataDb {
     r.load(path)
   }
 
+  /** Decode ONE partition's events from its Index.db byte range
+    * [start, end) of `file`, ISOLATED from the rest of the file — the
+    * scrub tool's unit of salvage (round 16): a corrupted partition's
+    * decode failure must not take down its neighbors. Returns the
+    * event iterator plus the close handle; the iterator may throw
+    * mid-drain on corrupt bytes (the codecs are fail-closed) — callers
+    * catch per partition. */
+  def partitionEvents(file: String, start: Long, end: Long,
+      format: String = DataDbScan.FormatCassandra)
+      : (Iterator[DataDbFormat.Event], java.io.Closeable) = {
+    val es = new EventStream(file, start, end,
+      new org.apache.hadoop.conf.Configuration(), format)
+    (es.events, new java.io.Closeable {
+      override def close(): Unit = es.close()
+    })
+  }
+
   /** Raw events in the `cells` fixture shape (keyspace/tbl constants and
     * the key decoded through the key-validator form, X4): the entire
     * cfstats/purge pipeline — `Fixtures.partitionScan`, `partitions`,

@@ -2103,6 +2103,41 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("sstablescrub (q201): the corrupted partition is skipped, every " +
+      "neighbor salvages intact through the real rewrite, and the " +
+      "Digest verdict flags exactly the corrupted file (round 16)") {
+    import graft.ops.Scrub
+    import graft.sources.datadb.{DataDb, DataDbScan}
+    val (_, victim) = Scrub.ensureCorrupted(spark, Sf0001)
+    assert(victim % Scrub.VictimKeyMod === 0L)
+    val rows = Scrub.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val unit = r.getString(r.fieldIndex("unit"))
+      val bad = unit == "sst-2"
+      assert(r.getBoolean(r.fieldIndex("digest_ok")) === !bad,
+        s"$unit digest verdict")
+      assert(r.getLong(r.fieldIndex("partitions_skipped")) ===
+        (if (bad) 1L else 0L), s"$unit skip count")
+      assert(r.getLong(r.fieldIndex("skipped_key")) ===
+        (if (bad) victim else -1L), s"$unit skipped key")
+      assert(r.getLong(r.fieldIndex("partitions_salvaged")) ===
+        r.getLong(r.fieldIndex("partitions_total")) -
+          (if (bad) 1L else 0L), s"$unit salvage count")
+    }
+    // the salvage is the uncorrupted original minus exactly the victim
+    // partition, event for event
+    val orig = DataDb.cells(spark,
+      CassandraDataFixture.ensureFiles(spark, Sf0001, compressed = false),
+      format = DataDbScan.FormatCassandra)
+    val expectBad = orig
+      .where(col("sstable_id") === "nb-3-big" && col("key") =!= victim)
+      .count()
+    val got = rows.find(r =>
+      r.getString(r.fieldIndex("unit")) == "sst-2").get
+    assert(got.getLong(got.fieldIndex("events")) === expectBad)
+  }
+
   test("sstableupgrade (q200): the nb -> oa version rewrite carries " +
       "every component, leaves Data.db byte-identical, scans " +
       "event-identical, and fills the oa fields from the sstable's own " +

@@ -417,7 +417,10 @@ class CliMainSpec extends SparkSpec {
     "upgrade" -> Seq("upgrade", "ks1", "lineitem"),
     // the unified planner (round 16): one verb, strategy detected from
     // each state's own sidecars, per-strategy decision tables
-    "compact_plan" -> Seq("compact", "--plan"))
+    "compact_plan" -> Seq("compact", "--plan"),
+    // sstablescrub (round 16): digest verdict, skipped partition,
+    // salvaged counts off the rewritten files
+    "salvage" -> Seq("salvage", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -504,6 +504,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q202 source mixing: capped inverse-sqrt smoothing — the largest " +
+      "source samples at exactly 1/2, smaller sources at strictly higher " +
+      "rates, and the hash-threshold selection is deterministic " +
+      "(round 16)") {
+    import graft.ops.Mixing
+    val rows = Mixing.sourceMix(spark, Sf0001).collect()
+    assert(rows.length === 20)
+    def l(r: org.apache.spark.sql.Row, n: String) =
+      r.getLong(r.fieldIndex(n))
+    val tMax = rows.map(l(_, "tokens")).max
+    rows.foreach { r =>
+      assert(l(r, "rate_x1e6") === Mixing.rateX1e6(tMax, l(r, "tokens")),
+        s"${r.getString(0)} rate drifted from the pinned function")
+      assert(l(r, "docs_kept") <= l(r, "docs"))
+      assert(l(r, "tokens_kept") <= l(r, "tokens"))
+    }
+    // the head source is cut to half; every smaller source keeps more
+    val head = rows.maxBy(l(_, "tokens"))
+    assert(l(head, "rate_x1e6") === Mixing.RateScale / 2)
+    rows.filter(r => l(r, "tokens") < tMax).foreach(r =>
+      assert(l(r, "rate_x1e6") > Mixing.RateScale / 2))
+    // selection is reproducible run to run
+    val again = Mixing.sourceMix(spark, Sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // and something was genuinely dropped somewhere
+    assert(rows.exists(r => l(r, "docs_kept") < l(r, "docs")))
+  }
+
   test("streaming dedup drops re-arriving documents with bounded state") {
     import java.nio.file.{Files, Paths}
     val ingest = Files.createTempDirectory("graft-dedup-stream-")

@@ -1005,6 +1005,14 @@ object SparkEntry {
     // checksum
     "q202_source_mix" -> ((s, d) =>
       graft.ops.Mixing.sourceMix(s, d)),
+    // the UPSAMPLING half of mixture construction (round 16): each
+    // source repeats toward a uniform exposure target (min(4,
+    // 2*Tmax/Ts) epochs) through a real generator; fractional epochs
+    // materialize per document by hash threshold — the "repeat the
+    // small curated sources a few epochs" move every pretraining
+    // mixture applies
+    "q203_source_epochs" -> ((s, d) =>
+      graft.ops.Mixing.sourceEpochs(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -48,6 +48,60 @@ object Mixing {
     math.floor(math.min(1.0,
       math.sqrt(tMax.toDouble / t.toDouble) / 2.0) * 1000000.0).toLong
 
+  /** Epoch cap for [[sourceEpochs]] — no source repeats more than this
+    * many times however small it is (repetition past a few epochs stops
+    * helping and starts memorizing). */
+  val MaxEpochs = 4.0
+
+  /** The pinned exposure function for the UPSAMPLING half: target each
+    * source at twice the head source's token count, capped at
+    * [[MaxEpochs]] — exposure(s) = min(4, 2·T_max / T_s), published as
+    * floor(exposure × 10^6). Every source repeats at least twice (the
+    * head included), fractional epochs materialize per document by
+    * hash threshold. */
+  def exposureX1e6(tMax: Long, t: Long): Long =
+    math.floor(math.min(MaxEpochs,
+      (2.0 * tMax.toDouble) / t.toDouble) * 1000000.0).toLong
+
+  /** q203: the UPSAMPLING relation (q202's other half — a real mixture
+    * both downsamples the head and REPEATS the small curated sources):
+    * each source's documents are emitted floor(exposure) times plus one
+    * more for the hash-selected fraction, through a real generator
+    * (`explode(sequence(1, copies))`) so the emitted dataset exists,
+    * then folded back per source. The emitted-id checksum
+    * Σ (doc_id mod M)·rep pins the exact multiset of copies (the
+    * oracle collapses the rep sum arithmetically:
+    * Σ_{rep=1..c} rep = c(c+1)/2). Deterministic and shard-stable like
+    * q202. */
+  def sourceEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(Tables.documents(spark, dir))
+    val perSource = docs.groupBy("source")
+      .agg(sum("token_count").as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tMax = perSource.map(_._2).max
+    import spark.implicits._
+    val exposures = perSource
+      .map { case (s, t) => (s, exposureX1e6(tMax, t)) }.toSeq
+      .toDF("source", "exposure_x1e6")
+    docs.join(broadcast(exposures), "source")
+      .withColumn("copies",
+        expr(s"exposure_x1e6 div $RateScale") +
+          when(pmod(graft.functions.PortableHash.h60(
+            concat(lit("epoch:"), col("doc_id").cast("string"))),
+            lit(RateScale)) < col("exposure_x1e6") % RateScale, 1L)
+            .otherwise(0L))
+      // copies >= 2 by construction (exposure >= 2 at every source);
+      // sequence(1, copies) is therefore never empty/descending
+      .withColumn("rep", explode(expr("sequence(1L, copies)")))
+      .groupBy("source")
+      .agg(
+        max("exposure_x1e6").as("exposure_x1e6"),
+        count(lit(1)).as("docs_emitted"),
+        sum("token_count").as("tokens_emitted"),
+        sum((col("doc_id") % M) * col("rep")).as("emitted_checksum"))
+      .orderBy("source")
+  }
+
   /** q202: the mixture relation — one row per source: its raw volume,
     * the smoothed sampling rate, and the kept subset's counts + id
     * checksum (the kept SET is the deliverable; the checksum pins it). */

@@ -1785,6 +1785,40 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
     AS BIGINT) AS kept_id_checksum
 FROM tagged GROUP BY 1 ORDER BY 1""",
 
+    // q203: the upsampling half — exposure = min(4, 2*Tmax/Ts) epochs
+    // (pinned IEEE op order); the per-rep checksum collapses to
+    // c(c+1)/2 per document.
+    "q203_source_epochs" -> s"""WITH t AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(SUM(token_count) AS BIGINT) AS tokens
+  FROM t GROUP BY 1
+),
+mx AS (SELECT MAX(tokens) AS tmax FROM per_source),
+exposures AS (
+  SELECT source,
+    CAST(floor(LEAST(4.0,
+      (2.0 * CAST(tmax AS DOUBLE)) / CAST(tokens AS DOUBLE))
+      * 1000000.0) AS BIGINT) AS exposure_x1e6
+  FROM per_source, mx
+),
+tagged AS (
+  SELECT t.source, t.doc_id, t.token_count, e.exposure_x1e6,
+    e.exposure_x1e6 // 1000000 +
+      CASE WHEN ${h60("'epoch:' || CAST(doc_id AS VARCHAR)")} % 1000000
+             < e.exposure_x1e6 % 1000000 THEN 1 ELSE 0 END AS copies
+  FROM t JOIN exposures e USING (source)
+)
+SELECT source, CAST(MAX(exposure_x1e6) AS BIGINT) AS exposure_x1e6,
+  CAST(SUM(copies) AS BIGINT) AS docs_emitted,
+  CAST(SUM(copies * token_count) AS BIGINT) AS tokens_emitted,
+  CAST(SUM((doc_id % 1000003) * (copies * (copies + 1) // 2)) AS BIGINT)
+    AS emitted_checksum
+FROM tagged GROUP BY 1 ORDER BY 1""",
+
     "q28_token_totals" -> """WITH t AS (
   SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
   FROM documents

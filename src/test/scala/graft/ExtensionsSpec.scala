@@ -532,6 +532,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.exists(r => l(r, "docs_kept") < l(r, "docs")))
   }
 
+  test("q203 source epochs: every source repeats at least twice toward " +
+      "the uniform exposure target, fractional epochs materialize by " +
+      "hash per document, and the explode-side checksum equals the " +
+      "collapsed c(c+1)/2 form (round 16)") {
+    import graft.ops.Mixing
+    val rows = Mixing.sourceEpochs(spark, Sf0001).collect()
+    assert(rows.length === 20)
+    def l(r: org.apache.spark.sql.Row, n: String) =
+      r.getLong(r.fieldIndex(n))
+    // recompute the raw inputs for cross-checks
+    val docs = Tables.documents(spark, Sf0001)
+      .withColumn("token_count",
+        size(split(col("text"), " ")).cast("long"))
+      .select("source", "doc_id", "token_count").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = docs.groupBy(_._1).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._3).sum)).toMap
+    val tMax = perSource.values.map(_._2).max
+    rows.foreach { r =>
+      val src = r.getString(r.fieldIndex("source"))
+      val (nDocs, tokens) = perSource(src)
+      assert(l(r, "exposure_x1e6") === Mixing.exposureX1e6(tMax, tokens))
+      // at least 2 full epochs: emitted >= 2x the raw counts
+      assert(l(r, "docs_emitted") >= 2 * nDocs)
+      assert(l(r, "tokens_emitted") >= 2 * tokens)
+      // and never more than the cap + 1 fractional
+      assert(l(r, "docs_emitted") <= 5 * nDocs)
+    }
+    // some source genuinely lands a fractional (non-integer) epoch
+    assert(rows.exists(r =>
+      l(r, "docs_emitted") % perSource(
+        r.getString(r.fieldIndex("source")))._1 != 0L))
+    // deterministic
+    val again = Mixing.sourceEpochs(spark, Sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup drops re-arriving documents with bounded state") {
     import java.nio.file.{Files, Paths}
     val ingest = Files.createTempDirectory("graft-dedup-stream-")

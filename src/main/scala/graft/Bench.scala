@@ -271,7 +271,14 @@ object Bench {
     // window then measures the data-proportional digest scans while the
     // fixture writes stay memoized (setup, as before).
     val coldKeys = Map(
-      "q182_repair_execute" -> "tokleafdigest")
+      "q182_repair_execute" -> "tokleafdigest",
+      // the real-format cfstats/purge pipelines cache their derived
+      // scans per (session, path); warm windows read O(partitions)
+      // cached rows and sit at fixed ~0.1 s at EVERY sf (r16: q83 sf1
+      // ratio 0.92 over 10x data) — cold windows re-run the binary
+      // scan, the cost that actually scales
+      "q71_cfstats_from_cassandra" -> "cass_p",
+      "q83_purge_from_cassandra" -> "cass_p")
     def measure(errKey: String, fn: (SparkSession, String) => DataFrame,
         dir: String, runs: Int = 2, maxExtra: Int = 3)
         : ((Double, Double, Double, Double), Int) = {

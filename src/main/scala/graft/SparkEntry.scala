@@ -1013,6 +1013,14 @@ object SparkEntry {
     // mixture applies
     "q203_source_epochs" -> ((s, d) =>
       graft.ops.Mixing.sourceEpochs(s, d)),
+    // sstableofflinerelevel executed (round 16): rebuild a leveled
+    // hierarchy OFFLINE from the flat level-reset state — first-fit
+    // over start-sorted ranges extracts non-overlapping runs (the LCS
+    // level invariant), the fullest run lands deepest, every
+    // Statistics.db rewritten metadata-only, levels re-read from the
+    // rewritten sidecars and re-checked disjoint
+    "q204_offline_relevel" -> ((s, d) =>
+      graft.ops.OfflineRelevel.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

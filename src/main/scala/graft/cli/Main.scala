@@ -46,7 +46,7 @@ object Main {
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
-    "pipeline", "compact", "repair", "upgrade", "salvage")
+    "pipeline", "compact", "repair", "upgrade", "salvage", "relevel")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -64,6 +64,7 @@ object Main {
     case "levelreset" => "Usage: levelreset <keyspace> <table>"
     case "upgrade" => "Usage: upgrade <keyspace> <table>"
     case "salvage" => "Usage: salvage <keyspace> <table>"
+    case "relevel" => "Usage: relevel <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -123,7 +124,8 @@ object Main {
         |  split        Rewrite the largest sstable as size-targeted sstables (partitions intact)
         |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)
         |  upgrade      Rewrite every sstable to the current big-format version ('nb' -> 'oa'), data byte-identical
-        |  salvage      sstablescrub: per-partition isolated salvage of a corrupted sstable set""".stripMargin
+        |  salvage      sstablescrub: per-partition isolated salvage of a corrupted sstable set
+        |  relevel      sstableofflinerelevel: rebuild the leveled hierarchy from a flat set (metadata-only)""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -347,6 +349,9 @@ object Main {
       case "salvage" =>
         if (!requireStore()) return 2
         out(tracked("salvage")(Reports.salvage(spark, dir))); 0
+      case "relevel" =>
+        if (!requireStore()) return 2
+        out(tracked("relevel")(Reports.relevel(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

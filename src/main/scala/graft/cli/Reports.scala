@@ -399,6 +399,15 @@ object Reports {
       "per-level counts before/after, events unchanged)",
       graft.ops.LevelReset.roundtrip(spark, dir))
 
+  /** `relevel <ks> <cf>` — sstableofflinerelevel (q204): first-fit
+    * runs off the flat state's sidecars, volume-ranked levels, the
+    * metadata-only rewrite re-read and invariant-checked. */
+  def relevel(spark: SparkSession, dir: String): String =
+    section("Offline relevel (first-fit non-overlapping runs, fullest " +
+      "run deepest; levels re-read from the rewritten Statistics.db, " +
+      "within-level overlaps re-checked)",
+      graft.ops.OfflineRelevel.roundtrip(spark, dir))
+
   /** `salvage <ks> <cf>` — sstablescrub (q201): Digest.crc32 verdict
     * per file, per-partition isolated re-read off the Index.db
     * boundaries (decode failure or key cross-check mismatch → skip),

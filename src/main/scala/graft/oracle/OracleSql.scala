@@ -4257,6 +4257,9 @@ ORDER BY 1"""
       // order — batch assignment, the late-inside keep, the
       // late-outside drop, and the final-watermark emission frontier.
       ("q198_streaming_watermark" -> q198Sql) +
+      // q204: sstableofflinerelevel — first-fit runs + volume-ranked
+      // levels off the flat set, rewritten levels re-read + disjoint.
+      ("q204_offline_relevel" -> q204Sql) +
       // q201: sstablescrub — per-partition isolated salvage of a
       // corrupted file; survivors re-read from the rewritten sstables.
       ("q201_sstable_scrub" -> q201Sql) +
@@ -5846,6 +5849,66 @@ SELECT a.sstable_id AS unit, a.events, a.partitions_salvaged, a.digest,
        ELSE -1 END AS BIGINT) AS skipped_key
 FROM sagg a JOIN stotal t USING (sstable_id) ORDER BY unit"""
   }
+
+  /** q204: sstableofflinerelevel (round 16) — the flat (level-reset)
+    * leveled set's first-fit run assignment replayed as a DuckDB
+    * recursive CTE (one interval per step, run state = per-run last
+    * keys as a list), then volume-ranked leveling; within-level
+    * disjointness holds by construction (runs are chains) so the
+    * re-check column is 0 and the re-read level equals the plan. */
+  private lazy val q204Sql: String = s"""WITH RECURSIVE $fixtures,
+lkeys AS (
+  SELECT key, NTILE(4) OVER (ORDER BY key) AS tile
+  FROM (SELECT DISTINCT key FROM licells)
+),
+lmapped AS (
+  SELECT CASE WHEN k.tile IN (2, 3) AND m.timestamp_us % 10 < 3
+              THEN 'sst-' || CAST(m.timestamp_us % 2 AS VARCHAR)
+              ELSE 'sst-' || CAST(k.tile + 1 AS VARCHAR) END AS sstable_id,
+    m.key,
+    CASE WHEN m.is_tombstone THEN 0 ELSE m.size_bytes % 61 END AS size_bytes
+  FROM licells m JOIN lkeys k USING (key)
+),
+rbounds AS (
+  SELECT sstable_id, CAST(MIN(key) AS BIGINT) AS fk,
+    CAST(MAX(key) AS BIGINT) AS lk,
+    CAST(SUM(32 + size_bytes) AS BIGINT) AS model_bytes
+  FROM lmapped GROUP BY 1
+),
+rranked AS (
+  SELECT *, row_number() OVER (ORDER BY fk, sstable_id) AS rn
+  FROM rbounds
+),
+rassign(rn, lasts, sstable_id, run) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS VARCHAR), 0
+  UNION ALL
+  SELECT o.rn,
+    CASE WHEN j.j IS NULL THEN list_append(a.lasts, o.lk)
+         ELSE list_concat(list_concat(
+                a.lasts[1:j.j-1], [o.lk]),
+                a.lasts[j.j+1:len(a.lasts)]) END,
+    o.sstable_id,
+    CAST(COALESCE(j.j, len(a.lasts) + 1) AS INT)
+  FROM rassign a
+  JOIN rranked o ON o.rn = a.rn + 1
+  CROSS JOIN LATERAL (SELECT NULLIF(list_position(
+    list_transform(a.lasts, x -> x < o.fk), true), 0) AS j) j
+),
+runs AS (SELECT sstable_id, run FROM rassign WHERE rn > 0),
+runvol AS (
+  SELECT r.run, SUM(b.model_bytes) AS rbytes
+  FROM runs r JOIN rbounds b USING (sstable_id) GROUP BY 1
+),
+lvls AS (
+  SELECT run, CAST(row_number() OVER (ORDER BY rbytes, run) AS BIGINT)
+    AS lvl
+  FROM runvol
+)
+SELECT b.sstable_id, b.fk AS first_key, b.lk AS last_key, b.model_bytes,
+  CAST(r.run AS BIGINT) AS run, l.lvl, l.lvl AS lvl_reread,
+  CAST(0 AS BIGINT) AS level_overlaps
+FROM rbounds b JOIN runs r USING (sstable_id) JOIN lvls l USING (run)
+ORDER BY b.sstable_id"""
 
   /** q196: the steady-state incremental loop — the flush is the
     * key%101 sliver re-written FlushShiftUs later through the real

@@ -2103,6 +2103,50 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("sstableofflinerelevel (q204): the flat set first-fits into " +
+      "non-overlapping runs, the fullest run lands deepest, the " +
+      "rewritten sidecars carry the plan, and every level is disjoint " +
+      "(round 16)") {
+    import graft.ops.OfflineRelevel
+    val rows = OfflineRelevel.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    def l(r: org.apache.spark.sql.Row, n: String) =
+      r.getLong(r.fieldIndex(n))
+    val byId = rows.map(r => r.getString(0) -> r).toMap
+    // the overlapping L0 flushes force MULTIPLE runs, and every run is
+    // a non-overlapping key chain (the LCS level invariant)
+    val runsOf = rows.groupBy(l(_, "run"))
+    assert(runsOf.size >= 2)
+    runsOf.values.foreach { rs =>
+      rs.sortBy(l(_, "first_key")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(l(a, "last_key") < l(b, "first_key"),
+            s"run ${l(a, "run")} holds overlapping members")
+        case _ => ()
+      }
+    }
+    // levels rank runs by volume ascending: the fullest run is deepest
+    val volByRun = runsOf.view
+      .mapValues(_.map(l(_, "model_bytes")).sum).toMap
+    val lvlByRun = rows.map(r => l(r, "run") -> l(r, "lvl")).toMap
+    val ordered = volByRun.toSeq.sortBy { case (run, v) => (v, run) }
+    ordered.zipWithIndex.foreach { case ((run, _), i) =>
+      assert(lvlByRun(run) === i + 1L, s"run $run mis-leveled") }
+    rows.foreach { r =>
+      assert(l(r, "lvl_reread") === l(r, "lvl"),
+        s"${r.getString(0)} rewritten level drifted from the plan")
+      assert(l(r, "level_overlaps") === 0L,
+        s"${r.getString(0)} violates the level invariant")
+    }
+    // planning is a pure function: replanning the planned state is a
+    // fixed point (runs re-derive identically from the new sidecars)
+    val replanned = OfflineRelevel.plan(rows.toSeq.map(r =>
+      (r.getString(0), l(r, "first_key"), l(r, "last_key"),
+        l(r, "model_bytes"))))
+    replanned.foreach(a =>
+      assert(a.level.toLong === l(byId(a.sstableId), "lvl")))
+  }
+
   test("sstablescrub (q201): the corrupted partition is skipped, every " +
       "neighbor salvages intact through the real rewrite, and the " +
       "Digest verdict flags exactly the corrupted file (round 16)") {

@@ -420,7 +420,10 @@ class CliMainSpec extends SparkSpec {
     "compact_plan" -> Seq("compact", "--plan"),
     // sstablescrub (round 16): digest verdict, skipped partition,
     // salvaged counts off the rewritten files
-    "salvage" -> Seq("salvage", "ks1", "lineitem"))
+    "salvage" -> Seq("salvage", "ks1", "lineitem"),
+    // sstableofflinerelevel (round 16): first-fit runs, volume-ranked
+    // levels, rewritten sidecars re-read + invariant-checked
+    "relevel" -> Seq("relevel", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

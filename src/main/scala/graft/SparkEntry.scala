@@ -1021,6 +1021,14 @@ object SparkEntry {
     // rewritten sidecars and re-checked disjoint
     "q204_offline_relevel" -> ((s, d) =>
       graft.ops.OfflineRelevel.roundtrip(s, d)),
+    // EVENT-TIME session windows via the native session_window
+    // aggregate (round 16): one row per (user, session) with the bounds
+    // Spark assigns (end = last event + the 30-minute gap) — the
+    // per-session grain q31's composed islands form rolls away; the
+    // SAME aggregate runs as a streaming query with cross-batch session
+    // state merging (spec-pinned)
+    "q205_session_windows" -> ((s, d) =>
+      graft.ops.EventsOps.sessionWindows(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

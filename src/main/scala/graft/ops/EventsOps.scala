@@ -40,6 +40,33 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** q205 (round 16): EVENT-TIME SESSION WINDOWS through Spark's native
+    * `session_window` aggregate — the per-SESSION grain q31's composed
+    * lag-islands form rolls up away (one row per (user, session) with
+    * the window bounds Spark assigns: start = first event, end = last
+    * event + the 30-minute gap). The same aggregate runs unchanged as a
+    * streaming query (session state MERGES across micro-batches as late
+    * members arrive — spec-pinned against this batch answer on the
+    * emitted frontier); the DuckDB oracle replays the islands and the
+    * end = max(ts) + gap rule from parquet. One shuffle on the session
+    * key; dynamic-length windows never materialize per-event state. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowsOf(Tables.events(spark, dir))
+      .orderBy("user_id", "start_us")
+
+  /** The shared aggregate — batch and streaming alike (unified Dataset
+    * API; no sort so the streaming form plans). */
+  def sessionWindowsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_x100"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("events"), col("value_x100"))
+
   /** As-of join: each `error` event matched to the most recent strictly
     * earlier `click` by the same user. Composed as union + ignore-nulls
     * `last()` over a (ts, event_id)-ordered window — ONE shuffle on

@@ -1785,6 +1785,31 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
     AS BIGINT) AS kept_id_checksum
 FROM tagged GROUP BY 1 ORDER BY 1""",
 
+    // q205: native event-time session windows — islands per user with
+    // a NEW session at gap >= 30 min (session_window's end bound is
+    // exclusive: an event exactly one gap after the previous one opens
+    // a new session), end = last event + gap.
+    "q205_session_windows" -> """WITH sev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM sev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+  CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(v) AS BIGINT) AS value_x100
+FROM islands GROUP BY user_id, sid ORDER BY 1, 2""",
+
     // q203: the upsampling half — exposure = min(4, 2*Tmax/Ts) epochs
     // (pinned IEEE op order); the per-rep checksum collapses to
     // c(c+1)/2 per document.

@@ -569,6 +569,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("q205 streaming twin: the native session_window aggregate runs " +
+      "as a stream — session state carries across micro-batches and " +
+      "append emits exactly the sessions the final watermark closed " +
+      "(round 16)") {
+    import java.nio.file.Files
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("us", expr("unix_micros(ts)"))
+    // two arrival batches split mid-corpus (day 15 of the month)
+    val splitUs = graft.streaming.StreamingStats.WatermarkAnchorUs +
+      15L * 86400L * 1000000L
+    val ingest = Files.createTempDirectory("graft-session-stream")
+    Seq(ev.where(col("us") < splitUs), ev.where(col("us") >= splitUs))
+      .zipWithIndex.foreach { case (b, i) =>
+        val tmp = Files.createTempDirectory("graft-session-part")
+        b.select("ts", "user_id", "value").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = ingest.resolve(f"arrival-$i%03d.parquet")
+        Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(60000L * (i + 1))
+        ()
+      }
+    val schema = spark.read.parquet(ingest.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ingest.toString)
+    val q = graft.ops.EventsOps
+      .sessionWindowsOf(src.withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("session_stream").collect()
+      .map(_.toSeq).toSet
+    // the emitted frontier: sessions whose end the final watermark
+    // passed (watermark tracks event time in ms)
+    val wmUs = (ev.agg(max("us")).head.getLong(0) / 1000L
+      - 7200000L) * 1000L
+    val expect = graft.ops.EventsOps
+      .sessionWindowsOf(Tables.events(spark, Sf0001))
+      .where(col("end_us") <= wmUs)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === expect)
+    // and sessions do exist on both sides of the split (state was
+    // genuinely built in both batches)
+    assert(expect.exists(_(1).asInstanceOf[Long] < splitUs))
+    assert(expect.exists(_(1).asInstanceOf[Long] >= splitUs))
+  }
+
   test("streaming dedup drops re-arriving documents with bounded state") {
     import java.nio.file.{Files, Paths}
     val ingest = Files.createTempDirectory("graft-dedup-stream-")

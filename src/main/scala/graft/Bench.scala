@@ -428,7 +428,15 @@ object Bench {
       // in-window merge + drop/block branches off 10x sidecars
       "q182_repair_execute" -> "repair",
       "q183_leveled_multilevel" -> "compaction",
-      "q188_twcs_compaction" -> "compaction")
+      "q188_twcs_compaction" -> "compaction",
+      // round 16: the composed TWCS+STCS cycle (window + in-window
+      // tier selection + per-group merges over 10x flushes), the
+      // version rewrite (10x sidecar re-encodes + two full scans), and
+      // the per-partition isolated scrub (10x partitions, one decode
+      // task batch per range)
+      "q197_twcs_stcs" -> "compaction",
+      "q200_sstable_upgrade" -> "codec",
+      "q201_sstable_scrub" -> "codec")
     val binProbeDir = ensureSf1BinProbe(spark, sfDir)
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =

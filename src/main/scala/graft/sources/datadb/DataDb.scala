@@ -19,6 +19,14 @@ object DataDb {
     r.load(path)
   }
 
+  /** ONE shared Hadoop configuration for the per-partition decode path:
+    * `new Configuration()` loads its XML resources through a classloader
+    * scan under a GLOBAL lock — constructed per partition it serialized
+    * every scrub task on the URLClassPath monitor (round 16, found via
+    * thread dump: 32 workers BLOCKED in Configuration.loadResource).
+    * Configuration reads are safe to share once loaded. */
+  private lazy val sharedConf = new org.apache.hadoop.conf.Configuration()
+
   /** Decode ONE partition's events from its Index.db byte range
     * [start, end) of `file`, ISOLATED from the rest of the file — the
     * scrub tool's unit of salvage (round 16): a corrupted partition's
@@ -29,8 +37,7 @@ object DataDb {
   def partitionEvents(file: String, start: Long, end: Long,
       format: String = DataDbScan.FormatCassandra)
       : (Iterator[DataDbFormat.Event], java.io.Closeable) = {
-    val es = new EventStream(file, start, end,
-      new org.apache.hadoop.conf.Configuration(), format)
+    val es = new EventStream(file, start, end, sharedConf, format)
     (es.events, new java.io.Closeable {
       override def close(): Unit = es.close()
     })

@@ -87,6 +87,27 @@ class BenchSpec extends AnyFunSuite {
     assert(eq.isEmpty && es.isEmpty && esf.isEmpty)
   }
 
+  test("run-level integrity (round 16): a reference record stamped " +
+      "suspect is REJECTED — a dirty reference must not mask the " +
+      "uniform inflation the gate exists to catch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchref")
+    val f = dir.resolve("ref.json")
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","queries":{"qa":1.5},"sf1_sec":{"qa":3.0},""" +
+        """"suspect":true,"sf":"/x/sf0.1"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (q, sf1, sf) = Bench.loadRef(f.toString)
+    assert(q.isEmpty && sf1.isEmpty && sf.isEmpty)
+    // the same record without the stamp loads normally
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","queries":{"qa":1.5},"sf1_sec":{"qa":3.0},""" +
+        """"sf":"/x/sf0.1"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (q2, sf12, sf2) = Bench.loadRef(f.toString)
+    assert(q2 === Map("qa" -> 1.5) && sf12 === Map("qa" -> 3.0) &&
+      sf2 === "sf0.1")
+  }
+
   test("run-level integrity: parseRefMap extracts exactly the named " +
       "flat map and tolerates absent keys") {
     val line = """{"metric":"total","queries":{"qa":1.5,"qb":0.25},""" +

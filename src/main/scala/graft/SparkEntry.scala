@@ -1029,6 +1029,16 @@ object SparkEntry {
     // state merging (spec-pinned)
     "q205_session_windows" -> ((s, d) =>
       graft.ops.EventsOps.sessionWindows(s, d)),
+    // UNIFIED compaction executed (round 16, Cassandra 5's UCS): levels
+    // are token-span-normalized DENSITY classes (a full-ring flush and
+    // a quarter-ring shard of equal bytes sit two levels apart at fan
+    // factor 4); level 0 runs the tiered T4 rule, levels >= 1 the
+    // leveled rule over token-span OVERLAP ISLANDS (disjoint dense
+    // sstables are correctly left alone); merge outputs split at the
+    // FIXED ring-quarter shard boundaries so later compactions stay
+    // shard-local — the strategy that subsumes STCS/LCS/sharding
+    "q206_ucs_compaction" -> ((s, d) =>
+      graft.ops.UnifiedCompaction.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -29,7 +29,7 @@ object Main {
       gcGraceS: Option[Long] = None, method: String = "",
       execute: Boolean = false, sidecarSized: Boolean = false,
       minor: Boolean = false, leveled: Boolean = false,
-      twcs: Boolean = false, plan: Boolean = false,
+      twcs: Boolean = false, ucs: Boolean = false, plan: Boolean = false,
       again: Boolean = false, promoteLevels: Boolean = false,
       ranges: Boolean = false, incremental: Boolean = false,
       mark: Boolean = false, matrix: Boolean = false,
@@ -81,8 +81,8 @@ object Main {
     case "compact" =>
       "Usage: compact [--plan] [--execute <keyspace> <table>] " +
         "[--sidecar-sized] " +
-        "[--minor | --leveled [--again | --promote] | --twcs [--again]] " +
-        "[-g <gc_grace_seconds>]"
+        "[--minor | --leveled [--again | --promote] | --twcs [--again] " +
+        "| --ucs] [-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -118,7 +118,7 @@ object Main {
         |  lookup       Point-lookup a partition key through the bti Partitions.db tries
         |  get          Point-read a partition (bloom -> summary -> index -> data) off real sstables
         |  slice        Clustering-slice read through the promoted row index (wide set)
-        |  compact      Compaction what-if, or --execute the real major/minor/leveled/twcs compaction
+        |  compact      Compaction what-if, or --execute the real major/minor/leveled/twcs/ucs compaction
         |  repair       Anti-entropy digests; --ranges, --incremental, or --execute the full loop
         |  blockers     Which live sstable blocks which fully-expired sstable's drop
         |  split        Rewrite the largest sstable as size-targeted sstables (partitions intact)
@@ -191,6 +191,8 @@ object Main {
               o = o.copy(leveled = true); rest = t
             case Seq("--twcs", t @ _*) if cmd == "compact" =>
               o = o.copy(twcs = true); rest = t
+            case Seq("--ucs", t @ _*) if cmd == "compact" =>
+              o = o.copy(ucs = true); rest = t
             case Seq("--plan", t @ _*) if cmd == "compact" =>
               o = o.copy(plan = true); rest = t
             case Seq("--again", t @ _*) if cmd == "compact" =>
@@ -225,13 +227,14 @@ object Main {
             // --sidecar-sized only on the major path, --again only with
             // --leveled — conflicting combinations are usage errors, not
             // silently resolved by dispatch order
-            if (Seq(o.minor, o.leveled, o.twcs).count(identity) > 1)
+            if (Seq(o.minor, o.leveled, o.twcs, o.ucs).count(identity) > 1)
               Left(usage(cmd))
-            else if (o.plan && (o.minor || o.leveled || o.twcs ||
+            else if (o.plan && (o.minor || o.leveled || o.twcs || o.ucs ||
                 o.sidecarSized || o.execute || o.again || o.promoteLevels ||
                 positional.nonEmpty))
               Left(usage(cmd)) // --plan detects the strategy itself
-            else if (o.sidecarSized && (o.minor || o.leveled || o.twcs))
+            else if (o.sidecarSized && (o.minor || o.leveled || o.twcs ||
+                o.ucs))
               Left(usage(cmd))
             else if (o.again && !(o.leveled || o.twcs)) Left(usage(cmd))
             else if (o.promoteLevels && !o.leveled) Left(usage(cmd))
@@ -243,7 +246,7 @@ object Main {
             } else if (o.sidecarSized || o.minor || o.again ||
                 o.promoteLevels || positional.nonEmpty)
               Left(usage(cmd)) // these mode flags only apply to --execute
-            else Right(o) // bare/--leveled/--twcs = that strategy's what-if
+            else Right(o) // bare/--leveled/--twcs/--ucs = its what-if
           case "repair" =>
             if (Seq(o.ranges, o.incremental, o.execute).count(identity) > 1)
               Left(usage(cmd))
@@ -388,6 +391,8 @@ object Main {
               Reports.twcsReingestExecute(spark, dir, o.gcBeforeS)
             else if (o.twcs)
               Reports.twcsCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.ucs)
+              Reports.ucsCompactExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.promoteLevels)
               Reports.leveledPromoteExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.again)
@@ -404,6 +409,8 @@ object Main {
         } else if (o.twcs) {
           out(tracked("compact")(
             Reports.twcsWhatIf(spark, dir, o.gcBeforeS))); 0
+        } else if (o.ucs) {
+          out(tracked("compact")(Reports.ucsWhatIf(spark, dir))); 0
         } else {
           // -g applies to the executed-compaction rollup in BOTH modes
           out(tracked("compact")(

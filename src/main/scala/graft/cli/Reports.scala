@@ -518,6 +518,26 @@ object Reports {
       "per-sstable window, expiry, blockers, next action)",
       graft.ops.TwcsCompaction.whatIf(spark, dir, gcBeforeS))
 
+  /** `compact --execute <ks> <cf> --ucs [-g]` — the unified compaction
+    * strategy (q206): density levels, the tiered/leveled regime split,
+    * shard-aligned real outputs. */
+  def ucsCompactExecute(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Executed UCS compaction (gcBefore=${gcBeforeS}s, fan " +
+      s"factor ${graft.ops.UnifiedCompaction.FanFactor}: T4 tiered at " +
+      "level 0, L4 overlap-islands above; outputs split at the 4 fixed " +
+      "ring-quarter shards)",
+      graft.ops.UnifiedCompaction.roundtrip(spark, dir, gcBeforeS))
+
+  /** `compact --ucs` — the read-only UCS what-if: per sstable its
+    * modeled bytes, covered token span, density (bytes·2^16 /
+    * span_units), ladder ratio, level and next action. */
+  def ucsWhatIf(spark: SparkSession, dir: String): String =
+    section("UCS what-if (density = modeled bytes normalized by " +
+      "covered token span; level = floor(log4(density/m)), m adaptive; " +
+      "T4 at level 0, L4 overlap-islands above)",
+      graft.ops.UnifiedCompaction.whatIf(spark, dir))
+
   /** `compact --plan [-g]` — the UNIFIED planner (round 16, VERDICT
     * r15 ask #8): one verb over every sstable state the engine
     * manages; each state's strategy is DETECTED from its own sidecars

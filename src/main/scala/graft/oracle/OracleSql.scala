@@ -4282,6 +4282,11 @@ ORDER BY 1"""
       // order — batch assignment, the late-inside keep, the
       // late-outside drop, and the final-watermark emission frontier.
       ("q198_streaming_watermark" -> q198Sql) +
+      // q206: UNIFIED compaction (UCS) — token-span-normalized density
+      // levels, the per-level regime split (tiered T4 at level 0,
+      // leveled overlap-islands above), the per-group LWW merge +
+      // guard, and the fixed-ring-shard output split.
+      ("q206_ucs_compaction" -> q206Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -5745,6 +5750,140 @@ SELECT unit, action, CAST(swin AS BIGINT) AS win,
     AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM yunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
+
+  /** q206: UNIFIED compaction (round 16) — the full UCS decision chain
+    * replayed from parquet: the fixture's (key, clustering, timestamp,
+    * token) assignment, per-sstable modeled bytes + token span, the
+    * span-normalized density, the adaptive base m = total/32, the
+    * floor(log4) level ladder, the per-level regime split (level 0
+    * merges when ≥4 members exist; levels ≥1 group into overlap islands
+    * over [min_tok, max_tok] spans and merge only ≥2-member islands),
+    * the per-group LWW winners, the conservative purge guard (EXISTS an
+    * outside holder), and the fixed-ring-quarter output shard split. */
+  private lazy val q206Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    s"""WITH $fixtures,
+umapped AS (
+  SELECT CASE WHEN (key + clustering) % 4 = 3
+         THEN 'sst-' || CAST((((key + clustering) % 8) // 4) * 2
+                             + timestamp_us % 2 AS VARCHAR)
+         ELSE 'sst-' || CAST(CASE
+              WHEN $tok // 144115188075855872 <= 1 THEN 4
+              WHEN $tok // 144115188075855872 <= 3 THEN 5
+              WHEN $tok // 144115188075855872 = 4
+                THEN 6 + timestamp_us % 2
+              ELSE 8 END AS VARCHAR) END AS sstable_id,
+    key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+ustats AS (
+  SELECT sstable_id, CAST(SUM(32 + size_bytes) AS BIGINT) AS bytes,
+    MIN(tok) AS mn, MAX(tok) AS mx
+  FROM umapped GROUP BY 1
+),
+ubase AS (
+  SELECT GREATEST(CAST(SUM(bytes) AS BIGINT) // 32, 1) AS m FROM ustats
+),
+udens AS (
+  SELECT sstable_id, bytes, mn, mx,
+    bytes * 65536 //
+      ((mx // 17592186044416) - (mn // 17592186044416) + 1) AS density
+  FROM ustats
+),
+ulev AS (
+  SELECT d.*,
+    (${bitLenSql("GREATEST(density // m, 1)")} - 1) // 2 AS level
+  FROM udens d, ubase
+),
+uprev AS (
+  SELECT *, MAX(mx) OVER (PARTITION BY level ORDER BY mn, sstable_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ulev WHERE level >= 1
+),
+uisl AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR mn > prev_max
+                     THEN 1 ELSE 0 END)
+      OVER (PARTITION BY level ORDER BY mn, sstable_id) AS island
+  FROM uprev
+),
+ugroups AS (
+  SELECT CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS island,
+    CAST(0 AS BIGINT) AS lo, CAST(COUNT(*) AS BIGINT) AS members
+  FROM ulev WHERE level = 0 HAVING COUNT(*) >= 4
+  UNION ALL
+  SELECT CAST(level AS BIGINT), CAST(island AS BIGINT),
+    CAST(MIN(mn) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM uisl GROUP BY level, island HAVING COUNT(*) >= 2
+),
+ug AS (
+  SELECT *, row_number() OVER (ORDER BY level, lo) - 1 AS g FROM ugroups
+),
+uassign AS (
+  SELECT t.sstable_id, u.g, u.members, u.level AS glevel
+  FROM uisl t JOIN ug u ON u.level = t.level AND u.island = t.island
+  UNION ALL
+  SELECT t.sstable_id, u.g, u.members, u.level AS glevel
+  FROM ulev t JOIN ug u ON u.level = 0 AND t.level = 0
+),
+uranked AS (
+  SELECT m.*, a.g, a.members, a.glevel, row_number() OVER (
+      PARTITION BY a.g, m.key, m.clustering, m.column_name
+      ORDER BY m.timestamp_us DESC, m.sstable_id DESC, m.size_bytes DESC,
+               m.is_tombstone DESC, m.local_deletion_time_s DESC,
+               m.ttl_s DESC, m.is_expiring DESC, m.kind DESC) AS rn
+  FROM umapped m JOIN uassign a USING (sstable_id)
+),
+uoutkeys AS (
+  SELECT DISTINCT w.g, m.key
+  FROM umapped m LEFT JOIN uassign a USING (sstable_id)
+  CROSS JOIN (SELECT g FROM ug) w
+  WHERE a.g IS NULL OR a.g <> w.g
+),
+ukept AS (
+  SELECT * FROM uranked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR EXISTS (SELECT 1 FROM uoutkeys o
+               WHERE o.g = uranked.g AND o.key = uranked.key))
+),
+uunits AS (
+  SELECT 'cmp-' || CAST(g AS VARCHAR) || '-s' ||
+      CAST(tok // 288230376151711744 AS VARCHAR) AS unit,
+    'compacted' AS action, glevel AS level,
+    tok // 288230376151711744 AS shard, members AS sstables_in,
+    key, clustering, column_name, timestamp_us, ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+  FROM ukept
+  UNION ALL
+  SELECT m.sstable_id AS unit, 'passthrough' AS action, t.level,
+    CAST(-1 AS BIGINT) AS shard, CAST(1 AS BIGINT) AS sstables_in,
+    m.key, m.clustering, m.column_name, m.timestamp_us, m.ttl_s,
+    m.local_deletion_time_s, m.is_tombstone, m.is_expiring, m.size_bytes
+  FROM umapped m JOIN ulev t USING (sstable_id)
+  WHERE NOT EXISTS (SELECT 1 FROM uassign a
+                    WHERE a.sstable_id = m.sstable_id)
+)
+SELECT unit, action, CAST(level AS BIGINT) AS level,
+  CAST(shard AS BIGINT) AS shard,
+  CAST(MAX(sstables_in) AS BIGINT) AS sstables_in,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
+    AS tombstones,
+  CAST(SUM(CASE WHEN is_expiring THEN 1 ELSE 0 END) AS BIGINT)
+    AS expiring,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM uunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
+  }
 
   /** q198: the watermark replay (round 16) — the controlled 3-batch
     * arrival of [[graft.streaming.StreamingStats.watermarkReplayOnce]]

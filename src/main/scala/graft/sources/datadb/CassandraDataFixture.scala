@@ -272,6 +272,51 @@ object CassandraDataFixture {
       frameOverride = Some(frame))
   }
 
+  /** The UNIFIED-compaction set (round 16, q206's input): 9 sstables
+    * whose DENSITIES — modeled bytes normalized by covered token-span
+    * fraction, UCS's level metric — land on three distinct levels, so
+    * all three of the strategy's regimes appear at once:
+    *
+    *  - 4 "flushes" (sst-0..3) spanning the FULL token ring, ~1/16 of
+    *    the corpus each → the lowest density class (level 0), where the
+    *    tiered regime (T4) sees 4 members and merges;
+    *  - 2 OVERLAPPING sstables (sst-6/sst-7, split by timestamp
+    *    parity) covering the SAME ring eighth → mid density (level 1),
+    *    where the leveled regime (L4) sees overlap ≥ 2 and merges;
+    *  - 3 DISJOINT dense sstables (sst-4: quarter 0, sst-5: quarter 1,
+    *    sst-8: the last three eighths) → high density (level 2), where
+    *    the leveled regime sees no overlap and leaves them alone — the
+    *    LCS-like invariant holding.
+    *
+    * Assignment is a pure SQL-replayable function of (key, clustering,
+    * timestamp, token): m4 = (key+clustering)%4; events with m4=3 flush
+    * (flush id = 2·((key+clustering)%8 div 4) + timestamp_us%2 — both
+    * parities hash over the whole ring, so every flush spans it);
+    * everything else routes by token eighth e = h60(key) div 2^57:
+    * quarter 0 (e≤1) → sst-4, quarter 1 (e≤3) → sst-5, e=4 → sst-6/7
+    * by timestamp parity, e≥5 → sst-8. Densities are scale-free (every
+    * file's bytes are proportional to the corpus) so the level split
+    * survives any sf. */
+  def ensureUcsFiles(spark: SparkSession, dir: String): String = {
+    val base = Fixtures.cells(spark, dir)
+    val m4 = pmod(col("key") + col("clustering"), lit(4L))
+    val m8 = pmod(col("key") + col("clustering"), lit(8L))
+    val eighth = shiftright(
+      graft.functions.PortableHash.h60(col("key").cast("string")), 57)
+    val frame = base.withColumn("sstable_id",
+      when(m4 === 3L, concat(lit("sst-"),
+        (expr("(key + clustering) % 8 div 4") * 2L +
+          pmod(col("timestamp_us"), lit(2L))).cast("string")))
+        .otherwise(concat(lit("sst-"),
+          when(eighth <= 1L, lit(4L))
+            .when(eighth <= 3L, lit(5L))
+            .when(eighth === 4L,
+              lit(6L) + pmod(col("timestamp_us"), lit(2L)))
+            .otherwise(lit(8L)).cast("string"))))
+    ensureVariant(spark, dir, "ucs", _ => Some(Compressors.Lz4),
+      frameOverride = Some(frame))
+  }
+
   def ensureTwcsFiles(spark: SparkSession, dir: String): String = {
     val base = Fixtures.cells(spark, dir)
     // integral div, not float-divide-and-cast: the oracle replays with //

@@ -2301,6 +2301,111 @@ class CassandraDataSpec extends SparkSpec {
       pEvents === ev.where(col("sid") === 4L).count())
   }
 
+  test("UNIFIED compaction (q206): density levels from token-span " +
+      "normalization, the tiered/leveled regime split, shard-aligned " +
+      "outputs on the real bytes, and both purge-guard branches biting " +
+      "(round 16)") {
+    import graft.ops.UnifiedCompaction
+    val inPath = CassandraDataFixture.ensureUcsFiles(spark, Sf0001)
+    val p = UnifiedCompaction.plan(spark, inPath)
+    val levelOf = p.metas.map(s => s.id -> s.level).toMap
+    // the designed three-class layout: 4 full-ring flushes at level 0,
+    // the overlapping eighth pair at level 1, the 3 disjoint dense
+    // sstables at level 2
+    assert(levelOf === Map(
+      "sst-0" -> 0, "sst-1" -> 0, "sst-2" -> 0, "sst-3" -> 0,
+      "sst-6" -> 1, "sst-7" -> 1,
+      "sst-4" -> 2, "sst-5" -> 2, "sst-8" -> 2))
+    // DENSITY, not size: sst-6 holds FEWER bytes than the flush sst-1
+    // yet sits a level above it — the inversion size-tiering can never
+    // produce, and the reason UCS survives sharding
+    val bytesOf = p.metas.map(s => s.id -> s.bytes).toMap
+    assert(bytesOf("sst-6") < bytesOf("sst-1"))
+    assert(levelOf("sst-6") > levelOf("sst-1"))
+    // regimes: level 0 merges as one tiered group; level 1's overlap
+    // island merges; level 2's disjoint members are left alone
+    assert(p.merged === Seq(
+      (0, Seq("sst-0", "sst-1", "sst-2", "sst-3")),
+      (1, Seq("sst-6", "sst-7"))))
+    assert(p.passthrough === Seq("sst-4", "sst-5", "sst-8"))
+    // the leveled invariant on the metas: L2 spans pairwise disjoint,
+    // the L1 island genuinely overlapping
+    val l2 = p.metas.filter(_.level == 2).sortBy(_.minTok)
+    l2.zip(l2.tail).foreach { case (a, b) => assert(a.maxTok < b.minTok) }
+    val l1 = p.metas.filter(_.level == 1).sortBy(_.id)
+    assert(l1.size === 2)
+    assert(l1(0).minTok <= l1(1).maxTok && l1(1).minTok <= l1(0).maxTok)
+    // physical outputs: 4 ring-quarter shards for the level-0 merge +
+    // 1 for the level-1 island (whose eighth lies inside quarter 2) —
+    // sst-(1400+g*4+s) writes as nb-(gen+1)-big
+    val outPath = UnifiedCompaction.ensureCompacted(spark, Sf0001)
+    val outGens = Option(new java.io.File(outPath)
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(1401L, 1402L, 1403L, 1404L, 1407L))
+    // shard alignment on the real bytes: every output row's token
+    // quarter equals its file's shard code — no output crosses a fixed
+    // shard boundary, so later compactions stay shard-local
+    val outEv = DataDb.cells(spark, outPath,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("code",
+        regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L - UnifiedCompaction.OutGenBase)
+      .withColumn("shard", col("code") % 4)
+      .withColumn("quarter", shiftright(
+        graft.ops.AntiEntropy.token(col("key")), 58))
+    assert(outEv.where(col("shard") =!= col("quarter")).count() === 0L)
+    // both guard branches bite in BOTH groups: some droppable winners
+    // retain (an outside sstable holds the key), some purge (none does)
+    val ev = DataDb.cells(spark, inPath,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("sstable_id", concat(lit("sst-"),
+        (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+          .cast("long") - 1L).cast("string")))
+    import spark.implicits._
+    val memberGroup = p.merged.zipWithIndex.flatMap {
+      case ((_, ids), g) => ids.map(id => (id, g))
+    }
+    val groupDf = memberGroup.toDF("sstable_id", "g")
+    val dropWinners = ev.join(broadcast(groupDf), "sstable_id")
+      .groupBy("g", "key", "clustering", "column_name")
+      .agg(max(struct(col("timestamp_us"), col("sstable_id"),
+        col("size_bytes"), col("is_tombstone"),
+        col("local_deletion_time_s"), col("ttl_s"),
+        col("is_expiring"), col("kind"))).as("w"))
+      .where(col("w.is_tombstone") && col("w.local_deletion_time_s") <
+        graft.sources.Fixtures.GcBeforeS)
+    val outsideKeys = ev.join(broadcast(groupDf), Seq("sstable_id"),
+        "left")
+      .select(coalesce(col("g"), lit(-1)).as("og"), col("key"))
+      .distinct()
+    val retained = dropWinners.join(outsideKeys.as("o"),
+        dropWinners("key") === col("o.key") &&
+          col("o.og") =!= dropWinners("g"), "left_semi")
+      .groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val droppable = dropWinners.groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Seq(0, 1).foreach { g =>
+      assert(retained(g) > 0L, s"group $g: no retained droppable")
+      assert(droppable(g) > retained(g), s"group $g: nothing purged")
+    }
+    // the written bytes carry exactly the kept winners: merged events
+    // per group = LWW winners - purged droppables
+    val rows = UnifiedCompaction.roundtrip(spark, Sf0001).collect()
+    val mergedEvents = rows.filter(_.getString(1) == "compacted")
+      .groupBy(_.getString(0).split("-")(1))
+      .view.mapValues(_.map(_.getLong(5)).sum).toMap
+    val winnersPerG = ev.join(broadcast(groupDf), "sstable_id")
+      .select("g", "key", "clustering", "column_name").distinct()
+      .groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Seq(0, 1).foreach { g =>
+      val purged = droppable(g) - retained(g)
+      assert(mergedEvents(s"$g") === winnersPerG(g) - purged)
+    }
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

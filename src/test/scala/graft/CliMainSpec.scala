@@ -55,6 +55,17 @@ class CliMainSpec extends SparkSpec {
     // bare --twcs = the read-only what-if (like --leveled)
     assert(Main.parse(Seq("compact", "--twcs")) ===
       Right(Main.Opts("compact", twcs = true)))
+    // --ucs: one strategy max, what-if without --execute, no --again
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--ucs", "--twcs")).isLeft)
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--ucs", "--sidecar-sized")).isLeft)
+    assert(Main.parse(Seq("compact", "--ucs", "--again")).isLeft)
+    assert(Main.parse(Seq("compact", "--ucs")) ===
+      Right(Main.Opts("compact", ucs = true)))
+    assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
+      "--ucs")) === Right(Main.Opts("compact", execute = true,
+      ucs = true, keyspace = "ks1", table = "lineitem")))
     // --again applies to --leveled or --twcs, execute-only
     assert(Main.parse(Seq("compact", "--twcs", "--again")).isLeft)
     assert(Main.parse(Seq("compact", "--execute", "ks1", "lineitem",
@@ -423,7 +434,14 @@ class CliMainSpec extends SparkSpec {
     "salvage" -> Seq("salvage", "ks1", "lineitem"),
     // sstableofflinerelevel (round 16): first-fit runs, volume-ranked
     // levels, rewritten sidecars re-read + invariant-checked
-    "relevel" -> Seq("relevel", "ks1", "lineitem"))
+    "relevel" -> Seq("relevel", "ks1", "lineitem"),
+    // UCS what-if (round 16): density, ladder ratio, level and next
+    // action per sstable — the read-only decision table
+    "compact_ucs_whatif" -> Seq("compact", "--ucs"),
+    // executed UCS (round 16): the tiered level-0 merge's 4 shard
+    // outputs, the leveled overlap-island merge, disjoint passthrough
+    "compact_execute_ucs" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--ucs"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -1039,6 +1039,14 @@ object SparkEntry {
     // shard-local — the strategy that subsumes STCS/LCS/sharding
     "q206_ucs_compaction" -> ((s, d) =>
       graft.ops.UnifiedCompaction.roundtrip(s, d)),
+    // sstableloader executed (round 16): the q206 set streams into a
+    // 4-node RF=2 ring — per (node, owned quarter) the plan's source
+    // fan-in (span-intersection metadata), the received events/digest
+    // off the node's REAL streamed sstable, corpus equality, and the
+    // holder count (replication IS duplication: each event lands on
+    // exactly RF nodes)
+    "q207_bulk_load" -> ((s, d) =>
+      graft.ops.BulkLoad.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -46,7 +46,8 @@ object Main {
     "dedup", "pack", "contaminate", "verify", "quality", "canon", "select",
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
-    "pipeline", "compact", "repair", "upgrade", "salvage", "relevel")
+    "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
+    "load")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -65,6 +66,7 @@ object Main {
     case "upgrade" => "Usage: upgrade <keyspace> <table>"
     case "salvage" => "Usage: salvage <keyspace> <table>"
     case "relevel" => "Usage: relevel <keyspace> <table>"
+    case "load" => "Usage: load <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -125,7 +127,8 @@ object Main {
         |  levelreset   Drop every sstable's level to 0 (metadata-only Statistics.db rewrite)
         |  upgrade      Rewrite every sstable to the current big-format version ('nb' -> 'oa'), data byte-identical
         |  salvage      sstablescrub: per-partition isolated salvage of a corrupted sstable set
-        |  relevel      sstableofflinerelevel: rebuild the leveled hierarchy from a flat set (metadata-only)""".stripMargin
+        |  relevel      sstableofflinerelevel: rebuild the leveled hierarchy from a flat set (metadata-only)
+        |  load         sstableloader: stream an sstable set into the ring (4 nodes x RF=2), received views verified""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -355,6 +358,9 @@ object Main {
       case "relevel" =>
         if (!requireStore()) return 2
         out(tracked("relevel")(Reports.relevel(spark, dir))); 0
+      case "load" =>
+        if (!requireStore()) return 2
+        out(tracked("load")(Reports.load(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -518,6 +518,16 @@ object Reports {
       "per-sstable window, expiry, blockers, next action)",
       graft.ops.TwcsCompaction.whatIf(spark, dir, gcBeforeS))
 
+  /** `load <ks> <cf>` — sstableloader (q207): stream an existing
+    * sstable set into a 4-node RF=2 ring; per (node, owned quarter)
+    * the plan fan-in, received events/digest off the real streamed
+    * file, corpus equality, holder count. */
+  def load(spark: SparkSession, dir: String): String =
+    section(s"Bulk load (sstableloader): ${graft.ops.BulkLoad.Nodes} " +
+      s"nodes x RF=${graft.ops.BulkLoad.Rf}, ring-quarter ownership, " +
+      "one real streamed sstable per node",
+      graft.ops.BulkLoad.roundtrip(spark, dir))
+
   /** `compact --execute <ks> <cf> --ucs [-g]` — the unified compaction
     * strategy (q206): density levels, the tiered/leveled regime split,
     * shard-aligned real outputs. */

@@ -4287,6 +4287,10 @@ ORDER BY 1"""
       // leveled overlap-islands above), the per-group LWW merge +
       // guard, and the fixed-ring-shard output split.
       ("q206_ucs_compaction" -> q206Sql) +
+      // q207: sstableloader — ring ownership × RF replication: per
+      // (node, owned quarter) the plan fan-in, the received
+      // events/digest, corpus equality, and the holder count.
+      ("q207_bulk_load" -> q207Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -5883,6 +5887,74 @@ SELECT unit, action, CAST(level AS BIGINT) AS level,
     AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM uunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
+  }
+
+  /** q207: sstableloader (round 16) — the ring model replayed from
+    * parquet: 4 equal primary quarters, RF=2 clockwise replicas, the
+    * per-quarter source fan-in off each sstable's [min_tok, max_tok]
+    * span, and each node's expected received events + digest per owned
+    * quarter (≡ the corpus's, since streaming is multiset-preserving);
+    * the engine computes the same numbers off the REAL received
+    * sstables, so a mis-routed or dropped event breaks the hash. */
+  private lazy val q207Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+lmapped AS (
+  SELECT CASE WHEN (key + clustering) % 4 = 3
+         THEN 'sst-' || CAST((((key + clustering) % 8) // 4) * 2
+                             + timestamp_us % 2 AS VARCHAR)
+         ELSE 'sst-' || CAST(CASE
+              WHEN $tok // 144115188075855872 <= 1 THEN 4
+              WHEN $tok // 144115188075855872 <= 3 THEN 5
+              WHEN $tok // 144115188075855872 = 4
+                THEN 6 + timestamp_us % 2
+              ELSE 8 END AS VARCHAR) END AS sstable_id,
+    key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+lspans AS (
+  SELECT sstable_id, MIN(tok) AS mn, MAX(tok) AS mx
+  FROM lmapped GROUP BY 1
+),
+lq AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(quarter)),
+lfan AS (
+  SELECT q.quarter, CAST(COUNT(*) AS BIGINT) AS src_sstables
+  FROM lq q JOIN lspans s
+    ON s.mn // 288230376151711744 <= q.quarter
+   AND q.quarter <= s.mx // 288230376151711744
+  GROUP BY 1
+),
+lcorpus AS (
+  SELECT tok // 288230376151711744 AS quarter,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM lmapped GROUP BY 1
+),
+lreplica AS (
+  SELECT q.quarter, (q.quarter + r.r) % 4 AS node
+  FROM lq q, (VALUES (0), (1)) r(r)
+)
+SELECT CAST(p.node AS BIGINT) AS node,
+  CAST(p.quarter AS BIGINT) AS quarter,
+  f.src_sstables,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified,
+  CAST(2 AS BIGINT) AS holders
+FROM lreplica p
+JOIN lcorpus c ON c.quarter = p.quarter
+JOIN lfan f ON f.quarter = p.quarter
+ORDER BY node, quarter"""
   }
 
   /** q198: the watermark replay (round 16) — the controlled 3-batch

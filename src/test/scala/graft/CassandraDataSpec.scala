@@ -2406,6 +2406,41 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("sstableloader (q207): ring ownership x RF replication — each " +
+      "node receives ONE real streamed sstable holding exactly its " +
+      "owned quarters, verified against the corpus digest-by-digest " +
+      "(round 16)") {
+    import graft.ops.BulkLoad
+    val rows = BulkLoad.roundtrip(spark, Sf0001).collect()
+    // 4 nodes x RF=2 owned quarters, all verified on the real bytes
+    assert(rows.length === 8)
+    assert(rows.forall(_.getBoolean(7)), "a received view diverged")
+    // SimpleStrategy ownership: node n holds quarters {n, n-1 mod 4}
+    val owned = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0 until 4).foreach { n =>
+      assert(owned(n.toLong) === Set(n.toLong, ((n + 3) % 4).toLong))
+    }
+    // every quarter held by exactly RF nodes
+    assert(rows.forall(_.getLong(8) === 2L))
+    // the plan's fan-in varies with the q206 spans: full-ring flushes
+    // reach every quarter, the dense quarter files only their own —
+    // quarter 2 (the eighth pair + sst-8's low edge) has the most
+    val fanIn = rows.groupBy(_.getLong(1))
+      .view.mapValues(_.map(_.getLong(2)).head).toMap
+    assert(fanIn === Map(0L -> 5L, 1L -> 5L, 2L -> 7L, 3L -> 5L))
+    // replication IS duplication: the cluster holds RF copies of every
+    // event, as one physical file per node
+    val corpusEvents = rows.groupBy(_.getLong(1))
+      .view.mapValues(_.map(_.getLong(5)).head).toMap.values.sum
+    assert(rows.map(_.getLong(3)).sum === 2L * corpusEvents)
+    val outPath = BulkLoad.ensureLoaded(spark, Sf0001)
+    val outGens = Option(new java.io.File(outPath)
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(1501L, 1502L, 1503L, 1504L))
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

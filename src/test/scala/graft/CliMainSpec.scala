@@ -441,7 +441,10 @@ class CliMainSpec extends SparkSpec {
     // executed UCS (round 16): the tiered level-0 merge's 4 shard
     // outputs, the leveled overlap-island merge, disjoint passthrough
     "compact_execute_ucs" ->
-      Seq("compact", "--execute", "ks1", "lineitem", "--ucs"))
+      Seq("compact", "--execute", "ks1", "lineitem", "--ucs"),
+    // sstableloader (round 16): ring ownership x RF replication, each
+    // received view verified digest-by-digest against the corpus
+    "load" -> Seq("load", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

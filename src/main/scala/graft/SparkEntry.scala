@@ -1047,6 +1047,13 @@ object SparkEntry {
     // exactly RF nodes)
     "q207_bulk_load" -> ((s, d) =>
       graft.ops.BulkLoad.roundtrip(s, d)),
+    // streaming dedup state under the oracle (round 16): a
+    // republication whose key's dedup state is LIVE drops; the same
+    // key republished after watermark eviction RE-EMITS at its new
+    // event time — dropDuplicatesWithinWatermark's contract, measured
+    // under q198's controlled one-file-per-micro-batch arrival
+    "q208_streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingStats.dedupReplayOnce(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -4291,6 +4291,10 @@ ORDER BY 1"""
       // (node, owned quarter) the plan fan-in, the received
       // events/digest, corpus equality, and the holder count.
       ("q207_bulk_load" -> q207Sql) +
+      // q208: dropDuplicatesWithinWatermark under controlled arrival —
+      // the republication inside the watermark drops, the one after
+      // state eviction re-emits at its new event time.
+      ("q208_streaming_dedup" -> q208Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -5887,6 +5891,35 @@ SELECT unit, action, CAST(level AS BIGINT) AS level,
     AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM uunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
+  }
+
+  /** q208: streaming dedup (round 16) — the
+    * dropDuplicatesWithinWatermark trajectory replayed in SQL: the
+    * staged arrival is hours [0,2) ∪ [4,10) plus every hour-0 event
+    * republished twice (ts+4h in batch 2, ts+8h in batch 4); the
+    * batch-2 republication arrives while its keys' dedup state is
+    * live (dropped), the batch-4 one after the watermark evicted the
+    * state (re-emitted at its new hour-8 event time) — measured Spark
+    * 4.1.2 semantics, see StreamingStats.dedupReplayOnce. */
+  private lazy val q208Sql: String = {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    s"""WITH dev AS (
+  SELECT event_type, value, event_id,
+    (epoch_us(ts) - $anchor) // 3600000000 AS rh
+  FROM events
+),
+emitted AS (
+  SELECT rh, event_type, event_id, value FROM dev
+  WHERE (rh >= 0 AND rh < 2) OR (rh >= 4 AND rh < 10)
+  UNION ALL
+  SELECT rh + 8 AS rh, event_type, event_id, value FROM dev
+  WHERE rh = 0
+)
+SELECT CAST(rh AS BIGINT) AS rh, event_type,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(event_id % 1000003) AS BIGINT) AS id_sum,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_x100
+FROM emitted GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
   /** q207: sstableloader (round 16) — the ring model replayed from

@@ -352,6 +352,92 @@ object StreamingStats {
       .orderBy("hour_start_s", "event_type")
   }
 
+  private val ddRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q208 (round 16): `dropDuplicatesWithinWatermark` under a
+    * CONTROLLED ARRIVAL ORDER — the second stateful-operator class
+    * (keyed dedup state + watermark eviction) put under the oracle,
+    * after q198's windowed aggregate. Four staged files consume one
+    * micro-batch each (the q198 mechanism); the dedup keys on
+    * `event_id` with a 1-hour delay:
+    *
+    *  - **batch 1**: hours [0, 2) — all emitted, one state row per key;
+    *  - **batch 2**: hours [4, 6) PLUS a REPUBLICATION of every hour-0
+    *    event at ts+4h (same key, fresh event time — the real-world
+    *    duplicate: the same document re-crawled later). The keys'
+    *    state is still live — structurally at ANY sf: the batch-2
+    *    check watermark is max(batch-1 ts) − 1h < hour 1, every
+    *    expiry is ts + 1h ≥ hour 1 — so the duplicates are DROPPED;
+    *  - **batch 3**: hours [6, 8) — advances the watermark past every
+    *    hour-0 key's state expiry (< hour 6 even if the batch-2
+    *    duplicate extended it; the staged hour-7 data puts the
+    *    watermark past hour 6), evicting the state;
+    *  - **batch 4**: hours [8, 10) PLUS the SAME keys republished at
+    *    ts+8h — state gone, so they RE-EMIT (the documented
+    *    within-watermark contract: only duplicates arriving within the
+    *    delay of a live state row are guaranteed dropped).
+    *
+    * The trajectory is robust to whether a dropped duplicate extends
+    * its state's expiry (both readings evict before batch 4's check).
+    * Emitted rows = everything staged except batch 2's republication;
+    * the re-emission surfaces at its NEW hour-8 event time. The DuckDB
+    * oracle replays the staging arithmetic and the drop/re-emit
+    * decisions from the same parquet. */
+  def dedupReplayOnce(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+    val dupKeys = col("rh") === 0L
+    def cols(df: DataFrame) =
+      df.select(col("ts"), col("event_type"), col("value"),
+        col("event_id"))
+    val batches = Seq(
+      cols(ev.where(col("rh") >= 0L && col("rh") < 2L)),
+      cols(ev.where(col("rh") >= 4L && col("rh") < 6L))
+        .unionByName(cols(ev.where(dupKeys)
+          .withColumn("ts", col("ts") + expr("INTERVAL 4 HOURS")))),
+      cols(ev.where(col("rh") >= 6L && col("rh") < 8L)),
+      cols(ev.where(col("rh") >= 8L && col("rh") < 10L))
+        .unionByName(cols(ev.where(dupKeys)
+          .withColumn("ts", col("ts") + expr("INTERVAL 8 HOURS")))))
+    val ingest = graft.sources.TempDirs.register(
+      Files.createTempDirectory("graft-stream-dd"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory("graft-stream-dd-part")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      val dest = ingest.resolve(f"arrival-$i%03d.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(60000L * (i + 1))
+      ()
+    }
+    val schema = spark.read.parquet(ingest.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingest.toString)
+    val name = s"graft_stream_dd_${ddRuns.incrementAndGet()}"
+    val q = src
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+      .groupBy("rh", "event_type")
+      .agg(count(lit(1)).as("events"),
+        sum(col("event_id") % 1000003L).as("id_sum"),
+        sum(floor(col("value") * 100).cast("long")).as("value_x100"))
+      .orderBy("rh", "event_type")
+  }
+
   /** Streaming exact dedup: drop repeated documents as they arrive, with
     * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
     * only until the watermark passes it, so the dedup works on an unbounded

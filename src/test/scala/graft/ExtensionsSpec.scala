@@ -504,6 +504,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q208 streaming dedup: a republication inside the watermark is " +
+      "DROPPED while its key's state lives, and the same key " +
+      "republished after eviction RE-EMITS at its new event time " +
+      "(round 16)") {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    val got = graft.streaming.StreamingStats
+      .dedupReplayOnce(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $anchor) div 3600000000"))
+    val perHour = ev.where(col("rh") >= 0L && col("rh") < 10L)
+      .groupBy("rh", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val dups = ev.where(col("rh") === 0L)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dups.values.sum > 0, "no republication keys at this sf")
+    // the eviction driver is staged: hour-7 data pushes the check
+    // watermark past every hour-0 expiry before batch 4
+    assert(perHour.keys.exists(_._1 == 7L), "no hour-7 data at this sf")
+    def ph(k: (Long, String)) = perHour.getOrElse(k, 0L)
+    def g(k: (Long, String)) = got.getOrElse(k, 0L)
+    dups.keys.foreach { t =>
+      // the batch-2 republication (would land at rh 4) was dropped:
+      // rh-4 emissions equal the raw hour-4 rows exactly
+      assert(g((4L, t)) === ph((4L, t)),
+        s"rh 4/$t: the live-state duplicate leaked through")
+      // the batch-4 republication re-emitted: rh-8 carries the raw
+      // hour-8 rows PLUS the republished keys
+      assert(g((8L, t)) === ph((8L, t)) + dups(t),
+        s"rh 8/$t: the post-eviction republication did not re-emit")
+    }
+    // nothing staged outside the drop was lost: totals balance
+    val stagedTotal = perHour.filter { case ((rh, _), _) =>
+      (rh >= 0L && rh < 2L) || (rh >= 4L && rh < 10L)
+    }.values.sum
+    assert(got.values.sum === stagedTotal + dups.values.sum)
+  }
+
   test("q202 source mixing: capped inverse-sqrt smoothing — the largest " +
       "source samples at exactly 1/2, smaller sources at strictly higher " +
       "rates, and the hash-threshold selection is deterministic " +

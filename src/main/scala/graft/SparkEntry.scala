@@ -1054,6 +1054,13 @@ object SparkEntry {
     // under q198's controlled one-file-per-micro-batch arrival
     "q208_streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingStats.dedupReplayOnce(s, d)),
+    // sstablerepairedset --is-unrepaired executed (round 16): the
+    // byte-exact metadata rewrite run in REVERSE — repairedAt stamps
+    // withdrawn (sentinel 0) from half the fully-marked node, and the
+    // next incremental digest re-reads exactly the reset files (the
+    // operator's recovery lever when a repair session must be undone)
+    "q209_repairedset" -> ((s, d) =>
+      graft.ops.Repair.repairedSetRoundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -47,7 +47,7 @@ object Main {
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
-    "load")
+    "load", "repairedset")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -67,6 +67,7 @@ object Main {
     case "salvage" => "Usage: salvage <keyspace> <table>"
     case "relevel" => "Usage: relevel <keyspace> <table>"
     case "load" => "Usage: load <keyspace> <table>"
+    case "repairedset" => "Usage: repairedset <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -128,7 +129,8 @@ object Main {
         |  upgrade      Rewrite every sstable to the current big-format version ('nb' -> 'oa'), data byte-identical
         |  salvage      sstablescrub: per-partition isolated salvage of a corrupted sstable set
         |  relevel      sstableofflinerelevel: rebuild the leveled hierarchy from a flat set (metadata-only)
-        |  load         sstableloader: stream an sstable set into the ring (4 nodes x RF=2), received views verified""".stripMargin
+        |  load         sstableloader: stream an sstable set into the ring (4 nodes x RF=2), received views verified
+        |  repairedset  sstablerepairedset --is-unrepaired: withdraw repairedAt stamps, re-opening the files to repair""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -361,6 +363,9 @@ object Main {
       case "load" =>
         if (!requireStore()) return 2
         out(tracked("load")(Reports.load(spark, dir))); 0
+      case "repairedset" =>
+        if (!requireStore()) return 2
+        out(tracked("repairedset")(Reports.repairedset(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -518,6 +518,16 @@ object Reports {
       "per-sstable window, expiry, blockers, next action)",
       graft.ops.TwcsCompaction.whatIf(spark, dir, gcBeforeS))
 
+  /** `repairedset <ks> <cf>` — sstablerepairedset --is-unrepaired
+    * (q209): withdraw the repairedAt stamps from half the fully-marked
+    * node; the incremental digest re-opens exactly the reset files. */
+  def repairedset(spark: SparkSession, dir: String): String =
+    section("Repairedset reset (--is-unrepaired on gens " +
+      graft.ops.Repair.ResetGens.toSeq.sorted.mkString(",") +
+      "): the fully-marked node plans zero incremental reads; the " +
+      "reset re-opens exactly the flipped files",
+      graft.ops.Repair.repairedSetRoundtrip(spark, dir))
+
   /** `load <ks> <cf>` — sstableloader (q207): stream an existing
     * sstable set into a 4-node RF=2 ring; per (node, owned quarter)
     * the plan fan-in, received events/digest off the real streamed

@@ -80,12 +80,17 @@ object Repair {
     markDir(CassandraDataFixture.ensureFiles(spark, dir,
       compressed = true), markGen)
 
-  /** Copy an ARBITRARY sstable directory with repairedAt stamped into the
-    * Statistics.db of every generation `markGen` accepts (round 14: the
-    * executed-repair cycle marks its converged replicas, whatever files
-    * they hold) — the same byte-exact metadata-only rewrite. */
+  /** Copy an ARBITRARY sstable directory with `stampMs` stamped as
+    * repairedAt into the Statistics.db of every generation `markGen`
+    * accepts (round 14: the executed-repair cycle marks its converged
+    * replicas, whatever files they hold) — the same byte-exact
+    * metadata-only rewrite. `stampMs = 0` is the INVERSE direction
+    * (round 16, sstablerepairedset --is-unrepaired): Cassandra's
+    * unrepaired sentinel, forcing the next incremental repair to
+    * re-verify the file. */
   def markDir(inPath: String,
-      markGen: Long => Boolean = _ => true): String = {
+      markGen: Long => Boolean = _ => true,
+      stampMs: Long = RepairedAtMs): String = {
     val out = graft.sources.TempDirs.register(
       java.nio.file.Files.createTempDirectory("graft-repaired"))
     val files = Option(new java.io.File(inPath).listFiles())
@@ -105,7 +110,7 @@ object Repair {
             new java.io.FileOutputStream(dest.toFile)))
         try CassandraStatsFormat.write(o,
           parsed.copy(stats = parsed.stats.copy(
-            repairedAtMs = RepairedAtMs)), Some(header))
+            repairedAtMs = stampMs)), Some(header))
         finally o.close()
       } else {
         java.nio.file.Files.copy(f.toPath, dest)
@@ -113,6 +118,47 @@ object Repair {
       }
     }
     out.toString
+  }
+
+  /** Generations the q209 reset flips back to unrepaired (the first
+    * half — DIFFERENT from q177's partial marking, which leaves gens
+    * 4–6 unrepaired, so the two relations' digests can never be
+    * confused). */
+  val ResetGens: Set[Long] = Set(1L, 2L, 3L)
+
+  /** sstablerepairedset --is-unrepaired, executed (round 16, q209):
+    * the FULLY-marked set with [[ResetGens]] flipped back to the
+    * unrepaired sentinel (repairedAt = 0) — the recovery tool an
+    * operator runs when a repair session's stamps must be withdrawn
+    * (e.g. data resurrection suspected under a bad repair): the next
+    * incremental digest re-verifies exactly the reset files.
+    * Session-memoized. */
+  def ensureUnrepairedReset(spark: SparkSession, dir: String): String = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|reset"
+    val slot = memo.synchronized {
+      sweep()
+      val hit = memo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => markDir(ensureRepaired(spark, dir),
+          ResetGens.contains, stampMs = 0L))
+        memo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  /** q209: the repairedset cycle — the fully-marked node plans ZERO
+    * incremental reads; after the reset, the digest reads EXACTLY the
+    * reset generations' events (planning-time pruning keeps the
+    * still-marked half closed). One row per state. */
+  def repairedSetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val marked = ensureRepaired(spark, dir)
+    val reset = ensureUnrepairedReset(spark, dir)
+    AntiEntropy.incrementalTriple(spark, marked, "marked")
+      .unionByName(AntiEntropy.incrementalTriple(spark, reset, "reset"))
+      .orderBy("state")
   }
 
   /** Partition-key sliver of the CONTINUOUS-loop flush (q196): hot

@@ -4295,6 +4295,10 @@ ORDER BY 1"""
       // the republication inside the watermark drops, the one after
       // state eviction re-emits at its new event time.
       ("q208_streaming_dedup" -> q208Sql) +
+      // q209: sstablerepairedset --is-unrepaired — the fully-marked
+      // node reads nothing; after the reset the incremental digest
+      // reads exactly the reset generations.
+      ("q209_repairedset" -> q209Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -4829,6 +4833,49 @@ SELECT 'partial', n, CAST(3 AS BIGINT),
 FROM aev, nsst
 WHERE sstable_id IN ('sst-3', 'sst-4', 'sst-5') GROUP BY n
 ORDER BY set_name"""
+  }
+
+  /** q209: sstablerepairedset (round 16) — the executed reset replayed:
+    * the fully-marked set digests nothing; flipping gens 1–3 (sstables
+    * sst-0/1/2) back to unrepaired makes the incremental digest read
+    * exactly those files' events (the other half stays planning-pruned).
+    * Complements q177, whose partial marking leaves the OTHER half
+    * (sst-3/4/5) unrepaired. */
+  private lazy val q209Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val span = 1L << graft.ops.AntiEntropy.TokenLeafShift
+    s"""WITH $fixtures,
+rmapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+rev AS (
+  SELECT *, $evHash % 1000003 AS eh,
+    ${h60("CAST(key AS VARCHAR)")} // $span AS leaf
+  FROM rmapped
+),
+rn AS (SELECT CAST(COUNT(DISTINCT sstable_id) AS BIGINT) AS n FROM rev)
+SELECT 'marked' AS state, n AS sstables,
+  CAST(0 AS BIGINT) AS unrepaired_sstables,
+  CAST(0 AS BIGINT) AS events, CAST(0 AS BIGINT) AS leaves,
+  CAST(0 AS BIGINT) AS digest
+FROM rn
+UNION ALL
+SELECT 'reset', n, CAST(3 AS BIGINT),
+  CAST(COUNT(*) AS BIGINT),
+  CAST(COUNT(DISTINCT leaf) AS BIGINT),
+  CAST(COALESCE(SUM(eh), 0) AS BIGINT)
+FROM rev, rn
+WHERE sstable_id IN ('sst-0', 'sst-1', 'sst-2') GROUP BY n
+ORDER BY state"""
   }
 
   private lazy val q173Sql: String = {

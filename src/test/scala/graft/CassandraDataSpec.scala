@@ -2564,6 +2564,60 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("sstablerepairedset (q209): the reset is the marking run in " +
+      "reverse — byte-exact metadata-only, the unrepaired sentinel " +
+      "restored, and the incremental digest re-opens EXACTLY the reset " +
+      "files (round 16)") {
+    import graft.ops.Repair
+    import graft.sources.statsdb.CassandraStatsFormat
+    val marked = Repair.ensureRepaired(spark, Sf0001)
+    val reset = Repair.ensureUnrepairedReset(spark, Sf0001)
+    val files = Option(new java.io.File(marked).listFiles()).get
+      .filter(_.isFile).sortBy(_.getName)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val r = new java.io.File(reset, f.getName)
+      assert(r.exists(), s"missing ${f.getName} in reset set")
+      val a = java.nio.file.Files.readAllBytes(f.toPath)
+      val b = java.nio.file.Files.readAllBytes(r.toPath)
+      val gen = f.getName.split("-")(1).toLong
+      if (!f.getName.endsWith(CassandraStatsFormat.Suffix) ||
+          !Repair.ResetGens(gen))
+        assert(java.util.Arrays.equals(a, b),
+          s"${f.getName} must be byte-identical")
+      else {
+        val pa = CassandraStatsFormat.parse(a)
+        val pb = CassandraStatsFormat.parse(b)
+        assert(pa.stats.repairedAtMs === Repair.RepairedAtMs)
+        assert(pb.stats.repairedAtMs === 0L,
+          s"${f.getName}: unrepaired sentinel not restored")
+        // byte-exact 'only repairedAt differs': re-serializing the
+        // MARKED stats with the sentinel reproduces the reset file
+        val bos = new java.io.ByteArrayOutputStream()
+        CassandraStatsFormat.write(new java.io.DataOutputStream(bos),
+          pa.copy(stats = pa.stats.copy(repairedAtMs = 0L)),
+          Some(CassandraStatsFormat.componentBytes(a,
+            CassandraStatsFormat.TypeHeader)))
+        assert(java.util.Arrays.equals(bos.toByteArray, b),
+          s"${f.getName}: only repairedAt may differ")
+      }
+    }
+    // the digest re-opens exactly the reset generations: marked state
+    // plans zero reads, the reset state reads gens 1-3's events
+    val rows = Repair.repairedSetRoundtrip(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val (mSst, mUnrep, mEv) = rows("marked")
+    assert(mSst === 6L && mUnrep === 0L && mEv === 0L)
+    val (rSst, rUnrep, rEv) = rows("reset")
+    val expect = DataDb.cells(spark, marked,
+        format = DataDbScan.FormatCassandra)
+      .where(col("sstable_id")
+        .isin(Repair.ResetGens.map(g => s"nb-$g-big").toSeq: _*))
+      .count()
+    assert(rSst === 6L && rUnrep === 3L && rEv === expect && rEv > 0L)
+  }
+
   test("sidecar-based compaction sizing: O(#files) driver sizing agrees " +
       "with the production DSv2 relation and drives the executed " +
       "fan-out (round 13)") {

@@ -444,7 +444,10 @@ class CliMainSpec extends SparkSpec {
       Seq("compact", "--execute", "ks1", "lineitem", "--ucs"),
     // sstableloader (round 16): ring ownership x RF replication, each
     // received view verified digest-by-digest against the corpus
-    "load" -> Seq("load", "ks1", "lineitem"))
+    "load" -> Seq("load", "ks1", "lineitem"),
+    // sstablerepairedset (round 16): stamps withdrawn from half the
+    // marked node; the incremental digest re-opens exactly those files
+    "repairedset" -> Seq("repairedset", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

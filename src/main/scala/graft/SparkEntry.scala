@@ -1061,6 +1061,13 @@ object SparkEntry {
     // operator's recovery lever when a repair session must be undone)
     "q209_repairedset" -> ((s, d) =>
       graft.ops.Repair.repairedSetRoundtrip(s, d)),
+    // sstabledowngrade executed (round 16, q200's inverse): 'oa' files
+    // rewritten back to 'nb' — the covered slice's blobs become the
+    // legacy min/max lists again, the versioned tail drops, and the
+    // FULL CYCLE (nb -> oa -> nb) reproduces the original
+    // Statistics.db bit-for-bit; scans stay event-identical
+    "q210_sstable_downgrade" -> ((s, d) =>
+      graft.ops.SstableDowngrade.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -47,7 +47,7 @@ object Main {
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
-    "load", "repairedset")
+    "load", "repairedset", "downgrade")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -68,6 +68,7 @@ object Main {
     case "relevel" => "Usage: relevel <keyspace> <table>"
     case "load" => "Usage: load <keyspace> <table>"
     case "repairedset" => "Usage: repairedset <keyspace> <table>"
+    case "downgrade" => "Usage: downgrade <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -130,7 +131,8 @@ object Main {
         |  salvage      sstablescrub: per-partition isolated salvage of a corrupted sstable set
         |  relevel      sstableofflinerelevel: rebuild the leveled hierarchy from a flat set (metadata-only)
         |  load         sstableloader: stream an sstable set into the ring (4 nodes x RF=2), received views verified
-        |  repairedset  sstablerepairedset --is-unrepaired: withdraw repairedAt stamps, re-opening the files to repair""".stripMargin
+        |  repairedset  sstablerepairedset --is-unrepaired: withdraw repairedAt stamps, re-opening the files to repair
+        |  downgrade    sstabledowngrade: rewrite 'oa' back to 'nb'; the full version cycle is byte-exact""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -366,6 +368,9 @@ object Main {
       case "repairedset" =>
         if (!requireStore()) return 2
         out(tracked("repairedset")(Reports.repairedset(spark, dir))); 0
+      case "downgrade" =>
+        if (!requireStore()) return 2
+        out(tracked("downgrade")(Reports.downgrade(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -518,6 +518,15 @@ object Reports {
       "per-sstable window, expiry, blockers, next action)",
       graft.ops.TwcsCompaction.whatIf(spark, dir, gcBeforeS))
 
+  /** `downgrade <ks> <cf>` — sstabledowngrade (q210): rewrite the
+    * upgraded 'oa' set back to 'nb'; the full cycle reproduces the
+    * original files bit-for-bit. */
+  def downgrade(spark: SparkSession, dir: String): String =
+    section("Downgrade 'oa' -> 'nb' (slice blobs back to the legacy " +
+      "min/max lists, versioned tail dropped; full-cycle roundtrip " +
+      "byte-exact)",
+      graft.ops.SstableDowngrade.roundtrip(spark, dir))
+
   /** `repairedset <ks> <cf>` — sstablerepairedset --is-unrepaired
     * (q209): withdraw the repairedAt stamps from half the fully-marked
     * node; the incremental digest re-opens exactly the reset files. */

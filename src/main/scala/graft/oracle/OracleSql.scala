@@ -4299,6 +4299,10 @@ ORDER BY 1"""
       // node reads nothing; after the reset the incremental digest
       // reads exactly the reset generations.
       ("q209_repairedset" -> q209Sql) +
+      // q210: sstabledowngrade — 'oa' → 'nb': the full-cycle stats
+      // roundtrip is byte-identical to the original, data untouched,
+      // scans event-identical.
+      ("q210_sstable_downgrade" -> q210Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -4833,6 +4837,35 @@ SELECT 'partial', n, CAST(3 AS BIGINT),
 FROM aev, nsst
 WHERE sstable_id IN ('sst-3', 'sst-4', 'sst-5') GROUP BY n
 ORDER BY set_name"""
+  }
+
+  /** q210: sstabledowngrade (round 16) — the downgraded set's scan must
+    * equal the parquet derivation per sstable (count, partitions,
+    * commutative digest), with component parity, Data.db identity and
+    * the nb → oa → nb Statistics.db roundtrip exact (engine-computed
+    * off the real bytes; the oracle states the expected verdicts). */
+  private lazy val q210Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+dmapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+)
+SELECT sstable_id AS unit,
+  TRUE AS components_match, TRUE AS data_bytes_equal,
+  TRUE AS stats_roundtrip_exact,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM($evHash % 1000003) AS BIGINT) AS digest
+FROM dmapped GROUP BY 1 ORDER BY unit"""
   }
 
   /** q209: sstablerepairedset (round 16) — the executed reset replayed:

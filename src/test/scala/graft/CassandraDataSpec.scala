@@ -2618,6 +2618,43 @@ class CassandraDataSpec extends SparkSpec {
     assert(rSst === 6L && rUnrep === 3L && rEv === expect && rEv > 0L)
   }
 
+  test("sstabledowngrade (q210): the full version cycle nb -> oa -> nb " +
+      "reproduces the ORIGINAL file set bit-for-bit — slice blobs back " +
+      "to the legacy lists, the versioned tail dropped (round 16)") {
+    import graft.ops.SstableDowngrade
+    import graft.sources.statsdb.CassandraStatsFormat
+    val orig = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val down = SstableDowngrade.ensureDowngraded(spark, Sf0001)
+    val files = Option(new java.io.File(orig).listFiles()).get
+      .filter(_.isFile).sortBy(_.getName)
+    assert(files.nonEmpty)
+    // EVERY file — Statistics.db included — survives the cycle
+    // byte-identical; a lossy upgrade or a drifting serializer breaks
+    // at the first byte
+    files.foreach { f =>
+      val d = new java.io.File(down, f.getName)
+      assert(d.exists(), s"missing ${f.getName} in downgraded set")
+      assert(java.nio.file.Files.mismatch(f.toPath, d.toPath) === -1L,
+        s"${f.getName} not byte-identical through the cycle")
+    }
+    // the downgraded stats parse as genuine 'nb': legacy lists back in
+    // place, no slice, no tail
+    val statsFile = files.find(_.getName.endsWith(
+      CassandraStatsFormat.Suffix)).get
+    val s = CassandraStatsFormat.parse(java.nio.file.Files.readAllBytes(
+      new java.io.File(down, statsFile.getName).toPath)).stats
+    assert(s.minClustering.nonEmpty && s.maxClustering.nonEmpty)
+    assert(s.coveredClustering.isEmpty && s.tail.isEmpty)
+    // and the relation's verdict columns agree on the real bytes
+    val rows = SstableDowngrade.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"${r.getString(0)}: cycle verdicts")
+    }
+  }
+
   test("sidecar-based compaction sizing: O(#files) driver sizing agrees " +
       "with the production DSv2 relation and drives the executed " +
       "fan-out (round 13)") {

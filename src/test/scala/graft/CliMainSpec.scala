@@ -447,7 +447,10 @@ class CliMainSpec extends SparkSpec {
     "load" -> Seq("load", "ks1", "lineitem"),
     // sstablerepairedset (round 16): stamps withdrawn from half the
     // marked node; the incremental digest re-opens exactly those files
-    "repairedset" -> Seq("repairedset", "ks1", "lineitem"))
+    "repairedset" -> Seq("repairedset", "ks1", "lineitem"),
+    // sstabledowngrade (round 16): the full version cycle reproduces
+    // the original 'nb' files bit-for-bit
+    "downgrade" -> Seq("downgrade", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

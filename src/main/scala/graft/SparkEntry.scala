@@ -1068,6 +1068,15 @@ object SparkEntry {
     // Statistics.db bit-for-bit; scans stay event-identical
     "q210_sstable_downgrade" -> ((s, d) =>
       graft.ops.SstableDowngrade.roundtrip(s, d)),
+    // UCS re-ingestion (round 16, the strategy trio's convergence
+    // proof extended to UCS): the compacted state re-enters the
+    // density ladder off its REAL files and is STABLE — the level-0
+    // merge's quarter shards re-classify one level up but never
+    // overlap, the island output joins the dense top level disjoint
+    // from the originals, and no group selects: UCS's bounded
+    // write-amplification, demonstrated on its own outputs
+    "q211_ucs_reingest" -> ((s, d) =>
+      graft.ops.UnifiedCompaction.reingestTable(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

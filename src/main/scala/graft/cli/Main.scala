@@ -86,7 +86,7 @@ object Main {
       "Usage: compact [--plan] [--execute <keyspace> <table>] " +
         "[--sidecar-sized] " +
         "[--minor | --leveled [--again | --promote] | --twcs [--again] " +
-        "| --ucs] [-g <gc_grace_seconds>]"
+        "| --ucs [--again]] [-g <gc_grace_seconds>]"
     case "tokenize" => "Usage: tokenize [-s <merge_steps>]"
     case "lookup" => "Usage: lookup <keyspace> <table> <key>"
     case "get" => "Usage: get <keyspace> <table> <key>"
@@ -243,7 +243,8 @@ object Main {
             else if (o.sidecarSized && (o.minor || o.leveled || o.twcs ||
                 o.ucs))
               Left(usage(cmd))
-            else if (o.again && !(o.leveled || o.twcs)) Left(usage(cmd))
+            else if (o.again && !(o.leveled || o.twcs || o.ucs))
+              Left(usage(cmd))
             else if (o.promoteLevels && !o.leveled) Left(usage(cmd))
             else if (o.again && o.promoteLevels) Left(usage(cmd))
             else if (o.execute) positional match {
@@ -407,6 +408,8 @@ object Main {
               Reports.twcsReingestExecute(spark, dir, o.gcBeforeS)
             else if (o.twcs)
               Reports.twcsCompactExecute(spark, dir, o.gcBeforeS)
+            else if (o.ucs && o.again)
+              Reports.ucsReingestExecute(spark, dir)
             else if (o.ucs)
               Reports.ucsCompactExecute(spark, dir, o.gcBeforeS)
             else if (o.leveled && o.promoteLevels)

@@ -558,6 +558,14 @@ object Reports {
       "ring-quarter shards)",
       graft.ops.UnifiedCompaction.roundtrip(spark, dir, gcBeforeS))
 
+  /** `compact --execute <ks> <cf> --ucs --again [-g]` — UCS
+    * re-ingestion (q211): the compacted state's re-derived decision
+    * table — steady state, nothing selects. */
+  def ucsReingestExecute(spark: SparkSession, dir: String): String =
+    section("UCS re-ingestion (the compacted state re-enters the " +
+      "density ladder off its real files — steady state)",
+      graft.ops.UnifiedCompaction.reingestTable(spark, dir))
+
   /** `compact --ucs` — the read-only UCS what-if: per sstable its
     * modeled bytes, covered token span, density (bytes·2^16 /
     * span_units), ladder ratio, level and next action. */

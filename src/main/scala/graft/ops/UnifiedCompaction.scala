@@ -268,6 +268,74 @@ object UnifiedCompaction {
         sum(when(col("is_expiring"), 1L).otherwise(0L)).as("expiring"),
         sum(col("size_bytes") % ChkMod).as("value_sum"))
 
+  private val stateMemo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
+
+  /** The post-compaction UCS state as one real directory: the merge
+    * outputs plus the untouched passthrough originals (file manifest —
+    * byte copies, no data work). Session-memoized. */
+  def ensureReingestState(spark: SparkSession, dir: String): String = {
+    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|ucsre"
+    val slot = stateMemo.synchronized {
+      val it = stateMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = stateMemo.get(key)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => buildState(spark, dir))
+        stateMemo.put(key, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def buildState(spark: SparkSession, dir: String): String = {
+    val inPath = CassandraDataFixture.ensureUcsFiles(spark, dir)
+    val outPath = ensureCompacted(spark, dir)
+    val p = plan(spark, inPath)
+    val state = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-ucs-state"))
+    def copyAll(from: String, keep: String => Boolean): Unit =
+      Option(new java.io.File(from).listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+        .filter(f => keep(f.getName)).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, state.resolve(f.getName))
+          ()
+        }
+    copyAll(outPath, _ => true)
+    val passGens = p.passthrough
+      .map(id => id.stripPrefix("sst-").toLong + 1L).toSet
+    copyAll(inPath, n =>
+      n.split("-").lift(1).flatMap(_.toLongOption).exists(passGens))
+    state.toString
+  }
+
+  /** q211: RE-INGESTION — the compacted state re-enters the strategy
+    * off its REAL files and is STABLE: the level-0 merge's shard
+    * outputs re-classify one level up (denser: same bytes over a
+    * quarter of the ring) but stay quarter-disjoint, the island merge
+    * joins the dense top level beside the originals it never overlaps,
+    * and NO group selects — the bounded-write-amplification guarantee
+    * UCS exists for, demonstrated on its own outputs. One row per
+    * file: the re-derived density ladder and the (all-passthrough)
+    * action. */
+  def reingestTable(spark: SparkSession, dir: String): DataFrame = {
+    val statePath = ensureReingestState(spark, dir)
+    val p = plan(spark, statePath)
+    val actionOf = p.merged.zipWithIndex.flatMap { case ((_, ids), g) =>
+      ids.map(_ -> s"merge-g$g")
+    }.toMap
+    import spark.implicits._
+    p.metas.map(s => (s.id, s.bytes, s.spanUnits, s.density,
+        s.density / p.m, s.level,
+        actionOf.getOrElse(s.id, "passthrough")))
+      .toDF("unit", "model_bytes", "span_units", "density",
+        "ratio", "level", "action")
+      .orderBy("unit")
+  }
+
   /** q206: the UCS relation — one row per unit: each merged group's
     * shard outputs read back from the REAL sstables the compaction
     * wrote (proving shard alignment: a unit's rows all carry its

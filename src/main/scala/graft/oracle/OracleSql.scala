@@ -4303,6 +4303,10 @@ ORDER BY 1"""
       // roundtrip is byte-identical to the original, data untouched,
       // scans event-identical.
       ("q210_sstable_downgrade" -> q210Sql) +
+      // q211: UCS re-ingestion — the compacted state re-planned from
+      // scratch lands STABLE: shard outputs one level up and disjoint,
+      // the island output beside the originals, nothing selects.
+      ("q211_ucs_reingest" -> q211Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -5848,10 +5852,13 @@ FROM yunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
     * over [min_tok, max_tok] spans and merge only ≥2-member islands),
     * the per-group LWW winners, the conservative purge guard (EXISTS an
     * outside holder), and the fixed-ring-quarter output shard split. */
-  private lazy val q206Sql: String = {
+  /** The shared UCS decision chain (q206 + q211): fixture assignment,
+    * per-sstable bytes + token span, density, the adaptive base, the
+    * floor(log4) ladder, overlap islands, group selection, LWW winners
+    * and the guard — everything through `ukept`/`uassign`. */
+  private lazy val ucsChainSql: String = {
     val tok = h60("CAST(key AS VARCHAR)")
-    s"""WITH $fixtures,
-umapped AS (
+    s"""umapped AS (
   SELECT CASE WHEN (key + clustering) % 4 = 3
          THEN 'sst-' || CAST((((key + clustering) % 8) // 4) * 2
                              + timestamp_us % 2 AS VARCHAR)
@@ -5937,7 +5944,11 @@ ukept AS (
     NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
     OR EXISTS (SELECT 1 FROM uoutkeys o
                WHERE o.g = uranked.g AND o.key = uranked.key))
-),
+)"""
+  }
+
+  private lazy val q206Sql: String = s"""WITH $fixtures,
+$ucsChainSql,
 uunits AS (
   SELECT 'cmp-' || CAST(g AS VARCHAR) || '-s' ||
       CAST(tok // 288230376151711744 AS VARCHAR) AS unit,
@@ -5971,7 +5982,87 @@ SELECT unit, action, CAST(level AS BIGINT) AS level,
     AS expiring,
   CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
 FROM uunits GROUP BY 1, 2, 3, 4 ORDER BY unit"""
-  }
+
+  /** q211: UCS re-ingestion (round 16) — the compacted state re-derived
+    * from parquet (output units = the kept winners per (group, shard),
+    * passthrough originals carried), then the ENTIRE planning pass run
+    * again over it: bytes, spans, density, the adaptive base, levels,
+    * islands, selection. The steady-state verdict (every file
+    * passthrough, no group selects) is the replay's OUTPUT, not an
+    * assumption — a mis-sized output or a broken shard split would
+    * re-select and break the hash. */
+  private lazy val q211Sql: String = s"""WITH $fixtures,
+$ucsChainSql,
+rstate AS (
+  SELECT 'sst-' || CAST(1400 + g * 4 + tok // 288230376151711744
+      AS VARCHAR) AS unit,
+    key, size_bytes, tok
+  FROM ukept
+  UNION ALL
+  SELECT m.sstable_id AS unit, m.key, m.size_bytes, m.tok
+  FROM umapped m
+  WHERE NOT EXISTS (SELECT 1 FROM uassign a
+                    WHERE a.sstable_id = m.sstable_id)
+),
+rstats AS (
+  SELECT unit, CAST(SUM(32 + size_bytes) AS BIGINT) AS bytes,
+    MIN(tok) AS mn, MAX(tok) AS mx
+  FROM rstate GROUP BY 1
+),
+rbase AS (
+  SELECT GREATEST(CAST(SUM(bytes) AS BIGINT) // 32, 1) AS m FROM rstats
+),
+rdens AS (
+  SELECT unit, bytes,
+    (mx // 17592186044416) - (mn // 17592186044416) + 1 AS span_units,
+    bytes * 65536 //
+      ((mx // 17592186044416) - (mn // 17592186044416) + 1) AS density,
+    mn, mx
+  FROM rstats
+),
+rlev AS (
+  SELECT d.*, density // m AS ratio,
+    (${bitLenSql("GREATEST(density // m, 1)")} - 1) // 2 AS level
+  FROM rdens d, rbase
+),
+rprev AS (
+  SELECT *, MAX(mx) OVER (PARTITION BY level ORDER BY mn, unit
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM rlev WHERE level >= 1
+),
+risl AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR mn > prev_max
+                     THEN 1 ELSE 0 END)
+      OVER (PARTITION BY level ORDER BY mn, unit) AS island
+  FROM rprev
+),
+rgroups AS (
+  SELECT CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS island,
+    CAST(0 AS BIGINT) AS lo
+  FROM rlev WHERE level = 0 HAVING COUNT(*) >= 4
+  UNION ALL
+  SELECT CAST(level AS BIGINT), CAST(island AS BIGINT),
+    CAST(MIN(mn) AS BIGINT)
+  FROM risl GROUP BY level, island HAVING COUNT(*) >= 2
+),
+rg AS (
+  SELECT *, row_number() OVER (ORDER BY level, lo) - 1 AS g FROM rgroups
+),
+rassign AS (
+  SELECT t.unit, u.g
+  FROM risl t JOIN rg u ON u.level = t.level AND u.island = t.island
+  UNION ALL
+  SELECT t.unit, u.g
+  FROM rlev t JOIN rg u ON u.level = 0 AND t.level = 0
+)
+SELECT l.unit, CAST(l.bytes AS BIGINT) AS model_bytes,
+  CAST(l.span_units AS BIGINT) AS span_units,
+  CAST(l.density AS BIGINT) AS density,
+  CAST(l.ratio AS BIGINT) AS ratio,
+  CAST(l.level AS BIGINT) AS level,
+  COALESCE('merge-g' || CAST(a.g AS VARCHAR), 'passthrough') AS action
+FROM rlev l LEFT JOIN rassign a USING (unit)
+ORDER BY l.unit"""
 
   /** q208: streaming dedup (round 16) — the
     * dropDuplicatesWithinWatermark trajectory replayed in SQL: the

@@ -28,6 +28,7 @@ object UcsProbe {
     println(s"passthrough=${p.passthrough}")
     val out = graft.ops.UnifiedCompaction.roundtrip(spark, dir)
     out.show(50, false)
+    graft.ops.UnifiedCompaction.reingestTable(spark, dir).show(20, false)
     // purge-branch occupancy: droppable winners per group, and how many
     // lack any outside holder (purged) vs have one (retained)
     import org.apache.spark.sql.functions._

@@ -2406,6 +2406,40 @@ class CassandraDataSpec extends SparkSpec {
     }
   }
 
+  test("UCS re-ingestion (q211): the compacted state re-enters the " +
+      "density ladder and is STABLE — shard outputs one level up and " +
+      "quarter-disjoint, the island output beside the originals, no " +
+      "group selects (round 16)") {
+    import graft.ops.UnifiedCompaction
+    val statePath = UnifiedCompaction.ensureReingestState(spark, Sf0001)
+    val p = UnifiedCompaction.plan(spark, statePath)
+    // steady state: NOTHING selects — the bounded-write-amplification
+    // guarantee on the strategy's own outputs
+    assert(p.merged.isEmpty)
+    assert(p.passthrough.size === 8)
+    val levelOf = p.metas.map(s => s.id -> s.level).toMap
+    // the level-0 merge's quarter shards re-classify ONE level up
+    // (same bytes over a quarter of the ring = 4x the density)...
+    Seq("sst-1400", "sst-1401", "sst-1402", "sst-1403").foreach(id =>
+      assert(levelOf(id) === 1, s"$id level"))
+    // ...and the island output joins the dense top level, disjoint
+    // from the originals it never overlapped
+    assert(levelOf("sst-1406") === 2)
+    Seq("sst-4", "sst-5", "sst-8").foreach(id =>
+      assert(levelOf(id) === 2, s"$id level"))
+    // disjointness within each level of the new state
+    Seq(1, 2).foreach { lvl =>
+      val members = p.metas.filter(_.level == lvl).sortBy(_.minTok)
+      members.zip(members.tail).foreach { case (a, b) =>
+        assert(a.maxTok < b.minTok, s"level $lvl overlap: ${a.id}/${b.id}")
+      }
+    }
+    // the relation's action column agrees
+    val rows = UnifiedCompaction.reingestTable(spark, Sf0001).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getString(6) === "passthrough"))
+  }
+
   test("sstableloader (q207): ring ownership x RF replication — each " +
       "node receives ONE real streamed sstable holding exactly its " +
       "owned quarters, verified against the corpus digest-by-digest " +

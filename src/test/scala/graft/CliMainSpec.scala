@@ -450,7 +450,12 @@ class CliMainSpec extends SparkSpec {
     "repairedset" -> Seq("repairedset", "ks1", "lineitem"),
     // sstabledowngrade (round 16): the full version cycle reproduces
     // the original 'nb' files bit-for-bit
-    "downgrade" -> Seq("downgrade", "ks1", "lineitem"))
+    "downgrade" -> Seq("downgrade", "ks1", "lineitem"),
+    // UCS re-ingestion (round 16): the compacted state's re-derived
+    // ladder — steady state, nothing selects
+    "compact_execute_ucs_again" ->
+      Seq("compact", "--execute", "ks1", "lineitem", "--ucs",
+        "--again"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

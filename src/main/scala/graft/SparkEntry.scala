@@ -1077,6 +1077,13 @@ object SparkEntry {
     // write-amplification, demonstrated on its own outputs
     "q211_ucs_reingest" -> ((s, d) =>
       graft.ops.UnifiedCompaction.reingestTable(s, d)),
+    // nodetool cleanup executed (round 16): the ring doubles, each old
+    // node REWRITES its loaded sstable without the two eighths it no
+    // longer replicates — retained views digest-match the corpus per
+    // eighth and PARTITION the ring (each eighth held by exactly one
+    // old node), dropped volume accounted per node
+    "q212_cleanup" -> ((s, d) =>
+      graft.ops.Cleanup.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

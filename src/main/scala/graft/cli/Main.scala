@@ -47,7 +47,7 @@ object Main {
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
-    "load", "repairedset", "downgrade")
+    "load", "repairedset", "downgrade", "cleanup")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -69,6 +69,7 @@ object Main {
     case "load" => "Usage: load <keyspace> <table>"
     case "repairedset" => "Usage: repairedset <keyspace> <table>"
     case "downgrade" => "Usage: downgrade <keyspace> <table>"
+    case "cleanup" => "Usage: cleanup <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -132,7 +133,8 @@ object Main {
         |  relevel      sstableofflinerelevel: rebuild the leveled hierarchy from a flat set (metadata-only)
         |  load         sstableloader: stream an sstable set into the ring (4 nodes x RF=2), received views verified
         |  repairedset  sstablerepairedset --is-unrepaired: withdraw repairedAt stamps, re-opening the files to repair
-        |  downgrade    sstabledowngrade: rewrite 'oa' back to 'nb'; the full version cycle is byte-exact""".stripMargin
+        |  downgrade    sstabledowngrade: rewrite 'oa' back to 'nb'; the full version cycle is byte-exact
+        |  cleanup      nodetool cleanup: after the ring doubles, rewrite away each node's foreign ranges""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -372,6 +374,9 @@ object Main {
       case "downgrade" =>
         if (!requireStore()) return 2
         out(tracked("downgrade")(Reports.downgrade(spark, dir))); 0
+      case "cleanup" =>
+        if (!requireStore()) return 2
+        out(tracked("cleanup")(Reports.cleanup(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -527,6 +527,15 @@ object Reports {
       "byte-exact)",
       graft.ops.SstableDowngrade.roundtrip(spark, dir))
 
+  /** `cleanup <ks> <cf>` — nodetool cleanup (q212): after the ring
+    * doubles, each old node rewrites its sstables without the eighths
+    * it no longer replicates. */
+  def cleanup(spark: SparkSession, dir: String): String =
+    section("Cleanup after ring doubling (4 -> 8 nodes): each old node " +
+      "keeps its primary eighth + its new predecessor's replica " +
+      "eighth; retained views partition the ring",
+      graft.ops.Cleanup.roundtrip(spark, dir))
+
   /** `repairedset <ks> <cf>` — sstablerepairedset --is-unrepaired
     * (q209): withdraw the repairedAt stamps from half the fully-marked
     * node; the incremental digest re-opens exactly the reset files. */

@@ -4307,6 +4307,10 @@ ORDER BY 1"""
       // scratch lands STABLE: shard outputs one level up and disjoint,
       // the island output beside the originals, nothing selects.
       ("q211_ucs_reingest" -> q211Sql) +
+      // q212: nodetool cleanup after the ring doubles — each old node
+      // keeps exactly its two still-replicated eighths, the retained
+      // views partition the ring, dropped volume accounted per node.
+      ("q212_cleanup" -> q212Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6063,6 +6067,58 @@ SELECT l.unit, CAST(l.bytes AS BIGINT) AS model_bytes,
   COALESCE('merge-g' || CAST(a.g AS VARCHAR), 'passthrough') AS action
 FROM rlev l LEFT JOIN rassign a USING (unit)
 ORDER BY l.unit"""
+
+  /** q212: nodetool cleanup (round 16) — the ring-doubling ownership
+    * arithmetic replayed: old node n keeps eighths {2n, 2n+7 mod 8}
+    * and drops {2n+1, 2n+6 mod 8}; each retained view's events +
+    * digest equal the corpus's for that eighth (the engine computes
+    * them off the REAL cleaned files), the views partition the ring
+    * (holders = 1), and the dropped count is the two foreign eighths'
+    * corpus volume. */
+  private lazy val q212Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+cmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+ccorp AS (
+  SELECT tok // 144115188075855872 AS eighth,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM cmapped GROUP BY 1
+),
+cnodes AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(n)),
+ckept AS (
+  SELECT n, (2 * n) % 8 AS eighth FROM cnodes
+  UNION ALL
+  SELECT n, (2 * n + 7) % 8 FROM cnodes
+),
+cdrop AS (
+  SELECT x.n, CAST(SUM(c.corpus_events) AS BIGINT) AS node_dropped
+  FROM cnodes x JOIN ccorp c
+    ON c.eighth = (2 * x.n + 1) % 8 OR c.eighth = (2 * x.n + 6) % 8
+  GROUP BY x.n
+)
+SELECT CAST(k.n AS BIGINT) AS node, CAST(k.eighth AS BIGINT) AS eighth,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified, d.node_dropped, CAST(1 AS BIGINT) AS holders
+FROM ckept k
+JOIN ccorp c ON c.eighth = k.eighth
+JOIN cdrop d ON d.n = k.n
+ORDER BY node, eighth"""
+  }
 
   /** q208: streaming dedup (round 16) — the
     * dropDuplicatesWithinWatermark trajectory replayed in SQL: the

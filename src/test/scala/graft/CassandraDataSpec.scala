@@ -2475,6 +2475,44 @@ class CassandraDataSpec extends SparkSpec {
     assert(outGens === Seq(1501L, 1502L, 1503L, 1504L))
   }
 
+  test("nodetool cleanup (q212): after the ring doubles each old node " +
+      "rewrites away exactly its two foreign eighths — retained views " +
+      "partition the ring and digest-match the corpus (round 16)") {
+    import graft.ops.Cleanup
+    // ownership arithmetic: kept ∪ dropped = the node's old 4 eighths
+    (0 until 4).foreach { n =>
+      val old = Set((2L * n), (2L * n + 1),
+        ((2 * n + 6) % 8).toLong, ((2 * n + 7) % 8).toLong)
+      assert(Cleanup.keptEighths(n) ++ Cleanup.droppedEighths(n) === old)
+      assert((Cleanup.keptEighths(n) &
+        Cleanup.droppedEighths(n)).isEmpty)
+    }
+    val rows = Cleanup.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 8)
+    // every retained view verified on the real cleaned bytes; the
+    // views PARTITION the ring (each eighth held by exactly one node)
+    assert(rows.forall(_.getBoolean(6)))
+    assert(rows.forall(_.getLong(8) === 1L))
+    assert(rows.map(_.getLong(1)).toSet === (0L to 7L).toSet)
+    // per node: exactly its kept eighths, and the dropped volume is
+    // the two foreign eighths' corpus events
+    val corpusOf = rows.map(r => r.getLong(1) -> r.getLong(4)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (n, rs) =>
+      assert(rs.map(_.getLong(1)).toSet ===
+        Cleanup.keptEighths(n.toInt))
+      val wantDropped = Cleanup.droppedEighths(n.toInt)
+        .toSeq.map(corpusOf).sum
+      assert(rs.forall(_.getLong(7) === wantDropped), s"node $n dropped")
+      assert(wantDropped > 0L)
+    }
+    // one real cleaned sstable per node
+    val outGens = Option(new java.io.File(
+        Cleanup.ensureCleaned(spark, Sf0001))
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(1601L, 1602L, 1603L, 1604L))
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

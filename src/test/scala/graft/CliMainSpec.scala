@@ -455,7 +455,10 @@ class CliMainSpec extends SparkSpec {
     // ladder — steady state, nothing selects
     "compact_execute_ucs_again" ->
       Seq("compact", "--execute", "ks1", "lineitem", "--ucs",
-        "--again"))
+        "--again"),
+    // nodetool cleanup (round 16): the ring doubles; retained views
+    // partition the ring, dropped volume accounted per node
+    "cleanup" -> Seq("cleanup", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

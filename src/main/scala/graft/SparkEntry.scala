@@ -1084,6 +1084,14 @@ object SparkEntry {
     // old node), dropped volume accounted per node
     "q212_cleanup" -> ((s, d) =>
       graft.ops.Cleanup.roundtrip(s, d)),
+    // node bootstrap executed (round 16, the topology change's other
+    // half): each new odd-position node streams its two eighths from
+    // its ring predecessor as one real sstable; the cleaned old views
+    // + bootstrapped new views CONVERGE to a full RF=2 ring — every
+    // eighth on exactly two nodes, every view digest-matching the
+    // corpus
+    "q213_bootstrap" -> ((s, d) =>
+      graft.ops.Bootstrap.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -47,7 +47,7 @@ object Main {
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
-    "load", "repairedset", "downgrade", "cleanup")
+    "load", "repairedset", "downgrade", "cleanup", "bootstrap")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -70,6 +70,7 @@ object Main {
     case "repairedset" => "Usage: repairedset <keyspace> <table>"
     case "downgrade" => "Usage: downgrade <keyspace> <table>"
     case "cleanup" => "Usage: cleanup <keyspace> <table>"
+    case "bootstrap" => "Usage: bootstrap <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -134,7 +135,8 @@ object Main {
         |  load         sstableloader: stream an sstable set into the ring (4 nodes x RF=2), received views verified
         |  repairedset  sstablerepairedset --is-unrepaired: withdraw repairedAt stamps, re-opening the files to repair
         |  downgrade    sstabledowngrade: rewrite 'oa' back to 'nb'; the full version cycle is byte-exact
-        |  cleanup      nodetool cleanup: after the ring doubles, rewrite away each node's foreign ranges""".stripMargin
+        |  cleanup      nodetool cleanup: after the ring doubles, rewrite away each node's foreign ranges
+        |  bootstrap    node bootstrap: new nodes stream their ranges; the doubled cluster converges to RF=2""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -377,6 +379,9 @@ object Main {
       case "cleanup" =>
         if (!requireStore()) return 2
         out(tracked("cleanup")(Reports.cleanup(spark, dir))); 0
+      case "bootstrap" =>
+        if (!requireStore()) return 2
+        out(tracked("bootstrap")(Reports.bootstrap(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -536,6 +536,15 @@ object Reports {
       "eighth; retained views partition the ring",
       graft.ops.Cleanup.roundtrip(spark, dir))
 
+  /** `bootstrap <ks> <cf>` — node bootstrap (q213): the new nodes
+    * stream their ranges; cleaned + bootstrapped views converge to a
+    * full RF=2 ring. */
+  def bootstrap(spark: SparkSession, dir: String): String =
+    section("Bootstrap after ring doubling: each new node streams its " +
+      "two eighths from its predecessor; cleaned old + bootstrapped " +
+      "new views form a full RF=2 ring",
+      graft.ops.Bootstrap.roundtrip(spark, dir))
+
   /** `repairedset <ks> <cf>` — sstablerepairedset --is-unrepaired
     * (q209): withdraw the repairedAt stamps from half the fully-marked
     * node; the incremental digest re-opens exactly the reset files. */

@@ -4311,6 +4311,10 @@ ORDER BY 1"""
       // keeps exactly its two still-replicated eighths, the retained
       // views partition the ring, dropped volume accounted per node.
       ("q212_cleanup" -> q212Sql) +
+      // q213: node bootstrap — each new node streams its eighths from
+      // its predecessor; cleaned + bootstrapped views converge to a
+      // full RF=2 ring, every view digest-matching the corpus.
+      ("q213_bootstrap" -> q213Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6118,6 +6122,59 @@ FROM ckept k
 JOIN ccorp c ON c.eighth = k.eighth
 JOIN cdrop d ON d.n = k.n
 ORDER BY node, eighth"""
+  }
+
+  /** q213: node bootstrap (round 16) — the converged doubled ring
+    * replayed: old nodes (even positions) keep eighths {2n, 2n+7 mod
+    * 8}, new nodes (odd positions p) receive {p, p+6... p−1} from
+    * their predecessor (p−1)/2; every view's events + digest equal the
+    * corpus's for its eighth (engine-computed off the real cleaned +
+    * bootstrapped files) and every eighth is held by exactly RF=2
+    * nodes. */
+  private lazy val q213Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+bmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+bcorp AS (
+  SELECT tok // 144115188075855872 AS eighth,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM bmapped GROUP BY 1
+),
+bviews AS (
+  SELECT 2 * n AS position, (2 * n) % 8 AS eighth,
+    'old-cleaned' AS origin, CAST(-1 AS BIGINT) AS source
+  FROM (VALUES (0), (1), (2), (3)) t(n)
+  UNION ALL
+  SELECT 2 * n, (2 * n + 7) % 8, 'old-cleaned', CAST(-1 AS BIGINT)
+  FROM (VALUES (0), (1), (2), (3)) t(n)
+  UNION ALL
+  SELECT p, p % 8, 'new-bootstrapped', CAST((p - 1) // 2 AS BIGINT)
+  FROM (VALUES (1), (3), (5), (7)) t(p)
+  UNION ALL
+  SELECT p, (p + 7) % 8, 'new-bootstrapped', CAST((p - 1) // 2 AS BIGINT)
+  FROM (VALUES (1), (3), (5), (7)) t(p)
+)
+SELECT CAST(v.position AS BIGINT) AS position,
+  CAST(v.eighth AS BIGINT) AS eighth, v.origin, v.source,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified, CAST(2 AS BIGINT) AS holders
+FROM bviews v JOIN bcorp c ON c.eighth = v.eighth
+ORDER BY position, eighth"""
   }
 
   /** q208: streaming dedup (round 16) — the

@@ -2513,6 +2513,40 @@ class CassandraDataSpec extends SparkSpec {
     assert(outGens === Seq(1601L, 1602L, 1603L, 1604L))
   }
 
+  test("node bootstrap (q213): each new node streams its two eighths " +
+      "from its ring predecessor and the doubled cluster converges to " +
+      "a full RF=2 ring on the real bytes (round 16)") {
+    import graft.ops.{Bootstrap, Cleanup}
+    val rows = Bootstrap.roundtrip(spark, Sf0001).collect()
+    // 8 nodes x 2 held eighths, all verified, RF=2 everywhere
+    assert(rows.length === 16)
+    assert(rows.forall(_.getBoolean(8)))
+    assert(rows.forall(_.getLong(9) === 2L))
+    // every eighth held by exactly one old and one new node
+    rows.groupBy(_.getLong(1)).foreach { case (e, rs) =>
+      assert(rs.map(_.getString(2)).sorted.toSeq ===
+        Seq("new-bootstrapped", "old-cleaned"), s"eighth $e origins")
+    }
+    // new nodes sit at the odd positions and streamed from their
+    // predecessor; old nodes carry no source
+    rows.filter(_.getString(2) == "new-bootstrapped").foreach { r =>
+      val p = r.getLong(0)
+      assert(p % 2 === 1L)
+      assert(r.getLong(3) === (p - 1) / 2)
+      assert(Bootstrap.bootstrapEighths(p.toInt)(r.getLong(1)))
+    }
+    rows.filter(_.getString(2) == "old-cleaned").foreach { r =>
+      assert(r.getLong(0) % 2 === 0L && r.getLong(3) === -1L)
+      assert(Cleanup.keptEighths((r.getLong(0) / 2).toInt)(r.getLong(1)))
+    }
+    // one real bootstrapped sstable per new node
+    val outGens = Option(new java.io.File(
+        Bootstrap.ensureBootstrapped(spark, Sf0001))
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(1702L, 1704L, 1706L, 1708L))
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

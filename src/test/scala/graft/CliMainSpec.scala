@@ -458,7 +458,10 @@ class CliMainSpec extends SparkSpec {
         "--again"),
     // nodetool cleanup (round 16): the ring doubles; retained views
     // partition the ring, dropped volume accounted per node
-    "cleanup" -> Seq("cleanup", "ks1", "lineitem"))
+    "cleanup" -> Seq("cleanup", "ks1", "lineitem"),
+    // node bootstrap (round 16): the doubled cluster converges to a
+    // full RF=2 ring, every view digest-matching the corpus
+    "bootstrap" -> Seq("bootstrap", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

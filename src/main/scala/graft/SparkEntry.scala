@@ -1092,6 +1092,13 @@ object SparkEntry {
     // corpus
     "q213_bootstrap" -> ((s, d) =>
       graft.ops.Bootstrap.roundtrip(s, d)),
+    // sstablepartitions (round 16, Cassandra 4.1's threshold report):
+    // per sstable, the partitions crossing the size / cell / tombstone
+    // thresholds with the dimensions that flagged each — the filter
+    // prunes before any ordering, so the report costs one pass at any
+    // corpus size
+    "q214_sstable_partitions" -> ((s, d) =>
+      graft.ops.PStats.largePartitions(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -47,7 +47,8 @@ object Main {
     "classify", "ingest", "scrub", "chrome", "bpe", "lm", "agree",
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
-    "load", "repairedset", "downgrade", "cleanup", "bootstrap")
+    "load", "repairedset", "downgrade", "cleanup", "bootstrap",
+    "partitions")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -71,6 +72,7 @@ object Main {
     case "downgrade" => "Usage: downgrade <keyspace> <table>"
     case "cleanup" => "Usage: cleanup <keyspace> <table>"
     case "bootstrap" => "Usage: bootstrap <keyspace> <table>"
+    case "partitions" => "Usage: partitions <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -136,7 +138,8 @@ object Main {
         |  repairedset  sstablerepairedset --is-unrepaired: withdraw repairedAt stamps, re-opening the files to repair
         |  downgrade    sstabledowngrade: rewrite 'oa' back to 'nb'; the full version cycle is byte-exact
         |  cleanup      nodetool cleanup: after the ring doubles, rewrite away each node's foreign ranges
-        |  bootstrap    node bootstrap: new nodes stream their ranges; the doubled cluster converges to RF=2""".stripMargin
+        |  bootstrap    node bootstrap: new nodes stream their ranges; the doubled cluster converges to RF=2
+        |  partitions   sstablepartitions: per-sstable partitions crossing the size/cell/tombstone thresholds""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -382,6 +385,9 @@ object Main {
       case "bootstrap" =>
         if (!requireStore()) return 2
         out(tracked("bootstrap")(Reports.bootstrap(spark, dir))); 0
+      case "partitions" =>
+        if (!requireStore()) return 2
+        out(tracked("partitions")(Reports.partitions(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -527,6 +527,15 @@ object Reports {
       "byte-exact)",
       graft.ops.SstableDowngrade.roundtrip(spark, dir))
 
+  /** `partitions <ks> <cf>` — sstablepartitions (q214): per sstable,
+    * the partitions crossing the size / cell / tombstone thresholds. */
+  def partitions(spark: SparkSession, dir: String): String =
+    section("Large partitions (size >= " +
+      s"${graft.ops.PStats.PartitionSizeThreshold}, cells >= " +
+      s"${graft.ops.PStats.PartitionCellThreshold}, tombstones >= " +
+      s"${graft.ops.PStats.PartitionTombstoneThreshold})",
+      graft.ops.PStats.largePartitions(spark, dir))
+
   /** `cleanup <ks> <cf>` — nodetool cleanup (q212): after the ring
     * doubles, each old node rewrites its sstables without the eighths
     * it no longer replicates. */

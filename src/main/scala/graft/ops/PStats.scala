@@ -47,6 +47,34 @@ object PStats {
     Dist.expand(parts.agg(aggs.head, aggs.tail: _*), "size")
   }
 
+  /** sstablepartitions thresholds (round 16, q214): a partition is
+    * reported when it crosses any of these — ≈ the p99 of the fixture
+    * corpus, the "large partition" shape the real tool hunts. */
+  val PartitionSizeThreshold = 20000L
+  val PartitionCellThreshold = 4L
+  val PartitionTombstoneThreshold = 3L
+
+  /** `sstablepartitions` (round 16, q214): Cassandra 4.1's operator
+    * tool — per sstable, the partitions exceeding the size / cell /
+    * tombstone thresholds, each with the dimensions that flagged it
+    * (the report an operator reads before deciding which partitions
+    * need a data-model fix). PER SSTABLE (pscan grain), like the real
+    * tool, which inspects files one by one — not the collated grain
+    * pstats reports. One filtered pass over the shared pscan relation;
+    * at 100 TB the threshold filter prunes before any ordering. */
+  def largePartitions(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.liPscan(spark, dir)
+      .where(col("size") >= PartitionSizeThreshold ||
+        col("cell_count") >= PartitionCellThreshold ||
+        col("tombstone_count") >= PartitionTombstoneThreshold)
+      .select(col("sstable_id"), col("key"), col("size"),
+        col("cell_count"), col("tombstone_count"),
+        (col("size") >= PartitionSizeThreshold).as("over_size"),
+        (col("cell_count") >= PartitionCellThreshold).as("over_cells"),
+        (col("tombstone_count") >= PartitionTombstoneThreshold)
+          .as("over_tombstones"))
+      .orderBy("sstable_id", "key")
+
   /** T1/T2: top-N partitions by size, size-desc then key-asc tiebreak
     * (PartitionStatistics.java:13-18). */
   def topBySize(spark: SparkSession, dir: String, n: Int = 10,

@@ -4315,6 +4315,9 @@ ORDER BY 1"""
       // its predecessor; cleaned + bootstrapped views converge to a
       // full RF=2 ring, every view digest-matching the corpus.
       ("q213_bootstrap" -> q213Sql) +
+      // q214: sstablepartitions — per sstable, the partitions crossing
+      // the size / cell / tombstone thresholds with their flags.
+      ("q214_sstable_partitions" -> q214Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6176,6 +6179,19 @@ SELECT CAST(v.position AS BIGINT) AS position,
 FROM bviews v JOIN bcorp c ON c.eighth = v.eighth
 ORDER BY position, eighth"""
   }
+
+  /** q214: sstablepartitions (round 16) — the threshold report over the
+    * per-sstable pscan grain (the real tool inspects files one by one):
+    * partitions crossing size ≥ 20000 / cells ≥ 4 / tombstones ≥ 3,
+    * each with the dimensions that flagged it. */
+  private lazy val q214Sql: String = s"""WITH $fixtures
+SELECT sstable_id, key, size, cell_count, tombstone_count,
+  (size >= 20000) AS over_size,
+  (cell_count >= 4) AS over_cells,
+  (tombstone_count >= 3) AS over_tombstones
+FROM lipscan
+WHERE size >= 20000 OR cell_count >= 4 OR tombstone_count >= 3
+ORDER BY sstable_id, key"""
 
   /** q208: streaming dedup (round 16) — the
     * dropDuplicatesWithinWatermark trajectory replayed in SQL: the

@@ -309,36 +309,23 @@ object StreamingStats {
     * whole trajectory — batch assignment, the drop, the keep, and the
     * final-watermark emission frontier — from the same parquet. */
   def watermarkReplayOnce(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
-    val ev = graft.sources.Tables.events(spark, dir)
-      .withColumn("rh",
-        expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
-    val lateIn = col("rh") === 1L && col("event_id") % 2 === 0
-    val lateOut = col("rh") === 0L && col("event_id") % 2 === 0
-    val batches = Seq(
-      ev.where(col("rh").between(0L, 1L) && col("event_id") % 2 === 1),
-      ev.where((col("rh") >= 4L && col("rh") < 8L) || lateIn),
-      ev.where(col("rh") >= 8L && col("rh") < 10L),
-      ev.where((col("rh") >= 10L && col("rh") < 12L) || lateOut))
-    val ingest = graft.sources.TempDirs.register(
-      Files.createTempDirectory("graft-stream-wm"))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = Files.createTempDirectory("graft-stream-wm-part")
-      b.select(col("ts"), col("event_type"), col("value"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Option(tmp.toFile.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part under $tmp"))
-      val dest = ingest.resolve(f"arrival-$i%03d.parquet")
-      Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(60000L * (i + 1))
-      ()
+    val ingestDir = stagedDir(spark, s"$dir|wm") { ingest =>
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("rh",
+          expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+      val lateIn = col("rh") === 1L && col("event_id") % 2 === 0
+      val lateOut = col("rh") === 0L && col("event_id") % 2 === 0
+      stageBatches(ingest, Seq(
+        ev.where(col("rh").between(0L, 1L) && col("event_id") % 2 === 1),
+        ev.where((col("rh") >= 4L && col("rh") < 8L) || lateIn),
+        ev.where(col("rh") >= 8L && col("rh") < 10L),
+        ev.where((col("rh") >= 10L && col("rh") < 12L) || lateOut))
+        .map(_.select(col("ts"), col("event_type"), col("value"))))
     }
-    val schema = spark.read.parquet(ingest.toString).schema
+    val schema = spark.read.parquet(ingestDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(ingest.toString)
+      .parquet(ingestDir)
     val name = s"graft_stream_wm_${wmRuns.incrementAndGet()}"
     val q = hourlyCounts(src)
       .writeStream.format("memory").queryName(name)
@@ -353,6 +340,52 @@ object StreamingStats {
   }
 
   private val ddRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  private val stageMemo =
+    new java.util.HashMap[String, (SparkSession, String)]()
+
+  /** Session-memoized staged ingest directory for the controlled-
+    * arrival replays (q198/q208): the staging writes are FIXTURE setup
+    * (the same files every time — batch content is a pure function of
+    * the corpus), so they memoize like every other fixture build,
+    * while each replay still runs its streaming query from scratch
+    * (fresh sink, fresh state store) over the staged files. */
+  private def stagedDir(spark: SparkSession, key: String)(
+      build: java.nio.file.Path => Unit): String =
+    stageMemo.synchronized {
+      val it = stageMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
+      val hit = stageMemo.get(full)
+      if (hit != null) hit._2
+      else {
+        val ingest = graft.sources.TempDirs.register(
+          java.nio.file.Files.createTempDirectory("graft-stream-stage"))
+        build(ingest)
+        stageMemo.put(full, (spark, ingest.toString))
+        ingest.toString
+      }
+    }
+
+  /** Write `batches` into `ingest` as one parquet file each, with
+    * ascending names AND mtimes (FileStreamSource's (mtime, path)
+    * order under maxFilesPerTrigger=1). */
+  private def stageBatches(ingest: java.nio.file.Path,
+      batches: Seq[DataFrame]): Unit =
+    batches.zipWithIndex.foreach { case (b, i) =>
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft-stream-stage-part")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      val dest = ingest.resolve(f"arrival-$i%03d.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(60000L * (i + 1))
+      ()
+    }
 
   /** q208 (round 16): `dropDuplicatesWithinWatermark` under a
     * CONTROLLED ARRIVAL ORDER — the second stateful-operator class
@@ -384,41 +417,28 @@ object StreamingStats {
     * oracle replays the staging arithmetic and the drop/re-emit
     * decisions from the same parquet. */
   def dedupReplayOnce(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
-    val ev = graft.sources.Tables.events(spark, dir)
-      .withColumn("rh",
-        expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
-    val dupKeys = col("rh") === 0L
-    def cols(df: DataFrame) =
-      df.select(col("ts"), col("event_type"), col("value"),
-        col("event_id"))
-    val batches = Seq(
-      cols(ev.where(col("rh") >= 0L && col("rh") < 2L)),
-      cols(ev.where(col("rh") >= 4L && col("rh") < 6L))
-        .unionByName(cols(ev.where(dupKeys)
-          .withColumn("ts", col("ts") + expr("INTERVAL 4 HOURS")))),
-      cols(ev.where(col("rh") >= 6L && col("rh") < 8L)),
-      cols(ev.where(col("rh") >= 8L && col("rh") < 10L))
-        .unionByName(cols(ev.where(dupKeys)
-          .withColumn("ts", col("ts") + expr("INTERVAL 8 HOURS")))))
-    val ingest = graft.sources.TempDirs.register(
-      Files.createTempDirectory("graft-stream-dd"))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = Files.createTempDirectory("graft-stream-dd-part")
-      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Option(tmp.toFile.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part under $tmp"))
-      val dest = ingest.resolve(f"arrival-$i%03d.parquet")
-      Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(60000L * (i + 1))
-      ()
+    val ingestDir = stagedDir(spark, s"$dir|dd") { ingest =>
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("rh",
+          expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+      val dupKeys = col("rh") === 0L
+      def cols(df: DataFrame) =
+        df.select(col("ts"), col("event_type"), col("value"),
+          col("event_id"))
+      stageBatches(ingest, Seq(
+        cols(ev.where(col("rh") >= 0L && col("rh") < 2L)),
+        cols(ev.where(col("rh") >= 4L && col("rh") < 6L))
+          .unionByName(cols(ev.where(dupKeys)
+            .withColumn("ts", col("ts") + expr("INTERVAL 4 HOURS")))),
+        cols(ev.where(col("rh") >= 6L && col("rh") < 8L)),
+        cols(ev.where(col("rh") >= 8L && col("rh") < 10L))
+          .unionByName(cols(ev.where(dupKeys)
+            .withColumn("ts", col("ts") + expr("INTERVAL 8 HOURS"))))))
     }
-    val schema = spark.read.parquet(ingest.toString).schema
+    val schema = spark.read.parquet(ingestDir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(ingest.toString)
+      .parquet(ingestDir)
     val name = s"graft_stream_dd_${ddRuns.incrementAndGet()}"
     val q = src
       .withWatermark("ts", "1 hour")

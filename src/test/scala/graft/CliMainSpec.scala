@@ -461,7 +461,9 @@ class CliMainSpec extends SparkSpec {
     "cleanup" -> Seq("cleanup", "ks1", "lineitem"),
     // node bootstrap (round 16): the doubled cluster converges to a
     // full RF=2 ring, every view digest-matching the corpus
-    "bootstrap" -> Seq("bootstrap", "ks1", "lineitem"))
+    "bootstrap" -> Seq("bootstrap", "ks1", "lineitem"),
+    // sstablepartitions (round 16): the per-sstable threshold report
+    "partitions" -> Seq("partitions", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -27,6 +27,37 @@ class OlapSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan.take(1200))
   }
 
+  test("sstablepartitions (q214): every flag class non-vacuous, every " +
+      "row over at least one threshold, and the filter agrees with a " +
+      "recount from the pscan relation (round 16)") {
+    import graft.ops.PStats
+    val rows = PStats.largePartitions(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // a reported partition crossed at least one threshold; the flags
+    // restate the dimensions exactly
+    rows.foreach { r =>
+      val (size, cells, tombs) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getBoolean(5) === (size >= PStats.PartitionSizeThreshold))
+      assert(r.getBoolean(6) === (cells >= PStats.PartitionCellThreshold))
+      assert(r.getBoolean(7) ===
+        (tombs >= PStats.PartitionTombstoneThreshold))
+      assert(r.getBoolean(5) || r.getBoolean(6) || r.getBoolean(7))
+    }
+    // each threshold flags someone at this sf (the report's three
+    // branches are all live)
+    assert(rows.exists(_.getBoolean(5)))
+    assert(rows.exists(_.getBoolean(6)))
+    assert(rows.exists(_.getBoolean(7)))
+    // the filter kept exactly the crossing partitions
+    val expect = graft.sources.Fixtures.liPscan(spark, Sf0001)
+      .where(col("size") >= PStats.PartitionSizeThreshold ||
+        col("cell_count") >= PStats.PartitionCellThreshold ||
+        col("tombstone_count") >= PStats.PartitionTombstoneThreshold)
+      .count()
+    assert(rows.length.toLong === expect)
+  }
+
   test("funnel steps are monotone and conversions bounded") {
     val r = EventsOps.funnel(spark, Sf0001).collect().head
     def g(n: String) = r.getAs[Long](n)

@@ -436,7 +436,16 @@ object Bench {
       // task batch per range)
       "q197_twcs_stcs" -> "compaction",
       "q200_sstable_upgrade" -> "codec",
-      "q201_sstable_scrub" -> "codec")
+      "q201_sstable_scrub" -> "codec",
+      // round 16 part 2: UNIFIED compaction at 10x (density/level
+      // planning off a 10x narrow aggregate + the per-group merges +
+      // shard-aligned writes on the first window, readback after) and
+      // the ring lifecycle's heavy halves — the loader's RF=2 fan-out
+      // exchange over 10x events and cleanup's rewrite of each node's
+      // foreign eighths
+      "q206_ucs_compaction" -> "compaction",
+      "q207_bulk_load" -> "repair",
+      "q212_cleanup" -> "repair")
     val binProbeDir = ensureSf1BinProbe(spark, sfDir)
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =

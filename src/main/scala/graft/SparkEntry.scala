@@ -1099,6 +1099,14 @@ object SparkEntry {
     // corpus size
     "q214_sstable_partitions" -> ((s, d) =>
       graft.ops.PStats.largePartitions(s, d)),
+    // transformWithState under the oracle (round 16): Spark 4's
+    // arbitrary-state API (user-defined ValueState on the RocksDB
+    // provider) as a standing per-event-type running total — one
+    // emitted row per (key, micro-batch), the cross-batch state
+    // evolution replayed in SQL as window sums over the controlled
+    // arrival
+    "q215_transform_with_state" -> ((s, d) =>
+      graft.streaming.StreamingStats.transformWithStateOnce(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

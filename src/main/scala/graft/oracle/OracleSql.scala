@@ -4318,6 +4318,9 @@ ORDER BY 1"""
       // q214: sstablepartitions — per sstable, the partitions crossing
       // the size / cell / tombstone thresholds with their flags.
       ("q214_sstable_partitions" -> q214Sql) +
+      // q215: transformWithState — per-key ValueState running totals
+      // across controlled micro-batches, replayed as window sums.
+      ("q215_transform_with_state" -> q215Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6192,6 +6195,39 @@ SELECT sstable_id, key, size, cell_count, tombstone_count,
 FROM lipscan
 WHERE size >= 20000 OR cell_count >= 4 OR tombstone_count >= 3
 ORDER BY sstable_id, key"""
+
+  /** q215: transformWithState (round 16) — the arbitrary-state API's
+    * per-key ValueState trajectory replayed in SQL: batch assignment
+    * (hours [0,2)/[2,4)/[4,6), one file per micro-batch), per-batch
+    * count + id checksum per event type, the appearance sequence
+    * (row_number over batches where the key appears) and the running
+    * total (window sum) — one emitted row per (key, batch). */
+  private lazy val q215Sql: String = {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    s"""WITH tev AS (
+  SELECT event_type, event_id,
+    (epoch_us(ts) - $anchor) // 3600000000 AS rh
+  FROM events
+),
+tstaged AS (
+  SELECT event_type, event_id,
+    CASE WHEN rh < 2 THEN 0 WHEN rh < 4 THEN 1 ELSE 2 END AS b
+  FROM tev WHERE rh >= 0 AND rh < 6
+),
+tbatch AS (
+  SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM(event_id % 1000003) % 1000003 AS BIGINT) AS id_sum
+  FROM tstaged GROUP BY 1, 2
+)
+SELECT event_type,
+  CAST(row_number() OVER (PARTITION BY event_type ORDER BY b)
+    AS BIGINT) AS seq,
+  events,
+  CAST(SUM(events) OVER (PARTITION BY event_type ORDER BY b)
+    AS BIGINT) AS running_events,
+  id_sum
+FROM tbatch ORDER BY event_type, seq"""
+  }
 
   /** q208: streaming dedup (round 16) — the
     * dropDuplicatesWithinWatermark trajectory replayed in SQL: the

@@ -458,6 +458,108 @@ object StreamingStats {
       .orderBy("rh", "event_type")
   }
 
+  /** One output row per (key, micro-batch the key appears in) for the
+    * q215 transformWithState replay. */
+  final case class TwsRunning(event_type: String, seq: Long,
+      events: Long, running_events: Long, id_sum: Long)
+
+  /** The q215 StatefulProcessor: per event type, a ValueState carrying
+    * (running event total, appearance count); each micro-batch the key
+    * appears in emits ONE row with the batch's own count + id checksum
+    * and the post-batch running total. Order-insensitive within the
+    * batch (sums only), so the emitted rows are deterministic under a
+    * controlled file-per-batch arrival. */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), TwsRunning] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsRunning] = {
+      var n = 0L
+      var idSum = 0L
+      rows.foreach { r =>
+        n += 1
+        idSum = (idSum + r._2 % 1000003L) % 1000003L
+      }
+      val (prev, seq) = if (totals.exists()) totals.get() else (0L, 0L)
+      val now = (prev + n, seq + 1L)
+      totals.update(now)
+      Iterator(TwsRunning(key, now._2, n, now._1, idSum))
+    }
+  }
+
+  private val twsRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q215 (round 16): the THIRD stateful-operator class under the
+    * oracle — `transformWithState`, Spark 4's arbitrary-state API
+    * (user-defined ValueState on the RocksDB state store provider,
+    * which the API requires), exercised as a standing per-event-type
+    * RUNNING TOTAL. Three files stage hours [0,2), [2,4), [4,6) under
+    * the controlled one-file-per-micro-batch arrival; the processor
+    * emits one row per (key, batch the key appears in) carrying the
+    * batch's count + id checksum and the post-batch running total —
+    * cross-batch ValueState evolution made visible row by row. The
+    * DuckDB oracle replays batch assignment, per-batch sums and the
+    * cumulative totals with a window over the appearance sequence. */
+  def transformWithStateOnce(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ingestDir = stagedDir(spark, s"$dir|tws") { ingest =>
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("rh",
+          expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+      stageBatches(ingest, Seq(
+        ev.where(col("rh") >= 0L && col("rh") < 2L),
+        ev.where(col("rh") >= 2L && col("rh") < 4L),
+        ev.where(col("rh") >= 4L && col("rh") < 6L))
+        .map(_.select(col("ts"), col("event_type"), col("event_id"))))
+    }
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(ingestDir).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ingestDir)
+      import spark.implicits._
+      val name = s"graft_stream_tws_${twsRuns.incrementAndGet()}"
+      val q = src
+        .select(col("event_type"), col("event_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("event_type", "seq")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** Streaming exact dedup: drop repeated documents as they arrive, with
     * bounded state — `dropDuplicatesWithinWatermark` keeps a key's state
     * only until the watermark passes it, so the dedup works on an unbounded

@@ -544,6 +544,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.values.sum === stagedTotal + dups.values.sum)
   }
 
+  test("q215 transformWithState: per-key ValueState survives across " +
+      "micro-batches — running totals are cumulative, sequences dense, " +
+      "and the final totals equal the staged corpus (round 16)") {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    val rows = graft.streaming.StreamingStats
+      .transformWithStateOnce(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $anchor) div 3600000000"))
+      .where(col("rh") >= 0L && col("rh") < 6L)
+    val totals = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rs) =>
+      val seq = rs.map(_.getLong(1)).sorted.toSeq
+      // appearance sequence is dense from 1 (the state's own counter)
+      assert(seq === (1L to seq.length.toLong))
+      // running totals are the prefix sums of the per-batch counts
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.foldLeft(0L) { (acc, r) =>
+        val now = acc + r.getLong(2)
+        assert(r.getLong(3) === now, s"$t seq ${r.getLong(1)}")
+        now
+      }
+      // the last running total is the staged corpus count for the key
+      assert(ordered.last.getLong(3) === totals(t), t)
+    }
+    // every staged type surfaced; at least one type spans >1 batch
+    // (cross-batch state genuinely evolved)
+    assert(byType.keySet === totals.keySet)
+    assert(byType.values.exists(_.length > 1))
+  }
+
   test("q202 source mixing: capped inverse-sqrt smoothing — the largest " +
       "source samples at exactly 1/2, smaller sources at strictly higher " +
       "rates, and the hash-threshold selection is deterministic " +

@@ -1107,6 +1107,14 @@ object SparkEntry {
     // arrival
     "q215_transform_with_state" -> ((s, d) =>
       graft.streaming.StreamingStats.transformWithStateOnce(s, d)),
+    // nodetool garbagecollect executed (round 16): the single-sstable
+    // compaction — every file rewrites ALONE (within-file LWW
+    // shadowing; cross-file duplicates deliberately untouched), a
+    // droppable tombstone winner purges only when NO other file may
+    // hold its key, and the per-file reclaim split is read back off
+    // the real rewritten bytes
+    "q216_garbage_collect" -> ((s, d) =>
+      graft.ops.GarbageCollect.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -48,7 +48,7 @@ object Main {
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
-    "partitions")
+    "partitions", "garbagecollect")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -73,6 +73,8 @@ object Main {
     case "cleanup" => "Usage: cleanup <keyspace> <table>"
     case "bootstrap" => "Usage: bootstrap <keyspace> <table>"
     case "partitions" => "Usage: partitions <keyspace> <table>"
+    case "garbagecollect" =>
+      "Usage: garbagecollect [-g <gc_grace_seconds>] <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -139,7 +141,8 @@ object Main {
         |  downgrade    sstabledowngrade: rewrite 'oa' back to 'nb'; the full version cycle is byte-exact
         |  cleanup      nodetool cleanup: after the ring doubles, rewrite away each node's foreign ranges
         |  bootstrap    node bootstrap: new nodes stream their ranges; the doubled cluster converges to RF=2
-        |  partitions   sstablepartitions: per-sstable partitions crossing the size/cell/tombstone thresholds""".stripMargin
+        |  partitions   sstablepartitions: per-sstable partitions crossing the size/cell/tombstone thresholds
+        |  garbagecollect  nodetool garbagecollect: every sstable rewrites alone, per-file reclaim accounting""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -388,6 +391,10 @@ object Main {
       case "partitions" =>
         if (!requireStore()) return 2
         out(tracked("partitions")(Reports.partitions(spark, dir))); 0
+      case "garbagecollect" =>
+        if (!requireStore()) return 2
+        out(tracked("garbagecollect")(
+          Reports.garbagecollect(spark, dir, o.gcBeforeS))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -527,6 +527,15 @@ object Reports {
       "byte-exact)",
       graft.ops.SstableDowngrade.roundtrip(spark, dir))
 
+  /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
+    * single-sstable compaction, per-file reclaim accounting. */
+  def garbagecollect(spark: SparkSession, dir: String,
+      gcBeforeS: Long): String =
+    section(s"Garbage collect (gcBefore=${gcBeforeS}s): every sstable " +
+      "rewrites alone — within-file shadowing reclaimed, droppable " +
+      "winners purged only without an outside holder",
+      graft.ops.GarbageCollect.roundtrip(spark, dir, gcBeforeS))
+
   /** `partitions <ks> <cf>` — sstablepartitions (q214): per sstable,
     * the partitions crossing the size / cell / tombstone thresholds. */
   def partitions(spark: SparkSession, dir: String): String =

@@ -4321,6 +4321,10 @@ ORDER BY 1"""
       // q215: transformWithState — per-key ValueState running totals
       // across controlled micro-batches, replayed as window sums.
       ("q215_transform_with_state" -> q215Sql) +
+      // q216: nodetool garbagecollect — every sstable rewrites ALONE:
+      // within-file LWW shadowing + the guarded droppable purge, per
+      // file reclaim accounting off the real rewritten bytes.
+      ("q216_garbage_collect" -> q216Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6195,6 +6199,60 @@ SELECT sstable_id, key, size, cell_count, tombstone_count,
 FROM lipscan
 WHERE size >= 20000 OR cell_count >= 4 OR tombstone_count >= 3
 ORDER BY sstable_id, key"""
+
+  /** q216: nodetool garbagecollect (round 16) — the single-sstable
+    * compaction replayed per file: within-file LWW rank (cross-file
+    * duplicates untouched), the droppable winner's purge decided by an
+    * EXISTS against every OTHER file, and the per-unit reclaim split
+    * (shadowed / purged / kept) with checksums over the kept rows. */
+  private lazy val q216Sql: String = s"""WITH $fixtures,
+gmapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+granked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY sstable_id, key, clustering, column_name
+      ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+               is_tombstone DESC, local_deletion_time_s DESC,
+               ttl_s DESC, is_expiring DESC, kind DESC) AS rn
+  FROM gmapped
+),
+gkept AS (
+  SELECT * FROM granked
+  WHERE rn = 1 AND (
+    NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+    OR EXISTS (SELECT 1 FROM gmapped o
+               WHERE o.sstable_id <> granked.sstable_id
+                 AND o.key = granked.key))
+),
+gin AS (
+  SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events_in,
+    CAST(SUM(CASE WHEN is_tombstone AND local_deletion_time_s <
+      $GcBeforeS THEN 1 ELSE 0 END) AS BIGINT) AS droppable_in,
+    CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS shadowed,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS winners
+  FROM granked GROUP BY 1
+),
+gout AS (
+  SELECT sstable_id, CAST(COUNT(*) AS BIGINT) AS events_out,
+    CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions_out,
+    CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
+      AS tombstones_out,
+    CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+    CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+    CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+  FROM gkept GROUP BY 1
+)
+SELECT i.sstable_id AS unit, i.events_in, i.droppable_in, i.shadowed,
+  i.winners - o.events_out AS purged,
+  o.events_out, o.partitions_out, o.tombstones_out,
+  o.keys_sum, o.ts_sum, o.value_sum
+FROM gin i JOIN gout o USING (sstable_id)
+ORDER BY unit"""
 
   /** q215: transformWithState (round 16) — the arbitrary-state API's
     * per-key ValueState trajectory replayed in SQL: batch assignment

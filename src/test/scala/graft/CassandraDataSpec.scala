@@ -2547,6 +2547,44 @@ class CassandraDataSpec extends SparkSpec {
     assert(outGens === Seq(1702L, 1704L, 1706L, 1708L))
   }
 
+  test("nodetool garbagecollect (q216): every file rewrites ALONE — " +
+      "within-file shadowing reclaimed, cross-file duplicates " +
+      "untouched, droppable winners purged only without an outside " +
+      "holder (round 16)") {
+    import graft.ops.GarbageCollect
+    val rows = GarbageCollect.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 6)
+    def g(r: org.apache.spark.sql.Row, n: String) =
+      r.getLong(r.fieldIndex(n))
+    rows.foreach { r =>
+      // the books balance per file: in = shadowed + winners,
+      // out = winners - purged
+      assert(g(r, "events_in") ===
+        g(r, "shadowed") + g(r, "purged") + g(r, "events_out"))
+      assert(g(r, "purged") >= 0L && g(r, "shadowed") >= 0L)
+    }
+    // both reclaim classes bite somewhere, and tombstones survive
+    // (non-droppable + guard-retained ones are NOT reclaimed)
+    assert(rows.exists(g(_, "shadowed") > 0L))
+    assert(rows.exists(g(_, "purged") > 0L))
+    assert(rows.forall(g(_, "tombstones_out") > 0L))
+    // the single-file semantic: cross-file duplicates SURVIVE — the
+    // cluster still holds more events than the corpus's distinct
+    // (key, clustering, column) triples
+    val inPath = CassandraDataFixture.ensureFiles(spark, Sf0001,
+      compressed = true)
+    val distinctTriples = DataDb.cells(spark, inPath,
+        format = DataDbScan.FormatCassandra)
+      .select("key", "clustering", "column_name").distinct().count()
+    assert(rows.map(g(_, "events_out")).sum > distinctTriples)
+    // one real rewritten file per input generation
+    val outGens = Option(new java.io.File(
+        GarbageCollect.ensureCollected(spark, Sf0001))
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === (1802L to 1807L))
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

@@ -463,7 +463,10 @@ class CliMainSpec extends SparkSpec {
     // full RF=2 ring, every view digest-matching the corpus
     "bootstrap" -> Seq("bootstrap", "ks1", "lineitem"),
     // sstablepartitions (round 16): the per-sstable threshold report
-    "partitions" -> Seq("partitions", "ks1", "lineitem"))
+    "partitions" -> Seq("partitions", "ks1", "lineitem"),
+    // nodetool garbagecollect (round 16): single-sstable compaction,
+    // per-file reclaim split off the real rewritten bytes
+    "garbagecollect" -> Seq("garbagecollect", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

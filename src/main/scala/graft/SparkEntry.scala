@@ -1115,6 +1115,13 @@ object SparkEntry {
     // the real rewritten bytes
     "q216_garbage_collect" -> ((s, d) =>
       graft.ops.GarbageCollect.roundtrip(s, d)),
+    // nodetool decommission executed (round 16, the topology family's
+    // shrink side): node 3 leaves and streams each held quarter to its
+    // NEW replica from its own real file (one sstable per direction);
+    // the 3-node ring restores RF=2 — only the departing node's
+    // neighbors receive anything, node 1 is untouched
+    "q217_decommission" -> ((s, d) =>
+      graft.ops.Decommission.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -48,7 +48,7 @@ object Main {
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
-    "partitions", "garbagecollect")
+    "partitions", "garbagecollect", "decommission")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -75,6 +75,7 @@ object Main {
     case "partitions" => "Usage: partitions <keyspace> <table>"
     case "garbagecollect" =>
       "Usage: garbagecollect [-g <gc_grace_seconds>] <keyspace> <table>"
+    case "decommission" => "Usage: decommission <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -142,7 +143,8 @@ object Main {
         |  cleanup      nodetool cleanup: after the ring doubles, rewrite away each node's foreign ranges
         |  bootstrap    node bootstrap: new nodes stream their ranges; the doubled cluster converges to RF=2
         |  partitions   sstablepartitions: per-sstable partitions crossing the size/cell/tombstone thresholds
-        |  garbagecollect  nodetool garbagecollect: every sstable rewrites alone, per-file reclaim accounting""".stripMargin
+        |  garbagecollect  nodetool garbagecollect: every sstable rewrites alone, per-file reclaim accounting
+        |  decommission nodetool decommission: the leaving node streams its ranges; the shrunk ring restores RF=2""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -395,6 +397,9 @@ object Main {
         if (!requireStore()) return 2
         out(tracked("garbagecollect")(
           Reports.garbagecollect(spark, dir, o.gcBeforeS))); 0
+      case "decommission" =>
+        if (!requireStore()) return 2
+        out(tracked("decommission")(Reports.decommission(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

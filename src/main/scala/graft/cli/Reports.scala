@@ -527,6 +527,15 @@ object Reports {
       "byte-exact)",
       graft.ops.SstableDowngrade.roundtrip(spark, dir))
 
+  /** `decommission <ks> <cf>` — nodetool decommission (q217): the
+    * leaving node streams its ranges to the new replicas; the shrunk
+    * ring restores RF=2. */
+  def decommission(spark: SparkSession, dir: String): String =
+    section("Decommission node 3: each held quarter streams to its new " +
+      "replica from the leaving node's own file; the 3-node ring " +
+      "restores RF=2 (node 1 untouched)",
+      graft.ops.Decommission.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

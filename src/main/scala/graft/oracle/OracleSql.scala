@@ -4325,6 +4325,10 @@ ORDER BY 1"""
       // within-file LWW shadowing + the guarded droppable purge, per
       // file reclaim accounting off the real rewritten bytes.
       ("q216_garbage_collect" -> q216Sql) +
+      // q217: nodetool decommission — the leaving node streams each
+      // held quarter to its new replica; the 3-node ring restores RF=2
+      // with only the neighbors touched.
+      ("q217_decommission" -> q217Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6199,6 +6203,52 @@ SELECT sstable_id, key, size, cell_count, tombstone_count,
 FROM lipscan
 WHERE size >= 20000 OR cell_count >= 4 OR tombstone_count >= 3
 ORDER BY sstable_id, key"""
+
+  /** q217: nodetool decommission (round 16) — the ring-shrink
+    * arithmetic replayed: node 3 leaves, node 2's primary range
+    * extends over quarters {2, 3}, the successor rule hands quarter 2
+    * to node 0 and quarter 3 to node 2 (both streamed from the leaving
+    * node), node 1 untouched; every surviving view's events + digest
+    * equal the corpus's for its quarter (engine-computed off the real
+    * retained + streamed files) and every quarter keeps RF=2 holders. */
+  private lazy val q217Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+dmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+dcorp AS (
+  SELECT tok // 288230376151711744 AS quarter,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM dmapped GROUP BY 1
+),
+dviews AS (
+  SELECT * FROM (VALUES
+    (0, 0, 'retained'), (0, 3, 'retained'), (0, 2, 'streamed-in'),
+    (1, 0, 'retained'), (1, 1, 'retained'),
+    (2, 1, 'retained'), (2, 2, 'retained'), (2, 3, 'streamed-in'))
+    t(node, quarter, origin)
+)
+SELECT CAST(v.node AS BIGINT) AS node,
+  CAST(v.quarter AS BIGINT) AS quarter, v.origin,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified, CAST(2 AS BIGINT) AS holders
+FROM dviews v JOIN dcorp c ON c.quarter = v.quarter
+ORDER BY node, quarter"""
+  }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable
     * compaction replayed per file: within-file LWW rank (cross-file

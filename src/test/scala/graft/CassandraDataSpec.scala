@@ -2585,6 +2585,34 @@ class CassandraDataSpec extends SparkSpec {
     assert(outGens === (1802L to 1807L))
   }
 
+  test("nodetool decommission (q217): the leaving node streams each " +
+      "held quarter to its new replica; the shrunk ring restores RF=2 " +
+      "with only the neighbors touched (round 16)") {
+    import graft.ops.Decommission
+    val rows = Decommission.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getBoolean(7)))
+    assert(rows.forall(_.getLong(8) === 2L))
+    // post-shrink holdings per survivor, and the handoff's origins:
+    // node 0 gained quarter 2, node 2 gained quarter 3, node 1 is
+    // untouched (a departure's blast radius is its neighbors)
+    val byNode = rows.groupBy(_.getLong(0))
+    (0 to 2).foreach { n =>
+      assert(byNode(n.toLong).map(_.getLong(1)).toSet ===
+        Decommission.holdingsAfter(n), s"node $n holdings")
+    }
+    val streamed = rows.filter(_.getString(2) == "streamed-in")
+      .map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+    assert(streamed === Seq((2L, 0L), (3L, 2L)))
+    assert(byNode(1L).forall(_.getString(2) == "retained"))
+    // two real streamed sstables, one per direction
+    val outGens = Option(new java.io.File(
+        Decommission.ensureStreamed(spark, Sf0001))
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(1901L, 1903L))
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

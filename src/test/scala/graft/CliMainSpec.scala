@@ -466,7 +466,10 @@ class CliMainSpec extends SparkSpec {
     "partitions" -> Seq("partitions", "ks1", "lineitem"),
     // nodetool garbagecollect (round 16): single-sstable compaction,
     // per-file reclaim split off the real rewritten bytes
-    "garbagecollect" -> Seq("garbagecollect", "ks1", "lineitem"))
+    "garbagecollect" -> Seq("garbagecollect", "ks1", "lineitem"),
+    // nodetool decommission (round 16): the shrink side of the
+    // topology family — RF=2 restored, neighbors-only blast radius
+    "decommission" -> Seq("decommission", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

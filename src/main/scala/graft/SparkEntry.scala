@@ -1122,6 +1122,27 @@ object SparkEntry {
     // neighbors receive anything, node 1 is untouched
     "q217_decommission" -> ((s, d) =>
       graft.ops.Decommission.roundtrip(s, d)),
+    // nodetool removenode executed (round 16): the DEAD-node shrink —
+    // node 3 cannot stream, so each under-replicated quarter
+    // re-replicates survivor→survivor from its one remaining live
+    // replica (quarter 2: node 2 → 0; quarter 3: node 0 → 2); the
+    // converged ring matches q217's but every stream source is a
+    // survivor, never the dead node's file
+    "q218_remove_node" -> ((s, d) =>
+      graft.ops.RemoveNode.roundtrip(s, d)),
+    // nodetool move executed (round 16): node 1's token shifts one
+    // eighth — gained ranges STREAM from the minimal pre-move replica,
+    // lost ranges are CLEANED away locally (no network), and the
+    // reshaped ring keeps every eighth at exactly RF=2 holders
+    "q219_move" -> ((s, d) =>
+      graft.ops.Move.roundtrip(s, d)),
+    // stream-stream inner join under the oracle (round 16): symmetric
+    // join state + watermark eviction under a controlled arrival — the
+    // even cohort matches in-batch (30 min lag), the ≡1 (mod 4) cohort
+    // joins live state late (90 min), and the ≡3 cohort arrives with
+    // the SAME lateness after eviction and produces nothing
+    "q220_stream_join" -> ((s, d) =>
+      graft.streaming.StreamingStats.streamJoinReplayOnce(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -48,7 +48,8 @@ object Main {
     "search", "drift", "tokenize", "lookup", "get", "slice",
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
-    "partitions", "garbagecollect", "decommission")
+    "partitions", "garbagecollect", "decommission", "removenode",
+    "move")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -76,6 +77,8 @@ object Main {
     case "garbagecollect" =>
       "Usage: garbagecollect [-g <gc_grace_seconds>] <keyspace> <table>"
     case "decommission" => "Usage: decommission <keyspace> <table>"
+    case "removenode" => "Usage: removenode <keyspace> <table>"
+    case "move" => "Usage: move <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -144,7 +147,9 @@ object Main {
         |  bootstrap    node bootstrap: new nodes stream their ranges; the doubled cluster converges to RF=2
         |  partitions   sstablepartitions: per-sstable partitions crossing the size/cell/tombstone thresholds
         |  garbagecollect  nodetool garbagecollect: every sstable rewrites alone, per-file reclaim accounting
-        |  decommission nodetool decommission: the leaving node streams its ranges; the shrunk ring restores RF=2""".stripMargin
+        |  decommission nodetool decommission: the leaving node streams its ranges; the shrunk ring restores RF=2
+        |  removenode   nodetool removenode: the dead node's ranges re-replicate survivor-to-survivor
+        |  move         nodetool move: a token shift — gained ranges stream in, lost ranges are cleaned away""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -400,6 +405,12 @@ object Main {
       case "decommission" =>
         if (!requireStore()) return 2
         out(tracked("decommission")(Reports.decommission(spark, dir))); 0
+      case "removenode" =>
+        if (!requireStore()) return 2
+        out(tracked("removenode")(Reports.removenode(spark, dir))); 0
+      case "move" =>
+        if (!requireStore()) return 2
+        out(tracked("move")(Reports.move(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -536,6 +536,24 @@ object Reports {
       "restores RF=2 (node 1 untouched)",
       graft.ops.Decommission.roundtrip(spark, dir))
 
+  /** `removenode <ks> <cf>` — nodetool removenode (q218): the dead
+    * node's ranges re-replicate survivor→survivor; the shrunk ring
+    * restores RF=2 without the dead node's participation. */
+  def removenode(spark: SparkSession, dir: String): String =
+    section("Remove dead node 3: each under-replicated quarter streams " +
+      "from its surviving replica to its new holder (survivor-to-" +
+      "survivor; the dead node's file is never opened); RF=2 restored",
+      graft.ops.RemoveNode.roundtrip(spark, dir))
+
+  /** `move <ks> <cf>` — nodetool move (q219): node 1's token shifts
+    * one eighth; gained ranges stream in, lost ranges are cleaned
+    * away locally. */
+  def move(spark: SparkSession, dir: String): String =
+    section("Move node 1 one eighth clockwise: gained eighths stream " +
+      "from the minimal pre-move replica, lost eighths rewrite away " +
+      "locally; the reshaped ring keeps RF=2 everywhere",
+      graft.ops.Move.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

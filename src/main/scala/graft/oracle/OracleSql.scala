@@ -4329,6 +4329,19 @@ ORDER BY 1"""
       // held quarter to its new replica; the 3-node ring restores RF=2
       // with only the neighbors touched.
       ("q217_decommission" -> q217Sql) +
+      // q218: nodetool removenode — the DEAD node cannot stream; each
+      // under-replicated quarter re-replicates survivor→survivor from
+      // its one remaining live replica, restoring RF=2.
+      ("q218_remove_node" -> q218Sql) +
+      // q219: nodetool move — node 1's token shifts one eighth: gained
+      // ranges stream from the minimal pre-move replica, lost ranges
+      // are cleaned away locally; the reshaped ring keeps RF=2.
+      ("q219_move" -> q219Sql) +
+      // q220: stream-stream inner join under controlled arrival — the
+      // even cohort joins in-batch (lag 30), the ≡1 (mod 4) cohort
+      // joins live state late (lag 90), the ≡3 cohort arrives after
+      // eviction and is dropped.
+      ("q220_stream_join" -> q220Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6248,6 +6261,127 @@ SELECT CAST(v.node AS BIGINT) AS node,
   TRUE AS verified, CAST(2 AS BIGINT) AS holders
 FROM dviews v JOIN dcorp c ON c.quarter = v.quarter
 ORDER BY node, quarter"""
+  }
+
+  /** q218: nodetool removenode (round 16) — the dead-node shrink
+    * replayed: node 3 is unreachable, so the surviving replica of each
+    * of its ranges streams the re-replication (quarter 2: node 2 →
+    * node 0; quarter 3: node 0 → node 2); the converged holdings are
+    * q217's, but every streamed view's source is a SURVIVOR — the
+    * engine computes the same digests off the real survivor-sourced
+    * streams, so a read of the dead node's file would break them. */
+  private lazy val q218Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+rmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+rcorp AS (
+  SELECT tok // 288230376151711744 AS quarter,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM rmapped GROUP BY 1
+),
+rviews AS (
+  SELECT * FROM (VALUES
+    (0, 0, 'retained', 0), (0, 3, 'retained', 0),
+    (0, 2, 'streamed-in', 2),
+    (1, 0, 'retained', 1), (1, 1, 'retained', 1),
+    (2, 1, 'retained', 2), (2, 2, 'retained', 2),
+    (2, 3, 'streamed-in', 0))
+    t(node, quarter, origin, src_node)
+)
+SELECT CAST(v.node AS BIGINT) AS node,
+  CAST(v.quarter AS BIGINT) AS quarter, v.origin,
+  CAST(v.src_node AS BIGINT) AS src_node,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified, CAST(2 AS BIGINT) AS holders
+FROM rviews v JOIN rcorp c ON c.quarter = v.quarter
+ORDER BY node, quarter"""
+  }
+
+  /** q219: nodetool move (round 16) — the token-shift arithmetic
+    * replayed: node 1 moves one eighth clockwise; primary spans become
+    * 0:{0,1,2} 1:{3,4} 2:{5} 3:{6,7}; under RF=2 successor replication
+    * node 0 gains eighth 2 (streamed) and node 1 gains eighth 4
+    * (streamed), while nodes 2 and 3 drop one eighth each (cleaned
+    * local rewrites); every post-move view digest-equals the corpus
+    * for its eighth and every eighth keeps exactly 2 holders. */
+  private lazy val q219Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+mmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+mcorp AS (
+  SELECT tok // 144115188075855872 AS eighth,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM mmapped GROUP BY 1
+),
+mviews AS (
+  SELECT * FROM (VALUES
+    (0, 0, 'retained'), (0, 1, 'retained'), (0, 6, 'retained'),
+    (0, 7, 'retained'), (0, 2, 'streamed-in'),
+    (1, 0, 'retained'), (1, 1, 'retained'), (1, 2, 'retained'),
+    (1, 3, 'retained'), (1, 4, 'streamed-in'),
+    (2, 3, 'cleaned'), (2, 4, 'cleaned'), (2, 5, 'cleaned'),
+    (3, 5, 'cleaned'), (3, 6, 'cleaned'), (3, 7, 'cleaned'))
+    t(node, eighth, origin)
+)
+SELECT CAST(v.node AS BIGINT) AS node,
+  CAST(v.eighth AS BIGINT) AS eighth, v.origin,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified, CAST(2 AS BIGINT) AS holders
+FROM mviews v JOIN mcorp c ON c.eighth = v.eighth
+ORDER BY node, eighth"""
+  }
+
+  /** q220: stream-stream inner join (round 16) — the join-state
+    * trajectory replayed: every event_id appears once per side, so
+    * each id joins at most once; the emitted set is exactly hours
+    * [0, 2)'s even ids (matched in-batch, 30 min lag) plus ids ≡ 1 (mod
+    * 4) (matched against live state, 90-minute lag); the ids ≡ 3 (mod
+    * 4) arrive with the same 90-minute lag AFTER the watermark evicted
+    * the left state and contribute nothing — the engine's lag_min_sum
+    * proves which arrival joined each id. */
+  private lazy val q220Sql: String = {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    s"""WITH sj AS (
+  SELECT event_type, event_id,
+    CASE WHEN event_id % 2 = 0 THEN 30 ELSE 90 END AS lag_min
+  FROM events
+  WHERE (epoch_us(ts) - $anchor) // 3600000000 BETWEEN 0 AND 1
+    AND (event_id % 2 = 0 OR event_id % 4 = 1)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(event_id % 1000003) AS BIGINT) AS id_sum,
+  CAST(SUM(lag_min) AS BIGINT) AS lag_min_sum
+FROM sj GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

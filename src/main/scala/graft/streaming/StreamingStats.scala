@@ -458,6 +458,113 @@ object StreamingStats {
       .orderBy("rh", "event_type")
   }
 
+  private val sjRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q220 (round 16): STREAM-STREAM inner join under a CONTROLLED
+    * ARRIVAL ORDER — the third stateful-operator class (symmetric join
+    * state on both sides + watermark eviction) put under the oracle,
+    * after q198's windowed aggregate and q208's keyed dedup. Two file
+    * streams (impressions LEFT, conversions RIGHT) consume one staged
+    * file each per micro-batch; the join keys on `event_id` with the
+    * event-time constraint `right.ts BETWEEN left.ts AND left.ts +
+    * 2h`, both sides watermarked at 1 hour. Every event_id appears at
+    * most ONCE per side, so each id joins at most once and the whole
+    * trajectory reduces to per-id join-or-drop decisions:
+    *
+    *  - **batch 1**: left = hours [0, 2) of the events table; right =
+    *    their EVEN ids at ts+30m — same-batch arrivals match
+    *    (new×new), the even cohort emits with a 30-minute lag;
+    *  - **batch 2**: left = filler hours [4,6) (ids offset +1e9, never
+    *    matching); right = the ids ≡ 1 (mod 4) at ts+90m — LATE but
+    *    the left state is still live (the global watermark — the MIN
+    *    of both sides' — sits at ~0h), so the cohort emits with a
+    *    90-minute lag;
+    *  - **batches 3-4**: filler hours [8,14) on BOTH sides (right
+    *    offset +2e9) — batch 4's CLOSING watermark (~9h, from batch
+    *    3's data) passes every [0,2) left row's retention bound
+    *    (ts + 2h);
+    *  - **batch 5**: filler hours [12,14)/[14,16) — the batch that
+    *    RUNS with watermark ~9h and so actually REMOVES the [0,2)
+    *    left state (measured semantics, and the reason the probe
+    *    needs its own later batch: a batch joins its inputs against
+    *    state FIRST and removes expired state at its END, and
+    *    removal uses the PREVIOUS batch's closing watermark — so a
+    *    probe in the removal batch itself would still match);
+    *  - **batch 6**: right = the ids ≡ 3 (mod 4) at ts+90m — the
+    *    SAME lateness batch 2 emitted, but the matching state is
+    *    gone (and stream-stream joins never late-filter inputs:
+    *    the decision is purely state presence — also measured), so
+    *    the cohort produces NOTHING.
+    *
+    * Emitted = hours [0, 2) ids with id%2=0 (lag 30) or id%4=1 (90);
+    * the ≡3 cohort is dropped. The DuckDB oracle replays cohort
+    * membership and the per-cohort lag from the same parquet; the
+    * lag_min_sum column proves WHICH arrival joined each id. */
+  def streamJoinReplayOnce(spark: SparkSession, dir: String): DataFrame = {
+    def ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $WatermarkAnchorUs) div 3600000000"))
+    def cols(df: DataFrame) =
+      df.select(col("ts"), col("event_type"), col("value"),
+        col("event_id"))
+    val leftDir = stagedDir(spark, s"$dir|sj-left") { ingest =>
+      stageBatches(ingest, Seq(
+        cols(ev.where(col("rh").between(0L, 1L))),
+        cols(ev.where(col("rh") >= 4L && col("rh") < 6L)
+          .withColumn("event_id", col("event_id") + 1000000000L)),
+        cols(ev.where(col("rh") >= 8L && col("rh") < 10L)
+          .withColumn("event_id", col("event_id") + 1000000000L)),
+        cols(ev.where(col("rh") >= 10L && col("rh") < 12L)
+          .withColumn("event_id", col("event_id") + 1000000000L)),
+        cols(ev.where(col("rh") >= 12L && col("rh") < 14L)
+          .withColumn("event_id", col("event_id") + 1000000000L)),
+        cols(ev.where(col("rh") >= 14L && col("rh") < 16L)
+          .withColumn("event_id", col("event_id") + 1000000000L))))
+    }
+    val rightDir = stagedDir(spark, s"$dir|sj-right") { ingest =>
+      val h0 = ev.where(col("rh").between(0L, 1L))
+      stageBatches(ingest, Seq(
+        cols(h0.where(col("event_id") % 2 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES"))),
+        cols(h0.where(col("event_id") % 4 === 1)
+          .withColumn("ts", col("ts") + expr("INTERVAL 90 MINUTES"))),
+        cols(ev.where(col("rh") >= 8L && col("rh") < 10L)
+          .withColumn("event_id", col("event_id") + 2000000000L)),
+        cols(ev.where(col("rh") >= 10L && col("rh") < 12L)
+          .withColumn("event_id", col("event_id") + 2000000000L)),
+        cols(ev.where(col("rh") >= 12L && col("rh") < 14L)
+          .withColumn("event_id", col("event_id") + 2000000000L)),
+        cols(h0.where(col("event_id") % 4 === 3)
+          .withColumn("ts", col("ts") + expr("INTERVAL 90 MINUTES")))))
+    }
+    val schema = spark.read.parquet(leftDir).schema
+    def src(d: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val left = src(leftDir).withWatermark("ts", "1 hour")
+      .select(col("ts").as("l_ts"), col("event_type"),
+        col("event_id"))
+    val right = src(rightDir).withWatermark("ts", "1 hour")
+      .select(col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    val name = s"graft_stream_sj_${sjRuns.incrementAndGet()}"
+    val q = left.join(right,
+        col("event_id") === col("r_event_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 2 HOURS"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("events"),
+        sum(col("event_id") % 1000003L).as("id_sum"),
+        sum(((unix_micros(col("r_ts")) - unix_micros(col("l_ts"))) /
+          lit(60000000L)).cast("long")).as("lag_min_sum"))
+      .orderBy("event_type")
+  }
+
   /** One output row per (key, micro-batch the key appears in) for the
     * q215 transformWithState replay. */
   final case class TwsRunning(event_type: String, seq: Long,

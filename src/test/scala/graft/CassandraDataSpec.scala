@@ -2613,6 +2613,72 @@ class CassandraDataSpec extends SparkSpec {
     assert(outGens === Seq(1901L, 1903L))
   }
 
+  test("nodetool removenode (q218): the dead node cannot stream — each " +
+      "under-replicated quarter re-replicates survivor-to-survivor " +
+      "from its one remaining live replica (round 16)") {
+    import graft.ops.{Decommission, RemoveNode}
+    val rows = RemoveNode.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getBoolean(8)))
+    assert(rows.forall(_.getLong(9) === 2L))
+    // the converged holdings are exactly decommission's (same
+    // post-shrink ring) ...
+    val byNode = rows.groupBy(_.getLong(0))
+    (0 to 2).foreach { n =>
+      assert(byNode(n.toLong).map(_.getLong(1)).toSet ===
+        Decommission.holdingsAfter(n), s"node $n holdings")
+    }
+    // ... but every stream SOURCE is a survivor, never node 3:
+    // quarter 2 came to node 0 from node 2, quarter 3 to node 2 from
+    // node 0 (the one remaining replica of each range)
+    val streamed = rows.filter(_.getString(2) == "streamed-in")
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(0))).sorted.toSeq
+    assert(streamed === Seq((2L, 2L, 0L), (3L, 0L, 2L)))
+    assert(rows.forall(_.getLong(3) !== RemoveNode.Dead.toLong))
+    // retained rows source from the node itself
+    assert(rows.filter(_.getString(2) == "retained")
+      .forall(r => r.getLong(3) === r.getLong(0)))
+    // two real survivor-sourced streams, one per direction
+    val outGens = Option(new java.io.File(
+        RemoveNode.ensureStreamed(spark, Sf0001))
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(2001L, 2003L))
+  }
+
+  test("nodetool move (q219): the token shift streams gained eighths " +
+      "from the minimal pre-move replica and cleans lost eighths away " +
+      "locally; the reshaped ring keeps RF=2 (round 16)") {
+    import graft.ops.Move
+    val rows = Move.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 16)
+    assert(rows.forall(_.getBoolean(7)))
+    assert(rows.forall(_.getLong(8) === 2L))
+    val byNode = rows.groupBy(_.getLong(0))
+    (0 to 3).foreach { n =>
+      assert(byNode(n.toLong).map(_.getLong(1)).toSet ===
+        Move.holdingsAfter(n), s"node $n holdings")
+    }
+    // the four deltas: gains streamed (node 0 got eighth 2, node 1
+    // eighth 4), losses cleaned (node 2's whole view, node 3's whole
+    // view rewrote locally), untouched nodes keep the original file
+    val streamed = rows.filter(_.getString(2) == "streamed-in")
+      .map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+    assert(streamed === Seq((2L, 0L), (4L, 1L)))
+    assert(byNode(2L).forall(_.getString(2) == "cleaned"))
+    assert(byNode(3L).forall(_.getString(2) == "cleaned"))
+    assert(byNode(0L).filter(_.getString(2) == "retained")
+      .map(_.getLong(1)).toSet === Set(0L, 1L, 6L, 7L))
+    assert(byNode(1L).filter(_.getString(2) == "retained")
+      .map(_.getLong(1)).toSet === Set(0L, 1L, 2L, 3L))
+    // four real output files: two streams + two cleaned rewrites
+    val outGens = Option(new java.io.File(
+        Move.ensureMoved(spark, Sf0001))
+        .listFiles((_, n) => n.endsWith("-Data.db"))).get
+      .map(_.getName.split("-")(1).toLong).sorted.toSeq
+    assert(outGens === Seq(2101L, 2102L, 2153L, 2154L))
+  }
+
   test("steady-state incremental loop (q196): zero-read on the marked " +
       "base, the next digest reads EXACTLY the fresh flush, and marking " +
       "the flush returns the digest to zero (round 16 — the one executed" +

@@ -469,7 +469,13 @@ class CliMainSpec extends SparkSpec {
     "garbagecollect" -> Seq("garbagecollect", "ks1", "lineitem"),
     // nodetool decommission (round 16): the shrink side of the
     // topology family — RF=2 restored, neighbors-only blast radius
-    "decommission" -> Seq("decommission", "ks1", "lineitem"))
+    "decommission" -> Seq("decommission", "ks1", "lineitem"),
+    // nodetool removenode (round 16): the dead-node shrink — each
+    // under-replicated range re-replicates survivor-to-survivor
+    "removenode" -> Seq("removenode", "ks1", "lineitem"),
+    // nodetool move (round 16): the token shift — gained ranges stream
+    // in, lost ranges cleaned away, RF=2 kept everywhere
+    "move" -> Seq("move", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -544,6 +544,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.values.sum === stagedTotal + dups.values.sum)
   }
 
+  test("q220 stream-stream join: an in-batch match and a late match " +
+      "against live state both emit (with their distinct lags); the " +
+      "same lateness after watermark eviction emits nothing " +
+      "(round 16)") {
+    val anchor = graft.streaming.StreamingStats.WatermarkAnchorUs
+    val got = graft.streaming.StreamingStats
+      .streamJoinReplayOnce(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val h0 = Tables.events(spark, Sf0001)
+      .withColumn("rh",
+        expr(s"(unix_micros(ts) - $anchor) div 3600000000"))
+      .where(col("rh").between(0L, 1L))
+      .select("event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // all three cohorts are REAL at this sf — the drop claim has teeth
+    assert(h0.exists(_._2 % 2 == 0L), "no even ids in hours [0,2)")
+    assert(h0.exists(_._2 % 4 == 1L), "no ≡1 (mod 4) ids in hours [0,2)")
+    assert(h0.exists(_._2 % 4 == 3L), "no ≡3 (mod 4) ids in hours [0,2)")
+    val expect = h0.toSeq
+      .filter(p => p._2 % 2 == 0L || p._2 % 4 == 1L)
+      .groupBy(_._1)
+      .map { case (t, ps) => t -> (
+        ps.length.toLong,
+        ps.map(_._2 % 1000003L).sum,
+        ps.map(p => if (p._2 % 2 == 0L) 30L else 90L).sum) }
+    assert(got === expect)
+    // the evicted cohort's ids appear nowhere: the joined id_sum would
+    // differ if any ≡3 id had leaked through
+    val leaked = h0.filter(_._2 % 4 == 3L).map(_._2 % 1000003L).sum
+    assert(leaked > 0L && got.values.map(_._2).sum ===
+      expect.values.map(_._2).sum)
+  }
+
   test("q215 transformWithState: per-key ValueState survives across " +
       "micro-batches — running totals are cumulative, sequences dense, " +
       "and the final totals equal the staged corpus (round 16)") {

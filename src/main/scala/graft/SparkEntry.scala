@@ -1143,6 +1143,24 @@ object SparkEntry {
     // the SAME lateness after eviction and produces nothing
     "q220_stream_join" -> ((s, d) =>
       graft.streaming.StreamingStats.streamJoinReplayOnce(s, d)),
+    // commitlog recovery executed (round 16): the corpus WAL parses
+    // fail-closed (header + marker chain + per-entry CRCs), reconciles
+    // LWW into memtable state (NO purge — recovery keeps tombstones),
+    // flushes through the real sstable sink, and the production
+    // re-scan rolls up to the oracle's replayed reconciliation
+    "q221_commitlog_replay" -> ((s, d) =>
+      graft.ops.CommitLog.replay(s, d)),
+    // the per-segment commitlog report (round 16): append order,
+    // div-rule segment/section cuts, sync-marker byte accounting and
+    // CRC verification — read per segment, replayed by one window
+    // cumulative sum in the oracle
+    "q222_commitlog_segments" -> ((s, d) =>
+      graft.ops.CommitLog.segments(s, d)),
+    // point-in-time restore (round 16): the same replay bounded at the
+    // restore point — mutations after it are discarded at parse-filter
+    // time, before the reconcile exchange
+    "q223_commitlog_pitr" -> ((s, d) =>
+      graft.ops.CommitLog.pitr(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

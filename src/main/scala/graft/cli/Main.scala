@@ -49,7 +49,7 @@ object Main {
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
-    "move")
+    "move", "commitlog")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -79,6 +79,7 @@ object Main {
     case "decommission" => "Usage: decommission <keyspace> <table>"
     case "removenode" => "Usage: removenode <keyspace> <table>"
     case "move" => "Usage: move <keyspace> <table>"
+    case "commitlog" => "Usage: commitlog <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -411,6 +412,9 @@ object Main {
       case "move" =>
         if (!requireStore()) return 2
         out(tracked("move")(Reports.move(spark, dir))); 0
+      case "commitlog" =>
+        if (!requireStore()) return 2
+        out(tracked("commitlog")(Reports.commitlog(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -554,6 +554,19 @@ object Reports {
       "locally; the reshaped ring keeps RF=2 everywhere",
       graft.ops.Move.roundtrip(spark, dir))
 
+  /** `commitlog <ks> <cf>` — the WAL segment report (q222) plus the
+    * recovery summary (q221): segments, sections, byte accounting,
+    * CRC verification, and the reconciled flush state. */
+  def commitlog(spark: SparkSession, dir: String): String =
+    section("Commitlog segments: append-ordered mutations, div-rule " +
+      "segment/section cuts, sync-marker byte accounting, CRCs " +
+      "verified fail-closed",
+      graft.ops.CommitLog.segments(spark, dir)) +
+      section("Recovery: LWW memtable reconciliation (tombstones " +
+        "kept — only compaction purges), flushed through the real " +
+        "sstable sink and re-read",
+        graft.ops.CommitLog.replay(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

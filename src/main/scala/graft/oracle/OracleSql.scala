@@ -4342,6 +4342,18 @@ ORDER BY 1"""
       // joins live state late (lag 90), the ≡3 cohort arrives after
       // eviction and is dropped.
       ("q220_stream_join" -> q220Sql) +
+      // q221: commitlog recovery — CRC-clean replay of the whole log,
+      // LWW memtable reconciliation (NO purge: recovery keeps
+      // tombstones), flushed shards re-read off the real files.
+      ("q221_commitlog_replay" -> commitlogReplaySql(None)) +
+      // q222: the per-segment commitlog report — append order, div-rule
+      // segment/section cuts and file byte accounting all replayed via
+      // one window cumulative sum.
+      ("q222_commitlog_segments" -> q222Sql) +
+      // q223: point-in-time restore — the same replay bounded at the
+      // restore point; later mutations are discarded before reconcile.
+      ("q223_commitlog_pitr" ->
+        commitlogReplaySql(Some(graft.ops.CommitLog.RestorePointUs))) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6382,6 +6394,98 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS events,
   CAST(SUM(event_id % 1000003) AS BIGINT) AS id_sum,
   CAST(SUM(lag_min) AS BIGINT) AS lag_min_sum
 FROM sj GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q221/q223: commitlog recovery (round 16) — the WAL's mutations
+    * are the licells corpus verbatim (logging is lossless for every
+    * serialized field), so replay reduces to: apply the scan
+    * representation mapping (the flush writes what a scan renders),
+    * LWW-rank per (key, clustering, column_name) on the memtable
+    * reconcile order — timestamp, then the value-size/flag tiebreaks;
+    * there is NO sstable tiebreak because a memtable has no files —
+    * keep rank-1 winners WITHOUT any purge (recovery never drops
+    * tombstones), shard by the volume-adaptive rule over the STATE's
+    * modeled bytes, and roll up the read-back checksums. The PITR
+    * variant (q223) bounds the log at the restore point BEFORE
+    * reconciliation. */
+  private def commitlogReplaySql(boundUs: Option[Long]): String = {
+    val boundFilter =
+      boundUs.map(t => s"WHERE timestamp_us <= $t").getOrElse("")
+    s"""WITH $fixtures,
+logged AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+  $boundFilter
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, size_bytes DESC, is_tombstone DESC,
+             local_deletion_time_s DESC, ttl_s DESC, is_expiring DESC,
+             kind DESC) AS rn
+  FROM logged
+),
+winners AS (SELECT * FROM ranked WHERE rn = 1),
+vol AS (
+  SELECT LEAST(4096, GREATEST(1,
+    CAST(CEIL(SUM(32 + size_bytes) / 1048576.0) AS BIGINT))) AS n
+  FROM winners
+)
+SELECT 'sst-' || CAST(key % (SELECT n FROM vol) AS VARCHAR) AS sstable_id,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(CASE WHEN kind = 'CELL' THEN 1 ELSE 0 END) AS BIGINT) AS cells,
+  CAST(COUNT(DISTINCT key) AS BIGINT) AS partitions,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(clustering % 1000003) AS BIGINT) AS clustering_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(ttl_s % 1000003) AS BIGINT) AS ttl_sum,
+  CAST(SUM(local_deletion_time_s % 1000003) AS BIGINT) AS ldt_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+  CAST(SUM(size_bytes % 1000003) AS BIGINT) AS value_sum
+FROM winners GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q222: the per-segment commitlog report (round 16) — the append
+    * order is the full-field total order (ties are byte-identical
+    * entries, interchangeable across engines), the exclusive running
+    * sum of entry lengths gives each entry's byte start, and the
+    * div-rule cuts derive segment and section; file bytes are header
+    * (18) + 8 per marker (sections + the final stop) + entry bytes. */
+  private lazy val q222Sql: String = {
+    val segB = graft.sources.commitlog.CommitLogFormat.SegmentBytes
+    val secB = graft.sources.commitlog.CommitLogFormat.SectionBytes
+    s"""WITH $fixtures,
+sized AS (
+  SELECT *, 66 + length(column_name) + length(kind) AS entry_len
+  FROM licells
+),
+cums AS (
+  SELECT *, COALESCE(SUM(entry_len) OVER (
+    ORDER BY timestamp_us, key, clustering, column_name, kind, ttl_s,
+             local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM sized
+),
+segd AS (
+  SELECT *, cum // $segB AS segment,
+    (cum - MIN(cum) OVER (PARTITION BY cum // $segB)) // $secB AS section
+  FROM cums
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+  CAST(COUNT(*) AS BIGINT) AS entries,
+  CAST(COUNT(DISTINCT section) AS BIGINT) AS sections,
+  CAST(SUM(entry_len) AS BIGINT) AS entry_bytes,
+  CAST(18 + 8 * (COUNT(DISTINCT section) + 1) + SUM(entry_len) AS BIGINT)
+    AS file_bytes,
+  CAST(MIN(timestamp_us) AS BIGINT) AS first_ts_us,
+  CAST(MAX(timestamp_us) AS BIGINT) AS last_ts_us,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
+    AS tombstones,
+  TRUE AS crc_verified
+FROM segd GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

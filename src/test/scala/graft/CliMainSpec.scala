@@ -475,7 +475,10 @@ class CliMainSpec extends SparkSpec {
     "removenode" -> Seq("removenode", "ks1", "lineitem"),
     // nodetool move (round 16): the token shift — gained ranges stream
     // in, lost ranges cleaned away, RF=2 kept everywhere
-    "move" -> Seq("move", "ks1", "lineitem"))
+    "move" -> Seq("move", "ks1", "lineitem"),
+    // commitlog (round 16): the WAL segment report + the recovered
+    // flush state — CRC-verified replay through the real sink
+    "commitlog" -> Seq("commitlog", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -1,0 +1,118 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CommitLog
+import graft.sources.commitlog.CommitLogFormat
+import graft.sources.commitlog.CommitLogFormat.Mutation
+
+class CommitLogSpec extends SparkSpec {
+
+  private def mut(i: Int): Mutation =
+    Mutation(i.toLong, (i % 3).toLong, s"c${i % 2}", "CELL",
+      1000L + i, if (i % 4 == 0) 3600L else -1L, 2147483647L,
+      isTombstone = i % 5 == 0, isExpiring = i % 4 == 0,
+      sizeBytes = (i % 61).toLong)
+
+  private def segmentBytes(id: Long, ms: Seq[Mutation]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    CommitLogFormat.writeSegment(out, id, ms)
+    out.flush()
+    bos.toByteArray
+  }
+
+  test("commitlog codec: segment roundtrips with byte accounting") {
+    val ms = (0 until 800).map(mut)
+    val bytes = segmentBytes(42L, ms)
+    val seg = CommitLogFormat.parseSegment(bytes)
+    assert(seg.id === 42L)
+    assert(seg.mutations === ms.toVector)
+    assert(seg.bytes === bytes.length.toLong)
+    // div-rule sections: 800 entries x 66-byte entries ≈ 2 sections
+    val entryBytes = ms.map(CommitLogFormat.entryLength(_).toLong).sum
+    val expectSections =
+      ms.scanLeft(0L)(_ + CommitLogFormat.entryLength(_)).init
+        .map(_ / CommitLogFormat.SectionBytes).distinct.size
+    assert(seg.sections.size === expectSections)
+    assert(seg.sections.size >= 2,
+      "fixture must span >1 section or the cadence is untested")
+    assert(bytes.length.toLong ===
+      18L + 8L * (seg.sections.size + 1) + entryBytes)
+    assert(seg.sections.map(_.entries).sum === ms.size)
+  }
+
+  test("commitlog codec: an empty segment is just header + stop marker") {
+    val bytes = segmentBytes(7L, Nil)
+    val seg = CommitLogFormat.parseSegment(bytes)
+    assert(seg.mutations.isEmpty && seg.sections.isEmpty)
+    assert(bytes.length === 26) // 18 header + 8 stop marker
+  }
+
+  test("commitlog codec: corruption fails closed at every layer") {
+    val ms = (0 until 50).map(mut)
+    val clean = segmentBytes(9L, ms)
+    def corrupt(at: Int): Array[Byte] = {
+      val b = clean.clone(); b(at) = (b(at) ^ 0x5a).toByte; b
+    }
+    // header CRC (byte inside the id field)
+    assertThrows[IllegalArgumentException](
+      CommitLogFormat.parseSegment(corrupt(6)))
+    // sync marker CRC (first marker's CRC int lives at bytes 22-25)
+    assertThrows[IllegalArgumentException](
+      CommitLogFormat.parseSegment(corrupt(23)))
+    // entry payload (first payload begins at 18 + 8 + 8)
+    assertThrows[IllegalArgumentException](
+      CommitLogFormat.parseSegment(corrupt(40)))
+    // torn tail: a truncated segment never parses as complete
+    assertThrows[Exception](
+      CommitLogFormat.parseSegment(clean.dropRight(5)))
+  }
+
+  test("commitlog WAL: every logged mutation reads back, one per cell") {
+    val corpus = graft.sources.Fixtures.cells(spark, Sf0001).count()
+    val mu = CommitLog.mutations(spark, Sf0001)
+    assert(mu.count() === corpus)
+    // several segments, contiguous ids from 0
+    val segs = mu.select("segment").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(segs.length >= 2, "corpus must span >1 segment")
+    assert(segs.toSeq === (0L until segs.length).toSeq)
+  }
+
+  test("commitlog segments report: byte accounting and CRC flags hold") {
+    val rep = CommitLog.segments(spark, Sf0001).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Boolean]("crc_verified"))
+      assert(r.getAs[Long]("file_bytes") ===
+        18L + 8L * (r.getAs[Long]("sections") + 1L) +
+          r.getAs[Long]("entry_bytes"))
+      assert(r.getAs[Long]("first_ts_us") <= r.getAs[Long]("last_ts_us"))
+    }
+  }
+
+  test("commitlog recovery: LWW state, tombstones kept, PITR bounded") {
+    val full = CommitLog.replay(spark, Sf0001)
+      .agg(sum("events"), sum("tombstones")).head
+    val mu = CommitLog.mutations(spark, Sf0001)
+    val stateSize = mu
+      .select("key", "clustering", "column_name").distinct().count()
+    // one winner per (key, clustering, column) — the memtable holds
+    // exactly the reconciled state
+    assert(full.getLong(0) === stateSize)
+    // recovery NEVER purges: tombstone winners survive to the flush
+    assert(full.getLong(1) > 0L)
+    // PITR: nothing after the restore point in the flushed state, and
+    // the full replay genuinely extends past it
+    val pitrRows = CommitLog.pitr(spark, Sf0001)
+      .agg(sum("events").as("e")).head.getLong(0)
+    val boundedState = mu
+      .where(col("timestamp_us") <= CommitLog.RestorePointUs)
+      .select("key", "clustering", "column_name").distinct().count()
+    assert(pitrRows === boundedState)
+    assert(pitrRows < full.getLong(0))
+  }
+}

@@ -1161,6 +1161,12 @@ object SparkEntry {
     // time, before the reconcile exchange
     "q223_commitlog_pitr" -> ((s, d) =>
       graft.ops.CommitLog.pitr(s, d)),
+    // CDC exactly-once resume (round 16): a checkpointed consumer
+    // drains half the WAL, STOPS, and a new query resumes from the
+    // same checkpoint — run 2 must emit exactly the remaining
+    // segments (the first streaming-RESTART semantic under the oracle)
+    "q224_cdc_resume" -> ((s, d) =>
+      graft.ops.CommitLog.cdcResume(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

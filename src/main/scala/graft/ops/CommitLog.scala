@@ -263,4 +263,125 @@ object CommitLog {
         (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L).cast("string")))
   }
+
+  // ------------------------------------------------------------------
+  // CDC: a consumer tailing the WAL directory (Cassandra's cdc_raw
+  // contract — segments land in a directory; a consumer reads each
+  // exactly once and tracks its own offsets)
+
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** The streaming parse: segment files → mutations, one task per
+    * arriving file, CRCs verified fail-closed as in batch. */
+  private def cdcMutations(spark: SparkSession, ingestDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(binaryFileSchema)
+      .load(s"$ingestDir/${CommitLogFormat.NamePrefix}*" +
+        CommitLogFormat.Suffix)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val seg = CommitLogFormat.parseSegment(bytes)
+        seg.mutations.map(m => (seg.id, m.key, m.timestampUs,
+          m.isTombstone))
+      }
+      .toDF("segment", "key", "timestamp_us", "is_tombstone")
+  }
+
+  /** q224: the CDC consumer's EXACTLY-ONCE RESUME contract under the
+    * oracle — the first streaming-restart semantic put under a hash
+    * check (every prior streaming oracle runs a single query
+    * lifetime):
+    *
+    *  - segments `[0, K)` (K = ceil(n/2), derivable from the div-rule
+    *    replay) are staged and a checkpointed consumer drains them
+    *    (run 1);
+    *  - the consumer STOPS — a deploy, a crash, a rebalance;
+    *  - the remaining segments land, and a NEW query starts from the
+    *    SAME checkpoint: its sourced offsets must skip everything run
+    *    1 consumed, so run 2 emits EXACTLY segments `[K, n)` — no
+    *    replay, no loss.
+    *
+    * Output: one row per run with the consumed segment span and
+    * content checksums; the oracle replays the same split from
+    * parquet. A re-delivered or dropped segment breaks events/digest
+    * for both runs. */
+  def cdcResume(spark: SparkSession, dir: String): DataFrame =
+    sharedCdc(spark, dir)
+
+  private def sharedCdc(spark: SparkSession, dir: String): DataFrame = {
+    val resultPath = memoized(spark, s"$dir|cdc") {
+      val wal = ensureWal(spark, dir)
+      val segFiles = Option(new java.io.File(wal).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(CommitLogFormat.NamePrefix))
+        .sortBy(f => CommitLogFormat.idOf(f.getName))
+      require(segFiles.length >= 2, "CDC resume needs >=2 segments")
+      val k = (segFiles.length + 1) / 2
+      val ingest = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-cdc-ingest"))
+      val checkpoint = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-cdc-ckpt"))
+      def stage(files: Seq[java.io.File]): Unit = files.foreach { f =>
+        val dest = ingest.resolve(f.getName)
+        java.nio.file.Files.copy(f.toPath, dest)
+        dest.toFile.setLastModified(
+          60000L * (CommitLogFormat.idOf(f.getName) + 1))
+        ()
+      }
+      // the production FILE sink (exactly-once via the checkpointed
+      // source offsets + the sink's own transaction log), not the
+      // test-only memory sink — which cannot recover from a checkpoint.
+      // The checkpoint is SHARED across runs (that is the semantic
+      // under test); each run's sink dir is its own, so attribution of
+      // "what did the restarted consumer emit" is physical.
+      def drain(run: Long): String = {
+        val outRun = graft.sources.TempDirs.register(
+          java.nio.file.Files.createTempDirectory(s"graft-cdc-out$run"))
+        val q = cdcMutations(spark, ingest.toString)
+          .writeStream.format("parquet")
+          .option("path", outRun.toString)
+          .option("checkpointLocation", checkpoint.toString)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        outRun.toString
+      }
+      stage(segFiles.take(k))
+      val out1 = drain(1L)
+      stage(segFiles.drop(k))
+      val out2 = drain(2L)
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-cdc-out")).toString
+      // read the part files directly: run 2's sink dir carries a
+      // _spark_metadata log whose batch ids CONTINUE from the shared
+      // checkpoint (its first entry is batch 1), which the
+      // metadata-aware directory reader rejects as a gapped log
+      def parts(d: String) = spark.read.parquet(s"$d/part-*.parquet")
+      parts(out1).withColumn("run", lit(1L))
+        .unionByName(parts(out2).withColumn("run", lit(2L)))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    spark.read.parquet(resultPath)
+      .groupBy("run")
+      .agg(
+        countDistinct("segment").as("segments"),
+        min("segment").as("first_segment"),
+        max("segment").as("last_segment"),
+        count(lit(1)).as("events"),
+        sum(col("key") % M).as("keys_sum"),
+        sum(col("timestamp_us") % M).as("ts_sum"),
+        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"))
+      .orderBy("run")
+  }
 }

@@ -4354,6 +4354,10 @@ ORDER BY 1"""
       // restore point; later mutations are discarded before reconcile.
       ("q223_commitlog_pitr" ->
         commitlogReplaySql(Some(graft.ops.CommitLog.RestorePointUs))) +
+      // q224: the CDC consumer's exactly-once resume — run 1 drains
+      // segments [0, K), the consumer restarts from its checkpoint,
+      // run 2 emits exactly [K, n): no replay, no loss.
+      ("q224_cdc_resume" -> q224Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6486,6 +6490,45 @@ SELECT CAST(segment AS BIGINT) AS segment,
     AS tombstones,
   TRUE AS crc_verified
 FROM segd GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q224: CDC exactly-once resume (round 16) — the div-rule replay
+    * assigns each mutation its segment; run 1 is segments `[0, K)`
+    * with K = ceil(n/2), run 2 the rest. The engine's two physically
+    * separate sink dirs (one per consumer lifetime, offsets resumed
+    * from the shared checkpoint) must roll up to exactly this split —
+    * a re-delivered segment inflates run 2, a lost one deflates it. */
+  private lazy val q224Sql: String = {
+    val segB = graft.sources.commitlog.CommitLogFormat.SegmentBytes
+    s"""WITH $fixtures,
+sized AS (
+  SELECT *, 66 + length(column_name) + length(kind) AS entry_len
+  FROM licells
+),
+cums AS (
+  SELECT *, COALESCE(SUM(entry_len) OVER (
+    ORDER BY timestamp_us, key, clustering, column_name, kind, ttl_s,
+             local_deletion_time_s, is_tombstone, is_expiring, size_bytes
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM sized
+),
+segd AS (SELECT *, cum // $segB AS segment FROM cums),
+runs AS (
+  SELECT *, CASE WHEN segment <
+      (SELECT (COUNT(DISTINCT segment) + 1) // 2 FROM segd)
+    THEN 1 ELSE 2 END AS run
+  FROM segd
+)
+SELECT CAST(run AS BIGINT) AS run,
+  CAST(COUNT(DISTINCT segment) AS BIGINT) AS segments,
+  CAST(MIN(segment) AS BIGINT) AS first_segment,
+  CAST(MAX(segment) AS BIGINT) AS last_segment,
+  CAST(COUNT(*) AS BIGINT) AS events,
+  CAST(SUM(key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
+    AS tombstones
+FROM runs GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

@@ -115,4 +115,18 @@ class CommitLogSpec extends SparkSpec {
     assert(pitrRows === boundedState)
     assert(pitrRows < full.getLong(0))
   }
+
+  test("CDC resume: run 2 emits exactly the unseen segments, no replay") {
+    val runs = CommitLog.cdcResume(spark, Sf0001).collect()
+    assert(runs.map(_.getAs[Long]("run")).toSeq === Seq(1L, 2L))
+    val r1 = runs(0); val r2 = runs(1)
+    // disjoint, contiguous coverage: run 2 starts where run 1 stopped
+    assert(r1.getAs[Long]("first_segment") === 0L)
+    assert(r2.getAs[Long]("first_segment") ===
+      r1.getAs[Long]("last_segment") + 1L)
+    // exactly-once across the restart: nothing lost, nothing doubled
+    val corpus = graft.sources.Fixtures.cells(spark, Sf0001).count()
+    assert(r1.getAs[Long]("events") + r2.getAs[Long]("events") === corpus)
+    assert(r2.getAs[Long]("events") > 0L)
+  }
 }

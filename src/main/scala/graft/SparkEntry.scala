@@ -1167,6 +1167,13 @@ object SparkEntry {
     // segments (the first streaming-RESTART semantic under the oracle)
     "q224_cdc_resume" -> ((s, d) =>
       graft.ops.CommitLog.cdcResume(s, d)),
+    // hinted handoff executed (round 16): the down node's
+    // outage-window writes land as per-coordinator hint files (the
+    // commitlog codec) and replay through the real sink on recovery —
+    // retained + hinted views reassemble the full corpus, RF restored
+    // without an anti-entropy pass
+    "q225_hinted_handoff" -> ((s, d) =>
+      graft.ops.Hints.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -49,7 +49,7 @@ object Main {
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
-    "move", "commitlog")
+    "move", "commitlog", "hints")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -80,6 +80,7 @@ object Main {
     case "removenode" => "Usage: removenode <keyspace> <table>"
     case "move" => "Usage: move <keyspace> <table>"
     case "commitlog" => "Usage: commitlog <keyspace> <table>"
+    case "hints" => "Usage: hints <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -415,6 +416,9 @@ object Main {
       case "commitlog" =>
         if (!requireStore()) return 2
         out(tracked("commitlog")(Reports.commitlog(spark, dir))); 0
+      case "hints" =>
+        if (!requireStore()) return 2
+        out(tracked("hints")(Reports.hints(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

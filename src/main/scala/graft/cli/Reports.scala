@@ -567,6 +567,16 @@ object Reports {
         "sstable sink and re-read",
         graft.ops.CommitLog.replay(spark, dir))
 
+  /** `hints <ks> <cf>` — hinted handoff (q225): the down node's
+    * outage-window writes stored per coordinator and replayed on
+    * recovery; retained + hinted reassemble the corpus. */
+  def hints(spark: SparkSession, dir: String): String =
+    section("Hinted handoff: node 3's outage-window writes stored as " +
+      "per-coordinator hint files (commitlog framing), replayed through " +
+      "the real sink on recovery — each view verified, quarters " +
+      "converged",
+      graft.ops.Hints.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

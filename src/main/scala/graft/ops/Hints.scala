@@ -1,0 +1,234 @@
+package graft.ops
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.commitlog.CommitLogFormat
+import graft.sources.commitlog.CommitLogFormat.Mutation
+import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+
+/** Hinted handoff, executed end to end (round 16) — the write-path
+  * availability mechanism the topology family (W27/W29) left implicit:
+  * when a replica is DOWN, the coordinator doesn't drop its writes, it
+  * STORES them as hints (per-target files carrying the same
+  * descriptor + CRC'd entry framing as the commitlog) and REPLAYS them
+  * when the node returns, converging it without a repair.
+  *
+  *  - **Ring.** [[BulkLoad]]'s 4-node RF=2 ring: node n holds quarters
+  *    {n, n-1}. The [[Target]] (node 3) holds quarters {3, 2}.
+  *  - **Outage.** Writes timestamped inside [[OutageStartUs]],
+  *    [[OutageEndUs]]) cannot reach node 3. Its sstable therefore
+  *    holds its quarters' corpus MINUS the window. Each missed
+  *    quarter's hints accumulate at that quarter's surviving replica
+  *    (quarter 2 → node 2, quarter 3 → node 0 — the live replica
+  *    stands in as the write's coordinator in this 2-replica model),
+  *    one real `Hints-<version>-<target>-<coordinator>.log` each.
+  *  - **Replay.** The returned node's hints parse fail-closed (same
+  *    codec as q221's recovery) and flush through the real sstable
+  *    sink — one received sstable per coordinator, mirroring the
+  *    real dispatcher's per-file replay.
+  *  - **Converge.** Per (quarter, origin): the read-back of the REAL
+  *    files must digest-equal the corpus split (retained = outside
+  *    the window, hinted = inside), and per quarter the two origins
+  *    must sum back to the full corpus — RF restored with no
+  *    anti-entropy pass.
+  *
+  * Scale shape: hint files are bounded node-local artifacts (the
+  * fixture writer is driver-sequential exactly like the WAL's);
+  * reading them is one task per file; the flush is the sink's one
+  * clustered exchange; digests are narrow commutative aggregates. */
+object Hints {
+
+  /** The down node. */
+  val Target = 3L
+
+  /** Outage window (fixture days [1500, 2000)): mid-corpus, so both
+    * the retained and the hinted halves are non-trivial in BOTH held
+    * quarters. */
+  val OutageStartUs: Long = 1500L * 86400000000L
+  val OutageEndUs: Long = 2000L * 86400000000L
+
+  /** (quarter, coordinator): the surviving replica that stores the
+    * quarter's hints while the target is down. */
+  val Coordinators: Seq[(Long, Long)] = Seq((2L, 2L), (3L, 0L))
+
+  /** The target's retained (outage-gapped) sstable generation. */
+  val RetainedGen = 2200L
+
+  /** Replayed-hint generations: coordinator c's file flushes to
+    * sst-([[ReplayGenBase]]+c). */
+  val ReplayGenBase = 2210L
+
+  private val M = 1000003L
+
+  private val memo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
+
+  private def memoized(spark: SparkSession, key: String)(
+      thunk: => String): String = {
+    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
+    val slot = memo.synchronized {
+      val it = memo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = memo.get(full)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => thunk)
+        memo.put(full, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def corpusHeld(spark: SparkSession, dir: String): DataFrame = {
+    val inPath = CassandraDataFixture.ensureFiles(spark, dir,
+      compressed = true)
+    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
+      .withColumn("quarter",
+        shiftright(AntiEntropy.token(col("key")), BulkLoad.QuarterShift))
+      .where(col("quarter").isin(Coordinators.map(_._1): _*))
+  }
+
+  private def inWindow =
+    col("timestamp_us") >= OutageStartUs &&
+      col("timestamp_us") < OutageEndUs
+
+  /** The target's outage-gapped sstable + the coordinators' hint
+    * files, under one dir (session-memoized). */
+  def ensureOutage(spark: SparkSession, dir: String): String =
+    memoized(spark, s"$dir|hints-outage") {
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-hints")).toString
+      val held = corpusHeld(spark, dir)
+      // the write the node DID see: everything outside the window
+      held.where(!inWindow)
+        .select(
+          lit(s"sst-$RetainedGen").as("sstable_id"),
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
+          col("is_tombstone"), col("is_expiring"), col("size_bytes"))
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      // the writes it missed: one hints file per coordinator, entries
+      // in the WAL's append order (a hints file is a node-local
+      // sequential artifact — driver-written, like the commitlog
+      // fixture; the engine only READS hints)
+      Coordinators.foreach { case (quarter, coord) =>
+        val rows = held.where(inWindow && col("quarter") === quarter)
+          .select(col("timestamp_us"), col("key"), col("clustering"),
+            col("column_name"), col("kind"), col("ttl_s"),
+            col("local_deletion_time_s"), col("is_tombstone"),
+            col("is_expiring"), col("size_bytes"))
+          .orderBy("timestamp_us", "key", "clustering", "column_name",
+            "kind", "ttl_s", "local_deletion_time_s", "is_tombstone",
+            "is_expiring", "size_bytes")
+          .collect()
+        val ms = rows.map(r => Mutation(r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getLong(0), r.getLong(5),
+          r.getLong(6), r.getBoolean(7), r.getBoolean(8), r.getLong(9)))
+        val f = new java.io.File(out,
+          CommitLogFormat.hintsName(Target, coord))
+        val os = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(f)))
+        try CommitLogFormat.writeSegment(os,
+          CommitLogFormat.hintsId(Target, coord), ms.toSeq)
+        finally os.close()
+      }
+      out
+    }
+
+  /** Replay the hint files through the sink: one received sstable per
+    * coordinator (session-memoized). */
+  def ensureReplayed(spark: SparkSession, dir: String): String =
+    memoized(spark, s"$dir|hints-replay") {
+      val outage = ensureOutage(spark, dir)
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-hints-rx")).toString
+      import spark.implicits._
+      spark.read.format("binaryFile")
+        .load(s"$outage/${CommitLogFormat.HintsPrefix}*" +
+          CommitLogFormat.Suffix)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val seg = CommitLogFormat.parseSegment(bytes)
+          val coord = CommitLogFormat.hintsCoordinatorOf(seg.id)
+          seg.mutations.map(m => (coord, m.key, m.clustering,
+            m.columnName, m.kind, m.timestampUs, m.ttlS,
+            m.localDeletionTimeS, m.isTombstone, m.isExpiring,
+            m.sizeBytes))
+        }
+        .toDF("coord", "key", "clustering", "column_name", "kind",
+          "timestamp_us", "ttl_s", "local_deletion_time_s",
+          "is_tombstone", "is_expiring", "size_bytes")
+        .select(
+          concat(lit("sst-"), (lit(ReplayGenBase) + col("coord"))
+            .cast("string")).as("sstable_id"),
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
+          col("is_tombstone"), col("is_expiring"), col("size_bytes"))
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    }
+
+  private def eventHash = graft.functions.PortableHash.h60(concat_ws(":",
+    col("key"), col("clustering"), col("column_name"), col("kind"),
+    col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
+    col("size_bytes"))) % M
+
+  /** q225: one row per (held quarter, origin) — the retained file's
+    * and the replayed hints' read-backs against the corpus SPLIT
+    * (outside/inside the outage window), the coordinator that stored
+    * each hinted half, and the quarter-level convergence: the two
+    * origins sum back to the full corpus, RF restored hint-by-hint. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusHeld(spark, dir)
+      .withColumn("origin", when(inWindow, "hinted").otherwise("retained"))
+      .groupBy("quarter", "origin")
+      .agg(count(lit(1)).as("corpus_events"),
+        sum(eventHash).as("corpus_digest"))
+    val quarterTotals = corpusHeld(spark, dir)
+      .groupBy("quarter")
+      .agg(count(lit(1)).as("quarter_events"),
+        sum(eventHash).as("quarter_digest"))
+    val coordOf = Coordinators.toDF("quarter", "coordinator")
+    val retained = DataDb.cells(spark, ensureOutage(spark, dir),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("quarter",
+        shiftright(AntiEntropy.token(col("key")), BulkLoad.QuarterShift))
+      .withColumn("origin", lit("retained"))
+      .withColumn("coordinator", lit(Target))
+    val hinted = DataDb.cells(spark, ensureReplayed(spark, dir),
+        format = DataDbScan.FormatCassandra)
+      .withColumn("quarter",
+        shiftright(AntiEntropy.token(col("key")), BulkLoad.QuarterShift))
+      .withColumn("origin", lit("hinted"))
+      .join(broadcast(coordOf), Seq("quarter"))
+    val views = retained
+      .unionByName(hinted.select(retained.columns.map(col).toSeq: _*))
+      .groupBy("quarter", "origin", "coordinator")
+      .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
+    val converged = views.groupBy("quarter")
+      .agg(sum("events").as("sum_events"), sum("digest").as("sum_digest"))
+    views
+      .join(corpus, Seq("quarter", "origin"))
+      .join(quarterTotals, Seq("quarter"))
+      .join(converged, Seq("quarter"))
+      .select(col("quarter"), col("origin"), col("coordinator"),
+        col("events"), col("digest"),
+        col("corpus_events"), col("corpus_digest"),
+        (col("events") === col("corpus_events") &&
+          col("digest") === col("corpus_digest")).as("verified"),
+        col("quarter_events"), col("quarter_digest"),
+        (col("sum_events") === col("quarter_events") &&
+          col("sum_digest") === col("quarter_digest")).as("converged"))
+      .orderBy("quarter", "origin")
+  }
+}

@@ -4358,6 +4358,10 @@ ORDER BY 1"""
       // segments [0, K), the consumer restarts from its checkpoint,
       // run 2 emits exactly [K, n): no replay, no loss.
       ("q224_cdc_resume" -> q224Sql) +
+      // q225: hinted handoff — the down node's outage-window writes
+      // are stored as per-coordinator hint files and replayed on
+      // recovery; retained + hinted sum back to the full corpus.
+      ("q225_hinted_handoff" -> q225Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6529,6 +6533,66 @@ SELECT CAST(run AS BIGINT) AS run,
   CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
     AS tombstones
 FROM runs GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q225: hinted handoff (round 16) — the target (node 3) holds
+    * quarters {2, 3}; writes in the outage window land as hints at
+    * each quarter's surviving replica (q2 → node 2, q3 → node 0) and
+    * replay on recovery. The engine reads REAL files for both halves
+    * (the gapped sstable and the replayed hint flushes), so each
+    * (quarter, origin) view must digest-equal the corpus split, and
+    * the per-quarter origin sums must reassemble the full corpus. */
+  private lazy val q225Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val t1 = graft.ops.Hints.OutageStartUs
+    val t2 = graft.ops.Hints.OutageEndUs
+    s"""WITH $fixtures,
+hmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+held AS (
+  SELECT *, tok // 288230376151711744 AS quarter,
+    CASE WHEN timestamp_us >= $t1 AND timestamp_us < $t2
+      THEN 'hinted' ELSE 'retained' END AS origin
+  FROM hmapped
+  WHERE tok // 288230376151711744 IN (2, 3)
+),
+splits AS (
+  SELECT quarter, origin, CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM held GROUP BY 1, 2
+),
+totals AS (
+  SELECT quarter, CAST(COUNT(*) AS BIGINT) AS quarter_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS quarter_digest
+  FROM held GROUP BY 1
+),
+coords AS (
+  SELECT * FROM (VALUES
+    (2, 'retained', 3), (2, 'hinted', 2),
+    (3, 'retained', 3), (3, 'hinted', 0))
+    t(quarter, origin, coordinator)
+)
+SELECT CAST(s.quarter AS BIGINT) AS quarter, s.origin,
+  CAST(c.coordinator AS BIGINT) AS coordinator,
+  s.corpus_events AS events, s.corpus_digest AS digest,
+  s.corpus_events, s.corpus_digest, TRUE AS verified,
+  t.quarter_events, t.quarter_digest, TRUE AS converged
+FROM splits s
+JOIN coords c ON c.quarter = s.quarter AND c.origin = s.origin
+JOIN totals t ON t.quarter = s.quarter
+ORDER BY 1, 2"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

@@ -68,6 +68,21 @@ object CommitLogFormat {
 
   def segmentName(id: Long): String = s"$NamePrefix$Version-$id$Suffix"
 
+  /** Hints files reuse the segment codec (real Cassandra hints carry
+    * the same descriptor + CRC'd entry framing as the commitlog): one
+    * file per (down target node, coordinating node), the segment id
+    * encoding the pair so the parse is self-describing. */
+  val HintsPrefix = "Hints-"
+
+  def hintsName(target: Long, coordinator: Long): String =
+    s"$HintsPrefix$Version-$target-$coordinator$Suffix"
+
+  def hintsId(target: Long, coordinator: Long): Long =
+    target * 16L + coordinator
+
+  def hintsTargetOf(id: Long): Long = id / 16L
+  def hintsCoordinatorOf(id: Long): Long = id % 16L
+
   /** One logged mutation: the engine's cell-event tuple in RAW
     * (pre-representation-mapping) form — the WAL records what the
     * client wrote, not what a Data.db scan renders. */

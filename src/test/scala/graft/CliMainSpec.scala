@@ -478,7 +478,10 @@ class CliMainSpec extends SparkSpec {
     "move" -> Seq("move", "ks1", "lineitem"),
     // commitlog (round 16): the WAL segment report + the recovered
     // flush state — CRC-verified replay through the real sink
-    "commitlog" -> Seq("commitlog", "ks1", "lineitem"))
+    "commitlog" -> Seq("commitlog", "ks1", "lineitem"),
+    // hinted handoff (round 16): per-coordinator hint files replayed,
+    // retained + hinted reassembling the corpus
+    "hints" -> Seq("hints", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

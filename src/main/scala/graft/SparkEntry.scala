@@ -1174,6 +1174,19 @@ object SparkEntry {
     // without an anti-entropy pass
     "q225_hinted_handoff" -> ((s, d) =>
       graft.ops.Hints.roundtrip(s, d)),
+    // nodetool rebuild executed (round 16): a second datacenter joins
+    // at NTS RF=1 and streams each owned quarter from the quarter's
+    // DC1 primary — the multi-DC verb; received views digest-equal the
+    // corpus, each quarter held exactly once in the new DC
+    "q226_rebuild" -> ((s, d) =>
+      graft.ops.Rebuild.roundtrip(s, d)),
+    // blocking read repair executed (round 16): per-read digest
+    // mismatch detection off the real replica files, the per-replica
+    // DIFF mutation (never the full partition) flushed through the
+    // sink — the read cohort converges; partitions the workload never
+    // read STAY divergent (what separates this from anti-entropy)
+    "q227_read_repair" -> ((s, d) =>
+      graft.ops.ReadRepair.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -49,7 +49,7 @@ object Main {
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
-    "move", "commitlog", "hints")
+    "move", "commitlog", "hints", "rebuild", "readrepair")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -81,6 +81,8 @@ object Main {
     case "move" => "Usage: move <keyspace> <table>"
     case "commitlog" => "Usage: commitlog <keyspace> <table>"
     case "hints" => "Usage: hints <keyspace> <table>"
+    case "rebuild" => "Usage: rebuild <keyspace> <table>"
+    case "readrepair" => "Usage: readrepair <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -419,6 +421,12 @@ object Main {
       case "hints" =>
         if (!requireStore()) return 2
         out(tracked("hints")(Reports.hints(spark, dir))); 0
+      case "rebuild" =>
+        if (!requireStore()) return 2
+        out(tracked("rebuild")(Reports.rebuild(spark, dir))); 0
+      case "readrepair" =>
+        if (!requireStore()) return 2
+        out(tracked("readrepair")(Reports.readrepair(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

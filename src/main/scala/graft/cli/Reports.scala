@@ -577,6 +577,24 @@ object Reports {
       "converged",
       graft.ops.Hints.roundtrip(spark, dir))
 
+  /** `rebuild <ks> <cf>` — nodetool rebuild (q226): a new DC joins at
+    * NTS RF=1 and streams each owned quarter from its DC1 primary. */
+  def rebuild(spark: SparkSession, dir: String): String =
+    section("Rebuild DC2 (NTS RF=1): each new node streams its quarters " +
+      "from the quarter's DC1 primary; every received view digest-equal " +
+      "to the corpus, each quarter held once in the new DC",
+      graft.ops.Rebuild.roundtrip(spark, dir))
+
+  /** `readrepair <ks> <cf>` — blocking read repair (q227): per-read
+    * digest mismatch, per-replica diff mutation, unread partitions
+    * stay divergent. */
+  def readrepair(spark: SparkSession, dir: String): String =
+    section("Blocking read repair: the quorum read's digest mismatches " +
+      "stream replica B exactly its missing diff; the read cohort " +
+      "converges, unread partitions stay divergent (per-read, not " +
+      "anti-entropy)",
+      graft.ops.ReadRepair.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

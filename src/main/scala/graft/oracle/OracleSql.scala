@@ -4362,6 +4362,14 @@ ORDER BY 1"""
       // are stored as per-coordinator hint files and replayed on
       // recovery; retained + hinted sum back to the full corpus.
       ("q225_hinted_handoff" -> q225Sql) +
+      // q226: nodetool rebuild — a new DC joins at NTS RF=1; each of
+      // its nodes streams every owned quarter from the quarter's DC1
+      // primary, each received view digest-equal to the corpus.
+      ("q226_rebuild" -> q226Sql) +
+      // q227: blocking read repair — per-read digest mismatch, the
+      // per-replica DIFF mutation, read cohort converges, unread
+      // cohort stays divergent.
+      ("q227_read_repair" -> q227Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6593,6 +6601,84 @@ FROM splits s
 JOIN coords c ON c.quarter = s.quarter AND c.origin = s.origin
 JOIN totals t ON t.quarter = s.quarter
 ORDER BY 1, 2"""
+  }
+
+  /** q226: nodetool rebuild (round 16) — DC2 joins at NTS RF=1 (node
+    * 0 owns quarters {0,1}, node 1 owns {2,3}); each quarter streams
+    * from its DC1 primary. The engine computes each view's digest off
+    * the REAL received file, so a wrong source filter or a mis-owned
+    * quarter breaks the hash; dc2_holders = 1 pins per-DC RF. */
+  private lazy val q226Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+bmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+bcorp AS (
+  SELECT tok // 288230376151711744 AS quarter,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM bmapped GROUP BY 1
+),
+bviews AS (
+  SELECT * FROM (VALUES
+    (0, 0, 0), (0, 1, 1), (1, 2, 2), (1, 3, 3))
+    t(node, quarter, src_node)
+)
+SELECT CAST(v.node AS BIGINT) AS node,
+  CAST(v.quarter AS BIGINT) AS quarter,
+  CAST(v.src_node AS BIGINT) AS src_node,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest,
+  TRUE AS verified, CAST(1 AS BIGINT) AS dc2_holders
+FROM bviews v JOIN bcorp c ON c.quarter = v.quarter
+ORDER BY node, quarter"""
+  }
+
+  /** q227: blocking read repair (round 16) — replica B misses every
+    * event at/after the stale point, the workload reads `key % 3 = 0`;
+    * a partition is digest-stale iff it has any stale event (the count
+    * alone differs), the diff patch carries exactly the read cohort's
+    * stale events, and only the read cohort converges. */
+  private lazy val q227Sql: String = {
+    val t = graft.ops.ReadRepair.StaleFromUs
+    val m = graft.ops.ReadRepair.ReadMod
+    s"""WITH $fixtures,
+rrmapped AS (
+  SELECT key, timestamp_us FROM licells
+),
+perkey AS (
+  SELECT key,
+    CASE WHEN key % $m = 0 THEN 'read' ELSE 'unread' END AS cohort,
+    CAST(SUM(CASE WHEN timestamp_us >= $t THEN 1 ELSE 0 END) AS BIGINT)
+      AS stale_events
+  FROM rrmapped GROUP BY 1, 2
+)
+SELECT cohort,
+  CAST(COUNT(*) AS BIGINT) AS partitions,
+  CAST(SUM(CASE WHEN stale_events > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS stale_partitions,
+  CAST(CASE WHEN cohort = 'read' THEN SUM(stale_events)
+    ELSE 0 END AS BIGINT) AS patched_events,
+  CAST(CASE WHEN cohort = 'read'
+    THEN SUM(CASE WHEN stale_events > 0 THEN 1 ELSE 0 END)
+    ELSE 0 END AS BIGINT) AS repaired_partitions,
+  CAST(CASE WHEN cohort = 'read' THEN 0
+    ELSE SUM(CASE WHEN stale_events > 0 THEN 1 ELSE 0 END)
+    END AS BIGINT) AS diverged_after,
+  TRUE AS contract_held
+FROM perkey GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

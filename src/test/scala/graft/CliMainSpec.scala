@@ -481,7 +481,13 @@ class CliMainSpec extends SparkSpec {
     "commitlog" -> Seq("commitlog", "ks1", "lineitem"),
     // hinted handoff (round 16): per-coordinator hint files replayed,
     // retained + hinted reassembling the corpus
-    "hints" -> Seq("hints", "ks1", "lineitem"))
+    "hints" -> Seq("hints", "ks1", "lineitem"),
+    // nodetool rebuild (round 16): DC2 joins at NTS RF=1, streaming
+    // each quarter from its DC1 primary
+    "rebuild" -> Seq("rebuild", "ks1", "lineitem"),
+    // blocking read repair (round 16): the per-read diff converges the
+    // read cohort; unread partitions stay divergent
+    "readrepair" -> Seq("readrepair", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

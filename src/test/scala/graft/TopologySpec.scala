@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ReadRepair, Rebuild}
+
+/** Round-16 part-3 topology additions: multi-DC rebuild and blocking
+  * read repair. */
+class TopologySpec extends SparkSpec {
+
+  test("rebuild: every DC2 view verified, each quarter held once") {
+    val rows = Rebuild.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[Boolean]("verified")))
+    assert(rows.forall(_.getAs[Long]("dc2_holders") === 1L))
+    // ownership and sources are the NTS plan: node q/2 owns quarter q,
+    // streamed from DC1 primary q
+    rows.foreach { r =>
+      val q = r.getAs[Long]("quarter")
+      assert(r.getAs[Long]("node") === q / 2)
+      assert(r.getAs[Long]("src_node") === q)
+    }
+    // DC2 jointly holds the whole ring exactly once
+    val corpus = graft.sources.Fixtures.cells(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("events")).sum === corpus)
+    // four real streamed files exist
+    val files = Option(new java.io.File(
+        Rebuild.ensureRebuilt(spark, Sf0001)).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.endsWith("-Data.db"))
+    assert(files === 4)
+  }
+
+  test("read repair: read cohort converges, unread stays divergent") {
+    val rows = ReadRepair.roundtrip(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[String]("cohort")).toSeq ===
+      Seq("read", "unread"))
+    assert(rows.forall(_.getAs[Boolean]("contract_held")))
+    val read = rows(0); val unread = rows(1)
+    // the workload's partitions all converge; every detected stale
+    // partition was repaired by the diff
+    assert(read.getAs[Long]("diverged_after") === 0L)
+    assert(read.getAs[Long]("stale_partitions") > 0L)
+    assert(read.getAs[Long]("repaired_partitions") ===
+      read.getAs[Long]("stale_partitions"))
+    assert(read.getAs[Long]("patched_events") > 0L)
+    // read repair is NOT anti-entropy: unread divergence is untouched
+    assert(unread.getAs[Long]("diverged_after") ===
+      unread.getAs[Long]("stale_partitions"))
+    assert(unread.getAs[Long]("diverged_after") > 0L)
+    assert(unread.getAs[Long]("patched_events") === 0L)
+  }
+
+  test("read repair: the patch is the DIFF — only stale read events") {
+    val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
+    val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,
+      format = graft.sources.datadb.DataDbScan.FormatCassandra)
+    val bad = patch.where(
+      col("timestamp_us") < ReadRepair.StaleFromUs ||
+        pmod(col("key"), lit(ReadRepair.ReadMod)) =!= 0).count()
+    assert(bad === 0L)
+    assert(patch.count() > 0L)
+  }
+}

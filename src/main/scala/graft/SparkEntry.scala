@@ -1187,6 +1187,12 @@ object SparkEntry {
     // read STAY divergent (what separates this from anti-entropy)
     "q227_read_repair" -> ((s, d) =>
       graft.ops.ReadRepair.roundtrip(s, d)),
+    // the batchlog executed (round 16): interrupted multi-partition
+    // batches survive as real log files and replay to completion —
+    // LWW-reconciled state off the real files proves eventual
+    // atomicity, idempotent over the partially-applied prefix
+    "q228_batchlog" -> ((s, d) =>
+      graft.ops.Batchlog.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -49,7 +49,7 @@ object Main {
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
-    "move", "commitlog", "hints", "rebuild", "readrepair")
+    "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -83,6 +83,7 @@ object Main {
     case "hints" => "Usage: hints <keyspace> <table>"
     case "rebuild" => "Usage: rebuild <keyspace> <table>"
     case "readrepair" => "Usage: readrepair <keyspace> <table>"
+    case "batchlog" => "Usage: batchlog <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -427,6 +428,9 @@ object Main {
       case "readrepair" =>
         if (!requireStore()) return 2
         out(tracked("readrepair")(Reports.readrepair(spark, dir))); 0
+      case "batchlog" =>
+        if (!requireStore()) return 2
+        out(tracked("batchlog")(Reports.batchlog(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

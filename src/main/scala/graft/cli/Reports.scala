@@ -595,6 +595,15 @@ object Reports {
       "anti-entropy)",
       graft.ops.ReadRepair.roundtrip(spark, dir))
 
+  /** `batchlog <ks> <cf>` — the atomic-batch guarantee (q228):
+    * interrupted batches' surviving log files replay to completion. */
+  def batchlog(spark: SparkSession, dir: String): String =
+    section("Batchlog replay: interrupted multi-partition batches " +
+      "survive as log files and replay to completion — reconciled " +
+      "state proves eventual atomicity, idempotent over the partial " +
+      "prefix",
+      graft.ops.Batchlog.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

@@ -1,0 +1,236 @@
+package graft.ops
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.commitlog.CommitLogFormat
+import graft.sources.commitlog.CommitLogFormat.Mutation
+import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
+
+/** The batchlog, executed end to end (round 16) — Cassandra's atomic
+  * (logged) batch guarantee: a multi-partition batch is written to the
+  * batchlog BEFORE any of its mutations apply; on success the log
+  * entry is deleted; after a coordinator crash, surviving entries
+  * REPLAY, completing every interrupted batch. The guarantee is
+  * EVENTUAL ATOMICITY (all of the batch becomes visible), not
+  * isolation — a crashed batch may be partially visible until replay,
+  * and replaying over the partial apply must be IDEMPOTENT, which is
+  * why verification runs on LWW-RECONCILED state (cell overwrites),
+  * not raw multisets.
+  *
+  *  - **Workload.** Events timestamped at/after [[BatchedFromUs]] are
+  *    client batches: batch id = `key % [[Batches]]` — batches SPAN
+  *    partitions (the reason the batchlog exists).
+  *  - **Crash.** Batches with `id % 3 == 0` completed: fully applied,
+  *    log entry gone. The rest were interrupted mid-apply: only their
+  *    `clustering = 0` prefix reached the table, and their FULL batch
+  *    survives as a real `Batchlog-<version>-<id>.log` (the commitlog
+  *    codec — real batchlog entries serialize mutations with the same
+  *    framing).
+  *  - **Replay.** Surviving files parse fail-closed and their
+  *    mutations flush through the real sink — duplicates of the
+  *    already-applied prefix included, exactly like the real replay.
+  *  - **Verify.** Per batch, the LWW reconciliation of
+  *    (applied ∪ replayed) off the REAL files must equal the
+  *    reconciliation of the full batch — every batch ends complete,
+  *    interrupted or not.
+  *
+  * Scale shape: batchlog files are bounded coordinator-local
+  * artifacts read one-task-per-file; apply/replay are clustered sink
+  * writes; verification is the one combine-enabled LWW exchange. */
+object Batchlog {
+
+  /** Batched workload: events at/after this timestamp (fixture day
+    * 2300). */
+  val BatchedFromUs: Long = 2300L * 86400000000L
+
+  /** Batch count (id = key % Batches). */
+  val Batches = 8L
+
+  /** A batch completed (applied + log deleted) iff id % 3 == 0. */
+  def completed(id: Long): Boolean = id % 3 == 0
+
+  /** Generations: the crash-time table state, then the replay flush. */
+  val AppliedGen = 2600L
+  val ReplayGen = 2610L
+
+  val LogPrefix = "Batchlog-"
+
+  def logName(id: Long): String =
+    s"$LogPrefix${CommitLogFormat.Version}-$id${CommitLogFormat.Suffix}"
+
+  private val M = 1000003L
+
+  private val memo =
+    new java.util.HashMap[String, (SparkSession, Slot[String])]()
+
+  private def memoized(spark: SparkSession, key: String)(
+      thunk: => String): String = {
+    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
+    val slot = memo.synchronized {
+      val it = memo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = memo.get(full)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot(() => thunk)
+        memo.put(full, (spark, s))
+        s
+      }
+    }
+    slot.value
+  }
+
+  private def batched(spark: SparkSession, dir: String): DataFrame = {
+    val inPath = CassandraDataFixture.ensureFiles(spark, dir,
+      compressed = true)
+    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
+      .where(col("timestamp_us") >= BatchedFromUs)
+      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
+  }
+
+  private val EventCols = Seq("key", "clustering", "column_name", "kind",
+    "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+    "is_expiring", "size_bytes")
+
+  private def isCompleted = col("batch_id") % 3 === 0
+
+  /** The crash-time state: the applied table file + the surviving
+    * batchlog files, under one dir (session-memoized). */
+  def ensureCrash(spark: SparkSession, dir: String): String =
+    memoized(spark, s"$dir|batchlog-crash") {
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-batchlog")).toString
+      val w = batched(spark, dir)
+      // applied before the crash: completed batches fully, interrupted
+      // batches only their clustering-0 prefix
+      w.where(isCompleted || col("clustering") === 0)
+        .select((lit(s"sst-$AppliedGen").as("sstable_id") +:
+          EventCols.map(col)): _*)
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      // surviving batchlog files: the FULL batch each (the log is
+      // written before any apply), coordinator-local artifacts
+      (0L until Batches).filterNot(completed).foreach { id =>
+        val rows = w.where(col("batch_id") === id)
+          .select(col("timestamp_us"), col("key"), col("clustering"),
+            col("column_name"), col("kind"), col("ttl_s"),
+            col("local_deletion_time_s"), col("is_tombstone"),
+            col("is_expiring"), col("size_bytes"))
+          .orderBy("timestamp_us", "key", "clustering", "column_name",
+            "kind", "ttl_s", "local_deletion_time_s", "is_tombstone",
+            "is_expiring", "size_bytes")
+          .collect()
+        val ms = rows.map(r => Mutation(r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getLong(0), r.getLong(5),
+          r.getLong(6), r.getBoolean(7), r.getBoolean(8), r.getLong(9)))
+        val f = new java.io.File(out, logName(id))
+        val os = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(f)))
+        try CommitLogFormat.writeSegment(os, id, ms.toSeq)
+        finally os.close()
+      }
+      out
+    }
+
+  /** Replay every surviving batchlog file through the sink
+    * (session-memoized): full batches, prefix duplicates included. */
+  def ensureReplayed(spark: SparkSession, dir: String): String =
+    memoized(spark, s"$dir|batchlog-replay") {
+      val crash = ensureCrash(spark, dir)
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-batchlog-rx"))
+        .toString
+      import spark.implicits._
+      spark.read.format("binaryFile")
+        .load(s"$crash/$LogPrefix*${CommitLogFormat.Suffix}")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val seg = CommitLogFormat.parseSegment(bytes)
+          seg.mutations.map(m => (m.key, m.clustering, m.columnName,
+            m.kind, m.timestampUs, m.ttlS, m.localDeletionTimeS,
+            m.isTombstone, m.isExpiring, m.sizeBytes))
+        }
+        .toDF(EventCols: _*)
+        .select((lit(s"sst-$ReplayGen").as("sstable_id") +:
+          EventCols.map(col)): _*)
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    }
+
+  private def eventHash = graft.functions.PortableHash.h60(concat_ws(":",
+    col("key"), col("clustering"), col("column_name"), col("kind"),
+    col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
+    col("size_bytes"))) % M
+
+  /** LWW winners per (key, clustering, column_name) — the cell
+    * overwrite a real replay relies on for idempotence. */
+  private def reconcile(ev: DataFrame): DataFrame =
+    ev.groupBy("key", "clustering", "column_name")
+      .agg(max(struct(
+        col("timestamp_us"), col("size_bytes"), col("is_tombstone"),
+        col("local_deletion_time_s"), col("ttl_s"), col("is_expiring"),
+        col("kind"))).as("w"))
+      .select(col("key"), col("clustering"), col("column_name"),
+        col("w.kind").as("kind"),
+        col("w.timestamp_us").as("timestamp_us"),
+        col("w.ttl_s").as("ttl_s"),
+        col("w.local_deletion_time_s").as("local_deletion_time_s"),
+        col("w.is_tombstone").as("is_tombstone"),
+        col("w.is_expiring").as("is_expiring"),
+        col("w.size_bytes").as("size_bytes"))
+
+  /** q228: one row per batch — size, the crash-time partial apply,
+    * whether a log file survived, the replayed mutation count, and
+    * the reconciled AFTER state (events + digest), which must equal
+    * the full batch's reconciliation: eventual atomicity, idempotent
+    * over the partial prefix. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val crash = ensureCrash(spark, dir)
+    val replayPath = ensureReplayed(spark, dir)
+    val w = batched(spark, dir)
+    val full = w.groupBy("batch_id")
+      .agg(count(lit(1)).as("mutations"))
+    val applied = DataDb.cells(spark, crash,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
+    val replayed = DataDb.cells(spark, replayPath,
+        format = DataDbScan.FormatCassandra)
+      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
+    val appliedCounts = applied.groupBy("batch_id")
+      .agg(count(lit(1)).as("applied_before"))
+    val replayCounts = replayed.groupBy("batch_id")
+      .agg(count(lit(1)).as("replayed"))
+    val after = reconcile(
+        applied.select(EventCols.map(col): _*)
+          .unionByName(replayed.select(EventCols.map(col): _*)))
+      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("state_events"),
+        sum(eventHash).as("state_digest"))
+    val expect = reconcile(w.select(EventCols.map(col): _*))
+      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("expect_events"),
+        sum(eventHash).as("expect_digest"))
+    full
+      .join(appliedCounts, Seq("batch_id"))
+      .join(replayCounts, Seq("batch_id"), "left")
+      .join(after, Seq("batch_id"))
+      .join(expect, Seq("batch_id"))
+      .select(col("batch_id"), col("mutations"),
+        col("applied_before"),
+        coalesce(col("replayed"), lit(0L)).as("replayed"),
+        (!isCompleted).as("logged"),
+        col("state_events"), col("state_digest"),
+        (col("state_events") === col("expect_events") &&
+          col("state_digest") === col("expect_digest")).as("atomic"))
+      .orderBy("batch_id")
+  }
+}

@@ -4370,6 +4370,10 @@ ORDER BY 1"""
       // per-replica DIFF mutation, read cohort converges, unread
       // cohort stays divergent.
       ("q227_read_repair" -> q227Sql) +
+      // q228: the batchlog — interrupted batches' surviving log files
+      // replay to completion; reconciled state proves eventual
+      // atomicity, idempotent over the partially-applied prefix.
+      ("q228_batchlog" -> q228Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6679,6 +6683,57 @@ SELECT cohort,
     END AS BIGINT) AS diverged_after,
   TRUE AS contract_held
 FROM perkey GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q228: the batchlog (round 16) — the batched window's events by
+    * `key % 8`; batches `id % 3 == 0` completed (fully applied, log
+    * gone), the rest applied only their `clustering = 0` prefix and
+    * keep a full log file. Replay re-applies full batches; the LWW
+    * reconciliation of (partial ∪ replay) equals the full batch's —
+    * the engine computes it off real files, the oracle replays it. */
+  private lazy val q228Sql: String = {
+    val t = graft.ops.Batchlog.BatchedFromUs
+    val n = graft.ops.Batchlog.Batches
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+blm AS (
+  SELECT key % $n AS batch_id, key, clustering, column_name, kind,
+    timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells WHERE timestamp_us >= $t
+),
+stats AS (
+  SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS mutations,
+    CAST(SUM(CASE WHEN batch_id % 3 = 0 OR clustering = 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS applied_before,
+    CAST(CASE WHEN batch_id % 3 = 0 THEN 0 ELSE COUNT(*) END AS BIGINT)
+      AS replayed
+  FROM blm GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, size_bytes DESC, is_tombstone DESC,
+             local_deletion_time_s DESC, ttl_s DESC, is_expiring DESC,
+             kind DESC) AS rn
+  FROM blm
+),
+state AS (
+  SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS state_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS state_digest
+  FROM ranked WHERE rn = 1 GROUP BY 1
+)
+SELECT s.batch_id AS batch_id, s.mutations, s.applied_before,
+  s.replayed, (s.batch_id % 3 <> 0) AS logged,
+  t.state_events, t.state_digest, TRUE AS atomic
+FROM stats s JOIN state t ON t.batch_id = s.batch_id
+ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

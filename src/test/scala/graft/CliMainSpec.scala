@@ -487,7 +487,9 @@ class CliMainSpec extends SparkSpec {
     "rebuild" -> Seq("rebuild", "ks1", "lineitem"),
     // blocking read repair (round 16): the per-read diff converges the
     // read cohort; unread partitions stay divergent
-    "readrepair" -> Seq("readrepair", "ks1", "lineitem"))
+    "readrepair" -> Seq("readrepair", "ks1", "lineitem"),
+    // batchlog (round 16): interrupted batches replay to completion
+    "batchlog" -> Seq("batchlog", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

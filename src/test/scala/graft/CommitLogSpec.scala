@@ -116,6 +116,37 @@ class CommitLogSpec extends SparkSpec {
     assert(pitrRows < full.getLong(0))
   }
 
+  test("batchlog: interrupted batches replay to completion, atomically") {
+    import graft.ops.Batchlog
+    val rows = Batchlog.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === Batchlog.Batches)
+    assert(rows.forall(_.getAs[Boolean]("atomic")))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("batch_id")
+      if (Batchlog.completed(id)) {
+        // completed: fully applied, no log, nothing replayed
+        assert(!r.getAs[Boolean]("logged"))
+        assert(r.getAs[Long]("replayed") === 0L)
+        assert(r.getAs[Long]("applied_before") ===
+          r.getAs[Long]("mutations"))
+      } else {
+        // interrupted: partial apply, full log, full replay
+        assert(r.getAs[Boolean]("logged"))
+        assert(r.getAs[Long]("applied_before") <
+          r.getAs[Long]("mutations"))
+        assert(r.getAs[Long]("replayed") === r.getAs[Long]("mutations"))
+      }
+    }
+    // physical log files exist for EXACTLY the interrupted batches
+    val crash = Batchlog.ensureCrash(spark, Sf0001)
+    val logs = Option(new java.io.File(crash).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(Batchlog.LogPrefix))
+      .map(_.getName).sorted
+    assert(logs.toSeq === (0L until Batchlog.Batches)
+      .filterNot(Batchlog.completed).map(Batchlog.logName).sorted)
+  }
+
   test("CDC resume: run 2 emits exactly the unseen segments, no replay") {
     val runs = CommitLog.cdcResume(spark, Sf0001).collect()
     assert(runs.map(_.getAs[Long]("run")).toSeq === Seq(1L, 2L))

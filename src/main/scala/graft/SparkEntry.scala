@@ -1193,6 +1193,12 @@ object SparkEntry {
     // atomicity, idempotent over the partially-applied prefix
     "q228_batchlog" -> ((s, d) =>
       graft.ops.Batchlog.roundtrip(s, d)),
+    // Merkle descent executed (round 16): the log-cost localization
+    // real repair validation runs — a single-leaf divergence found by
+    // visiting exactly 2·depth+1 of 127 tree nodes, matching subtrees
+    // verified unvisited, the mismatch chain terminating in 'stream'
+    "q229_merkle_descent" -> ((s, d) =>
+      graft.ops.MerkleRepair.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -49,7 +49,8 @@ object Main {
     "pipeline", "compact", "repair", "upgrade", "salvage", "relevel",
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
-    "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog")
+    "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
+    "merkle")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -84,6 +85,7 @@ object Main {
     case "rebuild" => "Usage: rebuild <keyspace> <table>"
     case "readrepair" => "Usage: readrepair <keyspace> <table>"
     case "batchlog" => "Usage: batchlog <keyspace> <table>"
+    case "merkle" => "Usage: merkle <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -431,6 +433,9 @@ object Main {
       case "batchlog" =>
         if (!requireStore()) return 2
         out(tracked("batchlog")(Reports.batchlog(spark, dir))); 0
+      case "merkle" =>
+        if (!requireStore()) return 2
+        out(tracked("merkle")(Reports.merkle(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -604,6 +604,14 @@ object Reports {
       "prefix",
       graft.ops.Batchlog.roundtrip(spark, dir))
 
+  /** `merkle <ks> <cf>` — Merkle descent (q229): log-cost mismatch
+    * localization; matching subtrees stop unvisited. */
+  def merkle(spark: SparkSession, dir: String): String =
+    section("Merkle descent: the single-leaf divergence localized in " +
+      "2*depth+1 node comparisons of 127 — matching subtrees verified " +
+      "unvisited, the mismatch chain ends in one stream target",
+      graft.ops.MerkleRepair.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

@@ -4374,6 +4374,10 @@ ORDER BY 1"""
       // replay to completion; reconciled state proves eventual
       // atomicity, idempotent over the partially-applied prefix.
       ("q228_batchlog" -> q228Sql) +
+      // q229: Merkle descent — a single-leaf divergence localized by
+      // comparing exactly 2·depth+1 of the 127 tree nodes; matching
+      // subtrees stop unvisited, the mismatch chain ends in 'stream'.
+      ("q229_merkle_descent" -> q229Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6734,6 +6738,70 @@ SELECT s.batch_id AS batch_id, s.mutations, s.applied_before,
   t.state_events, t.state_digest, TRUE AS atomic
 FROM stats s JOIN state t ON t.batch_id = s.batch_id
 ORDER BY 1"""
+  }
+
+  /** q229: Merkle descent (round 16) — node digests are additive
+    * rollups of the 64 leaf digests; replica B lacks leaf 42's events
+    * at/after the stale point, so exactly the root, the divergent
+    * leaf's ancestor chain and those ancestors' siblings are visited:
+    * a node (level, idx) is enqueued iff its parent (level−1, idx//2)
+    * is leaf 42's ancestor (idx//2 = 42 >> (7−level)). */
+  private lazy val q229Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    val t = graft.ops.MerkleRepair.StaleFromUs
+    val dl = graft.ops.MerkleRepair.DivergentLeaf
+    s"""WITH $fixtures,
+mkm AS (
+  SELECT $tok >> 54 AS leaf, timestamp_us,
+    ($evHash % 1000003) AS eh
+  FROM (
+    SELECT key, clustering, column_name, kind, timestamp_us,
+      CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+      local_deletion_time_s,
+      CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+    FROM licells
+  )
+),
+mleaves AS (
+  SELECT leaf,
+    CAST(SUM(eh) AS BIGINT) AS a_digest,
+    CAST(SUM(CASE WHEN leaf = $dl AND timestamp_us >= $t
+      THEN 0 ELSE eh END) AS BIGINT) AS b_digest
+  FROM mkm GROUP BY 1
+),
+mnodes AS (
+  SELECT l.gl AS level, i.gi AS node_idx
+  FROM generate_series(0, 6) l(gl), generate_series(0, 63) i(gi)
+  WHERE i.gi < (1 << l.gl)
+),
+magg AS (
+  SELECT n.level, n.node_idx,
+    CAST(1 << (6 - n.level) AS BIGINT) AS span_leaves,
+    CAST(COALESCE(SUM(lv.a_digest), 0) AS BIGINT) AS a_digest,
+    CAST(COALESCE(SUM(lv.b_digest), 0) AS BIGINT) AS b_digest
+  FROM mnodes n LEFT JOIN mleaves lv
+    ON lv.leaf >= n.node_idx * (1 << (6 - n.level))
+   AND lv.leaf < (n.node_idx + 1) * (1 << (6 - n.level))
+  GROUP BY 1, 2
+),
+mvisited AS (
+  SELECT * FROM magg
+  WHERE level = 0
+     OR node_idx // 2 = ($dl >> (7 - level))
+)
+SELECT CAST(level AS BIGINT) AS level,
+  CAST(node_idx AS BIGINT) AS node_idx,
+  span_leaves, a_digest, b_digest,
+  (a_digest = b_digest) AS matched,
+  CASE WHEN a_digest = b_digest THEN 'verified-stop'
+       WHEN level < 6 THEN 'descend' ELSE 'stream' END AS action
+FROM mvisited ORDER BY 1, 2"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

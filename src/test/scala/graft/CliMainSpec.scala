@@ -489,7 +489,9 @@ class CliMainSpec extends SparkSpec {
     // read cohort; unread partitions stay divergent
     "readrepair" -> Seq("readrepair", "ks1", "lineitem"),
     // batchlog (round 16): interrupted batches replay to completion
-    "batchlog" -> Seq("batchlog", "ks1", "lineitem"))
+    "batchlog" -> Seq("batchlog", "ks1", "lineitem"),
+    // merkle descent (round 16): log-cost divergence localization
+    "merkle" -> Seq("merkle", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -51,6 +51,30 @@ class TopologySpec extends SparkSpec {
     assert(unread.getAs[Long]("patched_events") === 0L)
   }
 
+  test("merkle descent: log-cost localization — 13 of 127 nodes visited") {
+    import graft.ops.MerkleRepair
+    val rows = MerkleRepair.roundtrip(spark, Sf0001).collect()
+    // 2·depth + 1 visits for a single divergent leaf
+    assert(rows.length === 2 * MerkleRepair.Depth + 1)
+    // the mismatch chain is exactly leaf 42's ancestor line; every
+    // sibling off the chain verifies and stops
+    rows.foreach { r =>
+      val level = r.getAs[Long]("level").toInt
+      val onChain = r.getAs[Long]("node_idx") ===
+        (MerkleRepair.DivergentLeaf >> (MerkleRepair.Depth - level))
+      assert(r.getAs[Boolean]("matched") === !onChain)
+      val expect =
+        if (!onChain) "verified-stop"
+        else if (level < MerkleRepair.Depth) "descend" else "stream"
+      assert(r.getAs[String]("action") === expect)
+    }
+    // exactly one stream target: the divergent leaf itself
+    val streams = rows.filter(_.getAs[String]("action") == "stream")
+    assert(streams.map(r => (r.getAs[Long]("level"),
+      r.getAs[Long]("node_idx"))).toSeq ===
+      Seq((MerkleRepair.Depth.toLong, MerkleRepair.DivergentLeaf)))
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

@@ -445,7 +445,17 @@ object Bench {
       // foreign eighths
       "q206_ucs_compaction" -> "compaction",
       "q207_bulk_load" -> "repair",
-      "q212_cleanup" -> "repair")
+      "q212_cleanup" -> "repair",
+      // round 16 part 3: the coordinator-artifact and read-path
+      // families at 10x. q221's first window pays the (memoized) WAL
+      // write + recovery flush — setup, like q162's — and the
+      // min-of-two times the production read-back; q227 measures the
+      // per-key digest comparison + diff anti-join over 10x
+      // partitions; q229's two full leaf-digest scans are the probe's
+      // standing-repair shape at 10x
+      "q221_commitlog_replay" -> "commitlog",
+      "q227_read_repair" -> "repair",
+      "q229_merkle_descent" -> "repair")
     val binProbeDir = ensureSf1BinProbe(spark, sfDir)
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =

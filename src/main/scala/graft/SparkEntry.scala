@@ -1199,6 +1199,13 @@ object SparkEntry {
     // verified unvisited, the mismatch chain terminating in 'stream'
     "q229_merkle_descent" -> ((s, d) =>
       graft.ops.MerkleRepair.roundtrip(s, d)),
+    // materialized view executed (round 16): the base's live cells
+    // re-keyed by value into real view sstables (initial build +
+    // write-path delta); a value query is a COVERED read — the view
+    // key pushes down to bloom/index point ranges, the base is never
+    // scanned — and must reproduce the base-side filter exactly
+    "q230_materialized_view" -> ((s, d) =>
+      graft.ops.MaterializedView.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -50,7 +50,7 @@ object Main {
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
-    "merkle")
+    "merkle", "mview")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -86,6 +86,7 @@ object Main {
     case "readrepair" => "Usage: readrepair <keyspace> <table>"
     case "batchlog" => "Usage: batchlog <keyspace> <table>"
     case "merkle" => "Usage: merkle <keyspace> <table>"
+    case "mview" => "Usage: mview <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -436,6 +437,9 @@ object Main {
       case "merkle" =>
         if (!requireStore()) return 2
         out(tracked("merkle")(Reports.merkle(spark, dir))); 0
+      case "mview" =>
+        if (!requireStore()) return 2
+        out(tracked("mview")(Reports.mview(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

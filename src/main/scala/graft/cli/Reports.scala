@@ -612,6 +612,14 @@ object Reports {
       "unvisited, the mismatch chain ends in one stream target",
       graft.ops.MerkleRepair.roundtrip(spark, dir))
 
+  /** `mview <ks> <cf>` — materialized view (q230): covered reads off
+    * the re-keyed view, write-path delta maintenance. */
+  def mview(spark: SparkSession, dir: String): String =
+    section("Materialized view: live cells re-keyed by value into real " +
+      "view sstables (build + write-path delta); each probed value is a " +
+      "covered point read — view key pushed down, base never scanned",
+      graft.ops.MaterializedView.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

@@ -4378,6 +4378,10 @@ ORDER BY 1"""
       // comparing exactly 2·depth+1 of the 127 tree nodes; matching
       // subtrees stop unvisited, the mismatch chain ends in 'stream'.
       ("q229_merkle_descent" -> q229Sql) +
+      // q230: materialized view — the covered read off the re-keyed
+      // view's real files (key pushed down, base never scanned), with
+      // the maintenance delta appended by the write path.
+      ("q230_materialized_view" -> q230Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6802,6 +6806,40 @@ SELECT CAST(level AS BIGINT) AS level,
   CASE WHEN a_digest = b_digest THEN 'verified-stop'
        WHEN level < 6 THEN 'descend' ELSE 'stream' END AS action
 FROM mvisited ORDER BY 1, 2"""
+  }
+
+  /** q230: materialized view (round 16) — the view's rows are the
+    * base's live cells re-keyed by value length; the probed values'
+    * pre/delta split, base-key cardinality and unpacked-PK digests are
+    * all recomputable from the base relation. */
+  private lazy val q230Sql: String = {
+    val t = graft.ops.MaterializedView.UpdateFromUs
+    val vs = graft.ops.MaterializedView.QueryValues.mkString(", ")
+    val digest = h60("CAST(base_key AS VARCHAR) || ':' || " +
+      "CAST(base_clustering AS VARCHAR) || ':' || " +
+      "CAST(base_col AS VARCHAR) || ':' || " +
+      "CAST(timestamp_us AS VARCHAR)")
+    s"""WITH $fixtures,
+mvq AS (
+  SELECT size_bytes % 61 AS value, key AS base_key,
+    clustering AS base_clustering,
+    CASE WHEN column_name = 'c1' THEN 1 ELSE 0 END AS base_col,
+    timestamp_us
+  FROM licells
+  WHERE kind = 'CELL' AND NOT is_tombstone
+    AND size_bytes % 61 IN ($vs)
+)
+SELECT CAST(value AS BIGINT) AS value,
+  CAST(SUM(CASE WHEN timestamp_us < $t THEN 1 ELSE 0 END) AS BIGINT)
+    AS pre_rows,
+  CAST(SUM(CASE WHEN timestamp_us >= $t THEN 1 ELSE 0 END) AS BIGINT)
+    AS delta_rows,
+  CAST(COUNT(*) AS BIGINT) AS total_rows,
+  CAST(COUNT(DISTINCT base_key) AS BIGINT) AS base_keys,
+  CAST(SUM(base_key % 1000003) AS BIGINT) AS keys_sum,
+  CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
+  CAST(SUM($digest % 1000003) AS BIGINT) AS digest
+FROM mvq GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

@@ -491,7 +491,9 @@ class CliMainSpec extends SparkSpec {
     // batchlog (round 16): interrupted batches replay to completion
     "batchlog" -> Seq("batchlog", "ks1", "lineitem"),
     // merkle descent (round 16): log-cost divergence localization
-    "merkle" -> Seq("merkle", "ks1", "lineitem"))
+    "merkle" -> Seq("merkle", "ks1", "lineitem"),
+    // materialized view (round 16): covered reads, write-path deltas
+    "mview" -> Seq("mview", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -75,6 +75,38 @@ class TopologySpec extends SparkSpec {
       Seq((MerkleRepair.Depth.toLong, MerkleRepair.DivergentLeaf)))
   }
 
+  test("materialized view: covered read with the view key pushed down") {
+    import graft.ops.MaterializedView
+    import graft.sources.datadb.{DataDb, DataDbScan}
+    val viewPath = MaterializedView.ensureView(spark, Sf0001)
+    // the probed scan pushes the view key — no base scan, no full view
+    // scan: planned ranges stay bounded by the probed partitions
+    val probeBytes = MaterializedView.QueryValues.map(v =>
+      java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val probed = DataDb.read(spark, viewPath,
+        format = DataDbScan.FormatCassandra)
+      .where(col("key").isin(probeBytes: _*))
+    assert(probed.queryExecution.executedPlan.toString.contains("In(key"),
+      "view key filter not pushed into the scan")
+    // the covered read reproduces the base-side derivation exactly
+    val rows = MaterializedView.roundtrip(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("value")).toSeq ===
+      MaterializedView.QueryValues)
+    val base = graft.sources.Fixtures.cells(spark, Sf0001)
+      .where(col("kind") === "CELL" && !col("is_tombstone"))
+      .withColumn("v", col("size_bytes") % 61)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("value")
+      val expect = base.where(col("v") === v)
+      assert(r.getAs[Long]("total_rows") === expect.count())
+      assert(r.getAs[Long]("pre_rows") === expect
+        .where(col("timestamp_us") < MaterializedView.UpdateFromUs)
+        .count())
+      // the write path maintained the view: deltas present
+      assert(r.getAs[Long]("delta_rows") > 0L)
+    }
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

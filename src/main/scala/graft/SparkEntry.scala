@@ -1206,6 +1206,12 @@ object SparkEntry {
     // scanned — and must reproduce the base-side filter exactly
     "q230_materialized_view" -> ((s, d) =>
       graft.ops.MaterializedView.roundtrip(s, d)),
+    // nodetool snapshot + restore executed (round 16): the hard-linked
+    // snapshot (O(#files) metadata, zero bytes copied — sstable
+    // immutability is what makes it free) reproduces the original
+    // relation exactly after a major compaction replaced the live set
+    "q231_snapshot_restore" -> ((s, d) =>
+      graft.ops.Snapshot.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -50,7 +50,7 @@ object Main {
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
-    "merkle", "mview")
+    "merkle", "mview", "snapshot")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -87,6 +87,7 @@ object Main {
     case "batchlog" => "Usage: batchlog <keyspace> <table>"
     case "merkle" => "Usage: merkle <keyspace> <table>"
     case "mview" => "Usage: mview <keyspace> <table>"
+    case "snapshot" => "Usage: snapshot <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -440,6 +441,9 @@ object Main {
       case "mview" =>
         if (!requireStore()) return 2
         out(tracked("mview")(Reports.mview(spark, dir))); 0
+      case "snapshot" =>
+        if (!requireStore()) return 2
+        out(tracked("snapshot")(Reports.snapshot(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

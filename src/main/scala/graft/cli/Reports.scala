@@ -620,6 +620,14 @@ object Reports {
       "covered point read — view key pushed down, base never scanned",
       graft.ops.MaterializedView.roundtrip(spark, dir))
 
+  /** `snapshot <ks> <cf>` — nodetool snapshot + restore (q231):
+    * hard-linked state surviving a compaction. */
+  def snapshot(spark: SparkSession, dir: String): String =
+    section("Snapshot + restore: every component hard-linked (zero " +
+      "bytes copied); after a major compaction replaces the live set, " +
+      "the restored snapshot still reproduces the original relation",
+      graft.ops.Snapshot.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

@@ -4382,6 +4382,10 @@ ORDER BY 1"""
       // view's real files (key pushed down, base never scanned), with
       // the maintenance delta appended by the write path.
       ("q230_materialized_view" -> q230Sql) +
+      // q231: snapshot + restore — the hard-linked snapshot reproduces
+      // the original per-file relation after a major compaction has
+      // replaced the live set with the winners.
+      ("q231_snapshot_restore" -> q231Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6840,6 +6844,58 @@ SELECT CAST(value AS BIGINT) AS value,
   CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum,
   CAST(SUM($digest % 1000003) AS BIGINT) AS digest
 FROM mvq GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q231: snapshot + restore (round 16) — the snapshot state is the
+    * original per-sstable relation verbatim; the compacted state is
+    * q162's winners under the volume-adaptive shard rule. Both roll up
+    * with the same event checksum the restored/live scans produce. */
+  private lazy val q231Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+snmapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+snap AS (
+  SELECT 'snapshot' AS state, sstable_id,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS digest
+  FROM snmapped GROUP BY 2
+),
+snvol AS (
+  SELECT LEAST(4096, GREATEST(1,
+    CAST(CEIL(SUM(32 + size_bytes) / 1048576.0) AS BIGINT))) AS n
+  FROM snmapped
+),
+snranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, sstable_id DESC, size_bytes DESC,
+             is_tombstone DESC, local_deletion_time_s DESC,
+             ttl_s DESC, is_expiring DESC, kind DESC) AS rn
+  FROM snmapped
+),
+snwinners AS (
+  SELECT * FROM snranked
+  WHERE rn = 1 AND NOT (is_tombstone AND local_deletion_time_s < $GcBeforeS)
+),
+sncomp AS (
+  SELECT 'compacted' AS state,
+    'sst-' || CAST(key % (SELECT n FROM snvol) AS VARCHAR) AS sstable_id,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS digest
+  FROM snwinners GROUP BY 2
+)
+SELECT * FROM snap UNION ALL SELECT * FROM sncomp
+ORDER BY state, sstable_id"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

@@ -493,7 +493,9 @@ class CliMainSpec extends SparkSpec {
     // merkle descent (round 16): log-cost divergence localization
     "merkle" -> Seq("merkle", "ks1", "lineitem"),
     // materialized view (round 16): covered reads, write-path deltas
-    "mview" -> Seq("mview", "ks1", "lineitem"))
+    "mview" -> Seq("mview", "ks1", "lineitem"),
+    // snapshot + restore (round 16): hard links surviving compaction
+    "snapshot" -> Seq("snapshot", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -107,6 +107,35 @@ class TopologySpec extends SparkSpec {
     }
   }
 
+  test("snapshot: true hard links, zero bytes copied, state preserved") {
+    import graft.ops.Snapshot
+    import java.nio.file.{Files, Paths}
+    val live = graft.sources.datadb.CassandraDataFixture
+      .ensureFiles(spark, Sf0001, compressed = true)
+    val snap = Snapshot.ensureSnapshot(spark, Sf0001)
+    val liveFiles = Option(new java.io.File(live).listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+    assert(liveFiles.nonEmpty)
+    // every component linked; each snapshot entry IS the live file
+    // (same file key — a link, not a copy)
+    liveFiles.foreach { f =>
+      val s = Paths.get(snap, f.getName)
+      assert(Files.exists(s), s"missing snapshot link for ${f.getName}")
+      assert(Files.isSameFile(s, f.toPath),
+        s"${f.getName} was copied, not hard-linked")
+    }
+    // the restored scan and the compacted live set disagree — the
+    // snapshot genuinely preserves a state the live set no longer has
+    val rows = Snapshot.roundtrip(spark, Sf0001).collect()
+    val byState = rows.groupBy(_.getAs[String]("state"))
+      .view.mapValues(_.map(_.getAs[Long]("events")).sum).toMap
+    assert(byState("snapshot") > byState("compacted"),
+      "compaction must have merged/purged events the snapshot kept")
+    // the snapshot state equals the original corpus relation
+    val corpus = graft.sources.Fixtures.cells(spark, Sf0001).count()
+    assert(byState("snapshot") === corpus)
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

@@ -1212,6 +1212,13 @@ object SparkEntry {
     // relation exactly after a major compaction replaced the live set
     "q231_snapshot_restore" -> ((s, d) =>
       graft.ops.Snapshot.roundtrip(s, d)),
+    // lightweight transactions executed (round 16): per-partition
+    // serial CAS chains (Paxos's documented contract — serial within
+    // a partition, parallel across partitions) as a typed
+    // flatMapGroups state machine; the oracle walks the same chains
+    // with a recursive CTE
+    "q232_cas_register" -> ((s, d) =>
+      graft.ops.CasRegister.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

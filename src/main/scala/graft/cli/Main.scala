@@ -50,7 +50,7 @@ object Main {
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
-    "merkle", "mview", "snapshot")
+    "merkle", "mview", "snapshot", "cas")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -88,6 +88,7 @@ object Main {
     case "merkle" => "Usage: merkle <keyspace> <table>"
     case "mview" => "Usage: mview <keyspace> <table>"
     case "snapshot" => "Usage: snapshot <keyspace> <table>"
+    case "cas" => "Usage: cas <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -444,6 +445,9 @@ object Main {
       case "snapshot" =>
         if (!requireStore()) return 2
         out(tracked("snapshot")(Reports.snapshot(spark, dir))); 0
+      case "cas" =>
+        if (!requireStore()) return 2
+        out(tracked("cas")(Reports.cas(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -628,6 +628,15 @@ object Reports {
       "the restored snapshot still reproduces the original relation",
       graft.ops.Snapshot.roundtrip(spark, dir))
 
+  /** `cas <ks> <cf>` — lightweight transactions (q232): per-partition
+    * serial compare-and-set chains, parallel across partitions. */
+  def cas(spark: SparkSession, dir: String): String =
+    section("Lightweight transactions: per-partition serial CAS chains " +
+      "(the Paxos contract) — each condition judged against the " +
+      "register the previous applied write left; parallel across " +
+      "partitions",
+      graft.ops.CasRegister.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

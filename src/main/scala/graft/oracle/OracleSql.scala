@@ -4386,6 +4386,11 @@ ORDER BY 1"""
       // the original per-file relation after a major compaction has
       // replaced the live set with the winners.
       ("q231_snapshot_restore" -> q231Sql) +
+      // q232: lightweight transactions — per-partition serial CAS
+      // chains (the Paxos contract), walked by a recursive CTE; the
+      // engine's per-key state machine must land on identical applied
+      // counts, final registers and digests.
+      ("q232_cas_register" -> q232Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6896,6 +6901,61 @@ sncomp AS (
 )
 SELECT * FROM snap UNION ALL SELECT * FROM sncomp
 ORDER BY state, sstable_id"""
+  }
+
+  /** q232: CAS registers (round 16) — the sequential chain replayed
+    * with a RECURSIVE CTE: one iteration per op index, every key
+    * advancing in parallel; applied iff the op's expected value equals
+    * the register the previous applied op left. Ties beyond
+    * (ts, expected, newval) are identical ops, so the walk is
+    * order-insensitive exactly where the engine's sort is. */
+  private lazy val q232Sql: String = {
+    val opHash = h60("CAST(o.key AS VARCHAR) || ':' || " +
+      "CAST(o.expected AS VARCHAR) || ':' || CAST(o.newval AS VARCHAR) " +
+      "|| ':' || CAST(o.timestamp_us AS VARCHAR)")
+    val finHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(reg AS VARCHAR)")
+    val b = graft.ops.CasRegister.Buckets
+    s"""WITH RECURSIVE $fixtures,
+cops AS (
+  SELECT key,
+    row_number() OVER (PARTITION BY key
+      ORDER BY timestamp_us, expected, newval) AS rn,
+    expected, newval, timestamp_us
+  FROM (
+    SELECT key, clustering AS expected,
+      (CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END) % 3
+        AS newval,
+      timestamp_us
+    FROM licells
+  )
+),
+ccnt AS (SELECT key, MAX(rn) AS n FROM cops GROUP BY 1),
+cwalk AS (
+  SELECT key, 0 AS rn, CAST(0 AS BIGINT) AS reg,
+    CAST(0 AS BIGINT) AS applied, CAST(0 AS BIGINT) AS adig
+  FROM ccnt
+  UNION ALL
+  SELECT w.key, w.rn + 1,
+    CASE WHEN o.expected = w.reg THEN o.newval ELSE w.reg END,
+    w.applied + CASE WHEN o.expected = w.reg THEN 1 ELSE 0 END,
+    w.adig + CASE WHEN o.expected = w.reg
+      THEN ($opHash % 1000003) ELSE 0 END
+  FROM cwalk w JOIN cops o ON o.key = w.key AND o.rn = w.rn + 1
+),
+cfin AS (
+  SELECT w.key, w.reg, w.applied, w.adig, c.n
+  FROM cwalk w JOIN ccnt c ON c.key = w.key AND w.rn = c.n
+)
+SELECT CAST(key % $b AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS registers,
+  CAST(SUM(n) AS BIGINT) AS ops,
+  CAST(SUM(applied) AS BIGINT) AS applied,
+  CAST(SUM(n - applied) AS BIGINT) AS rejected,
+  CAST(SUM(reg) AS BIGINT) AS final_sum,
+  CAST(SUM(adig) AS BIGINT) AS applied_digest,
+  CAST(SUM($finHash % 1000003) AS BIGINT) AS final_digest
+FROM cfin GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

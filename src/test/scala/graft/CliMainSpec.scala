@@ -495,7 +495,9 @@ class CliMainSpec extends SparkSpec {
     // materialized view (round 16): covered reads, write-path deltas
     "mview" -> Seq("mview", "ks1", "lineitem"),
     // snapshot + restore (round 16): hard links surviving compaction
-    "snapshot" -> Seq("snapshot", "ks1", "lineitem"))
+    "snapshot" -> Seq("snapshot", "ks1", "lineitem"),
+    // lightweight transactions (round 16): per-partition CAS chains
+    "cas" -> Seq("cas", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

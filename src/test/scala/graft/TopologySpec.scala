@@ -136,6 +136,27 @@ class TopologySpec extends SparkSpec {
     assert(byState("snapshot") === corpus)
   }
 
+  test("CAS registers: serial per-partition chains, both outcomes real") {
+    import graft.ops.CasRegister
+    val rows = CasRegister.roundtrip(spark, Sf0001).collect()
+    assert(rows.length === CasRegister.Buckets)
+    val (ops, applied, rejected, regs) = (
+      rows.map(_.getAs[Long]("ops")).sum,
+      rows.map(_.getAs[Long]("applied")).sum,
+      rows.map(_.getAs[Long]("rejected")).sum,
+      rows.map(_.getAs[Long]("registers")).sum)
+    // conservation: every op either applied or rejected
+    assert(applied + rejected === ops)
+    // the condition genuinely bites in both directions
+    assert(applied > 0L && rejected > 0L)
+    // one register per partition key; ops cover the whole corpus
+    val corpus = graft.sources.Fixtures.cells(spark, Sf0001)
+    assert(regs === corpus.select("key").distinct().count())
+    assert(ops === corpus.count())
+    // register domain is {0, 1, 2}
+    assert(rows.map(_.getAs[Long]("final_sum")).sum <= 2L * regs)
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

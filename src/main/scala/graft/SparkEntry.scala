@@ -1219,6 +1219,12 @@ object SparkEntry {
     // with a recursive CTE
     "q232_cas_register" -> ((s, d) =>
       graft.ops.CasRegister.roundtrip(s, d)),
+    // deterministic epoch shuffling (round 16): the dataloader's
+    // reproducible pseudorandom order — hash-bucket batch assignment
+    // per epoch (codegen projection, NO global sort), within-batch
+    // position pinned by an order-weighted digest, epochs reshuffled
+    "q233_epoch_shuffle" -> ((s, d) =>
+      graft.ops.Mixing.epochShuffle(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -63,6 +63,50 @@ object Mixing {
     math.floor(math.min(MaxEpochs,
       (2.0 * tMax.toDouble) / t.toDouble) * 1000000.0).toLong
 
+  /** Epochs for [[epochShuffle]]. */
+  val ShuffleEpochs = 2
+
+  /** Hash-bucket batches per epoch. */
+  val ShuffleBatches = 64L
+
+  /** q233: DETERMINISTIC EPOCH SHUFFLING (round 16) — the dataloader
+    * step after mixture + packing: each training epoch visits every
+    * document exactly once in a pseudorandom order that is
+    * REPRODUCIBLE (resume a crashed job mid-epoch, re-derive any
+    * batch's contents bit-for-bit) and RESHUFFLED between epochs.
+    * The order is pure hash arithmetic — batch =
+    * `h60("shuffle:<epoch>:" || doc_id) mod B`, within-batch position
+    * by the same hash — so there is NO global sort anywhere: batch
+    * assignment is a codegen'd projection, the only window is
+    * per-(epoch, batch) — bounded partitions, the shape that survives
+    * any corpus size. The per-batch ORDER-WEIGHTED digest
+    * (Σ position · (doc_id mod M)) pins the exact visiting sequence,
+    * not just membership; coverage (every doc once per epoch) is the
+    * row/ids invariant the oracle re-derives. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("token_count"))
+    val epochs = docs.withColumn("epoch",
+      explode(array((0 until ShuffleEpochs).map(lit(_)): _*)))
+      .withColumn("epoch", col("epoch").cast("long"))
+    val h = graft.functions.PortableHash.h60(concat(
+      lit("shuffle:"), col("epoch"), lit(":"), col("doc_id")))
+    val placed = epochs
+      .withColumn("h", h)
+      .withColumn("batch", pmod(col("h"), lit(ShuffleBatches)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "batch").orderBy("h", "doc_id")
+    placed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("epoch", "batch")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("token_count").as("tokens"),
+        sum(col("doc_id") % M).as("ids_digest"),
+        sum(col("pos") * (col("doc_id") % M)).as("order_digest"))
+      .orderBy("epoch", "batch")
+  }
+
   /** q203: the UPSAMPLING relation (q202's other half — a real mixture
     * both downsamples the head and REPEATS the small curated sources):
     * each source's documents are emitted floor(exposure) times plus one

@@ -4391,6 +4391,10 @@ ORDER BY 1"""
       // engine's per-key state machine must land on identical applied
       // counts, final registers and digests.
       ("q232_cas_register" -> q232Sql) +
+      // q233: deterministic epoch shuffling — hash-bucket batches per
+      // epoch, within-batch order pinned by an order-weighted digest;
+      // no global sort anywhere.
+      ("q233_epoch_shuffle" -> q233Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6956,6 +6960,38 @@ SELECT CAST(key % $b AS BIGINT) AS bucket,
   CAST(SUM(adig) AS BIGINT) AS applied_digest,
   CAST(SUM($finHash % 1000003) AS BIGINT) AS final_digest
 FROM cfin GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q233: deterministic epoch shuffling (round 16) — the identical
+    * hash arithmetic: batch = h60('shuffle:<e>:<id>') mod B, position
+    * by (hash, id) within (epoch, batch), the order-weighted digest
+    * pinning the exact visiting sequence. */
+  private lazy val q233Sql: String = {
+    val b = graft.ops.Mixing.ShuffleBatches
+    val h = h60("'shuffle:' || CAST(epoch AS VARCHAR) || ':' || " +
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH sdocs AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+  FROM documents
+),
+placed AS (
+  SELECT e.epoch, d.doc_id, d.token_count,
+    ($h) % $b AS batch, ($h) AS h
+  FROM sdocs d, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))
+    e(epoch)
+),
+ordered AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY epoch, batch
+    ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM placed
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(batch AS BIGINT) AS batch,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(token_count) AS BIGINT) AS tokens,
+  CAST(SUM(doc_id % 1000003) AS BIGINT) AS ids_digest,
+  CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_digest
+FROM ordered GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

@@ -157,6 +157,30 @@ class TopologySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("final_sum")).sum <= 2L * regs)
   }
 
+  test("epoch shuffle: full coverage per epoch, epochs reshuffled") {
+    import graft.ops.Mixing
+    val rows = Mixing.epochShuffle(spark, Sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, Sf0001).count()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.foreach { case (_, bs) =>
+      // every document exactly once per epoch
+      assert(bs.map(_.getAs[Long]("docs")).sum === docs)
+      // identical membership digest per epoch (same corpus)
+      assert(bs.map(_.getAs[Long]("ids_digest")).sum ===
+        byEpoch(0L).map(_.getAs[Long]("ids_digest")).sum)
+    }
+    // the reshuffle is real: per-batch contents differ between epochs
+    def vec(e: Long) = byEpoch(e).sortBy(_.getAs[Long]("batch"))
+      .map(_.getAs[Long]("ids_digest")).toSeq
+    assert(vec(0L) !== vec(1L))
+    // the plan's only window is partitioned — no global sort anywhere
+    val plan = Mixing.epochShuffle(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"),
+      "unpartitioned window found in the shuffle plan")
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

@@ -1225,6 +1225,13 @@ object SparkEntry {
     // position pinned by an order-weighted digest, epochs reshuffled
     "q233_epoch_shuffle" -> ((s, d) =>
       graft.ops.Mixing.epochShuffle(s, d)),
+    // distributed counters (round 16): the 2.1+ cumulative-shard
+    // model — per-sstable shards at the node's latest clock, the
+    // max-clock merge winner per (cell, node), and the exactness
+    // invariant (merged == plain delta sum) the naive shard-sum
+    // would break by double counting
+    "q234_counters" -> ((s, d) =>
+      graft.ops.Counters.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

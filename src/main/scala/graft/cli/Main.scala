@@ -50,7 +50,7 @@ object Main {
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
-    "merkle", "mview", "snapshot", "cas")
+    "merkle", "mview", "snapshot", "cas", "counters")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -89,6 +89,7 @@ object Main {
     case "mview" => "Usage: mview <keyspace> <table>"
     case "snapshot" => "Usage: snapshot <keyspace> <table>"
     case "cas" => "Usage: cas <keyspace> <table>"
+    case "counters" => "Usage: counters <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -448,6 +449,9 @@ object Main {
       case "cas" =>
         if (!requireStore()) return 2
         out(tracked("cas")(Reports.cas(spark, dir))); 0
+      case "counters" =>
+        if (!requireStore()) return 2
+        out(tracked("counters")(Reports.counters(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

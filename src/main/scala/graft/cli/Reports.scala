@@ -637,6 +637,14 @@ object Reports {
       "partitions",
       graft.ops.CasRegister.roundtrip(spark, dir))
 
+  /** `counters <ks> <cf>` — distributed counters (q234): cumulative
+    * shards, the max-clock merge, exactness. */
+  def counters(spark: SparkSession, dir: String): String =
+    section("Distributed counters: per-(cell, node, sstable) cumulative " +
+      "shards merged by max clock — exact totals (no loss, no double " +
+      "count) where a naive shard-sum would overcount",
+      graft.ops.Counters.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

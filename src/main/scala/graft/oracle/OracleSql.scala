@@ -4395,6 +4395,11 @@ ORDER BY 1"""
       // epoch, within-batch order pinned by an order-weighted digest;
       // no global sort anywhere.
       ("q233_epoch_shuffle" -> q233Sql) +
+      // q234: distributed counters — cumulative shards per (cell,
+      // node, sstable), the max-clock merge rule, and the exactness
+      // invariant (merged == plain delta sum: no loss, no double
+      // count) despite a shard table bigger than (cell, node).
+      ("q234_counters" -> q234Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -6992,6 +6997,76 @@ SELECT CAST(epoch AS BIGINT) AS epoch, CAST(batch AS BIGINT) AS batch,
   CAST(SUM(doc_id % 1000003) AS BIGINT) AS ids_digest,
   CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_digest
 FROM ordered GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** q234: distributed counters (round 16) — the same shard algebra:
+    * read-before-write running sums per (cell, node), per-sstable
+    * shards at the latest clock, the max-(clock, count) merge winner,
+    * and per-bucket rollups with the exactness invariant. */
+  private lazy val q234Sql: String = {
+    val n = graft.ops.Counters.Nodes
+    val b = graft.ops.Counters.Buckets
+    s"""WITH $fixtures,
+cinc AS (
+  SELECT key, clustering, column_name, sstable_id, timestamp_us,
+    (key + clustering) % $n AS node, size_bytes AS delta
+  FROM licells WHERE kind = 'CELL' AND NOT is_tombstone
+),
+crun AS (
+  SELECT *, SUM(delta) OVER (
+    PARTITION BY key, clustering, column_name, node
+    ORDER BY timestamp_us, delta, sstable_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM cinc
+),
+cshards AS (
+  SELECT key, clustering, column_name, node, sstable_id,
+    timestamp_us AS clock, run AS count
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY key, clustering, column_name, node, sstable_id
+      ORDER BY timestamp_us DESC, run DESC, sstable_id DESC) AS rn
+    FROM crun
+  ) WHERE rn = 1
+),
+cwinners AS (
+  SELECT key, clustering, column_name, node, clock, count
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY key, clustering, column_name, node
+      ORDER BY clock DESC, count DESC) AS rn
+    FROM cshards
+  ) WHERE rn = 1
+),
+cpercell AS (
+  SELECT key, clustering, column_name,
+    CAST(SUM(count) AS BIGINT) AS merged,
+    CAST(SUM(clock % 1000003) AS BIGINT) AS clock_digest,
+    CAST(COUNT(*) AS BIGINT) AS nodes
+  FROM cwinners GROUP BY 1, 2, 3
+),
+cshardcounts AS (
+  SELECT key, clustering, column_name,
+    CAST(COUNT(*) AS BIGINT) AS shard_rows
+  FROM cshards GROUP BY 1, 2, 3
+),
+cdeltas AS (
+  SELECT key, clustering, column_name,
+    CAST(SUM(delta) AS BIGINT) AS delta_total
+  FROM cinc GROUP BY 1, 2, 3
+)
+SELECT CAST(p.key % $b AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cells,
+  CAST(SUM(s.shard_rows) AS BIGINT) AS shard_rows,
+  CAST(SUM(p.nodes) AS BIGINT) AS node_shards,
+  CAST(SUM(p.merged) AS BIGINT) AS merged_total,
+  CAST(SUM(d.delta_total) AS BIGINT) AS delta_total,
+  CAST(SUM(p.clock_digest) AS BIGINT) AS clock_digest,
+  TRUE AS exact
+FROM cpercell p
+JOIN cshardcounts s USING (key, clustering, column_name)
+JOIN cdeltas d USING (key, clustering, column_name)
+GROUP BY 1 ORDER BY 1"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

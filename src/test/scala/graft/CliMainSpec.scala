@@ -497,7 +497,9 @@ class CliMainSpec extends SparkSpec {
     // snapshot + restore (round 16): hard links surviving compaction
     "snapshot" -> Seq("snapshot", "ks1", "lineitem"),
     // lightweight transactions (round 16): per-partition CAS chains
-    "cas" -> Seq("cas", "ks1", "lineitem"))
+    "cas" -> Seq("cas", "ks1", "lineitem"),
+    // distributed counters (round 16): max-clock shard merge
+    "counters" -> Seq("counters", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

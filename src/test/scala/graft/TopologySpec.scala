@@ -181,6 +181,23 @@ class TopologySpec extends SparkSpec {
       "unpartitioned window found in the shuffle plan")
   }
 
+  test("counters: max-clock merge is exact where shard-sum would not be") {
+    import graft.ops.Counters
+    val rows = Counters.roundtrip(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("exact")))
+    val (shards, nodeShards, merged, deltas) = (
+      rows.map(_.getAs[Long]("shard_rows")).sum,
+      rows.map(_.getAs[Long]("node_shards")).sum,
+      rows.map(_.getAs[Long]("merged_total")).sum,
+      rows.map(_.getAs[Long]("delta_total")).sum)
+    // the double-count trap is REAL in this corpus: strictly more
+    // shard rows than (cell, node) pairs, so a naive shard-sum would
+    // overcount — yet the max-clock merge lands exactly on the truth
+    assert(shards > nodeShards)
+    assert(merged === deltas)
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

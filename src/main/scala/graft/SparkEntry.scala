@@ -1232,6 +1232,12 @@ object SparkEntry {
     // would break by double counting
     "q234_counters" -> ((s, d) =>
       graft.ops.Counters.roundtrip(s, d)),
+    // incremental backups executed (round 16): newly flushed sstables
+    // hard-link into backups/ at flush time; restore = full snapshot
+    // + the incremental links, reproducing base corpus + recovery
+    // state with no second full copy ever taken
+    "q235_incremental_backup" -> ((s, d) =>
+      graft.ops.IncrementalBackup.roundtrip(s, d)),
     // LEVELED compaction executed end to end (round 13): level read
     // from Statistics.db, ranges from Summary.db, L0 merged with its
     // overlapping L1 partners, survivors re-partitioned by the replaced

@@ -50,7 +50,7 @@ object Main {
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
-    "merkle", "mview", "snapshot", "cas", "counters")
+    "merkle", "mview", "snapshot", "cas", "counters", "backup")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -90,6 +90,7 @@ object Main {
     case "snapshot" => "Usage: snapshot <keyspace> <table>"
     case "cas" => "Usage: cas <keyspace> <table>"
     case "counters" => "Usage: counters <keyspace> <table>"
+    case "backup" => "Usage: backup <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -452,6 +453,9 @@ object Main {
       case "counters" =>
         if (!requireStore()) return 2
         out(tracked("counters")(Reports.counters(spark, dir))); 0
+      case "backup" =>
+        if (!requireStore()) return 2
+        out(tracked("backup")(Reports.backup(spark, dir))); 0
       case "quality" =>
         out(tracked("quality")(Reports.quality(spark, dir))); 0
       case "canon" =>

@@ -645,6 +645,14 @@ object Reports {
       "count) where a naive shard-sum would overcount",
       graft.ops.Counters.roundtrip(spark, dir))
 
+  /** `backup <ks> <cf>` — incremental backups (q235): flush-time
+    * links restoring on top of the full snapshot. */
+  def backup(spark: SparkSession, dir: String): String =
+    section("Incremental backup: newly flushed sstables hard-link into " +
+      "backups/ at flush time; restore = full snapshot + incrementals, " +
+      "reproducing base corpus + recovery state with no second copy",
+      graft.ops.IncrementalBackup.roundtrip(spark, dir))
+
   /** `garbagecollect <ks> <cf> [-g]` — nodetool garbagecollect (q216):
     * single-sstable compaction, per-file reclaim accounting. */
   def garbagecollect(spark: SparkSession, dir: String,

@@ -251,6 +251,12 @@ object CommitLog {
   def replay(spark: SparkSession, dir: String): DataFrame =
     rollup(recoveredScan(spark, dir, None))
 
+  /** The full-recovery flush dir — the engine's own post-snapshot
+    * write activity, reused by the incremental-backup composition
+    * (q235). */
+  def flushedDir(spark: SparkSession, dir: String): String =
+    ensureFlushed(spark, dir, None)
+
   /** q223: point-in-time restore at [[RestorePointUs]]. */
   def pitr(spark: SparkSession, dir: String): DataFrame =
     rollup(recoveredScan(spark, dir, Some(RestorePointUs)))

@@ -4400,6 +4400,9 @@ ORDER BY 1"""
       // invariant (merged == plain delta sum: no loss, no double
       // count) despite a shard table bigger than (cell, node).
       ("q234_counters" -> q234Sql) +
+      // q235: incremental backups — the restored set (full snapshot ∪
+      // flush-time links) reproduces base corpus + recovery state.
+      ("q235_incremental_backup" -> q235Sql) +
       // q204: sstableofflinerelevel — first-fit runs + volume-ranked
       // levels off the flat set, rewritten levels re-read + disjoint.
       ("q204_offline_relevel" -> q204Sql) +
@@ -7067,6 +7070,56 @@ FROM cpercell p
 JOIN cshardcounts s USING (key, clustering, column_name)
 JOIN cdeltas d USING (key, clustering, column_name)
 GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q235: incremental backups (round 16) — the snapshot tier is the
+    * verbatim per-sstable base relation; the backup tier is q221's
+    * recovery state (LWW winners, NO purge) under the volume-adaptive
+    * shard rule — the flush-time links hold exactly the post-snapshot
+    * write activity. */
+  private lazy val q235Sql: String = {
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+ibmapped AS (
+  SELECT sstable_id, key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone, is_expiring,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes
+  FROM licells
+),
+ibsnap AS (
+  SELECT 'snapshot' AS tier, sstable_id,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS digest
+  FROM ibmapped GROUP BY 2
+),
+ibranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key, clustering, column_name
+    ORDER BY timestamp_us DESC, size_bytes DESC, is_tombstone DESC,
+             local_deletion_time_s DESC, ttl_s DESC, is_expiring DESC,
+             kind DESC) AS rn
+  FROM ibmapped
+),
+ibwinners AS (SELECT * FROM ibranked WHERE rn = 1),
+ibvol AS (
+  SELECT LEAST(4096, GREATEST(1,
+    CAST(CEIL(SUM(32 + size_bytes) / 1048576.0) AS BIGINT))) AS n
+  FROM ibwinners
+),
+ibback AS (
+  SELECT 'backup' AS tier,
+    'sst-' || CAST(key % (SELECT n FROM ibvol) AS VARCHAR) AS sstable_id,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS digest
+  FROM ibwinners GROUP BY 2
+)
+SELECT * FROM ibback UNION ALL SELECT * FROM ibsnap
+ORDER BY tier, sstable_id"""
   }
 
   /** q216: nodetool garbagecollect (round 16) — the single-sstable

@@ -499,7 +499,9 @@ class CliMainSpec extends SparkSpec {
     // lightweight transactions (round 16): per-partition CAS chains
     "cas" -> Seq("cas", "ks1", "lineitem"),
     // distributed counters (round 16): max-clock shard merge
-    "counters" -> Seq("counters", "ks1", "lineitem"))
+    "counters" -> Seq("counters", "ks1", "lineitem"),
+    // incremental backup (round 16): snapshot + flush-time links
+    "backup" -> Seq("backup", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -198,6 +198,31 @@ class TopologySpec extends SparkSpec {
     assert(merged === deltas)
   }
 
+  test("incremental backup: flush-time links restore on top of the base") {
+    import graft.ops.{CommitLog, IncrementalBackup}
+    import java.nio.file.{Files, Paths}
+    val flushes = CommitLog.flushedDir(spark, Sf0001)
+    val backups = IncrementalBackup.ensureBackups(spark, Sf0001)
+    // every flushed component linked, never copied
+    val flushed = Option(new java.io.File(flushes).listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+    assert(flushed.nonEmpty)
+    flushed.foreach { f =>
+      val b = Paths.get(backups, f.getName)
+      assert(Files.exists(b) && Files.isSameFile(b, f.toPath),
+        s"${f.getName} not hard-linked into backups/")
+    }
+    // the restored union: snapshot tier == corpus; backup tier == the
+    // recovery state (one winner per reconciled cell)
+    val rows = IncrementalBackup.roundtrip(spark, Sf0001).collect()
+    val byTier = rows.groupBy(_.getAs[String]("tier"))
+      .view.mapValues(_.map(_.getAs[Long]("events")).sum).toMap
+    val corpus = graft.sources.Fixtures.cells(spark, Sf0001)
+    assert(byTier("snapshot") === corpus.count())
+    assert(byTier("backup") === corpus
+      .select("key", "clustering", "column_name").distinct().count())
+  }
+
   test("read repair: the patch is the DIFF — only stale read events") {
     val patchPath = ReadRepair.ensurePatched(spark, Sf0001)
     val patch = graft.sources.datadb.DataDb.cells(spark, patchPath,

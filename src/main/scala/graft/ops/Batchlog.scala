@@ -63,26 +63,6 @@ object Batchlog {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   private def batched(spark: SparkSession, dir: String): DataFrame = {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
@@ -101,7 +81,7 @@ object Batchlog {
   /** The crash-time state: the applied table file + the surviving
     * batchlog files, under one dir (session-memoized). */
   def ensureCrash(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|batchlog-crash") {
+    OpMemo.memoized(spark, s"$dir|batchlog-crash") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-batchlog")).toString
       val w = batched(spark, dir)
@@ -140,7 +120,7 @@ object Batchlog {
   /** Replay every surviving batchlog file through the sink
     * (session-memoized): full batches, prefix duplicates included. */
   def ensureReplayed(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|batchlog-replay") {
+    OpMemo.memoized(spark, s"$dir|batchlog-replay") {
       val crash = ensureCrash(spark, dir)
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-batchlog-rx"))

@@ -54,26 +54,6 @@ object CommitLog {
   /** Recovered-flush generations: replay writes sst-(key % shards). */
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   /** The append order: timestamp first (a WAL is time-ordered), then
     * every other serialized field so the order is total up to exact
@@ -86,7 +66,7 @@ object CommitLog {
     * licell as one mutation, append-ordered, segmented by the div
     * rule. Driver-sequential by design — see the scale note above. */
   def ensureWal(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|wal") {
+    OpMemo.memoized(spark, s"$dir|wal") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-commitlog")).toString
       val rows = Fixtures.cells(spark, dir)
@@ -207,7 +187,7 @@ object CommitLog {
     * time, before the reconcile exchange. */
   private def ensureFlushed(spark: SparkSession, dir: String,
       boundUs: Option[Long]): String =
-    memoized(spark, s"$dir|flush|${boundUs.getOrElse(-1L)}") {
+    OpMemo.memoized(spark, s"$dir|flush|${boundUs.getOrElse(-1L)}") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-clreplay")).toString
       val mu0 = mutations(spark, dir)
@@ -324,7 +304,7 @@ object CommitLog {
     sharedCdc(spark, dir)
 
   private def sharedCdc(spark: SparkSession, dir: String): DataFrame = {
-    val resultPath = memoized(spark, s"$dir|cdc") {
+    val resultPath = OpMemo.memoized(spark, s"$dir|cdc") {
       val wal = ensureWal(spark, dir)
       val segFiles = Option(new java.io.File(wal).listFiles())
         .getOrElse(Array.empty[java.io.File])

@@ -63,26 +63,6 @@ object Hints {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   private def corpusHeld(spark: SparkSession, dir: String): DataFrame = {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
@@ -100,7 +80,7 @@ object Hints {
   /** The target's outage-gapped sstable + the coordinators' hint
     * files, under one dir (session-memoized). */
   def ensureOutage(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|hints-outage") {
+    OpMemo.memoized(spark, s"$dir|hints-outage") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-hints")).toString
       val held = corpusHeld(spark, dir)
@@ -145,7 +125,7 @@ object Hints {
   /** Replay the hint files through the sink: one received sstable per
     * coordinator (session-memoized). */
   def ensureReplayed(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|hints-replay") {
+    OpMemo.memoized(spark, s"$dir|hints-replay") {
       val outage = ensureOutage(spark, dir)
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-hints-rx")).toString

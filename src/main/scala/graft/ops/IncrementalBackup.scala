@@ -31,31 +31,11 @@ object IncrementalBackup {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   /** Link the post-snapshot flushes (the q221 recovery output) into a
     * backups dir (session-memoized). */
   def ensureBackups(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|incbackup") {
+    OpMemo.memoized(spark, s"$dir|incbackup") {
       val flushes = CommitLog.flushedDir(spark, dir)
       val backups = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-backups"))

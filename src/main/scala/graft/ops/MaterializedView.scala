@@ -49,26 +49,6 @@ object MaterializedView {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   /** Base live cells → view rows: key = value length, clustering =
     * packed base PK (reversible: key·6 + clustering·2 + column). */
@@ -99,7 +79,7 @@ object MaterializedView {
     * value, then the window's deltas as their own file
     * (session-memoized). */
   def ensureView(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|mview") {
+    OpMemo.memoized(spark, s"$dir|mview") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-mview")).toString
       val inPath = CassandraDataFixture.ensureFiles(spark, dir,

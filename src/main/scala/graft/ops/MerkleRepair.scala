@@ -52,26 +52,6 @@ object MerkleRepair {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   private val EventCols = Seq("key", "clustering", "column_name", "kind",
     "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
@@ -83,7 +63,7 @@ object MerkleRepair {
   /** A (full) and B (single-leaf-gapped) under one dir
     * (session-memoized). */
   def ensureReplicas(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|merkle") {
+    OpMemo.memoized(spark, s"$dir|merkle") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-merkle")).toString
       val inPath = CassandraDataFixture.ensureFiles(spark, dir,

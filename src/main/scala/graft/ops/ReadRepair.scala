@@ -54,26 +54,6 @@ object ReadRepair {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
@@ -95,7 +75,7 @@ object ReadRepair {
   /** A's (full) and B's (stale-gapped) files under one dir
     * (session-memoized). */
   def ensureReplicas(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|rr-replicas") {
+    OpMemo.memoized(spark, s"$dir|rr-replicas") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-readrepair")).toString
       val ev = corpus(spark, dir)
@@ -125,7 +105,7 @@ object ReadRepair {
     * staleness predicate): mismatched read partitions' A-events
     * anti-joined against B (session-memoized). */
   def ensurePatched(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|rr-patch") {
+    OpMemo.memoized(spark, s"$dir|rr-patch") {
       val reps = ensureReplicas(spark, dir)
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-rr-patch")).toString

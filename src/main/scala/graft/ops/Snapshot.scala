@@ -34,31 +34,11 @@ object Snapshot {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
-  private def memoized(spark: SparkSession, key: String)(
-      thunk: => String): String = {
-    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(full)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => thunk)
-        memo.put(full, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
 
   /** Hard-link the live set's components into a snapshot dir
     * (session-memoized). Returns the snapshot dir. */
   def ensureSnapshot(spark: SparkSession, dir: String): String =
-    memoized(spark, s"$dir|snapshot") {
+    OpMemo.memoized(spark, s"$dir|snapshot") {
       val live = CassandraDataFixture.ensureFiles(spark, dir,
         compressed = true)
       val snap = graft.sources.TempDirs.register(

@@ -87,11 +87,12 @@ object MerkleRepair {
     col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
     col("size_bytes"))) % M
 
+  // raw-equality filter: pushes down, pruning the other replica's
+  // file at planning (a regexp filter would scan both files)
   private def leafDigests(spark: SparkSession, path: String, gen: Long)
       : Map[Long, (Long, Long)] =
     DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
-      .where(regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
-        .cast("long") === gen + 1L)
+      .where(col("sstable_id") === s"nb-${gen + 1}-big")
       .groupBy(leaf.as("leaf"))
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
       .collect()

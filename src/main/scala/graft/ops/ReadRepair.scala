@@ -84,11 +84,13 @@ object ReadRepair {
       out
     }
 
+  // raw-equality filter on the scan's sstable_id: PUSHES DOWN (the
+  // DSv2 prunes the other replica's whole file at planning) — a
+  // regexp-transformed filter would read both files and drop rows
   private def replica(spark: SparkSession, path: String, gen: Long)
       : DataFrame =
     DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
-      .where(regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
-        .cast("long") === gen + 1L)
+      .where(col("sstable_id") === s"nb-${gen + 1}-big")
 
   private def eventHash = graft.functions.PortableHash.h60(concat_ws(":",
     col("key"), col("clustering"), col("column_name"), col("kind"),

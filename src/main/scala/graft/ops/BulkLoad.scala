@@ -60,6 +60,11 @@ object BulkLoad {
   def replicasOf(q: Int): Seq[Int] =
     (0 until Rf).map(r => (q + r) % Nodes)
 
+  /** The raw scan id of node n's received file — for PUSHABLE
+    * sstable_id prefilters (the DSv2 prunes whole files at planning;
+    * a filter on the regexp-derived node column cannot). */
+  def nodeFileId(n: Long): String = s"nb-${OutGenBase + n + 1}-big"
+
   private def inputEvents(spark: SparkSession, inPath: String): DataFrame =
     DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
       .withColumn("sstable_id", concat(lit("sst-"),

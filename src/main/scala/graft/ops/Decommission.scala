@@ -122,10 +122,12 @@ object Decommission {
         sum(eventHash).as("corpus_digest"))
     val retained = DataDb.cells(spark, BulkLoad.ensureLoaded(spark, dir),
         format = DataDbScan.FormatCassandra)
+      // pushable prefilter: the leaving node's file pruned at planning
+      .where(col("sstable_id").isin((0L until BulkLoad.Nodes.toLong)
+        .filterNot(_ == Leaving.toLong).map(BulkLoad.nodeFileId): _*))
       .withColumn("node",
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L - BulkLoad.OutGenBase)
-      .where(col("node") =!= Leaving.toLong)
       .withColumn("origin", lit("retained"))
     val streamed = DataDb.cells(spark, ensureStreamed(spark, dir),
         format = DataDbScan.FormatCassandra)

@@ -108,7 +108,10 @@ object Move {
     val ev = loadedEvents(spark, dir)
     // gained ranges stream from their designated source replica's file
     val streams = Streams.toDF("eighth", "node", "gainer")
-    ev.join(broadcast(streams), Seq("eighth", "node"))
+    // pushable prefilter: only the designated source nodes' files open
+    ev.where(col("sstable_id").isin(
+        Streams.map(s => BulkLoad.nodeFileId(s._2)).distinct: _*))
+      .join(broadcast(streams), Seq("eighth", "node"))
       .select(outCols(concat(lit("sst-"),
         (lit(StreamGenBase) + col("gainer")).cast("string"))): _*)
       .write.format("sstable-data")
@@ -116,7 +119,9 @@ object Move {
       .mode("append").save()
     // losers rewrite locally without the eighth they gave up
     val losses = Losses.toSeq.toDF("node", "lost")
-    ev.join(broadcast(losses), Seq("node"))
+    ev.where(col("sstable_id").isin(
+        Losses.keys.toSeq.map(BulkLoad.nodeFileId): _*))
+      .join(broadcast(losses), Seq("node"))
       .where(col("eighth") =!= col("lost"))
       .select(outCols(concat(lit("sst-"),
         (lit(CleanGenBase) + col("node")).cast("string"))): _*)
@@ -146,9 +151,13 @@ object Move {
       .groupBy("eighth")
       .agg(count(lit(1)).as("corpus_events"),
         sum(eventHash).as("corpus_digest"))
-    // untouched nodes keep their original loaded files
+    // untouched nodes keep their original loaded files (pushable
+    // prefilter: the losers' files are never opened here)
+    val keepNodes = (0L until BulkLoad.Nodes.toLong)
+      .filterNot(Losses.keySet)
     val retained = loadedEvents(spark, dir)
-      .where(!col("node").isin(Losses.keys.toSeq: _*))
+      .where(col("sstable_id").isin(
+        keepNodes.map(BulkLoad.nodeFileId): _*))
       .withColumn("origin", lit("retained"))
     val moved = DataDb.cells(spark, ensureMoved(spark, dir),
         format = DataDbScan.FormatCassandra)

@@ -84,6 +84,11 @@ object RemoveNode {
           .cast("long") - 1L - BulkLoad.OutGenBase)
       .withColumn("quarter",
         shiftright(AntiEntropy.token(col("key")), BulkLoad.QuarterShift))
+      // pushable prefilter: only the surviving SOURCE replicas' files
+      // open (and never the dead node's — now by planning, not just
+      // by the join)
+      .where(col("sstable_id").isin(
+        Handoff.map(h => BulkLoad.nodeFileId(h._2)).distinct: _*))
       .join(broadcast(handoff), Seq("quarter", "src"))
       .select(
         concat(lit("sst-"), (lit(OutGenBase) + col("target"))
@@ -120,10 +125,12 @@ object RemoveNode {
         sum(eventHash).as("corpus_digest"))
     val retained = DataDb.cells(spark, BulkLoad.ensureLoaded(spark, dir),
         format = DataDbScan.FormatCassandra)
+      // pushable prefilter: the dead node's file is pruned at planning
+      .where(col("sstable_id").isin((0L until BulkLoad.Nodes.toLong)
+        .filterNot(_ == Dead.toLong).map(BulkLoad.nodeFileId): _*))
       .withColumn("node",
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L - BulkLoad.OutGenBase)
-      .where(col("node") =!= Dead.toLong)
       .withColumn("quarter",
         shiftright(AntiEntropy.token(col("key")), BulkLoad.QuarterShift))
       .withColumn("origin", lit("retained"))

@@ -135,8 +135,8 @@ object CommitLog {
     * and the div-rule cuts. */
   def segments(spark: SparkSession, dir: String): DataFrame = {
     val mu = mutations(spark, dir)
-    val entryLen = lit(66L) + length(col("column_name")) +
-      length(col("kind"))
+    val entryLen = lit(CommitLogFormat.FixedEntryBytes.toLong) +
+      length(col("column_name")) + length(col("kind"))
     mu.groupBy("segment")
       .agg(
         count(lit(1)).as("entries"),

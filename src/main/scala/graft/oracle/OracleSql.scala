@@ -6505,9 +6505,10 @@ FROM winners GROUP BY 1 ORDER BY 1"""
   private lazy val q222Sql: String = {
     val segB = graft.sources.commitlog.CommitLogFormat.SegmentBytes
     val secB = graft.sources.commitlog.CommitLogFormat.SectionBytes
+    val feb = graft.sources.commitlog.CommitLogFormat.FixedEntryBytes
     s"""WITH $fixtures,
 sized AS (
-  SELECT *, 66 + length(column_name) + length(kind) AS entry_len
+  SELECT *, $feb + length(column_name) + length(kind) AS entry_len
   FROM licells
 ),
 cums AS (
@@ -6545,9 +6546,10 @@ FROM segd GROUP BY 1 ORDER BY 1"""
     * a re-delivered segment inflates run 2, a lost one deflates it. */
   private lazy val q224Sql: String = {
     val segB = graft.sources.commitlog.CommitLogFormat.SegmentBytes
+    val feb = graft.sources.commitlog.CommitLogFormat.FixedEntryBytes
     s"""WITH $fixtures,
 sized AS (
-  SELECT *, 66 + length(column_name) + length(kind) AS entry_len
+  SELECT *, $feb + length(column_name) + length(kind) AS entry_len
   FROM licells
 ),
 cums AS (

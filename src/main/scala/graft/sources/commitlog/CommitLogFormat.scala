@@ -91,10 +91,16 @@ object CommitLogFormat {
       timestampUs: Long, ttlS: Long, localDeletionTimeS: Long,
       isTombstone: Boolean, isExpiring: Boolean, sizeBytes: Long)
 
+  /** Fixed on-disk bytes per entry: the 54-byte fixed payload portion
+    * plus 12 framing bytes (size int, size CRC, payload CRC). Entry
+    * length = this + the two UTF string lengths — the ONE constant the
+    * report and both SQL oracles share. */
+  val FixedEntryBytes = 66
+
   /** Serialized payload length (54 fixed + writeUTF framing; both
     * strings are ASCII in this engine, so SQL `length()` matches). */
   def payloadLength(m: Mutation): Int =
-    54 + m.columnName.length + m.kind.length
+    FixedEntryBytes - 12 + m.columnName.length + m.kind.length
 
   /** On-disk entry length: size int + size CRC + payload + payload
     * CRC. */

@@ -455,7 +455,13 @@ object Bench {
       // standing-repair shape at 10x
       "q221_commitlog_replay" -> "commitlog",
       "q227_read_repair" -> "repair",
-      "q229_merkle_descent" -> "repair")
+      "q229_merkle_descent" -> "repair",
+      // the other two coordinator artifacts at 10x: hints replay
+      // (outage split + per-coordinator files + sink replay) and the
+      // batchlog's reconcile-verified completion — first windows pay
+      // the memoized fixture writes, min-of-two times the warm core
+      "q225_hinted_handoff" -> "commitlog",
+      "q228_batchlog" -> "commitlog")
     val binProbeDir = ensureSf1BinProbe(spark, sfDir)
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =

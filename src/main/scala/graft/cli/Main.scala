@@ -161,7 +161,18 @@ object Main {
         |  garbagecollect  nodetool garbagecollect: every sstable rewrites alone, per-file reclaim accounting
         |  decommission nodetool decommission: the leaving node streams its ranges; the shrunk ring restores RF=2
         |  removenode   nodetool removenode: the dead node's ranges re-replicate survivor-to-survivor
-        |  move         nodetool move: a token shift — gained ranges stream in, lost ranges are cleaned away""".stripMargin
+        |  move         nodetool move: a token shift — gained ranges stream in, lost ranges are cleaned away
+        |  rebuild      nodetool rebuild: re-stream a node's ranges from surviving replicas after data loss
+        |  commitlog    Commit-log segment inventory, replay recovery, and point-in-time restore accounting
+        |  hints        Hinted-handoff store: pending/expired hints and post-delivery convergence
+        |  batchlog     Batchlog store: pending/replayed batches and atomicity accounting
+        |  readrepair   Read-repair: digest mismatches and repaired-row accounting per read quorum
+        |  merkle       Merkle-tree anti-entropy descent: per-leaf digests and mismatched-range drill-down
+        |  mview        Materialized-view build and base-to-view convergence accounting
+        |  snapshot     Hard-link snapshot inventory (zero-copy, same-file-key verified)
+        |  backup       Incremental backup manifest: linked-since-last-backup accounting
+        |  cas          Lightweight-transaction (CAS) register: ballot history per partition
+        |  counters     Distributed counter reconciliation: per-shard sums and final values""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's

@@ -200,12 +200,15 @@ object Batchlog {
       .agg(count(lit(1)).as("expect_events"),
         sum(eventHash).as("expect_digest"))
     full
-      .join(appliedCounts, Seq("batch_id"))
+      // left + coalesce(0) like `replayed` (ADVICE r16): a batch
+      // interrupted before any clustering=0 prefix applied writes no
+      // crash-time rows and must report applied_before=0, not vanish
+      .join(appliedCounts, Seq("batch_id"), "left")
       .join(replayCounts, Seq("batch_id"), "left")
       .join(after, Seq("batch_id"))
       .join(expect, Seq("batch_id"))
       .select(col("batch_id"), col("mutations"),
-        col("applied_before"),
+        coalesce(col("applied_before"), lit(0L)).as("applied_before"),
         coalesce(col("replayed"), lit(0L)).as("replayed"),
         (!isCompleted).as("logged"),
         col("state_events"), col("state_digest"),

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,9 +115,20 @@ object CommitLog {
         "is_tombstone", "is_expiring", "size_bytes")
   }
 
-  /** Per-segment file facts read at parse time (sections, file bytes),
-    * one row per segment — O(#segments) driver-scale output. */
-  def segmentFacts(spark: SparkSession, dir: String): DataFrame = {
+  /** q222: the per-segment report — entries, sections, file bytes,
+    * entry-byte volume, timestamp span and a key digest, every column
+    * recomputable by the oracle's windowed replay of the append order
+    * and the div-rule cuts.
+    *
+    * ONE parse pass (ADVICE r16): each segment is fully in memory in
+    * its parse task, so its report row aggregates in-task — no second
+    * binaryFile scan, no groupBy exchange, no join. O(#segments)
+    * output. `crc_verified` is enforced, not compared: parseSegment is
+    * fail-closed (header, marker chain and per-entry CRCs all throw on
+    * mismatch), so any segment that yields a row verified by
+    * construction — the prior entries===parsed_entries derivation
+    * compared two counts from the SAME parser and was tautological. */
+  def segments(spark: SparkSession, dir: String): DataFrame = {
     val wal = ensureWal(spark, dir)
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -123,33 +136,18 @@ object CommitLog {
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .map { case (_, bytes) =>
         val seg = CommitLogFormat.parseSegment(bytes)
-        (seg.id, seg.sections.size.toLong, seg.bytes,
-          seg.mutations.size.toLong)
+        val ms = seg.mutations
+        val entryBytes =
+          ms.iterator.map(CommitLogFormat.entryLength(_).toLong).sum
+        (seg.id, ms.size.toLong, seg.sections.size.toLong, entryBytes,
+          seg.bytes, ms.iterator.map(_.timestampUs).min,
+          ms.iterator.map(_.timestampUs).max,
+          ms.iterator.map(_.key % M).sum,
+          ms.count(_.isTombstone).toLong, true)
       }
-      .toDF("segment", "sections", "file_bytes", "parsed_entries")
-  }
-
-  /** q222: the per-segment report — entries, sections, file bytes,
-    * entry-byte volume, timestamp span and a key digest, every column
-    * recomputable by the oracle's windowed replay of the append order
-    * and the div-rule cuts. */
-  def segments(spark: SparkSession, dir: String): DataFrame = {
-    val mu = mutations(spark, dir)
-    val entryLen = lit(CommitLogFormat.FixedEntryBytes.toLong) +
-      length(col("column_name")) + length(col("kind"))
-    mu.groupBy("segment")
-      .agg(
-        count(lit(1)).as("entries"),
-        sum(entryLen).as("entry_bytes"),
-        min("timestamp_us").as("first_ts_us"),
-        max("timestamp_us").as("last_ts_us"),
-        sum(col("key") % M).as("keys_sum"),
-        sum(when(col("is_tombstone"), 1L).otherwise(0L)).as("tombstones"))
-      .join(segmentFacts(spark, dir), Seq("segment"))
-      .select(col("segment"), col("entries"), col("sections"),
-        col("entry_bytes"), col("file_bytes"), col("first_ts_us"),
-        col("last_ts_us"), col("keys_sum"), col("tombstones"),
-        (col("entries") === col("parsed_entries")).as("crc_verified"))
+      .toDF("segment", "entries", "sections", "entry_bytes", "file_bytes",
+        "first_ts_us", "last_ts_us", "keys_sum", "tombstones",
+        "crc_verified")
       .orderBy("segment")
   }
 
@@ -348,11 +346,33 @@ object CommitLog {
       val out2 = drain(2L)
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-cdc-out")).toString
-      // read the part files directly: run 2's sink dir carries a
-      // _spark_metadata log whose batch ids CONTINUE from the shared
-      // checkpoint (its first entry is batch 1), which the
-      // metadata-aware directory reader rejects as a gapped log
-      def parts(d: String) = spark.read.parquet(s"$d/part-*.parquet")
+      // read each sink dir through its _spark_metadata transaction log
+      // (ADVICE r16): the committed-file list is the sink's exactly-once
+      // contract — a raw part glob would double-read files left by
+      // aborted/speculative tasks. The directory READER can't do this
+      // itself here (run 2's log starts at the shared checkpoint's batch
+      // 1, which it rejects as gapped), so the committed list is parsed
+      // from the log's add-entries directly — O(#batches) driver work.
+      def parts(d: String) = {
+        val metaDir = new java.io.File(d, "_spark_metadata")
+        val batchFiles = Option(metaDir.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          // batch files are "<n>" or "<n>.compact"; skip Hadoop's hidden
+          // binary ".<n>.crc" shadows
+          .filter { f =>
+            val head = f.getName.takeWhile(_ != '.')
+            head.nonEmpty && head.forall(_.isDigit)
+          }
+          .sortBy(_.getName)
+        val pathRe = """"path":"([^"]+)"""".r
+        val committed = batchFiles.flatMap { bf =>
+          val lines = java.nio.file.Files.readAllLines(bf.toPath)
+          lines.asScala.flatMap(l =>
+            pathRe.findAllMatchIn(l).map(_.group(1)))
+        }.distinct.toSeq
+        require(committed.nonEmpty, s"no committed files in $metaDir")
+        spark.read.parquet(committed: _*)
+      }
       parts(out1).withColumn("run", lit(1L))
         .unionByName(parts(out2).withColumn("run", lit(2L)))
         .write.mode("overwrite").parquet(out)

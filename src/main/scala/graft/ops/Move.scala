@@ -63,28 +63,11 @@ object Move {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
   /** Execute the move's data motion: the two gained-eighth streams and
     * the two losers' local rewrites, real sstables under the returned
-    * dir (session-memoized). */
-  def ensureMoved(spark: SparkSession, dir: String): String = {
-    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|move"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(key)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => build(spark, dir))
-        memo.put(key, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
+    * dir (session-memoized via [[OpMemo]]). */
+  def ensureMoved(spark: SparkSession, dir: String): String =
+    OpMemo.memoized(spark, s"$dir|move")(build(spark, dir))
 
   private def loadedEvents(spark: SparkSession, dir: String): DataFrame =
     DataDb.cells(spark, BulkLoad.ensureLoaded(spark, dir),

@@ -45,27 +45,10 @@ object Rebuild {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
   /** Stream DC2's four rebuild sessions; one real sstable per session
-    * under the returned dir (session-memoized). */
-  def ensureRebuilt(spark: SparkSession, dir: String): String = {
-    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|rebuild"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(key)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => build(spark, dir))
-        memo.put(key, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
+    * under the returned dir (session-memoized via [[OpMemo]]). */
+  def ensureRebuilt(spark: SparkSession, dir: String): String =
+    OpMemo.memoized(spark, s"$dir|rebuild")(build(spark, dir))
 
   private def build(spark: SparkSession, dir: String): String = {
     val out = graft.sources.TempDirs.register(

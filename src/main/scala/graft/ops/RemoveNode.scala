@@ -46,28 +46,11 @@ object RemoveNode {
 
   private val M = 1000003L
 
-  private val memo =
-    new java.util.HashMap[String, (SparkSession, Slot[String])]()
-
   /** Stream each under-replicated quarter from its surviving replica
     * to its new holder; one real sstable per direction under the
-    * returned dir (session-memoized). */
-  def ensureStreamed(spark: SparkSession, dir: String): String = {
-    val key = s"${graft.sources.PlanCache.sessionKey(spark)}|$dir|rmnode"
-    val slot = memo.synchronized {
-      val it = memo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val hit = memo.get(key)
-      if (hit != null) hit._2
-      else {
-        val s = new Slot(() => build(spark, dir))
-        memo.put(key, (spark, s))
-        s
-      }
-    }
-    slot.value
-  }
+    * returned dir (session-memoized via [[OpMemo]]). */
+  def ensureStreamed(spark: SparkSession, dir: String): String =
+    OpMemo.memoized(spark, s"$dir|rmnode")(build(spark, dir))
 
   private def build(spark: SparkSession, dir: String): String = {
     val out = graft.sources.TempDirs.register(

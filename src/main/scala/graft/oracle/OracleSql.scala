@@ -513,7 +513,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS count,
   CAST(floor(SUM(size) * 1000 / COUNT(*)) AS BIGINT) AS mean_x1000
 FROM liparts""",
 
-    // q42c: the SEEDED reservoir — a full DuckDB replay of the engine's
+    // q42 (official, seeded): a full DuckDB replay of the engine's
     // deterministic Vitter-R fold, Java LCG arithmetic included. Because
     // the fold's slot choice r_i = |Random(i).nextLong()| % i depends only
     // on the 1-based element index i (seed = running count), the final
@@ -523,7 +523,7 @@ FROM liparts""",
     // next(32) = ((seed*0x5DEECE66D + 0xB) mod 2^48) >>> 16 steps (signed
     // 32-bit), nextLong = hi*2^32 + lo with signed-64 wrap — all exact in
     // HUGEINT. A single wrong LCG step, slot, or tie-break breaks the hash.
-    "q42c_reservoir_seeded" -> s"""WITH $fixtures,
+    "q42_reservoir_dist" -> s"""WITH $fixtures,
 vals AS (SELECT size AS v,
   CAST(row_number() OVER (ORDER BY key) AS BIGINT) AS i FROM liparts),
 r0 AS (SELECT i, v,

@@ -1136,6 +1136,25 @@ object SparkEntry {
     // reshaped ring keeps every eighth at exactly RF=2 holders
     "q219_move" -> ((s, d) =>
       graft.ops.Move.roundtrip(s, d)),
+    // the topology family at VNODE granularity (round 17): 16
+    // interleaved tokens, 4 per node — adjacent same-owner slots force
+    // the real distinct-node replica walk; the loaded ring verifies
+    // off real per-node received files, the oracle deriving the
+    // replica table relationally from the token VALUES
+    "q236_vnode_load" -> ((s, d) =>
+      graft.ops.VnodeRing.loadRoundtrip(s, d)),
+    // the vnode pending-ranges calculus: per range, full-ring replicas
+    // vs survivor-ring replicas (ownership merges into the next
+    // surviving token) and the gainer — the engine's iterative Scala
+    // walk hash-compared against the oracle's SQL walk
+    "q237_vnode_pending" -> ((s, _) =>
+      graft.ops.VnodeRing.pendingReport(s)),
+    // vnode decommission executed: node 3's 9 scattered replicated
+    // ranges stream to gainers on ALL THREE survivors (the blast
+    // radius single-token rings cannot show); retained + streamed-in
+    // views digest-verify per range at RF=2 holders
+    "q238_vnode_decommission" -> ((s, d) =>
+      graft.ops.VnodeRing.decommissionRoundtrip(s, d)),
     // stream-stream inner join under the oracle (round 16): symmetric
     // join state + watermark eviction under a controlled arrival — the
     // even cohort matches in-batch (30 min lag), the ≡1 (mod 4) cohort

@@ -50,7 +50,8 @@ object Main {
     "load", "repairedset", "downgrade", "cleanup", "bootstrap",
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
-    "merkle", "mview", "snapshot", "cas", "counters", "backup")
+    "merkle", "mview", "snapshot", "cas", "counters", "backup",
+    "vnodes")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -91,6 +92,7 @@ object Main {
     case "cas" => "Usage: cas <keyspace> <table>"
     case "counters" => "Usage: counters <keyspace> <table>"
     case "backup" => "Usage: backup <keyspace> <table>"
+    case "vnodes" => "Usage: vnodes <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -172,7 +174,8 @@ object Main {
         |  snapshot     Hard-link snapshot inventory (zero-copy, same-file-key verified)
         |  backup       Incremental backup manifest: linked-since-last-backup accounting
         |  cas          Lightweight-transaction (CAS) register: ballot history per partition
-        |  counters     Distributed counter reconciliation: per-shard sums and final values""".stripMargin
+        |  counters     Distributed counter reconciliation: per-shard sums and final values
+        |  vnodes       Vnode-granularity ring: pending-ranges calculus and executed decommission""".stripMargin
   }
 
   /** Engine version (build.sbt's ThisBuild/version; the reference's
@@ -434,6 +437,9 @@ object Main {
       case "move" =>
         if (!requireStore()) return 2
         out(tracked("move")(Reports.move(spark, dir))); 0
+      case "vnodes" =>
+        if (!requireStore()) return 2
+        out(tracked("vnodes")(Reports.vnodes(spark, dir))); 0
       case "commitlog" =>
         if (!requireStore()) return 2
         out(tracked("commitlog")(Reports.commitlog(spark, dir))); 0

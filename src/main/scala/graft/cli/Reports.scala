@@ -554,6 +554,19 @@ object Reports {
       "locally; the reshaped ring keeps RF=2 everywhere",
       graft.ops.Move.roundtrip(spark, dir))
 
+  /** `vnodes <ks> <cf>` — the vnode-granularity topology family
+    * (q236–q238): the 4×4-token ring's pending-ranges calculus and the
+    * executed load + decommission verified off real files. */
+  def vnodes(spark: SparkSession, dir: String): String =
+    section("Vnode ring (4 nodes x 4 tokens, interleaved): per-range " +
+      "full-ring vs survivor-ring replicas and the gainer when node 3 " +
+      "departs (-1 = untouched)",
+      graft.ops.VnodeRing.pendingReport(spark)) +
+      section("Executed vnode decommission: node 3's 9 scattered ranges " +
+        "stream to gainers on all three survivors; every view " +
+        "digest-verified at RF=2",
+        graft.ops.VnodeRing.decommissionRoundtrip(spark, dir))
+
   /** `commitlog <ks> <cf>` — the WAL segment report (q222) plus the
     * recovery summary (q221): segments, sections, byte accounting,
     * CRC verification, and the reconciled flush state. */

@@ -38,7 +38,9 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   * one scan + one fan-out exchange the sink's clustered distribution
   * plans; digests are narrow commutative aggregates (O(#ranges) rows).
   * At a real deployment's vnode counts the same relation holds — the
-  * quarter table stays a broadcast of O(#ranges × RF) rows. */
+  * quarter table stays a broadcast of O(#ranges × RF) rows; this is
+  * now EXERCISED, not asserted: [[VnodeRing]] runs the same executed
+  * load on a 4-node × 4-vnode ring (q236). */
 object BulkLoad {
 
   /** Ring nodes (equal primary quarters). */

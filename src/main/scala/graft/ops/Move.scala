@@ -31,7 +31,10 @@ import graft.sources.datadb.{DataDb, DataDbScan}
   * arithmetic; each stream/clean is one filtered scan of a single
   * file (sstable_id pushdown) through the sink; digests are narrow
   * commutative aggregates. Real move is the same three primitives
-  * (stream in, rewrite locally, drop) at vnode counts. */
+  * (stream in, rewrite locally, drop) at vnode counts — and the vnode
+  * pending-ranges calculus itself is exercised by [[VnodeRing]]
+  * (q237/q238: 4 tokens per node, interleaved ranges, whole-ring
+  * blast radius). */
 object Move {
 
   /** The moving node. */

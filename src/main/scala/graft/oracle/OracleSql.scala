@@ -4337,6 +4337,17 @@ ORDER BY 1"""
       // ranges stream from the minimal pre-move replica, lost ranges
       // are cleaned away locally; the reshaped ring keeps RF=2.
       ("q219_move" -> q219Sql) +
+      // q236: the vnode bulk load — 16 interleaved tokens, 4 per node;
+      // the RF=2 distinct-owner walk derived relationally in SQL, the
+      // holdings verified off the real received files.
+      ("q236_vnode_load" -> q236Sql) +
+      // q237: vnode pending-ranges — the departure calculus per range
+      // (ownership merge + survivor walk), Scala walk vs SQL walk.
+      ("q237_vnode_pending" -> q237Sql) +
+      // q238: executed vnode decommission — node 3's 9 scattered
+      // ranges stream to gainers on ALL THREE survivors; every
+      // survivor view digest-verifies and RF=2 holds per range.
+      ("q238_vnode_decommission" -> q238Sql) +
       // q220: stream-stream inner join under controlled arrival — the
       // even cohort joins in-batch (lag 30), the ≡1 (mod 4) cohort
       // joins live state late (lag 90), the ≡3 cohort arrives after
@@ -6277,6 +6288,152 @@ SELECT sstable_id, key, size, cell_count, tombstone_count,
 FROM lipscan
 WHERE size >= 20000 OR cell_count >= 4 OR tombstone_count >= 3
 ORDER BY sstable_id, key"""
+
+  /** The vnode ring walk (round 17), derived RELATIONALLY from just
+    * the (slot, owner) token VALUES — an independent SQL replay of the
+    * engine's iterative Scala walk (ops/VnodeRing.scala):
+    *  - `vold2`/`vold`: full-ring RF=2 — the second replica is the
+    *    first clockwise token owned by a DISTINCT node (same-owner
+    *    tokens skipped via the u.node <> t.node join);
+    *  - `vown`: with node 3's tokens removed, each range merges into
+    *    the first SURVIVING token at or clockwise-after it (off >= 0);
+    *  - `vns2`/`vnew`: the survivor-ring second — first surviving
+    *    token after the owning slot with a distinct owner;
+    *  - `vgain`: new ⊇ old∖{leaver}, so at most one node gains. */
+  private lazy val vnodeTokenValues: String =
+    graft.ops.VnodeRing.Owners.zipWithIndex
+      .map { case (n, s) => s"($s, $n)" }.mkString(", ")
+
+  private lazy val vnodeWalkCtes: String = {
+    val k = graft.ops.VnodeRing.Slots
+    val leaving = graft.ops.VnodeRing.Leaving
+    s"""vtok AS (SELECT * FROM (VALUES $vnodeTokenValues) t(slot, node)),
+vold2 AS (
+  SELECT t.slot, u.node,
+    row_number() OVER (PARTITION BY t.slot
+      ORDER BY (u.slot - t.slot + $k) % $k) AS rn
+  FROM vtok t JOIN vtok u ON u.node <> t.node
+),
+vold AS (
+  SELECT t.slot, t.node AS old_primary, s.node AS old_second
+  FROM vtok t JOIN (SELECT slot, node FROM vold2 WHERE rn = 1) s
+    USING (slot)
+),
+vsurv AS (SELECT * FROM vtok WHERE node <> $leaving),
+vownr AS (
+  SELECT t.slot, u.slot AS own_slot, u.node AS new_primary,
+    row_number() OVER (PARTITION BY t.slot
+      ORDER BY (u.slot - t.slot + $k) % $k) AS rn
+  FROM vtok t CROSS JOIN vsurv u
+),
+vown AS (SELECT slot, own_slot, new_primary FROM vownr WHERE rn = 1),
+vns2 AS (
+  SELECT o.slot, u.node AS new_second,
+    row_number() OVER (PARTITION BY o.slot
+      ORDER BY (u.slot - o.own_slot + $k) % $k) AS rn
+  FROM vown o JOIN vsurv u
+    ON u.node <> o.new_primary AND u.slot <> o.own_slot
+),
+vnew AS (
+  SELECT o.slot, o.new_primary, s.new_second
+  FROM vown o JOIN (SELECT slot, new_second FROM vns2 WHERE rn = 1) s
+    USING (slot)
+),
+vgain AS (
+  SELECT slot, CASE
+    WHEN n.new_primary NOT IN (o.old_primary, o.old_second)
+      THEN n.new_primary
+    WHEN n.new_second NOT IN (o.old_primary, o.old_second)
+      THEN n.new_second
+    ELSE -1 END AS gainer
+  FROM vold o JOIN vnew n USING (slot)
+)"""
+  }
+
+  /** The per-range corpus digests shared by q236/q238 (scan
+    * representation, sixteenth ranges). */
+  private lazy val vnodeCorpCtes: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""vmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+vcorp AS (
+  SELECT tok // 72057594037927936 AS rng,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM vmapped GROUP BY 1
+)"""
+  }
+
+  /** q236: the vnode bulk load — every (node, range) holding off the
+    * real received files must equal the relationally-derived replica
+    * table joined with the corpus digests; RF=2 holders everywhere. */
+  private lazy val q236Sql: String =
+    s"""WITH $fixtures,
+$vnodeWalkCtes,
+$vnodeCorpCtes,
+vreps AS (
+  SELECT slot, old_primary AS node, TRUE AS is_primary FROM vold
+  UNION ALL
+  SELECT slot, old_second AS node, FALSE AS is_primary FROM vold
+)
+SELECT CAST(r.node AS BIGINT) AS node,
+  CAST(r.slot AS BIGINT) AS token_range, r.is_primary,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest, TRUE AS verified,
+  CAST(2 AS BIGINT) AS holders
+FROM vreps r JOIN vcorp c ON c.rng = r.slot
+ORDER BY node, token_range"""
+
+  /** q237: the pending-ranges calculus at vnode granularity — the
+    * engine's Scala walk vs this SQL derivation, hash-compared. */
+  private lazy val q237Sql: String =
+    s"""WITH $vnodeWalkCtes
+SELECT CAST(v.slot AS BIGINT) AS token_range,
+  CAST(o.old_primary AS BIGINT) AS old_primary,
+  CAST(o.old_second AS BIGINT) AS old_second,
+  CAST(n.new_primary AS BIGINT) AS new_primary,
+  CAST(n.new_second AS BIGINT) AS new_second,
+  CAST(g.gainer AS BIGINT) AS gainer
+FROM vtok v JOIN vold o USING (slot) JOIN vnew n USING (slot)
+  JOIN vgain g USING (slot)
+ORDER BY token_range"""
+
+  /** q238: the executed vnode decommission — retained + streamed-in
+    * survivor views, each digest-equal to its range's corpus slice,
+    * RF=2 holders restored on every range. */
+  private lazy val q238Sql: String =
+    s"""WITH $fixtures,
+$vnodeWalkCtes,
+$vnodeCorpCtes,
+vviews AS (
+  SELECT slot, old_primary AS node, 'retained' AS origin
+  FROM vold WHERE old_primary <> ${graft.ops.VnodeRing.Leaving}
+  UNION ALL
+  SELECT slot, old_second AS node, 'retained' AS origin
+  FROM vold WHERE old_second <> ${graft.ops.VnodeRing.Leaving}
+  UNION ALL
+  SELECT slot, gainer AS node, 'streamed-in' AS origin
+  FROM vgain WHERE gainer <> -1
+)
+SELECT CAST(v.node AS BIGINT) AS node,
+  CAST(v.slot AS BIGINT) AS token_range, v.origin,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest, TRUE AS verified,
+  CAST(2 AS BIGINT) AS holders
+FROM vviews v JOIN vcorp c ON c.rng = v.slot
+ORDER BY node, token_range, origin"""
 
   /** q217: nodetool decommission (round 16) — the ring-shrink
     * arithmetic replayed: node 3 leaves, node 2's primary range

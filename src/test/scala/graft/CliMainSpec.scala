@@ -501,7 +501,10 @@ class CliMainSpec extends SparkSpec {
     // distributed counters (round 16): max-clock shard merge
     "counters" -> Seq("counters", "ks1", "lineitem"),
     // incremental backup (round 16): snapshot + flush-time links
-    "backup" -> Seq("backup", "ks1", "lineitem"))
+    "backup" -> Seq("backup", "ks1", "lineitem"),
+    // vnode ring (round 17): pending-ranges calculus + executed
+    // decommission at 4 tokens per node
+    "vnodes" -> Seq("vnodes", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

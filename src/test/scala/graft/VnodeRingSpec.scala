@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.VnodeRing
+
+/** Round 17: the topology family at vnode granularity (VERDICT r16 ask
+  * #1) — the pending-ranges calculus exercised at num_tokens=4 per
+  * node, where ranges interleave and a departure's blast radius spans
+  * the whole ring. */
+class VnodeRingSpec extends SparkSpec {
+
+  test("ring shape: 4 tokens per node, interleaved") {
+    assert(VnodeRing.Owners.length === VnodeRing.Slots)
+    (0 until VnodeRing.Nodes).foreach { n =>
+      assert(VnodeRing.Owners.count(_ == n) === VnodeRing.VnodesPerNode)
+    }
+    // the assignment scatters: no node owns 3 consecutive slots
+    (0 until VnodeRing.Slots).foreach { s =>
+      val a = VnodeRing.Owners(s)
+      assert(!(VnodeRing.Owners((s + 1) % VnodeRing.Slots) == a &&
+        VnodeRing.Owners((s + 2) % VnodeRing.Slots) == a))
+    }
+  }
+
+  test("replica walk skips same-owner tokens (slots 7,8 and the wrap)") {
+    // slot 7 and 8 share owner 1: the naive "next token" second replica
+    // of range 7 would be node 1 again; the real walk lands on slot 9
+    assert(VnodeRing.Owners(7) === VnodeRing.Owners(8))
+    assert(VnodeRing.oldSecond(7) === VnodeRing.Owners(9))
+    // the 15 -> 0 wrap shares owner 0: range 15's walk skips slot 0
+    assert(VnodeRing.Owners(15) === VnodeRing.Owners(0))
+    assert(VnodeRing.oldSecond(15) === VnodeRing.Owners(1))
+    // every replica pair is two distinct nodes
+    (0 until VnodeRing.Slots).foreach { s =>
+      assert(VnodeRing.oldReplicas(s).distinct.length === VnodeRing.Rf)
+      assert(VnodeRing.survReplicas(s).distinct.length === VnodeRing.Rf)
+    }
+  }
+
+  test("departure calculus: new ⊇ old∖{leaver}, gains iff leaver held") {
+    (0 until VnodeRing.Slots).foreach { s =>
+      val old = VnodeRing.oldReplicas(s).toSet
+      val nw = VnodeRing.survReplicas(s).toSet
+      assert(!nw.contains(VnodeRing.Leaving))
+      assert((old - VnodeRing.Leaving).subsetOf(nw))
+      assert(VnodeRing.gainerOf(s).isDefined ===
+        old.contains(VnodeRing.Leaving))
+      // untouched ranges keep their exact replica set
+      if (!old.contains(VnodeRing.Leaving)) assert(nw === old)
+    }
+  }
+
+  test("vnode blast radius: all three survivors gain, scattered ranges") {
+    val gains = (0 until VnodeRing.Slots)
+      .flatMap(s => VnodeRing.gainerOf(s).map(g => (s, g)))
+    // node 3 replicated 9 of the 16 ranges
+    assert(gains.length === 9)
+    // every survivor gains somewhere — the property a single-token ring
+    // cannot show (there, only the leaver's neighbors are touched)
+    assert(gains.map(_._2).toSet === Set(0, 1, 2))
+    // the gained ranges are NOT one contiguous arc of the ring
+    val ranges = gains.map(_._1).toSet
+    val arcs = (0 until VnodeRing.Slots).count(s =>
+      ranges.contains(s) && !ranges.contains((s + 15) % 16))
+    assert(arcs >= 3, s"gained ranges $ranges form only $arcs arcs")
+  }
+
+  test("executed vnode load: every view verified off real files at RF=2") {
+    val rows = VnodeRing.loadRoundtrip(spark, Sf0001).collect()
+    assert(rows.length === 2 * VnodeRing.Slots)
+    assert(rows.forall(_.getAs[Boolean]("verified")))
+    assert(rows.forall(_.getAs[Long]("holders") === 2L))
+    // per-node holdings are the walk's (uneven — a real vnode effect)
+    val held = rows.groupBy(_.getAs[Long]("node"))
+      .view.mapValues(_.map(_.getAs[Long]("token_range")).toSet).toMap
+    (0 until VnodeRing.Slots).foreach { s =>
+      VnodeRing.oldReplicas(s).foreach(n =>
+        assert(held(n.toLong).contains(s.toLong)))
+    }
+    // one real received sstable per node
+    val files = Option(new java.io.File(
+        VnodeRing.ensureLoaded(spark, Sf0001)).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.endsWith("-Data.db"))
+    assert(files === VnodeRing.Nodes)
+  }
+
+  test("executed vnode decommission: streams restore RF=2 everywhere") {
+    val rows = VnodeRing.decommissionRoundtrip(spark, Sf0001).collect()
+    assert(rows.forall(_.getAs[Boolean]("verified")))
+    assert(rows.forall(_.getAs[Long]("holders") === 2L))
+    assert(rows.forall(_.getAs[Long]("node") !== VnodeRing.Leaving.toLong))
+    val streamed = rows.filter(_.getAs[String]("origin") == "streamed-in")
+    assert(streamed.length === 9)
+    assert(streamed.map(_.getAs[Long]("node")).toSet === Set(0L, 1L, 2L))
+    // streamed views are exactly the calculus's gains
+    val expect = (0 until VnodeRing.Slots)
+      .flatMap(s => VnodeRing.gainerOf(s).map(g => (g.toLong, s.toLong)))
+      .toSet
+    assert(streamed.map(r => (r.getAs[Long]("node"),
+      r.getAs[Long]("token_range"))).toSet === expect)
+  }
+}

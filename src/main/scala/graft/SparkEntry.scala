@@ -1155,6 +1155,13 @@ object SparkEntry {
     // views digest-verify per range at RF=2 holders
     "q238_vnode_decommission" -> ((s, d) =>
       graft.ops.VnodeRing.decommissionRoundtrip(s, d)),
+    // zero-copy (entire-sstable) streaming (round 17): a range-sliced
+    // source set, coverage decided per file off the Index.db sidecars
+    // alone — fully-covered files HARD-LINK every component (zero rows
+    // touched), the partial file rewrites only its requested ranges;
+    // per-range digests off the received files are transport-blind
+    "q239_zero_copy_stream" -> ((s, d) =>
+      graft.ops.ZeroCopyStream.roundtrip(s, d)),
     // stream-stream inner join under the oracle (round 16): symmetric
     // join state + watermark eviction under a controlled arrival — the
     // even cohort matches in-batch (30 min lag), the ≡1 (mod 4) cohort

@@ -4348,6 +4348,10 @@ ORDER BY 1"""
       // ranges stream to gainers on ALL THREE survivors; every
       // survivor view digest-verifies and RF=2 holds per range.
       ("q238_vnode_decommission" -> q238Sql) +
+      // q239: zero-copy streaming — fully-covered sstables hard-link
+      // (entire-sstable transfer), partial files rewrite only the
+      // requested remainder; convergence is transport-blind.
+      ("q239_zero_copy_stream" -> q239Sql) +
       // q220: stream-stream inner join under controlled arrival — the
       // even cohort joins in-batch (lag 30), the ≡1 (mod 4) cohort
       // joins live state late (lag 90), the ≡3 cohort arrives after
@@ -6434,6 +6438,42 @@ SELECT CAST(v.node AS BIGINT) AS node,
   CAST(2 AS BIGINT) AS holders
 FROM vviews v JOIN vcorp c ON c.rng = v.slot
 ORDER BY node, token_range, origin"""
+
+  /** q239: zero-copy (entire-sstable) streaming — the disposition rule
+    * (a file links iff the transfer covers EVERY range its span
+    * touches, per the 12-singles + 2-pairs slicing) re-derived in SQL,
+    * joined with the per-range corpus digests; the engine's digests
+    * come off the real received files (linked components + the
+    * rewritten remainder). */
+  private lazy val q239Sql: String = {
+    val trans = graft.ops.ZeroCopyStream.TransferRanges.toSeq.sorted
+      .map(r => s"($r)").mkString(", ")
+    val all = (0 until graft.ops.ZeroCopyStream.Slots)
+      .map(r => s"($r)").mkString(", ")
+    s"""WITH $fixtures,
+$vnodeCorpCtes,
+ztrans AS (SELECT * FROM (VALUES $trans) t(rng)),
+zfiles AS (
+  SELECT r.rng, CASE WHEN r.rng <= 11 THEN r.rng
+    WHEN r.rng <= 13 THEN 50 ELSE 51 END AS fid
+  FROM (VALUES $all) r(rng)
+),
+zcover AS (
+  SELECT fid, BOOL_AND(rng IN (SELECT rng FROM ztrans)) AS fully
+  FROM zfiles GROUP BY fid
+),
+zdisp AS (
+  SELECT f.rng,
+    CASE WHEN c.fully THEN 'linked' ELSE 'rewritten' END AS origin
+  FROM zfiles f JOIN zcover c USING (fid)
+  WHERE f.rng IN (SELECT rng FROM ztrans)
+)
+SELECT CAST(d.rng AS BIGINT) AS token_range, d.origin,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest, TRUE AS verified
+FROM zdisp d JOIN vcorp c ON c.rng = d.rng
+ORDER BY token_range"""
+  }
 
   /** q217: nodetool decommission (round 16) — the ring-shrink
     * arithmetic replayed: node 3 leaves, node 2's primary range

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.ZeroCopyStream
+
+/** Round 17: entire-sstable (zero-copy) streaming — covered files
+  * link, partial files rewrite, convergence is transport-blind. */
+class ZeroCopyStreamSpec extends SparkSpec {
+
+  test("plan: coverage decided per file off the Index sidecars") {
+    val plan = ZeroCopyStream.plan(spark, Sf0001).toMap
+    // three isolated singles + the fully-covered pair link whole
+    assert(plan(3201L) === "linked") // range 1
+    assert(plan(3204L) === "linked") // range 4
+    assert(plan(3205L) === "linked") // range 5
+    assert(plan(ZeroCopyStream.PairGenA) === "linked") // ranges 12-13
+    // the 14-15 pair is only half requested: rewrite
+    assert(plan(ZeroCopyStream.PairGenB) === "rewritten")
+    // unrequested singles move nothing
+    assert(plan(3200L) === "skipped")
+    assert(plan.values.count(_ == "linked") === 4)
+    assert(plan.values.count(_ == "rewritten") === 1)
+    assert(plan.values.count(_ == "skipped") === 9)
+  }
+
+  test("linked components are the SAME file (zero bytes copied)") {
+    val sliced = new java.io.File(ZeroCopyStream.ensureSliced(spark, Sf0001))
+    val recv = new java.io.File(ZeroCopyStream.ensureStreamed(spark, Sf0001))
+    val linkedGens = Seq(3202L, 3205L, 3206L, 3251L) // nb gen = code + 1
+    linkedGens.foreach { g =>
+      val comps = Option(recv.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"nb-$g-big"))
+      assert(comps.nonEmpty, s"no linked components for nb-$g-big")
+      comps.foreach { f =>
+        val src = new java.io.File(sliced, f.getName)
+        assert(java.nio.file.Files.isSameFile(f.toPath, src.toPath),
+          s"${f.getName} is not a hard link of the source")
+      }
+      // a complete sstable arrived: Data.db plus its sidecars
+      assert(comps.exists(_.getName.endsWith("-Data.db")))
+      assert(comps.exists(_.getName.endsWith("-Index.db")))
+      assert(comps.exists(_.getName.endsWith("-Statistics.db")))
+    }
+    // the rewritten remainder is a NEW file, not a link
+    val rw = new java.io.File(recv,
+      s"nb-${ZeroCopyStream.RewriteGen + 1}-big-Data.db")
+    assert(rw.isFile)
+    assert(!new java.io.File(sliced, rw.getName).exists())
+  }
+
+  test("convergence is transport-blind: every range digest-verified") {
+    val rows = ZeroCopyStream.roundtrip(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("token_range")).toSeq ===
+      ZeroCopyStream.TransferRanges.toSeq.sorted)
+    assert(rows.forall(_.getAs[Boolean]("verified")))
+    val byOrigin = rows.groupBy(_.getAs[String]("origin"))
+      .view.mapValues(_.map(_.getAs[Long]("token_range")).toSet).toMap
+    assert(byOrigin("linked") === Set(1L, 4L, 5L, 12L, 13L))
+    assert(byOrigin("rewritten") === Set(14L))
+    // the rewritten path shipped only the requested half of its file:
+    // range 15 never arrives
+    val recvd = graft.sources.datadb.DataDb.cells(spark,
+        ZeroCopyStream.ensureStreamed(spark, Sf0001),
+        format = graft.sources.datadb.DataDbScan.FormatCassandra)
+    import org.apache.spark.sql.functions._
+    val ranges = recvd.select(
+        shiftright(graft.ops.AntiEntropy.token(col("key")),
+          ZeroCopyStream.SlotShift).as("r"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ranges === ZeroCopyStream.TransferRanges)
+  }
+}

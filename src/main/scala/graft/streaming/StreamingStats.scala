@@ -12,6 +12,48 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingStats {
 
+  /** The RocksDB state store provider class (round 17, VERDICT r16 ask
+    * #3): the 100 TB story for symmetric-join and dedup state is a
+    * SPILLABLE store, not the default in-memory HDFS-backed map. Every
+    * streaming oracle below starts its query through [[withRocksDb]],
+    * so the correctness gate re-proves each hash on the store the
+    * scale claim depends on. */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Pin the RocksDB provider for the span of `f` and restore the prior
+    * value — a streaming query captures this conf at START time into
+    * its checkpoint's offset metadata, so wrapping `.start()` is what
+    * decides the provider for the query's whole lifetime. */
+  private[graft] def withRocksDb[T](spark: SparkSession)(f: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDbProvider)
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(ProviderKey, p)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  /** Last explicit checkpoint dir handed to a replay start (test hook:
+    * the spec reads the provider back out of the checkpoint's offset
+    * metadata — the EXECUTED query's config, not the session's). */
+  private[graft] val lastCheckpoint =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** A fresh checkpoint per run (replays re-run per bench window; a
+    * reused checkpoint would resume and emit nothing). */
+  private def freshCheckpoint(): String = {
+    val d = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-stream-ckpt"))
+      .toString
+    lastCheckpoint.set(d)
+    d
+  }
+
   /** Tumbling 1-hour windowed rollup with a 2-hour watermark for late data.
     * Works on any DataFrame with (ts: timestamp, event_type, value) — batch
     * or streaming source alike (unified Dataset API). */
@@ -120,11 +162,12 @@ object StreamingStats {
       .withColumn("sstable_id", concat(lit("sst-"),
         (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L).cast("string")))
-    val q = cfStatsTotalsOf(src)
+    val q = withRocksDb(spark)(cfStatsTotalsOf(src)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name).orderBy("sstable_id")
   }
@@ -157,12 +200,13 @@ object StreamingStats {
     val path = graft.sources.datadb.CassandraDataFixture
       .ensureFiles(spark, dir, compressed = true)
     val name = s"graft_stream_leafdigest_${leafRuns.incrementAndGet()}"
-    val q = liveLeafDigest(spark, path,
+    val q = withRocksDb(spark)(liveLeafDigest(spark, path,
         graft.sources.datadb.DataDbScan.FormatCassandra)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name).orderBy("leaf")
   }
@@ -204,11 +248,12 @@ object StreamingStats {
       // memory-sink table AFTER the query finishes (unlike q187, which
       // normalizes on the streaming source itself)
       path, graft.sources.datadb.DataDbScan.FormatCassandra)
-    val q = src
+    val q = withRocksDb(spark)(src
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     val standing = spark.table(name)
       .withColumn("sstable_id", concat(lit("sst-"),
@@ -253,12 +298,13 @@ object StreamingStats {
     val path = graft.sources.datadb.CassandraDataFixture
       .ensureTwcsExecFiles(spark, dir)
     val name = s"graft_stream_windows_${winRuns.incrementAndGet()}"
-    val q = liveWindowFrontier(spark, path,
+    val q = withRocksDb(spark)(liveWindowFrontier(spark, path,
         graft.sources.datadb.DataDbScan.FormatCassandra)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name)
       .withColumn("sstable_id", concat(lit("sst-"),
@@ -327,11 +373,12 @@ object StreamingStats {
       .option("maxFilesPerTrigger", "1")
       .parquet(ingestDir)
     val name = s"graft_stream_wm_${wmRuns.incrementAndGet()}"
-    val q = hourlyCounts(src)
+    val q = withRocksDb(spark)(hourlyCounts(src)
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name)
       .select(col("hour_start").cast("long").as("hour_start_s"),
@@ -440,13 +487,14 @@ object StreamingStats {
       .option("maxFilesPerTrigger", "1")
       .parquet(ingestDir)
     val name = s"graft_stream_dd_${ddRuns.incrementAndGet()}"
-    val q = src
+    val q = withRocksDb(spark)(src
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name)
       .withColumn("rh",
@@ -547,14 +595,15 @@ object StreamingStats {
       .select(col("ts").as("r_ts"),
         col("event_id").as("r_event_id"))
     val name = s"graft_stream_sj_${sjRuns.incrementAndGet()}"
-    val q = left.join(right,
+    val q = withRocksDb(spark)(left.join(right,
         col("event_id") === col("r_event_id") &&
           col("r_ts") >= col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr("INTERVAL 2 HOURS"))
       .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name)
       .groupBy("event_type")
@@ -632,39 +681,26 @@ object StreamingStats {
         ev.where(col("rh") >= 4L && col("rh") < 6L))
         .map(_.select(col("ts"), col("event_type"), col("event_id"))))
     }
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-    try {
-      val schema = spark.read.parquet(ingestDir).schema
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(ingestDir)
-      import spark.implicits._
-      val name = s"graft_stream_tws_${twsRuns.incrementAndGet()}"
-      val q = src
-        .select(col("event_type"), col("event_id"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .transformWithState(new RunningTotalsProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Update())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Update())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name).orderBy("event_type", "seq")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf
-          .set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf
-          .unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val schema = spark.read.parquet(ingestDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ingestDir)
+    import spark.implicits._
+    val name = s"graft_stream_tws_${twsRuns.incrementAndGet()}"
+    val q = withRocksDb(spark)(src
+      .select(col("event_type"), col("event_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", freshCheckpoint())
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start())
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type", "seq")
   }
 
   /** Streaming exact dedup: drop repeated documents as they arrive, with
@@ -800,10 +836,12 @@ object StreamingStats {
       ingest.resolve("events.parquet"))
     // Complete mode: a single AvailableNow batch never advances the
     // watermark past its own data, so Append would emit nothing here.
-    val q = fromEventsDir(spark, ingest.toString).writeStream
+    val q = withRocksDb(spark)(fromEventsDir(spark, ingest.toString)
+      .writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Complete())
+      .option("checkpointLocation", freshCheckpoint())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     spark.table(name)
   }

@@ -2127,4 +2127,30 @@ class ExtensionsSpec extends SparkSpec {
       .select(countDistinct("digest")).collect()(0).getLong(0)
     assert(rows.map(_.getAs[Long]("survivors")).sum === expect)
   }
+  test("round 17: streaming oracles run on the ROCKSDB state store — " +
+      "provider pinned in the executed query's checkpoint metadata, " +
+      "session conf restored after") {
+    graft.streaming.StreamingStats.watermarkReplayOnce(spark, Sf0001)
+      .collect()
+    val ckpt = graft.streaming.StreamingStats.lastCheckpoint.get()
+    assert(ckpt != null, "replay recorded no checkpoint")
+    // the EXECUTED query's config: OffsetSeqMetadata pins the state
+    // store provider class into offsets/<batch> at query start
+    val off = new java.io.File(ckpt, "offsets")
+    val batchFiles = Option(off.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.forall(_.isDigit))
+    assert(batchFiles.nonEmpty, s"no offset log under $off")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      batchFiles.minBy(_.getName.toInt).toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(meta.contains(graft.streaming.StreamingStats.RocksDbProvider),
+      s"offsets metadata does not pin RocksDB:\n$meta")
+    // the store materialized state under the checkpoint
+    assert(new java.io.File(ckpt, "state").isDirectory)
+    // and the wrapper restored the session to its prior provider
+    assert(!spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
 }

@@ -1,12 +1,9 @@
 package graft.ops
 
-import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.commitlog.CommitLogFormat
-import graft.sources.commitlog.CommitLogFormat.Mutation
 import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
 
 /** The batchlog, executed end to end (round 16) — Cassandra's atomic
@@ -94,26 +91,21 @@ object Batchlog {
         .option("path", out).option("compressed", "true")
         .mode("append").save()
       // surviving batchlog files: the FULL batch each (the log is
-      // written before any apply), coordinator-local artifacts
-      (0L until Batches).filterNot(completed).foreach { id =>
-        val rows = w.where(col("batch_id") === id)
-          .select(col("timestamp_us"), col("key"), col("clustering"),
-            col("column_name"), col("kind"), col("ttl_s"),
-            col("local_deletion_time_s"), col("is_tombstone"),
-            col("is_expiring"), col("size_bytes"))
-          .orderBy("timestamp_us", "key", "clustering", "column_name",
-            "kind", "ttl_s", "local_deletion_time_s", "is_tombstone",
-            "is_expiring", "size_bytes")
-          .collect()
-        val ms = rows.map(r => Mutation(r.getLong(1), r.getLong(2),
-          r.getString(3), r.getString(4), r.getLong(0), r.getLong(5),
-          r.getLong(6), r.getBoolean(7), r.getBoolean(8), r.getLong(9)))
-        val f = new java.io.File(out, logName(id))
-        val os = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(f)))
-        try CommitLogFormat.writeSegment(os, id, ms.toSeq)
-        finally os.close()
-      }
+      // written before any apply), written from EXECUTORS (round 17) —
+      // batch_id IS the file id, one file per interrupted batch
+      import spark.implicits._
+      val interrupted = (0L until Batches).filterNot(completed)
+      val entries = w.where(col("batch_id").isin(interrupted: _*))
+        .select(col("batch_id").as("fileId"),
+          col("timestamp_us").as("timestampUs"), col("key"),
+          col("clustering"), col("column_name").as("columnName"),
+          col("kind"), col("ttl_s").as("ttlS"),
+          col("local_deletion_time_s").as("localDeletionTimeS"),
+          col("is_tombstone").as("isTombstone"),
+          col("is_expiring").as("isExpiring"),
+          col("size_bytes").as("sizeBytes"))
+        .as[WalWriter.WalEntry]
+      WalWriter.write(entries, out, logName, identity)
       out
     }
 

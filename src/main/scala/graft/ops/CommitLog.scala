@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,7 +7,6 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Fixtures
 import graft.sources.commitlog.CommitLogFormat
-import graft.sources.commitlog.CommitLogFormat.Mutation
 import graft.sources.datadb.{DataDb, DataDbScan}
 
 /** The commitlog (write-ahead log) family, executed end to end (round
@@ -44,9 +41,10 @@ import graft.sources.datadb.{DataDb, DataDbScan}
   * it; the engine only READS it, one task per segment (bounded files,
   * embarrassingly parallel), then ONE combine-enabled LWW exchange
   * (the same aggregate shape as [[Compaction.mergeWinners]]) into the
-  * clustered sink. The fixture writer alone is driver-sequential,
-  * exactly like [[graft.sources.datadb.CassandraDataFixture]] — it
-  * simulates what a node wrote, it is not the read path. */
+  * clustered sink. The fixture writer DISTRIBUTES too (round 17):
+  * segment assignment is a two-level prefix sum and executors write
+  * the files ([[WalWriter]]) — no corpus-scale driver collect even in
+  * fixture staging. */
 object CommitLog {
 
   /** PITR bound (fixture day 1200): mid-corpus, so both the replayed
@@ -57,43 +55,30 @@ object CommitLog {
   private val M = 1000003L
 
 
-  /** The append order: timestamp first (a WAL is time-ordered), then
-    * every other serialized field so the order is total up to exact
-    * duplicates (which are byte-identical, hence interchangeable). */
-  private val AppendOrder = Seq("timestamp_us", "key", "clustering",
-    "column_name", "kind", "ttl_s", "local_deletion_time_s",
-    "is_tombstone", "is_expiring", "size_bytes")
-
   /** Write the corpus WAL under a temp dir (session-memoized): every
     * licell as one mutation, append-ordered, segmented by the div
-    * rule. Driver-sequential by design — see the scale note above. */
+    * rule. DISTRIBUTED since round 17 (VERDICT r16 ask #7): segment
+    * assignment is a two-level prefix sum ([[WalWriter.assignSegments]])
+    * and executors write the segment files ([[WalWriter.write]]) —
+    * byte-identical to the old driver-sequential layout, with no
+    * corpus-scale collect. */
   def ensureWal(spark: SparkSession, dir: String): String =
     OpMemo.memoized(spark, s"$dir|wal") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-commitlog")).toString
-      val rows = Fixtures.cells(spark, dir)
-        .select(AppendOrder.map(col): _*)
-        .orderBy(AppendOrder.map(col): _*)
-        .collect()
-      val segs = scala.collection.mutable.LinkedHashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[Mutation]]
-      var cum = 0L
-      rows.foreach { r =>
-        val m = Mutation(r.getLong(1), r.getLong(2), r.getString(3),
-          r.getString(4), r.getLong(0), r.getLong(5), r.getLong(6),
-          r.getBoolean(7), r.getBoolean(8), r.getLong(9))
-        val seg = cum / CommitLogFormat.SegmentBytes
-        segs.getOrElseUpdate(seg,
-          scala.collection.mutable.ArrayBuffer.empty) += m
-        cum += CommitLogFormat.entryLength(m)
-      }
-      segs.foreach { case (id, entries) =>
-        val f = new java.io.File(out, CommitLogFormat.segmentName(id))
-        val os = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(f)))
-        try CommitLogFormat.writeSegment(os, id, entries.toSeq)
-        finally os.close()
-      }
+      import spark.implicits._
+      val entries = Fixtures.cells(spark, dir)
+        .select(lit(-1L).as("fileId"),
+          col("timestamp_us").as("timestampUs"), col("key"),
+          col("clustering"), col("column_name").as("columnName"),
+          col("kind"), col("ttl_s").as("ttlS"),
+          col("local_deletion_time_s").as("localDeletionTimeS"),
+          col("is_tombstone").as("isTombstone"),
+          col("is_expiring").as("isExpiring"),
+          col("size_bytes").as("sizeBytes"))
+        .as[WalWriter.WalEntry]
+      WalWriter.write(WalWriter.assignSegments(spark, entries), out,
+        CommitLogFormat.segmentName, identity)
       out
     }
 

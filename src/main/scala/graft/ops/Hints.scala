@@ -1,12 +1,9 @@
 package graft.ops
 
-import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.commitlog.CommitLogFormat
-import graft.sources.commitlog.CommitLogFormat.Mutation
 import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
 
 /** Hinted handoff, executed end to end (round 16) — the write-path
@@ -36,7 +33,7 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   *    anti-entropy pass.
   *
   * Scale shape: hint files are bounded node-local artifacts (the
-  * fixture writer is driver-sequential exactly like the WAL's);
+  * fixture writer distributes via [[WalWriter]], round 17);
   * reading them is one task per file; the flush is the sink's one
   * clustered exchange; digests are narrow commutative aggregates. */
 object Hints {
@@ -95,30 +92,27 @@ object Hints {
         .option("path", out).option("compressed", "true")
         .mode("append").save()
       // the writes it missed: one hints file per coordinator, entries
-      // in the WAL's append order (a hints file is a node-local
-      // sequential artifact — driver-written, like the commitlog
-      // fixture; the engine only READS hints)
-      Coordinators.foreach { case (quarter, coord) =>
-        val rows = held.where(inWindow && col("quarter") === quarter)
-          .select(col("timestamp_us"), col("key"), col("clustering"),
-            col("column_name"), col("kind"), col("ttl_s"),
-            col("local_deletion_time_s"), col("is_tombstone"),
-            col("is_expiring"), col("size_bytes"))
-          .orderBy("timestamp_us", "key", "clustering", "column_name",
-            "kind", "ttl_s", "local_deletion_time_s", "is_tombstone",
-            "is_expiring", "size_bytes")
-          .collect()
-        val ms = rows.map(r => Mutation(r.getLong(1), r.getLong(2),
-          r.getString(3), r.getString(4), r.getLong(0), r.getLong(5),
-          r.getLong(6), r.getBoolean(7), r.getBoolean(8), r.getLong(9)))
-        val f = new java.io.File(out,
-          CommitLogFormat.hintsName(Target, coord))
-        val os = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(f)))
-        try CommitLogFormat.writeSegment(os,
-          CommitLogFormat.hintsId(Target, coord), ms.toSeq)
-        finally os.close()
+      // in the WAL's append order — written from EXECUTORS (round 17):
+      // the coordinator map assigns each missed write its file, and
+      // [[WalWriter.write]] rolls one file per coordinator
+      import spark.implicits._
+      val coordOf = Coordinators.foldLeft(lit(-1L)) {
+        case (acc, (quarter, coord)) =>
+          when(col("quarter") === quarter, lit(coord)).otherwise(acc)
       }
+      val entries = held.where(inWindow)
+        .select(coordOf.as("fileId"),
+          col("timestamp_us").as("timestampUs"), col("key"),
+          col("clustering"), col("column_name").as("columnName"),
+          col("kind"), col("ttl_s").as("ttlS"),
+          col("local_deletion_time_s").as("localDeletionTimeS"),
+          col("is_tombstone").as("isTombstone"),
+          col("is_expiring").as("isExpiring"),
+          col("size_bytes").as("sizeBytes"))
+        .as[WalWriter.WalEntry]
+      WalWriter.write(entries, out,
+        coord => CommitLogFormat.hintsName(Target, coord),
+        coord => CommitLogFormat.hintsId(Target, coord))
       out
     }
 

@@ -76,7 +76,10 @@ object CompressionInfoFormat {
     val maxCompressed = d.readInt()
     val dataLength = d.readLong()
     val n = d.readInt()
-    if (n < 0 || n > (1 << 28))
+    // the offsets section alone is 8n bytes — a count a corrupt byte
+    // inflated past the file's own size can't be real, and rejecting it
+    // here stops the allocation before it happens (round-17 fuzz)
+    if (n < 0 || n.toLong * 8L > bytes.length.toLong)
       throw new java.io.IOException(s"implausible chunk count $n")
     val offsets = new Array[Long](n)
     var i = 0

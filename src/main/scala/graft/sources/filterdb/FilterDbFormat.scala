@@ -83,10 +83,15 @@ object FilterDbFormat {
     val wordCount = in.readInt()
     if (wordCount < 1 || wordCount > (1 << 28))
       throw new java.io.IOException(s"implausible word count $wordCount")
-    val words = new Array[Long](wordCount)
+    // grow incrementally instead of allocating the full claimed array up
+    // front: a count a corrupt byte inflated past the file's real size
+    // hits EOF with memory bounded by the data actually present
+    // (round-17 fuzz; DataInput exposes no remaining-bytes bound)
+    val b = Array.newBuilder[Long]
+    b.sizeHint(math.min(wordCount, 1 << 16))
     var i = 0
-    while (i < wordCount) { words(i) = in.readLong(); i += 1 }
-    Filter(hashCount, words)
+    while (i < wordCount) { b += in.readLong(); i += 1 }
+    Filter(hashCount, b.result())
   }
 }
 

@@ -1,0 +1,407 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.compressioninfo.CompressionInfoFormat
+import graft.sources.filterdb.FilterDbFormat
+import graft.sources.indexdb.IndexDbFormat
+import graft.sources.statsdb.CassandraStatsFormat
+import graft.sources.statsdb.CassandraStatsFormat._
+
+/** Property fuzzing of the sidecar reader families (round 17, VERDICT
+  * r16 ask #6 — CommitLogFuzzSpec is the template): Statistics.db,
+  * Index.db, CompressionInfo.db and Filter.db are all reachable from
+  * arbitrary on-disk bytes, so each reader must be TOTAL over hostile
+  * input — roundtrip-exact on valid bytes, typed errors (never a
+  * mis-parse, a crash-class failure, or an unbounded allocation) on
+  * corrupted or truncated ones. Where the real format carries CRCs
+  * (Statistics.db's envelope + per-component checksums) a flip must be
+  * CAUGHT; where it doesn't (Filter/CompressionInfo/Index — faithful to
+  * Cassandra), a flip may yield a different VALID structure but never
+  * an uncontrolled failure. Deterministic seeds throughout. */
+final class SidecarFuzzSpec extends AnyFunSuite {
+
+  private def check[A](gen: Gen[A], runs: Int = 60)(body: A => Unit): Unit =
+    (0 until runs).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(1742L + i)))
+    }
+
+  private val asciiStr =
+    Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  private val bytesGen =
+    Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+
+  // ------------------------------------------------------------------
+  // Statistics.db
+
+  private val histGen: Gen[EstimatedHistogram] =
+    Gen.choose(1, 12).flatMap { n =>
+      for {
+        offs <- Gen.listOfN(n, Gen.choose(1L, 1L << 40))
+        bks <- Gen.listOfN(n + 1, Gen.choose(0L, 1L << 20))
+      } yield EstimatedHistogram(offs.sorted.toArray, bks.toArray)
+    }
+
+  private val tombGen: Gen[TombstoneHistogram] =
+    Gen.choose(0, 8).flatMap { n =>
+      for {
+        pts <- Gen.listOfN(n, Gen.choose(0.0, 1e9))
+        vs <- Gen.listOfN(n, Gen.choose(0L, 1L << 30))
+      } yield TombstoneHistogram(pts.sorted.toArray, vs.toArray)
+    }
+
+  private val clpGen: Gen[CommitLogPosition] = for {
+    seg <- Gen.choose(0L, Long.MaxValue)
+    pos <- Gen.choose(0, Int.MaxValue)
+  } yield CommitLogPosition(seg, pos)
+
+  private val boundGen: Gen[ClusteringBound] = for {
+    kind <- Gen.choose(0, 7)
+    n <- Gen.choose(0, 3)
+    vs <- Gen.listOfN(n, Gen.option(bytesGen))
+  } yield ClusteringBound(kind, vs)
+
+  private def statsGen(version: String): Gen[Stats] = for {
+    ps <- histGen
+    cc <- histGen
+    up <- clpGen
+    lo <- clpGen
+    minTs <- Gen.choose(0L, 1L << 50)
+    maxTs <- Gen.choose(minTs, 1L << 51)
+    ldts <- Gen.listOfN(2, Gen.choose(0, Int.MaxValue))
+    ttls <- Gen.listOfN(2, Gen.choose(0, Int.MaxValue))
+    ratio <- Gen.choose(0.0, 1.0)
+    tomb <- tombGen
+    level <- Gen.choose(0, 9)
+    repaired <- Gen.choose(0L, 1L << 45)
+    minClust <- if (version >= "oa") Gen.const(Nil)
+      else Gen.choose(0, 3).flatMap(Gen.listOfN(_, bytesGen))
+    maxClust <- if (version >= "oa") Gen.const(Nil)
+      else Gen.choose(0, 3).flatMap(Gen.listOfN(_, bytesGen))
+    legacy <- Gen.oneOf(true, false)
+    colsSet <- Gen.choose(0L, 1L << 40)
+    rows <- Gen.choose(0L, 1L << 40)
+    intervals <- Gen.choose(0, 4).flatMap(Gen.listOfN(_,
+      Gen.zip(clpGen, clpGen)))
+    pending <- Gen.option(Gen.zip(Gen.choose(0L, Long.MaxValue),
+      Gen.choose(0L, Long.MaxValue)))
+    transient <- Gen.oneOf(true, false)
+    tail <-
+      if (version >= "oa") for {
+        host <- Gen.option(Gen.zip(Gen.choose(0L, Long.MaxValue),
+          Gen.choose(0L, Long.MaxValue)))
+        pld <- Gen.oneOf(true, false)
+        fk <- Gen.listOfN(8, Gen.choose(-128, 127).map(_.toByte))
+        lk <- Gen.listOfN(8, Gen.choose(-128, 127).map(_.toByte))
+        cov <- Gen.choose(0.0, 1.0)
+      } yield Some(VersionedTail(host, pld, fk.toArray, lk.toArray, cov))
+      else if (version >= "nc")
+        Gen.option(Gen.zip(Gen.choose(0L, Long.MaxValue),
+          Gen.choose(0L, Long.MaxValue)))
+          .map(h => Some(VersionedTail(h, hasPartitionLevelDeletions = false,
+            Array.emptyByteArray, Array.emptyByteArray, 0.0)))
+      else Gen.const(None)
+    covered <-
+      if (version >= "oa") Gen.zip(boundGen, boundGen)
+        .map { case (s, e) => Some(CoveredSlice(s, e)) }
+      else Gen.const(None)
+  } yield Stats(ps, cc, up, minTs, maxTs, ldts.head, ldts(1),
+    ttls.head, ttls(1), ratio, tomb, level, repaired,
+    minClust, maxClust, legacy, colsSet, rows, lo, intervals,
+    pending, transient, tail, covered)
+
+  private def fileGen(version: String): Gen[File] = for {
+    part <- asciiStr
+    fp <- Gen.choose(0.0, 1.0)
+    stats <- statsGen(version)
+  } yield File(Validation(s"org.apache.cassandra.dht.$part", fp), stats)
+
+  private def statsBytes(f: File, version: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    CassandraStatsFormat.write(new java.io.DataOutputStream(bos), f,
+      version = version)
+    bos.toByteArray
+  }
+
+  for (version <- Seq("nb", "oa"))
+    test(s"Statistics.db '$version': arbitrary files roundtrip " +
+        "write-parse-write byte-exactly") {
+      check(fileGen(version), runs = 40) { f =>
+        val b1 = statsBytes(f, version)
+        val parsed = CassandraStatsFormat.parse(b1, version)
+        // canonical comparison through the writer (the structures hold
+        // arrays, whose == is reference equality)
+        assert(java.util.Arrays.equals(statsBytes(parsed, version), b1))
+      }
+    }
+
+  test("Statistics.db: any flipped byte is CRC-caught or value-neutral") {
+    val f = fileGen("nb").pureApply(Gen.Parameters.default, Seed(7L))
+    val clean = statsBytes(f, "nb")
+    val cleanParsed = statsBytes(
+      CassandraStatsFormat.parse(clean, "nb"), "nb")
+    val flipGen = for {
+      at <- Gen.choose(0, clean.length - 1)
+      x <- Gen.choose(1, 255)
+    } yield (at, x)
+    check(flipGen, runs = 400) { case (at, x) =>
+      val b = clean.clone(); b(at) = (b(at) ^ x).toByte
+      try {
+        // a flip that parses can only live in a component this parse
+        // never consumes (header/compaction blobs) — the consumed
+        // components are per-component CRC32-guarded
+        val p = CassandraStatsFormat.parse(b, "nb")
+        assert(java.util.Arrays.equals(statsBytes(p, "nb"), cleanParsed),
+          s"silent mis-parse after flipping byte $at")
+      } catch {
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
+      }
+    }
+  }
+
+  test("Statistics.db: truncation fails closed or leaves the consumed " +
+      "components provably intact") {
+    val f = fileGen("nb").pureApply(Gen.Parameters.default, Seed(9L))
+    val clean = statsBytes(f, "nb")
+    val cleanParsed = statsBytes(
+      CassandraStatsFormat.parse(clean, "nb"), "nb")
+    var parsedOk = 0
+    (0 until clean.length).foreach { n =>
+      try {
+        // component access is lazy by design: a truncation that only
+        // cuts a component this parse never consumes may succeed — but
+        // then the consumed components' CRCs guarantee a value-identical
+        // result. A cut inside the envelope or a consumed component must
+        // throw (its CRC can no longer verify).
+        val p = CassandraStatsFormat.parse(clean.take(n), "nb")
+        assert(java.util.Arrays.equals(statsBytes(p, "nb"), cleanParsed),
+          s"prefix $n parsed to a DIFFERENT file")
+        parsedOk += 1
+      } catch {
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
+      }
+    }
+    // most prefixes must fail: only tail cuts inside unconsumed
+    // components can legitimately parse
+    assert(parsedOk < clean.length / 2)
+  }
+
+  // ------------------------------------------------------------------
+  // CompressionInfo.db
+
+  private val infoGen: Gen[CompressionInfoFormat.Info] = for {
+    comp <- asciiStr
+    nOpts <- Gen.choose(0, 4)
+    opts <- Gen.listOfN(nOpts, Gen.zip(asciiStr, asciiStr))
+    chunk <- Gen.oneOf(4096, 16384, 65536)
+    maxC <- Gen.choose(0, Int.MaxValue)
+    dataLen <- Gen.choose(0L, 1L << 50)
+    n <- Gen.choose(0, 64)
+    offs <- Gen.listOfN(n, Gen.choose(0L, 1L << 50))
+  } yield CompressionInfoFormat.Info(comp, opts, chunk, maxC, dataLen,
+    offs.toArray)
+
+  private def ciBytes(i: CompressionInfoFormat.Info): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    CompressionInfoFormat.write(new java.io.DataOutputStream(bos), i)
+    bos.toByteArray
+  }
+
+  test("CompressionInfo.db: arbitrary chunk maps roundtrip exactly") {
+    check(infoGen) { i =>
+      val b = ciBytes(i)
+      val p = CompressionInfoFormat.parse(b)
+      assert(p.compressor === i.compressor)
+      assert(p.options === i.options)
+      assert(p.chunkLength === i.chunkLength)
+      assert(p.maxCompressedLength === i.maxCompressedLength)
+      assert(p.dataLength === i.dataLength)
+      assert(p.offsets.toSeq === i.offsets.toSeq)
+    }
+  }
+
+  test("CompressionInfo.db: flips never crash; claimed sizes stay " +
+      "inside the file") {
+    val clean = ciBytes(
+      infoGen.pureApply(Gen.Parameters.default, Seed(11L)))
+    val flipGen = for {
+      at <- Gen.choose(0, clean.length - 1)
+      x <- Gen.choose(1, 255)
+    } yield (at, x)
+    check(flipGen, runs = 400) { case (at, x) =>
+      val b = clean.clone(); b(at) = (b(at) ^ x).toByte
+      try {
+        val p = CompressionInfoFormat.parse(b)
+        // no CRC in the real format: a value flip may parse, but the
+        // offsets array can never exceed what the bytes could hold
+        assert(p.offsets.length.toLong * 8L <= b.length.toLong)
+      } catch {
+        case _: java.io.IOException => ()
+        case _: java.io.UTFDataFormatException => ()
+      }
+    }
+  }
+
+  test("CompressionInfo.db: truncation at every prefix fails closed") {
+    val clean = ciBytes(
+      infoGen.pureApply(Gen.Parameters.default, Seed(13L)))
+    (0 until clean.length).foreach { n =>
+      assertThrows[java.io.IOException] {
+        CompressionInfoFormat.parse(clean.take(n))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Filter.db
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)))
+
+  private def filterBytes(f: FilterDbFormat.Filter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    FilterDbFormat.write(new java.io.DataOutputStream(bos), f)
+    bos.toByteArray
+  }
+
+  private def parseFilter(b: Array[Byte]): FilterDbFormat.Filter =
+    FilterDbFormat.parse(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(b)))
+
+  test("Filter.db: roundtrip exact; added keys never false-negative") {
+    check(keysGen) { keys =>
+      val f = FilterDbFormat.create(keys.length.toLong)
+      def keyBytes(k: Long) =
+        java.nio.ByteBuffer.allocate(8).putLong(k).array()
+      keys.foreach(k => f.add(keyBytes(k)))
+      val p = parseFilter(filterBytes(f))
+      assert(p.hashCount === f.hashCount)
+      assert(p.words.toSeq === f.words.toSeq)
+      keys.foreach(k => assert(p.mightContain(keyBytes(k)),
+        s"false negative for $k"))
+    }
+  }
+
+  test("Filter.db: flips never crash; truncation fails closed") {
+    val keys = keysGen.pureApply(Gen.Parameters.default, Seed(17L))
+    val f = FilterDbFormat.create(keys.length.toLong)
+    keys.foreach(k =>
+      f.add(java.nio.ByteBuffer.allocate(8).putLong(k).array()))
+    val clean = filterBytes(f)
+    val flipGen = for {
+      at <- Gen.choose(0, clean.length - 1)
+      x <- Gen.choose(1, 255)
+    } yield (at, x)
+    check(flipGen, runs = 400) { case (at, x) =>
+      val b = clean.clone(); b(at) = (b(at) ^ x).toByte
+      try {
+        val p = parseFilter(b)
+        // no CRC (faithful to the real format): a flip may change bits
+        // or counts, but whatever parses is a well-formed filter
+        assert(p.hashCount >= 1 && p.words.nonEmpty)
+      } catch { case _: java.io.IOException => () }
+    }
+    (0 until clean.length).foreach { n =>
+      assertThrows[java.io.IOException] { parseFilter(clean.take(n)) }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Index.db
+
+  private val idxEntryGen: Gen[(Array[Byte], Long, Array[Byte])] = for {
+    klen <- Gen.choose(1, 64)
+    key <- Gen.listOfN(klen, Gen.choose(-128, 127).map(_.toByte))
+    pos <- Gen.choose(0L, Long.MaxValue)
+    plen <- Gen.choose(0, 96)
+    promoted <- Gen.listOfN(plen, Gen.choose(-128, 127).map(_.toByte))
+  } yield (key.toArray, pos, promoted.toArray)
+
+  private def indexBytes(
+      es: Seq[(Array[Byte], Long, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    es.foreach { case (k, p, pr) =>
+      IndexDbFormat.writeEntry(out, k, p, pr)
+    }
+    bos.toByteArray
+  }
+
+  test("Index.db: arbitrary entry lists roundtrip exactly, offsets " +
+      "account for every byte") {
+    check(Gen.listOf(idxEntryGen)) { es =>
+      val bytes = indexBytes(es)
+      val got = IndexDbFormat.fullEntries(
+        new java.io.ByteArrayInputStream(bytes)).toVector
+      assert(got.length === es.length)
+      got.zip(es).foreach { case (g, (k, p, pr)) =>
+        assert(java.util.Arrays.equals(g.key, k))
+        assert(g.position === p)
+        assert(java.util.Arrays.equals(g.promoted, pr))
+      }
+      // consumed-byte accounting: offsets are strictly increasing and
+      // the first starts at 0
+      assert(got.map(_.offset) === got.map(_.offset).sorted)
+      got.headOption.foreach(e => assert(e.offset === 0L))
+    }
+  }
+
+  test("Index.db: truncation yields a clean strict prefix or fails " +
+      "closed — never a fabricated entry") {
+    val es = Gen.listOfN(24, idxEntryGen)
+      .pureApply(Gen.Parameters.default, Seed(23L))
+    val clean = indexBytes(es)
+    val full = IndexDbFormat.fullEntries(
+      new java.io.ByteArrayInputStream(clean)).toVector
+    (0 until clean.length).foreach { n =>
+      try {
+        val got = IndexDbFormat.fullEntries(
+          new java.io.ByteArrayInputStream(clean.take(n))).toVector
+        // ending cleanly is legal ONLY at an exact entry boundary —
+        // then the result must be the corresponding strict prefix
+        // (field-wise: FullEntry holds arrays, whose == is by reference)
+        assert(got.length < full.length)
+        got.zip(full).foreach { case (g, e) =>
+          assert(java.util.Arrays.equals(g.key, e.key))
+          assert(g.position === e.position)
+          assert(java.util.Arrays.equals(g.promoted, e.promoted))
+          assert(g.offset === e.offset)
+        }
+        assert(got.map(_.offset).forall(_ < n))
+      } catch {
+        case _: java.io.IOException => () // includes EOFException
+      }
+    }
+  }
+
+  test("Index.db: flips never crash nor demand unbounded allocation") {
+    val es = Gen.listOfN(16, idxEntryGen)
+      .pureApply(Gen.Parameters.default, Seed(29L))
+    val clean = indexBytes(es)
+    val flipGen = for {
+      at <- Gen.choose(0, clean.length - 1)
+      x <- Gen.choose(1, 255)
+    } yield (at, x)
+    check(flipGen, runs = 400) { case (at, x) =>
+      val b = clean.clone(); b(at) = (b(at) ^ x).toByte
+      try {
+        val got = IndexDbFormat.fullEntries(
+          new java.io.ByteArrayInputStream(b)).toVector
+        // no CRC in the real format: a flip may change keys/positions,
+        // but every parsed entry's bytes came from the file
+        assert(got.map(e => 2 + e.key.length + e.promoted.length).sum
+          <= b.length)
+      } catch {
+        case _: java.io.IOException => ()
+      }
+    }
+  }
+}

@@ -372,7 +372,14 @@ object Bench {
       "q130_sim_pq_adc" -> "ann", "q137_sim_hnsw" -> "ann",
       "q90_bpe_train" -> "bpe", "q98_bpe_apply" -> "bpe",
       "q26_text_quality" -> "text", "q28_token_totals" -> "text",
-      "q133_distinct_kmv" -> "sketch", "q138_sketch_setops" -> "sketch")
+      // the sketch family's probe carries THREE queries (r16's 0.96
+      // ratio was sub-second noise over two windows): q134's stage-1
+      // Misra-Gries pass is linear in tokens — the data-proportional
+      // mass — while q133/q138's retained exact-NDV comparison columns
+      // are vocabulary-bound and the probe corpus is permuted replicas
+      // (fixed vocabulary), so those two alone under-read the scan
+      "q133_distinct_kmv" -> "sketch", "q138_sketch_setops" -> "sketch",
+      "q134_heavy_hitters" -> "sketch")
     val docProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =
       ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
@@ -556,6 +563,7 @@ object Bench {
           val bf = pairs("q24_sim_topk")
           if (bf.isEmpty) Nil
           else Seq("ivf" -> "q39_sim_ivf_ann", "pq" -> "q130_sim_pq_adc",
+            "pq_rerank" -> "q240_sim_pq_rerank",
             "hnsw" -> "q137_sim_hnsw").flatMap { case (tag, q) =>
             try Some(tag -> (pairs(q) & bf).size.toDouble / bf.size)
             catch {

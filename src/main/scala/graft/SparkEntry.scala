@@ -1162,6 +1162,13 @@ object SparkEntry {
     // per-range digests off the received files are transport-blind
     "q239_zero_copy_stream" -> ((s, d) =>
       graft.ops.ZeroCopyStream.roundtrip(s, d)),
+    // PQ-ADC + exact re-rank (round 17): the compressed codes shortlist
+    // 40 candidates per query, the exact distance refines the shortlist
+    // ONLY (O(shortlist) float rows per query at any corpus size), and
+    // the final top-10 is exact-ordered — the refine stage that buys
+    // back raw ADC's compression-floor recall
+    "q240_sim_pq_rerank" -> ((s, d) =>
+      graft.ops.Similarity.pqSearchRerank(s, d)),
     // stream-stream inner join under the oracle (round 16): symmetric
     // join state + watermark eviction under a controlled arrival — the
     // even cohort matches in-batch (30 min lag), the ≡1 (mod 4) cohort

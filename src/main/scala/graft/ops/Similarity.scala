@@ -563,6 +563,21 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, adc_d2), integer-exact. */
   def pqSearch(spark: SparkSession, dir: String, m: Int = 4, k: Int = 8,
       nQueries: Int = 8, topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    pqAdcScores(spark, dir, m, k, nQueries)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared ADC scorer: every (query, candidate) pair's approximate
+    * distance — the m literal map lookups of [[pqSearch]], before any
+    * ranking. */
+  private def pqAdcScores(spark: SparkSession, dir: String, m: Int,
+      k: Int, nQueries: Int): DataFrame = {
     val (subDim, books) = pqCodebooks(spark, dir, m, k)
     val vecs = quantized(spark, dir).select("vec_id", "qv")
     // query subvectors: nQueries × m rows — driver-sized by construction
@@ -600,17 +615,61 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(qid).as("query_id"), adc.as("adc_d2"))
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(asc("adc_d2"), asc("neighbor_id"))
     coded
       .select(col("vec_id").as("neighbor_id"),
         explode(array(adcStructs: _*)).as("qa"))
       .select(col("qa.query_id").as("query_id"), col("neighbor_id"),
         col("qa.adc_d2").as("adc_d2"))
+  }
+
+  /** q240: PQ-ADC with an EXACT RE-RANK refine stage (round 17, VERDICT
+    * r16 ask #8) — the production IVFADC+refine shape (Jégou et al.
+    * §V.C): the compressed codes SHORTLIST `shortlist` candidates per
+    * query by ADC, then the exact distance is computed for the
+    * shortlist ONLY and the final top-k is exact-ordered. Raw ADC at
+    * m=4 subspaces × 8 centroids is a 64× compression whose recall
+    * floor (0.875 at the 10× probe) is the documented
+    * quality/compression trade; the refine stage buys the recall back
+    * for an O(shortlist) per-query exact pass — at 100 TB the full
+    * float data is touched for `shortlist` rows per query, never the
+    * corpus.
+    *
+    * Integer-exact end to end: the ADC shortlist is q130's bit-exact
+    * derivation, the refine distances are the q24 grid's exact d2, so
+    * the oracle replays both stages. */
+  def pqSearchRerank(spark: SparkSession, dir: String, m: Int = 4,
+      k: Int = 8, nQueries: Int = 8, topK: Int = 10,
+      shortlist: Int = 40): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    val short = pqAdcScores(spark, dir, m, k, nQueries)
+      .withColumn("srank", row_number().over(wAdc))
+      .where(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val vecs = quantized(spark, dir).select(
+      col("vec_id"), col("qv"), col("norm2"))
+    // query vectors as plan literals (nQueries rows — driver-tiny), so
+    // the exact pass is one narrow projection over the joined shortlist
+    val qrows = vecs.where(col("vec_id") < nQueries)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+    val qvArr = array(qrows.map(q => typedLit(q._2)): _*)
+    val qn2Arr = array(qrows.map(q => lit(q._3)): _*)
+    val qi = col("query_id").cast("int") + 1
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("d2"), asc("neighbor_id"))
+    short
+      .join(vecs.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .withColumn("d2",
+        col("norm2") + element_at(qn2Arr, qi) -
+          lit(2L) * GraftFunctions.dotI64(col("qv"),
+            element_at(qvArr, qi)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("adc_d2"))
+        col("d2"))
       .orderBy("query_id", "rank")
   }
 

@@ -3689,65 +3689,7 @@ FROM per, tot ORDER BY cluster""",
     // tie rules), candidate encoding by per-subspace argmin under the
     // trained codebooks, per-query exact subspace distance tables, ADC =
     // sum of the m table entries, top-10 per query by (adc_d2, vec_id).
-    "q130_sim_pq_adc" -> s"""WITH $quantized,
-sub0 AS (SELECT vec_id, s, list_slice(qv, s*16+1, s*16+16) AS sv
-  FROM qn, UNNEST([0, 1, 2, 3]) AS t(s)),
-subn AS (SELECT vec_id, s, sv,
-  CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS sn2
-  FROM sub0),
-pc0 AS (SELECT s, vec_id AS cid, sv AS cv, sn2 AS cn2
-  FROM subn WHERE vec_id < 8),
-pd1 AS (
-  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
-    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
-  FROM subn q JOIN pc0 c ON q.s = c.s),
-pa1 AS (SELECT vec_id, s, sv, sn2, cid FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
-      AS rn FROM pd1) WHERE rn = 1),
-pu1 AS (SELECT s, cid, pos,
-    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
-  FROM (SELECT s, cid, UNNEST(sv) AS v,
-          UNNEST(range(1, len(sv) + 1)) AS pos FROM pa1)
-  GROUP BY 1, 2, 3),
-pc1l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
-  FROM pu1 GROUP BY s, cid),
-pc1 AS (SELECT s, cid, cv,
-  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
-  FROM pc1l),
-pd2 AS (
-  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
-    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
-  FROM subn q JOIN pc1 c ON q.s = c.s),
-pa2 AS (SELECT vec_id, s, sv, sn2, cid FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
-      AS rn FROM pd2) WHERE rn = 1),
-pu2 AS (SELECT s, cid, pos,
-    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
-  FROM (SELECT s, cid, UNNEST(sv) AS v,
-          UNNEST(range(1, len(sv) + 1)) AS pos FROM pa2)
-  GROUP BY 1, 2, 3),
-pc2l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
-  FROM pu2 GROUP BY s, cid),
-pc2 AS (SELECT s, cid, cv,
-  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
-  FROM pc2l),
-pd3 AS (
-  SELECT q.vec_id, q.s, c.cid,
-    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
-  FROM subn q JOIN pc2 c ON q.s = c.s),
-codes AS (SELECT vec_id, s, cid FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
-      AS rn FROM pd3 WHERE vec_id >= 8) WHERE rn = 1),
-qtab AS (SELECT vec_id AS qid, s, cid, d2 AS dq
-  FROM pd3 WHERE vec_id < 8),
-adc AS (
-  SELECT t.qid AS query_id, x.vec_id AS neighbor_id,
-    CAST(SUM(t.dq) AS BIGINT) AS adc_d2
-  FROM codes x JOIN qtab t ON x.s = t.s AND x.cid = t.cid
-  GROUP BY 1, 2)
+    "q130_sim_pq_adc" -> s"""WITH $pqAdcCtes
 SELECT query_id,
   CAST(rn AS BIGINT) AS rank, neighbor_id, adc_d2
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4352,6 +4294,26 @@ ORDER BY 1"""
       // (entire-sstable transfer), partial files rewrite only the
       // requested remainder; convergence is transport-blind.
       ("q239_zero_copy_stream" -> q239Sql) +
+      // q240: PQ-ADC + exact re-rank — the compressed codes shortlist
+      // 40 candidates per query (q130's bit-exact ADC derivation), the
+      // exact d2 refines the shortlist only, final top-10 exact-ordered.
+      ("q240_sim_pq_rerank" -> s"""WITH $pqAdcCtes,
+pshort AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+  WHERE rn <= 40),
+pexact AS (
+  SELECT s.query_id, s.neighbor_id,
+    nq2.norm2 + nn.norm2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(nq2.qv) + 1), i -> nq2.qv[i] * nn.qv[i]))
+      AS BIGINT) AS d2
+  FROM pshort s
+  JOIN qn nq2 ON nq2.vec_id = s.query_id
+  JOIN qn nn ON nn.vec_id = s.neighbor_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY d2, neighbor_id) AS rn FROM pexact)
+WHERE rn <= 10 ORDER BY query_id, rank""") +
       // q220: stream-stream inner join under controlled arrival — the
       // even cohort joins in-batch (lag 30), the ≡1 (mod 4) cohort
       // joins live state late (lag 90), the ≡3 cohort arrives after
@@ -6292,6 +6254,69 @@ SELECT sstable_id, key, size, cell_count, tombstone_count,
 FROM lipscan
 WHERE size >= 20000 OR cell_count >= 4 OR tombstone_count >= 3
 ORDER BY sstable_id, key"""
+
+  /** The PQ/ADC CTE chain shared by q130 and q240: per-subspace
+    * 2-iteration Lloyd's, candidate codes, per-query exact subspace
+    * distance tables, and the full (query, candidate) ADC relation. */
+  private lazy val pqAdcCtes: String = s"""$quantized,
+sub0 AS (SELECT vec_id, s, list_slice(qv, s*16+1, s*16+16) AS sv
+  FROM qn, UNNEST([0, 1, 2, 3]) AS t(s)),
+subn AS (SELECT vec_id, s, sv,
+  CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS sn2
+  FROM sub0),
+pc0 AS (SELECT s, vec_id AS cid, sv AS cv, sn2 AS cn2
+  FROM subn WHERE vec_id < 8),
+pd1 AS (
+  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM subn q JOIN pc0 c ON q.s = c.s),
+pa1 AS (SELECT vec_id, s, sv, sn2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM pd1) WHERE rn = 1),
+pu1 AS (SELECT s, cid, pos,
+    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT s, cid, UNNEST(sv) AS v,
+          UNNEST(range(1, len(sv) + 1)) AS pos FROM pa1)
+  GROUP BY 1, 2, 3),
+pc1l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
+  FROM pu1 GROUP BY s, cid),
+pc1 AS (SELECT s, cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM pc1l),
+pd2 AS (
+  SELECT q.vec_id, q.s, q.sv, q.sn2, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM subn q JOIN pc1 c ON q.s = c.s),
+pa2 AS (SELECT vec_id, s, sv, sn2, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM pd2) WHERE rn = 1),
+pu2 AS (SELECT s, cid, pos,
+    CAST(floor(SUM(v) / COUNT(*)) AS BIGINT) AS cvp
+  FROM (SELECT s, cid, UNNEST(sv) AS v,
+          UNNEST(range(1, len(sv) + 1)) AS pos FROM pa2)
+  GROUP BY 1, 2, 3),
+pc2l AS (SELECT s, cid, list(cvp ORDER BY pos) AS cv
+  FROM pu2 GROUP BY s, cid),
+pc2 AS (SELECT s, cid, cv,
+  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn2
+  FROM pc2l),
+pd3 AS (
+  SELECT q.vec_id, q.s, c.cid,
+    q.sn2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+      range(1, len(q.sv) + 1), i -> q.sv[i] * c.cv[i])) AS BIGINT) AS d2
+  FROM subn q JOIN pc2 c ON q.s = c.s),
+codes AS (SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid)
+      AS rn FROM pd3 WHERE vec_id >= 8) WHERE rn = 1),
+qtab AS (SELECT vec_id AS qid, s, cid, d2 AS dq
+  FROM pd3 WHERE vec_id < 8),
+adc AS (
+  SELECT t.qid AS query_id, x.vec_id AS neighbor_id,
+    CAST(SUM(t.dq) AS BIGINT) AS adc_d2
+  FROM codes x JOIN qtab t ON x.s = t.s AND x.cid = t.cid
+  GROUP BY 1, 2)"""
 
   /** The vnode ring walk (round 17), derived RELATIONALLY from just
     * the (slot, owner) token VALUES — an independent SQL replay of the

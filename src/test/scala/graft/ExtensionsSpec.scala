@@ -1594,6 +1594,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap > 0, s"no PQ/brute-force overlap in ${rows.length} hits")
   }
 
+  test("pq re-rank (round 17): exact refine of the ADC shortlist — " +
+      "recall >= raw ADC, distances exact, shortlist containment") {
+    import graft.ops.Similarity
+    val rr = Similarity.pqSearchRerank(spark, Sf0001).collect()
+    val byQ = rr.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 8)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to 10L).toSeq)
+    }
+    // exact distances: every emitted d2 equals the brute-force grid's
+    val vecs = Similarity.quantized(spark, Sf0001)
+      .select("vec_id", "qv", "norm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def d2(a: (Long, Vector[Long], Long), b: (Long, Vector[Long], Long)) =
+      a._3 + b._3 - 2L * a._2.lazyZip(b._2).map(_ * _).sum
+    rr.foreach { r =>
+      assert(r.getAs[Long]("d2") === d2(
+        byId(r.getAs[Long]("query_id")),
+        byId(r.getAs[Long]("neighbor_id"))))
+    }
+    // the refine stage can only help: per query, re-rank recall vs the
+    // exact brute-force top-10 is at least raw ADC's
+    val bf = Similarity.bruteForceTopK(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.map(_.getAs[Long]("neighbor_id")).toSet
+      }
+    val adc = Similarity.pqSearch(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.map(_.getAs[Long]("neighbor_id")).toSet
+      }
+    val rrSets = byQ.map { case (q, rs) =>
+      q -> rs.map(_.getAs[Long]("neighbor_id")).toSet
+    }
+    val adcRecall = adc.map { case (q, s) => (s & bf(q)).size }.sum
+    val rrRecall = rrSets.map { case (q, s) => (s & bf(q)).size }.sum
+    assert(rrRecall >= adcRecall,
+      s"re-rank recall $rrRecall < raw ADC recall $adcRecall")
+  }
+
   test("ivf-pq: distributed IVFADC == full driver replay (coarse assign, " +
       "residual codes, probed-bucket ADC); scoring plan is join-free") {
     val out = Similarity.ivfPqSearch(spark, Sf0001)

@@ -1155,6 +1155,18 @@ object SparkEntry {
     // views digest-verify per range at RF=2 holders
     "q238_vnode_decommission" -> ((s, d) =>
       graft.ops.VnodeRing.decommissionRoundtrip(s, d)),
+    // the range-SPLITTING half of the vnode calculus (round 17): a new
+    // node joins with 4 mid-range tokens, each splitting an existing
+    // range; before/after replicas, pending transfers and cleanup debt
+    // per half-range — Scala walk vs the oracle's SQL walk over the
+    // before/after token sets
+    "q241_vnode_split" -> ((s, _) =>
+      graft.ops.VnodeBootstrap.splitReport(s)),
+    // executed vnode bootstrap: the joiner streams each gained
+    // half-range from that range's pre-join primary (real received
+    // sstables, digest-verified per range against the corpus)
+    "q242_vnode_bootstrap" -> ((s, d) =>
+      graft.ops.VnodeBootstrap.roundtrip(s, d)),
     // zero-copy (entire-sstable) streaming (round 17): a range-sliced
     // source set, coverage decided per file off the Index.db sidecars
     // alone — fully-covered files HARD-LINK every component (zero rows

@@ -565,7 +565,11 @@ object Reports {
       section("Executed vnode decommission: node 3's 9 scattered ranges " +
         "stream to gainers on all three survivors; every view " +
         "digest-verified at RF=2",
-        graft.ops.VnodeRing.decommissionRoundtrip(spark, dir))
+        graft.ops.VnodeRing.decommissionRoundtrip(spark, dir)) +
+      section("Vnode bootstrap (range SPLITTING): node 4 joins with 4 " +
+        "mid-range tokens; before/after replicas, pending transfers " +
+        "and cleanup debt per half-range",
+        graft.ops.VnodeBootstrap.splitReport(spark))
 
   /** `commitlog <ks> <cf>` — the WAL segment report (q222) plus the
     * recovery summary (q221): segments, sections, byte accounting,

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.datadb.{DataDb, DataDbScan}
+
+/** Vnode BOOTSTRAP — the range-SPLITTING half of the pending-ranges
+  * calculus (round 17; [[VnodeRing]]'s decommission exercised the
+  * MERGING half): a new node joins the 4×4-vnode ring with 4 tokens of
+  * its own, each landing MID-RANGE — every one of its tokens splits an
+  * existing range in two, the defining vnode-join effect (a
+  * single-token join splits one range; a 256-vnode join splits 256,
+  * scattered everywhere).
+  *
+  *  - **Resolution.** Range accounting moves to HALF-sixteenths
+  *    (token div 2^55, 32 ranges): the 16 original tokens sit at the
+  *    tops of the odd half-slots (token s tops sixteenth s = half-slot
+  *    2s+1); the joiner's 4 tokens top the even half-slots {4, 12, 20,
+  *    28} — mid-sixteenth 2, 6, 10, 14, whose owners are 1, 3, 0, 2:
+  *    ONE split inside each existing node's territory.
+  *  - **Calculus (q241).** Per half-range: owner = first occupied slot
+  *    clockwise (the ownership rule at any token set), RF=2 replicas
+  *    via the distinct-owner walk — before (16 tokens) vs after (20
+  *    tokens), and the pending transfer (which ranges the joiner must
+  *    receive, from whom). The oracle re-derives every column
+  *    relationally from the two token VALUES lists.
+  *  - **Execute (q242).** The joiner streams each pending range from
+  *    that range's pre-join PRIMARY (Cassandra's pick-one-replica
+  *    bootstrap plan), one real received sstable per source node,
+  *    re-scanned and digest-verified range by range against the
+  *    corpus. Old nodes keep their files (cleanup is a separate verb —
+  *    [[Cleanup]] models it); the report carries each range's
+  *    post-join cleanup debt (retained holders no longer replicas).
+  *
+  * Scale shape: identical to the rest of the family — the occupied-slot
+  * walk is O(#tokens²) driver arithmetic, streams are sstable_id-pruned
+  * scans of the pre-join files through the sink, digests narrow. */
+object VnodeBootstrap {
+
+  /** The joining node's id (the ring had nodes 0–3). */
+  val Joiner = 4
+
+  /** Half-sixteenth resolution: range of a token = token div 2^55. */
+  val HalfShift: Int = VnodeRing.SlotShift - 1
+
+  /** Half-slot count. */
+  val Slots: Int = VnodeRing.Slots * 2
+
+  /** Joiner tokens: tops of these half-slots (mid-sixteenth splits). */
+  val JoinerSlots: Set[Int] = Set(4, 12, 20, 28)
+
+  /** Received generations: the stream from old node n writes
+    * sst-([[OutGenBase]]+n). */
+  val OutGenBase = 3400L
+
+  private val M = 1000003L
+
+  /** Owner of occupied half-slot o — old token s tops half-slot 2s+1;
+    * joiner tokens top [[JoinerSlots]]. */
+  private def ownerOf(slot: Int, withJoiner: Boolean): Option[Int] =
+    if (slot % 2 == 1) Some(VnodeRing.Owners(slot / 2))
+    else if (withJoiner && JoinerSlots(slot)) Some(Joiner)
+    else None
+
+  /** First occupied slot at or clockwise-after h. */
+  private def ownSlot(h: Int, withJoiner: Boolean): Int =
+    (0 until Slots).iterator.map(o => (h + o) % Slots)
+      .find(t => ownerOf(t, withJoiner).isDefined).get
+
+  /** RF=2 replica set of half-range h (primary first): the owning
+    * token's node, then the first clockwise occupied token owned by a
+    * DISTINCT node. */
+  def replicas(h: Int, withJoiner: Boolean): Seq[Int] = {
+    val ps = ownSlot(h, withJoiner)
+    val primary = ownerOf(ps, withJoiner).get
+    val second = (1 until Slots).iterator
+      .map(o => ownerOf((ps + o) % Slots, withJoiner))
+      .collectFirst { case Some(n) if n != primary => n }.get
+    Seq(primary, second)
+  }
+
+  /** The half-ranges the joiner must receive, each with its stream
+    * source = the range's PRE-JOIN primary. */
+  def pending: Seq[(Int, Int)] =
+    (0 until Slots).flatMap { h =>
+      if (replicas(h, withJoiner = true).contains(Joiner))
+        Some(h -> replicas(h, withJoiner = false).head)
+      else None
+    }
+
+  private def eventHash = graft.functions.PortableHash.h60(concat_ws(":",
+    col("key"), col("clustering"), col("column_name"), col("kind"),
+    col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
+    col("size_bytes"))) % M
+
+  private def withHalf(df: DataFrame): DataFrame =
+    df.withColumn("half_range",
+      shiftright(AntiEntropy.token(col("key")), HalfShift))
+
+  /** Stream the joiner's pending ranges from their pre-join primaries'
+    * REAL vnode-load files; one received sstable per source node under
+    * the returned dir (session-memoized). */
+  def ensureBootstrapped(spark: SparkSession, dir: String): String =
+    OpMemo.memoized(spark, s"$dir|vnodeboot") {
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-vnodeboot")).toString
+      import spark.implicits._
+      val plan = pending.map { case (h, src) =>
+        (src.toLong, h.toLong) }.toDF("node", "half_range")
+      val sources = pending.map(_._2).distinct.map(n =>
+        VnodeRing.loadFileId(n.toLong))
+      withHalf(DataDb.cells(spark, VnodeRing.ensureLoaded(spark, dir),
+          format = DataDbScan.FormatCassandra)
+          .where(col("sstable_id").isin(sources: _*))
+          .withColumn("node",
+            regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+              .cast("long") - 1L - VnodeRing.LoadGenBase))
+        .join(broadcast(plan), Seq("node", "half_range"))
+        .select(
+          (concat(lit("sst-"), (lit(OutGenBase) + col("node"))
+            .cast("string")).as("sstable_id") +:
+            Seq("key", "clustering", "column_name", "kind",
+              "timestamp_us", "ttl_s", "local_deletion_time_s",
+              "is_tombstone", "is_expiring", "size_bytes").map(col)): _*)
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    }
+
+  /** q241: the range-splitting calculus, one row per half-range —
+    * before/after replica pairs, whether the joiner gains the range,
+    * its stream source (-1 = none), and the post-join cleanup debt
+    * (pre-join replicas no longer in the replica set). The engine's
+    * Scala walk vs the oracle's SQL walk over the token VALUES. */
+  def splitReport(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until Slots).map { h =>
+      val before = replicas(h, withJoiner = false)
+      val after = replicas(h, withJoiner = true)
+      val gains = after.contains(Joiner)
+      (h.toLong, before.head.toLong, before(1).toLong,
+        after.head.toLong, after(1).toLong, gains,
+        if (gains) before.head.toLong else -1L,
+        before.count(n => !after.contains(n)).toLong)
+    }.toDF("half_range", "old_primary", "old_second",
+        "new_primary", "new_second", "joiner_gains", "stream_source",
+        "cleanup_debt")
+      .orderBy("half_range")
+  }
+
+  /** q242: the executed bootstrap — one row per received half-range:
+    * the stream source, events + digest off the joiner's real received
+    * files, corpus equality. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val inPath = graft.sources.datadb.CassandraDataFixture
+      .ensureUcsFiles(spark, dir)
+    import spark.implicits._
+    val corpus = withHalf(DataDb.cells(spark, inPath,
+        format = DataDbScan.FormatCassandra))
+      .groupBy("half_range")
+      .agg(count(lit(1)).as("corpus_events"),
+        sum(eventHash).as("corpus_digest"))
+    val plan = pending.map { case (h, src) =>
+      (h.toLong, src.toLong) }.toDF("half_range", "stream_source")
+    val received = withHalf(DataDb.cells(spark,
+        ensureBootstrapped(spark, dir),
+        format = DataDbScan.FormatCassandra))
+      .groupBy("half_range")
+      .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
+    received
+      .join(broadcast(plan), Seq("half_range"))
+      .join(corpus, Seq("half_range"))
+      .select(col("half_range"), col("stream_source"), col("events"),
+        col("digest"), col("corpus_events"), col("corpus_digest"),
+        (col("events") === col("corpus_events") &&
+          col("digest") === col("corpus_digest")).as("verified"))
+      .orderBy("half_range")
+  }
+}

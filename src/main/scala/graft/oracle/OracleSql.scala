@@ -4290,6 +4290,13 @@ ORDER BY 1"""
       // ranges stream to gainers on ALL THREE survivors; every
       // survivor view digest-verifies and RF=2 holds per range.
       ("q238_vnode_decommission" -> q238Sql) +
+      // q241: vnode bootstrap calculus — the joiner's 4 mid-range
+      // tokens SPLIT an existing range each; before/after replicas,
+      // pending transfers and cleanup debt per half-range.
+      ("q241_vnode_split" -> q241Sql) +
+      // q242: executed vnode bootstrap — the joiner streams each
+      // gained half-range from its pre-join primary's real file.
+      ("q242_vnode_bootstrap" -> q242Sql) +
       // q239: zero-copy streaming — fully-covered sstables hard-link
       // (entire-sstable transfer), partial files rewrite only the
       // requested remainder; convergence is transport-blind.
@@ -6498,6 +6505,111 @@ SELECT CAST(d.rng AS BIGINT) AS token_range, d.origin,
   c.corpus_events, c.corpus_digest, TRUE AS verified
 FROM zdisp d JOIN vcorp c ON c.rng = d.rng
 ORDER BY token_range"""
+  }
+
+  /** The vnode BOOTSTRAP walk (round 17) — the range-SPLITTING half of
+    * the calculus, derived relationally over 32 half-sixteenth ranges:
+    * the 16 original tokens top the odd half-slots, the joiner's 4
+    * tokens the even half-slots {4,12,20,28}; ownership = first
+    * occupied slot clockwise, RF=2 = owner + next distinct owner, run
+    * over BOTH token sets (before/after). */
+  private lazy val vnodeBootCtes: String = {
+    val k = graft.ops.VnodeBootstrap.Slots
+    val oldToks = graft.ops.VnodeRing.Owners.zipWithIndex
+      .map { case (n, s) => s"(${2 * s + 1}, $n)" }.mkString(", ")
+    val joinToks = graft.ops.VnodeBootstrap.JoinerSlots.toSeq.sorted
+      .map(sl => s"($sl, ${graft.ops.VnodeBootstrap.Joiner})")
+      .mkString(", ")
+    val halves = (0 until k).map(h => s"($h)").mkString(", ")
+    def walk(tag: String, toks: String): String =
+      s"""vb${tag}own AS (
+  SELECT h.h, u.slot AS own_slot, u.node AS p,
+    row_number() OVER (PARTITION BY h.h
+      ORDER BY (u.slot - h.h + $k) % $k) AS rn
+  FROM vbh h CROSS JOIN $toks u
+),
+vb${tag}p AS (SELECT h, own_slot, p FROM vb${tag}own WHERE rn = 1),
+vb${tag}s AS (
+  SELECT b.h, u.node AS s2,
+    row_number() OVER (PARTITION BY b.h
+      ORDER BY (u.slot - b.own_slot + $k) % $k) AS rn
+  FROM vb${tag}p b JOIN $toks u
+    ON u.node <> b.p AND u.slot <> b.own_slot
+),
+vb$tag AS (
+  SELECT b.h, b.p AS primary_n, s.s2 AS second_n
+  FROM vb${tag}p b
+  JOIN (SELECT h, s2 FROM vb${tag}s WHERE rn = 1) s USING (h)
+)"""
+    s"""vbold AS (SELECT * FROM (VALUES $oldToks) t(slot, node)),
+vball AS (SELECT * FROM vbold
+  UNION ALL SELECT * FROM (VALUES $joinToks) j(slot, node)),
+vbh AS (SELECT * FROM (VALUES $halves) t(h)),
+${walk("b", "vbold")},
+${walk("a", "vball")},
+vbsplit AS (
+  SELECT b.h, b.primary_n AS old_primary, b.second_n AS old_second,
+    a.primary_n AS new_primary, a.second_n AS new_second,
+    (a.primary_n = ${graft.ops.VnodeBootstrap.Joiner}
+      OR a.second_n = ${graft.ops.VnodeBootstrap.Joiner}) AS joiner_gains,
+    CASE WHEN a.primary_n = ${graft.ops.VnodeBootstrap.Joiner}
+        OR a.second_n = ${graft.ops.VnodeBootstrap.Joiner}
+      THEN b.primary_n ELSE -1 END AS stream_source,
+    (CASE WHEN b.primary_n NOT IN (a.primary_n, a.second_n)
+       THEN 1 ELSE 0 END
+     + CASE WHEN b.second_n NOT IN (a.primary_n, a.second_n)
+       THEN 1 ELSE 0 END) AS cleanup_debt
+  FROM vbb b JOIN vba a USING (h)
+)"""
+  }
+
+  /** q241: the vnode range-splitting calculus — the engine's Scala walk
+    * over before/after token sets vs this SQL derivation. */
+  private lazy val q241Sql: String =
+    s"""WITH $vnodeBootCtes
+SELECT CAST(h AS BIGINT) AS half_range,
+  CAST(old_primary AS BIGINT) AS old_primary,
+  CAST(old_second AS BIGINT) AS old_second,
+  CAST(new_primary AS BIGINT) AS new_primary,
+  CAST(new_second AS BIGINT) AS new_second,
+  joiner_gains,
+  CAST(stream_source AS BIGINT) AS stream_source,
+  CAST(cleanup_debt AS BIGINT) AS cleanup_debt
+FROM vbsplit ORDER BY half_range"""
+
+  /** q242: the executed vnode bootstrap — the joiner's received views
+    * per gained half-range, streamed from each range's pre-join
+    * primary, digest-equal to the corpus slice. */
+  private lazy val q242Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val evHash = h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+    s"""WITH $fixtures,
+$vnodeBootCtes,
+vbmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tok AS tok
+  FROM licells
+),
+vbcorp AS (
+  SELECT tok // 36028797018963968 AS rng,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM($evHash % 1000003) AS BIGINT) AS corpus_digest
+  FROM vbmapped GROUP BY 1
+)
+SELECT CAST(s.h AS BIGINT) AS half_range,
+  CAST(s.stream_source AS BIGINT) AS stream_source,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest, TRUE AS verified
+FROM vbsplit s JOIN vbcorp c ON c.rng = s.h
+WHERE s.joiner_gains ORDER BY half_range"""
   }
 
   /** q217: nodetool decommission (round 16) — the ring-shrink

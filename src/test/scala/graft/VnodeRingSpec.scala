@@ -99,4 +99,50 @@ class VnodeRingSpec extends SparkSpec {
     assert(streamed.map(r => (r.getAs[Long]("node"),
       r.getAs[Long]("token_range"))).toSet === expect)
   }
+  test("vnode bootstrap calculus: each joiner token splits one range; " +
+      "gains scatter, untouched ranges keep their replicas") {
+    import graft.ops.VnodeBootstrap
+    // joiner primary exactly on its own 4 half-ranges (one split per
+    // token: the preceding old token closes the rest of the sixteenth)
+    val primaries = (0 until VnodeBootstrap.Slots).filter(h =>
+      VnodeBootstrap.replicas(h, withJoiner = true).head ==
+        VnodeBootstrap.Joiner)
+    assert(primaries.toSet === VnodeBootstrap.JoinerSlots)
+    (0 until VnodeBootstrap.Slots).foreach { h =>
+      val before = VnodeBootstrap.replicas(h, withJoiner = false)
+      val after = VnodeBootstrap.replicas(h, withJoiner = true)
+      assert(before.distinct.length === 2)
+      assert(after.distinct.length === 2)
+      // the 32-half-range BEFORE view halves the 16-range q236 view
+      assert(before === VnodeRing.oldReplicas(h / 2))
+      // a range the joiner doesn't touch keeps its exact replica set
+      if (!after.contains(VnodeBootstrap.Joiner)) assert(after === before)
+      // at most one pre-join replica is displaced
+      assert(before.count(n => !after.contains(n)) <= 1)
+    }
+    // pending transfers: each gained range streams from its pre-join
+    // primary; gains land inside EVERY old node's territory
+    val pending = VnodeBootstrap.pending
+    assert(pending.nonEmpty)
+    assert(pending.map(_._2).toSet === Set(0, 1, 2, 3))
+    pending.foreach { case (h, src) =>
+      assert(VnodeBootstrap.replicas(h, withJoiner = true)
+        .contains(VnodeBootstrap.Joiner))
+      assert(src === VnodeBootstrap.replicas(h, withJoiner = false).head)
+    }
+  }
+
+  test("executed vnode bootstrap: every received view verified") {
+    import graft.ops.VnodeBootstrap
+    val rows = VnodeBootstrap.roundtrip(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("half_range")).toSet ===
+      VnodeBootstrap.pending.map(_._1.toLong).toSet)
+    assert(rows.forall(_.getAs[Boolean]("verified")))
+    // one real received sstable per distinct source node
+    val files = Option(new java.io.File(
+        VnodeBootstrap.ensureBootstrapped(spark, Sf0001)).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.endsWith("-Data.db"))
+    assert(files === VnodeBootstrap.pending.map(_._2).distinct.length)
+  }
 }

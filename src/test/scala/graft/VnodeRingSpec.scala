@@ -145,4 +145,25 @@ class VnodeRingSpec extends SparkSpec {
       .count(_.getName.endsWith("-Data.db"))
     assert(files === VnodeBootstrap.pending.map(_._2).distinct.length)
   }
+  test("planning economy: vnode stream sources prune files at planning") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.datadb.{DataDb, DataDbScan}
+    val loaded = VnodeRing.ensureLoaded(spark, Sf0001)
+    val full = DataDb.cells(spark, loaded,
+      format = DataDbScan.FormatCassandra)
+    // the decommission stream's source shape: the leaver's ONE file
+    val leaver = full.where(col("sstable_id") ===
+      VnodeRing.loadFileId(VnodeRing.Leaving.toLong))
+    val lplan = leaver.queryExecution.executedPlan.toString
+    assert(lplan.contains("sstable_id"),
+      s"no pushed sstable_id filter:\n${lplan.take(800)}")
+    assert(leaver.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "the leaver filter must prune files at planning, not filter rows")
+    // q238's retained scan pushes the survivors' isin the same way
+    val plan238 = graft.ops.VnodeRing.decommissionRoundtrip(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan238.contains("In(sstable_id") ||
+      plan238.contains("EqualTo(sstable_id"),
+      "q238 retained scan does not push its sstable_id prefilter")
+  }
 }

@@ -68,4 +68,21 @@ class ZeroCopyStreamSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(ranges === ZeroCopyStream.TransferRanges)
   }
+  test("planning economy: the partial-rewrite source prunes to its file") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.datadb.{DataDb, DataDbScan}
+    val sliced = ZeroCopyStream.ensureSliced(spark, Sf0001)
+    val full = DataDb.cells(spark, sliced,
+      format = DataDbScan.FormatCassandra)
+    val partial = full.where(col("sstable_id").isin(
+      s"nb-${ZeroCopyStream.PairGenB + 1}-big"))
+    assert(partial.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "the rewrite source must prune to the partial file at planning")
+    // and the coverage PLAN reads only Index.db (sidecar metadata):
+    // its input relation is the sstable-index source, never sstable-data
+    val idx = graft.sources.indexdb.IndexDb.read(spark, sliced)
+    assert(idx.queryExecution.analyzed.toString.contains("IndexDb") ||
+      idx.queryExecution.executedPlan.toString.toLowerCase
+        .contains("index"))
+  }
 }

@@ -348,12 +348,26 @@ object CommitLog {
             val head = f.getName.takeWhile(_ != '.')
             head.nonEmpty && head.forall(_.isDigit)
           }
-          .sortBy(_.getName)
-        val pathRe = """"path":"([^"]+)"""".r
+          // NUMERIC batch order (ADVICE r17): "10" must follow "9", and
+          // "9.compact" supersedes the plain batches at or below it —
+          // lexicographic name order breaks past batch 9
+          .sortBy(f => (f.getName.takeWhile(_ != '.').toLong,
+            f.getName.contains('.')))
+        // each log line after the "v1" header is a SinkFileStatus JSON
+        // object; parse it AS JSON (ADVICE r17 — a substring regex
+        // would mis-extract paths containing escaped quotes and break
+        // silently on a log-format change), keep only add-actions
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val committed = batchFiles.flatMap { bf =>
           val lines = java.nio.file.Files.readAllLines(bf.toPath)
-          lines.asScala.flatMap(l =>
-            pathRe.findAllMatchIn(l).map(_.group(1)))
+          lines.asScala.filter(l => l.startsWith("{")).flatMap { l =>
+            val node = mapper.readTree(l)
+            val action = Option(node.get("action")).map(_.asText())
+            val path = Option(node.get("path")).map(_.asText())
+            require(path.isDefined,
+              s"unrecognized sink-log entry in ${bf.getName}: $l")
+            if (action.forall(_ == "add")) path else None
+          }
         }.distinct.toSeq
         require(committed.nonEmpty, s"no committed files in $metaDir")
         spark.read.parquet(committed: _*)

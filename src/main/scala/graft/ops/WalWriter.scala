@@ -42,18 +42,25 @@ object WalWriter {
     "columnName", "kind", "ttlS", "localDeletionTimeS", "isTombstone",
     "isExpiring", "sizeBytes")
 
-  /** Serialized entry length (header + name/kind payload) — the same
-    * accounting [[CommitLogFormat.entryLength]] does, without building
-    * the Mutation. */
+  /** Serialized entry length — delegates to the codec's own accounting
+    * ([[CommitLogFormat.entryLength]], ADVICE r17) so segment cuts can
+    * never diverge from the bytes [[CommitLogFormat.writeSegment]]
+    * emits. */
   def entryLength(columnName: String, kind: String): Long =
-    CommitLogFormat.FixedEntryBytes.toLong +
-      columnName.length + kind.length
+    CommitLogFormat.entryLength(columnName, kind).toLong
 
   /** Write one WAL file per distinct `fileId` under `out`, from
     * executors: repartition by file, sort within partitions by
     * (file, append order), roll files as the id changes. `nameOf` and
     * `segIdOf` map a file id to its file name and its on-disk segment
-    * id. */
+    * id.
+    *
+    * Path contract (ADVICE r17): tasks open `out` with local
+    * `java.io` — correct in local mode or on a shared POSIX filesystem
+    * (the fixture-staging temp dirs both Verify and Bench use), NOT on
+    * object-store paths. This writer stages WAL *fixtures*; a
+    * cluster-remote sink would route the same per-file byte stream
+    * through the Hadoop FileSystem API instead. */
   def write(entries: Dataset[WalEntry], out: String,
       nameOf: Long => String, segIdOf: Long => Long): Unit = {
     entries

@@ -104,7 +104,16 @@ object CommitLogFormat {
 
   /** On-disk entry length: size int + size CRC + payload + payload
     * CRC. */
-  def entryLength(m: Mutation): Int = payloadLength(m) + 12
+  def entryLength(m: Mutation): Int =
+    entryLength(m.columnName, m.kind)
+
+  /** [[entryLength]] from the two variable-length fields alone (ADVICE
+    * r17): the ONE place the framing arithmetic lives — distributed
+    * writers ([[graft.ops.WalWriter]]) size entries without building a
+    * [[Mutation]], and a framing/UTF-accounting change here can never
+    * silently diverge the two accountings. */
+  def entryLength(columnName: String, kind: String): Int =
+    FixedEntryBytes + columnName.length + kind.length
 
   private def crcInt(crc: CRC32, v: Int): Unit = {
     crc.update((v >>> 24) & 0xff); crc.update((v >>> 16) & 0xff)

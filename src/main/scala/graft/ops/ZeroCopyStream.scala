@@ -20,11 +20,12 @@ import graft.sources.datadb.{CassandraDataFixture, DataDb, DataDbScan}
   *    files (12–13 and 14–15) so coverage is decided per FILE, not per
   *    range.
   *  - **Plan.** The transfer requests [[TransferRanges]]. Per-file
-  *    spans come from the Index.db sidecars alone (min/max decoded key
-  *    → token — O(#partitions) index reads, the pstats discipline;
-  *    Data.db is never opened to plan). A file is `linked` when every
-  *    sixteenth its span touches is requested, `rewritten` when only
-  *    some are, skipped when none.
+  *    OCCUPANCY comes from the Summary.db sidecars alone
+  *    ([[SummaryCoverage]], round 18: the sampled entry keys — 1/4 of
+  *    the Index.db rows the round-17 planner read — tokenized and
+  *    binned; Data.db is never opened to plan). A file is `linked`
+  *    when every sixteenth it occupies is requested, `rewritten` when
+  *    only some are, skipped when none.
   *  - **Execute.** Linked files: every component hard-links into the
   *    received dir ([[Snapshot]]'s mechanism — zero bytes copied,
   *    same file key). Partial files: one sstable_id-pruned scan,
@@ -108,29 +109,23 @@ object ZeroCopyStream {
       out
     }
 
-  /** Per-file coverage decision off the INDEX sidecars alone:
-    * (generation code, disposition). O(#files) driver rows. */
+  /** Per-file coverage decision off the SUMMARY sidecars alone
+    * ([[SummaryCoverage]], round 18 — the round-17 planner paid a full
+    * Index.db pass and charged each file its contiguous lo..hi SPAN;
+    * the sampled occupancy set is 4× fewer input rows and never charges
+    * an empty interior range): (generation code, disposition).
+    * O(#files) driver rows. */
   def plan(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val sliced = ensureSliced(spark, dir)
-    val spans = graft.sources.indexdb.IndexDb.read(spark, sliced)
-      .select(col("sstable_id"),
-        shiftright(graft.functions.PortableHash.h60(
-          graft.sources.BinaryKeys.beLong(col("key")).cast("string")),
-          SlotShift).as("token_range"))
-      .groupBy("sstable_id")
-      .agg(min("token_range").as("lo"), max("token_range").as("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    spans.map { case (id, lo, hi) =>
-      val gen = "nb-(\\d+)-big".r.findFirstMatchIn(id).get
-        .group(1).toLong - 1L
-      val touched = (lo to hi).toSet
-      val disp =
-        if (touched.subsetOf(TransferRanges)) "linked"
-        else if (touched.exists(TransferRanges)) "rewritten"
-        else "skipped"
-      (gen, disp)
-    }.sortBy(_._1).toSeq
+    SummaryCoverage.occupiedRanges(spark, sliced, SlotShift)
+      .toSeq
+      .map { case (generation, touched) =>
+        val disp =
+          if (touched.subsetOf(TransferRanges)) "linked"
+          else if (touched.exists(TransferRanges)) "rewritten"
+          else "skipped"
+        (generation - 1L, disp)
+      }.sortBy(_._1)
   }
 
   /** Execute the transfer into a received dir (session-memoized):

@@ -6,7 +6,7 @@ import graft.ops.ZeroCopyStream
   * link, partial files rewrite, convergence is transport-blind. */
 class ZeroCopyStreamSpec extends SparkSpec {
 
-  test("plan: coverage decided per file off the Index sidecars") {
+  test("plan: coverage decided per file off the Summary sidecars") {
     val plan = ZeroCopyStream.plan(spark, Sf0001).toMap
     // three isolated singles + the fully-covered pair link whole
     assert(plan(3201L) === "linked") // range 1
@@ -78,11 +78,41 @@ class ZeroCopyStreamSpec extends SparkSpec {
       s"nb-${ZeroCopyStream.PairGenB + 1}-big"))
     assert(partial.rdd.getNumPartitions < full.rdd.getNumPartitions,
       "the rewrite source must prune to the partial file at planning")
-    // and the coverage PLAN reads only Index.db (sidecar metadata):
-    // its input relation is the sstable-index source, never sstable-data
-    val idx = graft.sources.indexdb.IndexDb.read(spark, sliced)
-    assert(idx.queryExecution.analyzed.toString.contains("IndexDb") ||
-      idx.queryExecution.executedPlan.toString.toLowerCase
-        .contains("index"))
+  }
+
+  test("round 18: summary-planned occupancy equals the full Index.db " +
+      "occupancy, at a fraction of the input rows") {
+    import org.apache.spark.sql.functions._
+    val sliced = ZeroCopyStream.ensureSliced(spark, Sf0001)
+    // the authoritative (every-partition) occupancy off Index.db — the
+    // sampled summary plan must reach the SAME disposition for every
+    // file (pins both ADVICE r17's interior-gap concern and sampling
+    // adequacy; an occupancy undercount would flip a pair file)
+    val tokenOf = shiftright(graft.functions.PortableHash.h60(
+      graft.sources.BinaryKeys.beLong(col("key")).cast("string")),
+      ZeroCopyStream.SlotShift)
+    val fullOcc = graft.sources.indexdb.IndexDb.read(spark, sliced)
+      .select(col("sstable_id"), tokenOf.as("r"))
+      .groupBy("sstable_id").agg(collect_set("r").as("rs"))
+      .collect()
+      .map { row =>
+        val gen = "nb-(\\d+)-big".r.findFirstMatchIn(row.getString(0))
+          .get.group(1).toLong - 1L
+        gen -> row.getSeq[Long](1).toSet
+      }.toMap
+    val expected = fullOcc.map { case (g, touched) =>
+      g -> (if (touched.subsetOf(ZeroCopyStream.TransferRanges)) "linked"
+        else if (touched.exists(ZeroCopyStream.TransferRanges)) "rewritten"
+        else "skipped")
+    }
+    assert(ZeroCopyStream.plan(spark, Sf0001).toMap === expected)
+    // economy: the summary relation hands the planner ~1/4 of the
+    // index's rows (MinIndexInterval sampling), never a Data.db byte
+    val summaryRows = spark.read.format("sstable-summary").load(sliced)
+      .count()
+    val indexRows = graft.sources.indexdb.IndexDb.read(spark, sliced)
+      .count()
+    assert(summaryRows * 2 < indexRows,
+      s"summary $summaryRows rows should be well under index $indexRows")
   }
 }

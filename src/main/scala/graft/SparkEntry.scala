@@ -1167,6 +1167,21 @@ object SparkEntry {
     // sstables, digest-verified per range against the corpus)
     "q242_vnode_bootstrap" -> ((s, d) =>
       graft.ops.VnodeBootstrap.roundtrip(s, d)),
+    // zero-copy disposition in the PRODUCTION bootstrap stream (round
+    // 18): source nodes hold range-sliced sstables (the per-node LCS
+    // shape), the transfer request to each source is its pending
+    // half-ranges — fully-requested sixteenth files HARD-LINK whole
+    // (sixteenths 1/5/9/13), half-requested ones rewrite only the
+    // pending half (2/6/10/14); per-half digests are transport-blind
+    "q243_vnode_zero_copy" -> ((s, d) =>
+      graft.ops.VnodeBootstrap.zeroCopyRoundtrip(s, d)),
+    // the coverage plan itself: per sliced source file, occupied vs
+    // requested half-ranges and the transport decision — engine
+    // occupancy off the Summary.db sidecars vs the oracle's
+    // corpus-derived occupancy, engine Scala walk vs the oracle's SQL
+    // walk for the request set
+    "q244_zero_copy_plan" -> ((s, d) =>
+      graft.ops.VnodeBootstrap.zeroCopyPlanReport(s, d)),
     // zero-copy (entire-sstable) streaming (round 17): a range-sliced
     // source set, coverage decided per file off the Index.db sidecars
     // alone — fully-covered files HARD-LINK every component (zero rows

@@ -150,6 +150,191 @@ object VnodeBootstrap {
       .orderBy("half_range")
   }
 
+  // --------------------------------------------------------------------
+  // zero-copy disposition in the PRODUCTION bootstrap stream (round 18,
+  // VERDICT r17 Next #2): [[ZeroCopyStream]] proved the covered-file
+  // fast path on a purpose-staged corpus; this wires the same
+  // CASSANDRA-14556 rule into the vnode bootstrap itself. Source nodes
+  // keep RANGE-SLICED holdings (the shape per-node leveled compaction
+  // maintains — one sstable per owned sixteenth); the joiner's transfer
+  // request to each source is its pending half-ranges, so a sixteenth
+  // whose BOTH halves are pending from one source fully covers that
+  // source's file (sixteenths 1/5/9/13 → the components hard-link,
+  // zero rows touched) while a half-pending sixteenth rewrites only its
+  // requested half through the sink (2/6/10/14). Coverage is decided
+  // off the Summary.db sidecars alone ([[SummaryCoverage]]).
+
+  /** Sliced pre-join holdings: node n's sixteenth-s file is
+    * sst-([[SliceGenBase]] + 16·n + s). */
+  val SliceGenBase = 3500L
+
+  /** Rewritten-remainder streams: the partial rewrite from source node
+    * n lands as sst-([[ZcRewriteGenBase]]+n). */
+  val ZcRewriteGenBase = 3600L
+
+  /** Generation code of source node n's sixteenth-s sliced file. */
+  def sliceGen(node: Long, sixteenth: Long): Long =
+    SliceGenBase + 16L * node + sixteenth
+
+  /** Raw scan id of a sliced holding (PUSHABLE prefilter). */
+  def sliceFileId(node: Long, sixteenth: Long): String =
+    s"nb-${sliceGen(node, sixteenth) + 1L}-big"
+
+  private val OutCols = Seq("key", "clustering", "column_name", "kind",
+    "timestamp_us", "ttl_s", "local_deletion_time_s",
+    "is_tombstone", "is_expiring", "size_bytes")
+
+  /** Pending half-ranges per source node. */
+  private def pendingBySource: Map[Long, Set[Long]] =
+    pending.groupBy(_._2).map { case (src, hs) =>
+      src.toLong -> hs.map(_._1.toLong).toSet
+    }
+
+  /** Restage each pre-join node's holdings RANGE-SLICED — one real
+    * sstable per (node, owned sixteenth), the layout leveled compaction
+    * maintains on every node and entire-sstable streaming needs
+    * (session-memoized). */
+  def ensureSlicedHoldings(spark: SparkSession, dir: String): String =
+    OpMemo.memoized(spark, s"$dir|vnodeslice") {
+      val loaded = VnodeRing.ensureLoaded(spark, dir)
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-vnodeslice")).toString
+      val node = regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
+        .cast("long") - 1L - VnodeRing.LoadGenBase
+      DataDb.cells(spark, loaded, format = DataDbScan.FormatCassandra)
+        .withColumn("sixteenth",
+          shiftright(AntiEntropy.token(col("key")), VnodeRing.SlotShift))
+        .select((concat(lit("sst-"),
+            (lit(SliceGenBase) + node * 16L + col("sixteenth"))
+              .cast("string")).as("sstable_id") +: OutCols.map(col)): _*)
+        .write.format("sstable-data")
+        .option("path", out).option("compressed", "true")
+        .mode("append").save()
+      out
+    }
+
+  /** The per-file coverage plan, one row per sliced source file:
+    * (node, sixteenth, occupied half-ranges, requested half-ranges,
+    * transport). Occupancy comes from the Summary.db sidecars alone;
+    * the transfer request to a source is its pending half-ranges; a
+    * file links exactly when every half it occupies is requested.
+    * O(#files) driver rows. */
+  def zeroCopyPlan(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Set[Long], Set[Long], String)] = {
+    val sliced = ensureSlicedHoldings(spark, dir)
+    val bySrc = pendingBySource
+    SummaryCoverage.occupiedRanges(spark, sliced, HalfShift)
+      .toSeq
+      .map { case (generation, occupied) =>
+        val code = generation - 1L - SliceGenBase
+        val node = code / 16L
+        val sixteenth = code % 16L
+        val requested = bySrc.getOrElse(node, Set.empty[Long])
+          .filter(_ / 2L == sixteenth)
+        val transport =
+          if (requested.isEmpty) "skipped"
+          else if (occupied.subsetOf(requested)) "linked"
+          else "rewritten"
+        (node, sixteenth, occupied, requested, transport)
+      }.sortBy(t => (t._1, t._2))
+  }
+
+  /** Execute the bootstrap with the zero-copy disposition
+    * (session-memoized): covered sliced files hard-link every component
+    * into the joiner's dir (O(#components) metadata syscalls, no row
+    * touched); partial files rewrite only their requested halves
+    * through the real sink, one received sstable per source node. */
+  def ensureZeroCopyBootstrapped(spark: SparkSession, dir: String): String =
+    OpMemo.memoized(spark, s"$dir|vnodezc") {
+      val sliced = ensureSlicedHoldings(spark, dir)
+      val out = graft.sources.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft-vnodezcrecv"))
+      val plan = zeroCopyPlan(spark, dir)
+      val slicedDir = new java.io.File(sliced)
+      plan.collect { case (n, s, _, _, "linked") => (n, s) }
+        .foreach { case (n, s) =>
+          Option(slicedDir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile &&
+              f.getName.startsWith(sliceFileId(n, s)))
+            .foreach(f => java.nio.file.Files.createLink(
+              out.resolve(f.getName), f.toPath))
+        }
+      val partial = plan.collect {
+        case (n, s, _, requested, "rewritten") => (n, s, requested)
+      }
+      if (partial.nonEmpty) {
+        import spark.implicits._
+        val wanted = partial.flatMap { case (n, s, requested) =>
+          requested.toSeq.map(h => (sliceFileId(n, s), h, n))
+        }.toDF("sstable_id", "half_range", "node")
+        withHalf(DataDb.cells(spark, sliced,
+            format = DataDbScan.FormatCassandra)
+          .where(col("sstable_id").isin(
+            partial.map { case (n, s, _) => sliceFileId(n, s) }: _*)))
+          .join(broadcast(wanted), Seq("sstable_id", "half_range"))
+          .select((concat(lit("sst-"),
+              (lit(ZcRewriteGenBase) + col("node")).cast("string"))
+              .as("sstable_id") +: OutCols.map(col)): _*)
+          .write.format("sstable-data")
+          .option("path", out.toString).option("compressed", "true")
+          .mode("append").save()
+      }
+      out.toString
+    }
+
+  /** q244: the coverage plan itself, one row per sliced source file —
+    * occupied vs requested half-range counts and the resulting
+    * transport. The engine derives occupancy from the Summary.db
+    * sidecars and the request from its Scala ring walk; the oracle
+    * re-derives occupancy from the corpus and the request from its SQL
+    * walk — an undersampled summary or a walk divergence breaks the
+    * hash. */
+  def zeroCopyPlanReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zeroCopyPlan(spark, dir).map { case (n, s, occ, req, transport) =>
+      (n, s, occ.size.toLong, req.size.toLong, transport)
+    }.toDF("node", "sixteenth", "occupied_halves", "requested_halves",
+        "transport")
+      .orderBy("node", "sixteenth")
+  }
+
+  /** q243: the executed ZERO-COPY bootstrap — one row per pending
+    * half-range: its stream source, the transport its bytes took
+    * (linked = arrived inside a whole hard-linked sstable, rewritten =
+    * re-serialized through the sink), events + digest off the joiner's
+    * real received files, corpus equality. Convergence must be
+    * transport-blind: digests equal q242's sink-only bootstrap. */
+  def zeroCopyRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val inPath = graft.sources.datadb.CassandraDataFixture
+      .ensureUcsFiles(spark, dir)
+    import spark.implicits._
+    val corpus = withHalf(DataDb.cells(spark, inPath,
+        format = DataDbScan.FormatCassandra))
+      .groupBy("half_range")
+      .agg(count(lit(1)).as("corpus_events"),
+        sum(eventHash).as("corpus_digest"))
+    val fileTransport = zeroCopyPlan(spark, dir).map {
+      case (n, s, _, _, transport) => (n, s) -> transport
+    }.toMap
+    val plan = pending.map { case (h, src) =>
+      (h.toLong, src.toLong, fileTransport((src.toLong, h.toLong / 2L)))
+    }.toDF("half_range", "stream_source", "transport")
+    val received = withHalf(DataDb.cells(spark,
+        ensureZeroCopyBootstrapped(spark, dir),
+        format = DataDbScan.FormatCassandra))
+      .groupBy("half_range")
+      .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
+    received
+      .join(broadcast(plan), Seq("half_range"))
+      .join(corpus, Seq("half_range"))
+      .select(col("half_range"), col("stream_source"), col("transport"),
+        col("events"), col("digest"), col("corpus_events"),
+        col("corpus_digest"),
+        (col("events") === col("corpus_events") &&
+          col("digest") === col("corpus_digest")).as("verified"))
+      .orderBy("half_range")
+  }
+
   /** q242: the executed bootstrap — one row per received half-range:
     * the stream source, events + digest off the joiner's real received
     * files, corpus equality. */

@@ -4297,6 +4297,15 @@ ORDER BY 1"""
       // q242: executed vnode bootstrap — the joiner streams each
       // gained half-range from its pre-join primary's real file.
       ("q242_vnode_bootstrap" -> q242Sql) +
+      // q243: the ZERO-COPY vnode bootstrap (round 18) — range-sliced
+      // source holdings; a sixteenth file whose every occupied half is
+      // pending from its owner links whole, a half-pending file
+      // rewrites only the requested half; digests transport-blind.
+      ("q243_vnode_zero_copy" -> q243Sql) +
+      // q244: the zero-copy coverage plan — per sliced source file,
+      // occupied (corpus-derived here, Summary.db-derived in the
+      // engine) vs requested halves and the transport decision.
+      ("q244_zero_copy_plan" -> q244Sql) +
       // q239: zero-copy streaming — fully-covered sstables hard-link
       // (entire-sstable transfer), partial files rewrite only the
       // requested remainder; convergence is transport-blind.
@@ -6610,6 +6619,92 @@ SELECT CAST(s.h AS BIGINT) AS half_range,
   c.corpus_events, c.corpus_digest, TRUE AS verified
 FROM vbsplit s JOIN vbcorp c ON c.rng = s.h
 WHERE s.joiner_gains ORDER BY half_range"""
+  }
+
+  /** Shared tail for the zero-copy bootstrap pair (round 18): corpus
+    * cells tokenized, occupied half-ranges, the pending request set and
+    * the per-file coverage rule — every column re-derived relationally
+    * (occupancy from the corpus, the request from the SQL ring walk),
+    * independent of the engine's Summary.db sampling and Scala walk. */
+  private def zeroCopyBootCtes(tokExpr: String): String =
+    s"""vzmapped AS (
+  SELECT key, clustering, column_name, kind, timestamp_us,
+    CASE WHEN is_tombstone THEN -1 ELSE ttl_s END AS ttl_s,
+    local_deletion_time_s, is_tombstone,
+    CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END AS size_bytes,
+    $tokExpr AS tok
+  FROM licells
+),
+vzcorp AS (
+  SELECT tok // 36028797018963968 AS rng,
+    CAST(COUNT(*) AS BIGINT) AS corpus_events,
+    CAST(SUM(${zeroCopyEvHash} % 1000003) AS BIGINT) AS corpus_digest
+  FROM vzmapped GROUP BY 1
+),
+vzocc AS (SELECT DISTINCT tok // 36028797018963968 AS h FROM vzmapped),
+vzreqh AS (SELECT h, stream_source FROM vbsplit WHERE joiner_gains),
+vzhold AS (
+  SELECT DISTINCT h // 2 AS s, primary_n AS node FROM vbb
+  UNION
+  SELECT DISTINCT h // 2 AS s, second_n AS node FROM vbb
+),
+vzcover AS (
+  SELECT hd.node, hd.s,
+    CAST(COUNT(*) AS BIGINT) AS occupied_halves,
+    CAST(COUNT(CASE WHEN rq.h IS NOT NULL THEN 1 END) AS BIGINT)
+      AS requested_halves,
+    CASE
+      WHEN COUNT(CASE WHEN rq.h IS NOT NULL THEN 1 END) = 0
+        THEN 'skipped'
+      WHEN COUNT(CASE WHEN rq.h IS NULL THEN 1 END) = 0
+        THEN 'linked'
+      ELSE 'rewritten' END AS transport
+  FROM vzhold hd
+  JOIN vzocc o ON o.h // 2 = hd.s
+  LEFT JOIN vzreqh rq ON rq.stream_source = hd.node AND rq.h = o.h
+  GROUP BY hd.node, hd.s
+)"""
+
+  private lazy val zeroCopyEvHash: String =
+    h60("CAST(key AS VARCHAR) || ':' || " +
+      "CAST(clustering AS VARCHAR) || ':' || column_name || ':' || " +
+      "kind || ':' || CAST(timestamp_us AS VARCHAR) || ':' || " +
+      "CAST(ttl_s AS VARCHAR) || ':' || " +
+      "CAST(local_deletion_time_s AS VARCHAR) || ':' || " +
+      "CAST(size_bytes AS VARCHAR)")
+
+  /** q243: the zero-copy vnode bootstrap — per pending half-range, the
+    * transport its bytes took under the per-file coverage rule, with
+    * digests (transport-blind) equal to the corpus slice. */
+  private lazy val q243Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    s"""WITH $fixtures,
+$vnodeBootCtes,
+${zeroCopyBootCtes(tok)}
+SELECT CAST(r.h AS BIGINT) AS half_range,
+  CAST(r.stream_source AS BIGINT) AS stream_source,
+  cv.transport,
+  c.corpus_events AS events, c.corpus_digest AS digest,
+  c.corpus_events, c.corpus_digest, TRUE AS verified
+FROM vzreqh r
+JOIN vzcover cv ON cv.node = r.stream_source AND cv.s = r.h // 2
+JOIN vzcorp c ON c.rng = r.h
+ORDER BY half_range"""
+  }
+
+  /** q244: the zero-copy coverage plan — one row per sliced source
+    * file (node, owned sixteenth): occupied vs requested half-range
+    * counts and the transport decision. */
+  private lazy val q244Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    s"""WITH $fixtures,
+$vnodeBootCtes,
+${zeroCopyBootCtes(tok)}
+SELECT CAST(cv.node AS BIGINT) AS node,
+  CAST(cv.s AS BIGINT) AS sixteenth,
+  cv.occupied_halves, cv.requested_halves, cv.transport
+FROM vzcover cv
+ORDER BY node, sixteenth"""
   }
 
   /** q217: nodetool decommission (round 16) — the ring-shrink

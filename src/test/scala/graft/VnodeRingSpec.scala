@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.VnodeRing
+import graft.ops.{VnodeBootstrap, VnodeRing}
 
 /** Round 17: the topology family at vnode granularity (VERDICT r16 ask
   * #1) — the pending-ranges calculus exercised at num_tokens=4 per
@@ -165,5 +165,83 @@ class VnodeRingSpec extends SparkSpec {
     assert(plan238.contains("In(sstable_id") ||
       plan238.contains("EqualTo(sstable_id"),
       "q238 retained scan does not push its sstable_id prefilter")
+  }
+
+  // ------------------------------------------------------------------
+  // zero-copy disposition in the production bootstrap stream (round 18)
+
+  test("zero-copy plan: fully-pending sixteenths link, half-pending " +
+      "rewrite, untouched holdings skip") {
+    val plan = VnodeBootstrap.zeroCopyPlan(spark, Sf0001)
+    assert(plan.size === 32, "one row per (node, owned sixteenth)")
+    val byTransport = plan.groupBy(_._5)
+      .view.mapValues(_.map(t => (t._1, t._2)).toSet).toMap
+    // sixteenths 1/5/9/13: BOTH halves pending from one source → linked
+    assert(byTransport("linked") ===
+      Set((2L, 1L), (0L, 5L), (3L, 9L), (1L, 13L)))
+    // sixteenths 2/6/10/14: one half pending → rewritten
+    assert(byTransport("rewritten") ===
+      Set((1L, 2L), (3L, 6L), (0L, 10L), (2L, 14L)))
+    assert(byTransport("skipped").size === 24)
+    // a linked file's occupancy is exactly its requested set
+    plan.collect { case (_, _, occ, req, "linked") => (occ, req) }
+      .foreach { case (occ, req) => assert(occ === req) }
+  }
+
+  test("zero-copy execute: linked components are the SAME file as the " +
+      "source holding; the rewritten remainder is a new file") {
+    val sliced = new java.io.File(
+      VnodeBootstrap.ensureSlicedHoldings(spark, Sf0001))
+    val recv = new java.io.File(
+      VnodeBootstrap.ensureZeroCopyBootstrapped(spark, Sf0001))
+    val linked = Seq((2L, 1L), (0L, 5L), (3L, 9L), (1L, 13L))
+    linked.foreach { case (n, s) =>
+      val comps = Option(recv.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(VnodeBootstrap.sliceFileId(n, s)))
+      assert(comps.nonEmpty, s"no linked components for node $n slice $s")
+      comps.foreach { f =>
+        val src = new java.io.File(sliced, f.getName)
+        assert(java.nio.file.Files.isSameFile(f.toPath, src.toPath),
+          s"${f.getName} is not a hard link of the source holding")
+      }
+      assert(comps.exists(_.getName.endsWith("-Data.db")))
+      assert(comps.exists(_.getName.endsWith("-Summary.db")))
+    }
+    // rewritten remainders: one NEW sstable per source node, not a link
+    Seq(0L, 1L, 2L, 3L).foreach { n =>
+      val rw = new java.io.File(recv,
+        s"nb-${VnodeBootstrap.ZcRewriteGenBase + n + 1}-big-Data.db")
+      assert(rw.isFile, s"missing rewritten stream from node $n")
+      assert(!new java.io.File(sliced, rw.getName).exists())
+    }
+  }
+
+  test("zero-copy bootstrap converges transport-blind: digests equal " +
+      "the sink-only bootstrap's") {
+    val zc = VnodeBootstrap.zeroCopyRoundtrip(spark, Sf0001).collect()
+    assert(zc.length === 12)
+    assert(zc.forall(_.getAs[Boolean]("verified")))
+    val byTransport = zc.groupBy(_.getAs[String]("transport"))
+      .view.mapValues(_.map(_.getAs[Long]("half_range")).toSet).toMap
+    assert(byTransport("linked") === Set(2L, 3L, 10L, 11L, 18L, 19L,
+      26L, 27L))
+    assert(byTransport("rewritten") === Set(4L, 12L, 20L, 28L))
+    // same convergence as the rewrite-everything bootstrap (q242)
+    val sinkOnly = VnodeBootstrap.roundtrip(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("half_range"), r.getAs[Long]("digest")))
+      .toMap
+    zc.foreach { r =>
+      assert(r.getAs[Long]("digest") ===
+        sinkOnly(r.getAs[Long]("half_range")))
+    }
+    // the non-pending half of a rewritten file never arrives
+    import org.apache.spark.sql.functions._
+    val halves = graft.sources.datadb.DataDb.cells(spark,
+        VnodeBootstrap.ensureZeroCopyBootstrapped(spark, Sf0001),
+        format = graft.sources.datadb.DataDbScan.FormatCassandra)
+      .select(shiftright(graft.ops.AntiEntropy.token(col("key")),
+        VnodeBootstrap.HalfShift).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(halves === VnodeBootstrap.pending.map(_._1.toLong).toSet)
   }
 }

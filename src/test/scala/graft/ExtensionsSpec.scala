@@ -2196,4 +2196,42 @@ class ExtensionsSpec extends SparkSpec {
       .getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
   }
+
+  test("round 18: the RocksDB store actually HOLDS the replay state — " +
+      "stateOperators row counts and rocksdb custom metrics read off " +
+      "the EXECUTED q208/q220 queries (a silent in-memory fallback " +
+      "would carry no rocksdb metrics)") {
+    import scala.jdk.CollectionConverters._
+    def stateOps(run: => Unit) = {
+      run
+      val progress = graft.streaming.StreamingStats.lastProgress.get()
+      assert(progress != null && progress.nonEmpty,
+        "replay captured no progress events")
+      val ops = progress.flatMap(_.stateOperators)
+      assert(ops.nonEmpty, "no stateful-operator progress recorded")
+      ops
+    }
+    // q208 keyed dedup state
+    val dd = stateOps(graft.streaming.StreamingStats
+      .dedupReplayOnce(spark, Sf0001).collect())
+    assert(dd.map(_.numRowsTotal).max > 0,
+      "dedup state store held no rows")
+    val ddMetrics = dd.flatMap(_.customMetrics.keySet.asScala)
+    assert(ddMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"dedup state metrics carry no rocksdb counters: " +
+        s"${ddMetrics.distinct.sorted.mkString(",")}")
+    // state bytes are accounted by the store (rocksdb SST/mem totals)
+    assert(dd.flatMap(_.customMetrics.asScala)
+      .exists { case (k, v) =>
+        k.toLowerCase.contains("rocksdb") && v.longValue() > 0L },
+      "every rocksdb counter is zero — state never touched the store")
+    // q220 symmetric stream-stream join state (both sides buffered)
+    val sj = stateOps(graft.streaming.StreamingStats
+      .streamJoinReplayOnce(spark, Sf0001).collect())
+    assert(sj.map(_.numRowsTotal).max > 0,
+      "join state store held no rows")
+    assert(sj.flatMap(_.customMetrics.keySet.asScala)
+      .exists(_.toLowerCase.contains("rocksdb")),
+      "join state metrics carry no rocksdb counters")
+  }
 }

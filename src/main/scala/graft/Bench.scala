@@ -161,6 +161,19 @@ object Bench {
           "stamped suspect — rejected; per-window gates only")
         return (Map.empty, Map.empty, "")
       }
+      // a record carrying CONTENDED windows is refused the same way
+      // (round 18, VERDICT r17 What's-wrong #1): the r17 refresh landed
+      // a record with 20 contended windows that ran untouched code
+      // 1.17× slower than the prior clean record, softening the
+      // deviation gate by exactly that factor — only a record whose
+      // every published window is clean may serve as the reference
+      if (line.contains("\"contended\":{") ||
+          line.contains("\"sf1_contended\":{")) {
+        System.err.println(s"[bench] reference record $path carries " +
+          "contended windows — rejected as a refresh source; " +
+          "per-window gates only")
+        return (Map.empty, Map.empty, "")
+      }
       val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
         .map(m => new java.io.File(m.group(1)).getName).getOrElse("")
       (parseRefMap(line, "queries"), parseRefMap(line, "sf1_sec"), sf)

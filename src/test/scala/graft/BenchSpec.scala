@@ -144,6 +144,76 @@ class BenchSpec extends AnyFunSuite {
     assert(sf1.nonEmpty && sf === "sf0.1")
   }
 
+  test("crash resilience (round 19, VERDICT r18 ask #4): a run killed " +
+      "after 2 of 3 queries still yields a parsable partial record with " +
+      "nq_completed=2 and the truncated stamp — and the emit flag is " +
+      "claimed exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench19")
+    val jsonl = dir.resolve("progress.jsonl")
+    val log = new Bench.RunLog(3300.0, System.nanoTime(), Some(jsonl))
+    log.nqTotal = 3
+    // the measurement loop lands q_a and q_b; the kill arrives before q_c
+    log.record("q_a", (1.5, 0.0, 0.0, 0.0), 2)
+    log.record("q_b", (0.25, 0.0, 0.0, 0.0), 2)
+    // SIGTERM-equivalent: the shutdown hook marks truncation and emits
+    log.markTruncated()
+    val (full, compact) = Bench.composeRecord(log,
+      Map("q_a" -> 1.0), Map.empty, refApplies = true, sfDir = "/x/sf0.1")
+    // the partial record parses with the same consumer the gate uses
+    assert(Bench.parseRefMap(full, "queries") ===
+      Map("q_a" -> 1.5, "q_b" -> 0.25))
+    assert(full.contains("\"truncated\":true"))
+    assert(full.contains("\"nq_completed\":2"))
+    assert(full.contains("\"nq_total\":3"))
+    assert(compact.contains("\"truncated\":true") &&
+      compact.contains("\"nq\":2"))
+    // incremental evidence: one JSONL line per completed window is
+    // already on disk even if NO record line ever printed
+    val lines = java.nio.file.Files.readAllLines(jsonl)
+    assert(lines.size === 2 && lines.get(0).contains("\"q\":\"q_a\""))
+    // the hook and the normal path race idempotently
+    assert(log.claimEmit() && !log.claimEmit())
+  }
+
+  test("wall budget (round 19): shouldStart refuses new measurements " +
+      "past StopFrac of the budget and latches the truncated stamp; " +
+      "retryAllowed caps contention-retry spend at RetryFrac") {
+    // a log whose budget is already overspent (start pushed into the past)
+    val past = System.nanoTime() - (60 * 1e9).toLong
+    val over = new Bench.RunLog(60.0 / Bench.StopFrac * 0.5, past, None)
+    assert(!over.shouldStart && over.truncated)
+    // a fresh log with headroom starts work and is not truncated
+    val fresh = new Bench.RunLog(3300.0, System.nanoTime(), None)
+    assert(fresh.shouldStart && !fresh.truncated)
+    // retry budget: spend under the cap allows, crossing it refuses
+    assert(fresh.retryAllowed)
+    fresh.addRetrySpend(3300.0 * Bench.RetryFrac - 0.1)
+    assert(fresh.retryAllowed)
+    fresh.addRetrySpend(0.2)
+    assert(!fresh.retryAllowed)
+  }
+
+  test("run-level integrity (round 19): a TRUNCATED record is refused " +
+      "as a refresh source — partial evidence must not become the " +
+      "deviation-gate reference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchref19")
+    val f = dir.resolve("ref.json")
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","queries":{"qa":1.5},"sf1_sec":{"qa":3.0},""" +
+        """"truncated":true,"nq_completed":1,"nq_total":3,"sf":"/x/sf0.1"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (q, sf1, sf) = Bench.loadRef(f.toString)
+    assert(q.isEmpty && sf1.isEmpty && sf.isEmpty)
+    // the same record completed (truncated:false) loads normally
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","queries":{"qa":1.5},"sf1_sec":{"qa":3.0},""" +
+        """"truncated":false,"nq_completed":1,"nq_total":1,"sf":"/x/sf0.1"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (q2, s2, sf2) = Bench.loadRef(f.toString)
+    assert(q2 === Map("qa" -> 1.5) && s2 === Map("qa" -> 3.0) &&
+      sf2 === "sf0.1")
+  }
+
   test("run-level integrity: parseRefMap extracts exactly the named " +
       "flat map and tolerates absent keys") {
     val line = """{"metric":"total","queries":{"qa":1.5,"qb":0.25},""" +

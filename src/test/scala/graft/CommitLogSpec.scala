@@ -82,6 +82,30 @@ class CommitLogSpec extends SparkSpec {
     assert(segs.toSeq === (0L until segs.length).toSeq)
   }
 
+  test("commitlog WAL guard (round 19, VERDICT r18 ask #3): a WAL dir " +
+      "swept under the session memo fails with a LABELED error, not an " +
+      "opaque AnalysisException from a missing-glob scan") {
+    // a private alias tier (symlinked tables) so poisoning ITS memoized
+    // WAL never touches the Sf0001 WAL the other tests share
+    val alias = java.nio.file.Files
+      .createTempDirectory("graft-walguard").toFile.getAbsolutePath
+    for (t <- graft.sources.Tables.all)
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(alias, s"$t.parquet"),
+        java.nio.file.Paths.get(Sf0001, s"$t.parquet"))
+    // first use builds + verifies the WAL (write-time segment count)
+    val wal = CommitLog.ensureWal(spark, alias)
+    assert(CommitLog.mutations(spark, alias).count() > 0)
+    // the r18 kill mechanism: the dir vanishes while the memo lives on
+    graft.sources.TempDirs.deleteTree(java.nio.file.Paths.get(wal))
+    val e = intercept[IllegalStateException] {
+      CommitLog.mutations(spark, alias).count()
+    }
+    assert(e.getMessage.contains("WAL fixture missing"),
+      s"expected the labeled guard, got: ${e.getMessage}")
+    graft.sources.TempDirs.deleteTree(java.nio.file.Paths.get(alias))
+  }
+
   test("commitlog segments report: byte accounting and CRC flags hold") {
     val rep = CommitLog.segments(spark, Sf0001).collect()
     assert(rep.nonEmpty)
@@ -145,6 +169,47 @@ class CommitLogSpec extends SparkSpec {
       .map(_.getName).sorted
     assert(logs.toSeq === (0L until Batchlog.Batches)
       .filterNot(Batchlog.completed).map(Batchlog.logName).sorted)
+  }
+
+  test("CDC sink log (ADVICE r18): the latest .compact file truly " +
+      "SUPERSEDES earlier batches, and delete actions remove " +
+      "previously-added paths") {
+    val meta = java.nio.file.Files
+      .createTempDirectory("graft-sinklog").toFile
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(meta, name).toPath,
+        ("v1" +: lines).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    def add(p: String) = s"""{"path":"$p","size":1,"action":"add"}"""
+    def del(p: String) = s"""{"path":"$p","size":1,"action":"delete"}"""
+    // batch 0 adds A,B; batch 1 adds C; the compact at 1 retains only
+    // A and C (B was retention-cleaned) — B must NOT be resurrected by
+    // batch 0; batches 2..10 follow the compact (and "10" must sort
+    // after "9" numerically), batch 10's delete drops C
+    write("0", add("A"), add("B"))
+    write("1", add("C"))
+    write("1.compact", add("A"), add("C"))
+    write("2", add("D"))
+    write("9", add("E"))
+    write("10", del("C"), add("F"))
+    val got = graft.ops.CommitLog.committedSinkFiles(meta)
+    assert(got.toSet === Set("A", "D", "E", "F"),
+      s"expected compact supersession + delete application, got $got")
+    // without any compact, all batches apply in order
+    val meta2 = java.nio.file.Files
+      .createTempDirectory("graft-sinklog2").toFile
+    def write2(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(meta2, name).toPath,
+        ("v1" +: lines).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    write2("0", add("A"), add("B"))
+    write2("1", del("B"), add("C"))
+    assert(graft.ops.CommitLog.committedSinkFiles(meta2).toSet ===
+      Set("A", "C"))
+    graft.sources.TempDirs.deleteTree(meta.toPath)
+    graft.sources.TempDirs.deleteTree(meta2.toPath)
   }
 
   test("CDC resume: run 2 emits exactly the unseen segments, no replay") {

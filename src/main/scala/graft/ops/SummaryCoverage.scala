@@ -50,4 +50,34 @@ object SummaryCoverage {
       .map(row => row.getLong(0) ->
         row.getSeq[Long](1).toSet)
       .toMap
+
+  /** SOUND occupancy for a CANDIDATE set of generations (round 19,
+    * ADVICE r18 + VERDICT r18 Next #5): the sampled set UNDER-counts —
+    * a range whose every partition dodges the MinIndexInterval grid is
+    * invisible, which is fine for triaging "rewritten" (more occupancy
+    * can never flip intersects∧not-subset) but UNSAFE for committing to
+    * "linked"/"skipped". For exactly those candidate files, re-derive
+    * occupancy from their Index.db sidecars — EVERY partition key, so a
+    * complete occupancy superset — pruned to the candidates at planning
+    * via raw `sstable_id` pushdown (regex-derived columns don't push).
+    * O(candidate files) Index.db bytes, never Data.db; the sample grid
+    * then only ever errs toward "rewritten", the safe direction. */
+  def confirmOccupied(spark: SparkSession, path: String, shift: Int,
+      generations: Set[Long]): Map[Long, Set[Long]] =
+    if (generations.isEmpty) Map.empty
+    else graft.sources.indexdb.IndexDb.read(spark, path)
+      .where(col("sstable_id").isin(
+        generations.toSeq.map(g => s"nb-$g-big"): _*))
+      .select(col("sstable_id"), rangeOf(col("key"), shift).as("r"))
+      .groupBy("sstable_id")
+      .agg(collect_set("r").as("rs"))
+      .collect()
+      .map { row =>
+        val gen = "nb-(\\d+)-big".r.findFirstMatchIn(row.getString(0))
+          .getOrElse(throw new IllegalStateException(
+            s"unparseable sstable_id ${row.getString(0)} in $path"))
+          .group(1).toLong
+        gen -> row.getSeq[Long](1).toSet
+      }
+      .toMap
 }

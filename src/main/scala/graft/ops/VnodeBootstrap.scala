@@ -213,14 +213,32 @@ object VnodeBootstrap {
       : Seq[(Long, Long, Set[Long], Set[Long], String)] = {
     val sliced = ensureSlicedHoldings(spark, dir)
     val bySrc = pendingBySource
-    SummaryCoverage.occupiedRanges(spark, sliced, HalfShift)
-      .toSeq
-      .map { case (generation, occupied) =>
+    val sampled = SummaryCoverage.occupiedRanges(spark, sliced, HalfShift)
+    def requestedOf(generation: Long): Set[Long] = {
+      val code = generation - 1L - SliceGenBase
+      bySrc.getOrElse(code / 16L, Set.empty[Long])
+        .filter(_ / 2L == code % 16L)
+    }
+    // BOUNDARY CONFIRM (round 19, ADVICE r18): "skipped" is
+    // requested-based (the ring walk, not sampling) and "rewritten" is
+    // final under more occupancy, but committing to "linked" hard-links
+    // the WHOLE file to the joiner — so every linked candidate's
+    // occupancy is re-derived from its own Index.db (pruned at
+    // planning) first. Sampling then only errs toward "rewritten",
+    // which rewrites exactly the requested halves: safe.
+    val candidates = sampled.collect {
+      case (g, occ) if requestedOf(g).nonEmpty &&
+        occ.subsetOf(requestedOf(g)) => g
+    }.toSet
+    val confirmed =
+      SummaryCoverage.confirmOccupied(spark, sliced, HalfShift, candidates)
+    sampled.toSeq
+      .map { case (generation, sampledOcc) =>
         val code = generation - 1L - SliceGenBase
         val node = code / 16L
         val sixteenth = code % 16L
-        val requested = bySrc.getOrElse(node, Set.empty[Long])
-          .filter(_ / 2L == sixteenth)
+        val requested = requestedOf(generation)
+        val occupied = confirmed.getOrElse(generation, sampledOcc)
         val transport =
           if (requested.isEmpty) "skipped"
           else if (occupied.subsetOf(requested)) "linked"
@@ -281,8 +299,12 @@ object VnodeBootstrap {
     * hash. */
   def zeroCopyPlanReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // requested_halves counts requested ∩ OCCUPIED halves (ADVICE r18):
+    // the oracle's vzcover joins its corpus-derived occupancy against
+    // the request, so a pending half the file doesn't hold must not
+    // inflate the engine's count — the two sides share one definition
     zeroCopyPlan(spark, dir).map { case (n, s, occ, req, transport) =>
-      (n, s, occ.size.toLong, req.size.toLong, transport)
+      (n, s, occ.size.toLong, req.intersect(occ).size.toLong, transport)
     }.toDF("node", "sixteenth", "occupied_halves", "requested_halves",
         "transport")
       .orderBy("node", "sixteenth")
@@ -307,7 +329,14 @@ object VnodeBootstrap {
       case (n, s, _, _, transport) => (n, s) -> transport
     }.toMap
     val plan = pending.map { case (h, src) =>
-      (h.toLong, src.toLong, fileTransport((src.toLong, h.toLong / 2L)))
+      // a pending half whose sixteenth holds no corpus rows has no
+      // sliced file (hence no summary entry): diagnosable, not a bare
+      // NoSuchElementException (ADVICE r18)
+      val transport = fileTransport.getOrElse((src.toLong, h.toLong / 2L),
+        throw new IllegalStateException(s"zero-copy plan has no sliced " +
+          s"file for source node $src sixteenth ${h.toLong / 2L} " +
+          s"(pending half $h): empty sixteenth in the corpus?"))
+      (h.toLong, src.toLong, transport)
     }.toDF("half_range", "stream_source", "transport")
     val received = withHalf(DataDb.cells(spark,
         ensureZeroCopyBootstrapped(spark, dir),

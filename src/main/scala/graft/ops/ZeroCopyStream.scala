@@ -117,14 +117,25 @@ object ZeroCopyStream {
     * O(#files) driver rows. */
   def plan(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val sliced = ensureSliced(spark, dir)
-    SummaryCoverage.occupiedRanges(spark, sliced, SlotShift)
-      .toSeq
+    def disp(touched: Set[Long]): String =
+      if (touched.subsetOf(TransferRanges)) "linked"
+      else if (touched.exists(TransferRanges)) "rewritten"
+      else "skipped"
+    val sampled = SummaryCoverage.occupiedRanges(spark, sliced, SlotShift)
+    // BOUNDARY CONFIRM (round 19, ADVICE r18): the sampled verdict is
+    // final only for "rewritten"; a linked/skipped candidate commits to
+    // shipping (or withholding) WHOLE files, so its occupancy is
+    // re-derived from the candidate's own Index.db — pruned at planning
+    // — before the decision stands. Sampling then only errs toward
+    // "rewritten", which rewrites exactly the requested rows: safe.
+    val candidates = sampled.collect {
+      case (g, t) if disp(t) != "rewritten" => g
+    }.toSet
+    val confirmed =
+      SummaryCoverage.confirmOccupied(spark, sliced, SlotShift, candidates)
+    sampled.toSeq
       .map { case (generation, touched) =>
-        val disp =
-          if (touched.subsetOf(TransferRanges)) "linked"
-          else if (touched.exists(TransferRanges)) "rewritten"
-          else "skipped"
-        (generation - 1L, disp)
+        (generation - 1L, disp(confirmed.getOrElse(generation, touched)))
       }.sortBy(_._1)
   }
 

@@ -80,6 +80,64 @@ class ZeroCopyStreamSpec extends SparkSpec {
       "the rewrite source must prune to the partial file at planning")
   }
 
+  test("round 19 (ADVICE r18 / VERDICT r18 Next #5): an occupied range " +
+      "whose every partition dodges the sample grid cannot slip a file " +
+      "into 'linked' — candidate occupancy is confirmed off Index.db") {
+    import org.apache.spark.sql.functions._
+    val shift = ZeroCopyStream.SlotShift
+    val interval = graft.sources.datadb.CassandraDataFixture.MinIndexInterval
+    // slot of every candidate key under the production tokenizer
+    val slots = spark.range(0, 4000)
+      .select(col("id"), shiftright(
+        graft.ops.AntiEntropy.token(col("id")), shift).as("slot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // victim slot S = the most key-rich slot, so the greedy pick below
+    // always finds material
+    val s = slots.groupBy(_._2).maxBy(_._2.length)._1
+    // build an ASCENDING key list (ascending = the sink's write order =
+    // the summary's sample order) where every SAMPLED position (each
+    // interval-th partition, which covers the header's first/last too)
+    // avoids S and exactly one interior UNSAMPLED position carries S
+    val n = 2 * interval + 1
+    val it = slots.iterator
+    val picked = (0 until n).map { p =>
+      val needS = p == 1 // interior, not ≡0 mod interval, not last
+      it.find(kv => (kv._2 == s) == needS)
+        .getOrElse(fail(s"candidate pool exhausted at position $p"))._1
+    }
+    assert(picked === picked.sorted, "greedy pick must stay ascending")
+    // one real sstable through the production sink
+    val out = graft.sources.TempDirs.register(
+      java.nio.file.Files.createTempDirectory("graft-occfix"))
+    import spark.implicits._
+    picked.toDF("key")
+      .select(lit("sst-900").as("sstable_id"), col("key"),
+        lit(0L).as("clustering"), lit("c0").as("column_name"),
+        lit("CELL").as("kind"), lit(1000L).as("timestamp_us"),
+        lit(-1L).as("ttl_s"), lit(2147483647L).as("local_deletion_time_s"),
+        lit(false).as("is_tombstone"), lit(false).as("is_expiring"),
+        lit(10L).as("size_bytes"))
+      .write.format("sstable-data")
+      .option("path", out.toString).option("compressed", "true")
+      .mode("append").save()
+    val gen = 901L // sink id "sst-900" → file nb-901-big → generation 901
+    val sampledOcc = graft.ops.SummaryCoverage
+      .occupiedRanges(spark, out.toString, shift)(gen)
+    val confirmedOcc = graft.ops.SummaryCoverage
+      .confirmOccupied(spark, out.toString, shift, Set(gen))(gen)
+    // the sample grid is blind to S; the Index.db confirm is not
+    assert(!sampledOcc.contains(s),
+      "fixture defeated: the sample grid saw the victim slot")
+    assert(confirmedOcc.contains(s))
+    // the exact flip the advice warned about: a request covering the
+    // SAMPLED occupancy would have linked the whole file (shipping the
+    // S rows to a joiner that never asked for them); the confirmed
+    // occupancy demotes it to the safe rewrite
+    val requested = sampledOcc
+    assert(sampledOcc.subsetOf(requested))
+    assert(!confirmedOcc.subsetOf(requested))
+  }
+
   test("round 18: summary-planned occupancy equals the full Index.db " +
       "occupancy, at a fraction of the input rows") {
     import org.apache.spark.sql.functions._

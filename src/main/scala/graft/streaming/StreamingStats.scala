@@ -24,17 +24,42 @@ object StreamingStats {
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
-  /** Pin the RocksDB provider for the span of `f` and restore the prior
-    * value — a streaming query captures this conf at START time into
-    * its checkpoint's offset metadata, so wrapping `.start()` is what
-    * decides the provider for the query's whole lifetime. */
+  /** State partition count for the ORACLE REPLAYS (round 19, VERDICT
+    * r18 Next #2): a streaming query sizes its state store to
+    * `spark.sql.shuffle.partitions` at first start — 32 at bench time —
+    * and every micro-batch then pays that many RocksDB opens + commits
+    * PER STATEFUL OPERATOR regardless of data volume, while the probes
+    * hold a few thousand keys and run ~40 controlled micro-batches
+    * across the family (~14% of the whole bench's measured time, almost
+    * all fixed store cycles). The replays pin a small count instead:
+    * same trajectories, same hashes (hash-partitioned state never
+    * changes VALUES, only layout). A production standing query must NOT
+    * inherit this — it sizes state to the cluster; this wrapper exists
+    * only under the replay starts. */
+  private[graft] val ProbeStatePartitions = "4"
+
+  private val ShuffleKey = "spark.sql.shuffle.partitions"
+
+  /** Pin the RocksDB provider (and the probe-scale state partition
+    * count) for the span of `f` and restore the prior values — a
+    * streaming query captures both confs at START time into its
+    * checkpoint metadata, so wrapping `.start()` is what decides them
+    * for the query's whole lifetime. */
   private[graft] def withRocksDb[T](spark: SparkSession)(f: => T): T = {
     val prev = spark.conf.getOption(ProviderKey)
+    val prevShuffle = spark.conf.getOption(ShuffleKey)
     spark.conf.set(ProviderKey, RocksDbProvider)
+    spark.conf.set(ShuffleKey, ProbeStatePartitions)
     try f
-    finally prev match {
-      case Some(p) => spark.conf.set(ProviderKey, p)
-      case None => spark.conf.unset(ProviderKey)
+    finally {
+      prev match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None => spark.conf.unset(ProviderKey)
+      }
+      prevShuffle match {
+        case Some(p) => spark.conf.set(ShuffleKey, p)
+        case None => spark.conf.unset(ShuffleKey)
+      }
     }
   }
 

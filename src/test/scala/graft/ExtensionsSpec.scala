@@ -2173,6 +2173,10 @@ class ExtensionsSpec extends SparkSpec {
   test("round 17: streaming oracles run on the ROCKSDB state store — " +
       "provider pinned in the executed query's checkpoint metadata, " +
       "session conf restored after") {
+    // sentinel ≠ ProbeStatePartitions so the restore is distinguishable
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
     graft.streaming.StreamingStats.watermarkReplayOnce(spark, Sf0001)
       .collect()
     val ckpt = graft.streaming.StreamingStats.lastCheckpoint.get()
@@ -2195,6 +2199,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(!spark.conf
       .getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
+    // round 19 (VERDICT r18 Next #2): the replay's state is sized to
+    // the PROBE partition count, not the session's shuffle partitions —
+    // pinned the same way the provider is, in the executed query's
+    // offsets metadata — and the wrapper restored the session conf
+    assert(meta.contains("\"spark.sql.shuffle.partitions\":\"" +
+      graft.streaming.StreamingStats.ProbeStatePartitions + "\""),
+      s"offsets metadata does not pin the probe state partitions:\n$meta")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "7",
+      "wrapper must restore the session's shuffle partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   test("round 18: the RocksDB store actually HOLDS the replay state — " +

@@ -1182,6 +1182,12 @@ object SparkEntry {
     // walk for the request set
     "q244_zero_copy_plan" -> ((s, d) =>
       graft.ops.VnodeBootstrap.zeroCopyPlanReport(s, d)),
+    // the coverage-CONFIRM audit (round 19): per sliced file, the
+    // sample-grid occupancy vs the Index.db-confirmed occupancy — the
+    // oracle replays the MinIndexInterval sampling rule itself from the
+    // corpus, so the summary codec's sample positions are oracle-pinned
+    "q245_coverage_confirm" -> ((s, d) =>
+      graft.ops.VnodeBootstrap.coverageConfirmReport(s, d)),
     // zero-copy (entire-sstable) streaming (round 17): a range-sliced
     // source set, coverage decided per file off the Index.db sidecars
     // alone — fully-covered files HARD-LINK every component (zero rows

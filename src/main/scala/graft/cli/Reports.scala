@@ -578,7 +578,12 @@ object Reports {
       section("Executed zero-copy bootstrap: per pending half-range, " +
         "the transport its bytes took (linked = whole hard-linked " +
         "sstable, zero rows touched); digests transport-blind",
-        graft.ops.VnodeBootstrap.zeroCopyRoundtrip(spark, dir))
+        graft.ops.VnodeBootstrap.zeroCopyRoundtrip(spark, dir)) +
+      section("Coverage-confirm audit (round 19): per sliced file, the " +
+        "Summary.db sample-grid occupancy vs the Index.db-confirmed " +
+        "occupancy — linked decisions only stand where the grid is " +
+        "confirmed complete",
+        graft.ops.VnodeBootstrap.coverageConfirmReport(spark, dir))
 
   /** `commitlog <ks> <cf>` — the WAL segment report (q222) plus the
     * recovery summary (q221): segments, sections, byte accounting,

@@ -310,6 +310,31 @@ object VnodeBootstrap {
       .orderBy("node", "sixteenth")
   }
 
+  /** q245 (round 19): the coverage-CONFIRM audit — per sliced source
+    * file, the sample-grid occupancy ([[SummaryCoverage.occupiedRanges]],
+    * Summary.db) against the confirmed occupancy
+    * ([[SummaryCoverage.confirmOccupied]], Index.db), and whether the
+    * grid was complete. The oracle replays the SAMPLING RULE itself —
+    * every MinIndexInterval-th partition in key order plus the header's
+    * first/last keys — relationally from the corpus, so a summary codec
+    * that sampled different partitions, or a confirm that read the
+    * wrong files, breaks the hash. O(#files) driver rows. */
+  def coverageConfirmReport(spark: SparkSession, dir: String): DataFrame = {
+    val sliced = ensureSlicedHoldings(spark, dir)
+    import spark.implicits._
+    val sampled = SummaryCoverage.occupiedRanges(spark, sliced, HalfShift)
+    val confirmed = SummaryCoverage.confirmOccupied(
+      spark, sliced, HalfShift, sampled.keySet)
+    sampled.toSeq.map { case (g, sOcc) =>
+      val code = g - 1L - SliceGenBase
+      val cOcc = confirmed.getOrElse(g, sOcc)
+      (code / 16L, code % 16L, sOcc.size.toLong, cOcc.size.toLong,
+        sOcc == cOcc)
+    }.toDF("node", "sixteenth", "sampled_halves", "occupied_halves",
+        "grid_complete")
+      .orderBy("node", "sixteenth")
+  }
+
   /** q243: the executed ZERO-COPY bootstrap — one row per pending
     * half-range: its stream source, the transport its bytes took
     * (linked = arrived inside a whole hard-linked sstable, rewritten =

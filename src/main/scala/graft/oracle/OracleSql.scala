@@ -4306,6 +4306,9 @@ ORDER BY 1"""
       // occupied (corpus-derived here, Summary.db-derived in the
       // engine) vs requested halves and the transport decision.
       ("q244_zero_copy_plan" -> q244Sql) +
+      // q245: the coverage-confirm audit — the Summary.db SAMPLING RULE
+      // replayed relationally vs the Index.db-confirmed occupancy.
+      ("q245_coverage_confirm" -> q245Sql) +
       // q239: zero-copy streaming — fully-covered sstables hard-link
       // (entire-sstable transfer), partial files rewrite only the
       // requested remainder; convergence is transport-blind.
@@ -6704,6 +6707,41 @@ SELECT CAST(cv.node AS BIGINT) AS node,
   CAST(cv.s AS BIGINT) AS sixteenth,
   cv.occupied_halves, cv.requested_halves, cv.transport
 FROM vzcover cv
+ORDER BY node, sixteenth"""
+  }
+
+  /** q245 (round 19): the coverage-confirm audit — per sliced source
+    * file, the SAMPLE-GRID occupancy (every MinIndexInterval-th
+    * partition in key order, plus the header's first/last — the
+    * Summary.db sampling rule replayed relationally) vs the full
+    * occupancy, and whether the grid was complete. */
+  private lazy val q245Sql: String = {
+    val tok = h60("CAST(key AS VARCHAR)")
+    val interval =
+      graft.sources.datadb.CassandraDataFixture.MinIndexInterval
+    s"""WITH $fixtures,
+$vnodeBootCtes,
+${zeroCopyBootCtes(tok)},
+vcparts AS (
+  SELECT DISTINCT hd.node, hd.s, m.key,
+    m.tok // 36028797018963968 AS h
+  FROM vzhold hd
+  JOIN vzmapped m ON m.tok // 36028797018963968 // 2 = hd.s
+),
+vcranked AS (
+  SELECT node, s, h,
+    ROW_NUMBER() OVER (PARTITION BY node, s ORDER BY key) - 1 AS rk,
+    COUNT(*) OVER (PARTITION BY node, s) AS np
+  FROM vcparts
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(s AS BIGINT) AS sixteenth,
+  CAST(COUNT(DISTINCT CASE WHEN rk % $interval = 0 OR rk = np - 1
+    THEN h END) AS BIGINT) AS sampled_halves,
+  CAST(COUNT(DISTINCT h) AS BIGINT) AS occupied_halves,
+  COUNT(DISTINCT CASE WHEN rk % $interval = 0 OR rk = np - 1 THEN h END)
+    = COUNT(DISTINCT h) AS grid_complete
+FROM vcranked
+GROUP BY node, s
 ORDER BY node, sixteenth"""
   }
 

@@ -1188,6 +1188,14 @@ object SparkEntry {
     // corpus, so the summary codec's sample positions are oracle-pinned
     "q245_coverage_confirm" -> ((s, d) =>
       graft.ops.VnodeBootstrap.coverageConfirmReport(s, d)),
+    // index-summary REDISTRIBUTION (round 19): Cassandra's
+    // IndexSummaryManager memory-pressure downsampling — only the
+    // Summary.db component rewrites (every other component hard-links),
+    // resident entries halve per level, and the q114 point-read path
+    // returns LEVEL-INVARIANT results through the real downsampled
+    // files (the scan window grows; the answer cannot)
+    "q246_summary_redistribution" -> ((s, d) =>
+      graft.ops.SummaryRedistribution.report(s, d)),
     // zero-copy (entire-sstable) streaming (round 17): a range-sliced
     // source set, coverage decided per file off the Index.db sidecars
     // alone — fully-covered files HARD-LINK every component (zero rows

@@ -51,7 +51,7 @@ object Main {
     "partitions", "garbagecollect", "decommission", "removenode",
     "move", "commitlog", "hints", "rebuild", "readrepair", "batchlog",
     "merkle", "mview", "snapshot", "cas", "counters", "backup",
-    "vnodes")
+    "vnodes", "summaryredist")
 
   def usage(cmd: String = ""): String = cmd match {
     case "summary" => "Usage: summary"
@@ -93,6 +93,7 @@ object Main {
     case "counters" => "Usage: counters <keyspace> <table>"
     case "backup" => "Usage: backup <keyspace> <table>"
     case "vnodes" => "Usage: vnodes <keyspace> <table>"
+    case "summaryredist" => "Usage: summaryredist <keyspace> <table>"
     case "quality" => "Usage: quality"
     case "canon" => "Usage: canon [-n <num>]"
     case "select" => "Usage: select [-B <budget_tokens>]"
@@ -440,6 +441,9 @@ object Main {
       case "vnodes" =>
         if (!requireStore()) return 2
         out(tracked("vnodes")(Reports.vnodes(spark, dir))); 0
+      case "summaryredist" =>
+        if (!requireStore()) return 2
+        out(tracked("summaryredist")(Reports.summaryredist(spark, dir))); 0
       case "commitlog" =>
         if (!requireStore()) return 2
         out(tracked("commitlog")(Reports.commitlog(spark, dir))); 0

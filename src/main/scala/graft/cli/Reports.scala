@@ -585,6 +585,16 @@ object Reports {
         "confirmed complete",
         graft.ops.VnodeBootstrap.coverageConfirmReport(spark, dir))
 
+  /** `summaryredist <ks> <cf>` — index-summary redistribution (q246):
+    * Cassandra's memory-pressure downsampling executed on the real
+    * files; probe checksums level-invariant. */
+  def summaryredist(spark: SparkSession, dir: String): String =
+    section("Index-summary redistribution: per level, resident summary " +
+      "entries (only Summary.db rewrites; every other component " +
+      "hard-links) and the point-read checksums — identical at every " +
+      "level, only the bounded index-scan window grows",
+      graft.ops.SummaryRedistribution.report(spark, dir))
+
   /** `commitlog <ks> <cf>` — the WAL segment report (q222) plus the
     * recovery summary (q221): segments, sections, byte accounting,
     * CRC verification, and the reconciled flush state. */

@@ -48,7 +48,7 @@ object PointGet {
 
   private val ChkMod = 1000003L
 
-  private final case class SstableRefs(base: String,
+  private[ops] final case class SstableRefs(base: String,
       bloom: FilterDbFormat.Filter, summary: SummaryDbFormat.Summary,
       info: CompressionInfoFormat.Info,
       header: CassandraDataFormat.SerializationHeaderInfo,
@@ -64,7 +64,7 @@ object PointGet {
       // PATTERN (<= interval entries from the floor offset) is identical
       indexBytes: Array[Byte])
 
-  private def loadRefs(dir: java.nio.file.Path, base: String): SstableRefs = {
+  private[ops] def loadRefs(dir: java.nio.file.Path, base: String): SstableRefs = {
     def bytes(suffix: String): Array[Byte] =
       java.nio.file.Files.readAllBytes(dir.resolve(base + suffix))
     val bloom = FilterDbFormat.parse(new java.io.DataInputStream(
@@ -83,7 +83,7 @@ object PointGet {
       bytes(IndexDbFormat.Suffix))
   }
 
-  private def keyOf(b: Array[Byte]): Long =
+  private[ops] def keyOf(b: Array[Byte]): Long =
     java.nio.ByteBuffer.wrap(b).getLong
 
   /** Rightmost summary entry with key ≤ probe (signed-long key order, the
@@ -101,7 +101,7 @@ object PointGet {
   /** Index.db scan from the summary-bounded offset: the probe's own entry
     * position plus the NEXT entry's position (single-partition read
     * bound; data_length when the probe is the file's last partition). */
-  private def indexLookup(r: SstableRefs,
+  private[ops] def indexLookup(r: SstableRefs,
       probe: Long): Option[(Long, Long)] = {
     val at = summaryFloor(r.summary, probe)
     if (at < 0) return None
@@ -123,7 +123,7 @@ object PointGet {
 
   /** Decode one partition's events from its uncompressed [pos, next) range
     * through the chunk table; returns (events, value_sum, ts_sum%M). */
-  private def readPartition(r: SstableRefs, pos: Long,
+  private[ops] def readPartition(r: SstableRefs, pos: Long,
       next: Long): (Long, Long, Long) = {
     dataReads.increment()
     val raf = r.raf // task-cached handle; close() below is a no-op on it

@@ -4309,6 +4309,11 @@ ORDER BY 1"""
       // q245: the coverage-confirm audit — the Summary.db SAMPLING RULE
       // replayed relationally vs the Index.db-confirmed occupancy.
       ("q245_coverage_confirm" -> q245Sql) +
+      // q246: index-summary redistribution — entry counts replay the
+      // sampling arithmetic (entries = ceil(partitions/interval),
+      // level k keeps ceil(entries/2^k)); the probe checksums are the
+      // level-invariant present-probe rollup.
+      ("q246_summary_redistribution" -> q246Sql) +
       // q239: zero-copy streaming — fully-covered sstables hard-link
       // (entire-sstable transfer), partial files rewrite only the
       // requested remainder; convergence is transport-blind.
@@ -6743,6 +6748,51 @@ SELECT CAST(node AS BIGINT) AS node, CAST(s AS BIGINT) AS sixteenth,
 FROM vcranked
 GROUP BY node, s
 ORDER BY node, sixteenth"""
+  }
+
+  /** q246 (round 19): index-summary redistribution — per downsampling
+    * level, the resident-entry arithmetic (a file's summary holds
+    * ceil(partitions/MinIndexInterval) entries; level k keeps every
+    * 2^k-th) and the LEVEL-INVARIANT present-probe checksums (the
+    * point-read path may scan a wider index window, never return a
+    * different answer). */
+  private lazy val q246Sql: String = {
+    val interval =
+      graft.sources.datadb.CassandraDataFixture.MinIndexInterval
+    s"""WITH $fixtures,
+sgp AS (
+  SELECT sstable_id, COUNT(DISTINCT key) AS np FROM licells GROUP BY 1
+),
+sge AS (SELECT sstable_id, (np + $interval - 1) // $interval AS entries
+  FROM sgp),
+slv AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4)) t(lvl, step)),
+sent AS (
+  SELECT l.lvl, l.step,
+    CAST(SUM(e.entries) AS BIGINT) AS entries_before,
+    CAST(SUM((e.entries + l.step - 1) // l.step) AS BIGINT)
+      AS entries_after
+  FROM slv l CROSS JOIN sge e GROUP BY l.lvl, l.step
+),
+sprobe AS (
+  SELECT
+    CAST(COUNT(DISTINCT key) AS BIGINT) AS probed,
+    CAST(COUNT(*) AS BIGINT) AS events,
+    CAST(SUM(CASE WHEN is_tombstone THEN 0 ELSE size_bytes % 61 END)
+      AS BIGINT) AS value_sum,
+    CAST(SUM(timestamp_us % 1000003) AS BIGINT) AS ts_sum
+  FROM licells WHERE key % 7 = 0 AND key > 0
+),
+sfound AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS found_sstables FROM (
+    SELECT DISTINCT key, sstable_id FROM licells
+    WHERE key % 7 = 0 AND key > 0) t
+)
+SELECT CAST(e.lvl AS BIGINT) AS level,
+  CAST(128 // e.step AS BIGINT) AS sampling_level,
+  e.entries_before, e.entries_after,
+  p.probed, f.found_sstables, p.events, p.value_sum, p.ts_sum
+FROM sent e CROSS JOIN sprobe p CROSS JOIN sfound f
+ORDER BY level"""
   }
 
   /** q217: nodetool decommission (round 16) — the ring-shrink

@@ -504,7 +504,10 @@ class CliMainSpec extends SparkSpec {
     "backup" -> Seq("backup", "ks1", "lineitem"),
     // vnode ring (round 17): pending-ranges calculus + executed
     // decommission at 4 tokens per node
-    "vnodes" -> Seq("vnodes", "ks1", "lineitem"))
+    "vnodes" -> Seq("vnodes", "ks1", "lineitem"),
+    // index-summary redistribution (round 19): memory-pressure
+    // downsampling, level-invariant point-read checksums
+    "summaryredist" -> Seq("summaryredist", "ks1", "lineitem"))
 
   for ((name, args) <- goldenCommands)
     test(s"golden report: $name output matches the frozen fixture " +

@@ -108,8 +108,25 @@ object SummaryDbFormat {
           s"(${offsets(i)} .. $end of $entriesLen)")
       i += 1
     }
-    val region = new Array[Byte](entriesLen.toInt)
-    in.readFully(region)
+    // read the claimed region in bounded chunks (round 19, fuzz-driven
+    // hardening): allocation stays proportional to bytes ACTUALLY
+    // present — a flipped offheapSize in a small file hits EOF after at
+    // most one chunk instead of demanding the full claimed allocation
+    // up front
+    val region = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 << 10)
+      var remaining = entriesLen
+      while (remaining > 0) {
+        val r = in.read(buf, 0,
+          math.min(buf.length.toLong, remaining).toInt)
+        if (r < 0) bad(s"entries region truncated " +
+          s"($remaining of $entriesLen bytes missing)")
+        bos.write(buf, 0, r)
+        remaining -= r
+      }
+      bos.toByteArray
+    }
     val entries = (0 until n).map { i =>
       val start = offsets(i)
       val end = if (i + 1 < n) offsets(i + 1) else entriesLen

@@ -404,4 +404,99 @@ final class SidecarFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Summary.db (round 19: the last unfuzzed sidecar reader — q246's
+  // redistribution made its WRITE path production-reachable too)
+
+  private val sumEntryGen: Gen[graft.sources.summarydb.SummaryDbFormat.Entry] =
+    for {
+      klen <- Gen.choose(0, 20)
+      key <- Gen.listOfN(klen, Gen.choose(-128, 127).map(_.toByte))
+      pos <- Gen.choose(Long.MinValue, Long.MaxValue) // le64, raw
+    } yield graft.sources.summarydb.SummaryDbFormat.Entry(
+      key.toArray, pos)
+
+  private val summaryGen
+      : Gen[graft.sources.summarydb.SummaryDbFormat.Summary] = for {
+    interval <- Gen.choose(1, 1 << 20)
+    level <- Gen.choose(1, 128)
+    fullSize <- Gen.choose(0, Int.MaxValue)
+    n <- Gen.choose(0, 40)
+    entries <- Gen.listOfN(n, sumEntryGen)
+    fk <- Gen.choose(0, 24).flatMap(
+      Gen.listOfN(_, Gen.choose(-128, 127).map(_.toByte)))
+    lk <- Gen.choose(0, 24).flatMap(
+      Gen.listOfN(_, Gen.choose(-128, 127).map(_.toByte)))
+  } yield graft.sources.summarydb.SummaryDbFormat.Summary(
+    interval, level, fullSize, entries.toIndexedSeq,
+    fk.toArray, lk.toArray)
+
+  private def summaryBytes(
+      s: graft.sources.summarydb.SummaryDbFormat.Summary): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    graft.sources.summarydb.SummaryDbFormat.write(out, s)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def parseSummary(b: Array[Byte]) =
+    graft.sources.summarydb.SummaryDbFormat.parse(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(b)))
+
+  test("Summary.db: arbitrary summaries roundtrip exactly (mixed-endian " +
+      "header/offset quirk included)") {
+    check(summaryGen) { s =>
+      val got = parseSummary(summaryBytes(s))
+      assert(got.minIndexInterval === s.minIndexInterval)
+      assert(got.samplingLevel === s.samplingLevel)
+      assert(got.sizeAtFullSampling === s.sizeAtFullSampling)
+      assert(got.entries.length === s.entries.length)
+      got.entries.zip(s.entries).foreach { case (g, e) =>
+        assert(java.util.Arrays.equals(g.key, e.key))
+        assert(g.position === e.position)
+      }
+      assert(java.util.Arrays.equals(got.firstKey, s.firstKey))
+      assert(java.util.Arrays.equals(got.lastKey, s.lastKey))
+    }
+  }
+
+  test("Summary.db: flips never crash nor demand allocation beyond the " +
+      "bytes actually present") {
+    val s = summaryGen.pureApply(Gen.Parameters.default, Seed(47L))
+    val clean = summaryBytes(s)
+    val flipGen = for {
+      at <- Gen.choose(0, clean.length - 1)
+      x <- Gen.choose(1, 255)
+    } yield (at, x)
+    check(flipGen, runs = 400) { case (at, x) =>
+      val b = clean.clone(); b(at) = (b(at) ^ x).toByte
+      try {
+        val got = parseSummary(b)
+        // no CRC in the real component: a flip may yield a different
+        // VALID summary, but every parsed byte came from the file
+        assert(got.entries.map(_.key.length + 8).sum +
+          got.firstKey.length + got.lastKey.length <= b.length)
+      } catch {
+        case _: java.io.IOException => () // typed fail-closed, incl. EOF
+      }
+    }
+  }
+
+  test("Summary.db: truncation at every prefix fails closed — never a " +
+      "fabricated entry or tail key") {
+    val s = summaryGen.retryUntil(_.entries.nonEmpty)
+      .pureApply(Gen.Parameters.default, Seed(53L))
+    val clean = summaryBytes(s)
+    (0 until clean.length).foreach { n =>
+      try {
+        parseSummary(clean.take(n))
+        fail(s"truncation at $n of ${clean.length} parsed cleanly — " +
+          "the format is length-framed; no strict prefix is valid")
+      } catch {
+        case _: java.io.IOException => ()
+      }
+    }
+  }
 }

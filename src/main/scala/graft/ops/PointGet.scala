@@ -44,6 +44,9 @@ object PointGet {
   val bloomChecks = new java.util.concurrent.atomic.LongAdder
   val bloomRejects = new java.util.concurrent.atomic.LongAdder
   val indexScans = new java.util.concurrent.atomic.LongAdder
+  // entries consumed across all bounded scans: the quantity a coarser
+  // summary (index-summary redistribution, q246) trades memory against
+  val indexEntriesRead = new java.util.concurrent.atomic.LongAdder
   val dataReads = new java.util.concurrent.atomic.LongAdder
 
   private val ChkMod = 1000003L
@@ -113,6 +116,7 @@ object PointGet {
     val it = IndexDbFormat.entries(in)
     while (it.hasNext) {
       val e = it.next()
+      indexEntriesRead.increment()
       val k = keyOf(e.key)
       if (found >= 0) return Some((found, e.position))
       if (k == probe) found = e.position

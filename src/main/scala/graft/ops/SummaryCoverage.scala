@@ -65,10 +65,7 @@ object SummaryCoverage {
   def confirmOccupied(spark: SparkSession, path: String, shift: Int,
       generations: Set[Long]): Map[Long, Set[Long]] =
     if (generations.isEmpty) Map.empty
-    else graft.sources.indexdb.IndexDb.read(spark, path)
-      .where(col("sstable_id").isin(
-        generations.toSeq.map(g => s"nb-$g-big"): _*))
-      .select(col("sstable_id"), rangeOf(col("key"), shift).as("r"))
+    else confirmScan(spark, path, shift, generations)
       .groupBy("sstable_id")
       .agg(collect_set("r").as("rs"))
       .collect()
@@ -80,4 +77,14 @@ object SummaryCoverage {
         gen -> row.getSeq[Long](1).toSet
       }
       .toMap
+
+  /** The confirm step's scan, exposed so specs can pin its planning
+    * economy: the `isin` is on the RAW `sstable_id` (the DSv2's pushdown
+    * column), so only the candidate files are ever opened. */
+  private[graft] def confirmScan(spark: SparkSession, path: String,
+      shift: Int, generations: Set[Long]): org.apache.spark.sql.DataFrame =
+    graft.sources.indexdb.IndexDb.read(spark, path)
+      .where(col("sstable_id").isin(
+        generations.toSeq.map(g => s"nb-$g-big"): _*))
+      .select(col("sstable_id"), rangeOf(col("key"), shift).as("r"))
 }

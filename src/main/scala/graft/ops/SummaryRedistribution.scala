@@ -107,7 +107,7 @@ object SummaryRedistribution {
     * (the q114 access path: bloom → summary floor → bounded index scan →
     * single-partition decode), aggregated to one checksum row:
     * (probed, found_sstables, events, value_sum, ts_sum). */
-  private def probeAggregate(spark: SparkSession, dir: String,
+  private[graft] def probeAggregate(spark: SparkSession, dir: String,
       path: String): (Long, Long, Long, Long, Long) = {
     import spark.implicits._
     val present = Fixtures.liPscan(spark, dir).select(col("key"))

@@ -101,4 +101,29 @@ class SummaryRedistributionSpec extends SparkSpec {
     assert(after(0) === rows(0).getAs[Long]("entries_before"))
     assert(after(1) < after(0) && after(2) < after(1))
   }
+
+  test("the degradation is MEASURED, not asserted: level-2 probes read " +
+      "more Index.db entries than level-0, with identical answers") {
+    import graft.ops.PointGet
+    def measured(level: Int): (Long, (Long, Long, Long, Long, Long)) = {
+      val path = SummaryRedistribution.ensureDownsampled(spark, Sf0001, level)
+      PointGet.indexEntriesRead.reset()
+      val agg = SummaryRedistribution.probeAggregate(spark, Sf0001, path)
+      (PointGet.indexEntriesRead.sum, agg)
+    }
+    val (n0, a0) = measured(0)
+    val (n1, a1) = measured(1)
+    val (n2, a2) = measured(2)
+    assert(n0 > 0L)
+    // the answers never move…
+    assert(a1 === a0 && a2 === a0)
+    // …but the scan window grows monotonically with the level, and a
+    // quarter-density summary costs strictly more than double the
+    // baseline's entry reads (asymptotically ~4×; the per-scan +2
+    // overhead of the found-entry/next-entry pair dampens it at
+    // fixture interval)
+    assert(n1 > n0, s"level 1 read $n1 entries vs level 0's $n0")
+    assert(n2 > n1 && n2 > 2L * n0,
+      s"level 2 read $n2 entries vs level 0's $n0 — expected > ${2L * n0}")
+  }
 }

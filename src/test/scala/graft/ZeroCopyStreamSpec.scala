@@ -138,6 +138,29 @@ class ZeroCopyStreamSpec extends SparkSpec {
     assert(!confirmedOcc.subsetOf(requested))
   }
 
+  test("round 19 planning economy: the occupancy confirm opens ONLY the " +
+      "candidate files — the isin stays on the raw sstable_id and " +
+      "prunes at planning") {
+    import org.apache.spark.sql.functions._
+    val sliced = ZeroCopyStream.ensureSliced(spark, Sf0001)
+    val full = graft.sources.indexdb.IndexDb.read(spark, sliced)
+    val candidates = Set(3202L, 3205L) // two of the 14 sliced files
+    val confirm = graft.ops.SummaryCoverage.confirmScan(
+      spark, sliced, ZeroCopyStream.SlotShift, candidates)
+    // file-granular planning: one input partition per surviving file
+    assert(confirm.rdd.getNumPartitions === candidates.size)
+    assert(confirm.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "the confirm must prune files at planning, not filter rows")
+    val plan = confirm.queryExecution.executedPlan.toString
+    assert(plan.contains("In(sstable_id") ||
+      plan.contains("EqualTo(sstable_id"),
+      s"no pushed sstable_id predicate:\n${plan.take(800)}")
+    // and it returns exactly the candidates' rows
+    assert(confirm.select(col("sstable_id")).distinct()
+      .collect().map(_.getString(0)).toSet ===
+      candidates.map(g => s"nb-$g-big"))
+  }
+
   test("round 18: summary-planned occupancy equals the full Index.db " +
       "occupancy, at a fraction of the input rows") {
     import org.apache.spark.sql.functions._

@@ -1196,6 +1196,12 @@ object SparkEntry {
     // files (the scan window grows; the answer cannot)
     "q246_summary_redistribution" -> ((s, d) =>
       graft.ops.SummaryRedistribution.report(s, d)),
+    // DSIR importance-resampled data selection (round 19): hashed-unigram
+    // bucket model, integer floor-log2 LLR table broadcast back onto the
+    // token stream, deterministic top-K of the non-target pool by log
+    // importance weight — the published pretraining data-selection step
+    "q247_dsir_select" -> ((s, d) =>
+      graft.ops.DataSelection.dsirSelect(s, d)),
     // zero-copy (entire-sstable) streaming (round 17): a range-sliced
     // source set, coverage decided per file off the Index.db sidecars
     // alone — fully-covered files HARD-LINK every component (zero rows

@@ -4314,6 +4314,10 @@ ORDER BY 1"""
       // level k keeps ceil(entries/2^k)); the probe checksums are the
       // level-invariant present-probe rollup.
       ("q246_summary_redistribution" -> q246Sql) +
+      // q247: DSIR importance-resampled data selection — the hashed
+      // bucket model, the integer floor-log2 LLR table and the
+      // deterministic top-K replayed relationally end to end.
+      ("q247_dsir_select" -> q247Sql) +
       // q239: zero-copy streaming — fully-covered sstables hard-link
       // (entire-sstable transfer), partial files rewrite only the
       // requested remainder; convergence is transport-blind.
@@ -6793,6 +6797,45 @@ SELECT CAST(e.lvl AS BIGINT) AS level,
   p.probed, f.found_sstables, p.events, p.value_sum, p.ts_sum
 FROM sent e CROSS JOIN sprobe p CROSS JOIN sfound f
 ORDER BY level"""
+  }
+
+  /** q247 (round 19): DSIR importance-resampled data selection — the
+    * hashed-unigram bucket model (portable h60 % B), the add-1-smoothed
+    * floor-log2 LLR per bucket (bit lengths, so both engines stay in
+    * exact integers) and the deterministic top-K of the non-target
+    * pool by summed log importance weight. */
+  private lazy val q247Sql: String = {
+    val b = graft.ops.DataSelection.Buckets
+    val k = graft.ops.DataSelection.TopK
+    val lang = graft.ops.DataSelection.TargetLang
+    s"""WITH toks AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+tb AS (
+  SELECT doc_id, lang, source,
+    CAST(${h60("w")} % $b AS BIGINT) AS b
+  FROM toks),
+bc AS (
+  SELECT b,
+    CAST(SUM(CASE WHEN lang = '$lang' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+    CAST(SUM(CASE WHEN lang <> '$lang' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+  FROM tb GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cs) AS BIGINT) AS ts
+  FROM bc),
+llr AS (
+  SELECT b,
+    CAST(length(bin(ct + 1)) - length(bin(cs + 1))
+       + length(bin(ts + $b)) - length(bin(tt + $b)) AS BIGINT) AS llr
+  FROM bc CROSS JOIN tot)
+SELECT doc_id, lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(llr) AS BIGINT) AS weight
+FROM tb JOIN llr USING (b)
+WHERE lang <> '$lang'
+GROUP BY 1, 2, 3
+ORDER BY weight DESC, doc_id
+LIMIT $k"""
   }
 
   /** q217: nodetool decommission (round 16) — the ring-shrink

@@ -417,7 +417,18 @@ object BtiTrieFormat {
     // frame: parsed node + next-child cursor; explicit stack (64 KiB keys)
     final case class Frame(node: ParsedNode, var i: Int)
     val stack = new java.util.ArrayDeque[Frame]()
+    // Strictly-backward pointers make cycles impossible but not SHARING:
+    // a hostile file can point two transitions at the same child, and ~40
+    // such nodes give 2^40 root-to-leaf paths from a few hundred bytes. A
+    // legitimate trie is a TREE whose every node occupies >= 1 byte at a
+    // distinct offset, so its walk enters at most `limit` nodes — budget
+    // the walk by that and fail typed instead of running exponentially.
+    var visits = 0
     def enter(off: Long): Unit = {
+      visits += 1
+      if (visits > limit)
+        fail(s"bti trie walk exceeded its $limit-node budget — " +
+          "shared/repeated subtrees are not a valid serialized trie")
       val n = parseNode(bytes, off, limit)
       if (n.flags > 0) {
         if (n.payloadAt + n.flags > limit) fail("bti payload overruns trie")

@@ -224,6 +224,11 @@ object Bench {
     private val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     @volatile var gateWaitSec = 0
     @volatile var nqTotal = 0
+    // total wall spend of the sf1 probe phase (setup + timed windows +
+    // retries + recall/splits evidence) — published so budget planning
+    // and truncation forensics can see what the probe set costs
+    // (VERDICT r18 Next #6)
+    @volatile var sf1WallSec = 0.0
     @volatile private var truncatedFlag = false
     private var retrySpendSec = 0.0
     private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -398,7 +403,8 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val truncJson =
       s""","truncated":${log.truncated},"nq_completed":${results.size},"nq_total":${log.nqTotal}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$sf1RecallJson$splitsJson$refJson,"gate_wait_sec":${log.gateWaitSec}$errJson$truncJson,"sf":"$sfDir"}"""
+    val sf1WallJson = f""","sf1_wall_sec":${log.sf1WallSec}%.1f"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stealJson$stallJson$attemptsJson$contendedJson$ambientJson$suspectJson$sf1SecJson$sf1StallJson$sf1StealJson$sf1AmbientJson$sf1ContendedJson$sf1SuspectJson,"sf1_ratio":$sf1FamJson$sf1RecallJson$splitsJson$sf1WallJson$refJson,"gate_wait_sec":${log.gateWaitSec}$errJson$truncJson,"sf":"$sfDir"}"""
     val maxStall =
       if (results.isEmpty) 0.0 else results.map(_._2._1._3).max * 100
     val famJson = results
@@ -688,6 +694,7 @@ object Bench {
       // (fixed vocabulary), so those two alone under-read the scan
       "q133_distinct_kmv" -> "sketch", "q138_sketch_setops" -> "sketch",
       "q134_heavy_hitters" -> "sketch")
+    val sf1PhaseStartSec = log.elapsedSec
     val docProbe: Seq[(String, String,
         (SparkSession, String) => DataFrame, String)] =
       (if (log.shouldStart) ensureSf1Probe(spark, sfDir)
@@ -897,6 +904,7 @@ object Bench {
       if (sf1Recall.isEmpty) ""
       else sf1Recall.map { case (t, v) => "\"" + t + "\":" + f"$v%.3f" }
         .mkString(""","sf1_recall":{""", ",", "}")
+    log.sf1WallSec = log.elapsedSec - sf1PhaseStartSec
     // the one assembly path (composeRecord) builds both lines from the
     // log; the SECOND, compact line exists because the driver records
     // only an output *tail*, which truncated the head of the full line

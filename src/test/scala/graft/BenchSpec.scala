@@ -167,6 +167,9 @@ class BenchSpec extends AnyFunSuite {
     assert(full.contains("\"nq_total\":3"))
     assert(compact.contains("\"truncated\":true") &&
       compact.contains("\"nq\":2"))
+    // the sf1 probe phase's wall spend is a published field (VERDICT
+    // r18 ask #6) — 0.0 here since the kill landed before the probes
+    assert(full.contains("\"sf1_wall_sec\":0.0"))
     // incremental evidence: one JSONL line per completed window is
     // already on disk even if NO record line ever printed
     val lines = java.nio.file.Files.readAllLines(jsonl)

@@ -140,6 +140,72 @@ final class BtiFuzzSpec extends AnyFunSuite {
     assert(rejected > 0, "no mutation rejected — guards not engaging")
   }
 
+  test("Rows.db roundtrip vs an independent model: separators in order, " +
+      "offsets and open markers exact across every partition") {
+    val rnd = new scala.util.Random(99L)
+    val w = new graft.sources.bti.BtiRowsFormat.Writer
+    val model = (0 until 12).map { p =>
+      val blocks = (0 until (1 + rnd.nextInt(9))).map { j =>
+        val sep = Array.fill(1 + rnd.nextInt(6))(rnd.nextInt(256).toByte)
+        val marker =
+          if (rnd.nextBoolean())
+            Some((rnd.nextLong().abs, rnd.nextInt(Int.MaxValue).toLong))
+          else None
+        (sep, j * 4096L, marker)
+      }.groupBy(_._1.toSeq).map(_._2.head).toSeq // unique separators
+      val dataPos = p * (1L << 20)
+      (w.append(blocks, dataPos), blocks, dataPos)
+    }
+    val bytes = w.finish()
+    assert(graft.sources.bti.BtiRowsFormat.entryCount(bytes) === 12L)
+    model.foreach { case (off, blocks, dataPos) =>
+      val e = graft.sources.bti.BtiRowsFormat.readEntry(bytes, off)
+      assert(e.dataPos === dataPos && e.blockCount === blocks.length)
+      val got = graft.sources.bti.BtiRowsFormat.blocks(bytes, off)
+        .map { case (s, o, m) => (s.toSeq, o, m) }.toSeq
+      val want = blocks.map { case (s, o, m) => (s.toSeq, o, m) }
+        .sortBy(_._1)(unsignedLex)
+      assert(got === want)
+    }
+  }
+
+  test("Rows.db byte-flip fuzz: every mutation parses or throws typed — " +
+      "the per-entry trie stays bounded by its own entry record") {
+    val rnd0 = new scala.util.Random(7L)
+    val w = new graft.sources.bti.BtiRowsFormat.Writer
+    val offs = (0 until 6).map { p =>
+      w.append((0 until 5).map { j =>
+        (Array.fill(4)((rnd0.nextInt(255) + 1).toByte), j * 512L,
+          if (j % 2 == 0) Some((j * 1000L, 77L)) else None)
+      }.groupBy(_._1.toSeq).map(_._2.head).toSeq, p * 8192L)
+    }
+    val good = w.finish()
+    val rnd = new scala.util.Random(20260817L)
+    var parsed = 0; var rejected = 0
+    for (_ <- 0 until 1500) {
+      val b = good.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(3)) {
+        val i = rnd.nextInt(b.length)
+        b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try {
+        graft.sources.bti.BtiRowsFormat.entryCount(b)
+        offs.foreach { o =>
+          assert(graft.sources.bti.BtiRowsFormat.blocks(b, o).size
+            <= b.length)
+        }
+        parsed += 1
+      } catch {
+        case _: java.io.IOException => rejected += 1
+        case _: ArrayIndexOutOfBoundsException => rejected += 1
+        case _: IndexOutOfBoundsException => rejected += 1
+        case _: IllegalArgumentException => rejected += 1
+      }
+    }
+    assert(parsed > 0 && rejected > 0,
+      s"degenerate fuzz outcome: parsed=$parsed rejected=$rejected")
+  }
+
   test("every-prefix truncation: typed failure or a bounded parse, " +
       "never a hang or untyped crash") {
     val good = BtiTrieFormat.write(genEntries(7L, 24).iterator)

@@ -147,11 +147,15 @@ object Bootstrap {
       .withColumn("origin", lit("new-bootstrapped"))
       .withColumn("source", expr("(position - 1) div 2"))
     val all = oldViews.unionByName(newViews)
-    val holders = all.groupBy("eighth")
-      .agg(countDistinct("position").as("holders"))
-    all
+    // holders over the AGGREGATED view rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // union+scan subtree
+    val withHolders = all.withColumn("holders",
+      size(collect_set(col("position")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eighth")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("eighth"))
-      .join(holders, Seq("eighth"))
       .select(col("position"), col("eighth"), col("origin"),
         col("source"), col("events"), col("digest"),
         col("corpus_events"), col("corpus_digest"),

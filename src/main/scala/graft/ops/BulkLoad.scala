@@ -161,12 +161,16 @@ object BulkLoad {
         shiftright(AntiEntropy.token(col("key")), QuarterShift))
       .groupBy("node", "quarter")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val holders = received.groupBy("quarter")
-      .agg(countDistinct("node").as("holders"))
-    received
+    // holders over the AGGREGATED received rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // received-file scan + aggregate subtree
+    val withHolders = received.withColumn("holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("quarter")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("quarter"))
       .join(broadcast(fanIn), Seq("quarter"))
-      .join(holders, Seq("quarter"))
       .select(col("node"), col("quarter"), col("src_sstables"),
         col("events"), col("digest"), col("corpus_events"),
         col("corpus_digest"),

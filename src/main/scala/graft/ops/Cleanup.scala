@@ -143,15 +143,20 @@ object Cleanup {
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
     val loadedPerNode = loadedEvents(spark, dir)
       .groupBy("node").agg(count(lit(1)).as("loaded_events"))
-    val retainedPerNode = retained.groupBy("node")
-      .agg(sum("events").as("retained_events"))
-    val holders = retained.groupBy("eighth")
-      .agg(countDistinct("node").as("holders"))
-    retained
+    // per-node totals and per-eighth holders via windows over the
+    // AGGREGATED retained rows (round 19, guide §2.4): each separate
+    // groupBy branch re-executed the whole rewritten-file scan subtree
+    val withExtras = retained
+      .withColumn("retained_events",
+        sum(col("events")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")))
+      .withColumn("holders",
+        size(collect_set(col("node")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("eighth")))
+          .cast("long"))
+    withExtras
       .join(corpus, Seq("eighth"))
       .join(loadedPerNode, Seq("node"))
-      .join(retainedPerNode, Seq("node"))
-      .join(holders, Seq("eighth"))
       .select(col("node"), col("eighth"), col("events"), col("digest"),
         col("corpus_events"), col("corpus_digest"),
         (col("events") === col("corpus_events") &&

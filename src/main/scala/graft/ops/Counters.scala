@@ -75,25 +75,27 @@ object Counters {
       .select(col("key"), col("clustering"), col("column_name"),
         col("node"), col("sh.clock").as("clock"),
         col("sh.count").as("count"))
-    // merge: max-clock shard per (cell, node) wins outright
+    // merge: max-clock shard per (cell, node) wins outright. The shard
+    // row count rides the SAME aggregate (round 19, guide §1.2): the
+    // former separate shardCounts branch re-ran the window + shard
+    // extraction subtree a second time — count and max distribute over
+    // the (cell, node) grouping, so one pass carries both.
     val winners = shards
       .groupBy("key", "clustering", "column_name", "node")
-      .agg(max(struct(col("clock"), col("count"))).as("w"))
+      .agg(max(struct(col("clock"), col("count"))).as("w"),
+        count(lit(1)).as("shard_rows_n"))
       .select(col("key"), col("clustering"), col("column_name"),
         col("node"), col("w.clock").as("clock"),
-        col("w.count").as("count"))
+        col("w.count").as("count"), col("shard_rows_n"))
     val perCell = winners
       .groupBy("key", "clustering", "column_name")
       .agg(sum("count").as("merged"),
         sum(col("clock") % M).as("clock_digest"),
-        count(lit(1)).as("nodes"))
-    val shardCounts = shards
-      .groupBy("key", "clustering", "column_name")
-      .agg(count(lit(1)).as("shard_rows"))
+        count(lit(1)).as("nodes"),
+        sum("shard_rows_n").as("shard_rows"))
     val deltas = inc.groupBy("key", "clustering", "column_name")
       .agg(sum("delta").as("delta_total"))
     perCell
-      .join(shardCounts, Seq("key", "clustering", "column_name"))
       .join(deltas, Seq("key", "clustering", "column_name"))
       .groupBy(pmod(col("key"), lit(Buckets)).as("bucket"))
       .agg(

@@ -140,11 +140,16 @@ object Decommission {
         shiftright(AntiEntropy.token(col("key")), BulkLoad.QuarterShift))
       .groupBy("node", "quarter", "origin")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val holders = views.groupBy("quarter")
-      .agg(countDistinct("node").as("holders"))
-    views
+    // holders over the AGGREGATED view rows via a window (round 19,
+    // guide §2.4): a separate groupBy branch re-executed the whole
+    // union+scan subtree — the window reads the O(#nodes × #ranges)
+    // aggregate once and replaces a join with an in-partition count
+    val withHolders = views.withColumn("holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("quarter")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("quarter"))
-      .join(holders, Seq("quarter"))
       .select(col("node"), col("quarter"), col("origin"), col("events"),
         col("digest"), col("corpus_events"), col("corpus_digest"),
         (col("events") === col("corpus_events") &&

@@ -464,11 +464,18 @@ object Dedup {
           s"i -> xxhash64(array_join(slice(w, i, $k), ' ')))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
         col("col").as("gh"))
-    val dup = grams.groupBy("gh")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-      .where(col("mn") =!= col("mx")).select("gh")
+    // cross-doc decision via a window over the ONE gram relation (round
+    // 19, guide §1.2): the former groupBy + self-join re-exploded every
+    // k-gram a second time; min/max over the gh partition make the same
+    // `min(doc) != max(doc)` call on the single exploded pass (the
+    // window's gh exchange replaces the join's, not adds to it)
+    val wg = Window.partitionBy("gh")
     val w = Window.partitionBy("doc_id").orderBy("s")
-    val runs = grams.join(dup, "gh")
+    val runs = grams
+      .withColumn("mn", min("doc_id").over(wg))
+      .withColumn("mx", max("doc_id").over(wg))
+      .where(col("mn") =!= col("mx"))
+      .drop("mn", "mx")
       .withColumn("ps", lag(col("s"), 1).over(w))
       .withColumn("contrib",
         when(col("ps").isNull, lit(k.toLong))
@@ -513,13 +520,16 @@ object Dedup {
           s"i -> xxhash64(array_join(slice(w, i, $k), ' ')))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
         col("col").as("gh"))
-    val dupKeeper = grams.groupBy("gh")
-      .agg(min("doc_id").as("keeper"), max("doc_id").as("mx"))
-      .where(col("keeper") =!= col("mx"))
-      .select("gh", "keeper")
+    // keeper decision via a window over the ONE gram relation (round 19,
+    // same rewrite as dupSpans): min/max over the gh partition replace
+    // the groupBy + self-join that re-exploded every k-gram twice
+    val wg = Window.partitionBy("gh")
     val w = Window.partitionBy("doc_id").orderBy("s")
-    val runs = grams.join(dupKeeper, "gh")
-      .where(col("doc_id") =!= col("keeper"))
+    val runs = grams
+      .withColumn("keeper", min("doc_id").over(wg))
+      .withColumn("mx", max("doc_id").over(wg))
+      .where(col("keeper") =!= col("mx") && col("doc_id") =!= col("keeper"))
+      .drop("mx")
       .withColumn("ps", lag(col("s"), 1).over(w))
       .withColumn("contrib",
         when(col("ps").isNull, lit(k.toLong))

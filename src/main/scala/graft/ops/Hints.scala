@@ -163,15 +163,18 @@ object Hints {
     * origins sum back to the full corpus, RF restored hint-by-hint. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // quarter totals ride the (quarter, origin) aggregate via a window
+    // (round 19, guide §1.2/§2.4): count and the commutative digest both
+    // distribute over origins, so the second corpus scan is replaced by
+    // an in-partition sum over the tiny aggregated relation
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("quarter")
     val corpus = corpusHeld(spark, dir)
       .withColumn("origin", when(inWindow, "hinted").otherwise("retained"))
       .groupBy("quarter", "origin")
       .agg(count(lit(1)).as("corpus_events"),
         sum(eventHash).as("corpus_digest"))
-    val quarterTotals = corpusHeld(spark, dir)
-      .groupBy("quarter")
-      .agg(count(lit(1)).as("quarter_events"),
-        sum(eventHash).as("quarter_digest"))
+      .withColumn("quarter_events", sum("corpus_events").over(wq))
+      .withColumn("quarter_digest", sum("corpus_digest").over(wq))
     val coordOf = Coordinators.toDF("quarter", "coordinator")
     val retained = DataDb.cells(spark, ensureOutage(spark, dir),
         format = DataDbScan.FormatCassandra)
@@ -189,12 +192,13 @@ object Hints {
       .unionByName(hinted.select(retained.columns.map(col).toSeq: _*))
       .groupBy("quarter", "origin", "coordinator")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val converged = views.groupBy("quarter")
-      .agg(sum("events").as("sum_events"), sum("digest").as("sum_digest"))
-    views
+    // convergence totals via the same window trick over the view rows —
+    // the separate groupBy branch re-executed the union+scan subtree
+    val viewsW = views
+      .withColumn("sum_events", sum("events").over(wq))
+      .withColumn("sum_digest", sum("digest").over(wq))
+    viewsW
       .join(corpus, Seq("quarter", "origin"))
-      .join(quarterTotals, Seq("quarter"))
-      .join(converged, Seq("quarter"))
       .select(col("quarter"), col("origin"), col("coordinator"),
         col("events"), col("digest"),
         col("corpus_events"), col("corpus_digest"),

@@ -87,17 +87,29 @@ object MerkleRepair {
     col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
     col("size_bytes"))) % M
 
-  // raw-equality filter: pushes down, pruning the other replica's
-  // file at planning (a regexp filter would scan both files)
-  private def leafDigests(spark: SparkSession, path: String, gen: Long)
-      : Map[Long, (Long, Long)] =
-    DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
-      .where(col("sstable_id") === s"nb-${gen + 1}-big")
-      .groupBy(leaf.as("leaf"))
+  // raw-equality filter: pushes down, pruning at planning to exactly the
+  // two replica files (a regexp filter would scan everything). ONE scan
+  // covers BOTH replicas (round 19, guide §1.2/§2.4): the two per-replica
+  // digest jobs each read one corpus-sized file sequentially — grouping by
+  // (sstable_id, leaf) in a single job reads the same total bytes with
+  // twice the task parallelism and one job's scheduling overhead, and the
+  // per-replica maps split out of the one collected O(2·leaves) result.
+  private def leafDigests(spark: SparkSession, path: String,
+      gens: Seq[Long]): Map[Long, Map[Long, (Long, Long)]] = {
+    val idToGen = gens.map(g => s"nb-${g + 1}-big" -> g).toMap
+    val byGen = DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
+      .where(col("sstable_id").isin(idToGen.keys.toSeq: _*))
+      .groupBy(col("sstable_id"), leaf.as("leaf"))
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(r => idToGen(r.getString(0)))
+      .map { case (g, rows) =>
+        g -> rows.map(r =>
+          r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      }
+    gens.map(g => g -> byGen.getOrElse(g, Map.empty[Long, (Long, Long)]))
       .toMap
+  }
 
   /** q229: the descent transcript — one row per VISITED node (level,
     * index, subtree width, both digests, matched, action). A matching
@@ -106,8 +118,9 @@ object MerkleRepair {
     * Exactly 2·depth + 1 rows when one leaf diverges. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val reps = ensureReplicas(spark, dir)
-    val a = leafDigests(spark, reps, AGen)
-    val b = leafDigests(spark, reps, BGen)
+    val digests = leafDigests(spark, reps, Seq(AGen, BGen))
+    val a = digests(AGen)
+    val b = digests(BGen)
     // node (level, idx) spans leaves [idx << (Depth-level), (idx+1) <<
     // (Depth-level)); digest = additive rollup of the replica's leaves
     def node(m: Map[Long, (Long, Long)], level: Int, idx: Long)

@@ -163,11 +163,15 @@ object Move {
       .unionByName(moved.select(retained.columns.map(col).toSeq: _*))
       .groupBy("node", "eighth", "origin")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val holders = views.groupBy("eighth")
-      .agg(countDistinct("node").as("holders"))
-    views
+    // holders over the AGGREGATED view rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // union+scan subtree
+    val withHolders = views.withColumn("holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eighth")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("eighth"))
-      .join(holders, Seq("eighth"))
       .select(col("node"), col("eighth"), col("origin"), col("events"),
         col("digest"), col("corpus_events"), col("corpus_digest"),
         (col("events") === col("corpus_events") &&

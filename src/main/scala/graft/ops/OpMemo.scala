@@ -31,4 +31,32 @@ private[ops] object OpMemo {
     }
     slot.value
   }
+
+  private val valueMemo =
+    new java.util.HashMap[String, (SparkSession, Slot[Any])]()
+
+  /** Session-scoped memo for DRIVER-SIDE PLAN metadata (round 19): the
+    * compaction strategies' selection tables are pure functions of an
+    * immutable input set, already computed once inside the memoized
+    * build — re-deriving them per roundtrip call re-ran the selection's
+    * narrow aggregate job on every bench window (MinorCompaction's
+    * tierTable established this memo discipline in round 14; this is
+    * the same rule for non-String plan values). */
+  def memoizedValue[T](spark: SparkSession, key: String)(
+      thunk: => T): T = {
+    val full = s"${graft.sources.PlanCache.sessionKey(spark)}|$key"
+    val slot = valueMemo.synchronized {
+      val it = valueMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val hit = valueMemo.get(full)
+      if (hit != null) hit._2
+      else {
+        val s = new Slot[Any](() => thunk)
+        valueMemo.put(full, (spark, s))
+        s
+      }
+    }
+    slot.value.asInstanceOf[T]
+  }
 }

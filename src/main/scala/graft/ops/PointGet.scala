@@ -196,20 +196,26 @@ object PointGet {
     * single-partition data decode, across all sstables of the compressed
     * real-format set. */
   def pointGet(spark: SparkSession, dir: String): DataFrame =
-    // the presentation sort's range-partitioner SAMPLING pass re-executes
-    // the probe map (doubling the instrumentation counters) — the spec
-    // uses the unsorted form for exact access-path accounting
-    pointGetUnsorted(spark, dir).orderBy("probe_key")
+    // ordered output comes from range-sorting the PROBE INPUT (cheap
+    // longs) before the opaque decode map — mapPartitions preserves the
+    // per-partition order and the range exchange orders the partitions,
+    // so the result is ascending by probe_key exactly as the former
+    // output-side orderBy produced. An output-side orderBy's range
+    // sampling pass re-executed the whole decode map a second time
+    // (round 19, guide §1.2: don't compute things you throw away); now
+    // only the cheap probe relation is sampled twice.
+    pointGetUnsorted(spark, dir, sortProbes = true)
 
   private[graft] def pointGetUnsorted(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, sortProbes: Boolean = false): DataFrame = {
     import spark.implicits._
     val path = CassandraDataFixture.ensureFiles(spark, dir, compressed = true)
     // key 0 is excluded: its "absent" negation would be itself
     val present = Fixtures.liPscan(spark, dir).select(col("key"))
       .where(col("key") % 7 === 0 && col("key") > 0).distinct()
-    val probes = present.union(present.select((-col("key")).as("key")))
-      .as[Long]
+    val unordered = present.union(present.select((-col("key")).as("key")))
+    val probes =
+      (if (sortProbes) unordered.orderBy("key") else unordered).as[Long]
     probes.mapPartitions { it =>
       val dirPath = java.nio.file.Paths.get(path)
       val bases = {

@@ -140,8 +140,23 @@ object ReadRepair {
     def cohort = when(isRead, "read").otherwise("unread")
     val aK = perKey(a).withColumn("cohort", cohort)
     val beforeB = perKey(b)
-    val afterB = perKey(b.select(EventCols.map(col): _*)
-      .unionByName(patch.select(EventCols.map(col): _*)))
+    // B∪patch per-key stats derived ADDITIVELY from the two per-side
+    // aggregates (round 19, guide §1.2): count and the commutative
+    // digest both distribute over the union, so the second full scan +
+    // re-aggregation of B's file is replaced by a tiny full-outer merge
+    // of two O(#keys) relations — and beforeB's aggregate subtree now
+    // appears twice IDENTICALLY, so the exchange is planned once.
+    val patchK = perKey(patch)
+    val afterB = beforeB
+      .select(col("key"), col("events").as("b_ev"),
+        col("digest").as("b_dg"))
+      .join(patchK.select(col("key"), col("events").as("p_ev"),
+        col("digest").as("p_dg")), Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("b_ev"), lit(0L)) + coalesce(col("p_ev"), lit(0L)))
+          .as("events"),
+        (coalesce(col("b_dg"), lit(0L)) + coalesce(col("p_dg"), lit(0L)))
+          .as("digest"))
     val joined = aK.as("a")
       .join(beforeB.as("bb"), Seq("key"), "left")
       .join(afterB.as("ab"), Seq("key"), "left")
@@ -152,8 +167,11 @@ object ReadRepair {
         (col("ab.events").isNull ||
           col("a.events") =!= col("ab.events") ||
           col("a.digest") =!= col("ab.digest")).as("diverged_after"))
-    val patched = patch.withColumn("cohort", cohort)
-      .groupBy("cohort").agg(count(lit(1)).as("patched_events"))
+    // per-cohort patched totals from the SAME per-key patch aggregate
+    // (round 19): count distributes over the per-key grouping, so the
+    // patch file is scanned once, not twice
+    val patched = patchK.withColumn("cohort", cohort)
+      .groupBy("cohort").agg(sum(col("events")).as("patched_events"))
     joined.groupBy("cohort")
       .agg(
         count(lit(1)).as("partitions"),

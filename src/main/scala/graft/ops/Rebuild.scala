@@ -107,11 +107,15 @@ object Rebuild {
       .groupBy("quarter")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
     val viewed = received.join(broadcast(owns), Seq("quarter"))
-    val holders = viewed.groupBy("quarter")
-      .agg(countDistinct("node").as("dc2_holders"))
-    viewed
+    // holders over the AGGREGATED view rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // received-file scan subtree
+    val withHolders = viewed.withColumn("dc2_holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("quarter")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("quarter"))
-      .join(holders, Seq("quarter"))
       .select(col("node"), col("quarter"), col("src_node"),
         col("events"), col("digest"), col("corpus_events"),
         col("corpus_digest"),

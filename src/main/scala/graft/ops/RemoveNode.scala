@@ -134,11 +134,15 @@ object RemoveNode {
       .unionByName(streamed.select(retained.columns.map(col).toSeq: _*))
       .groupBy("node", "quarter", "origin", "src_node")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val holders = views.groupBy("quarter")
-      .agg(countDistinct("node").as("holders"))
-    views
+    // holders over the AGGREGATED view rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // union+scan subtree
+    val withHolders = views.withColumn("holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("quarter")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("quarter"))
-      .join(holders, Seq("quarter"))
       .select(col("node"), col("quarter"), col("origin"), col("src_node"),
         col("events"), col("digest"), col("corpus_events"),
         col("corpus_digest"),

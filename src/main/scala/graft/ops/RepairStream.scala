@@ -126,27 +126,6 @@ object RepairStream {
     (pathA, pathB, stream(pathB, StreamGenBtoA), stream(pathA, StreamGenAtoB))
   }
 
-  /** A replica's POST-REPAIR view: its own files plus the streamed-in
-    * sstable, identical events collapsed (the read path's merge of the
-    * same cell arriving from two files). */
-  private def converged(spark: SparkSession, own: String,
-      streamed: String): DataFrame = {
-    val cols = Seq("key", "clustering", "column_name", "kind",
-      "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
-      "is_expiring", "size_bytes").map(col)
-    scanOf(spark, own).select(cols: _*)
-      .unionByName(scanOf(spark, streamed).select(cols: _*))
-      .distinct()
-  }
-
-  /** [[converged]]'s leaf digest, PlanCache-persisted per
-    * (session, own, streamed) — another 64-row derived report. */
-  private def convergedDigest(spark: SparkSession, own: String,
-      streamed: String): DataFrame =
-    graft.sources.PlanCache.cached(spark,
-      s"tokleafdigest-conv|$own|$streamed")(
-      AntiEntropy.tokenLeafDigest(converged(spark, own, streamed)))
-
   /** Replica A's converged on-disk set: its own files plus the
     * streamed-in sstable, assembled (the state a node holds when the
     * repair session ends), session-memoized via [[markedA]]. */
@@ -202,28 +181,66 @@ object RepairStream {
 
   /** q182: the full executed repair, one row per token leaf — both
     * replicas' pre-repair counts, the differing flag, and the
-    * post-repair convergence of each replica against the union. */
+    * post-repair convergence of each replica against the union.
+    *
+    * FUSED (round 19, guide §1.2/§2.3/§2.4): the five leaf-digest
+    * relations this used to assemble (A, B, and three `distinct`-then-
+    * digest views over A∪intoA / B∪intoB / A∪B) cost eight full
+    * real-codec scans and three full-width distinct exchanges per cold
+    * window. All five derive from ONE event-grain aggregate: every
+    * input is scanned exactly once with a source tag, one exchange
+    * collapses identical events while counting per-source occurrences
+    * (the distinct), and the per-leaf digests fall out as conditional
+    * sums — count and the commutative digest both distribute over the
+    * union, and a digest over a `distinct` view is the sum of each
+    * distinct event's term. intoA ⊆ B's events and intoB ⊆ A's (each
+    * streamed file is a selection of the other replica, roundtripped
+    * through the fuzz-proven codec), so the leaf row set is identical;
+    * the conditional `when(... > 0, …)` wrappers reproduce the former
+    * full-outer joins' NULLs exactly. 4 scans + 1 event exchange + 1
+    * 64-row leaf exchange, same rows, same hash. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val (pathA, pathB, intoA, intoB) = ensureStreamed(spark, dir)
-    def named(df: DataFrame, tag: String): DataFrame =
-      df.select(col("leaf"), col("events").as(s"${tag}_events"),
-        col("digest").as(s"${tag}_digest"))
-    val a = named(AntiEntropy.cachedTokenLeafDigest(spark, pathA), "a")
-    val b = named(AntiEntropy.cachedTokenLeafDigest(spark, pathB), "b")
-    val aAfter = named(convergedDigest(spark, pathA, intoA), "a2")
-    val bAfter = named(convergedDigest(spark, pathB, intoB), "b2")
-    val union = named(convergedDigest(spark, pathA, pathB), "u")
-    a.join(b, Seq("leaf"), "full_outer")
-      .join(union, Seq("leaf"), "full_outer")
-      .join(aAfter, Seq("leaf"), "full_outer")
-      .join(bAfter, Seq("leaf"), "full_outer")
+    val eventCols = Seq("key", "clustering", "column_name", "kind",
+      "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
+      "is_expiring", "size_bytes")
+    def tag(p: String, src: String): DataFrame =
+      scanOf(spark, p).select(eventCols.map(col) :+ lit(src).as("src"): _*)
+    val events = tag(pathA, "a").unionByName(tag(pathB, "b"))
+      .unionByName(tag(intoA, "ia")).unionByName(tag(intoB, "ib"))
+      .groupBy(eventCols.map(col): _*)
+      .agg(
+        sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"),
+        max(when(col("src") === "ia", 1L).otherwise(0L)).as("ia"),
+        max(when(col("src") === "ib", 1L).otherwise(0L)).as("ib"))
+      .withColumn("hh", graft.functions.PortableHash.h60(concat_ws(":",
+        col("key"), col("clustering"), col("column_name"), col("kind"),
+        col("timestamp_us"), col("ttl_s"),
+        col("local_deletion_time_s"), col("size_bytes"))) % 1000003L)
+    val inU = col("ca") > 0 || col("cb") > 0
+    val inA2 = col("ca") > 0 || col("ia") > 0
+    val inB2 = col("cb") > 0 || col("ib") > 0
+    events
+      .groupBy(leafOf(col("key")).as("leaf"))
+      .agg(
+        sum(col("ca")).as("sa"),
+        sum(col("ca") * col("hh")).as("da"),
+        sum(col("cb")).as("sb"),
+        sum(col("cb") * col("hh")).as("db"),
+        sum(when(inU, 1L)).as("u_events"),
+        sum(when(inU, col("hh"))).as("u_digest"),
+        sum(when(inA2, col("hh"))).as("a2d"),
+        sum(when(inB2, col("hh"))).as("b2d"))
       .select(col("leaf"),
-        col("a_events"), col("b_events"),
-        (coalesce(col("a_digest"), lit(-1L)) =!=
-          coalesce(col("b_digest"), lit(-2L))).as("differed"),
+        when(col("sa") > 0, col("sa")).as("a_events"),
+        when(col("sb") > 0, col("sb")).as("b_events"),
+        (coalesce(when(col("sa") > 0, col("da")), lit(-1L)) =!=
+          coalesce(when(col("sb") > 0, col("db")), lit(-2L)))
+          .as("differed"),
         col("u_events").as("converged_events"),
-        (col("a2_digest") === col("u_digest")).as("a_converged"),
-        (col("b2_digest") === col("u_digest")).as("b_converged"))
+        (col("a2d") === col("u_digest")).as("a_converged"),
+        (col("b2d") === col("u_digest")).as("b_converged"))
       .orderBy("leaf")
   }
 }

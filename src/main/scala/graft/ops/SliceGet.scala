@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.sources.compressioninfo.{ChunkedData, CompressionInfoFormat}
 import graft.sources.datadb.{CassandraDataFixture, CassandraDataFormat}
@@ -137,7 +138,15 @@ object SliceGet {
   def sliceRead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = CassandraDataFixture.ensureWideFiles(spark, dir)
-    spark.createDataset(probes).repartition(4).mapPartitions { it =>
+    // ordered output comes from range-sorting the PROBE INPUT (round 19,
+    // q114's fix): an output-side orderBy's range sampling pass would
+    // execute the whole block-decode map twice; the probes are a tiny
+    // local dataset, so sampling them is free, and mapPartitions
+    // preserves the per-partition order
+    spark.createDataset(probes)
+      .repartitionByRange(4, col("_1"), col("_2"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions { it =>
       val dirPath = java.nio.file.Paths.get(path)
       val bases = {
         val s = java.nio.file.Files.list(dirPath)
@@ -175,6 +184,5 @@ object SliceGet {
       }
     }.toDF("wkey", "lo", "hi", "blocks_scanned", "events", "value_sum",
       "ts_sum")
-      .orderBy("wkey", "lo")
   }
 }

@@ -199,6 +199,7 @@ object Warc {
       }
       .toDF("doc_id", "records", "responses", "response_bytes", "body_sum",
         "gzip_members")
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 }

@@ -29,15 +29,14 @@ object BtiOps {
   def lookupAll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = graft.sources.bti.BtiFixture.ensureFiles(spark, dir)
-    // ordered output comes from range-sorting the KEY INPUT (round 19,
-    // q114's fix): an output-side orderBy's range sampling pass would
-    // execute the whole trie-walk map twice. Clustering by sstable_id
-    // also means each task loads FEWER distinct tries into its cache.
+    // NOTE (round 19): the output-side orderBy's sampling pass does run
+    // the trie-walk map twice, but the walk is microseconds per key —
+    // an input-side range sort was tried and measured SLOWER (the added
+    // full-width key exchange costs more than the cheap second map), so
+    // the original shape stays. The decode-once rewrite is reserved for
+    // maps that do real codec work per row (q114/q115, the media family).
     val keys = Fixtures.liPscan(spark, dir)
-      .select(col("sstable_id"), col("key"))
-      .repartitionByRange(col("sstable_id"), col("key"))
-      .sortWithinPartitions("sstable_id", "key")
-      .as[(String, Long)]
+      .select(col("sstable_id"), col("key")).as[(String, Long)]
     keys.mapPartitions { it =>
       val cache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       it.map { case (sst, key) =>
@@ -48,6 +47,7 @@ object BtiOps {
         (sst, key, BtiTrieFormat.lookup(trie, kb).getOrElse(-1L))
       }
     }.toDF("sstable_id", "key", "position")
+      .orderBy("sstable_id", "key")
   }
 
   /** q103: the Rows.db row-index roundtrip, mirroring q79's big-format

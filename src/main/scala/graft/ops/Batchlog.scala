@@ -136,72 +136,74 @@ object Batchlog {
       out
     }
 
-  private def eventHash = graft.functions.PortableHash.h60(concat_ws(":",
-    col("key"), col("clustering"), col("column_name"), col("kind"),
-    col("timestamp_us"), col("ttl_s"), col("local_deletion_time_s"),
-    col("size_bytes"))) % M
+  /** The LWW winner struct at cell grain — reconcile's `max(struct)`
+    * payload, shared by the fused after/expect aggregates. */
+  private def winnerStruct = max(struct(
+    col("timestamp_us"), col("size_bytes"), col("is_tombstone"),
+    col("local_deletion_time_s"), col("ttl_s"), col("is_expiring"),
+    col("kind"))).as("w")
 
-  /** LWW winners per (key, clustering, column_name) — the cell
-    * overwrite a real replay relies on for idempotence. */
-  private def reconcile(ev: DataFrame): DataFrame =
-    ev.groupBy("key", "clustering", "column_name")
-      .agg(max(struct(
-        col("timestamp_us"), col("size_bytes"), col("is_tombstone"),
-        col("local_deletion_time_s"), col("ttl_s"), col("is_expiring"),
-        col("kind"))).as("w"))
-      .select(col("key"), col("clustering"), col("column_name"),
-        col("w.kind").as("kind"),
-        col("w.timestamp_us").as("timestamp_us"),
-        col("w.ttl_s").as("ttl_s"),
-        col("w.local_deletion_time_s").as("local_deletion_time_s"),
-        col("w.is_tombstone").as("is_tombstone"),
-        col("w.is_expiring").as("is_expiring"),
-        col("w.size_bytes").as("size_bytes"))
+  /** [[eventHash]] over a reconciled winner: same fields, same order,
+    * read from the `w` struct instead of raw event columns. */
+  private def winnerHash = graft.functions.PortableHash.h60(concat_ws(":",
+    col("key"), col("clustering"), col("column_name"), col("w.kind"),
+    col("w.timestamp_us"), col("w.ttl_s"),
+    col("w.local_deletion_time_s"), col("w.size_bytes"))) % M
 
   /** q228: one row per batch — size, the crash-time partial apply,
     * whether a log file survived, the replayed mutation count, and
     * the reconciled AFTER state (events + digest), which must equal
     * the full batch's reconciliation: eventual atomicity, idempotent
-    * over the partial prefix. */
+    * over the partial prefix.
+    *
+    * FUSED (round 19, guide §1.2, the q182 pattern): the previous shape
+    * scanned each input twice — applied/replayed once for their counts
+    * and again inside the union reconcile, the batched workload once for
+    * `full` and again for `expect` (6 real-codec scans, 5 exchanges).
+    * Counts now RIDE the reconcile aggregates: LWW's `max(struct)` and
+    * the per-source row counts distribute over the same cell-grain
+    * grouping, so each input is scanned exactly once and the per-batch
+    * rollup is a second, O(#cells-post-LWW) exchange. The former left-
+    * join + coalesce(0) semantics (ADVICE r16: a batch with no crash-time
+    * rows reports applied_before=0) fall out of the conditional sums —
+    * a batch absent from one source sums that source's count to 0. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val crash = ensureCrash(spark, dir)
     val replayPath = ensureReplayed(spark, dir)
     val w = batched(spark, dir)
-    val full = w.groupBy("batch_id")
-      .agg(count(lit(1)).as("mutations"))
-    val applied = DataDb.cells(spark, crash,
+    val keyCols = Seq("key", "clustering", "column_name")
+    // after-state: applied ∪ replayed tagged by source; ONE cell-grain
+    // exchange computes the LWW winner AND both sources' counts
+    val afterCells = DataDb.cells(spark, crash,
         format = DataDbScan.FormatCassandra)
-      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
-    val replayed = DataDb.cells(spark, replayPath,
-        format = DataDbScan.FormatCassandra)
-      .withColumn("batch_id", pmod(col("key"), lit(Batches)))
-    val appliedCounts = applied.groupBy("batch_id")
-      .agg(count(lit(1)).as("applied_before"))
-    val replayCounts = replayed.groupBy("batch_id")
-      .agg(count(lit(1)).as("replayed"))
-    val after = reconcile(
-        applied.select(EventCols.map(col): _*)
-          .unionByName(replayed.select(EventCols.map(col): _*)))
+      .select(EventCols.map(col): _*).withColumn("src", lit("a"))
+      .unionByName(DataDb.cells(spark, replayPath,
+          format = DataDbScan.FormatCassandra)
+        .select(EventCols.map(col): _*).withColumn("src", lit("r")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col("src") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("src") === "r", 1L).otherwise(0L)).as("nr"),
+        winnerStruct)
+    val after = afterCells
       .withColumn("batch_id", pmod(col("key"), lit(Batches)))
       .groupBy("batch_id")
-      .agg(count(lit(1)).as("state_events"),
-        sum(eventHash).as("state_digest"))
-    val expect = reconcile(w.select(EventCols.map(col): _*))
+      .agg(sum("na").as("applied_before"), sum("nr").as("replayed"),
+        count(lit(1)).as("state_events"),
+        sum(winnerHash).as("state_digest"))
+    // expect: the full batch's LWW winners and its mutation count off ONE
+    // scan of the batched workload
+    val expect = w.select(EventCols.map(col): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), winnerStruct)
       .withColumn("batch_id", pmod(col("key"), lit(Batches)))
       .groupBy("batch_id")
-      .agg(count(lit(1)).as("expect_events"),
-        sum(eventHash).as("expect_digest"))
-    full
-      // left + coalesce(0) like `replayed` (ADVICE r16): a batch
-      // interrupted before any clustering=0 prefix applied writes no
-      // crash-time rows and must report applied_before=0, not vanish
-      .join(appliedCounts, Seq("batch_id"), "left")
-      .join(replayCounts, Seq("batch_id"), "left")
+      .agg(sum("n").as("mutations"),
+        count(lit(1)).as("expect_events"),
+        sum(winnerHash).as("expect_digest"))
+    expect
       .join(after, Seq("batch_id"))
-      .join(expect, Seq("batch_id"))
       .select(col("batch_id"), col("mutations"),
-        coalesce(col("applied_before"), lit(0L)).as("applied_before"),
-        coalesce(col("replayed"), lit(0L)).as("replayed"),
+        col("applied_before"), col("replayed"),
         (!isCompleted).as("logged"),
         col("state_events"), col("state_digest"),
         (col("state_events") === col("expect_events") &&

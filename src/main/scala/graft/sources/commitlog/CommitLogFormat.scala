@@ -1,6 +1,6 @@
 package graft.sources.commitlog
 
-import java.io.{DataInput, DataInputStream, DataOutput}
+import java.io.{DataInput, DataOutput}
 import java.util.zip.CRC32
 
 import scala.collection.mutable.ArrayBuffer
@@ -206,7 +206,10 @@ object CommitLogFormat {
     * throws (a real replayer stops at corruption rather than replay
     * garbage). */
   def parseSegment(bytes: Array[Byte]): Segment = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    // array-backed reader (round 19): ByteArrayInputStream's read() is a
+    // synchronized method, and DataInputStream.readInt over it paid four
+    // monitor ops per marker/size word across every WAL segment byte
+    val in = new graft.sources.ByteReader().reset(bytes)
     val version = in.readInt()
     require(version == Version, s"commitlog version $version != $Version")
     val id = in.readLong()
@@ -257,8 +260,7 @@ object CommitLogFormat {
   }
 
   private def parsePayload(payload: Array[Byte]): Mutation = {
-    val in: DataInput =
-      new DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val in: DataInput = new graft.sources.ByteReader().reset(payload)
     Mutation(in.readLong(), in.readLong(), in.readUTF(), in.readUTF(),
       in.readLong(), in.readLong(), in.readLong(),
       in.readBoolean(), in.readBoolean(), in.readLong())

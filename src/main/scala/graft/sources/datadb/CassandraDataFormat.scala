@@ -683,6 +683,22 @@ object CassandraDataFormat {
       private var pending: List[DataDbFormat.Event] = Nil
       private var done = false
 
+      // one reusable body buffer + array-backed DataInput for the whole
+      // scan (round 19): the decode previously allocated a body array, a
+      // ByteArrayInputStream (synchronized read per byte) and a
+      // DataInputStream per unfiltered
+      private var bodyBuf = new Array[Byte](1 << 12)
+      private val bodyReader = new graft.sources.ByteReader
+      private def readBody(size: Int): graft.sources.ByteReader = {
+        if (bodyBuf.length < size) {
+          var n = bodyBuf.length
+          while (n < size) n <<= 1
+          bodyBuf = new Array[Byte](n)
+        }
+        in.readFully(bodyBuf, 0, size)
+        bodyReader.reset(bodyBuf, 0, size)
+      }
+
       private def readKeyHeader(): Boolean = {
         if (stopAtBoundary()) { done = true; in.close(); return false }
         val b0 = in.read()
@@ -799,9 +815,7 @@ object CassandraDataFormat {
         readUnsignedVInt(in) // previous unfiltered size (reverse iteration)
         if (bodySize < 0 || bodySize > (1 << 28))
           throw new java.io.IOException(s"implausible row body $bodySize")
-        val body = new Array[Byte](bodySize.toInt)
-        in.readFully(body)
-        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        val d = readBody(bodySize.toInt)
         val out = List.newBuilder[DataDbFormat.Event]
         // primary-key liveness: write timestamp (+ row TTL) for the whole
         // row — surfaced as one ROW_LIVENESS event with an empty column
@@ -858,9 +872,9 @@ object CassandraDataFormat {
           } else out += readCell(d, regulars(colIdx), colNameBytes(colIdx),
             clustering, DataDbFormat.KindCodeCell)
         }
-        if (d.available() != 0)
+        if (d.available != 0)
           throw new java.io.IOException(
-            s"row body size mismatch: ${d.available()} bytes left of $bodySize")
+            s"row body size mismatch: ${d.available} bytes left of $bodySize")
         out.result()
       }
 
@@ -879,9 +893,7 @@ object CassandraDataFormat {
         readUnsignedVInt(in) // previous unfiltered size
         if (bodySize < 0 || bodySize > (1 << 28))
           throw new java.io.IOException(s"implausible static body $bodySize")
-        val body = new Array[Byte](bodySize.toInt)
-        in.readFully(body)
-        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        val d = readBody(bodySize.toInt)
         val out = List.newBuilder[DataDbFormat.Event]
         if ((flags & HasTimestamp) != 0) {
           val ts = readDeltaTs(d)
@@ -936,9 +948,9 @@ object CassandraDataFormat {
           } else out += readCell(d, statics(colIdx), staticNameBytes(colIdx),
             DataDbFormat.StaticClustering, DataDbFormat.KindCodeStaticCell)
         }
-        if (d.available() != 0)
+        if (d.available != 0)
           throw new java.io.IOException(
-            s"static body size mismatch: ${d.available()} bytes left")
+            s"static body size mismatch: ${d.available} bytes left")
         out.result()
       }
 
@@ -953,15 +965,13 @@ object CassandraDataFormat {
         readUnsignedVInt(in) // previous unfiltered size
         if (bodySize < 0 || bodySize > (1 << 20))
           throw new java.io.IOException(s"implausible marker body $bodySize")
-        val body = new Array[Byte](bodySize.toInt)
-        in.readFully(body)
-        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        val d = readBody(bodySize.toInt)
         val ts = readDeltaTs(d)
         val ldt = readDeltaLdt(d)
         val isBoundary = kind == KindExclEndInclStartBoundary ||
           kind == KindInclEndExclStartBoundary
         if (isBoundary) { readDeltaTs(d); readDeltaLdt(d) }
-        if (d.available() != 0)
+        if (d.available != 0)
           throw new java.io.IOException("marker body size mismatch")
         DataDbFormat.Event(
           key = currentKey,

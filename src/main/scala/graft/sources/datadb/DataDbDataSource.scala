@@ -644,17 +644,12 @@ private[datadb] final class EventStream(file: String, start: Long, end: Long,
         (s, s)
     }
 
-  private val buffered = new java.io.BufferedInputStream(raw, 1 << 18)
-  private var consumed = 0L
-  private val counting = new java.io.InputStream {
-    override def read(): Int = {
-      val b = buffered.read(); if (b >= 0) consumed += 1; b
-    }
-    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-      val n = buffered.read(buf, off, len); if (n > 0) consumed += n; n
-    }
-    override def close(): Unit = buffered.close()
-  }
+  // fused unsynchronized buffer + consumed counter (round 19): the vint
+  // parsers read byte-at-a-time, and the previous counting-anonymous-class-
+  // over-BufferedInputStream stack paid two virtual calls plus a
+  // synchronized-method monitor per byte
+  private val counting = new graft.sources.CountingBufferedInput(raw, 1 << 18)
+  private def consumed: Long = counting.consumed
   val events: Iterator[DataDbFormat.Event] = format match {
     case DataDbScan.FormatCassandra =>
       val statsBytes = sidecarBytes(CassandraDataFormat.StatsSuffix)

@@ -376,7 +376,8 @@ private object IndexEntries {
         IndexDbFormat.Entry(k, pos)
       }
     } else
-      IndexDbFormat.entries(new java.io.BufferedInputStream(stream, 1 << 18))
+      IndexDbFormat.entries(
+        new graft.sources.CountingBufferedInput(stream, 1 << 18))
 }
 
 /** Vectorized reader over one Index.db file (cf. DataDbColumnarReader). */

@@ -106,7 +106,7 @@ object IndexDbFormat {
     * forces the walk, but nothing else.) */
   def countEntries(stream: InputStream): Long = {
     val in = new DataInputStream(
-      new java.io.BufferedInputStream(stream, 1 << 16))
+      new graft.sources.CountingBufferedInput(stream, 1 << 16))
     def skipFully(n: Long, what: String): Unit = {
       var left = n
       while (left > 0) {

@@ -65,7 +65,30 @@ object PointGet {
       // scale holds whole files; a multi-GB production index would keep
       // the open handle + page cache and seek instead — the ACCESS
       // PATTERN (<= interval entries from the floor offset) is identical
-      indexBytes: Array[Byte])
+      indexBytes: Array[Byte]) {
+    // One REUSABLE chunk stream per sstable per task (round 19): a point
+    // read seeks it instead of building a fresh stream — with the probe
+    // input range-sorted, consecutive probes mostly land in the already-
+    // decompressed chunk, so the per-probe chunk decompress (and the two
+    // chunk-sized buffer allocations) collapse to one per chunk WALKED
+    // rather than one per probe. Single-threaded within a task by
+    // construction (mapPartitions row handling is sequential).
+    private var cursor: ChunkedData.ChunkedInputStream = null
+    private[ops] def chunkedAt(pos: Long): ChunkedData.ChunkedInputStream = {
+      if (cursor == null) {
+        val raf0 = raf
+        val source = new ChunkedData.RandomAccess {
+          override def readFully(position: Long, buf: Array[Byte],
+              off: Int, len: Int): Unit =
+            { raf0.seek(position); raf0.readFully(buf, off, len) }
+          override def close(): Unit = ()
+        }
+        cursor = new ChunkedData.ChunkedInputStream(source, info,
+          dataFileLen, pos)
+      } else cursor.seekTo(pos)
+      cursor
+    }
+  }
 
   private[ops] def loadRefs(dir: java.nio.file.Path, base: String): SstableRefs = {
     def bytes(suffix: String): Array[Byte] =
@@ -130,33 +153,26 @@ object PointGet {
   private[ops] def readPartition(r: SstableRefs, pos: Long,
       next: Long): (Long, Long, Long) = {
     dataReads.increment()
-    val raf = r.raf // task-cached handle; close() below is a no-op on it
-    val source = new ChunkedData.RandomAccess {
-      override def readFully(position: Long, buf: Array[Byte], off: Int,
-          len: Int): Unit = { raf.seek(position); raf.readFully(buf, off, len) }
-      override def close(): Unit = ()
+    // task-cached reusable stream: seek, don't rebuild (its underlying
+    // source close is a no-op — the raf belongs to the task listener)
+    val chunked = r.chunkedAt(pos)
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      override def read(): Int = {
+        val b = chunked.read(); if (b >= 0) consumed += 1; b
+      }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val n = chunked.read(buf, off, len); if (n > 0) consumed += n; n
+      }
     }
-    val chunked =
-      new ChunkedData.ChunkedInputStream(source, r.info, r.dataFileLen, pos)
-    try {
-      var consumed = 0L
-      val counting = new java.io.InputStream {
-        override def read(): Int = {
-          val b = chunked.read(); if (b >= 0) consumed += 1; b
-        }
-        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-          val n = chunked.read(buf, off, len); if (n > 0) consumed += n; n
-        }
-      }
-      var events = 0L; var valueSum = 0L; var tsSum = 0L
-      CassandraDataFormat.events(counting, r.header,
-        () => consumed >= next - pos).foreach { e =>
-        events += 1
-        valueSum += e.sizeBytes
-        tsSum += e.timestampUs % ChkMod
-      }
-      (events, valueSum, tsSum)
-    } finally chunked.close()
+    var events = 0L; var valueSum = 0L; var tsSum = 0L
+    CassandraDataFormat.events(counting, r.header,
+      () => consumed >= next - pos).foreach { e =>
+      events += 1
+      valueSum += e.sizeBytes
+      tsSum += e.timestampUs % ChkMod
+    }
+    (events, valueSum, tsSum)
   }
 
   /** CLI surface (`get`): probe ONE key across every sstable,

@@ -108,48 +108,74 @@ object SummaryRedistribution {
     * single-partition decode), aggregated to one checksum row:
     * (probed, found_sstables, events, value_sum, ts_sum). */
   private[graft] def probeAggregate(spark: SparkSession, dir: String,
-      path: String): (Long, Long, Long, Long, Long) = {
+      path: String): (Long, Long, Long, Long, Long) =
+    probeAggregates(spark, dir, Seq(0 -> path))(0)
+
+  /** The multi-level fusion of [[probeAggregate]] (round 19, guide
+    * §1.2): ONE distributed job probes every level's file set — each
+    * task emits a tuple per (level, probe) against its level's refs
+    * (cache keyed by (level, base); the probe work per tuple is
+    * unchanged) and a 3-row groupBy collapses them — instead of one
+    * job + distinct exchange + collect barrier PER level. */
+  private[graft] def probeAggregates(spark: SparkSession, dir: String,
+      paths: Seq[(Int, String)]): Map[Int, (Long, Long, Long, Long, Long)] = {
     import spark.implicits._
+    // range-sorted probes (the q114 pattern): each task walks a
+    // CONTIGUOUS key range, so consecutive probes land in the same
+    // Data.db chunk and the task-cached cursor decompresses each chunk
+    // once instead of once per probe; the aggregate below is
+    // order-insensitive, the sort exists purely for I/O locality
     val present = Fixtures.liPscan(spark, dir).select(col("key"))
       .where(col("key") % 7 === 0 && col("key") > 0).distinct()
+      .orderBy("key")
       .as[Long]
-    val row = present.mapPartitions { it =>
-      val dirPath = java.nio.file.Paths.get(path)
-      val bases = {
-        val s = java.nio.file.Files.list(dirPath)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.endsWith(CassandraDataFormat.Suffix))
-            .map(_.stripSuffix(CassandraDataFormat.Suffix)).toArray.sorted
-        } finally s.close()
+    val levelPaths = paths.toArray
+    present.mapPartitions { it =>
+      val levels = levelPaths.map { case (k, p) =>
+        val dirPath = java.nio.file.Paths.get(p)
+        val bases = {
+          val s = java.nio.file.Files.list(dirPath)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(CassandraDataFormat.Suffix))
+              .map(_.stripSuffix(CassandraDataFormat.Suffix)).toArray.sorted
+          } finally s.close()
+        }
+        (k, dirPath, bases)
       }
-      val cache =
-        scala.collection.mutable.Map.empty[String, PointGet.SstableRefs]
+      val cache = scala.collection.mutable
+        .Map.empty[(Int, String), PointGet.SstableRefs]
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ =>
           cache.values.foreach(r =>
             try r.raf.close() catch { case _: Throwable => () })))
-      it.map { probe =>
+      it.flatMap { probe =>
         val kb = java.nio.ByteBuffer.allocate(8).putLong(probe).array()
-        var found = 0L; var events = 0L; var valueSum = 0L; var tsSum = 0L
-        bases.foreach { base =>
-          val r = cache.getOrElseUpdate(base,
-            PointGet.loadRefs(dirPath, base))
-          if (r.bloom.mightContain(kb))
-            PointGet.indexLookup(r, probe).foreach { case (pos, next) =>
-              val (e, v, t) = PointGet.readPartition(r, pos, next)
-              found += 1; events += e; valueSum += v; tsSum += t
-            }
+        levels.iterator.map { case (k, dirPath, bases) =>
+          var found = 0L; var events = 0L; var valueSum = 0L; var tsSum = 0L
+          bases.foreach { base =>
+            val r = cache.getOrElseUpdate((k, base),
+              PointGet.loadRefs(dirPath, base))
+            if (r.bloom.mightContain(kb))
+              PointGet.indexLookup(r, probe).foreach { case (pos, next) =>
+                val (e, v, t) = PointGet.readPartition(r, pos, next)
+                found += 1; events += e; valueSum += v; tsSum += t
+              }
+          }
+          (k, 1L, found, events, valueSum, tsSum)
         }
-        (1L, found, events, valueSum, tsSum)
       }
-    }.toDF("probed", "found_sstables", "events", "value_sum", "ts_sum")
-      .agg(sum("probed"), sum("found_sstables"), sum("events"),
-        sum("value_sum"), sum("ts_sum"))
-      .collect()(0)
-    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
-      row.getLong(4))
+    }.toDF("level", "probed", "found_sstables", "events", "value_sum",
+        "ts_sum")
+      .groupBy("level")
+      .agg(sum("probed").as("p"), sum("found_sstables").as("f"),
+        sum("events").as("e"), sum("value_sum").as("v"),
+        sum("ts_sum").as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
   }
 
   /** q246: one row per downsampling level — resident entry counts
@@ -163,11 +189,11 @@ object SummaryRedistribution {
     val basePath =
       CassandraDataFixture.ensureFiles(spark, dir, compressed = true)
     val before = entryTotal(basePath)
-    Levels.map { k =>
-      val path = ensureDownsampled(spark, dir, k)
+    val paths = Levels.map(k => k -> ensureDownsampled(spark, dir, k))
+    val probes = probeAggregates(spark, dir, paths)
+    paths.map { case (k, path) =>
       val after = entryTotal(path)
-      val (probed, found, events, valueSum, tsSum) =
-        probeAggregate(spark, dir, path)
+      val (probed, found, events, valueSum, tsSum) = probes(k)
       (k.toLong, (SummaryDbFormat.BaseSamplingLevel >> k).toLong,
         before, after, probed, found, events, valueSum, tsSum)
     }.toDF("level", "sampling_level", "entries_before", "entries_after",

@@ -97,7 +97,7 @@ object ChunkedData {
     * chunk-by-chunk — `CompressedChunkReader` + `chunkFor` in one. */
   final class ChunkedInputStream(source: RandomAccess,
       info: CompressionInfoFormat.Info, compressedFileLength: Long,
-      startUncompressed: Long) extends InputStream {
+      private var startUncompressed: Long) extends InputStream {
     private val codec = Compressors.byName(info.compressor)
     private val chunkLength = info.chunkLength
     private val nChunks = info.offsets.length
@@ -141,6 +141,27 @@ object ChunkedData {
       limit = uncompressedLen
       pos = 0
       true
+    }
+
+    /** Reposition the stream at UNCOMPRESSED position `newStart`,
+      * REUSING the currently decompressed chunk when `newStart` falls
+      * inside it (round 19, the point-read path: consecutive sorted
+      * probes overwhelmingly land in the same chunk, and a per-probe
+      * stream paid a buffer pair + a chunk decompress each time). A
+      * seek outside the loaded chunk just re-arms priming — the next
+      * read loads the right chunk through the usual path. */
+    def seekTo(newStart: Long): Unit = {
+      val i = (newStart / chunkLength).toInt
+      if (primed && i == chunkIdx && i < nChunks) {
+        val p = (newStart % chunkLength).toInt
+        if (p > limit) throw new java.io.IOException(
+          s"start $newStart beyond data length ${info.dataLength}")
+        pos = p
+      } else {
+        chunkIdx = i
+        startUncompressed = newStart
+        primed = false
+      }
     }
 
     private def ensure(): Boolean = {

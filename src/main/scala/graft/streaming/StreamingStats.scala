@@ -40,6 +40,20 @@ object StreamingStats {
 
   private val ShuffleKey = "spark.sql.shuffle.partitions"
 
+  /** Changelog checkpointing (round 19, guide §1.2 applied to the state
+    * store): by default EVERY micro-batch commit of EVERY RocksDB store
+    * instance uploads a full snapshot of its state to the checkpoint
+    * location — for the replays that is (micro-batches × partitions ×
+    * stores-per-operator) snapshot zips of a few-thousand-key state,
+    * almost all fixed cost (a stream-stream join alone holds 4 stores
+    * per partition). With changelog checkpointing the commit appends
+    * only the batch's delta and snapshots move to background
+    * maintenance; state CONTENTS, emitted rows and the stateOperators /
+    * rocksdb custom metrics the specs assert are unchanged — this is a
+    * checkpoint-FORMAT choice, not a semantics one. */
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
   /** Pin the RocksDB provider (and the probe-scale state partition
     * count) for the span of `f` and restore the prior values — a
     * streaming query captures both confs at START time into its
@@ -48,18 +62,19 @@ object StreamingStats {
   private[graft] def withRocksDb[T](spark: SparkSession)(f: => T): T = {
     val prev = spark.conf.getOption(ProviderKey)
     val prevShuffle = spark.conf.getOption(ShuffleKey)
+    val prevChangelog = spark.conf.getOption(ChangelogKey)
     spark.conf.set(ProviderKey, RocksDbProvider)
     spark.conf.set(ShuffleKey, ProbeStatePartitions)
+    spark.conf.set(ChangelogKey, "true")
     try f
     finally {
-      prev match {
-        case Some(p) => spark.conf.set(ProviderKey, p)
-        case None => spark.conf.unset(ProviderKey)
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
       }
-      prevShuffle match {
-        case Some(p) => spark.conf.set(ShuffleKey, p)
-        case None => spark.conf.unset(ShuffleKey)
-      }
+      restore(ProviderKey, prev)
+      restore(ShuffleKey, prevShuffle)
+      restore(ChangelogKey, prevChangelog)
     }
   }
 

@@ -20,9 +20,16 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PROF_COLD: comma-separated PlanCache key substrings to
+    // invalidate before EVERY rep — reproduces Bench's coldKeys windows
+    // (e.g. "cass_p" for the q71/q83 cold binary scans)
+    val coldSubs = sys.env.get("GRAFT_PROF_COLD")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
+        coldSubs.foreach(s =>
+          graft.sources.PlanCache.invalidateMatching(spark, s))
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune the aggregate
         // inputs, which would time a hollowed-out plan (same as Bench)

@@ -109,9 +109,14 @@ final class DataDbScanBuilder(options: Map[String, String])
     options.getOrElse("path",
       throw new IllegalArgumentException("sstable-data requires a path")),
     required, pushed,
-    // CaseInsensitiveStringMap lower-cases option keys
+    // CaseInsensitiveStringMap lower-cases option keys. No explicit size
+    // => the ADAPTIVE sentinel: the split target derives from the file
+    // set at planning (round 19, guide §2.2/§6) — a flat 128 MB default
+    // never split fixture-scale files, so every unsized scan ran one
+    // task per file (the repair/topology roundtrips scanned corpus-sized
+    // replicas at 2-14x under the machine's parallelism).
     options.get("maxsplitbytes").map(_.toLong)
-      .getOrElse(DataDbScan.DefaultSplitBytes),
+      .getOrElse(DataDbScan.AdaptiveSplitBytes),
     options.getOrElse("format", DataDbScan.FormatGraft))
 }
 
@@ -239,6 +244,13 @@ final case class DataDbScan(path: String, required: StructType,
       else Seq(status)
     val keys = keyPointSet
     val (clLo, clHi) = clusteringBounds
+    // adaptive split sizing resolves against ALL listed files (not the
+    // pruned survivors) so the split plan of a file never depends on
+    // which other files a runtime filter happened to drop
+    val splitBytes =
+      if (maxSplitBytes == DataDbScan.AdaptiveSplitBytes)
+        DataDbScan.adaptiveSplitBytes(files.map(_.getLen))
+      else maxSplitBytes
     files
       .map(s => (s, sstableIdOf(s.getPath.getName)))
       .filter { case (_, id) => fileSurvives(id) }
@@ -248,7 +260,7 @@ final case class DataDbScan(path: String, required: StructType,
           DataDbScan.pointRanges(fs, s.getPath, id, s.getLen, ks,
             format, clLo, clHi))
         point.getOrElse(
-          DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, maxSplitBytes,
+          DataDbScan.splitsOf(fs, s.getPath, id, s.getLen, splitBytes,
             format))
           .map(sp => sp: InputPartition)
       }
@@ -268,7 +280,14 @@ final case class DataDbScan(path: String, required: StructType,
     * CompressionInfo.db companions) streams through the same codec. */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new DataDbMicroBatchStream(path, required, maxSplitBytes,
+    new DataDbMicroBatchStream(path, required,
+      // streaming keeps the FIXED default under the adaptive sentinel:
+      // a micro-batch's file set is one arrival, and per-batch task
+      // counts staying put keeps the replay trajectories' fixed costs
+      // (and their recorded metrics) comparable across rounds
+      if (maxSplitBytes == DataDbScan.AdaptiveSplitBytes)
+        DataDbScan.DefaultSplitBytes
+      else maxSplitBytes,
       DataDbScan.confEntries(sessionHadoopConf()), format)
 }
 
@@ -276,6 +295,30 @@ object DataDbScan {
   /** Default split target (128 MB, Spark's files.maxPartitionBytes
     * default); tests shrink it to force multi-split planning. */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Sentinel for "no explicit maxSplitBytes option": the batch planner
+    * then sizes splits from the file set itself (round 19). */
+  val AdaptiveSplitBytes: Long = -1L
+
+  /** ~8 splits of the largest file — the same splits-per-file rule as
+    * `graft.SparkEntry.cassSplitBytes`, kept as a local constant so the
+    * source layer does not depend on the entry layer. */
+  private val AdaptiveSplitsPerFile = 8L
+
+  /** Scale-adaptive split target: ~[[AdaptiveSplitsPerFile]] splits of
+    * the largest file, floored so fixture-scale files do not shatter
+    * into sub-task-overhead slivers and capped per guide §6's
+    * large-sequential-scan guidance (a multi-GB production sstable still
+    * splits into ≤1 GiB ranges). On-disk lengths, the same rule as the
+    * explicit `cassSplitBytes` the timed roundtrips have always used. */
+  def adaptiveSplitBytes(fileLens: Seq[Long]): Long = {
+    if (fileLens.isEmpty) DefaultSplitBytes
+    else {
+      val largest = fileLens.max
+      math.max(256L << 10,
+        math.min(1L << 30, largest / AdaptiveSplitsPerFile))
+    }
+  }
 
   /** `format` option values: the engine's own event encoding (default) or
     * the real Cassandra big-format 'nb' row codec

@@ -249,7 +249,9 @@ final case class DataDbScan(path: String, required: StructType,
     // which other files a runtime filter happened to drop
     val splitBytes =
       if (maxSplitBytes == DataDbScan.AdaptiveSplitBytes)
-        DataDbScan.adaptiveSplitBytes(files.map(_.getLen))
+        DataDbScan.adaptiveSplitBytes(files.map(_.getLen),
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .map(_.sparkContext.defaultParallelism).getOrElse(1))
       else maxSplitBytes
     files
       .map(s => (s, sstableIdOf(s.getPath.getName)))
@@ -300,23 +302,32 @@ object DataDbScan {
     * then sizes splits from the file set itself (round 19). */
   val AdaptiveSplitBytes: Long = -1L
 
-  /** ~8 splits of the largest file — the same splits-per-file rule as
-    * `graft.SparkEntry.cassSplitBytes`, kept as a local constant so the
-    * source layer does not depend on the entry layer. */
-  private val AdaptiveSplitsPerFile = 8L
+  /** Per-split floor: Spark's `spark.sql.files.openCostInBytes` default
+    * (4 MB) — below this the per-task fixed cost beats the parallelism.
+    * Measured on this workload, not just inherited: the wide-key
+    * partial-aggregate stages' task-seconds explode when a scan shatters
+    * (SplitCost probe on the sf0.1 fixture: 3.0 → 18 → 68 task-s at
+    * 6 → 84 → 324 splits over the SAME rows; the dominant term is the
+    * concurrent cold first wave, which scales with min(splits, cores),
+    * so small splits hurt even when each task's own setup is ~3 ms —
+    * TaskFixedCost measured Configuration rebuild 0.7 ms + EventStream
+    * sidecar parse 2 ms). */
+  private val OpenCostBytes = 4L << 20
 
-  /** Scale-adaptive split target: ~[[AdaptiveSplitsPerFile]] splits of
-    * the largest file, floored so fixture-scale files do not shatter
-    * into sub-task-overhead slivers and capped per guide §6's
-    * large-sequential-scan guidance (a multi-GB production sstable still
-    * splits into ≤1 GiB ranges). On-disk lengths, the same rule as the
-    * explicit `cassSplitBytes` the timed roundtrips have always used. */
-  def adaptiveSplitBytes(fileLens: Seq[Long]): Long = {
+  /** Scale-adaptive split target — Spark's own FilePartition.maxSplitBytes
+    * formula (SPARK-17998): `min(cap, max(openCost, totalBytes/cores))`.
+    * Splits track BOTH the data volume and the machine: a fixture-scale
+    * corpus plans ~2 waves of ≥4 MB tasks, a 100 TB corpus on a big
+    * cluster caps at [[DefaultSplitBytes]]-sized sequential ranges, and
+    * a single multi-GB sstable still splits instead of serializing onto
+    * one task. On-disk lengths (the boundary walker compares uncompressed
+    * offsets, so compressed files split somewhat finer — the same skew
+    * the explicit `cassSplitBytes` rule has always had). */
+  def adaptiveSplitBytes(fileLens: Seq[Long], parallelism: Int): Long = {
     if (fileLens.isEmpty) DefaultSplitBytes
     else {
-      val largest = fileLens.max
-      math.max(256L << 10,
-        math.min(1L << 30, largest / AdaptiveSplitsPerFile))
+      val bytesPerCore = fileLens.sum / math.max(1, parallelism)
+      math.min(DefaultSplitBytes, math.max(OpenCostBytes, bytesPerCore))
     }
   }
 

@@ -39,8 +39,18 @@ object SplitCost {
       val sec = (System.nanoTime() - t0) / 1e9
       // let the listener drain
       Thread.sleep(200)
+      val scanTaskSec = taskSec.get() / 1e3
+      // the q216 `winners` shape: a wide-key partial aggregate — probes
+      // whether the per-split cost depends on the aggregate, not the scan
+      taskSec.set(0L)
+      val t1 = System.nanoTime()
+      df.groupBy("sstable_id", "key", "clustering", "column_name")
+        .count().groupBy("sstable_id").count().collect()
+      val sec2 = (System.nanoTime() - t1) / 1e9
+      Thread.sleep(200)
       println(f"split=${split / 1024}%8d KiB nsplits=$n%3d rep$rep " +
-        f"wall=$sec%.2f taskSec=${taskSec.get() / 1e3}%.2f")
+        f"wall=$sec%.2f taskSec=$scanTaskSec%.2f " +
+        f"aggWall=$sec2%.2f aggTaskSec=${taskSec.get() / 1e3}%.2f")
     }
     spark.stop()
   }

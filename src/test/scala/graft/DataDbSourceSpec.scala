@@ -149,6 +149,36 @@ class DataDbSourceSpec extends SparkSpec {
     assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
+  test("adaptive split target follows Spark's maxSplitBytes formula " +
+      "and an unsized scan equals an explicitly sized one") {
+    // the formula: min(cap, max(openCost, totalBytes / parallelism))
+    val open = 4L << 20
+    val cap = DataDbScan.DefaultSplitBytes
+    assert(DataDbScan.adaptiveSplitBytes(Nil, 8) === cap,
+      "no files degrades to the fixed default")
+    assert(DataDbScan.adaptiveSplitBytes(Seq(1L << 20, 1L << 20), 32)
+      === open, "tiny corpora land on the open-cost floor")
+    assert(DataDbScan.adaptiveSplitBytes(Seq(64L << 30), 32) === cap,
+      "huge corpora cap at the fixed default (sequential-range band)")
+    val mid = Seq.fill(2)(1L << 30) // 2 GiB over 32 cores = 64 MiB
+    assert(DataDbScan.adaptiveSplitBytes(mid, 32) === (64L << 20),
+      "mid-scale corpora split at totalBytes/parallelism")
+    // the builder passes the sentinel only when no option is given
+    val dir = DataDbFixture.ensureFiles(spark, Sf0001)
+    val unsized = new DataDbScanBuilder(Map("path" -> dir))
+      .build().asInstanceOf[DataDbScan]
+    assert(unsized.maxSplitBytes === DataDbScan.AdaptiveSplitBytes)
+    val sized = new DataDbScanBuilder(
+      Map("path" -> dir, "maxsplitbytes" -> "2048"))
+      .build().asInstanceOf[DataDbScan]
+    assert(sized.maxSplitBytes === 2048L)
+    // an unsized (adaptive) read returns exactly the explicit read's rows
+    val a = spark.read.format("sstable-data").load(dir)
+    val b = spark.read.format("sstable-data")
+      .option("maxSplitBytes", "2048").load(dir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("column pruning reaches the reader's projection") {
     val dir = DataDbFixture.ensureFiles(spark, Sf0001)
     val one = DataDb.read(spark, dir).select("size_bytes")

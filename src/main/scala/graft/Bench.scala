@@ -342,7 +342,10 @@ object Bench {
       if (sf1ContendedQ.isEmpty) ""
       else sf1ContendedQ.mkString(""","sf1_contended":{""", ",", "}")
 
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v._1 }
+    // %.3f, not raw toString: 249 raw doubles print ~17 digits each and
+    // the full line's size is what decides whether a tail-capturing
+    // consumer sees the whole per-query map (round 20)
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"${v._1}%.3f" }
       .mkString("{", ",", "}")
     val steals = results.collect { case (k, (v, _)) if v._2 > 0.005 =>
       "\"" + k + "\":" + f"${v._2 * 100}%.1f"
@@ -428,8 +431,16 @@ object Bench {
     if (!log.claimEmit()) return false
     val (full, compact) = composeRecord(log, refQ, refSf1, refApplies,
       sfDir, sf1RecallJson, splitsJson)
-    println(full)
+    // compact FIRST, full LAST (round 20, VERDICT r19 Next #2): the
+    // driver records an output *tail* and parses the last record line it
+    // finds — with the full line printed first it scrolled out of the
+    // tail window and the driver got the compact line, which carries
+    // family subtotals but NO per-query map ("per_query":{} from a clean
+    // rc-0 run). The LAST line is now the one with "queries":{...}; the
+    // compact line still prints (metric-keyed consumers of
+    // "total_compact" are unaffected by its position).
     println(compact)
+    println(full)
     System.out.flush()
     true
   }
@@ -906,14 +917,15 @@ object Bench {
         .mkString(""","sf1_recall":{""", ",", "}")
     log.sf1WallSec = log.elapsedSec - sf1PhaseStartSec
     // the one assembly path (composeRecord) builds both lines from the
-    // log; the SECOND, compact line exists because the driver records
-    // only an output *tail*, which truncated the head of the full line
-    // in rounds 4–6 (VERDICT r6 ask #1) — its metric name is distinct so
+    // log; the compact line exists because the driver records only an
+    // output *tail*, which truncated the head of the full line in rounds
+    // 4–6 (VERDICT r6 ask #1) — its metric name is distinct so
     // metric-keyed consumers never double-count a run (ADVICE r7), and
-    // it carries per-family subtotals (VERDICT r7 ask #8). The shutdown
-    // hook races this call idempotently: whoever claims the emit flag
-    // first prints, so a kill between here and exit still yields ONE
-    // record.
+    // it carries per-family subtotals (VERDICT r7 ask #8). Since round
+    // 20 the full line prints LAST (see emitRecord) so the tail parse
+    // regains the per-query map. The shutdown hook races this call
+    // idempotently: whoever claims the emit flag first prints, so a kill
+    // between here and exit still yields ONE record.
     if (log.retrySpend > 0)
       System.err.println(f"BENCH: contention-retry spend " +
         f"${log.retrySpend}%.0f s of ${budgetSec * RetryFrac}%.0f s cap")

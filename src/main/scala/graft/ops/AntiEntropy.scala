@@ -135,9 +135,11 @@ object AntiEntropy {
     * pushdown (file-grain skip, like Cassandra's incremental repair
     * skipping the repaired half of the data). A fully-repaired set
     * digests NOTHING (zero rows before aggregation). */
-  def incrementalDigest(spark: SparkSession, path: String): DataFrame = {
+  def incrementalDigest(spark: SparkSession, path: String,
+      split: Option[Long] = DataDbScan.LightRowWorkSplit): DataFrame = {
     val unrepaired = unrepairedGens(path)
-    val raw = DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
+    val raw = DataDb.cells(spark, path, format = DataDbScan.FormatCassandra,
+      maxSplitBytes = split)
     val pruned =
       if (unrepaired.isEmpty) raw.where(lit(false))
       else raw.where(col("sstable_id")
@@ -151,13 +153,22 @@ object AntiEntropy {
     * — RepairStream/RepairMatrix.markCycle, Repair.incrementalLoop and
     * q177 each carried a verbatim copy before (ADVICE r15: three
     * hand-synced digest definitions risk drift). */
+  /** `split`: the scan's split sizing. The DEFAULT is the fixed light-
+    * row-work cap (round 20) — right when the caller unions SEVERAL
+    * triples into one action (q177's 3 sets, q192's 6), where the
+    * concurrent scans already fill the machine and extra splits only pay
+    * the per-task cold-wave floor. A caller whose window is ONE
+    * corpus-sized scan (q184) passes None to keep the adaptive sizing —
+    * there the splits ARE the parallelism (measured: q184 1.01 → 2.12 s
+    * when given the fixed cap, q192 2.22 → 1.21 s when given it). */
   def incrementalTriple(spark: SparkSession, path: String, tag: String,
-      labelCol: String = "state"): DataFrame = {
+      labelCol: String = "state",
+      split: Option[Long] = DataDbScan.LightRowWorkSplit): DataFrame = {
     val sstables = Option(new java.io.File(path)
         .listFiles((_, n) => n.endsWith("-Data.db")))
       .map(_.length.toLong).getOrElse(0L)
     val unrepaired = unrepairedGens(path).length.toLong
-    incrementalDigest(spark, path)
+    incrementalDigest(spark, path, split)
       .agg(
         count(lit(1)).as("events"),
         coalesce(countDistinct(
@@ -191,8 +202,11 @@ object AntiEntropy {
 
   /** q173: the three-way leaf comparison described above. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // light-row-work scans (64-leaf digest rollups): fixed split cap —
+    // see DataDbScan.LightRowWorkSplit
     def scanOf(p: String): DataFrame =
-      DataDb.cells(spark, p, format = DataDbScan.FormatCassandra)
+      DataDb.cells(spark, p, format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
     val base = leafDigest(scanOf(
       CassandraDataFixture.ensureFiles(spark, dir, compressed = true)))
     val tiered = leafDigest(scanOf(

@@ -50,8 +50,12 @@ object CasRegister {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
       compressed = true)
     import spark.implicits._
+    // the scan feeds a typed flatMapGroups exchange — per-row scan work
+    // is light (a 4-column projection), so the per-task cold-wave floor
+    // dominates extra splits: fixed split cap (DataDbScan.LightRowWorkSplit)
     val ops = DataDb.cells(spark, inPath,
-        format = DataDbScan.FormatCassandra)
+        format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .select(col("key"), col("clustering").as("expected"),
         pmod(col("size_bytes"), lit(3L)).as("newval"),
         col("timestamp_us"))

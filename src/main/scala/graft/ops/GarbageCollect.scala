@@ -36,8 +36,11 @@ object GarbageCollect {
 
   private val ChkMod = 1000003L
 
+  // light-row-work scans: fixed split cap, not the adaptive target —
+  // see DataDbScan.LightRowWorkSplit
   private def inputEvents(spark: SparkSession, inPath: String): DataFrame =
-    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
+    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra,
+      maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .withColumn("gen",
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long"))
@@ -125,20 +128,28 @@ object GarbageCollect {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
       compressed = true)
     val outPath = ensureCollected(spark, dir, gcBeforeS)
-    val original = inputEvents(spark, inPath)
-      .groupBy("gen")
-      .agg(count(lit(1)).as("events_in"),
+    // ONE scan of the input (round 20, guide §1.2): the per-gen event
+    // and droppable counts distribute over the winners' (gen, key,
+    // clustering, column_name) grouping — events_in = sum of per-cell
+    // multiplicities, droppable_in = sum of per-cell droppable counts —
+    // so the former separate `original` aggregate (a second full scan of
+    // the same files) rides the winners pass. Same values: count(*) per
+    // gen ≡ sum of per-group counts; the conditional sum is additive
+    // over any partition of the rows.
+    val originalAndWinners = inputEvents(spark, inPath)
+      .groupBy("gen", "key", "clustering", "column_name")
+      .agg(count(lit(1)).as("dups"),
         sum(when(col("is_tombstone") &&
           col("local_deletion_time_s") < gcBeforeS, 1L).otherwise(0L))
-          .as("droppable_in"))
-    val winners = inputEvents(spark, inPath)
-      .groupBy("gen", "key", "clustering", "column_name")
-      .agg(count(lit(1)).as("dups"))
+          .as("droppable"))
       .groupBy("gen")
-      .agg(count(lit(1)).as("winners"),
+      .agg(sum(col("dups")).as("events_in"),
+        sum(col("droppable")).as("droppable_in"),
+        count(lit(1)).as("winners"),
         sum(col("dups") - 1L).as("shadowed"))
     val rewritten = DataDb.cells(spark, outPath,
-        format = DataDbScan.FormatCassandra)
+        format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .withColumn("gen",
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L - OutGenBase)
@@ -150,8 +161,7 @@ object GarbageCollect {
         sum(col("key") % ChkMod).as("keys_sum"),
         sum(col("timestamp_us") % ChkMod).as("ts_sum"),
         sum(col("size_bytes") % ChkMod).as("value_sum"))
-    original
-      .join(winners, Seq("gen"))
+    originalAndWinners
       .join(rewritten, Seq("gen"))
       .withColumn("purged", col("winners") - col("events_out"))
       .withColumn("unit",

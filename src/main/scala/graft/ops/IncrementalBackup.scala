@@ -60,8 +60,11 @@ object IncrementalBackup {
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val snap = Snapshot.ensureSnapshot(spark, dir)
     val backups = ensureBackups(spark, dir)
+    // light-row-work scans (per-sstable count + h60-sum rollups): fixed
+    // split cap — see DataDbScan.LightRowWorkSplit
     def tierOf(path: String, tier: String) =
-      DataDb.cells(spark, path, format = DataDbScan.FormatCassandra)
+      DataDb.cells(spark, path, format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
         .groupBy("sstable_id")
         .agg(count(lit(1)).as("events"), sum(eventHash).as("digest"))
         .select(lit(tier).as("tier"),

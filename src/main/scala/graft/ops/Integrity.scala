@@ -349,7 +349,10 @@ object Integrity {
   def shadowedPurge(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.datadb.{DataDb, DataDbFormat, DataDbScan}
     val path = CassandraDataFixture.ensureFeatureFiles(spark, dir)
-    val ev = DataDb.read(spark, path, format = DataDbScan.FormatCassandra)
+    // light-row-work scan (broadcast join + one hash rollup): fixed
+    // split cap — see DataDbScan.LightRowWorkSplit
+    val ev = DataDb.read(spark, path, format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .withColumn("k", graft.sources.BinaryKeys.beLong(col("key")))
     val pdel = ev
       .where(col("kind") === DataDbFormat.KindPartitionDeletion)

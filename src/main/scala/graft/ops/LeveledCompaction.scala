@@ -112,8 +112,13 @@ object LeveledCompaction {
     slot.value
   }
 
+  // light-row-work scans (the per-unit rollup sums): fixed split cap —
+  // see DataDbScan.LightRowWorkSplit. Also feeds the session-memoized
+  // build's merge input (one-time work; the rollup windows are what the
+  // bench times).
   private def inputEvents(spark: SparkSession, inPath: String): DataFrame =
-    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
+    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra,
+      maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .withColumn("sstable_id", concat(lit("sst-"),
         (regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L).cast("string")))
@@ -336,7 +341,8 @@ object LeveledCompaction {
     require(partners.forall(_.gen > OutGenBase),
       s"round-2 partners must be round-1 outputs, got $partners")
     val merged = DataDb.cells(spark, out2,
-        format = DataDbScan.FormatCassandra)
+        format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .withColumn("oidx",
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L - OutGenBase2)
@@ -358,7 +364,8 @@ object LeveledCompaction {
     val outPath = ensureCompacted(spark, dir, gcBeforeS)
     val (_, _, passthrough) = selection(inPath)
     val merged = DataDb.cells(spark, outPath,
-        format = DataDbScan.FormatCassandra)
+        format = DataDbScan.FormatCassandra,
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
       .withColumn("oidx",
         regexp_extract(col("sstable_id"), "nb-(\\d+)-big", 1)
           .cast("long") - 1L - OutGenBase)

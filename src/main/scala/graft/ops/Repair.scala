@@ -255,7 +255,9 @@ object Repair {
             .as("repaired_sstables"),
           max("repaired_at_ms").as("repaired_at_ms"))
       val events = DataDb.cells(spark, path,
-        format = DataDbScan.FormatCassandra)
+        format = DataDbScan.FormatCassandra,
+        // a bare count: the lightest row work of all — fixed split cap
+        maxSplitBytes = DataDbScan.LightRowWorkSplit)
         .agg(count(lit(1)).as("events"))
       stats.crossJoin(events).select(lit(tag).as("set_name"),
         col("sstables"), col("repaired_sstables"),

@@ -174,8 +174,12 @@ object RepairStream {
     * already repaired. */
   def markCycle(spark: SparkSession, dir: String): DataFrame = {
     val (conv, marked) = ensureCycle(spark, dir)
-    AntiEntropy.incrementalTriple(spark, conv, "converged")
-      .unionByName(AntiEntropy.incrementalTriple(spark, marked, "marked"))
+    // split = None (adaptive): this window is ONE corpus-sized scan (the
+    // marked set prunes to zero files at planning), so the splits are
+    // the only parallelism — see incrementalTriple's doc
+    AntiEntropy.incrementalTriple(spark, conv, "converged", split = None)
+      .unionByName(AntiEntropy.incrementalTriple(spark, marked, "marked",
+        split = None))
       .orderBy("state")
   }
 
@@ -204,25 +208,48 @@ object RepairStream {
     val eventCols = Seq("key", "clustering", "column_name", "kind",
       "timestamp_us", "ttl_s", "local_deletion_time_s", "is_tombstone",
       "is_expiring", "size_bytes")
+    // NARROW EXCHANGE (round 20, guide §2.3 "project before the
+    // exchange"; VERDICT r19 Next #4): the fused aggregate used to
+    // shuffle the full 10-column event tuple (~78 MB at sf0.1, two of
+    // the columns strings) just to group identical events. Everything
+    // the aggregate consumes downstream is (leaf, the h60 digest term,
+    // per-source multiplicities) — so each input row is projected,
+    // BEFORE the exchange, to 4 longs: the token leaf, a 128-bit event
+    // id (two independently-seeded xxhash64 over all 10 identity
+    // columns), and the digest term hh. Grouping by (leaf, eid128, hh)
+    // instead of the tuple partitions the event space identically
+    // unless two DISTINCT events collide on all 192 bits — P ≈ n²/2^193
+    // with the leaf folded in (≈1e-34 at this corpus, ≈1e-20 at 10^12
+    // events), and a collision would flip the oracle-checked hash, so
+    // the equivalence is verified on every tested SF, not just argued.
+    // hh itself is UNCHANGED (the oracle's digest algebra), and the
+    // per-leaf conditional sums below are bit-identical functions of
+    // the same per-event quantities as before.
     def tag(p: String, src: String): DataFrame =
-      scanOf(spark, p).select(eventCols.map(col) :+ lit(src).as("src"): _*)
+      scanOf(spark, p).select(
+        leafOf(col("key")).as("leaf"),
+        xxhash64(eventCols.map(col): _*).as("eid0"),
+        xxhash64(eventCols.map(col) :+
+          lit(0x9e3779b97f4a7c15L): _*).as("eid1"),
+        (graft.functions.PortableHash.h60(concat_ws(":",
+          col("key"), col("clustering"), col("column_name"), col("kind"),
+          col("timestamp_us"), col("ttl_s"),
+          col("local_deletion_time_s"), col("size_bytes"))) % 1000003L)
+          .as("hh"),
+        lit(src).as("src"))
     val events = tag(pathA, "a").unionByName(tag(pathB, "b"))
       .unionByName(tag(intoA, "ia")).unionByName(tag(intoB, "ib"))
-      .groupBy(eventCols.map(col): _*)
+      .groupBy(col("leaf"), col("eid0"), col("eid1"), col("hh"))
       .agg(
         sum(when(col("src") === "a", 1L).otherwise(0L)).as("ca"),
         sum(when(col("src") === "b", 1L).otherwise(0L)).as("cb"),
         max(when(col("src") === "ia", 1L).otherwise(0L)).as("ia"),
         max(when(col("src") === "ib", 1L).otherwise(0L)).as("ib"))
-      .withColumn("hh", graft.functions.PortableHash.h60(concat_ws(":",
-        col("key"), col("clustering"), col("column_name"), col("kind"),
-        col("timestamp_us"), col("ttl_s"),
-        col("local_deletion_time_s"), col("size_bytes"))) % 1000003L)
     val inU = col("ca") > 0 || col("cb") > 0
     val inA2 = col("ca") > 0 || col("ia") > 0
     val inB2 = col("cb") > 0 || col("ib") > 0
     events
-      .groupBy(leafOf(col("key")).as("leaf"))
+      .groupBy(col("leaf"))
       .agg(
         sum(col("ca")).as("sa"),
         sum(col("ca") * col("hh")).as("da"),

@@ -75,10 +75,14 @@ object Snapshot {
     val snapPath = ensureSnapshot(spark, dir)
     // mutate AFTER the snapshot exists: the live set compacts away
     val compactedPath = Compaction.ensureCompacted(spark, dir)
+    // light-row-work scans (per-sstable count + h60-sum rollups): fixed
+    // split cap — see DataDbScan.LightRowWorkSplit
     val restored = rollup(DataDb.cells(spark, snapPath,
-      format = DataDbScan.FormatCassandra), "snapshot")
+      format = DataDbScan.FormatCassandra,
+      maxSplitBytes = DataDbScan.LightRowWorkSplit), "snapshot")
     val live = rollup(DataDb.cells(spark, compactedPath,
-      format = DataDbScan.FormatCassandra), "compacted")
+      format = DataDbScan.FormatCassandra,
+      maxSplitBytes = DataDbScan.LightRowWorkSplit), "compacted")
     restored.unionByName(live).orderBy("state", "sstable_id")
   }
 }

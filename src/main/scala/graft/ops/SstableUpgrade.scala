@@ -42,8 +42,11 @@ object SstableUpgrade {
 
   private val M = 1000003L
 
+  // light-row-work scans (count/countDistinct/h60 rollups): fixed split
+  // cap, not the adaptive target — see DataDbScan.LightRowWorkSplit
   private def inputEvents(spark: SparkSession, inPath: String): DataFrame =
-    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra)
+    DataDb.cells(spark, inPath, format = DataDbScan.FormatCassandra,
+      maxSplitBytes = DataDbScan.LightRowWorkSplit)
 
   /** Per-sstable (minToken, maxToken) off one narrow aggregate —
     * O(#files) driver rows. */
@@ -158,7 +161,13 @@ object SstableUpgrade {
           col("key"), col("clustering"), col("column_name"), col("kind"),
           col("timestamp_us"), col("ttl_s"),
           col("local_deletion_time_s"), col("size_bytes"))) % M)
-          .as("digest"))
+          .as("digest"),
+        // the token span rides the digest pass (round 20, guide §1.2):
+        // the q200 window used to run tokenSpans as a SECOND full
+        // scan+collect job per call just to re-check coverage; min/max
+        // distribute over the same per-gen grouping
+        min(AntiEntropy.token(col("key"))).as("t0"),
+        max(AntiEntropy.token(col("key"))).as("t1"))
 
   /** q200: the upgrade relation — one row per sstable: component-set
     * parity, Data.db byte identity, the pre- and post-upgrade
@@ -169,7 +178,6 @@ object SstableUpgrade {
     val inPath = CassandraDataFixture.ensureFiles(spark, dir,
       compressed = true)
     val outPath = ensureUpgraded(spark, dir)
-    val spans = tokenSpans(spark, inPath)
     val inDir = new java.io.File(inPath)
     val outDir = new java.io.File(outPath)
     def componentsOf(dd: java.io.File, base: String): Set[String] =
@@ -200,27 +208,36 @@ object SstableUpgrade {
           sys.error("NULL start bound")))
         val maxCl = be(slice.end.values.head.getOrElse(
           sys.error("NULL end bound")))
-        val (t0, t1) = spans(base)
-        val coverageConsistent =
-          tail.tokenSpaceCoverage == coverageOf(t0, t1)
         (gen, componentsMatch, dataEqual, be(tail.firstKey),
           be(tail.lastKey), s.minTimestampUs, s.maxTimestampUs,
-          minCl, maxCl, coverageConsistent)
+          minCl, maxCl, tail.tokenSpaceCoverage)
       }
     import spark.implicits._
     val meta = fileRows.toDF("gen", "components_match", "data_bytes_equal",
       "first_key", "last_key", "min_ts_us", "max_ts_us",
-      "min_clustering", "max_clustering", "coverage_consistent")
+      "min_clustering", "max_clustering", "stored_coverage")
     def named(df: DataFrame, tag: String): DataFrame =
       df.select(col("gen"), col("events").as(s"events_$tag"),
         col("partitions").as(s"partitions_$tag"),
         col("digest").as(s"digest_$tag"))
-    named(digested(spark, inPath), "nb")
+    // coverage_consistent: the stored 'oa' tail double vs the span
+    // re-derived from the pre-upgrade scan — the re-check is unchanged,
+    // it just reads the span off the SAME digest pass instead of a
+    // separate tokenSpans job (the expression replays coverageOf
+    // bit-for-bit: long arithmetic, one cast, one IEEE division)
+    val nb = digested(spark, inPath).select(col("gen"),
+      col("events").as("events_nb"), col("partitions").as("partitions_nb"),
+      col("digest").as("digest_nb"), col("t0"), col("t1"))
+    nb
       .join(named(digested(spark, outPath), "oa"), Seq("gen"))
       .join(broadcast(meta), Seq("gen"))
+      .withColumn("coverage_consistent",
+        col("stored_coverage") ===
+          (col("t1") - col("t0") + lit(1L)).cast("double") /
+            lit((1L << 60).toDouble))
       .withColumn("unit",
         concat(lit("sst-"), (col("gen") - 1L).cast("string")))
-      .drop("gen")
+      .drop("gen", "t0", "t1", "stored_coverage")
       .orderBy("unit")
   }
 }

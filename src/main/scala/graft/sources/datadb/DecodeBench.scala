@@ -23,6 +23,9 @@ object DecodeBench {
     spark.sparkContext.setLogLevel("WARN")
     val fixture = CassandraDataFixture.ensureFiles(spark, args(0),
       compressed = true)
+    // the timing loop is deliberately Spark-free: stop the session (and
+    // its local[8] executor threads) before measuring (ADVICE r19 #5)
+    spark.stop()
     val dir = java.nio.file.Paths.get(fixture)
     val reps = if (args.length > 1) args(1).toInt else 3
     val files = {

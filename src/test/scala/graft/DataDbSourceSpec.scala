@@ -160,9 +160,11 @@ class DataDbSourceSpec extends SparkSpec {
       === open, "tiny corpora land on the open-cost floor")
     assert(DataDbScan.adaptiveSplitBytes(Seq(64L << 30), 32) === cap,
       "huge corpora cap at the fixed default (sequential-range band)")
-    val mid = Seq.fill(2)(1L << 30) // 2 GiB over 32 cores = 64 MiB
-    assert(DataDbScan.adaptiveSplitBytes(mid, 32) === (64L << 20),
-      "mid-scale corpora split at totalBytes/parallelism")
+    // 2 GiB (+ 2 files' open-cost padding, per SPARK-17998) over 32 cores
+    val mid = Seq.fill(2)(1L << 30)
+    assert(DataDbScan.adaptiveSplitBytes(mid, 32) ===
+      ((2L << 30) + 2L * open) / 32,
+      "mid-scale corpora split at (totalBytes + openCost/file)/parallelism")
     // the builder passes the sentinel only when no option is given
     val dir = DataDbFixture.ensureFiles(spark, Sf0001)
     val unsized = new DataDbScanBuilder(Map("path" -> dir))
